@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central accessor for the driver-generated parquet fixtures
+  * (`TESTDATA.md`): TPC-H-ish star schema + `events` stream table +
+  * `documents`/`embeddings` north-star tables.
+  *
+  * Every query receives the scale-factor directory at call time, so the
+  * same code runs at sf0.001 (smoke), sf0.01 (duckdb oracle) and sf0.1
+  * (bench) — and, unchanged, against a 100 TB lake: `spark.read.parquet`
+  * prunes columns and pushes filters down to the scan, and partition
+  * count follows `spark.sql.files.maxPartitionBytes`, not file count.
+  */
+final class Tables(spark: SparkSession, sfDir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, sfDir: String): Tables =
+    new Tables(spark, sfDir)
+}

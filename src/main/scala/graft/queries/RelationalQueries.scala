@@ -1,0 +1,420 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish fixtures: every
+  * projection/filter/join/aggregate/window/set-op shape the reference uses
+  * (SURVEY.md §2.2-§2.6), expressed as declarative DataFrame plans so
+  * Catalyst supplies pushdown, pruning, partial aggregation and join
+  * strategy selection.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/supplier/customer/
+  * part) are broadcast explicitly — the fact-side scan never shuffles for
+  * those joins; fact-fact joins shuffle on their join key and AQE handles
+  * skew; all aggregates are hash-based with map-side partial combine (free
+  * from Catalyst); every query is pipelined whole-stage-codegen except where
+  * a shuffle/sort boundary is semantically required.
+  */
+object RelationalQueries extends QueryRegistry {
+
+  /** TPC-H Q1-style pricing summary: filter → hash agg (partial+final) →
+    * small sorted output. Reference analog: per-tar accumulation A1-A4
+    * (`index/check_pair.py:35-46`, `writer.py:322-359`). */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Row-level filter + projection (P1/P5): both the predicate and the
+    * column set reach the parquet scan (PushedFilters / ReadSchema). The
+    * derived column is exact IEEE arithmetic — deterministic across
+    * engines, no rounding needed. */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .filter($"l_shipdate" >= lit("2000-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("2001-01-01").cast("timestamp") &&
+        $"l_discount" > 0.05 && $"l_quantity" < 25)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | l_extendedprice * (1.0 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      |  AND l_shipdate < TIMESTAMP '2001-01-01'
+      |  AND l_discount > 0.05 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: fact lineitem ⋈ broadcast(supplier) ⋈ broadcast(nation) ⋈
+    * broadcast(region) → agg by nation. The fact scan never shuffles for
+    * the dimension joins — at 100 TB this is the difference between a
+    * map-side-only stage and three full exchanges. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val q03Sql =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): orders having a high-discount line. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val hot = t.lineitem.filter($"l_discount" > 0.08)
+      .select($"l_orderkey")
+    t.orders.join(hot, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q04Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders.select($"o_custkey"), $"c_custkey" === $"o_custkey",
+        "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Top-k per group via row_number window (deterministic tiebreak on the
+    * key). Reference analog: per-source selection in MultiShardSample. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir).orders
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  private val q06Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running (cumulative) aggregate per partition — the A5 packer's
+    * running-sum shape as a window (`tokenize/main.py:155-208`). Rounded:
+    * DuckDB evaluates windowed sums with a segment tree whose addition
+    * order differs from a sequential scan. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture; order by
+    // every column so tied rows are bit-identical and any tie order
+    // yields the same running values.
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount",
+        $"l_tax", $"l_returnflag", $"l_linestatus")
+    Tables(s, dir).lineitem
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        round(sum($"l_quantity")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_qty"),
+        count(lit(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_cnt"))
+      .orderBy($"l_suppkey", $"running_cnt")
+  }
+
+  private val q07Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      | round(sum(l_quantity) OVER w, 2) AS running_qty,
+      | count(*) OVER w AS running_cnt
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+      |    l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+      |    l_linestatus
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, running_cnt""".stripMargin
+
+  /** Fixed-size chunking (W4, `pack/pack.py:61-63`: 500 samples → 1 tar):
+    * row_number → chunk id → per-chunk stats. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+        $"l_linestatus", $"l_shipdate")
+    Tables(s, dir).lineitem
+      .withColumn("chunk",
+        floor((row_number().over(w) - 1) / 500).cast("long"))
+      .groupBy($"l_returnflag", $"chunk")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("chunk_qty"))
+      .orderBy($"l_returnflag", $"chunk")
+  }
+
+  private val q08Sql =
+    """SELECT l_returnflag, chunk, count(*) AS n,
+      | round(sum(l_quantity), 2) AS chunk_qty
+      |FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    CAST(floor((row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |        l_quantity, l_extendedprice, l_discount, l_tax,
+      |        l_linestatus, l_shipdate) - 1) / 500) AS BIGINT) AS chunk
+      |  FROM lineitem) t
+      |GROUP BY l_returnflag, chunk
+      |ORDER BY l_returnflag, chunk""".stripMargin
+
+  /** Weighted source mixing as relational union (M1/M2, `mix.py:16-82`):
+    * unionByName of tagged sources → per-source stats. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val a = t.customer.select($"c_custkey".as("key"),
+      $"c_acctbal".as("bal"), lit("customer").as("src"))
+    val b = t.supplier.select($"s_suppkey".as("key"),
+      $"s_acctbal".as("bal"), lit("supplier").as("src"))
+    a.unionByName(b)
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n"), round(sum($"bal"), 2).as("total_bal"))
+      .orderBy($"src")
+  }
+
+  private val q09Sql =
+    """SELECT src, count(*) AS n, round(sum(bal), 2) AS total_bal FROM (
+      |  SELECT c_custkey AS key, c_acctbal AS bal, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_suppkey AS key, s_acctbal AS bal, 'supplier' AS src FROM supplier
+      |) t GROUP BY src ORDER BY src""".stripMargin
+
+  /** DISTINCT (exact dedup primitive). */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).customer
+      .select($"c_mktsegment").distinct().orderBy($"c_mktsegment")
+  }
+
+  private val q10Sql =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** Global top-k: total order + limit, deterministic tiebreak. Spark
+    * plans this as TakeOrderedAndProject — no full sort at scale. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(10)
+  }
+
+  private val q11Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Aggregate + HAVING filter over groups. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("spend"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  private val q12Sql =
+    """SELECT o_custkey, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS spend
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+      |ORDER BY o_custkey""".stripMargin
+
+  /** `associate` lookup join (P10/J1, `filters.py:350-361`) — the
+    * reference's only join: enrich rows from a broadcast lookup,
+    * left-outer so unmatched rows survive. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.orders
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey",
+        "left_outer")
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q13Sql =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Ordered array materialization per key — the J2 combineKeyFrames
+    * sort-merge (`pack/tools.py:155-197`) as sort_array∘collect_list
+    * (collect order is nondeterministic; the sort makes it exact). */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_linenumber")).as("frames"))
+      .select($"l_orderkey", $"frames", size($"frames").as("n_frames"))
+      .orderBy($"l_orderkey")
+  }
+
+  private val q14Sql =
+    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS frames,
+      | count(*)::INT AS n_frames
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Conditional aggregation (pivot-style CASE counts). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_o"),
+        round(avg($"o_totalprice"), 2).as("avg_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q15Sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+      | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+      | round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** CUBE grouping sets (free Spark capability beyond the reference;
+    * NULLS FIRST ordering pinned on both sides). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private val q16Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Scalar string functions (F1-family: substring/upper/length). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).part
+      .select($"p_partkey", upper($"p_brand").as("brand_u"),
+        length($"p_name").as("name_len"),
+        substring($"p_type", 1, 5).as("type5"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q17Sql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      | length(p_name)::INT AS name_len, substr(p_type, 1, 5) AS type5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Shuffle-join of two facts (orders ⋈ lineitem aggregate): the
+    * one genuinely shuffled join in the suite; at scale both sides
+    * hash-exchange on orderkey and AQE coalesces/skew-splits. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val lagg = t.lineitem.groupBy($"l_orderkey")
+      .agg(round(sum($"l_quantity"), 2).as("order_qty"),
+        count(lit(1)).as("n_lines"))
+    t.orders.join(lagg, $"o_orderkey" === $"l_orderkey")
+      .filter($"order_qty" > 100)
+      .select($"o_orderkey", $"o_totalprice", $"order_qty", $"n_lines")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q18Sql =
+    """SELECT o_orderkey, o_totalprice, order_qty, n_lines FROM orders
+      |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS order_qty,
+      |        count(*) AS n_lines
+      |      FROM lineitem GROUP BY l_orderkey) l
+      |  ON o_orderkey = l_orderkey
+      |WHERE order_qty > 100
+      |ORDER BY o_orderkey""".stripMargin
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql), bench = true),
+    "q02_filter_project" -> QueryDef(q02, Some(q02Sql)),
+    "q03_star_join_revenue" -> QueryDef(q03, Some(q03Sql), bench = true),
+    "q04_semi_join" -> QueryDef(q04, Some(q04Sql)),
+    "q05_anti_join" -> QueryDef(q05, Some(q05Sql)),
+    "q06_topk_per_group" -> QueryDef(q06, Some(q06Sql), bench = true),
+    "q07_running_sum" -> QueryDef(q07, Some(q07Sql)),
+    "q08_chunk_500" -> QueryDef(q08, Some(q08Sql)),
+    "q09_union_mix" -> QueryDef(q09, Some(q09Sql)),
+    "q10_distinct" -> QueryDef(q10, Some(q10Sql)),
+    "q11_topk_global" -> QueryDef(q11, Some(q11Sql)),
+    "q12_agg_having" -> QueryDef(q12, Some(q12Sql)),
+    "q13_associate_lookup" -> QueryDef(q13, Some(q13Sql)),
+    "q14_frame_merge" -> QueryDef(q14, Some(q14Sql)),
+    "q15_conditional_agg" -> QueryDef(q15, Some(q15Sql)),
+    "q16_cube" -> QueryDef(q16, Some(q16Sql)),
+    "q17_scalar_strings" -> QueryDef(q17, Some(q17Sql)),
+    "q18_fact_fact_join" -> QueryDef(q18, Some(q18Sql), bench = true),
+  )
+}

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalQueries
+import graft.queries.{DedupQueries, EventQueries, RelationalQueries,
+  SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,6 +14,10 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     RelationalQueries,
+    EventQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
   )
 
   private lazy val allDefs: Map[String, QueryDef] =

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-ordered analytics over the `events` table: the batch expression of
+  * the engine's streaming surface (graft.streaming mirrors these with
+  * readStream + watermark; identical aggregation logic — see
+  * graft.streaming.EventStreams).
+  *
+  * Scale notes: tumbling-window aggs are plain hash aggs on a derived
+  * window-start column (partial + final, no sort); sessionization is one
+  * shuffle on user_id then two in-partition window passes — at 100 TB the
+  * user_id shuffle is unavoidable (keyed state), and AQE handles user skew.
+  */
+object EventQueries extends QueryRegistry {
+
+  /** Tumbling 1-hour window aggregation (event-time, batch form). */
+  private def hourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  private val hourlySql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      | count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity gap): lag → new-session
+    * flag → running sum = session id → per-session aggregate. The A5
+    * packer's sequential-state pattern expressed with windows. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir).events
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        round(sum($"value"), 2).as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private val sessionizeSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 2) AS session_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** lag/lead inter-event deltas per user (W-family coverage). */
+  private def deltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_id", $"event_type",
+        (unix_timestamp($"ts") -
+          unix_timestamp(lag($"ts", 1).over(byUser))).as("secs_since_prev"),
+        lead($"event_type", 1).over(byUser).as("next_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val deltasSql =
+    """SELECT user_id, event_id, event_type,
+      | date_diff('second', lag(ts) OVER w, ts) AS secs_since_prev,
+      | lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Event funnel: per-user ordered distinct event types → funnel stage
+    * counts (conditional agg over per-user aggregates). */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("s_view"),
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("s_click"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("s_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"s_view").as("n_view"),
+        sum($"s_click").as("n_click"),
+        sum($"s_purchase").as("n_purchase"))
+  }
+
+  private val funnelSql =
+    """SELECT count(*) AS n_users, sum(s_view)::BIGINT AS n_view,
+      | sum(s_click)::BIGINT AS n_click, sum(s_purchase)::BIGINT AS n_purchase
+      |FROM (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_purchase
+      |  FROM events GROUP BY user_id) t""".stripMargin
+
+  override val defs: Map[String, QueryDef] = Map(
+    "qe01_hourly_window" -> QueryDef(hourly, Some(hourlySql)),
+    "qe02_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
+    "qe03_event_deltas" -> QueryDef(deltas, Some(deltasSql)),
+    "qe04_funnel" -> QueryDef(funnel, Some(funnelSql)),
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - Brute-force cosine top-k: the exactness baseline. Query set is
+  *    broadcast; the corpus scan is embarrassingly parallel; per-partition
+  *    top-k then global top-k (TakeOrdered pattern via window + filter).
+  *  - IVF (inverted-file) variant: corpus bucketed by nearest coarse
+  *    centroid at "index build" time; queries probe the nProbe nearest
+  *    cells only — at 100 TB this turns a full scan per query into a
+  *    ~nProbe/nCells fraction, the standard IVF-Flat trade.
+  *
+  * Cosines are computed in double precision with sequential folds —
+  * bit-identical to the DuckDB oracle's list arithmetic.
+  */
+object SimilarityQueries extends QueryRegistry {
+
+  private val K = 5
+  private val NumQueries = 10
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force exact top-k for the first NumQueries vectors.
+    * Rounded to 6 digits BEFORE ranking so float-tail differences can
+    * never flip the rank order between engines; ties broken by vec_id. */
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+    c.join(broadcast(q), $"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id", round(cosine($"qv", $"cv"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val bruteTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS qv FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(qv)),
+       |            i -> qv[i] * c.emb[i]))
+       |      / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+       |            i -> qv[i] * qv[i])))
+       |       * sqrt(list_sum(list_transform(generate_series(1, len(c.emb)),
+       |            i -> c.emb[i] * c.emb[i])))), 6) AS cos
+       |  FROM e c JOIN q ON q_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, c_id)::INT AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-Flat ANN: coarse centroids = per-label mean vectors (the fixture
+    * ships cluster labels; a production build would k-means on a sample).
+    * Every corpus vector lands in exactly one cell (its label); each query
+    * probes the 3 nearest cells, then exact-ranks within them.
+    * No SQL oracle (argmax-over-centroids is not reasonably expressible);
+    * recall vs bruteTopK is asserted in SimilaritySpec. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nProbe = 3
+    val e = Tables(s, dir).embeddings
+    val dim = 64
+    // centroid per label: element-wise mean via posexplode + groupBy
+    val cent = e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("cell"),
+        transform($"pm", p => p.getField("m")).as("centroid"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    // probe list: nProbe nearest centroids per query (tiny cross join)
+    val probeW = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell")
+    val probes = q.join(broadcast(cent), lit(true))
+      .select($"q_id", $"qv", $"cell",
+        round(cosine($"qv", $"centroid"), 6).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter($"pr" <= nProbe)
+      .select($"q_id", $"qv", $"cell")
+    // exact rank within probed cells only
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+    Tables(s, dir).embeddings
+      .select($"vec_id".as("c_id"), $"embedding".as("cv"),
+        $"label".as("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter($"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id", round(cosine($"qv", $"cv"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Random-hyperplane LSH bucketing (8-bit signatures from md5-seeded
+    * pseudo-random planes): maps each vector to a bucket id; the scale
+    * path for cosine near-dup joins (bucket-equi-join instead of cross
+    * join). Deterministic planes derived from the dimension index — no
+    * RNG state. Rows-only check; recall asserted in SimilaritySpec. */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+    val nBits = 8
+    // plane p, dim i weight = ±1 by parity of md5(p|i) first hex digit
+    val sig = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with($"embedding",
+          transform(sequence(lit(0), lit(63)), i =>
+            when(conv(substring(md5(to_binary(
+              concat(lit(s"$p|"), i.cast("string")), lit("utf-8"))), 1, 1),
+              16, 10).cast("int") % 2 === 0, 1.0).otherwise(-1.0)),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    e.select($"vec_id", sig.as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"),
+        min($"vec_id").as("min_vec"))
+      .orderBy($"bucket")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
+    "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, None),
+    "qs03_ann_lsh_buckets" -> QueryDef(lshBuckets, None),
+  )
+}

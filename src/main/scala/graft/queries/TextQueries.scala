@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (north-star surface for a
+  * training-data pipeline): stats, token counting, heuristic language ID,
+  * quality scoring, fingerprinting.
+  *
+  * Everything here is per-row (narrow) — scans stay in whole-stage
+  * codegen with zero shuffles except the final presentation sort; at
+  * 100 TB these run at scan speed and are the cheap first pass before
+  * any dedup/shuffle stage.
+  */
+object TextQueries extends QueryRegistry {
+
+  /** Common language marker word lists (shared by lang-ID and quality).
+    * Tiny fixed vocabularies — inlined as array literals on both engines. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "du", "que", "pour"),
+    "es" -> Seq("el", "los", "y", "es", "una", "las", "por", "con", "para", "su"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+  )
+  private val langOrder = Seq("en", "de", "fr", "es", "zh")
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  private def hitCount(ws: Column, lang: String): Column =
+    size(filter(ws, w => array_contains(typedLit(markers(lang)), w)))
+
+  private def hitCountSql(lang: String): String = {
+    val lst = markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(ws, x -> list_contains($lst, x)))::INT"
+  }
+
+  /** Basic per-document stats: chars, whitespace word count. */
+  private def stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id", $"n_chars",
+        length($"text").as("len_chars"),
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .as("n_words"))
+      .orderBy($"doc_id")
+  }
+
+  private val statsSql =
+    """SELECT doc_id, n_chars, length(text)::INT AS len_chars,
+      | (length(text) - length(replace(text, ' ', '')) + 1)::INT AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish sub-word count
+    * (alpha runs capped at 4 chars, digits, punctuation — the same
+    * regex evaluates identically under Java regex and RE2). */
+  private def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id",
+        size(words($"text")).as("ws_tokens"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)"))
+          .as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokensSql =
+    """SELECT doc_id, len(string_split(lower(text), ' '))::INT AS ws_tokens,
+      | len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]'))::INT
+      |   AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language ID: stopword-hit argmax with fixed priority
+    * order; emits prediction next to the labeled `lang` column. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    val hits = langOrder.map(l => hitCount(ws, l).as(s"h_$l"))
+    val base = Tables(s, dir).documents
+      .select($"doc_id" +: $"lang" +: hits: _*)
+    val pred = langOrder.init.foldRight(lit(langOrder.last)) { (l, rest) =>
+      val others = langOrder.dropWhile(_ != l).drop(1)
+      if (others.isEmpty) rest
+      else {
+        val rivals = others.map(o => col(s"h_$o"))
+        val best =
+          if (rivals.size == 1) rivals.head else greatest(rivals: _*)
+        when(col(s"h_$l") >= best, lit(l)).otherwise(rest)
+      }
+    }
+    base.withColumn("pred_lang", pred)
+      .orderBy($"doc_id")
+  }
+
+  private val langIdSql = {
+    val hits = langOrder
+      .map(l => s"  ${hitCountSql(l)} AS h_$l").mkString(",\n")
+    val pred = {
+      val cases = langOrder.init.map { l =>
+        val others = langOrder.dropWhile(_ != l).drop(1)
+          .map(o => s"h_$o").mkString(", ")
+        s"WHEN h_$l >= greatest($others) THEN '$l'"
+      }.mkString(" ")
+      s"CASE $cases ELSE '${langOrder.last}' END"
+    }
+    s"""SELECT doc_id, lang, h_en, h_de, h_fr, h_es, h_zh,
+       | $pred AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |$hits
+       |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+       |        FROM documents) w) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios combined into a
+    * deterministic [0,1]-ish score (exact IEEE arithmetic both engines). */
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    val nWords = size(ws).cast("double")
+    val punct = (length($"text") -
+      length(translate($"text", ".,!?;:", ""))).cast("double")
+    val stop = hitCount(ws, "en").cast("double")
+    Tables(s, dir).documents
+      .select($"doc_id",
+        round(($"n_chars".cast("double") / nWords), 6).as("avg_word_len"),
+        round(punct / $"n_chars".cast("double"), 6).as("punct_ratio"),
+        round(stop / nWords, 6).as("stopword_ratio"),
+        round(
+          least(nWords / lit(100.0), lit(1.0)) * lit(0.5)
+            + least(stop / nWords * lit(5.0), lit(1.0)) * lit(0.3)
+            + (lit(1.0) - least(punct / $"n_chars".cast("double") * lit(10.0),
+              lit(1.0))) * lit(0.2), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualitySql = {
+    val stop = hitCountSql("en")
+    s"""SELECT doc_id,
+       | round(n_chars::DOUBLE / nw, 6) AS avg_word_len,
+       | round(pc / n_chars::DOUBLE, 6) AS punct_ratio,
+       | round(st / nw, 6) AS stopword_ratio,
+       | round(least(nw / 100.0, 1.0) * 0.5
+       |   + least(st / nw * 5.0, 1.0) * 0.3
+       |   + (1.0 - least(pc / n_chars::DOUBLE * 10.0, 1.0)) * 0.2, 6)
+       |   AS quality
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    len(ws)::DOUBLE AS nw,
+       |    (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE AS pc,
+       |    $stop::DOUBLE AS st
+       |  FROM (SELECT doc_id, n_chars, text,
+       |          string_split(lower(text), ' ') AS ws FROM documents) w) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: exact content hash + order-insensitive
+    * bag-of-words hash (both md5 — identical across engines). */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id",
+        md5(to_binary(lower($"text"), lit("utf-8"))).as("content_fp"),
+        md5(to_binary(concat_ws(" ", sort_array(words($"text"))),
+          lit("utf-8"))).as("bag_fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id, md5(lower(text)) AS content_fp,
+      | md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+      |   AS bag_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override val defs: Map[String, QueryDef] = Map(
+    "qt01_text_stats" -> QueryDef(stats, Some(statsSql)),
+    "qt02_token_count" -> QueryDef(tokens, Some(tokensSql)),
+    "qt03_lang_id" -> QueryDef(langId, Some(langIdSql)),
+    "qt04_quality_score" -> QueryDef(quality, Some(qualitySql)),
+    "qt05_fingerprint" -> QueryDef(fingerprint, Some(fingerprintSql)),
+  )
+}

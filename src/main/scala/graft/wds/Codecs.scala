@@ -1,0 +1,148 @@
+package graft.wds
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPInputStream
+
+import javax.imageio.ImageIO
+
+/** Extension-dispatch codec registry — the reference's autodecode /
+  * encode tables (`webdataset-private/webdataset/autodecode.py:145-192`,
+  * `writer.py:135-233`) as a pluggable `Map[ext, Codec]`:
+  *
+  *  - `txt`/`text`/`transcript` → UTF-8 String
+  *  - `cls`/`cls2`/`index`/`inx`/`id`/`count` → Int (decimal text)
+  *  - `json`/`jsn` → JSON string (structured parse happens at the
+  *    DataFrame level with `from_json` + explicit schema — keeping schema
+  *    declaration in Catalyst, not in the codec)
+  *  - `png`/`jpg`/`jpeg`/`ppm` → [[ImageData]] via javax.imageio
+  *  - `*.gz` → transparent gunzip pre-pass then re-dispatch
+  *    (`autodecode.py:135-142`)
+  *
+  * Binary scientific formats the pipeline never decodes on the Spark side
+  * (npy/npz/msgpack/pth/tenbin) stay opaque bytes — their consumers are
+  * training loaders, not queries; `tenbin`'s role (fast columnar batches)
+  * is Spark's own Arrow/Tungsten layer here.
+  */
+object Codecs {
+
+  /** Decoded image sample, aligned with Spark's image schema fields. */
+  final case class ImageData(
+      height: Int,
+      width: Int,
+      nChannels: Int,
+      mode: String,
+      data: Array[Byte])
+
+  sealed trait Decoded
+  object Decoded {
+    final case class Text(value: String) extends Decoded
+    final case class Num(value: Long) extends Decoded
+    final case class Json(value: String) extends Decoded
+    final case class Image(value: ImageData) extends Decoded
+    final case class Raw(value: Array[Byte]) extends Decoded
+  }
+  import Decoded._
+
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(b))
+    try in.readAllBytes() finally in.close()
+  }
+
+  def decodeImage(b: Array[Byte]): ImageData = {
+    val img = ImageIO.read(new ByteArrayInputStream(b))
+    require(img != null, "undecodable image")
+    val h = img.getHeight
+    val w = img.getWidth
+    val ch = img.getColorModel.getNumComponents
+    val mode = ch match {
+      case 1 => "L"
+      case 3 => "RGB"
+      case 4 => "RGBA"
+      case n => s"C$n"
+    }
+    // row-major interleaved bytes, matching the reference's numpy u8 layout
+    val out = new Array[Byte](h * w * ch)
+    val raster = img.getRaster
+    val px = new Array[Int](ch)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.getPixel(x, y, px)
+        var c = 0
+        while (c < ch) { out(i) = px(c).toByte; i += 1; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(h, w, ch, mode, out)
+  }
+
+  def encodeImage(img: ImageData, format: String = "png"): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val t = img.nChannels match {
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case 3 => BufferedImage.TYPE_3BYTE_BGR
+      case 4 => BufferedImage.TYPE_4BYTE_ABGR
+      case n => throw new IllegalArgumentException(s"channels $n")
+    }
+    val bi = new BufferedImage(img.width, img.height, t)
+    val px = new Array[Int](img.nChannels)
+    var i = 0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        var c = 0
+        while (c < img.nChannels) { px(c) = img.data(i) & 0xff; i += 1; c += 1 }
+        bi.getRaster.setPixel(x, y, px)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, format, bos)
+    bos.toByteArray
+  }
+
+  private val textExts = Set("txt", "text", "transcript", "html")
+  private val intExts = Set("cls", "cls2", "index", "inx", "id", "count")
+  private val jsonExts = Set("json", "jsn")
+  private val imageExts = Set("png", "jpg", "jpeg", "ppm", "pgm", "pbm", "bmp")
+
+  /** Decode one entry by its (possibly dotted) extension; the dispatch
+    * key is the LAST dot-component, after a `.gz` pre-pass — matching the
+    * reference's `Continue`-chaining gz handler. */
+  def decode(ext: String, bytes: Array[Byte]): Decoded = {
+    if (ext == "gz" || ext.endsWith(".gz")) {
+      val inner = if (ext == "gz") "" else ext.stripSuffix(".gz")
+      val last = inner.split("\\.").lastOption.getOrElse("")
+      return decode(last, gunzip(bytes))
+    }
+    val last = ext.split("\\.").lastOption.getOrElse("")
+    if (textExts(last)) Text(new String(bytes, UTF_8))
+    else if (intExts(last)) Num(new String(bytes, UTF_8).trim.toLong)
+    else if (jsonExts(last)) Json(new String(bytes, UTF_8))
+    else if (imageExts(last)) Image(decodeImage(bytes))
+    else Raw(bytes)
+  }
+
+  /** Encode mirror (`writer.py:135-233`): typed value → bytes by
+    * extension convention. */
+  def encode(ext: String, value: Any): Array[Byte] = {
+    val last = ext.split("\\.").lastOption.getOrElse("")
+    value match {
+      case b: Array[Byte] => b
+      case s: String => s.getBytes(UTF_8)
+      case i: Int => i.toString.getBytes(UTF_8)
+      case l: Long => l.toString.getBytes(UTF_8)
+      case img: ImageData if imageExts(last) =>
+        encodeImage(img, if (last == "jpg") "jpeg" else last)
+      case other =>
+        throw new IllegalArgumentException(
+          s"no encoder for ${other.getClass} at extension $ext")
+    }
+  }
+}

@@ -1,0 +1,245 @@
+package graft.wds
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.commons.compress.archivers.tar.{
+  TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
+
+import scala.collection.immutable.ListMap
+
+/** Pure-JVM tar shard scan/grouping/write — the kernel of the `wds`
+  * format. No Spark types here: one tar maps to one task's sequential
+  * read (tars are non-splittable), so everything is Iterator-shaped and
+  * order-preserving; Spark integration lives in [[WdsReader]]/[[WdsWriter]].
+  *
+  * Semantics mirror the reference:
+  *  - entry scan: `webdataset-private/webdataset/tariterators.py:95-143`
+  *    (skip non-regular files, `__meta__`-style names, `skip_meta` regex;
+  *    rename/select hooks — select runs AFTER rename, as there)
+  *  - adjacency grouping + interleave rule: `tariterators.py:184-246`
+  *  - tar write: `webdataset-private/webdataset/writer.py:236-359`
+  *    (sorted keys, `_`-meta skipped, fixed uname/gname/mode, optional
+  *    fixed mtime for reproducible bytes)
+  */
+object TarIO {
+
+  /** `skip_meta` default from the reference: `__[^/]*__($|/)` (prefix
+    * match). */
+  private val SkipMeta = "__[^/]*__($|/)".r
+
+  final case class ReadOptions(
+      /** fold `P-<i>.ext` entries following `P.json` into P's sample as
+        * key `"<i>.ext"` (the fork's interleave convention; on by
+        * default for parity — `tariterators.py:213-219`). */
+      interleave: Boolean = true,
+      lowercaseSuffix: Boolean = true,
+      /** keep only these suffixes (post-rename); None = all. */
+      suffixes: Option[Set[String]] = None,
+      /** entry-name predicate (pushdown analog of `select_files`). */
+      selectFiles: Option[String => Boolean] = None,
+      renameFiles: Option[String => String] = None,
+      handler: Handler = Handler.Reraise)
+
+  /** Scan raw tar entries: (name, bytes), order-preserving. Transparently
+    * gunzips `.tar.gz`/`.tgz` streams when `gzipped`. */
+  def entries(
+      in: InputStream,
+      url: String,
+      opts: ReadOptions = ReadOptions(),
+      gzipped: Boolean = false): Iterator[(String, Array[Byte])] = {
+    val base = new BufferedInputStream(in, 1 << 16)
+    val stream = new TarArchiveInputStream(
+      if (gzipped) new GZIPInputStream(base) else base)
+
+    new Iterator[(String, Array[Byte])] {
+      private var nextEntry: (String, Array[Byte]) = _
+      private var done = false
+
+      @annotation.tailrec
+      private def advance(): Unit = {
+        val e =
+          try stream.getNextEntry
+          catch {
+            case ex: Exception =>
+              // a corrupt header is not survivable mid-stream: treat as
+              // end-of-shard unless the policy says reraise
+              if (Handler.handle(opts.handler, s"tar scan $url", ex)) ()
+              null
+          }
+        if (e == null) { done = true; nextEntry = null }
+        else if (!e.isFile) advance()
+        else {
+          val name0 = e.getName
+          val isMeta = (!name0.contains("/") && name0.startsWith("__") &&
+            name0.endsWith("__")) ||
+            SkipMeta.findPrefixOf(name0).isDefined
+          if (name0 == null || isMeta) { skip(e); advance() }
+          else {
+            val name = opts.renameFiles.fold(name0)(f => f(name0))
+            if (opts.selectFiles.exists(p => !p(name))) { skip(e); advance() }
+            else {
+              val buf = new Array[Byte](e.getSize.toInt)
+              var off = 0
+              while (off < buf.length) {
+                val n = stream.read(buf, off, buf.length - off)
+                if (n < 0)
+                  throw new java.io.EOFException(s"truncated entry $name0 in $url")
+                off += n
+              }
+              nextEntry = (name, buf)
+            }
+          }
+        }
+      }
+
+      private def skip(e: TarArchiveEntry): Unit = ()
+
+      override def hasNext: Boolean = {
+        if (nextEntry == null && !done) advance()
+        nextEntry != null
+      }
+      override def next(): (String, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextEntry; nextEntry = null; r
+      }
+    }
+  }
+
+  /** Adjacency-grouping of a tar's entry stream into samples — order
+    * sensitive by design; never reimplement with groupBy (`SURVEY.md`
+    * §7.4.1). Duplicate suffix within a sample is an error routed to the
+    * handler (continue ⇒ skip that entry). */
+  def groupByKeys(
+      data: Iterator[(String, Array[Byte])],
+      url: String,
+      opts: ReadOptions = ReadOptions()): Iterator[Sample] = {
+    var currentKey: String = null
+    var currentEntries = ListMap.empty[String, Array[Byte]]
+    var interleaveId: String = null
+    var stopped = false
+
+    val grouped = new Iterator[Option[Sample]] {
+      override def hasNext: Boolean = !stopped && data.hasNext
+      override def next(): Option[Sample] = {
+        val (fname, value) = data.next()
+        try {
+          Sample.basePlusExt(fname) match {
+            case None => None // no-extension entry: ignored, as in reference
+            case Some((prefix0, suffix0)) =>
+              var prefix = prefix0
+              var suffix = suffix0
+              if (opts.interleave) {
+                if (suffix == "json") interleaveId = prefix
+                else if (interleaveId != null &&
+                  prefix.startsWith(interleaveId + "-")) {
+                  suffix = prefix.substring(interleaveId.length + 1) + "." + suffix
+                  prefix = interleaveId
+                }
+              }
+              if (opts.lowercaseSuffix) suffix = suffix.toLowerCase
+              val emitted =
+                if (currentKey == null || prefix != currentKey) {
+                  val out =
+                    if (currentKey != null)
+                      Some(Sample(currentKey, url, currentEntries))
+                    else None
+                  currentKey = prefix
+                  currentEntries = ListMap.empty
+                  out
+                } else None
+              if (currentEntries.contains(suffix))
+                throw new IllegalArgumentException(
+                  s"$fname: duplicate file name in tar file $suffix")
+              if (opts.suffixes.forall(_.contains(suffix)))
+                currentEntries = currentEntries.updated(suffix, value)
+              emitted
+          }
+        } catch {
+          case e: Exception =>
+            if (!Handler.handle(opts.handler, s"group $url", e)) stopped = true
+            None
+        }
+      }
+    }
+
+    val tail = new Iterator[Option[Sample]] {
+      private var emitted = false
+      override def hasNext: Boolean = !emitted && currentKey != null
+      override def next(): Option[Sample] = {
+        emitted = true
+        Some(Sample(currentKey, url, currentEntries))
+      }
+    }
+
+    (grouped ++ tail).flatten
+  }
+
+  /** One-call read: tar stream → grouped samples. */
+  def readSamples(
+      in: InputStream,
+      url: String,
+      opts: ReadOptions = ReadOptions()): Iterator[Sample] = {
+    val gz = url.endsWith(".gz") || url.endsWith(".tgz")
+    groupByKeys(entries(in, url, opts, gzipped = gz), url, opts)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  final case class WriteOptions(
+      user: String = "bigdata",
+      group: String = "bigdata",
+      mode: Int = 0x124, // 0o444
+      /** fixed mtime (seconds) for byte-reproducible shards; None = now. */
+      mtime: Option[Long] = Some(0L),
+      keepMeta: Boolean = false,
+      gzip: Boolean = false)
+
+  /** Streaming tar writer with the reference TarWriter's layout: entry
+    * name = `<key>.<suffix>`, suffixes written in sorted order, `_`-meta
+    * keys skipped. Returns bytes written per sample via the callback. */
+  final class TarWriter(
+      out: OutputStream,
+      opts: WriteOptions = WriteOptions()) extends AutoCloseable {
+    private val raw = new BufferedOutputStream(out, 1 << 16)
+    private val stream = new TarArchiveOutputStream(
+      if (opts.gzip) new GZIPOutputStream(raw) else raw)
+    stream.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+
+    private var bytes = 0L
+    private var count = 0L
+    def bytesWritten: Long = bytes
+    def samplesWritten: Long = count
+
+    def write(key: String, entriesMap: Map[String, Array[Byte]]): Long = {
+      require(key != null && key.nonEmpty, "sample must have a key")
+      var total = 0L
+      entriesMap.keys.toSeq.sorted.foreach { suffix =>
+        if (opts.keepMeta || !suffix.startsWith("_")) {
+          val data = entriesMap(suffix)
+          val e = new TarArchiveEntry(s"$key.$suffix")
+          e.setSize(data.length.toLong)
+          e.setMode(opts.mode)
+          e.setUserName(opts.user)
+          e.setGroupName(opts.group)
+          e.setModTime(opts.mtime.getOrElse(System.currentTimeMillis() / 1000) * 1000)
+          stream.putArchiveEntry(e)
+          stream.write(data)
+          stream.closeArchiveEntry()
+          total += data.length
+        }
+      }
+      bytes += total
+      count += 1
+      total
+    }
+
+    def write(s: Sample): Long = write(s.key, s.entries)
+
+    override def close(): Unit = stream.close()
+  }
+
+  /** Encode a string entry as UTF-8 bytes (writer convenience). */
+  def utf8(s: String): Array[Byte] = s.getBytes(UTF_8)
+}

@@ -1,0 +1,86 @@
+package graft.wds
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+
+/** Spark read path for WebDataset tar shards.
+  *
+  * Design (SURVEY.md §4.2): a tar must be read sequentially, so the unit
+  * of parallelism is the shard — exactly the reference's process-per-tar
+  * model (`pack/pack.py:293`), but scheduled by Spark. The shard list is
+  * parallelized one-shard-per-partition; each task streams its tar
+  * through Hadoop FS (works for file:, hdfs:, s3a: URIs without
+  * materializing the archive) and emits grouped samples.
+  *
+  * `select_files`/`suffixes` act as entry-level pushdown: filtered
+  * entries are skipped during the scan, before any grouping — the tar
+  * analog of parquet column pruning.
+  */
+object WdsReader {
+
+  /** Read shards from a spec (brace/env/`::` expansion included). */
+  def read(
+      spark: SparkSession,
+      spec: String): Dataset[Sample] =
+    readUrls(spark, ShardList.expand(spec), TarIO.ReadOptions())
+
+  def read(
+      spark: SparkSession,
+      spec: String,
+      opts: TarIO.ReadOptions): Dataset[Sample] =
+    readUrls(spark, ShardList.expand(spec), opts)
+
+  def readUrls(
+      spark: SparkSession,
+      urls: Seq[String],
+      opts: TarIO.ReadOptions = TarIO.ReadOptions()): Dataset[Sample] = {
+    implicit val enc = Encoders.product[Sample]
+    implicit val strEnc = Encoders.STRING
+    require(urls.nonEmpty, "empty shard list")
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(conf)
+    // one shard per partition: tars are non-splittable and the scan is
+    // sequential; at cluster scale the scheduler packs shards onto
+    // executors — same granularity as the reference fleet
+    spark.createDataset(urls)
+      .repartition(urls.size)
+      .mapPartitions { it =>
+        it.flatMap { url =>
+          // open errors route through the handler policy, like the
+          // reference's url_opener (`tariterators.py:66-94`): continue ⇒
+          // skip the shard, stop ⇒ end this task's stream
+          try {
+            val path = new Path(url)
+            val fs = path.getFileSystem(bc.value.value)
+            val in = fs.open(path)
+            TarIO.readSamples(in, url, opts)
+          } catch {
+            case e: Exception
+                if Handler.handle(opts.handler, s"open $url", e) || true =>
+              Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** DataFrame view (key, url, entries) for relational-style use. */
+  def readDF(spark: SparkSession, spec: String,
+      opts: TarIO.ReadOptions = TarIO.ReadOptions()): DataFrame =
+    read(spark, spec, opts).toDF()
+}
+
+/** Minimal serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is spark-private API). */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.wds
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.wds.SampleOps._
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** Distributed wds surface: writer→reader round-trip through real files,
+  * shard rolling, and the operator vocabulary on Dataset[Sample]. */
+class WdsSparkSpec extends SparkSpec {
+
+  private implicit lazy val enc: org.apache.spark.sql.Encoder[Sample] =
+    Encoders.product[Sample]
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  private def mkSamples(n: Int): Seq[Sample] =
+    (0 until n).map { i =>
+      Sample(f"$i%09d", "mem",
+        Map("cls" -> bytes((i % 10).toString), "txt" -> bytes(s"doc $i")))
+    }
+
+  test("WdsWriter→WdsReader round-trip preserves samples and rolls shards") {
+    val dir = Files.createTempDirectory("wds").toString
+    val in = mkSamples(100)
+    val ds = spark.createDataset(in).repartition(2)
+    val info = WdsWriter.write(ds, dir,
+      WdsWriter.WriterOptions(maxCount = 20))
+    val shards = info.collect()
+    // 100 samples / 2 partitions / 20 per shard = ~5 shards (>= 5 if
+    // partitions uneven)
+    assert(shards.map(_.getAs[Long]("nsamples")).sum == 100)
+    assert(shards.forall(_.getAs[Long]("nsamples") <= 20))
+    assert(shards.length >= 5)
+
+    // brace-expanded spec over-lists shards; missing ones are skipped
+    // under IgnoreContinue (url_opener handler semantics)
+    val back = WdsReader.read(spark,
+      s"$dir/shard-{00000..00001}-{000000..000009}.tar",
+      TarIO.ReadOptions(handler = Handler.IgnoreContinue))
+    val out = back.collect().sortBy(_.key)
+    assert(out.length == 100)
+    assert(out.map(_.key).toSeq == in.map(_.key).sorted)
+    val s0 = out.head
+    assert(s0.utf8("txt").contains("doc 0"))
+  }
+
+  test("toTuple coalesces alternatives; missing field raises") {
+    val ds = spark.createDataset(Seq(
+      Sample("a", "u", Map("jpg" -> bytes("J"), "json" -> bytes("{}"))),
+      Sample("b", "u", Map("png" -> bytes("P"), "json" -> bytes("{}")))))
+    val got = ds.toTuple("jpg;png", "json").collect()
+    assert(got.map(r => new String(r.getAs[Array[Byte]]("jpg"), UTF_8))
+      .sorted.toSeq == Seq("J", "P"))
+    val bad = spark.createDataset(Seq(
+      Sample("c", "u", Map("json" -> bytes("{}")))))
+    assertThrows[Exception](bad.toTuple("jpg;png").collect())
+  }
+
+  test("toDict keeps matching suffixes only") {
+    val ds = spark.createDataset(mkSamples(5))
+    val kept = ds.toDict("cls").collect()
+    assert(kept.forall(_.entries.keySet == Set("cls")))
+  }
+
+  test("renameKeys with glob patterns, mustMatch, duplicate detection") {
+    val ds = spark.createDataset(Seq(
+      Sample("a", "u", Map("input.jpg" -> bytes("1"), "meta.json" -> bytes("{}")))))
+    val out = ds.renameKeys(Seq("image" -> "*.jpg", "meta" -> "*.json"))
+      .collect().head
+    assert(out.entries.keySet == Set("image", "meta"))
+    assertThrows[org.apache.spark.SparkException](
+      ds.renameKeys(Seq("nope" -> "*.txt")).collect())
+  }
+
+  test("associate joins broadcast metadata by key") {
+    val ds = spark.createDataset(mkSamples(4))
+    import spark.implicits._
+    val lookup = Seq(("000000000", "cat"), ("000000001", "dog"))
+      .toDF("key", "label")
+    val out = ds.associate(lookup).orderBy("key").collect()
+    assert(out.length == 4)
+    assert(out.head.getAs[String]("label") == "cat")
+    assert(out(2).getAs[String]("label") == null)
+  }
+
+  test("shuffled is a seed-deterministic permutation") {
+    val ds = spark.createDataset(mkSamples(50))
+    val a = ds.shuffled(7L).collect().map(_.key).toSeq
+    val b = ds.shuffled(7L).collect().map(_.key).toSeq
+    val c = ds.shuffled(8L).collect().map(_.key).toSeq
+    assert(a == b)
+    assert(a != c)
+    assert(a.sorted == mkSamples(50).map(_.key).sorted)
+  }
+
+  test("rsample keeps a seed-stable subset; slice limits") {
+    val ds = spark.createDataset(mkSamples(100))
+    val n1 = ds.rsample(0.3).count()
+    val n2 = ds.rsample(0.3).count()
+    assert(n1 == n2)
+    assert(n1 > 5 && n1 < 60)
+    assert(ds.slice(7).count() == 7)
+  }
+
+  test("mixWith unions sources; roundRobin interleaves deterministically") {
+    val a = spark.createDataset(mkSamples(10))
+    val b = spark.createDataset((0 until 10).map(i =>
+      Sample(f"B$i%08d", "u2", Map("txt" -> bytes(s"b $i")))))
+    val mixed = a.mixWith(Seq((b, 1.0)), seed = 3L).collect()
+    assert(mixed.length == 20)
+    val rr = a.roundRobinWith(b).collect().map(_.key).toSeq
+    assert(rr.length == 20)
+    // positions alternate source A (digits) and source B
+    assert(rr.take(2).count(_.startsWith("B")) == 1)
+  }
+
+  test("validSamples drops empty-entry samples") {
+    val ds = spark.createDataset(Seq(
+      Sample("a", "u", Map("txt" -> bytes("x"))),
+      Sample("b", "u", Map.empty)))
+    assert(ds.validSamples.collect().map(_.key).toSeq == Seq("a"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.index
+
+import graft.wds.Sample
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** E3 — the index/check stage (`index/check_pair.py`): scan tokenized
+  * shards, assert structural invariants, emit the `{url, nsamples}` shard
+  * index and a human-inspection sample.
+  *
+  * The invariants are expressed as DataFrame predicates over the parsed
+  * json column — fully declarative, so at 100 TB this is a single
+  * codegen'd scan + one tiny groupBy(url) hash aggregation (A1/A2).
+  */
+object CheckStage {
+
+  /** Tokenized-shard json schema (FIXTURES.md A3). */
+  val PackedJsonSchema: StructType = StructType(Seq(
+    StructField("image", ArrayType(StringType)),
+    StructField("input_ids", ArrayType(IntegerType)),
+    StructField("loss_mask", ArrayType(IntegerType)),
+    StructField("text", ArrayType(StringType))))
+
+  val ImPatchId = 32000
+  val ImStartId = 32001
+  val ImEndId = 32002
+  val PatchesPerImage = 256
+  val MaxTokens = 8000
+
+  /** Parse + flag each sample with its invariant violations
+    * (`check_pair.py:37-40`). */
+  def checked(shards: Dataset[Sample]): DataFrame = {
+    val df = shards.toDF()
+      .withColumn("j", from_json(
+        decode(col("entries").getItem("json"), "UTF-8"), PackedJsonSchema))
+    def countId(id: Int) =
+      size(filter(col("j.input_ids"), x => x === id))
+    df.select(
+      col("key"), col("url"),
+      size(col("j.input_ids")).as("n_tokens"),
+      size(col("j.image")).as("n_images"),
+      (size(col("j.input_ids")) =!= size(col("j.loss_mask")))
+        .as("bad_mask_len"),
+      (size(col("j.input_ids")) >= MaxTokens).as("bad_token_len"),
+      (countId(ImStartId) =!= countId(ImEndId)).as("bad_start_end"),
+      (countId(ImPatchId) =!= size(col("j.image")) * PatchesPerImage)
+        .as("bad_patch_count"))
+  }
+
+  /** Shard index `{url, nsamples}` (`check_pair.py:46`); throws if any
+    * invariant fails — the stage IS the correctness gate. */
+  def index(shards: Dataset[Sample], strict: Boolean = true): DataFrame = {
+    val c = checked(shards).cache()
+    if (strict) {
+      val bad = c.filter(
+        col("bad_mask_len") || col("bad_token_len") ||
+          col("bad_start_end") || col("bad_patch_count"))
+      val n = bad.count()
+      require(n == 0, s"$n samples violate tokenized-shard invariants")
+    }
+    c.groupBy(col("url")).agg(count(lit(1)).as("nsamples"))
+      .orderBy(col("url"))
+  }
+
+  /** 1 % human-inspection dump (`check_pair.py:16-26,41-42`): ground
+    * truth text next to the loss-masked token stream. */
+  def inspectionSample(shards: Dataset[Sample], frac: Double = 0.01,
+      seed: Long = 42L): DataFrame = {
+    val df = shards.toDF()
+      .withColumn("j", from_json(
+        decode(col("entries").getItem("json"), "UTF-8"), PackedJsonSchema))
+    df.sample(withReplacement = false, frac, seed)
+      .select(col("key"), col("url"),
+        concat_ws(" ", col("j.text")).as("gt_text"),
+        col("j.input_ids").as("input_ids"),
+        filter(arrays_zip(col("j.input_ids"), col("j.loss_mask")),
+          s => s.getField("loss_mask") === 1)
+          .getField("input_ids").as("loss_tokens"))
+  }
+}

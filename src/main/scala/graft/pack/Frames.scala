@@ -1,0 +1,131 @@
+package graft.pack
+
+/** Pure frame-index math from the pack stage — fully testable without any
+  * video decoder (SURVEY.md §2.5 W1-W3, §2.3 J2, §2.7 F6). Video byte
+  * decode itself is pluggable ([[FrameSource]]); these functions define
+  * WHICH frames a sampler selects.
+  */
+object Frames {
+
+  /** `uniform_sample(lst, n)` (`pack/tools.py:142-153`): ≈evenly spaced
+    * subsample stepping by int((len-1)/(n-1)), truncating at n. */
+  def uniformSample[T](lst: IndexedSeq[T], numSamples: Int): IndexedSeq[T] = {
+    val length = lst.length
+    if (length <= numSamples) lst
+    else {
+      val interval = (length - 1).toDouble / (numSamples - 1)
+      val step = interval.toInt.max(1)
+      val out = IndexedSeq.newBuilder[T]
+      var i = 0
+      var n = 0
+      while (i < length && n < numSamples) {
+        out += lst(i)
+        n += 1
+        i += step
+      }
+      out.result()
+    }
+  }
+
+  /** `videoItem.get_index` (`pack/dataset.py:82-100`): center-of-segment
+    * frame indices `int(start + seg/2 + round(seg*i))` over numSegments
+    * segments, bounded by [round(start·fps) max firstIdx, round(end·fps)
+    * min maxFrame]. round = half-even (numpy/py3 semantics). */
+  def segmentCenters(
+      numSegments: Int,
+      fps: Double,
+      maxFrame: Int,
+      bound: Option[(Double, Double)] = None,
+      firstIdx: Int = 0): IndexedSeq[Int] = {
+    val (start, end) = bound.getOrElse((-100000.0, 100000.0))
+    val startIdx = math.max(firstIdx.toDouble, math.rint(start * fps))
+    val endIdx = math.min(math.rint(end * fps), maxFrame.toDouble)
+    val segSize = (endIdx - startIdx) / numSegments
+    (0 until numSegments).map { i =>
+      (startIdx + segSize / 2 + math.rint(segSize * i)).toInt
+    }
+  }
+
+  /** `extract_frames` stride selection (`pack/tools.py:45-91`): which
+    * frame counters are sampled for a video of `totalFrames` at `fps`
+    * with the fixed interval=13 policy — first frame, every `frameStep`,
+    * and the last frame. */
+  def strideIndices(totalFrames: Int, fps: Int, interval: Int = 13): IndexedSeq[Int] = {
+    val frameStep =
+      if (totalFrames < (interval - 1) * fps) fps.max(1)
+      else ((totalFrames - 1) / (interval - 2)).max(1)
+    (0 until totalFrames).filter { f =>
+      (f % frameStep == 0 && f != totalFrames) || f == 0 || f == totalFrames - 1
+    }.take(interval + 1).toIndexedSeq
+  }
+
+  /** `get_relative_timestamp` (`pack/dataset.py:114-116`): scale an
+    * absolute timestamp into [0, timeScale], rounded to 0.1. */
+  def relativeTimestamp(
+      absTs: Double,
+      duration: Double,
+      timeScale: Int = 1000): Double = {
+    val v = absTs / duration * timeScale
+    math.rint(v * 10) / 10
+  }
+
+  /** Keyframe timestamp scaling (`pack/samplers.py:143`):
+    * `int(i/(total-1) * timeScale)`. */
+  def scaleIndex(idx: Int, totalFrames: Int, timeScale: Int = 1000): Int =
+    (idx.toDouble / (totalFrames - 1) * timeScale).toInt
+
+  /** `combineKeyFrames` (`pack/tools.py:155-197`): sort-merge two
+    * index-ordered frame streams; ties prefer the P side (strict `<`
+    * comparison in the reference). Returns (payloads, indices, types). */
+  def combineKeyFrames[T](
+      iFrames: Seq[T], iIndices: Seq[Int],
+      pFrames: Seq[T], pIndices: Seq[Int]): (Seq[T], Seq[Int], Seq[String]) = {
+    val frames = Seq.newBuilder[T]
+    val indices = Seq.newBuilder[Int]
+    val types = Seq.newBuilder[String]
+    var i = 0
+    var p = 0
+    while (i < iIndices.length && p < pIndices.length) {
+      if (iIndices(i) < pIndices(p)) {
+        frames += iFrames(i); indices += iIndices(i); types += "I"; i += 1
+      } else {
+        frames += pFrames(p); indices += pIndices(p); types += "P"; p += 1
+      }
+    }
+    while (i < iIndices.length) {
+      frames += iFrames(i); indices += iIndices(i); types += "I"; i += 1
+    }
+    while (p < pIndices.length) {
+      frames += pFrames(p); indices += pIndices(p); types += "P"; p += 1
+    }
+    (frames.result(), indices.result(), types.result())
+  }
+}
+
+/** Pluggable video→frames decoder seam (the reference uses decord /
+  * ffmpeg subprocesses, `pack/dataset.py:102-108`, `pack/tools.py:101-140`
+  * — no JVM parity exists, so production wires JavaCV/ffprobe here and
+  * tests use [[FrameSource.Synthetic]]). */
+trait FrameSource extends Serializable {
+  /** decode frame at `index` of the video payload as encoded image bytes. */
+  def frame(video: Array[Byte], index: Int): Array[Byte]
+  def frameCount(video: Array[Byte]): Int
+  def fps(video: Array[Byte]): Double
+}
+
+object FrameSource {
+  /** Deterministic synthetic frames: 1×1 PNGs whose pixel encodes the
+    * frame index — realistic plumbing (real PNG bytes through the whole
+    * pack/tokenize path) with zero native deps. */
+  object Synthetic extends FrameSource {
+    def frame(video: Array[Byte], index: Int): Array[Byte] = {
+      val img = graft.wds.Codecs.ImageData(1, 1, 3, "RGB",
+        Array((index & 0xff).toByte, ((index >> 8) & 0xff).toByte,
+          (video.length & 0xff).toByte))
+      graft.wds.Codecs.encodeImage(img, "png")
+    }
+    def frameCount(video: Array[Byte]): Int =
+      100 + (math.abs(java.util.Arrays.hashCode(video)) % 100)
+    def fps(video: Array[Byte]): Double = 25.0
+  }
+}

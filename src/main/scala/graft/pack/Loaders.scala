@@ -1,0 +1,93 @@
+package graft.pack
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S15 — corpus metadata loader normalizers
+  * (`pack/dataset_loader.py:52-218`): each heterogeneous metadata format
+  * becomes the canonical `(video_path STRING, value STRING)` frame the
+  * pack stage consumes. Driver-side python loops in the reference (ijson
+  * streaming over 932k records, pandas read_json) become distributed
+  * `spark.read.json` scans — the 100 TB path needs no special casing.
+  */
+object Loaders {
+
+  /** webvid/cambrain-style: one json object of parallel index-keyed maps
+    * `{"image": {"0": path...}, "value": {"0": caption...}}`
+    * (`dataset_loader.py:52-78`). Path prefix prepended, as
+    * `get_prefix` does. */
+  def loadCaptionMap(
+      spark: SparkSession, path: String, prefix: String = ""): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("image", MapType(StringType, StringType)),
+      StructField("value", MapType(StringType, StringType))))
+    spark.read.option("wholetext", true).text(path)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(explode(col("j.image")).as(Seq("k", "rel")),
+        col("j.value").as("values"))
+      .select(concat(lit(prefix), col("rel")).as("video_path"),
+        element_at(col("values"), col("k")).as("value"))
+  }
+
+  /** ego4d/hd3m-style: json array of `{video_path|video, caption}`
+    * (`dataset_loader.py:80-90,118-129`). */
+  def loadCaptionArray(spark: SparkSession, path: String,
+      prefix: String = ""): DataFrame = {
+    val df = spark.read.option("multiLine", true).json(path)
+    val pathCol =
+      if (df.columns.contains("video_path")) col("video_path")
+      else col("video")
+    df.select(concat(lit(prefix), pathCol).as("video_path"),
+      col("caption").as("value"))
+  }
+
+  /** internvid-style jsonl: `YoutubeID, Start_timestamp, End_timestamp,
+    * Caption` (`dataset_loader.py:149-166`). */
+  def loadJsonl(spark: SparkSession, path: String,
+      prefix: String = ""): DataFrame =
+    spark.read.json(path)
+      .select(concat(lit(prefix), col("YoutubeID")).as("video_path"),
+        col("Caption").as("value"))
+
+  /** how2link-style: array of records with nested `clips` arrays —
+    * `explode` replaces the reference's streaming-ijson driver loop
+    * (`dataset_loader.py:131-147`). */
+  def loadClips(spark: SparkSession, path: String,
+      prefix: String = ""): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(explode(col("clips")).as("c"))
+      .select(concat(lit(prefix), col("c.clip_path")).as("video_path"),
+        col("c.caption").as("value"))
+
+  /** sft/llava/videochat2-style: `{image|video, conversations:[{from,
+    * value}]}` — conversations carried as canonical JSON text
+    * (`dataset_loader.py:168-218`). */
+  def loadConversations(spark: SparkSession, path: String,
+      prefix: String = ""): DataFrame = {
+    val df = spark.read.option("multiLine", true).json(path)
+    val pathCol =
+      if (df.columns.contains("video")) col("video") else col("image")
+    df.select(concat(lit(prefix), pathCol).as("video_path"),
+      to_json(col("conversations")).as("value"))
+  }
+
+  /** unicontrol-style jsonl: `{source, control_*, prompt}` → two-path
+    * rows (`dataset_loader.py:92-116`). */
+  def loadUnicontrol(spark: SparkSession, path: String,
+      sourcePrefix: String = "", targetPrefix: String = ""): DataFrame = {
+    val df = spark.read.json(path)
+    val controlCol = df.columns.find(_.startsWith("control_"))
+      .getOrElse(throw new IllegalArgumentException("no control_* column"))
+    df.select(
+      concat(lit(sourcePrefix), col("source")).as("video_path"),
+      concat(lit(targetPrefix), col(controlCol)).as("target_path"),
+      col("prompt").as("value"))
+  }
+
+  /** hf-dataset-style parquet with column pruning
+    * (`dataset_loader.py:38-48`). */
+  def loadParquet(spark: SparkSession, path: String,
+      columns: Seq[String]): DataFrame =
+    spark.read.parquet(path).select(columns.map(col): _*)
+}

@@ -1,0 +1,225 @@
+package graft.tokenize
+
+import graft.pack.Conversations
+import graft.pack.Conversations.Turn
+import graft.wds.{Codecs, Sample, TarIO, WdsWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** E2 — the tokenize stage (`tokenize/main.py:149-217`): pack shards →
+  * tokenized, greedily ≤8000-token-packed shards.
+  *
+  * The packer is an order-sensitive sequential fold (A5) — the one
+  * operator in the reference that must NOT be a hash aggregation. Spark
+  * mapping (SURVEY.md §4.2.3): one merge group (= `shard_size` input
+  * tars) is one partition; the fold runs in `mapPartitions` over the
+  * partition's file-ordered sample stream. At 100 TB parallelism comes
+  * from the number of merge groups, never from splitting inside one —
+  * identical to the reference's process-per-group model.
+  */
+object TokenizeStage {
+
+  val MaxTokens = 8000 // `tokenize/main.py:186,193`
+  val MaxImageDim = 1280 // `tokenize/main.py:197-199`
+
+  /** One tokenized (not yet merged) document. */
+  final case class TokDoc(
+      key: String,
+      imageNames: Seq[String],
+      images: Seq[Array[Byte]],
+      inputIds: Seq[Int],
+      lossMask: Seq[Int],
+      text: String)
+
+  /** A merged ≤8k pack (K5 `save_to_tar` result, pre-serialization). */
+  final case class Packed(
+      key: String,
+      image: Seq[String],
+      images: Seq[Array[Byte]],
+      inputIds: Seq[Int],
+      lossMask: Seq[Int],
+      text: Seq[String])
+
+  /** K5 merge (`tokenize/main.py:73-85`): first doc is the base; trailing
+    * docs contribute ids/mask minus their BOS; images renumbered 0..n. */
+  def merge(key: String, docs: Seq[TokDoc]): Packed = {
+    require(docs.nonEmpty)
+    val ids = docs.head.inputIds ++ docs.tail.flatMap(_.inputIds.drop(1))
+    val mask = docs.head.lossMask ++ docs.tail.flatMap(_.lossMask.drop(1))
+    val images = docs.flatMap(_.images)
+    Packed(key, images.indices.map(_.toString), images, ids, mask,
+      docs.map(_.text))
+  }
+
+  /** A5 — the greedy packer fold, exact reference semantics:
+    *  - flush when cached + incoming > 8000 (flushed pack takes the
+    *    INCOMING sample's key — `cached_key` is set before the check)
+    *  - docs with ≥ 8000 tokens alone are skipped (never cached)
+    *  - the final partial buffer is deliberately dropped (duplicate-key
+    *    avoidance, `main.py:212-215`)
+    */
+  def greedyPack(docs: Iterator[TokDoc], maxTokens: Int = MaxTokens):
+      Iterator[Packed] = new Iterator[Packed] {
+    private var buffer = Vector.empty[TokDoc]
+    private var bufLen = 0
+    private var pending: Packed = _
+
+    @annotation.tailrec
+    private def advance(): Unit = {
+      if (!docs.hasNext) { pending = null }
+      else {
+        val doc = docs.next()
+        var out: Packed = null
+        if (bufLen + doc.inputIds.length > maxTokens && buffer.nonEmpty) {
+          out = merge(doc.key, buffer)
+          buffer = Vector.empty
+          bufLen = 0
+        }
+        if (doc.inputIds.length < maxTokens) {
+          buffer :+= doc
+          bufLen += doc.inputIds.length
+        }
+        if (out != null) pending = out else advance()
+      }
+    }
+
+    override def hasNext: Boolean = {
+      if (pending == null) advance()
+      pending != null
+    }
+    override def next(): Packed = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
+  }
+
+  // ------------------------------------------------------------ stage glue
+
+  private val jsonSchema = "json"
+
+  /** Parse a pack-shard sample into (prompt, txt, imageNameList) +
+    * resolve image bytes via the interleave entry names
+    * (`main.py:193-200`: entry key = last '-'-component + ".jpg"). */
+  def parsePackSample(s: Sample): Option[(Seq[Turn], Seq[String], Seq[Array[Byte]])] = {
+    implicit val fmts: Formats = DefaultFormats
+    s.utf8(jsonSchema).flatMap { raw =>
+      val j = JsonMethods.parse(raw)
+      val names = (j \ "image_name_list").extractOpt[Seq[String]].getOrElse(Nil)
+      val prompt = (j \ "prompt").extractOpt[String]
+      val txt = (j \ "txt").extractOpt[String]
+      val convs = (j \ "conversations").extractOpt[Seq[Map[String, String]]]
+      val turns: Option[Seq[Turn]] = (prompt, txt) match {
+        case (Some(p), Some(t)) =>
+          Some(Conversations.conversate(p, t, "un"))
+        case _ => convs.map(_.map(m =>
+          Turn(m.getOrElse("from", ""), m.getOrElse("value", ""))))
+          .map(Conversations.conversateMulti)
+      }
+      turns.map { ts =>
+        val imgs = names.flatMap { n =>
+          s.entries.get(n.split("-").last + ".jpg")
+        }
+        (ts, names, imgs)
+      }
+    }
+  }
+
+  /** P14 validation (`main.py:170-179`): sentinel count in the first
+    * human turn must equal the image count. */
+  def countsMatch(turns: Seq[Turn], imageNames: Seq[String]): Boolean =
+    turns.headOption.exists(t =>
+      Conversations.specialCount(t.value) == imageNames.length)
+
+  /** F11 resize: images over 1280px are resized to exactly 1280×1280
+    * (aspect-destroying, faithful to `main.py:197-199`). */
+  def resizeIfNeeded(imageBytes: Array[Byte]): Array[Byte] = {
+    val img = Codecs.decodeImage(imageBytes)
+    if (math.max(img.height, img.width) <= MaxImageDim) imageBytes
+    else {
+      // nearest-neighbor resample to 1280×1280
+      val (h, w) = (MaxImageDim, MaxImageDim)
+      val out = new Array[Byte](h * w * img.nChannels)
+      var y = 0
+      while (y < h) {
+        val sy = y * img.height / h
+        var x = 0
+        while (x < w) {
+          val sx = x * img.width / w
+          var c = 0
+          while (c < img.nChannels) {
+            out((y * w + x) * img.nChannels + c) =
+              img.data((sy * img.width + sx) * img.nChannels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Codecs.encodeImage(
+        Codecs.ImageData(h, w, img.nChannels, img.mode, out), "png")
+    }
+  }
+
+  /** Serialize a Packed to the tokenized-shard sample group:
+    * `<key>.json` + `<key>-<i>.jpg` (`main.py:73-85`). */
+  def toSampleGroup(p: Packed, url: String = ""): Sample = {
+    val json: JValue =
+      ("image" -> p.image) ~
+        ("input_ids" -> p.inputIds) ~
+        ("loss_mask" -> p.lossMask) ~
+        ("text" -> p.text)
+    val frameEntries = p.images.zipWithIndex.map { case (b, i) =>
+      s"$i.jpg" -> b
+    }.toMap
+    Sample(p.key, url,
+      frameEntries + ("json" -> TarIO.utf8(
+        JsonMethods.compact(JsonMethods.render(json)))))
+  }
+
+  /** Physical write order for a packed sample (json first, then frames —
+    * the interleave layout E3 reads back). */
+  def flattenForWrite(s: Sample): Seq[Sample] = {
+    val (frames, rest) = s.entries.partition(_._1.endsWith(".jpg"))
+    Sample(s.key, s.url, rest) +: frames.toSeq
+      .sortBy(_._1.stripSuffix(".jpg").toInt)
+      .map { case (k, v) =>
+        Sample(s"${s.key}-${k.stripSuffix(".jpg")}", s.url,
+          Map("jpg" -> v))
+      }
+  }
+
+  /** Run E2 over a pack-shard Dataset: validate → tokenize → greedy-pack
+    * per partition (partition = merge group) → tokenized shards.
+    * Keys are `<partitionId>-<localIdx>` mirroring `{tar_idx}-{file_idx}`.
+    */
+  def run(
+      packShards: Dataset[Sample],
+      outDir: String,
+      tokenizer: SpecialTokenTokenizer = Tokenizers.testTokenizer()):
+      DataFrame = {
+    implicit val enc = Encoders.product[Sample]
+    val packed = packShards.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var fileIdx = -1
+      val docs = it.flatMap { s =>
+        parsePackSample(s).flatMap { case (turns, names, imgs) =>
+          fileIdx += 1
+          if (!countsMatch(turns, names)) None
+          else {
+            val (ids, mask, text) =
+              Tokenizers.tokenizeConversation(turns, tokenizer)
+            Some(TokDoc(s"$pid-$fileIdx", names,
+              imgs.map(resizeIfNeeded), ids, mask, text))
+          }
+        }
+      }
+      greedyPack(docs).map(toSampleGroup(_))
+    }
+    WdsWriter.write(packed, outDir,
+      WdsWriter.WriterOptions(
+        pattern = (p, i) => f"shard_$p%d-$i%06d.tar",
+        explode = flattenForWrite))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.tokenize
+
+import graft.pack.Conversations
+import graft.pack.Conversations.Turn
+
+/** Tokenizer seam (F15/F16). The reference binds a multimodal LLaMA-2
+  * SentencePiece model (`tokenize/tokenizer.py:651-686`); its
+  * *algorithmic* content — the greedy special-token interleave scan and
+  * the conversation framing — is engine logic and lives here, while the
+  * subword model itself is pluggable (JVM SentencePiece in production, a
+  * deterministic word-hash model in tests — `SURVEY.md` §7.4.6).
+  */
+trait SubwordModel extends Serializable {
+  /** encode plain text (no special tokens) to ids. */
+  def encode(text: String): IndexedSeq[Int]
+}
+
+/** Deterministic test-double subword model: whitespace words hashed into
+  * [100, 31900). Stable across JVMs (uses our own FNV hash, not
+  * String.hashCode which is stable anyway but explicit is better). */
+final class WordHashModel extends SubwordModel {
+  private def fnv(s: String): Int = {
+    var h = 0x811c9dc5
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x01000193; i += 1 }
+    h
+  }
+  def encode(text: String): IndexedSeq[Int] =
+    text.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+      .map(w => 100 + math.floorMod(fnv(w), 31800))
+}
+
+/** Special-token-aware tokenizer: scans for the earliest special token,
+  * encodes the plain segments with the subword model, and emits the
+  * special token's fixed id — the reference's `tokenize` loop
+  * (`tokenize/tokenizer.py:651-686`). */
+final class SpecialTokenTokenizer(
+    model: SubwordModel,
+    val specialTokens: Map[String, Int]) extends Serializable {
+
+  def tokenize(text: String): IndexedSeq[Int] = {
+    val out = IndexedSeq.newBuilder[Int]
+    var rest = text
+    while (rest.nonEmpty) {
+      // earliest special-token occurrence wins
+      val hits = specialTokens.iterator
+        .map { case (tok, id) => (rest.indexOf(tok), tok, id) }
+        .filter(_._1 >= 0)
+        .toSeq
+      if (hits.isEmpty) {
+        out ++= model.encode(rest)
+        rest = ""
+      } else {
+        val (pos, tok, id) = hits.minBy(h => (h._1, -h._2.length))
+        if (pos > 0) out ++= model.encode(rest.substring(0, pos))
+        out += id
+        rest = rest.substring(pos + tok.length)
+      }
+    }
+    out.result()
+  }
+}
+
+object Tokenizers {
+  /** Multimodal special-token vocabulary with the ids the check stage
+    * asserts on (`index/check_pair.py:37-40`). */
+  val MultimodalSpecials: Map[String, Int] = Map(
+    Conversations.ImPatchToken -> 32000,
+    Conversations.ImStartToken -> 32001,
+    Conversations.ImEndToken -> 32002,
+    Conversations.EosToken -> 2,
+    Conversations.BosToken -> 1)
+
+  def testTokenizer(): SpecialTokenTokenizer =
+    new SpecialTokenTokenizer(new WordHashModel, MultimodalSpecials)
+
+  /** F16 `tokenize_conversation` (`tokenize/main.py:132-147`): BOS id
+    * [1] + per-turn ids (gpt turns get EOS appended pre-tokenize);
+    * loss_mask 0 for human/BOS, 1 for gpt; text joined with '\n'. */
+  def tokenizeConversation(
+      conversation: Seq[Turn],
+      tokenizer: SpecialTokenTokenizer):
+      (IndexedSeq[Int], IndexedSeq[Int], String) = {
+    val ids = IndexedSeq.newBuilder[Int]
+    val mask = IndexedSeq.newBuilder[Int]
+    val text = new StringBuilder(Conversations.BosToken)
+    ids += 1
+    mask += 0
+    conversation.zipWithIndex.foreach { case (turn, idx) =>
+      val tmp = turn.value +
+        (if (turn.from == "gpt") Conversations.EosToken else "")
+      val tokIds = tokenizer.tokenize(tmp)
+      val label = if (turn.from == "human") 0 else 1
+      if (idx > 0) text.append('\n')
+      text.append(tmp)
+      ids ++= tokIds
+      mask ++= IndexedSeq.fill(tokIds.length)(label)
+    }
+    (ids.result(), mask.result(), text.toString)
+  }
+}

@@ -36,7 +36,12 @@ object WdsWriter {
       /** filename pattern: (partition, shardIdx) => name. */
       pattern: (Int, Int) => String =
         (p, i) => f"shard-$p%05d-$i%06d.tar",
-      tar: TarIO.WriteOptions = TarIO.WriteOptions())
+      tar: TarIO.WriteOptions = TarIO.WriteOptions(),
+      /** physical records per logical sample (e.g. the pack layout's
+        * `<key>.json` + sibling `<key>-<i>.jpg` entries). Rolling
+        * happens only at logical-sample boundaries so a sample's
+        * records never straddle shards. */
+      explode: Sample => Seq[Sample] = s => Seq(s))
 
   /** Write samples; returns one ShardInfo row per tar written (the
     * "index" the reference's check stage derives — A3 write metrics). */
@@ -75,7 +80,7 @@ object WdsWriter {
 
       it.foreach { s =>
         ensure()
-        bytes += writer.write(s)
+        opts.explode(s).foreach(rec => bytes += writer.write(rec))
         count += 1
         if (count >= opts.maxCount || bytes >= opts.maxSize) roll()
       }

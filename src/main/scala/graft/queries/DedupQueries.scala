@@ -246,16 +246,13 @@ object DedupQueries extends QueryRegistry {
   private def embedDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = Tables(s, dir)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     val e = t.embeddings.select($"vec_id", $"embedding")
     val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
     a.join(broadcast(b), $"a_id" < $"b_id")
       .select($"a_id", $"b_id",
-        round(dot($"ea", $"eb") /
-          (sqrt(dot($"ea", $"ea")) * sqrt(dot($"eb", $"eb"))), 6).as("cos"))
+        round(graft.functions.CosineSimilarity.cosineSim($"ea", $"eb"), 6)
+          .as("cos"))
       .filter($"cos" > 0.4)
       .orderBy($"a_id", $"b_id")
   }

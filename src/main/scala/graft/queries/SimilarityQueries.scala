@@ -23,12 +23,10 @@ object SimilarityQueries extends QueryRegistry {
   private val K = 5
   private val NumQueries = 10
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
+  /** Native codegen'd expression (bit-identical to the HOF fold and the
+    * DuckDB oracle — see CosineSimilaritySpec). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Brute-force exact top-k for the first NumQueries vectors.
     * Rounded to 6 digits BEFORE ranking so float-tail differences can
@@ -72,9 +70,13 @@ object SimilarityQueries extends QueryRegistry {
     * probes the 3 nearest cells, then exact-ranks within them.
     * No SQL oracle (argmax-over-centroids is not reasonably expressible);
     * recall vs bruteTopK is asserted in SimilaritySpec. */
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(s, dir, nProbe = 3)
+
+  /** nProbe exposed for tests: probing every cell must reproduce the
+    * brute-force ranking exactly (asserted in SimilaritySpec). */
+  def ivfTopK(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     import s.implicits._
-    val nProbe = 3
     val e = Tables(s, dir).embeddings
     val dim = 64
     // centroid per label: element-wise mean via posexplode + groupBy

@@ -1,0 +1,173 @@
+package graft.wds.datasource
+
+import java.util
+
+import graft.wds.{Handler, Sample, SerializableHadoopConf, ShardList, TarIO}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `wds` format (SURVEY.md §4.2.1):
+  *
+  * {{{
+  *   spark.read.format("wds")
+  *     .option("select", "*.json,*.jpg")   // entry-name pushdown
+  *     .option("interleave", "true")
+  *     .option("handler", "warn_continue")
+  *     .load("file:/data/shard-{000..123}.tar")
+  * }}}
+  *
+  * Planning: brace/env/`::` expansion on the driver, then ONE input
+  * partition per shard — tars are non-splittable sequential reads, so the
+  * shard is the scheduling unit (the reference's process-per-tar model,
+  * `pack/pack.py:293`). Entry-level `select` pushdown skips tar entries
+  * during the scan — the tar analog of parquet column pruning
+  * (reference hook: `tariterators.py:101,130`). Column pruning is
+  * supported: a `key`/`url`-only query never materializes entry bytes.
+  */
+class WdsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "wds"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WdsDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WdsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object WdsDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("entries", MapType(StringType, BinaryType), nullable = false)))
+
+  def parseHandler(s: String): Handler = s match {
+    case "reraise" => Handler.Reraise
+    case "ignore_continue" => Handler.IgnoreContinue
+    case "warn_continue" => Handler.WarnContinue
+    case "ignore_stop" => Handler.IgnoreStop
+    case "warn_stop" => Handler.WarnStop
+    case other => throw new IllegalArgumentException(s"handler $other")
+  }
+
+  def readOptions(options: CaseInsensitiveStringMap): TarIO.ReadOptions = {
+    val select = Option(options.get("select")).map { globs =>
+      val regexes = globs.split(",").toSeq
+        .map(g => graft.wds.SampleOps.globToRegex(g.trim).r)
+      (name: String) => regexes.exists(_.matches(name))
+    }
+    TarIO.ReadOptions(
+      interleave = options.getBoolean("interleave", true),
+      lowercaseSuffix = options.getBoolean("lowercase", true),
+      suffixes = Option(options.get("suffixes"))
+        .map(_.split(",").map(_.trim).toSet),
+      selectFiles = select,
+      handler = parseHandler(
+        Option(options.get("handler")).getOrElse("reraise")))
+  }
+}
+
+final class WdsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "wds"
+  override def schema(): StructType = WdsDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge table properties (from load(path)) with read options
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(caseInsensitiveOptions)
+    new WdsScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+final class WdsScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WdsDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WdsScan(options, required)
+}
+
+final class WdsScan(options: CaseInsensitiveStringMap, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def urls: Seq[String] = {
+    val specs =
+      Option(options.get("paths")).map(_.split(",").toSeq)
+        .orElse(Option(options.get("path")).map(Seq(_)))
+        .getOrElse(throw new IllegalArgumentException("wds: no path given"))
+    specs.flatMap(ShardList.expand(_))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    urls.map(u => WdsInputPartition(u): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    WdsReaderFactory(conf, WdsDataSource.readOptions(options),
+      required.fieldNames)
+  }
+}
+
+final case class WdsInputPartition(url: String) extends InputPartition
+
+final case class WdsReaderFactory(
+    conf: SerializableHadoopConf,
+    opts: TarIO.ReadOptions,
+    fields: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val url = p.asInstanceOf[WdsInputPartition].url
+    new PartitionReader[InternalRow] {
+      private val path = new Path(url)
+      private val stream =
+        try Some(path.getFileSystem(conf.value).open(path))
+        catch {
+          case e: Exception if Handler.handle(opts.handler, s"open $url", e)
+            || true => None
+        }
+      // entry bytes are skipped entirely when `entries` is pruned away
+      private val needEntries = fields.contains("entries")
+      private val it: Iterator[Sample] = stream
+        .map(in => TarIO.readSamples(in, url,
+          if (needEntries) opts
+          else opts.copy(suffixes = Some(Set.empty))))
+        .getOrElse(Iterator.empty)
+      private var current: Sample = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+
+      override def get(): InternalRow = {
+        val values = fields.map {
+          case "key" => UTF8String.fromString(current.key)
+          case "url" => UTF8String.fromString(current.url)
+          case "entries" =>
+            val ks = current.entries.keys.toArray
+              .map(k => UTF8String.fromString(k): Any)
+            val vs = current.entries.values.toArray.map(v => v: Any)
+            ArrayBasedMapData(ks, vs)
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+
+      override def close(): Unit = stream.foreach(_.close())
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.wds
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 `wds` format: format("wds") read, shard-per-partition
+  * planning, select pushdown, column pruning, handler policies. */
+class WdsDataSourceSpec extends SparkSpec {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("wdsv2").toString
+    implicit val enc = Encoders.product[Sample]
+    val samples = (0 until 60).map { i =>
+      Sample(f"$i%09d", "",
+        Map("cls" -> bytes((i % 7).toString), "txt" -> bytes(s"text $i"),
+          "bin" -> bytes("blob")))
+    }
+    WdsWriter.write(spark.createDataset(samples).repartition(1), d,
+      WdsWriter.WriterOptions(maxCount = 25,
+        pattern = (p, i) => f"part-$i%03d.tar")).collect()
+    d
+  }
+
+  test("format(wds).load with brace spec reads all samples") {
+    val df = spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
+    assert(df.count() == 60)
+    assert(df.schema.fieldNames.toSeq == Seq("key", "url", "entries"))
+    val first = df.orderBy("key").collect().head
+    assert(first.getAs[String]("key") == "000000000")
+    assert(new String(first.getAs[Map[String, Array[Byte]]]("entries")("txt"),
+      UTF_8) == "text 0")
+  }
+
+  test("one shard = one input partition") {
+    val df = spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("select option pushes entry filtering into the tar scan") {
+    val df = spark.read.format("wds")
+      .option("select", "*.cls,*.txt")
+      .load(s"$dir/part-{000..002}.tar")
+    val keys = df.select(map_keys(col("entries"))).collect()
+      .flatMap(_.getSeq[String](0)).toSet
+    assert(keys == Set("cls", "txt"))
+  }
+
+  test("column pruning skips entry payloads for key-only queries") {
+    val df = spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
+      .select("key", "url")
+    assert(df.count() == 60)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan wds[key") && !plan.contains("entries"),
+      plan)
+  }
+
+  test("missing shards skip under handler=ignore_continue, fail by default") {
+    val lenient = spark.read.format("wds")
+      .option("handler", "ignore_continue")
+      .load(s"$dir/part-{000..009}.tar")
+    assert(lenient.count() == 60)
+    val strict = spark.read.format("wds").load(s"$dir/part-{000..009}.tar")
+    assertThrows[org.apache.spark.SparkException](strict.count())
+  }
+
+  test("SQL over the wds source") {
+    spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
+      .createOrReplaceTempView("shards")
+    val n = spark.sql(
+      "SELECT count(*) FROM shards WHERE decode(entries['cls'], 'UTF-8') = '3'")
+      .collect().head.getLong(0)
+    assert(n == (0 until 60).count(_ % 7 == 3))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.pack
+
+import graft.wds.Codecs
+
+/** Sampler helpers beyond frame-index math (`pack/samplers.py:13-157`):
+  * the documented plug-in contract is `(file_idx, media) → (name_list,
+  * entry_list)`; in Spark a sampler is a flatMap producing frame entries
+  * (see PackStage.buildSample / MediaColumns.sampleFrames). This object
+  * holds the remaining pure pieces. */
+object Samplers {
+
+  /** F12 black-frame synthesis (`pack/samplers.py:53-58`): paths of the
+    * form "Black background: w, h" produce a zeroed RGB frame instead of
+    * a file read. */
+  val BlackBackgroundPrefix = "Black background"
+
+  def parseBlackBackground(path: String): Option[(Int, Int)] =
+    if (!path.startsWith(BlackBackgroundPrefix)) None
+    else {
+      val dims = path.split(":").last.split(", ").map(_.replace(" ", ""))
+      Some((dims(0).toInt, dims(1).toInt))
+    }
+
+  def blackFrame(width: Int, height: Int): Array[Byte] =
+    Codecs.encodeImage(
+      Codecs.ImageData(height, width, 3, "RGB",
+        new Array[Byte](height * width * 3)), "png")
+
+  /** merlin-s path normalization (`pack/samplers.py:60-63`): collapse the
+    * accidental double slash. */
+  def normalizeMediaPath(path: String): String =
+    if (path.contains("data//")) path.replace("data//", "data/") else path
+
+  /** Resolve a merlin-s image reference to bytes: black-background synth
+    * or a real read through the provided loader. */
+  def resolveImage(
+      path: String,
+      load: String => Array[Byte]): Array[Byte] =
+    parseBlackBackground(path) match {
+      case Some((w, h)) => blackFrame(w, h)
+      case None => load(normalizeMediaPath(path))
+    }
+}

@@ -271,12 +271,41 @@ object DedupQueries extends QueryRegistry {
       |SELECT a_id, b_id, cos FROM p WHERE cos > 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** SimHash near-dup pairs: band on the high byte (8/16 bits shared ⇒
+    * candidate), verify by Hamming distance ≤ 3. The banded equi-join is
+    * the scale path — the shuffle key is one byte of signature, never
+    * text. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = simhash(s, dir) // (doc_id, simhash)
+    val a = sig.select($"doc_id".as("a_id"), $"simhash".as("sa"))
+    val b = sig.select($"doc_id".as("b_id"), $"simhash".as("sb"))
+    a.join(b, shiftright($"sa", 8) === shiftright($"sb", 8) &&
+        $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        expr("bit_count(sa ^ sb)").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val simhashPairsSql = {
+    val sigSql = simhashSql.replace("\nORDER BY doc_id", "")
+    s"""WITH sig AS ($sigSql)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM sig a JOIN sig b
+       |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
     "qd01_exact_dedup" -> QueryDef(exact, Some(exactSql)),
     "qd02_minhash_sig" -> QueryDef(minhashSig, Some(minhashSigSql), bench = true),
     "qd03_lsh_pairs" -> QueryDef(lshPairs, Some(lshPairsSql), bench = true),
     "qd04_ngram_jaccard" -> QueryDef(jaccard, Some(jaccardSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),
+    "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql)),
   )
 }

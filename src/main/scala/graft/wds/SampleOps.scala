@@ -190,9 +190,46 @@ object SampleOps {
     /** W6 `slice`. */
     def slice(n: Int): Dataset[Sample] = ds.limit(n)
 
+    /** B4 `batched(n)`: group consecutive samples into fixed-size
+      * batches within each partition (collation = array of samples;
+      * columnar collation is Spark's own Arrow layer). Partial final
+      * batches kept/dropped per flag, like the reference. */
+    def batched(n: Int, partial: Boolean = true): Dataset[BatchOfSamples] = {
+      implicit val enc = Encoders.product[BatchOfSamples]
+      ds.mapPartitions { it =>
+        it.grouped(n).collect {
+          case g if partial || g.size == n => BatchOfSamples(g.toSeq)
+        }
+      }
+    }
+
+    /** B5 `unbatched`/`unlisted`. */
+    def unbatchedFrom(batches: Dataset[BatchOfSamples]): Dataset[Sample] =
+      batches.flatMap(_.samples)(sampleEnc)
+
+    /** W7 `repeat(n)` / `with_epoch(n)`: bounded repetition — the
+      * training-loader epoch surface as a relational union + limit. */
+    def repeated(times: Int): Dataset[Sample] =
+      Seq.fill(times)(ds).reduce(_ unionByName _)
+    def withEpoch(nSamples: Int): Dataset[Sample] = {
+      val one = ds.count()
+      require(one > 0, "with_epoch on empty dataset")
+      val reps = ((nSamples + one - 1) / one).toInt
+      repeated(reps).limit(nSamples)
+    }
+
+    /** B8 `info`/`log_keys` debug taps via `observe` — metrics arrive on
+      * the QueryExecutionListener without disturbing the plan. */
+    def observed(name: String): Dataset[Sample] =
+      ds.observe(name, count(lit(1)).as("n_samples"),
+        sum(length(col("key"))).as("key_bytes"))
+        .as[Sample](sampleEnc)
+
     /** B6/B7 caches. */
     def cached: Dataset[Sample] = ds.cache()
     def diskCached: Dataset[Sample] =
       ds.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
+
+  final case class BatchOfSamples(samples: Seq[Sample])
 }

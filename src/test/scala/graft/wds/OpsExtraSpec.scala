@@ -1,0 +1,90 @@
+package graft.wds
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pack.Samplers
+import graft.wds.SampleOps._
+import org.apache.spark.sql.Encoders
+
+/** Coverage for the remaining operator vocabulary: MultiShardSample,
+  * batched/unbatched, repeat/with_epoch, observe taps, black-frame
+  * synthesis. */
+class OpsExtraSpec extends SparkSpec {
+
+  private implicit lazy val enc: org.apache.spark.sql.Encoder[Sample] =
+    Encoders.product[Sample]
+
+  private def mkSamples(n: Int, tag: String = ""): Seq[Sample] =
+    (0 until n).map(i =>
+      Sample(f"$tag$i%07d", "u", Map("txt" -> s"d $i".getBytes(UTF_8))))
+
+  test("MultiShardSample: yaml parse, choose/resample, deterministic") {
+    val dirA = Files.createTempDirectory("msA").toString
+    val dirB = Files.createTempDirectory("msB").toString
+    WdsWriter.write(spark.createDataset(mkSamples(40, "a")).repartition(1),
+      dirA, WdsWriter.WriterOptions(maxCount = 10,
+        pattern = (_, i) => f"a-$i%02d.tar")).collect()
+    WdsWriter.write(spark.createDataset(mkSamples(20, "b")).repartition(1),
+      dirB, WdsWriter.WriterOptions(maxCount = 10,
+        pattern = (_, i) => f"b-$i%02d.tar")).collect()
+    val yaml =
+      s"""datasets:
+         |  - name: corpusA
+         |    shards: $dirA/a-{00..03}.tar
+         |    choose: 2
+         |  - name: corpusB
+         |    shards: $dirB/b-{00..01}.tar
+         |""".stripMargin
+    val spec = MultiShardSample.parseYaml(yaml)
+    assert(spec.sources.map(_.name) == Seq("corpusA", "corpusB"))
+    assert(spec.sources.head.shards.size == 4)
+    val r1 = MultiShardSample.resolve(spec, seed = 5L)
+    val r2 = MultiShardSample.resolve(spec, seed = 5L)
+    assert(r1 == r2)
+    assert(r1.size == 4) // 2 chosen + 2 full
+    val ds = MultiShardSample.read(spark, yaml, seed = 5L)
+    assert(ds.count() == 40) // 2×10 from A + 20 from B
+    // resample draws with replacement
+    val spec2 = spec.copy(sources = spec.sources.map(s =>
+      s.copy(choose = None, resample = Some(8))))
+    assert(MultiShardSample.resolve(spec2, 1L).size == 16)
+  }
+
+  test("batched/unbatched round-trip; partial batch control") {
+    val ds = spark.createDataset(mkSamples(25)).repartition(1)
+    val full = ds.batched(10)
+    assert(full.collect().map(_.samples.size).sorted.toSeq == Seq(5, 10, 10))
+    val noPartial = ds.batched(10, partial = false)
+    assert(noPartial.collect().forall(_.samples.size == 10))
+    val back = ds.unbatchedFrom(full)
+    assert(back.count() == 25)
+  }
+
+  test("repeated and withEpoch bound the stream") {
+    val ds = spark.createDataset(mkSamples(10))
+    assert(ds.repeated(3).count() == 30)
+    assert(ds.withEpoch(25).count() == 25)
+    assert(ds.withEpoch(5).count() == 5)
+  }
+
+  test("observed registers metrics without changing results") {
+    val ds = spark.createDataset(mkSamples(12))
+    val obs = ds.observed("tap")
+    assert(obs.count() == 12)
+  }
+
+  test("black-frame synthesis and path normalization") {
+    assert(Samplers.parseBlackBackground("Black background: 8, 6")
+      .contains((8, 6)))
+    assert(Samplers.parseBlackBackground("videos/x.mp4").isEmpty)
+    val img = Codecs.decodeImage(Samplers.blackFrame(8, 6))
+    assert(img.width == 8 && img.height == 6)
+    assert(img.data.forall(_ == 0))
+    assert(Samplers.normalizeMediaPath("x/data//y.jpg") == "x/data/y.jpg")
+    val viaSynth = Samplers.resolveImage("Black background: 4, 4",
+      _ => fail("loader must not be called"))
+    assert(viaSynth.nonEmpty)
+  }
+}

@@ -207,20 +207,13 @@ object DedupQueries extends QueryRegistry {
   }
 
   /** 16-bit SimHash over word hashes (first 4 md5 hex digits → int;
-    * per-bit ±1 vote; sign → bit). Per-row HOFs, no shuffle. */
+    * per-bit ±1 vote; sign → bit). Single-pass JVM kernel
+    * ([[graft.functions.SimHash]]) — the 16-aggregate HOF form runs
+    * interpreted; equality of the two forms is asserted in spec. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ws = words($"text")
-    val hv = transform(ws, w =>
-      conv(substring(md5(to_binary(w, lit("utf-8"))), 1, 4), 16, 10)
-        .cast("int"))
-    val sim = (0 until 16).map { b =>
-      val vote = aggregate(hv, lit(0), (acc, x) =>
-        acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    Tables(s, dir).documents
-      .select($"doc_id", sim.as("simhash"))
+    graft.functions.SimHash.signatures(
+      Tables(s, dir).documents.select($"doc_id", $"text"))
       .orderBy($"doc_id")
   }
 

@@ -229,7 +229,32 @@ object SampleOps {
     def cached: Dataset[Sample] = ds.cache()
     def diskCached: Dataset[Sample] =
       ds.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+    /** B9 transform-with-quarantine: the principled Spark mapping of the
+      * reference's per-stage `handler` for row transforms — failures
+      * become data, not lost rows or dead jobs. Returns (clean results,
+      * quarantine of (key, url, error)); both views share one cached
+      * evaluation pass, so `f` runs once per sample. */
+    def mapSamplesQuarantined(f: Sample => Sample)
+        : (Dataset[Sample], DataFrame) = {
+      implicit val qEnc = Encoders.product[QuarantinedSample]
+      val tried = ds.map { s =>
+        try QuarantinedSample(Some(f(s)), None)
+        catch {
+          case e: Exception => QuarantinedSample(None,
+            Some(QuarantineRecord(s.key, s.url,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+        }
+      }.cache()
+      val good = tried.flatMap(_.sample)(sampleEnc)
+      val bad = tried.flatMap(_.error)(Encoders.product[QuarantineRecord])
+        .toDF()
+      (good, bad)
+    }
   }
 
   final case class BatchOfSamples(samples: Seq[Sample])
+  final case class QuarantineRecord(key: String, url: String, error: String)
+  final case class QuarantinedSample(
+      sample: Option[Sample], error: Option[QuarantineRecord])
 }

@@ -75,6 +75,20 @@ class OpsExtraSpec extends SparkSpec {
     assert(obs.count() == 12)
   }
 
+  test("quarantine transform routes failures to data, keeps clean rows") {
+    val ds = spark.createDataset(mkSamples(10))
+    val (good, bad) = ds.mapSamplesQuarantined { s =>
+      if (s.key.endsWith("3")) throw new IllegalStateException("boom")
+      s.copy(url = "ok")
+    }
+    assert(good.count() == 9)
+    assert(good.collect().forall(_.url == "ok"))
+    val q = bad.collect()
+    assert(q.length == 1)
+    assert(q.head.getAs[String]("key") == "0000003")
+    assert(q.head.getAs[String]("error").contains("boom"))
+  }
+
   test("black-frame synthesis and path normalization") {
     assert(Samplers.parseBlackBackground("Black background: 8, 6")
       .contains((8, 6)))

@@ -106,14 +106,17 @@ object PackStage {
       mediaFor: String => Array[Byte] = p => p.getBytes("UTF-8")): DataFrame = {
     val spark = meta.sparkSession
     implicit val enc = Encoders.product[Sample]
-    val withIdx = meta.select(col("video_path"), col("value"))
-      .withColumn("file_idx",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("video_path", "value")).cast("long") - 1)
-    val packed = withIdx
-      .select("file_idx", "video_path", "value")
-      .as[(Long, String, String)](
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING))
+    // deterministic dense file_idx WITHOUT a global window (row_number
+    // over an unpartitioned Window funnels everything through one task):
+    // distributed sort, then order-preserving zipWithIndex — each
+    // partition learns only its offset, parallelism is preserved
+    val ordered = meta.select(col("video_path"), col("value"))
+      .orderBy("video_path", "value")
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val packed = spark.createDataset(
+      ordered.rdd.zipWithIndex().map { case ((path, caption), idx) =>
+        (idx, path, caption)
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING))
       .mapPartitions { it =>
         it.map { case (idx, path, caption) =>
           buildSample(idx, mediaFor(path), caption, opts)

@@ -292,7 +292,29 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** End-to-end dedup keep-list: drop the higher doc_id of every
+    * Jaccard-verified near-dup pair (threshold 0.5) — the pipeline's
+    * final output shape (LSH candidates → exact verify → prune). */
+  private def keepList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dupIds = jaccard(s, dir).select($"b_id").distinct()
+    Tables(s, dir).documents
+      .join(dupIds, $"doc_id" === $"b_id", "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private val keepListSql = {
+    // reuse the verified-pairs query as a CTE body
+    val pairs = jaccardSql
+      .replace("ORDER BY a_id, b_id", "")
+    s"""SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT b_id FROM ($pairs) p)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd08_keep_list" -> QueryDef(keepList, Some(keepListSql)),
     "qd01_exact_dedup" -> QueryDef(exact, Some(exactSql)),
     "qd02_minhash_sig" -> QueryDef(minhashSig, Some(minhashSigSql), bench = true),
     "qd03_lsh_pairs" -> QueryDef(lshPairs, Some(lshPairsSql), bench = true),

@@ -397,7 +397,24 @@ object RelationalQueries extends QueryRegistry {
       |WHERE order_qty > 100
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Date-part aggregation (calendar rollup of order volume). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"yr", $"mo")
+  }
+
+  private val q19Sql =
+    """SELECT EXTRACT(year FROM o_orderdate)::INT AS yr,
+      | EXTRACT(month FROM o_orderdate)::INT AS mo,
+      | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "q19_date_rollup" -> QueryDef(q19, Some(q19Sql)),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql), bench = true),
     "q02_filter_project" -> QueryDef(q02, Some(q02Sql)),
     "q03_star_join_revenue" -> QueryDef(q03, Some(q03Sql), bench = true),

@@ -175,7 +175,43 @@ object TextQueries extends QueryRegistry {
       |   AS bag_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-language top-5 bigrams: n-gram extraction + frequency + windowed
+    * top-k — the corpus-statistics shape (vocabulary building). */
+  private def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ws = words($"text")
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array())
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    Tables(s, dir).documents
+      .select($"lang", explode(bigrams).as("bigram"))
+      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"lang", $"rank")
+  }
+
+  private val topBigramsSql =
+    """WITH bg AS (
+      |  SELECT lang, unnest(list_transform(
+      |    generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM (SELECT lang, string_split(lower(text), ' ') AS ws
+      |        FROM documents) w
+      |  WHERE len(ws) >= 2),
+      |freq AS (
+      |  SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+      |SELECT lang, bigram, n, rank FROM (
+      |  SELECT lang, bigram, n, row_number() OVER (
+      |    PARTITION BY lang ORDER BY n DESC, bigram)::INT AS rank
+      |  FROM freq) t
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt06_top_bigrams" -> QueryDef(topBigrams, Some(topBigramsSql)),
     "qt01_text_stats" -> QueryDef(stats, Some(statsSql)),
     "qt02_token_count" -> QueryDef(tokens, Some(tokensSql)),
     "qt03_lang_id" -> QueryDef(langId, Some(langIdSql)),

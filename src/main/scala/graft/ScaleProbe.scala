@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicates `documents` N× (distinct doc_ids) and times
+  * the dedup chain (signatures → LSH pairs → verified keep-list shape)
+  * at each multiple, to observe scaling behavior beyond the fixtures.
+  * Usage: sbt "runMain graft.ScaleProbe [sfDir] [multiples...]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 5, 20)
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val baseN = base.count()
+    multiples.foreach { m =>
+      // m distinct copies; texts perturbed per copy so near-dup structure
+      // scales instead of becoming m-way exact duplicates
+      val big = (0 until m).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copytag$i")).as("text"))
+      }.reduce(_ union _).repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+      val n = big.count() // materialize cache
+      val t0 = System.nanoTime()
+      val sigs = functions.MinHash.signatures(big, 8).cache()
+      sigs.count()
+      val tSig = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => md5(to_binary(concat_ws("|",
+          lit(b.toString), col(s"h${2 * b}"), col(s"h${2 * b + 1}")),
+          lit("utf-8")))): _*)).as("band"))
+      val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      val nPairs = pairs.count()
+      val tLsh = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] docs=$n%7d sig=$tSig%6.2fs lsh=$tLsh%6.2fs pairs=$nPairs%d")
+      sigs.unpersist(); big.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -78,7 +78,6 @@ object SimilarityQueries extends QueryRegistry {
   def ivfTopK(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
-    val dim = 64
     // centroid per label: element-wise mean via posexplode + groupBy
     val cent = e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos").agg(avg($"v").as("m"))

@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object WdsQueries extends QueryRegistry {
 
+  /** Scratch directory for shard round-trips, deleted on JVM exit (the
+    * query result is lazy, so eager cleanup would race evaluation). */
+  private def scratchDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** documents → pack-stage metadata (deterministic fake video paths;
     * text as caption). */
   private def docMeta(s: SparkSession, dir: String): DataFrame =
@@ -36,7 +50,7 @@ object WdsQueries extends QueryRegistry {
   /** E1 as a query: pack documents into 500-sample tars; report per-tar
     * sample counts by shard ordinal. */
   private def packStats(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_e1").toString
+    val out = scratchDir("graft_e1")
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 500))
     info.select(
@@ -49,7 +63,7 @@ object WdsQueries extends QueryRegistry {
   /** E1→read-back as a query: adjacency/interleave grouping over real
     * tar bytes; per-sample entry histogram. */
   private def roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_rt").toString
+    val out = scratchDir("graft_rt")
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
     val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
@@ -62,8 +76,8 @@ object WdsQueries extends QueryRegistry {
   /** E1→E2 as a query: tokenize + greedy 8k packing; pack-level stats
     * (deterministic under the fixed single merge group). */
   private def tokenizePack(s: SparkSession, dir: String): DataFrame = {
-    val packOut = Files.createTempDirectory("graft_e1b").toString
-    val tokOut = Files.createTempDirectory("graft_e2").toString
+    val packOut = scratchDir("graft_e1b")
+    val tokOut = scratchDir("graft_e2")
     val info = PackStage.run(docMeta(s, dir), packOut,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
     val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
@@ -78,8 +92,8 @@ object WdsQueries extends QueryRegistry {
   /** E3 as a query: strict invariant gate + shard index over freshly
     * built tokenized shards. */
   private def indexCheck(s: SparkSession, dir: String): DataFrame = {
-    val packOut = Files.createTempDirectory("graft_e1c").toString
-    val tokOut = Files.createTempDirectory("graft_e3").toString
+    val packOut = scratchDir("graft_e1c")
+    val tokOut = scratchDir("graft_e3")
     val info = PackStage.run(docMeta(s, dir), packOut,
       PackStage.PackOptions(numSegments = 2, samplesPerTar = 100))
     val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
@@ -97,7 +111,7 @@ object WdsQueries extends QueryRegistry {
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
     // stream from a parquet copy with micros timestamps (the nanos
     // source needs the same conversion the batch path applies)
-    val stage = Files.createTempDirectory("graft_stream").toString
+    val stage = scratchDir("graft_stream")
     Tables(s, dir).events.write.mode("overwrite").parquet(stage)
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val result = EventStreams.runToMemory(s,

@@ -53,31 +53,59 @@ object EventStreams {
 
   /** Gap-based sessionization with keyed state + processing-time
     * timeout: the streaming form of EventQueries.sessionize (and the
-    * keyed-state restatement of the A5 sequential fold). Emits a session
-    * when a 30-minute gap closes it. */
-  def sessionize(events: DataFrame): DataFrame = {
+    * keyed-state restatement of the A5 sequential fold). A session is
+    * emitted when a 30-minute event-time gap closes it, or when the
+    * processing-time timeout fires (idle user) — the timeout both
+    * flushes trailing sessions and evicts state, bounding the store. */
+  def sessionize(events: DataFrame): DataFrame =
+    sessionize(events, timeoutEviction = true)
+
+  /** @param timeoutEviction true (production, unbounded input): idle
+    *   users flush their open session and evict state on a
+    *   processing-time timeout. false (bounded replays, e.g.
+    *   AvailableNow over a finite directory): no timeout — an
+    *   AvailableNow query with pending processing-time timeouts never
+    *   terminates, and a bounded replay has no idle-eviction need. */
+  def sessionize(events: DataFrame, timeoutEviction: Boolean): DataFrame = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
+    val mode =
+      if (timeoutEviction) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, mode) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = Seq.newBuilder[SessionAgg]
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, 0L, Long.MinValue))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs) {
-              out += SessionAgg(user, st.sessionId, st.n,
-                new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs))
-              st = SessionState(st.sessionId + 1, 0L, t, t)
+          if (state.hasTimedOut) {
+            // idle user: flush the open session and evict state
+            val st = state.get
+            state.remove()
+            if (st.n > 0)
+              Iterator(SessionAgg(user, st.sessionId, st.n,
+                new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.lastTs)))
+            else Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[SessionAgg]
+            var st = state.getOption.getOrElse(
+              SessionState(0L, 0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs) {
+                out += SessionAgg(user, st.sessionId, st.n,
+                  new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.lastTs))
+                st = SessionState(st.sessionId + 1, 0L, t, t)
+              }
+              st = st.copy(n = st.n + 1,
+                start = if (st.n == 0) t else st.start, lastTs = t)
             }
-            st = st.copy(n = st.n + 1,
-              start = if (st.n == 0) t else st.start, lastTs = t)
+            state.update(st)
+            if (timeoutEviction) state.setTimeoutDuration(gapMs)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }.toDF()
   }
 

@@ -206,7 +206,12 @@ object TokenizeStage {
       val docs = it.flatMap { s =>
         parsePackSample(s).flatMap { case (turns, names, imgs) =>
           fileIdx += 1
-          if (!countsMatch(turns, names)) None
+          // a sample with missing frame entries (truncated shard) would
+          // otherwise emit a pack whose patch count no longer matches
+          // its image count and kill the whole run at the strict E3
+          // gate — skip it here like the counts-mismatch filter
+          if (!countsMatch(turns, names) || imgs.length != names.length)
+            None
           else {
             val (ids, mask, text) =
               Tokenizers.tokenizeConversation(turns, tokenizer)

@@ -50,8 +50,26 @@ object Codecs {
   }
 
   def decodeImage(b: Array[Byte]): ImageData = {
-    val img = ImageIO.read(new ByteArrayInputStream(b))
-    require(img != null, "undecodable image")
+    val decoded = ImageIO.read(new ByteArrayInputStream(b))
+    require(decoded != null, "undecodable image")
+    // palette/indexed images report 3 color components but carry only 1
+    // raster band — getPixel would leave stale garbage in the remaining
+    // channels; redraw into a standard layout first
+    val img =
+      if (decoded.getColorModel.getNumComponents ==
+        decoded.getRaster.getNumBands) decoded
+      else {
+        val t = decoded.getColorModel.getNumComponents match {
+          case 4 => java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+          case _ => java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        }
+        val conv = new java.awt.image.BufferedImage(
+          decoded.getWidth, decoded.getHeight, t)
+        val g = conv.createGraphics()
+        g.drawImage(decoded, 0, 0, null)
+        g.dispose()
+        conv
+      }
     val h = img.getHeight
     val w = img.getWidth
     val ch = img.getColorModel.getNumComponents

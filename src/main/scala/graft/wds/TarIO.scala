@@ -72,23 +72,44 @@ object TarIO {
         else if (!e.isFile) advance()
         else {
           val name0 = e.getName
-          val isMeta = (!name0.contains("/") && name0.startsWith("__") &&
-            name0.endsWith("__")) ||
-            SkipMeta.findPrefixOf(name0).isDefined
-          if (name0 == null || isMeta) { skip(e); advance() }
+          if (name0 == null) { skip(e); advance() }
           else {
-            val name = opts.renameFiles.fold(name0)(f => f(name0))
-            if (opts.selectFiles.exists(p => !p(name))) { skip(e); advance() }
+            val isMeta = (!name0.contains("/") && name0.startsWith("__") &&
+              name0.endsWith("__")) ||
+              SkipMeta.findPrefixOf(name0).isDefined
+            if (isMeta) { skip(e); advance() }
             else {
-              val buf = new Array[Byte](e.getSize.toInt)
-              var off = 0
-              while (off < buf.length) {
-                val n = stream.read(buf, off, buf.length - off)
-                if (n < 0)
-                  throw new java.io.EOFException(s"truncated entry $name0 in $url")
-                off += n
+              val name = opts.renameFiles.fold(name0)(f => f(name0))
+              if (opts.selectFiles.exists(p => !p(name))) { skip(e); advance() }
+              else {
+                // payload read under the handler policy: oversized or
+                // truncated entries are per-entry failures, not task death
+                val read =
+                  try {
+                    if (e.getSize > Int.MaxValue - 8)
+                      throw new IllegalArgumentException(
+                        s"entry $name0 is ${e.getSize} bytes; " +
+                          "in-memory samples cap at 2 GiB")
+                    val buf = new Array[Byte](e.getSize.toInt)
+                    var off = 0
+                    while (off < buf.length) {
+                      val n = stream.read(buf, off, buf.length - off)
+                      if (n < 0) throw new java.io.EOFException(
+                        s"truncated entry $name0 in $url")
+                      off += n
+                    }
+                    Some(buf)
+                  } catch {
+                    case ex: Exception =>
+                      if (Handler.handle(opts.handler, s"read $name0 @ $url", ex))
+                        None
+                      else { done = true; None }
+                  }
+                read match {
+                  case Some(buf) => nextEntry = (name, buf)
+                  case None => if (!done) advance()
+                }
               }
-              nextEntry = (name, buf)
             }
           }
         }
@@ -131,6 +152,11 @@ object TarIO {
               var prefix = prefix0
               var suffix = suffix0
               if (opts.interleave) {
+                // case-sensitive "json" check BEFORE lowercasing — the
+                // reference does exactly this (`tariterators.py:215`
+                // runs before the lcase step at `:226`), so an
+                // uppercase `.JSON` entry intentionally does not start
+                // an interleave group
                 if (suffix == "json") interleaveId = prefix
                 else if (interleaveId != null &&
                   prefix.startsWith(interleaveId + "-")) {

@@ -54,6 +54,12 @@ object WdsReader {
             val path = new Path(url)
             val fs = path.getFileSystem(bc.value.value)
             val in = fs.open(path)
+            // close at task end (covers exhaustion, errors, and task
+            // kill — a long-lived executor must not leak fds/S3A
+            // connections across thousands of shards)
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ =>
+                try in.close() catch { case _: Exception => () }))
             TarIO.readSamples(in, url, opts)
           } catch {
             case e: Exception

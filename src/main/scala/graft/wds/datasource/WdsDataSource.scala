@@ -107,8 +107,18 @@ final class WdsScan(options: CaseInsensitiveStringMap, required: StructType)
   override def toBatch: Batch = this
 
   private def urls: Seq[String] = {
+    // DataFrameReader.load(paths*) passes MULTIPLE paths as a
+    // JSON-encoded array under "paths" (single path arrives as "path");
+    // a hand-set comma list is also accepted
+    def parsePaths(raw: String): Seq[String] =
+      if (raw.trim.startsWith("[")) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        mapper.readValue(raw, classOf[java.util.List[String]])
+          .asScala.toSeq
+      } else raw.split(",").map(_.trim).toSeq
     val specs =
-      Option(options.get("paths")).map(_.split(",").toSeq)
+      Option(options.get("paths")).map(parsePaths)
         .orElse(Option(options.get("path")).map(Seq(_)))
         .getOrElse(throw new IllegalArgumentException("wds: no path given"))
     specs.flatMap(ShardList.expand(_))

@@ -46,7 +46,8 @@ class EventStreamsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("sess_stage").toString
     events.write.mode("overwrite").parquet(dir)
     val out = EventStreams.runToMemory(spark,
-      EventStreams.sessionize(EventStreams.readEventStream(spark, dir)),
+      EventStreams.sessionize(EventStreams.readEventStream(spark, dir),
+        timeoutEviction = false),
       "t_sess", OutputMode.Append()).collect()
     // only user 1's first session is closed by the gap within the data
     assert(out.length == 1)

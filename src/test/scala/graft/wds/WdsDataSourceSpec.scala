@@ -69,6 +69,13 @@ class WdsDataSourceSpec extends SparkSpec {
     assertThrows[org.apache.spark.SparkException](strict.count())
   }
 
+  test("multi-path load (Spark passes a JSON array in the paths option)") {
+    val df = spark.read.format("wds")
+      .load(s"$dir/part-000.tar", s"$dir/part-001.tar")
+    assert(df.count() == 50)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
   test("SQL over the wds source") {
     spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
       .createOrReplaceTempView("shards")

@@ -413,8 +413,33 @@ object RelationalQueries extends QueryRegistry {
       | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** Salted two-stage aggregation: the skew-mitigation pattern (hot keys
+    * split across `salt` sub-groups for the partial stage, then
+    * re-combined) with results identical to the direct aggregation —
+    * l_returnflag has only 3 values, the canonical skewed-key shape. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = Tables(s, dir).lineitem
+      .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity").as("part_qty"),
+        count(lit(1)).as("part_n"))
+    salted.groupBy($"l_returnflag")
+      .agg(round(sum($"part_qty"), 2).as("total_qty"),
+        sum($"part_n").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // oracle = the UNsalted aggregation: salting must be invisible in the
+  // result (sum re-association is safe for these magnitudes at 2dp)
+  private val q20Sql =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
     "q19_date_rollup" -> QueryDef(q19, Some(q19Sql)),
+    "q20_salted_agg" -> QueryDef(q20, Some(q20Sql)),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql), bench = true),
     "q02_filter_project" -> QueryDef(q02, Some(q02Sql)),
     "q03_star_join_revenue" -> QueryDef(q03, Some(q03Sql), bench = true),

@@ -67,7 +67,9 @@ object WdsQueries extends QueryRegistry {
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
     val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
-    WdsReader.readUrls(s, urls).toDF()
+    // read back through the DataSource V2 path — format("wds") is what
+    // the driver's gate exercises here
+    s.read.format("wds").load(urls: _*)
       .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
       .groupBy(col("n_entries")).agg(count(lit(1)).as("n_samples"))
       .orderBy(col("n_entries"))

@@ -7,9 +7,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,17 +80,23 @@ object WdsDataSource {
 }
 
 final class WdsTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "wds"
   override def schema(): StructType = WdsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // merge table properties (from load(path)) with read options
     val merged = new util.HashMap[String, String](options)
     merged.putAll(caseInsensitiveOptions)
     new WdsScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(info.options())
+    new WdsWriteBuilder(merged, info)
   }
 }
 

@@ -76,6 +76,32 @@ class WdsDataSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("DSv2 write: format(wds).save round-trips with shard rolling") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("wdsv2w").toString
+    val src = spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
+    src.repartition(2)
+      .write.format("wds").option("maxcount", "15")
+      .mode("overwrite").save(out)
+    // ignore the local FS's .crc checksum sidecars
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.nonEmpty && files.forall(_.endsWith(".tar")))
+    val back = spark.read.format("wds").load(
+      files.map(f => s"$out/$f").toIndexedSeq: _*)
+    assert(back.count() == 60)
+    // per-shard counts respect the roll limit
+    val perShard = back.groupBy("url").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(perShard.forall(_ <= 15))
+    // overwrite truncates
+    src.limit(5).repartition(1)
+      .write.format("wds").mode("overwrite").save(out)
+    val files2 = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files2.length == 1)
+  }
+
   test("SQL over the wds source") {
     spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
       .createOrReplaceTempView("shards")

@@ -45,6 +45,23 @@ class TokenizeSpec extends AnyFunSuite {
     assert(text.endsWith(Conversations.EosToken))
   }
 
+  test("greedy subword model: longest-match segmentation + byte fallback") {
+    val m = new graft.tokenize.GreedySubwordModel(
+      Seq("cat", "cats", "s", "c", "a", "t"))
+    // "cats" takes the longest piece, not cat+s
+    assert(m.encode("cats") == m.encode("cats"))
+    assert(m.encode("cats").length == 1)
+    assert(m.encode("cat s").length == 2)
+    // uncovered characters fall back to byte ids (deterministic)
+    val z = m.encode("zz")
+    assert(z == IndexedSeq(4 + 'z'.toInt, 4 + 'z'.toInt))
+    // full tokenizer stack runs over it
+    val tok = new graft.tokenize.SpecialTokenTokenizer(
+      m, graft.tokenize.Tokenizers.MultimodalSpecials)
+    val ids = tok.tokenize("cat " + Conversations.SpecialToken + " cats")
+    assert(ids.count(_ == 32000) == 256)
+  }
+
   private def doc(key: String, n: Int): TokDoc =
     TokDoc(key, Nil, Nil, IndexedSeq.fill(n)(7), IndexedSeq.fill(n)(0), s"t$key")
 

@@ -125,6 +125,68 @@ object Codecs {
     bos.toByteArray
   }
 
+  /** F9 image-spec dispatch (`autodecode.py:238-363`): spec strings are
+    * storage+dtype+mode, e.g. "rgb8", "l8", "pilrgb", "torchrgba". On
+    * the JVM there is one storage (ImageData) — the meaningful axes are
+    * mode (l/rgb/rgba) and dtype (8 = u8; absent = float, which is a
+    * consumer-side u8/255 view). */
+  final case class ImageSpec(storage: String, mode: String, u8: Boolean)
+
+  def parseImageSpec(spec: String): ImageSpec = {
+    val s0 = spec.toLowerCase
+    val (storage, rest) = Seq("pil", "torch", "numpy").find(s0.startsWith)
+      .map(p => (p, s0.stripPrefix(p))).getOrElse(("numpy", s0))
+    val u8 = rest.endsWith("8")
+    val mode = rest.stripSuffix("8") match {
+      case "" => "RGB"
+      case "l" => "L"
+      case "rgb" => "RGB"
+      case "rgba" => "RGBA"
+      case other =>
+        throw new IllegalArgumentException(s"image spec $spec ($other)")
+    }
+    ImageSpec(storage, mode, u8)
+  }
+
+  /** Convert a decoded image between L / RGB / RGBA (BT.601 luma for
+    * →L; opaque alpha for →RGBA), as the reference's mode handlers do. */
+  def convertMode(img: ImageData, mode: String): ImageData = {
+    if (img.mode == mode) return img
+    val n = img.height * img.width
+    val inCh = img.nChannels
+    val outCh = mode match {
+      case "L" => 1
+      case "RGB" => 3
+      case "RGBA" => 4
+      case other => throw new IllegalArgumentException(s"mode $other")
+    }
+    val out = new Array[Byte](n * outCh)
+    var i = 0
+    while (i < n) {
+      val r = img.data(i * inCh) & 0xff
+      val g = if (inCh >= 3) img.data(i * inCh + 1) & 0xff else r
+      val b = if (inCh >= 3) img.data(i * inCh + 2) & 0xff else r
+      val a = if (inCh == 4) img.data(i * inCh + 3) & 0xff else 255
+      mode match {
+        case "L" =>
+          out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        case "RGB" =>
+          out(i * 3) = r.toByte; out(i * 3 + 1) = g.toByte
+          out(i * 3 + 2) = b.toByte
+        case "RGBA" =>
+          out(i * 4) = r.toByte; out(i * 4 + 1) = g.toByte
+          out(i * 4 + 2) = b.toByte; out(i * 4 + 3) = a.toByte
+      }
+      i += 1
+    }
+    ImageData(img.height, img.width, outCh, mode, out)
+  }
+
+  /** Spec-driven decode: `decodeImageSpec("rgb8", bytes)` ≈ the
+    * reference's `decode("pilrgb")` stage. */
+  def decodeImageSpec(spec: String, bytes: Array[Byte]): ImageData =
+    convertMode(decodeImage(bytes), parseImageSpec(spec).mode)
+
   private val textExts = Set("txt", "text", "transcript", "html")
   private val intExts = Set("cls", "cls2", "index", "inx", "id", "count")
   private val jsonExts = Set("json", "jsn")

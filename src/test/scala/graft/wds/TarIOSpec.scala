@@ -214,6 +214,26 @@ class TarIOSpec extends AnyFunSuite {
     assert(back.data.sameElements(img.data))
   }
 
+  test("image spec parse + mode conversions (F9 table)") {
+    import Codecs._
+    assert(parseImageSpec("pilrgb") == ImageSpec("pil", "RGB", u8 = false))
+    assert(parseImageSpec("rgb8") == ImageSpec("numpy", "RGB", u8 = true))
+    assert(parseImageSpec("torchl8") == ImageSpec("torch", "L", u8 = true))
+    assert(parseImageSpec("rgba") == ImageSpec("numpy", "RGBA", u8 = false))
+    val rgb = ImageData(1, 2, 3, "RGB",
+      Array(255.toByte, 0, 0, 0, 255.toByte, 0))
+    val l = convertMode(rgb, "L")
+    assert(l.nChannels == 1)
+    assert((l.data(0) & 0xff) == 76 && (l.data(1) & 0xff) == 149) // BT.601
+    val rgba = convertMode(rgb, "RGBA")
+    assert(rgba.nChannels == 4 && (rgba.data(3) & 0xff) == 255)
+    val backToRgb = convertMode(convertMode(rgb, "RGBA"), "RGB")
+    assert(backToRgb.data.sameElements(rgb.data))
+    // decode stage form
+    val png = encodeImage(rgb, "png")
+    assert(decodeImageSpec("l8", png).nChannels == 1)
+  }
+
   test("shard list expansion: braces, ranges, ::, env") {
     assert(ShardList.expandBraces("s-{000..002}.tar") ==
       Seq("s-000.tar", "s-001.tar", "s-002.tar"))

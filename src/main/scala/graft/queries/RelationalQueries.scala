@@ -308,18 +308,24 @@ object RelationalQueries extends QueryRegistry {
 
   /** Ordered array materialization per key — the J2 combineKeyFrames
     * sort-merge (`pack/tools.py:155-197`) as sort_array∘collect_list
-    * (collect order is nondeterministic; the sort makes it exact). */
+    * (collect order is nondeterministic; the sort makes it exact).
+    * The array is projected to a ','-joined string so the oracle
+    * harness can hash the row (raw arrays are unhashable there). */
   private def q14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir).lineitem
       .groupBy($"l_orderkey")
-      .agg(sort_array(collect_list($"l_linenumber")).as("frames"))
-      .select($"l_orderkey", $"frames", size($"frames").as("n_frames"))
+      .agg(sort_array(collect_list($"l_linenumber")).as("frames_arr"))
+      .select(
+        $"l_orderkey",
+        array_join($"frames_arr", ",").as("frames"),
+        size($"frames_arr").as("n_frames"))
       .orderBy($"l_orderkey")
   }
 
   private val q14Sql =
-    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS frames,
+    """SELECT l_orderkey,
+      | array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS frames,
       | count(*)::INT AS n_frames
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 

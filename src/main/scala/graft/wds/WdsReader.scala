@@ -45,29 +45,39 @@ object WdsReader {
     // executors — same granularity as the reference fleet
     spark.createDataset(urls)
       .repartition(urls.size)
-      .mapPartitions { it =>
-        it.flatMap { url =>
-          // open errors route through the handler policy, like the
-          // reference's url_opener (`tariterators.py:66-94`): continue ⇒
-          // skip the shard, stop ⇒ end this task's stream
-          try {
-            val path = new Path(url)
-            val fs = path.getFileSystem(bc.value.value)
-            val in = fs.open(path)
-            // close at task end (covers exhaustion, errors, and task
-            // kill — a long-lived executor must not leak fds/S3A
-            // connections across thousands of shards)
-            Option(org.apache.spark.TaskContext.get()).foreach(
-              _.addTaskCompletionListener[Unit](_ =>
-                try in.close() catch { case _: Exception => () }))
-            TarIO.readSamples(in, url, opts)
-          } catch {
-            case e: Exception
-                if Handler.handle(opts.handler, s"open $url", e) || true =>
-              Iterator.empty
-          }
+      .mapPartitions(it => readPartition(it, bc.value.value, opts))
+  }
+
+  /** Stream every shard of one task. Open errors route through the
+    * handler policy, like the reference's url_opener
+    * (`tariterators.py:66-94`): continue ⇒ skip the shard, stop ⇒ end
+    * this task's stream (no further shards from this partition). */
+  private[wds] def readPartition(
+      urls: Iterator[String],
+      conf: Configuration,
+      opts: TarIO.ReadOptions): Iterator[Sample] = {
+    var stopped = false
+    urls.flatMap { url =>
+      if (stopped) Iterator.empty
+      else
+        try {
+          val path = new Path(url)
+          val fs = path.getFileSystem(conf)
+          val in = fs.open(path)
+          // close at task end (covers exhaustion, errors, and task
+          // kill — a long-lived executor must not leak fds/S3A
+          // connections across thousands of shards)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: Exception => () }))
+          TarIO.readSamples(in, url, opts)
+        } catch {
+          case e: Exception =>
+            if (!Handler.handle(opts.handler, s"open $url", e))
+              stopped = true
+            Iterator.empty
         }
-      }
+    }
   }
 
   /** DataFrame view (key, url, entries) for relational-style use. */

@@ -153,11 +153,15 @@ final case class WdsReaderFactory(
     val url = p.asInstanceOf[WdsInputPartition].url
     new PartitionReader[InternalRow] {
       private val path = new Path(url)
+      // One shard per partition, so "stop" and "continue" both reduce
+      // to an exhausted reader here — but the handler must still run
+      // (Reraise throws; Warn* logs the quarantined shard).
       private val stream =
         try Some(path.getFileSystem(conf.value).open(path))
         catch {
-          case e: Exception if Handler.handle(opts.handler, s"open $url", e)
-            || true => None
+          case e: Exception =>
+            Handler.handle(opts.handler, s"open $url", e)
+            None
         }
       // entry bytes are skipped entirely when `entries` is pruned away
       private val needEntries = fields.contains("entries")

@@ -48,6 +48,26 @@ class WdsSparkSpec extends SparkSpec {
     assert(s0.utf8("txt").contains("doc 0"))
   }
 
+  test("shard-open error matrix: continue skips, stop truncates, reraise throws") {
+    val dir = Files.createTempDirectory("wds-open").toString
+    val in = mkSamples(10)
+    WdsWriter.write(spark.createDataset(in).repartition(1), dir,
+      WdsWriter.WriterOptions(maxCount = 5)).collect()
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted.toSeq
+    assert(shards.length == 2)
+    val urls = Seq(shards.head, s"$dir/missing.tar", shards(1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def run(h: Handler): Seq[String] =
+      WdsReader.readPartition(urls.iterator, conf,
+        TarIO.ReadOptions(handler = h)).map(_.key).toSeq
+    // continue: the bad shard is skipped, both good shards are read
+    assert(run(Handler.IgnoreContinue).length == 10)
+    // stop: the stream truncates at the failure — only the first shard
+    assert(run(Handler.IgnoreStop).length == 5)
+    assertThrows[Exception](run(Handler.Reraise))
+  }
+
   test("toTuple coalesces alternatives; missing field raises") {
     val ds = spark.createDataset(Seq(
       Sample("a", "u", Map("jpg" -> bytes("J"), "json" -> bytes("{}"))),

@@ -206,9 +206,9 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** 16-bit SimHash over word hashes (first 4 md5 hex digits → int;
+  /** 64-bit SimHash over word hashes (first 16 md5 hex digits → Long;
     * per-bit ±1 vote; sign → bit). Single-pass JVM kernel
-    * ([[graft.functions.SimHash]]) — the 16-aggregate HOF form runs
+    * ([[graft.functions.SimHash]]) — the 64-aggregate HOF form runs
     * interpreted; equality of the two forms is asserted in spec. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -217,32 +217,77 @@ object DedupQueries extends QueryRegistry {
       .orderBy($"doc_id")
   }
 
+  /** DuckDB mirror of the 64-bit kernel. Per word: md5 hex → 16 nibble
+    * values; bit b of the implied big-endian 64-bit value lives in
+    * 1-based nibble (16 - b/4) at in-nibble position (b%4). The bit-63
+    * term uses the min-Long literal (1<<63 overflows DuckDB's checked
+    * shift); every partial sum stays in BIGINT range. */
   private val simhashSql = {
-    val bits = (0 until 16).map { b =>
-      s"""CASE WHEN list_sum(list_transform(hv,
-         |   x -> CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         | THEN ${1 << b} ELSE 0 END""".stripMargin
-    }.mkString(" + ")
-    s"""SELECT doc_id, ($bits)::INT AS simhash
+    val nibbles = (1 to 16)
+      .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1")
+      .mkString("[", ", ", "]")
+    def vote(b: Int) = {
+      val idx = 16 - b / 4
+      val sh = b % 4
+      s"""list_sum(list_transform(nbs,
+         |   ns -> CASE WHEN (ns[$idx] >> $sh) & 1 = 1 THEN 1 ELSE -1 END)) > 0"""
+        .stripMargin
+    }
+    val bit63 =
+      s"CASE WHEN ${vote(63)} THEN -9223372036854775807 - 1 ELSE 0 END"
+    val bits = bit63 +: (0 to 62).map { b =>
+      s"CASE WHEN ${vote(b)} THEN ${1L << b} ELSE 0 END"
+    }
+    s"""SELECT doc_id, (${bits.mkString("\n + ")})::BIGINT AS simhash
        |FROM (
-       |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
-       |    w -> (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
-       |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
-       |       + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
-       |       + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) AS hv
+       |  SELECT doc_id, list_transform(
+       |    list_transform(string_split(lower(text), ' '), w -> md5(w)),
+       |    h -> $nibbles) AS nbs
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Embedding cosine near-dup pairs (threshold 0.4; double-precision
-    * sequential dot product — bit-identical across engines). */
+  // Embedding near-dup LSH parameters: 12 tables × 8-bit signatures.
+  // 2^8 buckets/table is the fixture setting — at 100 TB `EmbBits`
+  // scales with log2(n) to keep buckets bounded; the plan shape (narrow
+  // signature pass → bucket equi-join → verify) is unchanged.
+  private val EmbTables = 12
+  private val EmbBits = 8
+  private val EmbDim = 64
+
+  /** Embedding cosine near-dup pairs, two-phase: deterministic
+    * random-hyperplane LSH candidates (pairs sharing ≥1 of the 12
+    * per-table 8-bit signatures) verified by exact cosine > 0.4.
+    *
+    * Round 1 computed this as a broadcast nested-loop over ALL pairs —
+    * an O(n²) scale-killer. The bucketed form shuffles only
+    * (vec_id, table·2^bits + sig) ints and verifies cosine strictly
+    * within buckets, the same two-phase shape as qd03→qd04. Like every
+    * production ANN dedup it is approximate-by-design in the candidate
+    * stage: recall at a similarity threshold θ is 1-(1-p^bits)^tables
+    * with p = 1-arccos(θ)/π — ≈1 for true near-dups (cos ≥ 0.9), lower
+    * at this fixture's loose 0.4 threshold (no fixture pair exceeds
+    * 0.61). The md5-derived planes are reproduced verbatim in the
+    * DuckDB oracle, so the output (candidates ∩ cos>0.4) is exact,
+    * deterministic, and hash-checked; planted-near-dup recall is
+    * asserted in SimilaritySpec. */
   private def embedDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = Tables(s, dir)
     val e = t.embeddings.select($"vec_id", $"embedding")
-    val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
-    a.join(broadcast(b), $"a_id" < $"b_id")
+    val sigs = graft.functions.PlaneLSH
+      .signatures(e, "vec_id", "embedding", EmbTables, EmbBits, EmbDim)
+    val buckets = sigs.select($"vec_id", explode(array(
+      (0 until EmbTables).map(t0 =>
+        col(s"sig$t0") + lit(t0 << EmbBits)): _*)).as("bkt"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), col("x.bkt") === col("y.bkt") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea")), "a_id")
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb")), "b_id")
       .select($"a_id", $"b_id",
         round(graft.functions.CosineSimilarity.cosineSim($"ea", $"eb"), 6)
           .as("cos"))
@@ -250,45 +295,81 @@ object DedupQueries extends QueryRegistry {
       .orderBy($"a_id", $"b_id")
   }
 
-  private val embedDupSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    round(list_sum(list_transform(generate_series(1, len(a.emb)),
-      |            i -> a.emb[i] * b.emb[i]))
-      |      / (sqrt(list_sum(list_transform(generate_series(1, len(a.emb)),
-      |            i -> a.emb[i] * a.emb[i])))
-      |       * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
-      |            i -> b.emb[i] * b.emb[i])))), 6) AS cos
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT a_id, b_id, cos FROM p WHERE cos > 0.4
-      |ORDER BY a_id, b_id""".stripMargin
+  private val embedDupSql = {
+    val w = graft.functions.PlaneLSH
+      .weightSqlLiterals(EmbTables, EmbBits, EmbDim)
+    val wCols = w.indices.map(tp => s"${w(tp)}::DOUBLE[] AS w$tp")
+      .mkString(",\n  ")
+    def sigExpr(t: Int) = (0 until EmbBits).map { p =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $EmbDim),
+         |      i -> emb[i] * w${t * EmbBits + p}[i])) > 0
+         |  THEN ${1 << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val bktList = (0 until EmbTables)
+      .map(t => s"(${sigExpr(t)}) + ${t << EmbBits}").mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |w AS (SELECT
+       |  $wCols),
+       |bkt AS (
+       |  SELECT vec_id, unnest([
+       |    $bktList]) AS bkt
+       |  FROM e, w),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT a_id, b_id,
+       |    round(list_sum(list_transform(generate_series(1, len(a.emb)),
+       |            i -> a.emb[i] * b.emb[i]))
+       |      / (sqrt(list_sum(list_transform(generate_series(1, len(a.emb)),
+       |            i -> a.emb[i] * a.emb[i])))
+       |       * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
+       |            i -> b.emb[i] * b.emb[i])))), 6) AS cos
+       |  FROM cand JOIN e a ON a_id = a.vec_id JOIN e b ON b_id = b.vec_id)
+       |SELECT a_id, b_id, cos FROM p WHERE cos > 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
-  /** SimHash near-dup pairs: band on the high byte (8/16 bits shared ⇒
-    * candidate), verify by Hamming distance ≤ 3. The banded equi-join is
-    * the scale path — the shuffle key is one byte of signature, never
-    * text. */
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * blocks; by pigeonhole any pair within Hamming distance 3 shares at
+    * least one block, so the block-equi-join is EXACT for hamming ≤ 3 —
+    * no recall loss. At scale each block table has 2^16 shuffle keys and
+    * the payload is (doc_id, simhash, block): never text, never
+    * quadratic (the old high-byte band had ≤256 global buckets). */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = simhash(s, dir) // (doc_id, simhash)
-    val a = sig.select($"doc_id".as("a_id"), $"simhash".as("sa"))
-    val b = sig.select($"doc_id".as("b_id"), $"simhash".as("sb"))
-    a.join(b, shiftright($"sa", 8) === shiftright($"sb", 8) &&
-        $"a_id" < $"b_id")
-      .select($"a_id", $"b_id",
-        expr("bit_count(sa ^ sb)").as("hamming"))
+    val blkCols = (0 until 4).map { b =>
+      shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)) +
+        lit(b * 65536L)
+    }
+    val blocks = sig.select($"doc_id", $"simhash",
+      explode(array(blkCols: _*)).as("blk"))
+    val a = blocks.select($"doc_id".as("a_id"), $"simhash".as("sa"), $"blk")
+    val b = blocks.select($"doc_id".as("b_id"), $"simhash".as("sb"), $"blk")
+    a.join(b, Seq("blk"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"sa", $"sb")
+      .distinct()
+      .select($"a_id", $"b_id", expr("bit_count(sa ^ sb)").as("hamming"))
       .filter($"hamming" <= 3)
       .orderBy($"a_id", $"b_id")
   }
 
   private val simhashPairsSql = {
     val sigSql = simhashSql.replace("\nORDER BY doc_id", "")
-    s"""WITH sig AS ($sigSql)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-       |FROM sig a JOIN sig b
-       |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    val blks = (0 until 4)
+      .map(b => s"((simhash >> ${16 * b}) & 65535) + ${b * 65536}")
+      .mkString(", ")
+    s"""WITH sig AS ($sigSql),
+       |blk AS (
+       |  SELECT doc_id, simhash, unnest([$blks]) AS blk FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, bit_count(xor(sa, sb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
   }
 

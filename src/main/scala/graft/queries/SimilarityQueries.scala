@@ -108,36 +108,50 @@ object SimilarityQueries extends QueryRegistry {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Random-hyperplane LSH bucketing (8-bit signatures from md5-seeded
-    * pseudo-random planes): maps each vector to a bucket id; the scale
-    * path for cosine near-dup joins (bucket-equi-join instead of cross
-    * join). Deterministic planes derived from the dimension index — no
-    * RNG state. Rows-only check; recall asserted in SimilaritySpec. */
+  private val LshBits = 8
+  private val Dim = 64
+
+  /** Random-hyperplane LSH bucketing (8-bit signatures): maps each
+    * vector to a bucket id; the scale path for cosine near-dup joins
+    * (bucket-equi-join instead of cross join). The ±1 plane weights are
+    * md5-parity-derived constants, precomputed ONCE on the driver and
+    * applied by the single-pass [[graft.functions.PlaneLSH]] kernel —
+    * the round-1 form re-derived every weight per ROW via interpreted
+    * HOFs (512 md5 calls/row, the documented MinHash trap). The DuckDB
+    * oracle inlines the identical literals, so this is hash-checked. */
   private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
-    val nBits = 8
-    // plane p, dim i weight = ±1 by parity of md5(p|i) first hex digit
-    val sig = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with($"embedding",
-          transform(sequence(lit(0), lit(63)), i =>
-            when(conv(substring(md5(to_binary(
-              concat(lit(s"$p|"), i.cast("string")), lit("utf-8"))), 1, 1),
-              16, 10).cast("int") % 2 === 0, 1.0).otherwise(-1.0)),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-    e.select($"vec_id", sig.as("bucket"))
-      .groupBy($"bucket").agg(count(lit(1)).as("n"),
-        min($"vec_id").as("min_vec"))
+    graft.functions.PlaneLSH
+      .signatures(e, "vec_id", "embedding", tables = 1, bits = LshBits, Dim)
+      .groupBy($"sig0".as("bucket"))
+      .agg(count(lit(1)).as("n"), min($"vec_id").as("min_vec"))
+      .select($"bucket", $"n", $"min_vec")
       .orderBy($"bucket")
+  }
+
+  private val lshBucketsSql = {
+    val w = graft.functions.PlaneLSH.weightSqlLiterals(1, LshBits, Dim)
+    val wCols = (0 until LshBits)
+      .map(p => s"${w(p)}::DOUBLE[] AS w$p").mkString(",\n  ")
+    val sigBits = (0 until LshBits).map { p =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> emb[i] * w$p[i])) > 0 THEN ${1 << p} ELSE 0 END"""
+        .stripMargin
+    }.mkString("\n + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |w AS (SELECT
+       |  $wCols),
+       |sig AS (
+       |  SELECT vec_id, ($sigBits)::INT AS bucket
+       |  FROM e, w)
+       |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
+       |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
   override val defs: Map[String, QueryDef] = Map(
     "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
     "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, None),
-    "qs03_ann_lsh_buckets" -> QueryDef(lshBuckets, None),
+    "qs03_ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsSql), bench = true),
   )
 }

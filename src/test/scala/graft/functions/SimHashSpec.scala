@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Kernel-vs-declarative cross-check for SimHash (same law as
   * MinHashSpec: the JVM pass must equal the Column/HOF form and thus the
-  * DuckDB oracle's strpos-hex arithmetic). */
+  * DuckDB oracle's per-nibble strpos-hex arithmetic). */
 class SimHashSpec extends SparkSpec {
 
-  test("JVM kernel equals 16-aggregate HOF form") {
+  test("JVM kernel equals 64-aggregate HOF form") {
     import spark.implicits._
     val docs = Seq(
       (0L, "the quick brown fox"),
@@ -18,31 +18,51 @@ class SimHashSpec extends SparkSpec {
       .toDF("doc_id", "text")
 
     val kernel = SimHash.signatures(docs).orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
+      .map(r => (r.getLong(0), r.getLong(1)))
 
+    // HOF mirror: 64-bit word hash as two 32-bit halves (conv of a full
+    // 16-hex-digit value overflows signed long through the string path)
     val ws = split(lower($"text"), " ")
-    val hv = transform(ws, w =>
-      conv(substring(md5(to_binary(w, lit("utf-8"))), 1, 4), 16, 10)
-        .cast("int"))
-    val sim = (0 until 16).map { b =>
-      val vote = aggregate(hv, lit(0), (acc, x) =>
-        acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1 << b)).otherwise(lit(0))
+    val hex = transform(ws, w => md5(to_binary(w, lit("utf-8"))))
+    val hi = transform(hex, h =>
+      conv(substring(h, 1, 8), 16, 10).cast("long"))
+    val lo = transform(hex, h =>
+      conv(substring(h, 9, 8), 16, 10).cast("long"))
+    val sim = (0 until 64).map { b =>
+      val half = if (b < 32) lo else hi
+      val sh = if (b < 32) b else b - 32
+      val vote = aggregate(half, lit(0), (acc, x) =>
+        acc + when(shiftright(x, sh).bitwiseAND(1) === 1, 1).otherwise(-1))
+      if (b == 63) when(vote > 0, lit(Long.MinValue)).otherwise(lit(0L))
+      else when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val hof = docs.select($"doc_id", sim.as("simhash")).orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
 
     assert(kernel.toSeq == hof.toSeq)
   }
 
   test("near-identical docs land within small Hamming distance") {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val a = SimHash.simhash16(md,
+    val a = SimHash.simhash64(md,
       "spark engine processes large video datasets with minhash dedup stages")
-    val b = SimHash.simhash16(md,
+    val b = SimHash.simhash64(md,
       "spark engine processes large video datasets with simhash dedup stages")
-    val c = SimHash.simhash16(md,
+    val c = SimHash.simhash64(md,
       "completely unrelated words about cooking pasta tonight")
-    assert(Integer.bitCount(a ^ b) <= Integer.bitCount(a ^ c))
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+  }
+
+  test("hamming-3 pairs always share one of the 4 16-bit blocks (pigeonhole)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val x = rnd.nextLong()
+      // flip up to 3 random bits
+      val y = (0 until rnd.nextInt(4)).foldLeft(x)((v, _) =>
+        v ^ (1L << rnd.nextInt(64)))
+      val shares = (0 until 4).exists(b =>
+        ((x >> (16 * b)) & 0xffffL) == ((y >> (16 * b)) & 0xffffL))
+      assert(shares, s"x=$x y=$y must share a block")
+    }
   }
 }

@@ -47,22 +47,50 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.length > 10)
   }
 
-  test("LSH near-dup candidates achieve decent recall on close pairs") {
-    import org.apache.spark.sql.functions._
-    // ground truth: pairs with cosine > 0.35 (brute force on 50 vectors)
-    val e = graft.Tables(spark, dir).embeddings.limit(50)
-      .select(col("vec_id"), col("embedding"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    val pairs = a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
-          .as("cos"))
-      .filter(col("cos") > 0.35)
-    assert(pairs.count() >= 0) // shape check; tiny fixture may have none
+  test("PlaneLSH finds every planted true near-dup (cos ≥ 0.95)") {
+    // qd06's candidate stage is approximate-by-design at loose
+    // thresholds; at the production near-dup regime it must not miss.
+    // Plant 20 pairs at cos ≈ 0.98 among 200 decoys and require 100%
+    // recall from the 12×8-bit construction (deterministic planes +
+    // seeded vectors ⇒ this is a fixed, repeatable check).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] =
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] = {
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum)
+      v.map(x => (x + 0.14 * norm / 8 * rnd.nextGaussian()).toFloat)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val planted = (0 until 20).map(_ => randVec()).map(v => (v, perturb(v)))
+    planted.foreach { case (a, b) => assert(cos(a, b) >= 0.95) }
+    val decoys = (0 until 200).map(_ => randVec())
+    val rows =
+      planted.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq(Row(2L * i, a), Row(2L * i + 1, b))
+      } ++ decoys.zipWithIndex.map { case (v, i) => Row(1000L + i, v) }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+    val sigs = graft.functions.PlaneLSH
+      .signatures(df, "vec_id", "embedding", tables = 12, bits = 8, dim = 64)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 12).map(t => r.getInt(t + 1)))
+      .toMap
+    val missed = (0 until 20).filter { i =>
+      val sa = sigs(2L * i); val sb = sigs(2L * i + 1)
+      !(0 until 12).exists(t => sa(t) == sb(t))
+    }
+    assert(missed.isEmpty, s"planted pairs missed by LSH: $missed")
   }
 }

@@ -48,18 +48,12 @@ object ScaleProbe {
         .select(col("a.doc_id"), col("b.doc_id")).distinct()
       val nPairs = pairs.count()
       val tLsh = (System.nanoTime() - t1) / 1e9
-      // 64-bit simhash + 4×16-bit block join (qd07 shape): candidate
-      // count must stay near-linear in docs, not quadratic
+      // 64-bit simhash + Manku C(6,3) combo-table join (qd07 shape):
+      // candidate count must stay near-linear in docs, not quadratic
       val t2 = System.nanoTime()
       val sim = functions.SimHash.signatures(big)
-      val blocks = sim.select(col("doc_id"), explode(array(
-        (0 until 4).map(b =>
-          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)) +
-            lit(b * 65536L)): _*)).as("blk"))
-      val simPairs = blocks.as("a").join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).distinct()
-      val nSimPairs = simPairs.count()
+      val nSimPairs = functions.SimHash.candidatePairs(sim)
+        .select(col("a_id"), col("b_id")).count()
       val tSim = (System.nanoTime() - t2) / 1e9
       println(f"[scale] docs=$n%8d sig=$tSig%6.2fs lsh=$tLsh%6.2fs " +
         f"pairs=$nPairs%d simhash=$tSim%6.2fs simPairs=$nSimPairs%d")

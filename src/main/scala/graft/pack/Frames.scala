@@ -111,6 +111,12 @@ trait FrameSource extends Serializable {
   def frame(video: Array[Byte], index: Int): Array[Byte]
   def frameCount(video: Array[Byte]): Int
   def fps(video: Array[Byte]): Double
+  /** per-frame picture types ('I'/'P'), the ffprobe `pict_type` stream
+    * the kf sampler selects on (`pack/tools.py:101-140`). Synthetic
+    * default: a keyframe every 10 frames — production wires the real
+    * probe here. */
+  def frameTypes(video: Array[Byte]): IndexedSeq[Char] =
+    IndexedSeq.tabulate(frameCount(video))(i => if (i % 10 == 0) 'I' else 'P')
 }
 
 object FrameSource {
@@ -127,5 +133,19 @@ object FrameSource {
     def frameCount(video: Array[Byte]): Int =
       100 + (math.abs(java.util.Arrays.hashCode(video)) % 100)
     def fps(video: Array[Byte]): Double = 25.0
+  }
+
+  /** Content-independent frame geometry: every video has exactly `count`
+    * frames at `fpsValue`, keyframe every `iEvery`. Makes downstream
+    * per-sample entry counts a pure function of configuration — the
+    * oracle-checkable fixture for kf gate queries. */
+  final case class Fixed(count: Int, fpsValue: Double = 25.0,
+      iEvery: Int = 10) extends FrameSource {
+    def frame(video: Array[Byte], index: Int): Array[Byte] =
+      Synthetic.frame(video, index)
+    def frameCount(video: Array[Byte]): Int = count
+    def fps(video: Array[Byte]): Double = fpsValue
+    override def frameTypes(video: Array[Byte]): IndexedSeq[Char] =
+      IndexedSeq.tabulate(count)(i => if (i % iEvery == 0) 'I' else 'P')
   }
 }

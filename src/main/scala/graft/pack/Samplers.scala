@@ -40,4 +40,31 @@ object Samplers {
       case Some((w, h)) => blackFrame(w, h)
       case None => load(normalizeMediaPath(path))
     }
+
+  /** `keyframes_sampler` (`pack/tools.py:101-140`): select frames of one
+    * picture type. 'I' appends the final frame (the reference always
+    * closes an I-run with the last frame); 'P' drops its last frame
+    * (which that appended I-frame would duplicate). Both lists are then
+    * uniform-subsampled to `maxSamples` (≤ 0 ⇒ empty, matching the
+    * reference's negative-range behavior). Returns
+    * (images, frame indices, total frames). */
+  def keyframes(
+      video: Array[Byte],
+      frameType: Char,
+      maxSamples: Int,
+      fs: FrameSource): (IndexedSeq[Array[Byte]], IndexedSeq[Int], Int) = {
+    val total = fs.frameCount(video)
+    val types = fs.frameTypes(video)
+    val idxs: IndexedSeq[Int] = frameType match {
+      case 'I' =>
+        types.zipWithIndex.collect { case ('I', i) => i } :+ (total - 1)
+      case 'P' =>
+        types.zipWithIndex.collect { case (t, i) if t != 'I' => i }
+          .dropRight(1)
+      case other =>
+        throw new IllegalArgumentException(s"frame type $other")
+    }
+    val pick = Frames.uniformSample(idxs, maxSamples)
+    (pick.map(fs.frame(video, _)), pick, total)
+  }
 }

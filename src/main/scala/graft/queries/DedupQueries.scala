@@ -330,27 +330,16 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
-    * blocks; by pigeonhole any pair within Hamming distance 3 shares at
-    * least one block, so the block-equi-join is EXACT for hamming ≤ 3 —
-    * no recall loss. At scale each block table has 2^16 shuffle keys and
-    * the payload is (doc_id, simhash, block): never text, never
-    * quadratic (the old high-byte band had ≤256 global buckets). */
+  /** SimHash near-dup pairs: Manku-table candidate generation
+    * ([[graft.functions.SimHash.candidatePairs]] — C(6,3)=20 combo
+    * tables over 6 signature blocks, exact for hamming ≤ 3 by
+    * pigeonhole, ~2^33 shuffle keyspace) then Hamming verification.
+    * The candidate stage is a superset of every hamming-≤3 pair, so the
+    * final output equals the brute-force definition — which is what the
+    * (fixture-scale) oracle computes. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = simhash(s, dir) // (doc_id, simhash)
-    val blkCols = (0 until 4).map { b =>
-      shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)) +
-        lit(b * 65536L)
-    }
-    val blocks = sig.select($"doc_id", $"simhash",
-      explode(array(blkCols: _*)).as("blk"))
-    val a = blocks.select($"doc_id".as("a_id"), $"simhash".as("sa"), $"blk")
-    val b = blocks.select($"doc_id".as("b_id"), $"simhash".as("sb"), $"blk")
-    a.join(b, Seq("blk"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id", $"sa", $"sb")
-      .distinct()
+    graft.functions.SimHash.candidatePairs(simhash(s, dir))
       .select($"a_id", $"b_id", expr("bit_count(sa ^ sb)").as("hamming"))
       .filter($"hamming" <= 3)
       .orderBy($"a_id", $"b_id")
@@ -358,18 +347,11 @@ object DedupQueries extends QueryRegistry {
 
   private val simhashPairsSql = {
     val sigSql = simhashSql.replace("\nORDER BY doc_id", "")
-    val blks = (0 until 4)
-      .map(b => s"((simhash >> ${16 * b}) & 65535) + ${b * 65536}")
-      .mkString(", ")
-    s"""WITH sig AS ($sigSql),
-       |blk AS (
-       |  SELECT doc_id, simhash, unnest([$blks]) AS blk FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    a.simhash AS sa, b.simhash AS sb
-       |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, bit_count(xor(sa, sb))::INT AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    s"""WITH sig AS ($sigSql)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -47,18 +47,187 @@ object WdsQueries extends QueryRegistry {
         format_string("videos/%09d.mp4", col("doc_id")).as("video_path"),
         col("text").as("value"))
 
-  /** E1 as a query: pack documents into 500-sample tars; report per-tar
-    * sample counts by shard ordinal. */
+  /** Shared oracle scaffolding: the pack stage assigns file_idx by the
+    * global (video_path, value) order, which for `docMeta` is doc_id
+    * order — so sample keys and aligned-chunk shard sizes are pure SQL
+    * over `documents`. */
+  private val RnCte =
+    "(SELECT row_number() OVER (ORDER BY doc_id) AS rn FROM documents) t"
+  private val KeyExpr = "printf('%09d', rn - 1)"
+
+  /** E1 as a query: pack documents into aligned 100-sample tars; per-tar
+    * counts are the exact ceil-chunk of the global order — hash-checked
+    * against the q08-style chunk SQL. */
   private def packStats(s: SparkSession, dir: String): DataFrame = {
     val out = scratchDir("graft_e1")
     val info = PackStage.run(docMeta(s, dir), out,
-      PackStage.PackOptions(numSegments = 4, samplesPerTar = 500))
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
     info.select(
-      col("partition"),
-      regexp_extract(col("url"), "-(\\d+)\\.tar$", 1).cast("int").as("shard"),
+      col("partition").cast("int").as("shard"),
       col("nsamples"))
-      .orderBy(col("partition"), col("shard"))
+      .orderBy(col("shard"))
   }
+
+  private val packStatsSql =
+    s"""SELECT CAST(floor((rn - 1) / 100) AS INT) AS shard,
+       | count(*) AS nsamples
+       |FROM $RnCte GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Read shards back through the DSv2 path and project per-sample
+    * columns (shared by the sampler-type gate queries). */
+  private def readBack(s: SparkSession, info: DataFrame): DataFrame = {
+    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+    s.read.format("wds").load(urls: _*)
+  }
+
+  private def jsonCol = element_at(col("entries"), "json").cast("string")
+
+  /** E1 per-sample oracle: every doc appears exactly once, with its
+    * deterministic zero-padded key and the uniform sampler's
+    * numSegments+1 entries — the E1 spine (zipWithIndex → tar write →
+    * DSv2 read → interleave regroup) is hash-checked end-to-end. */
+  private def packKeys(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_e1k")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
+      .orderBy(col("key"))
+  }
+
+  private val packKeysSql =
+    s"""SELECT $KeyExpr AS key, 5 AS n_entries
+       |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** kf sampler end-to-end (I/P keyframe selection → combine → pack →
+    * read-back): with the Fixed(50 frames, I-every-10) source the
+    * sampler yields exactly 6 I-frames (5 keyframes + appended last) and
+    * 18 P-fills of totalFrames=24 — counted back out of the written
+    * prompt, hash-checked. */
+  private def kfPack(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_kf")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Kf,
+        frames = graft.pack.FrameSource.Fixed(count = 50),
+        samplesPerTar = 100, alignShards = true))
+    def tokCount(tok: String) =
+      ((length(jsonCol) - length(regexp_replace(jsonCol, tok, ""))) /
+        tok.length).cast("int")
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        tokCount("<Iimage>").as("n_iframes"),
+        tokCount("<Pimage>").as("n_pframes"))
+      .orderBy(col("key"))
+  }
+
+  private val kfPackSql =
+    s"""SELECT $KeyExpr AS key, 25 AS n_entries,
+       | 6 AS n_iframes, 18 AS n_pframes
+       |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** video_interleave sampler: two clips per record → sibling mp4
+    * entries regrouped under the json on read-back. */
+  private def interleavePack(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir).documents.select(
+      format_string("videos/%09d-a.mp4", col("doc_id")).as("video_path"),
+      col("text").as("value"),
+      array(format_string("videos/%09d-a.mp4", col("doc_id")),
+        format_string("videos/%09d-b.mp4", col("doc_id"))).as("media_paths"))
+    val out = scratchDir("graft_il")
+    val info = PackStage.run(meta, out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Interleave,
+        samplesPerTar = 100, alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        get_json_object(jsonCol, "$.videos[1]").as("second_clip"))
+      .orderBy(col("key"))
+  }
+
+  private val interleavePackSql =
+    s"""SELECT $KeyExpr AS key, 3 AS n_entries,
+       | printf('%09d-1', rn - 1) AS second_clip
+       |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** video_sft sampler: QA-list metadata → videochat2 conversation with
+    * the <video> token on the first human turn. */
+  private def sftPack(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir).documents.select(
+      format_string("videos/%09d.mp4", col("doc_id")).as("video_path"),
+      to_json(array(struct(
+        substring(col("text"), 1, 20).as("q"),
+        col("text").as("a")))).as("value"))
+    val out = scratchDir("graft_sft")
+    val info = PackStage.run(meta, out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Sft,
+        samplesPerTar = 100, alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        get_json_object(jsonCol, "$.conversations[0].value")
+          .endsWith("<video>").cast("int").as("has_video_token"))
+      .orderBy(col("key"))
+  }
+
+  private val sftPackSql =
+    s"""SELECT $KeyExpr AS key, 2 AS n_entries, 1 AS has_video_token
+       |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** merlin-s sampler: black-background synthesis + image load, QA
+    * transcript split into 2 QA pairs (the `<image>#ts#` question and
+    * the appended summary question). */
+  private def merlinPack(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir).documents.select(
+      format_string("merlin/%09d", col("doc_id")).as("video_path"),
+      concat(lit("<image>#"), (col("doc_id") % 97).cast("string"),
+        lit("# answer "), substring(col("text"), 1, 15),
+        lit(" Summary: "), substring(col("text"), 1, 10)).as("value"),
+      array(lit("Black background: 4, 3"),
+        format_string("images/%09d.jpg", col("doc_id"))).as("media_paths"))
+    val out = scratchDir("graft_mer")
+    val info = PackStage.run(meta, out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.MerlinS,
+        samplesPerTar = 100, alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        json_array_length(get_json_object(jsonCol, "$.conversations"))
+          .as("n_turns"))
+      .orderBy(col("key"))
+  }
+
+  private val merlinPackSql =
+    s"""SELECT $KeyExpr AS key, 3 AS n_entries, 4 AS n_turns
+       |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** unicontrol sampler: exactly (source, target) image pair with the
+    * prompt carried through. */
+  private def unicontrolPack(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir).documents.select(
+      format_string("uni/src/%09d.png", col("doc_id")).as("video_path"),
+      col("text").as("value"),
+      array(format_string("uni/src/%09d.png", col("doc_id")),
+        format_string("uni/tgt/%09d.png", col("doc_id"))).as("media_paths"))
+    val out = scratchDir("graft_uc")
+    val info = PackStage.run(meta, out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Unicontrol,
+        samplesPerTar = 100, alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        get_json_object(jsonCol, "$.source").as("source_name"),
+        get_json_object(jsonCol, "$.target").as("target_name"))
+      .orderBy(col("key"))
+  }
+
+  private val unicontrolPackSql =
+    s"""SELECT $KeyExpr AS key, 3 AS n_entries,
+       | printf('%09d-0', rn - 1) AS source_name,
+       | printf('%09d-1', rn - 1) AS target_name
+       |FROM $RnCte ORDER BY key""".stripMargin
 
   /** E1→read-back as a query: adjacency/interleave grouping over real
     * tar bytes; per-sample entry histogram. */
@@ -89,6 +258,36 @@ object WdsQueries extends QueryRegistry {
     CheckStage.checked(WdsReader.readUrls(s, tokUrls))
       .select(col("key"), col("n_tokens"), col("n_images"))
       .orderBy(col("key"))
+  }
+
+  /** E2 across ≥4 REAL merge groups (no coalesce(1)): aligned 125-doc
+    * chunks → one DSv2 partition per shard → per-group greedy packing in
+    * parallel. Output is per-group totals (bin/doc/token counts), which
+    * are partition-invariant because each group's fold is sealed inside
+    * its own partition — the parallel-packing correctness surface. The
+    * group↔serial equivalence law is asserted in TokenizeMultiSpec;
+    * token counts are tokenizer-derived, hence no SQL oracle. */
+  private def tokenizeMulti(s: SparkSession, dir: String): DataFrame = {
+    val packOut = scratchDir("graft_e1m")
+    val tokOut = scratchDir("graft_e2m")
+    val info = PackStage.run(docMeta(s, dir), packOut,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 125,
+        alignShards = true))
+    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+    require(urls.length >= 4 || Tables(s, dir).documents.count() < 500,
+      s"expected >=4 merge groups, got ${urls.length}")
+    val samples = WdsReader.readUrls(s, urls) // 1 shard = 1 partition
+    val tokInfo = TokenizeStage.run(samples, tokOut)
+    val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
+    s.read.format("wds").load(tokUrls: _*)
+      .select(split(col("key"), "-").getItem(0).cast("int").as("group"),
+        json_array_length(get_json_object(jsonCol, "$.text")).as("n_docs"),
+        json_array_length(get_json_object(jsonCol, "$.input_ids"))
+          .as("n_tokens"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("group"))
   }
 
   /** E3 as a query: strict invariant gate + shard index over freshly
@@ -157,10 +356,17 @@ object WdsQueries extends QueryRegistry {
   }
 
   override val defs: Map[String, QueryDef] = Map(
-    "wds01_pack_stats" -> QueryDef(packStats, None),
+    "wds01_pack_stats" -> QueryDef(packStats, Some(packStatsSql)),
     "wds02_roundtrip" -> QueryDef(roundtrip, None, bench = true),
     "wds03_tokenize_pack" -> QueryDef(tokenizePack, None),
     "wds04_index_check" -> QueryDef(indexCheck, None),
+    "wds05_pack_keys" -> QueryDef(packKeys, Some(packKeysSql)),
+    "wds06_kf_pack" -> QueryDef(kfPack, Some(kfPackSql)),
+    "wds07_interleave_pack" -> QueryDef(interleavePack, Some(interleavePackSql)),
+    "wds08_sft_pack" -> QueryDef(sftPack, Some(sftPackSql)),
+    "wds09_merlin_pack" -> QueryDef(merlinPack, Some(merlinPackSql)),
+    "wds10_unicontrol_pack" -> QueryDef(unicontrolPack, Some(unicontrolPackSql)),
+    "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, None),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "mm01_image_features" -> QueryDef(mediaFeatures, None),
     "mm02_frame_sample" -> QueryDef(frameSample, None),

@@ -197,7 +197,8 @@ object TokenizeStage {
   def run(
       packShards: Dataset[Sample],
       outDir: String,
-      tokenizer: SpecialTokenTokenizer = Tokenizers.testTokenizer()):
+      tokenizer: SpecialTokenTokenizer = Tokenizers.testTokenizer(),
+      maxTokens: Int = MaxTokens):
       DataFrame = {
     implicit val enc = Encoders.product[Sample]
     val packed = packShards.mapPartitions { it =>
@@ -220,7 +221,7 @@ object TokenizeStage {
           }
         }
       }
-      greedyPack(docs).map(toSampleGroup(_))
+      greedyPack(docs, maxTokens).map(toSampleGroup(_))
     }
     WdsWriter.write(packed, outDir,
       WdsWriter.WriterOptions(

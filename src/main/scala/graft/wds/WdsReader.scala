@@ -42,10 +42,13 @@ object WdsReader {
     val bc = spark.sparkContext.broadcast(conf)
     // one shard per partition: tars are non-splittable and the scan is
     // sequential; at cluster scale the scheduler packs shards onto
-    // executors — same granularity as the reference fleet
-    spark.createDataset(urls)
-      .repartition(urls.size)
-      .mapPartitions(it => readPartition(it, bc.value.value, opts))
+    // executors — same granularity as the reference fleet.
+    // parallelize(n items, n slices) slices contiguously — EXACTLY one
+    // shard per partition, in list order (round-robin repartition gave
+    // no such guarantee: partitions could receive 0 or 2 shards)
+    spark.createDataset(
+      spark.sparkContext.parallelize(urls, urls.size)
+        .mapPartitions(it => readPartition(it, bc.value.value, opts)))
   }
 
   /** Stream every shard of one task. Open errors route through the

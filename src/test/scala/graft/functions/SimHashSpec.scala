@@ -53,16 +53,40 @@ class SimHashSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
   }
 
-  test("hamming-3 pairs always share one of the 4 16-bit blocks (pigeonhole)") {
+  test("hamming-3 pairs always share a full 3-block combo (Manku pigeonhole)") {
+    def blockVal(v: Long, i: Int): Long = {
+      val (off, len) = SimHash.Blocks(i)
+      (v >> off) & ((1L << len) - 1)
+    }
     val rnd = new scala.util.Random(7)
-    (0 until 200).foreach { _ =>
+    (0 until 500).foreach { _ =>
       val x = rnd.nextLong()
       // flip up to 3 random bits
       val y = (0 until rnd.nextInt(4)).foldLeft(x)((v, _) =>
         v ^ (1L << rnd.nextInt(64)))
-      val shares = (0 until 4).exists(b =>
-        ((x >> (16 * b)) & 0xffffL) == ((y >> (16 * b)) & 0xffffL))
-      assert(shares, s"x=$x y=$y must share a block")
+      val shares = SimHash.BlockCombos.exists(c =>
+        c.forall(i => blockVal(x, i) == blockVal(y, i)))
+      assert(shares, s"x=$x y=$y must share a combo")
+    }
+  }
+
+  test("candidatePairs is a superset of all hamming<=3 pairs (Spark)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map(_ => rnd.nextLong())
+    // planted neighbors: id 1000+i is id i with <=3 flipped bits
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.zipWithIndex.map { case (v, i) =>
+        (1000L + i, (0 until rnd.nextInt(4)).foldLeft(v)((a, _) =>
+          a ^ (1L << rnd.nextInt(64))))
+      }
+    val sig = rows.toDF("doc_id", "simhash")
+    val cands = SimHash.candidatePairs(sig)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // every planted (i, 1000+i) pair must be present
+    (0 until 40).foreach { i =>
+      assert(cands.contains((i.toLong, 1000L + i)),
+        s"planted pair $i missing")
     }
   }
 }

@@ -85,6 +85,21 @@ object Loaders {
       col("prompt").as("value"))
   }
 
+  /** merlin-s interleave metadata (`dataset_loader.py:188-199`): records
+    * of `{image_info: [{image_name}, …], text_list}` → the canonical
+    * (video_path, value, media_paths) frame the merlin-s sampler
+    * consumes (`samplers.py:48-72` iterates `image_info` dicts by their
+    * `image_name` field). The reference streams one giant JSON array
+    * with ijson on the driver; the distributed equivalent reads the
+    * same records as jsonl (or the single-array file via `multiLine`). */
+  def loadMerlin(spark: SparkSession, path: String,
+      multiLine: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiLine).json(path)
+      .select(
+        element_at(col("image_info.image_name"), 1).as("video_path"),
+        col("text_list").as("value"),
+        col("image_info.image_name").as("media_paths"))
+
   /** hf-dataset-style parquet with column pruning
     * (`dataset_loader.py:38-48`). */
   def loadParquet(spark: SparkSession, path: String,

@@ -383,7 +383,7 @@ object DedupQueries extends QueryRegistry {
     "qd03_lsh_pairs" -> QueryDef(lshPairs, Some(lshPairsSql), bench = true),
     "qd04_ngram_jaccard" -> QueryDef(jaccard, Some(jaccardSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),
-    "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql)),
-    "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql)),
+    "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql), bench = true),
+    "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),
   )
 }

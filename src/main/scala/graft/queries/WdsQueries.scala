@@ -176,17 +176,23 @@ object WdsQueries extends QueryRegistry {
     s"""SELECT $KeyExpr AS key, 2 AS n_entries, 1 AS has_video_token
        |FROM $RnCte ORDER BY key""".stripMargin
 
-  /** merlin-s sampler: black-background synthesis + image load, QA
+  /** merlin-s END-TO-END: documents → merlin interleave jsonl on disk →
+    * `Loaders.loadMerlin` → black-background synthesis + image load, QA
     * transcript split into 2 QA pairs (the `<image>#ts#` question and
     * the appended summary question). */
   private def merlinPack(s: SparkSession, dir: String): DataFrame = {
-    val meta = Tables(s, dir).documents.select(
-      format_string("merlin/%09d", col("doc_id")).as("video_path"),
+    val metaDir = scratchDir("graft_merj")
+    Tables(s, dir).documents.select(
+      array(
+        struct(format_string("images/%09d.jpg", col("doc_id"))
+          .as("image_name")),
+        struct(lit("Black background: 4, 3").as("image_name")))
+        .as("image_info"),
       concat(lit("<image>#"), (col("doc_id") % 97).cast("string"),
         lit("# answer "), substring(col("text"), 1, 15),
-        lit(" Summary: "), substring(col("text"), 1, 10)).as("value"),
-      array(lit("Black background: 4, 3"),
-        format_string("images/%09d.jpg", col("doc_id"))).as("media_paths"))
+        lit(" Summary: "), substring(col("text"), 1, 10)).as("text_list"))
+      .write.mode("overwrite").json(metaDir)
+    val meta = graft.pack.Loaders.loadMerlin(s, metaDir)
     val out = scratchDir("graft_mer")
     val info = PackStage.run(meta, out,
       PackStage.PackOptions(

@@ -40,7 +40,13 @@ object TarIO {
       /** entry-name predicate (pushdown analog of `select_files`). */
       selectFiles: Option[String => Boolean] = None,
       renameFiles: Option[String => String] = None,
-      handler: Handler = Handler.Reraise)
+      handler: Handler = Handler.Reraise,
+      /** keep samples whose entries were ALL filtered away (group
+        * boundaries under a `suffixes` filter). The reference's
+        * group_by_keys yields only valid samples, so the default drops
+        * them; the DSv2 pruned-columns read sets this to count rows
+        * without materializing entry bytes. */
+      keepEmpty: Boolean = false)
 
   /** Scan raw tar entries: (name, bytes), order-preserving. Transparently
     * gunzips `.tar.gz`/`.tgz` streams when `gzipped`. */
@@ -199,7 +205,8 @@ object TarIO {
       }
     }
 
-    (grouped ++ tail).flatten
+    val all = (grouped ++ tail).flatten
+    if (opts.keepEmpty) all else all.filter(_.entries.nonEmpty)
   }
 
   /** One-call read: tar stream → grouped samples. */

@@ -55,6 +55,13 @@ object WdsWriter {
     val bc = spark.sparkContext.broadcast(conf)
     ds.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      // attempt-scoped temp names + rename-on-roll: a speculative or
+      // retried attempt of this task never interleaves bytes with the
+      // original attempt's file (both write their own .tmp-<attempt>,
+      // last rename wins atomically-enough per shard); stray temps are
+      // removed by the completion listener on failure
+      val attempt = Option(TaskContext.get()).map(_.taskAttemptId())
+        .getOrElse(0L)
       val dir = new Path(outDir)
       val fs = dir.getFileSystem(bc.value.value)
       fs.mkdirs(dir)
@@ -62,20 +69,35 @@ object WdsWriter {
       var shardIdx = 0
       var writer: TarIO.TarWriter = null
       var path: Path = null
+      var tmpPath: Path = null
       var count = 0L
       var bytes = 0L
+
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
+        _ =>
+          if (writer != null) {
+            try writer.close() catch { case _: Exception => () }
+            try { fs.delete(tmpPath, false); () }
+            catch { case _: Exception => () }
+          }
+      })
 
       def roll(): Unit = {
         if (writer != null) {
           writer.close()
+          if (fs.exists(path)) fs.delete(path, false)
+          if (!fs.rename(tmpPath, path))
+            throw new java.io.IOException(s"rename $tmpPath -> $path failed")
           out += ShardInfo(path.toString, count, bytes, pid)
         }
         writer = null; count = 0L; bytes = 0L
       }
       def ensure(): Unit = if (writer == null) {
-        path = new Path(dir, opts.pattern(pid, shardIdx))
+        val name = opts.pattern(pid, shardIdx)
+        path = new Path(dir, name)
+        tmpPath = new Path(dir, s".$name.tmp-$attempt")
         shardIdx += 1
-        writer = new TarIO.TarWriter(fs.create(path, true), opts.tar)
+        writer = new TarIO.TarWriter(fs.create(tmpPath, true), opts.tar)
       }
 
       it.foreach { s =>

@@ -168,7 +168,9 @@ final case class WdsReaderFactory(
       private val it: Iterator[Sample] = stream
         .map(in => TarIO.readSamples(in, url,
           if (needEntries) opts
-          else opts.copy(suffixes = Some(Set.empty))))
+          // pruned read: keep the (empty) sample shells so row counts
+          // survive without materializing entry bytes
+          else opts.copy(suffixes = Some(Set.empty), keepEmpty = true)))
         .getOrElse(Iterator.empty)
       private var current: Sample = _
 

@@ -68,6 +68,18 @@ class LoadersSpec extends SparkSpec {
     assert(r.getString(1).contains("\"from\":\"human\""))
   }
 
+  test("merlin-s interleave records (image_info dicts + text_list)") {
+    val p = write("merlin.jsonl",
+      """{"image_info": [{"image_name": "data//a.jpg"}, {"image_name": "Black background: 4, 3"}], "text_list": "<image>#3# ans Summary: s"}
+        |{"image_info": [{"image_name": "b.jpg"}], "text_list": "<image>#7# two Summary: t"}""".stripMargin)
+    val df = Loaders.loadMerlin(spark, p).orderBy("video_path").collect()
+    assert(df.length == 2)
+    val r = df.find(_.getAs[String]("video_path") == "data//a.jpg").get
+    assert(r.getAs[scala.collection.Seq[String]]("media_paths").toSeq ==
+      Seq("data//a.jpg", "Black background: 4, 3"))
+    assert(r.getAs[String]("value").contains("Summary:"))
+  }
+
   test("unicontrol-style source/control/prompt") {
     val p = write("uni.jsonl",
       """{"source": "s.jpg", "control_canny": "c.jpg", "prompt": "make it"}""")

@@ -117,6 +117,21 @@ class TarIOSpec extends AnyFunSuite {
     assert(sfx.forall(_.entries.keySet == Set("cls")))
   }
 
+  test("fully-filtered samples are dropped unless keepEmpty (valid_sample)") {
+    val tar = writeTar(Seq(
+      "000" -> Seq("cls" -> "1", "txt" -> "x"),
+      "001" -> Seq("bin" -> "zz"), // filtered to empty below
+      "002" -> Seq("cls" -> "2")))
+    val dropped = readAll(tar,
+      TarIO.ReadOptions(suffixes = Some(Set("cls", "txt"))))
+    assert(dropped.map(_.key) == Seq("000", "002"))
+    // the DSv2 pruned count path keeps the empty shells
+    val kept = readAll(tar,
+      TarIO.ReadOptions(suffixes = Some(Set.empty), keepEmpty = true))
+    assert(kept.map(_.key) == Seq("000", "001", "002"))
+    assert(kept.forall(_.entries.isEmpty))
+  }
+
   test("meta entries (__meta__-style) are skipped") {
     import org.apache.commons.compress.archivers.tar.{
       TarArchiveEntry, TarArchiveOutputStream}

@@ -18,9 +18,9 @@ import org.json4s.JsonDSL._
   * worker-addressed naming. Sampler fan-out (1 video → n frame entries)
   * is the flatMap/UDTF shape (§2.11).
   *
-  * All eight reference sampler types are dispatched
+  * All ten reference sampler types are dispatched
   * (`pack/pack.py:67-85`): un, kf, video-only, video_text_pair,
-  * video_interleave, video_sft, merlin-s, unicontrol. Where the
+  * video_interleave, video_sft, merlin-s, image, merlin-un, unicontrol. Where the
   * reference computes a conversation and then drops it on the floor
   * (kf's `human_value`, merlin-s's `conversations` — both built at
   * `pack.py:96-148` but absent from the written json), we keep the
@@ -46,9 +46,11 @@ object PackStage {
     case object Sft extends SamplerType { val name = "video_sft" }
     case object MerlinS extends SamplerType { val name = "merlin-s" }
     case object Unicontrol extends SamplerType { val name = "unicontrol" }
+    case object Image extends SamplerType { val name = "image" }
+    case object MerlinUn extends SamplerType { val name = "merlin-un" }
 
     val all: Seq[SamplerType] = Seq(Uniform, Kf, VideoOnly, Pair,
-      Interleave, Sft, MerlinS, Unicontrol)
+      Interleave, Sft, MerlinS, Unicontrol, Image, MerlinUn)
     def byName(n: String): SamplerType =
       all.find(_.name == n.toLowerCase).getOrElse(
         throw new IllegalArgumentException(
@@ -191,6 +193,50 @@ object PackStage {
         }
         val json: JValue =
           ("image_name_list" -> names) ~ ("conversations" -> turnsJson(convs))
+        Sample(key, "", frameEntries(imgs, "jpg") + ("json" -> js(json)))
+
+      case SamplerType.Image =>
+        // get_image (`samplers.py:13-22`) + the image write branch
+        // (`pack.py:181-190`): ONE image carrying the sample's own key
+        // (so it lands inside the same tar group, no sibling naming),
+        // QA-list value → videochat2 conversation with <image> on the
+        // first question
+        val qaList = JsonMethods.parse(value) match {
+          case JArray(items) => items.collect {
+            case JObject(fields) => fields.collect {
+              case (k, JString(s)) => k -> s
+            }
+          }
+          case _ => Seq(Seq("q" -> value))
+        }
+        val convs = Conversations.videochat2Conversation(qaList, "image")
+        val json: JValue =
+          ("conversations" -> turnsJson(convs)) ~ ("image" -> Seq(key))
+        Sample(key, "",
+          Map("json" -> js(json), "jpg" -> mediaFor(paths.head)))
+
+      case SamplerType.MerlinUn =>
+        // get_images (`samplers.py:24-34`) + the merlin-un branch
+        // (`pack.py:115-127,202-213`): value carries ready-made
+        // conversations; even-human turns become `prompt`, odd-gpt
+        // turns `txt`
+        val imgs = paths.map(mediaFor)
+        val names = imgs.indices.map(i => s"$key-$i")
+        implicit val fmts: Formats = DefaultFormats
+        val turns = (JsonMethods.parse(value) match {
+          case JArray(items) => items.collect {
+            case JObject(fields) =>
+              val m = fields.collect { case (k, JString(s)) => k -> s }.toMap
+              Conversations.Turn(m.getOrElse("from", ""),
+                m.getOrElse("value", ""))
+          }
+          case _ => Seq.empty
+        })
+        val (prompt, txt) = Conversations.merlinUnSplit(turns)
+        val json: JValue =
+          ("prompt" -> prompt) ~ ("txt" -> txt) ~
+            ("image_name_list" -> names) ~
+            ("conversations" -> turnsJson(turns))
         Sample(key, "", frameEntries(imgs, "jpg") + ("json" -> js(json)))
 
       case SamplerType.Unicontrol =>

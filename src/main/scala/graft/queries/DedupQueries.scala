@@ -376,7 +376,43 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicate CLUSTERS via connected components over the verified
+    * near-dup pairs (qd04): each doc labeled with the min doc_id of its
+    * component; `is_kept` marks the one survivor per cluster. The
+    * correct transitive answer where the pairwise keep-list (qd08)
+    * over-deletes on chains. Oracle: recursive-CTE label closure. */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = jaccard(s, dir).select($"a_id", $"b_id")
+    val verts = Tables(s, dir).documents.select($"doc_id".as("id"))
+    graft.functions.ConnectedComponents.run(edges, verts)
+      .select($"id".as("doc_id"), $"label".as("cluster"),
+        when($"id" === $"label", 1).otherwise(0).as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
+  private val dupClustersSql = {
+    val pairs = jaccardSql.replace("ORDER BY a_id, b_id", "")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id, b_id FROM ($pairs) j
+       |),
+       |e AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM pairs
+       |),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT eg.dst, r.label FROM reach r JOIN e eg ON eg.src = r.id
+       |)
+       |SELECT id AS doc_id, min(label) AS cluster,
+       |  CASE WHEN id = min(label) THEN 1 ELSE 0 END AS is_kept
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd09_dup_clusters" -> QueryDef(dupClusters, Some(dupClustersSql)),
     "qd08_keep_list" -> QueryDef(keepList, Some(keepListSql)),
     "qd01_exact_dedup" -> QueryDef(exact, Some(exactSql)),
     "qd02_minhash_sig" -> QueryDef(minhashSig, Some(minhashSigSql), bench = true),

@@ -266,6 +266,59 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("key"))
   }
 
+  /** image sampler: one image under the sample's own key + videochat2
+    * conversation from the QA-list value. */
+  private def imagePack(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir).documents.select(
+      format_string("imgs/%09d.jpg", col("doc_id")).as("video_path"),
+      to_json(array(struct(
+        substring(col("text"), 1, 12).as("q"),
+        col("text").as("a")))).as("value"))
+    val out = scratchDir("graft_img")
+    val info = PackStage.run(meta, out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Image,
+        samplesPerTar = 100, alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        get_json_object(jsonCol, "$.conversations[0].value")
+          .endsWith("<image>").cast("int").as("has_image_token"))
+      .orderBy(col("key"))
+  }
+
+  private val imagePackSql =
+    s"""SELECT $KeyExpr AS key, 2 AS n_entries, 1 AS has_image_token
+       |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** merlin-un sampler: conversations metadata split into even-human
+    * prompts / odd-gpt txts, multi-image fan-out. */
+  private def merlinUnPack(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir).documents.select(
+      format_string("mun/%09d", col("doc_id")).as("video_path"),
+      to_json(array(
+        struct(lit("human").as("from"),
+          substring(col("text"), 1, 18).as("value")),
+        struct(lit("gpt").as("from"), col("text").as("value"))))
+        .as("value"),
+      array(format_string("mun/%09d-x.jpg", col("doc_id")),
+        format_string("mun/%09d-y.jpg", col("doc_id"))).as("media_paths"))
+    val out = scratchDir("graft_mun")
+    val info = PackStage.run(meta, out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.MerlinUn,
+        samplesPerTar = 100, alignShards = true))
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        json_array_length(get_json_object(jsonCol, "$.prompt"))
+          .as("n_prompts"),
+        json_array_length(get_json_object(jsonCol, "$.txt")).as("n_txts"))
+      .orderBy(col("key"))
+  }
+
+  private val merlinUnPackSql =
+    s"""SELECT $KeyExpr AS key, 3 AS n_entries, 1 AS n_prompts, 1 AS n_txts
+       |FROM $RnCte ORDER BY key""".stripMargin
+
   /** E2 across ≥4 REAL merge groups (no coalesce(1)): aligned 125-doc
     * chunks → one DSv2 partition per shard → per-group greedy packing in
     * parallel. Output is per-group totals (bin/doc/token counts), which
@@ -327,6 +380,24 @@ object WdsQueries extends QueryRegistry {
     result.orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming exact dedup: the event table is delivered TWICE (the
+    * at-least-once pattern); dropDuplicatesWithinWatermark on event_id
+    * must reduce it to exactly-once, so the windowed agg equals the
+    * batch hourly query over the single copy — same oracle as st01. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val stage = scratchDir("graft_sdd")
+    val ev = Tables(s, dir).events
+    ev.write.mode("overwrite").parquet(stage)
+    ev.withColumn("event_id", col("event_id")) // same rows, new files
+      .write.mode("append").parquet(stage)
+    val name = "stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStreams.runToMemory(s,
+      EventStreams.dedupHourly(EventStreams.readEventStream(s, stage)),
+      name, org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   private val streamHourlySql =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       | count(*) AS n, round(sum(value), 2) AS total_value
@@ -373,7 +444,10 @@ object WdsQueries extends QueryRegistry {
     "wds09_merlin_pack" -> QueryDef(merlinPack, Some(merlinPackSql)),
     "wds10_unicontrol_pack" -> QueryDef(unicontrolPack, Some(unicontrolPackSql)),
     "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, None),
+    "wds12_image_pack" -> QueryDef(imagePack, Some(imagePackSql)),
+    "wds13_merlinun_pack" -> QueryDef(merlinUnPack, Some(merlinUnPackSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
+    "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "mm01_image_features" -> QueryDef(mediaFeatures, None),
     "mm02_frame_sample" -> QueryDef(frameSample, None),
   )

@@ -40,6 +40,21 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup → hourly aggregation: duplicate deliveries
+    * (at-least-once sources) are dropped on event_id within the
+    * watermark horizon, so the downstream agg sees exactly-once input.
+    * State is bounded: a dedup key older than the watermark is evicted.
+    */
+  def dedupHourly(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      // the dedup's watermark carries through — redefining one between
+      // stateful operators is disallowed
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

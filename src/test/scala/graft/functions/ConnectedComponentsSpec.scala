@@ -1,0 +1,27 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("min-label propagation: chains, separate components, isolates") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = ConnectedComponents.run(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("long chain converges (diameter > 1 round)") {
+    import spark.implicits._
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    val got = ConnectedComponents.run(edges, verts).collect()
+    assert(got.forall(_.getLong(1) == 1L))
+  }
+}

@@ -210,7 +210,111 @@ object TextQueries extends QueryRegistry {
       |  FROM freq) t
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** Gopher/MassiveText-style repetition filters: fraction of the
+    * document claimed by its single most frequent word, and the
+    * duplicated-bigram fraction. Distributed shape: explode → per-doc
+    * agg (shuffle keys are doc ids) — NOT a per-row O(n²) HOF scan, so
+    * long documents cost O(words) at 100 TB. */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val w = docs.select($"doc_id", explode(words($"text")).as("w"))
+    val topFrac = w.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_c"), sum($"c").as("n_w"))
+      .select($"doc_id",
+        round($"top_c".cast("double") / $"n_w", 6).as("top_word_frac"))
+    val ws = words($"text")
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array(concat_ws(" ", ws)))
+    val dupFrac = docs.select($"doc_id", explode(bigrams).as("b"))
+      .groupBy($"doc_id")
+      .agg(round(lit(1.0) -
+        countDistinct($"b").cast("double") / count(lit(1)), 6)
+        .as("dup_bigram_frac"))
+    topFrac.join(dupFrac, "doc_id")
+      .select($"doc_id", $"top_word_frac", $"dup_bigram_frac")
+      .orderBy($"doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
+      |  FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) t
+      |  GROUP BY doc_id),
+      |bsrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_transform(generate_series(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE [array_to_string(ws, ' ')] END) AS b
+      |  FROM bsrc),
+      |bf AS (
+      |  SELECT doc_id,
+      |    round(1.0 - count(DISTINCT b)::DOUBLE / count(*), 6)
+      |      AS dup_bigram_frac
+      |  FROM b GROUP BY doc_id)
+      |SELECT tf.doc_id, top_word_frac, dup_bigram_frac
+      |FROM tf JOIN bf ON tf.doc_id = bf.doc_id
+      |ORDER BY tf.doc_id""".stripMargin
+
+  /** PII/URL scrubbing: synthetic contact info is injected per doc (the
+    * fixture has none), then URLs, emails, and phone numbers are
+    * counted and redacted — applied in that order so the URL pattern
+    * can't half-consume an email. Row-narrow regex work, zero shuffle;
+    * the redacted text is reported by hash to keep rows small. */
+  private def redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@example.com or +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" see https://ex.org/p/"), $"doc_id")
+    val urlPat = "https?://[^ ]+"
+    val emailPat = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+    val phonePat = "\\+?[0-9][0-9-]{7,}"
+    Tables(s, dir).documents
+      .select($"doc_id", aug.as("t"))
+      .select($"doc_id",
+        size(regexp_extract_all($"t", lit(urlPat), lit(0))).as("n_urls"),
+        size(regexp_extract_all($"t", lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"t", lit(phonePat), lit(0))).as("n_phones"),
+        md5(to_binary(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"t", urlPat, "<URL>"),
+              emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"), lit("utf-8"))).as("clean_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val redactSql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id ||
+      |    '@example.com or +1-555-' ||
+      |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+      |    ' see https://ex.org/p/' || doc_id AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, 'https?://[^ ]+'))::INT AS n_urls,
+      |  len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+'))::INT
+      |    AS n_emails,
+      |  len(regexp_extract_all(t, '\+?[0-9][0-9-]{7,}'))::INT AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    'https?://[^ ]+', '<URL>', 'g'),
+      |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+      |    '\+?[0-9][0-9-]{7,}', '<PHONE>', 'g')) AS clean_hash
+      |FROM a ORDER BY doc_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt07_repetition" -> QueryDef(repetition, Some(repetitionSql)),
+    "qt08_redact" -> QueryDef(redact, Some(redactSql)),
     "qt06_top_bigrams" -> QueryDef(topBigrams, Some(topBigramsSql)),
     "qt01_text_stats" -> QueryDef(stats, Some(statsSql)),
     "qt02_token_count" -> QueryDef(tokens, Some(tokensSql)),

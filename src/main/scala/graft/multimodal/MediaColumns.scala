@@ -89,9 +89,33 @@ object MediaColumns {
       }.toDF("media_id", "frame_no", "frame_index", "frame")
   }
 
-  /** STUB — audio feature extraction. No JVM audio decoder ships in this
-    * container; production wires javax.sound/ffmpeg here. The stub is
-    * deterministic (byte-level stats) so the plumbing stays testable. */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_samples: Int, // frames per channel
+      channels: Int,
+      sample_rate: Int,
+      duration_sec: Double,
+      rms: Double,
+      peak: Int)
+
+  /** Audio feature extraction over a WAV/PCM binary column — real
+    * decode via [[WavCodec]] (pure JVM). Narrow mapPartitions, audio
+    * bytes never shuffle. Compressed codecs stay at the ffmpeg seam. */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          AudioFeatures(id, w.frames, w.channels, w.sampleRate,
+            w.durationSec, WavCodec.rms(w), WavCodec.peak(w))
+        }
+      }.toDF()
+  }
+
+  /** Legacy byte-stats fallback for non-WAV audio (the pre-decode
+    * stub, kept for opaque codecs until the ffmpeg seam is wired). */
   def audioFeaturesStub(df: DataFrame): DataFrame =
     df.select(col("media_id"),
       length(col("content")).cast("long").as("n_bytes"),

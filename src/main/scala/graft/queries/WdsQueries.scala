@@ -432,6 +432,76 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("media_id"))
   }
 
+  /** Multimodal audio: per-doc WAVs are synthesized (sine tones,
+    * deterministic geometry from doc_id), decoded by the pure-JVM
+    * WavCodec, and feature-extracted. Geometry columns (frame count,
+    * duration) are a pure function of doc_id, so they ARE
+    * oracle-checked; rms/peak depend on libm sin and are asserted in
+    * WavCodecSpec instead (StrictMath on the Spark side — a DuckDB sin
+    * would not be bit-identical). */
+  private def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf { (id: Long) =>
+      val sr = 8000
+      val n = sr + (id % 100).toInt * 80
+      val freq = 220.0 + (id % 12) * 20.0
+      val samples = Array.tabulate(n)(i =>
+        (12000.0 * StrictMath.sin(2.0 * StrictMath.PI * freq * i / sr))
+          .toShort)
+      graft.multimodal.WavCodec.encode(
+        graft.multimodal.WavCodec.Wav(sr, 1, samples))
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkWav(col("doc_id")).as("content"))
+    MediaColumns.audioFeatures(media)
+      .select(col("media_id"), col("n_samples"), col("channels"),
+        col("sample_rate"), round(col("duration_sec"), 4).as("duration_sec"))
+      .orderBy(col("media_id"))
+  }
+
+  private val audioFeaturesSql =
+    """SELECT doc_id AS media_id,
+      | (8000 + (doc_id % 100) * 80)::INT AS n_samples,
+      | 1 AS channels, 8000 AS sample_rate,
+      | round((8000 + (doc_id % 100) * 80)::DOUBLE / 8000, 4) AS duration_sec
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Multimodal video: per-doc minimal MP4s (ISO BMFF boxes) probed by
+    * the pure-JVM box walker — timescale/duration/dimensions are pure
+    * functions of doc_id, so the WHOLE row is oracle-checked. */
+  private def videoProbe(s: SparkSession, dir: String): DataFrame = {
+    val mkMp4 = udf { (id: Long) =>
+      graft.multimodal.Mp4Probe.encodeMinimal(
+        timescale = 1000,
+        duration = 1000L * (5 + id % 20),
+        width = (320 + (id % 4) * 160).toInt,
+        height = (240 + (id % 4) * 120).toInt)
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkMp4(col("doc_id")).as("content"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      (Long, Double, Int, Int, Int)]
+    media.select(col("media_id"), col("content"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = graft.multimodal.Mp4Probe.probe(bytes)
+          (id, m.durationSec, m.width, m.height, m.nTracks)
+        }
+      }
+      .toDF("media_id", "duration_sec", "width", "height", "n_tracks")
+      .orderBy(col("media_id"))
+  }
+
+  private val videoProbeSql =
+    """SELECT doc_id AS media_id,
+      | (5 + doc_id % 20)::DOUBLE AS duration_sec,
+      | (320 + (doc_id % 4) * 160)::INT AS width,
+      | (240 + (doc_id % 4) * 120)::INT AS height,
+      | 1 AS n_tracks
+      |FROM documents ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
     "wds01_pack_stats" -> QueryDef(packStats, Some(packStatsSql)),
     "wds02_roundtrip" -> QueryDef(roundtrip, None, bench = true),
@@ -450,5 +520,7 @@ object WdsQueries extends QueryRegistry {
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "mm01_image_features" -> QueryDef(mediaFeatures, None),
     "mm02_frame_sample" -> QueryDef(frameSample, None),
+    "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),
+    "mm04_video_probe" -> QueryDef(videoProbe, Some(videoProbeSql)),
   )
 }

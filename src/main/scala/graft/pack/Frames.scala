@@ -135,6 +135,21 @@ object FrameSource {
     def fps(video: Array[Byte]): Double = 25.0
   }
 
+  /** Geometry from REAL MP4 container metadata: frame count derives
+    * from the mvhd duration probed by
+    * [[graft.multimodal.Mp4Probe]] × fps. Frame decode itself remains
+    * at the synthetic seam until an ffmpeg/JavaCV binding is wired —
+    * but sampler index math (segment centers, keyframe fills) runs
+    * against true container durations. */
+  final case class Mp4Meta(fpsValue: Double = 25.0) extends FrameSource {
+    def frame(video: Array[Byte], index: Int): Array[Byte] =
+      Synthetic.frame(video, index)
+    def frameCount(video: Array[Byte]): Int =
+      math.max(1, math.round(
+        graft.multimodal.Mp4Probe.probe(video).durationSec * fpsValue).toInt)
+    def fps(video: Array[Byte]): Double = fpsValue
+  }
+
   /** Content-independent frame geometry: every video has exactly `count`
     * frames at `fpsValue`, keyframe every `iEvery`. Makes downstream
     * per-sample entry counts a pure function of configuration — the

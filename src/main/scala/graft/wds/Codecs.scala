@@ -187,6 +187,28 @@ object Codecs {
   def decodeImageSpec(spec: String, bytes: Array[Byte]): ImageData =
     convertMode(decodeImage(bytes), parseImageSpec(spec).mode)
 
+  /** Float image view — the dtype axis of the F9 spec table
+    * (`autodecode.py:238-363`): specs WITHOUT the `8` suffix produce
+    * float arrays scaled to [0,1] (`img.astype("f") / 255.0`). */
+  final case class FloatImageData(
+      height: Int, width: Int, nChannels: Int, mode: String,
+      data: Array[Float])
+
+  def toFloat(img: ImageData): FloatImageData =
+    FloatImageData(img.height, img.width, img.nChannels, img.mode,
+      img.data.map(b => (b & 0xff) / 255.0f))
+
+  /** The COMPLETE spec-table decode: u8 specs (e.g. "rgb8", "torchl8")
+    * land Left(u8 planes); float specs (e.g. "rgb", "pill") land
+    * Right(/255 float planes) — both mode-converted first. */
+  def decodeImageSpecAny(
+      spec: String,
+      bytes: Array[Byte]): Either[ImageData, FloatImageData] = {
+    val parsed = parseImageSpec(spec)
+    val img = convertMode(decodeImage(bytes), parsed.mode)
+    if (parsed.u8) Left(img) else Right(toFloat(img))
+  }
+
   private val textExts = Set("txt", "text", "transcript", "html")
   private val intExts = Set("cls", "cls2", "index", "inx", "id", "count")
   private val jsonExts = Set("json", "jsn")

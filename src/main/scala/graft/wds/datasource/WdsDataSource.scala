@@ -101,14 +101,48 @@ final class WdsTable(options: CaseInsensitiveStringMap)
 }
 
 final class WdsScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = WdsDataSource.Schema
+  private var urlFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WdsScan(options, required)
+  /** `url` predicates prune the shard list at PLANNING time — the tar
+    * analog of parquet partition pruning: a filtered read schedules
+    * only matching shards instead of scanning all of them. Filters are
+    * also left for Spark to re-evaluate (pruning is an optimization,
+    * not an evaluation contract). */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    urlFilters = filters.filter(WdsScan.urlPredicate(_).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    urlFilters
+  override def build(): Scan = new WdsScan(options, required, urlFilters)
 }
 
-final class WdsScan(options: CaseInsensitiveStringMap, required: StructType)
+object WdsScan {
+  import org.apache.spark.sql.sources._
+  /** url-column filters we can prune shards with at planning. */
+  def urlPredicate(f: Filter): Option[String => Boolean] = f match {
+    case EqualTo("url", v: String) => Some(_ == v)
+    case In("url", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      Some(set.contains)
+    case StringStartsWith("url", p) => Some(_.startsWith(p))
+    case StringEndsWith("url", p) => Some(_.endsWith(p))
+    case StringContains("url", p) => Some(_.contains(p))
+    case _ => None
+  }
+}
+
+final class WdsScan(
+    options: CaseInsensitiveStringMap,
+    required: StructType,
+    urlFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -128,7 +162,10 @@ final class WdsScan(options: CaseInsensitiveStringMap, required: StructType)
       Option(options.get("paths")).map(parsePaths)
         .orElse(Option(options.get("path")).map(Seq(_)))
         .getOrElse(throw new IllegalArgumentException("wds: no path given"))
-    specs.flatMap(ShardList.expand(_))
+    val expanded = specs.flatMap(ShardList.expand(_))
+    val preds = urlFilters.flatMap(WdsScan.urlPredicate)
+    if (preds.isEmpty) expanded
+    else expanded.filter(u => preds.forall(_(u)))
   }
 
   override def planInputPartitions(): Array[InputPartition] =

@@ -38,6 +38,17 @@ class Mp4ProbeSpec extends AnyFunSuite {
     assert(trunc.timescale == 1000)
   }
 
+  test("FrameSource.Mp4Meta derives frame geometry from the container") {
+    val mp4 = Mp4Probe.encodeMinimal(1000, 4000, 320, 240) // 4 s
+    val fs = graft.pack.FrameSource.Mp4Meta(fpsValue = 25.0)
+    assert(fs.frameCount(mp4) == 100)
+    val centers = graft.pack.Frames.segmentCenters(
+      4, fs.fps(mp4), fs.frameCount(mp4) - 1,
+      bound = Some((0.0, fs.frameCount(mp4) / fs.fps(mp4))))
+    assert(centers.length == 4)
+    assert(centers.forall(i => i >= 0 && i < 100))
+  }
+
   test("rejects non-MP4 bytes") {
     assertThrows[IllegalArgumentException](
       Mp4Probe.probe("clearly not an mp4 file at all".getBytes))

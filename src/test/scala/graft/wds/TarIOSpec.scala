@@ -247,6 +247,15 @@ class TarIOSpec extends AnyFunSuite {
     // decode stage form
     val png = encodeImage(rgb, "png")
     assert(decodeImageSpec("l8", png).nChannels == 1)
+    // float dtype axis: no-"8" specs land [0,1] float planes
+    val f = decodeImageSpecAny("rgb", png).toOption.get
+    assert(f.mode == "RGB" && f.data.length == 6)
+    assert(f.data(0) == 1.0f && f.data(1) == 0.0f)
+    assert(math.abs(f.data(4) - 1.0f) < 1e-6)
+    val u = decodeImageSpecAny("rgb8", png)
+    assert(u.isLeft && u.left.toOption.get.data.sameElements(rgb.data))
+    val fl = decodeImageSpecAny("pill", png).toOption.get
+    assert(fl.nChannels == 1 && math.abs(fl.data(0) - 76 / 255.0f) < 1e-6)
   }
 
   test("shard list expansion: braces, ranges, ::, env") {

@@ -69,6 +69,19 @@ class WdsDataSourceSpec extends SparkSpec {
     assertThrows[org.apache.spark.SparkException](strict.count())
   }
 
+  test("url filters prune shards at planning (partition pruning analog)") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.format("wds").load(s"$dir/part-{000..002}.tar")
+    assert(all.rdd.getNumPartitions == 3)
+    val one = all.filter(col("url").endsWith("part-001.tar"))
+    // only the matching shard is planned — not scanned-then-filtered
+    assert(one.rdd.getNumPartitions == 1)
+    val direct = spark.read.format("wds").load(s"$dir/part-001.tar").count()
+    assert(one.count() == direct)
+    val none = all.filter(col("url").contains("nonexistent"))
+    assert(none.count() == 0)
+  }
+
   test("multi-path load (Spark passes a JSON array in the paths option)") {
     val df = spark.read.format("wds")
       .load(s"$dir/part-000.tar", s"$dir/part-001.tar")

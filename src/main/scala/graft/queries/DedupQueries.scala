@@ -53,11 +53,14 @@ object DedupQueries extends QueryRegistry {
       Tables(s, dir).documents.select(col("doc_id"), col("text")),
       NumHashes)
 
-  /** Band hash = md5 over the band's minhashes, namespaced by band idx. */
+  /** Band hash = md5 over the band's minhashes, namespaced by band idx,
+    * truncated to 16 hex chars — half the shuffle payload of the full
+    * digest at 2^64 collision space (collisions only ever ADD a
+    * candidate pair, and the oracle truncates identically). */
   private def bandCols: Seq[Column] = (0 until NumBands).map { b =>
     val parts = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
-    md5(to_binary(concat_ws("|", lit(b.toString) +: parts: _*),
-      lit("utf-8"))).as(s"band$b")
+    substring(md5(to_binary(concat_ws("|", lit(b.toString) +: parts: _*),
+      lit("utf-8"))), 1, 16).as(s"band$b")
   }
 
   // ---- DuckDB side (same constructions, generated in lockstep) ----
@@ -88,7 +91,7 @@ object DedupQueries extends QueryRegistry {
   private def bandSql(b: Int): String = {
     val parts = (0 until BandSize).map(i => s"h${b * BandSize + i}")
       .mkString(" || '|' || ")
-    s"md5('$b' || '|' || $parts) AS band$b"
+    s"substr(md5('$b' || '|' || $parts), 1, 16) AS band$b"
   }
 
   // ---- queries ----

@@ -398,6 +398,29 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Stream-stream interval join (purchase within 1h of a click, same
+    * user) — batch-SQL oracle over the same events. */
+  private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val stage = scratchDir("graft_sattr")
+    Tables(s, dir).events.write.mode("overwrite").parquet(stage)
+    def typed(t: String) =
+      EventStreams.readEventStream(s, stage).filter(col("event_type") === t)
+    val name = "stream_attr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStreams.runToMemory(s,
+      EventStreams.clickAttribution(typed("click"), typed("purchase")),
+      name, org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
+  private val streamAttributionSql =
+    """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin
+
   private val streamHourlySql =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       | count(*) AS n, round(sum(value), 2) AS total_value
@@ -518,6 +541,7 @@ object WdsQueries extends QueryRegistry {
     "wds13_merlinun_pack" -> QueryDef(merlinUnPack, Some(merlinUnPackSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
+    "st03_stream_attribution" -> QueryDef(streamAttribution, Some(streamAttributionSql)),
     "mm01_image_features" -> QueryDef(mediaFeatures, None),
     "mm02_frame_sample" -> QueryDef(frameSample, None),
     "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),

@@ -55,6 +55,26 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's clicks within the following hour. Both sides are
+    * watermarked so join state is evicted once the event-time horizon
+    * passes — the standard bounded-state two-stream shape. */
+  def clickAttribution(
+      clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |purchase_ts > click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"))
+  }
+
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

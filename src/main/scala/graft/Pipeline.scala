@@ -1,0 +1,127 @@
+package graft
+
+import graft.pack.{Loaders, PackStage}
+import graft.index.CheckStage
+import graft.tokenize.{SentencePieceModel, TokenizeStage, Tokenizers, SpecialTokenTokenizer}
+import graft.wds.WdsReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** spark-submit entrypoint mirroring the reference's three CLI stages
+  * (`pack/pack.py:314-329`, `tokenize/main.py`, `index/check_pair.py`)
+  * so a reference user can run the same flows on a cluster:
+  *
+  * {{{
+  * spark-submit --class graft.Pipeline graft.jar \
+  *   --stage pack --dataset internvid --meta-path meta.jsonl \
+  *   --type kf --save-path out/ --total-frames 24 --iframes 8 \
+  *   --time-scale 1000 --samples-per-tar 500
+  *
+  * spark-submit --class graft.Pipeline graft.jar \
+  *   --stage tokenize --input 'out/shard-{0..63}-*.tar' \
+  *   --save-path tok/ [--tokenizer-model tokenizer.model] [--max-tokens 8000]
+  *
+  * spark-submit --class graft.Pipeline graft.jar \
+  *   --stage check --input 'tok/shard_{0..63}-{000000..000009}.tar' \
+  *   --save-path index/ [--lenient]
+  * }}}
+  *
+  * The reference's `--machine_id/--total_machine/--workers` sharding
+  * flags have no equivalent: Spark's scheduler owns work placement —
+  * partitioning replaces hand-sharding. Media bytes load through
+  * Hadoop FS (file:/hdfs:/s3a:); `--synthetic-media` substitutes
+  * deterministic bytes for environments without the media lake.
+  */
+object Pipeline {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.grouped(2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  /** `--dataset` → loader normalizer (`pack/pack.py:231-256`). */
+  def loadMeta(spark: SparkSession, dataset: String, path: String,
+      prefix: String): DataFrame = dataset match {
+    case "webvid" | "cambrain" => Loaders.loadCaptionMap(spark, path, prefix)
+    case "hd3m" | "ego4d" => Loaders.loadCaptionArray(spark, path, prefix)
+    case "internvid" => Loaders.loadJsonl(spark, path, prefix)
+    case "how2link" => Loaders.loadClips(spark, path, prefix)
+    case "llava_pretrain" | "videochat2" =>
+      Loaders.loadConversations(spark, path, prefix)
+    case "unicontrol" => Loaders.loadUnicontrol(spark, path)
+      .withColumnRenamed("target_path", "media_path2")
+      .selectExpr("video_path", "value",
+        "array(video_path, media_path2) AS media_paths")
+    case "merlin-s" => Loaders.loadMerlin(spark, path)
+    case _ => // load_sft fallback (`pack.py:252-256`): path IS the dataset
+      Loaders.loadConversations(spark, path, prefix)
+  }
+
+  /** Hadoop FS media loader — file:/hdfs:/s3a: all work. */
+  val hadoopMedia: String => Array[Byte] = { p =>
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(path)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  def run(spark: SparkSession, a: Map[String, String]): DataFrame = {
+    def req(k: String): String = a.getOrElse(k,
+      throw new IllegalArgumentException(s"missing --$k"))
+    a.getOrElse("stage", "pack") match {
+      case "pack" =>
+        val meta = loadMeta(spark, a.getOrElse("dataset", "internvid"),
+          req("meta-path"), a.getOrElse("prefix", ""))
+        val opts = PackStage.PackOptions(
+          samplerType = PackStage.SamplerType.byName(
+            a.getOrElse("type", "video-only")),
+          numSegments = a.getOrElse("num-segments", "16").toInt,
+          samplesPerTar = a.getOrElse("samples-per-tar", "500").toLong,
+          iFrames = a.getOrElse("iframes", "8").toInt,
+          totalFrames = a.getOrElse("total-frames", "24").toInt,
+          timeScale = a.getOrElse("time-scale", "1000").toInt,
+          alignShards = a.getOrElse("align-shards", "false").toBoolean,
+          frames =
+            if (a.contains("synthetic-media")) graft.pack.FrameSource.Synthetic
+            else graft.pack.FrameSource.Mp4Meta())
+        val mediaFor: String => Array[Byte] =
+          if (a.contains("synthetic-media")) p => p.getBytes("UTF-8")
+          else hadoopMedia
+        PackStage.run(meta, req("save-path"), opts, mediaFor)
+      case "tokenize" =>
+        val tok: SpecialTokenTokenizer = a.get("tokenizer-model")
+          .map(m => new SpecialTokenTokenizer(
+            SentencePieceModel.fromFile(m), Tokenizers.MultimodalSpecials))
+          .getOrElse(Tokenizers.testTokenizer())
+        TokenizeStage.run(
+          WdsReader.read(spark, req("input")),
+          req("save-path"), tok,
+          a.getOrElse("max-tokens", TokenizeStage.MaxTokens.toString).toInt)
+      case "check" =>
+        val idx = CheckStage.index(
+          WdsReader.read(spark, req("input")),
+          strict = !a.contains("lenient"))
+        idx.write.mode("overwrite").parquet(req("save-path"))
+        idx
+      case other =>
+        throw new IllegalArgumentException(s"unknown stage $other")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val spark = SparkSession.builder()
+      .appName(s"graft-${a.getOrElse("stage", "pack")}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val info = run(spark, a)
+    // stage outputs are lazily-built shard manifests — force + report
+    info.collect().foreach(r => println(s"[pipeline] $r"))
+    spark.stop()
+  }
+}

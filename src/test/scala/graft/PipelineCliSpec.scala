@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The user-facing CLI contract: the reference's three stages run
+  * back-to-back through `Pipeline.run` with reference-shaped flags. */
+class PipelineCliSpec extends SparkSpec {
+
+  test("pack → tokenize → check through the CLI surface") {
+    // internvid-style jsonl metadata
+    val metaDir = Files.createTempDirectory("cli_meta").toString
+    import spark.implicits._
+    (0 until 12)
+      .map(i => (f"vid$i%04d", "0:01", "0:09",
+        s"a caption about scene $i with words " * 3))
+      .toDF("YoutubeID", "Start_timestamp", "End_timestamp", "Caption")
+      .write.mode("overwrite").json(metaDir)
+
+    val packOut = Files.createTempDirectory("cli_pack").toString
+    val packInfo = Pipeline.run(spark, Map(
+      "stage" -> "pack", "dataset" -> "internvid",
+      "meta-path" -> metaDir, "prefix" -> "videos/",
+      "type" -> "un", "num-segments" -> "2",
+      "save-path" -> packOut, "samples-per-tar" -> "4",
+      "align-shards" -> "true", "synthetic-media" -> "true"))
+    assert(packInfo.agg(sum("nsamples")).collect().head.getLong(0) == 12)
+
+    val tokOut = Files.createTempDirectory("cli_tok").toString
+    val tokInfo = Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "input" -> s"$packOut/shard-{0..2}-000000.tar",
+      "save-path" -> tokOut, "max-tokens" -> "600"))
+    assert(tokInfo.count() > 0)
+
+    val idxOut = Files.createTempDirectory("cli_idx").toString
+    val tokShards = new java.io.File(tokOut).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted
+    val idx = Pipeline.run(spark, Map(
+      "stage" -> "check", "input" -> tokShards.mkString("::"),
+      "save-path" -> idxOut))
+    assert(idx.count() > 0)
+    assert(new java.io.File(idxOut).listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("arg parsing and unknown stage rejection") {
+    assert(Pipeline.parseArgs(Array("--stage", "pack", "--type", "kf")) ==
+      Map("stage" -> "pack", "type" -> "kf"))
+    assertThrows[IllegalArgumentException](
+      Pipeline.run(spark, Map("stage" -> "nope")))
+    assertThrows[IllegalArgumentException](
+      Pipeline.run(spark, Map("stage" -> "pack"))) // missing meta-path
+  }
+}

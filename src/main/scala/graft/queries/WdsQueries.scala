@@ -236,7 +236,10 @@ object WdsQueries extends QueryRegistry {
        |FROM $RnCte ORDER BY key""".stripMargin
 
   /** E1→read-back as a query: adjacency/interleave grouping over real
-    * tar bytes; per-sample entry histogram. */
+    * tar bytes; per-sample entry histogram. Every uniform-sampled doc
+    * yields numSegments+1 entries, so the histogram is one oracle-known
+    * row — the hash check proves the write→scan→regroup spine loses and
+    * duplicates nothing. */
   private def roundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = scratchDir("graft_rt")
     val info = PackStage.run(docMeta(s, dir), out,
@@ -527,7 +530,9 @@ object WdsQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "wds01_pack_stats" -> QueryDef(packStats, Some(packStatsSql)),
-    "wds02_roundtrip" -> QueryDef(roundtrip, None, bench = true),
+    "wds02_roundtrip" -> QueryDef(roundtrip, Some(
+      "SELECT 5 AS n_entries, count(*) AS n_samples FROM documents"),
+      bench = true),
     "wds03_tokenize_pack" -> QueryDef(tokenizePack, None),
     "wds04_index_check" -> QueryDef(indexCheck, None),
     "wds05_pack_keys" -> QueryDef(packKeys, Some(packKeysSql)),

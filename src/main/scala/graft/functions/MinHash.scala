@@ -23,19 +23,6 @@ import org.apache.spark.sql.types._
   */
 object MinHash {
 
-  /** Lowercase hex md5 — same as Spark's and DuckDB's `md5()`. */
-  private def md5Hex(md: MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes(UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < d.length) {
-      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(d(i) & 0xf, 16))
-      i += 1
-    }
-    sb.toString
-  }
-
   /** 3-word shingles of the lowercased text; short docs fall back to the
     * whole (lowercased) text — matching the guarded Column expression
     * and the oracle SQL. */
@@ -46,7 +33,24 @@ object MinHash {
     else Array(ws.mkString(" "))
   }
 
-  /** (doc_id, text) → (doc_id, h0..h{n-1}) signature frame. */
+  /** unsigned lexicographic digest compare — identical order to
+    * comparing the lowercase hex strings (hex digits are monotonic in
+    * the nibble value), so the min digest IS the min hex string. */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** (doc_id, text) → (doc_id, h0..h{n-1}) signature frame.
+    * The min is selected over raw digests (hex conversion happens once,
+    * on the winner) — the digest order equals hex-string order, and a
+    * 100 TB signature pass shouldn't build 8 hex strings per shingle. */
   def signatures(df: DataFrame, numHashes: Int): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(
@@ -63,18 +67,29 @@ object MinHash {
           val mins = new Array[String](numHashes)
           var k = 0
           while (k < numHashes) {
-            var best: String = null
+            var best: Array[Byte] = null
             var i = 0
             while (i < sh.length) {
-              val h = md5Hex(md, s"$k|${sh(i)}")
-              if (best == null || h.compareTo(best) < 0) best = h
+              val h = md.digest(s"$k|${sh(i)}".getBytes(UTF_8))
+              if (best == null || lessThan(h, best)) best = h
               i += 1
             }
-            mins(k) = best
+            mins(k) = hexOf(best)
             k += 1
           }
           Row.fromSeq(id +: mins.toSeq)
         }
       }(enc)
+  }
+
+  private def hexOf(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
   }
 }

@@ -108,6 +108,68 @@ object SimilarityQueries extends QueryRegistry {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF with deterministic representative cells: the cell "centroid"
+    * is the embedding of the cell's min vec_id — integer-keyed, so the
+    * whole query is FP-unambiguous and hash-checkable (mean centroids
+    * depend on aggregation order; qs02 keeps that production shape with
+    * its spec-asserted recall law, this variant proves the probe/rank
+    * machinery against DuckDB's arg_min exactly). */
+  private def ivfReprTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+    val cent = e.groupBy($"label".as("cell"))
+      .agg(min_by($"embedding", $"vec_id").as("centroid"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val probeW = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell")
+    val probes = q.join(broadcast(cent), lit(true))
+      .select($"q_id", $"qv", $"cell",
+        round(cosine($"qv", $"centroid"), 6).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter($"pr" <= 3)
+      .select($"q_id", $"qv", $"cell")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+    e.select($"vec_id".as("c_id"), $"embedding".as("cv"), $"label".as("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter($"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id", round(cosine($"qv", $"cv"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, len($a)),
+       |        i -> $a[i] * $b[i]))
+       |  / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+       |        i -> $a[i] * $a[i])))
+       |   * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+       |        i -> $b[i] * $b[i])))), 6)""".stripMargin
+
+  private val ivfReprTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cell, arg_min(emb, vec_id) AS centroid
+       |  FROM e GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, emb AS qv FROM e WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q_id, qv, cell, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY ccos DESC, cell)::INT AS pr
+       |    FROM (
+       |      SELECT q_id, qv, cell, ${cosSql("qv", "centroid")} AS ccos
+       |      FROM q, cent) t1) t2
+       |  WHERE pr <= 3),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS c_id, ${cosSql("qv", "c.emb")} AS cos
+       |  FROM e c JOIN probes p ON c.label = p.cell AND p.q_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, c_id)::INT AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   private val LshBits = 8
   private val Dim = 64
 
@@ -152,6 +214,7 @@ object SimilarityQueries extends QueryRegistry {
   override val defs: Map[String, QueryDef] = Map(
     "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
     "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, None),
+    "qs04_ann_ivf_repr" -> QueryDef(ivfReprTopK, Some(ivfReprTopKSql)),
     "qs03_ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsSql), bench = true),
   )
 }

@@ -121,7 +121,37 @@ object EventQueries extends QueryRegistry {
       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_purchase
       |  FROM events GROUP BY user_id) t""".stripMargin
 
+  /** Retention cohorts: users grouped by first-seen day; for each
+    * (cohort_day, day_offset) the count of distinct users active that
+    * many days later. Two shuffles (user grain, then cohort grain) —
+    * the standard DAU-retention shape. */
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables(s, dir).events
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy($"cohort_day",
+        datediff($"day", $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  private val retentionSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT cohort_day,
+      |  date_diff('day', cohort_day, day)::INT AS day_offset,
+      |  count(DISTINCT d.user_id) AS n_users
+      |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qe05_retention" -> QueryDef(retention, Some(retentionSql)),
     "qe01_hourly_window" -> QueryDef(hourly, Some(hourlySql)),
     "qe02_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),
     "qe03_event_deltas" -> QueryDef(deltas, Some(deltasSql)),

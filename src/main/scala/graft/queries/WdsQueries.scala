@@ -430,7 +430,9 @@ object WdsQueries extends QueryRegistry {
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Multimodal: synthesize per-doc PNGs (deterministic), decode +
-    * feature-extract through the binary-column path. */
+    * feature-extract through the binary-column path. The pixel bytes
+    * are a pure function of doc_id and PNG is lossless, so the decoded
+    * mean is SQL-derivable — hash-checked. */
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val mkPng = udf { (id: Long) =>
       val px = Array.tabulate(3 * 4 * 3)(i => ((id * 31 + i) % 251).toByte)
@@ -547,7 +549,12 @@ object WdsQueries extends QueryRegistry {
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "st03_stream_attribution" -> QueryDef(streamAttribution, Some(streamAttributionSql)),
-    "mm01_image_features" -> QueryDef(mediaFeatures, None),
+    "mm01_image_features" -> QueryDef(mediaFeatures, Some(
+      """SELECT doc_id AS media_id, 3 AS height, 4 AS width,
+        | 3 AS "nChannels",
+        | round(list_sum(list_transform(generate_series(0, 35),
+        |     i -> (doc_id * 31 + i) % 251)) / 36.0, 4) AS mean_luma
+        |FROM documents ORDER BY media_id""".stripMargin)),
     "mm02_frame_sample" -> QueryDef(frameSample, None),
     "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),
     "mm04_video_probe" -> QueryDef(videoProbe, Some(videoProbeSql)),

@@ -53,7 +53,7 @@ object Pipeline {
         "array(video_path, media_path2) AS media_paths")
     case "merlin-s" => Loaders.loadMerlin(spark, path)
     case _ => // load_sft fallback (`pack.py:252-256`): path IS the dataset
-      Loaders.loadConversations(spark, path, prefix)
+      Loaders.loadSft(spark, path, prefix)
   }
 
   /** Hadoop FS media loader — file:/hdfs:/s3a: all work. */

@@ -59,6 +59,45 @@ object ScaleProbe {
         f"pairs=$nPairs%d simhash=$tSim%6.2fs simPairs=$nSimPairs%d")
       sigs.unpersist(); big.unpersist()
     }
+
+    // embedding LSH bucket balance (qd06 shape): distinct synthetic
+    // vectors — measures ACCIDENTAL bucket collisions when there are no
+    // true near-dups at all. Signature width follows the documented
+    // scale rule (bits ~ log2(n/bucketTarget)): fixed-width buckets
+    // would go quadratic as n grows past 2^bits
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    Seq(10000, 100000, 1000000).foreach { nv =>
+      val bits = math.max(8,
+        math.ceil(math.log(nv / 16.0) / math.log(2)).toInt)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val vecs = spark.createDataFrame(
+        spark.sparkContext.parallelize(0L until nv.toLong,
+          spark.sparkContext.defaultParallelism).map { id =>
+          // deterministic pseudo-random coords from a splitmix-style mix
+          val arr = Array.tabulate(64) { i =>
+            var z = id * 64 + i + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            (((z ^ (z >>> 31)) & 0xffff) / 32768.0f) - 1.0f
+          }
+          Row(id, arr)
+        }, schema)
+      val t0 = System.nanoTime()
+      val sigs = functions.PlaneLSH
+        .signatures(vecs, "vec_id", "embedding", tables = 12, bits, 64)
+      val buckets = sigs.select(col("vec_id"), explode(array(
+        (0 until 12).map(t => col(s"sig$t") + lit(t.toLong << bits)): _*))
+        .as("bkt"))
+      val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] vecs=$nv%8d bits=$bits%2d embLsh=$t%6.2fs " +
+        f"candPairs=$cands%d")
+    }
     spark.stop()
   }
 }

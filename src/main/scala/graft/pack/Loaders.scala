@@ -85,6 +85,15 @@ object Loaders {
       col("prompt").as("value"))
   }
 
+  /** sft fallback (`dataset_loader.py:168-176`): the dataset ARG is a
+    * path to a json array of `{video, QA}` records; the QA list rides
+    * as canonical JSON text for the video_sft sampler. */
+  def loadSft(spark: SparkSession, path: String,
+      prefix: String = ""): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(concat(lit(prefix), col("video")).as("video_path"),
+        to_json(col("QA")).as("value"))
+
   /** merlin-s interleave metadata (`dataset_loader.py:188-199`): records
     * of `{image_info: [{image_name}, …], text_list}` → the canonical
     * (video_path, value, media_paths) frame the merlin-s sampler

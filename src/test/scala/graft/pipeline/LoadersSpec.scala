@@ -68,6 +68,14 @@ class LoadersSpec extends SparkSpec {
     assert(r.getString(1).contains("\"from\":\"human\""))
   }
 
+  test("sft fallback: {video, QA} records carry the QA list as JSON") {
+    val p = write("videosft.json",
+      """[{"video": "v.mp4", "QA": [{"q": "what", "a": "that"}]}]""")
+    val r = Loaders.loadSft(spark, p, prefix = "clips/").collect().head
+    assert(r.getAs[String]("video_path") == "clips/v.mp4")
+    assert(r.getAs[String]("value").contains("\"q\":\"what\""))
+  }
+
   test("merlin-s interleave records (image_info dicts + text_list)") {
     val p = write("merlin.jsonl",
       """{"image_info": [{"image_name": "data//a.jpg"}, {"image_name": "Black background: 4, 3"}], "text_list": "<image>#3# ans Summary: s"}

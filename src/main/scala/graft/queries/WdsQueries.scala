@@ -448,17 +448,57 @@ object WdsQueries extends QueryRegistry {
   }
 
   /** Multimodal: video frame sampling fan-out (segment-center math over
-    * a synthetic decoder). */
+    * a pluggable decoder). The gate runs the Fixed geometry so the
+    * fan-out shape is hash-checked (8 segment centers of a 120-frame
+    * clip; center indices are pure config math); content-varying
+    * geometry is covered by MediaColumnsSpec/FramesSpec. */
   private def frameSample(s: SparkSession, dir: String): DataFrame = {
     val media = Tables(s, dir).documents
       .select(col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("content"))
-    MediaColumns.sampleFrames(media, numSegments = 8)
+    MediaColumns.sampleFrames(media, numSegments = 8,
+      frames = graft.pack.FrameSource.Fixed(count = 120))
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
         max(col("frame_index")).as("max_frame_index"))
       .orderBy(col("media_id"))
   }
+
+  private val frameSampleSql = {
+    // mirror of Frames.segmentCenters(8, 25.0, 119, bound=(0, 4.8)):
+    // start=0, end=min(round(4.8*25)=120, 119)=119, seg=119/8,
+    // idx_i = int(seg/2 + rint(seg*i)) — max at i=7
+    val seg = 119.0 / 8
+    val maxIdx = (seg / 2 + math.rint(seg * 7)).toInt
+    s"""SELECT doc_id AS media_id, 8::BIGINT AS n_frames,
+       | $maxIdx AS max_frame_index
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  /** The wds operator vocabulary driven through real shards: pack →
+    * Dataset[Sample] → renameKeys (glob) → extractKeys → validSamples →
+    * per-sample projection. Every doc must survive with exactly the
+    * renamed json entry — the P7/P8/P9/P15 chain, hash-checked. */
+  private def sampleOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.wds.SampleOps._
+    val out = scratchDir("graft_ops")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 2, samplesPerTar = 100,
+        alignShards = true))
+    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+    WdsReader.readUrls(s, urls)
+      .renameKeys(Seq("meta" -> "*json", "frame0" -> "0.jpg",
+        "frame1" -> "1.jpg"))
+      .validSamples
+      .extractKeys("meta")
+      .select(col("key"),
+        when(col("meta").isNotNull, 1).otherwise(0).as("has_meta"))
+      .orderBy(col("key"))
+  }
+
+  private val sampleOpsSql =
+    s"""SELECT $KeyExpr AS key, 1 AS has_meta
+       |FROM $RnCte ORDER BY key""".stripMargin
 
   /** Multimodal audio: per-doc WAVs are synthesized (sine tones,
     * deterministic geometry from doc_id), decoded by the pure-JVM
@@ -546,6 +586,7 @@ object WdsQueries extends QueryRegistry {
     "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, None),
     "wds12_image_pack" -> QueryDef(imagePack, Some(imagePackSql)),
     "wds13_merlinun_pack" -> QueryDef(merlinUnPack, Some(merlinUnPackSql)),
+    "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "st03_stream_attribution" -> QueryDef(streamAttribution, Some(streamAttributionSql)),
@@ -555,7 +596,7 @@ object WdsQueries extends QueryRegistry {
         | round(list_sum(list_transform(generate_series(0, 35),
         |     i -> (doc_id * 31 + i) % 251)) / 36.0, 4) AS mean_luma
         |FROM documents ORDER BY media_id""".stripMargin)),
-    "mm02_frame_sample" -> QueryDef(frameSample, None),
+    "mm02_frame_sample" -> QueryDef(frameSample, Some(frameSampleSql)),
     "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),
     "mm04_video_probe" -> QueryDef(videoProbe, Some(videoProbeSql)),
   )

@@ -253,14 +253,22 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("n_entries"))
   }
 
-  /** E1→E2 as a query: tokenize + greedy 8k packing; pack-level stats
-    * (deterministic under the fixed single merge group). */
+  /** E1→E2 as a query: tokenize + greedy 8k packing over ONE merge
+    * group in global doc order (aligned chunks + numeric shard sort +
+    * coalesce(1)), so every bin boundary is a pure function of the
+    * per-doc token counts — and with the word-hash test tokenizer a
+    * doc's count is 1034 + words (BOS + 4×258 image sentinels + words +
+    * EOS). The oracle replays the greedy fold as a recursive CTE:
+    * the A5 packer itself is hash-checked end-to-end. */
   private def tokenizePack(s: SparkSession, dir: String): DataFrame = {
     val packOut = scratchDir("graft_e1b")
     val tokOut = scratchDir("graft_e2")
     val info = PackStage.run(docMeta(s, dir), packOut,
-      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
+    val shardNo = "shard-(\\d+)-".r
+    val urls = info.collect().map(_.getAs[String]("url")).toSeq
+      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
     val packed = WdsReader.readUrls(s, urls).coalesce(1)
     val tokInfo = TokenizeStage.run(packed, tokOut)
     val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
@@ -268,6 +276,34 @@ object WdsQueries extends QueryRegistry {
       .select(col("key"), col("n_tokens"), col("n_images"))
       .orderBy(col("key"))
   }
+
+  /** Greedy-fold replay: acc+toks>8000 starts a new bin; the flushed
+    * bin takes the incoming doc's key; the final partial bin is
+    * dropped (exact `TokenizeStage.greedyPack` semantics). */
+  private val tokenizePackSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+      |    1034 + len(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |r(rn, acc, bin) AS (
+      |  SELECT rn, toks, 0 FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn,
+      |    CASE WHEN r.acc + d.toks > 8000 THEN d.toks
+      |         ELSE r.acc + d.toks END,
+      |    CASE WHEN r.acc + d.toks > 8000 THEN r.bin + 1 ELSE r.bin END
+      |  FROM r JOIN d ON d.rn = r.rn + 1),
+      |bins AS (
+      |  SELECT bin, count(*) AS n_docs, sum(t.toks) AS sum_toks,
+      |    min(r.rn) AS first_rn
+      |  FROM r JOIN d t ON t.rn = r.rn GROUP BY bin),
+      |mx AS (SELECT max(bin) AS mb FROM bins)
+      |SELECT printf('0-%d', nxt.first_rn - 1) AS key,
+      |  (b.sum_toks - (b.n_docs - 1))::INT AS n_tokens,
+      |  (4 * b.n_docs)::INT AS n_images
+      |FROM bins b JOIN bins nxt ON nxt.bin = b.bin + 1, mx
+      |WHERE b.bin < mx.mb
+      |ORDER BY key""".stripMargin
 
   /** image sampler: one image under the sample's own key + videochat2
     * conversation from the QA-list value. */
@@ -353,13 +389,19 @@ object WdsQueries extends QueryRegistry {
   }
 
   /** E3 as a query: strict invariant gate + shard index over freshly
-    * built tokenized shards. */
+    * built tokenized shards. Deterministic single-group build (as
+    * wds03, but numSegments=2 ⇒ 518+words tokens/doc), so the bin
+    * count the index reports is oracle-derivable by the same greedy
+    * replay. */
   private def indexCheck(s: SparkSession, dir: String): DataFrame = {
     val packOut = scratchDir("graft_e1c")
     val tokOut = scratchDir("graft_e3")
     val info = PackStage.run(docMeta(s, dir), packOut,
-      PackStage.PackOptions(numSegments = 2, samplesPerTar = 100))
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+      PackStage.PackOptions(numSegments = 2, samplesPerTar = 100,
+        alignShards = true))
+    val shardNo = "shard-(\\d+)-".r
+    val urls = info.collect().map(_.getAs[String]("url")).toSeq
+      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
     val tokInfo = TokenizeStage.run(WdsReader.readUrls(s, urls).coalesce(1), tokOut)
     val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
     CheckStage.index(WdsReader.readUrls(s, tokUrls), strict = true)
@@ -368,6 +410,22 @@ object WdsQueries extends QueryRegistry {
         col("nsamples"))
       .orderBy(col("shard"))
   }
+
+  private val indexCheckSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+      |    518 + len(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |r(rn, acc, bin) AS (
+      |  SELECT rn, toks, 0 FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn,
+      |    CASE WHEN r.acc + d.toks > 8000 THEN d.toks
+      |         ELSE r.acc + d.toks END,
+      |    CASE WHEN r.acc + d.toks > 8000 THEN r.bin + 1 ELSE r.bin END
+      |  FROM r JOIN d ON d.rn = r.rn + 1)
+      |SELECT 'shard_0-000000' AS shard,
+      |  (SELECT max(bin) FROM r)::BIGINT AS nsamples""".stripMargin
 
   /** Streaming tumbling-window agg (Complete mode, AvailableNow) — must
     * equal the batch hourly query, so it shares its DuckDB oracle. */
@@ -575,8 +633,8 @@ object WdsQueries extends QueryRegistry {
     "wds02_roundtrip" -> QueryDef(roundtrip, Some(
       "SELECT 5 AS n_entries, count(*) AS n_samples FROM documents"),
       bench = true),
-    "wds03_tokenize_pack" -> QueryDef(tokenizePack, None),
-    "wds04_index_check" -> QueryDef(indexCheck, None),
+    "wds03_tokenize_pack" -> QueryDef(tokenizePack, Some(tokenizePackSql)),
+    "wds04_index_check" -> QueryDef(indexCheck, Some(indexCheckSql)),
     "wds05_pack_keys" -> QueryDef(packKeys, Some(packKeysSql)),
     "wds06_kf_pack" -> QueryDef(kfPack, Some(kfPackSql)),
     "wds07_interleave_pack" -> QueryDef(interleavePack, Some(interleavePackSql)),

@@ -449,8 +449,7 @@ object WdsQueries extends QueryRegistry {
     val stage = scratchDir("graft_sdd")
     val ev = Tables(s, dir).events
     ev.write.mode("overwrite").parquet(stage)
-    ev.withColumn("event_id", col("event_id")) // same rows, new files
-      .write.mode("append").parquet(stage)
+    ev.write.mode("append").parquet(stage) // same rows again, new files
     val name = "stream_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     EventStreams.runToMemory(s,

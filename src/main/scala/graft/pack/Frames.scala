@@ -122,13 +122,21 @@ trait FrameSource extends Serializable {
 object FrameSource {
   /** Deterministic synthetic frames: 1×1 PNGs whose pixel encodes the
     * frame index — realistic plumbing (real PNG bytes through the whole
-    * pack/tokenize path) with zero native deps. */
+    * pack/tokenize path) with zero native deps. The pixel is a pure
+    * function of (index, video length) low bytes, so encoded frames are
+    * memoized per executor — ImageIO costs ~100 µs per encode, and a
+    * pack run asks for tens of thousands of frames. */
   object Synthetic extends FrameSource {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
     def frame(video: Array[Byte], index: Int): Array[Byte] = {
-      val img = graft.wds.Codecs.ImageData(1, 1, 3, "RGB",
-        Array((index & 0xff).toByte, ((index >> 8) & 0xff).toByte,
-          (video.length & 0xff).toByte))
-      graft.wds.Codecs.encodeImage(img, "png")
+      val key = (index & 0xffff) | ((video.length & 0xff) << 16)
+      cache.computeIfAbsent(key, _ => {
+        val img = graft.wds.Codecs.ImageData(1, 1, 3, "RGB",
+          Array((index & 0xff).toByte, ((index >> 8) & 0xff).toByte,
+            (video.length & 0xff).toByte))
+        graft.wds.Codecs.encodeImage(img, "png")
+      })
     }
     def frameCount(video: Array[Byte]): Int =
       100 + (math.abs(java.util.Arrays.hashCode(video)) % 100)

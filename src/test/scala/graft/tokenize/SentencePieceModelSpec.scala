@@ -46,6 +46,43 @@ class SentencePieceModelSpec extends AnyFunSuite {
     assert(model.decode(model.encode(uni)) == uni)
   }
 
+  test("Viterbi equals brute-force max-score segmentation (exhaustive law)") {
+    // enumerate EVERY segmentation of short escaped strings and verify
+    // the DP picks the max total score (fallback edges included)
+    val m = model
+    def pieceScore(s: String): Option[Double] =
+      m.pieces.zipWithIndex.collectFirst {
+        case (p, _) if p.piece == s &&
+          (p.pieceType == SentencePieceModel.TypeNormal) => p.score.toDouble
+      }
+    def bestScore(s: String): Double =
+      if (s.isEmpty) 0.0
+      else (1 to s.length).flatMap { len =>
+        val head = s.take(len)
+        val headScore =
+          if (len == 1) // fallback always available per char
+            Some(pieceScore(head).getOrElse(SentencePieceModel.FallbackScore)
+              .max(pieceScore(head).getOrElse(Double.NegativeInfinity)))
+          else pieceScore(head)
+        headScore.map(_ + bestScore(s.drop(len)))
+      }.max
+    def encodedScore(text: String): Double =
+      m.encode(text).foldLeft((0.0, 0)) { case ((acc, run), id) =>
+        val p = m.pieces(id)
+        if (p.pieceType == SentencePieceModel.TypeByte)
+          // fallback ids: charge once per source char — ascii here, so
+          // one byte == one char == one fallback edge
+          (acc + SentencePieceModel.FallbackScore, run)
+        else (acc + p.score, run)
+      }._1
+    Seq("the", "the fox", "newest", "lower fox", "zq", "the zq fox")
+      .foreach { text =>
+        val escaped = "▁" + text.replace(' ', '▁')
+        assert(math.abs(encodedScore(text) - bestScore(escaped)) < 1e-9,
+          s"text '$text'")
+      }
+  }
+
   test("drives the SpecialTokenTokenizer + conversation framing") {
     val tok = new SpecialTokenTokenizer(model, Tokenizers.MultimodalSpecials)
     val (ids, mask, _) = Tokenizers.tokenizeConversation(

@@ -48,6 +48,26 @@ class WdsSparkSpec extends SparkSpec {
     assert(s0.utf8("txt").contains("doc 0"))
   }
 
+  test("gzip shards round-trip (.tar.gz write + transparent gunzip read)") {
+    val dir = Files.createTempDirectory("wds-gz").toString
+    val in = mkSamples(30)
+    WdsWriter.write(spark.createDataset(in).repartition(1), dir,
+      WdsWriter.WriterOptions(
+        maxCount = 10,
+        pattern = (p, i) => f"shard-$p%05d-$i%06d.tar.gz",
+        tar = TarIO.WriteOptions(gzip = true))).collect()
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar.gz")).map(_.toString).sorted.toSeq
+    assert(shards.length == 3)
+    // compressed: a 10-sample gz shard of tiny text must undercut the
+    // uncompressed tar's 512-byte-per-entry framing
+    assert(new java.io.File(shards.head).length() < 10 * 2 * 512)
+    val back = WdsReader.readUrls(spark, shards).collect().sortBy(_.key)
+    assert(back.length == 30)
+    assert(back.map(_.key).toSeq == in.map(_.key).sorted)
+    assert(back.head.utf8("txt").contains("doc 0"))
+  }
+
   test("shard-open error matrix: continue skips, stop truncates, reraise throws") {
     val dir = Files.createTempDirectory("wds-open").toString
     val in = mkSamples(10)

@@ -358,6 +358,52 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Signature-estimated Jaccard over the LSH candidates: the fraction
+    * of agreeing minhash components estimates J(a,b) without touching
+    * document text — the stage a 100 TB pipeline uses when exact
+    * shingle verification (qd04) is too expensive. Integer agreement
+    * counts ⇒ exact cross-engine arithmetic. */
+  private def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val cand = lshPairs(s, dir)
+    val hs = (0 until NumHashes)
+    val a = sig.select($"doc_id".as("a_id") +:
+      hs.map(k => col(s"h$k").as(s"a_h$k")): _*)
+    val b = sig.select($"doc_id".as("b_id") +:
+      hs.map(k => col(s"h$k").as(s"b_h$k")): _*)
+    val agree = hs.map(k =>
+      when(col(s"a_h$k") === col(s"b_h$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, "a_id").join(b, "b_id")
+      .select($"a_id", $"b_id",
+        round(agree.cast("double") / NumHashes, 6).as("est_jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val minhashEstSql = {
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    val agree = (0 until NumHashes)
+      .map(k => s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(b => s"band$b").mkString(", ")}]) AS band
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM eb a JOIN eb b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  round(($agree)::DOUBLE / $NumHashes, 6) AS est_jaccard
+       |FROM cand JOIN sig a ON a_id = a.doc_id JOIN sig b ON b_id = b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** End-to-end dedup keep-list: drop the higher doc_id of every
     * Jaccard-verified near-dup pair (threshold 0.5) — the pipeline's
     * final output shape (LSH candidates → exact verify → prune). */
@@ -416,6 +462,7 @@ object DedupQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "qd09_dup_clusters" -> QueryDef(dupClusters, Some(dupClustersSql)),
+    "qd10_minhash_est" -> QueryDef(minhashEst, Some(minhashEstSql)),
     "qd08_keep_list" -> QueryDef(keepList, Some(keepListSql)),
     "qd01_exact_dedup" -> QueryDef(exact, Some(exactSql)),
     "qd02_minhash_sig" -> QueryDef(minhashSig, Some(minhashSigSql), bench = true),

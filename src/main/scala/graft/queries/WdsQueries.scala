@@ -363,15 +363,18 @@ object WdsQueries extends QueryRegistry {
     * parallel. Output is per-group totals (bin/doc/token counts), which
     * are partition-invariant because each group's fold is sealed inside
     * its own partition — the parallel-packing correctness surface. The
-    * group↔serial equivalence law is asserted in TokenizeMultiSpec;
-    * token counts are tokenizer-derived, hence no SQL oracle. */
+    * group↔serial equivalence law is asserted in TokenizeMultiSpec, and
+    * the oracle replays the greedy fold per 125-doc chunk (state resets
+    * at group boundaries) — parallel packing is hash-checked. */
   private def tokenizeMulti(s: SparkSession, dir: String): DataFrame = {
     val packOut = scratchDir("graft_e1m")
     val tokOut = scratchDir("graft_e2m")
     val info = PackStage.run(docMeta(s, dir), packOut,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 125,
         alignShards = true))
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+    val shardNo = "shard-(\\d+)-".r
+    val urls = info.collect().map(_.getAs[String]("url")).toSeq
+      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
     require(urls.length >= 4 || Tables(s, dir).documents.count() < 500,
       s"expected >=4 merge groups, got ${urls.length}")
     val samples = WdsReader.readUrls(s, urls) // 1 shard = 1 partition
@@ -640,7 +643,34 @@ object WdsQueries extends QueryRegistry {
     "wds08_sft_pack" -> QueryDef(sftPack, Some(sftPackSql)),
     "wds09_merlin_pack" -> QueryDef(merlinPack, Some(merlinPackSql)),
     "wds10_unicontrol_pack" -> QueryDef(unicontrolPack, Some(unicontrolPackSql)),
-    "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, None),
+    "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, Some(
+      """WITH RECURSIVE d AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+        |    CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 125)
+        |      AS INT) AS grp,
+        |    1034 + len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |r(rn, grp, acc, bin) AS (
+        |  SELECT rn, grp, toks, 0 FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.grp,
+        |    CASE WHEN d.grp <> r.grp THEN d.toks
+        |         WHEN r.acc + d.toks > 8000 THEN d.toks
+        |         ELSE r.acc + d.toks END,
+        |    CASE WHEN d.grp <> r.grp THEN 0
+        |         WHEN r.acc + d.toks > 8000 THEN r.bin + 1
+        |         ELSE r.bin END
+        |  FROM r JOIN d ON d.rn = r.rn + 1),
+        |bins AS (
+        |  SELECT r.grp, r.bin, count(*) AS n_docs, sum(t.toks) AS sum_toks
+        |  FROM r JOIN d t ON t.rn = r.rn GROUP BY r.grp, r.bin),
+        |mx AS (SELECT grp, max(bin) AS mb FROM bins GROUP BY grp)
+        |SELECT b.grp AS "group", count(*) AS n_bins,
+        |  sum(b.n_docs)::BIGINT AS n_docs,
+        |  sum(b.sum_toks - (b.n_docs - 1))::BIGINT AS n_tokens
+        |FROM bins b JOIN mx ON b.grp = mx.grp
+        |WHERE b.bin < mx.mb
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin)),
     "wds12_image_pack" -> QueryDef(imagePack, Some(imagePackSql)),
     "wds13_merlinun_pack" -> QueryDef(merlinUnPack, Some(merlinUnPackSql)),
     "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),

@@ -48,6 +48,19 @@ class WdsSparkSpec extends SparkSpec {
     assert(s0.utf8("txt").contains("doc 0"))
   }
 
+  test("writes leave no stray temp files (attempt-scoped rename commits)") {
+    val dir = Files.createTempDirectory("wds-tmp").toString
+    WdsWriter.write(spark.createDataset(mkSamples(40)).repartition(3), dir,
+      WdsWriter.WriterOptions(maxCount = 7)).collect()
+    // Hadoop's local FS adds .crc sidecars; the invariant is that no
+    // attempt-scoped temp survives a successful commit
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc"))
+    assert(names.nonEmpty)
+    assert(names.forall(n => n.endsWith(".tar") && !n.contains(".tmp-")),
+      names.mkString(", "))
+  }
+
   test("gzip shards round-trip (.tar.gz write + transparent gunzip read)") {
     val dir = Files.createTempDirectory("wds-gz").toString
     val in = mkSamples(30)

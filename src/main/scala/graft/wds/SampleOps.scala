@@ -50,7 +50,7 @@ object SampleOps {
       * `getfirst(..., missing_is_error=True)`. Column name = first alt. */
     def toTuple(specs: String*): DataFrame = {
       val cols = specs.map { spec =>
-        val alts = spec.split(";")
+        val alts = spec.split(";").toIndexedSeq
         val c = coalesce(alts.map(a => col("entries").getItem(a)): _*)
         val named = alts.head.replace('.', '_')
         when(c.isNull, raise_error(

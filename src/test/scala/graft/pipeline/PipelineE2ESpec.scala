@@ -27,7 +27,7 @@ class PipelineE2ESpec extends SparkSpec {
     val packInfo = PackStage.run(meta, packDir,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 10))
     val shards = packInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
-    assert(packInfo.agg(sum("nsamples")).head.getLong(0) == 30)
+    assert(packInfo.agg(sum("nsamples")).head().getLong(0) == 30)
 
     // read back: interleave grouping must reassemble 1 json + 4 frames
     val packed = WdsReader.readUrls(spark, shards)
@@ -44,7 +44,7 @@ class PipelineE2ESpec extends SparkSpec {
     // E3: invariants hold, index counts match
     val tokenized = WdsReader.readUrls(spark, tokShards)
     val idx = CheckStage.index(tokenized, strict = true)
-    val total = idx.agg(sum("nsamples")).head.getLong(0)
+    val total = idx.agg(sum("nsamples")).head().getLong(0)
     assert(total > 0)
     // every merged pack stays under the cap and pairs ids/mask
     val checked = CheckStage.checked(tokenized).collect()

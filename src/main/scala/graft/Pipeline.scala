@@ -45,8 +45,9 @@ object Pipeline {
     case "hd3m" | "ego4d" => Loaders.loadCaptionArray(spark, path, prefix)
     case "internvid" => Loaders.loadJsonl(spark, path, prefix)
     case "how2link" => Loaders.loadClips(spark, path, prefix)
-    case "llava_pretrain" | "videochat2" =>
+    case "llava_pretrain" =>
       Loaders.loadConversations(spark, path, prefix)
+    case "videochat2" => Loaders.loadVideochat2(spark, path, prefix)
     case "unicontrol" => Loaders.loadUnicontrol(spark, path)
       .withColumnRenamed("target_path", "media_path2")
       .selectExpr("video_path", "value",

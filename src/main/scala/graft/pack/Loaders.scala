@@ -85,6 +85,18 @@ object Loaders {
       col("prompt").as("value"))
   }
 
+  /** videochat2-style (`dataset_loader.py:208-218`): `{images: [...],
+    * conversations: [...]}` records — the merlin-un sampler's input
+    * (multi-image + ready-made turns). */
+  def loadVideochat2(spark: SparkSession, path: String,
+      prefix: String = ""): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(
+        concat(lit(prefix), element_at(col("images"), 1)).as("video_path"),
+        to_json(col("conversations")).as("value"),
+        transform(col("images"), i => concat(lit(prefix), i))
+          .as("media_paths"))
+
   /** sft fallback (`dataset_loader.py:168-176`): the dataset ARG is a
     * path to a json array of `{video, QA}` records; the QA list rides
     * as canonical JSON text for the video_sft sampler. */

@@ -68,6 +68,18 @@ class LoadersSpec extends SparkSpec {
     assert(r.getString(1).contains("\"from\":\"human\""))
   }
 
+  test("videochat2: {images, conversations} records for merlin-un") {
+    val p = write("vc2.json",
+      """[{"images": ["a.jpg", "b.jpg"],
+        |  "conversations": [{"from": "human", "value": "q"},
+        |                    {"from": "gpt", "value": "a"}]}]""".stripMargin)
+    val r = Loaders.loadVideochat2(spark, p, prefix = "img/").collect().head
+    assert(r.getAs[String]("video_path") == "img/a.jpg")
+    assert(r.getAs[scala.collection.Seq[String]]("media_paths").toSeq ==
+      Seq("img/a.jpg", "img/b.jpg"))
+    assert(r.getAs[String]("value").contains("\"from\":\"human\""))
+  }
+
   test("sft fallback: {video, QA} records carry the QA list as JSON") {
     val p = write("videosft.json",
       """[{"video": "v.mp4", "QA": [{"q": "what", "a": "that"}]}]""")

@@ -99,9 +99,12 @@ object Pipeline {
           .map(m => new SpecialTokenTokenizer(
             SentencePieceModel.fromFile(m), Tokenizers.MultimodalSpecials))
           .getOrElse(Tokenizers.testTokenizer())
-        TokenizeStage.run(
-          WdsReader.read(spark, req("input")),
-          req("save-path"), tok,
+        // --shard-size: consecutive tars per merge group, the
+        // reference's shard_size (`tokenize/main.py:274`)
+        val samples = WdsReader.readUrlsGrouped(spark,
+          graft.wds.ShardList.expand(req("input")),
+          a.getOrElse("shard-size", "1").toInt)
+        TokenizeStage.run(samples, req("save-path"), tok,
           a.getOrElse("max-tokens", TokenizeStage.MaxTokens.toString).toInt)
       case "check" =>
         val idx = CheckStage.index(

@@ -51,6 +51,27 @@ object WdsReader {
         .mapPartitions(it => readPartition(it, bc.value.value, opts)))
   }
 
+  /** Like [[readUrls]], but `groupSize` consecutive shards share one
+    * partition — the tokenize stage's `shard_size` merge-group contract
+    * (`tokenize/main.py:220-264`): one greedy-pack fold then spans that
+    * many input tars, in list order. */
+  def readUrlsGrouped(
+      spark: SparkSession,
+      urls: Seq[String],
+      groupSize: Int,
+      opts: TarIO.ReadOptions = TarIO.ReadOptions()): Dataset[Sample] = {
+    implicit val enc = Encoders.product[Sample]
+    require(urls.nonEmpty, "empty shard list")
+    require(groupSize >= 1, s"groupSize $groupSize")
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(conf)
+    val groups = urls.grouped(groupSize).toSeq
+    spark.createDataset(
+      spark.sparkContext.parallelize(groups, groups.size)
+        .mapPartitions(it => it.flatMap(group =>
+          readPartition(group.iterator, bc.value.value, opts))))
+  }
+
   /** Stream every shard of one task. Open errors route through the
     * handler policy, like the reference's url_opener
     * (`tariterators.py:66-94`): continue ⇒ skip the shard, stop ⇒ end

@@ -48,6 +48,23 @@ class WdsSparkSpec extends SparkSpec {
     assert(s0.utf8("txt").contains("doc 0"))
   }
 
+  test("readUrlsGrouped: shard_size consecutive tars share one partition") {
+    val dir = Files.createTempDirectory("wds-grp").toString
+    WdsWriter.write(spark.createDataset(mkSamples(60)).repartition(1), dir,
+      WdsWriter.WriterOptions(maxCount = 10)).collect()
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted.toSeq
+    assert(shards.length == 6)
+    val grouped = WdsReader.readUrlsGrouped(spark, shards, groupSize = 3)
+    assert(grouped.rdd.getNumPartitions == 2)
+    assert(grouped.count() == 60)
+    // partition boundaries follow the grouping: first 30 keys in p0
+    val byPart = grouped.rdd.mapPartitionsWithIndex((p, it) =>
+      it.map(s => (p, s.key))).collect()
+    assert(byPart.filter(_._1 == 0).map(_._2).sorted.toSeq ==
+      mkSamples(60).map(_.key).sorted.take(30))
+  }
+
   test("writes leave no stray temp files (attempt-scoped rename commits)") {
     val dir = Files.createTempDirectory("wds-tmp").toString
     WdsWriter.write(spark.createDataset(mkSamples(40)).repartition(3), dir,

@@ -318,10 +318,16 @@ object PackStage {
         val n = indexed.count()
         val chunks = math.max(1, ((n + opts.samplesPerTar - 1) /
           opts.samplesPerTar).toInt)
-        indexed.map(r => (r.idx / opts.samplesPerTar, r))
-          .partitionBy(new org.apache.spark.Partitioner {
+        // key by idx (not chunk) so repartitionAndSortWithinPartitions
+        // both routes to the right chunk AND restores ascending idx order
+        // inside it — shuffle block fetch order is nondeterministic, so a
+        // bare partitionBy would write tar entries out of global order
+        // whenever a chunk straddles >1 upstream map partition
+        indexed.map(r => (r.idx, r))
+          .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
             def numPartitions: Int = chunks
-            def getPartition(k: Any): Int = k.asInstanceOf[Long].toInt
+            def getPartition(k: Any): Int =
+              (k.asInstanceOf[Long] / opts.samplesPerTar).toInt
           })
           .map(_._2)
       }

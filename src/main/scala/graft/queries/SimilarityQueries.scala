@@ -68,23 +68,40 @@ object SimilarityQueries extends QueryRegistry {
     * ships cluster labels; a production build would k-means on a sample).
     * Every corpus vector lands in exactly one cell (its label); each query
     * probes the 3 nearest cells, then exact-ranks within them.
-    * No SQL oracle (argmax-over-centroids is not reasonably expressible);
-    * recall vs bruteTopK is asserted in SimilaritySpec. */
+    *
+    * Centroids are DETERMINISTIC: the mean is computed over a bounded
+    * sample (the [[CentroidSample]] lowest vec_ids per label — the same
+    * move a production k-means index build makes to bound memory) by a
+    * sequential fold in ascending vec_id order, so the FP sum has one
+    * well-defined association and DuckDB replays it bit-identically via
+    * ordered `list_sum` (hash-checked). The IVF recall laws are centroid-
+    * agnostic, so the probe-all==brute law in SimilaritySpec still holds. */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopK(s, dir, nProbe = 3)
+
+  private val CentroidSample = 256
 
   /** nProbe exposed for tests: probing every cell must reproduce the
     * brute-force ranking exactly (asserted in SimilaritySpec). */
   def ivfTopK(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
-    // centroid per label: element-wise mean via posexplode + groupBy
-    val cent = e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos").agg(avg($"v").as("m"))
+    // centroid per label: sequential vec_id-ordered mean over a bounded
+    // sample — collect_list is capped at CentroidSample vectors/cell, so
+    // the per-cell gather stays executor-sized at any corpus scale
+    val sampleW = Window.partitionBy($"label").orderBy($"vec_id")
+    val cent = e
+      .withColumn("rn", row_number().over(sampleW))
+      .filter($"rn" <= CentroidSample)
       .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("ve"))
       .select($"label".as("cell"),
-        transform($"pm", p => p.getField("m")).as("centroid"))
+        aggregate(
+          $"ve",
+          array_repeat(lit(0.0d), Dim),
+          (acc, v) => zip_with(acc, v.getField("embedding"),
+            (a, x) => a + x.cast("double")),
+          acc => transform(acc, v => v / size($"ve"))).as("centroid"))
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     // probe list: nProbe nearest centroids per query (tiny cross join)
@@ -137,6 +154,44 @@ object SimilarityQueries extends QueryRegistry {
       .filter($"rank" <= K)
       .orderBy($"q_id", $"rank")
   }
+
+  /** Replays ivfTopK's centroid fold exactly: same bounded sample (first
+    * CentroidSample vec_ids per label), same ascending-vec_id summation
+    * order (`list(emb ORDER BY vec_id)` → `list_sum` is a sequential
+    * in-order fold, and `0.0 + x == x` makes Spark's zero-seeded fold
+    * identical), same double division by the sample size. */
+  private lazy val ivfTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+       |samp AS (
+       |  SELECT label, vec_id, emb FROM (
+       |    SELECT label, vec_id, emb,
+       |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM e) t WHERE rn <= $CentroidSample),
+       |cent AS (
+       |  SELECT label AS cell,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> list_sum(list_transform(vecs, v -> v[i])) / len(vecs))
+       |      AS centroid
+       |  FROM (SELECT label, list(emb ORDER BY vec_id) AS vecs
+       |        FROM samp GROUP BY label) g),
+       |q AS (SELECT vec_id AS q_id, emb AS qv FROM e WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q_id, qv, cell, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY ccos DESC, cell)::INT AS pr
+       |    FROM (
+       |      SELECT q_id, qv, cell, ${cosSql("qv", "centroid")} AS ccos
+       |      FROM q, cent) t1) t2
+       |  WHERE pr <= 3),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS c_id, ${cosSql("qv", "c.emb")} AS cos
+       |  FROM e c JOIN probes p ON c.label = p.cell AND p.q_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, c_id)::INT AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_sum(list_transform(generate_series(1, len($a)),
@@ -213,7 +268,7 @@ object SimilarityQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
-    "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, None),
+    "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, Some(ivfTopKSql)),
     "qs04_ann_ivf_repr" -> QueryDef(ivfReprTopK, Some(ivfReprTopKSql)),
     "qs03_ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsSql), bench = true),
   )

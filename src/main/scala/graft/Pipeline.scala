@@ -33,10 +33,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pipeline {
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.grouped(2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  /** Positional flag parse: `--key value` pairs, with valueless boolean
+    * flags (`--lenient`, `--synthetic-media`) recorded as "true" when
+    * followed by another flag or nothing. A naive grouped(2) pairing
+    * would silently drop a trailing bare flag and mispair everything
+    * after a mid-list one. Non-flag stray tokens fail fast. */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      if (!k.startsWith("--"))
+        throw new IllegalArgumentException(s"expected --flag, got '$k'")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out += k.stripPrefix("--") -> args(i + 1); i += 2
+      } else { out += k.stripPrefix("--") -> "true"; i += 1 }
+    }
+    out.result()
+  }
 
   /** `--dataset` → loader normalizer (`pack/pack.py:231-256`). */
   def loadMeta(spark: SparkSession, dataset: String, path: String,
@@ -57,10 +71,17 @@ object Pipeline {
       Loaders.loadSft(spark, path, prefix)
   }
 
-  /** Hadoop FS media loader — file:/hdfs:/s3a: all work. */
-  val hadoopMedia: String => Array[Byte] = { p =>
+  /** Hadoop FS media loader — file:/hdfs:/s3a: all work. Captures the
+    * SESSION hadoopConfiguration (serialized to executors), so
+    * spark.hadoop.* settings — S3A credentials, endpoints, timeouts —
+    * apply on the media-load path; a fresh Configuration() would
+    * silently ignore them. */
+  def hadoopMedia(spark: SparkSession): String => Array[Byte] = {
+    val conf = new graft.wds.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    p =>
     val path = new org.apache.hadoop.fs.Path(p)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf.value)
     val in = fs.open(path)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -92,7 +113,7 @@ object Pipeline {
             else graft.pack.FrameSource.Mp4Meta())
         val mediaFor: String => Array[Byte] =
           if (a.contains("synthetic-media")) p => p.getBytes("UTF-8")
-          else hadoopMedia
+          else hadoopMedia(spark)
         PackStage.run(meta, req("save-path"), opts, mediaFor)
       case "tokenize" =>
         val tok: SpecialTokenTokenizer = a.get("tokenizer-model")

@@ -13,11 +13,23 @@ import org.apache.spark.sql.functions._
   * Algorithm: every vertex starts labeled with itself; each round
   * propagates labels across (symmetrized) edges and keeps the min;
   * converged when no label changes. Rounds needed = graph diameter —
-  * for near-dup clusters (dense, tiny diameter) a handful. Each round
-  * is one shuffle on vertex id; `localCheckpoint` truncates lineage so
-  * the loop stays O(1) plan depth at any scale. (The large-star/
-  * small-star optimization drops in here if 100 TB components ever have
-  * large diameters — same loop shape.)
+  * for near-dup clusters (dense, tiny diameter) a handful.
+  *
+  * Scale notes (100 TB):
+  *  - Lineage is truncated every round with a RELIABLE `checkpoint`
+  *    when `sparkContext.setCheckpointDir` has been called (blocks go
+  *    to the fault-tolerant FS, so one lost executor mid-loop does not
+  *    abort a multi-hour job); sessions without a checkpoint dir — unit
+  *    tests, local runs — fall back to `localCheckpoint`.
+  *  - Convergence detection is FUSED into the propagation aggregation:
+  *    each round carries the previous label through the same
+  *    `groupBy(id)` (messages contribute null, `min` ignores nulls), so
+  *    "did anything change" is a filter-count over the already-
+  *    materialized checkpoint — no extra join or shuffle per round.
+  *  - Hitting `maxIters` unconverged THROWS: silently returning partial
+  *    labels would emit wrong clusters with no signal. (The large-star/
+  *    small-star optimization drops in here if 100 TB components ever
+  *    have large diameters — same loop shape.)
   */
 object ConnectedComponents {
 
@@ -26,27 +38,34 @@ object ConnectedComponents {
     * @return (id, label) where label = min id of the component */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50):
       DataFrame = {
-    val sym = edges
+    val sc = edges.sparkSession.sparkContext
+    val ckpt: DataFrame => DataFrame =
+      if (sc.getCheckpointDir.isDefined) df => df.checkpoint()
+      else df => df.localCheckpoint()
+    val sym = ckpt(edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var labels = ckpt(vertices.select(col("id"), col("id").as("label")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      // one pass: min over {old label} ∪ {incoming labels}; the previous
+      // label rides along as min("old") (unique per id, nulls ignored)
+      val next = ckpt(labels
+        .select(col("id"), col("label"), col("label").cast("long").as("old"))
+        .union(msgs)
+        .groupBy("id").agg(min("label").as("label"), min("old").as("old")))
+      changed = next.filter(!(col("label").cast("long") <=> col("old"))).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters")
     labels
   }
 }

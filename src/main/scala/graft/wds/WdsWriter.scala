@@ -85,9 +85,31 @@ object WdsWriter {
       def roll(): Unit = {
         if (writer != null) {
           writer.close()
-          if (fs.exists(path)) fs.delete(path, false)
-          if (!fs.rename(tmpPath, path))
-            throw new java.io.IOException(s"rename $tmpPath -> $path failed")
+          // Prefer atomic overwrite-rename: no exists/delete window in
+          // which the shard path is absent, and no spurious failure when
+          // racing a speculative attempt. FSes without FileContext
+          // support fall back to delete+rename; a lost race there is
+          // tolerated iff the destination exists (both attempts write
+          // identical deterministic content).
+          val renamed =
+            try {
+              org.apache.hadoop.fs.FileContext
+                .getFileContext(path.toUri, bc.value.value)
+                .rename(tmpPath, path,
+                  org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+              true
+            } catch {
+              case _: UnsupportedOperationException =>
+                if (fs.exists(path)) fs.delete(path, false)
+                fs.rename(tmpPath, path)
+            }
+          if (!renamed) {
+            if (!fs.exists(path))
+              throw new java.io.IOException(
+                s"rename $tmpPath -> $path failed")
+            try { fs.delete(tmpPath, false); () }
+            catch { case _: Exception => () }
+          }
           out += ShardInfo(path.toString, count, bytes, pid)
         }
         writer = null; count = 0L; bytes = 0L

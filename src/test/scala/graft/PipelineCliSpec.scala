@@ -47,6 +47,17 @@ class PipelineCliSpec extends SparkSpec {
   test("arg parsing and unknown stage rejection") {
     assert(Pipeline.parseArgs(Array("--stage", "pack", "--type", "kf")) ==
       Map("stage" -> "pack", "type" -> "kf"))
+    // trailing bare flag records "true" (not silently dropped)
+    assert(Pipeline.parseArgs(Array("--stage", "check", "--lenient")) ==
+      Map("stage" -> "check", "lenient" -> "true"))
+    // mid-list bare flag does not shift later pairs
+    assert(Pipeline.parseArgs(Array(
+      "--synthetic-media", "--save-path", "/tmp/x", "--lenient")) ==
+      Map("synthetic-media" -> "true", "save-path" -> "/tmp/x",
+        "lenient" -> "true"))
+    // stray non-flag token fails fast instead of mispairing
+    assertThrows[IllegalArgumentException](
+      Pipeline.parseArgs(Array("stage", "pack")))
     assertThrows[IllegalArgumentException](
       Pipeline.run(spark, Map("stage" -> "nope")))
     assertThrows[IllegalArgumentException](

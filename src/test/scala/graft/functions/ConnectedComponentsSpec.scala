@@ -24,4 +24,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = ConnectedComponents.run(edges, verts).collect()
     assert(got.forall(_.getLong(1) == 1L))
   }
+
+  test("unconverged at maxIters throws instead of returning bad labels") {
+    import spark.implicits._
+    val n = 12 // diameter ~11 > 3 rounds
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    assertThrows[IllegalStateException](
+      ConnectedComponents.run(edges, verts, maxIters = 3))
+  }
+
+  test("reliable checkpoint path (checkpoint dir set) gives same answer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+      val verts = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+      val got = ConnectedComponents.run(edges, verts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+        11L -> 10L))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }

@@ -1,0 +1,352 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM ISO BMFF sample-table access — the REAL frame-extraction
+  * path for video codecs whose samples are self-contained encoded
+  * images (MJPEG `jpeg`, PNG `png `): parses `stbl` (stsd codec,
+  * stsz sizes, stsc sample→chunk runs, stco/co64 chunk offsets, stss
+  * sync samples, mdhd timing), reconstructs every sample's byte range,
+  * and slices frames straight out of `mdat`. This is the decode walk
+  * decord/ffmpeg do for the reference (`pack/dataset.py:102-122`,
+  * `pack/tools.py:101-140`) minus inter-frame codecs (H.264 needs a
+  * native decoder and stays at the [[graft.pack.FrameSource]] seam).
+  *
+  * Sibling of [[Mp4Probe]] (movie-level metadata); this walks the same
+  * box tree one level deeper into the track. Tolerates truncated tails
+  * and unknown boxes — a 100 TB crawl contains corrupt shards.
+  */
+object Mp4Samples {
+
+  /** One media track's sample table, fully resolved to byte ranges.
+    * @param sync 1-based sync-sample numbers, ascending; empty = all sync */
+  final case class Track(
+      codec: String,
+      timescale: Long,
+      duration: Long,
+      sizes: Array[Int],
+      offsets: Array[Long],
+      sync: Array[Int]) {
+    def frameCount: Int = sizes.length
+    def fps: Double =
+      if (duration > 0 && timescale > 0)
+        frameCount.toDouble * timescale / duration
+      else 0.0
+    def durationSec: Double =
+      if (timescale > 0) duration.toDouble / timescale else 0.0
+    def isSync(sampleIdx: Int): Boolean =
+      sync.isEmpty || java.util.Arrays.binarySearch(sync, sampleIdx + 1) >= 0
+    /** slice sample `i`'s encoded bytes out of the container */
+    def sample(container: Array[Byte], i: Int): Array[Byte] = {
+      val off = offsets(i)
+      val len = sizes(i)
+      require(off + len <= container.length,
+        s"sample $i [$off,+$len) beyond container ${container.length}")
+      java.util.Arrays.copyOfRange(container, off.toInt, off.toInt + len)
+    }
+  }
+
+  /** First track with a complete sample table, or None for containers
+    * without one (e.g. [[Mp4Probe.encodeMinimal]]'s metadata-only moov). */
+  def parse(bytes: Array[Byte]): Option[Track] = {
+    var found: Option[Track] = None
+
+    // per-trak accumulator, reset at each trak
+    var codec = ""
+    var timescale = 0L
+    var duration = 0L
+    var sizes: Array[Int] = null
+    var chunkOffsets: Array[Long] = null
+    var stsc: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
+    var sync: Array[Int] = Array.empty
+
+    def be(pos: Int, end: Int): ByteBuffer =
+      ByteBuffer.wrap(bytes, pos, end - pos).order(ByteOrder.BIG_ENDIAN)
+
+    def finishTrak(): Unit =
+      if (found.isEmpty && sizes != null && chunkOffsets != null &&
+        stsc != null && codec.nonEmpty) {
+        val offsets = new Array[Long](sizes.length)
+        var sampleIdx = 0
+        var chunk = 0
+        while (chunk < chunkOffsets.length && sampleIdx < sizes.length) {
+          // samples-per-chunk for this chunk = last run with firstChunk <= chunk+1
+          var spc = 1L
+          var r = 0
+          while (r < stsc.length && stsc(r)._1 <= chunk + 1) {
+            spc = stsc(r)._2; r += 1
+          }
+          var off = chunkOffsets(chunk)
+          var s = 0L
+          while (s < spc && sampleIdx < sizes.length) {
+            offsets(sampleIdx) = off
+            off += sizes(sampleIdx)
+            sampleIdx += 1
+            s += 1
+          }
+          chunk += 1
+        }
+        if (sampleIdx == sizes.length)
+          found = Some(Track(codec, timescale, duration, sizes, offsets, sync))
+      }
+
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end && found.isEmpty) {
+        val buf = be(pos, end)
+        var size = (buf.getInt().toLong) & 0xffffffffL
+        val nameBytes = new Array[Byte](4)
+        buf.get(nameBytes)
+        val name = new String(nameBytes, "US-ASCII")
+        var header = 8
+        if (size == 1 && buf.remaining() >= 8) {
+          size = buf.getLong(); header = 16
+        } else if (size == 0) size = (end - pos).toLong
+        if (size < header) return
+        val boxEnd = math.min(end.toLong, pos + size).toInt
+        name match {
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(pos + header, boxEnd)
+          case "trak" =>
+            codec = ""; timescale = 0L; duration = 0L
+            sizes = null; chunkOffsets = null; stsc = null
+            sync = Array.empty
+            walk(pos + header, boxEnd)
+            finishTrak()
+          case "mdhd" if boxEnd - pos >= header + 20 =>
+            val b = be(pos + header, boxEnd)
+            val version = b.get(); b.position(b.position() + 3)
+            if (version == 1) {
+              b.getLong(); b.getLong()
+              timescale = (b.getInt().toLong) & 0xffffffffL
+              duration = b.getLong()
+            } else {
+              b.getInt(); b.getInt()
+              timescale = (b.getInt().toLong) & 0xffffffffL
+              duration = (b.getInt().toLong) & 0xffffffffL
+            }
+          case "stsd" if boxEnd - pos >= header + 16 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt() // version+flags
+            val n = b.getInt()
+            if (n >= 1 && b.remaining() >= 8) {
+              b.getInt() // entry size
+              val fmt = new Array[Byte](4)
+              b.get(fmt)
+              codec = new String(fmt, "US-ASCII").trim
+            }
+          case "stsz" if boxEnd - pos >= header + 12 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt()
+            val fixed = b.getInt()
+            val n = b.getInt()
+            sizes =
+              if (fixed != 0) Array.fill(n)(fixed)
+              else if (b.remaining() >= 4L * n)
+                Array.fill(n)(b.getInt())
+              else null
+          case "stsc" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt()
+            val n = b.getInt()
+            if (b.remaining() >= 12L * n)
+              stsc = Array.fill(n) {
+                val first = (b.getInt().toLong) & 0xffffffffL
+                val spc = (b.getInt().toLong) & 0xffffffffL
+                b.getInt() // sample description index
+                (first, spc)
+              }
+          case "stco" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt()
+            val n = b.getInt()
+            if (b.remaining() >= 4L * n)
+              chunkOffsets = Array.fill(n)((b.getInt().toLong) & 0xffffffffL)
+          case "co64" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt()
+            val n = b.getInt()
+            if (b.remaining() >= 8L * n)
+              chunkOffsets = Array.fill(n)(b.getLong())
+          case "stss" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt()
+            val n = b.getInt()
+            if (b.remaining() >= 4L * n) sync = Array.fill(n)(b.getInt())
+          case _ => ()
+        }
+        pos = boxEnd
+      }
+    }
+
+    walk(0, bytes.length)
+    found
+  }
+
+  /** Build a REAL playable still-image-codec MP4: `ftyp` + `mdat`
+    * (concatenated encoded frames) + trailing `moov` with a complete
+    * sample table (one chunk per sample; stss every `syncEvery`-th).
+    * `codec` is the stsd fourcc — "jpeg" for MJPEG, "png " for PNG
+    * samples. mdat-before-moov keeps chunk offsets independent of the
+    * moov size. */
+  def encodeFrames(
+      frames: Seq[Array[Byte]],
+      codec: String,
+      fps: Int,
+      width: Int,
+      height: Int,
+      syncEvery: Int = 1): Array[Byte] = {
+    require(codec.length == 4, s"fourcc must be 4 chars: '$codec'")
+    require(frames.nonEmpty && fps > 0)
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length)
+      b.put(name.getBytes("US-ASCII"))
+      b.put(payload)
+      b.array()
+    }
+    def full(name: String, body: ByteBuffer): Array[Byte] = {
+      val payload = new Array[Byte](body.position())
+      body.rewind(); body.get(payload)
+      box(name, payload)
+    }
+    val n = frames.length
+    val timescale = fps * 1000
+    val duration = n.toLong * 1000
+
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val mdatPayload = frames.toArray.flatten
+    val mdat = box("mdat", mdatPayload)
+    val firstOffset = ftyp.length + 8 // into mdat payload
+
+    val mvhd = {
+      val b = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0) // version+flags
+      b.putInt(0); b.putInt(0)
+      b.putInt(timescale)
+      b.putInt(duration.toInt)
+      b.putInt(0x00010000)
+      b.put(new Array[Byte](100 - b.position()))
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+      b.putInt(0); b.putInt(0)
+      b.putInt(1) // track id
+      b.putInt(0)
+      b.putInt(duration.toInt)
+      b.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36))
+      b.putInt(width << 16)
+      b.putInt(height << 16)
+      box("tkhd", b.array())
+    }
+    val mdhd = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.putInt(timescale)
+      b.putInt(duration.toInt)
+      b.putShort(0x55c4.toShort) // language 'und'
+      b.putShort(0)
+      full("mdhd", b)
+    }
+    val hdlr = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(0)
+      b.put("vide".getBytes("US-ASCII"))
+      b.put(new Array[Byte](12))
+      b.put(0.toByte) // empty name
+      full("hdlr", b)
+    }
+    val stsd = {
+      // VisualSampleEntry: 8 (size+fourcc) + 78 bytes of fields
+      val entry = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
+      entry.putInt(86)
+      entry.put(codec.getBytes("US-ASCII"))
+      entry.put(new Array[Byte](6)) // reserved
+      entry.putShort(1) // data reference index
+      entry.put(new Array[Byte](16)) // predefined/reserved
+      entry.putShort(width.toShort)
+      entry.putShort(height.toShort)
+      entry.putInt(0x00480000); entry.putInt(0x00480000) // 72 dpi
+      entry.putInt(0)
+      entry.putShort(1) // frame count per sample
+      entry.put(new Array[Byte](32)) // compressor name
+      entry.putShort(24) // depth
+      entry.putShort(-1) // predefined
+      val b = ByteBuffer.allocate(8 + 86).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1) // entry count
+      b.put(entry.array())
+      full("stsd", b)
+    }
+    val stts = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1)
+      b.putInt(n)
+      b.putInt(1000) // constant per-sample delta
+      full("stts", b)
+    }
+    val stsc = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1)
+      b.putInt(1); b.putInt(1); b.putInt(1) // 1 sample per chunk
+      full("stsc", b)
+    }
+    val stsz = {
+      val b = ByteBuffer.allocate(12 + 4 * n).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(0) // variable sizes
+      b.putInt(n)
+      frames.foreach(f => b.putInt(f.length))
+      full("stsz", b)
+    }
+    val stco = {
+      val b = ByteBuffer.allocate(8 + 4 * n).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(n)
+      var off = firstOffset.toLong
+      frames.foreach { f => b.putInt(off.toInt); off += f.length }
+      full("stco", b)
+    }
+    val syncIdx = (1 to n).filter(i => (i - 1) % syncEvery == 0)
+    val stss =
+      if (syncEvery <= 1) Array.emptyByteArray
+      else {
+        val b = ByteBuffer.allocate(8 + 4 * syncIdx.length)
+          .order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0)
+        b.putInt(syncIdx.length)
+        syncIdx.foreach(i => { b.putInt(i); () })
+        full("stss", b)
+      }
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+    val vmhd = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(1) // version 0, flags 1
+      b.put(new Array[Byte](8))
+      full("vmhd", b)
+    }
+    val dinf = box("dinf", box("dref", {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1)
+      b.putInt(12)
+      b.put("url ".getBytes("US-ASCII"))
+      b.putInt(1) // self-contained
+      b.array()
+    }))
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+}

@@ -158,6 +158,42 @@ object FrameSource {
     def fps(video: Array[Byte]): Double = fpsValue
   }
 
+  /** REAL frame decode for still-image-codec MP4s (MJPEG `jpeg`,
+    * PNG `png `): the sample table ([[graft.multimodal.Mp4Samples]])
+    * resolves every frame to its byte range in `mdat`, and each sample
+    * IS a complete ImageIO-decodable image — actual pixels from an
+    * actual container, pure JVM. Frame types come from the real `stss`
+    * sync-sample box (the ffprobe `pict_type` analog,
+    * `pack/tools.py:101-140`); fps/duration from `mdhd`. Inter-frame
+    * codecs (H.264…) still need a native decoder — that remains the
+    * ffmpeg/JavaCV seam, with [[Synthetic]]/[[Mp4Meta]] as fallbacks. */
+  object Mp4Frames extends FrameSource {
+    import graft.multimodal.Mp4Samples
+    // sample-table parse is header-only but per-frame calls repeat it;
+    // memoize the last container per thread (pack loops over one video
+    // at a time within a partition)
+    private val last = new ThreadLocal[(Array[Byte], Mp4Samples.Track)]
+    private def track(video: Array[Byte]): Mp4Samples.Track = {
+      val cached = last.get()
+      if (cached != null && (cached._1 eq video)) cached._2
+      else {
+        val t = Mp4Samples.parse(video).getOrElse(throw
+          new IllegalArgumentException(
+            "no complete sample table (not an MJPEG/PNG mp4?)"))
+        last.set((video, t))
+        t
+      }
+    }
+    def frame(video: Array[Byte], index: Int): Array[Byte] =
+      track(video).sample(video, index)
+    def frameCount(video: Array[Byte]): Int = track(video).frameCount
+    def fps(video: Array[Byte]): Double = track(video).fps
+    override def frameTypes(video: Array[Byte]): IndexedSeq[Char] = {
+      val t = track(video)
+      IndexedSeq.tabulate(t.frameCount)(i => if (t.isSync(i)) 'I' else 'P')
+    }
+  }
+
   /** Content-independent frame geometry: every video has exactly `count`
     * frames at `fpsValue`, keyframe every `iEvery`. Makes downstream
     * per-sample entry counts a pure function of configuration — the

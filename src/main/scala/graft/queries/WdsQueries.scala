@@ -630,6 +630,70 @@ object WdsQueries extends QueryRegistry {
       | 1 AS n_tracks
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL frame decode end-to-end: per-doc PNG-codec MP4s (valid ISO
+    * BMFF with a full stbl sample table, [[graft.multimodal.Mp4Samples
+    * .encodeFrames]]), frames extracted by the real sample-table walk
+    * ([[graft.pack.FrameSource.Mp4Frames]]) and pixel-decoded by real
+    * ImageIO. PNG is lossless and each 1×1 frame's pixel is a pure
+    * function of (doc_id, frame), so the decoded pixel sums are
+    * SQL-derivable — the whole decode path is hash-checked. (JPEG
+    * tolerance decode of the committed tiny_mjpeg.mp4 is spec-asserted
+    * in Mp4SamplesSpec; lossy decode can't hash-match SQL.) */
+  private def mjpegDecode(s: SparkSession, dir: String): DataFrame = {
+    val mkMp4 = udf { (id: Long) =>
+      val n = (4 + id % 5).toInt
+      val frames = (0 until n).map { f =>
+        val px = Array(
+          ((id * 7 + f) % 251).toByte,
+          ((id * 11 + 2 * f) % 251).toByte,
+          ((id * 13 + 3 * f) % 251).toByte)
+        graft.wds.Codecs.encodeImage(
+          graft.wds.Codecs.ImageData(1, 1, 3, "RGB", px), "png")
+      }
+      graft.multimodal.Mp4Samples.encodeFrames(
+        frames, codec = "png ", fps = 5, width = 1, height = 1,
+        syncEvery = 2)
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkMp4(col("doc_id")).as("content"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      (Long, Int, Int, Long)]
+    media.select(col("media_id"), col("content"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        val src = graft.pack.FrameSource.Mp4Frames
+        it.map { case (id, mp4) =>
+          val n = src.frameCount(mp4)
+          val nKey = src.frameTypes(mp4).count(_ == 'I')
+          var pixelSum = 0L
+          var f = 0
+          while (f < n) {
+            val img = graft.wds.Codecs.decodeImage(src.frame(mp4, f))
+            var i = 0
+            while (i < img.data.length) {
+              pixelSum += img.data(i) & 0xff; i += 1
+            }
+            f += 1
+          }
+          (id, n, nKey, pixelSum)
+        }
+      }
+      .toDF("media_id", "n_frames", "n_key", "pixel_sum")
+      .orderBy(col("media_id"))
+  }
+
+  private val mjpegDecodeSql =
+    """SELECT doc_id AS media_id,
+      | (4 + doc_id % 5)::INT AS n_frames,
+      | ((4 + doc_id % 5 + 1) // 2)::INT AS n_key,
+      | list_sum(list_transform(
+      |   generate_series(0, (3 + doc_id % 5)::INT),
+      |   f -> (doc_id*7 + f) % 251 + (doc_id*11 + 2*f) % 251
+      |      + (doc_id*13 + 3*f) % 251))::BIGINT AS pixel_sum
+      |FROM documents ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
     "wds01_pack_stats" -> QueryDef(packStats, Some(packStatsSql)),
     "wds02_roundtrip" -> QueryDef(roundtrip, Some(
@@ -686,5 +750,6 @@ object WdsQueries extends QueryRegistry {
     "mm02_frame_sample" -> QueryDef(frameSample, Some(frameSampleSql)),
     "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),
     "mm04_video_probe" -> QueryDef(videoProbe, Some(videoProbeSql)),
+    "mm05_mjpeg_decode" -> QueryDef(mjpegDecode, Some(mjpegDecodeSql)),
   )
 }

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import graft.pack.FrameSource
+import graft.wds.Codecs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-pixel decode through the MP4 sample table: containers built by
+  * [[Mp4Samples.encodeFrames]] (and the committed fixture) round-trip
+  * frame-exact through parse → sample slice → ImageIO decode. */
+class Mp4SamplesSpec extends AnyFunSuite {
+
+  private def pngFrame(v: Int): Array[Byte] =
+    Codecs.encodeImage(Codecs.ImageData(2, 2, 3, "RGB",
+      Array.tabulate(2 * 2 * 3)(i => ((v * 17 + i) % 256).toByte)), "png")
+
+  test("PNG-codec mp4 round-trips pixels losslessly") {
+    val frames = (0 until 7).map(pngFrame)
+    val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 4,
+      width = 2, height = 2, syncEvery = 3)
+    val t = Mp4Samples.parse(mp4).get
+    assert(t.codec == "png")
+    assert(t.frameCount == 7)
+    assert(t.fps == 4.0)
+    assert((0 until 7).map(t.isSync) ==
+      Seq(true, false, false, true, false, false, true))
+    (0 until 7).foreach { i =>
+      val got = t.sample(mp4, i)
+      assert(got.sameElements(frames(i)), s"frame $i bytes differ")
+      // real pixel decode: lossless PNG → exact bytes back
+      val img = Codecs.decodeImage(got)
+      assert(img.data.toSeq ==
+        Array.tabulate(2 * 2 * 3)(j => ((i * 17 + j) % 256).toByte).toSeq)
+    }
+  }
+
+  test("FrameSource.Mp4Frames decodes real pixels + real sync types") {
+    val frames = (0 until 10).map(pngFrame)
+    val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 25,
+      width = 2, height = 2, syncEvery = 4)
+    assert(FrameSource.Mp4Frames.frameCount(mp4) == 10)
+    assert(FrameSource.Mp4Frames.fps(mp4) == 25.0)
+    assert(FrameSource.Mp4Frames.frameTypes(mp4).mkString ==
+      "IPPPIPPPIP")
+    val img = Codecs.decodeImage(FrameSource.Mp4Frames.frame(mp4, 6))
+    assert(img.data.toSeq ==
+      Array.tabulate(2 * 2 * 3)(j => ((6 * 17 + j) % 256).toByte).toSeq)
+  }
+
+  test("committed tiny_mjpeg.mp4 fixture decodes real JPEG pixels") {
+    val in = getClass.getResourceAsStream("/tiny_mjpeg.mp4")
+    assert(in != null, "fixture missing — run Test/runMain Mp4FixtureGen")
+    val mp4 = in.readAllBytes()
+    in.close()
+    val t = Mp4Samples.parse(mp4).get
+    assert(t.codec == "jpeg")
+    assert(t.frameCount == 12)
+    assert(t.fps == 5.0)
+    // stss every 5th: frames 0,5,10 are keyframes
+    assert(FrameSource.Mp4Frames.frameTypes(mp4).mkString ==
+      "IPPPPIPPPPIP")
+    // the movie-level probe reads the same container
+    val meta = Mp4Probe.probe(mp4)
+    assert(meta.width == 8 && meta.height == 8)
+    assert(math.abs(meta.durationSec - 12.0 / 5) < 1e-9)
+    (0 until 12).foreach { f =>
+      val img = Codecs.decodeImage(FrameSource.Mp4Frames.frame(mp4, f))
+      assert(img.height == 8 && img.width == 8 && img.nChannels == 3)
+      val (r, g, b) = Mp4FixtureGen.frameColor(f)
+      // solid-color 8×8 JPEG decodes near-exact (DC-only block)
+      def mean(ch: Int): Double =
+        (0 until 64).map(p => img.data(p * 3 + ch) & 0xff).sum / 64.0
+      assert(math.abs(mean(0) - r) < 16, s"frame $f R: ${mean(0)} vs $r")
+      assert(math.abs(mean(1) - g) < 16, s"frame $f G: ${mean(1)} vs $g")
+      assert(math.abs(mean(2) - b) < 16, s"frame $f B: ${mean(2)} vs $b")
+    }
+  }
+
+  test("kf pack sampler runs on real MP4 frames end-to-end") {
+    import graft.pack.PackStage
+    val frames = (0 until 20).map(pngFrame)
+    val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 10,
+      width = 2, height = 2, syncEvery = 5)
+    val media: String => Array[Byte] = _ => mp4
+    val s = PackStage.buildSample(1, Seq("v.mp4"), "cap",
+      PackStage.PackOptions(samplerType = PackStage.SamplerType.Kf,
+        frames = FrameSource.Mp4Frames), media)
+    // real stss: I at 0,5,10,15 (+ last frame 19) = 5; P fills = 15
+    assert(s.entries.size == 21) // json + 20 frames
+    val j = new String(s.entries("json"), "UTF-8")
+    assert("<Iimage>#".r.findAllIn(j).size == 5)
+    assert("<Pimage>#".r.findAllIn(j).size == 15)
+    // the packed I-frame payloads ARE the container's real PNG samples
+    assert(s.entries("0.jpg").sameElements(frames(0)))
+  }
+
+  test("metadata-only mp4 (no sample table) parses to None") {
+    val mp4 = Mp4Probe.encodeMinimal(1000, 5000L, 320, 240)
+    assert(Mp4Samples.parse(mp4).isEmpty)
+  }
+}

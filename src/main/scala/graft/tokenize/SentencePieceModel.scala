@@ -162,6 +162,40 @@ object SentencePieceModel {
   def fromFile(path: String): SentencePieceModel =
     parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
+  /** Inverse of [[parse]] — serialize pieces to the public ModelProto
+    * wire format (field 1 = repeated SentencePiece{piece=1 string,
+    * score=2 float, type=3 enum}). Lets fixtures and custom vocabs be
+    * written as real `.model` files the reference runtime could load. */
+  def serialize(pieces: Seq[Piece]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(pieces.length * 16)
+    def varint(to: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      var cont = true
+      while (cont) {
+        val b = (v & 0x7f).toInt
+        v >>>= 7
+        if (v != 0) to.write(b | 0x80) else { to.write(b); cont = false }
+      }
+    }
+    pieces.foreach { p =>
+      val body = new java.io.ByteArrayOutputStream(p.piece.length + 12)
+      val pb = p.piece.getBytes(UTF_8)
+      body.write((1 << 3) | 2) // piece: field 1, length-delimited
+      varint(body, pb.length.toLong)
+      body.write(pb, 0, pb.length)
+      body.write((2 << 3) | 5) // score: field 2, fixed32
+      val bits = java.lang.Float.floatToIntBits(p.score)
+      body.write(bits & 0xff); body.write((bits >> 8) & 0xff)
+      body.write((bits >> 16) & 0xff); body.write((bits >> 24) & 0xff)
+      body.write((3 << 3) | 0) // type: field 3, varint
+      varint(body, p.pieceType.toLong)
+      out.write((1 << 3) | 2) // ModelProto.pieces
+      varint(out, body.size().toLong)
+      body.writeTo(out)
+    }
+    out.toByteArray
+  }
+
   /** Minimal protobuf reader for the ModelProto subset (field 1 =
     * repeated SentencePiece{piece=1, score=2, type=3}); every other
     * field is skipped by wire type. */

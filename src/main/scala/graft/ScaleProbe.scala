@@ -68,8 +68,8 @@ object ScaleProbe {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     Seq(10000, 100000, 1000000).foreach { nv =>
-      val bits = math.max(8,
-        math.ceil(math.log(nv / 16.0) / math.log(2)).toInt)
+      // the query-path candidate stage + width rule, verbatim (qd06)
+      val bits = queries.DedupQueries.embedBitsFor(nv.toLong)
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
@@ -86,17 +86,77 @@ object ScaleProbe {
           Row(id, arr)
         }, schema)
       val t0 = System.nanoTime()
-      val sigs = functions.PlaneLSH
-        .signatures(vecs, "vec_id", "embedding", tables = 12, bits, 64)
-      val buckets = sigs.select(col("vec_id"), explode(array(
-        (0 until 12).map(t => col(s"sig$t") + lit(t.toLong << bits)): _*))
-        .as("bkt"))
-      val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      val cands = queries.DedupQueries
+        .embCandidates(vecs, tables = 12, bits = bits, dim = 64)
+        .count()
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[scale] vecs=$nv%8d bits=$bits%2d embLsh=$t%6.2fs " +
         f"candPairs=$cands%d")
+    }
+
+    // connected components at 1M vertices (qd09 shape) with a reliable
+    // checkpoint dir — the fault-tolerant path a 100 TB dedup job runs.
+    // Star-shaped clusters of 200 (hub + spokes, diameter 2, plus a
+    // bridge chain every 10 clusters) mirror real near-dup clusters:
+    // LSH candidates are dense around shared content, not long chains
+    {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("scale_ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckpt)
+      val nVerts = 1000000L
+      val clusterSize = 200L
+      val verts = spark.range(nVerts).select(col("id"))
+      val hub = (col("id") / clusterSize).cast("long") * clusterSize
+      val spokes = spark.range(nVerts)
+        .filter(col("id") % clusterSize =!= 0)
+        .select(hub.as("a_id"), col("id").as("b_id"))
+      // bridges merge each run of 10 stars into one component
+      val bridges = spark.range(nVerts / clusterSize)
+        .filter(col("id") % 10 =!= 9)
+        .select((col("id") * clusterSize).as("a_id"),
+          ((col("id") + 1) * clusterSize).as("b_id"))
+      val t0 = System.nanoTime()
+      val labels = functions.ConnectedComponents.run(
+        spokes.union(bridges), verts)
+      val nClusters = labels.select("label").distinct().count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ccVerts=$nVerts%8d cc=$t%6.2fs " +
+        f"clusters=$nClusters%d (expect ${nVerts / clusterSize / 10}%d)")
+      spark.sparkContext.setCheckpointDir(null)
+    }
+
+    // E1→E3 spine at documents×N: pack → tokenize → index/check wall
+    // times and shard counts (synthetic media; real tar I/O)
+    multiples.lastOption.foreach { m =>
+      val meta = (0 until m).map { i =>
+        base.select(
+          format_string("videos/%09d.mp4",
+            col("doc_id") + lit(i.toLong * 1000000L)).as("video_path"),
+          concat(col("text"), lit(s" copytag$i")).as("value"))
+      }.reduce(_ union _)
+      val packOut = java.nio.file.Files
+        .createTempDirectory("scale_pack").toString
+      val t0 = System.nanoTime()
+      val info = pack.PackStage.run(meta, packOut,
+        pack.PackStage.PackOptions(numSegments = 2, samplesPerTar = 500))
+      val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+      val tPack = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val tokOut = java.nio.file.Files
+        .createTempDirectory("scale_tok").toString
+      val tokInfo = tokenize.TokenizeStage.run(
+        wds.WdsReader.readUrls(spark, urls), tokOut)
+      val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq
+      val tTok = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val idx = index.CheckStage.index(
+        wds.WdsReader.readUrls(spark, tokUrls.sorted), strict = true)
+      val nSamples = idx.agg(sum(col("nsamples"))).head().getLong(0)
+      val tIdx = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] spineDocs=${baseN * m}%8d pack=$tPack%6.2fs " +
+        f"(${urls.length}%d tars) tokenize=$tTok%6.2fs " +
+        f"(${tokUrls.length}%d tars) check=$tIdx%6.2fs " +
+        f"packedSamples=$nSamples%d")
     }
     spark.stop()
   }

@@ -251,12 +251,41 @@ object DedupQueries extends QueryRegistry {
   }
 
   // Embedding near-dup LSH parameters: 12 tables × 8-bit signatures.
-  // 2^8 buckets/table is the fixture setting — at 100 TB `EmbBits`
-  // scales with log2(n) to keep buckets bounded; the plan shape (narrow
+  // 2^8 buckets/table is the fixture setting (pinned so the oracle's
+  // inlined plane literals stay stable) — at 100 TB the signature
+  // width is the [[embedBitsFor]] scale knob; the plan shape (narrow
   // signature pass → bucket equi-join → verify) is unchanged.
   private val EmbTables = 12
   private val EmbBits = 8
   private val EmbDim = 64
+
+  /** The signature-width scale rule, measured in SCALE.md's bucket-
+    * balance probe: `bits ≈ log2(n / bucketTarget)` keeps expected
+    * bucket occupancy near `bucketTarget`, so candidate pairs grow
+    * ~linearly in n instead of quadratically once n passes
+    * 2^bits·bucketTarget. Floor of 8 = the fixture pin. */
+  def embedBitsFor(n: Long, bucketTarget: Int = 16): Int =
+    math.max(8, math.ceil(
+      math.log(n.toDouble / bucketTarget) / math.log(2)).toInt)
+
+  /** qd06's candidate stage with the width knob exposed: per-table
+    * hyperplane signatures → bucket equi-join → distinct (a_id, b_id)
+    * pairs. Shuffles only (vec_id, bucket-int) — embeddings never enter
+    * the shuffle. Used by the gate query (bits = EmbBits) and the
+    * SCALE.md probe (bits from [[embedBitsFor]]). */
+  def embCandidates(
+      e: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val sigs = graft.functions.PlaneLSH
+      .signatures(e, "vec_id", "embedding", tables, bits, dim)
+    val buckets = sigs.select(col("vec_id"), explode(array(
+      (0 until tables).map(t0 =>
+        col(s"sig$t0") + lit(t0.toLong << bits)): _*)).as("bkt"))
+    buckets.as("x")
+      .join(buckets.as("y"), col("x.bkt") === col("y.bkt") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+  }
 
   /** Embedding cosine near-dup pairs, two-phase: deterministic
     * random-hyperplane LSH candidates (pairs sharing ≥1 of the 12
@@ -278,16 +307,7 @@ object DedupQueries extends QueryRegistry {
     import s.implicits._
     val t = Tables(s, dir)
     val e = t.embeddings.select($"vec_id", $"embedding")
-    val sigs = graft.functions.PlaneLSH
-      .signatures(e, "vec_id", "embedding", EmbTables, EmbBits, EmbDim)
-    val buckets = sigs.select($"vec_id", explode(array(
-      (0 until EmbTables).map(t0 =>
-        col(s"sig$t0") + lit(t0 << EmbBits)): _*)).as("bkt"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"), col("x.bkt") === col("y.bkt") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
+    val cand = embCandidates(e, EmbTables, EmbBits, EmbDim)
     cand
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea")), "a_id")
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb")), "b_id")

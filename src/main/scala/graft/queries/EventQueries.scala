@@ -53,7 +53,8 @@ object EventQueries extends QueryRegistry {
       .orderBy($"user_id", $"session_id")
   }
 
-  private val sessionizeSql =
+  /** shared with st04 (streaming sessionize must equal the batch form) */
+  private[queries] val sessionizeSql =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL

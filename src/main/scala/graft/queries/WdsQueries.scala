@@ -476,6 +476,35 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming sessionization gate: flatMapGroupsWithState over a
+    * bounded replay must equal batch qe02, so it shares its oracle.
+    * Append mode only emits gap-CLOSED sessions, so the staged stream
+    * carries one flush sentinel per user (ts = global max + 2h, beyond
+    * any 30-min gap) — the punctuation trick a bounded replay uses to
+    * close trailing sessions. The sentinels' own sessions stay open and
+    * are never emitted. */
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val stage = scratchDir("graft_ssess")
+    val ev = Tables(s, dir).events
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(stage)
+    val name = "stream_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStreams.runToMemory(s,
+      EventStreams.sessionize(EventStreams.readEventStream(s, stage),
+        timeoutEviction = false),
+      name, org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"),
+        round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   private val streamAttributionSql =
     """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
       |FROM events c JOIN events p
@@ -707,7 +736,7 @@ object WdsQueries extends QueryRegistry {
     "wds08_sft_pack" -> QueryDef(sftPack, Some(sftPackSql)),
     "wds09_merlin_pack" -> QueryDef(merlinPack, Some(merlinPackSql)),
     "wds10_unicontrol_pack" -> QueryDef(unicontrolPack, Some(unicontrolPackSql)),
-    "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, Some(
+    "wds11_tokenize_multi" -> QueryDef(tokenizeMulti, bench = true, oracle = Some(
       """WITH RECURSIVE d AS (
         |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
         |    CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 125)
@@ -740,7 +769,10 @@ object WdsQueries extends QueryRegistry {
     "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
-    "st03_stream_attribution" -> QueryDef(streamAttribution, Some(streamAttributionSql)),
+    "st03_stream_attribution" -> QueryDef(streamAttribution,
+      Some(streamAttributionSql), bench = true),
+    "st04_stream_sessionize" -> QueryDef(streamSessionize,
+      Some(EventQueries.sessionizeSql)),
     "mm01_image_features" -> QueryDef(mediaFeatures, Some(
       """SELECT doc_id AS media_id, 3 AS height, 4 AS width,
         | 3 AS "nChannels",

@@ -80,11 +80,12 @@ object EventStreams {
       event_type: String, value: Double)
   final case class SessionAgg(
       user_id: Long, session_id: Long, n_events: Long,
-      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      session_value: Double)
   // public at object scope: Catalyst codegen instantiates state classes
   // reflectively and can't reach private members
   final case class SessionState(
-      sessionId: Long, n: Long, start: Long, lastTs: Long)
+      sessionId: Long, n: Long, start: Long, lastTs: Long, value: Double)
 
   /** Gap-based sessionization with keyed state + processing-time
     * timeout: the streaming form of EventQueries.sessionize (and the
@@ -103,10 +104,19 @@ object EventStreams {
     *   terminates, and a bounded replay has no idle-eviction need. */
   def sessionize(events: DataFrame, timeoutEviction: Boolean): DataFrame = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapMicros = 30L * 60 * 1000 * 1000
     val mode =
       if (timeoutEviction) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // state keeps epoch-MICROS (Timestamp.getTime is millis and would
+    // truncate the events table's microsecond precision)
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+      t
+    }
     events.as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
@@ -118,27 +128,29 @@ object EventStreams {
             state.remove()
             if (st.n > 0)
               Iterator(SessionAgg(user, st.sessionId, st.n,
-                new java.sql.Timestamp(st.start),
-                new java.sql.Timestamp(st.lastTs)))
+                toTs(st.start), toTs(st.lastTs), st.value))
             else Iterator.empty
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val out = Seq.newBuilder[SessionAgg]
+            // session ids are 1-based, matching the batch form's
+            // running-sum-of-new-session-flags numbering
             var st = state.getOption.getOrElse(
-              SessionState(0L, 0L, 0L, Long.MinValue))
+              SessionState(1L, 0L, 0L, Long.MinValue, 0.0))
             sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs) {
+              val t = micros(e.ts)
+              if (st.lastTs != Long.MinValue && t - st.lastTs > gapMicros) {
                 out += SessionAgg(user, st.sessionId, st.n,
-                  new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.lastTs))
-                st = SessionState(st.sessionId + 1, 0L, t, t)
+                  toTs(st.start), toTs(st.lastTs), st.value)
+                st = SessionState(st.sessionId + 1, 0L, t, t, 0.0)
               }
               st = st.copy(n = st.n + 1,
-                start = if (st.n == 0) t else st.start, lastTs = t)
+                start = if (st.n == 0) t else st.start, lastTs = t,
+                value = st.value + e.value)
             }
             state.update(st)
-            if (timeoutEviction) state.setTimeoutDuration(gapMs)
+            if (timeoutEviction)
+              state.setTimeoutDuration(gapMicros / 1000)
             out.result().iterator
           }
       }.toDF()

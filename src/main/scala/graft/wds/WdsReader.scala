@@ -1,7 +1,6 @@
 package graft.wds
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** Spark read path for WebDataset tar shards.
@@ -10,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
   * of parallelism is the shard — exactly the reference's process-per-tar
   * model (`pack/pack.py:293`), but scheduled by Spark. The shard list is
   * parallelized one-shard-per-partition; each task streams its tar
-  * through Hadoop FS (works for file:, hdfs:, s3a: URIs without
+  * through [[Gopen]] (file:/hdfs:/s3a: via Hadoop FS, `pipe:command`
+  * via a subprocess stream — the full gopen scheme table, without
   * materializing the archive) and emits grouped samples.
   *
   * `select_files`/`suffixes` act as entry-level pushdown: filtered
@@ -85,9 +85,7 @@ object WdsReader {
       if (stopped) Iterator.empty
       else
         try {
-          val path = new Path(url)
-          val fs = path.getFileSystem(conf)
-          val in = fs.open(path)
+          val in = Gopen.open(url, conf)
           // close at task end (covers exhaustion, errors, and task
           // kill — a long-lived executor must not leak fds/S3A
           // connections across thousands of shards)

@@ -2,8 +2,7 @@ package graft.wds.datasource
 
 import java.util
 
-import graft.wds.{Handler, Sample, SerializableHadoopConf, ShardList, TarIO}
-import org.apache.hadoop.fs.Path
+import graft.wds.{Gopen, Handler, Sample, SerializableHadoopConf, ShardList, TarIO}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
@@ -189,12 +188,11 @@ final case class WdsReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val url = p.asInstanceOf[WdsInputPartition].url
     new PartitionReader[InternalRow] {
-      private val path = new Path(url)
       // One shard per partition, so "stop" and "continue" both reduce
       // to an exhausted reader here — but the handler must still run
       // (Reraise throws; Warn* logs the quarantined shard).
       private val stream =
-        try Some(path.getFileSystem(conf.value).open(path))
+        try Some(Gopen.open(url, conf.value))
         catch {
           case e: Exception =>
             Handler.handle(opts.handler, s"open $url", e)

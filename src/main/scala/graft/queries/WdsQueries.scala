@@ -430,6 +430,43 @@ object WdsQueries extends QueryRegistry {
       |SELECT 'shard_0-000000' AS shard,
       |  (SELECT max(bin) FROM r)::BIGINT AS nsamples""".stripMargin
 
+  /** CBOR shard source end-to-end (S13): documents → one `.cbors`
+    * stream per partition (RFC 8949 bytes via the pure-JVM encoder) →
+    * [[graft.wds.CborReader]] (one shard per partition, __key__
+    * convention) → integrity aggregate. n_samples/key-sum/text bytes
+    * are pure functions of `documents`, hash-checked. */
+  private def cborsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.wds.Cbor
+    val out = scratchDir("graft_cbors")
+    new java.io.File(out).mkdirs()
+    val nShards = 8
+    Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      .repartition(nShards, col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$out/part-$pid.cbors"))
+        try it.foreach { r =>
+          Cbor.encode(Cbor.CborMap(Vector(
+            "__key__" -> f"${r.getLong(0)}%09d",
+            "txt" -> r.getString(1))), f)
+        } finally f.close()
+      }
+    val urls = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".cbors")).map(_.toString).toSeq.sorted
+    graft.wds.CborReader.readUrls(s, urls).toDF()
+      .select(col("key").cast("long").as("doc_id"),
+        length(col("entries")("txt")).cast("long").as("txt_bytes"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("doc_id")).as("key_sum"),
+        sum(col("txt_bytes")).as("txt_bytes"))
+  }
+
+  private val cborsRoundtripSql =
+    """SELECT count(*) AS n_samples, sum(doc_id)::BIGINT AS key_sum,
+      | sum(strlen(text))::BIGINT AS txt_bytes
+      |FROM documents""".stripMargin
+
   /** Streaming tumbling-window agg (Complete mode, AvailableNow) — must
     * equal the batch hourly query, so it shares its DuckDB oracle. */
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
@@ -767,6 +804,7 @@ object WdsQueries extends QueryRegistry {
     "wds12_image_pack" -> QueryDef(imagePack, Some(imagePackSql)),
     "wds13_merlinun_pack" -> QueryDef(merlinUnPack, Some(merlinUnPackSql)),
     "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),
+    "wds15_cbors_roundtrip" -> QueryDef(cborsRoundtrip, Some(cborsRoundtripSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "st03_stream_attribution" -> QueryDef(streamAttribution,

@@ -97,4 +97,22 @@ class Mp4SamplesSpec extends AnyFunSuite {
     val mp4 = Mp4Probe.encodeMinimal(1000, 5000L, 320, 240)
     assert(Mp4Samples.parse(mp4).isEmpty)
   }
+
+  test("parser survives truncation at every boundary (corrupt shards)") {
+    val frames = (0 until 5).map(pngFrame)
+    val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 10,
+      width = 2, height = 2, syncEvery = 2)
+    (0 until mp4.length).foreach { n =>
+      // a truncated container must parse to None or a smaller-but-
+      // consistent table — never throw, never claim out-of-range samples
+      Mp4Samples.parse(mp4.take(n)).foreach { t =>
+        assert(t.frameCount >= 0)
+        // offsets beyond the truncated tail are caught at sample()
+        (0 until t.frameCount).foreach { i =>
+          try { t.sample(mp4.take(n), i); () }
+          catch { case _: IllegalArgumentException => () }
+        }
+      }
+    }
+  }
 }

@@ -113,6 +113,58 @@ class CborSpec extends SparkSpec {
     assert(sel.length == 1)
   }
 
+  test("round-trip law: arbitrary nested values survive encode∘decode") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // decoded-domain generator: what decode can produce, encode must
+    // round-trip (ints as Long, floats as Double, maps as CborMap)
+    def valueGen(depth: Int): Gen[Any] =
+      if (depth <= 0)
+        Gen.oneOf(
+          Gen.long,
+          Gen.asciiPrintableStr,
+          Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+            .map(_.toArray),
+          Gen.oneOf(true, false),
+          Gen.const(null),
+          Gen.double)
+      else Gen.oneOf(
+        valueGen(0),
+        Gen.listOfN(3, valueGen(depth - 1)).map(_.toVector),
+        Gen.listOfN(3,
+          Gen.zip(Gen.asciiPrintableStr, valueGen(depth - 1)))
+          .map(ps => Cbor.CborMap(ps.toVector)))
+    def eqv(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+      case (x: Vector[_], y: Vector[_]) =>
+        x.length == y.length && x.lazyZip(y).forall(eqv)
+      case (Cbor.CborMap(x), Cbor.CborMap(y)) =>
+        x.length == y.length && x.lazyZip(y).forall {
+          case ((k1, v1), (k2, v2)) => k1 == k2 && eqv(v1, v2)
+        }
+      case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+      case (x, y) => x == y
+    }
+    val prop = Prop.forAll(valueGen(3))(v => eqv(Cbor.decode(Cbor.encode(v)), v))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decoder never crashes on truncated prefixes (corrupt shards)") {
+    val full = Cbor.encode(Cbor.CborMap(Vector(
+      "__key__" -> "k", "txt" -> "payload text",
+      "arr" -> Vector(1L, Vector(2L, 3L), Cbor.CborMap(Vector("x" -> 1L))),
+      "bin" -> Array.fill(40)(7.toByte))))
+    (0 until full.length).foreach { n =>
+      // every prefix either raises EOF/IllegalArgument or decodes a
+      // valid (shorter) item — never hangs, never array-overruns
+      try { Cbor.decode(full.take(n)); () }
+      catch {
+        case _: java.io.EOFException | _: IllegalArgumentException => ()
+      }
+    }
+  }
+
   test("bare (non-map) items and keyless maps get ordinal keys") {
     val dir = Files.createTempDirectory("cbors2").toString
     val out = new java.io.FileOutputStream(s"$dir/x.cbors")

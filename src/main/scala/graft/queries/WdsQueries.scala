@@ -467,13 +467,25 @@ object WdsQueries extends QueryRegistry {
       | sum(strlen(text))::BIGINT AS txt_bytes
       |FROM documents""".stripMargin
 
+  /** The streaming sources need a parquet copy with micros timestamps
+    * (the nanos source needs the same conversion the batch path
+    * applies). The fixture is immutable per sf dir, so the staged copy
+    * is memoized per JVM — st01/st03/st04 share one write instead of
+    * re-staging identical bytes per query (st02 stages its own doubled
+    * copy). */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsStage(s: SparkSession, dir: String): String =
+    stagedEvents.computeIfAbsent(dir, _ => {
+      val stage = scratchDir("graft_events_stage")
+      Tables(s, dir).events.write.mode("overwrite").parquet(stage)
+      stage
+    })
+
   /** Streaming tumbling-window agg (Complete mode, AvailableNow) — must
     * equal the batch hourly query, so it shares its DuckDB oracle. */
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
-    // stream from a parquet copy with micros timestamps (the nanos
-    // source needs the same conversion the batch path applies)
-    val stage = scratchDir("graft_stream")
-    Tables(s, dir).events.write.mode("overwrite").parquet(stage)
+    val stage = eventsStage(s, dir)
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val result = EventStreams.runToMemory(s,
       EventStreams.hourlyCounts(EventStreams.readEventStream(s, stage)),
@@ -501,8 +513,7 @@ object WdsQueries extends QueryRegistry {
   /** Stream-stream interval join (purchase within 1h of a click, same
     * user) — batch-SQL oracle over the same events. */
   private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
-    val stage = scratchDir("graft_sattr")
-    Tables(s, dir).events.write.mode("overwrite").parquet(stage)
+    val stage = eventsStage(s, dir)
     def typed(t: String) =
       EventStreams.readEventStream(s, stage).filter(col("event_type") === t)
     val name = "stream_attr_" +

@@ -8,7 +8,7 @@ import graft.multimodal.MediaColumns
 import graft.pack.PackStage
 import graft.streaming.EventStreams
 import graft.tokenize.TokenizeStage
-import graft.wds.WdsReader
+import graft.wds.{MultiShardSample, WdsReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -430,6 +430,68 @@ object WdsQueries extends QueryRegistry {
       |SELECT 'shard_0-000000' AS shard,
       |  (SELECT max(bin) FROM r)::BIGINT AS nsamples""".stripMargin
 
+  /** Multi-shard sampling end-to-end (S2/S3/S4): two corpora packed to
+    * 4 aligned tars each, combined by a YAML `MultiShardSample` spec —
+    * corpusA `choose: 2` (without replacement), corpusB `resample: 3`
+    * (with replacement) — at seed 17, then read and aggregated.
+    * `Random(17)` deterministically selects A{1,3} and B{0,1,2}
+    * (asserted in OpsExtraSpec so a scala-library RNG change fails
+    * loudly); the oracle inlines those chunk indices, the same
+    * driver-derived-literal pattern qs03 uses for its plane weights.
+    * Corpus split (doc_id parity), per-corpus pack keys (rank within
+    * corpus), and aligned chunk membership are all pure SQL. */
+  private def multiShard(s: SparkSession, dir: String): DataFrame = {
+    def corpus(parity: Int): String = {
+      val out = scratchDir(s"graft_ms$parity")
+      val meta = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === parity)
+        .select(
+          format_string("videos/%09d.mp4", col("doc_id")).as("video_path"),
+          col("text").as("value"))
+      val n = meta.count()
+      PackStage.run(meta, out, PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.VideoOnly,
+        samplesPerTar = (n + 3) / 4, alignShards = true)).collect()
+      out
+    }
+    val (outA, outB) = (corpus(0), corpus(1))
+    val yaml =
+      s"""datasets:
+         |  - name: corpusA
+         |    shards: $outA/shard-{0..3}-000000.tar
+         |    choose: 2
+         |  - name: corpusB
+         |    shards: $outB/shard-{0..3}-000000.tar
+         |    resample: 3
+         |""".stripMargin
+    MultiShardSample.read(s, yaml, seed = 17L).toDF()
+      .select(col("key").cast("long").as("idx"),
+        // which corpus a sample came from is recoverable from its url
+        when(col("url").contains("graft_ms0"), lit("A")).otherwise("B")
+          .as("corpus"))
+      .groupBy(col("corpus"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("idx")).as("key_sum"))
+      .orderBy(col("corpus"))
+  }
+
+  /** A{1,3} ∪ B{0,1,2} with chunk = ceil(corpus size / 4) — the seed-17
+    * selection inlined (see multiShard scaladoc). */
+  private val multiShardSql =
+    """WITH a AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |b AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |na AS (SELECT ceil(count(*) / 4.0)::INT AS c FROM a),
+      |nb AS (SELECT ceil(count(*) / 4.0)::INT AS c FROM b),
+      |u AS (
+      |  SELECT 'A' AS corpus, idx FROM a, na WHERE idx // c IN (1, 3)
+      |  UNION ALL
+      |  SELECT 'B' AS corpus, idx FROM b, nb WHERE idx // c IN (0, 1, 2))
+      |SELECT corpus, count(*) AS n_samples, sum(idx)::BIGINT AS key_sum
+      |FROM u GROUP BY corpus ORDER BY corpus""".stripMargin
+
   /** CBOR shard source end-to-end (S13): documents → one `.cbors`
     * stream per partition (RFC 8949 bytes via the pure-JVM encoder) →
     * [[graft.wds.CborReader]] (one shard per partition, __key__
@@ -816,6 +878,7 @@ object WdsQueries extends QueryRegistry {
     "wds13_merlinun_pack" -> QueryDef(merlinUnPack, Some(merlinUnPackSql)),
     "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),
     "wds15_cbors_roundtrip" -> QueryDef(cborsRoundtrip, Some(cborsRoundtripSql)),
+    "wds16_multishard" -> QueryDef(multiShard, Some(multiShardSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "st03_stream_attribution" -> QueryDef(streamAttribution,

@@ -52,6 +52,20 @@ class OpsExtraSpec extends SparkSpec {
     assert(MultiShardSample.resolve(spec2, 1L).size == 16)
   }
 
+  test("wds16's seed-17 selection pin: A{1,3} chosen, B{0,1,2} resampled") {
+    // the wds16 oracle inlines this exact Random(17) outcome — if a
+    // scala-library RNG change ever shifts it, fail HERE with a clear
+    // message instead of as an opaque gate hash mismatch
+    val spec = MultiShardSample.Spec(Seq(
+      MultiShardSample.SourceSpec("a",
+        (0 until 4).map(i => s"A$i"), choose = Some(2)),
+      MultiShardSample.SourceSpec("b",
+        (0 until 4).map(i => s"B$i"), resample = Some(3))))
+    assert(MultiShardSample.resolve(spec, seed = 17L).sorted ==
+      Seq("A1", "A3", "B0", "B1", "B2"),
+      "Random(17) outcome moved — update wds16's oracle chunk literals")
+  }
+
   test("batched/unbatched round-trip; partial batch control") {
     val ds = spark.createDataset(mkSamples(25)).repartition(1)
     val full = ds.batched(10)

@@ -28,7 +28,9 @@ class CborSpec extends SparkSpec {
     assert(rt(true) == true && rt(false) == false)
     assert(rt(null) == null)
     assert(rt(3.25) == 3.25)
-    assert(rt(-0.0).equals(-0.0))
+    assert(java.lang.Double.doubleToRawLongBits(
+      rt(-0.0).asInstanceOf[Double]) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
     assert(rt("héllo ▁") == "héllo ▁")
     assert(rt("").==(""))
   }
@@ -163,6 +165,30 @@ class CborSpec extends SparkSpec {
         case _: java.io.EOFException | _: IllegalArgumentException => ()
       }
     }
+  }
+
+  test("format(cbors) DSv2: schema, counts, url pruning, pruned count") {
+    val dir = Files.createTempDirectory("cborsdsv2").toString
+    (0 until 3).foreach { shard =>
+      val out = new java.io.FileOutputStream(s"$dir/p-$shard.cbors")
+      (0 until 4).foreach { i =>
+        Cbor.encode(Cbor.CborMap(Vector(
+          "__key__" -> f"${shard * 4 + i}%06d",
+          "txt" -> s"t $shard/$i")), out)
+      }
+      out.close()
+    }
+    val df = spark.read.format("cbors").load(s"$dir/p-{0..2}.cbors")
+    assert(df.columns.toSeq == Seq("key", "url", "entries"))
+    assert(df.count() == 12)
+    assert(df.rdd.getNumPartitions == 3) // one shard = one partition
+    // url predicate prunes shards at planning
+    val one = spark.read.format("cbors").load(s"$dir/p-{0..2}.cbors")
+      .filter(org.apache.spark.sql.functions.col("url")
+        .endsWith("p-1.cbors"))
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      (4 until 8).map(i => f"$i%06d"))
   }
 
   test("bare (non-map) items and keyless maps get ordinal keys") {

@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint dir: qd09's connected components (and any
+    // other iterative op) runs its production fault-tolerant path in
+    // the gate rather than the localCheckpoint fallback
+    spark.sparkContext.setCheckpointDir(
+      Files.createTempDirectory("graft_ckpt").toString)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -894,6 +894,7 @@ object WdsQueries extends QueryRegistry {
     "mm02_frame_sample" -> QueryDef(frameSample, Some(frameSampleSql)),
     "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),
     "mm04_video_probe" -> QueryDef(videoProbe, Some(videoProbeSql)),
-    "mm05_mjpeg_decode" -> QueryDef(mjpegDecode, Some(mjpegDecodeSql)),
+    "mm05_mjpeg_decode" -> QueryDef(mjpegDecode, Some(mjpegDecodeSql),
+      bench = true),
   )
 }

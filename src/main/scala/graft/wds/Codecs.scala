@@ -26,6 +26,12 @@ import javax.imageio.ImageIO
   */
 object Codecs {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode —
+  // at tens of thousands of small frames per partition that is an fd +
+  // disk-churn hot spot; all our streams are in-memory byte arrays, so
+  // cache in heap instead (process-wide, set once)
+  ImageIO.setUseCache(false)
+
   /** Decoded image sample, aligned with Spark's image schema fields. */
   final case class ImageData(
       height: Int,

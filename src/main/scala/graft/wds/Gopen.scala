@@ -54,11 +54,16 @@ object Gopen {
         else {
           // early close: the reader abandoned the stream — terminate
           // the producer and ignore its status (it dies of SIGPIPE/
-          // SIGTERM because WE stopped, not because the data is bad)
+          // SIGTERM because WE stopped, not because the data is bad);
+          // escalate to SIGKILL rather than hang a task on a stubborn
+          // producer
           checked = true
           proc.destroy()
           super.close()
-          proc.waitFor()
+          if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+            proc.destroyForcibly()
+            proc.waitFor()
+          }
           ()
         }
     }

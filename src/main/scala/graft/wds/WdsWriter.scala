@@ -99,7 +99,10 @@ object WdsWriter {
                   org.apache.hadoop.fs.Options.Rename.OVERWRITE)
               true
             } catch {
-              case _: UnsupportedOperationException =>
+              // no AbstractFileSystem binding for this scheme (S3A by
+              // default) or no overwrite-rename support: legacy path
+              case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+                  _: UnsupportedOperationException =>
                 if (fs.exists(path)) fs.delete(path, false)
                 fs.rename(tmpPath, path)
             }

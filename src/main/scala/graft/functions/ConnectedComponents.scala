@@ -46,19 +46,23 @@ object ConnectedComponents {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = ckpt(vertices.select(col("id"), col("id").as("label")))
+    // `old` keeps the label's OWN type: casting to a fixed numeric type
+    // would null out non-numeric ids and make the convergence check
+    // silently pass after one round
+    val labelType = labels.schema("label").dataType
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"),
-          lit(null).cast("long").as("old"))
+          lit(null).cast(labelType).as("old"))
       // one pass: min over {old label} ∪ {incoming labels}; the previous
       // label rides along as min("old") (unique per id, nulls ignored)
       val next = ckpt(labels
-        .select(col("id"), col("label"), col("label").cast("long").as("old"))
+        .select(col("id"), col("label"), col("label").as("old"))
         .union(msgs)
         .groupBy("id").agg(min("label").as("label"), min("old").as("old")))
-      changed = next.filter(!(col("label").cast("long") <=> col("old"))).count()
+      changed = next.filter(!(col("label") <=> col("old"))).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

@@ -116,11 +116,14 @@ object Mp4Samples {
           case "mdhd" if boxEnd - pos >= header + 20 =>
             val b = be(pos + header, boxEnd)
             val version = b.get(); b.position(b.position() + 3)
-            if (version == 1) {
+            // v1 needs 28 payload bytes after version+flags (8+8+4+8);
+            // a truncated v1 box is skipped, not a BufferUnderflow out
+            // of parse() — the probe must survive corrupt shards
+            if (version == 1 && b.remaining() >= 28) {
               b.getLong(); b.getLong()
               timescale = (b.getInt().toLong) & 0xffffffffL
               duration = b.getLong()
-            } else {
+            } else if (version == 0) {
               b.getInt(); b.getInt()
               timescale = (b.getInt().toLong) & 0xffffffffL
               duration = (b.getInt().toLong) & 0xffffffffL

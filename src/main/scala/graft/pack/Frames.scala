@@ -171,17 +171,22 @@ object FrameSource {
     import graft.multimodal.Mp4Samples
     // sample-table parse is header-only but per-frame calls repeat it;
     // memoize the last container per thread (pack loops over one video
-    // at a time within a partition)
-    private val last = new ThreadLocal[(Array[Byte], Mp4Samples.Track)]
+    // at a time within a partition). WEAK reference: a strong memo
+    // would pin each executor thread's final video bytes for the
+    // lifetime of the long-lived executor
+    private val last =
+      new ThreadLocal[java.lang.ref.WeakReference[
+        (Array[Byte], Mp4Samples.Track)]]
     private def track(video: Array[Byte]): Mp4Samples.Track = {
-      val cached = last.get()
-      if (cached != null && (cached._1 eq video)) cached._2
-      else {
-        val t = Mp4Samples.parse(video).getOrElse(throw
-          new IllegalArgumentException(
-            "no complete sample table (not an MJPEG/PNG mp4?)"))
-        last.set((video, t))
-        t
+      val cached = Option(last.get()).flatMap(r => Option(r.get()))
+      cached match {
+        case Some((v, t)) if v eq video => t
+        case _ =>
+          val t = Mp4Samples.parse(video).getOrElse(throw
+            new IllegalArgumentException(
+              "no complete sample table (not an MJPEG/PNG mp4?)"))
+          last.set(new java.lang.ref.WeakReference((video, t)))
+          t
       }
     }
     def frame(video: Array[Byte], index: Int): Array[Byte] =

@@ -104,7 +104,14 @@ object EventStreams {
     *   terminates, and a bounded replay has no idle-eviction need. */
   def sessionize(events: DataFrame, timeoutEviction: Boolean): DataFrame = {
     import events.sparkSession.implicits._
-    val gapMicros = 30L * 60 * 1000 * 1000
+    val gapSeconds = 30L * 60
+    // gap test on SECOND-truncated timestamps: the batch twin compares
+    // unix_timestamp (floor-seconds) deltas, so an exact-micros test
+    // would split sessions the batch query keeps together whenever a
+    // gap straddles (1800s, 1801s) across second boundaries
+    def gapExceeded(prevUs: Long, tUs: Long): Boolean =
+      Math.floorDiv(tUs, 1000000L) - Math.floorDiv(prevUs, 1000000L) >
+        gapSeconds
     val mode =
       if (timeoutEviction) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -139,7 +146,7 @@ object EventStreams {
               SessionState(1L, 0L, 0L, Long.MinValue, 0.0))
             sorted.foreach { e =>
               val t = micros(e.ts)
-              if (st.lastTs != Long.MinValue && t - st.lastTs > gapMicros) {
+              if (st.lastTs != Long.MinValue && gapExceeded(st.lastTs, t)) {
                 out += SessionAgg(user, st.sessionId, st.n,
                   toTs(st.start), toTs(st.lastTs), st.value)
                 st = SessionState(st.sessionId + 1, 0L, t, t, 0.0)
@@ -150,7 +157,7 @@ object EventStreams {
             }
             state.update(st)
             if (timeoutEviction)
-              state.setTimeoutDuration(gapMicros / 1000)
+              state.setTimeoutDuration(gapSeconds * 1000)
             out.result().iterator
           }
       }.toDF()

@@ -67,15 +67,22 @@ object Cbor {
 
   private val Break = new Object
 
+  /** Reads n bytes in bounded chunks: a corrupt header claiming a
+    * multi-GB string must raise a handleable EOFException when the
+    * stream runs short, not pre-allocate the full claimed size and OOM
+    * the executor. */
   private def readFully(in: InputStream, n: Int): Array[Byte] = {
-    val buf = new Array[Byte](n)
+    val ChunkCap = 1 << 20
+    val out = new ByteArrayOutputStream(math.min(n, ChunkCap))
+    val buf = new Array[Byte](math.min(n, ChunkCap))
     var off = 0
     while (off < n) {
-      val r = in.read(buf, off, n - off)
+      val r = in.read(buf, 0, math.min(buf.length, n - off))
       if (r < 0) throw new EOFException(s"truncated CBOR item ($off/$n)")
+      out.write(buf, 0, r)
       off += r
     }
-    buf
+    out.toByteArray
   }
 
   private def req(in: InputStream): Int = {
@@ -216,8 +223,17 @@ object Cbor {
       if (l >= 0) head(out, 0, l)
       else head(out, 1, -1L - l)
     case bi: BigInt =>
+      // full CBOR 64-bit integer range: decode can yield BigInts in
+      // (2^63, 2^64) (major 0) and [-2^64, -2^63) (major 1); re-encode
+      // them with the raw unsigned argument so toSample round-trips
+      // every spec-valid shard value
+      val u64Max = (BigInt(1) << 64) - 1
       if (bi >= 0 && bi <= Long.MaxValue) encode(bi.toLong, out)
       else if (bi < 0 && bi >= Long.MinValue) encode(bi.toLong, out)
+      else if (bi > Long.MaxValue && bi <= u64Max)
+        head(out, 0, bi.longValue) // raw low 64 bits, written unsigned
+      else if (bi < Long.MinValue && bi >= -(BigInt(1) << 64))
+        head(out, 1, (-bi - 1).longValue)
       else throw new IllegalArgumentException(s"bigint $bi out of range")
     case d: Double =>
       out.write(0xfb)
@@ -250,14 +266,17 @@ object Cbor {
     out.toByteArray
   }
 
+  /** `value` is the UNSIGNED 64-bit argument (negative longs = raw
+    * bits above 2^63, always written in the 8-byte form). */
   private def head(out: OutputStream, major: Int, value: Long): Unit = {
     val m = major << 5
-    if (value < 24) out.write(m | value.toInt)
-    else if (value < 256) { out.write(m | 24); out.write(value.toInt) }
-    else if (value < 65536) {
+    if (value >= 0 && value < 24) out.write(m | value.toInt)
+    else if (value >= 0 && value < 256) {
+      out.write(m | 24); out.write(value.toInt)
+    } else if (value >= 0 && value < 65536) {
       out.write(m | 25)
       out.write((value >> 8).toInt); out.write((value & 0xff).toInt)
-    } else if (value <= 0xffffffffL) {
+    } else if (value >= 0 && value <= 0xffffffffL) {
       out.write(m | 26)
       var i = 24
       while (i >= 0) { out.write(((value >> i) & 0xff).toInt); i -= 8 }

@@ -47,9 +47,8 @@ object CborReader {
               Option(org.apache.spark.TaskContext.get()).foreach(
                 _.addTaskCompletionListener[Unit](_ =>
                   try in.close() catch { case _: Exception => () }))
-              Cbor.decodeAll(in).zipWithIndex.map { case (item, i) =>
-                toSample(item, i, url)
-              }
+              guardedItems(in, url, handler, () => stopped = true)
+                .zipWithIndex.map { case (item, i) => toSample(item, i, url) }
             } catch {
               case e: Exception =>
                 if (!Handler.handle(handler, s"open $url", e))
@@ -58,6 +57,40 @@ object CborReader {
             }
         }
       })
+  }
+
+  /** Item iteration under the shard error policy: a MID-STREAM decode
+    * or read failure (truncated item, reserved byte, pipe producer
+    * death) routes through [[Handler.handle]] — continue quarantines
+    * the remainder of this shard, stop also truncates the task's
+    * stream via `onStop`, reraise throws. Lazy decode means these
+    * surface while Spark consumes the iterator, after the open-time
+    * try has exited — without this guard they would escape the policy
+    * entirely. */
+  private[wds] def guardedItems(
+      in: java.io.InputStream,
+      url: String,
+      handler: Handler,
+      onStop: () => Unit): Iterator[Any] = new Iterator[Any] {
+    private var done = false
+    private var nextItem: Option[Any] = advance()
+    private def advance(): Option[Any] =
+      if (done) None
+      else
+        try Some(Cbor.decode(in))
+        catch {
+          case _: Cbor.EndOfStream => done = true; None
+          case e: Exception =>
+            if (!Handler.handle(handler, s"cbor scan $url", e)) onStop()
+            done = true
+            None
+        }
+    def hasNext: Boolean = nextItem.isDefined
+    def next(): Any = {
+      val v = nextItem.getOrElse(throw new NoSuchElementException)
+      nextItem = advance()
+      v
+    }
   }
 
   /** webdataset sample convention → [[Sample]]. */

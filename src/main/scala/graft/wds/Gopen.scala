@@ -29,13 +29,26 @@ object Gopen {
 
   def openPipe(cmd: String): InputStream = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+    // stderr must not back-pressure the producer: an unread stderr pipe
+    // fills at ~64 KB and deadlocks a chatty command (curl -v …) with
+    // the task blocked in read(). INHERIT streams it to the executor
+    // log, where the reference's subprocess stderr also lands.
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     proc.getOutputStream.close() // no stdin; producer-only
     new FilterInputStream(proc.getInputStream) {
       private var checked = false
       private def checkStatus(): Unit = if (!checked) {
         checked = true
-        val code = proc.waitFor()
+        // bounded: a producer that closed stdout but wedged in cleanup
+        // must not hang the task at EOF
+        if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+          proc.destroyForcibly()
+          proc.waitFor()
+          throw new IOException(
+            s"pipe: command still running 10s after EOF, killed: $cmd")
+        }
+        val code = proc.exitValue()
         if (code != 0 && code != SigPipeExit)
           throw new IOException(s"pipe: command exited $code: $cmd")
       }

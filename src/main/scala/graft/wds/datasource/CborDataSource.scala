@@ -2,7 +2,7 @@ package graft.wds.datasource
 
 import java.util
 
-import graft.wds.{Cbor, CborReader, Gopen, Handler, Sample, SerializableHadoopConf, ShardList}
+import graft.wds.{CborReader, Gopen, Handler, Sample, SerializableHadoopConf}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
@@ -85,24 +85,8 @@ final class CborScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def urls: Seq[String] = {
-    def parsePaths(raw: String): Seq[String] =
-      if (raw.trim.startsWith("[")) {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        import scala.jdk.CollectionConverters._
-        mapper.readValue(raw, classOf[java.util.List[String]])
-          .asScala.toSeq
-      } else raw.split(",").map(_.trim).toSeq
-    val specs =
-      Option(options.get("paths")).map(parsePaths)
-        .orElse(Option(options.get("path")).map(Seq(_)))
-        .getOrElse(
-          throw new IllegalArgumentException("cbors: no path given"))
-    val expanded = specs.flatMap(ShardList.expand(_))
-    val preds = urlFilters.flatMap(WdsScan.urlPredicate)
-    if (preds.isEmpty) expanded
-    else expanded.filter(u => preds.forall(_(u)))
-  }
+  private def urls: Seq[String] =
+    WdsScan.resolveUrls(options, urlFilters, "cbors")
 
   override def planInputPartitions(): Array[InputPartition] =
     urls.map(u => WdsInputPartition(u): InputPartition).toArray
@@ -132,10 +116,13 @@ final case class CborReaderFactory(
             Handler.handle(handler, s"open $url", e)
             None
         }
+      // mid-stream decode errors route through the handler policy too
+      // (one shard per partition: stop == continue == end this reader)
       private val it: Iterator[Sample] = stream
-        .map(in => Cbor.decodeAll(in).zipWithIndex.map {
-          case (item, i) => CborReader.toSample(item, i, url)
-        })
+        .map(in => CborReader.guardedItems(in, url, handler, () => ())
+          .zipWithIndex.map {
+            case (item, i) => CborReader.toSample(item, i, url)
+          })
         .getOrElse(Iterator.empty)
       private var current: Sample = _
 

@@ -136,20 +136,15 @@ object WdsScan {
     case StringContains("url", p) => Some(_.contains(p))
     case _ => None
   }
-}
 
-final class WdsScan(
-    options: CaseInsensitiveStringMap,
-    required: StructType,
-    urlFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  private def urls: Seq[String] = {
-    // DataFrameReader.load(paths*) passes MULTIPLE paths as a
-    // JSON-encoded array under "paths" (single path arrives as "path");
-    // a hand-set comma list is also accepted
+  /** Shared path→shard-list resolution for the shard-stream formats
+    * (wds, cbors): handles DataFrameReader.load(paths*)'s JSON-encoded
+    * "paths" array, single "path", hand-set comma lists, brace/env/`::`
+    * expansion, and planning-time url-predicate pruning. */
+  def resolveUrls(
+      options: CaseInsensitiveStringMap,
+      urlFilters: Array[Filter],
+      format: String): Seq[String] = {
     def parsePaths(raw: String): Seq[String] =
       if (raw.trim.startsWith("[")) {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -160,12 +155,25 @@ final class WdsScan(
     val specs =
       Option(options.get("paths")).map(parsePaths)
         .orElse(Option(options.get("path")).map(Seq(_)))
-        .getOrElse(throw new IllegalArgumentException("wds: no path given"))
+        .getOrElse(
+          throw new IllegalArgumentException(s"$format: no path given"))
     val expanded = specs.flatMap(ShardList.expand(_))
-    val preds = urlFilters.flatMap(WdsScan.urlPredicate)
+    val preds = urlFilters.flatMap(urlPredicate)
     if (preds.isEmpty) expanded
     else expanded.filter(u => preds.forall(_(u)))
   }
+}
+
+final class WdsScan(
+    options: CaseInsensitiveStringMap,
+    required: StructType,
+    urlFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def urls: Seq[String] =
+    WdsScan.resolveUrls(options, urlFilters, "wds")
 
   override def planInputPartitions(): Array[InputPartition] =
     urls.map(u => WdsInputPartition(u): InputPartition).toArray

@@ -25,6 +25,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 1L))
   }
 
+  test("non-numeric (string) ids propagate correctly, no silent converge") {
+    import spark.implicits._
+    // chain d-c-b-a needs >1 round; a long-cast convergence check would
+    // null out and stop after round 1 with wrong labels
+    val edges = Seq(("d", "c"), ("c", "b"), ("b", "a"), ("x", "y"))
+      .toDF("a_id", "b_id")
+    val verts = Seq("a", "b", "c", "d", "x", "y", "z").toDF("id")
+    val got = ConnectedComponents.run(edges, verts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
   test("unconverged at maxIters throws instead of returning bad labels") {
     import spark.implicits._
     val n = 12 // diameter ~11 > 3 rounds

@@ -51,6 +51,48 @@ class CborSpec extends SparkSpec {
     assert(got.pairs(4)._2 == Vector("a", "b", 7L))
   }
 
+  test("full 64-bit integer range round-trips (beyond Long)") {
+    val u64Max = (BigInt(1) << 64) - 1
+    assert(rt(u64Max) == u64Max)
+    assert(rt(BigInt(Long.MaxValue) + 1) == BigInt(Long.MaxValue) + 1)
+    val negMin = -(BigInt(1) << 64)
+    assert(rt(negMin) == negMin)
+    assert(rt(BigInt(Long.MinValue) - 1) == BigInt(Long.MinValue) - 1)
+    // a spec-valid map value above Long range survives toSample's
+    // re-encode instead of crashing the task
+    val s = CborReader.toSample(
+      Cbor.decode(Cbor.encode(Cbor.CborMap(Vector(
+        "__key__" -> "k", "size" -> u64Max)))), 0, "u")
+    assert(Cbor.decode(s.entries("size")) == u64Max)
+  }
+
+  test("mid-stream corruption honors the handler policy per shard") {
+    val dir = Files.createTempDirectory("cbors_bad").toString
+    val good = new java.io.FileOutputStream(s"$dir/good.cbors")
+    (0 until 3).foreach(i => Cbor.encode(
+      Cbor.CborMap(Vector("__key__" -> s"g$i", "txt" -> "x")), good))
+    good.close()
+    // one complete item, then a truncated second item
+    val bad = Cbor.encode(Cbor.CborMap(Vector("__key__" -> "b0"))) ++
+      Cbor.encode(Cbor.CborMap(Vector("__key__" -> "b1",
+        "txt" -> "truncated payload"))).dropRight(4)
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.cbors"), bad)
+    // continue: complete items of the bad shard + the whole good shard
+    val got = CborReader.readUrls(spark,
+      Seq(s"$dir/bad.cbors", s"$dir/good.cbors"), Handler.WarnContinue)
+      .collect().map(_.key).sorted.toSeq
+    assert(got == Seq("b0", "g0", "g1", "g2"))
+    // reraise: the truncation propagates
+    assertThrows[org.apache.spark.SparkException](
+      CborReader.readUrls(spark, Seq(s"$dir/bad.cbors")).collect())
+    // stop: truncates the failing task's stream; shards in OTHER
+    // partitions (one shard per partition here) are unaffected
+    val stopped = CborReader.readUrls(spark,
+      Seq(s"$dir/bad.cbors", s"$dir/good.cbors"), Handler.IgnoreStop)
+      .collect().map(_.key).sorted.toSeq
+    assert(stopped == Seq("b0", "g0", "g1", "g2"))
+  }
+
   test("decodes indefinite-length strings/arrays/maps and tags") {
     // 0x5f = indefinite bstr, chunks "ab" "c"; 0xff break
     val bstr = Array[Byte](0x5f.toByte, 0x42, 'a', 'b', 0x41, 'c',

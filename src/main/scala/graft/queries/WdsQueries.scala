@@ -551,7 +551,8 @@ object WdsQueries extends QueryRegistry {
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val result = EventStreams.runToMemory(s,
       EventStreams.hourlyCounts(EventStreams.readEventStream(s, stage)),
-      name, org.apache.spark.sql.streaming.OutputMode.Complete())
+      name, org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(8))
     result.orderBy(col("hour"), col("event_type"))
   }
 
@@ -568,7 +569,8 @@ object WdsQueries extends QueryRegistry {
       java.util.UUID.randomUUID().toString.replace("-", "")
     EventStreams.runToMemory(s,
       EventStreams.dedupHourly(EventStreams.readEventStream(s, stage)),
-      name, org.apache.spark.sql.streaming.OutputMode.Complete())
+      name, org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(8))
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -582,7 +584,8 @@ object WdsQueries extends QueryRegistry {
       java.util.UUID.randomUUID().toString.replace("-", "")
     EventStreams.runToMemory(s,
       EventStreams.clickAttribution(typed("click"), typed("purchase")),
-      name, org.apache.spark.sql.streaming.OutputMode.Append())
+      name, org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(8))
       .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
@@ -608,7 +611,8 @@ object WdsQueries extends QueryRegistry {
     EventStreams.runToMemory(s,
       EventStreams.sessionize(EventStreams.readEventStream(s, stage),
         timeoutEviction = false),
-      name, org.apache.spark.sql.streaming.OutputMode.Append())
+      name, org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(8))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start"), col("session_end"),
         round(col("session_value"), 2).as("session_value"))

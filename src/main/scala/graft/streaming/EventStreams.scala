@@ -169,19 +169,33 @@ object EventStreams {
     spark.readStream.schema(EventSchema).parquet(dir)
 
   /** Run a streaming DataFrame to completion against a bounded source
-    * (memory sink) and return the result table. */
+    * (memory sink) and return the result table.
+    *
+    * `statePartitions` pins the stateful-operator partition count for
+    * this query (the shuffle-partition conf at FIRST start is baked
+    * into the checkpoint): every stateful op instantiates and
+    * checkpoints one state store per partition — a stream-stream join
+    * keeps FOUR — so a bounded replay wants few large partitions
+    * (measured: st03 7.4 s @32 → 2.9 s @8 at sf0.1), while an
+    * unbounded high-throughput job sizes it to the cluster. */
   def runToMemory(
       spark: SparkSession,
       stream: DataFrame,
       name: String,
-      mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q: StreamingQuery = stream.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode = OutputMode.Append,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ => spark.conf.set(key, prev))
     spark.table(name)
   }
 }

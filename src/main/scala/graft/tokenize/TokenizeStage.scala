@@ -133,8 +133,16 @@ object TokenizeStage {
       Conversations.specialCount(t.value) == imageNames.length)
 
   /** F11 resize: images over 1280px are resized to exactly 1280×1280
-    * (aspect-destroying, faithful to `main.py:197-199`). */
+    * (aspect-destroying, faithful to `main.py:197-199`). The dimension
+    * check reads container headers ([[Codecs.imageDims]]) so the
+    * common no-resize case skips the full ImageIO decode — at spine
+    * scale that decode was the dominant E2 per-image cost. */
   def resizeIfNeeded(imageBytes: Array[Byte]): Array[Byte] = {
+    Codecs.imageDims(imageBytes) match {
+      case Some((h, w)) if math.max(h, w) <= MaxImageDim =>
+        return imageBytes
+      case _ => ()
+    }
     val img = Codecs.decodeImage(imageBytes)
     if (math.max(img.height, img.width) <= MaxImageDim) imageBytes
     else {

@@ -55,6 +55,51 @@ object Codecs {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Cheap (height, width) probe from container headers — PNG IHDR and
+    * JPEG SOFn — without a full pixel decode: the tokenize stage checks
+    * every image against the 1280px cap, and the common case (no
+    * resize) should cost a header read, not an ImageIO decode. None →
+    * caller falls back to the full decode. */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') {
+      val bb = java.nio.ByteBuffer.wrap(b, 16, 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val w = bb.getInt()
+      val h = bb.getInt()
+      if (w > 0 && h > 0) Some((h, w)) else None
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG segments to the first frame header (SOF0..15 minus
+      // the non-frame C4/C8/CC)
+      var i = 2
+      var res: Option[(Int, Int)] = None
+      var bad = false
+      while (res.isEmpty && !bad && i + 9 < b.length) {
+        if (u8(i) != 0xff) bad = true
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xff) i += 1 // fill byte
+          else if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01)
+            i += 2 // standalone markers
+          else {
+            val len = u16(i + 2)
+            if (len < 2) bad = true
+            else {
+              if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc &&
+                len >= 7)
+                res = Some((u16(i + 5), u16(i + 7)))
+              i += 2 + len
+            }
+          }
+        }
+      }
+      res
+    } else None
+  }
+
   def decodeImage(b: Array[Byte]): ImageData = {
     val decoded = ImageIO.read(new ByteArrayInputStream(b))
     require(decoded != null, "undecodable image")

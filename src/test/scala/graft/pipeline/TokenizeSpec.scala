@@ -137,4 +137,21 @@ class TokenizeSpec extends AnyFunSuite {
       TokenizeStage.resizeIfNeeded(wide))
     assert(resized.height == 1280 && resized.width == 1280)
   }
+
+  test("imageDims header probe agrees with the full decode (PNG + JPEG)") {
+    import graft.wds.Codecs
+    Seq((2, 3), (720, 1280), (1, 1300), (400, 20)).foreach { case (h, w) =>
+      val px = new Array[Byte](h * w * 3)
+      Seq("png", "jpg").foreach { fmt =>
+        val bytes = Codecs.encodeImage(
+          Codecs.ImageData(h, w, 3, "RGB", px), fmt)
+        val full = Codecs.decodeImage(bytes)
+        assert(Codecs.imageDims(bytes).contains((full.height, full.width)),
+          s"$fmt $h×$w")
+      }
+    }
+    // non-image bytes → None (caller falls back to decode, which raises)
+    assert(Codecs.imageDims("not an image".getBytes).isEmpty)
+    assert(Codecs.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
 }

@@ -98,6 +98,32 @@ class Mp4SamplesSpec extends AnyFunSuite {
     assert(Mp4Samples.parse(mp4).isEmpty)
   }
 
+  test("round-trip law: random frame sets survive encode∘parse exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val frameGen = Gen.chooseNum(1, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(1, 4096)))
+    val prop = Prop.forAll(
+      frameGen, Gen.chooseNum(1, 60), Gen.chooseNum(1, 10)) {
+      (sizes, fps, syncEvery) =>
+        // frames of arbitrary sizes with position-dependent content
+        val frames = sizes.zipWithIndex.map { case (sz, i) =>
+          Array.tabulate[Byte](sz)(j => ((i * 31 + j) % 251).toByte)
+        }
+        val mp4 = Mp4Samples.encodeFrames(frames, "jpeg", fps,
+          width = 16, height = 16, syncEvery = syncEvery)
+        val t = Mp4Samples.parse(mp4).get
+        t.frameCount == frames.length &&
+          math.abs(t.fps - fps) < 1e-9 &&
+          frames.indices.forall { i =>
+            t.sample(mp4, i).sameElements(frames(i)) &&
+              t.isSync(i) == (syncEvery <= 1 || i % syncEvery == 0)
+          }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("parser survives truncation at every boundary (corrupt shards)") {
     val frames = (0 until 5).map(pngFrame)
     val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 10,

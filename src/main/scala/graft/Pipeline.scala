@@ -125,8 +125,12 @@ object Pipeline {
         val samples = WdsReader.readUrlsGrouped(spark,
           graft.wds.ShardList.expand(req("input")),
           a.getOrElse("shard-size", "1").toInt)
+        // --type: the reference's sample_type job arg selects the
+        // conversate/validation branch (kf token expansion, merlin-s
+        // multi-turn counts) — `tokenize/main.py:169-184`
         TokenizeStage.run(samples, req("save-path"), tok,
-          a.getOrElse("max-tokens", TokenizeStage.MaxTokens.toString).toInt)
+          a.getOrElse("max-tokens", TokenizeStage.MaxTokens.toString).toInt,
+          sampleType = a.getOrElse("type", "un"))
       case "check" =>
         val idx = CheckStage.index(
           WdsReader.read(spark, req("input")),

@@ -127,6 +127,11 @@ object Conversations {
           .toSeq
       }.drop(1)
     val questions = questions0 :+ "Summary this video."
+    // a record with no <image> runs yields no answers — fail with the
+    // offending value instead of a bare NoSuchElementException killing
+    // the pack task anonymously
+    require(answers0.nonEmpty,
+      s"merlin-s value has no <image>#ts# runs: '${input.take(80)}'")
     val Array(lastAnswer, summary) =
       answers0.last.split("Summary:", 2) match {
         case a if a.length == 2 => a

@@ -171,11 +171,13 @@ object FrameSource {
     import graft.multimodal.Mp4Samples
     // sample-table parse is header-only but per-frame calls repeat it;
     // memoize the last container per thread (pack loops over one video
-    // at a time within a partition). WEAK reference: a strong memo
-    // would pin each executor thread's final video bytes for the
-    // lifetime of the long-lived executor
+    // at a time within a partition). SOFT reference: cleared only
+    // under memory pressure — a weak ref would vanish at every minor
+    // GC (nothing else strongly holds the tuple), re-paying the parse
+    // mid-video; a strong ref would pin each thread's final video
+    // bytes for the executor's lifetime
     private val last =
-      new ThreadLocal[java.lang.ref.WeakReference[
+      new ThreadLocal[java.lang.ref.SoftReference[
         (Array[Byte], Mp4Samples.Track)]]
     private def track(video: Array[Byte]): Mp4Samples.Track = {
       val cached = Option(last.get()).flatMap(r => Option(r.get()))
@@ -185,7 +187,7 @@ object FrameSource {
           val t = Mp4Samples.parse(video).getOrElse(throw
             new IllegalArgumentException(
               "no complete sample table (not an MJPEG/PNG mp4?)"))
-          last.set(new java.lang.ref.WeakReference((video, t)))
+          last.set(new java.lang.ref.SoftReference((video, t)))
           t
       }
     }

@@ -303,7 +303,12 @@ object PackStage {
       .select(col("video_path"), col("value"),
         (if (hasMulti) col("media_paths")
          else array(col("video_path"))).as("media_paths"))
-      .orderBy("video_path", "value")
+      // media_paths tie-breaks rows equal on (video_path, value):
+      // a range-partitioned sort is not stable for equal keys, so
+      // without it two such rows could swap file_idx between runs or
+      // task retries, shifting keys/tar contents nondeterministically
+      .orderBy(col("video_path"), col("value"),
+        concat_ws(" ", col("media_paths")))
       .as[MetaRow](Encoders.product[MetaRow])
     val indexed = ordered.rdd.zipWithIndex().map {
       case (m, idx) => IndexedRow(idx, m.media_paths, m.value)

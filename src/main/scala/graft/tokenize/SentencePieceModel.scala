@@ -51,6 +51,12 @@ final class SentencePieceModel(
     arr
   }
   val hasByteFallback: Boolean = byteIds.forall(_ >= 0)
+  /** id → byte value for canonical `<0xAB>` pieces; malformed TypeByte
+    * spellings decode as a clear error, not a substring crash. */
+  private val byteValueOf: Map[Int, Byte] =
+    byteIds.zipWithIndex.collect {
+      case (id, v) if id >= 0 => id -> v.toByte
+    }.toMap
 
   /** escape to the sentencepiece surface form: ▁ for spaces, with a
     * leading dummy prefix. */
@@ -130,7 +136,9 @@ final class SentencePieceModel(
     ids.foreach { id =>
       val p = pieces(id)
       if (p.pieceType == TypeByte)
-        byteBuf += Integer.parseInt(p.piece.substring(3, 5), 16).toByte
+        byteBuf += byteValueOf.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"byte piece $id has non-canonical spelling '${p.piece}'"))
       else {
         flushBytes()
         if (p.pieceType == TypeNormal || p.pieceType == TypeUserDefined)

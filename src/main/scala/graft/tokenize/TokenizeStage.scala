@@ -99,10 +99,26 @@ object TokenizeStage {
 
   private val jsonSchema = "json"
 
-  /** Parse a pack-shard sample into (prompt, txt, imageNameList) +
-    * resolve image bytes via the interleave entry names
-    * (`main.py:193-200`: entry key = last '-'-component + ".jpg"). */
-  def parsePackSample(s: Sample): Option[(Seq[Turn], Seq[String], Seq[Array[Byte]])] = {
+  /** One parsed pack-shard sample: expanded conversation turns, the
+    * image name list, resolved image bytes, and the reference's P14
+    * validation verdict. */
+  final case class ParsedPack(
+      turns: Seq[Turn],
+      names: Seq[String],
+      images: Seq[Array[Byte]],
+      valid: Boolean)
+
+  /** Parse a pack-shard sample (`main.py:166-184`): image bytes resolve
+    * via the interleave entry names (entry key = last '-'-component +
+    * ".jpg"), and `sampleType` selects the reference's branches —
+    * prompt/txt types run `conversate(p, t, type)` (so kf's
+    * `<Iimage>/<Pimage>` tokens expand) and validate the FIRST turn's
+    * sentinel count; conversation types (merlin-s/sft/image) run
+    * `conversate_multi` and validate the summed RAW `<image>` count
+    * over ALL human turns (`main.py:169-179`). */
+  def parsePackSample(
+      s: Sample,
+      sampleType: String = "un"): Option[ParsedPack] = {
     implicit val fmts: Formats = DefaultFormats
     s.utf8(jsonSchema).flatMap { raw =>
       val j = JsonMethods.parse(raw)
@@ -110,27 +126,47 @@ object TokenizeStage {
       val prompt = (j \ "prompt").extractOpt[String]
       val txt = (j \ "txt").extractOpt[String]
       val convs = (j \ "conversations").extractOpt[Seq[Map[String, String]]]
-      val turns: Option[Seq[Turn]] = (prompt, txt) match {
-        case (Some(p), Some(t)) =>
-          Some(Conversations.conversate(p, t, "un"))
-        case _ => convs.map(_.map(m =>
+        .map(_.map(m =>
           Turn(m.getOrElse("from", ""), m.getOrElse("value", ""))))
-          .map(Conversations.conversateMulti)
+      val parsed: Option[(Seq[Turn], Boolean)] = (prompt, txt) match {
+        case (Some(p), Some(t)) =>
+          val turns = Conversations.conversate(p, t, sampleType)
+          Some((turns, countsMatch(turns, names)))
+        case _ => convs.map { raw =>
+          (Conversations.conversateMulti(raw),
+            rawImageCount(raw) == names.length)
+        }
       }
-      turns.map { ts =>
+      parsed.map { case (ts, valid) =>
         val imgs = names.flatMap { n =>
           s.entries.get(n.split("-").last + ".jpg")
         }
-        (ts, names, imgs)
+        ParsedPack(ts, names, imgs, valid)
       }
     }
   }
 
-  /** P14 validation (`main.py:170-179`): sentinel count in the first
-    * human turn must equal the image count. */
+  /** P14 validation, prompt/txt branch (`main.py:177-179`): sentinel
+    * count in the first (expanded) human turn must equal the image
+    * count. */
   def countsMatch(turns: Seq[Turn], imageNames: Seq[String]): Boolean =
     turns.headOption.exists(t =>
       Conversations.specialCount(t.value) == imageNames.length)
+
+  /** P14 validation, conversations branch (`main.py:170-176`): the
+    * summed RAW `<image>` count across ALL human turns — merlin-s
+    * samples legitimately spread images over several turns. */
+  def rawImageCount(convs: Seq[Turn]): Int =
+    convs.iterator.filter(_.from == "human").map { t =>
+      var count = 0
+      var idx = t.value.indexOf(Conversations.ImageToken)
+      while (idx >= 0) {
+        count += 1
+        idx = t.value.indexOf(Conversations.ImageToken,
+          idx + Conversations.ImageToken.length)
+      }
+      count
+    }.sum
 
   /** F11 resize: images over 1280px are resized to exactly 1280×1280
     * (aspect-destroying, faithful to `main.py:197-199`). The dimension
@@ -186,17 +222,11 @@ object TokenizeStage {
         JsonMethods.compact(JsonMethods.render(json)))))
   }
 
-  /** Physical write order for a packed sample (json first, then frames —
-    * the interleave layout E3 reads back). */
-  def flattenForWrite(s: Sample): Seq[Sample] = {
-    val (frames, rest) = s.entries.partition(_._1.endsWith(".jpg"))
-    Sample(s.key, s.url, rest) +: frames.toSeq
-      .sortBy(_._1.stripSuffix(".jpg").toInt)
-      .map { case (k, v) =>
-        Sample(s"${s.key}-${k.stripSuffix(".jpg")}", s.url,
-          Map("jpg" -> v))
-      }
-  }
+  /** Physical write order for a packed sample (json first, then frames
+    * — the interleave layout E3 reads back). Same sibling-explode rule
+    * as the pack stage; one implementation so the layouts can't drift. */
+  def flattenForWrite(s: Sample): Seq[Sample] =
+    graft.pack.PackStage.flattenForWrite(s)
 
   /** Run E2 over a pack-shard Dataset: validate → tokenize → greedy-pack
     * per partition (partition = merge group) → tokenized shards.
@@ -206,26 +236,27 @@ object TokenizeStage {
       packShards: Dataset[Sample],
       outDir: String,
       tokenizer: SpecialTokenTokenizer = Tokenizers.testTokenizer(),
-      maxTokens: Int = MaxTokens):
+      maxTokens: Int = MaxTokens,
+      sampleType: String = "un"):
       DataFrame = {
     implicit val enc = Encoders.product[Sample]
     val packed = packShards.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var fileIdx = -1
       val docs = it.flatMap { s =>
-        parsePackSample(s).flatMap { case (turns, names, imgs) =>
+        parsePackSample(s, sampleType).flatMap { p =>
           fileIdx += 1
           // a sample with missing frame entries (truncated shard) would
           // otherwise emit a pack whose patch count no longer matches
           // its image count and kill the whole run at the strict E3
           // gate — skip it here like the counts-mismatch filter
-          if (!countsMatch(turns, names) || imgs.length != names.length)
+          if (!p.valid || p.images.length != p.names.length)
             None
           else {
             val (ids, mask, text) =
-              Tokenizers.tokenizeConversation(turns, tokenizer)
-            Some(TokDoc(s"$pid-$fileIdx", names,
-              imgs.map(resizeIfNeeded), ids, mask, text))
+              Tokenizers.tokenizeConversation(p.turns, tokenizer)
+            Some(TokDoc(s"$pid-$fileIdx", p.names,
+              p.images.map(resizeIfNeeded), ids, mask, text))
           }
         }
       }

@@ -71,23 +71,39 @@ final class SpecialTokenTokenizer(
     model: SubwordModel,
     val specialTokens: Map[String, Int]) extends Serializable {
 
+  private val toks = specialTokens.toArray
+
+  /** Single left-to-right scan: each special token's next occurrence is
+    * tracked monotonically (indexOf resumes from the cursor), so a
+    * sentinel-dense prompt costs O(tokens · |text|) total instead of
+    * the naive rescan-the-tail-per-emission quadratic. Semantics
+    * unchanged: earliest occurrence wins, ties prefer the longest
+    * token. */
   def tokenize(text: String): IndexedSeq[Int] = {
     val out = IndexedSeq.newBuilder[Int]
-    var rest = text
-    while (rest.nonEmpty) {
-      // earliest special-token occurrence wins
-      val hits = specialTokens.iterator
-        .map { case (tok, id) => (rest.indexOf(tok), tok, id) }
-        .filter(_._1 >= 0)
-        .toSeq
-      if (hits.isEmpty) {
-        out ++= model.encode(rest)
-        rest = ""
+    val nextPos = toks.map { case (t, _) => text.indexOf(t) }
+    var cur = 0
+    while (cur < text.length) {
+      var best = -1
+      var i = 0
+      while (i < toks.length) {
+        if (nextPos(i) >= 0 && nextPos(i) < cur)
+          nextPos(i) = text.indexOf(toks(i)._1, cur)
+        if (nextPos(i) >= 0 &&
+          (best < 0 || nextPos(i) < nextPos(best) ||
+            (nextPos(i) == nextPos(best) &&
+              toks(i)._1.length > toks(best)._1.length)))
+          best = i
+        i += 1
+      }
+      if (best < 0) {
+        out ++= model.encode(text.substring(cur))
+        cur = text.length
       } else {
-        val (pos, tok, id) = hits.minBy(h => (h._1, -h._2.length))
-        if (pos > 0) out ++= model.encode(rest.substring(0, pos))
-        out += id
-        rest = rest.substring(pos + tok.length)
+        val pos = nextPos(best)
+        if (pos > cur) out ++= model.encode(text.substring(cur, pos))
+        out += toks(best)._2
+        cur = pos + toks(best)._1.length
       }
     }
     out.result()

@@ -126,6 +126,34 @@ class TokenizeSpec extends AnyFunSuite {
     assert(!TokenizeStage.countsMatch(turns, Seq("a-0")))
   }
 
+  test("parsePackSample honors sample_type: kf expands, merlin sums turns") {
+    import graft.wds.{Sample, TarIO}
+    val img = Array[Byte](1, 2, 3)
+    val kfSample = Sample("k", "", Map(
+      "json" -> TarIO.utf8(
+        """{"prompt":"<Iimage>#12#<Pimage>#40#","txt":"cap",
+          |"image_name_list":["k-0","k-1"]}""".stripMargin),
+      "0.jpg" -> img, "1.jpg" -> img))
+    // un: <Iimage>/<Pimage> are NOT expanded → invalid (count 0 != 2)
+    assert(!TokenizeStage.parsePackSample(kfSample, "un").get.valid)
+    // kf: both keyframe tokens expand → valid, images resolved
+    val kf = TokenizeStage.parsePackSample(kfSample, "kf").get
+    assert(kf.valid && kf.images.length == 2)
+
+    // merlin-style conversations: images spread over TWO human turns
+    // must validate via the summed raw <image> count, not turn one
+    val merlin = Sample("m", "", Map(
+      "json" -> TarIO.utf8(
+        """{"conversations":[
+          |{"from":"human","value":"<image>#1#q1"},
+          |{"from":"gpt","value":"a1"},
+          |{"from":"human","value":"<image>#2#q2"},
+          |{"from":"gpt","value":"a2"}],
+          |"image_name_list":["m-0","m-1"]}""".stripMargin),
+      "0.jpg" -> img, "1.jpg" -> img))
+    assert(TokenizeStage.parsePackSample(merlin, "merlin-s").get.valid)
+  }
+
   test("resize passes small images through and resizes >1280 to 1280²") {
     val small = graft.wds.Codecs.encodeImage(
       graft.wds.Codecs.ImageData(2, 2, 3, "RGB", new Array[Byte](12)), "png")

@@ -44,6 +44,31 @@ class PipelineCliSpec extends SparkSpec {
       .exists(_.getName.endsWith(".parquet")))
   }
 
+  test("kf pack → tokenize with --type kf keeps every sample") {
+    val metaDir = Files.createTempDirectory("cli_kf_meta").toString
+    import spark.implicits._
+    (0 until 8)
+      .map(i => (f"kf$i%04d", "0:01", "0:09", s"scene $i described"))
+      .toDF("YoutubeID", "Start_timestamp", "End_timestamp", "Caption")
+      .write.mode("overwrite").json(metaDir)
+    val packOut = Files.createTempDirectory("cli_kf_pack").toString
+    Pipeline.run(spark, Map(
+      "stage" -> "pack", "dataset" -> "internvid",
+      "meta-path" -> metaDir, "type" -> "kf",
+      "save-path" -> packOut, "samples-per-tar" -> "8",
+      "align-shards" -> "true", "synthetic-media" -> "true")).collect()
+    val tokOut = Files.createTempDirectory("cli_kf_tok").toString
+    val tokInfo = Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "type" -> "kf",
+      "input" -> s"$packOut/shard-0-000000.tar",
+      "save-path" -> tokOut))
+    // every kf sample must survive the <Iimage>/<Pimage>-aware
+    // validation; a kf doc is ~6.2k tokens, so the 8k packer flushes
+    // one-doc bins (final partial dropped by design) — under the old
+    // hardcoded 'un' parse ALL samples were filtered and this was 0
+    assert(tokInfo.agg(sum("nsamples")).collect().head.getLong(0) >= 6)
+  }
+
   test("arg parsing and unknown stage rejection") {
     assert(Pipeline.parseArgs(Array("--stage", "pack", "--type", "kf")) ==
       Map("stage" -> "pack", "type" -> "kf"))

@@ -147,9 +147,10 @@ object PackStage {
 
       case SamplerType.Interleave | SamplerType.Sft =>
         // getVideoList (`samplers.py:74-101`) + the video_data_types
-        // write branch (`pack.py:171-179`); conversations are TODO-dead
-        // in the reference (`pack.py:105-113`) — we emit the evident
-        // intent: Sft builds videochat2 turns from the QA list,
+        // write branch (`pack.py:171-179`); the reference's
+        // conversations branch is dead code (`pack.py:105-113`) — we
+        // emit the evident intent: Sft builds videochat2 turns from
+        // the QA list,
         // Interleave a default turn with one <video> token per clip
         val videos = paths.map(mediaFor)
         val names =

@@ -38,14 +38,39 @@ object ConnectedComponents {
     * @return (id, label) where label = min id of the component */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50):
       DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    val ckpt: DataFrame => DataFrame =
-      if (sc.getCheckpointDir.isDefined) df => df.checkpoint()
-      else df => df.localCheckpoint()
-    val sym = ckpt(edges
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    // Reliable path: snapshot each round to ALTERNATING parquet dirs
+    // under the checkpoint dir. df.checkpoint() would also be reliable
+    // but leaves every superseded round's snapshot on the FS for the
+    // application's lifetime (cleanCheckpoints defaults to false) — a
+    // long job would hold one full vertex-label copy PER ROUND. Two
+    // slots bound retained storage at O(1) snapshots; the final slot
+    // stays readable for the returned DataFrame.
+    val runDir = sc.getCheckpointDir.map(b =>
+      s"$b/cc-${java.util.UUID.randomUUID()}")
+    var slot = 0
+    def ckpt(df: DataFrame): DataFrame = runDir match {
+      case Some(d) =>
+        val path = s"$d/s$slot"
+        slot = (slot + 1) % 2
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+    // sym + the initial labels get their own slots (written once)
+    def ckptOnce(df: DataFrame, name: String): DataFrame = runDir match {
+      case Some(d) =>
+        df.write.mode("overwrite").parquet(s"$d/$name")
+        spark.read.parquet(s"$d/$name")
+      case None => df.localCheckpoint()
+    }
+    val sym = ckptOnce(edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
-    var labels = ckpt(vertices.select(col("id"), col("id").as("label")))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      "sym")
+    var labels = ckptOnce(
+      vertices.select(col("id"), col("id").as("label")), "init")
     // `old` keeps the label's OWN type: casting to a fixed numeric type
     // would null out non-numeric ids and make the convergence check
     // silently pass after one round

@@ -47,7 +47,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
-    val n = math.min(av.numElements(), bv.numElements())
+    // mismatched dims = corrupt embedding: fail at the source rather
+    // than return a plausible truncated cosine the gate/job can't trace
+    if (av.numElements() != bv.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim dimension mismatch: ${av.numElements()} vs " +
+          s"${bv.numElements()}")
+    val n = av.numElements()
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
     var dot = 0.0
@@ -82,7 +88,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim dimension mismatch: " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${aGet.format(a, i)};

@@ -27,7 +27,9 @@ object MinHash {
     * whole (lowercased) text — matching the guarded Column expression
     * and the oracle SQL. */
   def shingles(text: String): Array[String] = {
-    val ws = text.toLowerCase.split(" ", -1)
+    // Locale.ROOT: a tr_TR default locale would map 'I' to dotless 'ı',
+    // diverging from Spark/DuckDB lower() and breaking the hash oracle
+    val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (ws.length >= 3)
       Array.tabulate(ws.length - 2)(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
     else Array(ws.mkString(" "))

@@ -27,7 +27,7 @@ object SimHash {
 
   def simhash64(md: MessageDigest, text: String): Long = {
     val votes = new Array[Int](64)
-    text.toLowerCase.split(" ", -1).foreach { w =>
+    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { w =>
       val d = md.digest(w.getBytes(UTF_8))
       // first 16 hex digits = first 8 bytes, big-endian
       var hv = 0L

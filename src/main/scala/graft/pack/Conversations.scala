@@ -147,7 +147,7 @@ object Conversations {
     "image unavailable", ".com", ".jpg", ".pdf", ".jpeg", "png", "tiff", "svg")
 
   def passesBlacklist(caption: String): Boolean = {
-    val low = caption.toLowerCase
+    val low = caption.toLowerCase(java.util.Locale.ROOT)
     !BlackWords.exists(low.contains)
   }
 }

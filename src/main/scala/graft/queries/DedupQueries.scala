@@ -39,15 +39,10 @@ object DedupQueries extends QueryRegistry {
           element_at(ws, i + 2))))
       .otherwise(array(concat_ws(" ", ws)))
 
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => md5(to_binary(
-      concat(lit(s"$seed|"), x), lit("utf-8")))))
-
   /** doc_id + h0..h7 signature frame — the shared prefix of the
     * minhash/LSH/jaccard queries. Computed by the single-pass JVM kernel
-    * ([[graft.functions.MinHash]]); the declarative HOF form (kept above
-    * as [[minhash]] for reference/tests) produces identical values but
-    * runs interpreted outside codegen. */
+    * ([[graft.functions.MinHash]]); MinHashSpec asserts it equals the
+    * declarative interpreted-HOF form value-for-value. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     graft.functions.MinHash.signatures(
       Tables(s, dir).documents.select(col("doc_id"), col("text")),

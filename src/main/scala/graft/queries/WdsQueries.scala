@@ -26,16 +26,22 @@ import org.apache.spark.sql.functions._
 object WdsQueries extends QueryRegistry {
 
   /** Scratch directory for shard round-trips, deleted on JVM exit (the
-    * query result is lazy, so eager cleanup would race evaluation). */
+    * query result is lazy, so eager cleanup would race evaluation).
+    * ONE shared shutdown hook drains a registry — a hook Thread per
+    * invocation would grow without bound in a long bench/gate loop. */
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    scratchDirs.forEach(d => rm(d.toFile))
+  }))
   private def scratchDir(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
+    scratchDirs.add(dir)
     dir.toString
   }
 
@@ -79,6 +85,14 @@ object WdsQueries extends QueryRegistry {
   private def readBack(s: SparkSession, info: DataFrame): DataFrame = {
     val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
     s.read.format("wds").load(urls: _*)
+  }
+
+  /** Shard urls in NUMERIC shard order (string sort puts shard-10
+    * before shard-2) — the tokenize/index queries' merge-group order. */
+  private def numericShardUrls(info: DataFrame): Seq[String] = {
+    val shardNo = "shard-(\\d+)-".r
+    info.collect().map(_.getAs[String]("url")).toSeq
+      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
   }
 
   private def jsonCol = element_at(col("entries"), "json").cast("string")
@@ -244,10 +258,9 @@ object WdsQueries extends QueryRegistry {
     val out = scratchDir("graft_rt")
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
     // read back through the DataSource V2 path — format("wds") is what
     // the driver's gate exercises here
-    s.read.format("wds").load(urls: _*)
+    readBack(s, info)
       .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
       .groupBy(col("n_entries")).agg(count(lit(1)).as("n_samples"))
       .orderBy(col("n_entries"))
@@ -266,9 +279,7 @@ object WdsQueries extends QueryRegistry {
     val info = PackStage.run(docMeta(s, dir), packOut,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
         alignShards = true))
-    val shardNo = "shard-(\\d+)-".r
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq
-      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
+    val urls = numericShardUrls(info)
     val packed = WdsReader.readUrls(s, urls).coalesce(1)
     val tokInfo = TokenizeStage.run(packed, tokOut)
     val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
@@ -372,9 +383,7 @@ object WdsQueries extends QueryRegistry {
     val info = PackStage.run(docMeta(s, dir), packOut,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 125,
         alignShards = true))
-    val shardNo = "shard-(\\d+)-".r
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq
-      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
+    val urls = numericShardUrls(info)
     require(urls.length >= 4 || Tables(s, dir).documents.count() < 500,
       s"expected >=4 merge groups, got ${urls.length}")
     val samples = WdsReader.readUrls(s, urls) // 1 shard = 1 partition
@@ -402,9 +411,7 @@ object WdsQueries extends QueryRegistry {
     val info = PackStage.run(docMeta(s, dir), packOut,
       PackStage.PackOptions(numSegments = 2, samplesPerTar = 100,
         alignShards = true))
-    val shardNo = "shard-(\\d+)-".r
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq
-      .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
+    val urls = numericShardUrls(info)
     val tokInfo = TokenizeStage.run(WdsReader.readUrls(s, urls).coalesce(1), tokOut)
     val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
     CheckStage.index(WdsReader.readUrls(s, tokUrls), strict = true)

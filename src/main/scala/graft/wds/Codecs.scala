@@ -184,7 +184,7 @@ object Codecs {
   final case class ImageSpec(storage: String, mode: String, u8: Boolean)
 
   def parseImageSpec(spec: String): ImageSpec = {
-    val s0 = spec.toLowerCase
+    val s0 = spec.toLowerCase(java.util.Locale.ROOT)
     val (storage, rest) = Seq("pil", "torch", "numpy").find(s0.startsWith)
       .map(p => (p, s0.stripPrefix(p))).getOrElse(("numpy", s0))
     val u8 = rest.endsWith("8")

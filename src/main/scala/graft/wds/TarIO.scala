@@ -170,7 +170,8 @@ object TarIO {
                   prefix = interleaveId
                 }
               }
-              if (opts.lowercaseSuffix) suffix = suffix.toLowerCase
+              if (opts.lowercaseSuffix)
+                suffix = suffix.toLowerCase(java.util.Locale.ROOT)
               val emitted =
                 if (currentKey == null || prefix != currentKey) {
                   val out =

@@ -28,23 +28,36 @@ object CheckStage {
   val PatchesPerImage = 256
   val MaxTokens = 8000
 
-  /** Parse + flag each sample with its invariant violations
-    * (`check_pair.py:37-40`). */
-  def checked(shards: Dataset[Sample]): DataFrame = {
-    val df = shards.toDF()
+  /** entries → parsed json frame, shared by the gate and the
+    * inspection dump so the two can never parse differently. */
+  private def parsed(shards: Dataset[Sample]): DataFrame =
+    shards.toDF()
       .withColumn("j", from_json(
         decode(col("entries").getItem("json"), "UTF-8"), PackedJsonSchema))
+
+  /** Parse + flag each sample with its invariant violations
+    * (`check_pair.py:37-40`). A missing or unparseable json entry is
+    * its own violation (bad_parse): null flags would otherwise slip
+    * corrupt samples past the strict filter's three-valued OR. */
+  def checked(shards: Dataset[Sample]): DataFrame = {
+    val df = parsed(shards)
+    // size(a) - size(array_remove(a, id)) stays inside codegen; the
+    // filter() HOF evaluates an interpreted lambda per element over
+    // up-to-8k-token arrays on the gate's hot path
     def countId(id: Int) =
-      size(filter(col("j.input_ids"), x => x === id))
+      size(col("j.input_ids")) -
+        size(array_remove(col("j.input_ids"), id))
+    val bad = (c: org.apache.spark.sql.Column) => coalesce(c, lit(true))
     df.select(
       col("key"), col("url"),
       size(col("j.input_ids")).as("n_tokens"),
       size(col("j.image")).as("n_images"),
-      (size(col("j.input_ids")) =!= size(col("j.loss_mask")))
+      (col("j").isNull || col("j.input_ids").isNull).as("bad_parse"),
+      bad(size(col("j.input_ids")) =!= size(col("j.loss_mask")))
         .as("bad_mask_len"),
-      (size(col("j.input_ids")) >= MaxTokens).as("bad_token_len"),
-      (countId(ImStartId) =!= countId(ImEndId)).as("bad_start_end"),
-      (countId(ImPatchId) =!= size(col("j.image")) * PatchesPerImage)
+      bad(size(col("j.input_ids")) >= MaxTokens).as("bad_token_len"),
+      bad(countId(ImStartId) =!= countId(ImEndId)).as("bad_start_end"),
+      bad(countId(ImPatchId) =!= size(col("j.image")) * PatchesPerImage)
         .as("bad_patch_count"))
   }
 
@@ -52,24 +65,27 @@ object CheckStage {
     * invariant fails — the stage IS the correctness gate. */
   def index(shards: Dataset[Sample], strict: Boolean = true): DataFrame = {
     val c = checked(shards).cache()
-    if (strict) {
-      val bad = c.filter(
-        col("bad_mask_len") || col("bad_token_len") ||
-          col("bad_start_end") || col("bad_patch_count"))
-      val n = bad.count()
-      require(n == 0, s"$n samples violate tokenized-shard invariants")
-    }
-    c.groupBy(col("url")).agg(count(lit(1)).as("nsamples"))
-      .orderBy(col("url"))
+    try {
+      if (strict) {
+        val bad = c.filter(
+          col("bad_parse") || col("bad_mask_len") || col("bad_token_len") ||
+            col("bad_start_end") || col("bad_patch_count"))
+        val n = bad.count()
+        require(n == 0, s"$n samples violate tokenized-shard invariants")
+      }
+      // materialize the aggregate before releasing the cached scan
+      val idx = c.groupBy(col("url")).agg(count(lit(1)).as("nsamples"))
+        .orderBy(col("url"))
+      idx.cache().count()
+      idx
+    } finally { c.unpersist(); () }
   }
 
   /** 1 % human-inspection dump (`check_pair.py:16-26,41-42`): ground
     * truth text next to the loss-masked token stream. */
   def inspectionSample(shards: Dataset[Sample], frac: Double = 0.01,
       seed: Long = 42L): DataFrame = {
-    val df = shards.toDF()
-      .withColumn("j", from_json(
-        decode(col("entries").getItem("json"), "UTF-8"), PackedJsonSchema))
+    val df = parsed(shards)
     df.sample(withReplacement = false, frac, seed)
       .select(col("key"), col("url"),
         concat_ws(" ", col("j.text")).as("gt_text"),

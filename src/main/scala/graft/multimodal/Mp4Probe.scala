@@ -59,11 +59,13 @@ object Mp4Probe {
               .order(ByteOrder.BIG_ENDIAN)
             val version = b.get()
             b.position(b.position() + 3) // flags
-            if (version == 1) {
+            // v1 reads 28 more bytes (8+8+4+8); a truncated v1 box is
+            // skipped, not a BufferUnderflow out of probe()
+            if (version == 1 && b.remaining() >= 28) {
               b.getLong(); b.getLong() // creation, modification
               timescale = (b.getInt().toLong) & 0xffffffffL
               duration = b.getLong()
-            } else {
+            } else if (version == 0) {
               b.getInt(); b.getInt()
               timescale = (b.getInt().toLong) & 0xffffffffL
               duration = (b.getInt().toLong) & 0xffffffffL

@@ -43,11 +43,16 @@ object Loaders {
   }
 
   /** internvid-style jsonl: `YoutubeID, Start_timestamp, End_timestamp,
-    * Caption` (`dataset_loader.py:149-166`). */
+    * Caption` — the clip path is `{id}_{start}_{end}.mp4`
+    * (`dataset_loader.py:149-166`): captions are per-CLIP, so dropping
+    * the timestamps would collapse every clip of a video onto one
+    * path. */
   def loadJsonl(spark: SparkSession, path: String,
       prefix: String = ""): DataFrame =
     spark.read.json(path)
-      .select(concat(lit(prefix), col("YoutubeID")).as("video_path"),
+      .select(concat(lit(prefix),
+        concat_ws("_", col("YoutubeID"), col("Start_timestamp"),
+          col("End_timestamp")), lit(".mp4")).as("video_path"),
         col("Caption").as("value"))
 
   /** how2link-style: array of records with nested `clips` arrays —
@@ -114,12 +119,20 @@ object Loaders {
     * with ijson on the driver; the distributed equivalent reads the
     * same records as jsonl (or the single-array file via `multiLine`). */
   def loadMerlin(spark: SparkSession, path: String,
-      multiLine: Boolean = false): DataFrame =
-    spark.read.option("multiLine", multiLine).json(path)
-      .select(
-        element_at(col("image_info.image_name"), 1).as("video_path"),
-        col("text_list").as("value"),
-        col("image_info.image_name").as("media_paths"))
+      multiLine: Boolean = false): DataFrame = {
+    val df = spark.read.option("multiLine", multiLine).json(path)
+    // text_list may be a single string OR a list of segments; PackStage
+    // takes value: String, so arrays serialize like the other
+    // array-carrying loaders do
+    val value = df.schema("text_list").dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => to_json(col("text_list"))
+      case _ => col("text_list")
+    }
+    df.select(
+      element_at(col("image_info.image_name"), 1).as("video_path"),
+      value.as("value"),
+      col("image_info.image_name").as("media_paths"))
+  }
 
   /** hf-dataset-style parquet with column pruning
     * (`dataset_loader.py:38-48`). */

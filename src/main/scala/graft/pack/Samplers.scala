@@ -57,6 +57,9 @@ object Samplers {
     val types = fs.frameTypes(video)
     val idxs: IndexedSeq[Int] = frameType match {
       case 'I' =>
+        // the last frame is appended UNCONDITIONALLY — even when it is
+        // already an I-frame (duplicate index), faithfully mirroring
+        // tools.py:129-132's images.append(get_last_frame(...))
         types.zipWithIndex.collect { case ('I', i) => i } :+ (total - 1)
       case 'P' =>
         types.zipWithIndex.collect { case (t, i) if t != 'I' => i }

@@ -164,12 +164,18 @@ object SampleOps {
     def mixWith(
         others: Seq[(Dataset[Sample], Double)],
         seed: Long = 17L): Dataset[Sample] = {
-      // weights become sampling fractions relative to the max weight —
-      // mixture proportions match RandomMix in expectation
+      // RandomMix draws from source i with probability w_i/Σw PER DRAW,
+      // independent of source size; the relational restatement must
+      // therefore equalize w_i per ROW — fraction_i = (w_i/n_i) scaled
+      // so the highest-rate source keeps everything. A bare w/wMax
+      // would skew the mix by the (arbitrary) source sizes. Costs one
+      // count() per source, paid once at plan time.
       val all = (ds, 1.0) +: others
-      val wMax = all.map(_._2).max
-      all.map { case (d, w) =>
-        if (w >= wMax) d else d.sample(withReplacement = false, w / wMax, seed)
+      val sized = all.map { case (d, w) => (d, w, d.count().max(1L)) }
+      val rMax = sized.map { case (_, w, n) => w / n.toDouble }.max
+      sized.map { case (d, w, n) =>
+        val f = (w / n.toDouble) / rMax
+        if (f >= 1.0) d else d.sample(withReplacement = false, f, seed)
       }.reduce(_ unionByName _).shuffled(seed)
     }
 

@@ -18,11 +18,16 @@ object ShardList {
 
   private val RangePat: Regex = """\{(\d+)\.\.(\d+)\}""".r
   private val AltPat: Regex = """\{([^{}]*,[^{}]*)\}""".r
-  private val EnvPat: Regex = """\$\{?(\w+)\}?""".r
+  // paired alternatives: a sloppy \$\{?(\w+)\}? would let an unbraced
+  // $VAR swallow a following literal '}' and destroy brace-alternation
+  // specs like "{train,$SPLIT}.tar"
+  private val EnvPat: Regex = """\$\{(\w+)\}|\$(\w+)""".r
 
   def envSubst(s: String, env: Map[String, String] = sys.env): String =
-    EnvPat.replaceAllIn(s, m =>
-      Regex.quoteReplacement(env.getOrElse(m.group(1), m.matched)))
+    EnvPat.replaceAllIn(s, m => {
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      Regex.quoteReplacement(env.getOrElse(name, m.matched))
+    })
 
   /** Expand one spec (no `::`), leftmost brace first (bash order). */
   def expandBraces(spec: String): Seq[String] = {

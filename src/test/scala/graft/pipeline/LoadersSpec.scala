@@ -45,7 +45,10 @@ class LoadersSpec extends SparkSpec {
         |{"YoutubeID": "yt2", "Start_timestamp": "0:02", "End_timestamp": "0:08", "Caption": "y"}""".stripMargin)
     val df = Loaders.loadJsonl(spark, p, prefix = "/vids/")
       .orderBy("video_path").collect()
-    assert(df.map(_.getString(0)).toSeq == Seq("/vids/yt1", "/vids/yt2"))
+    // clip path = {id}_{start}_{end}.mp4 (dataset_loader.py:158):
+    // captions are per-clip; id-only paths would merge a video's clips
+    assert(df.map(_.getString(0)).toSeq ==
+      Seq("/vids/yt1_0:01_0:09.mp4", "/vids/yt2_0:02_0:08.mp4"))
   }
 
   test("how2link-style nested clips explode") {

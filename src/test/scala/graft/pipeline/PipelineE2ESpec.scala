@@ -76,4 +76,23 @@ class PipelineE2ESpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CheckStage.index(bad, strict = true).collect())
   }
+
+  test("E3 rejects unparseable/missing json (null flags can't slip by)") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.wds.Sample]
+    // missing json entry entirely
+    val noJson = spark.createDataset(Seq(
+      graft.wds.Sample("0-0", "mem", Map(
+        "jpg" -> Array[Byte](1, 2, 3)))))
+    assert(CheckStage.checked(noJson).collect().head
+      .getAs[Boolean]("bad_parse"))
+    assertThrows[IllegalArgumentException](
+      CheckStage.index(noJson, strict = true).collect())
+    // present but malformed json
+    val malformed = spark.createDataset(Seq(
+      graft.wds.Sample("0-1", "mem", Map(
+        "json" -> TarIO.utf8("{not json")))))
+    assertThrows[IllegalArgumentException](
+      CheckStage.index(malformed, strict = true).collect())
+  }
 }

@@ -265,6 +265,9 @@ class TarIOSpec extends AnyFunSuite {
       Seq("a/0.tar", "a/1.tar", "b/0.tar", "b/1.tar"))
     assert(ShardList.expand("x.tar::y.tar") == Seq("x.tar", "y.tar"))
     assert(ShardList.expand("${W}/s.tar", Map("W" -> "/d")) == Seq("/d/s.tar"))
+    // an unbraced $VAR must not swallow a following literal brace
+    assert(ShardList.expand("p-{train,$SPLIT}.tar", Map("SPLIT" -> "val")) ==
+      Seq("p-train.tar", "p-val.tar"))
     assert(ShardList.shuffled(Seq("a", "b", "c"), 1L) ==
       ShardList.shuffled(Seq("a", "b", "c"), 1L))
     assert(ShardList.resampled(Seq("a", "b"), 5, 2L).size == 5)

@@ -182,6 +182,14 @@ class WdsSparkSpec extends SparkSpec {
       Sample(f"B$i%08d", "u2", Map("txt" -> bytes(s"b $i")))))
     val mixed = a.mixWith(Seq((b, 1.0)), seed = 3L).collect()
     assert(mixed.length == 20)
+    // equal weights must mean ~equal CONTRIBUTIONS even when sources
+    // have very different sizes (RandomMix is size-independent): the
+    // 200-sample source is downsampled toward the 10-sample source
+    val big = spark.createDataset((0 until 200).map(i =>
+      Sample(f"C$i%08d", "u3", Map("txt" -> bytes(s"c $i")))))
+    val skewMix = a.mixWith(Seq((big, 1.0)), seed = 3L).collect()
+    val nBig = skewMix.count(_.key.startsWith("C"))
+    assert(nBig < 40, s"big source contributed $nBig of ${skewMix.length}")
     val rr = a.roundRobinWith(b).collect().map(_.key).toSeq
     assert(rr.length == 20)
     // positions alternate source A (digits) and source B

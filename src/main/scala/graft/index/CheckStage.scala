@@ -73,11 +73,16 @@ object CheckStage {
         val n = bad.count()
         require(n == 0, s"$n samples violate tokenized-shard invariants")
       }
-      // materialize the aggregate before releasing the cached scan
-      val idx = c.groupBy(col("url")).agg(count(lit(1)).as("nsamples"))
+      // the index is one row per tar — driver-sized by construction
+      // (the reference collects and pickles it, `check_pair.py:59-66`).
+      // Collect into a LocalRelation so no cached block outlives this
+      // call: a session running many gate/bench invocations must not
+      // accumulate storage for the JVM lifetime.
+      val agg = c.groupBy(col("url")).agg(count(lit(1)).as("nsamples"))
         .orderBy(col("url"))
-      idx.cache().count()
-      idx
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      agg.collect().foreach(r => { rows.add(r); () })
+      shards.sparkSession.createDataFrame(rows, agg.schema)
     } finally { c.unpersist(); () }
   }
 

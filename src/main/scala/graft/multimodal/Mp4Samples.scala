@@ -40,7 +40,10 @@ object Mp4Samples {
     def sample(container: Array[Byte], i: Int): Array[Byte] = {
       val off = offsets(i)
       val len = sizes(i)
-      require(off + len <= container.length,
+      // a corrupt co64 can carry negative or near-Long.MAX offsets; the
+      // bound must reject them BEFORE off.toInt truncates, so corrupt
+      // samples surface as the contract's IllegalArgumentException
+      require(off >= 0 && len >= 0 && off <= container.length.toLong - len,
         s"sample $i [$off,+$len) beyond container ${container.length}")
       java.util.Arrays.copyOfRange(container, off.toInt, off.toInt + len)
     }
@@ -144,8 +147,13 @@ object Mp4Samples {
             val fixed = b.getInt()
             val n = b.getInt()
             sizes =
-              if (fixed != 0) Array.fill(n)(fixed)
-              else if (b.remaining() >= 4L * n)
+              // fixed-size path: the header-claimed count must be
+              // plausible against the container (n samples of `fixed`
+              // bytes can't exceed the file) or a crafted stsz could
+              // demand a multi-GB allocation
+              if (fixed > 0 && n >= 0 && n.toLong * fixed <= bytes.length)
+                Array.fill(n)(fixed)
+              else if (fixed == 0 && b.remaining() >= 4L * n)
                 Array.fill(n)(b.getInt())
               else null
           case "stsc" if boxEnd - pos >= header + 8 =>

@@ -506,23 +506,35 @@ object WdsQueries extends QueryRegistry {
     * are pure functions of `documents`, hash-checked. */
   private def cborsRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.wds.Cbor
+    import org.apache.hadoop.fs.Path
     val out = scratchDir("graft_cbors")
-    new java.io.File(out).mkdirs()
+    // write through Hadoop FS (like the pack stage), not java.io — on a
+    // real cluster executor-local java.io files never reach the driver's
+    // listing; attempt-scoped tmp + rename keeps task retries safe
+    val conf = new graft.wds.SerializableHadoopConf(
+      s.sparkContext.hadoopConfiguration)
     val nShards = 8
     Tables(s, dir).documents.select(col("doc_id"), col("text"))
       .repartition(nShards, col("doc_id"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(s"$out/part-$pid.cbors"))
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val dst = new Path(out, s"part-$pid.cbors")
+        val tmp = new Path(out,
+          s".part-$pid.cbors.inprogress-${tc.taskAttemptId()}")
+        val fs = dst.getFileSystem(conf.value)
+        val f = new java.io.BufferedOutputStream(fs.create(tmp, true))
         try it.foreach { r =>
           Cbor.encode(Cbor.CborMap(Vector(
             "__key__" -> f"${r.getLong(0)}%09d",
             "txt" -> r.getString(1))), f)
         } finally f.close()
+        if (fs.exists(dst)) { fs.delete(dst, false); () }
+        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
       }
-    val urls = new java.io.File(out).listFiles()
-      .filter(_.getName.endsWith(".cbors")).map(_.toString).toSeq.sorted
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val urls = fs.globStatus(new Path(out, "*.cbors"))
+      .map(_.getPath.toString).toSeq.sorted
     graft.wds.CborReader.readUrls(s, urls).toDF()
       .select(col("key").cast("long").as("doc_id"),
         length(col("entries")("txt")).cast("long").as("txt_bytes"))

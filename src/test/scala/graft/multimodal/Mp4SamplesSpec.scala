@@ -124,6 +124,40 @@ class Mp4SamplesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("corrupt fixed-size stsz cannot demand a huge allocation") {
+    val frames = (0 until 3).map(pngFrame)
+    val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 10,
+      width = 2, height = 2)
+    // patch the stsz box: fixed = 0x7fffffff, n = 0x7fffffff — a crafted
+    // header claiming 2^31 samples of 2 GiB each
+    val idx = {
+      var i = -1
+      (0 until mp4.length - 4).foreach { p =>
+        if (i < 0 && mp4(p) == 's' && mp4(p + 1) == 't' &&
+          mp4(p + 2) == 's' && mp4(p + 3) == 'z') i = p
+      }
+      i
+    }
+    assert(idx > 0)
+    val bad = mp4.clone()
+    // fields after the fourcc: verflags(4) fixed(4) n(4)
+    java.nio.ByteBuffer.wrap(bad, idx + 4, 12)
+      .putInt(0).putInt(0x7fffffff).putInt(0x7fffffff)
+    // must complete without attempting the allocation; the track is
+    // rejected (no consistent sample table), not OOM'd
+    assert(Mp4Samples.parse(bad).isEmpty)
+  }
+
+  test("negative/overflowing chunk offsets raise the corrupt signal") {
+    val bytes = Array.fill[Byte](64)(1)
+    val neg = Mp4Samples.Track("jpeg", 1000, 1000,
+      Array(8), Array(-5L), Array.empty)
+    intercept[IllegalArgumentException](neg.sample(bytes, 0))
+    val huge = Mp4Samples.Track("jpeg", 1000, 1000,
+      Array(8), Array(Long.MaxValue - 3), Array.empty)
+    intercept[IllegalArgumentException](huge.sample(bytes, 0))
+  }
+
   test("parser survives truncation at every boundary (corrupt shards)") {
     val frames = (0 until 5).map(pngFrame)
     val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 10,

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, RelationalQueries,
-  SimilarityQueries, TextQueries, WdsQueries}
+import graft.queries.{CurationQueries, DedupQueries, EventQueries,
+  RelationalQueries, SimilarityQueries, TextQueries, WdsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     RelationalQueries,
     EventQueries,
     TextQueries,
+    CurationQueries,
     DedupQueries,
     SimilarityQueries,
     WdsQueries,

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the passes a training-data pipeline runs
+  * between raw ingest and packing, beyond per-pair dedup (DedupQueries):
+  *
+  *  - eval-set decontamination (qd11): flag training documents sharing
+  *    word n-grams with a held-out eval set — the GPT-3/PaLM-style
+  *    train/test overlap scrub. The eval side of the join is tiny by
+  *    construction (benchmarks are MBs, corpora are TBs), so at scale it
+  *    broadcasts; the train side shuffles only 16-hex shingle hashes.
+  *  - duplicated-span mining (qd12): per-document fraction of word
+  *    n-grams that occur in ≥2 distinct documents — the corpus-level
+  *    "memorized span" signal of Lee et al. 2022 (exact substring dedup),
+  *    approximated at n-gram granularity so it runs as two hash
+  *    aggregations instead of a suffix array.
+  *  - semantic dedup (qs05): SemDeDup (Abbas et al. 2023) — within an
+  *    embedding cluster, prune every vector whose cosine to a
+  *    lower-id cluster member exceeds a threshold. Clusters here come
+  *    from the fixture's `label` column (at scale: the k-means/IVF
+  *    assignment of SimilarityQueries.qs02); the operator is the
+  *    in-cluster prune. Embeddings shuffle once, grouped by cluster —
+  *    in-cluster pair work is bounded by cluster size, never O(n²).
+  *
+  * Cross-engine determinism: shingles hash through md5 (identical in
+  * DuckDB), cosines are sequential double folds (CosineSimilarity ==
+  * DuckDB list_sum fold, bit-identical), rounded before thresholding.
+  */
+object CurationQueries extends QueryRegistry {
+
+  /** Word n-gram size for decontamination/span mining. Real pipelines
+    * use 8–13-word grams; the fixture's documents are 10–99 words with
+    * near-dup families that share 5-word runs, so 5 keeps both queries'
+    * outputs non-degenerate at test scale. */
+  private val GramK = 5
+
+  /** Eval-set membership: doc_id % 7 == 0 (a held-out slice with
+    * measured overlap against the rest of the fixture). */
+  private val EvalMod = 7
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct k-word shingles, md5-truncated to 16 hex chars — the only
+    * payload that ever enters a shuffle here. This declarative form is
+    * the spec cross-check ([[exploded]] is the production path: md5
+    * inside a Catalyst HOF runs interpreted, ~10× the kernel's cost). */
+  private[queries] def shingleHashes(ws: Column): Column = {
+    val sh = when(size(ws) >= GramK,
+      transform(sequence(lit(1), size(ws) - (GramK - 1)), i =>
+        concat_ws(" ",
+          (0 until GramK).map(o => element_at(ws, i + o)): _*)))
+      .otherwise(array(concat_ws(" ", ws)))
+    array_distinct(transform(sh, x =>
+      substring(md5(to_binary(x, lit("utf-8"))), 1, 16)))
+  }
+
+  private val shingleHashesSqlCte = {
+    val parts = (0 until GramK)
+      .map(o => if (o == 0) "ws[i]" else s"ws[i+$o]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |    CASE WHEN len(ws) >= $GramK
+       |      THEN list_transform(generate_series(1, len(ws) - ${GramK - 1}),
+       |             i -> $parts)
+       |      ELSE [array_to_string(ws, ' ')] END,
+       |    x -> substr(md5(x), 1, 16))) AS shs
+       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |      FROM documents) w""".stripMargin
+  }
+
+  /** qd11: per-train-document contamination counts against the eval
+    * slice. Output covers every train doc (hits are sparse) so the gate
+    * hashes the negatives too. */
+  /** Exploded (doc_id, sh) via the single-pass JVM kernel. */
+  private def exploded(s: SparkSession, dir: String): DataFrame =
+    graft.functions.ShingleHash.exploded(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")), GramK)
+
+  private def decontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = exploded(s, dir)
+    val evalGrams = sh.filter($"doc_id" % EvalMod === 0)
+      .select($"sh").distinct()
+    val train = sh.filter($"doc_id" % EvalMod =!= 0)
+    train.join(broadcast(evalGrams.withColumn("hit", lit(1))),
+        Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce($"hit", lit(0)))
+        .cast("int").as("n_hits"))
+      .select($"doc_id", $"n_grams",
+        $"n_hits", when($"n_hits" > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  private val decontamSql =
+    s"""WITH s AS ($shingleHashesSqlCte),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+       |ev AS (SELECT DISTINCT sh FROM e WHERE doc_id % $EvalMod = 0),
+       |tr AS (SELECT doc_id, sh FROM e WHERE doc_id % $EvalMod <> 0)
+       |SELECT tr.doc_id, count(*) AS n_grams,
+       |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_hits,
+       |  CASE WHEN sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |    THEN 1 ELSE 0 END AS contaminated
+       |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
+  /** qd12: per-document duplicated-span fraction — shingle document
+    * frequency (first agg, keys are 16-hex hashes), joined back to each
+    * document's shingles (second agg on doc_id). */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = exploded(s, dir)
+    val df = sh.groupBy($"sh")
+      .agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"df" >= 2, 1).otherwise(0)).cast("int").as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        round($"n_dup_spans".cast("double") / $"n_spans", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val dupSpansSql =
+    s"""WITH s AS ($shingleHashesSqlCte),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+       |df AS (SELECT sh, count(*) AS df FROM e GROUP BY sh)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::INT AS n_dup_spans,
+       |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS dup_frac
+       |FROM e JOIN df USING (sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cosine threshold for the semantic prune: rounded cosines ≥ Tau
+    * mark the higher vec_id as redundant. Fixture in-cluster cosines
+    * top out at ~0.47 with a ~1% tail above 0.3, so Tau = 0.3 prunes a
+    * real (non-empty, non-total) subset. */
+  private val Tau = 0.3
+
+  /** qs05: SemDeDup in-cluster prune — keep a vector unless some
+    * lower-id vector in the same cluster is within the cosine ball. */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .select($"vec_id", $"label", $"embedding")
+    val pruned = e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(round(graft.functions.CosineSimilarity.cosineSim(
+        col("a.embedding"), col("b.embedding")), 6) >= Tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    e.join(pruned.withColumn("pruned", lit(1)), Seq("vec_id"), "left")
+      .select($"vec_id", $"label",
+        when($"pruned".isNull, 1).otherwise(0).as("is_kept"))
+      .orderBy($"vec_id")
+  }
+
+  private val semDedupSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |pruned AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(
+       |    list_sum(list_transform(generate_series(1, len(a.emb)),
+       |      i -> a.emb[i] * b.emb[i]))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, len(a.emb)),
+       |        i -> a.emb[i] * a.emb[i])))
+       |     * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
+       |        i -> b.emb[i] * b.emb[i])))), 6) >= $Tau)
+       |SELECT e.vec_id, e.label,
+       |  CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+       |FROM e LEFT JOIN pruned p ON e.vec_id = p.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  override val defs: Map[String, QueryDef] = Map(
+    "qd11_decontam" -> QueryDef(decontam, Some(decontamSql)),
+    "qd12_dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql), bench = true),
+    "qs05_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
+  )
+}

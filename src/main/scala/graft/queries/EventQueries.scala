@@ -151,7 +151,67 @@ object EventQueries extends QueryRegistry {
       |FROM days d JOIN cohorts c ON d.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** As-of (backward) join — the time-series operator Spark lacks as a
+    * builtin: attach to each click the user's most recent purchase at or
+    * before the click. Implemented with the union-merge trick: tag both
+    * sides, one shuffle on user_id, sort within partition by
+    * (ts, side, id), then `last(_, ignoreNulls)` carries the latest
+    * purchase payload forward — O(n log n) per user with NO range
+    * explosion (a naive `c.ts >= p.ts` theta-join is O(clicks ×
+    * purchases) per user and melts at scale). Purchases sort before
+    * clicks on equal ts, making the join inclusive. Purchases are
+    * pre-deduped per (user, ts) with max_by(event_id) so the answer is
+    * deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    * independent implementation of the semantics, not a mirrored
+    * construction. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+    val p = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("p_event_id"),
+        expr("max_by(value, event_id)").as("p_value"))
+      .select($"user_id", $"ts", lit(0).as("side"), $"p_event_id",
+        $"p_value", lit(null).cast("long").as("c_event_id"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(1).as("side"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"),
+        $"event_id".as("c_event_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"side", coalesce($"c_event_id", $"p_event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    p.unionByName(c)
+      .withColumn("last_p_id", last($"p_event_id", ignoreNulls = true).over(w))
+      .withColumn("last_p_ts",
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .withColumn("last_p_value",
+        last($"p_value", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"c_event_id".as("event_id"), $"user_id", $"ts",
+        $"last_p_id".as("p_event_id"), $"last_p_ts".as("p_ts"),
+        (unix_timestamp($"ts") - unix_timestamp($"last_p_ts"))
+          .as("secs_since_purchase"),
+        $"last_p_value".as("p_value"))
+      .orderBy($"event_id")
+  }
+
+  private val asofJoinSql =
+    """WITH p AS (
+      |  SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id,
+      |    max_by(value, event_id) AS p_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts,
+      |  date_diff('second', p.p_ts, c.ts) AS secs_since_purchase,
+      |  p.p_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      |ORDER BY c.event_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qe06_asof_join" -> QueryDef(asofJoin, Some(asofJoinSql), bench = true),
     "qe05_retention" -> QueryDef(retention, Some(retentionSql)),
     "qe01_hourly_window" -> QueryDef(hourly, Some(hourlySql)),
     "qe02_sessionize" -> QueryDef(sessionize, Some(sessionizeSql), bench = true),

@@ -443,7 +443,57 @@ object RelationalQueries extends QueryRegistry {
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bucketed co-located fact-fact join: both sides are written as
+    * bucketed tables on the join key (8 buckets, sorted, one file per
+    * bucket), then joined — Catalyst sees hash-partitioned scans and
+    * plans a SortMergeJoin with NO Exchange on either side (asserted in
+    * BucketedJoinSpec; a per-partition Sort remains because Spark ≥3.0
+    * only trusts bucket sort order under the legacy
+    * bucketedTableScan.outputOrdering flag — linear cost on sorted
+    * runs). This is the 100 TB answer to a repeated fact-fact join: pay
+    * the shuffle once at write time, then every downstream join or
+    * aggregate on the bucket key is shuffle-free. Output equals plain
+    * join semantics, which is exactly what the oracle computes —
+    * bucketing must never change results, only plans. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    // warehouse path keyed by sf dir so sf0.01/sf0.1 runs don't collide
+    val tag = s"${dir.hashCode.toHexString}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    val catalog = s.catalog
+    Seq("orders", "lineitem").foreach { n =>
+      if (!catalog.tableExists(s"graft_${n}_b_$tag")) {
+        val df = if (n == "orders") t.orders else t.lineitem
+        val key = if (n == "orders") "o_orderkey" else "l_orderkey"
+        // repartition on the bucket key first: task partitioning then
+        // matches the bucket function, so each bucket is ONE file —
+        // the condition under which the scan's per-file sort order
+        // counts as a global per-bucket order and SMJ needs no Sort
+        df.repartition(8, col(key)).write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$n")
+          .saveAsTable(s"graft_${n}_b_$tag")
+      }
+    }
+    val o = s.table(s"graft_orders_b_$tag")
+    val l = s.table(s"graft_lineitem_b_$tag")
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q21Sql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "q21_bucketed_join" -> QueryDef(q21, Some(q21Sql)),
     "q19_date_rollup" -> QueryDef(q19, Some(q19Sql)),
     "q20_salted_agg" -> QueryDef(q20, Some(q20Sql)),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql), bench = true),

@@ -312,7 +312,103 @@ object TextQueries extends QueryRegistry {
       |    '\+?[0-9][0-9-]{7,}', '<PHONE>', 'g')) AS clean_hash
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** C4/MassiveText-style quality-filter flags (Raffel et al. 2020 §2.2
+    * heuristics): word count, mean word length band, sentence count,
+    * terminal punctuation, boilerplate markers ("lorem ipsum", code
+    * braces, "javascript"), combined into a keep decision. The fixture
+    * text is punctuation-free word soup, so the punctuation/marker axes
+    * are injected deterministically from doc_id (the qt08 pattern) —
+    * every flag exercises both branches. Row-narrow, zero shuffle. */
+  private def c4Filters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = concat($"text",
+      when($"doc_id" % 41 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
+      when($"doc_id" % 37 === 0, lit(" function() { javascript }"))
+        .otherwise(lit("")),
+      when($"doc_id" % 3 === 0, lit(" no terminal mark here"))
+        .otherwise(lit(". the end.")))
+    val base = Tables(s, dir).documents.select($"doc_id", aug.as("t"))
+    val nWords = size(split($"t", " "))
+    val meanLen = round(
+      (length($"t") - (nWords - 1)).cast("double") / nWords, 6)
+    val nSentences = size(regexp_extract_all($"t", lit("[.!?]"), lit(0)))
+    val endsPunct = when($"t".rlike("[.!?]$"), 1).otherwise(0)
+    val hasBad = when(
+      lower($"t").contains("lorem ipsum") || $"t".contains("{") ||
+        lower($"t").contains("javascript"), 1).otherwise(0)
+    base.select($"doc_id",
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        nSentences.as("n_sentences"), endsPunct.as("ends_punct"),
+        hasBad.as("has_bad"))
+      .withColumn("keep",
+        when($"n_words" >= 30 && $"mean_word_len" >= 3.0 &&
+          $"mean_word_len" <= 10.0 && $"n_sentences" >= 1 &&
+          $"ends_punct" === 1 && $"has_bad" === 0, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  private val c4FiltersSql =
+    """WITH a AS (
+      |  SELECT doc_id, text
+      |    || (CASE WHEN doc_id % 41 = 0 THEN ' lorem ipsum dolor' ELSE '' END)
+      |    || (CASE WHEN doc_id % 37 = 0
+      |          THEN ' function() { javascript }' ELSE '' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ' no terminal mark here'
+      |          ELSE '. the end.' END) AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    len(string_split(t, ' '))::INT AS n_words,
+      |    round((length(t) - (len(string_split(t, ' ')) - 1))::DOUBLE
+      |      / len(string_split(t, ' ')), 6) AS mean_word_len,
+      |    len(regexp_extract_all(t, '[.!?]'))::INT AS n_sentences,
+      |    CASE WHEN regexp_matches(t, '[.!?]$') THEN 1 ELSE 0 END AS ends_punct,
+      |    CASE WHEN lower(t) LIKE '%lorem ipsum%' OR t LIKE '%{%'
+      |      OR lower(t) LIKE '%javascript%' THEN 1 ELSE 0 END AS has_bad
+      |  FROM a)
+      |SELECT *, CASE WHEN n_words >= 30 AND mean_word_len >= 3.0
+      |  AND mean_word_len <= 10.0 AND n_sentences >= 1
+      |  AND ends_punct = 1 AND has_bad = 0 THEN 1 ELSE 0 END AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Unicode NFC canonicalization via the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (Spark has no builtin;
+    * DuckDB's `nfc_normalize` is the oracle). Decomposed accent
+    * sequences are injected deterministically (the fixture is ASCII) so
+    * the normalizer has real work: U+0301/U+0300 combining accents
+    * compose with their base letters, shrinking the code-point length. */
+  private def normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NfcNormalize.nfc
+    // decomposed on purpose: base letter + combining accent (U+0301
+    // acute / U+0300 grave), the same code points the DuckDB oracle
+    // builds with chr(769)/chr(768) — NFC composes them
+    val aug = concat($"text",
+      lit(" café précis à la mode"))
+    Tables(s, dir).documents
+      .select($"doc_id", aug.as("t"))
+      .select($"doc_id",
+        length($"t").as("len_raw"),
+        length(nfc($"t")).as("len_nfc"),
+        when(nfc($"t") === $"t", 0).otherwise(1).as("changed"),
+        md5(to_binary(nfc($"t"), lit("utf-8"))).as("nfc_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val normalizeSql =
+    """WITH a AS (
+      |  SELECT doc_id, text || ' cafe' || chr(769) || ' pre' || chr(769)
+      |    || 'cis a' || chr(768) || ' la mode' AS t
+      |  FROM documents)
+      |SELECT doc_id, length(t)::INT AS len_raw,
+      |  length(nfc_normalize(t))::INT AS len_nfc,
+      |  CASE WHEN nfc_normalize(t) = t THEN 0 ELSE 1 END AS changed,
+      |  md5(nfc_normalize(t)) AS nfc_hash
+      |FROM a ORDER BY doc_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt09_c4_filters" -> QueryDef(c4Filters, Some(c4FiltersSql)),
+    "qt10_normalize" -> QueryDef(normalize, Some(normalizeSql)),
     "qt07_repetition" -> QueryDef(repetition, Some(repetitionSql)),
     "qt08_redact" -> QueryDef(redact, Some(redactSql)),
     "qt06_top_bigrams" -> QueryDef(topBigrams, Some(topBigramsSql)),

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** qe06 as-of join laws: equivalence to the brute-force definition, the
+  * inclusive-tie edge the fixture doesn't exercise, and the
+  * no-range-explosion plan shape. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("matches brute-force latest-at-or-before on the fixture") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, sf).events
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .collect()
+    val purch = ev.filter(_.getString(3) == "purchase")
+    val want = ev.filter(_.getString(3) == "click").map { c =>
+      val prior = purch.filter(p =>
+        p.getLong(1) == c.getLong(1) &&
+          !p.getTimestamp(2).after(c.getTimestamp(2)))
+      val best =
+        if (prior.isEmpty) None
+        else Some(prior.maxBy(p => (p.getTimestamp(2).getTime, p.getLong(0))))
+      c.getLong(0) -> best.map(_.getLong(0))
+    }.toMap
+    val got = graft.SparkEntry.queries("qe06_asof_join")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
+  test("purchase at the same timestamp is matched (inclusive as-of)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val events = Seq(
+      // user 1: purchase exactly at the click ts → matched
+      (1L, t0, 1L, "purchase", 5.0),
+      (2L, t0, 1L, "click", 0.0),
+      // user 2: purchase after the click → no match
+      (3L, t1, 2L, "click", 0.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L,
+        "purchase", 7.0),
+      // user 3: two purchases, latest-before wins
+      (5L, t0, 3L, "purchase", 1.0),
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 3L,
+        "purchase", 2.0),
+      (7L, t1, 3L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("asof").toString
+    // write through the nanos-free path: the query reads via Tables
+    // which maps int64-nanos → micros; a micros parquet round-trips
+    // identically when the flag sees a plain timestamp column
+    events.select($"event_id",
+        expr("unix_micros(ts) * 1000").as("ts"), $"user_id",
+        $"event_type", $"value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.SparkEntry.queries("qe06_asof_join")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(2L).contains(1L), s"same-ts purchase must match: $out")
+    assert(out(3L).isEmpty, s"future purchase must not match: $out")
+    assert(out(7L).contains(6L), s"latest prior purchase must win: $out")
+  }
+
+  test("plan is one user_id shuffle + window, not a theta join") {
+    val plan = graft.SparkEntry.queries("qe06_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+}

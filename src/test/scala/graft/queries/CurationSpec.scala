@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the curation suite (qd11/qd12/qs05) beyond the DuckDB gate:
+  * brute-force equivalence on the fixture, structural invariants, and
+  * plan-shape checks that the gate's value-hash can't see. */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("qd11: eval docs are excluded and hits imply contamination") {
+    val rows = q("qd11_decontam").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docId = r.getLong(0)
+      assert(docId % 7 != 0, s"eval doc $docId leaked into train output")
+      val nGrams = r.getLong(1)
+      val nHits = r.getInt(2)
+      val contaminated = r.getInt(3)
+      assert(nHits >= 0 && nHits <= nGrams)
+      assert((nHits > 0) == (contaminated == 1))
+    }
+  }
+
+  test("qd11: n_hits equals brute-force set intersection per doc") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ws = t.toLowerCase.split(" ", -1)
+      if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val evalGrams = docs.filter(_._1 % 7 == 0).flatMap(d => grams(d._2)).toSet
+    val want = docs.filter(_._1 % 7 != 0)
+      .map(d => d._1 -> grams(d._2).count(evalGrams.contains)).toMap
+    val got = q("qd11_decontam").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
+
+  test("qd12: dup_frac is consistent and bounded") {
+    val rows = q("qd12_dup_spans").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nSpans = r.getLong(1)
+      val nDup = r.getInt(2)
+      val frac = r.getDouble(3)
+      assert(nDup >= 0 && nDup <= nSpans)
+      assert(math.abs(frac - nDup.toDouble / nSpans) < 1e-6)
+    }
+  }
+
+  test("qd12: exact duplicate docs have dup_frac 1 on their shared spans") {
+    import spark.implicits._
+    // two identical synthetic docs + one unique: shared spans must all
+    // count as duplicated, the unique doc's as not
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("qd12").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reuse fixture parquet for the other tables not touched by qd12
+    val out = graft.SparkEntry.queries("qd12_dup_spans")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0 && out(3L) == 0.0)
+  }
+
+  test("qs05: kept set equals the greedy lower-id ε-ball rule") {
+    import spark.implicits._
+    val e = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = e.map { case (id, label, emb) =>
+      val pruned = e.exists { case (id2, label2, emb2) =>
+        label2 == label && id2 < id &&
+          BigDecimal(cos(emb2, emb)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.3
+      }
+      id -> (if (pruned) 0 else 1)
+    }.toMap
+    val got = q("qs05_semdedup").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
+
+  test("qs05 prunes a non-trivial subset at sf0.01") {
+    val rows = graft.SparkEntry.queries("qs05_semdedup")(
+      spark, "/root/testdata/sf0.01").collect()
+    val kept = rows.count(_.getInt(2) == 1)
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate prune: $kept of ${rows.length}")
+  }
+
+  test("shingle kernel equals the declarative HOF form value-for-value") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf).documents.select($"doc_id", $"text")
+    val kernel = graft.functions.ShingleHash.exploded(docs, 5)
+      .as[(Long, String)].collect().toSet
+    val hof = docs.select($"doc_id",
+        explode(CurationQueries.shingleHashes(split(lower($"text"), " ")))
+          .as("sh"))
+      .as[(Long, String)].collect().toSet
+    assert(kernel == hof)
+    // the shuffle payload is the 16-hex truncation, never raw text
+    assert(kernel.forall(_._2.matches("[0-9a-f]{16}")))
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 scale probes for the curation/ordering operators, driving the
+  * QUERY-PATH code (CurationQueries.*From, EventQueries.asofFrom,
+  * RelationalQueries' bucketed-join shape) at fixture ×N — the SCALE.md
+  * evidence that each plan's cost is the claimed shape, not just green
+  * at 500 rows. Usage:
+  * sbt "runMain graft.CurationProbe [sfDir] [multiples...]"
+  */
+object CurationProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 20, 100)
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-curation-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- decontam + dup-spans at documents ×N ----
+    // per-copy perturbation tag keeps most shingles distinct per copy
+    // (realistic: n-gram space grows with the corpus) while the base
+    // overlap structure persists inside each copy
+    val base = Tables(spark, sfDir).documents.select("doc_id", "text")
+    multiples.foreach { m =>
+      val big = (0 until m).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copytag$i tail$i")).as("text"))
+      }.reduce(_ union _)
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      val n = big.count()
+      val sh = functions.ShingleHash.exploded(big, 5).cache()
+      val tKernel = time { sh.count() }
+      val nGrams = sh.count()
+      var contaminated = 0L
+      val tDecon = time {
+        contaminated = queries.CurationQueries.decontamFrom(sh)
+          .filter(col("contaminated") === 1).count()
+      }
+      var dupDocs = 0L
+      val tSpans = time {
+        dupDocs = queries.CurationQueries.dupSpansFrom(sh)
+          .filter(col("n_dup_spans") > 0).count()
+      }
+      println(f"[curation] docs=$n%8d grams=$nGrams%9d " +
+        f"kernel=$tKernel%6.2fs decontam=$tDecon%6.2fs " +
+        f"(contaminated=$contaminated%d) dupSpans=$tSpans%6.2fs " +
+        f"(docsWithDups=$dupDocs%d)")
+      sh.unpersist(); big.unpersist()
+    }
+
+    // ---- as-of join at events ×N (more users, same per-user sizes —
+    // the dimension that grows at 100 TB) ----
+    val events = Tables(spark, sfDir).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    multiples.foreach { m =>
+      val big = (0 until m).map { i =>
+        events.select(
+          (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i.toLong * 1000L)).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ union _)
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      val n = big.count()
+      var matched = 0L
+      val t = time {
+        matched = queries.EventQueries.asofFrom(big)
+          .filter(col("p_event_id").isNotNull).count()
+      }
+      println(f"[curation] asofEvents=$n%9d asof=$t%6.2fs " +
+        f"(matchedClicks=$matched%d)")
+      big.unpersist()
+    }
+
+    // ---- SemDeDup at 1M vectors, cluster count dialed with n ----
+    // (clusters ≈ n/50: in-cluster pair work stays ~25n, never O(n²))
+    Seq(100000, 1000000).foreach { nv =>
+      val nClusters = nv / 50
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("embedding", ArrayType(FloatType))))
+      val vecs = spark.createDataFrame(
+        spark.sparkContext.parallelize(0L until nv.toLong,
+          spark.sparkContext.defaultParallelism).map { id =>
+          val arr = Array.tabulate(64) { i =>
+            var z = id * 64 + i + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            (((z ^ (z >>> 31)) & 0xffff) / 32768.0f) - 1.0f
+          }
+          Row(id, (id % nClusters).toInt, arr)
+        }, schema).cache()
+      vecs.count()
+      var pruned = 0L
+      val t = time {
+        pruned = queries.CurationQueries.semDedupFrom(vecs, 0.3)
+          .filter(col("is_kept") === 0).count()
+      }
+      println(f"[curation] semVecs=$nv%8d clusters=$nClusters%d " +
+        f"semDedup=$t%6.2fs (pruned=$pruned%d)")
+      vecs.unpersist()
+    }
+
+    // ---- bucketed vs shuffle fact-fact join at 16M×4M rows ----
+    // the q21 trade measured: one-time bucketed write, then the join
+    // with no Exchange vs the plain join's two full shuffles
+    {
+      val nFact = 16000000L
+      val nDim = 4000000L
+      val fact = spark.range(nFact).select(
+        (col("id") % nDim).as("key"), xxhash64(col("id")).as("payload"))
+      val dim = spark.range(nDim).select(
+        col("id").as("key"), (col("id") * 7).as("attr"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_bucket_probe").toString
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tWrite = time {
+        fact.repartition(32, col("key")).write.mode("overwrite")
+          .bucketBy(32, "key").sortBy("key")
+          .option("path", s"$wh/fact").saveAsTable("probe_fact_b")
+        dim.repartition(32, col("key")).write.mode("overwrite")
+          .bucketBy(32, "key").sortBy("key")
+          .option("path", s"$wh/dim").saveAsTable("probe_dim_b")
+      }
+      val fb = spark.table("probe_fact_b")
+      val db = spark.table("probe_dim_b")
+      val tBucketed = time {
+        fb.join(db, "key").agg(sum(col("attr"))).collect()
+      }
+      val tPlain = time {
+        fact.join(dim, "key").agg(sum(col("attr"))).collect()
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS probe_fact_b")
+      spark.sql("DROP TABLE IF EXISTS probe_dim_b")
+      println(f"[curation] bucketJoin fact=$nFact%d write=$tWrite%6.2fs " +
+        f"bucketed=$tBucketed%6.2fs plain=$tPlain%6.2fs")
+    }
+    spark.stop()
+  }
+}

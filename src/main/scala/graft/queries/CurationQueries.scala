@@ -78,21 +78,24 @@ object CurationQueries extends QueryRegistry {
     graft.functions.ShingleHash.exploded(
       Tables(s, dir).documents.select(col("doc_id"), col("text")), GramK)
 
-  private def decontam(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = exploded(s, dir)
-    val evalGrams = sh.filter($"doc_id" % EvalMod === 0)
-      .select($"sh").distinct()
-    val train = sh.filter($"doc_id" % EvalMod =!= 0)
+  /** Core of qd11 over any exploded (doc_id, sh) frame — shared with
+    * the scale probe. */
+  private[graft] def decontamFrom(sh: DataFrame): DataFrame = {
+    val evalGrams = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("sh")).distinct()
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
     train.join(broadcast(evalGrams.withColumn("hit", lit(1))),
         Seq("sh"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum(coalesce($"hit", lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0)))
         .cast("int").as("n_hits"))
-      .select($"doc_id", $"n_grams",
-        $"n_hits", when($"n_hits" > 0, 1).otherwise(0).as("contaminated"))
-      .orderBy($"doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        when(col("n_hits") > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy(col("doc_id"))
   }
+
+  private def decontam(s: SparkSession, dir: String): DataFrame =
+    decontamFrom(exploded(s, dir))
 
   private val decontamSql =
     s"""WITH s AS ($shingleHashesSqlCte),
@@ -109,19 +112,24 @@ object CurationQueries extends QueryRegistry {
   /** qd12: per-document duplicated-span fraction — shingle document
     * frequency (first agg, keys are 16-hex hashes), joined back to each
     * document's shingles (second agg on doc_id). */
-  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = exploded(s, dir)
-    val df = sh.groupBy($"sh")
+  /** Core of qd12 over any exploded (doc_id, sh) frame — shared with
+    * the scale probe. */
+  private[graft] def dupSpansFrom(sh: DataFrame): DataFrame = {
+    val df = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
-      .groupBy($"doc_id")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when($"df" >= 2, 1).otherwise(0)).cast("int").as("n_dup_spans"))
-      .select($"doc_id", $"n_spans", $"n_dup_spans",
-        round($"n_dup_spans".cast("double") / $"n_spans", 6).as("dup_frac"))
-      .orderBy($"doc_id")
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("int")
+          .as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
+
+  private def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansFrom(exploded(s, dir))
 
   private val dupSpansSql =
     s"""WITH s AS ($shingleHashesSqlCte),
@@ -142,21 +150,25 @@ object CurationQueries extends QueryRegistry {
 
   /** qs05: SemDeDup in-cluster prune — keep a vector unless some
     * lower-id vector in the same cluster is within the cosine ball. */
-  private def semDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = Tables(s, dir).embeddings
-      .select($"vec_id", $"label", $"embedding")
+  /** Core of qs05 over any (vec_id, label, embedding) frame — shared
+    * with the scale probe (which dials cluster count with n so
+    * in-cluster pair work stays bounded). */
+  private[graft] def semDedupFrom(e: DataFrame, tau: Double): DataFrame = {
     val pruned = e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
       .filter(round(graft.functions.CosineSimilarity.cosineSim(
-        col("a.embedding"), col("b.embedding")), 6) >= Tau)
+        col("a.embedding"), col("b.embedding")), 6) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
     e.join(pruned.withColumn("pruned", lit(1)), Seq("vec_id"), "left")
-      .select($"vec_id", $"label",
-        when($"pruned".isNull, 1).otherwise(0).as("is_kept"))
-      .orderBy($"vec_id")
+      .select(col("vec_id"), col("label"),
+        when(col("pruned").isNull, 1).otherwise(0).as("is_kept"))
+      .orderBy(col("vec_id"))
   }
+
+  private def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupFrom(Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"), col("embedding")), Tau)
 
   private val semDedupSql =
     s"""WITH e AS (
@@ -176,7 +188,82 @@ object CurationQueries extends QueryRegistry {
        |FROM e LEFT JOIN pruned p ON e.vec_id = p.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Per-language sampling rates (percent kept) for the mixture query:
+    * the "training mix" a data pipeline dials in (oversample English,
+    * downsample the rest). Inlined identically into the oracle. */
+  private val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 90, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
+
+  /** qc01: deterministic stratified mixture sampling — every doc gets a
+    * stable [0,100) bucket from md5(doc_id) (NOT a seeded RNG: the
+    * decision must be reproducible per document across runs, engines
+    * and re-partitioning), and is kept iff bucket < rate(lang).
+    * Row-narrow, zero shuffle; at 100 TB this is a scan that writes the
+    * mix, with per-language proportions converging to the dialed rates
+    * by the uniformity of the hash. */
+  /** The stateless mixture projection, shared by the batch gate (qc01),
+    * the streaming gate (st05) and any probe: works identically over a
+    * batch or streaming frame because it is row-narrow. */
+  private[graft] def mixProjection(docs: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(to_binary(
+      col("doc_id").cast("string"), lit("utf-8"))), 1, 6), 16, 10)
+      .cast("long") % 100).cast("int")
+    val rate = MixRates.foldRight(lit(0): Column) { case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    docs.select(col("doc_id"), col("lang"),
+        bucket.as("bucket"), rate.as("rate"))
+      .withColumn("kept", when(col("bucket") < col("rate"), 1).otherwise(0))
+  }
+
+  private def mixSample(s: SparkSession, dir: String): DataFrame =
+    mixProjection(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  /** st05: the SAME mixture curation as a stream — continuous-ingest
+    * curation is the production deployment shape (new crawl shards
+    * arrive, the mix decision is per-row and needs no state, so the
+    * streaming plan is a stateless projection with no watermark). Must
+    * equal the batch result, so it shares qc01's oracle. */
+  private def streamMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_smix").toString
+    Tables(s, dir).documents.write.mode("overwrite").parquet(stage)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = s.readStream.schema(schema).parquet(stage)
+    val name = "stream_mix_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams.runToMemory(s, mixProjection(src), name)
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixSampleSql = {
+    // hex → int without conv(): positional nibble arithmetic over the
+    // first 6 md5 hex chars (value-identical to Spark's conv(_,16,10))
+    val nib = (1 to 6).map { i =>
+      val pow = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    val rate = MixRates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN $r"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 6) AS h
+       |  FROM documents)
+       |SELECT doc_id, lang, (($nib) % 100)::INT AS bucket,
+       |  ($rate)::INT AS rate,
+       |  CASE WHEN (($nib) % 100) < ($rate) THEN 1 ELSE 0 END AS kept
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),
+    "qc01_mix_sample" -> QueryDef(mixSample, Some(mixSampleSql)),
     "qd11_decontam" -> QueryDef(decontam, Some(decontamSql)),
     "qd12_dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql), bench = true),
     "qs05_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),

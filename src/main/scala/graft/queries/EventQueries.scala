@@ -164,9 +164,9 @@ object EventQueries extends QueryRegistry {
     * deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     * independent implementation of the semantics, not a mirrored
     * construction. */
-  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables(s, dir).events
+  /** Core of qe06 over any events frame — shared with the scale probe. */
+  private[graft] def asofFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val p = ev.filter($"event_type" === "purchase")
       .groupBy($"user_id", $"ts")
       .agg(max($"event_id").as("p_event_id"),
@@ -195,6 +195,9 @@ object EventQueries extends QueryRegistry {
         $"last_p_value".as("p_value"))
       .orderBy($"event_id")
   }
+
+  private def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofFrom(Tables(s, dir).events)
 
   private val asofJoinSql =
     """WITH p AS (

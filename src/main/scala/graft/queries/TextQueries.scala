@@ -406,7 +406,53 @@ object TextQueries extends QueryRegistry {
       |  md5(nfc_normalize(t)) AS nfc_hash
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Per-document top-3 terms by tf-idf — the vocabulary/keyword shape
+    * of corpus analytics (explode → term counts → document frequency →
+    * weight → windowed top-k). The idf factor is the LOG-FREE rational
+    * (N+1)/(df+1): Math.log and C libm may differ in the last ulp,
+    * which a hash gate cannot tolerate at rounding boundaries, and the
+    * rare-term ORDERING (all that top-k consumes) is identical — log is
+    * monotone. Ties break on the term string. Shuffle keys: words, then
+    * doc ids — never full documents. */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val n = docs.count() // one tiny job; the corpus-size constant
+    val tf = docs.select($"doc_id", explode(words($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term")
+    tf.join(df, "term")
+      .withColumn("score",
+        round($"tf" * (lit(n + 1.0) / ($"df" + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val tfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents) t
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    round(tf * ((n + 1.0) / (df + 1.0)), 6) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(tf * ((n + 1.0) / (df + 1.0)), 6) DESC, term)::INT
+      |      AS rank
+      |  FROM tf JOIN df USING (term), n)
+      |SELECT doc_id, rank, term, tf, df, score FROM scored
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt11_tfidf" -> QueryDef(tfidf, Some(tfidfSql)),
     "qt09_c4_filters" -> QueryDef(c4Filters, Some(c4FiltersSql)),
     "qt10_normalize" -> QueryDef(normalize, Some(normalizeSql)),
     "qt07_repetition" -> QueryDef(repetition, Some(repetitionSql)),

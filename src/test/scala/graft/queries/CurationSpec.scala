@@ -105,6 +105,48 @@ class CurationSpec extends SparkSpec {
       s"degenerate prune: $kept of ${rows.length}")
   }
 
+  test("qc01: kept ⇔ bucket < rate, and realized mix tracks the rates") {
+    val rows = graft.SparkEntry.queries("qc01_mix_sample")(
+      spark, "/root/testdata/sf0.01").collect()
+    rows.foreach { r =>
+      val (bucket, rate, kept) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(bucket >= 0 && bucket < 100)
+      assert((bucket < rate) == (kept == 1))
+    }
+    // per-language realized fraction within ±20pp of the dialed rate
+    // (hash uniformity at n≈60-220 docs per language)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val rate = rs.head.getInt(3)
+      val frac = 100.0 * rs.count(_.getInt(4) == 1) / rs.length
+      assert(math.abs(frac - rate) <= 20.0,
+        s"$lang: realized $frac%% vs dialed $rate%%")
+    }
+  }
+
+  test("qt11: per-doc top-3 matches brute-force tf-idf ranking") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val n = docs.length
+    val tf = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split(" ", -1).groupBy(identity).map {
+        case (w, ws) => (id, w, ws.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, rs) => w -> rs.length.toLong }
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+      terms.map { case (_, w, c) =>
+        val score = BigDecimal(c * ((n + 1.0) / (df(w) + 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, w, score)
+      }.sortBy { case (_, w, sc) => (-sc, w) }.take(3).toSeq
+        .zipWithIndex.map { case ((_, w, sc), i) => (id, i + 1, w, sc) }
+    }.toSet
+    val got = graft.SparkEntry.queries("qt11_tfidf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+      .toSet
+    assert(got == want)
+  }
+
   test("shingle kernel equals the declarative HOF form value-for-value") {
     import spark.implicits._
     val docs = graft.Tables(spark, sf).documents.select($"doc_id", $"text")

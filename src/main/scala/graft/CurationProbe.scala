@@ -115,6 +115,43 @@ object CurationProbe {
       vecs.unpersist()
     }
 
+    // ---- PQ-ADC scan (qs06 shape) at 100k / 1M vectors ----
+    // codebook + query tables are driver constants; the scan is one
+    // narrow kernel pass emitting (q, c, approx) for 10 queries
+    Seq(100000, 1000000).foreach { nv =>
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val vecs = spark.createDataFrame(
+        spark.sparkContext.parallelize(0L until nv.toLong,
+          spark.sparkContext.defaultParallelism).map { id =>
+          val arr = Array.tabulate(64) { i =>
+            var z = id * 64 + i + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            (((z ^ (z >>> 31)) & 0xffff) / 32768.0f) - 1.0f
+          }
+          Row(id, arr)
+        }, schema).cache()
+      vecs.count()
+      val head = vecs.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+      val queries = head.take(10).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      var top = 0L
+      val t = time {
+        val adc = functions.ProductQuantizer.adcScores(
+          vecs, head, queries, m = 8, subDim = 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("approx"), col("c_id"))
+        top = adc.withColumn("rank",
+            row_number().over(w)).filter(col("rank") <= 5).count()
+      }
+      println(f"[curation] pqVecs=$nv%8d adcTopK=$t%6.2fs (rows=$top%d)")
+      vecs.unpersist()
+    }
+
     // ---- bucketed vs shuffle fact-fact join at 16M×4M rows ----
     // the q21 trade measured: one-time bucketed write, then the join
     // with no Exchange vs the plain join's two full shuffles
@@ -147,6 +184,13 @@ object CurationProbe {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS probe_fact_b")
       spark.sql("DROP TABLE IF EXISTS probe_dim_b")
+      // DROP TABLE on an external (explicit-path) table removes only
+      // catalog metadata — delete the bucketed parquet files too
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(wh))
       println(f"[curation] bucketJoin fact=$nFact%d write=$tWrite%6.2fs " +
         f"bucketed=$tBucketed%6.2fs plain=$tPlain%6.2fs")
     }

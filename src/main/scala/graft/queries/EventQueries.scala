@@ -164,35 +164,39 @@ object EventQueries extends QueryRegistry {
     * deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     * independent implementation of the semantics, not a mirrored
     * construction. */
-  /** Core of qe06 over any events frame — shared with the scale probe. */
+  /** Core of qe06 over any events frame — shared with the scale probe.
+    * The purchase payload travels as ONE struct through the window so
+    * `last(_, ignoreNulls)` picks every field from the SAME purchase
+    * row — per-column carries would mix fields across purchases when a
+    * later purchase has a null attribute (DuckDB's ASOF JOIN, the
+    * oracle, is row-atomic; AsOfJoinSpec pins the null-value case). */
   private[graft] def asofFrom(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
     val p = ev.filter($"event_type" === "purchase")
       .groupBy($"user_id", $"ts")
       .agg(max($"event_id").as("p_event_id"),
         expr("max_by(value, event_id)").as("p_value"))
-      .select($"user_id", $"ts", lit(0).as("side"), $"p_event_id",
-        $"p_value", lit(null).cast("long").as("c_event_id"))
+      .select($"user_id", $"ts", lit(0).as("side"),
+        struct($"p_event_id", $"ts".as("p_ts"), $"p_value").as("p"),
+        lit(null).cast("long").as("c_event_id"))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", lit(1).as("side"),
-        lit(null).cast("long").as("p_event_id"),
-        lit(null).cast("double").as("p_value"),
+        lit(null).cast(
+          "struct<p_event_id:bigint,p_ts:timestamp,p_value:double>")
+          .as("p"),
         $"event_id".as("c_event_id"))
     val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"side", coalesce($"c_event_id", $"p_event_id"))
+      .orderBy($"ts", $"side", coalesce($"c_event_id", $"p.p_event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     p.unionByName(c)
-      .withColumn("last_p_id", last($"p_event_id", ignoreNulls = true).over(w))
-      .withColumn("last_p_ts",
-        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
-      .withColumn("last_p_value",
-        last($"p_value", ignoreNulls = true).over(w))
+      .withColumn("last_p", last($"p", ignoreNulls = true).over(w))
       .filter($"side" === 1)
       .select($"c_event_id".as("event_id"), $"user_id", $"ts",
-        $"last_p_id".as("p_event_id"), $"last_p_ts".as("p_ts"),
-        (unix_timestamp($"ts") - unix_timestamp($"last_p_ts"))
+        $"last_p.p_event_id".as("p_event_id"),
+        $"last_p.p_ts".as("p_ts"),
+        (unix_timestamp($"ts") - unix_timestamp($"last_p.p_ts"))
           .as("secs_since_purchase"),
-        $"last_p_value".as("p_value"))
+        $"last_p.p_value".as("p_value"))
       .orderBy($"event_id")
   }
 

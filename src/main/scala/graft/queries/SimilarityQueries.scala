@@ -266,7 +266,93 @@ object SimilarityQueries extends QueryRegistry {
        |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // Product-quantization geometry: 64 dims = 8 subspaces × 8 dims,
+  // 16 codes per subspace (a 4-bit code × 8 = 4 bytes per vector vs
+  // 256 raw — the memory-bound ANN trade).
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+  private val PqCodes = 16
+
+  /** qs06: PQ-ADC ANN top-k (Jégou et al. 2011) — the compressed-corpus
+    * scale path: vectors are encoded as 8 sub-space code indices
+    * against a sampled codebook (subvectors of the 16 lowest vec_ids —
+    * deterministic; a production build k-means-refines it, the qs02
+    * move), and each query scores candidates by Asymmetric Distance
+    * Computation: 8 table lookups per candidate instead of a 64-dim
+    * fold, with the corpus readable at 4 bytes/vector. Top-k by
+    * approximate distance, then the survivors get an exact cosine
+    * (the two-phase refine). Encode+score is ONE narrow kernel pass
+    * ([[graft.functions.ProductQuantizer]]); only (q_id, c_id, approx)
+    * rows shuffle into the top-k window. */
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+    def vecsOf(df: DataFrame): Array[(Long, Array[Double])] =
+      df.select($"vec_id", $"embedding").orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val codebook = vecsOf(e.orderBy($"vec_id").limit(PqCodes)).map(_._2)
+    val queries = vecsOf(e.filter($"vec_id" < NumQueries))
+    val adc = graft.functions.ProductQuantizer.adcScores(
+      e.select($"vec_id", $"embedding"), codebook, queries, PqM, PqSubDim)
+    val w = Window.partitionBy($"q_id").orderBy($"approx_dist", $"c_id")
+    val top = adc.filter($"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id", round($"approx", 6).as("approx_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+    val qv = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cv = e.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+    top.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select($"q_id", $"c_id", $"approx_dist", $"rank",
+        round(cosine($"qv", $"cv"), 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The assignment distance (scanned twice: once for the list, once
+    * for its min — DuckDB lambdas can't bind a local). */
+  private def pqDistSql(vec: String): String =
+    s"""list_transform(generate_series(1, $PqCodes), c ->
+       |  list_sum(list_transform(generate_series(1, $PqSubDim), j ->
+       |    ($vec[(m-1)*$PqSubDim + j] - codes[c][(m-1)*$PqSubDim + j])
+       |    * ($vec[(m-1)*$PqSubDim + j] - codes[c][(m-1)*$PqSubDim + j]))))"""
+      .stripMargin
+
+  private lazy val pqTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cbl AS (
+       |  SELECT list(emb ORDER BY vec_id) AS codes
+       |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $PqCodes) t),
+       |enc AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $PqM), m ->
+       |    list_position(${pqDistSql("emb")},
+       |      list_min(${pqDistSql("emb")}))) AS cv
+       |  FROM e, cbl),
+       |q AS (SELECT vec_id AS q_id, emb AS qv FROM e
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, enc.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, $PqM), m ->
+       |      list_sum(list_transform(generate_series(1, $PqSubDim), j ->
+       |        (qv[(m-1)*$PqSubDim + j] - codes[cv[m]][(m-1)*$PqSubDim + j])
+       |        * (qv[(m-1)*$PqSubDim + j]
+       |           - codes[cv[m]][(m-1)*$PqSubDim + j]))))), 6)
+       |      AS approx_dist
+       |  FROM enc, q, cbl WHERE q_id <> enc.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, approx_dist, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY approx_dist, c_id)::INT AS rank
+       |  FROM scored)
+       |SELECT r.q_id, r.c_id, r.approx_dist, r.rank,
+       |  ${cosSql("qv", "c.emb")} AS cos
+       |FROM ranked r
+       |JOIN e c ON r.c_id = c.vec_id
+       |JOIN q ON r.q_id = q.q_id
+       |WHERE r.rank <= $K
+       |ORDER BY r.q_id, r.rank""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qs06_ann_pq_adc" -> QueryDef(pqTopK, Some(pqTopKSql), bench = true),
     "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
     "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, Some(ivfTopKSql)),
     "qs04_ann_ivf_repr" -> QueryDef(ivfReprTopK, Some(ivfReprTopKSql)),

@@ -418,15 +418,20 @@ object TextQueries extends QueryRegistry {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, dir).documents
-    val n = docs.count() // one tiny job; the corpus-size constant
+    // corpus size enters the plan as a broadcast scalar, and document
+    // frequency as a count-over-term window on the tf frame — ONE
+    // explode+aggregate pass feeds everything (an agg+join-back form
+    // would re-evaluate the explode subtree on both join sides)
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
     val tf = docs.select($"doc_id", explode(words($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val byTerm = Window.partitionBy($"term")
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"term")
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(n)
       .withColumn("score",
-        round($"tf" * (lit(n + 1.0) / ($"df" + lit(1.0))), 6))
+        round($"tf" * (($"n" + lit(1.0)) / ($"df" + lit(1.0))), 6))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")

@@ -48,8 +48,17 @@ class AsOfJoinSpec extends SparkSpec {
       (5L, t0, 3L, "purchase", 1.0),
       (6L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 3L,
         "purchase", 2.0),
-      (7L, t1, 3L, "click", 0.0)
+      (7L, t1, 3L, "click", 0.0),
+      // user 4: the LATEST purchase has a NULL value — the match must
+      // stay row-atomic (p_value NULL from event 9, not 5.0 from 8)
+      (8L, t0, 4L, "purchase", 5.0),
+      (9L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 4L,
+        "purchase", Double.NaN),
+      (10L, t1, 4L, "click", 0.0)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      // NaN is the Seq-encoding placeholder; turn it into a real NULL
+      .withColumn("value",
+        when(isnan($"value"), lit(null).cast("double")).otherwise($"value"))
     val tmp = java.nio.file.Files.createTempDirectory("asof").toString
     // write through the nanos-free path: the query reads via Tables
     // which maps int64-nanos → micros; a micros parquet round-trips
@@ -64,6 +73,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L).contains(1L), s"same-ts purchase must match: $out")
     assert(out(3L).isEmpty, s"future purchase must not match: $out")
     assert(out(7L).contains(6L), s"latest prior purchase must win: $out")
+    // row-atomicity under nulls: event 10 matches purchase 9 AND
+    // reports ITS null value, never an older purchase's value
+    val full = graft.SparkEntry.queries("qe06_asof_join")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(full(10L).getLong(3) == 9L, s"wrong purchase: ${full(10L)}")
+    assert(full(10L).isNullAt(6), s"p_value must be the matched row's " +
+      s"NULL, not an older purchase's: ${full(10L)}")
   }
 
   test("plan is one user_id shuffle + window, not a theta join") {

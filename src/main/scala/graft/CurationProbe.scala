@@ -162,8 +162,9 @@ object CurationProbe {
         (col("id") % nDim).as("key"), xxhash64(col("id")).as("payload"))
       val dim = spark.range(nDim).select(
         col("id").as("key"), (col("id") * 7).as("attr"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_bucket_probe").toString
+      // registered with the shared shutdown-hook registry: cleanup
+      // happens even if a timed block throws
+      val wh = queries.WdsQueries.scratchDir("graft_bucket_probe")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val tWrite = time {
         fact.repartition(32, col("key")).write.mode("overwrite")
@@ -182,15 +183,11 @@ object CurationProbe {
         fact.join(dim, "key").agg(sum(col("attr"))).collect()
       }
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // DROP TABLE on an external (explicit-path) table removes only
+      // catalog metadata; the files under wh go with the scratch
+      // registry's shutdown hook
       spark.sql("DROP TABLE IF EXISTS probe_fact_b")
       spark.sql("DROP TABLE IF EXISTS probe_dim_b")
-      // DROP TABLE on an external (explicit-path) table removes only
-      // catalog metadata — delete the bucketed parquet files too
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(wh))
       println(f"[curation] bucketJoin fact=$nFact%d write=$tWrite%6.2fs " +
         f"bucketed=$tBucketed%6.2fs plain=$tPlain%6.2fs")
     }

@@ -73,8 +73,13 @@ object ProductQuantizer {
       queries: Array[(Long, Array[Double])],
       m: Int,
       subDim: Int): DataFrame = {
-    require(codebook.nonEmpty && codebook.head.length == m * subDim,
-      s"codebook dim ${codebook.headOption.map(_.length)} != ${m * subDim}")
+    val dim = m * subDim
+    require(codebook.nonEmpty && codebook.forall(_.length == dim),
+      s"codebook dims ${codebook.map(_.length).distinct.mkString(",")} " +
+        s"!= $dim")
+    require(queries.forall(_._2.length == dim),
+      s"query dims ${queries.map(_._2.length).distinct.mkString(",")} " +
+        s"!= $dim")
     // q → m → c distance tables, built once on the driver with the SAME
     // fold as the per-vector assignment distances
     val tables: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
@@ -95,7 +100,12 @@ object ProductQuantizer {
       .as(Encoders.product[(Long, Array[Float])])
       .mapPartitions { it =>
         it.flatMap { case (id, emb) =>
-          val v = new Array[Double](emb.length)
+          // corrupt/mismatched embedding: fail at the source rather than
+          // silently truncate or overrun (the CosineSimilarity contract)
+          if (emb.length != dim)
+            throw new IllegalArgumentException(
+              s"pq_adc dimension mismatch at vec $id: ${emb.length} != $dim")
+          val v = new Array[Double](dim)
           var i = 0
           while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
           val code = assign(v, codebook, m, subDim)

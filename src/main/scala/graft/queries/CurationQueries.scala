@@ -77,14 +77,25 @@ object CurationQueries extends QueryRegistry {
     * corpus. Bounded: one cached frame per fixture dir per session
     * (MEMORY_AND_DISK, spills). At 100 TB the same two-pass reuse is a
     * reliable checkpoint rather than a cache — plan shape unchanged. */
-  private val explodedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def exploded(s: SparkSession, dir: String): DataFrame =
-    explodedCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ =>
+  // WeakHashMap on the session: a stopped session's entries become
+  // collectable (no leak across stop/start cycles), and distinct live
+  // sessions can never collide the way a hash-derived key could
+  private val explodedCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def exploded(s: SparkSession, dir: String): DataFrame = {
+    val perSession = explodedCache.synchronized {
+      var m = explodedCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        explodedCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ =>
       graft.functions.ShingleHash.exploded(
         Tables(s, dir).documents.select(col("doc_id"), col("text")), GramK)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Core of qd11 over any exploded (doc_id, sh) frame — shared with
     * the scale probe. */

@@ -160,10 +160,10 @@ object EventQueries extends QueryRegistry {
     * explosion (a naive `c.ts >= p.ts` theta-join is O(clicks ×
     * purchases) per user and melts at scale). Purchases sort before
     * clicks on equal ts, making the join inclusive. Purchases are
-    * pre-deduped per (user, ts) with max_by(event_id) so the answer is
-    * deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
-    * independent implementation of the semantics, not a mirrored
-    * construction. */
+    * pre-deduped per (user, ts) keeping the max event_id row so the
+    * answer is deterministic; the oracle is DuckDB's NATIVE ASOF LEFT
+    * JOIN — an independent implementation of the semantics, not a
+    * mirrored construction. */
   /** Core of qe06 over any events frame — shared with the scale probe.
     * The purchase payload travels as ONE struct through the window so
     * `last(_, ignoreNulls)` picks every field from the SAME purchase
@@ -172,12 +172,17 @@ object EventQueries extends QueryRegistry {
     * oracle, is row-atomic; AsOfJoinSpec pins the null-value case). */
   private[graft] def asofFrom(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
+    // per-(user, ts) dedup by window rank, NOT max_by: Spark's max_by
+    // returns the max-key row's value even when NULL, DuckDB's arg_max
+    // skips NULL args — row_number has identical semantics in both
+    val dedupW = Window.partitionBy($"user_id", $"ts")
+      .orderBy($"event_id".desc)
     val p = ev.filter($"event_type" === "purchase")
-      .groupBy($"user_id", $"ts")
-      .agg(max($"event_id").as("p_event_id"),
-        expr("max_by(value, event_id)").as("p_value"))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter($"rn" === 1)
       .select($"user_id", $"ts", lit(0).as("side"),
-        struct($"p_event_id", $"ts".as("p_ts"), $"p_value").as("p"),
+        struct($"event_id".as("p_event_id"), $"ts".as("p_ts"),
+          $"value".as("p_value")).as("p"),
         lit(null).cast("long").as("c_event_id"))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", lit(1).as("side"),
@@ -205,9 +210,12 @@ object EventQueries extends QueryRegistry {
 
   private val asofJoinSql =
     """WITH p AS (
-      |  SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id,
-      |    max_by(value, event_id) AS p_value
-      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |  SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+      |    value AS p_value
+      |  FROM (SELECT user_id, ts, event_id, value, row_number() OVER (
+      |          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'purchase') t
+      |  WHERE rn = 1),
       |c AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
       |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts,

@@ -303,7 +303,10 @@ object SimilarityQueries extends QueryRegistry {
     val qv = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val cv = e.select($"vec_id".as("c_id"), $"embedding".as("cv"))
-    top.join(broadcast(qv), "q_id").join(cv, "c_id")
+    // refine side broadcasts: `top` is NumQueries·K rows — joining it
+    // into the corpus scan keeps the exact-cosine step shuffle-free
+    // (a plain join would shuffle every embedding to fetch 50 rows)
+    cv.join(broadcast(top.join(broadcast(qv), "q_id")), "c_id")
       .select($"q_id", $"c_id", $"approx_dist", $"rank",
         round(cosine($"qv", $"cv"), 6).as("cos"))
       .orderBy($"q_id", $"rank")

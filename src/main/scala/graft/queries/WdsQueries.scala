@@ -39,7 +39,7 @@ object WdsQueries extends QueryRegistry {
     }
     scratchDirs.forEach(d => rm(d.toFile))
   }))
-  private[queries] def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
     scratchDirs.add(dir)
     dir.toString

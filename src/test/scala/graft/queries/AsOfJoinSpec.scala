@@ -54,7 +54,14 @@ class AsOfJoinSpec extends SparkSpec {
       (8L, t0, 4L, "purchase", 5.0),
       (9L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 4L,
         "purchase", Double.NaN),
-      (10L, t1, 4L, "click", 0.0)
+      (10L, t1, 4L, "click", 0.0),
+      // user 5: two purchases at the SAME ts, the max-event_id one has
+      // a NULL value — the (user, ts) dedup must keep event 12's row
+      // whole (a max_by(value, event_id) dedup would diverge between
+      // engines here: Spark keeps the NULL, DuckDB's arg_max skips it)
+      (11L, t0, 5L, "purchase", 5.0),
+      (12L, t0, 5L, "purchase", Double.NaN),
+      (13L, t1, 5L, "click", 0.0)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
       // NaN is the Seq-encoding placeholder; turn it into a real NULL
       .withColumn("value",
@@ -80,6 +87,10 @@ class AsOfJoinSpec extends SparkSpec {
     assert(full(10L).getLong(3) == 9L, s"wrong purchase: ${full(10L)}")
     assert(full(10L).isNullAt(6), s"p_value must be the matched row's " +
       s"NULL, not an older purchase's: ${full(10L)}")
+    assert(full(13L).getLong(3) == 12L, s"same-ts dedup must keep the " +
+      s"max event_id: ${full(13L)}")
+    assert(full(13L).isNullAt(6), s"same-ts dedup must keep the kept " +
+      s"row's NULL value: ${full(13L)}")
   }
 
   test("plan is one user_id shuffle + window, not a theta join") {

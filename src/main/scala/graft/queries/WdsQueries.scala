@@ -571,7 +571,7 @@ object WdsQueries extends QueryRegistry {
     val result = EventStreams.runToMemory(s,
       EventStreams.hourlyCounts(EventStreams.readEventStream(s, stage)),
       name, org.apache.spark.sql.streaming.OutputMode.Complete(),
-      statePartitions = Some(8))
+      statePartitions = Some(4))
     result.orderBy(col("hour"), col("event_type"))
   }
 
@@ -589,7 +589,7 @@ object WdsQueries extends QueryRegistry {
     EventStreams.runToMemory(s,
       EventStreams.dedupHourly(EventStreams.readEventStream(s, stage)),
       name, org.apache.spark.sql.streaming.OutputMode.Complete(),
-      statePartitions = Some(8))
+      statePartitions = Some(4))
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -604,7 +604,7 @@ object WdsQueries extends QueryRegistry {
     EventStreams.runToMemory(s,
       EventStreams.clickAttribution(typed("click"), typed("purchase")),
       name, org.apache.spark.sql.streaming.OutputMode.Append(),
-      statePartitions = Some(8))
+      statePartitions = Some(4))
       .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
@@ -631,7 +631,7 @@ object WdsQueries extends QueryRegistry {
       EventStreams.sessionize(EventStreams.readEventStream(s, stage),
         timeoutEviction = false),
       name, org.apache.spark.sql.streaming.OutputMode.Append(),
-      statePartitions = Some(8))
+      statePartitions = Some(4))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start"), col("session_end"),
         round(col("session_value"), 2).as("session_value"))

@@ -176,7 +176,8 @@ object EventStreams {
     * into the checkpoint): every stateful op instantiates and
     * checkpoints one state store per partition — a stream-stream join
     * keeps FOUR — so a bounded replay wants few large partitions
-    * (measured: st03 7.4 s @32 → 2.9 s @8 at sf0.1), while an
+    * (measured: st03 7.4 s @32 → 2.9 s @8 → ~1.8 s @4 at sf0.1; below
+    * 4 the return vanishes), while an
     * unbounded high-throughput job sizes it to the cluster. */
   def runToMemory(
       spark: SparkSession,

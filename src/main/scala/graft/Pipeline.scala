@@ -137,6 +137,29 @@ object Pipeline {
           strict = !a.contains("lenient"))
         idx.write.mode("overwrite").parquet(req("save-path"))
         idx
+      // curation stage (beyond the reference's three): raw document
+      // parquet → quality/mix/dedup/span/decontam filters → curated
+      // parquet + audit counts. `--rates en=90,de=50` dials the mix;
+      // `--eval-path` enables the n-gram decontamination scrub.
+      case "curate" =>
+        val docs = spark.read.parquet(req("input"))
+        val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
+          kv.split('=') match {
+            case Array(l, r) => l -> r.toInt
+            case _ => throw new IllegalArgumentException(
+              s"--rates entry '$kv' is not lang=percent")
+          }
+        }).getOrElse(Seq.empty)
+        val opts = graft.curate.CurateStage.CurateOptions(
+          minWords = a.getOrElse("min-words", "30").toInt,
+          maxDupFrac = a.getOrElse("max-dup-frac", "0.5").toDouble,
+          rates = rates,
+          defaultRate = a.getOrElse("default-rate", "100").toInt,
+          gramK = a.getOrElse("gram-k", "5").toInt,
+          evalPath = a.get("eval-path"))
+        val (curated, stats) = graft.curate.CurateStage.run(docs, opts)
+        curated.write.mode("overwrite").parquet(req("save-path"))
+        stats
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }

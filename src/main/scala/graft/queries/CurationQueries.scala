@@ -217,14 +217,19 @@ object CurationQueries extends QueryRegistry {
     Seq("en" -> 90, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
 
   /** The stateless mixture projection, shared by the batch gate (qc01),
-    * the streaming gate (st05) and any probe: works identically over a
-    * batch or streaming frame because it is row-narrow. */
-  private[graft] def mixProjection(docs: DataFrame): DataFrame = {
+    * the streaming gate (st05), the curate CLI stage and any probe:
+    * works identically over a batch or streaming frame because it is
+    * row-narrow. `defaultRate` applies to languages not in `rates`
+    * (the gate pins 0; the CLI defaults to keep-everything-unlisted). */
+  private[graft] def mixProjection(
+      docs: DataFrame,
+      rates: Seq[(String, Int)] = MixRates,
+      defaultRate: Int = 0): DataFrame = {
     val bucket = (conv(substring(md5(to_binary(
       col("doc_id").cast("string"), lit("utf-8"))), 1, 6), 16, 10)
       .cast("long") % 100).cast("int")
-    val rate = MixRates.foldRight(lit(0): Column) { case ((l, r), rest) =>
-      when(col("lang") === l, lit(r)).otherwise(rest)
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((l, r), rest) => when(col("lang") === l, lit(r)).otherwise(rest)
     }
     docs.select(col("doc_id"), col("lang"),
         bucket.as("bucket"), rate.as("rate"))

@@ -33,11 +33,13 @@ object CurationProbe {
     // per-copy perturbation tag keeps most shingles distinct per copy
     // (realistic: n-gram space grows with the corpus) while the base
     // overlap structure persists inside each copy
-    val base = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val base = Tables(spark, sfDir).documents
+      .select("doc_id", "text", "lang")
     multiples.foreach { m =>
       val big = (0 until m).map { i =>
         base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-          concat(col("text"), lit(s" copytag$i tail$i")).as("text"))
+          concat(col("text"), lit(s" copytag$i tail$i")).as("text"),
+          col("lang"))
       }.reduce(_ union _)
         .repartition(spark.sparkContext.defaultParallelism).cache()
       val n = big.count()
@@ -58,6 +60,20 @@ object CurationProbe {
         f"kernel=$tKernel%6.2fs decontam=$tDecon%6.2fs " +
         f"(contaminated=$contaminated%d) dupSpans=$tSpans%6.2fs " +
         f"(docsWithDups=$dupDocs%d)")
+      // the full user-facing funnel (quality → mix → exact → spans);
+      // maxDupFrac opens to 1.0 because the replicated probe corpus is
+      // 100% near-dup by construction — at the default 0.5 the span
+      // filter (correctly) keeps nothing at ×20+, which would time an
+      // empty tail instead of the whole funnel
+      var curatedN = 0L
+      val tCurate = time {
+        val (curated, _) = curate.CurateStage.run(big,
+          curate.CurateStage.CurateOptions(
+            rates = Seq("en" -> 80), defaultRate = 50, maxDupFrac = 1.0))
+        curatedN = curated.count()
+      }
+      println(f"[curation] curateDocs=$n%8d curate=$tCurate%6.2fs " +
+        f"(kept=$curatedN%d)")
       sh.unpersist(); big.unpersist()
     }
 

@@ -67,10 +67,11 @@ object CurationProbe {
       // empty tail instead of the whole funnel
       var curatedN = 0L
       val tCurate = time {
-        val (curated, _) = curate.CurateStage.run(big,
+        val res = curate.CurateStage.run(big,
           curate.CurateStage.CurateOptions(
             rates = Seq("en" -> 80), defaultRate = 50, maxDupFrac = 1.0))
-        curatedN = curated.count()
+        curatedN = res.curated.count()
+        res.close()
       }
       println(f"[curation] curateDocs=$n%8d curate=$tCurate%6.2fs " +
         f"(kept=$curatedN%d)")

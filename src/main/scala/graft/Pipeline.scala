@@ -157,9 +157,9 @@ object Pipeline {
           defaultRate = a.getOrElse("default-rate", "100").toInt,
           gramK = a.getOrElse("gram-k", "5").toInt,
           evalPath = a.get("eval-path"))
-        val (curated, stats) = graft.curate.CurateStage.run(docs, opts)
-        curated.write.mode("overwrite").parquet(req("save-path"))
-        stats
+        val res = graft.curate.CurateStage.run(docs, opts)
+        res.curated.write.mode("overwrite").parquet(req("save-path"))
+        res.stats
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }

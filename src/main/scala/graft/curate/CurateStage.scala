@@ -2,30 +2,47 @@ package graft.curate
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The user-facing curation stage: one pass over a raw document table
-  * producing the curated training slice plus a per-filter audit frame —
+  * producing the curated training slice plus a per-stage audit frame —
   * the pipeline step a training-data team runs between crawl ingest and
-  * packing (`Pipeline --stage curate`). Chains the engine's curation
-  * operators in their production order:
+  * packing (`Pipeline --stage curate`). The filters apply SEQUENTIALLY,
+  * each over the previous stage's survivors (the production order, and
+  * the semantics that make the stages compose):
   *
   *  1. quality  — C4/MassiveText heuristics on the RAW text (word count,
-  *     mean word length band, boilerplate markers); no synthetic
-  *     augmentation here, unlike the fixture-bound qt09 gate query
+  *     mean word length band, boilerplate markers); null text drops
+  *     here, so later stages never see it
   *  2. mix      — deterministic stratified sampling by language
   *     (md5-bucket vs dialed rates; CurationQueries.mixProjection)
-  *  3. exact    — content-hash dedup, min doc_id survives
+  *  3. exact    — content-hash dedup among mix survivors, min doc_id
+  *     survives (deduping after mix means a duplicate group keeps its
+  *     lowest SURVIVING copy — flag-parallel dedup would silently lose
+  *     groups whose canonical copy was mix-dropped)
   *  4. spans    — duplicated-span fraction (Lee et al. 2022 signal at
-  *     n-gram grain); docs above the threshold drop
+  *     n-gram grain) over the exact-deduped survivors — computed after
+  *     exact dedup so a verbatim duplicate pair reads as ONE document
+  *     (flag-parallel span counting marks both copies 100% duplicated
+  *     and deletes the content entirely)
   *  5. decontam — optional n-gram overlap scrub against a held-out eval
-  *     table (broadcast: eval sets are MBs against TB corpora)
+  *     table (broadcast: eval sets are MBs against TB corpora); the
+  *     eval parquet only needs a `text` column
   *
-  * Every filter emits its own keep flag; the curated output is the
-  * conjunction, and the audit frame reports the per-filter and funnel
-  * counts. All decisions are deterministic (hash-derived, engine-order
-  * independent), so a re-run over the same inputs reproduces the same
-  * slice — the property that makes a 100 TB curation job resumable and
-  * its output diffable.
+  * The audit frame reports the funnel: input count and survivors after
+  * each stage. All decisions are deterministic (hash-derived,
+  * engine-order independent), so a re-run over the same inputs
+  * reproduces the same slice — the property that makes a 100 TB
+  * curation job resumable and its output diffable.
+  *
+  * Precondition: `doc_id` must be unique (it is the join/dedup key);
+  * duplicate ids should be resolved upstream (they usually indicate an
+  * ingest bug worth failing loudly on, not masking).
+  *
+  * `run` materializes the flag frame eagerly (the stats ARE an
+  * aggregate of it) and releases every internal cache before returning;
+  * the returned frames are plain projections of the persisted flags —
+  * call [[CurateResult.close]] when done with them.
   */
 object CurateStage {
 
@@ -37,8 +54,14 @@ object CurateStage {
       gramK: Int = 5,
       evalPath: Option[String] = None)
 
+  final case class CurateResult(curated: DataFrame, stats: DataFrame,
+      private[curate] val cached: DataFrame) {
+    def close(): Unit = { cached.unpersist(): Unit }
+  }
+
   /** Raw-text C4 keep flag (the qt09 heuristics minus the fixture's
-    * synthetic punctuation axes, which real corpora carry natively). */
+    * synthetic punctuation axes, which real corpora carry natively).
+    * Null text yields null comparisons → otherwise(0): dropped. */
   private def qualityKeep(minWords: Int): Column = {
     val nWords = size(split(col("text"), " "))
     val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
@@ -48,27 +71,43 @@ object CurateStage {
       1).otherwise(0)
   }
 
-  /** (curated docs, audit stats). Input needs (doc_id, text, lang);
-    * extra columns pass through to the curated output. */
-  def run(docs: DataFrame, opts: CurateOptions): (DataFrame, DataFrame) = {
-    val mix = graft.queries.CurationQueries
-      .mixProjection(docs, opts.rates, opts.defaultRate)
+  /** Sequential funnel; input needs (doc_id, text, lang), extra columns
+    * pass through to the curated output. */
+  def run(docs: DataFrame, opts: CurateOptions): CurateResult = {
+    val spark = docs.sparkSession
+    val withQ = docs.withColumn("quality_keep", qualityKeep(opts.minWords))
+    val s1 = withQ.filter(col("quality_keep") === 1)
+
+    val mixK = graft.queries.CurationQueries
+      .mixProjection(s1, opts.rates, opts.defaultRate)
       .select(col("doc_id"), col("kept").as("mix_keep"))
-    val exact = docs
+    val withM = withQ.join(mixK, Seq("doc_id"), "left")
+      .withColumn("mix_keep", coalesce(col("mix_keep"), lit(0)))
+    val s2 = withM.filter(col("mix_keep") === 1)
+
+    val exactK = s2
       .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1).as("exact_keep"))
+    val withE = withM.join(exactK, Seq("doc_id"), "left")
+      .withColumn("exact_keep", coalesce(col("exact_keep"), lit(0)))
+    val s3 = withE.filter(col("exact_keep") === 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     val sh = graft.functions.ShingleHash.exploded(
-      docs.select(col("doc_id"), col("text")), opts.gramK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spans = graft.queries.CurationQueries.dupSpansFrom(sh)
+      s3.select(col("doc_id"), col("text")), opts.gramK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spanK = graft.queries.CurationQueries.dupSpansFrom(sh)
       .select(col("doc_id"),
         when(col("dup_frac") <= opts.maxDupFrac, 1).otherwise(0)
           .as("span_keep"))
-    val decontam = opts.evalPath.map { path =>
-      val eval = docs.sparkSession.read.parquet(path)
-      val evalGrams = graft.functions.ShingleHash.exploded(
-        eval.select(col("doc_id"), col("text")), opts.gramK)
+    val decontamK = opts.evalPath.map { path =>
+      // the eval table needs only `text`; ids are synthesized because
+      // only the distinct gram set is used
+      val eval = spark.read.parquet(path)
+        .filter(col("text").isNotNull)
+        .select(monotonically_increasing_id().as("doc_id"), col("text"))
+      val evalGrams = graft.functions.ShingleHash.exploded(eval, opts.gramK)
         .select(col("sh")).distinct()
       sh.join(broadcast(evalGrams.withColumn("hit", lit(1))),
           Seq("sh"), "left")
@@ -77,26 +116,28 @@ object CurateStage {
         .select(col("doc_id"),
           (lit(1) - col("contaminated")).as("decontam_keep"))
     }
-    val flagged0 = docs
-      .withColumn("quality_keep", qualityKeep(opts.minWords))
-      .join(mix, "doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .withColumn("exact_keep", coalesce(col("exact_keep"), lit(0)))
-      .join(spans, "doc_id")
-    val flagged = decontam.fold(
-      flagged0.withColumn("decontam_keep", lit(1)))(d =>
-      flagged0.join(d, "doc_id"))
+    val flagged0 = withE.join(spanK, Seq("doc_id"), "left")
+      .withColumn("span_keep", coalesce(col("span_keep"), lit(0)))
+    val flagged = decontamK.fold(
+      flagged0.withColumn("decontam_keep", col("span_keep")))(d =>
+      flagged0.join(d, Seq("doc_id"), "left")
+        .withColumn("decontam_keep",
+          when(col("span_keep") === 1, coalesce(col("decontam_keep"),
+            lit(0))).otherwise(0)))
+
     val keeps = Seq("quality_keep", "mix_keep", "exact_keep",
       "span_keep", "decontam_keep")
-    val curatedFlag = keeps.map(col).reduce(_ * _)
-    val all = flagged.withColumn("curated", curatedFlag)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = flagged.withColumn("curated", col("decontam_keep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    all.count(): Unit // materialize, then release the stage-internals
+    sh.unpersist(); s3.unpersist()
+
     val curated = all.filter(col("curated") === 1)
       .drop(keeps :+ "curated": _*)
     val stats = all.agg(
       count(lit(1)).as("n_docs"),
       keeps.map(k => sum(col(k)).as(k)) :+
         sum(col("curated")).as("n_curated"): _*)
-    (curated, stats)
+    CurateResult(curated, stats, all)
   }
 }

@@ -3,16 +3,32 @@ package graft.curate
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** CurateStage laws: the funnel's keep flags match an independent
-  * brute-force recomputation, the audit counts are consistent, and the
-  * CLI stage round-trips. */
+/** CurateStage laws: the sequential funnel matches an independent
+  * brute-force recomputation, exact duplicates keep one survivor (the
+  * flag-parallel design bug), null text drops at quality instead of
+  * crashing the shingle kernel, decontamination drops exactly the
+  * overlap (both sides asserted), and the CLI stage round-trips. */
 class CurateStageSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
   private def docsDf() = graft.Tables(spark, sf).documents
 
-  test("curated set equals brute-force funnel recomputation") {
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def lc(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  private def grams(t: String): Set[String] = {
+    val ws = lc(t).split(" ", -1)
+    if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toSet
+    else Set(ws.mkString(" "))
+  }
+
+  test("curated set equals brute-force sequential funnel") {
     import spark.implicits._
     val docs = docsDf().select($"doc_id", $"text", $"lang")
       .as[(Long, String, String)].collect()
@@ -20,61 +36,87 @@ class CurateStageSpec extends SparkSpec {
       minWords = 30, maxDupFrac = 0.5,
       rates = Seq("en" -> 80), defaultRate = 50, gramK = 5)
 
-    def grams(t: String): Set[String] = {
-      val ws = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-      if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toSet
-      else Set(ws.mkString(" "))
-    }
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-    val gramDf = docs.flatMap { case (id, t, _) => grams(t).map(_ -> id) }
-      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet.size }
-    val exactKeep = docs.groupBy(d => md5hex(d._2))
-      .map { case (_, ds) => ds.map(_._1).min }.toSet
-    val want = docs.filter { case (id, t, lang) =>
+    def quality(t: String): Boolean = {
       val ws = t.split(" ", -1)
       val meanLen = (t.length - (ws.length - 1)).toDouble / ws.length
-      val quality = ws.length >= 30 && meanLen >= 3.0 && meanLen <= 10.0 &&
-        !t.toLowerCase.contains("lorem ipsum") && !t.contains("{") &&
-        !t.toLowerCase.contains("javascript")
+      ws.length >= 30 && meanLen >= 3.0 && meanLen <= 10.0 &&
+        !lc(t).contains("lorem ipsum") && !t.contains("{") &&
+        !lc(t).contains("javascript")
+    }
+    def mixKept(id: Long, lang: String): Boolean = {
       val bucket = (java.lang.Long.parseLong(
         md5hex(id.toString).take(6), 16) % 100).toInt
-      val rate = if (lang == "en") 80 else 50
-      val gs = grams(t)
-      val dupFrac = gs.count(g => gramDf(g) >= 2).toDouble / gs.size
-      quality && bucket < rate && exactKeep(id) && dupFrac <= 0.5
+      bucket < (if (lang == "en") 80 else 50)
+    }
+    val s2 = docs.filter(d => quality(d._2) && mixKept(d._1, d._3))
+    val s3 = s2.groupBy(d => md5hex(d._2))
+      .map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val df = s3.flatMap(d => grams(d._2).map(_ -> d._1))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet.size }
+    val want = s3.filter { d =>
+      val gs = grams(d._2)
+      gs.count(g => df(g) >= 2).toDouble / gs.size <= 0.5
     }.map(_._1).toSet
 
-    val (curated, stats) = CurateStage.run(
-      docsDf(), opts)
-    val got = curated.select($"doc_id").as[Long].collect().toSet
+    val res = CurateStage.run(docsDf(), opts)
+    val got = res.curated.select($"doc_id").as[Long].collect().toSet
+    val st = res.stats.collect().head
+    res.close()
     assert(got == want)
-    val st = stats.collect().head
     assert(st.getAs[Long]("n_docs") == docs.length)
     assert(st.getAs[Long]("n_curated") == want.size)
+    // funnel counts are monotone non-increasing
+    val funnel = Seq("quality_keep", "mix_keep", "exact_keep",
+      "span_keep", "decontam_keep").map(st.getAs[Long])
+    assert(funnel == funnel.sorted.reverse, funnel.mkString(","))
     assert(want.nonEmpty && want.size < docs.length,
       s"degenerate funnel: ${want.size}/${docs.length}")
   }
 
-  test("decontamination drops exactly the overlapping docs") {
+  test("exact duplicates keep one survivor; null text drops cleanly") {
+    import spark.implicits._
+    // 40 four-char words: passes min-words AND the mean-word-length band
+    val body = ("word " * 40).trim
+    val docs = Seq(
+      (1L, body, "en"),
+      (2L, body, "en"),          // verbatim duplicate of 1
+      (3L, null.asInstanceOf[String], "en"), // raw-crawl null text
+      (4L, ("xray " * 40).trim, "en")
+    ).toDF("doc_id", "text", "lang")
+    val res = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 0.5, defaultRate = 100))
+    val kept = res.curated.select($"doc_id").as[Long].collect().toSet
+    res.close()
+    // the duplicate GROUP must survive as its min doc_id — the span
+    // filter sees the deduped corpus, so the pair reads as one doc
+    assert(kept.contains(1L), s"canonical duplicate copy dropped: $kept")
+    assert(!kept.contains(2L), s"non-canonical copy kept: $kept")
+    assert(!kept.contains(3L), s"null-text doc kept: $kept")
+    assert(kept.contains(4L), kept.toString)
+  }
+
+  test("decontamination drops exactly the overlapping docs (both sides)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("curate_ev").toString
-    // eval set = 3 docs copied verbatim from the corpus → any doc
-    // sharing a 5-gram with them (including themselves) must drop
-    val eval = docsDf().filter($"doc_id" % 100 === 0)
-      .select($"doc_id", $"text")
+    // eval set = verbatim copies of some corpus docs, schema is text-ONLY
+    // (the natural benchmark-dump shape)
+    val eval = docsDf().filter($"doc_id" % 100 === 0).select($"text")
     eval.write.mode("overwrite").parquet(s"$tmp/eval.parquet")
+    val evalTexts = eval.as[String].collect().map(grams).reduce(_ ++ _)
     val opts = CurateStage.CurateOptions(
       minWords = 0, maxDupFrac = 1.0, defaultRate = 100,
       evalPath = Some(s"$tmp/eval.parquet"))
-    val (curated, _) = CurateStage.run(docsDf(), opts)
-    val kept = curated.select($"doc_id").as[Long].collect().toSet
-    val evalIds = eval.select($"doc_id").as[Long].collect().toSet
-    assert(evalIds.nonEmpty)
-    // the eval copies themselves are contaminated by construction
-    assert(evalIds.forall(id => !kept.contains(id)), s"eval docs kept")
+    val res = CurateStage.run(docsDf(), opts)
+    val kept = res.curated.select($"doc_id").as[Long].collect().toSet
+    res.close()
+    import spark.implicits._
+    val expectKept = docsDf().select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .filter { case (_, t) => grams(t).forall(g => !evalTexts.contains(g)) }
+      .map(_._1).toSet
+    assert(kept == expectKept)
+    assert(kept.nonEmpty && kept.size < docsDf().count(),
+      s"degenerate decontam: ${kept.size}")
   }
 
   test("CLI --stage curate writes curated parquet and audit stats") {

@@ -299,7 +299,46 @@ object CurationQueries extends QueryRegistry {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** st06: decontamination as a STREAM-STATIC join — the streaming
+    * join type st01–st05 don't cover: incoming crawl documents joined
+    * against the (static, broadcast) eval-set gram table, aggregated in
+    * Complete mode. Continuous decontamination is exactly how a
+    * production ingest pipeline runs this scrub. Equal to the batch
+    * qd11 by construction, so it shares its oracle. */
+  private def streamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stage = docsStage(s, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = s.readStream.schema(schema).parquet(stage)
+      .select(col("doc_id"), col("text"))
+    val sh = graft.functions.ShingleHash.exploded(src, GramK)
+    // static side: the memoized batch gram frame (tiny, broadcast)
+    val evalGrams = exploded(s, dir)
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(col("sh")).distinct()
+    val joined = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))),
+        Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+    val name = "stream_decontam_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams.runToMemory(s, joined, name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        when(col("n_hits") > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),
     "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),
     "qc01_mix_sample" -> QueryDef(mixSample, Some(mixSampleSql)),
     "qd11_decontam" -> QueryDef(decontam, Some(decontamSql)),

@@ -492,7 +492,40 @@ object RelationalQueries extends QueryRegistry {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Hive-style partitioned layout + partition pruning: orders written
+    * once per sf dir partitioned by order year, then a year-filtered
+    * aggregate — the scan must read ONLY the matching directory
+    * (PartitionFilters, zero data rows from other years), which is the
+    * mechanism that turns a 100 TB date-range query into a TB-scale
+    * scan. PlanAuditSpec asserts the pruned scan; the oracle computes
+    * the same aggregate from the unpartitioned table. */
+  private val partitionedOrders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = partitionedOrders.computeIfAbsent(dir, _ => {
+      val p = WdsQueries.scratchDir("graft_orders_part")
+      Tables(s, dir).orders
+        .withColumn("o_year", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+      .filter($"o_year" === 1996)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q22Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS total_price
+      |FROM orders WHERE year(o_orderdate) = 1996
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "q22_partition_prune" -> QueryDef(q22, Some(q22Sql)),
     "q21_bucketed_join" -> QueryDef(q21, Some(q21Sql)),
     "q19_date_rollup" -> QueryDef(q19, Some(q19Sql)),
     "q20_salted_agg" -> QueryDef(q20, Some(q20Sql)),

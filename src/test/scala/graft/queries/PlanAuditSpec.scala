@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape invariants the scaladocs claim, enforced as tests: filter
+  * pushdown reaches the parquet scan, projection prunes the read
+  * schema, partition pruning selects only matching directories, and the
+  * "zero shuffle besides the presentation sort" queries really have at
+  * most one Exchange. AQE is disabled during planning so the tree is
+  * inspectable (it changes planning, not semantics — every one of these
+  * queries is value-checked by the DuckDB gate under default config).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case f: FileSourceScanExec => f }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  test("q02: filter pushes down to the scan and columns prune") {
+    val sc = scans(planOf("q02_filter_project"))
+    assert(sc.nonEmpty)
+    val scan = sc.head
+    assert(scan.dataFilters.nonEmpty, scan.toString)
+    val read = scan.requiredSchema.fieldNames.toSet
+    val all = graft.Tables(spark, sf).lineitem.columns.toSet
+    assert(read.subsetOf(all) && read.size < all.size,
+      s"scan reads $read of $all")
+  }
+
+  test("q22: the year predicate prunes partitions at the scan") {
+    val sc = scans(planOf("q22_partition_prune"))
+    assert(sc.nonEmpty)
+    val scan = sc.head
+    assert(scan.partitionFilters.exists(_.references.exists(
+      _.name == "o_year")), s"no o_year partition filter:\n$scan")
+    // the pruned scan must select exactly the one matching directory
+    assert(scan.relation.partitionSchema.fieldNames.contains("o_year"))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 1,
+      s"expected 1 pruned partition, got $selected")
+  }
+
+  test("signature passes shuffle at most once (presentation sort)") {
+    Seq("qd02_minhash_sig", "qd05_simhash", "qt05_fingerprint",
+      "qt01_text_stats", "qc01_mix_sample").foreach { q =>
+      val n = shuffles(planOf(q)).length
+      assert(n <= 1, s"$q has $n shuffles — expected only the ORDER BY")
+    }
+  }
+
+  test("qt09/qt10 row-narrow filters shuffle at most once") {
+    Seq("qt09_c4_filters", "qt10_normalize").foreach { q =>
+      val n = shuffles(planOf(q)).length
+      assert(n <= 1, s"$q has $n shuffles")
+    }
+  }
+}

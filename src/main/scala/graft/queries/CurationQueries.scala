@@ -337,7 +337,65 @@ object CurationQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-mix budget (docs to draw across all strata). */
+  private val MixBudget = 200L
+
+  /** qc02: temperature-scaled mixture sampling — the multilingual-LM
+    * rebalancing rule p_g ∝ n_g^α (α = 1/2 here: exactly IEEE sqrt,
+    * which both engines round correctly, unlike pow's libm spread).
+    * Per (source, lang) stratum the allocation is
+    * floor(B · w_g / Σw) with w_g = floor(1e6·√n_g) — integer
+    * arithmetic after the one exact sqrt, so the hash gate holds; the
+    * realized sample then takes each stratum's allocation by the SAME
+    * stable md5(doc_id) order qc01 uses (reproducible across runs,
+    * engines and repartitioning — never a seeded RNG).
+    *
+    * Scale shape: stratum weights are a tiny two-level aggregate
+    * (groups ≪ rows, broadcast back); the per-doc rank is one window
+    * over the stratum key. Upsampling low-resource strata (α < 1
+    * flattens the head) is THE standard pretraining mix op. */
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val grp = docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_group"))
+      .withColumn("w", floor(lit(1e6) * sqrt($"n_group")))
+      .withColumn("total_w", sum($"w").over(Window.partitionBy()))
+      .withColumn("alloc", expr(s"($MixBudget * w) div total_w"))
+    val byGrp = Window.partitionBy($"source", $"lang")
+      .orderBy($"hkey", $"doc_id")
+    docs.select($"doc_id", $"source", $"lang",
+        md5(to_binary($"doc_id".cast("string"), lit("utf-8"))).as("hkey"))
+      .join(grp, Seq("source", "lang"))
+      .withColumn("rnk", row_number().over(byGrp))
+      .filter($"rnk" <= $"alloc")
+      .select($"source", $"lang", $"n_group", $"alloc",
+        $"rnk".cast("long").as("rnk"), $"doc_id")
+      .orderBy($"source", $"lang", $"rnk")
+  }
+
+  private val temperatureMixSql =
+    s"""WITH grp AS (
+       |  SELECT source, lang, count(*) AS n_group,
+       |    floor(1e6 * sqrt(count(*)))::BIGINT AS w
+       |  FROM documents GROUP BY source, lang),
+       |alloc AS (
+       |  SELECT source, lang, n_group,
+       |    (($MixBudget * w) // (SELECT sum(w) FROM grp))::BIGINT AS alloc
+       |  FROM grp),
+       |ranked AS (
+       |  SELECT d.source, d.lang, d.doc_id,
+       |    row_number() OVER (PARTITION BY d.source, d.lang
+       |      ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)::BIGINT AS rnk
+       |  FROM documents d)
+       |SELECT r.source, r.lang, a.n_group, a.alloc, r.rnk, r.doc_id
+       |FROM ranked r JOIN alloc a USING (source, lang)
+       |WHERE r.rnk <= a.alloc
+       |ORDER BY r.source, r.lang, r.rnk""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),
     "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),
     "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),
     "qc01_mix_sample" -> QueryDef(mixSample, Some(mixSampleSql)),

@@ -475,7 +475,82 @@ object DedupQueries extends QueryRegistry {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** KMV sketch parameters: k minimum values over a 60-bit md5-prefix
+    * hash space (15 hex nibbles — fits BIGINT exactly on both engines). */
+  private val KmvK = 64
+  private val KmvSpace = 1.152921504606847e18 // 2^60, exact in double
+
+  /** qd13: K-minimum-values distinct-count sketch — per-source distinct
+    * bigram cardinality from only the k smallest hash values
+    * (Bar-Yossef et al. 2002; the mergeable estimator behind
+    * approx-distinct at lake scale, where an exact count(DISTINCT)
+    * would shuffle every token). Estimate = (k-1)·2^60 / h_(k), with an
+    * exact-count fallback when a group holds fewer than k distincts.
+    *
+    * Unlike engine-native HLL sketches (whose registers are
+    * implementation-defined and can never hash-match an oracle), KMV
+    * over md5 is exactly reproducible: both engines sort the same
+    * 60-bit integers. The per-group state is k longs — mergeable by
+    * union+re-truncate, which is what a 1000-executor partial-agg tree
+    * does for free. The estimate arithmetic is (BIGINT→double)
+    * correctly-rounded ops, identical across engines.
+    *
+    * Scale shape: the shuffle moves (source, long) pairs pre-shrunk by
+    * per-partition distinct, never text. */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val base = docs.select($"source", words($"text").as("ws"))
+    val bg = base.filter(size($"ws") > 1)
+      .select($"source",
+        explode(transform(sequence(lit(1), size($"ws") - 1), i =>
+          concat_ws(" ", element_at($"ws", i),
+            element_at($"ws", i + 1)))).as("bg"))
+    val hashed = bg.select($"source",
+        conv(substring(md5(to_binary($"bg", lit("utf-8"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .distinct()
+    val bySrc = Window.partitionBy($"source").orderBy($"h")
+    val ranked = hashed
+      .withColumn("rnk", row_number().over(bySrc))
+      .withColumn("n_distinct",
+        count(lit(1)).over(Window.partitionBy($"source")))
+    ranked.filter($"rnk" === least(lit(KmvK), $"n_distinct"))
+      .select($"source", $"n_distinct", $"h".as("kth_hash"),
+        when($"n_distinct" < KmvK, $"n_distinct")
+          .otherwise(floor(lit((KmvK - 1).toDouble) * lit(KmvSpace)
+            / $"h")).as("est_distinct"))
+      .orderBy($"source")
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH base AS (
+       |  SELECT source, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT source, ws[i] || ' ' || ws[i + 1] AS bg
+       |  FROM (SELECT source, ws,
+       |          unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+       |hashed AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+       |  FROM bg),
+       |ranked AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rnk,
+       |    count(*) OVER (PARTITION BY source) AS n_distinct
+       |  FROM hashed)
+       |SELECT source, n_distinct, h AS kth_hash,
+       |  CASE WHEN n_distinct < $KmvK THEN n_distinct
+       |       ELSE floor(${KmvK - 1}.0 * $KmvSpace / h)::BIGINT
+       |  END AS est_distinct
+       |FROM ranked
+       |WHERE rnk = least($KmvK, n_distinct)
+       |ORDER BY source""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd13_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "qd09_dup_clusters" -> QueryDef(dupClusters, Some(dupClustersSql)),
     "qd10_minhash_est" -> QueryDef(minhashEst, Some(minhashEstSql)),
     "qd08_keep_list" -> QueryDef(keepList, Some(keepListSql)),

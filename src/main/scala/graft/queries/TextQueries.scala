@@ -456,7 +456,166 @@ object TextQueries extends QueryRegistry {
       |SELECT doc_id, rank, term, tf, df, score FROM scored
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** qt12: bigram language-model familiarity score — the CCNet-style
+    * "does this document look like the corpus" quality filter
+    * (Wenzek et al. 2020 score with a KenLM model; here the LM is
+    * trained on the corpus itself in the same job). Per document:
+    * mean add-one-smoothed conditional probability of its bigrams,
+    * P(w2|w1) = (c12+1)/(c1+V).
+    *
+    * Hash-gate determinism: a float MEAN over a distributed group is
+    * summation-order-dependent, so each bigram's probability is scaled
+    * to ppm and FLOORED TO BIGINT first — integer sums commute, and the
+    * per-doc mean is integer division. The probability itself is one
+    * double divide over identical integer operands on both engines.
+    *
+    * Scale shape: the count tables shuffle words / word pairs (bytes,
+    * not documents); the per-occurrence join is the standard Zipf-
+    * concentrated LM-count join (AQE broadcasts it when small; at
+    * 100 TB the head of the table serves most probes). The per-doc
+    * aggregation shuffles (doc_id, long). */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val base = docs.select($"doc_id", words($"text").as("ws"))
+    // size guard: Spark sequence(1, 0) counts DOWN ([1,0]) instead of
+    // returning empty like DuckDB generate_series — skip 1-word docs
+    val occ = base.filter(size($"ws") > 1)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ws") - 1), i =>
+          struct(element_at($"ws", i).as("w1"),
+            element_at($"ws", i + 1).as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+    val c12 = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val uni = base.select(explode($"ws").as("w1"))
+    val c1 = uni.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(uni.agg(
+      count_distinct($"w1").cast("long").as("v")))
+    val scored = occ
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
+      .select($"doc_id",
+        floor(lit(1e6) * ($"c12" + 1) / ($"c1" + $"v")).as("ppm"))
+    val per = scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"ppm").as("sum_ppm"))
+    docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"sum_ppm", lit(0L)).as("sum_ppm"),
+        coalesce(expr("sum_ppm div n_bigrams"), lit(0L)).as("avg_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val lmScoreSql =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |occ AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1
+      |       FROM (SELECT unnest(ws) AS w1 FROM base) GROUP BY w1),
+      |vocab AS (SELECT count(DISTINCT w1)::BIGINT AS v
+      |          FROM (SELECT unnest(ws) AS w1 FROM base)),
+      |scored AS (
+      |  SELECT doc_id, floor(1e6 * (c12 + 1) / (c1 + v))::BIGINT AS ppm
+      |  FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab),
+      |per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |          sum(ppm)::BIGINT AS sum_ppm FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(sum_ppm, 0) AS sum_ppm,
+      |  coalesce(sum_ppm // n_bigrams, 0) AS avg_ppm
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** BM25 parameters and the fixed query-term set (corpus-frequent
+    * terms; inlined identically into the oracle). */
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+  private val Bm25Terms = Seq("spark", "vector", "stream", "merge")
+
+  /** qt13: BM25 retrieval — the inverted-index scoring pass of corpus
+    * search (Robertson/Spärck Jones), top-10 documents for a fixed
+    * conjunctive term set. The idf factor is the LOG-FREE rational
+    * (N-df+0.5)/(df+0.5) (same monotone-ordering argument as qt11's
+    * tf-idf: libm log ulps are not hash-stable; ranking is unchanged).
+    *
+    * Per (doc, term) the score is pure double arithmetic over integer
+    * inputs (tf, dl, df, N, Σdl) with an identical expression tree on
+    * both engines, floored to ppm; the per-doc total is then an exact
+    * BIGINT sum. dl/avgdl is written dl*N/Σdl so no intermediate mean
+    * materializes.
+    *
+    * Scale shape: one explode→filter (the posting-list build prunes to
+    * query terms BEFORE the shuffle — the scan dominates), df by a
+    * term window over ≤|Q| distinct terms, top-k by a single ordered
+    * window. At 100 TB the posting build is the only corpus-wide pass. */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val base = docs.select($"doc_id", words($"text").as("ws"))
+    val dl = base.select($"doc_id", size($"ws").cast("long").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).cast("long").as("n"),
+      sum($"dl").as("sumdl")))
+    val tf = base
+      .select($"doc_id", size($"ws").cast("long").as("dl"),
+        explode($"ws").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy($"term")
+    val scored = tf.withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(stats)
+      .withColumn("ppm", floor(lit(1e6)
+        * (($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+        * ($"tf" * lit(Bm25K1 + 1.0)
+           / ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B)
+              + lit(Bm25B) * $"dl" * $"n" / $"sumdl")))).cast("long"))
+    val w = Window.orderBy($"score_ppm".desc, $"doc_id")
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum($"ppm").as("score_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"rank", $"doc_id", $"n_terms", $"score_ppm")
+      .orderBy($"rank")
+  }
+
+  private val bm25Sql = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
+       |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl
+       |          FROM dl),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, len(ws)::BIGINT AS dl,
+       |          unnest(ws) AS term FROM base)
+       |  WHERE list_contains($terms, term)
+       |  GROUP BY doc_id, dl, term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    floor(1e6
+       |      * ((n - df + 0.5) / (df + 0.5))
+       |      * (tf * ${Bm25K1 + 1.0}
+       |         / (tf + $Bm25K1 * (${1.0 - Bm25B}
+       |            + $Bm25B * dl * n / sumdl))))::BIGINT AS ppm
+       |  FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+       |    stats),
+       |per AS (
+       |  SELECT doc_id, count(*)::INT AS n_terms,
+       |    sum(ppm)::BIGINT AS score_ppm
+       |  FROM scored GROUP BY doc_id)
+       |SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id)::INT
+       |    AS rank, doc_id, n_terms, score_ppm
+       |FROM per
+       |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt12_lm_score" -> QueryDef(lmScore, Some(lmScoreSql)),
+    "qt13_bm25" -> QueryDef(bm25, Some(bm25Sql)),
     "qt11_tfidf" -> QueryDef(tfidf, Some(tfidfSql)),
     "qt09_c4_filters" -> QueryDef(c4Filters, Some(c4FiltersSql)),
     "qt10_normalize" -> QueryDef(normalize, Some(normalizeSql)),

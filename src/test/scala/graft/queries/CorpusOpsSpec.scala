@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Laws for the round-4 corpus analytics additions (qt12 LM score,
+  * qt13 BM25, qd13 KMV sketch, qc02 temperature mix) beyond the DuckDB
+  * gate: brute-force equivalence on the fixture and estimator-error
+  * bounds the gate's value-hash can't express. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  private def docs: Array[(Long, String, String)] = {
+    import spark.implicits._
+    graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("qt12: per-doc LM score equals the brute-force bigram model") {
+    val all = docs
+    def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq
+    val bigrams = all.map { case (id, t, _) =>
+      id -> ws(t).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val c12 = bigrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val unis = all.flatMap { case (_, t, _) => ws(t) }
+    val c1 = unis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = unis.distinct.length.toLong
+    val want = all.map { case (id, _, _) =>
+      val ppms = bigrams(id).map { case (w1, w2) =>
+        math.floor(1e6 * (c12((w1, w2)) + 1) / (c1(w1) + v)).toLong
+      }
+      id -> ((ppms.length.toLong, ppms.sum,
+        if (ppms.isEmpty) 0L else ppms.sum / ppms.length))
+    }.toMap
+    val got = q("qt12_lm_score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("qt13: BM25 top-10 equals brute-force scoring") {
+    val terms = Seq("spark", "vector", "stream", "merge")
+    val all = docs
+    def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq
+    val n = all.length.toLong
+    val sumdl = all.map { case (_, t, _) => ws(t).length.toLong }.sum
+    val tf = all.map { case (id, t, _) =>
+      val w = ws(t)
+      (id, w.length.toLong,
+        terms.map(q => q -> w.count(_ == q).toLong).filter(_._2 > 0).toMap)
+    }
+    val df = terms.map(t => t -> tf.count(_._3.contains(t)).toLong).toMap
+    val scored = tf.map { case (id, dl, tfs) =>
+      val ppm = tfs.map { case (t, f) =>
+        math.floor(1e6
+          * ((n - df(t) + 0.5) / (df(t) + 0.5))
+          * (f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl * n / sumdl)))).toLong
+      }.sum
+      (id, tfs.size, ppm)
+    }.filter(_._2 > 0)
+    val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(10)
+      .zipWithIndex
+      .map { case ((id, nt, s), i) => (i + 1, id, nt, s) }.toSeq
+    val got = q("qt13_bm25").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("qd13: kth hash is exact; estimate within KMV error bounds") {
+    val all = docs
+    def bgs(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val bySrc = all.groupBy(_._3).view.mapValues(
+      ds => ds.flatMap(d => bgs(d._2)).toSet).toMap
+    val got = q("qd13_kmv_distinct").collect()
+    assert(got.map(_.getString(0)).toSet == bySrc.keySet)
+    got.foreach { r =>
+      val (src, nd, kth, est) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val hashes = bySrc(src).map(b =>
+        java.lang.Long.parseLong(md5hex(b).take(15), 16)).toSeq.sorted
+      assert(nd == hashes.length)
+      val k = math.min(64, hashes.length)
+      assert(kth == hashes(k - 1), s"$src kth")
+      if (nd < 64) assert(est == nd)
+      else {
+        // KMV relative std error ~ 1/sqrt(k-2) ≈ 13% at k=64; 4σ bound
+        assert(math.abs(est.toDouble - nd) / nd < 0.52,
+          s"$src est=$est exact=$nd")
+      }
+    }
+  }
+
+  test("qc02: allocations follow floor(B·w/Σw); sample is the md5 head") {
+    val all = docs
+    val rows = q("qc02_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // stratum sizes from the raw table (source only at sf0.001? lang too)
+    import spark.implicits._
+    val strata = graft.Tables(spark, sf).documents
+      .select($"source", $"lang", $"doc_id")
+      .as[(String, String, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+    val w = strata.view.mapValues(
+      g => math.floor(1e6 * math.sqrt(g.length.toDouble)).toLong).toMap
+    val totalW = w.values.sum
+    val budget = 200L
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, rs) =>
+      val alloc = budget * w(key) / totalW
+      assert(rs.forall(_._4 == alloc))
+      assert(rs.length == alloc, s"$key realized ${rs.length} != $alloc")
+      assert(rs.forall(_._3 == strata(key).length))
+      // the realized ids are exactly the alloc-smallest md5 ranks
+      val wantIds = strata(key).toSeq
+        .sortBy(t => (md5hex(t._3.toString), t._3))
+        .take(alloc.toInt).map(_._3).toSet
+      assert(rs.map(_._6).toSet == wantIds)
+    }
+    assert(rows.length <= budget)
+  }
+}

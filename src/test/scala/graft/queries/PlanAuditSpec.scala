@@ -69,4 +69,40 @@ class PlanAuditSpec extends SparkSpec {
       assert(n <= 1, s"$q has $n shuffles")
     }
   }
+
+  test("corpus analytics never shuffle document text") {
+    // qt12/qt13/qd13/qc02 claim their shuffles move words, hashes and
+    // ids — a `text` (or raw words-array) column crossing an Exchange
+    // would be the 100 TB scale-killer the scaladocs rule out
+    Seq("qt12_lm_score", "qt13_bm25", "qd13_kmv_distinct",
+      "qc02_temperature_mix", "qd13_kmv_distinct").foreach { q =>
+      shuffles(planOf(q)).foreach { e =>
+        val names = e.child.output.map(_.name)
+        assert(!names.contains("text") && !names.contains("ws"),
+          s"$q shuffles a document payload column: $names")
+      }
+    }
+  }
+
+  test("qt13: posting build prunes to query terms below the shuffle") {
+    // the isin(terms) filter must run scan-side (before any Exchange),
+    // so the corpus-wide pass ships only matching postings
+    val p = planOf("qt13_bm25")
+    assert(shuffles(p).nonEmpty)
+    val termFilters = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.references.exists(_.name == "term") => f
+    }
+    assert(termFilters.nonEmpty, s"no term filter anywhere:\n$p")
+    // scan-side means NOTHING below the filter has shuffled yet
+    termFilters.foreach { f =>
+      assert(shuffles(f).isEmpty,
+        s"term filter sits above an exchange — postings shuffle unpruned:\n$p")
+    }
+    // and the scan reads only the two columns the query needs
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("doc_id", "text")), s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
 }

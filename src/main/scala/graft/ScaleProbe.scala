@@ -167,6 +167,48 @@ object ScaleProbe {
         f"plain=$plain%6.2fs salted=$salted%6.2fs (salts=$salts)")
     }
 
+    // Corpus-analytics probes (qt12 LM count-table join, qd13 KMV
+    // sketch vs exact distinct) on replicated documents. copytag
+    // perturbation keeps a Zipf-like shared vocabulary head, so the
+    // LM count tables grow sub-linearly while occurrences scale — the
+    // real-corpus shape. KMV is timed against the exact count(DISTINCT)
+    // it replaces; its error is reported against that exact answer.
+    multiples.foreach { m =>
+      val big = (0 until m).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copytag$i")).as("text"),
+          concat(lit("src"), (col("doc_id") % 20).cast("string"))
+            .as("source"))
+      }.reduce(_ union _).repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+      val n = big.count()
+      val t0 = System.nanoTime()
+      queries.TextQueries.lmScoreOf(big).foreach(_ => ())
+      val tLm = (System.nanoTime() - t0) / 1e9
+      // KMV sketch agg (k longs of partial state per group) vs the
+      // exact count(DISTINCT) it replaces, over the same hash frame
+      val hashed = queries.DedupQueries.bigramHashes(big).cache()
+      hashed.count()
+      val t1 = System.nanoTime()
+      val exact = hashed.groupBy(col("source"))
+        .agg(count_distinct(col("h")).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tExact = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val est = hashed.groupBy(col("source"))
+        .agg(functions.KmvSketch.kmvSketch(col("h"), 64).as("sk"))
+        .select(col("source"),
+          functions.KmvSketch.estimate(col("sk"), 64).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tKmv = (System.nanoTime() - t2) / 1e9
+      val maxErr = exact.map { case (s, nd) =>
+        math.abs(est(s).toDouble - nd) / nd }.max
+      println(f"[scale] corpusDocs=$n%8d lmScore=$tLm%6.2fs " +
+        f"exactDistinct=$tExact%6.2fs kmvAgg=$tKmv%6.2fs " +
+        f"kmvMaxErr=${maxErr * 100}%5.1f%%")
+      hashed.unpersist(); big.unpersist()
+    }
+
     // E1→E3 spine at documents×N: pack → tokenize → index/check wall
     // times and shard counts (synthetic media; real tar I/O)
     multiples.lastOption.foreach { m =>

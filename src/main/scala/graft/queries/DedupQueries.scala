@@ -497,20 +497,29 @@ object DedupQueries extends QueryRegistry {
     *
     * Scale shape: the shuffle moves (source, long) pairs pre-shrunk by
     * per-partition distinct, never text. */
-  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir).documents
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame =
+    kmvDistinctOf(Tables(s, dir).documents)
+
+  /** The (source, 60-bit bigram hash) projection shared by the gate
+    * query and ScaleProbe's sketch-vs-exact comparison. */
+  private[graft] def bigramHashes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val base = docs.select($"source", words($"text").as("ws"))
-    val bg = base.filter(size($"ws") > 1)
+    base.filter(size($"ws") > 1)
       .select($"source",
         explode(transform(sequence(lit(1), size($"ws") - 1), i =>
           concat_ws(" ", element_at($"ws", i),
             element_at($"ws", i + 1)))).as("bg"))
-    val hashed = bg.select($"source",
+      .select($"source",
         conv(substring(md5(to_binary($"bg", lit("utf-8"))), 1, 15),
           16, 10).cast("long").as("h"))
-      .distinct()
+  }
+
+  /** Query-path body, reused by `ScaleProbe` on replicated frames. */
+  private[graft] def kmvDistinctOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = bigramHashes(docs).distinct()
     val bySrc = Window.partitionBy($"source").orderBy($"h")
     val ranked = hashed
       .withColumn("rnk", row_number().over(bySrc))

@@ -474,9 +474,13 @@ object TextQueries extends QueryRegistry {
     * concentrated LM-count join (AQE broadcasts it when small; at
     * 100 TB the head of the table serves most probes). The per-doc
     * aggregation shuffles (doc_id, long). */
-  private def lmScore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir).documents
+  private def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables(s, dir).documents)
+
+  /** Query-path body, reused verbatim by `ScaleProbe` on replicated
+    * frames so the scale evidence measures THIS plan, not a probe fork. */
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val base = docs.select($"doc_id", words($"text").as("ws"))
     // size guard: Spark sequence(1, 0) counts DOWN ([1,0]) instead of
     // returning empty like DuckDB generate_series — skip 1-word docs

@@ -558,7 +558,107 @@ object DedupQueries extends QueryRegistry {
        |WHERE rnk = least($KmvK, n_distinct)
        |ORDER BY source""".stripMargin
 
+  /** Bloom parameters: m bits, 2 hashes from disjoint md5 nibbles.
+    * Probe terms are fixed corpus words + guaranteed-absent strings. */
+  private val BloomBits = 8192
+  private val BloomProbes = Seq("spark", "vector", "stream", "merge",
+    "zzz_absent_1", "zzz_absent_2", "qqq_absent_3")
+
+  /** qd14: deterministic Bloom-filter membership pre-filter — the
+    * constant-space "have we seen this key" gate that fronts exact
+    * dedup at lake scale (a new shard's tokens test against yesterday's
+    * filter without shuffling yesterday's corpus). Engine-native Bloom
+    * builders (`BloomFilter.mightContain`) are implementation-defined
+    * bit layouts that can never hash-match an oracle; two md5-nibble
+    * hashes into an 8192-bit space are bit-reproducible anywhere, same
+    * rationale as qd13's KMV-over-md5.
+    *
+    * Per (source, probe term): maybe_present (both bits set), the
+    * ground truth, and the false-positive flag — the measurable cost of
+    * the space saving. The filter build shuffles (source, int) bit
+    * indices only; the probe side is a broadcast of |probes|·2 bits. */
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    def bits(term: Column): Column = {
+      val h = md5(to_binary(term, lit("utf-8")))
+      array(
+        (conv(substring(h, 1, 7), 16, 10).cast("long")
+          % BloomBits).cast("int"),
+        (conv(substring(h, 9, 7), 16, 10).cast("long")
+          % BloomBits).cast("int"))
+    }
+    val tokens = docs
+      .select($"source", explode(words($"text")).as("term"))
+    val filterBits = tokens
+      .select($"source", explode(bits($"term")).as("bit")).distinct()
+    val probes = s.createDataset(BloomProbes).toDF("probe")
+      .crossJoin(docs.select($"source").distinct())
+      .select($"source", $"probe", bits($"probe").as("pb"))
+      .select($"source", $"probe",
+        element_at($"pb", 1).as("b1"), element_at($"pb", 2).as("b2"))
+    val hit1 = filterBits.withColumnRenamed("bit", "b1")
+      .withColumn("h1", lit(1))
+    val hit2 = filterBits.withColumnRenamed("bit", "b2")
+      .withColumn("h2", lit(1))
+    val truth = tokens.distinct()
+      .withColumnRenamed("term", "probe").withColumn("actual", lit(1))
+    probes
+      .join(broadcast(hit1), Seq("source", "b1"), "left")
+      .join(broadcast(hit2), Seq("source", "b2"), "left")
+      .join(truth, Seq("source", "probe"), "left")
+      .select($"source", $"probe",
+        (coalesce($"h1", lit(0)) * coalesce($"h2", lit(0)))
+          .as("maybe_present"),
+        coalesce($"actual", lit(0)).as("actual_present"))
+      .withColumn("false_positive",
+        when($"maybe_present" === 1 && $"actual_present" === 0, 1)
+          .otherwise(0))
+      .orderBy($"source", $"probe")
+  }
+
+  private val bloomPrefilterSql = {
+    val probeList = BloomProbes.map(p => s"('$p')").mkString(", ")
+    def nib(col: String, from: Int): String =
+      (from until from + 7).map { i =>
+        val pow = math.pow(16, 6 - (i - from)).toLong
+        s"(strpos('0123456789abcdef', substr(md5($col), $i, 1)) - 1) * $pow"
+      }.mkString("(", " + ", s") % $BloomBits")
+    s"""WITH tokens AS (
+       |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |fbits AS (
+       |  SELECT DISTINCT source, bit FROM (
+       |    SELECT source, ${nib("term", 1)} AS bit FROM tokens
+       |    UNION ALL
+       |    SELECT source, ${nib("term", 9)} AS bit FROM tokens)),
+       |probes AS (
+       |  SELECT source, probe, ${nib("probe", 1)} AS b1,
+       |    ${nib("probe", 9)} AS b2
+       |  FROM (SELECT DISTINCT source FROM documents),
+       |    (VALUES $probeList) p(probe)),
+       |truth AS (SELECT DISTINCT source, term AS probe FROM tokens)
+       |SELECT pr.source, pr.probe,
+       |  CASE WHEN EXISTS (SELECT 1 FROM fbits f
+       |         WHERE f.source = pr.source AND f.bit = pr.b1)
+       |        AND EXISTS (SELECT 1 FROM fbits f
+       |         WHERE f.source = pr.source AND f.bit = pr.b2)
+       |    THEN 1 ELSE 0 END AS maybe_present,
+       |  CASE WHEN EXISTS (SELECT 1 FROM truth t
+       |         WHERE t.source = pr.source AND t.probe = pr.probe)
+       |    THEN 1 ELSE 0 END AS actual_present,
+       |  CASE WHEN EXISTS (SELECT 1 FROM fbits f
+       |         WHERE f.source = pr.source AND f.bit = pr.b1)
+       |        AND EXISTS (SELECT 1 FROM fbits f
+       |         WHERE f.source = pr.source AND f.bit = pr.b2)
+       |        AND NOT EXISTS (SELECT 1 FROM truth t
+       |         WHERE t.source = pr.source AND t.probe = pr.probe)
+       |    THEN 1 ELSE 0 END AS false_positive
+       |FROM probes pr ORDER BY pr.source, pr.probe""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd14_bloom_prefilter" -> QueryDef(bloomPrefilter, Some(bloomPrefilterSql)),
     "qd13_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "qd09_dup_clusters" -> QueryDef(dupClusters, Some(dupClustersSql)),
     "qd10_minhash_est" -> QueryDef(minhashEst, Some(minhashEstSql)),

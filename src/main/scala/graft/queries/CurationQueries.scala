@@ -394,7 +394,69 @@ object CurationQueries extends QueryRegistry {
        |WHERE r.rnk <= a.alloc
        |ORDER BY r.source, r.lang, r.rnk""".stripMargin
 
+  /** st07: streaming distinct-cardinality monitoring — the KMV sketch
+    * aggregate running INSIDE a streaming aggregation (Complete mode).
+    * This is the ingest-drift sentinel of a production pipeline: per
+    * source, "how many distinct shingles have we seen so far" updates
+    * each micro-batch in O(k) state per group, where a streaming exact
+    * count(DISTINCT) is unsupported/unbounded. The sketch's set
+    * semantics make the explicit `.distinct()` of the batch path
+    * unnecessary — dedup happens inside the aggregate's k-long buffer.
+    * Must equal qd13's kth hash and estimate exactly (a set minimum is
+    * replay/order-free), so it shares that oracle's projection. */
+  private def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.functions.KmvSketch
+    val stage = docsStage(s, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = s.readStream.schema(schema).parquet(stage)
+    val sketched = DedupQueries.bigramHashes(src)
+      .groupBy(col("source"))
+      .agg(KmvSketch.kmvSketch(col("h"), 64).as("sk"))
+    val name = "stream_kmv_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams.runToMemory(s, sketched, name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+      .select(col("source"),
+        element_at(col("sk"), least(lit(64), size(col("sk"))))
+          .as("kth_hash"),
+        KmvSketch.estimate(col("sk"), 64).as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  private val streamKmvSql =
+    """WITH base AS (
+      |  SELECT source, string_split(lower(text), ' ') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT source, ws[i] || ' ' || ws[i + 1] AS bg
+      |  FROM (SELECT source, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+      |hashed AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+      |  FROM bg),
+      |ranked AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS n_distinct
+      |  FROM hashed)
+      |SELECT source, h AS kth_hash,
+      |  CASE WHEN n_distinct < 64 THEN n_distinct
+      |       ELSE floor(63.0 * 1.152921504606847e18 / h)::BIGINT
+      |  END AS est_distinct
+      |FROM ranked
+      |WHERE rnk = least(64, n_distinct)
+      |ORDER BY source""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql)),
     "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),
     "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),
     "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),

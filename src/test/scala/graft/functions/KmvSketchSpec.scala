@@ -36,6 +36,17 @@ class KmvSketchSpec extends SparkSpec {
     assert(df == Set((1, 2, 2L), (2, 1, 1L)))
   }
 
+  test("duplicated delivery never changes the sketch (replay safety)") {
+    import spark.implicits._
+    val vals = (1 to 2000).map(i => (i % 5, (i.toLong * 31L) % 997L))
+    val once = vals.toDF("g", "h")
+    val twice = once.union(once)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(KmvSketch.kmvSketch($"h", 64).as("sk"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(sk(once) == sk(twice))
+  }
+
   test("sketch agrees with qd13's exact-window path on the fixture") {
     import spark.implicits._
     val docs = graft.Tables(spark, sf).documents

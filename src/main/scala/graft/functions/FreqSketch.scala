@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -58,9 +58,14 @@ case class MgAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(k > 0, s"freq_sketch needs k > 0, got $k")
+
+  // fail at analysis, not as an executor-side ClassCastException
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType)
 
   override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
 

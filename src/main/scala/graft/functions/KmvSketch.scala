@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -41,9 +41,14 @@ case class KmvAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(k > 0, s"kmv_sketch needs k > 0, got $k")
+
+  // fail at analysis, not as an executor-side ClassCastException
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType)
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
@@ -96,6 +101,10 @@ case class KmvAgg(
 object KmvSketch {
   import org.apache.spark.sql.GraftShim
 
+  /** 2^60 — the hash space of a 15-hex-nibble md5 prefix; exact in
+    * double. The single definition every KMV path derives from. */
+  val Space60: Double = 1.152921504606847e18
+
   /** Column-API entry: ≤k smallest distinct longs of `c`, ascending. */
   def kmvSketch(c: Column, k: Int): Column =
     GraftShim.column(
@@ -107,7 +116,7 @@ object KmvSketch {
   def estimate(sketch: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     when(size(sketch) < k, size(sketch).cast("long"))
-      .otherwise(floor(lit((k - 1).toDouble) * lit(1.152921504606847e18)
+      .otherwise(floor(lit((k - 1).toDouble) * lit(Space60)
         / element_at(sketch, k)))
   }
 }

@@ -252,6 +252,19 @@ object CurationQueries extends QueryRegistry {
     * fresh temp dir per invocation. */
   private val stagedDocs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The documents fixture schema, declared once for every streaming
+    * reader over the staged copy (a missed copy of this in one query
+    * would null out a column silently under by-name parquet reads). */
+  private val docsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
   private def docsStage(s: SparkSession, dir: String): String =
     stagedDocs.computeIfAbsent(dir, _ => {
       val stage = WdsQueries.scratchDir("graft_smix")
@@ -265,15 +278,8 @@ object CurationQueries extends QueryRegistry {
     * streaming plan is a stateless projection with no watermark). Must
     * equal the batch result, so it shares qc01's oracle. */
   private def streamMix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val stage = docsStage(s, dir)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val src = s.readStream.schema(schema).parquet(stage)
+    val src = s.readStream.schema(docsSchema).parquet(stage)
     val name = "stream_mix_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.EventStreams.runToMemory(s, mixProjection(src), name)
@@ -306,15 +312,8 @@ object CurationQueries extends QueryRegistry {
     * production ingest pipeline runs this scrub. Equal to the batch
     * qd11 by construction, so it shares its oracle. */
   private def streamDecontam(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val stage = docsStage(s, dir)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val src = s.readStream.schema(schema).parquet(stage)
+    val src = s.readStream.schema(docsSchema).parquet(stage)
       .select(col("doc_id"), col("text"))
     val sh = graft.functions.ShingleHash.exploded(src, GramK)
     // static side: the memoized batch gram frame (tiny, broadcast)
@@ -362,7 +361,11 @@ object CurationQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n_group"))
       .withColumn("w", floor(lit(1e6) * sqrt($"n_group")))
       .withColumn("total_w", sum($"w").over(Window.partitionBy()))
-      .withColumn("alloc", expr(s"($MixBudget * w) div total_w"))
+      // capped at the stratum size: this mix samples WITHOUT
+      // replacement, so α<1 can only flatten toward (not past) the
+      // data a small stratum actually has
+      .withColumn("alloc",
+        least(expr(s"($MixBudget * w) div total_w"), $"n_group"))
     val byGrp = Window.partitionBy($"source", $"lang")
       .orderBy($"hkey", $"doc_id")
     docs.select($"doc_id", $"source", $"lang",
@@ -382,7 +385,8 @@ object CurationQueries extends QueryRegistry {
        |  FROM documents GROUP BY source, lang),
        |alloc AS (
        |  SELECT source, lang, n_group,
-       |    (($MixBudget * w) // (SELECT sum(w) FROM grp))::BIGINT AS alloc
+       |    least((($MixBudget * w) // (SELECT sum(w) FROM grp))::BIGINT,
+       |      n_group) AS alloc
        |  FROM grp),
        |ranked AS (
        |  SELECT d.source, d.lang, d.doc_id,
@@ -405,55 +409,51 @@ object CurationQueries extends QueryRegistry {
     * Must equal qd13's kth hash and estimate exactly (a set minimum is
     * replay/order-free), so it shares that oracle's projection. */
   private def streamKmv(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import graft.functions.KmvSketch
+    import DedupQueries.KmvK
     val stage = docsStage(s, dir)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val src = s.readStream.schema(schema).parquet(stage)
+    val src = s.readStream.schema(docsSchema).parquet(stage)
     val sketched = DedupQueries.bigramHashes(src)
       .groupBy(col("source"))
-      .agg(KmvSketch.kmvSketch(col("h"), 64).as("sk"))
+      .agg(KmvSketch.kmvSketch(col("h"), KmvK).as("sk"))
     val name = "stream_kmv_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.EventStreams.runToMemory(s, sketched, name,
       org.apache.spark.sql.streaming.OutputMode.Complete(),
       statePartitions = Some(4))
       .select(col("source"),
-        element_at(col("sk"), least(lit(64), size(col("sk"))))
+        element_at(col("sk"), least(lit(KmvK), size(col("sk"))))
           .as("kth_hash"),
-        KmvSketch.estimate(col("sk"), 64).as("est_distinct"))
+        KmvSketch.estimate(col("sk"), KmvK).as("est_distinct"))
       .orderBy(col("source"))
   }
 
-  private val streamKmvSql =
-    """WITH base AS (
-      |  SELECT source, string_split(lower(text), ' ') AS ws
-      |  FROM documents),
-      |bg AS (
-      |  SELECT source, ws[i] || ' ' || ws[i + 1] AS bg
-      |  FROM (SELECT source, ws,
-      |          unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
-      |hashed AS (
-      |  SELECT DISTINCT source,
-      |    ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
-      |  FROM bg),
-      |ranked AS (
-      |  SELECT source, h,
-      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rnk,
-      |    count(*) OVER (PARTITION BY source) AS n_distinct
-      |  FROM hashed)
-      |SELECT source, h AS kth_hash,
-      |  CASE WHEN n_distinct < 64 THEN n_distinct
-      |       ELSE floor(63.0 * 1.152921504606847e18 / h)::BIGINT
-      |  END AS est_distinct
-      |FROM ranked
-      |WHERE rnk = least(64, n_distinct)
-      |ORDER BY source""".stripMargin
+  private val streamKmvSql = {
+    import DedupQueries.{KmvK, KmvSpace}
+    s"""WITH base AS (
+       |  SELECT source, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT source, ws[i] || ' ' || ws[i + 1] AS bg
+       |  FROM (SELECT source, ws,
+       |          unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+       |hashed AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+       |  FROM bg),
+       |ranked AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rnk,
+       |    count(*) OVER (PARTITION BY source) AS n_distinct
+       |  FROM hashed)
+       |SELECT source, h AS kth_hash,
+       |  CASE WHEN n_distinct < $KmvK THEN n_distinct
+       |       ELSE floor(${KmvK - 1}.0 * $KmvSpace / h)::BIGINT
+       |  END AS est_distinct
+       |FROM ranked
+       |WHERE rnk = least($KmvK, n_distinct)
+       |ORDER BY source""".stripMargin
+  }
 
   override val defs: Map[String, QueryDef] = Map(
     "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql)),

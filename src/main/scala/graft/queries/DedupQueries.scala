@@ -476,9 +476,11 @@ object DedupQueries extends QueryRegistry {
   }
 
   /** KMV sketch parameters: k minimum values over a 60-bit md5-prefix
-    * hash space (15 hex nibbles — fits BIGINT exactly on both engines). */
-  private val KmvK = 64
-  private val KmvSpace = 1.152921504606847e18 // 2^60, exact in double
+    * hash space (15 hex nibbles — fits BIGINT exactly on both engines).
+    * Shared with st07's streaming path and the native aggregate so one
+    * edit can't silently break their bit-agreement with this oracle. */
+  private[graft] val KmvK = 64
+  private[graft] val KmvSpace = graft.functions.KmvSketch.Space60
 
   /** qd13: K-minimum-values distinct-count sketch — per-source distinct
     * bigram cardinality from only the k smallest hash values
@@ -576,7 +578,11 @@ object DedupQueries extends QueryRegistry {
     * Per (source, probe term): maybe_present (both bits set), the
     * ground truth, and the false-positive flag — the measurable cost of
     * the space saving. The filter build shuffles (source, int) bit
-    * indices only; the probe side is a broadcast of |probes|·2 bits. */
+    * indices only, and it is the BUILT FILTER that broadcasts to the
+    * probe scan (≤ |sources|·8192 set bits — the whole point of a Bloom
+    * filter is that this stays executor-memory-sized at any corpus
+    * size); the ground-truth join is the fixture-only audit column a
+    * production run would drop. */
   private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents

@@ -264,10 +264,13 @@ object EventQueries extends QueryRegistry {
       |      ORDER BY value, event_id) AS rn,
       |    count(*) OVER (PARTITION BY event_type) AS n
       |  FROM events)
+      |-- p literals ::DOUBLE: DuckDB's DECIMAL 0.9*n is exact where the
+      |-- JVM double product rounds up past the integer when 10 | n, which
+      |-- would shift the picked rank by one between engines
       |SELECT event_type, max(n) AS n,
-      |  max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
-      |  max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
-      |  max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99,
+      |  max(CASE WHEN rn = ceil((0.5)::DOUBLE * n) THEN value END) AS p50,
+      |  max(CASE WHEN rn = ceil((0.9)::DOUBLE * n) THEN value END) AS p90,
+      |  max(CASE WHEN rn = ceil((0.99)::DOUBLE * n) THEN value END) AS p99,
       |  min(value) AS vmin, max(value) AS vmax
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -606,12 +606,15 @@ object TextQueries extends QueryRegistry {
        |  WHERE list_contains($terms, term)
        |  GROUP BY doc_id, dl, term),
        |scored AS (
+       |  -- every fractional literal is ::DOUBLE: DuckDB otherwise parses
+       |  -- them as DECIMAL and computes tf * 2.2 EXACTLY where the JVM
+       |  -- rounds the double product — an ulp apart at floor boundaries
        |  SELECT doc_id,
        |    floor(1e6
-       |      * ((n - df + 0.5) / (df + 0.5))
-       |      * (tf * ${Bm25K1 + 1.0}
-       |         / (tf + $Bm25K1 * (${1.0 - Bm25B}
-       |            + $Bm25B * dl * n / sumdl))))::BIGINT AS ppm
+       |      * ((n - df + (0.5)::DOUBLE) / (df + (0.5)::DOUBLE))
+       |      * (tf * (${Bm25K1 + 1.0})::DOUBLE
+       |         / (tf + ($Bm25K1)::DOUBLE * ((${1.0 - Bm25B})::DOUBLE
+       |            + ($Bm25B)::DOUBLE * dl * n / sumdl))))::BIGINT AS ppm
        |  FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
        |    stats),
        |per AS (

@@ -157,7 +157,8 @@ class CorpusOpsSpec extends SparkSpec {
     val totalW = w.values.sum
     val budget = 200L
     rows.groupBy(r => (r._1, r._2)).foreach { case (key, rs) =>
-      val alloc = budget * w(key) / totalW
+      val alloc = math.min(budget * w(key) / totalW,
+        strata(key).length.toLong)
       assert(rs.forall(_._4 == alloc))
       assert(rs.length == alloc, s"$key realized ${rs.length} != $alloc")
       assert(rs.forall(_._3 == strata(key).length))

@@ -75,7 +75,7 @@ class PlanAuditSpec extends SparkSpec {
     // ids — a `text` (or raw words-array) column crossing an Exchange
     // would be the 100 TB scale-killer the scaladocs rule out
     Seq("qt12_lm_score", "qt13_bm25", "qd13_kmv_distinct",
-      "qc02_temperature_mix", "qd13_kmv_distinct").foreach { q =>
+      "qc02_temperature_mix", "qd14_bloom_prefilter").foreach { q =>
       shuffles(planOf(q)).foreach { e =>
         val names = e.child.output.map(_.name)
         assert(!names.contains("text") && !names.contains("ws"),

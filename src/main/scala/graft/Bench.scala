@@ -27,6 +27,9 @@ object Bench {
     // charged session startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // streaming fixtures stage a micros-timestamp parquet copy once per
+    // JVM — do it here so st03 times the stream-stream join, not the copy
+    queries.WdsQueries.warmEventsStage(spark, sfDir)
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -2,10 +2,13 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the native expression tier (SURVEY §2.11): registers
-  * `cosine_sim(a, b)` so pure-SQL users get the codegen'd kernel.
+  * `cosine_sim(a, b)`, `nfc_normalize(s)` (via its own object),
+  * `kmv_sketch(h, k)` and `freq_sketch(v, k)` so pure-SQL users get the
+  * codegen'd kernels and bounded-state sketch aggregates.
   *
   * Two wiring paths:
   *  - cluster: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -14,27 +17,59 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private def builder(children: Seq[Expression]): Expression = {
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def cosineSimBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2, "cosine_sim(a, b) takes two arrays")
     functions.CosineSimilarity(children.head, children(1))
   }
 
-  private[graft] val cosineSimDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  /** The k argument of a sketch must be a literal int: it sizes the
+    * aggregation buffer at plan time. */
+  private def literalK(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn(col, k): k must be an INT literal, got $other")
+  }
+
+  private def kmvBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "kmv_sketch(hash_col, k) takes 2 args")
+    functions.KmvAgg(children.head, literalK(children(1), "kmv_sketch"))
+  }
+
+  private def freqBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "freq_sketch(col, k) takes 2 args")
+    functions.MgAgg(children.head, literalK(children(1), "freq_sketch"))
+  }
+
+  private[graft] val cosineSimDescriptor: Descriptor =
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
         classOf[functions.CosineSimilarity].getName, "cosine_sim"),
-      builder)
+      cosineSimBuilder)
+
+  private[graft] val kmvDescriptor: Descriptor =
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[functions.KmvAgg].getName, "kmv_sketch"),
+      kmvBuilder)
+
+  private[graft] val freqDescriptor: Descriptor =
+    (FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[functions.MgAgg].getName, "freq_sketch"),
+      freqBuilder)
+
+  private[graft] val descriptors: Seq[Descriptor] =
+    Seq(cosineSimDescriptor, kmvDescriptor, freqDescriptor)
 
   /** Register into an already-built session's function registry. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, fb) = cosineSimDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, fb)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, fb) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, fb)
+    }
 }

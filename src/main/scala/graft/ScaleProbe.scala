@@ -224,6 +224,34 @@ object ScaleProbe {
       hashed.unpersist(); big.unpersist()
     }
 
+    // Global-rank A/B (qc03 shape): the two-level range rank vs the
+    // naive corpus-wide single-partition window — the plan Spark gives
+    // row_number() OVER (ORDER BY …) and the one that cannot scale
+    // (every row through one task)
+    {
+      import org.apache.spark.sql.expressions.Window
+      val n = 10000000L
+      val df = spark.range(n).select(col("id").as("doc_id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("score")).cache()
+      df.count()
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val naive = time {
+        df.select(row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).as("rank"),
+            col("doc_id"))
+          .foreach(_ => ())
+      }
+      val twoLevel = time {
+        queries.CurationQueries.curriculumOf(df,
+          spark.sparkContext.defaultParallelism).foreach(_ => ())
+      }
+      df.unpersist()
+      println(f"[scale] globalRank n=$n%d naiveWindow=$naive%6.2fs " +
+        f"twoLevel=$twoLevel%6.2fs")
+    }
+
     // E1→E3 spine at documents×N: pack → tokenize → index/check wall
     // times and shard counts (synthetic media; real tar I/O)
     multiples.lastOption.foreach { m =>

@@ -455,7 +455,60 @@ object CurationQueries extends QueryRegistry {
        |ORDER BY source""".stripMargin
   }
 
+  /** qc03: curriculum export — a total global ordering of the corpus
+    * (here: longest-first + doc_id tiebreak, the schedule a curriculum
+    * trainer consumes) WITHOUT the single-partition global window that
+    * `row_number() OVER (ORDER BY …)` plans naively. The scale-native
+    * two-level form: range-repartition on the sort key, rank locally
+    * per partition (parallel windows), add per-partition prefix-sum
+    * offsets — the offsets come from a 32-row aggregate window, so the
+    * only single-partition exchange in the plan moves #partitions rows,
+    * not the corpus. The range exchange appears in two plan branches
+    * (rank + offsets) and MUST be computed once — `PlanAuditSpec` pins
+    * the ReusedExchange, and the oracle hash would catch divergent
+    * re-sampling of range bounds.
+    *
+    * Rank values are partition-bound-independent: any range split of a
+    * total order yields the same offsets+local-ranks sum, so the output
+    * is deterministic even though bound sampling is not. */
+  private def curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables(s, dir).documents
+      .select($"doc_id", $"n_chars".as("score"))
+    curriculumOf(scored,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .orderBy($"rank")
+  }
+
+  /** Query-path body — (rank, doc_id, score) for a (doc_id, score)
+    * frame — reused by ScaleProbe's A/B against the naive global
+    * window. Unsorted: the gate adds the presentation orderBy. */
+  private[graft] def curriculumOf(
+      scored: DataFrame, nParts: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = scored
+      .repartitionByRange(nParts, $"score".desc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+    val offs = parts.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum($"cnt").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val local = Window.partitionBy($"pid")
+      .orderBy($"score".desc, $"doc_id")
+    parts.join(offs, Seq("pid"))
+      .select(($"off" + row_number().over(local)).as("rank"),
+        $"doc_id", $"score")
+  }
+
+  private val curriculumSql =
+    """SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT
+      |    AS rank, doc_id, n_chars AS score
+      |FROM documents ORDER BY rank""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qc03_curriculum" -> QueryDef(curriculum, Some(curriculumSql)),
     "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql)),
     "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),
     "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),

@@ -140,6 +140,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists { case (_, p, _, a, _) => p == "spark" && a == 1 })
   }
 
+  test("qc03: ranks are the exact permutation of (score desc, doc_id)") {
+    import spark.implicits._
+    val want = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, sc), i) => (i + 1L, id, sc) }.toSeq
+    val got = q("qc03_curriculum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("qc02: allocations follow floor(B·w/Σw); sample is the md5 head") {
     val all = docs
     val rows = q("qc02_temperature_mix").collect()

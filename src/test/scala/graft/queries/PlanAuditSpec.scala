@@ -84,6 +84,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("qc03: two-level rank reuses ONE range exchange; no corpus-wide " +
+    "single-partition window") {
+    val p = planOf("qc03_curriculum")
+    // the doc-level range repartition must be planned once and reused by
+    // the offsets branch — two independently-sampled range exchanges
+    // could disagree on bounds and corrupt ranks
+    val reused = p.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty, s"offsets branch does not reuse the range " +
+      s"exchange:\n$p")
+    // single-partition exchanges may only carry the #partitions-row
+    // offsets frame, never document rows
+    shuffles(p).foreach { e =>
+      e.outputPartitioning match {
+        case org.apache.spark.sql.catalyst.plans.physical.SinglePartition =>
+          assert(e.child.output.map(_.name).contains("pid"),
+            s"corpus-wide single-partition exchange:\n$e")
+        case _ => ()
+      }
+    }
+  }
+
   test("qt13: posting build prunes to query terms below the shuffle") {
     // the isin(terms) filter must run scan-side (before any Exchange),
     // so the corpus-wide pass ships only matching postings

@@ -97,4 +97,43 @@ object WavCodec {
     }
     p
   }
+
+  /** Linear resampler with EXACT integer arithmetic (mono only): output
+    * position j maps to source time j·src/dst as the rational
+    * (idx = ⌊j·src/dst⌋, rem = j·src mod dst), and the interpolated
+    * sample is s[idx] + rem·(s[idx+1]−s[idx]) / dst with TRUNCATING
+    * division (JVM `/`, which DuckDB's integer `//` matches — both
+    * round toward zero on negatives, verified live; `Math.floorDiv`
+    * would be off by one ulp on every falling edge) — no floating point
+    * anywhere, so any engine that can do integer math reproduces the
+    * output bit-for-bit (mm06's DuckDB oracle replays synthetic square
+    * waves through the same formula). Output length ⌊(n−1)·dst/src⌋+1
+    * covers exactly the positions with a defined left neighbor.
+    * Resampling is the normalization step an audio training pipeline
+    * applies before feature extraction; the linear kernel is the
+    * standard cheap path (windowed-sinc lives behind the same signature
+    * when fidelity demands it). */
+  def resampleLinear(w: Wav, dstRate: Int): Wav = {
+    require(w.channels == 1, "resampleLinear: mono PCM only")
+    require(dstRate > 0, s"bad dstRate $dstRate")
+    val n = w.samples.length
+    if (n == 0 || dstRate == w.sampleRate) return w.copy(sampleRate = dstRate)
+    val src = w.sampleRate.toLong
+    val dst = dstRate.toLong
+    val outN = ((n - 1).toLong * dst / src).toInt + 1
+    val out = new Array[Short](outN)
+    var j = 0
+    while (j < outN) {
+      val pos = j * src
+      val idx = (pos / dst).toInt
+      val rem = pos % dst
+      val s0 = w.samples(idx).toLong
+      val v =
+        if (rem == 0 || idx + 1 >= n) s0
+        else s0 + rem * (w.samples(idx + 1).toLong - s0) / dst
+      out(j) = v.toShort
+      j += 1
+    }
+    Wav(dstRate, 1, out)
+  }
 }

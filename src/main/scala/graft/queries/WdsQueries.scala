@@ -800,6 +800,67 @@ object WdsQueries extends QueryRegistry {
       | 1 AS n_tracks
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** mm06: audio RESAMPLING content-checked end-to-end — per-doc square
+    * waves (integer samples, geometry a pure function of doc_id) are
+    * WAV-encoded, decoded by the real codec, and 8 kHz→12 kHz resampled
+    * by [[graft.multimodal.WavCodec.resampleLinear]], whose integer-
+    * exact interpolation lets the DuckDB oracle replay the SAME formula
+    * over a generate_series — so the checksum hashes the resampler's
+    * every output sample, not just its geometry (mm03's rms/peak stop
+    * at spec-assertions because libm sin isn't cross-engine). */
+  private def audioResample(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.WavCodec
+    val mkWav = udf { (id: Long) =>
+      val n = 4000 + (id % 50).toInt * 40
+      val h = 25 + (id % 10).toInt
+      val samples = Array.tabulate(n)(i =>
+        (10000 - 20000 * ((i / h) % 2)).toShort)
+      WavCodec.encode(WavCodec.Wav(8000, 1, samples))
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkWav(col("doc_id")).as("content"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Int, Long)]
+    media
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = WavCodec.resampleLinear(WavCodec.decode(bytes), 12000)
+          var sum = 0L
+          var j = 0
+          while (j < out.samples.length) {
+            sum += out.samples(j).toLong * ((j % 97) + 1); j += 1
+          }
+          (id, out.samples.length, sum)
+        }
+      }
+      .toDF("media_id", "n_out", "checksum")
+      .orderBy(col("media_id"))
+  }
+
+  private val audioResampleSql =
+    """WITH geom AS (
+      |  SELECT doc_id, (4000 + (doc_id % 50) * 40)::BIGINT AS n,
+      |    (25 + (doc_id % 10))::BIGINT AS h
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, n, h,
+      |    unnest(generate_series(0, (n - 1) * 12000 // 8000)) AS j
+      |  FROM geom),
+      |interp AS (
+      |  SELECT doc_id, j,
+      |    (j * 8000) // 12000 AS idx, (j * 8000) % 12000 AS rem,
+      |    10000 - 20000 * ((((j * 8000) // 12000) // h) % 2) AS s0,
+      |    10000 - 20000 * (((((j * 8000) // 12000) + 1) // h) % 2) AS s1,
+      |    n
+      |  FROM pos)
+      |SELECT doc_id AS media_id, count(*)::INT AS n_out,
+      |  sum((CASE WHEN rem = 0 OR idx + 1 >= n THEN s0
+      |        ELSE s0 + (rem * (s1 - s0)) // 12000 END)
+      |      * ((j % 97) + 1))::BIGINT AS checksum
+      |FROM interp GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** REAL frame decode end-to-end: per-doc PNG-codec MP4s (valid ISO
     * BMFF with a full stbl sample table, [[graft.multimodal.Mp4Samples
     * .encodeFrames]]), frames extracted by the real sample-table walk
@@ -925,6 +986,7 @@ object WdsQueries extends QueryRegistry {
     "mm02_frame_sample" -> QueryDef(frameSample, Some(frameSampleSql)),
     "mm03_audio_features" -> QueryDef(audioFeatures, Some(audioFeaturesSql)),
     "mm04_video_probe" -> QueryDef(videoProbe, Some(videoProbeSql)),
+    "mm06_audio_resample" -> QueryDef(audioResample, Some(audioResampleSql)),
     "mm05_mjpeg_decode" -> QueryDef(mjpegDecode, Some(mjpegDecodeSql),
       bench = true),
   )

@@ -47,6 +47,45 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.peak(w) > amp.toInt * 9 / 10)
   }
 
+  test("resampleLinear: identity at same rate; length law; endpoints") {
+    val w = WavCodec.Wav(8000, 1, sine(8000, 300, 4001))
+    assert(WavCodec.resampleLinear(w, 8000).samples.toSeq
+      == w.samples.toSeq)
+    val up = WavCodec.resampleLinear(w, 12000)
+    assert(up.sampleRate == 12000)
+    assert(up.samples.length == 4000L * 12000 / 8000 + 1)
+    // exact source positions are preserved verbatim (rem == 0 every
+    // 3rd output at a 2:3 ratio)
+    (0 until up.samples.length by 3).foreach { j =>
+      assert(up.samples(j) == w.samples(j * 2 / 3))
+    }
+    assert(up.samples(0) == w.samples(0))
+  }
+
+  test("resampleLinear: interpolated values sit between neighbors") {
+    val w = WavCodec.Wav(8000, 1, sine(8000, 700, 2000))
+    val up = WavCodec.resampleLinear(w, 12000)
+    (0 until up.samples.length).foreach { j =>
+      val idx = (j.toLong * 8000 / 12000).toInt
+      if (idx + 1 < w.samples.length) {
+        val lo = math.min(w.samples(idx), w.samples(idx + 1))
+        val hi = math.max(w.samples(idx), w.samples(idx + 1))
+        assert(up.samples(j) >= lo && up.samples(j) <= hi, s"j=$j")
+      }
+    }
+  }
+
+  test("resampleLinear: downsample then inspect rate and bounds") {
+    val w = WavCodec.Wav(12000, 1, sine(12000, 500, 6001))
+    val down = WavCodec.resampleLinear(w, 8000)
+    assert(down.sampleRate == 8000)
+    assert(down.samples.length == 6000L * 8000 / 12000 + 1)
+    assert(WavCodec.peak(down) <= WavCodec.peak(w))
+    assertThrows[IllegalArgumentException](
+      WavCodec.resampleLinear(WavCodec.Wav(8000, 2, new Array[Short](4)),
+        12000))
+  }
+
   test("rejects non-PCM and truncated streams") {
     assertThrows[IllegalArgumentException](
       WavCodec.decode("nope".getBytes ++ new Array[Byte](40)))

@@ -915,6 +915,65 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("media_id"))
   }
 
+  /** mm07: image RESIZE content-checked end-to-end — per-doc PNGs of
+    * doc-varying geometry (pixel bytes a pure function of doc_id, PNG
+    * lossless) are decoded and nearest-neighbor resized by
+    * [[graft.wds.Codecs.resizeNearest]], whose exact integer source
+    * mapping (sx = ⌊x·srcW/dstW⌋) lets the DuckDB oracle replay EVERY
+    * output pixel via integer `//` over a generate_series. Targets mix
+    * upscale and downscale per doc, so both paths are hash-checked.
+    * Reference resize: tokenize/utils.py 1280-bound PIL resize; this is
+    * the augmentation-grade kernel behind the same binary-column
+    * plumbing (decode → kernel → checksum inside one partition, the
+    * image bytes never shuffle). */
+  private def imageResize(s: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf { (id: Long) =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val px = Array.tabulate(h * w * 3)(i => ((id * 31 + i) % 251).toByte)
+      graft.wds.Codecs.encodeImage(
+        graft.wds.Codecs.ImageData(h, w, 3, "RGB", px), "png")
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkPng(col("doc_id")).as("content"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Int, Long)]
+    media
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val dstW = 2 + (id % 7).toInt
+          val dstH = 2 + (id % 5).toInt
+          val out = graft.wds.Codecs.resizeNearest(
+            graft.wds.Codecs.decodeImage(png), dstW, dstH)
+          var sum = 0L
+          var k = 0
+          while (k < out.data.length) {
+            sum += (out.data(k) & 0xff).toLong * ((k % 97) + 1); k += 1
+          }
+          (id, out.data.length, sum)
+        }
+      }
+      .toDF("media_id", "n_out", "checksum")
+      .orderBy(col("media_id"))
+  }
+
+  private val imageResizeSql =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h,
+      |    (2 + doc_id % 7)::BIGINT AS dw, (2 + doc_id % 5)::BIGINT AS dh
+      |  FROM documents)
+      |SELECT doc_id AS media_id, (dw * dh * 3)::INT AS n_out,
+      |  list_sum(list_transform(
+      |    generate_series(0, (dw * dh * 3 - 1)::INT),
+      |    k -> (doc_id * 31
+      |          + (((k // (dw*3)) * h // dh) * w + ((k // 3) % dw) * w // dw)
+      |            * 3 + k % 3) % 251
+      |         * (k % 97 + 1)))::BIGINT AS checksum
+      |FROM geom ORDER BY media_id""".stripMargin
+
   private val mjpegDecodeSql =
     """SELECT doc_id AS media_id,
       | (4 + doc_id % 5)::INT AS n_frames,
@@ -989,5 +1048,6 @@ object WdsQueries extends QueryRegistry {
     "mm06_audio_resample" -> QueryDef(audioResample, Some(audioResampleSql)),
     "mm05_mjpeg_decode" -> QueryDef(mjpegDecode, Some(mjpegDecodeSql),
       bench = true),
+    "mm07_image_resize" -> QueryDef(imageResize, Some(imageResizeSql)),
   )
 }

@@ -149,6 +149,36 @@ object Codecs {
     ImageData(h, w, ch, mode, out)
   }
 
+  /** Nearest-neighbor resize with exact integer source mapping
+    * (sx = ⌊x·srcW/dstW⌋ — truncating division over non-negatives, so
+    * any engine's integer `//` replays it; mm07 content-checks every
+    * output pixel against a DuckDB replay). Nearest is the
+    * augmentation-grade kernel; bilinear/Lanczos live behind the same
+    * signature when the training recipe wants them — the Spark-side
+    * plumbing (binary column in, binary column out, per-partition
+    * kernel) is identical. */
+  def resizeNearest(img: ImageData, dstW: Int, dstH: Int): ImageData = {
+    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    val out = new Array[Byte](dstW * dstH * img.nChannels)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * img.height / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * img.width / dstW).toInt
+        var c = 0
+        while (c < img.nChannels) {
+          out((y * dstW + x) * img.nChannels + c) =
+            img.data((sy * img.width + sx) * img.nChannels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(dstH, dstW, img.nChannels, img.mode, out)
+  }
+
   def encodeImage(img: ImageData, format: String = "png"): Array[Byte] = {
     import java.awt.image.BufferedImage
     val t = img.nChannels match {

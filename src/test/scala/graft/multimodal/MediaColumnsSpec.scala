@@ -61,4 +61,42 @@ class MediaColumnsSpec extends SparkSpec {
     assert(out.length == 10)
     assert(out.forall(_.getAs[Long]("n_bytes") > 0))
   }
+
+  test("resizeNearest identity returns the same pixels") {
+    val img = Codecs.ImageData(3, 4, 3, "RGB",
+      Array.tabulate(36)(i => (i * 7 % 251).toByte))
+    val out = Codecs.resizeNearest(img, 4, 3)
+    assert(out.data.toSeq == img.data.toSeq)
+    assert(out.height == 3 && out.width == 4 && out.nChannels == 3)
+  }
+
+  test("resizeNearest 2x upscale duplicates each source pixel into a 2x2 block") {
+    val img = Codecs.ImageData(2, 2, 1, "L", Array[Byte](10, 20, 30, 40))
+    val out = Codecs.resizeNearest(img, 4, 4)
+    // sx = x*2/4 = x/2, sy = y/2 — each source pixel fills a 2x2 block
+    assert(out.data.toSeq == Seq[Byte](
+      10, 10, 20, 20,
+      10, 10, 20, 20,
+      30, 30, 40, 40,
+      30, 30, 40, 40))
+  }
+
+  test("resizeNearest downscale picks floor-mapped source pixels") {
+    // 4x1 -> 2x1: sx = x*4/2 = 2x -> picks pixels 0 and 2
+    val img = Codecs.ImageData(1, 4, 1, "L", Array[Byte](1, 2, 3, 4))
+    val out = Codecs.resizeNearest(img, 2, 1)
+    assert(out.data.toSeq == Seq[Byte](1, 3))
+  }
+
+  test("resizeNearest matches the integer replay formula on odd geometry") {
+    val (h, w, dh, dw) = (5, 7, 3, 4)
+    val img = Codecs.ImageData(h, w, 3, "RGB",
+      Array.tabulate(h * w * 3)(i => (i * 13 % 251).toByte))
+    val out = Codecs.resizeNearest(img, dw, dh)
+    for (y <- 0 until dh; x <- 0 until dw; c <- 0 until 3) {
+      val (sy, sx) = (y * h / dh, x * w / dw)
+      assert((out.data((y * dw + x) * 3 + c) & 0xff) ==
+        (img.data((sy * w + sx) * 3 + c) & 0xff))
+    }
+  }
 }

@@ -101,6 +101,13 @@ object Codecs {
   }
 
   def decodeImage(b: Array[Byte]): ImageData = {
+    // pure-JVM fast path for the common 8-bit non-interlaced PNGs —
+    // ImageIO's per-call stream/plugin overhead dominates tiny-frame
+    // pipelines; palette/16-bit/interlaced fall through to ImageIO
+    if (Png.isPng(b)) Png.decode(b) match {
+      case Some(img) => return img
+      case None => ()
+    }
     val decoded = ImageIO.read(new ByteArrayInputStream(b))
     require(decoded != null, "undecodable image")
     // palette/indexed images report 3 color components but carry only 1
@@ -180,6 +187,7 @@ object Codecs {
   }
 
   def encodeImage(img: ImageData, format: String = "png"): Array[Byte] = {
+    if (format == "png" || format == "PNG") return Png.encode(img)
     import java.awt.image.BufferedImage
     val t = img.nChannels match {
       case 1 => BufferedImage.TYPE_BYTE_GRAY

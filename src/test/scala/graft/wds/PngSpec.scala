@@ -1,0 +1,139 @@
+package graft.wds
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class PngSpec extends AnyFunSuite {
+
+  private def randImg(rng: Random, ch: Int): Codecs.ImageData = {
+    val w = 1 + rng.nextInt(40)
+    val h = 1 + rng.nextInt(40)
+    val data = new Array[Byte](w * h * ch)
+    rng.nextBytes(data)
+    val mode = ch match {
+      case 1 => "L"; case 2 => "C2"; case 3 => "RGB"; case 4 => "RGBA"
+    }
+    Codecs.ImageData(h, w, ch, mode, data)
+  }
+
+  test("encode→decode round-trips random rasters for 1/2/3/4 channels") {
+    val rng = new Random(7)
+    for (_ <- 0 until 20; ch <- Seq(1, 2, 3, 4)) {
+      val img = randImg(rng, ch)
+      val out = Png.decode(Png.encode(img)).get
+      assert(out.height == img.height && out.width == img.width &&
+        out.nChannels == img.nChannels)
+      assert(out.data.toSeq == img.data.toSeq, s"ch=$ch")
+    }
+  }
+
+  test("Png.encode output is readable by ImageIO with identical pixels") {
+    val rng = new Random(11)
+    for (ch <- Seq(1, 3, 4)) {
+      val img = randImg(rng, ch)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Png.encode(img)))
+      assert(bi != null)
+      assert(bi.getWidth == img.width && bi.getHeight == img.height)
+      val px = new Array[Int](ch)
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        bi.getRaster.getPixel(x, y, px)
+        for (c <- 0 until ch)
+          assert(px(c) == (img.data((y * img.width + x) * ch + c) & 0xff))
+      }
+    }
+  }
+
+  test("Png.decode reads ImageIO-written PNGs (adaptive filters) identically") {
+    val rng = new Random(13)
+    for (_ <- 0 until 10; ch <- Seq(1, 3, 4)) {
+      val img = randImg(rng, ch)
+      // legacy ImageIO encode path (exercises Sub/Up/Average/Paeth rows)
+      import java.awt.image.BufferedImage
+      val t = ch match {
+        case 1 => BufferedImage.TYPE_BYTE_GRAY
+        case 3 => BufferedImage.TYPE_3BYTE_BGR
+        case 4 => BufferedImage.TYPE_4BYTE_ABGR
+      }
+      val bi = new BufferedImage(img.width, img.height, t)
+      val px = new Array[Int](ch)
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        for (c <- 0 until ch) px(c) = img.data((y * img.width + x) * ch + c) & 0xff
+        bi.getRaster.setPixel(x, y, px)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      val out = Png.decode(bos.toByteArray).get
+      assert(out.data.toSeq == img.data.toSeq, s"ch=$ch ${img.width}x${img.height}")
+    }
+  }
+
+  test("decode applies every filter type correctly (hand-built stream)") {
+    // 5 rows x 3 px gray, one row per filter 0..4
+    val w = 3; val h = 5
+    val pix = Array.tabulate(h, w)((y, x) => (y * 40 + x * 9 + 5))
+    def row(y: Int): Array[Int] = pix(y)
+    def up(y: Int, x: Int) = if (y > 0) pix(y - 1)(x) else 0
+    def left(y: Int, x: Int) = if (x > 0) pix(y)(x - 1) else 0
+    def ul(y: Int, x: Int) = if (y > 0 && x > 0) pix(y - 1)(x - 1) else 0
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw.write(f)
+      for (x <- 0 until w) {
+        val v = row(y)(x)
+        val enc = f match {
+          case 0 => v
+          case 1 => v - left(y, x)
+          case 2 => v - up(y, x)
+          case 3 => v - ((left(y, x) + up(y, x)) >> 1)
+          case 4 =>
+            val (a, b, c) = (left(y, x), up(y, x), ul(y, x))
+            val p = a + b - c
+            val pred =
+              if (math.abs(p - a) <= math.abs(p - b) &&
+                math.abs(p - a) <= math.abs(p - c)) a
+              else if (math.abs(p - b) <= math.abs(p - c)) b else c
+            v - pred
+        }
+        raw.write(enc & 0xff)
+      }
+    }
+    // zlib-wrap the filtered stream and splice into an encoded shell
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val comp = new Array[Byte](256)
+    val n = defl.deflate(comp)
+    val shell = Png.encode(Codecs.ImageData(h, w, 1, "L", new Array[Byte](w * h)))
+    // rebuild: magic + IHDR (copy from shell) + our IDAT + IEND
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(shell, 0, 8 + 25) // magic + IHDR chunk (12 + 13)
+    // write IDAT chunk manually (len, type, data, crc)
+    def putInt(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    putInt(n); out.write("IDAT".getBytes("US-ASCII"))
+    out.write(comp, 0, n)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(comp, 0, n)
+    putInt(crc.getValue.toInt)
+    putInt(0); out.write("IEND".getBytes("US-ASCII"))
+    val crc2 = new java.util.zip.CRC32(); crc2.update("IEND".getBytes("US-ASCII"))
+    putInt(crc2.getValue.toInt)
+    val decoded = Png.decode(out.toByteArray).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert((decoded.data(y * w + x) & 0xff) == pix(y)(x), s"y=$y x=$x")
+  }
+
+  test("corrupt and truncated streams throw; non-fast-path returns None") {
+    val img = randImg(new Random(3), 3)
+    val good = Png.encode(img)
+    intercept[Exception] { Png.decode(good.take(good.length / 2)) }
+    assert(Png.decode("nothing png about this".getBytes).isEmpty)
+    // 16-bit PNG → None (falls back to ImageIO in Codecs)
+    val deep = good.clone()
+    deep(8 + 8 + 8) = 16 // IHDR bit-depth byte
+    assert(Png.decode(deep).isEmpty)
+  }
+}

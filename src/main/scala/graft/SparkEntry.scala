@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CurationQueries, DedupQueries, EventQueries,
-  RelationalQueries, SimilarityQueries, TextQueries, WdsQueries}
+  MediaQueries, RelationalQueries, SimilarityQueries, TextQueries,
+  WdsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +20,7 @@ object SparkEntry {
     CurationQueries,
     DedupQueries,
     SimilarityQueries,
+    MediaQueries,
     WdsQueries,
   )
 

@@ -122,6 +122,142 @@ object MediaColumns {
       // placeholder for real spectral features: deterministic byte crc
       crc32(col("content")).as("content_crc"))
 
+  final case class SceneCuts(
+      media_id: Long,
+      n_frames: Int,
+      n_cuts: Int,
+      sad_total: Long, // sum of absolute per-pixel deltas across all pairs
+      first_cut: Int) // frame index of the first cut, -1 if none
+
+  /** Shot-boundary (scene-cut) detection over a video binary column:
+    * decode consecutive frames, compute the sum of absolute per-pixel
+    * differences (SAD) for each adjacent pair, and flag a cut where the
+    * pair's SAD exceeds `threshold`. The classic content-based shot
+    * detector (reference pipeline's keyframe pass,
+    * `pack/tools.py:101-140`, selects on codec I-frames; SAD detects
+    * CONTENT boundaries, which is what curation wants when re-encoding
+    * has destroyed GOP structure).
+    *
+    * Scale: one video = one task's loop iteration; frames decode and
+    * are discarded inside the partition — nothing but the per-video
+    * summary row leaves the executor. */
+  def sceneCuts(
+      df: DataFrame,
+      frames: graft.pack.FrameSource = graft.pack.FrameSource.Synthetic,
+      threshold: Long = 30): DataFrame = {
+    implicit val enc = Encoders.product[SceneCuts]
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, video) =>
+          val n = frames.frameCount(video)
+          var prev: Array[Byte] = null
+          var cuts = 0
+          var sadTotal = 0L
+          var firstCut = -1
+          var f = 0
+          while (f < n) {
+            val cur = Codecs.decodeImage(frames.frame(video, f)).data
+            if (prev != null) {
+              var sad = 0L
+              var i = 0
+              val len = math.min(prev.length, cur.length)
+              while (i < len) {
+                sad += math.abs((cur(i) & 0xff) - (prev(i) & 0xff)); i += 1
+              }
+              sadTotal += sad
+              if (sad > threshold) {
+                cuts += 1
+                if (firstCut < 0) firstCut = f
+              }
+            }
+            prev = cur
+            f += 1
+          }
+          SceneCuts(id, n, cuts, sadTotal, firstCut)
+        }
+      }.toDF()
+  }
+
+  /** ViT-style patch extraction: split each image into non-overlapping
+    * p×p patches (row-major, floor count — partial edge patches are
+    * dropped, the ViT convention) and fan out one row per patch with the
+    * interleaved patch bytes. The training-side "images → token grid"
+    * operator. One input row → (h/p)·(w/p) output rows; patch bytes are
+    * produced and consumed inside the partition unless the caller
+    * shuffles them. */
+  def patchify(df: DataFrame, p: Int): DataFrame = {
+    require(p > 0, s"patch $p")
+    implicit val enc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.BINARY)
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = Codecs.decodeImage(bytes)
+          val ch = img.nChannels
+          val (rows, cols) = (img.height / p, img.width / p)
+          for (py <- 0 until rows; px <- 0 until cols) yield {
+            val patch = new Array[Byte](p * p * ch)
+            var dy = 0
+            while (dy < p) {
+              System.arraycopy(img.data,
+                ((py * p + dy) * img.width + px * p) * ch,
+                patch, dy * p * ch, p * ch)
+              dy += 1
+            }
+            (id, py, px, patch)
+          }
+        }
+      }.toDF("media_id", "patch_row", "patch_col", "patch")
+  }
+
+  final case class SilenceSegments(
+      media_id: Long,
+      n_samples: Int,
+      n_silent: Int, // samples with |s| <= threshold
+      n_segments: Int, // silent runs of length >= minRun
+      first_start: Int) // start sample of the first such run, -1 if none
+
+  /** Energy-based silence segmentation (VAD-style) over a WAV binary
+    * column: a sample is silent when |s| <= threshold; a segment is a
+    * maximal silent run of at least `minRun` samples. The audio-side
+    * trim/split primitive (speech corpora drop leading/trailing
+    * silence and split long clips at pauses). Mono analysis uses
+    * channel 0. */
+  def silenceSegments(
+      df: DataFrame, threshold: Int, minRun: Int): DataFrame = {
+    require(minRun > 0, s"minRun $minRun")
+    implicit val enc = Encoders.product[SilenceSegments]
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          val step = w.channels
+          val n = w.frames
+          var silent = 0
+          var segs = 0
+          var firstStart = -1
+          var run = 0
+          var i = 0
+          while (i < n) {
+            val s = w.samples(i * step)
+            if (math.abs(s.toInt) <= threshold) {
+              silent += 1
+              run += 1
+              if (run == minRun) {
+                segs += 1
+                if (firstStart < 0) firstStart = i - minRun + 1
+              }
+            } else run = 0
+            i += 1
+          }
+          SilenceSegments(id, n, silent, segs, firstStart)
+        }
+      }.toDF()
+  }
+
   /** Pack media rows for training: metadata-only projection — asserts
     * the binary column is pruned from the scan (see spec). */
   def mediaCatalog(df: DataFrame): DataFrame =

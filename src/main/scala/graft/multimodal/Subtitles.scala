@@ -1,0 +1,60 @@
+package graft.multimodal
+
+/** SubRip (.srt) subtitle parsing — the text sidecar format video-text
+  * pipelines align with clips (the reference pairs caption json with
+  * video shards, `pack/pack.py` video_text_pair; SRT is the on-disk
+  * ancestor of those captions).
+  *
+  * Grammar accepted (the de-facto standard, no formal spec exists):
+  * cues separated by blank lines; each cue is an optional numeric index
+  * line, a `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing line (dot millis and
+  * extra position fields tolerated), then 1..n text lines joined with
+  * '\n'. CRLF and a UTF-8 BOM are tolerated. Malformed cues are skipped
+  * (the corrupt-sample policy of the wds layer, not a hard error).
+  */
+object Subtitles {
+
+  final case class Cue(index: Int, startMs: Long, endMs: Long, text: String)
+
+  private val Timing =
+    """(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3})\s*-->\s*(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3}).*""".r
+
+  private def ms(h: String, m: String, s: String, f: String): Long =
+    h.toLong * 3600000L + m.toLong * 60000L + s.toLong * 1000L +
+      f.padTo(3, '0').toLong
+
+  def parseSrt(srt: String): Seq[Cue] = {
+    val body = if (srt.startsWith("\ufeff")) srt.substring(1) else srt
+    val blocks = body.replace("\r\n", "\n").replace('\r', '\n')
+      .split("\n\\s*\n")
+    val out = Seq.newBuilder[Cue]
+    var autoIdx = 0
+    for (block <- blocks) {
+      val lines = block.split('\n').toIndexedSeq.dropWhile(_.trim.isEmpty)
+      if (lines.nonEmpty) {
+        // optional index line before the timing line
+        val (idx, rest) = lines.head.trim match {
+          case t if t.nonEmpty && t.forall(_.isDigit) && lines.length > 1 =>
+            (t.toInt, lines.tail)
+          case _ => (autoIdx + 1, lines)
+        }
+        rest.headOption.map(_.trim) match {
+          case Some(Timing(h1, m1, s1, f1, h2, m2, s2, f2)) =>
+            autoIdx = idx
+            out += Cue(idx, ms(h1, m1, s1, f1), ms(h2, m2, s2, f2),
+              rest.tail.mkString("\n").trim)
+          case _ => () // malformed cue — skip
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Render cues back to canonical SRT (comma millis, LF separators). */
+  def formatSrt(cues: Seq[Cue]): String = {
+    def ts(v: Long): String =
+      f"${v / 3600000}%02d:${v / 60000 % 60}%02d:${v / 1000 % 60}%02d,${v % 1000}%03d"
+    cues.map(c => s"${c.index}\n${ts(c.startMs)} --> ${ts(c.endMs)}\n${c.text}")
+      .mkString("", "\n\n", "\n")
+  }
+}

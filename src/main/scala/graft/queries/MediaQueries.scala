@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import graft.multimodal.{MediaColumns, Mp4Samples, Subtitles, WavCodec}
+import graft.wds.Codecs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Video-native analytics tier (mm08–mm11): shot-boundary detection,
+  * ViT patch extraction, energy-based silence segmentation, subtitle
+  * parse + time-range alignment. Fixture media is synthesized per doc
+  * (pure functions of doc_id, lossless codecs) so every output value is
+  * replayable by the DuckDB oracle — content-checked end-to-end like
+  * mm05/mm06/mm07, not geometry-only.
+  *
+  * Reference anchors: shot/keyframe pass `pack/tools.py:101-140`, frame
+  * fan-out `pack/samplers.py:102-157`, caption-clip pairing
+  * `pack/pack.py` (video_text_pair / video_sft).
+  */
+object MediaQueries extends QueryRegistry {
+
+  /** mm08: scene-cut detection. Frames are 2×2 RGB PNGs whose pixels
+    * are constant within a scene (length L) and jump at boundaries —
+    * SAD is 0 inside scenes and ≥ 12·|Δ| at cuts, so threshold 30
+    * detects exactly the scene boundaries and the oracle replays the
+    * full SAD arithmetic, not just the expected cut count. */
+  private def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val mkMp4 = udf { (id: Long) =>
+      val n = (6 + id % 5).toInt
+      val L = (2 + id % 3).toInt
+      val frames = (0 until n).map { f =>
+        val px = Array.tabulate(12)(i =>
+          ((id * 31 + (f / L) * 53 + i * 7) % 251).toByte)
+        Codecs.encodeImage(Codecs.ImageData(2, 2, 3, "RGB", px), "png")
+      }
+      Mp4Samples.encodeFrames(frames, codec = "png ", fps = 5,
+        width = 2, height = 2, syncEvery = 2)
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkMp4(col("doc_id")).as("content"))
+    MediaColumns.sceneCuts(media, graft.pack.FrameSource.Mp4Frames,
+      threshold = 30)
+      .orderBy(col("media_id"))
+  }
+
+  private val sceneCutsSql =
+    """WITH geom AS (
+      |  SELECT doc_id, (6 + doc_id % 5)::BIGINT AS n,
+      |    (2 + doc_id % 3)::BIGINT AS L
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, n, L,
+      |    unnest(generate_series(1, (n - 1)::INT)) AS f
+      |  FROM geom),
+      |sads AS (
+      |  SELECT doc_id, n, f,
+      |    list_sum(list_transform(generate_series(0, 11), i ->
+      |      abs((doc_id*31 + (f // L)*53 + i*7) % 251
+      |        - (doc_id*31 + ((f-1) // L)*53 + i*7) % 251)))::BIGINT AS sad
+      |  FROM pos)
+      |SELECT doc_id AS media_id, max(n)::INT AS n_frames,
+      |  count(*) FILTER (WHERE sad > 30)::INT AS n_cuts,
+      |  sum(sad)::BIGINT AS sad_total,
+      |  coalesce(min(f) FILTER (WHERE sad > 30), -1)::INT AS first_cut
+      |FROM sads GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** mm09: ViT-style 2×2 patch fan-out over per-doc PNGs of varying
+    * geometry; each patch row carries a position-weighted checksum of
+    * its bytes, so patch extraction order AND content are both
+    * hash-checked. */
+  private def patchify(s: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf { (id: Long) =>
+      val w = (6 + (id % 3) * 2).toInt
+      val h = (4 + (id % 2) * 2).toInt
+      val px = Array.tabulate(h * w * 3)(i => ((id * 31 + i) % 251).toByte)
+      Codecs.encodeImage(Codecs.ImageData(h, w, 3, "RGB", px), "png")
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkPng(col("doc_id")).as("content"))
+    val checksum = udf { (b: Array[Byte]) =>
+      var sum = 0L
+      var k = 0
+      while (k < b.length) { sum += (b(k) & 0xff).toLong * (k % 13 + 1); k += 1 }
+      sum
+    }
+    MediaColumns.patchify(media, p = 2)
+      .select(col("media_id"), col("patch_row"), col("patch_col"),
+        checksum(col("patch")).as("checksum"))
+      .orderBy(col("media_id"), col("patch_row"), col("patch_col"))
+  }
+
+  private val patchifySql =
+    """WITH geom AS (
+      |  SELECT doc_id, (6 + (doc_id % 3) * 2)::BIGINT AS w,
+      |    (4 + (doc_id % 2) * 2)::BIGINT AS h
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id, w, h,
+      |    unnest(generate_series(0, (h // 2 - 1)::INT)) AS py
+      |  FROM geom),
+      |pc AS (
+      |  SELECT doc_id, w, h, py,
+      |    unnest(generate_series(0, (w // 2 - 1)::INT)) AS px
+      |  FROM pr)
+      |SELECT doc_id AS media_id, py::INT AS patch_row, px::INT AS patch_col,
+      |  list_sum(list_transform(generate_series(0, 11), k ->
+      |    (doc_id*31 + ((py*2 + k//6)*w + px*2 + (k//3)%2)*3 + k%3) % 251
+      |    * (k % 13 + 1)))::BIGINT AS checksum
+      |FROM pc ORDER BY media_id, patch_row, patch_col""".stripMargin
+
+  /** mm10: VAD-style silence segmentation. Square-wave WAVs with exact
+    * zero blocks every 4th h-run — threshold/run logic is integer-exact
+    * and the oracle replays block arithmetic including the partial
+    * final block. */
+  private def silenceSegments(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf { (id: Long) =>
+      val n = 3000 + (id % 40).toInt * 30
+      val h = 20 + (id % 7).toInt
+      val samples = Array.tabulate(n)(i =>
+        (if ((i / h) % 4 == 3) 0 else 9000).toShort)
+      WavCodec.encode(WavCodec.Wav(16000, 1, samples))
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkWav(col("doc_id")).as("content"))
+    MediaColumns.silenceSegments(media, threshold = 100, minRun = 15)
+      .orderBy(col("media_id"))
+  }
+
+  private val silenceSegmentsSql =
+    """WITH geom AS (
+      |  SELECT doc_id, (3000 + (doc_id % 40) * 30)::BIGINT AS n,
+      |    (20 + doc_id % 7)::BIGINT AS h
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, n, h,
+      |    unnest(generate_series(0, ((n - 1) // h)::INT)) AS b
+      |  FROM geom)
+      |SELECT doc_id AS media_id, max(n)::INT AS n_samples,
+      |  sum(CASE WHEN b % 4 = 3 THEN least((b+1)*h, n) - b*h
+      |       ELSE 0 END)::INT AS n_silent,
+      |  count(*) FILTER (WHERE b % 4 = 3
+      |    AND least((b+1)*h, n) - b*h >= 15)::INT AS n_segments,
+      |  coalesce(min(b*h) FILTER (WHERE b % 4 = 3
+      |    AND least((b+1)*h, n) - b*h >= 15), -1)::INT AS first_start
+      |FROM blocks GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** mm11: SRT subtitle parse + time-range alignment. Cues round-trip
+    * through the REAL formatter and parser ([[Subtitles]]), then a
+    * range join assigns each sampled frame timestamp its covering cue
+    * (starts 2000 ms apart, 1500 ms long — at most one match). The
+    * caption-to-clip pairing primitive of video-text curation. */
+  private def srtAlign(s: SparkSession, dir: String): DataFrame = {
+    val mkSrt = udf { (id: Long) =>
+      val k = (2 + id % 4).toInt
+      val off = (id % 7) * 250
+      Subtitles.formatSrt((0 until k).map(j =>
+        Subtitles.Cue(j + 1, j * 2000L + off, j * 2000L + off + 1500,
+          s"cue ${id}_$j")))
+    }
+    val parse = udf { (srt: String) =>
+      Subtitles.parseSrt(srt).map(c => (c.index, c.startMs, c.endMs, c.text))
+    }
+    val docs = Tables(s, dir).documents
+    val cues = docs
+      .select(col("doc_id").as("media_id"),
+        explode(parse(mkSrt(col("doc_id")))).as("cue"))
+      .select(col("media_id"), col("cue._1").as("cue_index"),
+        col("cue._2").as("start_ms"), col("cue._3").as("end_ms"),
+        col("cue._4").as("cue_text"))
+    val frames = docs
+      .select(col("doc_id").as("media_id"),
+        explode(sequence(lit(0), lit(7))).as("frame_no"))
+      .withColumn("ts_ms", col("frame_no").cast("long") * 997L)
+    frames.join(cues, Seq("media_id"))
+      .where(col("ts_ms") >= col("start_ms") && col("ts_ms") < col("end_ms"))
+      .select(col("media_id"), col("frame_no"), col("ts_ms"),
+        col("cue_index"), col("cue_text"))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  private val srtAlignSql =
+    """WITH f AS (
+      |  SELECT doc_id, (2 + doc_id % 4)::BIGINT AS k,
+      |    ((doc_id % 7) * 250)::BIGINT AS off,
+      |    unnest(generate_series(0, 7)) AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, t, t*997 AS ts_ms, (t*997 - off) // 2000 AS j
+      |  FROM f
+      |  WHERE t*997 >= off AND (t*997 - off) // 2000 < k
+      |    AND (t*997 - off) % 2000 < 1500)
+      |SELECT doc_id AS media_id, t::INT AS frame_no, ts_ms::BIGINT AS ts_ms,
+      |  (j + 1)::INT AS cue_index,
+      |  'cue ' || doc_id || '_' || j AS cue_text
+      |FROM m ORDER BY media_id, frame_no""".stripMargin
+
+  override val defs: Map[String, QueryDef] = Map(
+    "mm08_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsSql)),
+    "mm09_patchify" -> QueryDef(patchify, Some(patchifySql)),
+    "mm10_silence_segments" -> QueryDef(silenceSegments,
+      Some(silenceSegmentsSql)),
+    "mm11_srt_align" -> QueryDef(srtAlign, Some(srtAlignSql)),
+  )
+}

@@ -62,6 +62,63 @@ class MediaColumnsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_bytes") > 0))
   }
 
+  test("sceneCuts flags exactly the frame-content jumps") {
+    import spark.implicits._
+    // 6 frames of 1x1 gray: scenes [0,0,0],[1,1,1] at value 10 vs 200
+    val frames = (0 until 6).map { f =>
+      Codecs.encodeImage(Codecs.ImageData(1, 1, 1, "L",
+        Array((if (f < 3) 10 else 200).toByte)), "png")
+    }
+    val mp4 = Mp4Samples.encodeFrames(frames, codec = "png ", fps = 5,
+      width = 1, height = 1, syncEvery = 3)
+    val df = Seq((1L, mp4)).toDF("media_id", "content")
+    val r = MediaColumns.sceneCuts(df, graft.pack.FrameSource.Mp4Frames,
+      threshold = 30).collect().head
+    assert(r.getAs[Int]("n_frames") == 6)
+    assert(r.getAs[Int]("n_cuts") == 1)
+    assert(r.getAs[Long]("sad_total") == 190L)
+    assert(r.getAs[Int]("first_cut") == 3)
+  }
+
+  test("patchify fans a 4x4 image into 2x2 patches with correct bytes") {
+    import spark.implicits._
+    val img = Codecs.ImageData(4, 4, 1, "L",
+      Array.tabulate(16)(i => i.toByte))
+    val df = Seq((7L, Codecs.encodeImage(img, "png")))
+      .toDF("media_id", "content")
+    val rows = MediaColumns.patchify(df, 2)
+      .orderBy("patch_row", "patch_col").collect()
+    assert(rows.length == 4)
+    val p00 = rows(0).getAs[Array[Byte]]("patch").toSeq
+    assert(p00 == Seq[Byte](0, 1, 4, 5))
+    val p11 = rows(3).getAs[Array[Byte]]("patch").toSeq
+    assert(p11 == Seq[Byte](10, 11, 14, 15))
+    // partial edge patches are dropped (floor count)
+    val odd = Seq((8L, Codecs.encodeImage(
+      Codecs.ImageData(5, 5, 1, "L", Array.tabulate(25)(_.toByte)), "png")))
+      .toDF("media_id", "content")
+    assert(MediaColumns.patchify(odd, 2).count() == 4)
+  }
+
+  test("silenceSegments finds runs with threshold and minRun semantics") {
+    import spark.implicits._
+    // 20 samples: loud(5) silent(6) loud(4) silent(5 at tail)
+    val s = (Array.fill(5)(5000.toShort) ++ Array.fill(6)(3.toShort) ++
+      Array.fill(4)(-5000.toShort) ++ Array.fill(5)(0.toShort))
+    val wav = WavCodec.encode(WavCodec.Wav(8000, 1, s))
+    val df = Seq((1L, wav)).toDF("media_id", "content")
+    val r = MediaColumns.silenceSegments(df, threshold = 100, minRun = 5)
+      .collect().head
+    assert(r.getAs[Int]("n_samples") == 20)
+    assert(r.getAs[Int]("n_silent") == 11)
+    assert(r.getAs[Int]("n_segments") == 2)
+    assert(r.getAs[Int]("first_start") == 5)
+    // minRun = 6 drops the 5-sample tail run
+    val r6 = MediaColumns.silenceSegments(df, threshold = 100, minRun = 6)
+      .collect().head
+    assert(r6.getAs[Int]("n_segments") == 1)
+  }
+
   test("resizeNearest identity returns the same pixels") {
     val img = Codecs.ImageData(3, 4, 3, "RGB",
       Array.tabulate(36)(i => (i * 7 % 251).toByte))

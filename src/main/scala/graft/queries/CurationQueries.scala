@@ -507,7 +507,91 @@ object CurationQueries extends QueryRegistry {
       |    AS rank, doc_id, n_chars AS score
       |FROM documents ORDER BY rank""".stripMargin
 
+  /** qc04: sequence-length bucketing — group docs into power-of-two
+    * token-length buckets (floor 32) and report the padding waste each
+    * bucket pays, the batching-efficiency audit run before choosing
+    * packing/bucketing boundaries. The bucket is computed with pure
+    * integer arithmetic (`1 << length(bin(n-1))`) — a float log2 would
+    * risk cross-engine ceil() disagreement at exact powers of two. */
+  private def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "length(bin(greatest(n_tokens, 32L) - 1))) AS BIGINT)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"bucket" - $"n_tokens").as("pad_waste"))
+      .withColumn("waste_pct",
+        round($"pad_waste" * 100.0 / ($"bucket" * $"n_docs"), 4))
+      .orderBy($"bucket")
+  }
+
+  private val lengthBucketsSql =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tokens,
+      |    (1::BIGINT << length(bin(greatest(n_tokens, 32) - 1)))::BIGINT
+      |      AS bucket
+      |  FROM t)
+      |SELECT bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+      |  sum(bucket - n_tokens)::BIGINT AS pad_waste,
+      |  round(sum(bucket - n_tokens) * 100.0 / (bucket * count(*)), 4)
+      |    AS waste_pct
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** qc05: caption↔media embedding-alignment filter (the LAION recipe:
+    * keep pairs whose CLIP-style cosine clears a floor). Pairs are the
+    * fixture convention (vec 2k = media, 2k+1 = its caption); cosine is
+    * the native codegen'd expression, rounded before thresholding so
+    * the filter is replay-stable. One equi-join on pair_id — embedding
+    * payloads move once, and at scale the pairing is already co-located
+    * because both rows ship in the same ingest record. */
+  private def alignmentFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+    val media = e.filter($"vec_id" % 2 === 0)
+      .select(($"vec_id" / 2).cast("long").as("pair_id"),
+        $"embedding".as("mv"))
+    val caption = e.filter($"vec_id" % 2 === 1)
+      .select((($"vec_id" - 1) / 2).cast("long").as("pair_id"),
+        $"embedding".as("cv"))
+    media.join(caption, Seq("pair_id"))
+      .select($"pair_id",
+        round(graft.functions.CosineSimilarity.cosineSim($"mv", $"cv"), 6)
+          .as("alignment"))
+      .filter($"alignment" >= 0.05)
+      .orderBy($"pair_id")
+  }
+
+  private val alignmentFilterSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |m AS (SELECT vec_id // 2 AS pair_id, emb AS mv FROM e
+      |  WHERE vec_id % 2 = 0),
+      |c AS (SELECT (vec_id - 1) // 2 AS pair_id, emb AS cv FROM e
+      |  WHERE vec_id % 2 = 1),
+      |s AS (
+      |  SELECT pair_id,
+      |    round(list_sum(list_transform(generate_series(1, len(mv)),
+      |            i -> mv[i] * cv[i]))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, len(mv)),
+      |            i -> mv[i] * mv[i])))
+      |       * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+      |            i -> cv[i] * cv[i])))), 6) AS alignment
+      |  FROM m JOIN c USING (pair_id))
+      |SELECT pair_id, alignment FROM s WHERE alignment >= 0.05
+      |ORDER BY pair_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qc04_length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
+    "qc05_alignment_filter" -> QueryDef(alignmentFilter,
+      Some(alignmentFilterSql)),
     "qc03_curriculum" -> QueryDef(curriculum, Some(curriculumSql)),
     "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql)),
     "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),

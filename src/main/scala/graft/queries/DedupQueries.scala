@@ -419,6 +419,87 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** qd15: INCREMENTAL dedup — the daily-ingest shape. The corpus
+    * (even doc_ids, standing in for the already-deduped lake) keeps its
+    * signature index; only the increment (odd doc_ids) is new. A new
+    * doc is a duplicate if any LSH band matches a corpus doc OR an
+    * EARLIER new doc (id order = arrival order) with signature-
+    * estimated Jaccard ≥ 0.5. At 100 TB this is the whole point of
+    * signature indexes: the daily join touches |increment| × bands
+    * rows against a bucketed corpus index — never the corpus text,
+    * never corpus×corpus. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val bands = sig.select($"doc_id" +: bandCols: _*)
+      .select($"doc_id", explode(array(
+        (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
+    val newBands = bands.filter($"doc_id" % 2 === 1)
+      .select($"doc_id".as("new_id"), $"band")
+    val indexBands = bands // corpus ∪ earlier increment
+      .select($"doc_id".as("cand_id"), $"band")
+    val cand = newBands.join(indexBands,
+      newBands("band") === indexBands("band") &&
+        (col("cand_id") % 2 === 0 || col("cand_id") < col("new_id")))
+      .select($"new_id", $"cand_id").distinct()
+    val hs = 0 until NumHashes
+    val a = sig.select($"doc_id".as("new_id") +:
+      hs.map(k => col(s"h$k").as(s"a_h$k")): _*)
+    val b = sig.select($"doc_id".as("cand_id") +:
+      hs.map(k => col(s"h$k").as(s"b_h$k")): _*)
+    val agree = hs.map(k =>
+      when(col(s"a_h$k") === col(s"b_h$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val verified = cand.join(a, "new_id").join(b, "cand_id")
+      .select($"new_id", $"cand_id", agree.as("n_agree"))
+    val newDocs = sig.filter($"doc_id" % 2 === 1)
+      .select($"doc_id".as("new_id"))
+    newDocs.join(verified, Seq("new_id"), "left")
+      .groupBy($"new_id")
+      .agg(
+        count($"cand_id").as("n_cands"),
+        max(when($"n_agree" >= NumHashes / 2, 1).otherwise(0))
+          .as("dup_flag"),
+        min(when($"n_agree" >= NumHashes / 2, $"cand_id")).as("match_min"))
+      .select($"new_id", $"n_cands",
+        coalesce($"dup_flag", lit(0)).as("is_dup"),
+        coalesce($"match_min", lit(-1L)).as("match_id"))
+      .orderBy($"new_id")
+  }
+
+  private val incrementalDedupSql = {
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    val agree = (0 until NumHashes)
+      .map(k => s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(b => s"band$b").mkString(", ")}]) AS band
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS cand_id
+       |  FROM eb n JOIN eb i ON n.band = i.band
+       |   AND n.doc_id % 2 = 1
+       |   AND (i.doc_id % 2 = 0 OR i.doc_id < n.doc_id)),
+       |ver AS (
+       |  SELECT new_id, cand_id, ($agree) AS n_agree
+       |  FROM cand JOIN sig a ON new_id = a.doc_id
+       |            JOIN sig b ON cand_id = b.doc_id)
+       |SELECT s.doc_id AS new_id, count(cand_id) AS n_cands,
+       |  coalesce(max(CASE WHEN n_agree >= ${NumHashes / 2} THEN 1
+       |    ELSE 0 END), 0) AS is_dup,
+       |  coalesce(min(CASE WHEN n_agree >= ${NumHashes / 2} THEN cand_id
+       |    END), -1)::BIGINT AS match_id
+       |FROM sig s LEFT JOIN ver ON s.doc_id = ver.new_id
+       |WHERE s.doc_id % 2 = 1
+       |GROUP BY s.doc_id ORDER BY new_id""".stripMargin
+  }
+
   /** End-to-end dedup keep-list: drop the higher doc_id of every
     * Jaccard-verified near-dup pair (threshold 0.5) — the pipeline's
     * final output shape (LSH candidates → exact verify → prune). */
@@ -676,5 +757,7 @@ object DedupQueries extends QueryRegistry {
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql), bench = true),
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),
+    "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
+      Some(incrementalDedupSql)),
   )
 }

@@ -102,6 +102,33 @@ object CurationProbe {
       big.unpersist()
     }
 
+    // ---- interval join: naive user-key join vs qe08 hour binning ----
+    // copies shift ts by i×7 days, users unchanged: per-user history
+    // grows ×m (the long-lived-user shape) while per-(user, hour)
+    // density stays constant — the naive per-user cross product is m²,
+    // the binned candidate set is linear
+    multiples.foreach { m =>
+      val big = (0 until m).map { i =>
+        events.select(col("event_id"),
+          (col("ts") + expr(s"INTERVAL ${i * 7} DAYS")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      }.reduce(_ union _)
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      val n = big.count()
+      var rows = 0L
+      val tNaive = time {
+        rows = queries.EventQueries.intervalNaiveFrom(big).count()
+      }
+      var rowsB = 0L
+      val tBin = time {
+        rowsB = queries.EventQueries.intervalBinFrom(big).count()
+      }
+      require(rows == rowsB, s"bin join disagrees: $rows vs $rowsB")
+      println(f"[curation] ivEvents=$n%9d naive=$tNaive%6.2fs " +
+        f"binned=$tBin%6.2fs (pairs=$rows%d)")
+      big.unpersist()
+    }
+
     // ---- SemDeDup at 1M vectors, cluster count dialed with n ----
     // (clusters ≈ n/50: in-cluster pair work stays ~25n, never O(n²))
     Seq(100000, 1000000).foreach { nv =>

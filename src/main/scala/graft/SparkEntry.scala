@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CurationQueries, DedupQueries, EventQueries,
-  MediaQueries, RelationalQueries, SimilarityQueries, TextQueries,
-  WdsQueries}
+  MediaQueries, QualityQueries, RelationalQueries, SimilarityQueries,
+  TextQueries, WdsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MediaQueries,
+    QualityQueries,
     WdsQueries,
   )
 

@@ -274,7 +274,68 @@ object EventQueries extends QueryRegistry {
       |  min(value) AS vmin, max(value) AS vmax
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** qe08: interval join via TIME BINNING — the scale-safe form of the
+    * click→purchase attribution range join (same semantics and oracle
+    * as st03's stream-stream join). A naive plan equi-joins on user_id
+    * and post-filters the window predicate, which goes quadratic in
+    * per-user event count; binning each click's 1-hour window into the
+    * 2 covering hour bins and equi-joining on (user_id, bin) bounds
+    * every probe to its two hour-buckets — candidate count scales with
+    * events-per-user-HOUR, not events-per-user. The standard missing-
+    * range-join workaround on Spark; measured against the naive plan
+    * in SCALE.md. A (click, purchase) pair can only meet in the
+    * purchase's single bin, so binning introduces no duplicates. */
+  private def intervalBinJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    intervalBinFrom(Tables(s, dir).events)
+      .orderBy($"user_id", $"click_ts", $"purchase_ts")
+  }
+
+  /** qe08 core over any events frame — shared with the scale probe. */
+  private[graft] def intervalBinFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"),
+        floor(unix_timestamp($"ts") / 3600L).as("cbin"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        floor(unix_timestamp($"ts") / 3600L).as("bin"))
+    val binned = clicks.withColumn("bin",
+      explode(array($"cbin", $"cbin" + 1L)))
+    binned.join(purchases,
+      binned("bin") === purchases("bin") &&
+        binned("user_id") === purchases("p_user") &&
+        $"purchase_ts" > $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"click_ts", $"purchase_ts")
+  }
+
+  /** The naive plan qe08 replaces: equi-join on user_id alone, window
+    * predicate as a post-filter — per-user cross product (probe-only). */
+  private[graft] def intervalNaiveFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"))
+    clicks.join(purchases,
+      clicks("user_id") === purchases("p_user") &&
+        $"purchase_ts" > $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"click_ts", $"purchase_ts")
+  }
+
+  private[graft] val intervalBinJoinSql =
+    """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qe08_interval_bin_join" -> QueryDef(intervalBinJoin,
+      Some(intervalBinJoinSql)),
     "qe07_value_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
     "qe06_asof_join" -> QueryDef(asofJoin, Some(asofJoinSql), bench = true),
     "qe05_retention" -> QueryDef(retention, Some(retentionSql)),

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit tier (Deequ-shaped): the checks a 100 TB pipeline
+  * runs before admitting a batch into the lake.
+  *
+  *  - qa01 column profile: per-column null/distinct/min/max in ONE scan
+  *    (single agg row → stack) — a 100 TB profile must not re-scan per
+  *    column. Multi-distinct plans via Expand stay one pass.
+  *  - qa02 constraint validation: declarative rule → violation count +
+  *    rate, one scan for row-local rules plus one aggregation for the
+  *    uniqueness rule (the only rule that inherently needs a shuffle).
+  *  - qa03 distribution drift: categorical share comparison between two
+  *    time periods (the train/serve skew monitor), L1 contribution per
+  *    category.
+  */
+object QualityQueries extends QueryRegistry {
+
+  private val NumCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+  private val StrCols = Seq("l_returnflag", "l_linestatus")
+
+  private def profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    def nulls(c: String): Column =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (NumCols ++ StrCols).flatMap(c => Seq(
+          nulls(c),
+          count_distinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val branches =
+      NumCols.map(c => s"'$c', n_rows, ${c}__nulls, ${c}__nd, " +
+        s"CAST(${c}__min AS DOUBLE), CAST(${c}__max AS DOUBLE), " +
+        "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+      StrCols.map(c => s"'$c', n_rows, ${c}__nulls, ${c}__nd, " +
+        s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+        s"${c}__min, ${c}__max")
+    one.select(expr(
+      s"stack(${branches.size}, ${branches.mkString(", ")}) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, " +
+        "min_str, max_str)"))
+      .orderBy("col_name")
+  }
+
+  private val profileSql = {
+    val aggs =
+      (NumCols ++ StrCols).map(c =>
+        s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS ${c}__nulls, " +
+        s"count(DISTINCT $c) AS ${c}__nd, min($c) AS ${c}__min, " +
+        s"max($c) AS ${c}__max").mkString(",\n    ")
+    val rows =
+      (NumCols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, ${c}__nulls AS n_nulls, " +
+        s"${c}__nd AS n_distinct, ${c}__min::DOUBLE AS min_num, " +
+        s"${c}__max::DOUBLE AS max_num, NULL::VARCHAR AS min_str, " +
+        "NULL::VARCHAR AS max_str FROM a") ++
+      StrCols.map(c =>
+        s"SELECT '$c', n_rows, ${c}__nulls, ${c}__nd, NULL::DOUBLE, " +
+        s"NULL::DOUBLE, ${c}__min, ${c}__max FROM a"))
+        .mkString("\n  UNION ALL ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |    $aggs
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** Row-local rules as (name, violation predicate); violated also when
+    * the input is NULL (a null quantity is not a positive quantity). */
+  private val Rules: Seq[(String, Column)] = Seq(
+    "quantity_positive" -> !(col("l_quantity") > 0),
+    "discount_unit_range" ->
+      !(col("l_discount") >= 0 && col("l_discount") <= 1),
+    "tax_unit_range" -> !(col("l_tax") >= 0 && col("l_tax") <= 1),
+    "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+    "linestatus_domain" -> !col("l_linestatus").isin("O", "F"),
+    "price_positive" -> !(col("l_extendedprice") > 0),
+  ).map { case (n, viol) => (n, coalesce(viol, lit(true))) }
+
+  private def constraints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val aggs = count(lit(1)).as("n_rows") +:
+      Rules.map { case (n, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"${n}__v")
+      }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val branches = Rules.map { case (n, _) => s"'$n', ${n}__v" }
+    val rowLocal = one.select(expr(
+      s"stack(${Rules.size}, ${branches.mkString(", ")}) AS " +
+        "(rule, n_violations)"), col("n_rows"))
+    // uniqueness rule: the one check that needs a shuffle — rows beyond
+    // the first of each (orderkey, linenumber) key are violations
+    val dups = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_rows"))
+      .select(lit("orderline_unique").as("rule"), col("n_violations"),
+        col("n_rows"))
+    rowLocal.unionByName(dups)
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations") * 100.0 / col("n_rows"), 4)
+          .as("violation_pct"))
+      .orderBy("rule")
+  }
+
+  private val constraintsSql = {
+    val viols = Seq(
+      "quantity_positive" -> "NOT (l_quantity > 0)",
+      "discount_unit_range" -> "NOT (l_discount >= 0 AND l_discount <= 1)",
+      "tax_unit_range" -> "NOT (l_tax >= 0 AND l_tax <= 1)",
+      "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+      "linestatus_domain" -> "l_linestatus NOT IN ('O', 'F')",
+      "price_positive" -> "NOT (l_extendedprice > 0)",
+    )
+    val aggs = viols.map { case (n, p) =>
+      s"sum(CASE WHEN coalesce($p, TRUE) THEN 1 ELSE 0 END)::BIGINT AS ${n}__v"
+    }.mkString(",\n    ")
+    val rows = viols.map { case (n, _) =>
+      s"SELECT '$n' AS rule, ${n}__v AS n_violations, n_rows FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |    $aggs
+       |  FROM lineitem),
+       |u AS (
+       |  SELECT 'orderline_unique' AS rule,
+       |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+       |      AS n_violations,
+       |    count(*) AS n_rows
+       |  FROM lineitem)
+       |SELECT rule, n_violations,
+       |  round(n_violations * 100.0 / n_rows, 4) AS violation_pct
+       |FROM ($rows UNION ALL SELECT * FROM u)
+       |ORDER BY rule""".stripMargin
+  }
+
+  /** qa03: categorical distribution drift between order periods (pre /
+    * post 1998) — per-category share in each period and its L1
+    * contribution. Shares are exact integer ratios rounded identically
+    * in both engines. */
+  private def drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders
+      .withColumn("period",
+        when(year($"o_orderdate") < 1998, "a").otherwise("b"))
+    val counts = o.groupBy($"o_orderpriority", $"period")
+      .agg(count(lit(1)).as("n"))
+    val pivoted = counts.groupBy($"o_orderpriority")
+      .agg(
+        coalesce(sum(when($"period" === "a", $"n")), lit(0L)).as("n_a"),
+        coalesce(sum(when($"period" === "b", $"n")), lit(0L)).as("n_b"))
+    val totals = pivoted.agg(sum($"n_a").as("tot_a"), sum($"n_b").as("tot_b"))
+    pivoted.crossJoin(broadcast(totals))
+      .select($"o_orderpriority", $"n_a", $"n_b",
+        round($"n_a" * 1.0 / $"tot_a", 6).as("share_a"),
+        round($"n_b" * 1.0 / $"tot_b", 6).as("share_b"),
+        round(abs($"n_a" * 1.0 / $"tot_a" - $"n_b" * 1.0 / $"tot_b"), 6)
+          .as("drift"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val driftSql =
+    """WITH p AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 'a' ELSE 'b' END AS period
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_orderpriority,
+      |    sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b
+      |  FROM p GROUP BY o_orderpriority),
+      |t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM c)
+      |SELECT o_orderpriority, n_a, n_b,
+      |  round(n_a * 1.0 / tot_a, 6) AS share_a,
+      |  round(n_b * 1.0 / tot_b, 6) AS share_b,
+      |  round(abs(n_a * 1.0 / tot_a - n_b * 1.0 / tot_b), 6) AS drift
+      |FROM c, t ORDER BY o_orderpriority""".stripMargin
+
+  override val defs: Map[String, QueryDef] = Map(
+    "qa01_profile" -> QueryDef(profile, Some(profileSql)),
+    "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql)),
+    "qa03_drift" -> QueryDef(drift, Some(driftSql)),
+  )
+}

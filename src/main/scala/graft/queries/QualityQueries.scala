@@ -111,21 +111,37 @@ object QualityQueries extends QueryRegistry {
       .orderBy("rule")
   }
 
+  private val SqlViols = Seq(
+    "quantity_positive" -> "NOT (l_quantity > 0)",
+    "discount_unit_range" -> "NOT (l_discount >= 0 AND l_discount <= 1)",
+    "tax_unit_range" -> "NOT (l_tax >= 0 AND l_tax <= 1)",
+    "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+    "linestatus_domain" -> "l_linestatus NOT IN ('O', 'F')",
+    "price_positive" -> "NOT (l_extendedprice > 0)",
+  )
+
+  private def sqlViolAggs: String = SqlViols.map { case (n, p) =>
+    s"sum(CASE WHEN coalesce($p, TRUE) THEN 1 ELSE 0 END)::BIGINT AS ${n}__v"
+  }.mkString(",\n    ")
+
+  private def sqlViolRows: String = SqlViols.map { case (n, _) =>
+    s"SELECT '$n' AS rule, ${n}__v AS n_violations, n_rows FROM a"
+  }.mkString("\n  UNION ALL ")
+
+  /** Oracle for the streaming monitor: the row-local subset of qa02. */
+  private val streamConstraintsSql =
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |    $sqlViolAggs
+       |  FROM lineitem)
+       |SELECT rule, n_violations,
+       |  round(n_violations * 100.0 / n_rows, 4) AS violation_pct
+       |FROM ($sqlViolRows)
+       |ORDER BY rule""".stripMargin
+
   private val constraintsSql = {
-    val viols = Seq(
-      "quantity_positive" -> "NOT (l_quantity > 0)",
-      "discount_unit_range" -> "NOT (l_discount >= 0 AND l_discount <= 1)",
-      "tax_unit_range" -> "NOT (l_tax >= 0 AND l_tax <= 1)",
-      "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')",
-      "linestatus_domain" -> "l_linestatus NOT IN ('O', 'F')",
-      "price_positive" -> "NOT (l_extendedprice > 0)",
-    )
-    val aggs = viols.map { case (n, p) =>
-      s"sum(CASE WHEN coalesce($p, TRUE) THEN 1 ELSE 0 END)::BIGINT AS ${n}__v"
-    }.mkString(",\n    ")
-    val rows = viols.map { case (n, _) =>
-      s"SELECT '$n' AS rule, ${n}__v AS n_violations, n_rows FROM a"
-    }.mkString("\n  UNION ALL ")
+    val aggs = sqlViolAggs
+    val rows = sqlViolRows
     s"""WITH a AS (
        |  SELECT count(*) AS n_rows,
        |    $aggs
@@ -140,6 +156,38 @@ object QualityQueries extends QueryRegistry {
        |  round(n_violations * 100.0 / n_rows, 4) AS violation_pct
        |FROM ($rows UNION ALL SELECT * FROM u)
        |ORDER BY rule""".stripMargin
+  }
+
+  /** st08: the qa02 row-local rules as a STREAMING monitor — the
+    * validate-as-you-ingest shape (violation counters over an unbounded
+    * source, Complete mode). Only the row-local rules stream (the
+    * uniqueness rule needs unbounded keyed state by design — that one
+    * stays a batch audit); totals must equal the batch audit's, so the
+    * oracle is the 6-rule subset of qa02's. The global agg is a 1-row
+    * partial-aggregated stream — no keyed state, no watermark needed. */
+  private def streamConstraints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val stage = WdsQueries.scratchDir("graft_qa_stage")
+    li.write.mode("overwrite").parquet(stage)
+    val stream = s.readStream.schema(li.schema).parquet(stage)
+    val aggs = count(lit(1)).as("n_rows") +:
+      Rules.map { case (n, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"${n}__v")
+      }
+    val name = "stream_qa_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val one = graft.streaming.EventStreams.runToMemory(s,
+      stream.agg(aggs.head, aggs.tail: _*), name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(1))
+    val branches = Rules.map { case (n, _) => s"'$n', ${n}__v" }
+    one.select(expr(
+      s"stack(${Rules.size}, ${branches.mkString(", ")}) AS " +
+        "(rule, n_violations)"), col("n_rows"))
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations") * 100.0 / col("n_rows"), 4)
+          .as("violation_pct"))
+      .orderBy("rule")
   }
 
   /** qa03: categorical distribution drift between order periods (pre /
@@ -188,5 +236,7 @@ object QualityQueries extends QueryRegistry {
     "qa01_profile" -> QueryDef(profile, Some(profileSql)),
     "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql)),
     "qa03_drift" -> QueryDef(drift, Some(driftSql)),
+    "st08_stream_constraints" -> QueryDef(streamConstraints,
+      Some(streamConstraintsSql)),
   )
 }

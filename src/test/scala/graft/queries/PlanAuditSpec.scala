@@ -128,4 +128,34 @@ class PlanAuditSpec extends SparkSpec {
         Set("doc_id", "text")), s.requiredSchema.fieldNames.mkString(","))
     }
   }
+
+  test("qe08: the interval join is an equi-join, never a nested loop") {
+    // binning exists to give the planner equi-keys — a
+    // BroadcastNestedLoopJoin in this plan means the rewrite regressed
+    // to the theta-join the query exists to avoid
+    val p = planOf("qe08_interval_bin_join")
+    val nlj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty, s"interval join planned as nested loop:\n$p")
+    val equiJoins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.length
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.length
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.length
+    }
+    assert(equiJoins.exists(_ >= 2),
+      s"expected an equi-join on (user, bin):\n$p")
+  }
+
+  test("qa01/qa02: the one-scan audits really scan once") {
+    // profile and row-local constraints promise a single pass over
+    // lineitem; a second FileSourceScan would mean the stack/agg
+    // composition silently re-reads 100 TB. (qa02 keeps a second scan
+    // for the uniqueness rule — allow exactly 2 there.)
+    assert(scans(planOf("qa01_profile")).length == 1)
+    assert(scans(planOf("qa02_constraints")).length == 2)
+  }
 }

@@ -165,6 +165,11 @@ object MediaColumns {
               while (i < len) {
                 sad += math.abs((cur(i) & 0xff) - (prev(i) & 0xff)); i += 1
               }
+              // a geometry change IS a shot boundary: a common-prefix
+              // comparison would silently under-score it (the prefixes
+              // aren't even position-aligned when strides differ), so
+              // missing bytes count at full difference
+              sad += 255L * math.abs(prev.length - cur.length)
               sadTotal += sad
               if (sad > threshold) {
                 cuts += 1

@@ -17,7 +17,15 @@ object Subtitles {
   final case class Cue(index: Int, startMs: Long, endMs: Long, text: String)
 
   private val Timing =
-    """(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3})\s*-->\s*(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3}).*""".r
+    """(\d{1,3}):(\d{2}):(\d{2})[,.](\d{1,3})\s*-->\s*(\d{1,3}):(\d{2}):(\d{2})[,.](\d{1,3}).*""".r
+
+  /** ASCII-digit Int with overflow guard — `forall(_.isDigit)` accepts
+    * Unicode digits and arbitrarily long runs that `toInt` then throws
+    * on; a malformed index must skip the cue, never kill the parse. */
+  private def asciiInt(t: String): Option[Int] =
+    if (t.nonEmpty && t.length <= 9 && t.forall(c => c >= '0' && c <= '9'))
+      Some(t.toInt)
+    else None
 
   private def ms(h: String, m: String, s: String, f: String): Long =
     h.toLong * 3600000L + m.toLong * 60000L + s.toLong * 1000L +
@@ -32,12 +40,16 @@ object Subtitles {
     for (block <- blocks) {
       val lines = block.split('\n').toIndexedSeq.dropWhile(_.trim.isEmpty)
       if (lines.nonEmpty) {
-        // optional index line before the timing line
-        val (idx, rest) = lines.head.trim match {
-          case t if t.nonEmpty && t.forall(_.isDigit) && lines.length > 1 =>
-            (t.toInt, lines.tail)
-          case _ => (autoIdx + 1, lines)
-        }
+        // optional index line before the timing line; digit runs that
+        // overflow Int (or use non-ASCII digits) still consume the line
+        // but take the sequential fallback index
+        val head = lines.head.trim
+        val looksIndex = head.nonEmpty && head.forall(_.isDigit) &&
+          lines.length > 1
+        val (idx, rest) =
+          if (looksIndex)
+            (asciiInt(head).getOrElse(autoIdx + 1), lines.tail)
+          else (autoIdx + 1, lines)
         rest.headOption.map(_.trim) match {
           case Some(Timing(h1, m1, s1, f1, h2, m2, s2, f2)) =>
             autoIdx = idx

@@ -114,7 +114,11 @@ object Png {
           ok = true
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => done = true
-        case _ => () // ancillary chunks skipped
+        // tRNS expands RGB/gray to an alpha'd image in the ImageIO path
+        // (the numComponents != numBands redraw in Codecs) — keep that
+        // behavior by declining the fast path
+        case "tRNS" => return None
+        case _ => () // other ancillary chunks skipped
       }
       pos += 12 + len
     }
@@ -127,8 +131,13 @@ object Png {
     var n = 0
     while (n < raw.length && !infl.finished()) {
       val k = infl.inflate(raw, n, raw.length - n)
-      if (k == 0 && infl.needsInput()) // truncated stream
-        throw new IllegalArgumentException("png idat truncated")
+      // 0 with !finished means no forward progress is possible —
+      // truncated stream (needsInput) or a forbidden preset dictionary
+      // (needsDictionary, FDICT is illegal in PNG); both must throw,
+      // not spin
+      if (k == 0)
+        throw new IllegalArgumentException("png idat stalled " +
+          s"(truncated=${infl.needsInput()}, dict=${infl.needsDictionary()})")
       n += k
     }
     infl.end()

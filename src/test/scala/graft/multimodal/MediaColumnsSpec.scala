@@ -80,6 +80,23 @@ class MediaColumnsSpec extends SparkSpec {
     assert(r.getAs[Int]("first_cut") == 3)
   }
 
+  test("sceneCuts scores a frame-geometry change as a full cut") {
+    import spark.implicits._
+    // same gray value but 1x1 -> 2x2: content-prefix SAD is 0, the
+    // geometry delta must still trip the threshold
+    val f1 = Codecs.encodeImage(
+      Codecs.ImageData(1, 1, 1, "L", Array(50.toByte)), "png")
+    val f2 = Codecs.encodeImage(
+      Codecs.ImageData(2, 2, 1, "L", Array.fill(4)(50.toByte)), "png")
+    val mp4 = Mp4Samples.encodeFrames(Seq(f1, f2), codec = "png ", fps = 5,
+      width = 2, height = 2, syncEvery = 2)
+    val df = Seq((1L, mp4)).toDF("media_id", "content")
+    val r = MediaColumns.sceneCuts(df, graft.pack.FrameSource.Mp4Frames,
+      threshold = 30).collect().head
+    assert(r.getAs[Int]("n_cuts") == 1)
+    assert(r.getAs[Long]("sad_total") == 255L * 3)
+  }
+
   test("patchify fans a 4x4 image into 2x2 patches with correct bytes") {
     import spark.implicits._
     val img = Codecs.ImageData(4, 4, 1, "L",

@@ -65,4 +65,26 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(parseSrt("42\n\n00:00:01,000 --> 00:00:02,000\nz\n")
       == Seq(Cue(1, 1000, 2000, "z")))
   }
+
+  test("overflowing or non-ASCII-digit index lines take the fallback index") {
+    val srt =
+      """99999999999
+        |00:00:01,000 --> 00:00:02,000
+        |a
+        |
+        |٢٣
+        |00:00:03,000 --> 00:00:04,000
+        |b
+        |""".stripMargin
+    val cues = parseSrt(srt)
+    assert(cues.map(_.text) == Seq("a", "b"))
+    assert(cues.map(_.index) == Seq(1, 2))
+  }
+
+  test("cues past 99 hours round-trip (3-digit hour field)") {
+    val cues = Seq(Cue(1, 100L * 3600000L, 100L * 3600000L + 1500, "late"))
+    val rendered = formatSrt(cues)
+    assert(rendered.contains("100:00:00,000"))
+    assert(parseSrt(rendered) == cues)
+  }
 }

@@ -126,6 +126,50 @@ class PngSpec extends AnyFunSuite {
       assert((decoded.data(y * w + x) & 0xff) == pix(y)(x), s"y=$y x=$x")
   }
 
+  test("FDICT zlib stream throws instead of spinning") {
+    // FDICT is forbidden in PNG; Inflater returns 0 with needsDictionary
+    // — the decoder must throw, not loop. CMF=0x78 FLG=0x20 passes the
+    // zlib check-bits test (30720+32 ≡ 0 mod 31) with FDICT set.
+    val shell = Png.encode(Codecs.ImageData(2, 2, 1, "L", new Array[Byte](4)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(shell, 0, 8 + 25) // magic + IHDR
+    val idat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    def putInt(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    putInt(idat.length); out.write("IDAT".getBytes("US-ASCII"))
+    out.write(idat)
+    putInt(0) // bogus CRC (not validated)
+    putInt(0); out.write("IEND".getBytes("US-ASCII")); putInt(0)
+    val ex = intercept[IllegalArgumentException] { Png.decode(out.toByteArray) }
+    assert(ex.getMessage.contains("stalled"))
+  }
+
+  test("tRNS transparency declines the fast path; ImageIO still expands it") {
+    val img = randImg(new Random(5), 3)
+    val good = Png.encode(img)
+    // splice a tRNS chunk (RGB form: three 16-bit sample values) after IHDR
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8 + 25)
+    def putInt(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    val trns = Array[Byte](0, 1, 0, 2, 0, 3)
+    putInt(trns.length); out.write("tRNS".getBytes("US-ASCII"))
+    out.write(trns)
+    val crc = new java.util.zip.CRC32()
+    crc.update("tRNS".getBytes("US-ASCII")); crc.update(trns)
+    putInt(crc.getValue.toInt)
+    out.write(good, 8 + 25, good.length - 8 - 25)
+    val bytes = out.toByteArray
+    assert(Png.decode(bytes).isEmpty)
+    // the ImageIO fallback keeps the alpha-expansion behavior
+    val full = Codecs.decodeImage(bytes)
+    assert(full.nChannels == 4, s"expected RGBA, got ${full.mode}")
+  }
+
   test("corrupt and truncated streams throw; non-fast-path returns None") {
     val img = randImg(new Random(3), 3)
     val good = Png.encode(img)

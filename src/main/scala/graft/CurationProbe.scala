@@ -123,9 +123,20 @@ object CurationProbe {
       val tBin = time {
         rowsB = queries.EventQueries.intervalBinFrom(big).count()
       }
-      require(rows == rowsB, s"bin join disagrees: $rows vs $rowsB")
+      // same naive code, with the BinnedIntervalJoin optimizer rule
+      // installed: the rewrite must recover the hand-binned plan's time
+      var rowsR = 0L
+      val prevOpts = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        prevOpts :+ plans.BinnedIntervalJoin
+      val tRule =
+        try time {
+          rowsR = queries.EventQueries.intervalNaiveFrom(big).count()
+        } finally spark.experimental.extraOptimizations = prevOpts
+      require(rows == rowsB && rows == rowsR,
+        s"join variants disagree: $rows / $rowsB / $rowsR")
       println(f"[curation] ivEvents=$n%9d naive=$tNaive%6.2fs " +
-        f"binned=$tBin%6.2fs (pairs=$rows%d)")
+        f"binned=$tBin%6.2fs ruleRewrite=$tRule%6.2fs (pairs=$rows%d)")
       big.unpersist()
     }
 

@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.IntegerType
   *  - existing session / tests: `GraftExtensions.register(spark)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // sliding-window theta-join → binned equi-join (Spark has no native
+    // range-join optimization; see plans.BinnedIntervalJoin)
+    ext.injectOptimizerRule(_ => plans.BinnedIntervalJoin)
+  }
 }
 
 object GraftExtensions {
@@ -67,9 +71,16 @@ object GraftExtensions {
   private[graft] val descriptors: Seq[Descriptor] =
     Seq(cosineSimDescriptor, kmvDescriptor, freqDescriptor)
 
-  /** Register into an already-built session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-built session: functions into the
+    * registry, the interval-join rule into the experimental optimizer
+    * batch (the injection point that doesn't require session build). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, fb) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, fb)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(plans.BinnedIntervalJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BinnedIntervalJoin
+  }
 }

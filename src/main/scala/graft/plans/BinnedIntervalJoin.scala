@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType}
+
+/** Optimizer rule: rewrite a sliding-window interval theta-join into a
+  * BINNED equi-join — qe08's hand rewrite, applied automatically to any
+  * inner join whose condition contains the pattern
+  *
+  *   r.ts > l.ts AND r.ts <= l.ts + INTERVAL w      (>=/< variants too)
+  *
+  * on timestamp attributes from opposite join sides with a foldable
+  * day-time interval. The window side explodes each row into the two
+  * w-wide time bins its window can touch; the point side computes its
+  * single bin; a `bin_l = bin_r` conjunct is added so the planner gets
+  * an equi-key and plans a hash/sort-merge join instead of the per-key
+  * cross product (or, with no other equi-conjunct, a broadcast nested
+  * loop). The original predicates are kept verbatim, so the rewrite
+  * can never add a false pair; a true pair always satisfies the bin
+  * equality because trunc-div is monotone and trunc(x/w + 1) =
+  * trunc(x/w) + 1, giving bin(r) ∈ {bin(l), bin(l)+1} whenever
+  * l < r ≤ l+w (negative epochs included); and the point side has ONE
+  * bin value, so no duplicate output rows can appear. Spark has no
+  * native range-join optimization (Databricks' is proprietary); this is
+  * the standard workaround expressed as a `Rule[LogicalPlan]`, injected
+  * via [[graft.GraftExtensions]] (cluster) or
+  * `spark.experimental.extraOptimizations` (existing session).
+  *
+  * Measured at 10M events (SCALE.md): 9.05 s naive → 1.67 s binned.
+  */
+object BinnedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BinName = "__graft_bin"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(_, _, Inner, Some(cond), _)
+        if !alreadyBinned(cond) =>
+      rewrite(j, cond).getOrElse(j)
+  }
+
+  /** Fixpoint guard: the rewritten join carries a BinName equality. */
+  private def alreadyBinned(cond: Expression): Boolean =
+    cond.exists {
+      case a: Attribute => a.name.startsWith(BinName)
+      case _ => false
+    }
+
+  /** (windowTs, pointTs, windowMicros) when the condition contains the
+    * sliding-window pattern; ts attrs must come from opposite sides. */
+  private def findWindow(j: Join, conjuncts: Seq[Expression])
+      : Option[(AttributeReference, AttributeReference, Long)] = {
+    def opposite(a: AttributeReference, b: AttributeReference): Boolean =
+      (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+        (j.right.outputSet.contains(a) && j.left.outputSet.contains(b))
+    // lower bound: point strictly/loosely after window start
+    val lowers = conjuncts.collect {
+      case GreaterThan(r: AttributeReference, l: AttributeReference)
+          if opposite(r, l) => (l, r)
+      case GreaterThanOrEqual(r: AttributeReference, l: AttributeReference)
+          if opposite(r, l) => (l, r)
+      case LessThan(l: AttributeReference, r: AttributeReference)
+          if opposite(r, l) => (l, r)
+      case LessThanOrEqual(l: AttributeReference, r: AttributeReference)
+          if opposite(r, l) => (l, r)
+    }
+    // upper bound: point before window start + literal interval
+    val uppers = conjuncts.collect {
+      case LessThanOrEqual(r: AttributeReference, TimestampAddInterval(
+          l: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _))
+          if opposite(r, l) => (l, r, w)
+      case LessThan(r: AttributeReference, TimestampAddInterval(
+          l: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _))
+          if opposite(r, l) => (l, r, w)
+      case GreaterThanOrEqual(TimestampAddInterval(l: AttributeReference,
+          Literal(w: Long, _: DayTimeIntervalType), _), r: AttributeReference)
+          if opposite(r, l) => (l, r, w)
+      case GreaterThan(TimestampAddInterval(l: AttributeReference,
+          Literal(w: Long, _: DayTimeIntervalType), _), r: AttributeReference)
+          if opposite(r, l) => (l, r, w)
+    }
+    (for {
+      (l1, r1) <- lowers
+      (l2, r2, w) <- uppers
+      if l1.semanticEquals(l2) && r1.semanticEquals(r2) && w > 0
+    } yield (l1, r1, w)).headOption
+  }
+
+  private def bin(ts: Expression, w: Long): Expression =
+    IntegralDivide(UnixMicros(ts), Literal(w, LongType))
+
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    findWindow(j, conjuncts).map { case (winTs, pointTs, w) =>
+      val windowOnLeft = j.left.outputSet.contains(winTs)
+      val (winSide, pointSide) = if (windowOnLeft) (j.left, j.right)
+        else (j.right, j.left)
+      // window side: explode into the two bins the window can touch
+      val binAttr = AttributeReference(BinName + "_w", LongType)()
+      val gen = Generate(
+        Explode(CreateArray(Seq(
+          bin(winTs, w), Add(bin(winTs, w), Literal(1L))))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(binAttr), child = winSide)
+      // point side: its single bin
+      val pAlias = Alias(bin(pointTs, w), BinName + "_p")()
+      val proj = Project(pointSide.output :+ pAlias, pointSide)
+      val (newLeft, newRight) =
+        if (windowOnLeft) (gen, proj) else (proj, gen)
+      val newCond = And(cond, EqualTo(binAttr, pAlias.toAttribute))
+      Project(j.output,
+        Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    }
+  }
+}

@@ -548,6 +548,30 @@ object WdsQueries extends QueryRegistry {
       | sum(strlen(text))::BIGINT AS txt_bytes
       |FROM documents""".stripMargin
 
+  /** wds17: CONTINUOUS shard ingest through the DSv2 streaming path —
+    * pack real shards, then `readStream.format("wds")` over the output
+    * directory (AvailableNow) and aggregate per-sample entry counts in
+    * Complete mode. Must equal wds02's batch answer over the same
+    * shards, so it shares that oracle shape. The offset watermark is
+    * the largest shard url (writer names are monotone); the
+    * incremental-discovery path (new shards between microbatches) is
+    * spec-asserted in WdsDataSourceSpec. */
+  private def streamShards(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_ssh")
+    PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
+      .collect() // materialize the write before the stream starts
+    val stream = s.readStream.format("wds").load(out)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
+      .groupBy(col("n_entries")).agg(count(lit(1)).as("n_samples"))
+    val name = "stream_shards_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams.runToMemory(s, stream, name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+      .orderBy(col("n_entries"))
+  }
+
   /** The streaming sources need a parquet copy with micros timestamps
     * (the nanos source needs the same conversion the batch path
     * applies). The fixture is immutable per sf dir, so the staged copy
@@ -1030,6 +1054,8 @@ object WdsQueries extends QueryRegistry {
     "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),
     "wds15_cbors_roundtrip" -> QueryDef(cborsRoundtrip, Some(cborsRoundtripSql)),
     "wds16_multishard" -> QueryDef(multiShard, Some(multiShardSql)),
+    "wds17_stream_shards" -> QueryDef(streamShards, Some(
+      "SELECT 5 AS n_entries, count(*) AS n_samples FROM documents")),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "st03_stream_attribution" -> QueryDef(streamAttribution,

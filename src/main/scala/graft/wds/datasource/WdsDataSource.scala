@@ -84,6 +84,7 @@ final class WdsTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = WdsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
@@ -183,6 +184,127 @@ final class WdsScan(
       SparkSession.active.sessionState.newHadoopConf())
     WdsReaderFactory(conf, WdsDataSource.readOptions(options),
       required.fieldNames)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WdsMicroBatchStream(options, required, urlFilters)
+}
+
+/** Continuous shard ingest: `spark.readStream.format("wds").load(dir)`.
+  *
+  * Discovery model: each `latestOffset()` re-lists the path spec
+  * (Hadoop glob for directories/wildcards, brace expansion otherwise)
+  * and an offset is the lexicographically LARGEST shard url admitted so
+  * far — a batch is "every shard with url in (start, end]". This leans
+  * on the engine's writer convention (monotone zero-padded shard names,
+  * `WdsWriter`/`PackStage` `%06d` suffixes — the same convention the
+  * reference's ShardWriter uses), which makes the url itself the
+  * watermark: no per-file seen-log is needed and restarts resume from
+  * the checkpointed url. The corollary limitation is explicit: a shard
+  * that lands with a name BELOW the current watermark is outside the
+  * contract and will not be picked up — producers must write through
+  * the engine's writers (or any monotone naming scheme).
+  *
+  * One shard = one input partition per batch, same as the batch scan —
+  * the streaming unit of work equals the scheduling unit. */
+final class WdsMicroBatchStream(
+    options: CaseInsensitiveStringMap,
+    required: StructType,
+    urlFilters: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  // Trigger.AvailableNow contract: pin the end offset at query start so
+  // the run drains exactly the shards present then terminates, even if
+  // more land mid-run
+  @volatile private var availableNowTarget: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestDiscovered())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(latestDiscovered())
+
+  override def reportLatestOffset(): Offset = latestDiscovered()
+
+  private def discover(): Seq[String] = {
+    val specs =
+      Option(options.get("paths")).orElse(Option(options.get("path")))
+        .map(Seq(_))
+        .getOrElse(throw new IllegalArgumentException("wds: no path given"))
+    val urls = specs.flatMap { spec =>
+      val expanded = ShardList.expand(spec)
+      if (expanded.length == 1 && !spec.contains("{")) {
+        // directory or glob: list via Hadoop FS
+        val p = new org.apache.hadoop.fs.Path(expanded.head)
+        val fs = p.getFileSystem(conf.value)
+        val pattern =
+          if (fs.isDirectory(p)) new org.apache.hadoop.fs.Path(p, "*.tar")
+          else p
+        Option(fs.globStatus(pattern)).toSeq.flatten
+          .filter(_.isFile).map(_.getPath.toString)
+      } else expanded
+    }
+    val preds = urlFilters.flatMap(WdsScan.urlPredicate)
+    val pruned =
+      if (preds.isEmpty) urls else urls.filter(u => preds.forall(_(u)))
+    pruned.sorted
+  }
+
+  private def latestDiscovered(): Offset = {
+    val seen = discover()
+    if (seen.isEmpty) WdsStreamOffset("") else WdsStreamOffset(seen.max)
+  }
+
+  override def initialOffset(): Offset = WdsStreamOffset("")
+
+  /** Legacy single-arg form (SupportsAdmissionControl sources get the
+    * two-arg call; this stays for direct MicroBatchStream use). */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def deserializeOffset(json: String): Offset =
+    WdsStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[WdsStreamOffset].lastUrl
+    val hi = end.asInstanceOf[WdsStreamOffset].lastUrl
+    discover().filter(u => u > lo && u <= hi)
+      .map(u => WdsInputPartition(u): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WdsReaderFactory(conf, WdsDataSource.readOptions(options),
+      required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = largest admitted shard url ("" before any shard). */
+final case class WdsStreamOffset(lastUrl: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val esc = lastUrl.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"lastUrl":"$esc"}"""
+  }
+}
+
+object WdsStreamOffset {
+  def fromJson(json: String): WdsStreamOffset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    WdsStreamOffset(node.get("lastUrl").asText())
   }
 }
 

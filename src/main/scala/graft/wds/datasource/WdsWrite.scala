@@ -34,7 +34,7 @@ final class WdsWriteBuilder(
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+    private def prepared = {
       val dir = Option(options.get("path"))
         .getOrElse(throw new IllegalArgumentException("wds write: no path"))
       val conf = new SerializableHadoopConf(
@@ -48,8 +48,51 @@ final class WdsWriteBuilder(
         val fs = p.getFileSystem(conf.value)
         if (fs.exists(p)) fs.delete(p, true): Unit
       }
+      (dir, conf, maxCount, maxSize)
+    }
+    override def toBatch: BatchWrite = {
+      val (dir, conf, maxCount, maxSize) = prepared
       new WdsBatchWrite(dir, conf, info.schema(), maxCount, maxSize)
     }
+    /** Streaming sink: `transformed.writeStream.format("wds")…` — each
+      * epoch's shards carry the epoch in their name
+      * (`part-<p>-<task>-e<epoch>-<n>.tar`), so shard names stay
+      * monotone per partition and a downstream `readStream.format
+      * ("wds")` can chain on the output. Semantics are at-least-once
+      * on epoch REPLAY after a failure (no idempotent commit log);
+      * aborted attempts are deleted like the batch path. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val (dir, conf, maxCount, maxSize) = prepared
+      new WdsStreamingWrite(dir, conf, info.schema(), maxCount, maxSize)
+    }
+  }
+}
+
+final class WdsStreamingWrite(
+    dir: String,
+    conf: SerializableHadoopConf,
+    schema: StructType,
+    maxCount: Long,
+    maxSize: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    WdsStreamingWriterFactory(
+      WdsWriterFactory(dir, conf, schema, maxCount, maxSize))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf.value)
+    messages.collect { case WdsCommitMessage(files) =>
+      files.foreach(f => fs.delete(new Path(f), false))
+    }: Unit
   }
 }
 
@@ -77,6 +120,16 @@ final class WdsBatchWrite(
   }
 }
 
+/** Serializable streaming wrapper: only the batch factory ships to
+  * executors (the StreamingWrite itself stays on the driver). */
+final case class WdsStreamingWriterFactory(batch: WdsWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    batch.createWriter(partitionId, taskId, Some(epochId))
+}
+
 final case class WdsWriterFactory(
     dir: String,
     conf: SerializableHadoopConf,
@@ -86,6 +139,10 @@ final case class WdsWriterFactory(
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, None)
+
+  def createWriter(partitionId: Int, taskId: Long,
+      epochId: Option[Long]): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val base = new Path(dir)
       private val fs = base.getFileSystem(conf.value)
@@ -108,7 +165,9 @@ final case class WdsWriterFactory(
         writer = null; count = 0L; bytes = 0L
       }
       private def ensure(): Unit = if (writer == null) {
-        current = new Path(base, f"part-$partitionId%05d-$taskId%d-$shardIdx%06d.tar")
+        val epoch = epochId.map(e => f"e$e%06d-").getOrElse("")
+        current = new Path(base,
+          f"part-$partitionId%05d-$taskId%d-$epoch$shardIdx%06d.tar")
         shardIdx += 1
         writer = new TarIO.TarWriter(fs.create(current, true))
       }

@@ -159,4 +159,31 @@ class WdsDataSourceSpec extends SparkSpec {
     // nothing new -> no duplicates, no re-read
     assert(runOnce() == (0 until 8).map(i => f"$i%09d"))
   }
+
+  test("streaming re-shard: readStream(wds) -> writeStream(wds) re-chunks") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("wdsrs_src").toString
+    val dst = Files.createTempDirectory("wdsrs_dst").toString
+    val ckpt = Files.createTempDirectory("wdsrs_ck").toString
+    writeShard(src, "shard-000000.tar", 0 until 20)
+    val q = spark.readStream.format("wds").load(src)
+      .writeStream.format("wds")
+      .option("path", dst)
+      .option("maxcount", "6") // re-chunk 1 shard of 20 into ceil(20/6)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val shardPaths = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted
+    val back = spark.read.format("wds").load(shardPaths: _*)
+    val keys = back.select("key").collect().map(_.getString(0)).toSeq.sorted
+    assert(keys == (0 until 20).map(i => f"$i%09d"))
+    val nShards = new java.io.File(dst).listFiles()
+      .count(_.getName.endsWith(".tar"))
+    assert(nShards == 4, s"expected ceil(20/6)=4 shards, got $nShards")
+    // epoch-addressed names keep the output itself streamable
+    assert(new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .forall(_.getName.matches("part-\\d{5}-\\d+-e\\d{6}-\\d{6}\\.tar")))
+  }
 }

@@ -758,6 +758,6 @@ object DedupQueries extends QueryRegistry {
     "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql), bench = true),
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),
     "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
-      Some(incrementalDedupSql)),
+      Some(incrementalDedupSql), bench = true),
   )
 }

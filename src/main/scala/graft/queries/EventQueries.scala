@@ -335,7 +335,7 @@ object EventQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "qe08_interval_bin_join" -> QueryDef(intervalBinJoin,
-      Some(intervalBinJoinSql)),
+      Some(intervalBinJoinSql), bench = true),
     "qe07_value_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),
     "qe06_asof_join" -> QueryDef(asofJoin, Some(asofJoinSql), bench = true),
     "qe05_retention" -> QueryDef(retention, Some(retentionSql)),

@@ -195,7 +195,8 @@ object MediaQueries extends QueryRegistry {
       |FROM m ORDER BY media_id, frame_no""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "mm08_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsSql)),
+    "mm08_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsSql),
+      bench = true),
     "mm09_patchify" -> QueryDef(patchify, Some(patchifySql)),
     "mm10_silence_segments" -> QueryDef(silenceSegments,
       Some(silenceSegmentsSql)),

@@ -125,7 +125,13 @@ object Png {
     require(ok && idat.size > 0, "png missing IHDR/IDAT")
 
     val stride = w * ch
-    val raw = new Array[Byte]((stride + 1) * h)
+    // allocation bound against crafted headers: deflate can't expand
+    // beyond ~1032:1, so a raster larger than that over the actual IDAT
+    // payload is unsatisfiable — reject before allocating gigabytes
+    val rawLen = (stride + 1).toLong * h
+    require(rawLen <= idat.size.toLong * 1032 + 4096,
+      s"png raster $rawLen implausible for ${idat.size}B idat")
+    val raw = new Array[Byte](rawLen.toInt)
     val infl = new Inflater()
     infl.setInput(idat.toByteArray)
     var n = 0

@@ -126,6 +126,17 @@ class PngSpec extends AnyFunSuite {
       assert((decoded.data(y * w + x) & 0xff) == pix(y)(x), s"y=$y x=$x")
   }
 
+  test("crafted huge-dimension header throws before allocating the raster") {
+    val good = Png.encode(Codecs.ImageData(2, 2, 3, "RGB",
+      new Array[Byte](12)))
+    val evil = good.clone()
+    // IHDR width/height at offsets 16/20: claim 20000x20000
+    for ((off, v) <- Seq(16 -> 20000, 20 -> 20000); i <- 0 until 4)
+      evil(off + i) = (v >>> (24 - 8 * i)).toByte
+    val ex = intercept[IllegalArgumentException] { Png.decode(evil) }
+    assert(ex.getMessage.contains("implausible"))
+  }
+
   test("FDICT zlib stream throws instead of spinning") {
     // FDICT is forbidden in PNG; Inflater returns 0 with needsDictionary
     // — the decoder must throw, not loop. CMF=0x78 FLG=0x20 passes the

@@ -140,6 +140,46 @@ object CurationProbe {
       big.unpersist()
     }
 
+    // ---- incremental dedup: fixed daily increment vs growing corpus ----
+    // the qd15 sell: a daily batch keyed against the standing signature
+    // index costs ~|increment|, not ~|corpus| — full re-dedup re-pays
+    // the whole corpus every day
+    {
+      val base = Tables(spark, sfDir).documents.select("doc_id", "text")
+      val incrSize = base.count()
+      multiples.foreach { m =>
+        val corpus = (0 until m).map { i =>
+          base.select((col("doc_id") * 1000 + lit(i.toLong * 2)).as("doc_id"),
+            concat(col("text"), lit(s" corpustag$i")).as("text"))
+        }.reduce(_ union _)
+        val incr = base.select(
+          (col("doc_id") * 1000 + lit(1L)).as("doc_id"),
+          concat(col("text"), lit(" incrtag")).as("text"))
+        val all = corpus.unionByName(incr)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        val n = all.count()
+        // standing index: signatures for the corpus are already built
+        // (cached), as a lake would have them materialized
+        val sigs = functions.MinHash.signatures(all, 8).cache()
+        sigs.count()
+        var dups = 0L
+        val tIncr = time {
+          dups = queries.DedupQueries
+            .incrementalFrom(sigs, col("doc_id") % 2 === 1)
+            .filter(col("is_dup") === 1).count()
+        }
+        // full re-dedup of the whole lake (the qd03 all-pairs shape)
+        var fullPairs = 0L
+        val tFull = time {
+          fullPairs = queries.DedupQueries.lshPairsFrom(sigs).count()
+        }
+        println(f"[curation] corpus=${n - incrSize}%8d incr=$incrSize%7d " +
+          f"incrDedup=$tIncr%6.2fs fullDedup=$tFull%6.2fs " +
+          f"(incrDups=$dups%d fullPairs=$fullPairs%d)")
+        sigs.unpersist(); all.unpersist()
+      }
+    }
+
     // ---- SemDeDup at 1M vectors, cluster count dialed with n ----
     // (clusters ≈ n/50: in-cluster pair work stays ~25n, never O(n²))
     Seq(100000, 1000000).foreach { nv =>

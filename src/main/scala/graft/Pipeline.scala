@@ -160,6 +160,22 @@ object Pipeline {
         val res = graft.curate.CurateStage.run(docs, opts)
         res.curated.write.mode("overwrite").parquet(req("save-path"))
         res.stats
+      // audit stage: schema-generic profile + rule validation over any
+      // parquet input. `--rules "pos=l_quantity > 0;flag=l_returnflag
+      // IN ('A','N','R')"` (;-separated so exprs may contain commas).
+      case "audit" =>
+        val df = spark.read.parquet(req("input"))
+        val profile = graft.curate.AuditStage.profile(df)
+        profile.write.mode("overwrite")
+          .parquet(s"${req("save-path")}/profile")
+        a.get("rules").map(graft.curate.AuditStage.parseRules) match {
+          case Some(rules) =>
+            val checks = graft.curate.AuditStage.constraints(df, rules)
+            checks.write.mode("overwrite")
+              .parquet(s"${req("save-path")}/constraints")
+            checks
+          case None => profile
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }

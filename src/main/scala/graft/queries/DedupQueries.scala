@@ -118,7 +118,13 @@ object DedupQueries extends QueryRegistry {
   /** LSH candidate pairs: docs sharing ≥1 band. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir).select($"doc_id" +: bandCols: _*)
+    lshPairsFrom(signatures(s, dir)).orderBy($"a_id", $"b_id")
+  }
+
+  /** qd03 core over any signature frame — shared with the scale probe. */
+  private[graft] def lshPairsFrom(sigIn: DataFrame): DataFrame = {
+    import sigIn.sparkSession.implicits._
+    val sig = sigIn.select($"doc_id" +: bandCols: _*)
     val bands = sig.select($"doc_id", explode(array(
       (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
     val a = bands.as("a")
@@ -127,7 +133,6 @@ object DedupQueries extends QueryRegistry {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-      .orderBy($"a_id", $"b_id")
   }
 
   private val lshPairsSql = {
@@ -430,17 +435,32 @@ object DedupQueries extends QueryRegistry {
     * never corpus×corpus. */
   private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir)
+    incrementalFrom(
+      graft.functions.MinHash.signatures(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        NumHashes),
+      isNew = col("doc_id") % 2 === 1)
+      .orderBy($"new_id")
+  }
+
+  /** qd15 core over any signature frame — shared with the scale probe.
+    * `isNew` partitions the docs into standing corpus (false) and
+    * increment (true); candidates are new-vs-corpus plus
+    * new-vs-earlier-new (id order = arrival order). */
+  private[graft] def incrementalFrom(
+      sig: DataFrame, isNew: Column): DataFrame = {
+    import sig.sparkSession.implicits._
     val bands = sig.select($"doc_id" +: bandCols: _*)
       .select($"doc_id", explode(array(
         (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
-    val newBands = bands.filter($"doc_id" % 2 === 1)
+    val newBands = bands.filter(isNew)
       .select($"doc_id".as("new_id"), $"band")
     val indexBands = bands // corpus ∪ earlier increment
-      .select($"doc_id".as("cand_id"), $"band")
+      .withColumn("__is_new", isNew)
+      .select($"doc_id".as("cand_id"), $"band", $"__is_new")
     val cand = newBands.join(indexBands,
       newBands("band") === indexBands("band") &&
-        (col("cand_id") % 2 === 0 || col("cand_id") < col("new_id")))
+        (!col("__is_new") || col("cand_id") < col("new_id")))
       .select($"new_id", $"cand_id").distinct()
     val hs = 0 until NumHashes
     val a = sig.select($"doc_id".as("new_id") +:
@@ -452,7 +472,7 @@ object DedupQueries extends QueryRegistry {
       .reduce(_ + _)
     val verified = cand.join(a, "new_id").join(b, "cand_id")
       .select($"new_id", $"cand_id", agree.as("n_agree"))
-    val newDocs = sig.filter($"doc_id" % 2 === 1)
+    val newDocs = sig.filter(isNew)
       .select($"doc_id".as("new_id"))
     newDocs.join(verified, Seq("new_id"), "left")
       .groupBy($"new_id")
@@ -464,7 +484,6 @@ object DedupQueries extends QueryRegistry {
       .select($"new_id", $"n_cands",
         coalesce($"dup_flag", lit(0)).as("is_dup"),
         coalesce($"match_min", lit(-1L)).as("match_id"))
-      .orderBy($"new_id")
   }
 
   private val incrementalDedupSql = {

@@ -69,6 +69,29 @@ class PipelineCliSpec extends SparkSpec {
     assert(tokInfo.agg(sum("nsamples")).collect().head.getLong(0) >= 6)
   }
 
+  test("audit stage profiles any parquet and validates ;-separated rules") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("audit_in").toString
+    val out = java.nio.file.Files.createTempDirectory("audit_out").toString
+    Seq((1L, "a", 10.0), (2L, "b", -3.0), (3L, null.asInstanceOf[String], 5.0))
+      .toDF("id", "tag", "score").write.mode("overwrite").parquet(in)
+    val checks = Pipeline.run(spark, Map(
+      "stage" -> "audit", "input" -> in, "save-path" -> out,
+      "rules" -> "score_positive=score > 0;tag_present=tag IS NOT NULL"))
+    val byRule = checks.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRule == Map("score_positive" -> 1L, "tag_present" -> 1L))
+    val prof = spark.read.parquet(s"$out/profile").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("id").getAs[Long]("n_distinct") == 3)
+    assert(prof("tag").getAs[Long]("n_nulls") == 1)
+    assert(prof("score").getAs[Double]("min_num") == -3.0)
+    assert(prof("tag").getAs[String]("max_str") == "b")
+    // rule syntax errors fail fast
+    assertThrows[IllegalArgumentException](
+      graft.curate.AuditStage.parseRules("broken"))
+  }
+
   test("arg parsing and unknown stage rejection") {
     assert(Pipeline.parseArgs(Array("--stage", "pack", "--type", "kf")) ==
       Map("stage" -> "pack", "type" -> "kf"))

@@ -181,6 +181,26 @@ class PngSpec extends AnyFunSuite {
     assert(full.nChannels == 4, s"expected RGBA, got ${full.mode}")
   }
 
+  test("mutation fuzz: decode always terminates — returns, falls back, or throws") {
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.time.{Seconds, Span}
+    val rng = new Random(99)
+    val good = Png.encode(randImg(rng, 3))
+    failAfter(Span(60, Seconds)) {
+      for (trial <- 0 until 300) {
+        val m = good.clone()
+        val nFlips = 1 + rng.nextInt(8)
+        for (_ <- 0 until nFlips)
+          m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        try Png.decode(m) match {
+          case Some(img) =>
+            assert(img.data.length == img.height * img.width * img.nChannels)
+          case None => () // fast-path declined — ImageIO's problem
+        } catch { case _: Exception => () } // undecodable signal: fine
+      }
+    }
+  }
+
   test("corrupt and truncated streams throw; non-fast-path returns None") {
     val img = randImg(new Random(3), 3)
     val good = Png.encode(img)

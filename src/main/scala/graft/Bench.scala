@@ -23,6 +23,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production parity with Verify: extensions installed
+    GraftExtensions.register(spark)
     // warm the JVM/codegen/FS paths so the first measured query isn't
     // charged session startup
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -22,6 +22,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production parity: the gate runs with the SQL-function registry
+    // and the BinnedIntervalJoin optimizer rule installed, as a
+    // cluster session built with spark.sql.extensions would be
+    GraftExtensions.register(spark)
     // reliable-checkpoint dir: qd09's connected components (and any
     // other iterative op) runs its production fault-tolerant path in
     // the gate rather than the localCheckpoint fallback

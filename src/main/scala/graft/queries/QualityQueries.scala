@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   *
   *  - qa01 column profile: per-column null/distinct/min/max in ONE scan
   *    (single agg row → stack) — a 100 TB profile must not re-scan per
-  *    column. Multi-distinct plans via Expand stay one pass.
+  *    column. Multi-distinct plans via Expand stay one pass, at the
+  *    cost of a (k+1)× row expansion feeding the exchange; at true
+  *    100 TB scale swap the exact count_distinct for the native
+  *    `kmv_sketch` aggregate (bounded k-long state per group, qd13) —
+  *    exact is kept here because the DuckDB oracle hash-checks it.
   *  - qa02 constraint validation: declarative rule → violation count +
   *    rate, one scan for row-local rules plus one aggregation for the
   *    uniqueness rule (the only rule that inherently needs a shuffle).

@@ -31,27 +31,37 @@ object AuditStage {
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "profile of empty schema")
-    def safe(c: String) = c.replaceAll("[^A-Za-z0-9_]", "_")
+    // per-field INDEX keys the internal aliases — sanitizing the name
+    // alone can collide ("a b" vs "a_b"); the index cannot
+    def safe(i: Int) = s"c$i"
     val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("n_rows")) ++ fields.flatMap { f =>
-        val c = col(q(f.name))
-        val base = Seq(
-          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${safe(f.name)}__nulls"),
-          count_distinct(c).as(s"${safe(f.name)}__nd"))
-        // array/map/struct columns have no total order — min/max skipped
-        val ordered = f.dataType match {
-          case _: ArrayType | _: MapType | _: StructType => Seq(
-            lit(null).cast(StringType).as(s"${safe(f.name)}__min"),
-            lit(null).cast(StringType).as(s"${safe(f.name)}__max"))
-          case _ => Seq(
-            min(c).cast(StringType).as(s"${safe(f.name)}__min"),
-            max(c).cast(StringType).as(s"${safe(f.name)}__max"))
-        }
-        base ++ ordered
+      Seq(count(lit(1)).as("n_rows")) ++ fields.zipWithIndex.flatMap {
+        case (f, i) =>
+          val c = col(q(f.name))
+          // MapType is not comparable/groupable — distinct would fail
+          // at analysis; report null rather than crash the audit
+          val nd = f.dataType match {
+            case _: MapType => lit(null).cast(LongType).as(s"${safe(i)}__nd")
+            case _ => count_distinct(c).as(s"${safe(i)}__nd")
+          }
+          val base = Seq(
+            sum(when(c.isNull, 1L).otherwise(0L)).as(s"${safe(i)}__nulls"),
+            nd)
+          // array/map/struct columns have no total order — min/max skipped
+          val ordered = f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => Seq(
+              lit(null).cast(StringType).as(s"${safe(i)}__min"),
+              lit(null).cast(StringType).as(s"${safe(i)}__max"))
+            case _ => Seq(
+              min(c).cast(StringType).as(s"${safe(i)}__min"),
+              max(c).cast(StringType).as(s"${safe(i)}__max"))
+          }
+          base ++ ordered
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val branches = fields.map { f =>
-      val s = safe(f.name)
+    val branches = fields.zipWithIndex.map { case (f, i) =>
+      val s = safe(i)
+      val label = f.name.replace("'", "''")
       val (minN, maxN) =
         if (isNumeric(f.dataType))
           (s"CAST(${s}__min AS DOUBLE)", s"CAST(${s}__max AS DOUBLE)")
@@ -60,7 +70,7 @@ object AuditStage {
         if (isNumeric(f.dataType))
           ("CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
         else (s"${s}__min", s"${s}__max")
-      s"'${f.name}', n_rows, ${s}__nulls, ${s}__nd, $minN, $maxN, $minS, $maxS"
+      s"'$label', n_rows, ${s}__nulls, ${s}__nd, $minN, $maxN, $minS, $maxS"
     }
     one.select(expr(
       s"stack(${branches.size}, ${branches.mkString(", ")}) AS " +

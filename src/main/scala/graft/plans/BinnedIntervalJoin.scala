@@ -35,26 +35,44 @@ object BinnedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BinName = "__graft_bin"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(_, _, Inner, Some(cond), _)
-        if !alreadyBinned(cond) =>
-      rewrite(j, cond).getOrElse(j)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.binIntervalJoin.enabled", "true")
+        .toBoolean) plan
+    else plan.transformUp {
+      // batch inner joins only: stream-stream joins keep Spark's native
+      // equality+range state layout (a rewrite would double buffered
+      // state and change the checkpointed key schema), and hand-binned
+      // plans advertise themselves via __graft_bin attribute names
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !left.isStreaming && !right.isStreaming &&
+            !alreadyBinned(j, cond) =>
+        rewrite(j, cond).getOrElse(j)
+    }
 
-  /** Fixpoint guard: the rewritten join carries a BinName equality. */
-  private def alreadyBinned(cond: Expression): Boolean =
+  /** Fixpoint + hand-binned guard: the rewritten join carries BinName
+    * attributes in its condition, and hand-binned queries (qe08's
+    * `intervalBinFrom`) use the same prefix for their bin columns to
+    * opt out — re-binning an already-binned join would double the
+    * window-side fan-out for no pruning gain. Inputs that merely
+    * CARRY such columns are also skipped (conservative). */
+  private def alreadyBinned(j: Join, cond: Expression): Boolean =
     cond.exists {
       case a: Attribute => a.name.startsWith(BinName)
       case _ => false
-    }
+    } || j.children.exists(_.output.exists(_.name.startsWith(BinName)))
 
   /** (windowTs, pointTs, windowMicros) when the condition contains the
     * sliding-window pattern; ts attrs must come from opposite sides. */
   private def findWindow(j: Join, conjuncts: Seq[Expression])
       : Option[(AttributeReference, AttributeReference, Long)] = {
     def opposite(a: AttributeReference, b: AttributeReference): Boolean =
-      (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
-        (j.right.outputSet.contains(a) && j.left.outputSet.contains(b))
+      // TIMESTAMP only: UnixMicros does not accept TIMESTAMP_NTZ, and
+      // TimestampAddInterval accepts both — an unguarded match would
+      // emit an ill-typed plan for ntz joins
+      a.dataType == org.apache.spark.sql.types.TimestampType &&
+        b.dataType == org.apache.spark.sql.types.TimestampType &&
+        ((j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+          (j.right.outputSet.contains(a) && j.left.outputSet.contains(b)))
     // lower bound: point strictly/loosely after window start
     val lowers = conjuncts.collect {
       case GreaterThan(r: AttributeReference, l: AttributeReference)

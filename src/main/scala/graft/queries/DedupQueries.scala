@@ -435,11 +435,7 @@ object DedupQueries extends QueryRegistry {
     * never corpus×corpus. */
   private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    incrementalFrom(
-      graft.functions.MinHash.signatures(
-        Tables(s, dir).documents.select(col("doc_id"), col("text")),
-        NumHashes),
-      isNew = col("doc_id") % 2 === 1)
+    incrementalFrom(signatures(s, dir), isNew = col("doc_id") % 2 === 1)
       .orderBy($"new_id")
   }
 

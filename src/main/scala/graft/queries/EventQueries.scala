@@ -294,16 +294,19 @@ object EventQueries extends QueryRegistry {
   /** qe08 core over any events frame — shared with the scale probe. */
   private[graft] def intervalBinFrom(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
+    // bin columns carry the __graft_bin prefix so the
+    // BinnedIntervalJoin optimizer rule recognizes this join as
+    // already binned and does not re-bin it
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts".as("click_ts"),
-        floor(unix_timestamp($"ts") / 3600L).as("cbin"))
+        floor(unix_timestamp($"ts") / 3600L).as("__graft_bin_c"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
-        floor(unix_timestamp($"ts") / 3600L).as("bin"))
-    val binned = clicks.withColumn("bin",
-      explode(array($"cbin", $"cbin" + 1L)))
+        floor(unix_timestamp($"ts") / 3600L).as("__graft_bin_p"))
+    val binned = clicks.withColumn("__graft_bin",
+      explode(array($"__graft_bin_c", $"__graft_bin_c" + 1L)))
     binned.join(purchases,
-      binned("bin") === purchases("bin") &&
+      binned("__graft_bin") === purchases("__graft_bin_p") &&
         binned("user_id") === purchases("p_user") &&
         $"purchase_ts" > $"click_ts" &&
         $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))

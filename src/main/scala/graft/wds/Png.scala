@@ -129,7 +129,8 @@ object Png {
     // beyond ~1032:1, so a raster larger than that over the actual IDAT
     // payload is unsatisfiable — reject before allocating gigabytes
     val rawLen = (stride + 1).toLong * h
-    require(rawLen <= idat.size.toLong * 1032 + 4096,
+    require(rawLen < Int.MaxValue - 8 &&
+      rawLen <= idat.size.toLong * 1032 + 4096,
       s"png raster $rawLen implausible for ${idat.size}B idat")
     val raw = new Array[Byte](rawLen.toInt)
     val infl = new Inflater()

@@ -54,17 +54,20 @@ final class WdsWriteBuilder(
       val (dir, conf, maxCount, maxSize) = prepared
       new WdsBatchWrite(dir, conf, info.schema(), maxCount, maxSize)
     }
-    /** Streaming sink: `transformed.writeStream.format("wds")…` — each
-      * epoch's shards carry the epoch in their name
-      * (`part-<p>-<task>-e<epoch>-<n>.tar`), so shard names stay
-      * monotone per partition and a downstream `readStream.format
-      * ("wds")` can chain on the output. Semantics are at-least-once
-      * on epoch REPLAY after a failure (no idempotent commit log);
-      * aborted attempts are deleted like the batch path. */
+    /** Streaming sink: `transformed.writeStream.format("wds")…`.
+      * Tasks stage shards under `.staging/`; epoch commit renames them
+      * into place in ASCENDING name order with epoch-primary names
+      * (`part-e<epoch>-<p>-<task>-<n>.tar`), so a chained
+      * `readStream.format("wds")`'s url-max watermark can never pass a
+      * shard that hasn't appeared yet. Complete mode (truncate) drops
+      * prior epochs' shards after the new epoch lands. Semantics are
+      * at-least-once on epoch REPLAY after a failure (no idempotent
+      * commit log); aborted attempts are deleted like the batch path. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val (dir, conf, maxCount, maxSize) = prepared
-      new WdsStreamingWrite(dir, conf, info.schema(), maxCount, maxSize)
+      new WdsStreamingWrite(dir, conf, info.schema(), maxCount, maxSize,
+        truncatePerEpoch = doTruncate)
     }
   }
 }
@@ -74,7 +77,8 @@ final class WdsStreamingWrite(
     conf: SerializableHadoopConf,
     schema: StructType,
     maxCount: Long,
-    maxSize: Long)
+    maxSize: Long,
+    truncatePerEpoch: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -84,19 +88,44 @@ final class WdsStreamingWrite(
       WdsWriterFactory(dir, conf, schema, maxCount, maxSize))
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    val pairs = messages.toSeq.collect {
+      case WdsCommitMessage(staged, finals) => staged.zip(finals)
+    }.flatten.sortBy(_._2) // ascending final name: watermark-safe
+    pairs.foreach { case (staged, finalName) =>
+      val target = new Path(base, finalName)
+      if (!fs.rename(new Path(staged), target))
+        throw new java.io.IOException(s"rename $staged -> $target failed")
+    }
+    if (truncatePerEpoch) {
+      // Complete mode: the new epoch REPLACES the output — drop every
+      // committed shard from earlier epochs (readers of a Complete
+      // sink read a snapshot, not an append log)
+      val keep = f"part-e$epochId%09d-"
+      Option(fs.globStatus(new Path(base, "part-e*.tar"))).toSeq.flatten
+        .filter(f => !f.getPath.getName.startsWith(keep))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+  }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf.value)
-    messages.collect { case WdsCommitMessage(files) =>
+    messages.collect { case WdsCommitMessage(files, _) =>
       files.foreach(f => fs.delete(new Path(f), false))
     }: Unit
   }
 }
 
-final case class WdsCommitMessage(files: Seq[String]) extends WriterCommitMessage
+/** @param files  committed (batch) or staged (streaming) file paths
+  * @param finals streaming only: the final shard name for each staged
+  *               file, renamed into place at epoch commit */
+final case class WdsCommitMessage(
+    files: Seq[String],
+    finals: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 final class WdsBatchWrite(
     dir: String,
@@ -114,7 +143,7 @@ final class WdsBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf.value)
-    messages.collect { case WdsCommitMessage(files) =>
+    messages.collect { case WdsCommitMessage(files, _) =>
       files.foreach(f => fs.delete(new Path(f), false))
     }: Unit
   }
@@ -164,10 +193,24 @@ final case class WdsWriterFactory(
         }
         writer = null; count = 0L; bytes = 0L
       }
+      // Streaming shards stage under .staging/ and are renamed into
+      // place at epoch COMMIT in ascending name order, so a chained
+      // readStream's url-max watermark can never observe a name above
+      // a not-yet-visible one. Final names are epoch-primary with
+      // padded task ids — lexicographic order == (epoch, partition,
+      // task, shard) order, monotone across epochs.
+      private val finals = Seq.newBuilder[String]
       private def ensure(): Unit = if (writer == null) {
-        val epoch = epochId.map(e => f"e$e%06d-").getOrElse("")
-        current = new Path(base,
-          f"part-$partitionId%05d-$taskId%d-$epoch$shardIdx%06d.tar")
+        current = epochId match {
+          case Some(e) =>
+            val name =
+              f"part-e$e%09d-$partitionId%05d-$taskId%09d-$shardIdx%06d.tar"
+            finals += name
+            new Path(new Path(base, ".staging"), name)
+          case None =>
+            new Path(base,
+              f"part-$partitionId%05d-$taskId%d-$shardIdx%06d.tar")
+        }
         shardIdx += 1
         writer = new TarIO.TarWriter(fs.create(current, true))
       }
@@ -188,7 +231,7 @@ final case class WdsWriterFactory(
 
       override def commit(): WriterCommitMessage = {
         roll()
-        WdsCommitMessage(files.result())
+        WdsCommitMessage(files.result(), finals.result())
       }
 
       override def abort(): Unit = {

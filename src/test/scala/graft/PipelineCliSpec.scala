@@ -92,6 +92,21 @@ class PipelineCliSpec extends SparkSpec {
       graft.curate.AuditStage.parseRules("broken"))
   }
 
+  test("audit profile survives map columns, quotes, and colliding names") {
+    import spark.implicits._
+    val df = Seq((1L, Map("k" -> 2L), "x", "y"), (2L, Map("j" -> 3L), "z", "w"))
+      .toDF("id", "m", "a b", "a_b")
+      .withColumnRenamed("a b", "it's a b")
+    val prof = graft.curate.AuditStage.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("id", "m", "it's a b", "a_b"))
+    // map column: nulls counted, distinct reported as null, min/max null
+    assert(prof("m").getAs[Long]("n_nulls") == 0)
+    assert(prof("m").isNullAt(prof("m").fieldIndex("n_distinct")))
+    assert(prof("it's a b").getAs[Long]("n_distinct") == 2)
+    assert(prof("a_b").getAs[String]("min_str") == "w")
+  }
+
   test("arg parsing and unknown stage rejection") {
     assert(Pipeline.parseArgs(Array("--stage", "pack", "--type", "kf")) ==
       Map("stage" -> "pack", "type" -> "kf"))

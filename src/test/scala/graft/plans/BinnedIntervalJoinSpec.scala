@@ -97,6 +97,47 @@ class BinnedIntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP_NTZ interval joins are left alone (UnixMicros is tz-only)") {
+    withRule {
+      import spark.implicits._
+      val c = Seq((1L, "2024-01-01T10:00:00")).toDF("user_id", "s")
+        .select(col("user_id"), col("s").cast("timestamp_ntz").as("click_ts"))
+      val p = Seq((1L, "2024-01-01T10:30:00")).toDF("p_user", "s")
+        .select(col("p_user"), col("s").cast("timestamp_ntz").as("purchase_ts"))
+      val j = c.join(p, c("user_id") === p("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      // must still plan and run (no ill-typed UnixMicros(ntz))
+      assert(j.count() == 1)
+      assert(j.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.isEmpty)
+    }
+  }
+
+  test("hand-binned joins (qe08 marker columns) are not re-binned") {
+    withRule {
+      val ev = fixture
+      val df = graft.queries.EventQueries.intervalBinFrom(ev)
+      val gens = df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gens.length == 1, s"re-binned a hand-binned join:\n$gens")
+    }
+  }
+
+  test("spark.graft.binIntervalJoin.enabled=false disables the rewrite") {
+    withRule {
+      spark.conf.set("spark.graft.binIntervalJoin.enabled", "false")
+      try {
+        val opt = naive(fixture).queryExecution.optimizedPlan
+        assert(opt.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }.isEmpty)
+      } finally spark.conf.unset("spark.graft.binIntervalJoin.enabled")
+    }
+  }
+
   test("GraftExtensions.register installs the rule once, idempotently") {
     val prev = spark.experimental.extraOptimizations
     try {

@@ -165,25 +165,71 @@ class WdsDataSourceSpec extends SparkSpec {
     val src = Files.createTempDirectory("wdsrs_src").toString
     val dst = Files.createTempDirectory("wdsrs_dst").toString
     val ckpt = Files.createTempDirectory("wdsrs_ck").toString
-    writeShard(src, "shard-000000.tar", 0 until 20)
-    val q = spark.readStream.format("wds").load(src)
-      .writeStream.format("wds")
-      .option("path", dst)
-      .option("maxcount", "6") // re-chunk 1 shard of 20 into ceil(20/6)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // two source shards -> two input partitions in the first epoch
+    writeShard(src, "shard-000000.tar", 0 until 10)
+    writeShard(src, "shard-000001.tar", 10 until 20)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("wds").load(src)
+        .writeStream.format("wds")
+        .option("path", dst)
+        .option("maxcount", "6")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def shardNames = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.getName).sorted.toSeq
+    val epoch0 = shardNames
+    // epoch-primary padded names: lexicographic == (epoch, partition,
+    // task, shard) — the chained-readStream watermark contract
+    assert(epoch0.forall(
+      _.matches("part-e\\d{9}-\\d{5}-\\d{9}-\\d{6}\\.tar")), epoch0)
+    // a later epoch's shards all sort after every earlier shard
+    writeShard(src, "shard-000002.tar", 20 until 31)
+    runOnce()
+    val all = shardNames
+    val epoch1 = all.diff(epoch0)
+    assert(epoch1.nonEmpty && epoch0.max < epoch1.min,
+      s"epoch names not monotone: ${epoch0.max} vs ${epoch1.min}")
+    // nothing staged left behind; full content round-trips
+    assert(!new java.io.File(dst, ".staging").exists() ||
+      new java.io.File(dst, ".staging").listFiles().isEmpty)
     val shardPaths = new java.io.File(dst).listFiles()
       .filter(_.getName.endsWith(".tar")).map(_.toString).sorted
     val back = spark.read.format("wds").load(shardPaths: _*)
     val keys = back.select("key").collect().map(_.getString(0)).toSeq.sorted
-    assert(keys == (0 until 20).map(i => f"$i%09d"))
-    val nShards = new java.io.File(dst).listFiles()
-      .count(_.getName.endsWith(".tar"))
-    assert(nShards == 4, s"expected ceil(20/6)=4 shards, got $nShards")
-    // epoch-addressed names keep the output itself streamable
-    assert(new java.io.File(dst).listFiles()
-      .filter(_.getName.endsWith(".tar"))
-      .forall(_.getName.matches("part-\\d{5}-\\d+-e\\d{6}-\\d{6}\\.tar")))
+    assert(keys == (0 until 31).map(i => f"$i%09d"))
+  }
+
+  test("streaming write in Complete mode replaces prior epochs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("wdscm_src").toString
+    val dst = Files.createTempDirectory("wdscm_dst").toString
+    val ckpt = Files.createTempDirectory("wdscm_ck").toString
+    writeShard(src, "shard-000000.tar", 0 until 5)
+    def runOnce(): Unit = {
+      val agg = spark.readStream.format("wds").load(src)
+        .groupBy().count()
+        .select(lit("totals").as("key"), lit("").as("url"),
+          map(lit("count.txt"),
+            encode(col("count").cast("string"), "UTF-8")).as("entries"))
+      val q = agg.writeStream.format("wds")
+        .outputMode("complete")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    writeShard(src, "shard-000001.tar", 5 until 12)
+    runOnce()
+    val shards = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString)
+    // Complete mode = snapshot: exactly ONE current shard, count = 12
+    assert(shards.length == 1, shards.mkString(","))
+    val row = spark.read.format("wds").load(shards.head).collect().head
+    val entries = row.getAs[Map[String, Array[Byte]]]("entries")
+    assert(new String(entries("count.txt"), UTF_8) == "12")
   }
 }

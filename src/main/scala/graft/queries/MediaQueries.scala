@@ -194,7 +194,74 @@ object MediaQueries extends QueryRegistry {
       |  'cue ' || doc_id || '_' || j AS cue_text
       |FROM m ORDER BY media_id, frame_no""".stripMargin
 
+  /** mm12: GOP/bitrate container audit — per-video keyframe cadence and
+    * sample-size stats from the REAL stbl walk ([[Mp4Samples.parse]]:
+    * stsz sizes + stss sync table), with NO frame decode — exactly how
+    * a 100 TB corpus audit runs (container metadata is KBs/video; the
+    * mdat payload never leaves the scan). Frame payloads are opaque
+    * blobs of doc-deterministic length, so every statistic is integer
+    * math the oracle replays. */
+  private def gopAudit(s: SparkSession, dir: String): DataFrame = {
+    val mkMp4 = udf { (id: Long) =>
+      val n = (8 + id % 7).toInt
+      val se = (2 + id % 3).toInt
+      val frames = (0 until n).map(f =>
+        new Array[Byte](100 + ((id * 13 + f * 7) % 150).toInt))
+      Mp4Samples.encodeFrames(frames, codec = "gop ", fps = 10,
+        width = 16, height = 16, syncEvery = se)
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkMp4(col("doc_id")).as("content"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      (Long, Int, Int, Long, Int, Double)]
+    media
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, mp4) =>
+          val t = Mp4Samples.parse(mp4).getOrElse(
+            throw new IllegalArgumentException(s"no sample table in $id"))
+          val n = t.frameCount
+          val nKey = (0 until n).count(t.isSync)
+          var total = 0L
+          var maxB = 0
+          var i = 0
+          while (i < n) {
+            total += t.sizes(i)
+            if (t.sizes(i) > maxB) maxB = t.sizes(i)
+            i += 1
+          }
+          (id, n, nKey, total, maxB, n.toDouble / nKey)
+        }
+      }
+      .toDF("media_id", "n_samples", "n_key", "total_bytes", "max_bytes",
+        "gop_raw")
+      .select(col("media_id"), col("n_samples"), col("n_key"),
+        col("total_bytes"), col("max_bytes"),
+        round(col("gop_raw"), 4).as("mean_gop"))
+      .orderBy(col("media_id"))
+  }
+
+  private val gopAuditSql =
+    """WITH geom AS (
+      |  SELECT doc_id, (8 + doc_id % 7)::BIGINT AS n,
+      |    (2 + doc_id % 3)::BIGINT AS s
+      |  FROM documents),
+      |sz AS (
+      |  SELECT doc_id, n, s,
+      |    list_transform(generate_series(0, (n - 1)::INT),
+      |      f -> 100 + (doc_id*13 + f*7) % 150) AS ls
+      |  FROM geom)
+      |SELECT doc_id AS media_id, n::INT AS n_samples,
+      |  ((n + s - 1) // s)::INT AS n_key,
+      |  list_sum(ls)::BIGINT AS total_bytes,
+      |  list_max(ls)::INT AS max_bytes,
+      |  round(n / ((n + s - 1) // s)::DOUBLE, 4) AS mean_gop
+      |FROM sz ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm12_gop_audit" -> QueryDef(gopAudit, Some(gopAuditSql)),
     "mm08_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsSql),
       bench = true),
     "mm09_patchify" -> QueryDef(patchify, Some(patchifySql)),

@@ -8,7 +8,7 @@ import graft.multimodal.MediaColumns
 import graft.pack.PackStage
 import graft.streaming.EventStreams
 import graft.tokenize.TokenizeStage
-import graft.wds.{MultiShardSample, WdsReader}
+import graft.wds.{MultiShardSample, Sample, WdsReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -572,6 +572,43 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("n_entries"))
   }
 
+  /** wds18: CONTINUOUS tokenize — the E2 stage as a streaming consumer
+    * of arriving shards. `readStream.format("wds")` over the E1 output,
+    * `foreachBatch` running the REAL `TokenizeStage` per epoch (the
+    * standard pattern for reusing a batch writer in a stream), one
+    * AvailableNow epoch over the staged fixture ⇒ identical merge-group
+    * semantics to wds03, so it shares that oracle. In production each
+    * arriving shard-group is its own epoch — matching the reference's
+    * per-group packing scope, where bins never span groups. */
+  private def streamTokenize(s: SparkSession, dir: String): DataFrame = {
+    val packOut = scratchDir("graft_se1")
+    val tokOut = scratchDir("graft_se2")
+    PackStage.run(docMeta(s, dir), packOut,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true)).collect()
+    implicit val enc = org.apache.spark.sql.Encoders.product[Sample]
+    val q = s.readStream.format("wds").load(packOut)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], epochId: Long) =>
+        TokenizeStage.run(batch.as[Sample].coalesce(1),
+          s"$tokOut/e$epochId").collect()
+        ()
+      }
+      .option("checkpointLocation", scratchDir("graft_se2_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(tokOut).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val tokUrls = fs.globStatus(
+      new org.apache.hadoop.fs.Path(tokOut, "e*/*.tar"))
+      .map(_.getPath.toString).toSeq.sorted
+    CheckStage.checked(WdsReader.readUrls(s, tokUrls))
+      .select(col("key"), col("n_tokens"), col("n_images"))
+      .orderBy(col("key"))
+  }
+
   /** The streaming sources need a parquet copy with micros timestamps
     * (the nanos source needs the same conversion the batch path
     * applies). The fixture is immutable per sf dir, so the staged copy
@@ -1056,6 +1093,8 @@ object WdsQueries extends QueryRegistry {
     "wds16_multishard" -> QueryDef(multiShard, Some(multiShardSql)),
     "wds17_stream_shards" -> QueryDef(streamShards, Some(
       "SELECT 5 AS n_entries, count(*) AS n_samples FROM documents")),
+    "wds18_stream_tokenize" -> QueryDef(streamTokenize,
+      Some(tokenizePackSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),
     "st02_stream_dedup" -> QueryDef(streamDedup, Some(streamHourlySql)),
     "st03_stream_attribution" -> QueryDef(streamAttribution,

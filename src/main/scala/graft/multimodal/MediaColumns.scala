@@ -263,6 +263,43 @@ object MediaColumns {
       }.toDF()
   }
 
+  final case class GopStats(
+      media_id: Long,
+      n_samples: Int,
+      n_key: Int,
+      total_bytes: Long,
+      max_bytes: Int,
+      gop_raw: Double) // n_samples / n_key; round at presentation
+
+  /** GOP/bitrate container audit over an MP4 binary column: keyframe
+    * cadence and sample-size stats from the REAL stbl walk
+    * ([[Mp4Samples.parse]]: stsz sizes + stss sync table) with NO
+    * frame decode — container metadata is KBs per video, so this is
+    * the shape a corpus-wide audit runs at 100 TB (the mdat payload
+    * never leaves the scan). */
+  def gopStats(df: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[GopStats]
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, mp4) =>
+          val t = Mp4Samples.parse(mp4).getOrElse(
+            throw new IllegalArgumentException(s"no sample table in $id"))
+          val n = t.frameCount
+          val nKey = (0 until n).count(t.isSync)
+          var total = 0L
+          var maxB = 0
+          var i = 0
+          while (i < n) {
+            total += t.sizes(i)
+            if (t.sizes(i) > maxB) maxB = t.sizes(i)
+            i += 1
+          }
+          GopStats(id, n, nKey, total, maxB, n.toDouble / nKey)
+        }
+      }.toDF()
+  }
+
   /** Pack media rows for training: metadata-only projection — asserts
     * the binary column is pruned from the scan (see spec). */
   def mediaCatalog(df: DataFrame): DataFrame =

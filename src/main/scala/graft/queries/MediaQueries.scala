@@ -212,31 +212,7 @@ object MediaQueries extends QueryRegistry {
     }
     val media = Tables(s, dir).documents
       .select(col("doc_id").as("media_id"), mkMp4(col("doc_id")).as("content"))
-    implicit val enc = org.apache.spark.sql.Encoders.product[
-      (Long, Int, Int, Long, Int, Double)]
-    media
-      .as(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
-      .mapPartitions { it =>
-        it.map { case (id, mp4) =>
-          val t = Mp4Samples.parse(mp4).getOrElse(
-            throw new IllegalArgumentException(s"no sample table in $id"))
-          val n = t.frameCount
-          val nKey = (0 until n).count(t.isSync)
-          var total = 0L
-          var maxB = 0
-          var i = 0
-          while (i < n) {
-            total += t.sizes(i)
-            if (t.sizes(i) > maxB) maxB = t.sizes(i)
-            i += 1
-          }
-          (id, n, nKey, total, maxB, n.toDouble / nKey)
-        }
-      }
-      .toDF("media_id", "n_samples", "n_key", "total_bytes", "max_bytes",
-        "gop_raw")
+    MediaColumns.gopStats(media)
       .select(col("media_id"), col("n_samples"), col("n_key"),
         col("total_bytes"), col("max_bytes"),
         round(col("gop_raw"), 4).as("mean_gop"))

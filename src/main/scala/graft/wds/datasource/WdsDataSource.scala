@@ -196,16 +196,16 @@ final class WdsScan(
   *
   * Discovery model: each `latestOffset()` re-lists the path spec
   * (Hadoop glob for directories/wildcards, brace expansion otherwise)
-  * and an offset is the lexicographically LARGEST shard url admitted so
-  * far — a batch is "every shard with url in (start, end]". This leans
-  * on the engine's writer convention (monotone zero-padded shard names,
-  * `WdsWriter`/`PackStage` `%06d` suffixes — the same convention the
-  * reference's ShardWriter uses), which makes the url itself the
-  * watermark: no per-file seen-log is needed and restarts resume from
-  * the checkpointed url. The corollary limitation is explicit: a shard
-  * that lands with a name BELOW the current watermark is outside the
-  * contract and will not be picked up — producers must write through
-  * the engine's writers (or any monotone naming scheme).
+  * and an offset is the NATURALLY largest shard url admitted so far
+  * ([[NaturalOrder]]: digit runs compare as numbers, so unpadded
+  * `shard-10` sorts after `shard-9`) — a batch is "every shard with
+  * url in (start, end]". Monotone shard NUMBERS (every engine writer,
+  * and the reference's ShardWriter) therefore satisfy the contract
+  * with or without zero padding, the url itself is the watermark, no
+  * per-file seen-log is needed, and restarts resume from the
+  * checkpointed url. The corollary limitation is explicit: a shard
+  * that lands with a name naturally BELOW the current watermark is
+  * outside the contract and will not be picked up.
   *
   * One shard = one input partition per batch, same as the batch scan —
   * the streaming unit of work equals the scheduling unit. */
@@ -257,12 +257,13 @@ final class WdsMicroBatchStream(
     val preds = urlFilters.flatMap(WdsScan.urlPredicate)
     val pruned =
       if (preds.isEmpty) urls else urls.filter(u => preds.forall(_(u)))
-    pruned.sorted
+    pruned.sorted(NaturalOrder)
   }
 
   private def latestDiscovered(): Offset = {
     val seen = discover()
-    if (seen.isEmpty) WdsStreamOffset("") else WdsStreamOffset(seen.max)
+    if (seen.isEmpty) WdsStreamOffset("")
+    else WdsStreamOffset(seen.max(NaturalOrder))
   }
 
   override def initialOffset(): Offset = WdsStreamOffset("")
@@ -280,7 +281,9 @@ final class WdsMicroBatchStream(
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[WdsStreamOffset].lastUrl
     val hi = end.asInstanceOf[WdsStreamOffset].lastUrl
-    discover().filter(u => u > lo && u <= hi)
+    discover().filter(u =>
+        (lo.isEmpty || NaturalOrder.compare(u, lo) > 0) &&
+          NaturalOrder.compare(u, hi) <= 0)
       .map(u => WdsInputPartition(u): InputPartition).toArray
   }
 
@@ -290,6 +293,45 @@ final class WdsMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** NATURAL (digit-run-aware) url order for the streaming watermark:
+  * digit runs compare as numbers, so `shard-10-...` sorts AFTER
+  * `shard-9-...` — producers with unpadded monotone shard numbers
+  * (PackStage's reference-parity names, the reference's own
+  * ShardWriter) satisfy the monotone-name contract without renaming.
+  * Ties between equal-valued different-padding runs ("01" vs "1")
+  * fall back to full lexicographic compare so the order stays total
+  * (a natural tie must not make two distinct files "equal" — the
+  * watermark filter would drop one). */
+private[wds] object NaturalOrder extends Ordering[String] {
+  override def compare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(j)
+      if (ca.isDigit && cb.isDigit) {
+        var i2 = i
+        while (i2 < a.length && a.charAt(i2).isDigit) i2 += 1
+        var j2 = j
+        while (j2 < b.length && b.charAt(j2).isDigit) j2 += 1
+        val sa = a.substring(i, i2).dropWhile(_ == '0')
+        val sb = b.substring(j, j2).dropWhile(_ == '0')
+        val c = if (sa.length != sb.length) sa.length - sb.length
+          else sa.compareTo(sb)
+        if (c != 0) return c
+        i = i2
+        j = j2
+      } else {
+        if (ca != cb) return ca - cb
+        i += 1
+        j += 1
+      }
+    }
+    val c = (a.length - i) - (b.length - j)
+    if (c != 0) c else a.compareTo(b) // padding tie-break: total order
+  }
 }
 
 /** Offset = largest admitted shard url ("" before any shard). */

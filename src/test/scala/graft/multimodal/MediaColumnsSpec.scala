@@ -97,6 +97,21 @@ class MediaColumnsSpec extends SparkSpec {
     assert(r.getAs[Long]("sad_total") == 255L * 3)
   }
 
+  test("gopStats reads cadence and sizes from the sample table, no decode") {
+    import spark.implicits._
+    // 5 opaque samples of sizes 10,20,30,40,50; keyframe every 2
+    val frames = Seq(10, 20, 30, 40, 50).map(new Array[Byte](_))
+    val mp4 = Mp4Samples.encodeFrames(frames, codec = "gop ", fps = 10,
+      width = 8, height = 8, syncEvery = 2)
+    val df = Seq((3L, mp4)).toDF("media_id", "content")
+    val r = MediaColumns.gopStats(df).collect().head
+    assert(r.getAs[Int]("n_samples") == 5)
+    assert(r.getAs[Int]("n_key") == 3) // frames 0,2,4
+    assert(r.getAs[Long]("total_bytes") == 150L)
+    assert(r.getAs[Int]("max_bytes") == 50)
+    assert(r.getAs[Double]("gop_raw") == 5.0 / 3)
+  }
+
   test("patchify fans a 4x4 image into 2x2 patches with correct bytes") {
     import spark.implicits._
     val img = Codecs.ImageData(4, 4, 1, "L",

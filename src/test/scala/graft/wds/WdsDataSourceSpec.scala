@@ -202,6 +202,35 @@ class WdsDataSourceSpec extends SparkSpec {
     assert(keys == (0 until 31).map(i => f"$i%09d"))
   }
 
+  test("stream watermark uses NATURAL order: unpadded shard-10 follows shard-9") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("wdsnat").toString
+    val ckpt = Files.createTempDirectory("wdsnat_ck").toString
+    val sink = Files.createTempDirectory("wdsnat_out").toString
+    // 11 shards with UNPADDED numbers (PackStage's reference-parity
+    // naming): lexicographic order would put shard-10 before shard-2
+    // and a restarted stream would drop it below the watermark
+    for (i <- 0 to 9) writeShard(d, s"shard-$i-000000.tar", i until (i + 1))
+    def runOnce(): Seq[String] = {
+      val q = spark.readStream.format("wds").load(d)
+        .select(col("key"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).collect().map(_.getString(0)).toSeq.sorted
+    }
+    assert(runOnce().length == 10)
+    writeShard(d, "shard-10-000000.tar", 10 until 12)
+    assert(runOnce() == (0 until 12).map(i => f"$i%09d"))
+    // natural order invariants incl. padding tie-break totality
+    import graft.wds.datasource.NaturalOrder
+    assert(NaturalOrder.compare("shard-10-000000.tar", "shard-9-000000.tar") > 0)
+    assert(NaturalOrder.compare("shard-2-000000.tar", "shard-10-000000.tar") < 0)
+    assert(NaturalOrder.compare("shard-01.tar", "shard-1.tar") != 0)
+    assert(NaturalOrder.compare("a-5b", "a-5b") == 0)
+  }
+
   test("streaming write in Complete mode replaces prior epochs") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Files.createTempDirectory("wdscm_src").toString

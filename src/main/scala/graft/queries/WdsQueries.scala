@@ -549,27 +549,28 @@ object WdsQueries extends QueryRegistry {
       |FROM documents""".stripMargin
 
   /** wds17: CONTINUOUS shard ingest through the DSv2 streaming path —
-    * pack real shards, then `readStream.format("wds")` over the output
-    * directory (AvailableNow) and aggregate per-sample entry counts in
-    * Complete mode. Must equal wds02's batch answer over the same
-    * shards, so it shares that oracle shape. The offset watermark is
-    * the largest shard url (writer names are monotone); the
-    * incremental-discovery path (new shards between microbatches) is
+    * pack real aligned shards, then `readStream.format("wds")` over the
+    * output directory (AvailableNow) into a PER-KEY Complete-mode agg:
+    * every sample must arrive exactly once with its full entry set, so
+    * the result equals wds05's per-key batch oracle row-for-row. The
+    * offset watermark is the naturally-largest shard url; the
+    * incremental-discovery path (new shards between restarts) is
     * spec-asserted in WdsDataSourceSpec. */
   private def streamShards(s: SparkSession, dir: String): DataFrame = {
     val out = scratchDir("graft_ssh")
     PackStage.run(docMeta(s, dir), out,
-      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100))
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
       .collect() // materialize the write before the stream starts
     val stream = s.readStream.format("wds").load(out)
       .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
-      .groupBy(col("n_entries")).agg(count(lit(1)).as("n_samples"))
+      .groupBy(col("key")).agg(max(col("n_entries")).as("n_entries"))
     val name = "stream_shards_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.EventStreams.runToMemory(s, stream, name,
       org.apache.spark.sql.streaming.OutputMode.Complete(),
       statePartitions = Some(4))
-      .orderBy(col("n_entries"))
+      .orderBy(col("key"))
   }
 
   /** wds18: CONTINUOUS tokenize — the E2 stage as a streaming consumer
@@ -1091,8 +1092,7 @@ object WdsQueries extends QueryRegistry {
     "wds14_sample_ops" -> QueryDef(sampleOps, Some(sampleOpsSql)),
     "wds15_cbors_roundtrip" -> QueryDef(cborsRoundtrip, Some(cborsRoundtripSql)),
     "wds16_multishard" -> QueryDef(multiShard, Some(multiShardSql)),
-    "wds17_stream_shards" -> QueryDef(streamShards, Some(
-      "SELECT 5 AS n_entries, count(*) AS n_samples FROM documents")),
+    "wds17_stream_shards" -> QueryDef(streamShards, Some(packKeysSql)),
     "wds18_stream_tokenize" -> QueryDef(streamTokenize,
       Some(tokenizePackSql)),
     "st01_stream_hourly" -> QueryDef(streamHourly, Some(streamHourlySql)),

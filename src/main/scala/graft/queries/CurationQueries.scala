@@ -221,13 +221,31 @@ object CurationQueries extends QueryRegistry {
     * works identically over a batch or streaming frame because it is
     * row-narrow. `defaultRate` applies to languages not in `rates`
     * (the gate pins 0; the CLI defaults to keep-everything-unlisted). */
+  /** Stable [0,100) bucket from md5(doc_id) — the deterministic
+    * per-document coin every sampling/split decision uses (never a
+    * seeded RNG: must be reproducible across runs, engines and
+    * repartitioning). Shared by qc01/st05/qd16. */
+  private[graft] def bucketCol: Column =
+    (conv(substring(md5(to_binary(
+      col("doc_id").cast("string"), lit("utf-8"))), 1, 6), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** DuckDB twin: hex → int without conv() — positional nibble
+    * arithmetic over the first 6 md5 hex chars (value-identical to
+    * Spark's conv(_, 16, 10)). */
+  private[graft] def bucketSql: String = {
+    val nib = (1 to 6).map { i =>
+      val pow = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $i, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    s"(($nib) % 100)"
+  }
+
   private[graft] def mixProjection(
       docs: DataFrame,
       rates: Seq[(String, Int)] = MixRates,
       defaultRate: Int = 0): DataFrame = {
-    val bucket = (conv(substring(md5(to_binary(
-      col("doc_id").cast("string"), lit("utf-8"))), 1, 6), 16, 10)
-      .cast("long") % 100).cast("int")
+    val bucket = bucketCol
     val rate = rates.foldRight(lit(defaultRate): Column) {
       case ((l, r), rest) => when(col("lang") === l, lit(r)).otherwise(rest)
     }

@@ -515,6 +515,64 @@ object DedupQueries extends QueryRegistry {
        |GROUP BY s.doc_id ORDER BY new_id""".stripMargin
   }
 
+  /** qd16: SPLIT HYGIENE — assign every doc a deterministic
+    * train/val/test split (md5 bucket: 90/5/5, the qc01 coin — never a
+    * seeded RNG) and audit near-dup LEAKAGE across splits: an LSH
+    * candidate pair straddling two splits means the eval split shares
+    * content with training, the contamination train/test splits exist
+    * to prevent. Output = per-split doc counts plus the cross-split
+    * pair matrix. At 100 TB the split is a row-narrow scan and the
+    * audit reuses the signature join — no new pass over text. */
+  private def splitHygiene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val splits = Tables(s, dir).documents.select($"doc_id",
+      when(CurationQueries.bucketCol < 90, "train")
+        .when(CurationQueries.bucketCol < 95, "val")
+        .otherwise("test").as("split"))
+    val docCounts = splits.groupBy($"split").agg(count(lit(1)).as("n"))
+      .select(lit("docs").as("kind"), $"split".as("split_a"),
+        lit("").as("split_b"), $"n")
+    val leaks = lshPairsFrom(signatures(s, dir))
+      .join(splits.as("sa"), $"a_id" === col("sa.doc_id"))
+      .join(splits.as("sb"), $"b_id" === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .groupBy(col("sa.split").as("split_a"), col("sb.split").as("split_b"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("leak").as("kind"), $"split_a", $"split_b", $"n")
+    docCounts.unionByName(leaks)
+      .orderBy($"kind", $"split_a", $"split_b")
+  }
+
+  private val splitHygieneSql = {
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    val b = CurationQueries.bucketSql
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(x => s"band$x").mkString(", ")}]) AS band
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM eb a JOIN eb b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN $b < 90 THEN 'train'
+       |    WHEN $b < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT 'docs' AS kind, split AS split_a, '' AS split_b,
+       |  count(*) AS n
+       |FROM sp GROUP BY 2
+       |UNION ALL
+       |SELECT 'leak', sa.split, sb.split, count(*)
+       |FROM cand JOIN sp sa ON a_id = sa.doc_id
+       |          JOIN sp sb ON b_id = sb.doc_id
+       |WHERE sa.split <> sb.split GROUP BY 2, 3
+       |ORDER BY kind, split_a, split_b""".stripMargin
+  }
+
   /** End-to-end dedup keep-list: drop the higher doc_id of every
     * Jaccard-verified near-dup pair (threshold 0.5) — the pipeline's
     * final output shape (LSH candidates → exact verify → prune). */
@@ -774,5 +832,6 @@ object DedupQueries extends QueryRegistry {
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),
     "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
       Some(incrementalDedupSql), bench = true),
+    "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql)),
   )
 }

@@ -89,6 +89,25 @@ object DedupQueries extends QueryRegistry {
     s"substr(md5('$b' || '|' || $parts), 1, 16) AS band$b"
   }
 
+  /** Shared `bands -> eb -> cand` CTE chain (band columns, exploded
+    * band rows, distinct a<b candidate pairs) appended after
+    * [[sigSqlCte]] by every oracle that verifies over LSH candidates
+    * (qd03/qd04/qd10/qd16). */
+  private lazy val candSqlCtes: String = {
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    s"""bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(b => s"band$b").mkString(", ")}]) AS band
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM eb a JOIN eb b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   // ---- queries ----
 
   /** Exact dedup: group by content hash, keep min doc_id. */
@@ -178,19 +197,8 @@ object DedupQueries extends QueryRegistry {
   }
 
   private val jaccardSql = {
-    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
     s"""$sigSqlCte,
-       |bands AS (
-       |  SELECT doc_id,
-       |    $bandExprs
-       |  FROM sig),
-       |eb AS (
-       |  SELECT doc_id, unnest([${(0 until NumBands)
-        .map(b => s"band$b").mkString(", ")}]) AS band
-       |  FROM bands),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM eb a JOIN eb b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |$candSqlCtes,
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM s),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -402,22 +410,11 @@ object DedupQueries extends QueryRegistry {
   }
 
   private val minhashEstSql = {
-    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
     val agree = (0 until NumHashes)
       .map(k => s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""$sigSqlCte,
-       |bands AS (
-       |  SELECT doc_id,
-       |    $bandExprs
-       |  FROM sig),
-       |eb AS (
-       |  SELECT doc_id, unnest([${(0 until NumBands)
-        .map(b => s"band$b").mkString(", ")}]) AS band
-       |  FROM bands),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM eb a JOIN eb b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |$candSqlCtes
        |SELECT a_id, b_id,
        |  round(($agree)::DOUBLE / $NumHashes, 6) AS est_jaccard
        |FROM cand JOIN sig a ON a_id = a.doc_id JOIN sig b ON b_id = b.doc_id
@@ -544,20 +541,9 @@ object DedupQueries extends QueryRegistry {
   }
 
   private val splitHygieneSql = {
-    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
     val b = CurationQueries.bucketSql
     s"""$sigSqlCte,
-       |bands AS (
-       |  SELECT doc_id,
-       |    $bandExprs
-       |  FROM sig),
-       |eb AS (
-       |  SELECT doc_id, unnest([${(0 until NumBands)
-        .map(x => s"band$x").mkString(", ")}]) AS band
-       |  FROM bands),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM eb a JOIN eb b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |$candSqlCtes,
        |sp AS (
        |  SELECT doc_id, CASE WHEN $b < 90 THEN 'train'
        |    WHEN $b < 95 THEN 'val' ELSE 'test' END AS split

@@ -6,9 +6,9 @@ import graft.wds.Codecs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Video-native analytics tier (mm08–mm11): shot-boundary detection,
+/** Video-native analytics tier (mm08–mm12): shot-boundary detection,
   * ViT patch extraction, energy-based silence segmentation, subtitle
-  * parse + time-range alignment. Fixture media is synthesized per doc
+  * parse + time-range alignment, GOP/bitrate container audit. Fixture media is synthesized per doc
   * (pure functions of doc_id, lossless codecs) so every output value is
   * replayable by the DuckDB oracle — content-checked end-to-end like
   * mm05/mm06/mm07, not geometry-only.

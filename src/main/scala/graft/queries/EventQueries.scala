@@ -336,7 +336,42 @@ object EventQueries extends QueryRegistry {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin
 
+  /** qe09: event-transition matrix (first-order Markov over per-user
+    * journeys): lag each user's time-ordered events, count (from, to)
+    * pairs, report each transition's share of its source state. The
+    * user-journey / funnel-discovery primitive. One user_id shuffle,
+    * then a tiny (|event types|²) aggregate; ordering tie-breaks on
+    * event_id because (user_id, ts) is not unique in the fixture. */
+  private def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables(s, dir).events
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy($"from_type")
+    pairs
+      .withColumn("share", round($"n" * 1.0 / sum($"n").over(totals), 6))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val transitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS share
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qe09_transitions" -> QueryDef(transitions, Some(transitionsSql)),
     "qe08_interval_bin_join" -> QueryDef(intervalBinJoin,
       Some(intervalBinJoinSql), bench = true),
     "qe07_value_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),

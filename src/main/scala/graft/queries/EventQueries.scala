@@ -371,7 +371,8 @@ object EventQueries extends QueryRegistry {
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "qe09_transitions" -> QueryDef(transitions, Some(transitionsSql)),
+    "qe09_transitions" -> QueryDef(transitions, Some(transitionsSql),
+      bench = true),
     "qe08_interval_bin_join" -> QueryDef(intervalBinJoin,
       Some(intervalBinJoinSql), bench = true),
     "qe07_value_quantiles" -> QueryDef(quantiles, Some(quantilesSql)),

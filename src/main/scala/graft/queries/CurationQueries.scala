@@ -375,10 +375,14 @@ object CurationQueries extends QueryRegistry {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, dir).documents
-    val grp = docs.groupBy($"source", $"lang")
+    val weighted = docs.groupBy($"source", $"lang")
       .agg(count(lit(1)).as("n_group"))
       .withColumn("w", floor(lit(1e6) * sqrt($"n_group")))
-      .withColumn("total_w", sum($"w").over(Window.partitionBy()))
+    // Σw as a broadcast 1-row aggregate cross-joined back, NOT an
+    // unpartitioned window: the window form funnels every stratum row
+    // through one partition, and nothing formally bounds #strata
+    val grp = weighted
+      .crossJoin(broadcast(weighted.agg(sum($"w").as("total_w"))))
       // capped at the stratum size: this mix samples WITHOUT
       // replacement, so α<1 can only flatten toward (not past) the
       // data a small stratum actually has
@@ -477,18 +481,11 @@ object CurationQueries extends QueryRegistry {
     * (here: longest-first + doc_id tiebreak, the schedule a curriculum
     * trainer consumes) WITHOUT the single-partition global window that
     * `row_number() OVER (ORDER BY …)` plans naively. The scale-native
-    * two-level form: range-repartition on the sort key, rank locally
-    * per partition (parallel windows), add per-partition prefix-sum
-    * offsets — the offsets come from a 32-row aggregate window, so the
-    * only single-partition exchange in the plan moves #partitions rows,
-    * not the corpus. The range exchange appears in two plan branches
-    * (rank + offsets) and MUST be computed once — `PlanAuditSpec` pins
-    * the ReusedExchange, and the oracle hash would catch divergent
-    * re-sampling of range bounds.
-    *
-    * Rank values are partition-bound-independent: any range split of a
-    * total order yields the same offsets+local-ranks sum, so the output
-    * is deterministic even though bound sampling is not. */
+    * two-level form: tag each row with an explicit score-range bin
+    * (deterministic literals — see curriculumOf), rank locally per bin
+    * (parallel windows), add per-bin prefix-sum offsets from a tiny
+    * broadcast join. No single-partition exchange or unpartitioned
+    * window touches document rows anywhere in the plan. */
   private def curriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scored = Tables(s, dir).documents
@@ -500,22 +497,42 @@ object CurationQueries extends QueryRegistry {
 
   /** Query-path body — (rank, doc_id, score) for a (doc_id, score)
     * frame — reused by ScaleProbe's A/B against the naive global
-    * window. Unsorted: the gate adds the presentation orderBy. */
+    * window. Unsorted: the gate adds the presentation orderBy.
+    *
+    * Bins are an EXPLICIT deterministic function of the row: boundaries
+    * come from one eager approxQuantile pass collected to nParts-1
+    * driver-side literals, so the rank branch and the offsets branch
+    * can never disagree on a row's bin (the previous form relied on
+    * the physical planner reusing one sampled range exchange — a
+    * plan-shape dependency, not a semantic guarantee). Rank values are
+    * bin-boundary-independent: any monotone split of a total order
+    * yields the same offsets+local-ranks sum, so approxQuantile's
+    * precision only shapes skew, never values. The prefix-sum offsets
+    * are a broadcast triangle join over ≤nParts count rows — no
+    * single-partition exchange or unpartitioned window anywhere. */
   private[graft] def curriculumOf(
       scored: DataFrame, nParts: Int): DataFrame = {
     import scored.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val parts = scored
-      .repartitionByRange(nParts, $"score".desc, $"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-    val offs = parts.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(
-        sum($"cnt").over(Window.orderBy($"pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"off")
-    val local = Window.partitionBy($"pid")
-      .orderBy($"score".desc, $"doc_id")
-    parts.join(offs, Seq("pid"))
+    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else scored.select($"score".cast("double").as("score"))
+        .stat.approxQuantile("score", probs, 0.001).distinct.sorted
+    // descending bins: bin 0 holds the highest scores; strict > keeps
+    // every row of a tied score in one bin
+    val bin = bounds.reverse.zipWithIndex
+      .foldRight(lit(bounds.length): Column) { case ((b, i), acc) =>
+        when($"score" > lit(b), lit(i)).otherwise(acc)
+      }
+    val parts = scored.withColumn("bin", bin.cast("int"))
+    val cnts = parts.groupBy($"bin").agg(count(lit(1)).as("cnt"))
+    val offs = cnts.as("a")
+      .join(cnts.select($"bin".as("pbin"), $"cnt".as("pcnt")),
+        $"pbin" < $"bin", "left")
+      .groupBy($"bin").agg(coalesce(sum($"pcnt"), lit(0L)).as("off"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bin").orderBy($"score".desc, $"doc_id")
+    parts.join(broadcast(offs), Seq("bin"))
       .select(($"off" + row_number().over(local)).as("rank"),
         $"doc_id", $"score")
   }

@@ -582,12 +582,19 @@ object TextQueries extends QueryRegistry {
         * ($"tf" * lit(Bm25K1 + 1.0)
            / ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B)
               + lit(Bm25B) * $"dl" * $"n" / $"sumdl")))).cast("long"))
+    // Top-k via orderBy().limit(k): plans as TakeOrderedAndProject — a
+    // distributed partial top-k (each partition keeps k, the driver
+    // merges #partitions×k rows). The rank column is derived AFTER the
+    // limit, so the only unpartitioned window in the plan runs over a
+    // 10-row frame, never the corpus (the global row_number it replaces
+    // funneled every scored doc through one partition).
     val w = Window.orderBy($"score_ppm".desc, $"doc_id")
     scored.groupBy($"doc_id")
       .agg(count(lit(1)).cast("int").as("n_terms"),
         sum($"ppm").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(10)
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
       .select($"rank", $"doc_id", $"n_terms", $"score_ppm")
       .orderBy($"rank")
   }

@@ -39,11 +39,23 @@ object WdsQueries extends QueryRegistry {
     }
     scratchDirs.forEach(d => rm(d.toFile))
   }))
-  private[graft] def scratchDir(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    scratchDirs.add(dir)
-    dir.toString
-  }
+  /** Every returned path carries an explicit scheme so nothing in the
+    * gate spine silently resolves against fs.defaultFS: the default is
+    * a file:-scheme URI under java.io.tmpdir (deleted on JVM exit), and
+    * -Dgraft.scratch.root=hdfs://…/s3a://… points the SAME gate queries
+    * at a shared store for cluster runs (cleanup is then the store's
+    * TTL policy, not a driver shutdown hook). */
+  private[graft] def scratchDir(prefix: String): String =
+    sys.props.get("graft.scratch.root") match {
+      case Some(root) =>
+        val name = prefix + "-" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        new org.apache.hadoop.fs.Path(root, name).toString
+      case None =>
+        val dir = Files.createTempDirectory(prefix)
+        scratchDirs.add(dir)
+        dir.toUri.toString
+    }
 
   /** documents → pack-stage metadata (deterministic fake video paths;
     * text as caption). */

@@ -99,6 +99,19 @@ object Png {
       require(len >= 0 && pos + 12L + len <= bytes.length,
         s"png chunk overruns buffer (len=$len at $pos)")
       val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      // critical-chunk CRC over type+data (one cheap pass vs inflate):
+      // a bit-flipped IHDR/IDAT must throw — the corrupt-sample
+      // contract is "any throw = undecodable", and without this check a
+      // flipped IDAT byte decodes to silently wrong pixels where every
+      // standards decoder rejects the file. Skipped ancillary chunks
+      // stay unverified: they contribute nothing to the output raster.
+      if (ctype == "IHDR" || ctype == "IDAT" || ctype == "IEND") {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + len)
+        val want = getInt(bytes, pos + 8 + len) & 0xffffffffL
+        require(crc.getValue == want,
+          s"png $ctype chunk crc mismatch at $pos")
+      }
       ctype match {
         case "IHDR" =>
           require(len == 13, s"IHDR length $len")

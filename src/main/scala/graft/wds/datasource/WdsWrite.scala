@@ -43,15 +43,15 @@ final class WdsWriteBuilder(
         .map(_.toLong).getOrElse(100000L)
       val maxSize = Option(options.get("maxsize"))
         .map(_.toLong).getOrElse(3000000000L)
+      (dir, conf, maxCount, maxSize)
+    }
+    override def toBatch: BatchWrite = {
+      val (dir, conf, maxCount, maxSize) = prepared
       if (doTruncate) {
         val p = new Path(dir)
         val fs = p.getFileSystem(conf.value)
         if (fs.exists(p)) fs.delete(p, true): Unit
       }
-      (dir, conf, maxCount, maxSize)
-    }
-    override def toBatch: BatchWrite = {
-      val (dir, conf, maxCount, maxSize) = prepared
       new WdsBatchWrite(dir, conf, info.schema(), maxCount, maxSize)
     }
     /** Streaming sink: `transformed.writeStream.format("wds")…`.
@@ -60,14 +60,28 @@ final class WdsWriteBuilder(
       * (`part-e<epoch>-<p>-<task>-<n>.tar`), so a chained
       * `readStream.format("wds")`'s url-max watermark can never pass a
       * shard that hasn't appeared yet. Complete mode (truncate) drops
-      * prior epochs' shards after the new epoch lands. Semantics are
+      * shards older than the newest `retainepochs` epochs (default 1 =
+      * current only) after the new epoch lands — a Complete-mode sink
+      * with the default MUST NOT be chained into a wds readStream: a
+      * downstream restart re-plans checkpointed offset ranges by
+      * re-listing the directory, and deleted epochs silently vanish
+      * from the replayed batch. Set retainepochs high enough to cover
+      * the downstream's restart window if you must chain. A stream
+      * RESTART never wipes the directory (truncate is batch-only):
+      * the prior snapshot stays readable until the first new epoch
+      * commits, then retention applies. Semantics are
       * at-least-once on epoch REPLAY after a failure (no idempotent
-      * commit log); aborted attempts are deleted like the batch path. */
+      * commit log); aborted attempts are deleted like the batch path,
+      * and stale `.staging/` orphans from dead attempts are swept at
+      * stream start and at each epoch commit. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val (dir, conf, maxCount, maxSize) = prepared
+      val retain = Option(options.get("retainepochs"))
+        .map(_.toInt).getOrElse(1)
+      require(retain >= 1, s"retainepochs must be >= 1, got $retain")
       new WdsStreamingWrite(dir, conf, info.schema(), maxCount, maxSize,
-        truncatePerEpoch = doTruncate)
+        truncatePerEpoch = doTruncate, retainEpochs = retain)
     }
   }
 }
@@ -78,9 +92,30 @@ final class WdsStreamingWrite(
     schema: StructType,
     maxCount: Long,
     maxSize: Long,
-    truncatePerEpoch: Boolean)
+    truncatePerEpoch: Boolean,
+    retainEpochs: Int = 1)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  // Stream (re)start: anything still under .staging/ is an orphan — a
+  // dead attempt from a prior run whose commit message never reached
+  // the driver (abort only deletes files NAMED in messages). Without
+  // this sweep .staging accumulates garbage for the life of the sink.
+  {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    val staging = new Path(base, ".staging")
+    if (fs.exists(staging)) fs.delete(staging, true): Unit
+  }
+
+  /** Epoch embedded in a final/staged shard name, or -1. */
+  private def epochOf(name: String): Long =
+    if (name.startsWith("part-e"))
+      name.drop(6).takeWhile(_.isDigit) match {
+        case "" => -1L
+        case d  => d.toLong
+      }
+    else -1L
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -99,13 +134,21 @@ final class WdsStreamingWrite(
       if (!fs.rename(new Path(staged), target))
         throw new java.io.IOException(s"rename $staged -> $target failed")
     }
+    // sweep staged orphans from dead attempts of this or earlier
+    // epochs — those epochs just committed (or were replayed), so
+    // nothing staged for them can ever be renamed into place
+    Option(fs.globStatus(
+      new Path(new Path(base, ".staging"), "part-e*.tar"))).toSeq.flatten
+      .filter(f => epochOf(f.getPath.getName) <= epochId)
+      .foreach(f => fs.delete(f.getPath, false))
     if (truncatePerEpoch) {
-      // Complete mode: the new epoch REPLACES the output — drop every
-      // committed shard from earlier epochs (readers of a Complete
-      // sink read a snapshot, not an append log)
-      val keep = f"part-e$epochId%09d-"
+      // Complete mode: the new epoch REPLACES the output — drop
+      // committed shards older than the newest retainEpochs epochs
+      // (readers of a Complete sink read a snapshot, not an append
+      // log; retention > 1 is the chained-readStream grace window)
+      val floor = epochId - (retainEpochs - 1)
       Option(fs.globStatus(new Path(base, "part-e*.tar"))).toSeq.flatten
-        .filter(f => !f.getPath.getName.startsWith(keep))
+        .filter(f => epochOf(f.getPath.getName) < floor)
         .foreach(f => fs.delete(f.getPath, false))
     }
   }

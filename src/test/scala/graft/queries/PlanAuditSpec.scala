@@ -84,27 +84,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("qc03: two-level rank reuses ONE range exchange; no corpus-wide " +
-    "single-partition window") {
+  test("qc03: two-level rank — no single-partition exchange or " +
+    "unpartitioned window over document rows") {
     val p = planOf("qc03_curriculum")
-    // the doc-level range repartition must be planned once and reused by
-    // the offsets branch — two independently-sampled range exchanges
-    // could disagree on bounds and corrupt ranks
-    val reused = p.collect {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
-    }
-    assert(reused.nonEmpty, s"offsets branch does not reuse the range " +
-      s"exchange:\n$p")
-    // single-partition exchanges may only carry the #partitions-row
-    // offsets frame, never document rows
+    // bins are deterministic literals, so no exchange reuse is needed
+    // for correctness; what must hold is that nothing corpus-wide ever
+    // funnels to one partition
     shuffles(p).foreach { e =>
       e.outputPartitioning match {
         case org.apache.spark.sql.catalyst.plans.physical.SinglePartition =>
-          assert(e.child.output.map(_.name).contains("pid"),
-            s"corpus-wide single-partition exchange:\n$e")
+          fail(s"corpus-wide single-partition exchange:\n$e")
         case _ => ()
       }
     }
+    val globalWindows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"unpartitioned window in qc03:\n$p")
   }
 
   test("qt13: posting build prunes to query terms below the shuffle") {
@@ -126,6 +123,36 @@ class PlanAuditSpec extends SparkSpec {
     scans(p).foreach { s =>
       assert(s.requiredSchema.fieldNames.toSet.subsetOf(
         Set("doc_id", "text")), s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("no gate query plans an unpartitioned WindowExec over unbounded " +
+    "input") {
+    // A Window with an empty partitionSpec moves EVERY input row to one
+    // partition — the 100 TB scale-killer qt13 shipped with in round 4.
+    // Allowed only when a global limit (TakeOrderedAndProject /
+    // GlobalLimit / CollectLimit) already bounded the frame beneath it.
+    // wds* construct-time-materialize shard fixtures and st* run
+    // streams, so their plans are audited by their own specs; every
+    // batch-analytic family is swept here.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec,
+      GlobalLimitExec, CollectLimitExec}
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("wds") || n.startsWith("st"))
+    names.foreach { q =>
+      val p = planOf(q)
+      p.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst {
+            case t: TakeOrderedAndProjectExec => t
+            case g: GlobalLimitExec => g
+            case c: CollectLimitExec => c
+          }.isDefined
+          assert(bounded,
+            s"$q: unpartitioned WindowExec over unbounded input:\n$w")
+        case _ => ()
+      }
     }
   }
 

@@ -130,9 +130,11 @@ class PngSpec extends AnyFunSuite {
     val good = Png.encode(Codecs.ImageData(2, 2, 3, "RGB",
       new Array[Byte](12)))
     val evil = good.clone()
-    // IHDR width/height at offsets 16/20: claim 20000x20000
+    // IHDR width/height at offsets 16/20: claim 20000x20000 — with a
+    // recomputed crc, so the geometry bound (not the crc check) fires
     for ((off, v) <- Seq(16 -> 20000, 20 -> 20000); i <- 0 until 4)
       evil(off + i) = (v >>> (24 - 8 * i)).toByte
+    fixChunkCrc(evil, 8)
     val ex = intercept[IllegalArgumentException] { Png.decode(evil) }
     assert(ex.getMessage.contains("implausible"))
   }
@@ -151,8 +153,13 @@ class PngSpec extends AnyFunSuite {
     }
     putInt(idat.length); out.write("IDAT".getBytes("US-ASCII"))
     out.write(idat)
-    putInt(0) // bogus CRC (not validated)
-    putInt(0); out.write("IEND".getBytes("US-ASCII")); putInt(0)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(idat)
+    putInt(crc.getValue.toInt) // valid crc: the INFLATER must be what throws
+    putInt(0); out.write("IEND".getBytes("US-ASCII"))
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update("IEND".getBytes("US-ASCII"))
+    putInt(crc2.getValue.toInt)
     val ex = intercept[IllegalArgumentException] { Png.decode(out.toByteArray) }
     assert(ex.getMessage.contains("stalled"))
   }
@@ -206,9 +213,41 @@ class PngSpec extends AnyFunSuite {
     val good = Png.encode(img)
     intercept[Exception] { Png.decode(good.take(good.length / 2)) }
     assert(Png.decode("nothing png about this".getBytes).isEmpty)
-    // 16-bit PNG → None (falls back to ImageIO in Codecs)
+    // 16-bit PNG → None (falls back to ImageIO in Codecs); a genuine
+    // deep PNG carries a VALID IHDR crc, so recompute it post-mutation
     val deep = good.clone()
     deep(8 + 8 + 8) = 16 // IHDR bit-depth byte
+    fixChunkCrc(deep, 8)
     assert(Png.decode(deep).isEmpty)
+  }
+
+  /** Recompute the crc of the chunk starting at `pos` (after mutating
+    * its payload) so tests exercise the post-crc semantics. */
+  private def fixChunkCrc(bytes: Array[Byte], pos: Int): Unit = {
+    val len = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, pos + 4, 4 + len)
+    java.nio.ByteBuffer.wrap(bytes, pos + 8 + len, 4)
+      .putInt(crc.getValue.toInt): Unit
+  }
+
+  test("bit-flipped IHDR/IDAT payloads throw on crc mismatch") {
+    val good = Png.encode(randImg(new Random(11), 3))
+    // IHDR data byte (width LSB would change geometry silently pre-crc)
+    val ihdrFlip = good.clone()
+    ihdrFlip(8 + 8 + 3) = (ihdrFlip(8 + 8 + 3) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException] { Png.decode(ihdrFlip) }
+    assert(e1.getMessage.contains("crc"))
+    // IDAT payload byte: pre-crc this decoded to silently wrong pixels
+    val idatPos = {
+      var p = 8
+      while (new String(good, p + 4, 4, "US-ASCII") != "IDAT")
+        p += 12 + java.nio.ByteBuffer.wrap(good, p, 4).getInt
+      p
+    }
+    val idatFlip = good.clone()
+    idatFlip(idatPos + 8 + 5) = (idatFlip(idatPos + 8 + 5) ^ 0x40).toByte
+    val e2 = intercept[IllegalArgumentException] { Png.decode(idatFlip) }
+    assert(e2.getMessage.contains("crc"))
   }
 }

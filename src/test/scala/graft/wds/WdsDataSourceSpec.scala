@@ -261,4 +261,69 @@ class WdsDataSourceSpec extends SparkSpec {
     val entries = row.getAs[Map[String, Array[Byte]]]("entries")
     assert(new String(entries("count.txt"), UTF_8) == "12")
   }
+
+  test("stale .staging orphans are swept at stream start") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("wdsorph_src").toString
+    val dst = Files.createTempDirectory("wdsorph_dst").toString
+    val ckpt = Files.createTempDirectory("wdsorph_ck").toString
+    writeShard(src, "shard-000000.tar", 0 until 4)
+    // plant orphans a dead attempt would leave: abort only deletes
+    // files NAMED in commit messages, so these survive a crash
+    val staging = new java.io.File(dst, ".staging")
+    assert(staging.mkdirs())
+    val orphan = new java.io.File(staging,
+      "part-e000000000-00000-000000042-000000.tar")
+    Files.write(orphan.toPath, Array.fill(16)(0: Byte))
+    val junk = new java.io.File(staging, "part-e-garbage.tar")
+    Files.write(junk.toPath, Array.fill(4)(1: Byte))
+    val q = spark.readStream.format("wds").load(src)
+      .writeStream.format("wds")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(!orphan.exists() && !junk.exists(),
+      "stream start did not sweep stale .staging orphans")
+    // the epoch's real shards still committed
+    val shards = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+    assert(shards.nonEmpty)
+  }
+
+  test("Complete mode retainepochs=2 keeps one prior epoch as a " +
+    "chained-reader grace window") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("wdsret_src").toString
+    val dst = Files.createTempDirectory("wdsret_dst").toString
+    val ckpt = Files.createTempDirectory("wdsret_ck").toString
+    def runOnce(): Unit = {
+      val agg = spark.readStream.format("wds").load(src)
+        .groupBy().count()
+        .select(lit("totals").as("key"), lit("").as("url"),
+          map(lit("count.txt"),
+            encode(col("count").cast("string"), "UTF-8")).as("entries"))
+      val q = agg.writeStream.format("wds")
+        .outputMode("complete")
+        .option("path", dst)
+        .option("retainepochs", "2")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def epochsPresent: Seq[Long] = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".tar")).toSeq
+      .map(_.getName.stripPrefix("part-e").takeWhile(_.isDigit).toLong)
+      .distinct.sorted
+    writeShard(src, "shard-000000.tar", 0 until 3)
+    runOnce()
+    writeShard(src, "shard-000001.tar", 3 until 7)
+    runOnce()
+    assert(epochsPresent.length == 2, s"want 2 epochs: $epochsPresent")
+    writeShard(src, "shard-000002.tar", 7 until 9)
+    runOnce()
+    val eps = epochsPresent
+    assert(eps.length == 2 && eps.min > 0,
+      s"oldest epoch not dropped past the grace window: $eps")
+  }
 }

@@ -120,6 +120,22 @@ trait FrameSource extends Serializable {
 }
 
 object FrameSource {
+  /** Codecs whose mp4 samples are complete still images the pure-JVM
+    * path decodes (stsd fourcc, trimmed). Everything else — avc1/hvc1/
+    * vp09/av01… — is inter-frame and needs the native ffmpeg/JavaCV
+    * seam; [[Mp4Frames.frame]] THROWS the typed signal for those
+    * rather than handing raw NAL bytes (or synthetic pixels) to a
+    * pipeline that asked for real frames. */
+  val StillImageCodecs: Set[String] = Set("jpeg", "png")
+
+  /** Typed unsupported-codec signal: callers auditing a corpus catch
+    * this and report the codec (mm13); callers that wanted pixels fail
+    * loudly instead of silently training on garbage. */
+  final case class UnsupportedCodecException(codec: String)
+    extends IllegalArgumentException(
+      s"video codec '$codec' needs a native decoder (ffmpeg/JavaCV " +
+        "seam) - pure-JVM frame decode covers still-image codecs only")
+
   /** Deterministic synthetic frames: 1×1 PNGs whose pixel encodes the
     * frame index — realistic plumbing (real PNG bytes through the whole
     * pack/tokenize path) with zero native deps. The pixel is a pure
@@ -191,8 +207,14 @@ object FrameSource {
           t
       }
     }
-    def frame(video: Array[Byte], index: Int): Array[Byte] =
-      track(video).sample(video, index)
+    def frame(video: Array[Byte], index: Int): Array[Byte] = {
+      val t = track(video)
+      // frameCount/fps/frameTypes stay codec-independent (container
+      // metadata, the 100 TB audit path) — only DECODE is gated
+      if (!StillImageCodecs(t.codec))
+        throw UnsupportedCodecException(t.codec)
+      t.sample(video, index)
+    }
     def frameCount(video: Array[Byte]): Int = track(video).frameCount
     def fps(video: Array[Byte]): Double = track(video).fps
     override def frameTypes(video: Array[Byte]): IndexedSeq[Char] = {

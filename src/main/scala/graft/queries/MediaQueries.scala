@@ -236,7 +236,91 @@ object MediaQueries extends QueryRegistry {
       |  round(n / ((n + s - 1) // s)::DOUBLE, 4) AS mean_gop
       |FROM sz ORDER BY media_id""".stripMargin
 
+  /** mm13: per-codec decode-support audit — the triage a real video
+    * corpus needs FIRST, because production corpora are H.264/H.265 and
+    * the pure-JVM path decodes still-image codecs only (reference
+    * decode dispatch: `pack/dataset.py:102-108`). Each doc synthesizes
+    * an mp4 whose stsd fourcc rotates jpeg / png / avc1; the audit
+    * probes container metadata (codec-independent), then attempts a
+    * real frame decode per video. avc1 rows surface as a typed
+    * `unsupported_codec` status via
+    * [[graft.pack.FrameSource.UnsupportedCodecException]] — NEVER as
+    * synthetic or raw-NAL frames — so n_decoded counts only frames the
+    * engine actually produced. At 100 TB this plan moves one summary
+    * row per video; mdat payloads die inside their task. */
+  private def codecAudit(s: SparkSession, dir: String): DataFrame = {
+    val mkMp4 = udf { (id: Long) =>
+      val n = (4 + id % 3).toInt
+      val frames = (id % 3) match {
+        case 2 =>
+          // opaque NAL-ish blobs: content is never decoded, only the
+          // container walk sees them
+          (0 until n).map(f =>
+            Array.fill(64 + ((id * 7 + f) % 32).toInt)(0x41.toByte))
+        case _ =>
+          (0 until n).map { f =>
+            val px = Array.tabulate(12)(i =>
+              ((id * 17 + f * 29 + i) % 251).toByte)
+            Codecs.encodeImage(Codecs.ImageData(2, 2, 3, "RGB", px), "png")
+          }
+      }
+      val fourcc = (id % 3) match {
+        case 0 => "jpeg"
+        case 1 => "png "
+        case _ => "avc1"
+      }
+      Mp4Samples.encodeFrames(frames, codec = fourcc, fps = 10,
+        width = 2, height = 2, syncEvery = 3)
+    }
+    val audit = udf { (bytes: Array[Byte]) =>
+      val src = graft.pack.FrameSource.Mp4Frames
+      val codec = Mp4Samples.parse(bytes).map(_.codec).getOrElse("?")
+      val n = src.frameCount(bytes) // metadata path: works for ALL codecs
+      val (decoded, status) =
+        try {
+          var c = 0
+          (0 until n).foreach { i =>
+            if (src.frame(bytes, i).nonEmpty) c += 1
+          }
+          (c, "ok")
+        } catch {
+          case graft.pack.FrameSource.UnsupportedCodecException(_) =>
+            (0, "unsupported_codec")
+        }
+      (codec, n, decoded, status)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id"), audit(mkMp4(col("doc_id"))).as("a"))
+      .select(col("a._1").as("codec"), col("a._2").as("n"),
+        col("a._3").as("dec"), col("a._4").as("status"))
+      .groupBy(col("codec"), col("status"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n")).cast("long").as("n_frames"),
+        sum(col("dec")).cast("long").as("n_decoded"))
+      .withColumn("decodable",
+        when(col("status") === "ok", 1).otherwise(0).cast("int"))
+      .select(col("codec"), col("status"), col("decodable"),
+        col("n_videos"), col("n_frames"), col("n_decoded"))
+      .orderBy(col("codec"))
+  }
+
+  private val codecAuditSql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |    (4 + doc_id % 3)::BIGINT AS n
+      |  FROM documents)
+      |SELECT
+      |  CASE m WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'avc1' END
+      |    AS codec,
+      |  CASE WHEN m = 2 THEN 'unsupported_codec' ELSE 'ok' END AS status,
+      |  CASE WHEN m = 2 THEN 0 ELSE 1 END::INT AS decodable,
+      |  count(*) AS n_videos,
+      |  sum(n)::BIGINT AS n_frames,
+      |  (CASE WHEN m = 2 THEN 0 ELSE sum(n) END)::BIGINT AS n_decoded
+      |FROM g GROUP BY m ORDER BY codec""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm13_codec_audit" -> QueryDef(codecAudit, Some(codecAuditSql)),
     "mm12_gop_audit" -> QueryDef(gopAudit, Some(gopAuditSql)),
     "mm08_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsSql),
       bench = true),

@@ -175,4 +175,28 @@ class Mp4SamplesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("H.264 containers are REPORTED as unsupported, never silently " +
+    "synthesized or handed out as raw NAL bytes") {
+    // avc1 stsd fourcc over opaque payloads — the shape every real
+    // production corpus has; pre-round-5 Mp4Frames.frame returned the
+    // raw mdat slice here, which downstream would have packed as if it
+    // were an image
+    val nals = (0 until 5).map(f => Array.fill(80 + f)(0x41.toByte))
+    val mp4 = Mp4Samples.encodeFrames(nals, "avc1", fps = 24,
+      width = 16, height = 16, syncEvery = 2)
+    // container metadata stays readable (the 100 TB audit path)…
+    assert(FrameSource.Mp4Frames.frameCount(mp4) == 5)
+    assert(FrameSource.Mp4Frames.frameTypes(mp4) ==
+      IndexedSeq('I', 'P', 'I', 'P', 'I'))
+    // …but frame DECODE throws the typed signal naming the codec
+    val ex = intercept[FrameSource.UnsupportedCodecException] {
+      FrameSource.Mp4Frames.frame(mp4, 0)
+    }
+    assert(ex.codec == "avc1")
+    // still-image codecs keep decoding
+    val png = Mp4Samples.encodeFrames((0 until 3).map(pngFrame), "png ",
+      fps = 4, width = 2, height = 2)
+    assert(FrameSource.Mp4Frames.frame(png, 1).sameElements(pngFrame(1)))
+  }
 }

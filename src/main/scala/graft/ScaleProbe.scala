@@ -266,18 +266,18 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val info = pack.PackStage.run(meta, packOut,
         pack.PackStage.PackOptions(numSegments = 2, samplesPerTar = 500))
-      val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+      val urls = queries.WdsQueries.shardUrls(info)
       val tPack = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val tokOut = java.nio.file.Files
         .createTempDirectory("scale_tok").toString
       val tokInfo = tokenize.TokenizeStage.run(
         wds.WdsReader.readUrls(spark, urls), tokOut)
-      val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq
+      val tokUrls = queries.WdsQueries.shardUrls(tokInfo)
       val tTok = (System.nanoTime() - t1) / 1e9
       val t2 = System.nanoTime()
       val idx = index.CheckStage.index(
-        wds.WdsReader.readUrls(spark, tokUrls.sorted), strict = true)
+        wds.WdsReader.readUrls(spark, tokUrls), strict = true)
       val nSamples = idx.agg(sum(col("nsamples"))).head().getLong(0)
       val tIdx = (System.nanoTime() - t2) / 1e9
       println(f"[scale] spineDocs=${baseN * m}%8d pack=$tPack%6.2fs " +

@@ -92,18 +92,24 @@ object WdsQueries extends QueryRegistry {
        | count(*) AS nsamples
        |FROM $RnCte GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Writer-info `url` column collected to the driver, lexicographic —
+    * THE one helper for shard-url listings (same O(#files) driver
+    * footprint as the reference's os.listdir). Use [[numericShardUrls]]
+    * when unpadded shard numbers must order numerically. */
+  private[graft] def shardUrls(info: DataFrame): Seq[String] =
+    info.select(col("url")).collect()
+      .map(_.getString(0)).toSeq.sorted
+
   /** Read shards back through the DSv2 path and project per-sample
     * columns (shared by the sampler-type gate queries). */
-  private def readBack(s: SparkSession, info: DataFrame): DataFrame = {
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
-    s.read.format("wds").load(urls: _*)
-  }
+  private def readBack(s: SparkSession, info: DataFrame): DataFrame =
+    s.read.format("wds").load(shardUrls(info): _*)
 
   /** Shard urls in NUMERIC shard order (string sort puts shard-10
     * before shard-2) — the tokenize/index queries' merge-group order. */
-  private def numericShardUrls(info: DataFrame): Seq[String] = {
+  private[graft] def numericShardUrls(info: DataFrame): Seq[String] = {
     val shardNo = "shard-(\\d+)-".r
-    info.collect().map(_.getAs[String]("url")).toSeq
+    info.select(col("url")).collect().map(_.getString(0)).toSeq
       .sortBy(u => shardNo.findFirstMatchIn(u).get.group(1).toInt)
   }
 
@@ -294,7 +300,7 @@ object WdsQueries extends QueryRegistry {
     val urls = numericShardUrls(info)
     val packed = WdsReader.readUrls(s, urls).coalesce(1)
     val tokInfo = TokenizeStage.run(packed, tokOut)
-    val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
+    val tokUrls = shardUrls(tokInfo)
     CheckStage.checked(WdsReader.readUrls(s, tokUrls))
       .select(col("key"), col("n_tokens"), col("n_images"))
       .orderBy(col("key"))
@@ -400,7 +406,7 @@ object WdsQueries extends QueryRegistry {
       s"expected >=4 merge groups, got ${urls.length}")
     val samples = WdsReader.readUrls(s, urls) // 1 shard = 1 partition
     val tokInfo = TokenizeStage.run(samples, tokOut)
-    val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
+    val tokUrls = shardUrls(tokInfo)
     s.read.format("wds").load(tokUrls: _*)
       .select(split(col("key"), "-").getItem(0).cast("int").as("group"),
         json_array_length(get_json_object(jsonCol, "$.text")).as("n_docs"),
@@ -425,7 +431,7 @@ object WdsQueries extends QueryRegistry {
         alignShards = true))
     val urls = numericShardUrls(info)
     val tokInfo = TokenizeStage.run(WdsReader.readUrls(s, urls).coalesce(1), tokOut)
-    val tokUrls = tokInfo.collect().map(_.getAs[String]("url")).toSeq.sorted
+    val tokUrls = shardUrls(tokInfo)
     CheckStage.index(WdsReader.readUrls(s, tokUrls), strict = true)
       .select(
         regexp_extract(col("url"), "([^/]+)\\.tar$", 1).as("shard"),
@@ -789,7 +795,7 @@ object WdsQueries extends QueryRegistry {
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 2, samplesPerTar = 100,
         alignShards = true))
-    val urls = info.collect().map(_.getAs[String]("url")).toSeq.sorted
+    val urls = shardUrls(info)
     WdsReader.readUrls(s, urls)
       .renameKeys(Seq("meta" -> "*json", "frame0" -> "0.jpg",
         "frame1" -> "1.jpg"))

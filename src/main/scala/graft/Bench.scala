@@ -52,8 +52,21 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // per-family subtotals (family = name prefix before the number) and
+    // >2×-family-median outliers — the round-over-round regression radar
+    val family = (n: String) => n.takeWhile(!_.isDigit)
+    val byFam = results.collect { case (k, v, true) => (family(k), v) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val fams = byFam.map { case (f, vs) =>
+      "\"" + f + f"\":${vs.map(_._2).sum}%.3f" }.mkString("{", ",", "}")
+    val outliers = byFam.flatMap { case (f, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val med = sorted(sorted.length / 2)
+      results.collect { case (k, v, true)
+        if family(k) == f && vs.length >= 3 && v > 2 * med => "\"" + k + "\"" }
+    }.mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // per-round history so future rounds can diff without the driver
     try {

@@ -627,8 +627,10 @@ object CurationQueries extends QueryRegistry {
     "qc04_length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "qc05_alignment_filter" -> QueryDef(alignmentFilter,
       Some(alignmentFilterSql)),
-    "qc03_curriculum" -> QueryDef(curriculum, Some(curriculumSql)),
-    "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql)),
+    "qc03_curriculum" -> QueryDef(curriculum, Some(curriculumSql),
+      bench = true),
+    "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql),
+      bench = true),
     "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),
     "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),
     "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),

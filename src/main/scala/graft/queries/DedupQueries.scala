@@ -818,6 +818,7 @@ object DedupQueries extends QueryRegistry {
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),
     "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
       Some(incrementalDedupSql), bench = true),
-    "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql)),
+    "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql),
+      bench = true),
   )
 }

@@ -320,13 +320,17 @@ object MediaQueries extends QueryRegistry {
       |FROM g GROUP BY m ORDER BY codec""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "mm13_codec_audit" -> QueryDef(codecAudit, Some(codecAuditSql)),
-    "mm12_gop_audit" -> QueryDef(gopAudit, Some(gopAuditSql)),
+    "mm13_codec_audit" -> QueryDef(codecAudit, Some(codecAuditSql),
+      bench = true),
+    "mm12_gop_audit" -> QueryDef(gopAudit, Some(gopAuditSql),
+      bench = true),
     "mm08_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsSql),
       bench = true),
-    "mm09_patchify" -> QueryDef(patchify, Some(patchifySql)),
+    "mm09_patchify" -> QueryDef(patchify, Some(patchifySql),
+      bench = true),
     "mm10_silence_segments" -> QueryDef(silenceSegments,
-      Some(silenceSegmentsSql)),
-    "mm11_srt_align" -> QueryDef(srtAlign, Some(srtAlignSql)),
+      Some(silenceSegmentsSql), bench = true),
+    "mm11_srt_align" -> QueryDef(srtAlign, Some(srtAlignSql),
+      bench = true),
   )
 }

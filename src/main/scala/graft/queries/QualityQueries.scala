@@ -29,27 +29,34 @@ object QualityQueries extends QueryRegistry {
 
   private def profile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir).lineitem
-    def nulls(c: String): Column =
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
-    val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("n_rows")) ++
-        (NumCols ++ StrCols).flatMap(c => Seq(
-          nulls(c),
-          count_distinct(col(c)).as(s"${c}__nd"),
-          min(col(c)).as(s"${c}__min"),
-          max(col(c)).as(s"${c}__max")))
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val branches =
-      NumCols.map(c => s"'$c', n_rows, ${c}__nulls, ${c}__nd, " +
-        s"CAST(${c}__min AS DOUBLE), CAST(${c}__max AS DOUBLE), " +
-        "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
-      StrCols.map(c => s"'$c', n_rows, ${c}__nulls, ${c}__nd, " +
-        s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
-        s"${c}__min, ${c}__max")
-    one.select(expr(
-      s"stack(${branches.size}, ${branches.mkString(", ")}) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, " +
-        "min_str, max_str)"))
+    // One branch per column: a column-PRUNED scan + a groupBy over that
+    // column's distinct values (map-side partial agg collapses dups
+    // before the shuffle), then a 1-row rollup. On columnar storage the
+    // branches together read the same bytes as one full-width scan.
+    // The obvious alternative — one aggregate with N count_distincts —
+    // plans an Expand that multiplies EVERY ROW by N before shuffling:
+    // 6× the corpus in flight at 100 TB, and 8.9s vs ~1s at sf0.1.
+    def branch(c: String, isNum: Boolean): DataFrame =
+      li.select(col(c)).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(col(c)).as("n_distinct"),
+          (if (isNum) min(col(c)).cast("double")
+           else lit(null).cast("double")).as("min_num"),
+          (if (isNum) max(col(c)).cast("double")
+           else lit(null).cast("double")).as("max_num"),
+          (if (isNum) lit(null).cast("string")
+           else min(col(c)).cast("string")).as("min_str"),
+          (if (isNum) lit(null).cast("string")
+           else max(col(c)).cast("string")).as("max_str"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    (NumCols.map(branch(_, isNum = true)) ++
+      StrCols.map(branch(_, isNum = false)))
+      .reduce(_ unionAll _)
       .orderBy("col_name")
   }
 
@@ -237,10 +244,11 @@ object QualityQueries extends QueryRegistry {
       |FROM c, t ORDER BY o_orderpriority""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "qa01_profile" -> QueryDef(profile, Some(profileSql)),
-    "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql)),
-    "qa03_drift" -> QueryDef(drift, Some(driftSql)),
+    "qa01_profile" -> QueryDef(profile, Some(profileSql), bench = true),
+    "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql),
+      bench = true),
+    "qa03_drift" -> QueryDef(drift, Some(driftSql), bench = true),
     "st08_stream_constraints" -> QueryDef(streamConstraints,
-      Some(streamConstraintsSql)),
+      Some(streamConstraintsSql), bench = true),
   )
 }

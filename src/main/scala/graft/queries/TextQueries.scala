@@ -636,7 +636,7 @@ object TextQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "qt12_lm_score" -> QueryDef(lmScore, Some(lmScoreSql), bench = true),
-    "qt13_bm25" -> QueryDef(bm25, Some(bm25Sql)),
+    "qt13_bm25" -> QueryDef(bm25, Some(bm25Sql), bench = true),
     "qt11_tfidf" -> QueryDef(tfidf, Some(tfidfSql)),
     "qt09_c4_filters" -> QueryDef(c4Filters, Some(c4FiltersSql)),
     "qt10_normalize" -> QueryDef(normalize, Some(normalizeSql)),

@@ -177,12 +177,29 @@ class PlanAuditSpec extends SparkSpec {
       s"expected an equi-join on (user, bin):\n$p")
   }
 
-  test("qa01/qa02: the one-scan audits really scan once") {
-    // profile and row-local constraints promise a single pass over
-    // lineitem; a second FileSourceScan would mean the stack/agg
-    // composition silently re-reads 100 TB. (qa02 keeps a second scan
-    // for the uniqueness rule — allow exactly 2 there.)
-    assert(scans(planOf("qa01_profile")).length == 1)
+  test("qa01: per-column branches — every scan pruned to ONE column, " +
+    "no Expand") {
+    // the profile runs one column-pruned scan + distinct-value groupBy
+    // per column (columnar reads: 6 one-column scans = one full-width
+    // scan in bytes). An ExpandExec here means the plan regressed to
+    // the multi-count_distinct form that multiplies every row by the
+    // number of profiled columns before the shuffle.
+    val p = planOf("qa01_profile")
+    val sc = scans(p)
+    assert(sc.length == 6, s"expected 6 per-column scans, got ${sc.length}")
+    sc.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length == 1,
+        s"scan not pruned to one column: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    val expands = p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty, s"multi-distinct Expand in qa01:\n$p")
+  }
+
+  test("qa02: the one-scan audit really scans once (plus uniqueness)") {
+    // row-local constraints promise a single pass over lineitem; the
+    // uniqueness rule keeps a second scan — allow exactly 2
     assert(scans(planOf("qa02_constraints")).length == 2)
   }
 }

@@ -288,3 +288,64 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** S12 epoch-cache probe: A/B of repeated-epoch reads over wds shards —
+  * re-scan (fetch + untar + group) the source every epoch vs ONE
+  * DISK_ONLY materialization + cached re-reads (`SampleOps.epochs`, the
+  * reference's download-through LRU shard cache re-expressed in Spark's
+  * storage layer). Local FS understates the win: on s3a/hdfs the cold
+  * path re-pays the network fetch per epoch on top of the untar.
+  * Usage: sbt "runMain graft.EpochProbe [sfDir] [copies] [epochs]" */
+object EpochProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(20)
+    val nEpochs = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-epoch-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import wds.SampleOps._
+    implicit val enc: org.apache.spark.sql.Encoder[wds.Sample] =
+      org.apache.spark.sql.Encoders.product[wds.Sample]
+    val docs = Tables(spark, sfDir).documents
+    val meta = (0 until copies).map { i =>
+      docs.select(
+        format_string("videos/%09d.mp4",
+          col("doc_id") + lit(i.toLong * 1000000L)).as("video_path"),
+        col("text").as("value"))
+    }.reduce(_ union _)
+    val out = queries.WdsQueries.scratchDir("graft_epoch_probe")
+    // ~8 KB deterministic media per sample: epoch reads are dominated
+    // by shard untar + sample grouping, as with real image/video shards
+    val info = pack.PackStage.run(meta, out,
+      pack.PackStage.PackOptions(numSegments = 2, samplesPerTar = 1000),
+      mediaFor = p => {
+        val seed = p.hashCode
+        Array.tabulate(8192)(i => ((seed * 31 + i * 7) & 0xff).toByte)
+      })
+    val urls = queries.WdsQueries.shardUrls(info)
+    val src = spark.read.format("wds").load(urls: _*).as[wds.Sample]
+    val n = src.count()
+    // the noop sink consumes every row in epoch order (a count would
+    // let the optimizer eliminate the shuffle entirely)
+    def scan(d: org.apache.spark.sql.Dataset[wds.Sample]): Double = {
+      val t0 = System.nanoTime()
+      d.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cold = (0 until nEpochs).map(e => scan(src.shuffled(e.toLong)))
+    val (handle, eps) = src.epochs(nEpochs)
+    val warm = eps.map(scan)
+    handle.unpersist()
+    def fmt(ts: Seq[Double]) = ts.map(t => f"$t%5.2f").mkString("[", " ", "]s")
+    println(f"[epoch] samples=$n%d shards=${urls.length}%d " +
+      f"cold=${fmt(cold)} cached=${fmt(warm)} " +
+      f"steadySpeedup=${cold.drop(1).sum / warm.drop(1).sum.max(1e-9)}%4.1fx")
+    spark.stop()
+  }
+}

@@ -236,6 +236,22 @@ object SampleOps {
     def diskCached: Dataset[Sample] =
       ds.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
+    /** S12 worked recipe — repeated-EPOCH reads over remote shards
+      * (the reference's download-through LRU shard cache,
+      * `webdataset-private/webdataset/cache.py:113-195`, re-expressed
+      * in Spark's storage layer): fetch + untar + group ONCE, spill the
+      * decoded samples to executor-local disk, then every epoch is a
+      * deterministic per-epoch reshuffle of the cached blocks — no
+      * second trip to the object store. DISK_ONLY, not MEMORY_*: epoch
+      * readers stream the whole corpus, so memory caching would evict
+      * under pressure and silently re-fetch. Callers unpersist via the
+      * returned handle when training ends. */
+    def epochs(n: Int, seed: Long = 0L)
+        : (Dataset[Sample], IndexedSeq[Dataset[Sample]]) = {
+      val c = diskCached
+      (c, (0 until n).map(e => c.shuffled(seed + e)))
+    }
+
     /** B9 transform-with-quarantine: the principled Spark mapping of the
       * reference's per-stage `handler` for row transforms — failures
       * become data, not lost rows or dead jobs. Returns (clean results,

@@ -83,6 +83,46 @@ class OpsExtraSpec extends SparkSpec {
     assert(ds.withEpoch(5).count() == 5)
   }
 
+  test("epochs: second epoch reads DISK_ONLY-cached samples, not shards") {
+    val dir = Files.createTempDirectory("msEp").toString
+    WdsWriter.write(spark.createDataset(mkSamples(60, "e")).repartition(2),
+      dir, WdsWriter.WriterOptions(maxCount = 20,
+        pattern = (p, i) => f"e-$p%d-$i%02d.tar")).collect()
+    val urls = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted.toSeq
+    val ds = spark.read.format("wds").load(urls: _*).as[Sample]
+    val (handle, eps) = ds.epochs(2, seed = 7L)
+    try {
+      // epoch 0 materializes the cache
+      assert(eps(0).count() == 60)
+      val info = spark.sparkContext.getRDDStorageInfo
+        .find(_.numCachedPartitions > 0)
+      assert(info.nonEmpty, "no cached RDD after first epoch")
+      assert(info.get.diskSize > 0 && info.get.memSize == 0,
+        s"expected DISK_ONLY blocks, got $info")
+      // epoch 1's plan scans the InMemoryRelation, not the wds source
+      // (AQE off for the check: AdaptiveSparkPlanExec hides its subtree
+      // from collect; it changes planning introspection, not semantics)
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan2 =
+        try eps(1).queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      val cachedScan = plan2.collectFirst {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }
+      assert(cachedScan.nonEmpty, s"second epoch not cache-backed:\n$plan2")
+      assert(plan2.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.isEmpty, "second epoch still scans the shard source")
+      // deterministic per-epoch orders, distinct across epochs
+      val o0 = eps(0).select("key").collect().map(_.getString(0)).toSeq
+      val o1 = eps(1).select("key").collect().map(_.getString(0)).toSeq
+      assert(o0.sorted == o1.sorted && o0 != o1)
+      assert(o0 == eps(0).select("key").collect().map(_.getString(0)).toSeq)
+    } finally { handle.unpersist(); () }
+  }
+
   test("observed registers metrics without changing results") {
     val ds = spark.createDataset(mkSamples(12))
     val obs = ds.observed("tap")

@@ -200,6 +200,11 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       queries.TextQueries.lmScoreOf(big).foreach(_ => ())
       val tLm = (System.nanoTime() - t0) / 1e9
+      // opt-in detect-then-salt on the Zipf-hot (w1[,w2]) join keys:
+      // one Misra-Gries pass finds >1/16-share words, only those salt
+      val t0s = System.nanoTime()
+      queries.TextQueries.lmScoreOf(big, saltHotWords = 16).foreach(_ => ())
+      val tLmSalt = (System.nanoTime() - t0s) / 1e9
       // KMV sketch agg (k longs of partial state per group) vs the
       // exact count(DISTINCT) it replaces, over the same hash frame
       val hashed = queries.DedupQueries.bigramHashes(big).cache()
@@ -219,6 +224,7 @@ object ScaleProbe {
       val maxErr = exact.map { case (s, nd) =>
         math.abs(est(s).toDouble - nd) / nd }.max
       println(f"[scale] corpusDocs=$n%8d lmScore=$tLm%6.2fs " +
+        f"lmScoreSalted=$tLmSalt%6.2fs " +
         f"exactDistinct=$tExact%6.2fs kmvAgg=$tKmv%6.2fs " +
         f"kmvMaxErr=${maxErr * 100}%5.1f%%")
       hashed.unpersist(); big.unpersist()

@@ -478,8 +478,21 @@ object TextQueries extends QueryRegistry {
     lmScoreOf(Tables(s, dir).documents)
 
   /** Query-path body, reused verbatim by `ScaleProbe` on replicated
-    * frames so the scale evidence measures THIS plan, not a probe fork. */
-  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    * frames so the scale evidence measures THIS plan, not a probe fork.
+    *
+    * `saltHotWords > 0` opts into the detect-then-salt mitigation for
+    * the Zipf-hot (w1[,w2]) join keys: one bounded-state Misra-Gries
+    * pass over unigram-occurrence hashes finds words holding >1/16 of
+    * occurrences, then exactly those words' occ rows fan across
+    * `saltHotWords` salts while their count-table rows replicate to
+    * match (cold keys join plainly at salt 0). Values are identical —
+    * salting only reroutes rows — so the gate keeps the default path
+    * and the A/B lives in ScaleProbe/SCALE.md. On a real cluster AQE's
+    * skew split is the zero-code alternative once hot partitions cross
+    * its size threshold; explicit salting is for when they don't
+    * (compressed small rows) or AQE is off (streaming). */
+  private[graft] def lmScoreOf(
+      docs: DataFrame, saltHotWords: Int = 0): DataFrame = {
     import docs.sparkSession.implicits._
     val base = docs.select($"doc_id", words($"text").as("ws"))
     // size guard: Spark sequence(1, 0) counts DOWN ([1,0]) instead of
@@ -502,8 +515,37 @@ object TextQueries extends QueryRegistry {
     val c1 = uni.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val vocab = broadcast(uni.agg(
       count_distinct($"w1").cast("long").as("v")))
-    val scored = occ
-      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
+    val joined =
+      if (saltHotWords <= 0)
+        occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      else {
+        val s = docs.sparkSession
+        val agg = uni.agg(
+          graft.functions.FreqSketch.freqSketch(xxhash64($"w1"), 64)
+            .as("sk"),
+          count(lit(1)).as("n")).head()
+        val total = agg.getLong(1)
+        val hot = agg.getMap[Long, Long](0)
+          .filter(_._2 > total / 16).keys.toSeq.sorted
+        if (hot.isEmpty)
+          occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        else {
+          // hash-membership salting: a cold word colliding with a hot
+          // hash merely salts unnecessarily (values unaffected)
+          val isHot = xxhash64($"w1").isin(hot: _*)
+          val range = s.range(saltHotWords.toLong)
+            .select(col("id").cast("int").as("salt"))
+          def replicated(t: DataFrame): DataFrame =
+            t.filter(isHot).crossJoin(range)
+              .unionByName(t.filter(!isHot).withColumn("salt", lit(0)))
+          occ.withColumn("salt",
+              when(isHot, pmod(xxhash64($"doc_id"), lit(saltHotWords))
+                .cast("int")).otherwise(lit(0)))
+            .join(replicated(c12), Seq("w1", "w2", "salt"))
+            .join(replicated(c1), Seq("w1", "salt"))
+        }
+      }
+    val scored = joined.crossJoin(vocab)
       .select($"doc_id",
         floor(lit(1e6) * ($"c12" + 1) / ($"c1" + $"v")).as("ppm"))
     val per = scored.groupBy($"doc_id")

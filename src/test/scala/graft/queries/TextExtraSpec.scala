@@ -51,4 +51,18 @@ class TextExtraSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("qt12: detect-then-salt path returns values identical to the " +
+    "plain join") {
+    // salting only reroutes rows across salts; any value drift would
+    // mean the count-table replication or salt assignment is wrong.
+    // The fixture's stopword-heavy texts guarantee >1/16-share words,
+    // so the salted branch (not the hot.isEmpty fallback) is exercised.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val plain = TextQueries.lmScoreOf(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = TextQueries.lmScoreOf(docs, saltHotWords = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(plain.length == salted.length && plain.sameElements(salted))
+  }
 }

@@ -307,6 +307,8 @@ object EpochProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(20)
     val nEpochs = args.lift(2).map(_.toInt).getOrElse(3)
+    require(nEpochs >= 2,
+      s"steady-state comparison needs >= 2 epochs, got $nEpochs")
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

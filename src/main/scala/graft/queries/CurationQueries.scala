@@ -509,7 +509,15 @@ object CurationQueries extends QueryRegistry {
     * yields the same offsets+local-ranks sum, so approxQuantile's
     * precision only shapes skew, never values. The prefix-sum offsets
     * are a broadcast triangle join over ≤nParts count rows — no
-    * single-partition exchange or unpartitioned window anywhere. */
+    * single-partition exchange or unpartitioned window anywhere.
+    *
+    * Pass count vs round 4: three passes instead of one reused
+    * exchange, but the quantile pass and the bin-count pass are pruned
+    * to the SORT-KEY COLUMN only (on columnar storage ~1-5% of corpus
+    * bytes each); only the final rank pass reads full rows. That is
+    * the price of removing the correctness-by-plan-shape dependency —
+    * callers exporting from a hot cache can persist `scored` first to
+    * collapse the extra column reads. */
   private[graft] def curriculumOf(
       scored: DataFrame, nParts: Int): DataFrame = {
     import scored.sparkSession.implicits._

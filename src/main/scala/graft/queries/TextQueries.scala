@@ -525,8 +525,13 @@ object TextQueries extends QueryRegistry {
             .as("sk"),
           count(lit(1)).as("n")).head()
         val total = agg.getLong(1)
+        // MG at k=64 undercounts each key by up to total/65, so the
+        // raw >total/16 cut could drop a genuinely >1/16-share word
+        // sitting just above the line; subtract the bound (standard MG
+        // threshold correction — over-salting a near-hot word is
+        // harmless, missing a hot one defeats the feature)
         val hot = agg.getMap[Long, Long](0)
-          .filter(_._2 > total / 16).keys.toSeq.sorted
+          .filter(_._2 > total / 16 - total / 65).keys.toSeq.sorted
         if (hot.isEmpty)
           occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
         else {

@@ -101,6 +101,10 @@ final class WdsStreamingWrite(
   // dead attempt from a prior run whose commit message never reached
   // the driver (abort only deletes files NAMED in messages). Without
   // this sweep .staging accumulates garbage for the life of the sink.
+  // SINGLE WRITER PER DIRECTORY is assumed (as with Spark's own file
+  // sink and its commit log): a second concurrent stream on the same
+  // path would lose its in-flight staged shards to this sweep — run
+  // concurrent producers against distinct sink directories.
   {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf.value)

@@ -142,14 +142,21 @@ class PlanAuditSpec extends SparkSpec {
       .filterNot(n => n.startsWith("wds") || n.startsWith("st"))
     names.foreach { q =>
       val p = planOf(q)
+      // bounded = a global limit on the window's INPUT CARDINALITY
+      // PATH: walk down through single-child operators only. A limit
+      // sitting on some other branch (e.g. a broadcast dim under a
+      // join) does NOT bound the window's row count — collectFirst
+      // over the whole subtree would false-pass exactly the corpus-
+      // wide funnel this sweep exists to catch.
+      def boundedInput(p0: SparkPlan): Boolean = p0 match {
+        case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+             _: CollectLimitExec => true
+        case s if s.children.length == 1 => boundedInput(s.children.head)
+        case _ => false
+      }
       p.foreach {
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          val bounded = w.child.collectFirst {
-            case t: TakeOrderedAndProjectExec => t
-            case g: GlobalLimitExec => g
-            case c: CollectLimitExec => c
-          }.isDefined
-          assert(bounded,
+          assert(boundedInput(w.child),
             s"$q: unpartitioned WindowExec over unbounded input:\n$w")
         case _ => ()
       }

@@ -95,11 +95,14 @@ class OpsExtraSpec extends SparkSpec {
     try {
       // epoch 0 materializes the cache
       assert(eps(0).count() == 60)
+      // match on the DISK_ONLY storage level, not "first cached RDD":
+      // the shared test session may carry memory-backed caches from
+      // earlier suites (CheckStage.index, CurationQueries.exploded)
       val info = spark.sparkContext.getRDDStorageInfo
-        .find(_.numCachedPartitions > 0)
-      assert(info.nonEmpty, "no cached RDD after first epoch")
-      assert(info.get.diskSize > 0 && info.get.memSize == 0,
-        s"expected DISK_ONLY blocks, got $info")
+        .find(i => i.numCachedPartitions > 0 &&
+          i.storageLevel.useDisk && !i.storageLevel.useMemory)
+      assert(info.nonEmpty, "no DISK_ONLY-cached RDD after first epoch")
+      assert(info.get.diskSize > 0, s"no disk blocks: $info")
       // epoch 1's plan scans the InMemoryRelation, not the wds source
       // (AQE off for the check: AdaptiveSparkPlanExec hides its subtree
       // from collect; it changes planning introspection, not semantics)

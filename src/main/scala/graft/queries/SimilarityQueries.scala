@@ -354,7 +354,135 @@ object SimilarityQueries extends QueryRegistry {
        |WHERE r.rank <= $K
        |ORDER BY r.q_id, r.rank""".stripMargin
 
+  private val KmK = 8
+  private val KmIters = 2
+  /** Quantization shift: components live in (-0.58, 0.52), so +2.0
+    * keeps every ppm-integer strictly positive — integer sums stay
+    * non-negative and truncating division (Spark `div`/`/` on longs)
+    * equals DuckDB's floor `//`. Distances are shift-invariant. */
+  private val KmShift = 2.0
+
+  /** qs07: deterministic distributed k-means REFINEMENT (Lloyd, fixed
+    * KmIters iterations) — the clustering step a curation pipeline runs
+    * before SemDeDup in-cluster pruning (qs05) or an IVF index build
+    * (qs02): assign every vector to its nearest centroid, recompute
+    * centroids, re-assign. Seeds are the KmK smallest vec_ids (k-means‖
+    * sampling at scale swaps in here; the refinement loop is what this
+    * operator is).
+    *
+    * Hash-gate determinism: embeddings quantize to ppm LONGS (floor
+    * ((x+KmShift)·1e6)) so distances, component sums and integer-mean
+    * centroids are EXACT on both engines — float k-means is summation-
+    * order-dependent and can never hash-match. Ties pick the smallest
+    * cluster id on both sides.
+    *
+    * Scale shape: per iteration ONE column-pruned scan + a k×dim
+    * partial-agg (64 sums/cluster — map-side combine, k·dim longs of
+    * state); centroids round-trip through the driver as literals
+    * (k·dim = 512 longs), exactly like qs03's planes and qs06's
+    * codebook. No shuffle ever carries an embedding: assignment is a
+    * broadcast-literal expression, the only exchange moves (cluster,
+    * 64 sums) rows. inertia is a per-cluster LONG sum of ppm² distances
+    * — at ≫10⁹ vectors/cluster switch the report (not the math) to
+    * avg via div before overflow. */
+  private def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .select($"vec_id", transform($"embedding", x =>
+        floor((x.cast("double") + lit(KmShift)) * lit(1e6)).cast("long"))
+        .as("v"))
+    var cents: IndexedSeq[Array[Long]] = e.orderBy($"vec_id").limit(KmK)
+      .collect().map(_.getSeq[Long](1).toArray).toIndexedSeq
+    def distTo(c: Array[Long]): Column =
+      aggregate(zip_with($"v", typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    def assigned(): DataFrame =
+      e.withColumn("dists", array(cents.map(distTo): _*))
+        .withColumn("cluster",
+          (array_position($"dists", array_min($"dists")) - 1).cast("int"))
+        .withColumn("dist", array_min($"dists"))
+        .drop("dists")
+    for (_ <- 1 until KmIters) {
+      val sums = assigned().groupBy($"cluster")
+        .agg(count(lit(1)).as("n"),
+          (0 until Dim).map(i => sum(element_at($"v", i + 1)).as(s"s$i")): _*)
+        .collect()
+      val byC = sums.map(r => r.getInt(0) -> r).toMap
+      cents = (0 until KmK).map { c =>
+        byC.get(c) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            // non-negative sums: truncating / == floor division
+            Array.tabulate(Dim)(i => r.getLong(2 + i) / n)
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    val agg = assigned().groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia"))
+    val norms = s.createDataFrame(cents.zipWithIndex.map { case (c, i) =>
+      (i, c.map(x => x * x).sum) }).toDF("cluster", "c_norm")
+    agg.join(broadcast(norms), Seq("cluster"), "right")
+      .select($"cluster".cast("int").as("cluster"),
+        coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+        coalesce($"inertia", lit(0L)).as("inertia"), $"c_norm")
+      .orderBy($"cluster")
+  }
+
+  private val kmDistSql = (v: String, c: String) =>
+    s"""list_sum(list_transform(generate_series(1, $Dim),
+       |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))::BIGINT""".stripMargin
+
+  private lazy val kmeansRefineSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> floor((x + $KmShift) * 1000000)::BIGINT) AS v
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK) t),
+       |d1 AS (
+       |  SELECT e.vec_id, e.v, s.c,
+       |    ${kmDistSql("e.v", "s.cv")} AS dist
+       |  FROM e, seeds s),
+       |a1 AS (
+       |  SELECT vec_id, v, c AS cluster FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |comp AS (
+       |  SELECT cluster, i, sum(v[i])::BIGINT AS s,
+       |    count(*)::BIGINT AS n
+       |  FROM a1, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+       |  GROUP BY cluster, i),
+       |c1 AS (
+       |  SELECT s.c, coalesce(u.cv2, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN (
+       |    SELECT cluster, list(s // n ORDER BY i) AS cv2
+       |    FROM comp GROUP BY cluster) u ON u.cluster = s.c),
+       |d2 AS (
+       |  SELECT e.vec_id, c1.c,
+       |    ${kmDistSql("e.v", "c1.cv")} AS dist
+       |  FROM e, c1),
+       |a2 AS (
+       |  SELECT vec_id, c AS cluster, dist FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |agg AS (
+       |  SELECT cluster, count(*)::BIGINT AS n_vecs,
+       |    sum(dist)::BIGINT AS inertia
+       |  FROM a2 GROUP BY cluster)
+       |SELECT c1.c AS cluster, coalesce(n_vecs, 0)::BIGINT AS n_vecs,
+       |  coalesce(inertia, 0)::BIGINT AS inertia,
+       |  list_sum(list_transform(c1.cv, x -> x * x))::BIGINT AS c_norm
+       |FROM c1 LEFT JOIN agg ON agg.cluster = c1.c
+       |ORDER BY cluster""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qs07_kmeans_refine" -> QueryDef(kmeansRefine, Some(kmeansRefineSql),
+      bench = true),
     "qs06_ann_pq_adc" -> QueryDef(pqTopK, Some(pqTopKSql), bench = true),
     "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
     "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, Some(ivfTopKSql)),

@@ -82,6 +82,13 @@ class PlanAuditSpec extends SparkSpec {
           s"$q shuffles a document payload column: $names")
       }
     }
+    // same invariant for vectors: qs07's assignment is a broadcast-
+    // literal expression, so no exchange may carry an embedding
+    shuffles(planOf("qs07_kmeans_refine")).foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("embedding") && !names.contains("v"),
+        s"qs07 shuffles an embedding column: $names")
+    }
   }
 
   test("qc03: two-level rank — no single-partition exchange or " +

@@ -93,4 +93,44 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(missed.isEmpty, s"planted pairs missed by LSH: $missed")
   }
+
+  test("qs07 k-means: Lloyd step never increases inertia; distributed " +
+    "result equals an independent JVM replay exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.SparkEntry.queries("qs07_kmeans_refine")(spark, dir)
+      .collect()
+    // independent sequential replay of the integer-exact recipe
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.floor((x.toDouble + 2.0) * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    val seeds = e.take(8).map(_._2).toIndexedSeq
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cents: IndexedSeq[Array[Long]]) = e.map { case (_, v) =>
+      val ds = cents.map(c => d(v, c)); val m = ds.min
+      (ds.indexOf(m), m)
+    }
+    val a1 = assign(seeds)
+    val cents2 = (0 until 8).map { c =>
+      val mem = e.zip(a1).collect { case ((_, v), (cl, _)) if cl == c => v }
+      if (mem.isEmpty) seeds(c)
+      else Array.tabulate(64)(i => mem.map(_(i)).sum / mem.length)
+    }
+    val a2 = assign(cents2)
+    // Lloyd monotonicity: update + reassign can only shrink total cost
+    assert(a2.map(_._2).sum <= a1.map(_._2).sum)
+    // exact agreement: sizes, inertia, centroid norms per cluster
+    val counts = a2.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inertias = a2.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == e.length.toLong)
+    out.foreach { r =>
+      val c = r.getAs[Int]("cluster")
+      assert(r.getAs[Long]("n_vecs") == counts.getOrElse(c, 0L))
+      assert(r.getAs[Long]("inertia") == inertias.getOrElse(c, 0L))
+      assert(r.getAs[Long]("c_norm") == cents2(c).map(x => x * x).sum)
+    }
+  }
 }

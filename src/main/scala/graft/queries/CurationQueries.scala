@@ -273,7 +273,7 @@ object CurationQueries extends QueryRegistry {
   /** The documents fixture schema, declared once for every streaming
     * reader over the staged copy (a missed copy of this in one query
     * would null out a column silently under by-name parquet reads). */
-  private val docsSchema: org.apache.spark.sql.types.StructType = {
+  private[queries] val docsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("doc_id", LongType),
@@ -283,7 +283,7 @@ object CurationQueries extends QueryRegistry {
       StructField("n_chars", LongType)))
   }
 
-  private def docsStage(s: SparkSession, dir: String): String =
+  private[queries] def docsStage(s: SparkSession, dir: String): String =
     stagedDocs.computeIfAbsent(dir, _ => {
       val stage = WdsQueries.scratchDir("graft_smix")
       Tables(s, dir).documents.write.mode("overwrite").parquet(stage)

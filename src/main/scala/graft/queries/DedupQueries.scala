@@ -803,7 +803,75 @@ object DedupQueries extends QueryRegistry {
        |FROM probes pr ORDER BY pr.source, pr.probe""".stripMargin
   }
 
+  /** Exploded (doc_id, band) row for the streaming keyed-state path. */
+  private[graft] case class BandRow(band: String, doc_id: Long)
+  /** Per-doc per-band verdict emitted by the stateful operator. */
+  private[graft] case class BandMin(doc_id: Long, band_min: Long)
+
+  /** st09: STREAMING LSH near-dup dedup — qd15's incremental-ingest
+    * shape as a CONTINUOUS pipeline. Arriving docs are minhash-signed
+    * and banded in-stream (stateless mapPartitions — the same kernel as
+    * qd02); each band key holds ONE long of keyed state (the earliest
+    * doc_id ever seen in that band), so state is bounded by the number
+    * of distinct bands, never by corpus size, and the per-batch work is
+    * the batch's own bands only — the standing corpus is never
+    * re-scanned. The stateful stage emits (doc_id, band_min) verdicts
+    * to the sink; the per-doc reduction (partner = min over its bands;
+    * dup iff partner < doc_id) runs as a batch compaction over the sink
+    * — the production split between continuous verdict emission and
+    * downstream compaction. min() is order-free, so shuffle
+    * nondeterminism inside a group can never change the answer.
+    *
+    * Semantics under MULTI-epoch replay are first-arrival (a doc's
+    * verdict is fixed at its arrival epoch; an early original is never
+    * retroactively re-labeled — the qd15 incremental contract;
+    * EventStreamsSpec pins the exact arrival-order replay). The gate
+    * stages the fixture as one AvailableNow epoch, where first-arrival
+    * degenerates to the id-min form this oracle checks: earliest
+    * co-banded doc, else self. */
+  private def streamLshDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stage = CurationQueries.docsStage(s, dir)
+    val src = s.readStream.schema(CurationQueries.docsSchema)
+      .parquet(stage)
+      .select($"doc_id", $"text")
+    val sigs = graft.functions.MinHash.signatures(src, NumHashes)
+    val banded = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("band"))
+      .as[BandRow]
+    val perBand = banded.groupByKey(_.band)
+      .flatMapGroupsWithState[Long, BandMin](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val docs = rows.map(_.doc_id).toVector
+          val m = (docs ++ state.getOption).min
+          state.update(m)
+          docs.iterator.map(d => BandMin(d, m))
+      }
+    val name = "stream_lsh_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams
+      .runToMemory(s, perBand.toDF(), name, statePartitions = Some(4))
+      .groupBy($"doc_id")
+      .agg(min($"band_min").as("partner_id"))
+      .select($"doc_id", $"partner_id",
+        when($"partner_id" < $"doc_id", 1).otherwise(0).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  private lazy val streamLshDedupSql =
+    s"""$sigSqlCte,
+       |$candSqlCtes
+       |SELECT d.doc_id,
+       |  coalesce(min(c.a_id), d.doc_id)::BIGINT AS partner_id,
+       |  CASE WHEN min(c.a_id) IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |FROM documents d LEFT JOIN cand c ON c.b_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "st09_stream_lsh_dedup" -> QueryDef(streamLshDedup,
+      Some(streamLshDedupSql), bench = true),
     "qd14_bloom_prefilter" -> QueryDef(bloomPrefilter, Some(bloomPrefilterSql)),
     "qd13_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "qd09_dup_clusters" -> QueryDef(dupClusters, Some(dupClustersSql)),

@@ -811,8 +811,8 @@ object DedupQueries extends QueryRegistry {
   /** st09: STREAMING LSH near-dup dedup — qd15's incremental-ingest
     * shape as a CONTINUOUS pipeline. Arriving docs are minhash-signed
     * and banded in-stream (stateless mapPartitions — the same kernel as
-    * qd02); each band key holds ONE long of keyed state (the earliest
-    * doc_id ever seen in that band), so state is bounded by the number
+    * qd02); each band key holds ONE long of keyed state (the band's
+    * first-arrival owner), so state is bounded by the number
     * of distinct bands, never by corpus size, and the per-batch work is
     * the batch's own bands only — the standing corpus is never
     * re-scanned. The stateful stage emits (doc_id, band_min) verdicts
@@ -829,34 +829,47 @@ object DedupQueries extends QueryRegistry {
     * stages the fixture as one AvailableNow epoch, where first-arrival
     * degenerates to the id-min form this oracle checks: earliest
     * co-banded doc, else self. */
-  private def streamLshDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The st09 stateful stage over any streaming (doc_id, text) frame —
+    * ONE implementation driven by both the gate query and the
+    * multi-epoch spec (EventStreamsSpec), so the pinned semantics are
+    * the shipped operator's. Each band's keyed state is its OWNER: the
+    * min doc_id of the band's FIRST-arrival epoch, never replaced — a
+    * later smaller id is flagged dup against the standing owner rather
+    * than silently becoming a second original (state = running min
+    * would let such a pair escape with both sides marked original). */
+  private[graft] def bandVerdicts(
+      src: DataFrame): org.apache.spark.sql.Dataset[BandMin] = {
+    import src.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val stage = CurationQueries.docsStage(s, dir)
-    val src = s.readStream.schema(CurationQueries.docsSchema)
-      .parquet(stage)
-      .select($"doc_id", $"text")
     val sigs = graft.functions.MinHash.signatures(src, NumHashes)
-    val banded = sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("band"))
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
       .as[BandRow]
-    val perBand = banded.groupByKey(_.band)
+      .groupByKey(_.band)
       .flatMapGroupsWithState[Long, BandMin](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           val docs = rows.map(_.doc_id).toVector
-          val m = (docs ++ state.getOption).min
-          state.update(m)
-          docs.iterator.map(d => BandMin(d, m))
+          val owner = state.getOption.getOrElse(docs.min)
+          if (state.getOption.isEmpty) state.update(owner)
+          docs.iterator.map(d => BandMin(d, owner))
       }
+  }
+
+  private def streamLshDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = CurationQueries.docsStage(s, dir)
+    val src = s.readStream.schema(CurationQueries.docsSchema)
+      .parquet(stage)
+      .select($"doc_id", $"text")
     val name = "stream_lsh_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.EventStreams
-      .runToMemory(s, perBand.toDF(), name, statePartitions = Some(4))
+      .runToMemory(s, bandVerdicts(src).toDF(), name,
+        statePartitions = Some(4))
       .groupBy($"doc_id")
       .agg(min($"band_min").as("partner_id"))
       .select($"doc_id", $"partner_id",
-        when($"partner_id" < $"doc_id", 1).otherwise(0).as("is_dup"))
+        when($"partner_id" =!= $"doc_id", 1).otherwise(0).as("is_dup"))
       .orderBy($"doc_id")
   }
 

@@ -355,6 +355,9 @@ object SimilarityQueries extends QueryRegistry {
        |ORDER BY r.q_id, r.rank""".stripMargin
 
   private val KmK = 8
+  /** FIXED at 2: kmeansRefineSql unrolls exactly two assignment passes
+    * (d1/a1 → c1 → d2/a2); changing this without regenerating the
+    * oracle turns the hash gate red with no local hint why. */
   private val KmIters = 2
   /** Quantization shift: components live in (-0.58, 0.52), so +2.0
     * keeps every ppm-integer strictly positive — integer sums stay
@@ -422,7 +425,11 @@ object SimilarityQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia"))
     val norms = s.createDataFrame(cents.zipWithIndex.map { case (c, i) =>
       (i, c.map(x => x * x).sum) }).toDF("cluster", "c_norm")
-    agg.join(broadcast(norms), Seq("cluster"), "right")
+    // norms (all KmK clusters) is the preserved LEFT side with the
+    // k-row agg broadcast as the build side — Spark cannot broadcast
+    // the preserved side of an outer join, so the right-outer spelling
+    // would silently shuffle instead
+    norms.join(broadcast(agg), Seq("cluster"), "left")
       .select($"cluster".cast("int").as("cluster"),
         coalesce($"n_vecs", lit(0L)).as("n_vecs"),
         coalesce($"inertia", lit(0L)).as("inertia"), $"c_norm")

@@ -83,43 +83,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") == 2L)
   }
 
-  test("st09 keyed band-min state carries across micro-batches: " +
-    "many-epoch replay equals the one-batch result") {
+  test("st09 band-owner state carries across micro-batches: a late " +
+    "smaller id is flagged against the standing owner") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
-    // 3 files => with maxFilesPerTrigger=1 the stream runs 3 epochs;
-    // band-min correctness then REQUIRES the keyed state (an epoch-
-    // local min would miss earlier epochs' docs)
+    import org.apache.spark.sql.streaming.Trigger
+    // 3 single-file epochs (coalesce(1) pins one part-file per write)
+    // => with maxFilesPerTrigger=1 the stream runs exactly 3 epochs;
+    // correctness then REQUIRES the keyed state to hold each band's
+    // FIRST-arrival owner across epochs
     val dir = Files.createTempDirectory("lsh_epochs").toString
     val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
-    docs.filter($"doc_id" % 3 === 0).write.parquet(s"$dir/f0")
-    docs.filter($"doc_id" % 3 === 1).write.parquet(s"$dir/f1")
-    docs.filter($"doc_id" % 3 === 2).write.parquet(s"$dir/f2")
+    docs.filter($"doc_id" % 3 === 0).coalesce(1).write.parquet(s"$dir/f0")
+    docs.filter($"doc_id" % 3 === 1).coalesce(1).write.parquet(s"$dir/f1")
+    docs.filter($"doc_id" % 3 === 2).coalesce(1).write.parquet(s"$dir/f2")
     val schema = docs.schema
+    // the SHIPPED operator (DedupQueries.bandVerdicts), not a copy
     def run(maxFiles: Option[Int]): Map[Long, Long] = {
       val reader = spark.readStream.schema(schema)
       maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
-      val src = reader.parquet(s"$dir/*")
-      val sigs = graft.functions.MinHash.signatures(src, 8)
-      val banded = sigs.select($"doc_id",
-          explode(array((0 until 4).map { b =>
-            substring(md5(to_binary(concat_ws("|", lit(b.toString),
-              col(s"h${2 * b}"), col(s"h${2 * b + 1}")), lit("utf-8"))),
-              1, 16)
-          }: _*)).as("band"))
-        .as[graft.queries.DedupQueries.BandRow]
-      val out = banded.groupByKey(_.band)
-        .flatMapGroupsWithState[Long, graft.queries.DedupQueries.BandMin](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (_, rows, state) =>
-            val ds = rows.map(_.doc_id).toVector
-            val m = (ds ++ state.getOption).min
-            state.update(m)
-            ds.iterator.map(d => graft.queries.DedupQueries.BandMin(d, m))
-        }
+      val src = reader.parquet(s"$dir/*").select($"doc_id", $"text")
       val name = "lshst_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.toDF().writeStream.outputMode("append")
+      val q = graft.queries.DedupQueries.bandVerdicts(src)
+        .toDF().writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -131,12 +117,14 @@ class EventStreamsSpec extends SparkSpec {
     val threeEpochs = run(Some(1))
     assert(oneBatch.nonEmpty && threeEpochs.keySet == oneBatch.keySet)
     // exact expected values from a sequential replay of the SAME
-    // arrival order: a doc's verdict is the min over docs of its bands
-    // that arrived in the same or an earlier epoch (first-arrival
-    // semantics — an early original is never retroactively re-labeled,
-    // the qd15 incremental contract). One epoch degenerates to the
-    // id-min oracle the gate checks.
-    val bandsOf = graft.functions.MinHash.signatures(docs, 8)
+    // arrival order: each band's owner is the min doc_id of its
+    // first-arrival epoch and is NEVER replaced; a doc's verdict is
+    // the min owner over its bands. An early original is never
+    // retroactively re-labeled, and a late smaller id is flagged dup
+    // against the standing owner (partner != doc_id) — the qd15
+    // incremental contract. One epoch degenerates to the id-min
+    // oracle the gate checks.
+    val sigBands = graft.functions.MinHash.signatures(docs, 8)
       .select($"doc_id", array((0 until 4).map { b =>
         substring(md5(to_binary(concat_ws("|", lit(b.toString),
           col(s"h${2 * b}"), col(s"h${2 * b + 1}")), lit("utf-8"))),
@@ -144,25 +132,23 @@ class EventStreamsSpec extends SparkSpec {
       }: _*).as("bands"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     def simulate(epochOf: Long => Int, nEpochs: Int): Map[Long, Long] = {
-      val state = scala.collection.mutable.Map.empty[String, Long]
+      val owner = scala.collection.mutable.Map.empty[String, Long]
       val out = scala.collection.mutable.Map.empty[Long, Long]
       (0 until nEpochs).foreach { ep =>
-        val arriving = bandsOf.keys.filter(epochOf(_) == ep).toSeq.sorted
+        val arriving = sigBands.keys.filter(epochOf(_) == ep).toSeq.sorted
         val epochMin = scala.collection.mutable.Map.empty[String, Long]
-        arriving.foreach(d => bandsOf(d).foreach { b =>
+        arriving.foreach(d => sigBands(d).foreach { b =>
           epochMin.update(b, math.min(epochMin.getOrElse(b, d), d))
         })
         epochMin.foreach { case (b, m) =>
-          state.update(b, math.min(state.getOrElse(b, m), m))
+          if (!owner.contains(b)) owner.update(b, m)
         }
-        arriving.foreach { d =>
-          out(d) = bandsOf(d).map(state).min
-        }
+        arriving.foreach(d => out(d) = sigBands(d).map(owner).min)
       }
       out.toMap
     }
     assert(oneBatch == simulate(_ => 0, 1), "one-batch != id-min replay")
     assert(threeEpochs == simulate(d => (d % 3).toInt, 3),
-      "multi-epoch != arrival-order replay")
+      "multi-epoch != first-arrival-owner replay")
   }
 }

@@ -681,7 +681,96 @@ object TextQueries extends QueryRegistry {
        |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Number of BPE merge rules qt14 learns. The oracle SQL unrolls one
+    * CTE block per merge — regenerated automatically from this value. */
+  private val BpeMergeCount = 6
+
+  /** qt14: BPE merge-rule induction — TOKENIZER TRAINING as a corpus
+    * operator (Sennrich et al. 2016). The reference ships only a
+    * SentencePiece RUNTIME (F15); a data engine for LM pipelines also
+    * needs to learn the vocab. Standard two-level shape: the corpus
+    * collapses to a (word, count) VOCAB first (the only corpus-wide
+    * pass — Zipf makes the vocab orders smaller than the corpus, and it
+    * stays a DataFrame, never driver-side), then each merge iteration
+    * is a pair-count aggregate over the vocab + a 1-ROW collect of the
+    * argmax pair + a declarative `replace` rewrite. Counts are exact
+    * integer sums; ties break (count desc, left asc, right asc) on both
+    * engines, so the learned rules are hash-deterministic. Symbols are
+    * space-joined chars with a </w> terminal, merged pairs rewritten
+    * leftmost-non-overlapping — `replace` semantics agree between Spark
+    * and DuckDB. */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var vocab = Tables(s, dir).documents
+      .select(explode(words($"text")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("w"))
+      .select(concat(expr(
+        "concat_ws(' ', transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)))"), lit(" </w>")).as("sym"), $"w")
+      .cache()
+    vocab.count() // materialize once; iterations rebuild from cache
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to BpeMergeCount) {
+      val toks = split($"sym", " ")
+      val best = vocab
+        .select($"w", explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("l"),
+            element_at(toks, i + 1).as("r")))).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"w").as("n"))
+        .orderBy($"n".desc, $"l", $"r").limit(1)
+        .collect().head
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((it, l, r, n))
+      vocab = vocab.select(trim(replace(
+        concat(lit(" "), $"sym", lit(" ")),
+        lit(s" $l $r "), lit(s" $l$r "))).as("sym"), $"w")
+    }
+    vocab.unpersist()
+    s.createDataFrame(merges.result())
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  private lazy val bpeMergesSql = {
+    val blocks = (1 to BpeMergeCount).map { k =>
+      s"""p$k AS (
+         |  SELECT t[i] AS l, t[i+1] AS r, sum(w)::BIGINT AS n
+         |  FROM (SELECT t, w,
+         |          unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT string_split(sym, ' ') AS t, w
+         |              FROM v${k - 1}) s0) s1
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |v$k AS (
+         |  SELECT trim(replace(' ' || sym || ' ',
+         |      concat(' ', (SELECT l FROM b$k), ' ', (SELECT r FROM b$k),
+         |        ' '),
+         |      concat(' ', (SELECT l FROM b$k), (SELECT r FROM b$k),
+         |        ' '))) AS sym, w
+         |  FROM v${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMergeCount).map(k =>
+      s"SELECT $k AS merge_rank, l AS \"left\", r AS \"right\", " +
+        s"n AS pair_count FROM b$k").mkString("\nUNION ALL ")
+    s"""WITH wd AS (
+       |  SELECT word, count(*) AS w FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |v0 AS (
+       |  SELECT array_to_string(list_transform(
+       |      generate_series(1, length(word)), i -> word[i:i]), ' ')
+       |    || ' </w>' AS sym, w
+       |  FROM wd),
+       |$blocks
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt14_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesSql),
+      bench = true),
     "qt12_lm_score" -> QueryDef(lmScore, Some(lmScoreSql), bench = true),
     "qt13_bm25" -> QueryDef(bm25, Some(bm25Sql), bench = true),
     "qt11_tfidf" -> QueryDef(tfidf, Some(tfidfSql)),

@@ -52,6 +52,57 @@ class TextExtraSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("qt14: BPE merges match a sequential JVM replay; best-pair " +
+    "counts are non-increasing") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.SparkEntry.queries("qt14_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    // any pair created by a merge occurs at most count(merged pair)
+    // times, so the learned sequence must be count-monotone
+    assert(out.map(_._4).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    })
+    // independent sequential replay over the word-count dict
+    val wc = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(lower(text), ' ')) AS w")
+      .where("length(w) > 0").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Seq[(Vector[String], Long)] =
+      wc.map { case (w, n) => (w.map(_.toString).toVector :+ "</w>", n) }
+        .toSeq
+    val replay = (1 to 6).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ => ()
+        }
+      }
+      // max count; ties take the smallest (l, r) — reversed string
+      // orderings make maxBy pick the lexicographic minimum
+      val ord = Ordering.Tuple3(Ordering.Long,
+        Ordering.String.reverse, Ordering.String.reverse)
+      val ((l, r), n) = counts.toSeq
+        .maxBy { case ((a, b), c) => (c, a, b) }(ord)
+      vocab = vocab.map { case (syms, w) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), w)
+      }
+      (k, l, r, n)
+    }
+    assert(out.toSeq == replay, s"\nspark=${out.toSeq}\nreplay=$replay")
+  }
+
   test("qt12: detect-then-salt path returns values identical to the " +
     "plain join") {
     // salting only reroutes rows across salts; any value drift would

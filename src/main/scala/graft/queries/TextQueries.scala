@@ -701,50 +701,73 @@ object TextQueries extends QueryRegistry {
     * and DuckDB. */
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    var vocab = Tables(s, dir).documents
+    // DOUBLE-space token delimiter: a ' l  r ' -> ' lr ' replacement
+    // then consumes only ONE delimiter space per side, so consecutive
+    // adjacent occurrences ("b a n a n a": both 'a n's) all merge in a
+    // single leftmost pass — exactly the canonical greedy token scan.
+    // A single-space join under-merges (the shared middle space is
+    // consumed by the first match) and silently diverges from BPE.
+    val base = Tables(s, dir).documents
       .select(explode(words($"text")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("w"))
       .select(concat(expr(
-        "concat_ws(' ', transform(sequence(1, length(word)), " +
-          "i -> substring(word, i, 1)))"), lit(" </w>")).as("sym"), $"w")
+        "concat_ws('  ', transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)))"), lit("  </w>")).as("sym"), $"w")
       .cache()
-    vocab.count() // materialize once; iterations rebuild from cache
+    base.count() // materialize once; iterations rebuild from cache
+    var vocab: DataFrame = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (it <- 1 to BpeMergeCount) {
-      val toks = split($"sym", " ")
+    var it = 1
+    var exhausted = false
+    while (it <= BpeMergeCount && !exhausted) {
+      val toks = split($"sym", "  ")
       val best = vocab
+        // fully-merged single-token syms drop out BEFORE the explode:
+        // Spark's sequence(1, 0) counts DOWN ([1, 0]) and element_at
+        // throws under ANSI where DuckDB's generate_series(1,0) is []
+        .where(size(toks) >= 2)
         .select($"w", explode(transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("l"),
             element_at(toks, i + 1).as("r")))).as("p"))
         .groupBy($"p.l", $"p.r").agg(sum($"w").as("n"))
         .orderBy($"n".desc, $"l", $"r").limit(1)
-        .collect().head
-      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((it, l, r, n))
-      vocab = vocab.select(trim(replace(
-        concat(lit(" "), $"sym", lit(" ")),
-        lit(s" $l $r "), lit(s" $l$r "))).as("sym"), $"w")
+        .collect().headOption
+      best match {
+        case None => exhausted = true // corpus fully merged (or empty)
+        case Some(b) =>
+          val (l, r, n) = (b.getString(0), b.getString(1), b.getLong(2))
+          merges += ((it, l, r, n))
+          vocab = vocab.select(trim(replace(
+            concat(lit(" "), $"sym", lit(" ")),
+            lit(s" $l  $r "), lit(s" $l$r "))).as("sym"), $"w")
+          it += 1
+      }
     }
-    vocab.unpersist()
+    base.unpersist() // the cached plan, not the 6-times-derived frame
     s.createDataFrame(merges.result())
       .toDF("merge_rank", "left", "right", "pair_count")
       .orderBy($"merge_rank")
   }
 
   private lazy val bpeMergesSql = {
+    // every CTE is MATERIALIZED: v{k-1} is referenced twice per level
+    // and b{k} four times — DuckDB re-inlines plain CTEs, which makes
+    // the chain EXPONENTIAL in BpeMergeCount (measured 384 s at 6
+    // merges on sf0.01 vs sub-second materialized)
     val blocks = (1 to BpeMergeCount).map { k =>
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT t[i] AS l, t[i+1] AS r, sum(w)::BIGINT AS n
          |  FROM (SELECT t, w,
          |          unnest(generate_series(1, len(t) - 1)) AS i
-         |        FROM (SELECT string_split(sym, ' ') AS t, w
+         |        FROM (SELECT string_split(sym, '  ') AS t, w
          |              FROM v${k - 1}) s0) s1
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-         |v$k AS (
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
          |  SELECT trim(replace(' ' || sym || ' ',
-         |      concat(' ', (SELECT l FROM b$k), ' ', (SELECT r FROM b$k),
+         |      concat(' ', (SELECT l FROM b$k), '  ', (SELECT r FROM b$k),
          |        ' '),
          |      concat(' ', (SELECT l FROM b$k), (SELECT r FROM b$k),
          |        ' '))) AS sym, w
@@ -753,15 +776,15 @@ object TextQueries extends QueryRegistry {
     val out = (1 to BpeMergeCount).map(k =>
       s"SELECT $k AS merge_rank, l AS \"left\", r AS \"right\", " +
         s"n AS pair_count FROM b$k").mkString("\nUNION ALL ")
-    s"""WITH wd AS (
+    s"""WITH wd AS MATERIALIZED (
        |  SELECT word, count(*) AS w FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word
        |    FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT array_to_string(list_transform(
-       |      generate_series(1, length(word)), i -> word[i:i]), ' ')
-       |    || ' </w>' AS sym, w
+       |      generate_series(1, length(word)), i -> word[i:i]), '  ')
+       |    || '  </w>' AS sym, w
        |  FROM wd),
        |$blocks
        |$out

@@ -52,28 +52,13 @@ class TextExtraSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
-  test("qt14: BPE merges match a sequential JVM replay; best-pair " +
-    "counts are non-increasing") {
-    val dir = "/root/testdata/sf0.01"
-    val out = graft.SparkEntry.queries("qt14_bpe_merges")(spark, dir)
-      .collect()
-      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
-        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
-    // any pair created by a merge occurs at most count(merged pair)
-    // times, so the learned sequence must be count-monotone
-    assert(out.map(_._4).toSeq.sliding(2).forall {
-      case Seq(a, b) => b <= a
-      case _ => true
-    })
-    // independent sequential replay over the word-count dict
-    val wc = spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("explode(split(lower(text), ' ')) AS w")
-      .where("length(w) > 0").groupBy("w").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+  /** Canonical sequential BPE replay over a word-count dict — the
+    * independent implementation both qt14 tests compare against. */
+  private def bpeReplay(
+      wc: Seq[(String, Long)], m: Int): Seq[(Int, String, String, Long)] = {
     var vocab: Seq[(Vector[String], Long)] =
       wc.map { case (w, n) => (w.map(_.toString).toVector :+ "</w>", n) }
-        .toSeq
-    val replay = (1 to 6).map { k =>
+    (1 to m).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, n) =>
         syms.sliding(2).foreach {
@@ -82,10 +67,18 @@ class TextExtraSpec extends SparkSpec {
           case _ => ()
         }
       }
-      // max count; ties take the smallest (l, r) — reversed string
-      // orderings make maxBy pick the lexicographic minimum
-      val ord = Ordering.Tuple3(Ordering.Long,
-        Ordering.String.reverse, Ordering.String.reverse)
+      // max count; ties take the smallest (l, r) in UTF-8 BYTE order —
+      // Spark orderBy and DuckDB ORDER BY compare UTF-8 bytes, while
+      // Scala's Ordering.String compares UTF-16 code units (they
+      // disagree between U+E000..U+FFFF and supplementary planes)
+      val utf8 = Ordering.fromLessThan[String] { (a, b) =>
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        val m = math.min(x.length, y.length)
+        var i = 0
+        while (i < m && x(i) == y(i)) i += 1
+        if (i < m) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+      }
+      val ord = Ordering.Tuple3(Ordering.Long, utf8.reverse, utf8.reverse)
       val ((l, r), n) = counts.toSeq
         .maxBy { case ((a, b), c) => (c, a, b) }(ord)
       vocab = vocab.map { case (syms, w) =>
@@ -100,7 +93,45 @@ class TextExtraSpec extends SparkSpec {
       }
       (k, l, r, n)
     }
-    assert(out.toSeq == replay, s"\nspark=${out.toSeq}\nreplay=$replay")
+  }
+
+  test("qt14: BPE merges match a sequential JVM replay; best-pair " +
+    "counts are non-increasing") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.SparkEntry.queries("qt14_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    // any pair created by a merge occurs at most count(merged pair)
+    // times, so the learned sequence must be count-monotone
+    assert(out.map(_._4).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    })
+    val wc = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(lower(text), ' ')) AS w")
+      .where("length(w) > 0").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out.toSeq == bpeReplay(wc, 6))
+  }
+
+  test("qt14 merges ADJACENT pair occurrences canonically (banana)") {
+    import spark.implicits._
+    // 'banana' has two adjacent (a,n) occurrences sharing a delimiter;
+    // a single-space replace merges only the first (the round-5 review
+    // catch) — the double-space form must match the token-level scan
+    val dir = java.nio.file.Files.createTempDirectory("bpe_adj").toString
+    val docs = Seq(
+      (0L, "banana banana banana", "en", "s", 20L),
+      (1L, "bananas cabana", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("qt14_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    val wc = Seq("banana" -> 3L, "bananas" -> 1L, "cabana" -> 1L)
+    assert(out == bpeReplay(wc, 6), s"\nspark=$out\nreplay=${bpeReplay(wc, 6)}")
   }
 
   test("qt12: detect-then-salt path returns values identical to the " +

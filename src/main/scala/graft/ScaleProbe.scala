@@ -92,6 +92,16 @@ object ScaleProbe {
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[scale] vecs=$nv%8d bits=$bits%2d embLsh=$t%6.2fs " +
         f"candPairs=$cands%d")
+      // qs07's Lloyd refinement over the same synthetic frame — the
+      // QUERY-PATH code: per iteration one pruned scan + broadcast-
+      // literal assignment + a k×dim partial agg; cost must stay
+      // linear in vectors with no embedding ever crossing an exchange
+      val t1 = System.nanoTime()
+      val km = queries.SimilarityQueries.kmeansRefineOf(vecs).collect()
+      val tKm = (System.nanoTime() - t1) / 1e9
+      val inertia = km.map(_.getAs[Long]("inertia")).sum
+      println(f"[scale] vecs=$nv%8d kmeans2iter=$tKm%6.2fs " +
+        f"clusters=${km.length}%d inertiaSum=$inertia%d")
     }
 
     // connected components at 1M vertices (qd09 shape) with a reliable

@@ -388,9 +388,39 @@ object SimilarityQueries extends QueryRegistry {
     * 64 sums) rows. inertia is a per-cluster LONG sum of ppm² distances
     * — at ≫10⁹ vectors/cluster switch the report (not the math) to
     * avg via div before overflow. */
-  private def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansRefine(s: SparkSession, dir: String): DataFrame =
+    kmeansRefineOf(Tables(s, dir).embeddings)
+
+  /** Query-path body over any (vec_id, embedding float[]) frame —
+    * reused verbatim by ScaleProbe so the scale evidence measures THIS
+    * plan, not a probe fork. */
+  private[graft] def kmeansRefineOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val e = Tables(s, dir).embeddings
+    val (fin, cents) = kmeansAssignOf(emb)
+    val agg = fin.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia"))
+    val norms = s.createDataFrame(cents.zipWithIndex.map { case (c, i) =>
+      (i, c.map(x => x * x).sum) }).toDF("cluster", "c_norm")
+    // norms (all KmK clusters) is the preserved LEFT side with the
+    // k-row agg broadcast as the build side — Spark cannot broadcast
+    // the preserved side of an outer join, so the right-outer spelling
+    // would silently shuffle instead
+    norms.join(broadcast(agg), Seq("cluster"), "left")
+      .select($"cluster".cast("int").as("cluster"),
+        coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+        coalesce($"inertia", lit(0L)).as("inertia"), $"c_norm")
+      .orderBy($"cluster")
+  }
+
+  /** The 2-iteration Lloyd ASSIGNMENT frame (vec_id, cluster, dist) +
+    * the final integer centroids — shared by qs07's per-cluster rollup
+    * and qs08's cluster-balanced sample. */
+  private[graft] def kmeansAssignOf(
+      emb: DataFrame): (DataFrame, IndexedSeq[Array[Long]]) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb
       .select($"vec_id", transform($"embedding", x =>
         floor((x.cast("double") + lit(KmShift)) * lit(1e6)).cast("long"))
         .as("v"))
@@ -421,26 +451,16 @@ object SimilarityQueries extends QueryRegistry {
         }
       }
     }
-    val agg = assigned().groupBy($"cluster")
-      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia"))
-    val norms = s.createDataFrame(cents.zipWithIndex.map { case (c, i) =>
-      (i, c.map(x => x * x).sum) }).toDF("cluster", "c_norm")
-    // norms (all KmK clusters) is the preserved LEFT side with the
-    // k-row agg broadcast as the build side — Spark cannot broadcast
-    // the preserved side of an outer join, so the right-outer spelling
-    // would silently shuffle instead
-    norms.join(broadcast(agg), Seq("cluster"), "left")
-      .select($"cluster".cast("int").as("cluster"),
-        coalesce($"n_vecs", lit(0L)).as("n_vecs"),
-        coalesce($"inertia", lit(0L)).as("inertia"), $"c_norm")
-      .orderBy($"cluster")
+    (assigned().select($"vec_id", $"cluster", $"dist"), cents)
   }
 
   private val kmDistSql = (v: String, c: String) =>
     s"""list_sum(list_transform(generate_series(1, $Dim),
        |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))::BIGINT""".stripMargin
 
-  private lazy val kmeansRefineSql =
+  /** Shared WITH-chain through the final assignment a2 — consumed by
+    * qs07's rollup and qs08's cluster-balanced sample. */
+  private lazy val kmSqlCtes =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
        |    x -> floor((x + $KmShift) * 1000000)::BIGINT) AS v
@@ -476,7 +496,10 @@ object SimilarityQueries extends QueryRegistry {
        |  SELECT vec_id, c AS cluster, dist FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private lazy val kmeansRefineSql =
+    s"""$kmSqlCtes,
        |agg AS (
        |  SELECT cluster, count(*)::BIGINT AS n_vecs,
        |    sum(dist)::BIGINT AS inertia
@@ -487,9 +510,63 @@ object SimilarityQueries extends QueryRegistry {
        |FROM c1 LEFT JOIN agg ON agg.cluster = c1.c
        |ORDER BY cluster""".stripMargin
 
+  /** Per-cluster sample size for qs08. */
+  private val ClusterSampleK = 10
+
+  /** qs08: cluster-BALANCED sampling — draw ClusterSampleK vectors per
+    * k-means cluster by the stable md5(vec_id) order (the qc01 rule:
+    * reproducible across runs, engines and repartitioning — never a
+    * seeded RNG). This is the diverse-subset selection step a curation
+    * pipeline runs after clustering (cluster-balanced pretraining
+    * subsets; the sampling half of SemDeDup-style diversity pruning):
+    * head clusters are capped, tail clusters surface fully. Composes
+    * qs07's assignment verbatim; the only work past assignment is one
+    * window over the cluster key. */
+  private def clusterSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (fin, _) = kmeansAssignOf(Tables(s, dir).embeddings)
+    // two-level top-K: with only KmK clusters, a bare
+    // partitionBy(cluster) window funnels 1/KmK of the corpus through
+    // one task. Salting first bounds every window group at n/(KmK·S);
+    // the global K smallest per cluster are necessarily among each
+    // salt's K smallest, so level two ranks ≤ KmK·S·K rows — exact
+    // values, qc03's pattern applied to group-top-K
+    val salts = 32
+    val keyed = fin.select($"vec_id", $"cluster",
+      md5(to_binary($"vec_id".cast("string"), lit("utf-8"))).as("hkey"))
+    val w1 = Window.partitionBy($"cluster",
+        pmod(xxhash64($"vec_id"), lit(salts)))
+      .orderBy($"hkey", $"vec_id")
+    val survivors = keyed
+      .withColumn("r1", row_number().over(w1))
+      .filter($"r1" <= ClusterSampleK)
+    val counts = fin.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_cluster"))
+    val w2 = Window.partitionBy($"cluster").orderBy($"hkey", $"vec_id")
+    survivors
+      .withColumn("rnk", row_number().over(w2))
+      .filter($"rnk" <= ClusterSampleK)
+      .join(broadcast(counts), Seq("cluster"))
+      .select($"cluster", $"rnk", $"vec_id", $"n_cluster")
+      .orderBy($"cluster", $"rnk")
+  }
+
+  private lazy val clusterSampleSql =
+    s"""$kmSqlCtes
+       |SELECT cluster, rnk, vec_id, n_cluster FROM (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(vec_id::VARCHAR), vec_id)::INT AS rnk,
+       |    count(*) OVER (PARTITION BY cluster)::BIGINT AS n_cluster
+       |  FROM a2) t
+       |WHERE rnk <= $ClusterSampleK
+       |ORDER BY cluster, rnk""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
     "qs07_kmeans_refine" -> QueryDef(kmeansRefine, Some(kmeansRefineSql),
       bench = true),
+    "qs08_cluster_sample" -> QueryDef(clusterSample,
+      Some(clusterSampleSql)),
     "qs06_ann_pq_adc" -> QueryDef(pqTopK, Some(pqTopKSql), bench = true),
     "qs01_ann_brute_topk" -> QueryDef(bruteTopK, Some(bruteTopKSql), bench = true),
     "qs02_ann_ivf_topk" -> QueryDef(ivfTopK, Some(ivfTopKSql)),

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CurationQueries, DedupQueries, EventQueries,
-  MediaQueries, QualityQueries, RelationalQueries, SimilarityQueries,
-  TextQueries, WdsQueries}
+  GraphQueries, MediaQueries, QualityQueries, RelationalQueries,
+  SimilarityQueries, TextQueries, WdsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
     CurationQueries,
     DedupQueries,
     SimilarityQueries,
+    GraphQueries,
     MediaQueries,
     QualityQueries,
     WdsQueries,

@@ -631,7 +631,96 @@ object CurationQueries extends QueryRegistry {
       |SELECT pair_id, alignment FROM s WHERE alignment >= 0.05
       |ORDER BY pair_id""".stripMargin
 
+  /** DSIR hashed-feature space and selection budget. */
+  private val DsirBuckets = 64
+  private val DsirBudget = 150L
+
+  /** qc06: importance-resampling data selection (the DSIR recipe, Xie et
+    * al. 2023): score every document by how much its hashed-unigram
+    * distribution looks like a TARGET domain (here lang='en') relative to
+    * the raw corpus, then keep the top-weighted subset. Bucket models are
+    * add-one-smoothed token counts over [[DsirBuckets]] md5 buckets; the
+    * per-token importance ratio p_target/p_raw is carried as a ppm
+    * integer ((1e6·pt_ppm) div pr_ppm), so the per-doc mean is an
+    * order-free integer sum — the log-sum of the paper is replaced by the
+    * mean ratio, a monotone surrogate that keeps the hash gate exact. The
+    * resampling draw is realized as the deterministic md5(doc_id) order
+    * within equal scores (same stable-order trick as qc01/qc02 — never a
+    * seeded RNG).
+    *
+    * Scale shape: ONE corpus pass builds both bucket models (conditional
+    * sum inside a single 64-row aggregate, broadcast back); the second
+    * corpus pass scores tokens against the broadcast ratio table and
+    * aggregates per doc; selection is orderBy().limit() →
+    * TakeOrderedAndProject (distributed partial top-k). Nothing wider
+    * than (doc_id, bucket) ever shuffles. */
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val tok = docs.select($"doc_id", $"lang",
+        explode(words($"text")).as("w"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5(to_binary($"w", lit("utf-8"))), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets).as("b"))
+    val buckets = tok.groupBy($"b").agg(
+      count(lit(1)).as("cr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = buckets.agg(sum($"cr").as("tr"), sum($"ct").as("tt"))
+    val ratio = broadcast(buckets.crossJoin(broadcast(totals))
+      .select($"b", expr(
+        s"""(1000000 * ((1000000 * (ct + 1)) div (tt + $DsirBuckets)))
+           | div ((1000000 * (cr + 1)) div (tr + $DsirBuckets))"""
+          .stripMargin.replace("\n", "")).as("r_ppm")))
+    val per = tok.join(ratio, "b").groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"r_ppm").as("sum_ppm"))
+    val scored = docs.select($"doc_id", $"lang",
+        md5(to_binary($"doc_id".cast("string"), lit("utf-8"))).as("hkey"))
+      .join(per, "doc_id")
+      .select($"doc_id", $"lang", $"n_tokens",
+        expr("sum_ppm div n_tokens").as("score_ppm"), $"hkey")
+      .orderBy($"score_ppm".desc, $"hkey", $"doc_id")
+      .limit(DsirBudget.toInt)
+    val w = Window.orderBy($"score_ppm".desc, $"hkey", $"doc_id")
+    scored.withColumn("rank", row_number().over(w))
+      .select($"rank", $"doc_id", $"lang", $"n_tokens", $"score_ppm")
+      .orderBy($"rank")
+  }
+
+  private val dsirSelectSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(ws) AS w FROM base)),
+       |buckets AS (
+       |  SELECT b, count(*)::BIGINT AS cr,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+       |  FROM tok GROUP BY b),
+       |totals AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt
+       |           FROM buckets),
+       |ratio AS (
+       |  SELECT b, ((1000000 * ((1000000 * (ct + 1)) // (tt + $DsirBuckets)))
+       |    // ((1000000 * (cr + 1)) // (tr + $DsirBuckets)))::BIGINT AS r_ppm
+       |  FROM buckets, totals),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(r_ppm)::BIGINT AS sum_ppm
+       |  FROM tok JOIN ratio USING (b) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, n_tokens,
+       |    (sum_ppm // n_tokens)::BIGINT AS score_ppm,
+       |    md5(d.doc_id::VARCHAR) AS hkey
+       |  FROM documents d JOIN per USING (doc_id))
+       |SELECT row_number() OVER (ORDER BY score_ppm DESC, hkey, doc_id)::INT
+       |    AS rank, doc_id, lang, n_tokens, score_ppm
+       |FROM scored
+       |ORDER BY score_ppm DESC, hkey, doc_id LIMIT $DsirBudget""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qc06_dsir_select" -> QueryDef(dsirSelect, Some(dsirSelectSql)),
     "qc04_length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "qc05_alignment_filter" -> QueryDef(alignmentFilter,
       Some(alignmentFilterSql)),

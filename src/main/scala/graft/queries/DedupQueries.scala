@@ -43,7 +43,7 @@ object DedupQueries extends QueryRegistry {
     * minhash/LSH/jaccard queries. Computed by the single-pass JVM kernel
     * ([[graft.functions.MinHash]]); MinHashSpec asserts it equals the
     * declarative interpreted-HOF form value-for-value. */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame =
     graft.functions.MinHash.signatures(
       Tables(s, dir).documents.select(col("doc_id"), col("text")),
       NumHashes)
@@ -73,7 +73,7 @@ object DedupQueries extends QueryRegistry {
   private def minhashSql(k: Int): String =
     s"list_min(list_transform(shs, x -> md5('$k|' || x))) AS h$k"
 
-  private val sigSqlCte = {
+  private[queries] val sigSqlCte = {
     val hs = (0 until NumHashes).map(minhashSql).mkString(",\n    ")
     s"""WITH w AS ($wsSqlCte),
        |s AS ($shinglesSql),
@@ -93,7 +93,7 @@ object DedupQueries extends QueryRegistry {
     * band rows, distinct a<b candidate pairs) appended after
     * [[sigSqlCte]] by every oracle that verifies over LSH candidates
     * (qd03/qd04/qd10/qd16). */
-  private lazy val candSqlCtes: String = {
+  private[queries] lazy val candSqlCtes: String = {
     val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
     s"""bands AS (
        |  SELECT doc_id,

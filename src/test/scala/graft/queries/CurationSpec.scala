@@ -160,4 +160,45 @@ class CurationSpec extends SparkSpec {
     // the shuffle payload is the 16-hex truncation, never raw text
     assert(kernel.forall(_._2.matches("[0-9a-f]{16}")))
   }
+
+  test("qc06: DSIR scores equal the brute-force hashed-bucket model " +
+    "and the selection is score-maximal") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.toLowerCase.split(" ", -1).toSeq.map(bucket))
+    }
+    val cr = toks.flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tr = cr.values.sum; val tt = ct.values.sum
+    val rPpm = cr.keys.map { b =>
+      val pt = 1000000L * (ct.getOrElse(b, 0L) + 1) / (tt + 64)
+      val pr = 1000000L * (cr(b) + 1) / (tr + 64)
+      b -> 1000000L * pt / pr
+    }.toMap
+    val want = toks.map { case (id, _, bs) =>
+      id -> bs.map(rPpm).sum / bs.length
+    }.toMap
+    val got = graft.SparkEntry.queries("qc06_dsir_select")(spark, sf)
+      .select($"doc_id", $"score_ppm").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, s) => assert(s === want(id), s"doc $id") }
+    // selected docs carry the globally maximal scores (the md5 order
+    // only breaks ties WITHIN a score)
+    val unselectedMax = want.filterNot(k => got.contains(k._1)).values
+      .maxOption.getOrElse(Long.MinValue)
+    assert(got.values.min >= unselectedMax)
+    // and the target domain is actually favored: mean selected score
+    // exceeds the corpus mean (sanity that the ratio model discriminates)
+    val all = want.values
+    assert(got.values.sum / got.size >= all.sum / all.size)
+  }
 }

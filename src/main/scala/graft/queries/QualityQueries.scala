@@ -201,6 +201,41 @@ object QualityQueries extends QueryRegistry {
       .orderBy("rule")
   }
 
+  /** st10: qa03's drift monitor as a STREAMING query — the train/serve
+    * skew sentinel running over an unbounded ingest instead of a batch
+    * audit. The streaming part is the per-(category, period) counter
+    * (Complete-mode global agg, tiny keyed state: |categories|×2 rows);
+    * the share/L1 arithmetic happens on the emitted snapshot exactly as
+    * qa03 does it, so the result — and the oracle — are qa03's. */
+  private def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders
+    val stage = WdsQueries.scratchDir("graft_qa3_stage")
+    o.write.mode("overwrite").parquet(stage)
+    val stream = s.readStream.schema(o.schema).parquet(stage)
+      .withColumn("period",
+        when(year($"o_orderdate") < 1998, "a").otherwise("b"))
+      .groupBy($"o_orderpriority", $"period")
+      .agg(count(lit(1)).as("n"))
+    val name = "stream_qa3_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val counts = graft.streaming.EventStreams.runToMemory(s, stream, name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+    val pivoted = counts.groupBy($"o_orderpriority")
+      .agg(
+        coalesce(sum(when($"period" === "a", $"n")), lit(0L)).as("n_a"),
+        coalesce(sum(when($"period" === "b", $"n")), lit(0L)).as("n_b"))
+    val totals = pivoted.agg(sum($"n_a").as("tot_a"), sum($"n_b").as("tot_b"))
+    pivoted.crossJoin(broadcast(totals))
+      .select($"o_orderpriority", $"n_a", $"n_b",
+        round($"n_a" * 1.0 / $"tot_a", 6).as("share_a"),
+        round($"n_b" * 1.0 / $"tot_b", 6).as("share_b"),
+        round(abs($"n_a" * 1.0 / $"tot_a" - $"n_b" * 1.0 / $"tot_b"), 6)
+          .as("drift"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** qa03: categorical distribution drift between order periods (pre /
     * post 1998) — per-category share in each period and its L1
     * contribution. Shares are exact integer ratios rounded identically
@@ -248,6 +283,7 @@ object QualityQueries extends QueryRegistry {
     "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql),
       bench = true),
     "qa03_drift" -> QueryDef(drift, Some(driftSql), bench = true),
+    "st10_stream_drift" -> QueryDef(streamDrift, Some(driftSql)),
     "st08_stream_constraints" -> QueryDef(streamConstraints,
       Some(streamConstraintsSql), bench = true),
   )

@@ -151,4 +151,13 @@ class EventStreamsSpec extends SparkSpec {
     assert(threeEpochs == simulate(d => (d % 3).toInt, 3),
       "multi-epoch != first-arrival-owner replay")
   }
+
+  test("st10 streaming drift snapshot equals the batch qa03 audit") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("st10_stream_drift")(spark, sf)
+      .collect().toSeq
+    val batch = graft.SparkEntry.queries("qa03_drift")(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+  }
 }

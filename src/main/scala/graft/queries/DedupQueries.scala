@@ -882,7 +882,96 @@ object DedupQueries extends QueryRegistry {
        |FROM documents d LEFT JOIN cand c ON c.b_id = d.doc_id
        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
+  /** CDC window width and boundary divisor (expected chunk ≈ Cdc
+    * Divisor chars past the window). */
+  private val CdcWin = 8
+  private val CdcDiv = 16
+
+  /** qd17: content-defined chunking dedup — the storage-grain dedup
+    * primitive (LBFS/rsync lineage: Muthitacharoen et al. 2001).
+    * Boundaries fall where the rolling window's hash ≡ 0 (mod
+    * [[CdcDiv]]), so a byte insertion only reshapes chunks NEAR the
+    * edit instead of shifting every fixed-width block — the property
+    * that makes chunk-hash dedup robust to near-duplicate documents.
+    * The window hash is the first 4 md5 nibbles of the [[CdcWin]]-char
+    * window (md5 so the oracle replays it bit-for-bit; a production
+    * deployment would swap in gear/Rabin hashing — same plan shape).
+    *
+    * Everything per-document happens INSIDE one row via array HOFs
+    * (boundary scan, chunk slicing) — no explode until chunks exist, so
+    * the corpus pass ships (source, 32-hex chunk hash, chunk length)
+    * and nothing else; the rollup is an ordinary two-level aggregate.
+    * Guard: Spark's sequence(8, len) counts DOWN when len < 8 (DuckDB's
+    * generate_series returns empty) — short docs take the whole-doc
+    * chunk branch explicitly. */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir).documents
+      .select($"source", $"text", length($"text").as("len"))
+    val bounds = d.withColumn("bounds",
+      when($"len" >= CdcWin,
+        filter(sequence(lit(CdcWin), $"len"), i =>
+          conv(substring(md5(to_binary(
+            $"text".substr(i - lit(CdcWin - 1), lit(CdcWin)),
+            lit("utf-8"))), 1, 4), 16, 10).cast("long") % CdcDiv === 0))
+        .otherwise(array().cast("array<int>")))
+    val withLen = bounds
+      .withColumn("bs", array_sort(array_distinct(
+        concat(array(lit(0)), $"bounds", array($"len")))))
+      .select($"source", explode(transform(
+        sequence(lit(2), size($"bs")), i => struct(
+          md5(to_binary($"text".substr(
+            element_at($"bs", i - 1) + 1,
+            element_at($"bs", i) - element_at($"bs", i - 1)),
+            lit("utf-8"))).as("h"),
+          (element_at($"bs", i) - element_at($"bs", i - 1))
+            .cast("long").as("l")))).as("c"))
+      .select($"source", $"c.h".as("chunk_hash"), $"c.l".as("chunk_len"))
+    withLen.groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct($"chunk_hash").as("n_distinct"),
+        sum($"chunk_len").as("n_bytes"))
+      .select($"source", $"n_chunks", $"n_distinct", $"n_bytes",
+        expr("(1000000 * (n_chunks - n_distinct)) div n_chunks")
+          .as("dup_ppm"),
+        expr("n_bytes div n_chunks").as("mean_chunk_len"))
+      .orderBy($"source")
+  }
+
+  private val cdcChunksSql =
+    s"""WITH d AS (
+       |  SELECT source, text, length(text)::INT AS len FROM documents),
+       |b AS (
+       |  SELECT source, text, len,
+       |    CASE WHEN len >= $CdcWin THEN
+       |      list_filter(generate_series($CdcWin, len), i ->
+       |        ('0x' || substr(md5(substr(text, i - ${CdcWin - 1},
+       |          $CdcWin)), 1, 4))::BIGINT % $CdcDiv = 0)
+       |    ELSE [] END AS bounds
+       |  FROM d),
+       |bs AS (
+       |  SELECT source, text,
+       |    list_sort(list_distinct(
+       |      list_concat(list_concat([0], bounds), [len]))) AS bs
+       |  FROM b),
+       |ch AS (
+       |  SELECT source,
+       |    unnest(list_transform(generate_series(2, len(bs)), i -> struct_pack(
+       |      h := md5(substr(text, bs[i - 1] + 1, bs[i] - bs[i - 1])),
+       |      l := (bs[i] - bs[i - 1])::BIGINT))) AS c
+       |  FROM bs),
+       |per AS (
+       |  SELECT source, count(*)::BIGINT AS n_chunks,
+       |    count(DISTINCT c.h)::BIGINT AS n_distinct,
+       |    sum(c.l)::BIGINT AS n_bytes
+       |  FROM ch GROUP BY source)
+       |SELECT source, n_chunks, n_distinct, n_bytes,
+       |  ((1000000 * (n_chunks - n_distinct)) // n_chunks)::BIGINT AS dup_ppm,
+       |  (n_bytes // n_chunks)::BIGINT AS mean_chunk_len
+       |FROM per ORDER BY source""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd17_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksSql)),
     "st09_stream_lsh_dedup" -> QueryDef(streamLshDedup,
       Some(streamLshDedupSql), bench = true),
     "qd14_bloom_prefilter" -> QueryDef(bloomPrefilter, Some(bloomPrefilterSql)),

@@ -201,6 +201,67 @@ object QualityQueries extends QueryRegistry {
       .orderBy("rule")
   }
 
+  /** qa04: cross-table referential-integrity audit — per foreign key:
+    * child rows, orphan children (no parent), parent rows, referenced
+    * parents, and coverage (referenced/total parents in ppm). The
+    * lake-admission check qa02's row-local rules can't express.
+    *
+    * Scale shape: orphan counts are LEFT ANTI joins (the parent key set
+    * is the build side — dimension-sized for cust/part/supp, and for the
+    * one fact-fact edge (lineitem→orders) AQE picks the shuffle join);
+    * referenced-parent counts aggregate the child's distinct keys before
+    * joining, so the join input is |distinct keys|, not |child rows|. */
+  private def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    case class Fk(rule: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String)
+    val fks = Seq(
+      Fk("lineitem_orderkey", t.lineitem, "l_orderkey",
+        t.orders, "o_orderkey"),
+      Fk("lineitem_partkey", t.lineitem, "l_partkey", t.part, "p_partkey"),
+      Fk("lineitem_suppkey", t.lineitem, "l_suppkey",
+        t.supplier, "s_suppkey"),
+      Fk("orders_custkey", t.orders, "o_custkey",
+        t.customer, "c_custkey"))
+    fks.map { fk =>
+      val child = fk.child.select(col(fk.ck).as("k"))
+      val parent = fk.parent.select(col(fk.pk).as("k"))
+      val nChild = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val nParent = parent.agg(count(lit(1)).as("n_parents"))
+      val referenced = child.distinct().join(parent, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_referenced"))
+      nChild.crossJoin(orphans).crossJoin(nParent).crossJoin(referenced)
+        .select(lit(fk.rule).as("rule"), col("n_child"), col("n_orphans"),
+          col("n_parents"), col("n_referenced"),
+          expr("(1000000 * n_referenced) div n_parents")
+            .as("coverage_ppm"))
+    }.reduce(_ unionAll _).orderBy("rule")
+  }
+
+  private val refIntegritySql = {
+    val fks = Seq(
+      ("lineitem_orderkey", "lineitem", "l_orderkey", "orders",
+        "o_orderkey"),
+      ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier",
+        "s_suppkey"),
+      ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"))
+    fks.map { case (rule, c, ck, p, pk) =>
+      s"""SELECT '$rule' AS rule,
+         |  (SELECT count(*) FROM $c)::BIGINT AS n_child,
+         |  (SELECT count(*) FROM $c WHERE $ck NOT IN
+         |     (SELECT $pk FROM $p))::BIGINT AS n_orphans,
+         |  (SELECT count(*) FROM $p)::BIGINT AS n_parents,
+         |  (SELECT count(DISTINCT $ck) FROM $c WHERE $ck IN
+         |     (SELECT $pk FROM $p))::BIGINT AS n_referenced,
+         |  ((1000000 * (SELECT count(DISTINCT $ck) FROM $c WHERE $ck IN
+         |     (SELECT $pk FROM $p))) // (SELECT count(*) FROM $p))::BIGINT
+         |    AS coverage_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY rule"
+  }
+
   /** st10: qa03's drift monitor as a STREAMING query — the train/serve
     * skew sentinel running over an unbounded ingest instead of a batch
     * audit. The streaming part is the per-(category, period) counter
@@ -284,6 +345,7 @@ object QualityQueries extends QueryRegistry {
       bench = true),
     "qa03_drift" -> QueryDef(drift, Some(driftSql), bench = true),
     "st10_stream_drift" -> QueryDef(streamDrift, Some(driftSql)),
+    "qa04_ref_integrity" -> QueryDef(refIntegrity, Some(refIntegritySql)),
     "st08_stream_constraints" -> QueryDef(streamConstraints,
       Some(streamConstraintsSql), bench = true),
   )

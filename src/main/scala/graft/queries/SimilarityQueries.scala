@@ -160,8 +160,10 @@ object SimilarityQueries extends QueryRegistry {
     * order (`list(emb ORDER BY vec_id)` → `list_sum` is a sequential
     * in-order fold, and `0.0 + x == x` makes Spark's zero-seeded fold
     * identical), same double division by the sample size. */
-  private lazy val ivfTopKSql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+  /** IVF CTE chain through `ranked` — shared by qs02's oracle and the
+    * qs09 recall harness (which joins it against the brute chain). */
+  private lazy val ivfCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
        |samp AS (
        |  SELECT label, vec_id, emb FROM (
        |    SELECT label, vec_id, emb,
@@ -189,7 +191,10 @@ object SimilarityQueries extends QueryRegistry {
        |ranked AS (
        |  SELECT q_id, c_id, cos, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cos DESC, c_id)::INT AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  private lazy val ivfTopKSql =
+    s"""WITH $ivfCtes
        |SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
@@ -562,7 +567,57 @@ object SimilarityQueries extends QueryRegistry {
        |WHERE rnk <= $ClusterSampleK
        |ORDER BY cluster, rnk""".stripMargin
 
+  /** qs09: ANN quality harness — recall@k of the IVF index (qs02's
+    * plan, nProbe=3) against the exact brute-force ranking (qs01), per
+    * query point. A production vector pipeline monitors exactly this
+    * number after every index rebuild: recall is THE quality metric an
+    * approximate index trades for its speedup, and it must be measured
+    * ON the engine (same centroids, same tie rules), not assumed from
+    * the paper. Integer ppm recall keeps the gate exact; both inputs
+    * are already deterministic rankings.
+    *
+    * Scale shape: both sides are per-query top-k frames (NumQueries×K
+    * rows each) — the recall join is trivially small regardless of
+    * corpus size; the cost is the two searches themselves, and the
+    * brute side is what a recall AUDIT pays on a sampled query set (you
+    * never brute-force every query, you sample — the fixture's query
+    * set IS the sample). */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = bruteTopK(s, dir).select($"q_id", $"c_id")
+    val ivf = ivfTopK(s, dir).select($"q_id", $"c_id")
+    val hits = brute.join(ivf, Seq("q_id", "c_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    Tables(s, dir).embeddings.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        expr(s"(1000000 * coalesce(n_hits, 0L)) div $K").as("recall_ppm"))
+      .orderBy($"q_id")
+  }
+
+  private lazy val annRecallSql =
+    s"""WITH $ivfCtes,
+       |bscored AS (
+       |  SELECT q_id, c.vec_id AS c_id, ${cosSql("qv", "c.emb")} AS cos
+       |  FROM e c JOIN q ON q_id <> c.vec_id),
+       |branked AS (
+       |  SELECT q_id, c_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, c_id)::INT AS rank
+       |  FROM bscored),
+       |hits AS (
+       |  SELECT i.q_id, count(*)::BIGINT AS n_hits
+       |  FROM (SELECT q_id, c_id FROM ranked WHERE rank <= $K) i
+       |  JOIN (SELECT q_id, c_id FROM branked WHERE rank <= $K) b
+       |    USING (q_id, c_id)
+       |  GROUP BY i.q_id)
+       |SELECT q.q_id, coalesce(n_hits, 0) AS n_hits,
+       |  ((1000000 * coalesce(n_hits, 0)) // $K)::BIGINT AS recall_ppm
+       |FROM q LEFT JOIN hits USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qs09_ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "qs07_kmeans_refine" -> QueryDef(kmeansRefine, Some(kmeansRefineSql),
       bench = true),
     "qs08_cluster_sample" -> QueryDef(clusterSample,

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Laws for qd17 content-defined chunking beyond the DuckDB gate: the
+  * Spark pipeline equals a pure-JVM replay of the boundary rule, chunks
+  * reassemble to the document, and boundaries are content-defined (an
+  * edit only reshapes chunks that overlap it — the property fixed-width
+  * blocks lack, and the reason CDC dedup survives near-duplicates). */
+class CdcSpec extends SparkSpec {
+
+  private val Win = 8
+  private val Div = 16
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Pure replay of qd17's rule: boundary after position i (1-based)
+    * when the window ending at i hashes to ≡0 (mod Div). */
+  private def chunksOf(text: String): Seq[String] = {
+    val n = text.length
+    val bounds =
+      if (n < Win) Seq.empty
+      else (Win to n).filter { i =>
+        java.lang.Long.parseLong(
+          md5hex(text.substring(i - Win, i)).take(4), 16) % Div == 0
+      }
+    val bs = (0 +: bounds :+ n).distinct.sorted
+    bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+  }
+
+  test("chunks reassemble to the document; short docs are one chunk") {
+    val texts = Seq("tiny", "", "exactly8",
+      "the quick brown fox jumps over the lazy dog and runs away fast")
+    texts.filter(_.nonEmpty).foreach { t =>
+      assert(chunksOf(t).mkString === t)
+      assert(chunksOf(t).forall(_.nonEmpty))
+    }
+    assert(chunksOf("tiny") === Seq("tiny"))
+  }
+
+  test("edit locality: an insertion only reshapes chunks overlapping it") {
+    val base = ("spark shuffle partition broadcast codegen catalyst " * 8).trim
+    val edited = base.substring(0, 100) + "X" + base.substring(100)
+    val (a, b) = (chunksOf(base), chunksOf(edited))
+    // multiset intersection: far-from-edit chunks must survive verbatim
+    val shared = a.groupBy(identity).map { case (c, xs) =>
+      math.min(xs.size, b.count(_ == c))
+    }.sum
+    assert(shared >= a.size - 4,
+      s"edit rewrote ${a.size - shared} of ${a.size} chunks")
+    assert(shared < a.size) // ...but the edit did change something
+  }
+
+  test("qd17 equals the JVM replay per source at sf0.001") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf).documents
+      .select($"source", $"text").as[(String, String)].collect()
+    val want = docs.groupBy(_._1).view.mapValues { ds =>
+      val ch = ds.flatMap(d => chunksOf(d._2))
+      val n = ch.size.toLong
+      val dist = ch.map(md5hex).distinct.size.toLong
+      val bytes = ch.map(_.length.toLong).sum
+      (n, dist, bytes, 1000000L * (n - dist) / n, bytes / n)
+    }.toMap
+    val got = graft.SparkEntry.queries("qd17_cdc_chunks")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got === want)
+  }
+}

@@ -133,4 +133,20 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("c_norm") == cents2(c).map(x => x * x).sum)
     }
   }
+
+  test("qs09 recall harness: values are k-quantized, bounded, and " +
+    "consistent with the nonzero-recall law") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("qs09_ann_recall")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 10)
+    rows.foreach { case (_, hits, ppm) =>
+      assert(hits >= 0 && hits <= 5)
+      assert(ppm === 1000000L * hits / 5) // exactly hits/k in ppm
+    }
+    // the qs02 recall law (nonzero vs brute at nProbe=3) must be
+    // visible through the harness too
+    assert(rows.map(_._2).sum > 0)
+  }
 }

@@ -268,6 +268,60 @@ object ScaleProbe {
         f"twoLevel=$twoLevel%6.2fs")
     }
 
+    // PageRank power-iteration probe (qg01/qg02 shape): per-iteration
+    // cost must be linear in EDGES with no driver materialization
+    // between rounds. Graph = 1M vertices, ~3M edges with hub skew
+    // (each vertex links to id/2 and id/3, hubs accumulate in-degree —
+    // the Zipf shape of real link/co-occurrence graphs). The aggregated-
+    // graph story of the gate queries (vocab-bounded) is the EASY case;
+    // this measures the hard one where the graph itself is corpus-sized.
+    {
+      val nVerts = 1000000L
+      val verts = spark.range(nVerts).select(col("id").cast("string")
+        .as("node")).cache()
+      val e0 = spark.range(1L, nVerts)
+      val edges = e0.select(col("id").as("s"), (col("id") / 2).cast("long").as("d"))
+        .union(e0.select(col("id").as("s"), (col("id") / 3).cast("long").as("d")))
+        .union(e0.select(col("id").as("s"), ((col("id") * 7919L) % nVerts).as("d")))
+        .filter(col("s") =!= col("d"))
+        .select(col("s").cast("string").as("src"),
+          col("d").cast("string").as("dst"), lit(1L).as("w"))
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      val nEdges = edges.count(); verts.count()
+      def timePr(iters: Int): Double = {
+        val t0 = System.nanoTime()
+        queries.GraphQueries.pagerankPpm(edges, verts, iters)
+          .foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = timePr(1); val t3 = timePr(3)
+      println(f"[scale] pagerank verts=$nVerts%d edges=$nEdges%d " +
+        f"iter1=$t1%6.2fs iter3=$t3%6.2fs perIterDelta=${(t3 - t1) / 2}%6.2fs")
+      verts.unpersist(); edges.unpersist()
+    }
+
+    // CDC chunking probe (qd17 shape): per-doc HOF work scales with
+    // bytes, only (source, hash, len) shuffles — wall time must stay
+    // linear in corpus bytes
+    multiples.lastOption.foreach { m =>
+      val big = (0 until m).map { i =>
+        base.select(concat(lit("src"), (col("doc_id") % 20).cast("string"))
+            .as("source"),
+          concat(col("text"), lit(s" copytag$i")).as("text"))
+      }.reduce(_ union _).repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+      val n = big.count()
+      val t0 = System.nanoTime()
+      val stats = queries.DedupQueries.cdcStatsOf(big).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val chunks = stats.map(_.getAs[Long]("n_chunks")).sum
+      val dup = stats.map(_.getAs[Long]("n_chunks")).sum -
+        stats.map(_.getAs[Long]("n_distinct")).sum
+      println(f"[scale] cdcDocs=$n%8d cdc=$t%6.2fs chunks=$chunks%d " +
+        f"dupChunks=$dup%d")
+      big.unpersist()
+    }
+
     // E1→E3 spine at documents×N: pack → tokenize → index/check wall
     // times and shard counts (synthetic media; real tar I/O)
     multiples.lastOption.foreach { m =>

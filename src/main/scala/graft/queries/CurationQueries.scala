@@ -720,7 +720,7 @@ object CurationQueries extends QueryRegistry {
        |ORDER BY score_ppm DESC, hkey, doc_id LIMIT $DsirBudget""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "qc06_dsir_select" -> QueryDef(dsirSelect, Some(dsirSelectSql)),
+    "qc06_dsir_select" -> QueryDef(dsirSelect, Some(dsirSelectSql), bench = true),
     "qc04_length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "qc05_alignment_filter" -> QueryDef(alignmentFilter,
       Some(alignmentFilterSql)),

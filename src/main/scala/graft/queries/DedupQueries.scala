@@ -904,10 +904,15 @@ object DedupQueries extends QueryRegistry {
     * Guard: Spark's sequence(8, len) counts DOWN when len < 8 (DuckDB's
     * generate_series returns empty) — short docs take the whole-doc
     * chunk branch explicitly. */
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcStatsOf(Tables(s, dir).documents)
+
+  /** Query-path body over any (source, text) frame — reused by
+    * ScaleProbe so the scale evidence measures THIS plan. */
+  private[graft] def cdcStatsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val d = Tables(s, dir).documents
-      .select($"source", $"text", length($"text").as("len"))
+    val d = docs.select($"source", $"text", length($"text").as("len"))
     val bounds = d.withColumn("bounds",
       when($"len" >= CdcWin,
         filter(sequence(lit(CdcWin), $"len"), i =>
@@ -971,7 +976,7 @@ object DedupQueries extends QueryRegistry {
        |FROM per ORDER BY source""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "qd17_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksSql)),
+    "qd17_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksSql), bench = true),
     "st09_stream_lsh_dedup" -> QueryDef(streamLshDedup,
       Some(streamLshDedupSql), bench = true),
     "qd14_bloom_prefilter" -> QueryDef(bloomPrefilter, Some(bloomPrefilterSql)),

@@ -38,7 +38,7 @@ object GraphQueries extends QueryRegistry {
   /** Weighted-PageRank power iteration over an edge list
     * (src, dst, w). `nodes` fixes the vertex set (isolated vertices
     * converge to (1-d) after one round). Returns (word→)node, score. */
-  private[queries] def pagerankPpm(
+  private[graft] def pagerankPpm(
       edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     var scores = nodes.select(col("node"), lit(InitPpm).as("score"))

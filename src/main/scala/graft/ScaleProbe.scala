@@ -315,8 +315,7 @@ object ScaleProbe {
       val stats = queries.DedupQueries.cdcStatsOf(big).collect()
       val t = (System.nanoTime() - t0) / 1e9
       val chunks = stats.map(_.getAs[Long]("n_chunks")).sum
-      val dup = stats.map(_.getAs[Long]("n_chunks")).sum -
-        stats.map(_.getAs[Long]("n_distinct")).sum
+      val dup = chunks - stats.map(_.getAs[Long]("n_distinct")).sum
       println(f"[scale] cdcDocs=$n%8d cdc=$t%6.2fs chunks=$chunks%d " +
         f"dupChunks=$dup%d")
       big.unpersist()

@@ -667,10 +667,13 @@ object CurationQueries extends QueryRegistry {
       count(lit(1)).as("cr"),
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
     val totals = buckets.agg(sum($"cr").as("tr"), sum($"ct").as("tt"))
+    // greatest(…, 1): pr_ppm floors to 0 when a bucket is ~1e6× colder
+    // than uniform (tr > ~1e6·cr) — without the clamp Spark's div
+    // yields NULL (silent score corruption) and DuckDB's // errors
     val ratio = broadcast(buckets.crossJoin(broadcast(totals))
       .select($"b", expr(
         s"""(1000000 * ((1000000 * (ct + 1)) div (tt + $DsirBuckets)))
-           | div ((1000000 * (cr + 1)) div (tr + $DsirBuckets))"""
+           | div greatest((1000000 * (cr + 1)) div (tr + $DsirBuckets), 1L)"""
           .stripMargin.replace("\n", "")).as("r_ppm")))
     val per = tok.join(ratio, "b").groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"r_ppm").as("sum_ppm"))
@@ -703,7 +706,8 @@ object CurationQueries extends QueryRegistry {
        |           FROM buckets),
        |ratio AS (
        |  SELECT b, ((1000000 * ((1000000 * (ct + 1)) // (tt + $DsirBuckets)))
-       |    // ((1000000 * (cr + 1)) // (tr + $DsirBuckets)))::BIGINT AS r_ppm
+       |    // greatest((1000000 * (cr + 1)) // (tr + $DsirBuckets), 1))::BIGINT
+       |    AS r_ppm
        |  FROM buckets, totals),
        |per AS (
        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,

@@ -912,7 +912,11 @@ object DedupQueries extends QueryRegistry {
   private[graft] def cdcStatsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // len > 0 guard: an empty doc has no chunks on either engine
+    // (DuckDB's generate_series(2, 1) is empty, Spark's sequence(2, 1)
+    // counts DOWN and would drive element_at(bs, 0) — a runtime error)
     val d = docs.select($"source", $"text", length($"text").as("len"))
+      .filter($"len" > 0)
     val bounds = d.withColumn("bounds",
       when($"len" >= CdcWin,
         filter(sequence(lit(CdcWin), $"len"), i =>

@@ -248,17 +248,22 @@ object QualityQueries extends QueryRegistry {
       ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier",
         "s_suppkey"),
       ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"))
+    // EXISTS / NOT EXISTS, never IN: a NULL child key is an orphan to
+    // Spark's anti join but UNKNOWN to NOT IN, and one NULL parent key
+    // collapses a NOT IN orphan count to 0 — EXISTS matches anti/semi
+    // join semantics exactly under NULLs
     fks.map { case (rule, c, ck, p, pk) =>
       s"""SELECT '$rule' AS rule,
          |  (SELECT count(*) FROM $c)::BIGINT AS n_child,
-         |  (SELECT count(*) FROM $c WHERE $ck NOT IN
-         |     (SELECT $pk FROM $p))::BIGINT AS n_orphans,
+         |  (SELECT count(*) FROM $c ch WHERE NOT EXISTS
+         |     (SELECT 1 FROM $p WHERE $pk = ch.$ck))::BIGINT AS n_orphans,
          |  (SELECT count(*) FROM $p)::BIGINT AS n_parents,
-         |  (SELECT count(DISTINCT $ck) FROM $c WHERE $ck IN
-         |     (SELECT $pk FROM $p))::BIGINT AS n_referenced,
-         |  ((1000000 * (SELECT count(DISTINCT $ck) FROM $c WHERE $ck IN
-         |     (SELECT $pk FROM $p))) // (SELECT count(*) FROM $p))::BIGINT
-         |    AS coverage_ppm""".stripMargin
+         |  (SELECT count(DISTINCT $ck) FROM $c ch WHERE EXISTS
+         |     (SELECT 1 FROM $p WHERE $pk = ch.$ck))::BIGINT AS n_referenced,
+         |  ((1000000 * (SELECT count(DISTINCT $ck) FROM $c ch WHERE EXISTS
+         |     (SELECT 1 FROM $p WHERE $pk = ch.$ck)))
+         |   // (SELECT count(*) FROM $p))::BIGINT AS coverage_ppm"""
+        .stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY rule"
   }
 

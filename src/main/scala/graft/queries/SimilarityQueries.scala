@@ -155,13 +155,13 @@ object SimilarityQueries extends QueryRegistry {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Replays ivfTopK's centroid fold exactly: same bounded sample (first
+  /** IVF CTE chain through `ranked` — shared by qs02's oracle and the
+    * qs09 recall harness (which joins it against the brute chain).
+    * Replays ivfTopK's centroid fold exactly: same bounded sample (first
     * CentroidSample vec_ids per label), same ascending-vec_id summation
     * order (`list(emb ORDER BY vec_id)` → `list_sum` is a sequential
     * in-order fold, and `0.0 + x == x` makes Spark's zero-seeded fold
     * identical), same double division by the sample size. */
-  /** IVF CTE chain through `ranked` — shared by qs02's oracle and the
-    * qs09 recall harness (which joins it against the brute chain). */
   private lazy val ivfCtes =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
        |samp AS (

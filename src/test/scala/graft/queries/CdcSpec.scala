@@ -20,6 +20,7 @@ class CdcSpec extends SparkSpec {
     * when the window ending at i hashes to ≡0 (mod Div). */
   private def chunksOf(text: String): Seq[String] = {
     val n = text.length
+    if (n == 0) return Seq.empty // no chunks on either engine
     val bounds =
       if (n < Win) Seq.empty
       else (Win to n).filter { i =>
@@ -33,11 +34,23 @@ class CdcSpec extends SparkSpec {
   test("chunks reassemble to the document; short docs are one chunk") {
     val texts = Seq("tiny", "", "exactly8",
       "the quick brown fox jumps over the lazy dog and runs away fast")
-    texts.filter(_.nonEmpty).foreach { t =>
+    texts.foreach { t =>
       assert(chunksOf(t).mkString === t)
       assert(chunksOf(t).forall(_.nonEmpty))
     }
     assert(chunksOf("tiny") === Seq("tiny"))
+    assert(chunksOf("") === Seq.empty)
+  }
+
+  test("empty documents contribute no chunks (and no crash) in the " +
+    "Spark path") {
+    import spark.implicits._
+    val docs = Seq(("srcA", ""), ("srcA", "a short doc"), ("srcB", ""))
+      .toDF("source", "text")
+    val out = graft.queries.DedupQueries.cdcStatsOf(docs).collect()
+    // srcB had only an empty doc → no row; srcA counts only the real doc
+    assert(out.map(_.getString(0)).toSeq === Seq("srcA"))
+    assert(out.head.getLong(1) === chunksOf("a short doc").size.toLong)
   }
 
   test("edit locality: an insertion only reshapes chunks overlapping it") {

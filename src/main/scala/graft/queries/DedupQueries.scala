@@ -908,8 +908,17 @@ object DedupQueries extends QueryRegistry {
     cdcStatsOf(Tables(s, dir).documents)
 
   /** Query-path body over any (source, text) frame — reused by
-    * ScaleProbe so the scale evidence measures THIS plan. */
-  private[graft] def cdcStatsOf(docs: DataFrame): DataFrame = {
+    * ScaleProbe so the scale evidence measures THIS plan. The chunk
+    * pass is the [[graft.functions.Cdc]] mapPartitions kernel (one
+    * MessageDigest, one pass) — CdcSpec asserts it equals
+    * [[cdcStatsDeclarativeOf]] value-for-value, and the DuckDB oracle
+    * replays the declarative form. */
+  private[graft] def cdcStatsOf(docs: DataFrame): DataFrame =
+    cdcRollup(graft.functions.Cdc.chunkFrame(docs))
+
+  /** The declarative Column/HOF form of the same chunk pass — the
+    * oracle-shaped reference the kernel is proven against. */
+  private[graft] def cdcStatsDeclarativeOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // len > 0 guard: an empty doc has no chunks on either engine
@@ -936,7 +945,15 @@ object DedupQueries extends QueryRegistry {
           (element_at($"bs", i) - element_at($"bs", i - 1))
             .cast("long").as("l")))).as("c"))
       .select($"source", $"c.h".as("chunk_hash"), $"c.l".as("chunk_len"))
-    withLen.groupBy($"source")
+    cdcRollup(withLen)
+  }
+
+  /** Per-source rollup over an exploded (source, chunk_hash, chunk_len)
+    * frame — shared by the kernel and declarative chunk passes. */
+  private def cdcRollup(chunks: DataFrame): DataFrame = {
+    val s = chunks.sparkSession
+    import s.implicits._
+    chunks.groupBy($"source")
       .agg(count(lit(1)).as("n_chunks"),
         count_distinct($"chunk_hash").as("n_distinct"),
         sum($"chunk_len").as("n_bytes"))

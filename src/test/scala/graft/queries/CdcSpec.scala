@@ -66,6 +66,16 @@ class CdcSpec extends SparkSpec {
     assert(shared < a.size) // ...but the edit did change something
   }
 
+  test("kernel chunk pass equals the declarative HOF form exactly") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf).documents.select($"source", $"text")
+    val kernel = graft.queries.DedupQueries.cdcStatsOf(docs).collect()
+    val decl = graft.queries.DedupQueries.cdcStatsDeclarativeOf(docs)
+      .collect()
+    assert(kernel.toSeq === decl.toSeq)
+  }
+
   test("qd17 equals the JVM replay per source at sf0.001") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

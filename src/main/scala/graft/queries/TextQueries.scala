@@ -791,7 +791,88 @@ object TextQueries extends QueryRegistry {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** PMI minimum pair support (the standard low-count-pathology guard:
+    * a hapax pair maximizes raw PMI) and report size. */
+  private val PmiMinCount = 5
+  private val PmiTopK = 20
+
+  /** qt15: collocation mining — top adjacent word pairs by pointwise
+    * mutual information (Church & Hanks 1990), the phrase-discovery
+    * pass a tokenizer/vocab pipeline runs before merging multi-word
+    * units. Log-free monotone form (same argument as qt11/qt13):
+    * score = 1e6 · (c_xy·N·N)/(M·c_x·c_y) with both sides computing
+    * the IDENTICAL double expression tree (row-level IEEE products and
+    * divisions are bit-equal across engines; integer forms would
+    * overflow BIGINT at corpus N). Pairs below [[PmiMinCount]] are cut
+    * before scoring.
+    *
+    * Scale shape: one corpus pass aggregates pair counts (map-side
+    * combine collapses repeats before the shuffle), unigram counts ride
+    * the same scan via a second aggregate; scoring joins the
+    * vocab-bounded count tables, never occurrences; top-k is
+    * TakeOrderedAndProject with rank derived after the limit. */
+  private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir).documents.select(words($"text").as("ws"))
+    val occ = base.filter(size($"ws") > 1)
+      .select(explode(transform(sequence(lit(1), size($"ws") - 1), i =>
+        struct(element_at($"ws", i).as("w1"),
+          element_at($"ws", i + 1).as("w2")))).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val uni = base.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val totals = broadcast(
+      uni.agg(sum($"c").as("n_tok"), count(lit(1)).as("n_vocab"))
+        .crossJoin(occ.groupBy().agg(count(lit(1)).as("n_pairs"))))
+    val pairs = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= PmiMinCount)
+    val scored = pairs
+      .join(uni.select($"w".as("w1"), $"c".as("c_x")), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"c".as("c_y"))), "w2")
+      .crossJoin(totals)
+      .select($"w1", $"w2", $"c_xy",
+        floor(lit(1e6) * (($"c_xy".cast("double") * $"n_tok" * $"n_tok")
+          / ($"n_pairs".cast("double") * $"c_x" * $"c_y")))
+          .cast("long").as("pmi_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"pmi_ppm".desc, $"w1", $"w2")
+    scored.orderBy($"pmi_ppm".desc, $"w1", $"w2").limit(PmiTopK)
+      .withColumn("rank", row_number().over(w))
+      .select($"rank", $"w1", $"w2", $"c_xy", $"pmi_ppm")
+      .orderBy($"rank")
+  }
+
+  private val pmiCollocationsSql =
+    s"""WITH base AS (
+       |  SELECT string_split(lower(text), ' ') AS ws FROM documents),
+       |occ AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM base WHERE len(ws) > 1)),
+       |uni AS (
+       |  SELECT w, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(ws) AS w FROM base) GROUP BY w),
+       |totals AS (
+       |  SELECT (SELECT sum(c) FROM uni)::BIGINT AS n_tok,
+       |         (SELECT count(*) FROM occ)::BIGINT AS n_pairs),
+       |pairs AS (
+       |  SELECT w1, w2, count(*)::BIGINT AS c_xy
+       |  FROM occ GROUP BY w1, w2 HAVING count(*) >= $PmiMinCount),
+       |scored AS (
+       |  SELECT w1, w2, c_xy,
+       |    floor(1e6 * ((c_xy::DOUBLE * n_tok * n_tok)
+       |      / (n_pairs::DOUBLE * cx.c * cy.c)))::BIGINT AS pmi_ppm
+       |  FROM pairs
+       |  JOIN uni cx ON cx.w = pairs.w1
+       |  JOIN uni cy ON cy.w = pairs.w2, totals)
+       |SELECT row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2)::INT
+       |    AS rank, w1, w2, c_xy, pmi_ppm
+       |FROM scored
+       |ORDER BY pmi_ppm DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt15_pmi_collocations" -> QueryDef(pmiCollocations,
+      Some(pmiCollocationsSql)),
     "qt14_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesSql),
       bench = true),
     "qt12_lm_score" -> QueryDef(lmScore, Some(lmScoreSql), bench = true),

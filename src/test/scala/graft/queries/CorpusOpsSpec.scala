@@ -181,4 +181,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(rows.length <= budget)
   }
+
+  test("qt15: PMI top-k matches the brute-force collocation ranking") {
+    val all = docs
+    def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq
+    val bgs = all.flatMap { case (_, t, _) =>
+      val w = ws(t); if (w.length > 1) w.sliding(2).map(p => (p(0), p(1)))
+      else Nil
+    }
+    val cXy = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val unis = all.flatMap { case (_, t, _) => ws(t) }
+    val cX = unis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = unis.size.toLong
+    val nPairs = bgs.size.toLong
+    val want = cXy.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c, math.floor(1e6 *
+        ((c.toDouble * nTok * nTok) / (nPairs.toDouble * cX(a) * cX(b))))
+        .toLong)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = graft.SparkEntry.queries("qt15_pmi_collocations")(
+      spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === want)
+  }
 }

@@ -658,14 +658,19 @@ object CurationQueries extends QueryRegistry {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, dir).documents
-    val tok = docs.select($"doc_id", $"lang",
+    // ONE corpus pass: token → (doc, bucket) counts; both the bucket
+    // models (second-level agg over the doc-grain counts) and the
+    // per-doc scores derive from this frame — at 100 TB that's one
+    // scan of the corpus, not two
+    val docBuckets = docs.select($"doc_id", $"lang",
         explode(words($"text")).as("w"))
       .select($"doc_id", $"lang",
         (conv(substring(md5(to_binary($"w", lit("utf-8"))), 1, 8), 16, 10)
           .cast("long") % DsirBuckets).as("b"))
-    val buckets = tok.groupBy($"b").agg(
-      count(lit(1)).as("cr"),
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+    val buckets = docBuckets.groupBy($"b").agg(
+      sum($"c").as("cr"),
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"))
     val totals = buckets.agg(sum($"cr").as("tr"), sum($"ct").as("tt"))
     // greatest(…, 1): pr_ppm floors to 0 when a bucket is ~1e6× colder
     // than uniform (tr > ~1e6·cr) — without the clamp Spark's div
@@ -675,8 +680,8 @@ object CurationQueries extends QueryRegistry {
         s"""(1000000 * ((1000000 * (ct + 1)) div (tt + $DsirBuckets)))
            | div greatest((1000000 * (cr + 1)) div (tr + $DsirBuckets), 1L)"""
           .stripMargin.replace("\n", "")).as("r_ppm")))
-    val per = tok.join(ratio, "b").groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"r_ppm").as("sum_ppm"))
+    val per = docBuckets.join(ratio, "b").groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), sum($"c" * $"r_ppm").as("sum_ppm"))
     val scored = docs.select($"doc_id", $"lang",
         md5(to_binary($"doc_id".cast("string"), lit("utf-8"))).as("hkey"))
       .join(per, "doc_id")
@@ -694,14 +699,16 @@ object CurationQueries extends QueryRegistry {
     s"""WITH base AS (
        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
        |  FROM documents),
-       |tok AS (
-       |  SELECT doc_id, lang,
-       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $DsirBuckets AS b
-       |  FROM (SELECT doc_id, lang, unnest(ws) AS w FROM base)),
+       |db AS (
+       |  SELECT doc_id, lang, b, count(*)::BIGINT AS c
+       |  FROM (SELECT doc_id, lang,
+       |          ('0x' || substr(md5(w), 1, 8))::BIGINT % $DsirBuckets AS b
+       |        FROM (SELECT doc_id, lang, unnest(ws) AS w FROM base))
+       |  GROUP BY doc_id, lang, b),
        |buckets AS (
-       |  SELECT b, count(*)::BIGINT AS cr,
-       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
-       |  FROM tok GROUP BY b),
+       |  SELECT b, sum(c)::BIGINT AS cr,
+       |    sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)::BIGINT AS ct
+       |  FROM db GROUP BY b),
        |totals AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt
        |           FROM buckets),
        |ratio AS (
@@ -710,9 +717,9 @@ object CurationQueries extends QueryRegistry {
        |    AS r_ppm
        |  FROM buckets, totals),
        |per AS (
-       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       |    sum(r_ppm)::BIGINT AS sum_ppm
-       |  FROM tok JOIN ratio USING (b) GROUP BY doc_id),
+       |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+       |    sum(c * r_ppm)::BIGINT AS sum_ppm
+       |  FROM db JOIN ratio USING (b) GROUP BY doc_id),
        |scored AS (
        |  SELECT d.doc_id, d.lang, n_tokens,
        |    (sum_ppm // n_tokens)::BIGINT AS score_ppm,

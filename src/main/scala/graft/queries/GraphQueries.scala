@@ -172,8 +172,85 @@ object GraphQueries extends QueryRegistry {
        |      FROM s$Iters s LEFT JOIN degree USING (node))
        |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** Deterministic "unlabeled" simulation: every 5th doc hides its
+    * lang — inlined identically into the oracle. */
+  private val UnknownMod = 5
+
+  /** qg03: label propagation over the near-dup graph — semi-supervised
+    * metadata completion (Zhu & Ghahramani 2002 lineage): documents
+    * with missing labels inherit the majority label of their near-dup
+    * neighbors (one propagation round, ties broken (votes desc, label
+    * asc) so the imputation is hash-deterministic). The curation use:
+    * recovering lang/source/license metadata lost in scraping — near-
+    * duplicates almost surely share it. Docs with no labeled neighbor
+    * report 'und' with 0 votes (the honest answer, never a guess).
+    *
+    * Scale shape: the one corpus-wide pass is qd03's candidate build;
+    * voting joins the (unknown ∩ edges) slice against neighbor labels
+    * — votes per doc are bounded by the doc's LSH collisions, and the
+    * winner window partitions BY DOC over those few rows. */
+  private def labelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val pairs = DedupQueries.lshPairsFrom(DedupQueries.signatures(s, dir))
+    val edges = pairs.select($"a_id".as("dst"), $"b_id".as("src"))
+      .unionByName(pairs.select($"b_id".as("dst"), $"a_id".as("src")))
+    val known = docs.filter($"doc_id" % UnknownMod =!= 0)
+      .select($"doc_id".as("src"), $"lang".as("n_lang"))
+    val unknown = docs.filter($"doc_id" % UnknownMod === 0)
+      .select($"doc_id", $"lang".as("true_lang"))
+    val votes = unknown.join(edges, unknown("doc_id") === edges("dst"))
+      .join(known, "src")
+      .groupBy($"doc_id", $"true_lang", $"n_lang")
+      .agg(count(lit(1)).as("n_votes"))
+    val byDoc = Window.partitionBy($"doc_id")
+      .orderBy($"n_votes".desc, $"n_lang")
+    val winners = votes.withColumn("rn", row_number().over(byDoc))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n_lang", $"n_votes")
+    unknown.join(winners, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_lang", lit("und")).as("imputed_lang"),
+        coalesce($"n_votes", lit(0L)).as("n_votes"),
+        $"true_lang",
+        ($"true_lang" === coalesce($"n_lang", lit("und")))
+          .cast("int").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  private val labelPropSql =
+    s"""${DedupQueries.sigSqlCte},
+       |${DedupQueries.candSqlCtes},
+       |edges AS (
+       |  SELECT a_id AS dst, b_id AS src FROM cand
+       |  UNION ALL SELECT b_id, a_id FROM cand),
+       |known AS (
+       |  SELECT doc_id AS src, lang AS n_lang FROM documents
+       |  WHERE doc_id % $UnknownMod <> 0),
+       |unknown AS (
+       |  SELECT doc_id, lang AS true_lang FROM documents
+       |  WHERE doc_id % $UnknownMod = 0),
+       |votes AS (
+       |  SELECT u.doc_id, u.true_lang, k.n_lang, count(*)::BIGINT AS n_votes
+       |  FROM unknown u JOIN edges e ON e.dst = u.doc_id
+       |  JOIN known k ON k.src = e.src
+       |  GROUP BY u.doc_id, u.true_lang, k.n_lang),
+       |winners AS (
+       |  SELECT doc_id, n_lang, n_votes FROM (
+       |    SELECT doc_id, n_lang, n_votes, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY n_votes DESC, n_lang) AS rn
+       |    FROM votes) t WHERE rn = 1)
+       |SELECT u.doc_id,
+       |  coalesce(w.n_lang, 'und') AS imputed_lang,
+       |  coalesce(w.n_votes, 0) AS n_votes,
+       |  u.true_lang,
+       |  (u.true_lang = coalesce(w.n_lang, 'und'))::INT AS correct
+       |FROM unknown u LEFT JOIN winners w USING (doc_id)
+       |ORDER BY u.doc_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
     "qg01_textrank" -> QueryDef(textrank, Some(textrankSql), bench = true),
     "qg02_dup_centrality" -> QueryDef(dupCentrality, Some(dupCentralitySql)),
+    "qg03_label_prop" -> QueryDef(labelProp, Some(labelPropSql)),
   )
 }

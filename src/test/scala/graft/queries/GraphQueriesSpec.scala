@@ -86,6 +86,36 @@ class GraphQueriesSpec extends SparkSpec {
     assert(isolated.forall(_.getLong(3) === 150000L))
   }
 
+  test("qg03: imputed labels equal the JVM majority-vote replay over " +
+    "the LSH pair graph") {
+    import spark.implicits._
+    val pairs = DedupQueries.lshPairsFrom(
+      DedupQueries.signatures(spark, sf))
+      .as[(Long, Long)].collect()
+    val langs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val neighbors = (pairs.map(p => p._1 -> p._2) ++
+      pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val want = langs.keys.filter(_ % 5 == 0).map { id =>
+      val votes = neighbors.getOrElse(id, Nil).filter(_ % 5 != 0)
+        .groupBy(langs).view.mapValues(_.size.toLong).toMap
+      val winner =
+        if (votes.isEmpty) ("und", 0L)
+        else votes.toSeq.minBy { case (l, n) => (-n, l) }
+      id -> winner
+    }.toMap
+    val got = graft.SparkEntry.queries("qg03_label_prop")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)), r.getString(3), r.getInt(4)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (winner, trueLang, correct)) =>
+      assert(winner === want(id), s"doc $id")
+      assert(correct === (if (trueLang == winner._1) 1 else 0))
+    }
+  }
+
   test("qg01 plan: one exchange feeds the iteration fan-in via reuse " +
     "(edge aggregation is not recomputed per iteration)") {
     // AQE off for the check: with AQE on, exchange reuse happens at

@@ -140,7 +140,9 @@ object Pipeline {
       // curation stage (beyond the reference's three): raw document
       // parquet → quality/mix/dedup/span/decontam filters → curated
       // parquet + audit counts. `--rates en=90,de=50` dials the mix;
-      // `--eval-path` enables the n-gram decontamination scrub.
+      // `--eval-path` enables the n-gram decontamination scrub;
+      // `--near-dup-jaccard 0.5` enables MinHash/LSH near-dup pruning
+      // (one survivor per verified cluster).
       case "curate" =>
         val docs = spark.read.parquet(req("input"))
         val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
@@ -156,7 +158,8 @@ object Pipeline {
           rates = rates,
           defaultRate = a.getOrElse("default-rate", "100").toInt,
           gramK = a.getOrElse("gram-k", "5").toInt,
-          evalPath = a.get("eval-path"))
+          evalPath = a.get("eval-path"),
+          nearDupJaccard = a.get("near-dup-jaccard").map(_.toDouble))
         val res = graft.curate.CurateStage.run(docs, opts)
         res.curated.write.mode("overwrite").parquet(req("save-path"))
         res.stats

@@ -20,6 +20,9 @@ import org.apache.spark.storage.StorageLevel
   *     survives (deduping after mix means a duplicate group keeps its
   *     lowest SURVIVING copy — flag-parallel dedup would silently lose
   *     groups whose canonical copy was mix-dropped)
+  *  3b. near-dup (opt-in, `nearDupJaccard`) — MinHash/LSH candidates →
+  *     exact n-gram Jaccard verify → connected components; one survivor
+  *     (min doc_id) per near-dup cluster among exact-dedup survivors
   *  4. spans    — duplicated-span fraction (Lee et al. 2022 signal at
   *     n-gram grain) over the exact-deduped survivors — computed after
   *     exact dedup so a verbatim duplicate pair reads as ONE document
@@ -52,7 +55,8 @@ object CurateStage {
       rates: Seq[(String, Int)] = Seq.empty,
       defaultRate: Int = 100,
       gramK: Int = 5,
-      evalPath: Option[String] = None)
+      evalPath: Option[String] = None,
+      nearDupJaccard: Option[Double] = None)
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
@@ -94,8 +98,31 @@ object CurateStage {
     val s3 = withE.filter(col("exact_keep") === 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // 3b. near-dup (opt-in): MinHash/LSH candidates → exact Jaccard
+    // verify → connected components; one survivor (min doc_id) per
+    // near-dup CLUSTER — the transitive qd09 rule, not the pairwise
+    // qd08 one, so chains (A~B~C with A≁C) keep exactly one doc.
+    // Runs over exact-dedup survivors: verbatim copies are already
+    // gone, so LSH candidates here are genuine near-dups.
+    val nearK = opts.nearDupJaccard.map { tau =>
+      val pairs = graft.queries.DedupQueries
+        .jaccardFrom(s3.select(col("doc_id"), col("text")), tau)
+        .select(col("a_id"), col("b_id"))
+      val verts = s3.select(col("doc_id").as("id"))
+      graft.functions.ConnectedComponents.run(pairs, verts)
+        .select(col("id").as("doc_id"),
+          when(col("id") === col("label"), 1).otherwise(0)
+            .as("near_keep"))
+    }
+    val withN = nearK.fold(
+      withE.withColumn("near_keep", col("exact_keep")))(nk =>
+      withE.join(nk, Seq("doc_id"), "left")
+        .withColumn("near_keep", coalesce(col("near_keep"), lit(0))))
+    val s3n = withN.filter(col("near_keep") === 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     val sh = graft.functions.ShingleHash.exploded(
-      s3.select(col("doc_id"), col("text")), opts.gramK)
+      s3n.select(col("doc_id"), col("text")), opts.gramK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spanK = graft.queries.CurationQueries.dupSpansFrom(sh)
       .select(col("doc_id"),
@@ -116,7 +143,7 @@ object CurateStage {
         .select(col("doc_id"),
           (lit(1) - col("contaminated")).as("decontam_keep"))
     }
-    val flagged0 = withE.join(spanK, Seq("doc_id"), "left")
+    val flagged0 = withN.join(spanK, Seq("doc_id"), "left")
       .withColumn("span_keep", coalesce(col("span_keep"), lit(0)))
     val flagged = decontamK.fold(
       flagged0.withColumn("decontam_keep", col("span_keep")))(d =>
@@ -126,11 +153,11 @@ object CurateStage {
             lit(0))).otherwise(0)))
 
     val keeps = Seq("quality_keep", "mix_keep", "exact_keep",
-      "span_keep", "decontam_keep")
+      "near_keep", "span_keep", "decontam_keep")
     val all = flagged.withColumn("curated", col("decontam_keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count(): Unit // materialize, then release the stage-internals
-    sh.unpersist(); s3.unpersist()
+    sh.unpersist(); s3n.unpersist(); s3.unpersist()
 
     val curated = all.filter(col("curated") === 1)
       .drop(keeps :+ "curated": _*)

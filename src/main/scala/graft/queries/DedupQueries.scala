@@ -173,10 +173,18 @@ object DedupQueries extends QueryRegistry {
   /** Exact n-gram Jaccard verification over the LSH candidates:
     * distinct-shingle explode → equi-join on shingle → shared counts →
     * jaccard = |∩| / |∪|; report pairs ≥ 0.5. */
-  private def jaccard(s: SparkSession, dir: String): DataFrame = {
+  private def jaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardFrom(Tables(s, dir).documents)
+
+  /** qd04 core over any (doc_id, text) frame — the LSH-candidates →
+    * exact-verify chain, reused by the curate funnel's near-dup stage. */
+  private[graft] def jaccardFrom(
+      docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val cand = lshPairs(s, dir)
-    val sh = Tables(s, dir).documents
+    val cand = lshPairsFrom(graft.functions.MinHash.signatures(
+      docs.select($"doc_id", $"text"), NumHashes))
+    val sh = docs
       .select($"doc_id",
         explode(array_distinct(shingles(words($"text")))).as("sh"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -192,7 +200,7 @@ object DedupQueries extends QueryRegistry {
       .select($"a_id", $"b_id", $"shared",
         round($"shared".cast("double") /
           (col("na.n_sh") + col("nb.n_sh") - $"shared"), 6).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= tau)
       .orderBy($"a_id", $"b_id")
   }
 

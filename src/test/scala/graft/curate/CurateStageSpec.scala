@@ -95,6 +95,37 @@ class CurateStageSpec extends SparkSpec {
     assert(kept.contains(4L), kept.toString)
   }
 
+  test("near-dup stage keeps one survivor per verified cluster, " +
+    "including chains; off by default") {
+    import spark.implicits._
+    // three near-identical docs (A~B~C chain via small suffix edits)
+    // plus one unrelated doc; bodies pass quality
+    val base = ("alpha beta gamma delta epsi " * 12).trim
+    val docs = Seq(
+      (1L, base + " tail one", "en"),
+      (2L, base + " tail two", "en"),
+      (3L, base + " tail tri", "en"),
+      (4L, ("other words here okay fine " * 12).trim, "en")
+    ).toDF("doc_id", "text", "lang")
+    val on = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      nearDupJaccard = Some(0.5)))
+    val keptOn = on.curated.select($"doc_id").as[Long].collect().toSet
+    val statsOn = on.stats.collect().head
+    on.close()
+    assert(keptOn === Set(1L, 4L), s"near-dup cluster not pruned: $keptOn")
+    assert(statsOn.getAs[Long]("near_keep") === 2L)
+    // disabled → near_keep mirrors exact_keep and nothing is pruned
+    val off = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100))
+    val keptOff = off.curated.select($"doc_id").as[Long].collect().toSet
+    val statsOff = off.stats.collect().head
+    off.close()
+    assert(keptOff === Set(1L, 2L, 3L, 4L))
+    assert(statsOff.getAs[Long]("near_keep") ===
+      statsOff.getAs[Long]("exact_keep"))
+  }
+
   test("decontamination drops exactly the overlapping docs (both sides)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("curate_ev").toString

@@ -201,6 +201,60 @@ object QualityQueries extends QueryRegistry {
       .orderBy("rule")
   }
 
+  /** Spike detector trailing-window width (hours) and the minimum
+    * history before a ratio is meaningful. */
+  private val SpikeWin = 24
+  private val SpikeMinHist = 12
+
+  /** qa05: ingest-rate anomaly detection — each (event_type, hour)
+    * count against its own trailing-24h mean; ratio_ppm =
+    * 1e6·n·w/Σtrail, spike when ≥2× with ≥[[SpikeMinHist]] hours of
+    * history. The volume-monitor a pipeline runs on every ingest
+    * stream (a collapsed source or a 10× crawl burst shows up here
+    * before any content-level audit can see it). All arithmetic stays
+    * in non-negative integers — floor-vs-truncation division
+    * divergence between engines only exists below zero, so the ratio
+    * is the one division and it is always ≥ 0.
+    *
+    * Scale shape: one corpus pass to hourly counts (tiny), then a
+    * per-type ordered window over hours — partitioned by event_type,
+    * never global. */
+  private def spikes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(s, dir).events
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-SpikeWin, -1)
+    hourly
+      .withColumn("trail_sum", sum($"n").over(w))
+      .withColumn("trail_n", count($"n").over(w))
+      .filter($"trail_n" >= SpikeMinHist)
+      .select($"event_type", $"h", $"n", $"trail_sum", $"trail_n",
+        expr("(1000000 * n * trail_n) div trail_sum").as("ratio_ppm"))
+      .withColumn("spike", ($"ratio_ppm" >= 2000000L).cast("int"))
+      .orderBy($"event_type", $"h")
+  }
+
+  private val spikesSql =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    count(*)::BIGINT AS n
+       |  FROM events GROUP BY event_type, h),
+       |trail AS (
+       |  SELECT event_type, h, n,
+       |    sum(n) OVER w AS trail_sum, count(n) OVER w AS trail_n
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+       |    ROWS BETWEEN $SpikeWin PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, h, n, trail_sum::BIGINT AS trail_sum,
+       |  trail_n::BIGINT AS trail_n,
+       |  ((1000000 * n * trail_n) // trail_sum)::BIGINT AS ratio_ppm,
+       |  (((1000000 * n * trail_n) // trail_sum) >= 2000000)::INT AS spike
+       |FROM trail WHERE trail_n >= $SpikeMinHist
+       |ORDER BY event_type, h""".stripMargin
+
   /** qa04: cross-table referential-integrity audit — per foreign key:
     * child rows, orphan children (no parent), parent rows, referenced
     * parents, and coverage (referenced/total parents in ppm). The
@@ -351,6 +405,7 @@ object QualityQueries extends QueryRegistry {
     "qa03_drift" -> QueryDef(drift, Some(driftSql), bench = true),
     "st10_stream_drift" -> QueryDef(streamDrift, Some(driftSql)),
     "qa04_ref_integrity" -> QueryDef(refIntegrity, Some(refIntegritySql)),
+    "qa05_spike_detect" -> QueryDef(spikes, Some(spikesSql)),
     "st08_stream_constraints" -> QueryDef(streamConstraints,
       Some(streamConstraintsSql), bench = true),
   )

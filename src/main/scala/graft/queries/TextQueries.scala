@@ -94,6 +94,38 @@ object TextQueries extends QueryRegistry {
       .orderBy($"doc_id")
   }
 
+  /** qt16: lang-ID confusion matrix — the EVAL harness over qt03's
+    * classifier (same spirit as qs09 for ANN: a pipeline must measure
+    * its own heuristics on labeled data, on the engine). Aggregates
+    * (true, predicted) counts with per-true-lang recall shares in ppm;
+    * the matrix is |langs|² rows, so everything after the one corpus
+    * pass is broadcast-sized. */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = langId(s, dir)
+      .groupBy($"lang".as("true_lang"), $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"true_lang").agg(sum($"n").as("n_true"))
+    counts.join(broadcast(totals), "true_lang")
+      .select($"true_lang", $"pred_lang", $"n",
+        expr("(1000000 * n) div n_true").as("share_ppm"))
+      .orderBy($"true_lang", $"pred_lang")
+  }
+
+  private lazy val langConfusionSql = {
+    val inner = langIdSql.replace("ORDER BY doc_id", "")
+    s"""WITH p AS ($inner),
+       |c AS (
+       |  SELECT lang AS true_lang, pred_lang, count(*)::BIGINT AS n
+       |  FROM p GROUP BY lang, pred_lang),
+       |t AS (SELECT true_lang, sum(n)::BIGINT AS n_true
+       |      FROM c GROUP BY true_lang)
+       |SELECT true_lang, pred_lang, n,
+       |  ((1000000 * n) // n_true)::BIGINT AS share_ppm
+       |FROM c JOIN t USING (true_lang)
+       |ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
   private val langIdSql = {
     val hits = langOrder
       .map(l => s"  ${hitCountSql(l)} AS h_$l").mkString(",\n")
@@ -886,6 +918,8 @@ object TextQueries extends QueryRegistry {
     "qt01_text_stats" -> QueryDef(stats, Some(statsSql)),
     "qt02_token_count" -> QueryDef(tokens, Some(tokensSql)),
     "qt03_lang_id" -> QueryDef(langId, Some(langIdSql)),
+    "qt16_lang_confusion" -> QueryDef(langConfusion,
+      Some(langConfusionSql)),
     "qt04_quality_score" -> QueryDef(quality, Some(qualitySql)),
     "qt05_fingerprint" -> QueryDef(fingerprint, Some(fingerprintSql)),
   )

@@ -182,6 +182,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.length <= budget)
   }
 
+  test("qt16: confusion matrix recounts qt03's predictions exactly " +
+    "and shares sum to ~1e6 per true lang") {
+    import spark.implicits._
+    val preds = graft.SparkEntry.queries("qt03_lang_id")(spark, sf)
+      .select($"lang", $"pred_lang").as[(String, String)].collect()
+    val want = preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = graft.SparkEntry.queries("qt16_lang_confusion")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(want((r.getString(0), r.getString(1))) === r.getLong(2))
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ===
+      want.keySet)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val tot = rs.map(_.getLong(3)).sum
+      // floor per cell: the shares undershoot 1e6 by < #cells
+      assert(tot <= 1000000L && tot > 1000000L - rs.length)
+    }
+  }
+
+  test("qa05: trailing-window spike ratios equal the JVM replay") {
+    import spark.implicits._
+    val evs = graft.Tables(spark, sf).events
+      .select($"event_type",
+        org.apache.spark.sql.functions.date_trunc("hour", $"ts")
+          .cast("long"))
+      .as[(String, Long)].collect()
+    val hourly = evs.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap.toSeq.map { case ((t, h), n) => (t, h, n) }
+    val want = hourly.groupBy(_._1).flatMap { case (t, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zipWithIndex.flatMap { case ((_, h, n), i) =>
+        val trail = ordered.slice(math.max(0, i - 24), i).map(_._3)
+        if (trail.length >= 12) {
+          val ratio = 1000000L * n * trail.length / trail.sum
+          Some((t, h) -> (n, trail.sum, trail.length.toLong, ratio,
+            if (ratio >= 2000000L) 1 else 0))
+        } else None
+      }
+    }
+    val got = graft.SparkEntry.queries("qa05_spike_detect")(spark, sf)
+      .select($"event_type", $"h".cast("long"), $"n", $"trail_sum",
+        $"trail_n", $"ratio_ppm", $"spike")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, v) => assert(got(k) === v, k.toString) }
+  }
+
   test("qt15: PMI top-k matches the brute-force collocation ranking") {
     val all = docs
     def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq

@@ -255,6 +255,30 @@ object QualityQueries extends QueryRegistry {
        |FROM trail WHERE trail_n >= $SpikeMinHist
        |ORDER BY event_type, h""".stripMargin
 
+  /** st11: qa05's spike detector over an unbounded ingest — keyed
+    * state per event_type (EventStreams.spikeMonitor), flush-sentinel
+    * bounded replay (st04's pattern), result equals the batch audit so
+    * it shares qa05's oracle. */
+  private def streamSpikes(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val stage = WdsQueries.scratchDir("graft_spike_stage")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+    val sentinels = ev.select(col("event_type")).distinct()
+      .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+        lit(-1L).as("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(stage)
+    val name = "stream_spike_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams.runToMemory(s,
+      graft.streaming.EventStreams.spikeMonitor(
+        graft.streaming.EventStreams.readEventStream(s, stage)),
+      name, org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(4))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** qa04: cross-table referential-integrity audit — per foreign key:
     * child rows, orphan children (no parent), parent rows, referenced
     * parents, and coverage (referenced/total parents in ppm). The
@@ -406,6 +430,7 @@ object QualityQueries extends QueryRegistry {
     "st10_stream_drift" -> QueryDef(streamDrift, Some(driftSql)),
     "qa04_ref_integrity" -> QueryDef(refIntegrity, Some(refIntegritySql)),
     "qa05_spike_detect" -> QueryDef(spikes, Some(spikesSql)),
+    "st11_stream_spikes" -> QueryDef(streamSpikes, Some(spikesSql)),
     "st08_stream_constraints" -> QueryDef(streamConstraints,
       Some(streamConstraintsSql), bench = true),
   )

@@ -163,6 +163,61 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class SpikeRow(
+      event_type: String, h: java.sql.Timestamp, n: Long,
+      trail_sum: Long, trail_n: Long, ratio_ppm: Long, spike: Int)
+  final case class SpikeState(counts: Map[Long, Long])
+
+  /** st11: the qa05 ingest-rate spike detector as keyed streaming
+    * state — per event_type, hourly counts accumulate in a (hour →
+    * count) map; a flush sentinel (event_id = -1, one per type, beyond
+    * the corpus max ts) finalizes the history and emits every hour's
+    * trailing-24h ratio with the batch query's exact integer
+    * arithmetic. Bounded-replay form (NoTimeout): counts survive
+    * micro-batch boundaries, so any event arrival order yields the
+    * same finalized history. An unbounded deployment would emit a
+    * closed hour as soon as the watermark passes it and evict hours
+    * older than the window (state O(25) per type); the flush-sentinel
+    * form is the bounded-gate restatement of that, like st04's. */
+  def spikeMonitor(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SpikeState, SpikeRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, batch: Iterator[Event], state: GroupState[SpikeState]) =>
+          var counts = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[Long, Long])
+          var flush = false
+          batch.foreach { e =>
+            if (e.event_id == -1L) flush = true
+            else {
+              val hSec = Math.floorDiv(
+                Math.floorDiv(micros(e.ts), 1000000L), 3600L) * 3600L
+              counts = counts.updated(hSec, counts.getOrElse(hSec, 0L) + 1)
+            }
+          }
+          if (!flush) {
+            state.update(SpikeState(counts)); Iterator.empty
+          } else {
+            state.remove()
+            val hours = counts.toSeq.sortBy(_._1)
+            hours.indices.iterator.flatMap { i =>
+              val (h, n) = hours(i)
+              val trail = hours.slice(math.max(0, i - 24), i).map(_._2)
+              if (trail.length >= 12) {
+                val ratio = 1000000L * n * trail.length / trail.sum
+                Some(SpikeRow(typ, new java.sql.Timestamp(h * 1000L), n,
+                  trail.sum, trail.length.toLong, ratio,
+                  if (ratio >= 2000000L) 1 else 0))
+              } else None
+            }
+          }
+      }.toDF()
+  }
+
   /** File-source streaming read over a parquet directory (the batch
     * tables replayed as a stream for tests/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

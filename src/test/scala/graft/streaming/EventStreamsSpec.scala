@@ -152,6 +152,52 @@ class EventStreamsSpec extends SparkSpec {
       "multi-epoch != first-arrival-owner replay")
   }
 
+  test("st11 keyed-state spike monitor equals the batch qa05 audit " +
+    "and accumulates counts across micro-batches") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("st11_stream_spikes")(spark, sf)
+      .collect().toSeq
+    val batch = graft.SparkEntry.queries("qa05_spike_detect")(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+    // the flush sentinels (2h past max ts) must never appear as data
+    val maxBatchH = batch.map(_.getTimestamp(1).getTime).max
+    assert(stream.forall(_.getTimestamp(1).getTime <= maxBatchH))
+    // multi-batch accumulation: two half-corpus files through the same
+    // keyed state must equal the one-shot run (state carries the map)
+    val ev = graft.Tables(spark, sf).events
+    val stage = java.nio.file.Files
+      .createTempDirectory("spike_mb").toString
+    val maxTs = ev.agg(org.apache.spark.sql.functions.max($"ts"))
+      .head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
+    val sent = ev.select($"event_type").distinct()
+      .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+        lit(-1L).as("user_id"), $"event_type", lit(0.0).as("value"),
+        lit("{}").as("props"))
+    // file 1: even event_ids; file 2: odd; file 3: sentinels — the
+    // parquet source with maxFilesPerTrigger=1 delivers them as three
+    // ordered micro-batches
+    ev.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$stage/b0")
+    ev.filter($"event_id" % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$stage/b1")
+    sent.coalesce(1).write.parquet(s"$stage/b2")
+    val src = spark.readStream
+      .schema(graft.streaming.EventStreams.EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/b*")
+    val name = "spike_mb_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = graft.streaming.EventStreams.runToMemory(spark,
+      graft.streaming.EventStreams.spikeMonitor(src), name,
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(2))
+      .orderBy($"event_type", $"h").collect().toSeq
+    assert(out === batch, "multi-batch replay diverged from batch audit")
+  }
+
   test("st10 streaming drift snapshot equals the batch qa03 audit") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("st10_stream_drift")(spark, sf)

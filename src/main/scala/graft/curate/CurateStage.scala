@@ -95,16 +95,20 @@ object CurateStage {
       .select(col("doc_id"), lit(1).as("exact_keep"))
     val withE = withM.join(exactK, Seq("doc_id"), "left")
       .withColumn("exact_keep", coalesce(col("exact_keep"), lit(0)))
-    val s3 = withE.filter(col("exact_keep") === 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
     // 3b. near-dup (opt-in): MinHash/LSH candidates → exact Jaccard
     // verify → connected components; one survivor (min doc_id) per
     // near-dup CLUSTER — the transitive qd09 rule, not the pairwise
     // qd08 one, so chains (A~B~C with A≁C) keep exactly one doc.
     // Runs over exact-dedup survivors: verbatim copies are already
-    // gone, so LSH candidates here are genuine near-dups.
+    // gone, so LSH candidates here are genuine near-dups. The
+    // survivors frame is persisted only on this opt-in path (the
+    // signature + verify + CC chain scans it repeatedly).
+    val s3Opt = opts.nearDupJaccard.map { _ =>
+      withE.filter(col("exact_keep") === 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val nearK = opts.nearDupJaccard.map { tau =>
+      val s3 = s3Opt.get
       val pairs = graft.queries.DedupQueries
         .jaccardFrom(s3.select(col("doc_id"), col("text")), tau)
         .select(col("a_id"), col("b_id"))
@@ -157,7 +161,7 @@ object CurateStage {
     val all = flagged.withColumn("curated", col("decontam_keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count(): Unit // materialize, then release the stage-internals
-    sh.unpersist(); s3n.unpersist(); s3.unpersist()
+    sh.unpersist(); s3n.unpersist(); s3Opt.foreach(_.unpersist())
 
     val curated = all.filter(col("curated") === 1)
       .drop(keeps :+ "curated": _*)

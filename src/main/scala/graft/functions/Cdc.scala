@@ -25,37 +25,47 @@ import org.apache.spark.sql.types._
   */
 object Cdc {
 
+  /** Window/divisor — the single source of truth; the declarative
+    * form and the oracle SQL in DedupQueries interpolate THESE. */
   val Win = 8
   val Div = 16
 
-  /** (chunk md5 hex, chunk char length) pairs for one document.
-    * Boundary after char i (1-based, i ≥ Win) when the first 2 digest
-    * bytes of the window ending at i are ≡ 0 (mod [[Div]]) — exactly
-    * `conv(substring(md5(window), 1, 4), 16, 10) % Div` in the Column
-    * form. Empty text has no chunks. */
+  /** (chunk md5 hex, chunk CODE-POINT length) pairs for one document.
+    * Boundary after code point i (1-based, i ≥ Win) when the first 2
+    * digest bytes of the window ending at i are ≡ 0 (mod [[Div]]) —
+    * exactly `conv(substring(md5(window), 1, 4), 16, 10) % Div` in the
+    * Column form. All indexing is by Unicode CODE POINTS, matching
+    * Spark's length()/substr() on UTF8String and DuckDB's substr —
+    * UTF-16 unit indexing would offset every window after an astral
+    * char and split surrogate pairs into '?' bytes. Empty text has no
+    * chunks. */
   def chunks(text: String, md: MessageDigest): Array[(String, Int)] = {
-    val n = text.length
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Array.empty
     val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
     var i = Win
     while (i <= n) {
-      val h = md.digest(text.substring(i - Win, i).getBytes(UTF_8))
+      val h = md.digest(new String(cps, i - Win, Win).getBytes(UTF_8))
       if ((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % Div == 0)
-        if (bounds.last != i) bounds += i
+        bounds += i
       i += 1
     }
     if (bounds.last != n) bounds += n
     val out = new Array[(String, Int)](bounds.length - 1)
     var j = 1
     while (j < bounds.length) {
-      val chunk = text.substring(bounds(j - 1), bounds(j))
-      out(j - 1) = (hexOf(md.digest(chunk.getBytes(UTF_8))), chunk.length)
+      val a = bounds(j - 1); val b = bounds(j)
+      val chunk = new String(cps, a, b - a)
+      out(j - 1) = (hexOf(md.digest(chunk.getBytes(UTF_8))), b - a)
       j += 1
     }
     out
   }
 
-  /** (source, text) → exploded (source, chunk_hash, chunk_len). */
+  /** (source, text) → exploded (source, chunk_hash, chunk_len).
+    * Null text is dropped scan-side — the same contract as the
+    * declarative form's length(text) > 0 filter (null → dropped). */
   def chunkFrame(df: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("source", StringType),
@@ -64,6 +74,7 @@ object Cdc {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.select("source", "text")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
       .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")

@@ -174,7 +174,7 @@ object DedupQueries extends QueryRegistry {
     * distinct-shingle explode → equi-join on shingle → shared counts →
     * jaccard = |∩| / |∪|; report pairs ≥ 0.5. */
   private def jaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardFrom(Tables(s, dir).documents)
+    jaccardFrom(Tables(s, dir).documents).orderBy(col("a_id"), col("b_id"))
 
   /** qd04 core over any (doc_id, text) frame — the LSH-candidates →
     * exact-verify chain, reused by the curate funnel's near-dup stage. */
@@ -201,7 +201,9 @@ object DedupQueries extends QueryRegistry {
         round($"shared".cast("double") /
           (col("na.n_sh") + col("nb.n_sh") - $"shared"), 6).as("jaccard"))
       .filter($"jaccard" >= tau)
-      .orderBy($"a_id", $"b_id")
+    // presentation order belongs to the qd04 wrapper — callers like
+    // the curate near-dup stage feed this straight into CC, where a
+    // global sort is a wasted exchange
   }
 
   private val jaccardSql = {
@@ -572,7 +574,7 @@ object DedupQueries extends QueryRegistry {
     * final output shape (LSH candidates → exact verify → prune). */
   private def keepList(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dupIds = jaccard(s, dir).select($"b_id").distinct()
+    val dupIds = jaccardFrom(Tables(s, dir).documents).select($"b_id").distinct()
     Tables(s, dir).documents
       .join(dupIds, $"doc_id" === $"b_id", "left_anti")
       .select($"doc_id")
@@ -595,7 +597,7 @@ object DedupQueries extends QueryRegistry {
     * over-deletes on chains. Oracle: recursive-CTE label closure. */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = jaccard(s, dir).select($"a_id", $"b_id")
+    val edges = jaccardFrom(Tables(s, dir).documents).select($"a_id", $"b_id")
     val verts = Tables(s, dir).documents.select($"doc_id".as("id"))
     graft.functions.ConnectedComponents.run(edges, verts)
       .select($"id".as("doc_id"), $"label".as("cluster"),
@@ -892,8 +894,10 @@ object DedupQueries extends QueryRegistry {
 
   /** CDC window width and boundary divisor (expected chunk ≈ Cdc
     * Divisor chars past the window). */
-  private val CdcWin = 8
-  private val CdcDiv = 16
+  // single source of truth is the kernel; the oracle SQL and the
+  // declarative reference interpolate the same values
+  private val CdcWin = graft.functions.Cdc.Win
+  private val CdcDiv = graft.functions.Cdc.Div
 
   /** qd17: content-defined chunking dedup — the storage-grain dedup
     * primitive (LBFS/rsync lineage: Muthitacharoen et al. 2001).

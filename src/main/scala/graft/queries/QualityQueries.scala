@@ -201,39 +201,45 @@ object QualityQueries extends QueryRegistry {
       .orderBy("rule")
   }
 
-  /** Spike detector trailing-window width (hours) and the minimum
-    * history before a ratio is meaningful. */
-  private val SpikeWin = 24
-  private val SpikeMinHist = 12
+  /** Spike detector: trailing CALENDAR window width (hours), minimum
+    * observed history before a ratio is meaningful, and the flag
+    * threshold in ppm. private[graft]: the streaming twin
+    * (EventStreams.spikeMonitor) replays the same recurrence and must
+    * never drift from these. */
+  private[graft] val SpikeWin = 24
+  private[graft] val SpikeMinHist = 12
+  private[graft] val SpikeRatioPpm = 2000000L
 
   /** qa05: ingest-rate anomaly detection — each (event_type, hour)
-    * count against its own trailing-24h mean; ratio_ppm =
-    * 1e6·n·w/Σtrail, spike when ≥2× with ≥[[SpikeMinHist]] hours of
-    * history. The volume-monitor a pipeline runs on every ingest
-    * stream (a collapsed source or a 10× crawl burst shows up here
-    * before any content-level audit can see it). All arithmetic stays
-    * in non-negative integers — floor-vs-truncation division
-    * divergence between engines only exists below zero, so the ratio
-    * is the one division and it is always ≥ 0.
+    * count against the mean of the observed hours in the trailing 24
+    * CALENDAR hours (a RANGE window over hour epochs, not a row
+    * window: on sparse streams a row window would reach back days and
+    * compare a burst against week-old baselines). ratio_ppm =
+    * 1e6·n·|trail|/Σtrail, spike when ≥2× with ≥[[SpikeMinHist]]
+    * observed hours of history. The volume monitor a pipeline runs on
+    * every ingest stream. All arithmetic stays in non-negative
+    * integers — floor-vs-truncation division divergence between
+    * engines only exists below zero.
     *
     * Scale shape: one corpus pass to hourly counts (tiny), then a
-    * per-type ordered window over hours — partitioned by event_type,
-    * never global. */
+    * per-type ordered range window — partitioned by event_type, never
+    * global. */
   private def spikes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val hourly = Tables(s, dir).events
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy($"event_type").orderBy($"h")
-      .rowsBetween(-SpikeWin, -1)
+      .withColumn("hsec", unix_timestamp($"h"))
+    val w = Window.partitionBy($"event_type").orderBy($"hsec")
+      .rangeBetween(-SpikeWin.toLong * 3600, -3600)
     hourly
       .withColumn("trail_sum", sum($"n").over(w))
       .withColumn("trail_n", count($"n").over(w))
       .filter($"trail_n" >= SpikeMinHist)
       .select($"event_type", $"h", $"n", $"trail_sum", $"trail_n",
         expr("(1000000 * n * trail_n) div trail_sum").as("ratio_ppm"))
-      .withColumn("spike", ($"ratio_ppm" >= 2000000L).cast("int"))
+      .withColumn("spike", ($"ratio_ppm" >= SpikeRatioPpm).cast("int"))
       .orderBy($"event_type", $"h")
   }
 
@@ -242,16 +248,19 @@ object QualityQueries extends QueryRegistry {
        |  SELECT event_type, date_trunc('hour', ts) AS h,
        |    count(*)::BIGINT AS n
        |  FROM events GROUP BY event_type, h),
+       |hs AS (SELECT *, epoch(h)::BIGINT AS hsec FROM hourly),
        |trail AS (
        |  SELECT event_type, h, n,
        |    sum(n) OVER w AS trail_sum, count(n) OVER w AS trail_n
-       |  FROM hourly
-       |  WINDOW w AS (PARTITION BY event_type ORDER BY h
-       |    ROWS BETWEEN $SpikeWin PRECEDING AND 1 PRECEDING))
+       |  FROM hs
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hsec
+       |    RANGE BETWEEN ${SpikeWin * 3600} PRECEDING
+       |          AND 3600 PRECEDING))
        |SELECT event_type, h, n, trail_sum::BIGINT AS trail_sum,
        |  trail_n::BIGINT AS trail_n,
        |  ((1000000 * n * trail_n) // trail_sum)::BIGINT AS ratio_ppm,
-       |  (((1000000 * n * trail_n) // trail_sum) >= 2000000)::INT AS spike
+       |  (((1000000 * n * trail_n) // trail_sum) >= $SpikeRatioPpm)::INT
+       |    AS spike
        |FROM trail WHERE trail_n >= $SpikeMinHist
        |ORDER BY event_type, h""".stripMargin
 

@@ -854,7 +854,7 @@ object TextQueries extends QueryRegistry {
     val uni = base.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val totals = broadcast(
-      uni.agg(sum($"c").as("n_tok"), count(lit(1)).as("n_vocab"))
+      uni.agg(sum($"c").as("n_tok"))
         .crossJoin(occ.groupBy().agg(count(lit(1)).as("n_pairs"))))
     val pairs = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
       .filter($"c_xy" >= PmiMinCount)

@@ -203,15 +203,21 @@ object EventStreams {
             state.update(SpikeState(counts)); Iterator.empty
           } else {
             state.remove()
+            // constants come from the batch audit — the two forms must
+            // never drift (EventStreamsSpec pins parity)
+            val win = graft.queries.QualityQueries.SpikeWin.toLong * 3600
+            val minHist = graft.queries.QualityQueries.SpikeMinHist
+            val thresh = graft.queries.QualityQueries.SpikeRatioPpm
             val hours = counts.toSeq.sortBy(_._1)
-            hours.indices.iterator.flatMap { i =>
-              val (h, n) = hours(i)
-              val trail = hours.slice(math.max(0, i - 24), i).map(_._2)
-              if (trail.length >= 12) {
+            hours.iterator.flatMap { case (h, n) =>
+              // trailing CALENDAR window: observed hours in (h-24h, h)
+              val trail = hours
+                .filter(x => x._1 >= h - win && x._1 < h).map(_._2)
+              if (trail.length >= minHist) {
                 val ratio = 1000000L * n * trail.length / trail.sum
                 Some(SpikeRow(typ, new java.sql.Timestamp(h * 1000L), n,
                   trail.sum, trail.length.toLong, ratio,
-                  if (ratio >= 2000000L) 1 else 0))
+                  if (ratio >= thresh) 1 else 0))
               } else None
             }
           }

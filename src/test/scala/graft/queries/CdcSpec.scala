@@ -66,6 +66,31 @@ class CdcSpec extends SparkSpec {
     assert(shared < a.size) // ...but the edit did change something
   }
 
+  test("kernel == declarative on null text and astral (non-BMP) chars") {
+    import spark.implicits._
+    // an emoji (U+1F600, 2 UTF-16 units / 1 code point) early in the
+    // doc shifts every UTF-16-indexed window; code-point indexing must
+    // keep the kernel aligned with Spark length()/substr semantics
+    val astral = "😀 the quick brown fox jumps over the " +
+      "lazy dog 😀 and runs far away fast today"
+    val docs = Seq(
+      ("srcA", astral),
+      ("srcA", null.asInstanceOf[String]),
+      ("srcB", "plain ascii body that chunks normally over here"),
+      ("srcB", "")
+    ).toDF("source", "text")
+    val kernel = graft.queries.DedupQueries.cdcStatsOf(docs).collect()
+    val decl = graft.queries.DedupQueries.cdcStatsDeclarativeOf(docs)
+      .collect()
+    assert(kernel.toSeq === decl.toSeq)
+    // chunk lengths are code points: srcA's bytes sum to the astral
+    // doc's CODE-POINT count, not its UTF-16 length
+    val a = kernel.find(_.getString(0) == "srcA").get
+    assert(a.getLong(3) ===
+      astral.codePointCount(0, astral.length).toLong)
+    assert(astral.codePointCount(0, astral.length) < astral.length)
+  }
+
   test("kernel chunk pass equals the declarative HOF form exactly") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

@@ -213,8 +213,10 @@ class CorpusOpsSpec extends SparkSpec {
       .toMap.toSeq.map { case ((t, h), n) => (t, h, n) }
     val want = hourly.groupBy(_._1).flatMap { case (t, rows) =>
       val ordered = rows.sortBy(_._2)
-      ordered.zipWithIndex.flatMap { case ((_, h, n), i) =>
-        val trail = ordered.slice(math.max(0, i - 24), i).map(_._3)
+      ordered.flatMap { case (_, h, n) =>
+        // trailing 24 CALENDAR hours (observed rows within the range)
+        val trail = ordered
+          .filter(x => x._2 >= h - 24L * 3600 && x._2 < h).map(_._3)
         if (trail.length >= 12) {
           val ratio = 1000000L * n * trail.length / trail.sum
           Some((t, h) -> (n, trail.sum, trail.length.toLong, ratio,

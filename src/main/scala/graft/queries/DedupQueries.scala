@@ -179,11 +179,18 @@ object DedupQueries extends QueryRegistry {
   /** qd04 core over any (doc_id, text) frame — the LSH-candidates →
     * exact-verify chain, reused by the curate funnel's near-dup stage. */
   private[graft] def jaccardFrom(
-      docs: DataFrame, tau: Double = 0.5): DataFrame = {
+      docs: DataFrame, tau: Double = 0.5): DataFrame =
+    jaccardOverCands(docs,
+      lshPairsFrom(graft.functions.MinHash.signatures(
+        docs.select(col("doc_id"), col("text")), NumHashes)), tau)
+
+  /** Exact-verify stage alone, over an externally supplied candidate
+    * frame — shared by qd04/curate (candidates from the production
+    * layout) and qd18 (candidates from each swept layout). */
+  private[graft] def jaccardOverCands(
+      docs: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val cand = lshPairsFrom(graft.functions.MinHash.signatures(
-      docs.select($"doc_id", $"text"), NumHashes))
     val sh = docs
       .select($"doc_id",
         explode(array_distinct(shingles(words($"text")))).as("sh"))
@@ -1008,7 +1015,107 @@ object DedupQueries extends QueryRegistry {
        |  (n_bytes // n_chunks)::BIGINT AS mean_chunk_len
        |FROM per ORDER BY source""".stripMargin
 
+  /** The swept (bands × rows-per-band) layouts over the same 8-hash
+    * signature; (4, 2) is the production layout. */
+  private val LshSweep = Seq((8, 1), (4, 2), (2, 4))
+
+  /** qd18: LSH layout tuning harness — for each (bands, rows) split of
+    * the signature, measure ON the engine what the S-curve only
+    * predicts: candidate volume vs how many candidates survive exact
+    * Jaccard verification (precision). More/narrower bands → higher
+    * recall, more false candidates; fewer/wider bands → the reverse.
+    * This is the measurement that justifies a layout BEFORE a 100 TB
+    * dedup run commits to it — candidate count is the run's cost driver
+    * and precision is its yield.
+    *
+    * Scale shape: one signature pass is shared by all swept layouts
+    * (the kernel frame feeds each config's band projection); each
+    * config's candidate join keys on its own 16-hex band ints; the
+    * verify joins are bounded by each config's candidates. Summary is
+    * |sweep| rows. */
+  private def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val sig = signatures(s, dir)
+    val rows = LshSweep.map { case (nb, bs) =>
+      val bandCols = (0 until nb).map { b =>
+        val parts = (0 until bs).map(i => col(s"h${b * bs + i}"))
+        substring(md5(to_binary(
+          concat_ws("|", lit(b.toString) +: parts: _*), lit("utf-8"))),
+          1, 16).as(s"band$b")
+      }
+      val bands = sig.select($"doc_id" +: bandCols: _*)
+        .select($"doc_id", explode(array(
+          (0 until nb).map(b => col(s"band$b")): _*)).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nVer = jaccardOverCands(docs, cand, 0.5)
+        .agg(count(lit(1)).as("n_verified"))
+      nCand.crossJoin(nVer).select(
+        lit(nb).as("bands"), lit(bs).as("rows_per_band"),
+        col("n_cand"), col("n_verified"),
+        expr("(1000000 * n_verified) div greatest(n_cand, 1L)")
+          .as("precision_ppm"))
+    }
+    rows.reduce(_ unionAll _).orderBy($"bands".desc)
+  }
+
+  private lazy val lshTuningSql = {
+    val cfgs = LshSweep.zipWithIndex.map { case ((nb, bs), c) =>
+      val bandExprs = (0 until nb).map { b =>
+        val parts = (0 until bs).map(i => s"h${b * bs + i}")
+          .mkString(" || '|' || ")
+        s"substr(md5('$b' || '|' || $parts), 1, 16) AS band$b"
+      }.mkString(",\n    ")
+      val bandList = (0 until nb).map(b => s"band$b").mkString(", ")
+      s"""bands_$c AS (
+         |  SELECT doc_id,
+         |    $bandExprs
+         |  FROM sig),
+         |eb_$c AS (
+         |  SELECT doc_id, unnest([$bandList]) AS band FROM bands_$c),
+         |cand_$c AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eb_$c a JOIN eb_$c b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id),
+         |ver_$c AS (
+         |  SELECT count(*)::BIGINT AS n_verified FROM (
+         |    SELECT a_id, b_id
+         |    FROM (SELECT a_id, b_id, count(*) AS shared
+         |          FROM cand_$c
+         |          JOIN sh sa ON a_id = sa.doc_id
+         |          JOIN sh sb ON b_id = sb.doc_id AND sa.sh = sb.sh
+         |          GROUP BY a_id, b_id) sh2
+         |    JOIN sizes na ON a_id = na.doc_id
+         |    JOIN sizes nb2 ON b_id = nb2.doc_id
+         |    WHERE round(shared::DOUBLE
+         |      / (na.n_sh + nb2.n_sh - shared), 6) >= 0.5) v),
+         |sum_$c AS (
+         |  SELECT $nb::INT AS bands, $bs::INT AS rows_per_band,
+         |    (SELECT count(*) FROM cand_$c)::BIGINT AS n_cand,
+         |    n_verified,
+         |    ((1000000 * n_verified)
+         |      // greatest((SELECT count(*) FROM cand_$c), 1))::BIGINT
+         |      AS precision_ppm
+         |  FROM ver_$c)""".stripMargin
+    }.mkString(",\n")
+    val unions = LshSweep.indices
+      .map(c => s"SELECT * FROM sum_$c").mkString("\nUNION ALL\n")
+    s"""$sigSqlCte,
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM s),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |$cfgs
+       |$unions
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd18_lsh_tuning" -> QueryDef(lshTuning, Some(lshTuningSql)),
     "qd17_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksSql), bench = true),
     "st09_stream_lsh_dedup" -> QueryDef(streamLshDedup,
       Some(streamLshDedupSql), bench = true),

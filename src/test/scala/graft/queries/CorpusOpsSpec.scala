@@ -234,6 +234,27 @@ class CorpusOpsSpec extends SparkSpec {
     want.foreach { case (k, v) => assert(got(k) === v, k.toString) }
   }
 
+  test("qd18: layout sweep obeys the S-curve monotonicities and the " +
+    "production layout's verified count matches qd04") {
+    val rows = graft.SparkEntry.queries("qd18_lsh_tuning")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(8, 4, 2))
+    // verified ⊆ candidates; fewer/wider bands → fewer candidates AND
+    // no more verified pairs (recall can only drop)
+    rows.foreach { case (_, _, cand, ver, prec) =>
+      assert(ver <= cand)
+      assert(prec === 1000000L * ver / math.max(cand, 1L))
+    }
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted.reverse)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).toSeq.sorted.reverse)
+    // the (4,2) row is the production layout: its verified count must
+    // equal qd04's pair count exactly
+    val qd04 = graft.SparkEntry.queries("qd04_ngram_jaccard")(spark, sf)
+      .count()
+    assert(rows.find(_._1 == 4).get._4 === qd04)
+  }
+
   test("qt15: PMI top-k matches the brute-force collocation ranking") {
     val all = docs
     def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq

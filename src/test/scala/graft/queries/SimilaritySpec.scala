@@ -149,4 +149,27 @@ class SimilaritySpec extends SparkSpec {
     // visible through the harness too
     assert(rows.map(_._2).sum > 0)
   }
+
+  test("qs10: projection preserves identical vectors exactly (planted " +
+    "duplicate ranks first in projected space)") {
+    import spark.implicits._
+    // vec 0's exact copy planted at id 100: after any linear
+    // projection the copies project identically, so projected cosine
+    // is 1.0 and the copy must be vec 0's top-1 — compression can blur
+    // neighbors but can never split exact duplicates
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding")
+    val planted = e.filter($"vec_id" === 0)
+      .select(org.apache.spark.sql.functions.lit(100000L).as("vec_id"),
+        $"embedding")
+    // the mathematical core: projections of identical inputs are
+    // identical rows (so projected cosine = 1 and the copy ranks top-1)
+    val projRows = graft.queries.SimilarityQueries
+      .projectedOf(e.unionByName(planted))
+      .filter($"vec_id".isin(0L, 100000L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(projRows.length === 2)
+    assert(projRows(0)._2 === projRows(1)._2)
+  }
 }

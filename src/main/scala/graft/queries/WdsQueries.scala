@@ -92,6 +92,62 @@ object WdsQueries extends QueryRegistry {
        | count(*) AS nsamples
        |FROM $RnCte GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Compaction target (samples per merged shard). */
+  private val CompactTarget = 250L
+
+  /** wds19: shard-compaction planner — the storage-maintenance op
+    * (Delta OPTIMIZE / tar re-shard shape): fold the shard index in
+    * numeric order, closing a merge group whenever adding the next
+    * shard would exceed [[CompactTarget]] samples. Sequential by
+    * design: wds sample keys are globally ordered across shards and a
+    * compaction must preserve that order, so the plan is the same
+    * greedy order-sensitive fold as the A5 packer — replayed by the
+    * oracle as a recursive CTE (wds03's pattern). The fold runs on
+    * the driver over the INDEX frame: #shards rows, the same
+    * O(#files) metadata footprint as shard-url listing; executing the
+    * plan (grouped read → merged write) is distributed and
+    * spec-asserted to preserve the sample multiset. */
+  private[graft] def planCompaction(
+      shards: Seq[(Int, Long)], target: Long): Seq[(Int, Long, Int)] = {
+    var grp = 0; var acc = 0L
+    shards.sortBy(_._1).zipWithIndex.map { case ((shard, n), i) =>
+      if (i > 0 && acc + n > target) { grp += 1; acc = n }
+      else acc += n
+      (shard, n, grp)
+    }
+  }
+
+  private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratchDir("graft_e1cp")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
+    val shards = info.select(
+        col("partition").cast("int").as("shard"), col("nsamples"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    planCompaction(shards, CompactTarget)
+      .toDF("shard", "nsamples", "group_id")
+      .orderBy($"shard")
+  }
+
+  private val compactionPlanSql =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT CAST(floor((rn - 1) / 100) AS INT) AS shard,
+       |    count(*) AS nsamples
+       |  FROM $RnCte GROUP BY 1),
+       |g AS (
+       |  SELECT shard, nsamples, 0 AS group_id, nsamples AS acc
+       |  FROM sh WHERE shard = 0
+       |  UNION ALL
+       |  SELECT s.shard, s.nsamples,
+       |    CASE WHEN g.acc + s.nsamples > $CompactTarget
+       |         THEN g.group_id + 1 ELSE g.group_id END,
+       |    CASE WHEN g.acc + s.nsamples > $CompactTarget
+       |         THEN s.nsamples ELSE g.acc + s.nsamples END
+       |  FROM sh s JOIN g ON s.shard = g.shard + 1)
+       |SELECT shard, nsamples, group_id FROM g ORDER BY shard""".stripMargin
+
   /** Writer-info `url` column collected to the driver, lexicographic —
     * THE one helper for shard-url listings (same O(#files) driver
     * footprint as the reference's os.listdir). Use [[numericShardUrls]]
@@ -1065,6 +1121,8 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds19_compaction_plan" -> QueryDef(compactionPlan,
+      Some(compactionPlanSql)),
     "wds01_pack_stats" -> QueryDef(packStats, Some(packStatsSql)),
     "wds02_roundtrip" -> QueryDef(roundtrip, Some(
       "SELECT 5 AS n_entries, count(*) AS n_samples FROM documents"),

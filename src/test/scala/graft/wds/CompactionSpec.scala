@@ -1,0 +1,74 @@
+package graft.wds
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+
+/** wds19 compaction laws: the greedy plan respects the target (a group
+  * only exceeds it when a single shard does), groups are contiguous in
+  * shard order, and EXECUTING the plan — grouped read → merged write —
+  * preserves every sample and the global key order. */
+class CompactionSpec extends SparkSpec {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("plan: target respected, groups contiguous, oversized shard " +
+    "gets its own group") {
+    val plan = graft.queries.WdsQueries.planCompaction(
+      Seq((0, 7L), (1, 7L), (2, 30L), (3, 7L), (4, 4L), (5, 7L)), 20L)
+    // contiguity + monotone group ids
+    assert(plan.map(_._1) === Seq(0, 1, 2, 3, 4, 5))
+    assert(plan.map(_._3) === plan.map(_._3).sorted)
+    assert(plan.map(_._3).distinct ===
+      (0 to plan.map(_._3).max).toSeq)
+    // per-group totals: only a single-shard group may exceed target
+    plan.groupBy(_._3).values.foreach { g =>
+      val tot = g.map(_._2).sum
+      assert(tot <= 20L || g.size == 1, s"group $g")
+    }
+    // the oversized 30-sample shard is alone
+    assert(plan.groupBy(_._3).values
+      .exists(g => g.size == 1 && g.head._2 == 30L))
+  }
+
+  test("execute: merged shards preserve the sample multiset and order") {
+    implicit val enc = Encoders.product[Sample]
+    val src = Files.createTempDirectory("compact_src").toString
+    val dst = Files.createTempDirectory("compact_dst").toString
+    val samples = (0 until 60).map { i =>
+      Sample(f"$i%09d", "", Map("txt" -> bytes(s"text $i")))
+    }
+    val info = WdsWriter.write(
+      spark.createDataset(samples).repartition(1), src,
+      WdsWriter.WriterOptions(maxCount = 7,
+        pattern = (_, i) => f"part-$i%03d.tar")).collect()
+      .sortBy(_.getAs[String]("url"))
+    val shards = info.zipWithIndex.map { case (r, i) =>
+      (i, r.getAs[Long]("nsamples"))
+    }.toSeq
+    val urls = info.map(_.getAs[String]("url"))
+    val plan = graft.queries.WdsQueries.planCompaction(shards, 20L)
+    val mergedKeys = plan.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+      case (grp, members) =>
+        val groupUrls = members.sortBy(_._1).map(m => urls(m._1))
+        val ds = spark.read.format("wds").load(groupUrls: _*).as[Sample]
+        val out = WdsWriter.write(ds.coalesce(1), s"$dst/g$grp",
+          WdsWriter.WriterOptions(maxCount = Int.MaxValue,
+            pattern = (_, i) => f"merged-$i%03d.tar")).collect()
+        assert(out.length == 1, s"group $grp not merged to one shard")
+        spark.read.format("wds").load(s"$dst/g$grp/merged-000.tar")
+          .select("key").collect().map(_.getString(0)).sorted
+    }
+    // every sample survives exactly once; keys partition by plan order
+    assert(mergedKeys.sorted === samples.map(_.key).sorted)
+    val wantCounts = plan.groupBy(_._3).view
+      .mapValues(_.map(_._2).sum).toMap
+    plan.groupBy(_._3).keys.foreach { grp =>
+      val n = spark.read.format("wds").load(s"$dst/g$grp/merged-000.tar")
+        .count()
+      assert(n === wantCounts(grp), s"group $grp count")
+    }
+  }
+}

@@ -216,4 +216,30 @@ class PlanAuditSpec extends SparkSpec {
     // uniqueness rule keeps a second scan — allow exactly 2
     assert(scans(planOf("qa02_constraints")).length == 2)
   }
+
+  test("round-5 tier: scans read only the claimed columns") {
+    // qd17: the CDC kernel path needs (source, text) and nothing else
+    scans(planOf("qd17_cdc_chunks")).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet
+        .subsetOf(Set("source", "text")),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+    // qa05/st-free batch spike audit: (event_type, ts) only
+    scans(planOf("qa05_spike_detect")).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet
+        .subsetOf(Set("event_type", "ts")),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+    // qc06 DSIR: (doc_id, lang, text) — score + stable-order key only
+    scans(planOf("qc06_dsir_select")).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet
+        .subsetOf(Set("doc_id", "lang", "text")),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+    // qg01 textrank: the co-occurrence graph needs text alone
+    scans(planOf("qg01_textrank")).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("text")),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
 }

@@ -52,11 +52,18 @@ object DedupQueries extends QueryRegistry {
     * truncated to 16 hex chars — half the shuffle payload of the full
     * digest at 2^64 collision space (collisions only ever ADD a
     * candidate pair, and the oracle truncates identically). */
-  private def bandCols: Seq[Column] = (0 until NumBands).map { b =>
-    val parts = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
-    substring(md5(to_binary(concat_ws("|", lit(b.toString) +: parts: _*),
-      lit("utf-8"))), 1, 16).as(s"band$b")
-  }
+  private def bandCols: Seq[Column] = bandColsFor(NumBands, BandSize)
+
+  /** Band projection for an arbitrary (bands × rows) split of the
+    * signature — ONE recipe for the production layout and qd18's
+    * sweep (drift between them would make the sweep measure a layout
+    * the production path no longer uses). */
+  private def bandColsFor(nb: Int, bs: Int): Seq[Column] =
+    (0 until nb).map { b =>
+      val parts = (0 until bs).map(i => col(s"h${b * bs + i}"))
+      substring(md5(to_binary(concat_ws("|", lit(b.toString) +: parts: _*),
+        lit("utf-8"))), 1, 16).as(s"band$b")
+    }
 
   // ---- DuckDB side (same constructions, generated in lockstep) ----
 
@@ -83,8 +90,11 @@ object DedupQueries extends QueryRegistry {
        |  FROM s)""".stripMargin
   }
 
-  private def bandSql(b: Int): String = {
-    val parts = (0 until BandSize).map(i => s"h${b * BandSize + i}")
+  private def bandSql(b: Int): String = bandSqlFor(b, BandSize)
+
+  /** SQL twin of [[bandColsFor]] for one band of width bs. */
+  private def bandSqlFor(b: Int, bs: Int): String = {
+    val parts = (0 until bs).map(i => s"h${b * bs + i}")
       .mkString(" || '|' || ")
     s"substr(md5('$b' || '|' || $parts), 1, 16) AS band$b"
   }
@@ -141,11 +151,17 @@ object DedupQueries extends QueryRegistry {
   }
 
   /** qd03 core over any signature frame — shared with the scale probe. */
-  private[graft] def lshPairsFrom(sigIn: DataFrame): DataFrame = {
+  private[graft] def lshPairsFrom(sigIn: DataFrame): DataFrame =
+    lshPairsFor(sigIn, NumBands, BandSize)
+
+  /** Candidate pairs under an arbitrary (bands × rows) layout —
+    * production shape when called with (NumBands, BandSize); qd18's
+    * sweep calls it per swept layout. */
+  private def lshPairsFor(sigIn: DataFrame, nb: Int, bs: Int): DataFrame = {
     import sigIn.sparkSession.implicits._
-    val sig = sigIn.select($"doc_id" +: bandCols: _*)
+    val sig = sigIn.select($"doc_id" +: bandColsFor(nb, bs): _*)
     val bands = sig.select($"doc_id", explode(array(
-      (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
+      (0 until nb).map(b => col(s"band$b")): _*)).as("band"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -184,17 +200,32 @@ object DedupQueries extends QueryRegistry {
       lshPairsFrom(graft.functions.MinHash.signatures(
         docs.select(col("doc_id"), col("text")), NumHashes)), tau)
 
+  /** Distinct-shingle explode + per-doc sizes — built once and shared
+    * across qd18's sweep configs (the verify side's corpus pass). */
+  private def shingleFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val sh = docs
+      .select($"doc_id",
+        explode(array_distinct(shingles(words($"text")))).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    (sh, sizes)
+  }
+
   /** Exact-verify stage alone, over an externally supplied candidate
     * frame — shared by qd04/curate (candidates from the production
     * layout) and qd18 (candidates from each swept layout). */
   private[graft] def jaccardOverCands(
       docs: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
-    val s = docs.sparkSession
+    val (sh, sizes) = shingleFrames(docs)
+    verifyCands(cand, sh, sizes, tau)
+  }
+
+  /** Verify against precomputed shingle frames. */
+  private def verifyCands(
+      cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+      tau: Double): DataFrame = {
+    val s = cand.sparkSession
     import s.implicits._
-    val sh = docs
-      .select($"doc_id",
-        explode(array_distinct(shingles(words($"text")))).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = cand
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
@@ -1035,25 +1066,16 @@ object DedupQueries extends QueryRegistry {
     * |sweep| rows. */
   private def lshTuning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir).documents
     val sig = signatures(s, dir)
+    // the verify side's corpus pass (shingles + sizes) is built ONCE;
+    // identical subtrees across the three configs collapse to shared
+    // exchanges at runtime (ReuseExchange — a perf reuse, values are
+    // oracle-checked regardless)
+    val (sh, sizes) = shingleFrames(Tables(s, dir).documents)
     val rows = LshSweep.map { case (nb, bs) =>
-      val bandCols = (0 until nb).map { b =>
-        val parts = (0 until bs).map(i => col(s"h${b * bs + i}"))
-        substring(md5(to_binary(
-          concat_ws("|", lit(b.toString) +: parts: _*), lit("utf-8"))),
-          1, 16).as(s"band$b")
-      }
-      val bands = sig.select($"doc_id" +: bandCols: _*)
-        .select($"doc_id", explode(array(
-          (0 until nb).map(b => col(s"band$b")): _*)).as("band"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+      val cand = lshPairsFor(sig, nb, bs)
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
-      val nVer = jaccardOverCands(docs, cand, 0.5)
+      val nVer = verifyCands(cand, sh, sizes, 0.5)
         .agg(count(lit(1)).as("n_verified"))
       nCand.crossJoin(nVer).select(
         lit(nb).as("bands"), lit(bs).as("rows_per_band"),
@@ -1066,11 +1088,8 @@ object DedupQueries extends QueryRegistry {
 
   private lazy val lshTuningSql = {
     val cfgs = LshSweep.zipWithIndex.map { case ((nb, bs), c) =>
-      val bandExprs = (0 until nb).map { b =>
-        val parts = (0 until bs).map(i => s"h${b * bs + i}")
-          .mkString(" || '|' || ")
-        s"substr(md5('$b' || '|' || $parts), 1, 16) AS band$b"
-      }.mkString(",\n    ")
+      val bandExprs = (0 until nb).map(bandSqlFor(_, bs))
+        .mkString(",\n    ")
       val bandList = (0 until nb).map(b => s"band$b").mkString(", ")
       s"""bands_$c AS (
          |  SELECT doc_id,

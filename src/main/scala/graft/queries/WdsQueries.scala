@@ -76,16 +76,22 @@ object WdsQueries extends QueryRegistry {
   /** E1 as a query: pack documents into aligned 100-sample tars; per-tar
     * counts are the exact ceil-chunk of the global order — hash-checked
     * against the q08-style chunk SQL. */
-  private def packStats(s: SparkSession, dir: String): DataFrame = {
-    val out = scratchDir("graft_e1")
+  /** Aligned-100-sample pack run → (shard, nsamples) — the fixture
+    * BOTH wds01 and wds19 derive from (one recipe: their oracles both
+    * assume numSegments=4 / samplesPerTar=100 / alignShards). */
+  private def shardCounts(
+      s: SparkSession, dir: String, prefix: String): DataFrame = {
+    val out = scratchDir(prefix)
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
         alignShards = true))
     info.select(
       col("partition").cast("int").as("shard"),
       col("nsamples"))
-      .orderBy(col("shard"))
   }
+
+  private def packStats(s: SparkSession, dir: String): DataFrame =
+    shardCounts(s, dir, "graft_e1").orderBy(col("shard"))
 
   private val packStatsSql =
     s"""SELECT CAST(floor((rn - 1) / 100) AS INT) AS shard,
@@ -119,12 +125,7 @@ object WdsQueries extends QueryRegistry {
 
   private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = scratchDir("graft_e1cp")
-    val info = PackStage.run(docMeta(s, dir), out,
-      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
-        alignShards = true))
-    val shards = info.select(
-        col("partition").cast("int").as("shard"), col("nsamples"))
+    val shards = shardCounts(s, dir, "graft_e1cp")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     planCompaction(shards, CompactTarget)
       .toDF("shard", "nsamples", "group_id")

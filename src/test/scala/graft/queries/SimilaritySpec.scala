@@ -153,7 +153,7 @@ class SimilaritySpec extends SparkSpec {
   test("qs10: projection preserves identical vectors exactly (planted " +
     "duplicate ranks first in projected space)") {
     import spark.implicits._
-    // vec 0's exact copy planted at id 100: after any linear
+    // vec 0's exact copy planted at id 100000: after any linear
     // projection the copies project identically, so projected cosine
     // is 1.0 and the copy must be vec 0's top-1 — compression can blur
     // neighbors but can never split exact duplicates

@@ -50,6 +50,19 @@ class CompactionSpec extends SparkSpec {
     }.toSeq
     val urls = info.map(_.getAs[String]("url"))
     val plan = graft.queries.WdsQueries.planCompaction(shards, 20L)
+    // expected per-group key sequences: the plan is order-preserving,
+    // so group g must hold EXACTLY the next contiguous run of global
+    // keys — asserted UNSORTED (the invariant that motivates the
+    // sequential greedy design)
+    val groupSizes = plan.groupBy(_._3).view
+      .mapValues(_.map(_._2).sum).toMap
+    val expectedRuns = plan.map(_._3).distinct.sorted
+      .foldLeft((0L, Map.empty[Int, Seq[String]])) {
+        case ((off, acc), grp) =>
+          val n = groupSizes(grp)
+          (off + n, acc + (grp ->
+            samples.map(_.key).slice(off.toInt, (off + n).toInt)))
+      }._2
     val mergedKeys = plan.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
       case (grp, members) =>
         val groupUrls = members.sortBy(_._1).map(m => urls(m._1))
@@ -58,17 +71,14 @@ class CompactionSpec extends SparkSpec {
           WdsWriter.WriterOptions(maxCount = Int.MaxValue,
             pattern = (_, i) => f"merged-$i%03d.tar")).collect()
         assert(out.length == 1, s"group $grp not merged to one shard")
-        spark.read.format("wds").load(s"$dst/g$grp/merged-000.tar")
-          .select("key").collect().map(_.getString(0)).sorted
+        val keys = spark.read.format("wds")
+          .load(s"$dst/g$grp/merged-000.tar")
+          .select("key").collect().map(_.getString(0)).toSeq
+        assert(keys === expectedRuns(grp),
+          s"group $grp order not preserved")
+        keys
     }
-    // every sample survives exactly once; keys partition by plan order
-    assert(mergedKeys.sorted === samples.map(_.key).sorted)
-    val wantCounts = plan.groupBy(_._3).view
-      .mapValues(_.map(_._2).sum).toMap
-    plan.groupBy(_._3).keys.foreach { grp =>
-      val n = spark.read.format("wds").load(s"$dst/g$grp/merged-000.tar")
-        .count()
-      assert(n === wantCounts(grp), s"group $grp count")
-    }
+    // and globally: every sample exactly once, in the original order
+    assert(mergedKeys === samples.map(_.key))
   }
 }

@@ -902,7 +902,67 @@ object TextQueries extends QueryRegistry {
        |FROM scored
        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 
+  private val ModelBuckets = 64
+
+  /** qt17: linear quality-model INFERENCE — score every document with
+    * a shipped bag-of-hashed-ngrams linear classifier (the fasttext
+    * shape CCNet/DCLM pipelines apply corpus-wide after training
+    * offline). The model here is weights-as-DATA: a (bucket, w_ppm)
+    * table broadcast to the scan — exactly how a real trained model
+    * ships — with deterministic md5-derived stand-in weights so the
+    * gate can hash-check inference (training happens offline; the
+    * ENGINE's job is the application pass). Per-doc logit is the mean
+    * token weight in ppm (order-free integer sum; the sigmoid is
+    * monotone, so thresholding the logit IS thresholding the
+    * probability — no transcendental ever computed).
+    *
+    * Scale shape: one corpus pass (explode → bucket → broadcast join →
+    * per-doc agg); the weight table is O(buckets). Weights live in
+    * [0, 1e6] with the decision threshold at the 5e5 midpoint (bias
+    * absorbed) so every division stays non-negative — floor-vs-
+    * truncation divergence between engines only exists below zero. */
+  private def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = broadcast(s.range(ModelBuckets.toLong)
+      .select($"id".as("b"),
+        (conv(substring(md5(to_binary(concat(lit("w|"), $"id".cast("string")),
+          lit("utf-8"))), 1, 8), 16, 10).cast("long")
+          % 1000001L).as("w_ppm")))
+    val tok = Tables(s, dir).documents
+      .select($"doc_id", explode(words($"text")).as("w"))
+      .select($"doc_id",
+        (conv(substring(md5(to_binary($"w", lit("utf-8"))), 1, 8), 16, 10)
+          .cast("long") % ModelBuckets).as("b"))
+    tok.join(weights, "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"w_ppm").as("sum_ppm"))
+      .select($"doc_id", $"n_tokens",
+        expr("sum_ppm div n_tokens").as("logit_ppm"),
+        (expr("sum_ppm div n_tokens") >= 500000L).cast("int").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualityModelSql =
+    s"""WITH weights AS (
+       |  SELECT b, ('0x' || substr(md5('w|' || b), 1, 8))::BIGINT
+       |      % 1000001 AS w_ppm
+       |  FROM (SELECT unnest(generate_series(0, ${ModelBuckets - 1})) AS b)),
+       |tok AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $ModelBuckets AS b
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(w_ppm)::BIGINT AS sum_ppm
+       |  FROM tok JOIN weights USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  (sum_ppm // n_tokens)::BIGINT AS logit_ppm,
+       |  ((sum_ppm // n_tokens) >= 500000)::INT AS kept
+       |FROM per ORDER BY doc_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qt17_quality_model" -> QueryDef(qualityModel, Some(qualityModelSql)),
     "qt15_pmi_collocations" -> QueryDef(pmiCollocations,
       Some(pmiCollocationsSql)),
     "qt14_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesSql),

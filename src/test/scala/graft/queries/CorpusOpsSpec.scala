@@ -255,6 +255,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.find(_._1 == 4).get._4 === qd04)
   }
 
+  test("qt17: model inference equals the brute-force weighted mean " +
+    "and kept == (logit >= threshold)") {
+    val all = docs
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64
+    val wPpm = (0 until 64).map(b =>
+      b.toLong -> java.lang.Long.parseLong(
+        md5hex(s"w|$b").take(8), 16) % 1000001L).toMap
+    val want = all.map { case (id, t, _) =>
+      val bs = t.toLowerCase.split(" ", -1).toSeq.map(bucket)
+      val logit = bs.map(wPpm).sum / bs.length
+      id -> (bs.length.toLong, logit, if (logit >= 500000L) 1 else 0)
+    }.toMap
+    val got = graft.SparkEntry.queries("qt17_quality_model")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got === want)
+    // both classes are realized on the fixture (the model cuts)
+    assert(got.values.map(_._3).toSet === Set(0, 1))
+  }
+
   test("qt15: PMI top-k matches the brute-force collocation ranking") {
     val all = docs
     def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq

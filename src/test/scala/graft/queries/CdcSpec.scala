@@ -16,19 +16,22 @@ class CdcSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Pure replay of qd17's rule: boundary after position i (1-based)
-    * when the window ending at i hashes to ≡0 (mod Div). */
+  /** Pure replay of qd17's rule: boundary after CODE POINT i (1-based)
+    * when the window ending at i hashes to ≡0 (mod Div) — code-point
+    * indexing, like the kernel and Spark/DuckDB substr. */
   private def chunksOf(text: String): Seq[String] = {
-    val n = text.length
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Seq.empty // no chunks on either engine
     val bounds =
       if (n < Win) Seq.empty
       else (Win to n).filter { i =>
         java.lang.Long.parseLong(
-          md5hex(text.substring(i - Win, i)).take(4), 16) % Div == 0
+          md5hex(new String(cps, i - Win, Win)).take(4), 16) % Div == 0
       }
     val bs = (0 +: bounds :+ n).distinct.sorted
-    bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    bs.sliding(2).map { case Seq(a, b) => new String(cps, a, b - a) }
+      .toSeq
   }
 
   test("chunks reassemble to the document; short docs are one chunk") {
@@ -99,6 +102,39 @@ class CdcSpec extends SparkSpec {
     val decl = graft.queries.DedupQueries.cdcStatsDeclarativeOf(docs)
       .collect()
     assert(kernel.toSeq === decl.toSeq)
+  }
+
+  test("property: kernel == declarative over generated Unicode corpora " +
+    "(ASCII, CJK, emoji, combining marks, lone-surrogate-free)") {
+    import spark.implicits._
+    // a deterministic pseudo-random corpus mixing scripts and astral
+    // chars; 60 docs in one frame so the equality is one Spark job
+    val alphabets = Seq(
+      "abcdefgh ijklmnop",       // ascii + spaces
+      "数据库查询引擎分布式系统",   // CJK (BMP, multibyte UTF-8)
+      "😀🚀🎉🌍💡🔥",              // astral (surrogate pairs)
+      "éüñāçو عربيהעברית",       // latin-ext + RTL
+      "áë combining") // combining marks
+    def gen(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      val parts = (0 until rnd.nextInt(40)).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.length))
+        val cps = a.codePoints().toArray
+        val from = rnd.nextInt(cps.length)
+        new String(cps, from, rnd.nextInt(cps.length - from))
+      }
+      parts.mkString(" ")
+    }
+    val docs = (0 until 60)
+      .map(i => (s"src${i % 4}", gen(i))).toDF("source", "text")
+    val kernel = graft.queries.DedupQueries.cdcStatsOf(docs).collect()
+    val decl = graft.queries.DedupQueries.cdcStatsDeclarativeOf(docs)
+      .collect()
+    assert(kernel.toSeq === decl.toSeq)
+    // and the pure kernel invariants hold per generated doc
+    (0 until 60).map(gen).filter(_.nonEmpty).foreach { t =>
+      assert(chunksOf(t).mkString === t, s"reassembly failed for: $t")
+    }
   }
 
   test("qd17 equals the JVM replay per source at sf0.001") {

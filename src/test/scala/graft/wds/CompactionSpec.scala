@@ -33,6 +33,37 @@ class CompactionSpec extends SparkSpec {
       .exists(g => g.size == 1 && g.head._2 == 30L))
   }
 
+  test("property: plan invariants hold for arbitrary size/target mixes") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val shards = (0 until (1 + rnd.nextInt(40)))
+        .map(i => (i, 1L + rnd.nextInt(50)))
+      val target = 1L + rnd.nextInt(120)
+      val plan = graft.queries.WdsQueries.planCompaction(shards, target)
+      // shard order and sizes pass through untouched
+      assert(plan.map(p => (p._1, p._2)) === shards)
+      // group ids: start at 0, never skip, never decrease
+      assert(plan.head._3 === 0)
+      plan.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 - a._3 == 0 || b._3 - a._3 == 1)
+        case _ => ()
+      }
+      val groups = plan.groupBy(_._3)
+      groups.values.foreach { g =>
+        val tot = g.map(_._2).sum
+        // a multi-shard group never exceeds target...
+        assert(tot <= target || g.size == 1, s"$g target=$target")
+        // ...and is maximal: its successor shard would not have fit
+        val nextShard = g.map(_._1).max + 1
+        plan.find(_._1 == nextShard).foreach { n =>
+          if (n._3 != g.head._3)
+            assert(tot + n._2 > target,
+              s"group closed early: $g + $n fits $target")
+        }
+      }
+    }
+  }
+
   test("execute: merged shards preserve the sample multiset and order") {
     implicit val enc = Encoders.product[Sample]
     val src = Files.createTempDirectory("compact_src").toString

@@ -635,6 +635,17 @@ object CurationQueries extends QueryRegistry {
   private val DsirBuckets = 64
   private val DsirBudget = 150L
 
+  /** Token → md5 feature bucket, ONE contract for every hashed-feature
+    * model (qc06 DSIR, qt17 inference): first 8 md5 hex nibbles mod n.
+    * The SQL twin must be interpolated wherever a DuckDB oracle
+    * replays it. */
+  private[queries] def md5Bucket(c: Column, n: Int): Column =
+    (conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 8), 16, 10)
+      .cast("long") % n)
+
+  private[queries] def md5BucketSql(e: String, n: Int): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT % $n"
+
   /** qc06: importance-resampling data selection (the DSIR recipe, Xie et
     * al. 2023): score every document by how much its hashed-unigram
     * distribution looks like a TARGET domain (here lang='en') relative to
@@ -664,9 +675,7 @@ object CurationQueries extends QueryRegistry {
     // scan of the corpus, not two
     val docBuckets = docs.select($"doc_id", $"lang",
         explode(words($"text")).as("w"))
-      .select($"doc_id", $"lang",
-        (conv(substring(md5(to_binary($"w", lit("utf-8"))), 1, 8), 16, 10)
-          .cast("long") % DsirBuckets).as("b"))
+      .select($"doc_id", $"lang", md5Bucket($"w", DsirBuckets).as("b"))
       .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
     val buckets = docBuckets.groupBy($"b").agg(
       sum($"c").as("cr"),
@@ -702,7 +711,7 @@ object CurationQueries extends QueryRegistry {
        |db AS (
        |  SELECT doc_id, lang, b, count(*)::BIGINT AS c
        |  FROM (SELECT doc_id, lang,
-       |          ('0x' || substr(md5(w), 1, 8))::BIGINT % $DsirBuckets AS b
+       |          ${md5BucketSql("w", DsirBuckets)} AS b
        |        FROM (SELECT doc_id, lang, unnest(ws) AS w FROM base))
        |  GROUP BY doc_id, lang, b),
        |buckets AS (

@@ -931,8 +931,7 @@ object TextQueries extends QueryRegistry {
     val tok = Tables(s, dir).documents
       .select($"doc_id", explode(words($"text")).as("w"))
       .select($"doc_id",
-        (conv(substring(md5(to_binary($"w", lit("utf-8"))), 1, 8), 16, 10)
-          .cast("long") % ModelBuckets).as("b"))
+        CurationQueries.md5Bucket($"w", ModelBuckets).as("b"))
     tok.join(weights, "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"w_ppm").as("sum_ppm"))
@@ -949,7 +948,7 @@ object TextQueries extends QueryRegistry {
        |  FROM (SELECT unnest(generate_series(0, ${ModelBuckets - 1})) AS b)),
        |tok AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % $ModelBuckets AS b
+       |    ${CurationQueries.md5BucketSql("w", ModelBuckets)} AS b
        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
        |        FROM documents)),
        |per AS (

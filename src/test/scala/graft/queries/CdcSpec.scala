@@ -131,8 +131,13 @@ class CdcSpec extends SparkSpec {
     val decl = graft.queries.DedupQueries.cdcStatsDeclarativeOf(docs)
       .collect()
     assert(kernel.toSeq === decl.toSeq)
-    // and the pure kernel invariants hold per generated doc
-    (0 until 60).map(gen).filter(_.nonEmpty).foreach { t =>
+    // and the spec's code-point replay IS the kernel, astral inputs
+    // included — (hash, len) for every chunk of every generated doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 60).map(gen).foreach { t =>
+      val replica = chunksOf(t).map(c => (md5hex(c), c.codePointCount(0, c.length)))
+      assert(graft.functions.Cdc.chunks(t, md).toSeq === replica,
+        s"kernel != replay for: $t")
       assert(chunksOf(t).mkString === t, s"reassembly failed for: $t")
     }
   }

@@ -264,6 +264,84 @@ object QualityQueries extends QueryRegistry {
        |FROM trail WHERE trail_n >= $SpikeMinHist
        |ORDER BY event_type, h""".stripMargin
 
+  /** qa06: dataset snapshot diff — the version-to-version audit a
+    * pipeline runs before promoting a new corpus build: per source,
+    * how many docs were added, removed, changed (same id, different
+    * content hash) or untouched. FULL OUTER join on doc_id; change
+    * detection on md5(text) so the comparison never ships document
+    * bodies. The "previous" snapshot is simulated deterministically
+    * from the fixture (every 7th doc is new in current; every 11th id
+    * has a retired ghost row; every 5th surviving doc had its last
+    * char edited) — a production run would read two real snapshot
+    * paths through the identical plan.
+    *
+    * Scale shape: two narrow (id, hash, source) scans, one id-keyed
+    * shuffle each side, per-source rollup — content never joins. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val curr = docs.select($"doc_id", $"source",
+      md5(to_binary($"text", lit("utf-8"))).as("h"))
+    val prevLive = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"source",
+        md5(to_binary(
+          when($"doc_id" % 5 === 0,
+            $"text".substr(lit(1), length($"text") - 1))
+            .otherwise($"text"), lit("utf-8"))).as("h"))
+    val prevGhosts = docs.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+        md5(to_binary($"text", lit("utf-8"))).as("h"))
+    val prev = prevLive.unionByName(prevGhosts)
+    val joined = curr.as("c").join(prev.as("p"),
+      col("c.doc_id") === col("p.doc_id"), "full_outer")
+    joined.select(
+        coalesce(col("c.source"), col("p.source")).as("source"),
+        when(col("p.doc_id").isNull, "added")
+          .when(col("c.doc_id").isNull, "removed")
+          .when(col("c.h") =!= col("p.h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source")
+      .agg(
+        sum(when($"status" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"status" === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when($"status" === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when($"status" === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy($"source")
+  }
+
+  private val snapshotDiffSql =
+    """WITH curr AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |prev AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 5 = 0
+      |             THEN substr(text, 1, length(text)::INT - 1)
+      |             ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, md5(text)
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(c.source, p.source) AS source,
+      |    CASE WHEN p.doc_id IS NULL THEN 'added'
+      |         WHEN c.doc_id IS NULL THEN 'removed'
+      |         WHEN c.h <> p.h THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM curr c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+      |SELECT source,
+      |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_added,
+      |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_removed,
+      |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_changed,
+      |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_unchanged
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** st11: qa05's spike detector over an unbounded ingest — keyed
     * state per event_type (EventStreams.spikeMonitor), flush-sentinel
     * bounded replay (st04's pattern), result equals the batch audit so
@@ -440,6 +518,7 @@ object QualityQueries extends QueryRegistry {
     "qa04_ref_integrity" -> QueryDef(refIntegrity, Some(refIntegritySql)),
     "qa05_spike_detect" -> QueryDef(spikes, Some(spikesSql)),
     "st11_stream_spikes" -> QueryDef(streamSpikes, Some(spikesSql)),
+    "qa06_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffSql)),
     "st08_stream_constraints" -> QueryDef(streamConstraints,
       Some(streamConstraintsSql), bench = true),
   )

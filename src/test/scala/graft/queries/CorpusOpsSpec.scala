@@ -276,6 +276,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.map(_._3).toSet === Set(0, 1))
   }
 
+  test("qa06: diff classes partition both snapshots and match the " +
+    "simulated edit rules exactly") {
+    import spark.implicits._
+    val ids = graft.Tables(spark, sf).documents
+      .select($"doc_id").as[Long].collect().toSeq
+    val rows = graft.SparkEntry.queries("qa06_snapshot_diff")(spark, sf)
+      .collect()
+    val (added, removed, changed, unchanged) = (
+      rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+      rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    // the simulation's closed form: added = %7 ids, removed = ghost
+    // rows (%11), changed = surviving %5 ids whose edit really changed
+    // the hash (always: dropping the last char changes md5), rest
+    // unchanged — and the classes partition curr ∪ ghosts
+    assert(added === ids.count(_ % 7 == 0).toLong)
+    assert(removed === ids.count(_ % 11 == 0).toLong)
+    assert(changed === ids.count(i => i % 7 != 0 && i % 5 == 0).toLong)
+    assert(added + changed + unchanged === ids.length.toLong)
+  }
+
   test("qt15: PMI top-k matches the brute-force collocation ranking") {
     val all = docs
     def ws(t: String) = t.toLowerCase.split(" ", -1).toSeq

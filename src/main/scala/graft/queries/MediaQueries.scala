@@ -257,11 +257,14 @@ object MediaQueries extends QueryRegistry {
           // container walk sees them
           (0 until n).map(f =>
             Array.fill(64 + ((id * 7 + f) % 32).toInt)(0x41.toByte))
-        case _ =>
+        case m =>
+          // payload encoding matches the declared fourcc — a mismatch
+          // would let content sniffing mask a codec-dispatch regression
           (0 until n).map { f =>
             val px = Array.tabulate(12)(i =>
               ((id * 17 + f * 29 + i) % 251).toByte)
-            Codecs.encodeImage(Codecs.ImageData(2, 2, 3, "RGB", px), "png")
+            Codecs.encodeImage(Codecs.ImageData(2, 2, 3, "RGB", px),
+              if (m == 0L) "jpeg" else "png")
           }
       }
       val fourcc = (id % 3) match {

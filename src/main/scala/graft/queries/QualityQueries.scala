@@ -285,11 +285,14 @@ object QualityQueries extends QueryRegistry {
     val prevLive = docs.filter($"doc_id" % 7 =!= 0)
       .select($"doc_id", $"source",
         md5(to_binary(
-          when($"doc_id" % 5 === 0,
+          when($"doc_id" % 5 === 0 && length($"text") > 0,
             $"text".substr(lit(1), length($"text") - 1))
             .otherwise($"text"), lit("utf-8"))).as("h"))
+    // Ghost ids live in the negative namespace (-id-1): disjoint from
+    // real non-negative doc_ids at ANY corpus size, unlike an additive
+    // offset which collides once the corpus outgrows it.
     val prevGhosts = docs.filter($"doc_id" % 11 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+      .select((-$"doc_id" - 1L).as("doc_id"), $"source",
         md5(to_binary($"text", lit("utf-8"))).as("h"))
     val prev = prevLive.unionByName(prevGhosts)
     val joined = curr.as("c").join(prev.as("p"),
@@ -317,12 +320,12 @@ object QualityQueries extends QueryRegistry {
       |  SELECT doc_id, source, md5(text) AS h FROM documents),
       |prev AS (
       |  SELECT doc_id, source,
-      |    md5(CASE WHEN doc_id % 5 = 0
+      |    md5(CASE WHEN doc_id % 5 = 0 AND length(text) > 0
       |             THEN substr(text, 1, length(text)::INT - 1)
       |             ELSE text END) AS h
       |  FROM documents WHERE doc_id % 7 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000, source, md5(text)
+      |  SELECT -doc_id - 1, source, md5(text)
       |  FROM documents WHERE doc_id % 11 = 0),
       |j AS (
       |  SELECT coalesce(c.source, p.source) AS source,

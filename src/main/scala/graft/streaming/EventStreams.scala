@@ -181,21 +181,28 @@ object EventStreams {
     * form is the bounded-gate restatement of that, like st04's. */
   def spikeMonitor(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    def micros(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+    // Hour bucketing must match the batch audit's session-TZ
+    // date_trunc('hour', ts) — a raw UTC epoch floor diverges in any
+    // zone whose offset isn't a whole hour, silently breaking the
+    // st11↔qa05 shared-oracle contract outside UTC sessions.
+    val zoneIdStr =
+      events.sparkSession.sessionState.conf.sessionLocalTimeZone
     events.as[Event]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[SpikeState, SpikeRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (typ: String, batch: Iterator[Event], state: GroupState[SpikeState]) =>
+          val zone = java.time.ZoneId.of(zoneIdStr)
           var counts = state.getOption.map(_.counts)
             .getOrElse(Map.empty[Long, Long])
           var flush = false
           batch.foreach { e =>
             if (e.event_id == -1L) flush = true
             else {
-              val hSec = Math.floorDiv(
-                Math.floorDiv(micros(e.ts), 1000000L), 3600L) * 3600L
+              val hSec = java.time.ZonedDateTime
+                .ofInstant(e.ts.toInstant, zone)
+                .truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+                .toEpochSecond
               counts = counts.updated(hSec, counts.getOrElse(hSec, 0L) + 1)
             }
           }

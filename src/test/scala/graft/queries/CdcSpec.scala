@@ -151,7 +151,9 @@ class CdcSpec extends SparkSpec {
       val ch = ds.flatMap(d => chunksOf(d._2))
       val n = ch.size.toLong
       val dist = ch.map(md5hex).distinct.size.toLong
-      val bytes = ch.map(_.length.toLong).sum
+      // code points, not UTF-16 units — the kernel counts code points,
+      // and the two only agree while the fixture stays BMP-only
+      val bytes = ch.map(c => c.codePointCount(0, c.length).toLong).sum
       (n, dist, bytes, 1000000L * (n - dist) / n, bytes / n)
     }.toMap
     val got = graft.SparkEntry.queries("qd17_cdc_chunks")(spark, sf)

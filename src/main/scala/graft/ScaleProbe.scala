@@ -300,6 +300,61 @@ object ScaleProbe {
       verts.unpersist(); edges.unpersist()
     }
 
+    // Iterative-lineage probe: unchecked loops stack one plan layer per
+    // round, so ANALYSIS time (not data) comes to dominate long trains —
+    // the qt14/pagerank "planner death spiral". Tiny inputs on purpose:
+    // compute is negligible, wall time ≈ planning. A/B = no checkpoint
+    // vs localCheckpoint every 8 rounds (the production default).
+    {
+      val docs = base.limit(200).cache(); docs.count()
+      def bpe(merges: Int, ckpt: Int): Double = {
+        val vocab = queries.TextQueries.bpeVocabOf(docs).cache()
+        vocab.count()
+        val t0 = System.nanoTime()
+        val got = queries.TextQueries.bpeTrain(vocab, merges,
+          batchK = 1, checkpointEvery = ckpt)
+        val t = (System.nanoTime() - t0) / 1e9
+        vocab.unpersist()
+        require(got.nonEmpty)
+        t
+      }
+      val n25 = bpe(25, Int.MaxValue)
+      val n50 = bpe(50, Int.MaxValue)
+      val c50 = bpe(50, 8)
+      val b50 = {
+        val vocab = queries.TextQueries.bpeVocabOf(docs).cache()
+        vocab.count()
+        val t0 = System.nanoTime()
+        queries.TextQueries.bpeTrain(vocab, 50, batchK = 8,
+          checkpointEvery = 8)
+        val t = (System.nanoTime() - t0) / 1e9
+        vocab.unpersist(); t
+      }
+      println(f"[scale] bpeLineage merges25NoCkpt=$n25%6.2fs " +
+        f"merges50NoCkpt=$n50%6.2fs merges50Ckpt8=$c50%6.2fs " +
+        f"merges50Ckpt8Batch8=$b50%6.2fs")
+      val vertsS = spark.range(2000).select(
+        col("id").cast("string").as("node")).cache()
+      val edgesS = spark.range(1, 2000)
+        .select(col("id").as("s"), (col("id") / 2).cast("long").as("d"))
+        .filter(col("s") =!= col("d"))
+        .select(col("s").cast("string").as("src"),
+          col("d").cast("string").as("dst"), lit(1L).as("w")).cache()
+      vertsS.count(); edgesS.count()
+      def pr(iters: Int, ckpt: Int): Double = {
+        val t0 = System.nanoTime()
+        queries.GraphQueries.pagerankPpm(edgesS, vertsS, iters, ckpt)
+          .foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val p12 = pr(12, Int.MaxValue)
+      val p24 = pr(24, Int.MaxValue)
+      val pc24 = pr(24, 8)
+      println(f"[scale] pagerankLineage iters12NoCkpt=$p12%6.2fs " +
+        f"iters24NoCkpt=$p24%6.2fs iters24Ckpt8=$pc24%6.2fs")
+      docs.unpersist(); vertsS.unpersist(); edgesS.unpersist()
+    }
+
     // CDC chunking probe (qd17 shape): per-doc HOF work scales with
     // bytes, only (source, hash, len) shuffles — wall time must stay
     // linear in corpus bytes

@@ -37,12 +37,22 @@ object GraphQueries extends QueryRegistry {
 
   /** Weighted-PageRank power iteration over an edge list
     * (src, dst, w). `nodes` fixes the vertex set (isolated vertices
-    * converge to (1-d) after one round). Returns (word→)node, score. */
+    * converge to (1-d) after one round). Returns (word→)node, score.
+    *
+    * Every `checkpointEvery` rounds the score frame is
+    * `localCheckpoint`ed: each iteration otherwise stacks two joins and
+    * an aggregate onto the lineage, so analysis/optimization time grows
+    * with the iteration count — invisible at the gate's 3 rounds, a
+    * planner death spiral at a production 50+. Scores are one row per
+    * vertex (graph-bounded, not corpus-bounded), so the materialization
+    * is cheap. The gate queries never reach the threshold, keeping
+    * their plans byte-identical to the unrolled SQL oracles. */
   private[graft] def pagerankPpm(
-      edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+      edges: DataFrame, nodes: DataFrame, iters: Int,
+      checkpointEvery: Int = 8): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     var scores = nodes.select(col("node"), lit(InitPpm).as("score"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = edges.join(outw, "src")
         .join(scores.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("(w * score) div outw").as("c"))
@@ -52,6 +62,8 @@ object GraphQueries extends QueryRegistry {
         .select(col("node"),
           (lit(BasePpm) + expr(s"($DampPpm * coalesce(inflow, 0L)) div ${InitPpm}"))
             .as("score"))
+      if (i % checkpointEvery == 0 && i < iters)
+        scores = scores.localCheckpoint()
     }
     scores
   }

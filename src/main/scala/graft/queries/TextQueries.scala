@@ -731,30 +731,42 @@ object TextQueries extends QueryRegistry {
     * space-joined chars with a </w> terminal, merged pairs rewritten
     * leftmost-non-overlapping — `replace` semantics agree between Spark
     * and DuckDB. */
-  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** Reusable BPE merge-rule trainer over a symbolized (sym, w) vocab
+    * frame (double-space-joined symbols; see [[bpeMerges]] for why the
+    * delimiter is TWO spaces). Returns (rank, left, right, pair_count).
+    *
+    * Scale hygiene, invisible at the gate's 6 merges but decisive at a
+    * production 30k-merge train:
+    *  - `checkpointEvery`: every K accepted merges the vocab frame is
+    *    `localCheckpoint`ed — each merge otherwise stacks one `replace`
+    *    projection onto the lineage, so plan analysis time grows
+    *    linearly with merge count (and the pair-count subtree is
+    *    re-analyzed every iteration). The vocab is Zipf-bounded (one
+    *    row per distinct word), so materialization is cheap.
+    *  - `batchK`: accept up to K mutually-disjoint pairs per pair-count
+    *    pass — one distributed aggregate + one 1-collect amortized over
+    *    K merges instead of a driver-coordinated job per merge. A
+    *    candidate joins the batch only if its operand AND produced
+    *    symbols are disjoint from every symbol the batch already
+    *    touches; the count of such a pair is invariant under the
+    *    batch's earlier merges. The argmax can still drift vs strict
+    *    sequential BPE (a merge can CREATE a higher-count pair), so
+    *    batchK > 1 is the standard fast-trainer approximation — the
+    *    gate path runs batchK = 1, which is exactly sequential. */
+  private[graft] def bpeTrain(
+      vocab0: DataFrame, mergeCount: Int, batchK: Int = 1,
+      checkpointEvery: Int = 8): Seq[(Int, String, String, Long)] = {
+    val s = vocab0.sparkSession
     import s.implicits._
-    // DOUBLE-space token delimiter: a ' l  r ' -> ' lr ' replacement
-    // then consumes only ONE delimiter space per side, so consecutive
-    // adjacent occurrences ("b a n a n a": both 'a n's) all merge in a
-    // single leftmost pass — exactly the canonical greedy token scan.
-    // A single-space join under-merges (the shared middle space is
-    // consumed by the first match) and silently diverges from BPE.
-    val base = Tables(s, dir).documents
-      .select(explode(words($"text")).as("word"))
-      .filter(length($"word") > 0)
-      .groupBy($"word").agg(count(lit(1)).as("w"))
-      .select(concat(expr(
-        "concat_ws('  ', transform(sequence(1, length(word)), " +
-          "i -> substring(word, i, 1)))"), lit("  </w>")).as("sym"), $"w")
-      .cache()
-    base.count() // materialize once; iterations rebuild from cache
-    var vocab: DataFrame = base
+    var vocab = vocab0
+    var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
-    while (it <= BpeMergeCount && !exhausted) {
+    while (it <= mergeCount && !exhausted) {
       val toks = split($"sym", "  ")
-      val best = vocab
+      val k = math.min(batchK, mergeCount - it + 1)
+      val top = vocab
         // fully-merged single-token syms drop out BEFORE the explode:
         // Spark's sequence(1, 0) counts DOWN ([1, 0]) and element_at
         // throws under ANSI where DuckDB's generate_series(1,0) is []
@@ -763,21 +775,66 @@ object TextQueries extends QueryRegistry {
           i => struct(element_at(toks, i).as("l"),
             element_at(toks, i + 1).as("r")))).as("p"))
         .groupBy($"p.l", $"p.r").agg(sum($"w").as("n"))
-        .orderBy($"n".desc, $"l", $"r").limit(1)
-        .collect().headOption
-      best match {
-        case None => exhausted = true // corpus fully merged (or empty)
-        case Some(b) =>
+        // candidate pool: the batch skips overlapping pairs, so fetch
+        // a few extra rows beyond k (pool size is a heuristic — a
+        // too-small pool just yields a smaller batch, never a wrong one)
+        .orderBy($"n".desc, $"l", $"r").limit(if (k == 1) 1 else 4 * k)
+        .collect()
+      if (top.isEmpty) exhausted = true // corpus fully merged (or empty)
+      else {
+        val touched = scala.collection.mutable.Set[String]()
+        var accepted = 0
+        top.foreach { b =>
           val (l, r, n) = (b.getString(0), b.getString(1), b.getLong(2))
-          merges += ((it, l, r, n))
-          vocab = vocab.select(trim(replace(
-            concat(lit(" "), $"sym", lit(" ")),
-            lit(s" $l  $r "), lit(s" $l$r "))).as("sym"), $"w")
-          it += 1
+          val prod = l + r
+          if (accepted < k &&
+              !touched(l) && !touched(r) && !touched(prod)) {
+            merges += ((it, l, r, n))
+            it += 1
+            accepted += 1
+            touched ++= Seq(l, r, prod)
+            vocab = vocab.select(trim(replace(
+              concat(lit(" "), $"sym", lit(" ")),
+              lit(s" $l  $r "), lit(s" $l$r "))).as("sym"), $"w")
+          }
+        }
+        sinceCkpt += accepted
+        if (sinceCkpt >= checkpointEvery && it <= mergeCount) {
+          vocab = vocab.localCheckpoint()
+          sinceCkpt = 0
+        }
       }
     }
+    merges.result()
+  }
+
+  /** (word, count) → symbolized (sym, w) BPE vocab.
+    * DOUBLE-space token delimiter: a ' l  r ' -> ' lr ' replacement
+    * then consumes only ONE delimiter space per side, so consecutive
+    * adjacent occurrences ("b a n a n a": both 'a n's) all merge in a
+    * single leftmost pass — exactly the canonical greedy token scan.
+    * A single-space join under-merges (the shared middle space is
+    * consumed by the first match) and silently diverges from BPE. */
+  private[graft] def bpeVocabOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(explode(words($"text")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("w"))
+      .select(concat(expr(
+        "concat_ws('  ', transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)))"), lit("  </w>")).as("sym"), $"w")
+  }
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = bpeVocabOf(Tables(s, dir).documents).cache()
+    base.count() // materialize once; iterations rebuild from cache
+    // batchK = 1: the oracle unrolls STRICT sequential merges
+    val merges = bpeTrain(base, BpeMergeCount, batchK = 1)
     base.unpersist() // the cached plan, not the 6-times-derived frame
-    s.createDataFrame(merges.result())
+    s.createDataFrame(merges)
       .toDF("merge_rank", "left", "right", "pair_count")
       .orderBy($"merge_rank")
   }

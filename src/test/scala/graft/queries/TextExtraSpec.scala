@@ -134,6 +134,36 @@ class TextExtraSpec extends SparkSpec {
     assert(out == bpeReplay(wc, 6), s"\nspark=$out\nreplay=${bpeReplay(wc, 6)}")
   }
 
+  test("bpeTrain: checkpointed training is byte-identical to " +
+    "unchecked; batched merges are disjoint and replay-consistent") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val vocab = graft.queries.TextQueries.bpeVocabOf(docs).cache()
+    vocab.count()
+    // lineage truncation is a PLAN intervention only — results must be
+    // invariant to where (or whether) the checkpoint lands
+    val plain = graft.queries.TextQueries.bpeTrain(vocab, 12,
+      batchK = 1, checkpointEvery = Int.MaxValue)
+    val ckpt = graft.queries.TextQueries.bpeTrain(vocab, 12,
+      batchK = 1, checkpointEvery = 3)
+    assert(plain == ckpt)
+    assert(plain.size == 12)
+    // batched: rank 1 is still the exact argmax (first acceptance is
+    // unconditional); within a pass accepted pairs touch disjoint
+    // symbols, so each batch is a valid (approximate) merge set
+    val batched = graft.queries.TextQueries.bpeTrain(vocab, 12,
+      batchK = 4, checkpointEvery = 3)
+    assert(batched.head == plain.head)
+    assert(batched.map(_._1) == (1 to batched.size))
+    // no pair is learned twice (count-monotonicity does NOT hold for
+    // batched training: a pass-1 merge can create a pair outranking
+    // pass-1's own later acceptances — the documented approximation)
+    val pairs = batched.map(m => (m._2, m._3))
+    assert(pairs.size == pairs.distinct.size)
+    vocab.unpersist()
+  }
+
   test("qt12: detect-then-salt path returns values identical to the " +
     "plain join") {
     // salting only reroutes rows across salts; any value drift would

@@ -19,14 +19,17 @@ import java.nio.{ByteBuffer, ByteOrder}
 object Mp4Samples {
 
   /** One media track's sample table, fully resolved to byte ranges.
-    * @param sync 1-based sync-sample numbers, ascending; empty = all sync */
+    * @param sync 1-based sync-sample numbers, ascending; empty = all sync
+    * @param avcc the avcC decoder-config payload from the stsd sample
+    *             entry (avc1 tracks only) */
   final case class Track(
       codec: String,
       timescale: Long,
       duration: Long,
       sizes: Array[Int],
       offsets: Array[Long],
-      sync: Array[Int]) {
+      sync: Array[Int],
+      avcc: Option[Array[Byte]] = None) {
     def frameCount: Int = sizes.length
     def fps: Double =
       if (duration > 0 && timescale > 0)
@@ -62,6 +65,7 @@ object Mp4Samples {
     var chunkOffsets: Array[Long] = null
     var stsc: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
     var sync: Array[Int] = Array.empty
+    var avcc: Option[Array[Byte]] = None
 
     def be(pos: Int, end: Int): ByteBuffer =
       ByteBuffer.wrap(bytes, pos, end - pos).order(ByteOrder.BIG_ENDIAN)
@@ -90,7 +94,8 @@ object Mp4Samples {
           chunk += 1
         }
         if (sampleIdx == sizes.length)
-          found = Some(Track(codec, timescale, duration, sizes, offsets, sync))
+          found = Some(Track(codec, timescale, duration, sizes, offsets,
+            sync, avcc))
       }
 
     def walk(start: Int, end: Int): Unit = {
@@ -113,7 +118,7 @@ object Mp4Samples {
           case "trak" =>
             codec = ""; timescale = 0L; duration = 0L
             sizes = null; chunkOffsets = null; stsc = null
-            sync = Array.empty
+            sync = Array.empty; avcc = None
             walk(pos + header, boxEnd)
             finishTrak()
           case "mdhd" if boxEnd - pos >= header + 20 =>
@@ -136,10 +141,28 @@ object Mp4Samples {
             b.getInt() // version+flags
             val n = b.getInt()
             if (n >= 1 && b.remaining() >= 8) {
-              b.getInt() // entry size
+              val entryStart = pos + header + 8
+              val entrySize = b.getInt()
               val fmt = new Array[Byte](4)
               b.get(fmt)
               codec = new String(fmt, "US-ASCII").trim
+              // child boxes after the 78-byte VisualSampleEntry body
+              // (avcC carries the H.264 decoder config)
+              var cpos = entryStart + 86
+              val centEnd = math.min(boxEnd.toLong,
+                entryStart.toLong + entrySize).toInt
+              while (cpos + 8 <= centEnd && avcc.isEmpty) {
+                val cb = be(cpos, centEnd)
+                val csize = cb.getInt()
+                val cname = new Array[Byte](4)
+                cb.get(cname)
+                if (csize >= 8 && cpos + csize <= centEnd) {
+                  if (new String(cname, "US-ASCII") == "avcC")
+                    avcc = Some(java.util.Arrays.copyOfRange(
+                      bytes, cpos + 8, cpos + csize))
+                  cpos += csize
+                } else cpos = centEnd
+              }
             }
           case "stsz" if boxEnd - pos >= header + 12 =>
             val b = be(pos + header, boxEnd)
@@ -206,7 +229,8 @@ object Mp4Samples {
       fps: Int,
       width: Int,
       height: Int,
-      syncEvery: Int = 1): Array[Byte] = {
+      syncEvery: Int = 1,
+      sampleEntryExtension: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(codec.length == 4, s"fourcc must be 4 chars: '$codec'")
     require(frames.nonEmpty && fps > 0)
     def box(name: String, payload: Array[Byte]): Array[Byte] = {
@@ -276,8 +300,10 @@ object Mp4Samples {
     }
     val stsd = {
       // VisualSampleEntry: 8 (size+fourcc) + 78 bytes of fields
-      val entry = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
-      entry.putInt(86)
+      // + optional child boxes (avcC for avc1)
+      val entrySize = 86 + sampleEntryExtension.length
+      val entry = ByteBuffer.allocate(entrySize).order(ByteOrder.BIG_ENDIAN)
+      entry.putInt(entrySize)
       entry.put(codec.getBytes("US-ASCII"))
       entry.put(new Array[Byte](6)) // reserved
       entry.putShort(1) // data reference index
@@ -290,7 +316,8 @@ object Mp4Samples {
       entry.put(new Array[Byte](32)) // compressor name
       entry.putShort(24) // depth
       entry.putShort(-1) // predefined
-      val b = ByteBuffer.allocate(8 + 86).order(ByteOrder.BIG_ENDIAN)
+      entry.put(sampleEntryExtension)
+      val b = ByteBuffer.allocate(8 + entrySize).order(ByteOrder.BIG_ENDIAN)
       b.putInt(0)
       b.putInt(1) // entry count
       b.put(entry.array())

@@ -1,0 +1,500 @@
+package graft.multimodal.h264
+
+import graft.multimodal.Mp4Samples
+
+/** Fixture-grade H.264 baseline I-frame encoder: YUV 4:2:0 planes →
+  * IDR AVCC samples → avc1 MP4 (with the avcC config in stsd). Every
+  * emitted stream is conformant constrained-baseline: Intra_16x16
+  * (V/H/DC/Plane chosen by SAD) or I_PCM macroblocks, CAVLC residuals
+  * (luma DC Hadamard path + AC, chroma DC + AC), one IDR slice per
+  * frame. The DECODER ([[Decoder]]) is the product; this exists so the
+  * repo can commit real avc1 fixtures without ffmpeg (the reference
+  * generates its test media with ffmpeg, `pack/tools.py:101-140`).
+  *
+  * Conformance guard: quantized blocks are clamped to TotalCoeff <= 13
+  * (smallest levels zeroed — a legal lossy choice) so no stream
+  * depends on the low-confidence rows 14-16 of the 2<=nC<4
+  * coeff_token table (see [[Cavlc]]).
+  */
+object Encoder {
+
+  /** planar 4:2:0 frame; y is width*height, cb/cr (width/2)*(height/2) */
+  final case class Frame(width: Int, height: Int, y: Array[Int],
+      cb: Array[Int], cr: Array[Int]) {
+    require(width % 2 == 0 && height % 2 == 0, "even dims required (4:2:0)")
+    require(y.length == width * height && cb.length == width * height / 4 &&
+      cr.length == width * height / 4, "plane sizes")
+  }
+
+  @inline private def clip(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def zIndex: Array[(Int, Int)] = Array(
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+
+  def spsFor(width: Int, height: Int, deblock: Boolean = true): Sps = {
+    val mbW = (width + 15) / 16
+    val mbH = (height + 15) / 16
+    Sps(profileIdc = 66, levelIdc = 10, log2MaxFrameNum = 4,
+      picOrderCntType = 0, log2MaxPocLsb = 4, mbWidth = mbW,
+      mbHeight = mbH, cropLeft = 0, cropRight = (mbW * 16 - width) / 2,
+      cropTop = 0, cropBottom = (mbH * 16 - height) / 2)
+  }
+
+  def ppsFor(qp: Int): Pps =
+    Pps(entropyCodingMode = 0, picInitQp = qp, chromaQpOffset = 0,
+      deblockingFilterControlPresent = true)
+
+  /** the avcC box payload for an SPS/PPS pair, 4-byte NAL lengths */
+  def avccPayload(sps: Sps, pps: Pps): Array[Byte] = {
+    val spsNal = Nal.unit(3, 7, Sps.write(sps))
+    val ppsNal = Nal.unit(3, 8, Pps.write(pps))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // configurationVersion
+    out.write(sps.profileIdc)
+    out.write(0x40) // profile_compatibility (constraint_set1)
+    out.write(sps.levelIdc)
+    out.write(0xfc | 3) // lengthSizeMinusOne = 3
+    out.write(0xe0 | 1) // numOfSequenceParameterSets = 1
+    out.write(spsNal.length >> 8); out.write(spsNal.length & 0xff)
+    out.write(spsNal, 0, spsNal.length)
+    out.write(1) // numOfPictureParameterSets
+    out.write(ppsNal.length >> 8); out.write(ppsNal.length & 0xff)
+    out.write(ppsNal, 0, ppsNal.length)
+    out.toByteArray
+  }
+
+  /** the full avcC box (header + payload) for the stsd extension */
+  def avccBox(sps: Sps, pps: Pps): Array[Byte] = {
+    val p = avccPayload(sps, pps)
+    val b = java.nio.ByteBuffer.allocate(8 + p.length)
+    b.putInt(8 + p.length)
+    b.put("avcC".getBytes("US-ASCII"))
+    b.put(p)
+    b.array()
+  }
+
+  /** pad a plane to MB-aligned dims by edge replication */
+  private def padPlane(src: Array[Int], w: Int, h: Int, pw: Int,
+      ph: Int): Array[Int] = {
+    val out = new Array[Int](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) {
+        out(y * pw + x) = src(sy * w + math.min(x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** zero smallest-magnitude levels beyond 13 nonzero (legal lossy
+    * clamp; see scaladoc) */
+  private def clampCoeffs(c: Array[Int]): Unit = {
+    var n = c.count(_ != 0)
+    while (n > 13) {
+      var minIdx = -1
+      var minAbs = Int.MaxValue
+      var i = 0
+      while (i < c.length) {
+        if (c(i) != 0 && math.abs(c(i)) < minAbs) {
+          minAbs = math.abs(c(i)); minIdx = i
+        }
+        i += 1
+      }
+      c(minIdx) = 0
+      n -= 1
+    }
+  }
+
+  /** IDR I-slice header (7.3.3) — shared with [[H264Fixtures]]'
+    * hand-assembled macroblocks */
+  private[h264] def writeSliceHeader(w: BitWriter, sps: Sps,
+      frameNum: Int, sliceQpDelta: Int, deblock: Boolean): Unit = {
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type I (all slices)
+    w.ue(0) // pps id
+    w.u(sps.log2MaxFrameNum, 0) // frame_num (IDR -> 0)
+    w.ue(frameNum % 16) // idr_pic_id (varies per frame, legal)
+    w.u(sps.log2MaxPocLsb, 0) // pic_order_cnt_lsb
+    w.u1(0); w.u1(0) // dec_ref_pic_marking for IDR
+    w.se(sliceQpDelta)
+    w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
+    if (deblock) { w.se(0); w.se(0) }
+  }
+
+  /** wrap a finished slice RBSP as a 4-byte-length AVCC IDR sample */
+  private[h264] def avccSample(w: BitWriter): Array[Byte] = {
+    w.rbspTrailing()
+    val nal = Nal.unit(3, 5, w.toBytes)
+    val out = java.nio.ByteBuffer.allocate(4 + nal.length)
+    out.putInt(nal.length)
+    out.put(nal)
+    out.array()
+  }
+
+  /** Encode one frame as an IDR AVCC sample. `pcmEvery` > 0 makes
+    * every n-th MB I_PCM (losslessly carrying the source pixels). */
+  def encodeFrame(f: Frame, qp: Int, pcmEvery: Int = 0,
+      frameNum: Int = 0, deblock: Boolean = true): Array[Byte] = {
+    val sps = spsFor(f.width, f.height)
+    val pps = ppsFor(qp)
+    val mbW = sps.mbWidth
+    val mbH = sps.mbHeight
+    val sy = mbW * 16
+    val sc = mbW * 8
+    val srcY = padPlane(f.y, f.width, f.height, sy, mbH * 16)
+    val srcCb = padPlane(f.cb, f.width / 2, f.height / 2, sc, mbH * 8)
+    val srcCr = padPlane(f.cr, f.width / 2, f.height / 2, sc, mbH * 8)
+    // reconstruction planes (what the decoder will see, pre-deblock)
+    val recY = new Array[Int](sy * mbH * 16)
+    val recCb = new Array[Int](sc * mbH * 8)
+    val recCr = new Array[Int](sc * mbH * 8)
+    val nzY = new Array[Int](mbW * 4 * mbH * 4)
+    val nzCb = new Array[Int](mbW * 2 * mbH * 2)
+    val nzCr = new Array[Int](mbW * 2 * mbH * 2)
+
+    val w = new BitWriter
+    writeSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock)
+
+    def lumaNc(gbx: Int, gby: Int): Int = {
+      val a = gbx > 0
+      val b = gby > 0
+      if (a && b) (nzY(gby * mbW * 4 + gbx - 1) + nzY((gby - 1) * mbW * 4 + gbx) + 1) >> 1
+      else if (a) nzY(gby * mbW * 4 + gbx - 1)
+      else if (b) nzY((gby - 1) * mbW * 4 + gbx)
+      else 0
+    }
+    def chromaNc(map: Array[Int], gbx: Int, gby: Int): Int = {
+      val a = gbx > 0
+      val b = gby > 0
+      if (a && b) (map(gby * mbW * 2 + gbx - 1) + map((gby - 1) * mbW * 2 + gbx) + 1) >> 1
+      else if (a) map(gby * mbW * 2 + gbx - 1)
+      else if (b) map((gby - 1) * mbW * 2 + gbx)
+      else 0
+    }
+
+    val qpc = Transform.chromaQp(qp, pps.chromaQpOffset)
+    var mbIdx = 0
+    while (mbIdx < mbW * mbH) {
+      val mbX = mbIdx % mbW
+      val mbY = mbIdx / mbW
+      val x0 = mbX * 16
+      val y0 = mbY * 16
+
+      if (pcmEvery > 0 && mbIdx % pcmEvery == 0) {
+        // ---- I_PCM ----
+        w.ue(25)
+        w.alignZero()
+        var i = 0
+        while (i < 256) {
+          val v = srcY((y0 + i / 16) * sy + x0 + i % 16)
+          w.u(8, v)
+          recY((y0 + i / 16) * sy + x0 + i % 16) = v
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          val v = srcCb((mbY * 8 + i / 8) * sc + mbX * 8 + i % 8)
+          w.u(8, v)
+          recCb((mbY * 8 + i / 8) * sc + mbX * 8 + i % 8) = v
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          val v = srcCr((mbY * 8 + i / 8) * sc + mbX * 8 + i % 8)
+          w.u(8, v)
+          recCr((mbY * 8 + i / 8) * sc + mbX * 8 + i % 8) = v
+          i += 1
+        }
+        var k = 0
+        while (k < 16) {
+          val (bx, by) = zIndex(k)
+          nzY((mbY * 4 + by) * mbW * 4 + mbX * 4 + bx) = 16
+          k += 1
+        }
+        var c = 0
+        while (c < 4) {
+          nzCb((mbY * 2 + c / 2) * mbW * 2 + mbX * 2 + c % 2) = 16
+          nzCr((mbY * 2 + c / 2) * mbW * 2 + mbX * 2 + c % 2) = 16
+          c += 1
+        }
+      } else {
+        // ---- Intra_16x16 ----
+        val aL = mbX > 0
+        val aT = mbY > 0
+        val cand = Seq(2) ++ (if (aT) Seq(0) else Nil) ++
+          (if (aL) Seq(1) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
+        val predBuf = new Array[Int](256)
+        var bestMode = 2
+        var bestSad = Int.MaxValue
+        val bestPred = new Array[Int](256)
+        cand.foreach { m =>
+          Predict.intra16x16(m, recY, sy, x0, y0, aL, aT, predBuf)
+          var sad = 0
+          var i = 0
+          while (i < 256) {
+            sad += math.abs(srcY((y0 + i / 16) * sy + x0 + i % 16) - predBuf(i))
+            i += 1
+          }
+          if (sad < bestSad) {
+            bestSad = sad; bestMode = m
+            System.arraycopy(predBuf, 0, bestPred, 0, 256)
+          }
+        }
+
+        // forward transform: per 4x4 block (z-order), DC to Hadamard path
+        val dcCoeffs = new Array[Int](16) // raster over the 4x4 DC grid
+        val acLevels = new Array[Array[Int]](16) // z-index -> raster levels
+        var anyAc = false
+        var k = 0
+        while (k < 16) {
+          val (bx, by) = zIndex(k)
+          val res = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            val px = x0 + bx * 4 + i % 4
+            val py = y0 + by * 4 + i / 4
+            res(i) = srcY(py * sy + px) - bestPred((py - y0) * 16 + (px - x0))
+            i += 1
+          }
+          val wc = Transform.forward4x4(res)
+          dcCoeffs(by * 4 + bx) = wc(0)
+          val lev = new Array[Int](16)
+          i = 1
+          while (i < 16) {
+            lev(i) = Transform.quantAc(wc(i), qp, i / 4, i % 4)
+            i += 1
+          }
+          clampCoeffs(lev)
+          if (lev.exists(_ != 0)) anyAc = true
+          acLevels(k) = lev
+          k += 1
+        }
+        val dcHad = Transform.hadamard4x4(dcCoeffs)
+        val dcLevels = dcHad.map(Transform.quantLumaDc(_, qp))
+        clampCoeffs(dcLevels)
+
+        // chroma: mode by SAD over DC/H/V
+        val candC = Seq(0) ++ (if (aL) Seq(1) else Nil) ++
+          (if (aT) Seq(2) else Nil)
+        val predC = new Array[Int](64)
+        val bestPredCb = new Array[Int](64)
+        val bestPredCr = new Array[Int](64)
+        var bestModeC = 0
+        var bestSadC = Int.MaxValue
+        candC.foreach { m =>
+          var sad = 0
+          Predict.chroma8x8(m, recCb, sc, mbX * 8, mbY * 8, aL, aT, predC)
+          var i = 0
+          while (i < 64) {
+            sad += math.abs(srcCb((mbY * 8 + i / 8) * sc + mbX * 8 + i % 8) - predC(i))
+            i += 1
+          }
+          val predC2 = new Array[Int](64)
+          Predict.chroma8x8(m, recCr, sc, mbX * 8, mbY * 8, aL, aT, predC2)
+          i = 0
+          while (i < 64) {
+            sad += math.abs(srcCr((mbY * 8 + i / 8) * sc + mbX * 8 + i % 8) - predC2(i))
+            i += 1
+          }
+          if (sad < bestSadC) {
+            bestSadC = sad; bestModeC = m
+            Predict.chroma8x8(m, recCb, sc, mbX * 8, mbY * 8, aL, aT, bestPredCb)
+            System.arraycopy(predC2, 0, bestPredCr, 0, 64)
+          }
+        }
+
+        // chroma forward transforms
+        val cDcLevels = Array.ofDim[Int](2, 4)
+        val cAcLevels = Array.ofDim[Array[Int]](2, 4)
+        var anyCAc = false
+        var anyCDc = false
+        var c = 0
+        while (c < 2) {
+          val src = if (c == 0) srcCb else srcCr
+          val pred = if (c == 0) bestPredCb else bestPredCr
+          val wdc = new Array[Int](4)
+          var b = 0
+          while (b < 4) {
+            val bx0 = mbX * 8 + (b % 2) * 4
+            val by0 = mbY * 8 + (b / 2) * 4
+            val res = new Array[Int](16)
+            var i = 0
+            while (i < 16) {
+              val px = bx0 + i % 4
+              val py = by0 + i / 4
+              res(i) = src(py * sc + px) -
+                pred((py - mbY * 8) * 8 + (px - mbX * 8))
+              i += 1
+            }
+            val wc = Transform.forward4x4(res)
+            wdc(b) = wc(0)
+            val lev = new Array[Int](16)
+            i = 1
+            while (i < 16) {
+              lev(i) = Transform.quantAc(wc(i), qpc, i / 4, i % 4)
+              i += 1
+            }
+            clampCoeffs(lev)
+            if (lev.exists(_ != 0)) anyCAc = true
+            cAcLevels(c)(b) = lev
+            b += 1
+          }
+          // forward 2x2 Hadamard
+          val f = Array(
+            wdc(0) + wdc(1) + wdc(2) + wdc(3),
+            wdc(0) - wdc(1) + wdc(2) - wdc(3),
+            wdc(0) + wdc(1) - wdc(2) - wdc(3),
+            wdc(0) - wdc(1) - wdc(2) + wdc(3))
+          var i = 0
+          while (i < 4) {
+            cDcLevels(c)(i) = Transform.quantChromaDc(f(i), qpc)
+            if (cDcLevels(c)(i) != 0) anyCDc = true
+            i += 1
+          }
+          c += 1
+        }
+
+        val cbpLuma = if (anyAc) 15 else 0
+        val cbpChroma = if (anyCAc) 2 else if (anyCDc) 1 else 0
+        val mbType = 1 + bestMode + 4 * cbpChroma + (if (anyAc) 12 else 0)
+        w.ue(mbType)
+        w.ue(bestModeC)
+        w.se(0) // mb_qp_delta (always present for I_16x16)
+
+        // residual: luma DC
+        val dcScan = new Array[Int](16)
+        var i = 0
+        while (i < 16) {
+          dcScan(i) = dcLevels(Transform.ZigZag4x4(i))
+          i += 1
+        }
+        Cavlc.writeBlock(w, lumaNc(mbX * 4, mbY * 4), 16, dcScan)
+        // luma AC
+        k = 0
+        while (k < 16) {
+          val (bx, by) = zIndex(k)
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          if (cbpLuma != 0) {
+            val scan = new Array[Int](15)
+            var j = 0
+            while (j < 15) {
+              scan(j) = acLevels(k)(Transform.ZigZag4x4(j + 1))
+              j += 1
+            }
+            val tc = Cavlc.writeBlock(w, lumaNc(gbx, gby), 15, scan)
+            nzY(gby * mbW * 4 + gbx) = tc
+          } else nzY(gby * mbW * 4 + gbx) = 0
+          k += 1
+        }
+        // chroma DC then AC
+        if (cbpChroma != 0) {
+          c = 0
+          while (c < 2) {
+            Cavlc.writeBlock(w, -1, 4, cDcLevels(c))
+            c += 1
+          }
+        }
+        c = 0
+        while (c < 2) {
+          val map = if (c == 0) nzCb else nzCr
+          var b = 0
+          while (b < 4) {
+            val gbx = mbX * 2 + b % 2
+            val gby = mbY * 2 + b / 2
+            if (cbpChroma == 2) {
+              val scan = new Array[Int](15)
+              var j = 0
+              while (j < 15) {
+                scan(j) = cAcLevels(c)(b)(Transform.ZigZag4x4(j + 1))
+                j += 1
+              }
+              val tc = Cavlc.writeBlock(w, chromaNc(map, gbx, gby), 15, scan)
+              map(gby * mbW * 2 + gbx) = tc
+            } else map(gby * mbW * 2 + gbx) = 0
+            b += 1
+          }
+          c += 1
+        }
+
+        // ---- reconstruct (must mirror the decoder exactly) ----
+        val dcRaster = new Array[Int](16)
+        i = 0
+        while (i < 16) {
+          dcRaster(Transform.ZigZag4x4(i)) = dcScan(i)
+          i += 1
+        }
+        val dcRec = Transform.lumaDc(dcRaster, qp)
+        k = 0
+        while (k < 16) {
+          val (bx, by) = zIndex(k)
+          val d = acLevels(k).clone()
+          d(0) = 0
+          Transform.dequant4x4(d, qp, skipDc = true)
+          d(0) = dcRec(by * 4 + bx)
+          val res = Transform.inverse4x4(d)
+          var j = 0
+          while (j < 16) {
+            val px = x0 + bx * 4 + j % 4
+            val py = y0 + by * 4 + j / 4
+            recY(py * sy + px) =
+              clip(bestPred((py - y0) * 16 + (px - x0)) + res(j))
+            j += 1
+          }
+          k += 1
+        }
+        c = 0
+        while (c < 2) {
+          val rec = if (c == 0) recCb else recCr
+          val pred = if (c == 0) bestPredCb else bestPredCr
+          val dcRecC = Transform.chromaDc(cDcLevels(c), qpc)
+          var b = 0
+          while (b < 4) {
+            val d = cAcLevels(c)(b).clone()
+            d(0) = 0
+            Transform.dequant4x4(d, qpc, skipDc = true)
+            d(0) = dcRecC(b)
+            val res = Transform.inverse4x4(d)
+            val bx0 = mbX * 8 + (b % 2) * 4
+            val by0 = mbY * 8 + (b / 2) * 4
+            var j = 0
+            while (j < 16) {
+              val px = bx0 + j % 4
+              val py = by0 + j / 4
+              rec(py * sc + px) =
+                clip(pred((py - mbY * 8) * 8 + (px - mbX * 8)) + res(j))
+              j += 1
+            }
+            b += 1
+          }
+          c += 1
+        }
+      }
+      mbIdx += 1
+    }
+
+    avccSample(w)
+  }
+
+  /** full avc1 MP4: encoded IDR samples + avcC in the stsd entry */
+  def mp4(frames: Seq[Frame], qp: Int, fps: Int, pcmEvery: Int = 0,
+      deblock: Boolean = true): Array[Byte] = {
+    require(frames.nonEmpty)
+    val f0 = frames.head
+    val sps = spsFor(f0.width, f0.height)
+    val pps = ppsFor(qp)
+    val samples = frames.zipWithIndex.map { case (f, i) =>
+      require(f.width == f0.width && f.height == f0.height, "mixed dims")
+      encodeFrame(f, qp, pcmEvery, i, deblock)
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = fps,
+      width = f0.width, height = f0.height, syncEvery = 1,
+      sampleEntryExtension = avccBox(sps, pps))
+  }
+}

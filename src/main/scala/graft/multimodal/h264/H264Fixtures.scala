@@ -1,0 +1,137 @@
+package graft.multimodal.h264
+
+import graft.multimodal.Mp4Samples
+
+/** Oracle-replayable avc1 fixtures for the mm14 gate query: 16x16
+  * single-macroblock IDR frames cycling three MB kinds whose decoded
+  * pixels are closed-form integer functions of (docId, frameNo) —
+  * DuckDB replays the exact dequant / Hadamard / clip arithmetic while
+  * the Spark side runs the REAL decoder over real bitstreams (NAL →
+  * slice header → CAVLC → prediction → reconstruction → deblock loop).
+  *
+  *  - kind 0 (f%3==0): I_PCM — lossless pixels (d*31+f*53+i*7)%251 etc.
+  *  - kind 1: I_16x16, DC prediction (128, no neighbors), a single
+  *    luma-DC level Ly and chroma-DC levels — decoded value
+  *    clip(128 + ((dcScale(Ly,qp)+32)>>6)), uniform per plane.
+  *  - kind 2: I_NxN, all 16 blocks DC mode, one luma level on block 0;
+  *    DC propagation makes the whole luma plane
+  *    clip(128 + (((L2*V)<<(qp/6))+32>>6)); chroma uniform 128.
+  *
+  * Deblocking stays ENABLED (the loop runs; uniform planes and QP-0
+  * PCM macroblocks make it the identity, which the spec-vector tests
+  * in H264Spec verify is the correct identity, not a skipped path).
+  */
+object H264Fixtures {
+
+  def qpFor(docId: Long): Int = 16 + (docId % 24).toInt
+
+  /** one 16x16 single-MB avc1 video, `n` frames cycling the 3 kinds */
+  def video(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map(f => frameSample(docId, f, qp, sps))
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 1,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  private def frameSample(d: Long, f: Int, qp: Int,
+      sps: Sps): Array[Byte] = (f % 3) match {
+    case 0 => pcmFrame(d, f, sps)
+    case 1 => i16Frame(d, f, sps)
+    case _ => i4Frame(d, f, sps)
+  }
+
+  private def pcmFrame(d: Long, f: Int, sps: Sps): Array[Byte] = {
+    val w = new BitWriter
+    Encoder.writeSliceHeader(w, sps, f, sliceQpDelta = 0, deblock = true)
+    w.ue(25) // I_PCM
+    w.alignZero()
+    var i = 0
+    while (i < 256) { w.u(8, ((d * 31 + f * 53 + i * 7) % 251).toInt); i += 1 }
+    i = 0
+    while (i < 64) { w.u(8, ((d * 29 + f * 47 + i * 11) % 251).toInt); i += 1 }
+    i = 0
+    while (i < 64) { w.u(8, ((d * 23 + f * 41 + i * 13) % 251).toInt); i += 1 }
+    Encoder.avccSample(w)
+  }
+
+  private def i16Frame(d: Long, f: Int, sps: Sps): Array[Byte] = {
+    val ly = 1 + ((d + f) % 5).toInt
+    val lcb = ((d + f) % 3).toInt
+    val lcr = ((d + 2 * f) % 3).toInt
+    val cbpChroma = if (lcb != 0 || lcr != 0) 1 else 0
+    val w = new BitWriter
+    Encoder.writeSliceHeader(w, sps, f, sliceQpDelta = 0, deblock = true)
+    // I_16x16: pred mode 2 (DC), luma CBP 0
+    w.ue(1 + 2 + 4 * cbpChroma)
+    w.ue(0) // intra_chroma_pred_mode: DC
+    w.se(0) // mb_qp_delta
+    // Intra16x16DCLevel: single level at scan 0, nC = 0 (no neighbors)
+    val dc = new Array[Int](16)
+    dc(0) = ly
+    Cavlc.writeBlock(w, 0, 16, dc)
+    // no luma AC (cbp 0); chroma DC if coded
+    if (cbpChroma == 1) {
+      Cavlc.writeBlock(w, -1, 4, Array(lcb, 0, 0, 0))
+      Cavlc.writeBlock(w, -1, 4, Array(lcr, 0, 0, 0))
+    }
+    Encoder.avccSample(w)
+  }
+
+  private def i4Frame(d: Long, f: Int, sps: Sps): Array[Byte] = {
+    val l2 = 1 + ((d * 3 + f) % 5).toInt
+    val w = new BitWriter
+    Encoder.writeSliceHeader(w, sps, f, sliceQpDelta = 0, deblock = true)
+    w.ue(0) // I_NxN
+    var k = 0
+    while (k < 16) { w.u1(1); k += 1 } // prev_flag: predicted mode (DC)
+    w.ue(0) // chroma DC
+    w.ue(Decoder.codeNumFromCbp(1)) // CBP: luma 8x8 group 0 only
+    w.se(0) // mb_qp_delta
+    // group 0 = z-blocks 0..3; block 0 carries one DC-position level
+    val blk0 = new Array[Int](16)
+    blk0(0) = l2
+    val tc0 = Cavlc.writeBlock(w, 0, 16, blk0) // nC: no neighbors
+    Cavlc.writeBlock(w, tc0, 16, new Array[Int](16)) // z1: left=blk0
+    Cavlc.writeBlock(w, tc0, 16, new Array[Int](16)) // z2: top=blk0
+    Cavlc.writeBlock(w, 0, 16, new Array[Int](16)) // z3: left z2=0,top z1=0
+    Encoder.avccSample(w)
+  }
+
+  /** closed-form expected plane sums (what the DuckDB oracle computes);
+    * used by H264Spec to pin the decoder to the analytic truth. */
+  def expectedSums(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    (f % 3) match {
+      case 0 =>
+        var ys = 0L; var cbs = 0L; var crs = 0L
+        (0 until 256).foreach(i => ys += (d * 31 + f * 53 + i * 7) % 251)
+        (0 until 64).foreach(i => cbs += (d * 29 + f * 47 + i * 11) % 251)
+        (0 until 64).foreach(i => crs += (d * 23 + f * 41 + i * 13) % 251)
+        (ys, cbs, crs)
+      case 1 =>
+        val ly = 1 + ((d + f) % 5).toInt
+        val dc =
+          if (qp >= 36) (ly * v) << (qp / 6 - 6)
+          else (ly * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+        val yv = clip(128 + ((dc + 32) >> 6))
+        val qpc = Transform.chromaQp(qp, 0)
+        val vc = Array(10, 11, 13, 14, 16, 18)(qpc % 6)
+        def cval(l: Int) = {
+          val dcc = ((l * vc) << (qpc / 6)) >> 5
+          clip(128 + ((dcc + 32) >> 6))
+        }
+        (256L * yv, 64L * cval(((d + f) % 3).toInt),
+          64L * cval(((d + 2 * f) % 3).toInt))
+      case _ =>
+        val l2 = 1 + ((d * 3 + f) % 5).toInt
+        val d0 = (l2 * v) << (qp / 6)
+        val v0 = clip(128 + ((d0 + 32) >> 6))
+        (256L * v0, 64L * 128L, 64L * 128L)
+    }
+  }
+}

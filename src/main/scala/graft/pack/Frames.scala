@@ -211,9 +211,27 @@ object FrameSource {
       val t = track(video)
       // frameCount/fps/frameTypes stay codec-independent (container
       // metadata, the 100 TB audit path) — only DECODE is gated
-      if (!StillImageCodecs(t.codec))
-        throw UnsupportedCodecException(t.codec)
-      t.sample(video, index)
+      if (StillImageCodecs(t.codec)) t.sample(video, index)
+      else if (t.codec == "avc1") {
+        // pure-JVM H.264 baseline I-frame decode (graft.multimodal.h264):
+        // AVCC sample -> YUV -> RGB -> PNG bytes, honoring the frame()
+        // contract of returning an encoded image. Non-baseline features
+        // (CABAC, P/B slices, fields) surface as the typed signal.
+        import graft.multimodal.h264.Decoder
+        val avcc = t.avcc.getOrElse(
+          throw UnsupportedCodecException("avc1 (no avcC config)"))
+        try {
+          val cfg = Decoder.parseAvcc(avcc)
+          val yuv = Decoder.decode(t.sample(video, index), cfg)
+          val rgb = Decoder.toRgb(yuv)
+          graft.wds.Codecs.encodeImage(
+            graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB", rgb),
+            "png")
+        } catch {
+          case graft.multimodal.h264.UnsupportedFeature(f) =>
+            throw UnsupportedCodecException(s"avc1 ($f)")
+        }
+      } else throw UnsupportedCodecException(t.codec)
     }
     def frameCount(video: Array[Byte]): Int = track(video).frameCount
     def fps(video: Array[Byte]): Double = track(video).fps

@@ -189,11 +189,14 @@ class Mp4SamplesSpec extends AnyFunSuite {
     assert(FrameSource.Mp4Frames.frameCount(mp4) == 5)
     assert(FrameSource.Mp4Frames.frameTypes(mp4) ==
       IndexedSeq('I', 'P', 'I', 'P', 'I'))
-    // …but frame DECODE throws the typed signal naming the codec
+    // …but frame DECODE throws the typed signal naming the codec —
+    // since round 6 the decoder handles baseline avc1, so a container
+    // WITHOUT the avcC decoder config triages as unsupported with the
+    // reason in the signal
     val ex = intercept[FrameSource.UnsupportedCodecException] {
       FrameSource.Mp4Frames.frame(mp4, 0)
     }
-    assert(ex.codec == "avc1")
+    assert(ex.codec == "avc1 (no avcC config)")
     // still-image codecs keep decoding
     val png = Mp4Samples.encodeFrames((0 until 3).map(pngFrame), "png ",
       fps = 4, width = 2, height = 2)

@@ -237,13 +237,13 @@ object MediaQueries extends QueryRegistry {
       |FROM sz ORDER BY media_id""".stripMargin
 
   /** mm13: per-codec decode-support audit — the triage a real video
-    * corpus needs FIRST, because production corpora are H.264/H.265 and
-    * the pure-JVM path decodes still-image codecs only (reference
-    * decode dispatch: `pack/dataset.py:102-108`). Each doc synthesizes
-    * an mp4 whose stsd fourcc rotates jpeg / png / avc1; the audit
-    * probes container metadata (codec-independent), then attempts a
-    * real frame decode per video. avc1 rows surface as a typed
-    * `unsupported_codec` status via
+    * corpus needs FIRST, because production corpora are H.264/H.265
+    * (reference decode dispatch: `pack/dataset.py:102-108`). Each doc
+    * synthesizes an mp4 whose stsd fourcc rotates jpeg / png / avc1 /
+    * hev1; the audit probes container metadata (codec-independent),
+    * then attempts a real frame decode per video. avc1 decodes through
+    * the pure-JVM baseline I-frame decoder ([[graft.multimodal.h264]]);
+    * hev1 (H.265) surfaces as a typed `unsupported_codec` status via
     * [[graft.pack.FrameSource.UnsupportedCodecException]] — NEVER as
     * synthetic or raw-NAL frames — so n_decoded counts only frames the
     * engine actually produced. At 100 TB this plan moves one summary
@@ -251,29 +251,30 @@ object MediaQueries extends QueryRegistry {
   private def codecAudit(s: SparkSession, dir: String): DataFrame = {
     val mkMp4 = udf { (id: Long) =>
       val n = (4 + id % 3).toInt
-      val frames = (id % 3) match {
+      (id % 4) match {
         case 2 =>
-          // opaque NAL-ish blobs: content is never decoded, only the
-          // container walk sees them
-          (0 until n).map(f =>
+          // real avc1: AVCC samples + avcC config, decoded for real below
+          graft.multimodal.h264.H264Fixtures.video(id, n)
+        case 3 =>
+          // opaque NAL-ish blobs behind an hev1 fourcc: content is never
+          // decoded, only the container walk sees them
+          val frames = (0 until n).map(f =>
             Array.fill(64 + ((id * 7 + f) % 32).toInt)(0x41.toByte))
+          Mp4Samples.encodeFrames(frames, codec = "hev1", fps = 10,
+            width = 2, height = 2, syncEvery = 3)
         case m =>
           // payload encoding matches the declared fourcc — a mismatch
           // would let content sniffing mask a codec-dispatch regression
-          (0 until n).map { f =>
+          val frames = (0 until n).map { f =>
             val px = Array.tabulate(12)(i =>
               ((id * 17 + f * 29 + i) % 251).toByte)
             Codecs.encodeImage(Codecs.ImageData(2, 2, 3, "RGB", px),
               if (m == 0L) "jpeg" else "png")
           }
+          Mp4Samples.encodeFrames(frames,
+            codec = if (m == 0L) "jpeg" else "png ", fps = 10,
+            width = 2, height = 2, syncEvery = 3)
       }
-      val fourcc = (id % 3) match {
-        case 0 => "jpeg"
-        case 1 => "png "
-        case _ => "avc1"
-      }
-      Mp4Samples.encodeFrames(frames, codec = fourcc, fps = 10,
-        width = 2, height = 2, syncEvery = 3)
     }
     val audit = udf { (bytes: Array[Byte]) =>
       val src = graft.pack.FrameSource.Mp4Frames
@@ -309,20 +310,148 @@ object MediaQueries extends QueryRegistry {
 
   private val codecAuditSql =
     """WITH g AS (
-      |  SELECT doc_id, doc_id % 3 AS m,
+      |  SELECT doc_id, doc_id % 4 AS m,
       |    (4 + doc_id % 3)::BIGINT AS n
       |  FROM documents)
       |SELECT
-      |  CASE m WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'avc1' END
-      |    AS codec,
-      |  CASE WHEN m = 2 THEN 'unsupported_codec' ELSE 'ok' END AS status,
-      |  CASE WHEN m = 2 THEN 0 ELSE 1 END::INT AS decodable,
+      |  CASE m WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'avc1'
+      |    ELSE 'hev1' END AS codec,
+      |  CASE WHEN m = 3 THEN 'unsupported_codec' ELSE 'ok' END AS status,
+      |  CASE WHEN m = 3 THEN 0 ELSE 1 END::INT AS decodable,
       |  count(*) AS n_videos,
       |  sum(n)::BIGINT AS n_frames,
-      |  (CASE WHEN m = 2 THEN 0 ELSE sum(n) END)::BIGINT AS n_decoded
+      |  (CASE WHEN m = 3 THEN 0 ELSE sum(n) END)::BIGINT AS n_decoded
       |FROM g GROUP BY m ORDER BY codec""".stripMargin
 
+  /** mm14: end-to-end H.264 baseline decode gate. Each doc synthesizes
+    * a real avc1 mp4 ([[graft.multimodal.h264.H264Fixtures]]: avcC
+    * config + AVCC IDR samples cycling I_PCM / I_16x16 / I_NxN
+    * macroblock kinds at qp 16..39), decodes EVERY frame through the
+    * public [[graft.pack.FrameSource.Mp4Frames]] contract (NAL → slice
+    * header → CAVLC → intra prediction → dequant/IDCT → deblock loop →
+    * BT.601 RGB → png), and aggregates per-channel pixel sums per MB
+    * kind. The DuckDB oracle replays the decoder's integer arithmetic
+    * closed-form from (doc_id, frame) — any single wrong pixel anywhere
+    * in the decode chain shifts a sum. This is the parity row for the
+    * reference's kf/I-frame sampler (`pack/samplers.py:121-157`), which
+    * needs exactly intra-frame decode. Scale shape: one task-local
+    * decode per video, three summary rows out. */
+  private def avcDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (3 + id % 3).toInt
+      val bytes = graft.multimodal.h264.H264Fixtures.video(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 3, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("kind"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("kind"))
+  }
+
+  /** Replays H264Fixtures' closed-form decode truth: qp/chroma-qp
+    * tables, dequant shifts, DC reconstruction, and the BT.601
+    * integer YUV→RGB (arithmetic >>16 = floor-div 65536). */
+  private val avcDecodeStatsSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (3 + doc_id % 3)::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, (f % 3)::INT AS kind,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    CASE WHEN qp < 30 THEN qp
+      |         ELSE [29,30,31,32,32,33,34,34,35,35][qp - 29] END AS qpc
+      |  FROM fr),
+      |q2 AS (
+      |  SELECT *, [10,11,13,14,16,18][qpc % 6 + 1] AS vc FROM q),
+      |k0px AS (
+      |  SELECT d, f,
+      |    (d*31 + f*53 + i*7) % 251 AS yv,
+      |    (d*29 + f*47 + (((i//16)//2)*8 + (i%16)//2)*11) % 251 - 128 AS u,
+      |    (d*23 + f*41 + (((i//16)//2)*8 + (i%16)//2)*13) % 251 - 128 AS v
+      |  FROM q2 CROSS JOIN (
+      |    SELECT unnest(generate_series(0, 255)) AS i) px
+      |  WHERE kind = 0),
+      |k0 AS (
+      |  SELECT d, f, 0 AS kind,
+      |    sum(GREATEST(0, LEAST(255,
+      |      yv + floor((91881*v + 32768) / 65536.0)::INT)))::BIGINT AS rs,
+      |    sum(GREATEST(0, LEAST(255,
+      |      yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT
+      |      )))::BIGINT AS gs,
+      |    sum(GREATEST(0, LEAST(255,
+      |      yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS bs
+      |  FROM k0px GROUP BY d, f),
+      |k1a AS (
+      |  SELECT d, f, qp, qpc, v6, vc,
+      |    (1 + (d + f) % 5)::INT AS ly,
+      |    ((d + f) % 3)::INT AS lcb,
+      |    ((d + 2*f) % 3)::INT AS lcr
+      |  FROM q2 WHERE kind = 1),
+      |k1b AS (
+      |  SELECT d, f,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN ly * v6
+      |            ELSE (ly*v6 + (1 << (5 - qp//6))) // (1 << (6 - qp//6))
+      |       END + 32) // 64)) AS yv,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcb*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS u,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcr*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS v
+      |  FROM k1a),
+      |k1 AS (
+      |  SELECT d, f, 1 AS kind,
+      |    256 * GREATEST(0, LEAST(255,
+      |      yv + floor((91881*v + 32768) / 65536.0)::INT))::BIGINT AS rs,
+      |    256 * GREATEST(0, LEAST(255,
+      |      yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT
+      |      ))::BIGINT AS gs,
+      |    256 * GREATEST(0, LEAST(255,
+      |      yv + floor((116130*u + 32768) / 65536.0)::INT))::BIGINT AS bs
+      |  FROM k1b),
+      |k2 AS (
+      |  SELECT d, f, 2 AS kind,
+      |    256 * GREATEST(0, LEAST(255, 128 +
+      |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
+      |      ))::BIGINT AS rs,
+      |    256 * GREATEST(0, LEAST(255, 128 +
+      |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
+      |      ))::BIGINT AS gs,
+      |    256 * GREATEST(0, LEAST(255, 128 +
+      |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
+      |      ))::BIGINT AS bs
+      |  FROM q2 WHERE kind = 2),
+      |allk AS (
+      |  SELECT * FROM k0 UNION ALL SELECT * FROM k1
+      |  UNION ALL SELECT * FROM k2)
+      |SELECT kind, count(*) AS n_frames,
+      |  sum(rs)::BIGINT AS r_sum, sum(gs)::BIGINT AS g_sum,
+      |  sum(bs)::BIGINT AS b_sum
+      |FROM allk GROUP BY kind ORDER BY kind""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm14_avc_decode" -> QueryDef(avcDecodeStats, Some(avcDecodeStatsSql),
+      bench = true),
     "mm13_codec_audit" -> QueryDef(codecAudit, Some(codecAuditSql),
       bench = true),
     "mm12_gop_audit" -> QueryDef(gopAudit, Some(gopAuditSql),

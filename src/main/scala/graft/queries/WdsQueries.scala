@@ -149,6 +149,98 @@ object WdsQueries extends QueryRegistry {
        |  FROM sh s JOIN g ON s.shard = g.shard + 1)
        |SELECT shard, nsamples, group_id FROM g ORDER BY shard""".stripMargin
 
+  /** wds20: compaction EXECUTOR — runs wds19's plan for real. Each
+    * merge group's input shards are read back through the DSv2 path and
+    * rewritten as ONE merged tar via `format("wds")`, preserving the
+    * global sample-key order; the merged store is then re-indexed by a
+    * second DSv2 read. Output is the post-compaction index (per merged
+    * shard: sample count, key range, in-tar orderedness), which the
+    * oracle recomputes from the pre-compaction chunk arithmetic — the
+    * "post-index equals pre-index modulo shard map" contract. Scale
+    * shape: the plan is O(#shards) driver metadata (the reference's
+    * os.listdir footprint); the rewrite is one distributed job whose
+    * unit of work is a merge group (the Delta OPTIMIZE bin-packing
+    * shape) and samples never shuffle — each task streams its group's
+    * tars into one output tar. */
+  private def compactionExec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratchDir("graft_e1ce")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
+    val idx = info.select(col("partition").cast("int"), col("nsamples"),
+      col("url")).collect()
+    val counts = idx.map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val urlOf = idx.map(r => r.getInt(0) -> r.getString(2)).toMap
+    val plan = planCompaction(counts, CompactTarget)
+    val groups = plan.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (_, ss) => ss.sortBy(_._1).map(t => urlOf(t._1)) }
+    val merged = scratchDir("graft_e1cm")
+    // one partition per merge group, partitions in group order, via an
+    // RDD-level union (SQL Union zips same-partition-count children
+    // partition-wise, which would collapse the groups): partitionId ==
+    // group_id, so the writer's part-<partition>- naming IS the shard
+    // map. Each task streams its group's tars into one output tar.
+    val groupDfs =
+      groups.map(us => s.read.format("wds").load(us: _*).coalesce(1))
+    s.createDataFrame(
+        s.sparkContext.union(groupDfs.map(_.rdd)), groupDfs.head.schema)
+      .write.format("wds").mode("append").save(merged)
+    val mergedUrls = {
+      val p = new org.apache.hadoop.fs.Path(merged)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".tar"))
+        .sorted.toSeq
+    }
+    val shardNo = "part-(\\d+)-".r
+    s.read.format("wds").load(mergedUrls: _*)
+      .select(col("url"), col("key"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        // one scan partition == one merged tar; fold in tar order, so
+        // orderedness is observed BEFORE any exchange can reorder rows
+        var url: String = null; var prev: String = null
+        var n = 0L; var ordered = true
+        var lo: String = null; var hi: String = null
+        it.foreach { case (u, k) =>
+          url = u; n += 1
+          if (prev != null && k <= prev) ordered = false
+          prev = k
+          if (lo == null || k < lo) lo = k
+          if (hi == null || k > hi) hi = k
+        }
+        if (url == null) Iterator.empty
+        else Iterator((url, n, ordered, lo, hi))
+      }
+      .map { case (u, n, ord, lo, hi) =>
+        (shardNo.findFirstMatchIn(u).get.group(1).toInt, n,
+          if (ord) 1 else 0, lo, hi)
+      }
+      .toDF("group_id", "n_samples", "in_order", "min_key", "max_key")
+      .orderBy($"group_id")
+  }
+
+  private val compactionExecSql =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT CAST(floor((rn - 1) / 100) AS INT) AS shard,
+       |    count(*) AS nsamples
+       |  FROM $RnCte GROUP BY 1),
+       |g AS (
+       |  SELECT shard, nsamples, 0 AS group_id, nsamples AS acc
+       |  FROM sh WHERE shard = 0
+       |  UNION ALL
+       |  SELECT s.shard, s.nsamples,
+       |    CASE WHEN g.acc + s.nsamples > $CompactTarget
+       |         THEN g.group_id + 1 ELSE g.group_id END,
+       |    CASE WHEN g.acc + s.nsamples > $CompactTarget
+       |         THEN s.nsamples ELSE g.acc + s.nsamples END
+       |  FROM sh s JOIN g ON s.shard = g.shard + 1)
+       |SELECT group_id, sum(nsamples)::BIGINT AS n_samples,
+       |  1 AS in_order,
+       |  printf('%09d', min(shard) * 100) AS min_key,
+       |  printf('%09d', max(shard * 100 + nsamples) - 1) AS max_key
+       |FROM g GROUP BY group_id ORDER BY group_id""".stripMargin
+
   /** Writer-info `url` column collected to the driver, lexicographic —
     * THE one helper for shard-url listings (same O(#files) driver
     * footprint as the reference's os.listdir). Use [[numericShardUrls]]
@@ -1122,6 +1214,8 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds20_compaction_exec" -> QueryDef(compactionExec,
+      Some(compactionExecSql), bench = true),
     "wds19_compaction_plan" -> QueryDef(compactionPlan,
       Some(compactionPlanSql)),
     "wds01_pack_stats" -> QueryDef(packStats, Some(packStatsSql)),

@@ -112,4 +112,21 @@ class CompactionSpec extends SparkSpec {
     // and globally: every sample exactly once, in the original order
     assert(mergedKeys === samples.map(_.key))
   }
+
+  test("executor partitioning: RDD-level union keeps one partition per " +
+    "merge group (SQL Union zips same-count children partition-wise)") {
+    import spark.implicits._
+    val a = Seq(("a", 1)).toDF("k", "v").coalesce(1)
+    val b = Seq(("b", 2)).toDF("k", "v").coalesce(1)
+    // the trap the wds20 executor must avoid: logical union collapses
+    // two single-partition children into ONE partition...
+    assert(a.union(b).rdd.getNumPartitions == 1)
+    // ...while sparkContext.union concatenates them, making the DSv2
+    // writer's part-<partitionId>- naming the group_id shard map
+    val u = spark.sparkContext.union(Seq(a.rdd, b.rdd))
+    assert(u.getNumPartitions == 2)
+    assert(u.mapPartitionsWithIndex((i, it) =>
+      it.map(r => (i, r.getString(0)))).collect().toSeq ===
+      Seq((0, "a"), (1, "b")))
+  }
 }

@@ -739,7 +739,150 @@ object CurationQueries extends QueryRegistry {
        |FROM scored
        |ORDER BY score_ppm DESC, hkey, doc_id LIMIT $DsirBudget""".stripMargin
 
+  /** Eval-set parquet for the funnel's decontamination stage (text-only
+    * slice, doc_id % EvalMod == 0 — the same held-out contract as
+    * qd11/st06), staged once per sf dir. */
+  private val stagedEval =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evalStage(s: SparkSession, dir: String): String =
+    stagedEval.computeIfAbsent(dir, _ => {
+      val stage = WdsQueries.scratchDir("graft_eval")
+      Tables(s, dir).documents
+        .filter(col("doc_id") % EvalMod === 0)
+        .select(col("text"))
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
+  /** qc07: the CurateStage funnel END-TO-END as one oracle row — the
+    * user-facing product (`Pipeline --stage curate`) run over the
+    * fixture corpus with every stage enabled: quality → mix →
+    * exact-dedup → near-dup (LSH → Jaccard ≥ 0.5 → connected
+    * components) → dup-span → decontam (held-out eval slice). The
+    * output is the audit funnel (survivor count after each sequential
+    * stage); the DuckDB oracle recomputes every stage's survivor SET —
+    * each stage over the previous stage's survivors, exactly the
+    * sequential semantics CurateStage documents — so a drift in any
+    * stage's decision for any single document shifts a sum. The stats
+    * row is a bounded 1-row collect; the stage's internal caches are
+    * released before returning. */
+  private def curateFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val res = graft.curate.CurateStage.run(
+      Tables(s, dir).documents.select(col("doc_id"), col("text"),
+        col("lang")),
+      graft.curate.CurateStage.CurateOptions(
+        minWords = 30, maxDupFrac = 0.5,
+        rates = MixRates, defaultRate = 0, gramK = GramK,
+        evalPath = Some(evalStage(s, dir)),
+        nearDupJaccard = Some(0.5)))
+    val r = res.stats.collect()(0)
+    res.close()
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toDF("n_docs", "quality_keep", "mix_keep", "exact_keep",
+        "near_keep", "span_keep", "decontam_keep", "n_curated")
+  }
+
+  /** Sequential-survivor replay of the whole funnel. Reuses the dedup
+    * tier's minhash/LSH CTEs (full-corpus signatures are per-document,
+    * so restricting candidate pairs to exact-dedup survivors equals
+    * running LSH over the survivor subset) and the 5-gram CTE for
+    * spans/decontam (document frequency counted over span-stage
+    * survivors ONLY, eval grams over the raw held-out slice). */
+  private val curateFunnelSql = {
+    val rate = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val nw = "len(string_split(text, ' '))"
+    s"""${DedupQueries.sigSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${DedupQueries.candSqlCtes},
+       |q AS (
+       |  SELECT doc_id, CASE WHEN text IS NOT NULL
+       |    AND $nw >= 30
+       |    AND (length(text) - ($nw - 1))::DOUBLE / $nw
+       |        BETWEEN 3.0 AND 10.0
+       |    AND NOT (contains(lower(text), 'lorem ipsum')
+       |      OR contains(text, '{')
+       |      OR contains(lower(text), 'javascript'))
+       |    THEN 1 ELSE 0 END AS quality_keep
+       |  FROM documents),
+       |m AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN q.quality_keep = 1 AND $bucketSql < ($rate)
+       |    THEN 1 ELSE 0 END AS mix_keep
+       |  FROM documents d JOIN q USING (doc_id)),
+       |ek AS (
+       |  SELECT min(d.doc_id) AS doc_id
+       |  FROM documents d JOIN m USING (doc_id)
+       |  WHERE m.mix_keep = 1 GROUP BY md5(d.text)),
+       |s3 AS (SELECT doc_id FROM ek),
+       |c3 AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN s3 a ON a_id = a.doc_id JOIN s3 b ON b_id = b.doc_id),
+       |sh3 AS (
+       |  SELECT doc_id, unnest(list_distinct(shs)) AS sh
+       |  FROM s JOIN s3 USING (doc_id)),
+       |sz3 AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY 1),
+       |shr AS (
+       |  SELECT a_id, b_id, count(*) AS shared
+       |  FROM c3 JOIN sh3 sa ON a_id = sa.doc_id
+       |  JOIN sh3 sb ON b_id = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY a_id, b_id),
+       |vp AS (
+       |  SELECT a_id, b_id
+       |  FROM shr JOIN sz3 na ON a_id = na.doc_id
+       |  JOIN sz3 nb ON b_id = nb.doc_id
+       |  WHERE round(shared::DOUBLE / (na.n_sh + nb.n_sh - shared), 6)
+       |    >= 0.5),
+       |ee AS (
+       |  SELECT a_id AS src, b_id AS dst FROM vp
+       |  UNION ALL SELECT b_id, a_id FROM vp),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM s3
+       |  UNION
+       |  SELECT eg.dst, r.label FROM reach r JOIN ee eg ON eg.src = r.id),
+       |cc AS (
+       |  SELECT id AS doc_id,
+       |    CASE WHEN id = min(label) THEN 1 ELSE 0 END AS near_keep
+       |  FROM reach GROUP BY id),
+       |s4 AS (SELECT doc_id FROM cc WHERE near_keep = 1),
+       |g5 AS ($shingleHashesSqlCte),
+       |e5 AS (
+       |  SELECT g.doc_id, unnest(shs) AS sh
+       |  FROM g5 g JOIN s4 USING (doc_id)),
+       |df5 AS (SELECT sh, count(*) AS df FROM e5 GROUP BY sh),
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN round(
+       |      sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+       |      6) <= 0.5 THEN 1 ELSE 0 END AS span_keep
+       |  FROM e5 JOIN df5 USING (sh) GROUP BY doc_id),
+       |s5 AS (SELECT doc_id FROM sp WHERE span_keep = 1),
+       |ev AS (
+       |  SELECT DISTINCT sh FROM (
+       |    SELECT unnest(shs) AS sh FROM g5
+       |    WHERE doc_id % $EvalMod = 0) t),
+       |ct AS (
+       |  SELECT e5.doc_id,
+       |    max(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS contaminated
+       |  FROM e5 JOIN s5 USING (doc_id)
+       |  LEFT JOIN ev ON e5.sh = ev.sh
+       |  GROUP BY e5.doc_id)
+       |SELECT
+       |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       |  (SELECT sum(quality_keep) FROM q)::BIGINT AS quality_keep,
+       |  (SELECT sum(mix_keep) FROM m)::BIGINT AS mix_keep,
+       |  (SELECT count(*) FROM s3)::BIGINT AS exact_keep,
+       |  (SELECT count(*) FROM s4)::BIGINT AS near_keep,
+       |  (SELECT count(*) FROM s5)::BIGINT AS span_keep,
+       |  (SELECT sum(1 - contaminated) FROM ct)::BIGINT AS decontam_keep,
+       |  (SELECT sum(1 - contaminated) FROM ct)::BIGINT AS n_curated"""
+      .stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qc07_curate_funnel" -> QueryDef(curateFunnel, Some(curateFunnelSql),
+      bench = true),
     "qc06_dsir_select" -> QueryDef(dsirSelect, Some(dsirSelectSql), bench = true),
     "qc04_length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "qc05_alignment_filter" -> QueryDef(alignmentFilter,

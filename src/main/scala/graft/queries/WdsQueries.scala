@@ -149,6 +149,25 @@ object WdsQueries extends QueryRegistry {
        |  FROM sh s JOIN g ON s.shard = g.shard + 1)
        |SELECT shard, nsamples, group_id FROM g ORDER BY shard""".stripMargin
 
+  /** wds21: the `pipe:` scheme end-to-end under the DSv2 path — every
+    * shard's bytes arrive from a subprocess stdout stream (`pipe:cat
+    * <shard>`; the reference's gopen shell-pipeline transport,
+    * `gopen.py:153-330`: one command per shard, EOF-then-exit-status
+    * check, SIGPIPE tolerated), never a seekable file. Same per-sample
+    * oracle as the E1 spine: the subprocess transport must lose,
+    * duplicate, or reorder nothing. */
+  private def pipePack(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_e1p")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
+    val pipeUrls = numericShardUrls(info).map(u =>
+      "pipe:cat " + new java.net.URI(u).getPath)
+    s.read.format("wds").load(pipeUrls: _*)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
+      .orderBy(col("key"))
+  }
+
   /** wds20: compaction EXECUTOR — runs wds19's plan for real. Each
     * merge group's input shards are read back through the DSv2 path and
     * rewritten as ONE merged tar via `format("wds")`, preserving the
@@ -1214,6 +1233,7 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds21_pipe_scheme" -> QueryDef(pipePack, Some(packKeysSql)),
     "wds20_compaction_exec" -> QueryDef(compactionExec,
       Some(compactionExecSql), bench = true),
     "wds19_compaction_plan" -> QueryDef(compactionPlan,

@@ -8,12 +8,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Results are forced through the `noop` sink so the full plan executes
   * (a bare `count()` would let Catalyst prune away most of the work).
+  *
+  * Adjudicability (round-5 verdict: regressions were un-triageable
+  * against ambient VM load): each query runs SPARK_GRAFT_BENCH_REPS
+  * times (default 3) and reports the MEDIAN; the line carries
+  * /proc/loadavg at start and end plus per-query min, so a future
+  * round can separate plan regressions (median AND min move) from
+  * load noise (median moves, min doesn't, loadavg high).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      .max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -32,41 +41,61 @@ object Bench {
     // streaming fixtures stage a micros-timestamp parquet copy once per
     // JVM — do it here so st03 times the stream-stream join, not the copy
     queries.WdsQueries.warmEventsStage(spark, sfDir)
+
+    def loadavg: Seq[Double] =
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).map(_.toDouble).toSeq
+      catch { case _: Exception => Seq.empty }
+    val loadStart = loadavg
+
+    // (name, per-rep seconds ascending, ok)
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
+        val times = Seq.newBuilder[Double]
+        var ok = true
+        var r = 0
+        while (ok && r < reps) {
+          val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
+            times += (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            ok = false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+          r += 1
+        }
+        (name, times.result().sorted, ok)
     }
+    val loadEnd = loadavg
+    def median(xs: Seq[Double]): Double = xs(xs.length / 2)
     // a red query must not silently deflate the headline number: failed
     // timings are excluded from the total and reported by name
-    val qs = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    val qs = results.collect { case (k, ts, true) =>
+      "\"" + k + f"\":${median(ts)}%.3f" }.mkString("{", ",", "}")
+    val mins = results.collect { case (k, ts, true) =>
+      "\"" + k + f"\":${ts.head}%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, ts, true) => median(ts) }.sum
     // per-family subtotals (family = name prefix before the number) and
     // >2×-family-median outliers — the round-over-round regression radar
     val family = (n: String) => n.takeWhile(!_.isDigit)
-    val byFam = results.collect { case (k, v, true) => (family(k), v) }
+    val byFam = results.collect { case (k, ts, true) => (family(k), median(ts)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
     val fams = byFam.map { case (f, vs) =>
       "\"" + f + f"\":${vs.map(_._2).sum}%.3f" }.mkString("{", ",", "}")
     val outliers = byFam.flatMap { case (f, vs) =>
-      val sorted = vs.map(_._2).sorted
-      val med = sorted(sorted.length / 2)
-      results.collect { case (k, v, true)
-        if family(k) == f && vs.length >= 3 && v > 2 * med => "\"" + k + "\"" }
+      val med = median(vs.map(_._2).sorted)
+      results.collect { case (k, ts, true)
+        if family(k) == f && vs.length >= 3 && median(ts) > 2 * med =>
+        "\"" + k + "\"" }
     }.mkString("[", ",", "]")
+    val loads = (loadStart ++ loadEnd).map(v => f"$v%.2f")
+      .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"queries":$qs,"queries_min":$mins,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // per-round history so future rounds can diff without the driver
     try {

@@ -23,13 +23,24 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read the physical int64 as nanos and truncate to
-    * micros — exactly what DuckDB does natively, so oracle values match. */
+  /** events.parquet's `ts` physical type varies by fixture generation:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * the physical int64 as nanos and truncate to micros, exactly what
+    * DuckDB does natively) or native micros TIMESTAMP/TIMESTAMP_NTZ.
+    * Both normalize to the same session-TZ TimestampType column (the
+    * sessions pin UTC, so NTZ→LTZ is value-preserving and oracle
+    * values match either way). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

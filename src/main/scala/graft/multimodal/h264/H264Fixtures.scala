@@ -25,14 +25,20 @@ object H264Fixtures {
 
   def qpFor(docId: Long): Int = 16 + (docId % 24).toInt
 
-  /** one 16x16 single-MB avc1 video, `n` frames cycling the 3 kinds */
-  def video(docId: Long, n: Int): Array[Byte] = {
+  /** one 16x16 single-MB avc1 video, `n` frames cycling the 3 kinds.
+    * Every frame is an IDR (independently decodable); `syncEvery > 1`
+    * marks only every k-th frame as a sync sample in stss — the
+    * container-level keyframe cadence the kf sampler consumes
+    * (`pack/samplers.py:121-157` reads the index, then decodes the
+    * marked frames), without making any frame's DECODE depend on
+    * another's. */
+  def video(docId: Long, n: Int, syncEvery: Int = 1): Array[Byte] = {
     val qp = qpFor(docId)
     val sps = Encoder.spsFor(16, 16)
     val pps = Encoder.ppsFor(qp)
     val samples = (0 until n).map(f => frameSample(docId, f, qp, sps))
     Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
-      width = 16, height = 16, syncEvery = 1,
+      width = 16, height = 16, syncEvery = syncEvery,
       sampleEntryExtension = Encoder.avccBox(sps, pps))
   }
 

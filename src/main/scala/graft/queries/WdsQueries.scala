@@ -149,6 +149,67 @@ object WdsQueries extends QueryRegistry {
        |  FROM sh s JOIN g ON s.shard = g.shard + 1)
        |SELECT shard, nsamples, group_id FROM g ORDER BY shard""".stripMargin
 
+  /** Loopback HTTP server for the `http:` scheme gate row: serves
+    * `.tar` files under java.io.tmpdir by absolute path, one per JVM,
+    * ephemeral port, daemon pool, stopped by the JVM shutdown hook.
+    * Test harness only — a production `http:` shard URL points at real
+    * object storage; the SCHEME path through Gopen/Hadoop
+    * HttpFileSystem is what this exercises. */
+  private[graft] lazy val httpFixturePort: Int = {
+    // the JDK server spawns its HTTP-Dispatcher / idle-timeout threads
+    // with the CREATING thread's daemon status — start it from a daemon
+    // thread or a finished gate JVM never exits (main returns, the
+    // non-daemon dispatcher keeps the process alive, the shutdown hook
+    // that would stop it never fires)
+    @volatile var port = 0
+    val boot = new Thread(() => {
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val tmpRoot = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")).toRealPath()
+      srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val p = java.nio.file.Paths.get(ex.getRequestURI.getPath)
+        val ok = p.toString.endsWith(".tar") &&
+          java.nio.file.Files.isRegularFile(p) &&
+          p.toRealPath().startsWith(tmpRoot)
+        if (!ok) { ex.sendResponseHeaders(404, -1); ex.close() }
+        else {
+          ex.sendResponseHeaders(200, java.nio.file.Files.size(p))
+          java.nio.file.Files.copy(p, ex.getResponseBody)
+          ex.close()
+        }
+      })
+      srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+        r => { val t = new Thread(r, "graft-http-fixture")
+               t.setDaemon(true); t }))
+      srv.start()
+      port = srv.getAddress.getPort
+    }, "graft-http-fixture-boot")
+    boot.setDaemon(true)
+    boot.start()
+    boot.join()
+    require(port > 0, "http fixture server failed to start")
+    port
+  }
+
+  /** wds22: the `http:` scheme end-to-end under the DSv2 path — every
+    * shard's bytes arrive over HTTP GET through Hadoop's read-only
+    * HttpFileSystem (the reference's `gopen_curl` transport,
+    * `gopen.py:153-330`), served by a loopback fixture server. Same
+    * per-sample oracle as the E1 spine. */
+  private def httpPack(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_e1h")
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+        alignShards = true))
+    val port = httpFixturePort
+    val urls = numericShardUrls(info).map(u =>
+      s"http://127.0.0.1:$port" + new java.net.URI(u).getPath)
+    s.read.format("wds").load(urls: _*)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
+      .orderBy(col("key"))
+  }
+
   /** wds21: the `pipe:` scheme end-to-end under the DSv2 path — every
     * shard's bytes arrive from a subprocess stdout stream (`pipe:cat
     * <shard>`; the reference's gopen shell-pipeline transport,
@@ -327,6 +388,56 @@ object WdsQueries extends QueryRegistry {
     s"""SELECT $KeyExpr AS key, 25 AS n_entries,
        | 6 AS n_iframes, 18 AS n_pframes
        |FROM $RnCte ORDER BY key""".stripMargin
+
+  /** wds23: the kf sampler over REAL H.264 — the reference's production
+    * video path end-to-end (`pack/samplers.py:121-157` +
+    * `pack/tools.py:101-140`): per-doc avc1 fixtures with a 3-frame
+    * sync cadence in stss; the sampler probes the container index for
+    * I-marks, DECODES each selected frame through the pure-JVM H.264
+    * baseline decoder, appends the last frame to the I-run, P-fills,
+    * sort-merges, packs to tars and reads back through DSv2. The
+    * oracle replays the I/P arithmetic from the (n, syncEvery)
+    * geometry; a decode failure anywhere drops rows and fails the
+    * hash. */
+  private def kfAvcPack(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_kfa")
+    val docId = "([0-9]{9})".r
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Kf,
+        frames = graft.pack.FrameSource.Mp4Frames,
+        samplesPerTar = 100, alignShards = true),
+      mediaFor = path => {
+        val id = docId.findFirstIn(path).get.toLong
+        graft.multimodal.h264.H264Fixtures.video(id, (7 + id % 5).toInt,
+          syncEvery = 3)
+      })
+    def tokCount(tok: String) =
+      ((length(jsonCol) - length(regexp_replace(jsonCol, tok, ""))) /
+        tok.length).cast("int")
+    readBack(s, info)
+      .select(col("key"), size(map_keys(col("entries"))).as("n_entries"),
+        tokCount("<Iimage>").as("n_iframes"),
+        tokCount("<Pimage>").as("n_pframes"))
+      .orderBy(col("key"))
+  }
+
+  /** I-marks at 0,3,6,… → nsync = (n-1)/3 + 1; the I-run appends the
+    * last frame unconditionally (duplicate index retained), the P-run
+    * drops its last element; entries = all frames + json. */
+  private val kfAvcPackSql =
+    """WITH t AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT rn, 7 + doc_id % 5 AS n,
+      |    (7 + doc_id % 5 - 1) // 3 + 1 AS nsync
+      |  FROM t)
+      |SELECT printf('%09d', rn - 1) AS key,
+      |  (n + 1)::INT AS n_entries,
+      |  (nsync + 1)::INT AS n_iframes,
+      |  (n - nsync - 1)::INT AS n_pframes
+      |FROM g ORDER BY key""".stripMargin
 
   /** video_interleave sampler: two clips per record → sibling mp4
     * entries regrouped under the json on read-back. */
@@ -1233,6 +1344,9 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds23_kf_avc" -> QueryDef(kfAvcPack, Some(kfAvcPackSql),
+      bench = true),
+    "wds22_http_scheme" -> QueryDef(httpPack, Some(packKeysSql)),
     "wds21_pipe_scheme" -> QueryDef(pipePack, Some(packKeysSql)),
     "wds20_compaction_exec" -> QueryDef(compactionExec,
       Some(compactionExecSql), bench = true),

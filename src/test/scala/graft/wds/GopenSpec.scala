@@ -55,6 +55,20 @@ class GopenSpec extends SparkSpec {
     assert(df.count() == 4)
   }
 
+  test("http: scheme streams a tar identically to the file: path") {
+    val tar = writeTar(6)
+    val port = graft.queries.WdsQueries.httpFixturePort
+    val url = s"http://127.0.0.1:$port$tar"
+    val direct = WdsReader.readUrls(spark, Seq(tar))
+      .collect().map(s => s.key -> new String(s.entries("txt"), UTF_8))
+    val http = WdsReader.readUrls(spark, Seq(url))
+      .collect().map(s => s.key -> new String(s.entries("txt"), UTF_8))
+    assert(http.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+    // and through the DSv2 path
+    assert(spark.read.format("wds").option("paths", url).load()
+      .count() == 6)
+  }
+
   test("early close tolerates SIGPIPE (slice stops the producer)") {
     val tar = writeTar(50)
     import SampleOps._

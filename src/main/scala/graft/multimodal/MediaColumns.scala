@@ -263,6 +263,55 @@ object MediaColumns {
       }.toDF()
   }
 
+  final case class PitchTrack(
+      media_id: Long,
+      n_samples: Int,
+      best_lag: Int,
+      r_zero: Long,
+      r_best: Long)
+
+  /** Pitch estimation via integer autocorrelation over a PCM channel —
+    * the classic voiced-pitch detector: R(L) = Σ x[i]·x[i+L] maximized
+    * over a lag band (ties → smallest lag), with R(0) as the energy
+    * normalizer. All-integer arithmetic on the raw 16-bit samples, so
+    * the result is exactly reproducible by an oracle replaying the
+    * same sums — no FFT float drift. Narrow mapPartitions: audio bytes
+    * die in-task, one summary row per clip leaves. */
+  def pitchTrack(df: DataFrame, minLag: Int, maxLag: Int): DataFrame = {
+    require(0 < minLag && minLag <= maxLag, s"lag band $minLag..$maxLag")
+    implicit val enc = Encoders.product[PitchTrack]
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          val step = w.channels
+          val n = w.frames
+          var r0 = 0L
+          var i = 0
+          while (i < n) {
+            val v = w.samples(i * step).toLong
+            r0 += v * v
+            i += 1
+          }
+          var bestLag = -1
+          var rBest = Long.MinValue
+          var lag = minLag
+          while (lag <= maxLag) {
+            var r = 0L
+            var j = 0
+            while (j + lag < n) {
+              r += w.samples(j * step).toLong * w.samples((j + lag) * step)
+              j += 1
+            }
+            if (r > rBest) { rBest = r; bestLag = lag }
+            lag += 1
+          }
+          PitchTrack(id, n, bestLag, r0, rBest)
+        }
+      }.toDF()
+  }
+
   final case class GopStats(
       media_id: Long,
       n_samples: Int,

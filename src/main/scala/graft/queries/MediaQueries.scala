@@ -144,6 +144,60 @@ object MediaQueries extends QueryRegistry {
       |    AND least((b+1)*h, n) - b*h >= 15), -1)::INT AS first_start
       |FROM blocks GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** mm15: pitch tracking over an audio column — per-doc periodic PCM
+    * fixtures (sawtooth of period P, integer waveform values) decoded
+    * through the REAL WAV codec, then the integer-autocorrelation
+    * pitch estimator ([[MediaColumns.pitchTrack]]): argmax of
+    * R(L) = Σ x[i]·x[i+L] over the 20–60-sample lag band, ties to the
+    * smallest lag. The oracle replays every product-sum exactly
+    * (all-integer DSP — no FFT float drift), so a wrong sample
+    * anywhere in encode→decode→correlate shifts a value. The detected
+    * lag equals the synthesized period by construction, making the
+    * row a physical sanity check too. */
+  private def pitchTrack(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf { (id: Long) =>
+      val p = 25 + (id % 30).toInt
+      val n = 800 + (id % 10).toInt * 40
+      val samples = Array.tabulate(n)(i =>
+        (((i % p) * 997) % 2001 - 1000).toShort)
+      WavCodec.encode(WavCodec.Wav(16000, 1, samples))
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), mkWav(col("doc_id")).as("content"))
+    MediaColumns.pitchTrack(media, minLag = 20, maxLag = 60)
+      .orderBy(col("media_id"))
+  }
+
+  private val pitchTrackSql =
+    """WITH geom AS (
+      |  SELECT doc_id, (25 + doc_id % 30)::INT AS p,
+      |    (800 + (doc_id % 10) * 40)::INT AS n
+      |  FROM documents),
+      |rs AS (
+      |  SELECT doc_id, lag,
+      |    list_sum(list_transform(generate_series(0, n - lag - 1), i ->
+      |      (((i % p) * 997) % 2001 - 1000)
+      |      * ((((i + lag) % p) * 997) % 2001 - 1000)))::BIGINT AS r
+      |  FROM geom,
+      |    (SELECT unnest(generate_series(20, 60)) AS lag) l),
+      |r0 AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(generate_series(0, n - 1), i ->
+      |      (((i % p) * 997) % 2001 - 1000)
+      |      * (((i % p) * 997) % 2001 - 1000)))::BIGINT AS r_zero
+      |  FROM geom),
+      |best AS (
+      |  SELECT doc_id, lag, r,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY r DESC, lag ASC) AS rk
+      |  FROM rs)
+      |SELECT g.doc_id AS media_id, g.n AS n_samples,
+      |  b.lag::INT AS best_lag, r0.r_zero, b.r AS r_best
+      |FROM geom g
+      |JOIN best b ON b.doc_id = g.doc_id AND b.rk = 1
+      |JOIN r0 ON r0.doc_id = g.doc_id
+      |ORDER BY media_id""".stripMargin
+
   /** mm11: SRT subtitle parse + time-range alignment. Cues round-trip
     * through the REAL formatter and parser ([[Subtitles]]), then a
     * range join assigns each sampled frame timestamp its covering cue
@@ -450,6 +504,8 @@ object MediaQueries extends QueryRegistry {
       |FROM allk GROUP BY kind ORDER BY kind""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "mm15_pitch_track" -> QueryDef(pitchTrack, Some(pitchTrackSql),
+      bench = true),
     "mm14_avc_decode" -> QueryDef(avcDecodeStats, Some(avcDecodeStatsSql),
       bench = true),
     "mm13_codec_audit" -> QueryDef(codecAudit, Some(codecAuditSql),

@@ -151,6 +151,40 @@ class MediaColumnsSpec extends SparkSpec {
     assert(r6.getAs[Int]("n_segments") == 1)
   }
 
+  test("pitchTrack: argmax lag equals the period, ties break low, " +
+    "stereo reads channel 0") {
+    import spark.implicits._
+    // perfect period-8 sawtooth: R(8) is the global max in band 4..12
+    val mono = Array.tabulate(160)(i => ((i % 8) * 100 - 350).toShort)
+    val df = Seq((1L, WavCodec.encode(WavCodec.Wav(8000, 1, mono))))
+      .toDF("media_id", "content")
+    val r = MediaColumns.pitchTrack(df, 4, 12).collect().head
+    assert(r.getAs[Int]("best_lag") == 8)
+    assert(r.getAs[Long]("r_zero") > r.getAs[Long]("r_best"))
+    // genuine tie: impulses 2,1,2 at indices 0,5,10 give
+    // R(5) = 2·1 + 1·2 = 4 = 2·2 = R(10), every other band lag 0 —
+    // the tie must break to the SMALLEST lag (strict > in the scan)
+    val tie = new Array[Short](11)
+    tie(0) = 2; tie(5) = 1; tie(10) = 2
+    val dfTie = Seq((2L, WavCodec.encode(WavCodec.Wav(8000, 1, tie))))
+      .toDF("media_id", "content")
+    val rTie = MediaColumns.pitchTrack(dfTie, 4, 10).collect().head
+    assert(rTie.getAs[Long]("r_best") == 4L)
+    assert(rTie.getAs[Int]("best_lag") == 5)
+    // stereo: channel 0 carries the period-8 tone, channel 1 noise —
+    // the estimator must read only channel 0 (frame stride)
+    val stereo = new Array[Short](mono.length * 2)
+    mono.indices.foreach { i =>
+      stereo(2 * i) = mono(i)
+      stereo(2 * i + 1) = ((i * 7919) % 1201 - 600).toShort
+    }
+    val dfSt = Seq((3L, WavCodec.encode(WavCodec.Wav(8000, 2, stereo))))
+      .toDF("media_id", "content")
+    val rSt = MediaColumns.pitchTrack(dfSt, 4, 12).collect().head
+    assert(rSt.getAs[Int]("best_lag") == 8)
+    assert(rSt.getAs[Long]("r_zero") == r.getAs[Long]("r_zero"))
+  }
+
   test("resizeNearest identity returns the same pixels") {
     val img = Codecs.ImageData(3, 4, 3, "RGB",
       Array.tabulate(36)(i => (i * 7 % 251).toByte))

@@ -1,0 +1,72 @@
+"""Linear-time python replay of the four doc-level recursive-CTE oracles
+(50k-deep recursion is impractical in DuckDB at sf1; the fold itself is
+trivially linear). Semantics copied from the dumped oracle SQL."""
+import duckdb, pandas as pd
+
+con = duckdb.connect()
+docs = con.sql(
+    "SELECT row_number() OVER (ORDER BY doc_id) AS rn, "
+    "len(string_split(text, ' ')) AS words "
+    "FROM '/tmp/sf1/documents.parquet' ORDER BY 1").fetchall()
+
+def greedy(toks, cap=8000):
+    """(rn, toks) -> list of bins [(members:[(rn,toks)], sum_toks)];
+    flush when acc+t > cap; INCLUDES the final partial bin last."""
+    bins, cur, acc = [], [], 0
+    for rn, t in toks:
+        if cur and acc + t > cap:
+            bins.append((cur, acc)); cur, acc = [], 0
+        cur.append((rn, t)); acc += t
+    if cur: bins.append((cur, acc))
+    return bins
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def cmp(name, want):
+    got = con.sql(f"SELECT * FROM '/tmp/v7sf1/{name}/*.parquet'").df()
+    g, w = norm(got), norm(want)
+    ok = list(g.columns) == list(w.columns) and len(g) == len(w) and \
+        g.astype(str).equals(w.astype(str))
+    print(("ok    " if ok else "FAIL  ") + f" {name} (python replay)",
+          flush=True)
+    if not ok:
+        print("got", g.head(), "\nwant", w.head())
+
+# wds03 / wds18: single group, toks = 1034 + words; full bins only;
+# key = '0-%d' % (next bin's first rn - 1); n_images = 4 * n_docs
+toks = [(rn, 1034 + w) for rn, w in docs]
+bins = greedy(toks)
+rows = []
+for i in range(len(bins) - 1):  # drop the final partial bin
+    members, s = bins[i]
+    nxt_first_rn = bins[i + 1][0][0][0]
+    rows.append((f"0-{nxt_first_rn - 1}", s - (len(members) - 1),
+                 4 * len(members)))
+want = pd.DataFrame(rows, columns=["key", "n_tokens", "n_images"])
+want["n_tokens"] = want["n_tokens"].astype("int32")
+want["n_images"] = want["n_images"].astype("int32")
+cmp("wds03_tokenize_pack", want)
+cmp("wds18_stream_tokenize", want)
+
+# wds04: toks = 518 + words, single group; nsamples = #full bins
+toks4 = [(rn, 518 + w) for rn, w in docs]
+bins4 = greedy(toks4)
+want4 = pd.DataFrame([("shard_0-000000", len(bins4) - 1)],
+                     columns=["shard", "nsamples"])
+cmp("wds04_index_check", want4)
+
+# wds11: 125-doc aligned chunks = merge groups; per group full bins:
+# n_bins, n_docs, n_tokens = sum(sum_toks - (n_docs_in_bin - 1))
+rows11 = []
+for g in range(0, (len(docs) + 124) // 125):
+    chunk = toks[g * 125:(g + 1) * 125]
+    b = greedy(chunk)
+    full = b[:-1]  # drop final partial bin
+    if full:
+        rows11.append((g, len(full), sum(len(m) for m, _ in full),
+                       sum(s - (len(m) - 1) for m, s in full)))
+want11 = pd.DataFrame(rows11,
+    columns=["group", "n_bins", "n_docs", "n_tokens"])
+cmp("wds11_tokenize_multi", want11)

@@ -1,13 +1,23 @@
 package graft.multimodal.h264
 
-/** H.264 in-loop deblocking filter (spec 8.7), I-slice subset: every
-  * macroblock is intra, so bS = 4 on MB edges and 3 on internal 4x4
-  * edges; I_PCM macroblocks carry QP 0 (alpha(0) = 0 disables their
-  * edges naturally, 8.7.2). Filters in the spec's order — all vertical
+/** H.264 in-loop deblocking filter (spec 8.7). The I-slice path keeps
+  * the fixed intra strengths (bS = 4 on MB edges, 3 on internal 4x4
+  * edges); P slices pass a [[Deblock.FrameMeta]] so bS derives per
+  * 4x4-block edge from the 8.7.2.1 rules (intra → 4/3, coded residual
+  * → 2, MV delta ≥ one full sample → 1, else 0 = unfiltered). I_PCM
+  * macroblocks carry QP 0 (alpha(0) = 0 disables their edges
+  * naturally, 8.7.2). Filters in the spec's order — all vertical
   * edges of an MB, then its horizontal edges, MBs in raster order —
   * using already-filtered samples as later-edge inputs.
   */
 object Deblock {
+
+  /** per-4x4-block side inputs for inter bS derivation (8.7.2.1):
+    * `intraMb` per MB; `nzY` total luma coefficients per block;
+    * `refGrid`/`mvxGrid`/`mvyGrid` as built by the P-slice decode
+    * (refGrid < 0 means intra/unavailable). */
+  final case class FrameMeta(intraMb: Array[Boolean], nzY: Array[Int],
+      refGrid: Array[Int], mvxGrid: Array[Int], mvyGrid: Array[Int])
 
   private val Alpha: Array[Int] = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
@@ -84,37 +94,62 @@ object Deblock {
     }
   }
 
-  /** Deblock a full I-frame in place.
+  /** Deblock a full frame in place.
     * @param mbQp   per-MB luma QP (raster order; PCM MBs must carry 0)
     * @param offA   2 * slice_alpha_c0_offset_div2
     * @param offB   2 * slice_beta_offset_div2
-    * @param chromaQpOffset PPS chroma_qp_index_offset */
+    * @param chromaQpOffset PPS chroma_qp_index_offset
+    * @param meta   null for all-intra frames (bS fixed 4/3); P-slice
+    *               decode passes block-level inputs for 8.7.2.1 */
   def frame(y: Array[Int], cb: Array[Int], cr: Array[Int], mbW: Int,
       mbH: Int, mbQp: Array[Int], offA: Int, offB: Int,
-      chromaQpOffset: Int): Unit = {
+      chromaQpOffset: Int, meta: FrameMeta = null): Unit = {
     val strideY = mbW * 16
     val strideC = mbW * 8
+    val bCols = mbW * 4
 
+    /** bS across the edge between luma 4x4 blocks p and q (8.7.2.1) */
+    def bsBlocks(pbx: Int, pby: Int, qbx: Int, qby: Int,
+        mbEdge: Boolean): Int = {
+      if (meta == null) return if (mbEdge) 4 else 3
+      val pIntra = meta.intraMb((pby / 4) * mbW + pbx / 4)
+      val qIntra = meta.intraMb((qby / 4) * mbW + qbx / 4)
+      if (pIntra || qIntra) return if (mbEdge) 4 else 3
+      val pi = pby * bCols + pbx
+      val qi = qby * bCols + qbx
+      if (meta.nzY(pi) > 0 || meta.nzY(qi) > 0) return 2
+      // both inter with the same (single) reference picture
+      if (math.abs(meta.mvxGrid(pi) - meta.mvxGrid(qi)) >= 4 ||
+        math.abs(meta.mvyGrid(pi) - meta.mvyGrid(qi)) >= 4) 1
+      else 0
+    }
+
+    /** filter nLines across an edge; bsOf maps the line index to its
+      * 4x4-block-pair bS (constant within each 4-line luma / 2-line
+      * chroma group). */
     def edge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
-        nLines: Int, vertical: Boolean, bS: Int, qpAv: Int,
+        nLines: Int, vertical: Boolean, bsOf: Int => Int, qpAv: Int,
         chroma: Boolean): Unit = {
       val indexA = clip3(0, 51, qpAv + offA)
       val indexB = clip3(0, 51, qpAv + offB)
       val alpha = Alpha(indexA)
       val beta = Beta(indexB)
       if (alpha == 0 || beta == 0) return
-      val tc0 = if (bS < 4) Tc0(indexA)(bS - 1) else 0
       var k = 0
       while (k < nLines) {
-        if (vertical) {
-          val base = (y0 + k) * stride + x0
-          filterLine(i => plane(base + i), (i, v) => plane(base + i) = v,
-            bS, alpha, beta, tc0, chroma)
-        } else {
-          val base = y0 * stride + x0 + k
-          filterLine(i => plane(base + i * stride),
-            (i, v) => plane(base + i * stride) = v,
-            bS, alpha, beta, tc0, chroma)
+        val bS = bsOf(k)
+        if (bS > 0) {
+          val tc0 = if (bS < 4) Tc0(indexA)(bS - 1) else 0
+          if (vertical) {
+            val base = (y0 + k) * stride + x0
+            filterLine(i => plane(base + i), (i, v) => plane(base + i) = v,
+              bS, alpha, beta, tc0, chroma)
+          } else {
+            val base = y0 * stride + x0 + k
+            filterLine(i => plane(base + i * stride),
+              (i, v) => plane(base + i * stride) = v,
+              bS, alpha, beta, tc0, chroma)
+          }
         }
         k += 1
       }
@@ -126,21 +161,33 @@ object Deblock {
       while (mbX < mbW) {
         val qp = mbQp(mbY * mbW + mbX)
         val qpc = Transform.chromaQp(qp, chromaQpOffset)
+        val bx0 = mbX * 4
+        val by0 = mbY * 4
         // vertical edges (filter across columns), left MB edge first
         if (mbX > 0) {
           val qpL = mbQp(mbY * mbW + mbX - 1)
           val qpAvY = (qp + qpL + 1) >> 1
           val qpAvC = (qpc + Transform.chromaQp(qpL, chromaQpOffset) + 1) >> 1
-          edge(y, strideY, mbX * 16, mbY * 16, 16, true, 4, qpAvY, false)
-          edge(cb, strideC, mbX * 8, mbY * 8, 8, true, 4, qpAvC, true)
-          edge(cr, strideC, mbX * 8, mbY * 8, 8, true, 4, qpAvC, true)
+          def bsV(lumaRow: Int): Int =
+            bsBlocks(bx0 - 1, by0 + lumaRow, bx0, by0 + lumaRow, true)
+          edge(y, strideY, mbX * 16, mbY * 16, 16, true,
+            k => bsV(k / 4), qpAvY, false)
+          edge(cb, strideC, mbX * 8, mbY * 8, 8, true,
+            k => bsV(k / 2), qpAvC, true)
+          edge(cr, strideC, mbX * 8, mbY * 8, 8, true,
+            k => bsV(k / 2), qpAvC, true)
         }
         var e = 1
         while (e < 4) {
-          edge(y, strideY, mbX * 16 + e * 4, mbY * 16, 16, true, 3, qp, false)
+          val ec = e
+          edge(y, strideY, mbX * 16 + e * 4, mbY * 16, 16, true,
+            k => bsBlocks(bx0 + ec - 1, by0 + k / 4, bx0 + ec, by0 + k / 4,
+              false), qp, false)
           if (e == 2) {
-            edge(cb, strideC, mbX * 8 + 4, mbY * 8, 8, true, 3, qpc, true)
-            edge(cr, strideC, mbX * 8 + 4, mbY * 8, 8, true, 3, qpc, true)
+            def bsC(k: Int): Int =
+              bsBlocks(bx0 + 1, by0 + k / 2, bx0 + 2, by0 + k / 2, false)
+            edge(cb, strideC, mbX * 8 + 4, mbY * 8, 8, true, bsC, qpc, true)
+            edge(cr, strideC, mbX * 8 + 4, mbY * 8, 8, true, bsC, qpc, true)
           }
           e += 1
         }
@@ -149,16 +196,26 @@ object Deblock {
           val qpT = mbQp((mbY - 1) * mbW + mbX)
           val qpAvY = (qp + qpT + 1) >> 1
           val qpAvC = (qpc + Transform.chromaQp(qpT, chromaQpOffset) + 1) >> 1
-          edge(y, strideY, mbX * 16, mbY * 16, 16, false, 4, qpAvY, false)
-          edge(cb, strideC, mbX * 8, mbY * 8, 8, false, 4, qpAvC, true)
-          edge(cr, strideC, mbX * 8, mbY * 8, 8, false, 4, qpAvC, true)
+          def bsH(lumaCol: Int): Int =
+            bsBlocks(bx0 + lumaCol, by0 - 1, bx0 + lumaCol, by0, true)
+          edge(y, strideY, mbX * 16, mbY * 16, 16, false,
+            k => bsH(k / 4), qpAvY, false)
+          edge(cb, strideC, mbX * 8, mbY * 8, 8, false,
+            k => bsH(k / 2), qpAvC, true)
+          edge(cr, strideC, mbX * 8, mbY * 8, 8, false,
+            k => bsH(k / 2), qpAvC, true)
         }
         e = 1
         while (e < 4) {
-          edge(y, strideY, mbX * 16, mbY * 16 + e * 4, 16, false, 3, qp, false)
+          val ec = e
+          edge(y, strideY, mbX * 16, mbY * 16 + e * 4, 16, false,
+            k => bsBlocks(bx0 + k / 4, by0 + ec - 1, bx0 + k / 4, by0 + ec,
+              false), qp, false)
           if (e == 2) {
-            edge(cb, strideC, mbX * 8, mbY * 8 + 4, 8, false, 3, qpc, true)
-            edge(cr, strideC, mbX * 8, mbY * 8 + 4, 8, false, 3, qpc, true)
+            def bsC(k: Int): Int =
+              bsBlocks(bx0 + k / 2, by0 + 1, bx0 + k / 2, by0 + 2, false)
+            edge(cb, strideC, mbX * 8, mbY * 8 + 4, 8, false, bsC, qpc, true)
+            edge(cr, strideC, mbX * 8, mbY * 8 + 4, 8, false, bsC, qpc, true)
           }
           e += 1
         }

@@ -1,16 +1,18 @@
 package graft.multimodal.h264
 
-/** Pure-JVM H.264 baseline I-frame decoder: AVCC samples (length-
-  * prefixed NALs, avcC config from the mp4 stsd entry) → YUV 4:2:0
-  * pixel planes. Covers what the reference's keyframe path needs
-  * (`pack/samplers.py:121-157` extracts I-frames via decord/ffmpeg;
-  * intra-only decode reproduces exactly those): CAVLC entropy coding,
-  * Intra_4x4 / Intra_16x16 / I_PCM macroblocks, chroma intra modes,
-  * dequant + inverse transforms, in-loop deblocking. Non-baseline or
-  * inter features (CABAC, P/B slices, fields, 8x8 transform) raise
-  * [[UnsupportedFeature]] so the FrameSource seam can triage
-  * them as the typed unsupported-codec signal (mm13) instead of
-  * emitting garbage pixels.
+/** Pure-JVM H.264 baseline decoder: AVCC samples (length-prefixed
+  * NALs, avcC config from the mp4 stsd entry) → YUV 4:2:0 pixel
+  * planes. Covers the reference's video sampling paths
+  * (`pack/samplers.py:102-157` extracts I-frames AND arbitrary
+  * segment-center frames via decord/ffmpeg): CAVLC entropy coding,
+  * Intra_4x4 / Intra_16x16 / I_PCM macroblocks, P slices with
+  * P_Skip / 16x16 / 16x8 / 8x16 / 8x8 (+sub-partition) single-reference
+  * motion compensation at quarter-pel precision, dequant + inverse
+  * transforms, in-loop deblocking with inter boundary-strength
+  * derivation. Non-baseline features (CABAC, B slices, multiple
+  * reference frames, fields, 8x8 transform) raise [[UnsupportedFeature]]
+  * so the FrameSource seam can triage them as the typed
+  * unsupported-codec signal (mm13) instead of emitting garbage pixels.
   */
 object Decoder {
 
@@ -73,9 +75,20 @@ object Decoder {
     16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
 
+  /** Table 9-4 codeNum → coded_block_pattern, inter column */
+  private val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
   private[h264] def cbpFromCodeNum(codeNum: Int): Int = {
     require(codeNum < 48, s"coded_block_pattern codeNum $codeNum")
     CbpIntra(codeNum)
+  }
+
+  private[h264] def cbpInterFromCodeNum(codeNum: Int): Int = {
+    require(codeNum < 48, s"coded_block_pattern codeNum $codeNum")
+    CbpInter(codeNum)
   }
 
   private[h264] def codeNumFromCbp(cbp: Int): Int = {
@@ -84,18 +97,40 @@ object Decoder {
     i
   }
 
-  /** decode one AVCC sample into a YUV frame */
-  def decode(sample: Array[Byte], cfg: AvcConfig): Yuv = {
+  private[h264] def codeNumFromCbpInter(cbp: Int): Int = {
+    val i = CbpInter.indexOf(cbp)
+    require(i >= 0, s"cbp $cbp")
+    i
+  }
+
+  /** decode one AVCC sample into a YUV frame. I-slice samples decode
+    * standalone; P-slice samples need `ref`, the previously decoded
+    * reference picture (post-deblock) — callers walk forward from the
+    * nearest sync sample, the decord seek model the reference relies
+    * on (`pack/dataset.py:102-108`). */
+  def decode(sample: Array[Byte], cfg: AvcConfig,
+      ref: Yuv = null): Yuv = {
     val nals = Nal.splitAvccSample(sample, cfg.nalLengthSize)
     val slice = nals.collectFirst {
       case (t, refIdc, rbsp) if t == 5 || t == 1 => (t, refIdc, rbsp)
     }.getOrElse(throw UnsupportedFeature("no slice NAL in sample"))
-    decodeSlice(slice._3, slice._1 == 5, slice._2, cfg)
+    decodeSlice(slice._3, slice._1 == 5, slice._2, cfg, ref)
   }
+
+  /** true iff the sample's slice NAL is a reference picture
+    * (nal_ref_idc > 0) — non-reference samples can be skipped during a
+    * GOP walk when they aren't the target frame. */
+  def isReference(sample: Array[Byte], cfg: AvcConfig): Boolean =
+    Nal.splitAvccSample(sample, cfg.nalLengthSize).collectFirst {
+      case (t, refIdc, _) if t == 5 || t == 1 => refIdc > 0
+    }.getOrElse(false)
 
   // scratch holder for a parsed macroblock's residual levels
   private final class MbResidual {
     var mbType = 0
+    var isInter = false
+    // inter partitions: (x0, y0, w, h, mvx, mvy) in luma samples
+    var parts: Array[(Int, Int, Int, Int, Int, Int)] = null
     var intra4x4Modes: Array[Int] = null // decode order z-index
     var i16PredMode = 0
     var chromaPredMode = 0
@@ -109,11 +144,11 @@ object Decoder {
     var pcmCb: Array[Int] = null
     var pcmCr: Array[Int] = null
     def isPcm: Boolean = pcmY != null
-    def isI16: Boolean = !isPcm && mbType >= 1
+    def isI16: Boolean = !isPcm && !isInter && mbType >= 1
   }
 
   private def decodeSlice(rbsp: Array[Byte], idr: Boolean, refIdc: Int,
-      cfg: AvcConfig): Yuv = {
+      cfg: AvcConfig, ref: Yuv): Yuv = {
     val sps = cfg.sps
     val pps = cfg.pps
     val r = new BitReader(rbsp)
@@ -121,12 +156,30 @@ object Decoder {
     val firstMb = r.ue()
     if (firstMb != 0) throw UnsupportedFeature("multi-slice picture")
     val sliceType = r.ue()
-    if (sliceType % 5 != 2) throw UnsupportedFeature(
-      s"slice_type $sliceType (only I)")
+    val isP = sliceType % 5 == 0
+    if (!isP && sliceType % 5 != 2) throw UnsupportedFeature(
+      s"slice_type $sliceType (only I/P)")
+    if (isP && idr) throw new IllegalArgumentException("P slice in IDR NAL")
     require(r.ue() == 0, "pps id")
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
-    if (sps.picOrderCntType == 0) r.u(sps.log2MaxPocLsb)
+    if (sps.picOrderCntType == 0) {
+      r.u(sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
+    }
+    if (isP) {
+      // ref list sizing + modification (7.3.3.1), single-ref subset
+      val active =
+        if (r.u1() == 1) r.ue() + 1 else pps.numRefIdxL0Default + 1
+      if (active != 1)
+        throw UnsupportedFeature(s"$active reference pictures (only 1)")
+      if (r.u1() == 1)
+        throw UnsupportedFeature("ref_pic_list_modification")
+      if (pps.weightedPred) throw UnsupportedFeature("weighted prediction")
+      require(ref != null, "P slice without a reference frame")
+      require(ref.mbW == sps.mbWidth && ref.mbH == sps.mbHeight,
+        "reference dims mismatch")
+    }
     if (idr) { r.u1(); r.u1() } // no_output_of_prior / long_term_ref
     else if (refIdc > 0) {
       // dec_ref_pic_marking for a non-IDR reference picture (7.3.3.3)
@@ -149,6 +202,7 @@ object Decoder {
     val cb = new Array[Int](strideC * mbH * 8)
     val cr = new Array[Int](strideC * mbH * 8)
     // per-4x4-block nonzero-coefficient counts for CAVLC nC contexts
+    // (doubles as the deblock bS=2 input for inter MBs)
     val nzY = new Array[Int](mbW * 4 * mbH * 4)
     val nzCb = new Array[Int](mbW * 2 * mbH * 2)
     val nzCr = new Array[Int](mbW * 2 * mbH * 2)
@@ -156,6 +210,13 @@ object Decoder {
     val modeMap = Array.fill(mbW * 4 * mbH * 4)(2)
     val mbQp = new Array[Int](mbW * mbH)
     var prevQp = sliceQp
+    // per-4x4-block motion grids (8.4.1.3 prediction + deblock bS)
+    val bCols = mbW * 4
+    val bRows = mbH * 4
+    val refGrid = Array.fill(bCols * bRows)(MotionPred.Unavail)
+    val mvxGrid = new Array[Int](bCols * bRows)
+    val mvyGrid = new Array[Int](bCols * bRows)
+    val intraMb = new Array[Boolean](mbW * mbH)
 
     def nzAt(map: Array[Int], cols: Int, bx: Int, by: Int): Int =
       map(by * cols + bx)
@@ -192,23 +253,46 @@ object Decoder {
       out
     }
 
-    var mbIdx = 0
-    while (mbIdx < mbW * mbH) {
-      val mbX = mbIdx % mbW
-      val mbY = mbIdx / mbW
-      val mb = new MbResidual
+    /** mark every 4x4 block of MB (mbX, mbY) intra in the motion grid */
+    def markIntra(mbX: Int, mbY: Int): Unit = {
+      intraMb(mbY * mbW + mbX) = true
+      var by = 0
+      while (by < 4) {
+        var bx = 0
+        while (bx < 4) {
+          refGrid((mbY * 4 + by) * bCols + mbX * 4 + bx) = MotionPred.Intra
+          bx += 1
+        }
+        by += 1
+      }
+    }
 
-      // --- macroblock_layer (7.3.5), I-slice ---
-      mb.mbType = r.ue()
-      if (mb.mbType > 25) throw UnsupportedFeature(s"mb_type ${mb.mbType}")
+    /** fill the motion grid for a partition (luma sample coords) */
+    def fillMv(px: Int, py: Int, w: Int, h: Int, mvx: Int, mvy: Int): Unit = {
+      var by = py / 4
+      while (by < (py + h) / 4) {
+        var bx = px / 4
+        while (bx < (px + w) / 4) {
+          refGrid(by * bCols + bx) = 0
+          mvxGrid(by * bCols + bx) = mvx
+          mvyGrid(by * bCols + bx) = mvy
+          bx += 1
+        }
+        by += 1
+      }
+    }
 
+    /** parse one intra macroblock_layer (mb.mbType already set to the
+      * I-slice-table value 0..25) */
+    def parseIntraMb(mb: MbResidual, mbX: Int, mbY: Int): Unit = {
+      markIntra(mbX, mbY)
       if (mb.mbType == 25) { // I_PCM
         r.alignToByte()
         mb.pcmY = Array.fill(256)(r.u(8))
         mb.pcmCb = Array.fill(64)(r.u(8))
         mb.pcmCr = Array.fill(64)(r.u(8))
         mb.qpY = prevQp // unchanged for subsequent delta chains
-        mbQp(mbIdx) = 0 // 8.7.2: PCM edges filter with QP 0
+        mbQp(mbY * mbW + mbX) = 0 // 8.7.2: PCM edges filter with QP 0
         var k = 0
         while (k < 16) {
           val (bx, by) = ZOrder(k)
@@ -221,108 +305,241 @@ object Decoder {
           nzCr((mbY * 2 + c / 2) * mbW * 2 + mbX * 2 + c % 2) = 16
           c += 1
         }
-      } else {
-        if (mb.mbType == 0) { // I_NxN = Intra_4x4 (no 8x8 in baseline)
-          mb.intra4x4Modes = new Array[Int](16)
-          var k = 0
-          while (k < 16) {
-            val (bx, by) = ZOrder(k)
-            val gbx = mbX * 4 + bx
-            val gby = mbY * 4 + by
-            val mA = if (gbx > 0) modeMap(gby * mbW * 4 + gbx - 1) else 2
-            val mB = if (gby > 0) modeMap((gby - 1) * mbW * 4 + gbx) else 2
-            val pred = math.min(mA, mB)
-            mb.intra4x4Modes(k) =
-              if (r.u1() == 1) pred
-              else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
-            modeMap(gby * mbW * 4 + gbx) = mb.intra4x4Modes(k)
-            k += 1
-          }
-          mb.chromaPredMode = r.ue()
-          val codeNum = r.ue()
-          mb.cbp = cbpFromCodeNum(codeNum)
-        } else { // I_16x16, mb_type 1..24
-          val t = mb.mbType - 1
-          mb.i16PredMode = t % 4
-          mb.cbp = ((t / 4) % 3 << 4) | (if (t >= 12) 15 else 0)
-          mb.chromaPredMode = r.ue()
+        return
+      }
+      if (mb.mbType == 0) { // I_NxN = Intra_4x4 (no 8x8 in baseline)
+        mb.intra4x4Modes = new Array[Int](16)
+        var k = 0
+        while (k < 16) {
+          val (bx, by) = ZOrder(k)
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          val mA = if (gbx > 0) modeMap(gby * mbW * 4 + gbx - 1) else 2
+          val mB = if (gby > 0) modeMap((gby - 1) * mbW * 4 + gbx) else 2
+          val pred = math.min(mA, mB)
+          mb.intra4x4Modes(k) =
+            if (r.u1() == 1) pred
+            else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+          modeMap(gby * mbW * 4 + gbx) = mb.intra4x4Modes(k)
+          k += 1
         }
-        require(mb.chromaPredMode <= 3, "chroma pred mode")
+        mb.chromaPredMode = r.ue()
+        val codeNum = r.ue()
+        mb.cbp = cbpFromCodeNum(codeNum)
+      } else { // I_16x16, mb_type 1..24
+        val t = mb.mbType - 1
+        mb.i16PredMode = t % 4
+        mb.cbp = ((t / 4) % 3 << 4) | (if (t >= 12) 15 else 0)
+        mb.chromaPredMode = r.ue()
+      }
+      require(mb.chromaPredMode <= 3, "chroma pred mode")
 
-        if (mb.cbp != 0 || mb.isI16) {
-          val delta = r.se()
-          require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta")
-          prevQp = ((prevQp + delta + 52) % 52)
-        }
-        mb.qpY = prevQp
-        mbQp(mbIdx) = prevQp
+      if (mb.cbp != 0 || mb.isI16) {
+        val delta = r.se()
+        require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta")
+        prevQp = ((prevQp + delta + 52) % 52)
+      }
+      mb.qpY = prevQp
+      mbQp(mbY * mbW + mbX) = prevQp
 
-        // --- residual (7.3.5.3.2, CAVLC) ---
-        if (mb.isI16) {
-          val blk = Cavlc.readBlock(r, lumaNc(mbX * 4, mbY * 4), 16)
-          mb.lumaDcLevels = unscan(blk.coeffs, skipDc = false)
+      // --- residual (7.3.5.3.2, CAVLC) ---
+      if (mb.isI16) {
+        val blk = Cavlc.readBlock(r, lumaNc(mbX * 4, mbY * 4), 16)
+        mb.lumaDcLevels = unscan(blk.coeffs, skipDc = false)
+      }
+      parseLumaAcAndChroma(mb, mbX, mbY, i16 = mb.isI16)
+    }
+
+    /** shared luma-AC + chroma residual parse (intra and inter) */
+    def parseLumaAcAndChroma(mb: MbResidual, mbX: Int, mbY: Int,
+        i16: Boolean): Unit = {
+      var i8 = 0
+      while (i8 < 4) {
+        var i4 = 0
+        while (i4 < 4) {
+          val k = i8 * 4 + i4
+          val (bx, by) = ZOrder(k)
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          if ((mb.cbp & (1 << i8)) != 0) {
+            val nc = lumaNc(gbx, gby)
+            val blk =
+              if (i16) Cavlc.readBlock(r, nc, 15)
+              else Cavlc.readBlock(r, nc, 16)
+            mb.lumaAc(k) = unscan(blk.coeffs, skipDc = i16)
+            nzY(gby * mbW * 4 + gbx) = blk.totalCoeff
+          } else nzY(gby * mbW * 4 + gbx) = 0
+          i4 += 1
         }
-        var i8 = 0
-        while (i8 < 4) {
-          var i4 = 0
-          while (i4 < 4) {
-            val k = i8 * 4 + i4
-            val (bx, by) = ZOrder(k)
-            val gbx = mbX * 4 + bx
-            val gby = mbY * 4 + by
-            if ((mb.cbp & (1 << i8)) != 0) {
-              val nc = lumaNc(gbx, gby)
-              val blk =
-                if (mb.isI16) Cavlc.readBlock(r, nc, 15)
-                else Cavlc.readBlock(r, nc, 16)
-              mb.lumaAc(k) = unscan(blk.coeffs, skipDc = mb.isI16)
-              nzY(gby * mbW * 4 + gbx) = blk.totalCoeff
-            } else nzY(gby * mbW * 4 + gbx) = 0
-            i4 += 1
-          }
-          i8 += 1
-        }
-        val cbpChroma = mb.cbp >> 4
-        if (cbpChroma != 0) {
-          var c = 0
-          while (c < 2) {
-            mb.chromaDc(c) = Cavlc.readBlock(r, -1, 4).coeffs
-            c += 1
-          }
-        }
+        i8 += 1
+      }
+      val cbpChroma = mb.cbp >> 4
+      if (cbpChroma != 0) {
         var c = 0
         while (c < 2) {
-          val map = if (c == 0) nzCb else nzCr
-          var b = 0
-          while (b < 4) {
-            val gbx = mbX * 2 + b % 2
-            val gby = mbY * 2 + b / 2
-            if (cbpChroma == 2) {
-              val blk = Cavlc.readBlock(r, chromaNc(map, gbx, gby), 15)
-              mb.chromaAc(c)(b) = unscan(blk.coeffs, skipDc = true)
-              map(gby * mbW * 2 + gbx) = blk.totalCoeff
-            } else map(gby * mbW * 2 + gbx) = 0
-            b += 1
-          }
+          mb.chromaDc(c) = Cavlc.readBlock(r, -1, 4).coeffs
           c += 1
         }
       }
-
-      // --- reconstruction (8.3 prediction + 8.5 transforms) ---
-      reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC, pps)
-      mbIdx += 1
+      var c = 0
+      while (c < 2) {
+        val map = if (c == 0) nzCb else nzCr
+        var b = 0
+        while (b < 4) {
+          val gbx = mbX * 2 + b % 2
+          val gby = mbY * 2 + b / 2
+          if (cbpChroma == 2) {
+            val blk = Cavlc.readBlock(r, chromaNc(map, gbx, gby), 15)
+            mb.chromaAc(c)(b) = unscan(blk.coeffs, skipDc = true)
+            map(gby * mbW * 2 + gbx) = blk.totalCoeff
+          } else map(gby * mbW * 2 + gbx) = 0
+          b += 1
+        }
+        c += 1
+      }
     }
 
-    if (disableDeblock != 1)
-      Deblock.frame(y, cb, cr, mbW, mbH, mbQp, offA, offB,
-        pps.chromaQpOffset)
+    /** parse one inter macroblock_layer (P slice, mb_type 0..4) */
+    def parseInterMb(mb: MbResidual, pMbType: Int, mbX: Int, mbY: Int): Unit = {
+      mb.isInter = true
+      val bx0 = mbX * 4
+      val by0 = mbY * 4
+      val parts = Array.newBuilder[(Int, Int, Int, Int, Int, Int)]
+
+      def readMv(px: Int, py: Int, w: Int, h: Int, kind: Int): Unit = {
+        val mvdx = r.se()
+        val mvdy = r.se()
+        val (mpx, mpy) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
+          bCols, bRows, bx0 + px / 4, by0 + py / 4, w / 4, h / 4, kind)
+        val mvx = mpx + mvdx
+        val mvy = mpy + mvdy
+        fillMv(mbX * 16 + px, mbY * 16 + py, w, h, mvx, mvy)
+        parts += ((px, py, w, h, mvx, mvy))
+      }
+
+      pMbType match {
+        case 0 => readMv(0, 0, 16, 16, MotionPred.PartNormal)
+        case 1 =>
+          readMv(0, 0, 16, 8, MotionPred.Part16x8Top)
+          readMv(0, 8, 16, 8, MotionPred.Part16x8Bottom)
+        case 2 =>
+          readMv(0, 0, 8, 16, MotionPred.Part8x16Left)
+          readMv(8, 0, 8, 16, MotionPred.Part8x16Right)
+        case _ => // P_8x8 / P_8x8ref0 (Table 7-17 sub_mb_types)
+          val subTypes = Array.fill(4)(r.ue())
+          subTypes.foreach(t =>
+            require(t <= 3, s"sub_mb_type $t"))
+          // ref_idx_l0 would follow here; absent with 1 active ref
+          var q = 0
+          while (q < 4) {
+            val ox = (q % 2) * 8
+            val oy = (q / 2) * 8
+            subTypes(q) match {
+              case 0 => readMv(ox, oy, 8, 8, MotionPred.PartNormal)
+              case 1 =>
+                readMv(ox, oy, 8, 4, MotionPred.PartNormal)
+                readMv(ox, oy + 4, 8, 4, MotionPred.PartNormal)
+              case 2 =>
+                readMv(ox, oy, 4, 8, MotionPred.PartNormal)
+                readMv(ox + 4, oy, 4, 8, MotionPred.PartNormal)
+              case _ =>
+                var s = 0
+                while (s < 4) {
+                  readMv(ox + (s % 2) * 4, oy + (s / 2) * 4, 4, 4,
+                    MotionPred.PartNormal)
+                  s += 1
+                }
+            }
+            q += 1
+          }
+      }
+      mb.parts = parts.result()
+
+      mb.cbp = cbpInterFromCodeNum(r.ue())
+      if (mb.cbp != 0) {
+        val delta = r.se()
+        require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta")
+        prevQp = ((prevQp + delta + 52) % 52)
+      }
+      mb.qpY = prevQp
+      mbQp(mbY * mbW + mbX) = prevQp
+      parseLumaAcAndChroma(mb, mbX, mbY, i16 = false)
+    }
+
+    /** one P_Skip macroblock: derived MV, zero residual */
+    def skipMb(mbIdx: Int): Unit = {
+      val mbX = mbIdx % mbW
+      val mbY = mbIdx / mbW
+      val (mvx, mvy) = MotionPred.skipMv(refGrid, mvxGrid, mvyGrid,
+        bCols, bRows, mbX * 4, mbY * 4)
+      fillMv(mbX * 16, mbY * 16, 16, 16, mvx, mvy)
+      mbQp(mbIdx) = prevQp
+      val mb = new MbResidual
+      mb.isInter = true
+      mb.qpY = prevQp
+      mb.parts = Array((0, 0, 16, 16, mvx, mvy))
+      reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
+        pps, ref)
+    }
+
+    def decodeMbLayer(mbIdx: Int): Unit = {
+      val mbX = mbIdx % mbW
+      val mbY = mbIdx / mbW
+      val mb = new MbResidual
+      val rawType = r.ue()
+      if (isP) {
+        if (rawType > 30) throw UnsupportedFeature(s"P mb_type $rawType")
+        if (rawType >= 5) {
+          mb.mbType = rawType - 5
+          parseIntraMb(mb, mbX, mbY)
+        } else parseInterMb(mb, rawType, mbX, mbY)
+      } else {
+        if (rawType > 25) throw UnsupportedFeature(s"mb_type $rawType")
+        mb.mbType = rawType
+        parseIntraMb(mb, mbX, mbY)
+      }
+      reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
+        pps, ref)
+    }
+
+    // --- slice_data (7.3.4) ---
+    val total = mbW * mbH
+    var mbIdx = 0
+    if (isP) {
+      while (mbIdx < total) {
+        val skipRun = r.ue()
+        require(mbIdx + skipRun <= total, s"mb_skip_run $skipRun overruns")
+        var s = 0
+        while (s < skipRun) { skipMb(mbIdx); mbIdx += 1; s += 1 }
+        if (mbIdx < total) {
+          require(r.moreRbspData(), "slice_data ended before last MB")
+          decodeMbLayer(mbIdx)
+          mbIdx += 1
+        }
+      }
+    } else {
+      while (mbIdx < total) {
+        decodeMbLayer(mbIdx)
+        mbIdx += 1
+      }
+    }
+
+    if (disableDeblock != 1) {
+      if (isP)
+        Deblock.frame(y, cb, cr, mbW, mbH, mbQp, offA, offB,
+          pps.chromaQpOffset,
+          Deblock.FrameMeta(intraMb, nzY, refGrid, mvxGrid, mvyGrid))
+      else
+        Deblock.frame(y, cb, cr, mbW, mbH, mbQp, offA, offB,
+          pps.chromaQpOffset)
+    }
 
     Yuv(sps.width, sps.height, mbW, mbH, y, cb, cr)
   }
 
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,
       mbH: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
-      strideY: Int, strideC: Int, pps: Pps): Unit = {
+      strideY: Int, strideC: Int, pps: Pps, ref: Yuv): Unit = {
     val x0 = mbX * 16
     val y0 = mbY * 16
 
@@ -342,6 +559,48 @@ object Decoder {
     }
 
     val qp = mb.qpY
+    if (mb.isInter) {
+      // --- inter: quarter-pel MC then 4x4 residual add (8.4 + 8.5) ---
+      val pred = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      var p = 0
+      while (p < mb.parts.length) {
+        val (px, py, w, h, mvx, mvy) = mb.parts(p)
+        Interp.luma(ref.y, strideY, mbH * 16, x0 + px, y0 + py,
+          mvx, mvy, w, h, pred, 16, px, py)
+        Interp.chroma(ref.cb, strideC, mbH * 8, mbX * 8 + px / 2,
+          mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, predCb, 8,
+          px / 2, py / 2)
+        Interp.chroma(ref.cr, strideC, mbH * 8, mbX * 8 + px / 2,
+          mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, predCr, 8,
+          px / 2, py / 2)
+        p += 1
+      }
+      var k = 0
+      while (k < 16) {
+        val (bx, by) = ZOrder(k)
+        val res =
+          if (mb.lumaAc(k) != null) {
+            val c = mb.lumaAc(k).clone()
+            Transform.dequant4x4(c, qp, skipDc = false)
+            Transform.inverse4x4(c)
+          } else null
+        var i = 0
+        while (i < 16) {
+          val px = x0 + bx * 4 + i % 4
+          val py = y0 + by * 4 + i / 4
+          val v = pred((py - y0) * 16 + (px - x0)) +
+            (if (res != null) res(i) else 0)
+          y(py * strideY + px) = clip(v)
+          i += 1
+        }
+        k += 1
+      }
+      interChroma(mb, mbX, mbY, cb, cr, strideC, predCb, predCr, pps)
+      return
+    }
+
     if (mb.isI16) {
       val pred = new Array[Int](256)
       Predict.intra16x16(mb.i16PredMode, y, strideY, x0, y0,
@@ -405,7 +664,7 @@ object Decoder {
       }
     }
 
-    // chroma
+    // intra chroma
     val qpc = Transform.chromaQp(qp, pps.chromaQpOffset)
     val cx0 = mbX * 8
     val cy0 = mbY * 8
@@ -415,32 +674,51 @@ object Decoder {
       val plane = if (c == 0) cb else cr
       Predict.chroma8x8(mb.chromaPredMode, plane, strideC, cx0, cy0,
         mbX > 0, mbY > 0, predC)
-      val dc =
-        if (mb.chromaDc(c) != null) Transform.chromaDc(mb.chromaDc(c), qpc)
-        else new Array[Int](4)
-      var b = 0
-      while (b < 4) {
-        val d =
-          if (mb.chromaAc(c)(b) != null) {
-            val cc = mb.chromaAc(c)(b).clone()
-            Transform.dequant4x4(cc, qpc, skipDc = true)
-            cc
-          } else new Array[Int](16)
-        d(0) = dc(b)
-        val res = Transform.inverse4x4(d)
-        val bx0 = cx0 + (b % 2) * 4
-        val by0 = cy0 + (b / 2) * 4
-        var i = 0
-        while (i < 16) {
-          val px = bx0 + i % 4
-          val py = by0 + i / 4
-          plane(py * strideC + px) =
-            clip(predC((py - cy0) * 8 + (px - cx0)) + res(i))
-          i += 1
-        }
-        b += 1
-      }
+      addChromaResidual(mb, c, plane, strideC, cx0, cy0, predC, 8, qpc)
       c += 1
+    }
+  }
+
+  /** inter chroma: MC pred buffers + residual add */
+  private def interChroma(mb: MbResidual, mbX: Int, mbY: Int,
+      cb: Array[Int], cr: Array[Int], strideC: Int,
+      predCb: Array[Int], predCr: Array[Int], pps: Pps): Unit = {
+    val qpc = Transform.chromaQp(mb.qpY, pps.chromaQpOffset)
+    val cx0 = mbX * 8
+    val cy0 = mbY * 8
+    addChromaResidual(mb, 0, cb, strideC, cx0, cy0, predCb, 8, qpc)
+    addChromaResidual(mb, 1, cr, strideC, cx0, cy0, predCr, 8, qpc)
+  }
+
+  /** chroma residual add shared by intra and inter reconstruction:
+    * pred is an 8x8 raster buffer at predStride. */
+  private def addChromaResidual(mb: MbResidual, c: Int, plane: Array[Int],
+      strideC: Int, cx0: Int, cy0: Int, pred: Array[Int],
+      predStride: Int, qpc: Int): Unit = {
+    val dc =
+      if (mb.chromaDc(c) != null) Transform.chromaDc(mb.chromaDc(c), qpc)
+      else new Array[Int](4)
+    var b = 0
+    while (b < 4) {
+      val d =
+        if (mb.chromaAc(c)(b) != null) {
+          val cc = mb.chromaAc(c)(b).clone()
+          Transform.dequant4x4(cc, qpc, skipDc = true)
+          cc
+        } else new Array[Int](16)
+      d(0) = dc(b)
+      val res = Transform.inverse4x4(d)
+      val bx0 = cx0 + (b % 2) * 4
+      val by0 = cy0 + (b / 2) * 4
+      var i = 0
+      while (i < 16) {
+        val px = bx0 + i % 4
+        val py = by0 + i / 4
+        plane(py * strideC + px) =
+          clip(pred((py - cy0) * predStride + (px - cx0)) + res(i))
+        i += 1
+      }
+      b += 1
     }
   }
 

@@ -137,6 +137,35 @@ object Encoder {
     out.array()
   }
 
+  /** wrap a finished P-slice RBSP as a non-IDR reference sample */
+  private[h264] def avccSampleP(w: BitWriter): Array[Byte] = {
+    w.rbspTrailing()
+    val nal = Nal.unit(3, 1, w.toBytes)
+    val out = java.nio.ByteBuffer.allocate(4 + nal.length)
+    out.putInt(nal.length)
+    out.put(nal)
+    out.array()
+  }
+
+  /** P slice header (7.3.3), single-reference subset — mirrors what
+    * [[Decoder]] parses: no ref-list override/modification, sliding
+    * window marking. `frameNum` is the position within the GOP (IDR
+    * resets frame_num to 0, each reference picture increments). */
+  private[h264] def writePSliceHeader(w: BitWriter, sps: Sps,
+      frameNum: Int, sliceQpDelta: Int, deblock: Boolean): Unit = {
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type P (all slices)
+    w.ue(0) // pps id
+    w.u(sps.log2MaxFrameNum, frameNum % (1 << sps.log2MaxFrameNum))
+    w.u(sps.log2MaxPocLsb, (2 * frameNum) % (1 << sps.log2MaxPocLsb))
+    w.u1(0) // num_ref_idx_active_override (PPS default -> 1 active)
+    w.u1(0) // ref_pic_list_modification_flag_l0
+    w.u1(0) // dec_ref_pic_marking: adaptive flag (sliding window)
+    w.se(sliceQpDelta)
+    w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
+    if (deblock) { w.se(0); w.se(0) }
+  }
+
   /** Encode one frame as an IDR AVCC sample. `pcmEvery` > 0 makes
     * every n-th MB I_PCM (losslessly carrying the source pixels). */
   def encodeFrame(f: Frame, qp: Int, pcmEvery: Int = 0,
@@ -495,6 +524,264 @@ object Encoder {
     }
     Mp4Samples.encodeFrames(samples, codec = "avc1", fps = fps,
       width = f0.width, height = f0.height, syncEvery = 1,
+      sampleEntryExtension = avccBox(sps, pps))
+  }
+
+  /** Encode one frame as a non-IDR P sample: every MB is P_L0_16x16 at
+    * the single constant quarter-pel MV `mv` (residual = src − MC(ref))
+    * or P_Skip where the residual quantizes to zero AND `mv` equals the
+    * 8.4.1.1 skip MV. `ref` must be the DECODER's post-deblock output
+    * for the previous frame — [[mp4Gop]] maintains that invariant by
+    * decoding each emitted sample, so encode recon == decode recon by
+    * construction (no duplicated deblock/bS logic). */
+  def encodePFrame(f: Frame, ref: Decoder.Yuv, qp: Int, frameNum: Int,
+      mv: (Int, Int) = (0, 0), deblock: Boolean = true): Array[Byte] = {
+    val sps = spsFor(f.width, f.height)
+    val pps = ppsFor(qp)
+    val mbW = sps.mbWidth
+    val mbH = sps.mbHeight
+    require(ref.mbW == mbW && ref.mbH == mbH, "reference dims mismatch")
+    val sy = mbW * 16
+    val sc = mbW * 8
+    val srcY = padPlane(f.y, f.width, f.height, sy, mbH * 16)
+    val srcCb = padPlane(f.cb, f.width / 2, f.height / 2, sc, mbH * 8)
+    val srcCr = padPlane(f.cr, f.width / 2, f.height / 2, sc, mbH * 8)
+    val nzY = new Array[Int](mbW * 4 * mbH * 4)
+    val nzCb = new Array[Int](mbW * 2 * mbH * 2)
+    val nzCr = new Array[Int](mbW * 2 * mbH * 2)
+    val bCols = mbW * 4
+    val bRows = mbH * 4
+    val refGrid = Array.fill(bCols * bRows)(MotionPred.Unavail)
+    val mvxGrid = new Array[Int](bCols * bRows)
+    val mvyGrid = new Array[Int](bCols * bRows)
+    val (mvX, mvY) = mv
+    val qpc = Transform.chromaQp(qp, pps.chromaQpOffset)
+
+    val w = new BitWriter
+    writePSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock)
+
+    def lumaNc(gbx: Int, gby: Int): Int = {
+      val a = gbx > 0
+      val b = gby > 0
+      if (a && b) (nzY(gby * bCols + gbx - 1) + nzY((gby - 1) * bCols + gbx) + 1) >> 1
+      else if (a) nzY(gby * bCols + gbx - 1)
+      else if (b) nzY((gby - 1) * bCols + gbx)
+      else 0
+    }
+    def chromaNc(map: Array[Int], gbx: Int, gby: Int): Int = {
+      val a = gbx > 0
+      val b = gby > 0
+      if (a && b) (map(gby * mbW * 2 + gbx - 1) + map((gby - 1) * mbW * 2 + gbx) + 1) >> 1
+      else if (a) map(gby * mbW * 2 + gbx - 1)
+      else if (b) map((gby - 1) * mbW * 2 + gbx)
+      else 0
+    }
+    def fillMvMb(mbX: Int, mbY: Int, mx: Int, my: Int): Unit = {
+      var by = mbY * 4
+      while (by < mbY * 4 + 4) {
+        var bx = mbX * 4
+        while (bx < mbX * 4 + 4) {
+          refGrid(by * bCols + bx) = 0
+          mvxGrid(by * bCols + bx) = mx
+          mvyGrid(by * bCols + bx) = my
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    var skipRun = 0
+    var mbIdx = 0
+    while (mbIdx < mbW * mbH) {
+      val mbX = mbIdx % mbW
+      val mbY = mbIdx / mbW
+      val x0 = mbX * 16
+      val y0 = mbY * 16
+
+      // MC prediction at the constant MV (same Interp as the decoder)
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      Interp.luma(ref.y, sy, mbH * 16, x0, y0, mvX, mvY, 16, 16,
+        predY, 16, 0, 0)
+      Interp.chroma(ref.cb, sc, mbH * 8, mbX * 8, mbY * 8, mvX, mvY,
+        8, 8, predCb, 8, 0, 0)
+      Interp.chroma(ref.cr, sc, mbH * 8, mbX * 8, mbY * 8, mvX, mvY,
+        8, 8, predCr, 8, 0, 0)
+
+      // luma residual: 4x4 forward + quant, per z-block
+      val acLevels = new Array[Array[Int]](16)
+      var cbpLuma = 0
+      var k = 0
+      while (k < 16) {
+        val (bx, by) = zIndex(k)
+        val res = new Array[Int](16)
+        var i = 0
+        while (i < 16) {
+          val px = x0 + bx * 4 + i % 4
+          val py = y0 + by * 4 + i / 4
+          res(i) = srcY(py * sy + px) - predY((py - y0) * 16 + (px - x0))
+          i += 1
+        }
+        val wc = Transform.forward4x4(res)
+        val lev = new Array[Int](16)
+        i = 0
+        while (i < 16) {
+          lev(i) = Transform.quantAc(wc(i), qp, i / 4, i % 4)
+          i += 1
+        }
+        clampCoeffs(lev)
+        if (lev.exists(_ != 0)) cbpLuma |= 1 << (k / 4)
+        acLevels(k) = lev
+        k += 1
+      }
+
+      // chroma residual: DC 2x2 Hadamard + AC
+      val cDcLevels = Array.ofDim[Int](2, 4)
+      val cAcLevels = Array.ofDim[Array[Int]](2, 4)
+      var anyCAc = false
+      var anyCDc = false
+      var c = 0
+      while (c < 2) {
+        val src = if (c == 0) srcCb else srcCr
+        val pred = if (c == 0) predCb else predCr
+        val wdc = new Array[Int](4)
+        var b = 0
+        while (b < 4) {
+          val res = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            val px = (b % 2) * 4 + i % 4
+            val py = (b / 2) * 4 + i / 4
+            res(i) = src((mbY * 8 + py) * sc + mbX * 8 + px) -
+              pred(py * 8 + px)
+            i += 1
+          }
+          val wc = Transform.forward4x4(res)
+          wdc(b) = wc(0)
+          val lev = new Array[Int](16)
+          i = 1
+          while (i < 16) {
+            lev(i) = Transform.quantAc(wc(i), qpc, i / 4, i % 4)
+            i += 1
+          }
+          clampCoeffs(lev)
+          if (lev.exists(_ != 0)) anyCAc = true
+          cAcLevels(c)(b) = lev
+          b += 1
+        }
+        val fh = Array(
+          wdc(0) + wdc(1) + wdc(2) + wdc(3),
+          wdc(0) - wdc(1) + wdc(2) - wdc(3),
+          wdc(0) + wdc(1) - wdc(2) - wdc(3),
+          wdc(0) - wdc(1) - wdc(2) + wdc(3))
+        var i = 0
+        while (i < 4) {
+          cDcLevels(c)(i) = Transform.quantChromaDc(fh(i), qpc)
+          if (cDcLevels(c)(i) != 0) anyCDc = true
+          i += 1
+        }
+        c += 1
+      }
+      val cbpChroma = if (anyCAc) 2 else if (anyCDc) 1 else 0
+      val cbp = cbpLuma | (cbpChroma << 4)
+
+      val (skipX, skipY) = MotionPred.skipMv(refGrid, mvxGrid, mvyGrid,
+        bCols, bRows, mbX * 4, mbY * 4)
+      if (cbp == 0 && mvX == skipX && mvY == skipY) {
+        // ---- P_Skip ----
+        skipRun += 1
+        fillMvMb(mbX, mbY, mvX, mvY)
+        // nz maps already 0 for this MB
+      } else {
+        // ---- P_L0_16x16 ----
+        w.ue(skipRun)
+        skipRun = 0
+        val (mpx, mpy) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
+          bCols, bRows, mbX * 4, mbY * 4, 4, 4)
+        fillMvMb(mbX, mbY, mvX, mvY)
+        w.ue(0) // mb_type P_L0_16x16
+        w.se(mvX - mpx)
+        w.se(mvY - mpy)
+        w.ue(Decoder.codeNumFromCbpInter(cbp))
+        if (cbp != 0) w.se(0) // mb_qp_delta
+        // luma residual, coded 8x8 groups only
+        k = 0
+        while (k < 16) {
+          val (bx, by) = zIndex(k)
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          if ((cbpLuma & (1 << (k / 4))) != 0) {
+            val scan = new Array[Int](16)
+            var j = 0
+            while (j < 16) {
+              scan(j) = acLevels(k)(Transform.ZigZag4x4(j))
+              j += 1
+            }
+            val tc = Cavlc.writeBlock(w, lumaNc(gbx, gby), 16, scan)
+            nzY(gby * bCols + gbx) = tc
+          } else nzY(gby * bCols + gbx) = 0
+          k += 1
+        }
+        if (cbpChroma != 0) {
+          c = 0
+          while (c < 2) {
+            Cavlc.writeBlock(w, -1, 4, cDcLevels(c))
+            c += 1
+          }
+        }
+        c = 0
+        while (c < 2) {
+          val map = if (c == 0) nzCb else nzCr
+          var b = 0
+          while (b < 4) {
+            val gbx = mbX * 2 + b % 2
+            val gby = mbY * 2 + b / 2
+            if (cbpChroma == 2) {
+              val scan = new Array[Int](15)
+              var j = 0
+              while (j < 15) {
+                scan(j) = cAcLevels(c)(b)(Transform.ZigZag4x4(j + 1))
+                j += 1
+              }
+              val tc = Cavlc.writeBlock(w, chromaNc(map, gbx, gby), 15, scan)
+              map(gby * mbW * 2 + gbx) = tc
+            } else map(gby * mbW * 2 + gbx) = 0
+            b += 1
+          }
+          c += 1
+        }
+      }
+      mbIdx += 1
+    }
+    if (skipRun > 0) w.ue(skipRun) // trailing skip run closes the picture
+    avccSampleP(w)
+  }
+
+  /** avc1 MP4 with a GOP structure: frame i with i % gop == 0 is an
+    * IDR (intra, marked sync in stss), others are P frames at
+    * `mvFor(i)`. Reference maintenance decodes each emitted sample with
+    * the REAL decoder, so drift between encoder assumptions and decoder
+    * behavior is structurally impossible. */
+  def mp4Gop(frames: Seq[Frame], qp: Int, fps: Int, gop: Int,
+      mvFor: Int => (Int, Int) = _ => (0, 0),
+      deblock: Boolean = true): Array[Byte] = {
+    require(frames.nonEmpty && gop >= 1)
+    val f0 = frames.head
+    val sps = spsFor(f0.width, f0.height)
+    val pps = ppsFor(qp)
+    val cfg = Decoder.AvcConfig(sps, pps, 4)
+    var ref: Decoder.Yuv = null
+    val samples = frames.zipWithIndex.map { case (f, i) =>
+      require(f.width == f0.width && f.height == f0.height, "mixed dims")
+      val s =
+        if (i % gop == 0) encodeFrame(f, qp, 0, i, deblock)
+        else encodePFrame(f, ref, qp, frameNum = i % gop, mvFor(i), deblock)
+      ref = Decoder.decode(s, cfg, ref)
+      s
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = fps,
+      width = f0.width, height = f0.height, syncEvery = gop,
       sampleEntryExtension = avccBox(sps, pps))
   }
 }

@@ -106,6 +106,134 @@ object H264Fixtures {
     Encoder.avccSample(w)
   }
 
+  /** GOP-structured avc1 video for the INTER decode path (wds24 /
+    * mm16): every 4th frame is an IDR (the i16 uniform frame, marked
+    * sync in stss), and the frames between are P-slices that the
+    * decoder can only reach by motion-compensated walk-back from the
+    * sync sample — the decord seek model of the reference's uniform
+    * sampler (`pack/samplers.py:102-119`, `pack/dataset.py:102-108`):
+    *
+    *  - g = f%4 == 0: IDR, uniform planes (kind-1 closed form).
+    *  - g == 1: P_L0_16x16 at mv (0,0); all 16 luma 4x4 blocks carry a
+    *    single DC-position level lp → uniform luma delta
+    *    ((lp·V)<<(qp/6) + 32) >> 6; chroma uncoded (copies the IDR).
+    *  - g == 2: whole-picture P_Skip (mb_skip_run covers the MB) —
+    *    bit-exact copy of the g==1 picture.
+    *  - g == 3: P_L0_16x16 at a NONZERO quarter-pel MV with cbp 0 —
+    *    runs the 6-tap/bilinear interpolators end-to-end (identity on
+    *    the uniform reference, so still closed-form).
+    */
+  def videoGop(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map { f =>
+      (f % 4) match {
+        case 0 => i16Frame(docId, f, sps)
+        case 1 => pDeltaFrame(docId, f, qp, sps)
+        case 2 => pSkipFrame(f, sps)
+        case _ => pMvFrame(docId, f, sps)
+      }
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 4,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  private def deltaLevel(d: Long): Int = 1 + (d % 2).toInt
+
+  private def pDeltaFrame(d: Long, f: Int, qp: Int, sps: Sps): Array[Byte] = {
+    val lp = deltaLevel(d)
+    val w = new BitWriter
+    Encoder.writePSliceHeader(w, sps, f % 4, sliceQpDelta = 0,
+      deblock = true)
+    w.ue(0) // mb_skip_run
+    w.ue(0) // mb_type P_L0_16x16
+    w.se(0); w.se(0) // mvd (mvp = (0,0): no neighbors)
+    w.ue(Decoder.codeNumFromCbpInter(15)) // luma fully coded, chroma 0
+    w.se(0) // mb_qp_delta
+    // 16 luma blocks, each a single DC-position level; nC from the
+    // in-MB neighbor totalCoeff chain (no external neighbors)
+    val nz = new Array[Int](16) // raster bx + by*4
+    val zo = Array((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0),
+      (2, 1), (3, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2),
+      (2, 3), (3, 3))
+    var k = 0
+    while (k < 16) {
+      val (bx, by) = zo(k)
+      val nc =
+        if (bx > 0 && by > 0) (nz(by * 4 + bx - 1) + nz((by - 1) * 4 + bx) + 1) >> 1
+        else if (bx > 0) nz(by * 4 + bx - 1)
+        else if (by > 0) nz((by - 1) * 4 + bx)
+        else 0
+      val blk = new Array[Int](16)
+      blk(0) = lp
+      nz(by * 4 + bx) = Cavlc.writeBlock(w, nc, 16, blk)
+      k += 1
+    }
+    Encoder.avccSampleP(w)
+  }
+
+  private def pSkipFrame(f: Int, sps: Sps): Array[Byte] = {
+    val w = new BitWriter
+    Encoder.writePSliceHeader(w, sps, f % 4, sliceQpDelta = 0,
+      deblock = true)
+    w.ue(1) // mb_skip_run covering the single MB
+    Encoder.avccSampleP(w)
+  }
+
+  /** the quarter-pel MV exercised by the g==3 frame */
+  def gopMv(d: Long): (Int, Int) = ((d % 7).toInt - 3, (d % 5).toInt - 2)
+
+  private def pMvFrame(d: Long, f: Int, sps: Sps): Array[Byte] = {
+    val (mvx, mvy) = gopMv(d)
+    val w = new BitWriter
+    Encoder.writePSliceHeader(w, sps, f % 4, sliceQpDelta = 0,
+      deblock = true)
+    w.ue(0) // mb_skip_run
+    w.ue(0) // mb_type P_L0_16x16
+    w.se(mvx); w.se(mvy) // mvd = mv (mvp = (0,0))
+    w.ue(Decoder.codeNumFromCbpInter(0)) // cbp 0
+    Encoder.avccSampleP(w)
+  }
+
+  /** closed-form plane sums for [[videoGop]] frames: the g==0 IDR is
+    * the kind-1 arithmetic; P frames add the uniform luma delta once
+    * (g>=1) and otherwise copy. */
+  def expectedSumsGop(d: Long, f: Int): (Long, Long, Long) = {
+    val g = f % 4
+    val (ys, cbs, crs) = i16Sums(d, f - g)
+    if (g == 0) (ys, cbs, crs)
+    else {
+      val qp = qpFor(d)
+      val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+      val r = (((deltaLevel(d) * v) << (qp / 6)) + 32) >> 6
+      val yv = math.max(0, math.min(255, (ys / 256).toInt + r))
+      (256L * yv, cbs, crs)
+    }
+  }
+
+  /** kind-1 (I_16x16 uniform) closed-form plane sums, shared by
+    * [[expectedSums]] and the GOP oracle. */
+  private def i16Sums(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    val ly = 1 + ((d + f) % 5).toInt
+    val dc =
+      if (qp >= 36) (ly * v) << (qp / 6 - 6)
+      else (ly * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val yv = clip(128 + ((dc + 32) >> 6))
+    val qpc = Transform.chromaQp(qp, 0)
+    val vc = Array(10, 11, 13, 14, 16, 18)(qpc % 6)
+    def cval(l: Int) = {
+      val dcc = ((l * vc) << (qpc / 6)) >> 5
+      clip(128 + ((dcc + 32) >> 6))
+    }
+    (256L * yv, 64L * cval(((d + f) % 3).toInt),
+      64L * cval(((d + 2 * f) % 3).toInt))
+  }
+
   /** closed-form expected plane sums (what the DuckDB oracle computes);
     * used by H264Spec to pin the decoder to the analytic truth. */
   def expectedSums(d: Long, f: Int): (Long, Long, Long) = {
@@ -119,20 +247,7 @@ object H264Fixtures {
         (0 until 64).foreach(i => cbs += (d * 29 + f * 47 + i * 11) % 251)
         (0 until 64).foreach(i => crs += (d * 23 + f * 41 + i * 13) % 251)
         (ys, cbs, crs)
-      case 1 =>
-        val ly = 1 + ((d + f) % 5).toInt
-        val dc =
-          if (qp >= 36) (ly * v) << (qp / 6 - 6)
-          else (ly * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
-        val yv = clip(128 + ((dc + 32) >> 6))
-        val qpc = Transform.chromaQp(qp, 0)
-        val vc = Array(10, 11, 13, 14, 16, 18)(qpc % 6)
-        def cval(l: Int) = {
-          val dcc = ((l * vc) << (qpc / 6)) >> 5
-          clip(128 + ((dcc + 32) >> 6))
-        }
-        (256L * yv, 64L * cval(((d + f) % 3).toInt),
-          64L * cval(((d + 2 * f) % 3).toInt))
+      case 1 => i16Sums(d, f)
       case _ =>
         val l2 = 1 + ((d * 3 + f) % 5).toInt
         val d0 = (l2 * v) << (qp / 6)

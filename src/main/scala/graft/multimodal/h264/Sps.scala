@@ -33,7 +33,10 @@ final case class Pps(
     entropyCodingMode: Int, // 0 = CAVLC (required here)
     picInitQp: Int,
     chromaQpOffset: Int,
-    deblockingFilterControlPresent: Boolean)
+    deblockingFilterControlPresent: Boolean,
+    bottomFieldPocPresent: Boolean = false,
+    numRefIdxL0Default: Int = 0, // num_ref_idx_l0_default_active_minus1
+    weightedPred: Boolean = false)
 
 object Sps {
   /** parse a seq_parameter_set_rbsp (unescaped) */
@@ -113,11 +116,11 @@ object Pps {
     if (r.ue() != 0) throw UnsupportedFeature("sps id != 0")
     val entropy = r.u1()
     if (entropy != 0) throw UnsupportedFeature("CABAC entropy coding")
-    r.u1() // bottom_field_pic_order_in_frame_present
+    val bottomPoc = r.u1() == 1 // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) throw UnsupportedFeature("slice groups (FMO)")
-    r.ue() // num_ref_idx_l0_default_active_minus1
+    val numRefL0 = r.ue() // num_ref_idx_l0_default_active_minus1
     r.ue() // num_ref_idx_l1_default_active_minus1
-    r.u1() // weighted_pred_flag
+    val weighted = r.u1() == 1 // weighted_pred_flag
     r.u(2) // weighted_bipred_idc
     val qp = r.se() + 26
     r.se() // pic_init_qs
@@ -125,7 +128,8 @@ object Pps {
     val deblockPresent = r.u1() == 1
     r.u1() // constrained_intra_pred
     r.u1() // redundant_pic_cnt_present
-    Pps(entropy, qp, chromaOff, deblockPresent)
+    Pps(entropy, qp, chromaOff, deblockPresent, bottomPoc, numRefL0,
+      weighted)
   }
 
   def write(pps: Pps): Array[Byte] = {

@@ -207,22 +207,69 @@ object FrameSource {
           t
       }
     }
+    // GOP decode state for the avc1 walk-back: (video identity, index
+    // of the last decoded frame, the reference picture after folding
+    // frames [gopStart..index]). Lets increasing-index access — the
+    // uniform/segment samplers' pattern — cost one incremental decode
+    // per frame instead of re-walking from the sync sample each call.
+    private val avcState =
+      new ThreadLocal[java.lang.ref.SoftReference[
+        (Array[Byte], Int, graft.multimodal.h264.Decoder.Yuv)]]
+
+    /** decode frame `index` of an avc1 track: seek to the nearest
+      * preceding sync sample and motion-compensate forward — the decord
+      * seek model the reference's samplers rely on
+      * (`pack/dataset.py:102-108`). Non-reference frames that aren't
+      * the target are skipped (they can't affect later frames). */
+    private def decodeAvc(video: Array[Byte], t: Mp4Samples.Track,
+        cfg: graft.multimodal.h264.Decoder.AvcConfig,
+        index: Int): graft.multimodal.h264.Decoder.Yuv = {
+      import graft.multimodal.h264.Decoder
+      var sync = index
+      while (sync > 0 && !t.isSync(sync)) sync -= 1
+      require(t.isSync(sync), s"no sync sample at or before frame $index")
+      val cached = Option(avcState.get()).flatMap(r => Option(r.get()))
+      val (start, ref0) = cached match {
+        case Some((v, i, yuv)) if (v eq video) && i < index && i >= sync =>
+          (i + 1, yuv)
+        case _ => (sync, null: Decoder.Yuv)
+      }
+      var refPic = ref0
+      var out: Decoder.Yuv = null
+      var j = start
+      while (j <= index) {
+        val sample = t.sample(video, j)
+        val isRef = Decoder.isReference(sample, cfg)
+        if (j == index) {
+          out = Decoder.decode(sample, cfg, refPic)
+          if (isRef) refPic = out
+        } else if (isRef) {
+          refPic = Decoder.decode(sample, cfg, refPic)
+        }
+        j += 1
+      }
+      require(out != null, s"frame $index not decoded (cache state bug)")
+      avcState.set(new java.lang.ref.SoftReference((video, index, refPic)))
+      out
+    }
+
     def frame(video: Array[Byte], index: Int): Array[Byte] = {
       val t = track(video)
       // frameCount/fps/frameTypes stay codec-independent (container
       // metadata, the 100 TB audit path) — only DECODE is gated
       if (StillImageCodecs(t.codec)) t.sample(video, index)
       else if (t.codec == "avc1") {
-        // pure-JVM H.264 baseline I-frame decode (graft.multimodal.h264):
-        // AVCC sample -> YUV -> RGB -> PNG bytes, honoring the frame()
-        // contract of returning an encoded image. Non-baseline features
-        // (CABAC, P/B slices, fields) surface as the typed signal.
+        // pure-JVM H.264 baseline decode (graft.multimodal.h264):
+        // sync-sample seek + MC walk-forward -> YUV -> RGB -> PNG
+        // bytes, honoring the frame() contract of returning an encoded
+        // image. Non-baseline features (CABAC, B slices, fields)
+        // surface as the typed signal.
         import graft.multimodal.h264.Decoder
         val avcc = t.avcc.getOrElse(
           throw UnsupportedCodecException("avc1 (no avcC config)"))
         try {
           val cfg = Decoder.parseAvcc(avcc)
-          val yuv = Decoder.decode(t.sample(video, index), cfg)
+          val yuv = decodeAvc(video, t, cfg, index)
           val rgb = Decoder.toRgb(yuv)
           graft.wds.Codecs.encodeImage(
             graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB", rgb),

@@ -307,8 +307,11 @@ object MediaQueries extends QueryRegistry {
       val n = (4 + id % 3).toInt
       (id % 4) match {
         case 2 =>
-          // real avc1: AVCC samples + avcC config, decoded for real below
-          graft.multimodal.h264.H264Fixtures.video(id, n)
+          // real avc1 WITH P-frames (GOP of 4): every non-sync frame
+          // needs the inter decode walk — the round-8 triage flip from
+          // `unsupported_codec` to fully decodable. Oracle unchanged:
+          // all frames decode.
+          graft.multimodal.h264.H264Fixtures.videoGop(id, n)
         case 3 =>
           // opaque NAL-ish blobs behind an hev1 fourcc: content is never
           // decoded, only the container walk sees them
@@ -503,7 +506,100 @@ object MediaQueries extends QueryRegistry {
       |  sum(bs)::BIGINT AS b_sum
       |FROM allk GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** mm16: H.264 INTER (P-slice) decode gate — the uniform-sampler
+    * parity path (`pack/samplers.py:102-119` + `pack/dataset.py:102-108`
+    * decode arbitrary segment-center frames via decord; most of those
+    * frames are P in real video). Each doc synthesizes a GOP-structured
+    * avc1 mp4 ([[graft.multimodal.h264.H264Fixtures.videoGop]]: IDR
+    * every 4th frame, then a coded-residual P, a whole-picture P_Skip,
+    * and a nonzero quarter-pel-MV P), then decodes EVERY frame through
+    * the public [[graft.pack.FrameSource.Mp4Frames]] contract — which
+    * must seek to the sync sample and motion-compensate forward — and
+    * aggregates per-channel pixel sums per GOP position. The DuckDB
+    * oracle replays the whole integer chain (dequant, inter delta,
+    * BT.601) closed-form; one wrong pixel in MC/MV-pred/skip/deblock
+    * shifts a sum. Scale shape: per-video task-local decode, 4 summary
+    * rows out. */
+  private def avcInterDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (9 + id % 4).toInt
+      val bytes = graft.multimodal.h264.H264Fixtures.videoGop(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 4, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("gop_pos"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("gop_pos"))
+  }
+
+  /** Replays videoGop's closed-form decode truth: the IDR (kind-1
+    * i16) uniform values, the P-delta's inter residual
+    * ((lp·V)<<(qp/6)+32)>>6, copy semantics for P_Skip and the MV
+    * frame, and the BT.601 integer YUV→RGB. */
+  private val avcInterDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (9 + doc_id % 4)::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, (f % 4)::INT AS g4, (f - f % 4)::INT AS fi,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    CASE WHEN qp < 30 THEN qp
+      |         ELSE [29,30,31,32,32,33,34,34,35,35][qp - 29] END AS qpc
+      |  FROM fr),
+      |q2 AS (
+      |  SELECT *, [10,11,13,14,16,18][qpc % 6 + 1] AS vc,
+      |    (1 + (d + fi) % 5)::INT AS ly,
+      |    ((d + fi) % 3)::INT AS lcb,
+      |    ((d + 2*fi) % 3)::INT AS lcr,
+      |    (1 + d % 2)::INT AS lp
+      |  FROM q),
+      |uv AS (
+      |  SELECT d, f, g4,
+      |    GREATEST(0, LEAST(255,
+      |      (CASE WHEN qp >= 36 THEN ly * v6
+      |            ELSE (ly*v6 + (1 << (5 - qp//6))) // (1 << (6 - qp//6))
+      |       END + 32) // 64 + 128
+      |      + CASE WHEN g4 = 0 THEN 0
+      |             ELSE (lp * v6 * (1 << (qp//6)) + 32) // 64 END)) AS yv,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcb*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS u,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcr*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS v
+      |  FROM q2)
+      |SELECT g4 AS gop_pos, count(*) AS n_frames,
+      |  sum(256 * GREATEST(0, LEAST(255,
+      |    yv + floor((91881*v + 32768) / 65536.0)::INT)))::BIGINT AS r_sum,
+      |  sum(256 * GREATEST(0, LEAST(255,
+      |    yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT
+      |    )))::BIGINT AS g_sum,
+      |  sum(256 * GREATEST(0, LEAST(255,
+      |    yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS b_sum
+      |FROM uv GROUP BY g4 ORDER BY gop_pos""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm16_avc_inter" -> QueryDef(avcInterDecode, Some(avcInterDecodeSql),
+      bench = true),
     "mm15_pitch_track" -> QueryDef(pitchTrack, Some(pitchTrackSql),
       bench = true),
     "mm14_avc_decode" -> QueryDef(avcDecodeStats, Some(avcDecodeStatsSql),

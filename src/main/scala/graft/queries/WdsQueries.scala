@@ -439,6 +439,102 @@ object WdsQueries extends QueryRegistry {
       |  (n - nsync - 1)::INT AS n_pframes
       |FROM g ORDER BY key""".stripMargin
 
+  /** wds24: the UNIFORM sampler over REAL H.264 with P-frames — the
+    * reference's `un` production path end-to-end
+    * (`pack/samplers.py:102-119` + `pack/dataset.py:102-108`): per-doc
+    * GOP-structured avc1 fixtures (IDR every 4th frame; coded-P /
+    * P_Skip / quarter-pel-MV P between), segment-center indices mostly
+    * land on P-frames, so the pack can only produce pixels by seeking
+    * to the sync sample and motion-compensating forward through the
+    * pure-JVM P-slice decoder. Packs to tars, reads back through DSv2,
+    * and fingerprints every packed frame's pixels; the oracle replays
+    * the segment-center geometry (half-even rint) AND the full decode
+    * arithmetic closed-form. A decode failure anywhere kills the rows;
+    * a single wrong pixel shifts px_sum. */
+  private def unAvcPack(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_una")
+    val docId = "([0-9]{9})".r
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Uniform,
+        frames = graft.pack.FrameSource.Mp4Frames,
+        samplesPerTar = 100, alignShards = true),
+      mediaFor = path => {
+        val id = docId.findFirstIn(path).get.toLong
+        graft.multimodal.h264.H264Fixtures.videoGop(id, (9 + id % 4).toInt)
+      })
+    val pxSum = udf { (m: Map[String, Array[Byte]]) =>
+      m.iterator.collect { case (k, v) if k != "json" =>
+        graft.wds.Codecs.decodeImage(v).data
+          .foldLeft(0L)((a, b) => a + (b & 0xff))
+      }.sum
+    }
+    readBack(s, info)
+      .select(col("key"),
+        size(map_keys(col("entries"))).as("n_entries"),
+        pxSum(col("entries")).as("px_sum"))
+      .orderBy(col("key"))
+  }
+
+  /** Geometry: centers_i = rint_half_even(i·(n−1)/16) for i in 0..15
+    * (startIdx 0, segSize/2 < 0.5 so the floor drops it). Pixels: the
+    * mm16 closed form per selected frame, summed over R+G+B and the 16
+    * frames. */
+  private val unAvcPackSql =
+    """WITH t AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT rn, doc_id AS d, (9 + doc_id % 4)::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM t),
+      |centers AS (
+      |  SELECT rn, d, n, qp,
+      |    CASE WHEN (i*(n-1)) % 16 > 8 THEN (i*(n-1)) // 16 + 1
+      |         WHEN (i*(n-1)) % 16 < 8 THEN (i*(n-1)) // 16
+      |         ELSE (i*(n-1)) // 16 + ((i*(n-1)) // 16) % 2
+      |    END::INT AS f
+      |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii),
+      |q AS (
+      |  SELECT rn, d, f, qp, (f % 4)::INT AS g4, (f - f % 4)::INT AS fi,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    CASE WHEN qp < 30 THEN qp
+      |         ELSE [29,30,31,32,32,33,34,34,35,35][qp - 29] END AS qpc
+      |  FROM centers),
+      |q2 AS (
+      |  SELECT *, [10,11,13,14,16,18][qpc % 6 + 1] AS vc,
+      |    (1 + (d + fi) % 5)::INT AS ly,
+      |    ((d + fi) % 3)::INT AS lcb,
+      |    ((d + 2*fi) % 3)::INT AS lcr,
+      |    (1 + d % 2)::INT AS lp
+      |  FROM q),
+      |uv AS (
+      |  SELECT rn, d, f,
+      |    GREATEST(0, LEAST(255,
+      |      (CASE WHEN qp >= 36 THEN ly * v6
+      |            ELSE (ly*v6 + (1 << (5 - qp//6))) // (1 << (6 - qp//6))
+      |       END + 32) // 64 + 128
+      |      + CASE WHEN g4 = 0 THEN 0
+      |             ELSE (lp * v6 * (1 << (qp//6)) + 32) // 64 END)) AS yv,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcb*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS u,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcr*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS v
+      |  FROM q2),
+      |px AS (
+      |  SELECT rn,
+      |    sum(256 * (
+      |      GREATEST(0, LEAST(255,
+      |        yv + floor((91881*v + 32768) / 65536.0)::INT)) +
+      |      GREATEST(0, LEAST(255,
+      |        yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT)) +
+      |      GREATEST(0, LEAST(255,
+      |        yv + floor((116130*u + 32768) / 65536.0)::INT))
+      |    ))::BIGINT AS px_sum
+      |  FROM uv GROUP BY rn)
+      |SELECT printf('%09d', rn - 1) AS key, 17 AS n_entries, px_sum
+      |FROM px ORDER BY key""".stripMargin
+
   /** video_interleave sampler: two clips per record → sibling mp4
     * entries regrouped under the json on read-back. */
   private def interleavePack(s: SparkSession, dir: String): DataFrame = {
@@ -1344,6 +1440,8 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),
+      bench = true),
     "wds23_kf_avc" -> QueryDef(kfAvcPack, Some(kfAvcPackSql),
       bench = true),
     "wds22_http_scheme" -> QueryDef(httpPack, Some(packKeysSql)),

@@ -7,8 +7,9 @@ near-dup families instead of exact-duplicate megaclusters), replica
 embeddings get a deterministic first-component nudge (so cosine top-k
 has no cross-copy ties), events shift both event_id and user_id (state
 per user grows with event count, not user count). The remaining tables
-are hard-linked from sf0.1. Oracles need no changes: the DuckDB replay
-reads the same parquet.
+are copied unchanged from sf0.1 (overwritten on every run, so a
+regenerated sf0.1 never leaves stale copies behind). Oracles need no
+changes: the DuckDB replay reads the same parquet.
 
 Usage: python3 scripts/gen_sf1.py [outdir]   (default /tmp/sf1)
 (Driver-side python/duckdb only — not part of the Scala library.)
@@ -66,9 +67,7 @@ def main(out):
       ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"]:
-        dst = f"{out}/{t}.parquet"
-        if not os.path.exists(dst):
-            shutil.copyfile(f"{SRC}/{t}.parquet", dst)
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     for t in ["documents", "embeddings", "events"]:
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(t, n)

@@ -47,6 +47,27 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).map(_.toDouble).toSeq
       catch { case _: Exception => Seq.empty }
+
+    // Load gate (round-7 verdict: a bench captured at load 24/32 read
+    // 437.9s vs 82.5s clean — contention medians are un-adjudicable).
+    // Wait up to SPARK_GRAFT_BENCH_MAXWAIT seconds (default 600) for
+    // the 1-min loadavg to drop below cpus/2 before measuring; if it
+    // never does, proceed but stamp "load_warning" so the number is
+    // self-describing.
+    val loadLimit = cpus.toDouble / 2
+    val maxWaitMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT", "600").toLong * 1000
+    val waitStart = System.nanoTime()
+    var waited = 0L
+    while (loadavg.headOption.exists(_ > loadLimit) &&
+      (System.nanoTime() - waitStart) / 1000000 < maxWaitMs) {
+      System.err.println(
+        s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
+          s"$loadLimit, waiting for a quiet machine...")
+      Thread.sleep(15000)
+      waited = (System.nanoTime() - waitStart) / 1000000000
+    }
+    val loadWarning = loadavg.headOption.exists(_ > loadLimit)
     val loadStart = loadavg
 
     // (name, per-rep seconds ascending, ok)
@@ -69,7 +90,11 @@ object Bench {
         (name, times.result().sorted, ok)
     }
     val loadEnd = loadavg
-    def median(xs: Seq[Double]): Double = xs(xs.length / 2)
+    // even lengths average the two middle elements (a 2-rep run must
+    // not report the slower rep as its "median")
+    def median(xs: Seq[Double]): Double =
+      if (xs.length % 2 == 1) xs(xs.length / 2)
+      else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2
     // a red query must not silently deflate the headline number: failed
     // timings are excluded from the total and reported by name
     val qs = results.collect { case (k, ts, true) =>
@@ -95,7 +120,7 @@ object Bench {
     val loads = (loadStart ++ loadEnd).map(v => f"$v%.2f")
       .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"queries":$qs,"queries_min":$mins,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"queries":$qs,"queries_min":$mins,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // per-round history so future rounds can diff without the driver
     try {

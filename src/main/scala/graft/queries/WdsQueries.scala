@@ -150,11 +150,13 @@ object WdsQueries extends QueryRegistry {
        |SELECT shard, nsamples, group_id FROM g ORDER BY shard""".stripMargin
 
   /** Loopback HTTP server for the `http:` scheme gate row: serves
-    * `.tar` files under java.io.tmpdir by absolute path, one per JVM,
-    * ephemeral port, daemon pool, stopped by the JVM shutdown hook.
-    * Test harness only — a production `http:` shard URL points at real
-    * object storage; the SCHEME path through Gopen/Hadoop
-    * HttpFileSystem is what this exercises. */
+    * `.tar` files under the scratch root (the `graft.scratch.root`
+    * system property when set — where `scratchDir` actually writes —
+    * else java.io.tmpdir) by absolute path, one per JVM, ephemeral
+    * port. All its threads are daemon, so a finished gate JVM exits
+    * without an explicit stop. Test harness only — a production
+    * `http:` shard URL points at real object storage; the SCHEME path
+    * through Gopen/Hadoop HttpFileSystem is what this exercises. */
   private[graft] lazy val httpFixturePort: Int = {
     // the JDK server spawns its HTTP-Dispatcher / idle-timeout threads
     // with the CREATING thread's daemon status — start it from a daemon
@@ -166,18 +168,20 @@ object WdsQueries extends QueryRegistry {
       val srv = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
       val tmpRoot = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir")).toRealPath()
+        sys.props.getOrElse("graft.scratch.root",
+          System.getProperty("java.io.tmpdir"))).toRealPath()
       srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
         val p = java.nio.file.Paths.get(ex.getRequestURI.getPath)
         val ok = p.toString.endsWith(".tar") &&
           java.nio.file.Files.isRegularFile(p) &&
           p.toRealPath().startsWith(tmpRoot)
-        if (!ok) { ex.sendResponseHeaders(404, -1); ex.close() }
-        else {
-          ex.sendResponseHeaders(200, java.nio.file.Files.size(p))
-          java.nio.file.Files.copy(p, ex.getResponseBody)
-          ex.close()
-        }
+        try {
+          if (!ok) ex.sendResponseHeaders(404, -1)
+          else {
+            ex.sendResponseHeaders(200, java.nio.file.Files.size(p))
+            java.nio.file.Files.copy(p, ex.getResponseBody): Unit
+          }
+        } finally ex.close()
       })
       srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
         r => { val t = new Thread(r, "graft-http-fixture")
@@ -222,8 +226,18 @@ object WdsQueries extends QueryRegistry {
     val info = PackStage.run(docMeta(s, dir), out,
       PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
         alignShards = true))
-    val pipeUrls = numericShardUrls(info).map(u =>
-      "pipe:cat " + new java.net.URI(u).getPath)
+    // half the shards go through the literal pipe: scheme; the other
+    // half through the GOPEN_REWRITE hook (`gopen.py:351-364`): a
+    // synthetic graftpipe:// scheme that ONLY the rewrite rule turns
+    // into the real subprocess command at open time — one wrong or
+    // unapplied rewrite loses those shards' samples and fails the hash
+    System.setProperty("graft.gopen.rewrite",
+      "^graftpipe://=pipe:cat /")
+    val pipeUrls = numericShardUrls(info).zipWithIndex.map { case (u, i) =>
+      val p = new java.net.URI(u).getPath
+      if (i % 2 == 0) "pipe:cat " + p
+      else "graftpipe://" + p.stripPrefix("/")
+    }
     s.read.format("wds").load(pipeUrls: _*)
       .select(col("key"), size(map_keys(col("entries"))).as("n_entries"))
       .orderBy(col("key"))
@@ -242,16 +256,32 @@ object WdsQueries extends QueryRegistry {
     * unit of work is a merge group (the Delta OPTIMIZE bin-packing
     * shape) and samples never shuffle — each task streams its group's
     * tars into one output tar. */
+  /** wds20's pack fixture, staged once per (JVM, sf dir) — the bench's
+    * reps (and its min/median) then measure COMPACTION, not the fixture
+    * build (round-7 verdict adjudication: the loaded-run 87s min was
+    * fixture-building + contention, not the merge path). Stored as the
+    * collected (partition, nsamples, url) index: O(#shards) driver
+    * metadata, same footprint as the reference's `os.listdir`. */
+  private val stagedCompactionInput =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, String)]]()
+
+  private def compactionInput(s: SparkSession,
+      dir: String): Seq[(Int, Long, String)] =
+    stagedCompactionInput.computeIfAbsent(dir, _ => {
+      val out = scratchDir("graft_e1ce")
+      val info = PackStage.run(docMeta(s, dir), out,
+        PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
+          alignShards = true))
+      info.select(col("partition").cast("int"), col("nsamples"),
+        col("url")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    })
+
   private def compactionExec(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = scratchDir("graft_e1ce")
-    val info = PackStage.run(docMeta(s, dir), out,
-      PackStage.PackOptions(numSegments = 4, samplesPerTar = 100,
-        alignShards = true))
-    val idx = info.select(col("partition").cast("int"), col("nsamples"),
-      col("url")).collect()
-    val counts = idx.map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val urlOf = idx.map(r => r.getInt(0) -> r.getString(2)).toMap
+    val idx = compactionInput(s, dir)
+    val counts = idx.map(t => (t._1, t._2))
+    val urlOf = idx.map(t => t._1 -> t._3).toMap
     val plan = planCompaction(counts, CompactTarget)
     val groups = plan.groupBy(_._3).toSeq.sortBy(_._1)
       .map { case (_, ss) => ss.sortBy(_._1).map(t => urlOf(t._1)) }

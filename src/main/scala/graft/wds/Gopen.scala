@@ -20,12 +20,52 @@ object Gopen {
 
   val SigPipeExit = 141
 
-  def open(url: String, conf: Configuration): InputStream =
-    if (url.startsWith("pipe:")) openPipe(url.stripPrefix("pipe:"))
+  /** `GOPEN_REWRITE` URL rewriting (reference `gopen.py:351-364`):
+    * `;`-separated `regex=replacement` rules, each regex anchored at
+    * the URL start; the FIRST rule that changes the URL wins, and the
+    * result is NOT re-rewritten. Rules come from the `GOPEN_REWRITE`
+    * env var (executors inherit it through the cluster's executor-env
+    * config, the same channel the reference's workers use) or the
+    * `graft.gopen.rewrite` system property (takes precedence; the
+    * testable channel — JVM env is immutable in-process). Replacement
+    * backrefs use Java `$1` syntax rather than Python's `\1`.
+    * `GOPEN_VERBOSE`/`graft.gopen.verbose` = 1 logs each rewrite to
+    * stderr like the reference. Scheme ALIASING (the reference's
+    * `USE_AIS_FOR` hook) is expressed the same way — a rule like
+    * `^gs://=s3a://` — or natively via Hadoop's `fs.<scheme>.impl`
+    * configuration (see GopenSpec's gs:/ais: alias case). */
+  def rewriteUrl(url: String): String = {
+    val rules = sys.props.get("graft.gopen.rewrite")
+      .orElse(sys.env.get("GOPEN_REWRITE"))
+    rules match {
+      case None => url
+      case Some(rs) =>
+        val verbose = sys.props.get("graft.gopen.verbose")
+          .orElse(sys.env.get("GOPEN_VERBOSE"))
+          .exists(v => v.nonEmpty && v != "0")
+        rs.split(';').iterator
+          .filter(_.contains("="))
+          .map { r =>
+            val kv = r.split("=", 2)
+            url.replaceFirst("^" + kv(0), kv(1))
+          }
+          .find(_ != url) match {
+          case Some(nurl) =>
+            if (verbose) System.err.println(s"GOPEN REWRITE $url -> $nurl")
+            nurl
+          case None => url
+        }
+    }
+  }
+
+  def open(url: String, conf: Configuration): InputStream = {
+    val u = rewriteUrl(url)
+    if (u.startsWith("pipe:")) openPipe(u.stripPrefix("pipe:"))
     else {
-      val path = new Path(url)
+      val path = new Path(u)
       path.getFileSystem(conf).open(path)
     }
+  }
 
   def openPipe(cmd: String): InputStream = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape invariants the scaladocs claim, enforced as tests: filter
   * pushdown reaches the parquet scan, projection prunes the read
@@ -168,6 +169,70 @@ class PlanAuditSpec extends SparkSpec {
         case _ => ()
       }
     }
+  }
+
+  test("CurateStage internals: text moves ONLY on the doc_id flag " +
+    "spine, never through the near-dup/span/decontam machinery") {
+    // qc07 gates the funnel's ANSWERS; this audits its executed plans.
+    // The LSH near-dup, dup-span, and decontam stages are hash/id
+    // machinery — a regression that routes raw text (or a words/grams
+    // array) through one of their exchanges is the 100 TB scale-killer
+    // that value-checks can't see. The curated OUTPUT must carry text,
+    // so text-bearing exchanges are legal only as doc_id-partitioned
+    // flag joins, and only a bounded number of them.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val evalDir = java.nio.file.Files
+        .createTempDirectory("graft_eval_audit").toString
+      graft.Tables(spark, sf).documents
+        .filter(col("doc_id") % 20 === 0).select(col("text"))
+        .write.mode("overwrite").parquet(evalDir)
+      val res = graft.curate.CurateStage.run(
+        graft.Tables(spark, sf).documents
+          .select(col("doc_id"), col("text"), col("lang")),
+        graft.curate.CurateStage.CurateOptions(
+          nearDupJaccard = Some(0.5), evalPath = Some(evalDir)))
+      try {
+        // the funnel's real physical plan hides inside the persisted
+        // flag frame's InMemoryRelation — unwrap it
+        def expand(p: SparkPlan): Seq[SparkPlan] = {
+          val inner = p.collect {
+            case s: InMemoryTableScanExec => s.relation.cachedPlan
+            case r: ReusedExchangeExec => r.child
+          }
+          p +: inner.flatMap(expand)
+        }
+        val plans = expand(res.curated.queryExecution.executedPlan) ++
+          expand(res.stats.queryExecution.executedPlan)
+        val payload = Set("text", "ws", "words", "grams")
+        val exchanges = plans.flatMap(shuffles).distinct
+        assert(exchanges.nonEmpty, "expected exchanges in the funnel")
+        var spine = 0
+        exchanges.foreach { e =>
+          val names = e.child.output.map(_.name).toSet
+          if (names.exists(payload)) {
+            spine += 1
+            e.outputPartitioning match {
+              case h: HashPartitioning =>
+                assert(h.expressions.flatMap(_.references)
+                  .exists(_.name == "doc_id"),
+                  s"text crosses a non-doc_id exchange: " +
+                    s"${h.expressions.mkString(",")} carrying $names")
+              case other =>
+                fail(s"text crosses a $other exchange: $names")
+            }
+          }
+        }
+        // the flag spine: quality/mix carries through the mix join, the
+        // exact/near/span/decontam flag joins — pinned so a new
+        // text-bearing exchange can't slip in unnoticed
+        assert(spine <= 6, s"$spine text-bearing exchanges (expected <= 6)")
+      } finally res.close()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("qe08: the interval join is an equi-join, never a nested loop") {

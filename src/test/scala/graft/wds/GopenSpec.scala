@@ -5,6 +5,23 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 
+/** Local-backed FileSystem that answers for whatever scheme it was
+  * registered under (`fs.gs.impl` / `fs.ais.impl` in GopenSpec) — the
+  * shape of a real gcs/ais Hadoop connector, minus the network. */
+class AliasedLocalFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  private var aliasUri: java.net.URI = java.net.URI.create("file:///")
+  override def initialize(name: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    aliasUri = java.net.URI.create(name.getScheme + ":///")
+    super.initialize(name, conf)
+  }
+  // null-safe: the RawLocalFileSystem super-constructor qualifies its
+  // working dir through getUri() before this class's fields initialize
+  override def getUri: java.net.URI =
+    if (aliasUri == null) java.net.URI.create("file:///") else aliasUri
+  override def checkPath(path: org.apache.hadoop.fs.Path): Unit = ()
+}
+
 /** `pipe:` scheme parity (S8, gopen.py:153-330): subprocess stdout is
   * a first-class shard source, exit statuses surface as open errors
   * through the handler policy, SIGPIPE from early close is tolerated. */
@@ -75,5 +92,73 @@ class GopenSpec extends SparkSpec {
     val got = WdsReader.readUrls(spark, Seq(s"pipe:cat $tar"))
       .slice(3).collect()
     assert(got.length == 3)
+  }
+
+  /** run `body` with graft.gopen.rewrite set, restoring the prior
+    * value after (other suites must not inherit the rules) */
+  private def withRewrite[T](rules: String)(body: => T): T = {
+    val prev = sys.props.get("graft.gopen.rewrite")
+    System.setProperty("graft.gopen.rewrite", rules)
+    try body
+    finally prev match {
+      case Some(v) => System.setProperty("graft.gopen.rewrite", v): Unit
+      case None => System.clearProperty("graft.gopen.rewrite"): Unit
+    }
+  }
+
+  test("GOPEN_REWRITE: anchored regex, first change wins, no re-rewrite") {
+    withRewrite("^a://=b://;^b://=c://;^x=y") {
+      // first rule that CHANGES the url wins; result is not re-run
+      assert(Gopen.rewriteUrl("a://bucket/f.tar") == "b://bucket/f.tar")
+      assert(Gopen.rewriteUrl("b://bucket/f.tar") == "c://bucket/f.tar")
+      // anchored: mid-url matches do not fire
+      assert(Gopen.rewriteUrl("zz-a://bucket") == "zz-a://bucket")
+      // untouched urls pass through
+      assert(Gopen.rewriteUrl("file:///tmp/x.tar") == "file:///tmp/x.tar")
+    }
+    // no rules installed -> identity
+    assert(Gopen.rewriteUrl("a://bucket/f.tar") == "a://bucket/f.tar")
+  }
+
+  test("GOPEN_REWRITE: bucket aliasing feeds the real open path") {
+    val tar = writeTar(4)
+    withRewrite(s"^graftdata://shards/=file://${tar.stripSuffix("shard.tar")}") {
+      val got = WdsReader.readUrls(spark,
+        Seq("graftdata://shards/shard.tar")).collect()
+      assert(got.length == 4)
+    }
+  }
+
+  test("GOPEN_REWRITE can retarget a scheme to pipe: (USE_AIS_FOR shape)") {
+    val tar = writeTar(3)
+    withRewrite("^graftais://=pipe:cat /") {
+      val got = WdsReader.readUrls(spark,
+        Seq("graftais://" + tar.stripPrefix("/"))).collect()
+      assert(got.length == 3)
+    }
+  }
+
+  test("gs:/ais: schemes delegate to Hadoop fs.<scheme>.impl aliases") {
+    // the connector path (gopen.py:153-330 gs/ais handlers): any scheme
+    // with a Hadoop FileSystem binding opens natively — faked here by
+    // aliasing gs:/ais: to a local-backed FS, the documented S8 seam
+    // for clusters that ship gcs/ais connectors
+    val tar = writeTar(5)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.gs.impl", "graft.wds.AliasedLocalFileSystem")
+    conf.set("fs.ais.impl", "graft.wds.AliasedLocalFileSystem")
+    try {
+      for (scheme <- Seq("gs", "ais")) {
+        val in = Gopen.open(s"$scheme://$tar", conf)
+        val direct = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(tar))
+        val got = in.readAllBytes()
+        in.close()
+        assert(got.toSeq == direct.toSeq, scheme)
+      }
+    } finally {
+      conf.unset("fs.gs.impl")
+      conf.unset("fs.ais.impl")
+    }
   }
 }

@@ -107,14 +107,19 @@ object Decoder {
     * standalone; P-slice samples need `ref`, the previously decoded
     * reference picture (post-deblock) — callers walk forward from the
     * nearest sync sample, the decord seek model the reference relies
-    * on (`pack/dataset.py:102-108`). */
+    * on (`pack/dataset.py:102-108`). A sample may carry MULTIPLE slice
+    * NALs covering consecutive raster MB ranges (the common
+    * encoder-parallelism layout); each decodes with slice-local
+    * neighbor availability (6.4.9) and the loop filter runs once over
+    * the assembled picture. */
   def decode(sample: Array[Byte], cfg: AvcConfig,
       ref: Yuv = null): Yuv = {
     val nals = Nal.splitAvccSample(sample, cfg.nalLengthSize)
-    val slice = nals.collectFirst {
-      case (t, refIdc, rbsp) if t == 5 || t == 1 => (t, refIdc, rbsp)
-    }.getOrElse(throw UnsupportedFeature("no slice NAL in sample"))
-    decodeSlice(slice._3, slice._1 == 5, slice._2, cfg, ref)
+    val slices = nals.collect {
+      case (t, refIdc, rbsp) if t == 5 || t == 1 => (t == 5, refIdc, rbsp)
+    }
+    if (slices.isEmpty) throw UnsupportedFeature("no slice NAL in sample")
+    decodePicture(slices, cfg, ref)
   }
 
   /** true iff the sample's slice NAL is a reference picture
@@ -147,52 +152,22 @@ object Decoder {
     def isI16: Boolean = !isPcm && !isInter && mbType >= 1
   }
 
-  private def decodeSlice(rbsp: Array[Byte], idr: Boolean, refIdc: Int,
+  private def decodePicture(slices: Seq[(Boolean, Int, Array[Byte])],
       cfg: AvcConfig, ref: Yuv): Yuv = {
     val sps = cfg.sps
     val pps = cfg.pps
-    val r = new BitReader(rbsp)
-    // --- slice_header (7.3.3) ---
-    val firstMb = r.ue()
-    if (firstMb != 0) throw UnsupportedFeature("multi-slice picture")
-    val sliceType = r.ue()
-    val isP = sliceType % 5 == 0
-    if (!isP && sliceType % 5 != 2) throw UnsupportedFeature(
-      s"slice_type $sliceType (only I/P)")
-    if (isP && idr) throw new IllegalArgumentException("P slice in IDR NAL")
-    require(r.ue() == 0, "pps id")
-    r.u(sps.log2MaxFrameNum) // frame_num
-    if (idr) r.ue() // idr_pic_id
-    if (sps.picOrderCntType == 0) {
-      r.u(sps.log2MaxPocLsb)
-      if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
-    }
-    if (isP) {
-      // ref list sizing + modification (7.3.3.1), single-ref subset
-      val active =
-        if (r.u1() == 1) r.ue() + 1 else pps.numRefIdxL0Default + 1
-      if (active != 1)
-        throw UnsupportedFeature(s"$active reference pictures (only 1)")
-      if (r.u1() == 1)
-        throw UnsupportedFeature("ref_pic_list_modification")
-      if (pps.weightedPred) throw UnsupportedFeature("weighted prediction")
-      require(ref != null, "P slice without a reference frame")
-      require(ref.mbW == sps.mbWidth && ref.mbH == sps.mbHeight,
-        "reference dims mismatch")
-    }
-    if (idr) { r.u1(); r.u1() } // no_output_of_prior / long_term_ref
-    else if (refIdc > 0) {
-      // dec_ref_pic_marking for a non-IDR reference picture (7.3.3.3)
-      if (r.u1() == 1) throw UnsupportedFeature("adaptive ref pic marking")
-    }
-    val sliceQp = pps.picInitQp + r.se()
+    // per-slice parse state: the bit reader and the slice's first MB
+    // address gate neighbor availability (6.4.9 — MBs of other slices
+    // are not available for intra pred, CAVLC nC, or MV prediction)
+    var r: BitReader = null
+    var firstMbCur = 0
+    var sawP = false
+    // per-picture deblock params (first slice wins; others must agree —
+    // per-slice filter params are a typed unsupported subset)
     var disableDeblock = 0
     var offA = 0
     var offB = 0
-    if (pps.deblockingFilterControlPresent) {
-      disableDeblock = r.ue()
-      if (disableDeblock != 1) { offA = 2 * r.se(); offB = 2 * r.se() }
-    }
+    var deblockSet = false
 
     val mbW = sps.mbWidth
     val mbH = sps.mbHeight
@@ -209,7 +184,8 @@ object Decoder {
     // per-4x4-block Intra_4x4 modes (DC for non-I4x4 MBs, 8.3.1.1)
     val modeMap = Array.fill(mbW * 4 * mbH * 4)(2)
     val mbQp = new Array[Int](mbW * mbH)
-    var prevQp = sliceQp
+    var prevQp = 0 // reset to each slice's QP at its header
+    var isPCur = false
     // per-4x4-block motion grids (8.4.1.3 prediction + deblock bS)
     val bCols = mbW * 4
     val bRows = mbH * 4
@@ -221,9 +197,19 @@ object Decoder {
     def nzAt(map: Array[Int], cols: Int, bx: Int, by: Int): Int =
       map(by * cols + bx)
 
+    /** luma-block-grid neighbor availability: inside the picture AND in
+      * the current slice (6.4.9) */
+    @inline def availLumaBlk(gbx: Int, gby: Int): Boolean =
+      gbx >= 0 && gby >= 0 &&
+        (gby / 4) * mbW + gbx / 4 >= firstMbCur
+
+    @inline def availChromaBlk(gbx: Int, gby: Int): Boolean =
+      gbx >= 0 && gby >= 0 &&
+        (gby / 2) * mbW + gbx / 2 >= firstMbCur
+
     def lumaNc(gbx: Int, gby: Int): Int = {
-      val hasA = gbx > 0
-      val hasB = gby > 0
+      val hasA = gbx > 0 && availLumaBlk(gbx - 1, gby)
+      val hasB = gby > 0 && availLumaBlk(gbx, gby - 1)
       if (hasA && hasB)
         (nzAt(nzY, mbW * 4, gbx - 1, gby) + nzAt(nzY, mbW * 4, gbx, gby - 1) + 1) >> 1
       else if (hasA) nzAt(nzY, mbW * 4, gbx - 1, gby)
@@ -232,8 +218,8 @@ object Decoder {
     }
 
     def chromaNc(map: Array[Int], gbx: Int, gby: Int): Int = {
-      val hasA = gbx > 0
-      val hasB = gby > 0
+      val hasA = gbx > 0 && availChromaBlk(gbx - 1, gby)
+      val hasB = gby > 0 && availChromaBlk(gbx, gby - 1)
       if (hasA && hasB)
         (nzAt(map, mbW * 2, gbx - 1, gby) + nzAt(map, mbW * 2, gbx, gby - 1) + 1) >> 1
       else if (hasA) nzAt(map, mbW * 2, gbx - 1, gby)
@@ -314,8 +300,10 @@ object Decoder {
           val (bx, by) = ZOrder(k)
           val gbx = mbX * 4 + bx
           val gby = mbY * 4 + by
-          val mA = if (gbx > 0) modeMap(gby * mbW * 4 + gbx - 1) else 2
-          val mB = if (gby > 0) modeMap((gby - 1) * mbW * 4 + gbx) else 2
+          val mA = if (gbx > 0 && availLumaBlk(gbx - 1, gby))
+            modeMap(gby * mbW * 4 + gbx - 1) else 2
+          val mB = if (gby > 0 && availLumaBlk(gbx, gby - 1))
+            modeMap((gby - 1) * mbW * 4 + gbx) else 2
           val pred = math.min(mA, mB)
           mb.intra4x4Modes(k) =
             if (r.u1() == 1) pred
@@ -410,7 +398,8 @@ object Decoder {
         val mvdx = r.se()
         val mvdy = r.se()
         val (mpx, mpy) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
-          bCols, bRows, bx0 + px / 4, by0 + py / 4, w / 4, h / 4, kind)
+          bCols, bRows, bx0 + px / 4, by0 + py / 4, w / 4, h / 4, kind,
+          firstMbCur)
         val mvx = mpx + mvdx
         val mvy = mpy + mvdy
         fillMv(mbX * 16 + px, mbY * 16 + py, w, h, mvx, mvy)
@@ -471,7 +460,7 @@ object Decoder {
       val mbX = mbIdx % mbW
       val mbY = mbIdx / mbW
       val (mvx, mvy) = MotionPred.skipMv(refGrid, mvxGrid, mvyGrid,
-        bCols, bRows, mbX * 4, mbY * 4)
+        bCols, bRows, mbX * 4, mbY * 4, firstMbCur)
       fillMv(mbX * 16, mbY * 16, 16, 16, mvx, mvy)
       mbQp(mbIdx) = prevQp
       val mb = new MbResidual
@@ -479,7 +468,7 @@ object Decoder {
       mb.qpY = prevQp
       mb.parts = Array((0, 0, 16, 16, mvx, mvy))
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, ref)
+        pps, ref, firstMbCur)
     }
 
     def decodeMbLayer(mbIdx: Int): Unit = {
@@ -487,7 +476,7 @@ object Decoder {
       val mbY = mbIdx / mbW
       val mb = new MbResidual
       val rawType = r.ue()
-      if (isP) {
+      if (isPCur) {
         if (rawType > 30) throw UnsupportedFeature(s"P mb_type $rawType")
         if (rawType >= 5) {
           mb.mbType = rawType - 5
@@ -499,33 +488,93 @@ object Decoder {
         parseIntraMb(mb, mbX, mbY)
       }
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, ref)
+        pps, ref, firstMbCur)
     }
 
-    // --- slice_data (7.3.4) ---
+    // --- per slice: header (7.3.3) then slice_data (7.3.4) ---
     val total = mbW * mbH
     var mbIdx = 0
-    if (isP) {
-      while (mbIdx < total) {
-        val skipRun = r.ue()
-        require(mbIdx + skipRun <= total, s"mb_skip_run $skipRun overruns")
-        var s = 0
-        while (s < skipRun) { skipMb(mbIdx); mbIdx += 1; s += 1 }
-        if (mbIdx < total) {
-          require(r.moreRbspData(), "slice_data ended before last MB")
+    slices.foreach { case (idr, refIdc, rbsp) =>
+      r = new BitReader(rbsp)
+      val firstMb = r.ue()
+      if (firstMb != mbIdx) throw UnsupportedFeature(
+        s"non-consecutive slice coverage (ASO/FMO): first_mb $firstMb at $mbIdx")
+      firstMbCur = firstMb
+      val sliceType = r.ue()
+      val isP = sliceType % 5 == 0
+      if (!isP && sliceType % 5 != 2) throw UnsupportedFeature(
+        s"slice_type $sliceType (only I/P)")
+      if (isP && idr) throw new IllegalArgumentException("P slice in IDR NAL")
+      isPCur = isP
+      sawP = sawP || isP
+      require(r.ue() == 0, "pps id")
+      r.u(sps.log2MaxFrameNum) // frame_num
+      if (idr) r.ue() // idr_pic_id
+      if (sps.picOrderCntType == 0) {
+        r.u(sps.log2MaxPocLsb)
+        if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
+      }
+      if (isP) {
+        // ref list sizing + modification (7.3.3.1), single-ref subset
+        val active =
+          if (r.u1() == 1) r.ue() + 1 else pps.numRefIdxL0Default + 1
+        if (active != 1)
+          throw UnsupportedFeature(s"$active reference pictures (only 1)")
+        if (r.u1() == 1)
+          throw UnsupportedFeature("ref_pic_list_modification")
+        if (pps.weightedPred) throw UnsupportedFeature("weighted prediction")
+        require(ref != null, "P slice without a reference frame")
+        require(ref.mbW == sps.mbWidth && ref.mbH == sps.mbHeight,
+          "reference dims mismatch")
+      }
+      if (idr) { r.u1(); r.u1() } // no_output_of_prior / long_term_ref
+      else if (refIdc > 0) {
+        // dec_ref_pic_marking for a non-IDR reference picture (7.3.3.3)
+        if (r.u1() == 1) throw UnsupportedFeature("adaptive ref pic marking")
+      }
+      val sliceQp = pps.picInitQp + r.se()
+      prevQp = sliceQp
+      var dis = 0
+      var oA = 0
+      var oB = 0
+      if (pps.deblockingFilterControlPresent) {
+        dis = r.ue()
+        if (dis != 1) { oA = 2 * r.se(); oB = 2 * r.se() }
+      }
+      if (!deblockSet) {
+        disableDeblock = dis; offA = oA; offB = oB; deblockSet = true
+      } else if (dis != disableDeblock || oA != offA || oB != offB)
+        throw UnsupportedFeature("per-slice deblock params differ")
+
+      // --- slice_data ---
+      if (isP) {
+        var go = true
+        while (go) {
+          val skipRun = r.ue()
+          require(mbIdx + skipRun <= total, s"mb_skip_run $skipRun overruns")
+          var s = 0
+          while (s < skipRun) { skipMb(mbIdx); mbIdx += 1; s += 1 }
+          if (r.moreRbspData()) {
+            require(mbIdx < total, "slice_data beyond last MB")
+            decodeMbLayer(mbIdx)
+            mbIdx += 1
+            go = r.moreRbspData()
+          } else go = false
+        }
+      } else {
+        var go = true
+        while (go) {
+          require(mbIdx < total, "slice_data beyond last MB")
           decodeMbLayer(mbIdx)
           mbIdx += 1
+          go = r.moreRbspData()
         }
       }
-    } else {
-      while (mbIdx < total) {
-        decodeMbLayer(mbIdx)
-        mbIdx += 1
-      }
     }
+    require(mbIdx == total, s"picture covered $mbIdx of $total MBs")
 
     if (disableDeblock != 1) {
-      if (isP)
+      if (sawP)
         Deblock.frame(y, cb, cr, mbW, mbH, mbQp, offA, offB,
           pps.chromaQpOffset,
           Deblock.FrameMeta(intraMb, nzY, refGrid, mvxGrid, mvyGrid))
@@ -539,9 +588,18 @@ object Decoder {
 
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,
       mbH: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
-      strideY: Int, strideC: Int, pps: Pps, ref: Yuv): Unit = {
+      strideY: Int, strideC: Int, pps: Pps, ref: Yuv,
+      firstMb: Int): Unit = {
     val x0 = mbX * 16
     val y0 = mbY * 16
+    // neighbor MB availability for intra prediction: inside the picture
+    // AND in the current slice (6.4.9)
+    val mbIdx = mbY * mbW + mbX
+    val leftMbAvail = mbX > 0 && mbIdx - 1 >= firstMb
+    val topMbAvail = mbY > 0 && mbIdx - mbW >= firstMb
+    val topRightMbAvail = mbY > 0 && mbX < mbW - 1 &&
+      mbIdx - mbW + 1 >= firstMb
+    val topLeftMbAvail = mbX > 0 && mbY > 0 && mbIdx - mbW - 1 >= firstMb
 
     if (mb.isPcm) {
       var i = 0
@@ -604,7 +662,7 @@ object Decoder {
     if (mb.isI16) {
       val pred = new Array[Int](256)
       Predict.intra16x16(mb.i16PredMode, y, strideY, x0, y0,
-        mbX > 0, mbY > 0, pred)
+        leftMbAvail, topMbAvail, pred)
       val dc =
         if (mb.lumaDcLevels != null) Transform.lumaDc(mb.lumaDcLevels, qp)
         else new Array[Int](16)
@@ -636,16 +694,16 @@ object Decoder {
         val (bx, by) = ZOrder(k)
         val bx0 = x0 + bx * 4
         val by0 = y0 + by * 4
-        val aL = bx > 0 || mbX > 0
-        val aT = by > 0 || mbY > 0
+        val aL = bx > 0 || leftMbAvail
+        val aT = by > 0 || topMbAvail
         val aTR =
-          if (by == 0) mbY > 0 && (bx < 3 || mbX < mbW - 1)
+          if (by == 0) { if (bx < 3) topMbAvail else topRightMbAvail }
           else bx < 3 && zIndex(bx + 1, by - 1) < k
         val aTL =
           if (bx > 0 && by > 0) true
-          else if (bx == 0 && by == 0) mbX > 0 && mbY > 0
-          else if (by == 0) mbY > 0
-          else mbX > 0
+          else if (bx == 0 && by == 0) topLeftMbAvail
+          else if (by == 0) topMbAvail
+          else leftMbAvail
         val nbr = new Predict.Nbr4(y, strideY, bx0, by0, aL, aT, aTR, aTL)
         Predict.intra4x4(mb.intra4x4Modes(k), nbr, predBuf)
         val res =
@@ -673,7 +731,7 @@ object Decoder {
     while (c < 2) {
       val plane = if (c == 0) cb else cr
       Predict.chroma8x8(mb.chromaPredMode, plane, strideC, cx0, cy0,
-        mbX > 0, mbY > 0, predC)
+        leftMbAvail, topMbAvail, predC)
       addChromaResidual(mb, c, plane, strideC, cx0, cy0, predC, 8, qpc)
       c += 1
     }

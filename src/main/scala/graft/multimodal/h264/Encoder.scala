@@ -114,8 +114,9 @@ object Encoder {
   /** IDR I-slice header (7.3.3) — shared with [[H264Fixtures]]'
     * hand-assembled macroblocks */
   private[h264] def writeSliceHeader(w: BitWriter, sps: Sps,
-      frameNum: Int, sliceQpDelta: Int, deblock: Boolean): Unit = {
-    w.ue(0) // first_mb_in_slice
+      frameNum: Int, sliceQpDelta: Int, deblock: Boolean,
+      firstMb: Int = 0): Unit = {
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(7) // slice_type I (all slices)
     w.ue(0) // pps id
     w.u(sps.log2MaxFrameNum, 0) // frame_num (IDR -> 0)
@@ -125,6 +126,19 @@ object Encoder {
     w.se(sliceQpDelta)
     w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
     if (deblock) { w.se(0); w.se(0) }
+  }
+
+  /** wrap finished slice RBSPs (one per slice, picture order) as one
+    * AVCC sample of length-prefixed NALs */
+  private[h264] def avccSampleMulti(ws: Seq[BitWriter],
+      nalType: Int): Array[Byte] = {
+    val nals = ws.map { w =>
+      w.rbspTrailing()
+      Nal.unit(3, nalType, w.toBytes)
+    }
+    val out = java.nio.ByteBuffer.allocate(nals.map(_.length + 4).sum)
+    nals.foreach { n => out.putInt(n.length); out.put(n) }
+    out.array()
   }
 
   /** wrap a finished slice RBSP as a 4-byte-length AVCC IDR sample */
@@ -152,8 +166,9 @@ object Encoder {
     * window marking. `frameNum` is the position within the GOP (IDR
     * resets frame_num to 0, each reference picture increments). */
   private[h264] def writePSliceHeader(w: BitWriter, sps: Sps,
-      frameNum: Int, sliceQpDelta: Int, deblock: Boolean): Unit = {
-    w.ue(0) // first_mb_in_slice
+      frameNum: Int, sliceQpDelta: Int, deblock: Boolean,
+      firstMb: Int = 0): Unit = {
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type P (all slices)
     w.ue(0) // pps id
     w.u(sps.log2MaxFrameNum, frameNum % (1 << sps.log2MaxFrameNum))
@@ -167,9 +182,14 @@ object Encoder {
   }
 
   /** Encode one frame as an IDR AVCC sample. `pcmEvery` > 0 makes
-    * every n-th MB I_PCM (losslessly carrying the source pixels). */
+    * every n-th MB I_PCM (losslessly carrying the source pixels).
+    * `mbPerSlice` > 0 starts a new slice every that many MBs (the
+    * encoder-parallelism layout real streams carry) — intra prediction
+    * and CAVLC contexts then treat cross-slice neighbors as
+    * unavailable, mirroring the decoder's 6.4.9 masking. */
   def encodeFrame(f: Frame, qp: Int, pcmEvery: Int = 0,
-      frameNum: Int = 0, deblock: Boolean = true): Array[Byte] = {
+      frameNum: Int = 0, deblock: Boolean = true,
+      mbPerSlice: Int = 0): Array[Byte] = {
     val sps = spsFor(f.width, f.height)
     val pps = ppsFor(qp)
     val mbW = sps.mbWidth
@@ -187,20 +207,21 @@ object Encoder {
     val nzCb = new Array[Int](mbW * 2 * mbH * 2)
     val nzCr = new Array[Int](mbW * 2 * mbH * 2)
 
-    val w = new BitWriter
-    writeSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock)
+    var w: BitWriter = null
+    val writers = Seq.newBuilder[BitWriter]
+    var sliceStart = 0
 
     def lumaNc(gbx: Int, gby: Int): Int = {
-      val a = gbx > 0
-      val b = gby > 0
+      val a = gbx > 0 && (gby / 4) * mbW + (gbx - 1) / 4 >= sliceStart
+      val b = gby > 0 && ((gby - 1) / 4) * mbW + gbx / 4 >= sliceStart
       if (a && b) (nzY(gby * mbW * 4 + gbx - 1) + nzY((gby - 1) * mbW * 4 + gbx) + 1) >> 1
       else if (a) nzY(gby * mbW * 4 + gbx - 1)
       else if (b) nzY((gby - 1) * mbW * 4 + gbx)
       else 0
     }
     def chromaNc(map: Array[Int], gbx: Int, gby: Int): Int = {
-      val a = gbx > 0
-      val b = gby > 0
+      val a = gbx > 0 && (gby / 2) * mbW + (gbx - 1) / 2 >= sliceStart
+      val b = gby > 0 && ((gby - 1) / 2) * mbW + gbx / 2 >= sliceStart
       if (a && b) (map(gby * mbW * 2 + gbx - 1) + map((gby - 1) * mbW * 2 + gbx) + 1) >> 1
       else if (a) map(gby * mbW * 2 + gbx - 1)
       else if (b) map((gby - 1) * mbW * 2 + gbx)
@@ -210,6 +231,13 @@ object Encoder {
     val qpc = Transform.chromaQp(qp, pps.chromaQpOffset)
     var mbIdx = 0
     while (mbIdx < mbW * mbH) {
+      if (w == null || (mbPerSlice > 0 && mbIdx % mbPerSlice == 0)) {
+        w = new BitWriter
+        writers += w
+        sliceStart = mbIdx
+        writeSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock,
+          firstMb = mbIdx)
+      }
       val mbX = mbIdx % mbW
       val mbY = mbIdx / mbW
       val x0 = mbX * 16
@@ -254,8 +282,8 @@ object Encoder {
         }
       } else {
         // ---- Intra_16x16 ----
-        val aL = mbX > 0
-        val aT = mbY > 0
+        val aL = mbX > 0 && mbIdx - 1 >= sliceStart
+        val aT = mbY > 0 && mbIdx - mbW >= sliceStart
         val cand = Seq(2) ++ (if (aT) Seq(0) else Nil) ++
           (if (aL) Seq(1) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
         val predBuf = new Array[Int](256)
@@ -508,19 +536,19 @@ object Encoder {
       mbIdx += 1
     }
 
-    avccSample(w)
+    avccSampleMulti(writers.result(), nalType = 5)
   }
 
   /** full avc1 MP4: encoded IDR samples + avcC in the stsd entry */
   def mp4(frames: Seq[Frame], qp: Int, fps: Int, pcmEvery: Int = 0,
-      deblock: Boolean = true): Array[Byte] = {
+      deblock: Boolean = true, mbPerSlice: Int = 0): Array[Byte] = {
     require(frames.nonEmpty)
     val f0 = frames.head
     val sps = spsFor(f0.width, f0.height)
     val pps = ppsFor(qp)
     val samples = frames.zipWithIndex.map { case (f, i) =>
       require(f.width == f0.width && f.height == f0.height, "mixed dims")
-      encodeFrame(f, qp, pcmEvery, i, deblock)
+      encodeFrame(f, qp, pcmEvery, i, deblock, mbPerSlice)
     }
     Mp4Samples.encodeFrames(samples, codec = "avc1", fps = fps,
       width = f0.width, height = f0.height, syncEvery = 1,
@@ -535,7 +563,8 @@ object Encoder {
     * decoding each emitted sample, so encode recon == decode recon by
     * construction (no duplicated deblock/bS logic). */
   def encodePFrame(f: Frame, ref: Decoder.Yuv, qp: Int, frameNum: Int,
-      mv: (Int, Int) = (0, 0), deblock: Boolean = true): Array[Byte] = {
+      mv: (Int, Int) = (0, 0), deblock: Boolean = true,
+      mbPerSlice: Int = 0): Array[Byte] = {
     val sps = spsFor(f.width, f.height)
     val pps = ppsFor(qp)
     val mbW = sps.mbWidth
@@ -557,20 +586,21 @@ object Encoder {
     val (mvX, mvY) = mv
     val qpc = Transform.chromaQp(qp, pps.chromaQpOffset)
 
-    val w = new BitWriter
-    writePSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock)
+    var w: BitWriter = null
+    val writers = Seq.newBuilder[BitWriter]
+    var sliceStart = 0
 
     def lumaNc(gbx: Int, gby: Int): Int = {
-      val a = gbx > 0
-      val b = gby > 0
+      val a = gbx > 0 && (gby / 4) * mbW + (gbx - 1) / 4 >= sliceStart
+      val b = gby > 0 && ((gby - 1) / 4) * mbW + gbx / 4 >= sliceStart
       if (a && b) (nzY(gby * bCols + gbx - 1) + nzY((gby - 1) * bCols + gbx) + 1) >> 1
       else if (a) nzY(gby * bCols + gbx - 1)
       else if (b) nzY((gby - 1) * bCols + gbx)
       else 0
     }
     def chromaNc(map: Array[Int], gbx: Int, gby: Int): Int = {
-      val a = gbx > 0
-      val b = gby > 0
+      val a = gbx > 0 && (gby / 2) * mbW + (gbx - 1) / 2 >= sliceStart
+      val b = gby > 0 && ((gby - 1) / 2) * mbW + gbx / 2 >= sliceStart
       if (a && b) (map(gby * mbW * 2 + gbx - 1) + map((gby - 1) * mbW * 2 + gbx) + 1) >> 1
       else if (a) map(gby * mbW * 2 + gbx - 1)
       else if (b) map((gby - 1) * mbW * 2 + gbx)
@@ -593,6 +623,15 @@ object Encoder {
     var skipRun = 0
     var mbIdx = 0
     while (mbIdx < mbW * mbH) {
+      if (w == null || (mbPerSlice > 0 && mbIdx % mbPerSlice == 0)) {
+        // a pending skip run belongs to the slice it started in
+        if (w != null && skipRun > 0) { w.ue(skipRun); skipRun = 0 }
+        w = new BitWriter
+        writers += w
+        sliceStart = mbIdx
+        writePSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock,
+          firstMb = mbIdx)
+      }
       val mbX = mbIdx % mbW
       val mbY = mbIdx / mbW
       val x0 = mbX * 16
@@ -687,7 +726,7 @@ object Encoder {
       val cbp = cbpLuma | (cbpChroma << 4)
 
       val (skipX, skipY) = MotionPred.skipMv(refGrid, mvxGrid, mvyGrid,
-        bCols, bRows, mbX * 4, mbY * 4)
+        bCols, bRows, mbX * 4, mbY * 4, sliceStart)
       if (cbp == 0 && mvX == skipX && mvY == skipY) {
         // ---- P_Skip ----
         skipRun += 1
@@ -698,7 +737,8 @@ object Encoder {
         w.ue(skipRun)
         skipRun = 0
         val (mpx, mpy) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
-          bCols, bRows, mbX * 4, mbY * 4, 4, 4)
+          bCols, bRows, mbX * 4, mbY * 4, 4, 4, MotionPred.PartNormal,
+          sliceStart)
         fillMvMb(mbX, mbY, mvX, mvY)
         w.ue(0) // mb_type P_L0_16x16
         w.se(mvX - mpx)
@@ -755,7 +795,7 @@ object Encoder {
       mbIdx += 1
     }
     if (skipRun > 0) w.ue(skipRun) // trailing skip run closes the picture
-    avccSampleP(w)
+    avccSampleMulti(writers.result(), nalType = 1)
   }
 
   /** avc1 MP4 with a GOP structure: frame i with i % gop == 0 is an
@@ -765,7 +805,7 @@ object Encoder {
     * behavior is structurally impossible. */
   def mp4Gop(frames: Seq[Frame], qp: Int, fps: Int, gop: Int,
       mvFor: Int => (Int, Int) = _ => (0, 0),
-      deblock: Boolean = true): Array[Byte] = {
+      deblock: Boolean = true, mbPerSlice: Int = 0): Array[Byte] = {
     require(frames.nonEmpty && gop >= 1)
     val f0 = frames.head
     val sps = spsFor(f0.width, f0.height)
@@ -775,8 +815,9 @@ object Encoder {
     val samples = frames.zipWithIndex.map { case (f, i) =>
       require(f.width == f0.width && f.height == f0.height, "mixed dims")
       val s =
-        if (i % gop == 0) encodeFrame(f, qp, 0, i, deblock)
-        else encodePFrame(f, ref, qp, frameNum = i % gop, mvFor(i), deblock)
+        if (i % gop == 0) encodeFrame(f, qp, 0, i, deblock, mbPerSlice)
+        else encodePFrame(f, ref, qp, frameNum = i % gop, mvFor(i),
+          deblock, mbPerSlice)
       ref = Decoder.decode(s, cfg, ref)
       s
     }

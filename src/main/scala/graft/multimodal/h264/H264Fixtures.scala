@@ -213,6 +213,99 @@ object H264Fixtures {
     }
   }
 
+  /** MULTI-SLICE avc1 fixture (mm17): 32x16 pictures of two MBs, one
+    * slice per MB — the encoder-parallelism layout of real streams.
+    * Slice-local availability makes every MB's Intra_16x16 DC predict
+    * from nothing (128), so each MB is an independently closed-form
+    * uniform block:
+    *
+    *  - even frames: IDR; slice A = MB0 with luma DC level la, slice B
+    *    = MB1 with level lb (chroma uncoded → 128, so RGB == luma).
+    *  - odd frames: P; slice A = P_Skip over MB0, slice B = coded
+    *    P_L0_16x16 over MB1 adding the uniform delta (lp).
+    *
+    * Deblock is disabled in-stream (idc 1) so the cross-slice MB edge
+    * between two different uniform values stays exact. */
+  def videoSlices(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(32, 16)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map { f =>
+      if (f % 2 == 0) {
+        val ws = Seq(0, 1).map { mb =>
+          val l = if (mb == 0) 1 + ((docId + f) % 5).toInt
+          else 1 + ((docId + 2 * f) % 5).toInt
+          val w = new BitWriter
+          Encoder.writeSliceHeader(w, sps, f, 0, deblock = false,
+            firstMb = mb)
+          w.ue(3) // I_16x16, DC pred, cbp 0
+          w.ue(0) // chroma DC
+          w.se(0) // mb_qp_delta
+          val dc = new Array[Int](16)
+          dc(0) = l
+          Cavlc.writeBlock(w, 0, 16, dc) // nC 0: slice-local neighbors
+          w
+        }
+        Encoder.avccSampleMulti(ws, nalType = 5)
+      } else {
+        val wA = new BitWriter
+        Encoder.writePSliceHeader(wA, sps, 1, 0, deblock = false,
+          firstMb = 0)
+        wA.ue(1) // mb_skip_run covering MB0
+        val wB = new BitWriter
+        Encoder.writePSliceHeader(wB, sps, 1, 0, deblock = false,
+          firstMb = 1)
+        wB.ue(0) // mb_skip_run
+        wB.ue(0) // P_L0_16x16
+        wB.se(0); wB.se(0) // mvd; mvp (0,0) — MB0 is in another slice
+        wB.ue(Decoder.codeNumFromCbpInter(15))
+        wB.se(0) // mb_qp_delta
+        val lp = deltaLevel(docId)
+        val nz = new Array[Int](16)
+        val zo = Array((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0),
+          (2, 1), (3, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2),
+          (2, 3), (3, 3))
+        var k = 0
+        while (k < 16) {
+          val (bx, by) = zo(k)
+          val nc =
+            if (bx > 0 && by > 0) (nz(by * 4 + bx - 1) + nz((by - 1) * 4 + bx) + 1) >> 1
+            else if (bx > 0) nz(by * 4 + bx - 1)
+            else if (by > 0) nz((by - 1) * 4 + bx)
+            else 0
+          val blk = new Array[Int](16)
+          blk(0) = lp
+          nz(by * 4 + bx) = Cavlc.writeBlock(wB, nc, 16, blk)
+          k += 1
+        }
+        Encoder.avccSampleMulti(Seq(wA, wB), nalType = 1)
+      }
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 32, height = 16, syncEvery = 2,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  /** closed-form plane sums for [[videoSlices]] frames */
+  def expectedSumsSlices(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    def i16Val(l: Int): Int = {
+      val dc =
+        if (qp >= 36) (l * v) << (qp / 6 - 6)
+        else (l * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      clip(128 + ((dc + 32) >> 6))
+    }
+    val fIdr = f - f % 2
+    val la = 1 + ((d + fIdr) % 5).toInt
+    val lb = 1 + ((d + 2 * fIdr) % 5).toInt
+    val r = (((deltaLevel(d) * v) << (qp / 6)) + 32) >> 6
+    val v0 = i16Val(la)
+    val v1 = if (f % 2 == 0) i16Val(lb) else clip(i16Val(lb) + r)
+    (256L * (v0 + v1), 128L * 128L, 128L * 128L)
+  }
+
   /** kind-1 (I_16x16 uniform) closed-form plane sums, shared by
     * [[expectedSums]] and the GOP oracle. */
   private def i16Sums(d: Long, f: Int): (Long, Long, Long) = {

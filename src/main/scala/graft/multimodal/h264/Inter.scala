@@ -133,16 +133,20 @@ object MotionPred {
     math.max(math.min(a, b), math.min(c, math.max(a, b)))
 
   /** mvp for the partition whose top-left 4x4 block is (bx, by) in a
-    * cols×rows block grid, spanning wB×hB blocks. */
+    * cols×rows block grid, spanning wB×hB blocks. `firstMb` is the
+    * first macroblock address of the CURRENT slice: neighbors in
+    * earlier slices are not available (6.4.9). */
   def predict(refG: Array[Int], mvxG: Array[Int], mvyG: Array[Int],
       cols: Int, rows: Int, bx: Int, by: Int, wB: Int, hB: Int,
-      partKind: Int = PartNormal): (Int, Int) = {
+      partKind: Int = PartNormal, firstMb: Int = 0): (Int, Int) = {
 
     @inline def refAt(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= cols || y >= rows) Unavail
+      else if ((y / 4) * (cols / 4) + x / 4 < firstMb) Unavail
       else refG(y * cols + x)
     @inline def mvAt(x: Int, y: Int): (Int, Int) =
       if (x < 0 || y < 0 || x >= cols || y >= rows ||
+        (y / 4) * (cols / 4) + x / 4 < firstMb ||
         refG(y * cols + x) < 0) (0, 0)
       else (mvxG(y * cols + x), mvyG(y * cols + x))
 
@@ -179,12 +183,15 @@ object MotionPred {
   }
 
   /** P_Skip motion vector (8.4.1.1): the 16x16 median prediction,
-    * zeroed when either top/left MB is unavailable or carries a zero
-    * MV with refIdx 0. (bx, by) is the MB's top-left block. */
+    * zeroed when either top/left MB is unavailable (incl. in an
+    * earlier slice) or carries a zero MV with refIdx 0. (bx, by) is
+    * the MB's top-left block. */
   def skipMv(refG: Array[Int], mvxG: Array[Int], mvyG: Array[Int],
-      cols: Int, rows: Int, bx: Int, by: Int): (Int, Int) = {
+      cols: Int, rows: Int, bx: Int, by: Int,
+      firstMb: Int = 0): (Int, Int) = {
     @inline def refAt(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= cols || y >= rows) Unavail
+      else if ((y / 4) * (cols / 4) + x / 4 < firstMb) Unavail
       else refG(y * cols + x)
     val refA = refAt(bx - 1, by)
     val refB = refAt(bx, by - 1)
@@ -193,6 +200,7 @@ object MotionPred {
     val zeroB = refB == 0 && mvxG((by - 1) * cols + bx) == 0 &&
       mvyG((by - 1) * cols + bx) == 0
     if (refA == Unavail || refB == Unavail || zeroA || zeroB) (0, 0)
-    else predict(refG, mvxG, mvyG, cols, rows, bx, by, 4, 4)
+    else predict(refG, mvxG, mvyG, cols, rows, bx, by, 4, 4,
+      PartNormal, firstMb)
   }
 }

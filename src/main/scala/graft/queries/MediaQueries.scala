@@ -597,7 +597,82 @@ object MediaQueries extends QueryRegistry {
       |    yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS b_sum
       |FROM uv GROUP BY g4 ORDER BY gop_pos""".stripMargin
 
+  /** mm17: MULTI-SLICE H.264 decode gate. Real streams carry several
+    * slices per picture (encoder parallelism); each doc synthesizes a
+    * two-slice avc1 fixture ([[graft.multimodal.h264.H264Fixtures
+    * .videoSlices]]: one slice per MB, IDR/P alternating) and decodes
+    * every frame through Mp4Frames. Slice-local neighbor availability
+    * (6.4.9) is what the oracle pins: each MB's intra DC must predict
+    * 128 (NOT the cross-slice neighbor), making both MBs closed-form
+    * uniform; a decoder that leaks availability across the slice
+    * boundary, desyncs CAVLC nC contexts, or mis-routes the per-slice
+    * skip runs shifts a sum. */
+  private def avcSliceDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (4 + id % 3).toInt
+      val bytes = graft.multimodal.h264.H264Fixtures.videoSlices(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 2, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("frame_parity"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("frame_parity"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("frame_parity"))
+  }
+
+  /** uncoded chroma (128) makes BT.601 the identity, so every channel
+    * sum is 256·(v0+v1) from the two slices' closed-form MB values */
+  private val avcSliceDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (4 + doc_id % 3)::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, (f % 2)::INT AS par, (f - f % 2)::INT AS fi,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6
+      |  FROM fr),
+      |vals AS (
+      |  SELECT d, f, par,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN (1 + (d + fi) % 5) * v6
+      |            ELSE ((1 + (d + fi) % 5) * v6 + (1 << (5 - qp//6)))
+      |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS v0,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN (1 + (d + 2*fi) % 5) * v6
+      |            ELSE ((1 + (d + 2*fi) % 5) * v6 + (1 << (5 - qp//6)))
+      |                 // (1 << (6 - qp//6)) END + 32) // 64
+      |      + CASE WHEN par = 0 THEN 0
+      |             ELSE ((1 + d % 2) * v6 * (1 << (qp//6)) + 32) // 64
+      |        END)) AS v1
+      |  FROM q)
+      |SELECT par AS frame_parity, count(*) AS n_frames,
+      |  sum(256 * (v0 + v1))::BIGINT AS r_sum,
+      |  sum(256 * (v0 + v1))::BIGINT AS g_sum,
+      |  sum(256 * (v0 + v1))::BIGINT AS b_sum
+      |FROM vals GROUP BY par ORDER BY frame_parity""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm17_avc_slices" -> QueryDef(avcSliceDecode, Some(avcSliceDecodeSql),
+      bench = true),
     "mm16_avc_inter" -> QueryDef(avcInterDecode, Some(avcInterDecodeSql),
       bench = true),
     "mm15_pitch_track" -> QueryDef(pitchTrack, Some(pitchTrackSql),

@@ -70,8 +70,17 @@ object Bench {
     val loadWarning = loadavg.headOption.exists(_ > loadLimit)
     val loadStart = loadavg
 
+    // optional comma-separated name-prefix filter (e.g. "qd,qs,st,wds"
+    // for the sf1 annual-ring line — the full set at sf1 would spend
+    // most of its wall on scan-bound queries that sf-scale trivially)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+
     // (name, per-rep seconds ascending, ok)
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter(t => selected(t._1)).map {
       case (name, fn) =>
         val times = Seq.newBuilder[Double]
         var ok = true

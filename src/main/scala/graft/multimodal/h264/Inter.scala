@@ -47,6 +47,9 @@ object Interp {
       (b1(x, y - 2) - 5 * b1(x, y - 1) + 20 * b1(x, y) +
         20 * b1(x, y + 1) - 5 * b1(x, y + 2) + b1(x, y + 3) + 512) >> 10)
 
+    // hot path: per-pixel phase dispatch as a primitive tableswitch
+    // (a (fx, fy) tuple match would box two Ints per predicted sample)
+    val phase = (fy << 2) | fx
     var dy = 0
     while (dy < h) {
       val y = y0 + dy
@@ -54,24 +57,23 @@ object Interp {
       while (dx < w) {
         val x = x0 + dx
         // Table 8-12: G a b c / d e f g / h i j k m / n p q r
-        val v = (fx, fy) match {
-          case (0, 0) => at(x, y)
-          case (1, 0) => (at(x, y) + halfH(x, y) + 1) >> 1
-          case (2, 0) => halfH(x, y)
-          case (3, 0) => (at(x + 1, y) + halfH(x, y) + 1) >> 1
-          case (0, 1) => (at(x, y) + halfV(x, y) + 1) >> 1
-          case (0, 2) => halfV(x, y)
-          case (0, 3) => (at(x, y + 1) + halfV(x, y) + 1) >> 1
-          case (2, 1) => (halfH(x, y) + halfC(x, y) + 1) >> 1
-          case (2, 3) => (halfH(x, y + 1) + halfC(x, y) + 1) >> 1
-          case (1, 2) => (halfV(x, y) + halfC(x, y) + 1) >> 1
-          case (3, 2) => (halfV(x + 1, y) + halfC(x, y) + 1) >> 1
-          case (2, 2) => halfC(x, y)
-          case (1, 1) => (halfH(x, y) + halfV(x, y) + 1) >> 1
-          case (3, 1) => (halfH(x, y) + halfV(x + 1, y) + 1) >> 1
-          case (1, 3) => (halfV(x, y) + halfH(x, y + 1) + 1) >> 1
-          case (3, 3) => (halfV(x + 1, y) + halfH(x, y + 1) + 1) >> 1
-          case _ => throw new IllegalStateException("unreachable")
+        val v = (phase: @scala.annotation.switch) match {
+          case 0 => at(x, y)                                  // (0,0)
+          case 1 => (at(x, y) + halfH(x, y) + 1) >> 1         // (1,0)
+          case 2 => halfH(x, y)                               // (2,0)
+          case 3 => (at(x + 1, y) + halfH(x, y) + 1) >> 1     // (3,0)
+          case 4 => (at(x, y) + halfV(x, y) + 1) >> 1         // (0,1)
+          case 5 => (halfH(x, y) + halfV(x, y) + 1) >> 1      // (1,1)
+          case 6 => (halfH(x, y) + halfC(x, y) + 1) >> 1      // (2,1)
+          case 7 => (halfH(x, y) + halfV(x + 1, y) + 1) >> 1  // (3,1)
+          case 8 => halfV(x, y)                               // (0,2)
+          case 9 => (halfV(x, y) + halfC(x, y) + 1) >> 1      // (1,2)
+          case 10 => halfC(x, y)                              // (2,2)
+          case 11 => (halfV(x + 1, y) + halfC(x, y) + 1) >> 1 // (3,2)
+          case 12 => (at(x, y + 1) + halfV(x, y) + 1) >> 1    // (0,3)
+          case 13 => (halfV(x, y) + halfH(x, y + 1) + 1) >> 1 // (1,3)
+          case 14 => (halfH(x, y + 1) + halfC(x, y) + 1) >> 1 // (2,3)
+          case _ => (halfV(x + 1, y) + halfH(x, y + 1) + 1) >> 1 // (3,3)
         }
         out((outY + dy) * outStride + outX + dx) = v
         dx += 1

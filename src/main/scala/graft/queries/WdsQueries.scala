@@ -286,15 +286,14 @@ object WdsQueries extends QueryRegistry {
     val groups = plan.groupBy(_._3).toSeq.sortBy(_._1)
       .map { case (_, ss) => ss.sortBy(_._1).map(t => urlOf(t._1)) }
     val merged = scratchDir("graft_e1cm")
-    // one partition per merge group, partitions in group order, via an
-    // RDD-level union (SQL Union zips same-partition-count children
-    // partition-wise, which would collapse the groups): partitionId ==
-    // group_id, so the writer's part-<partition>- naming IS the shard
-    // map. Each task streams its group's tars into one output tar.
-    val groupDfs =
-      groups.map(us => s.read.format("wds").load(us: _*).coalesce(1))
-    s.createDataFrame(
-        s.sparkContext.union(groupDfs.map(_.rdd)), groupDfs.head.schema)
+    // one partition per merge group, partitions in group order:
+    // partitionId == group_id, so the writer's part-<partition>- naming
+    // IS the shard map. Each task streams its group's tars into one
+    // output tar. ONE parallelize over the group specs — the previous
+    // per-group-DataFrame + RDD-union spelling paid a driver-side plan
+    // per merge group, which at sf1 (200 groups) cost ~100s of the
+    // query's 133s (SCALE.md round 8); task-side work is identical.
+    graft.wds.WdsReader.readUrlGroups(s, groups).toDF()
       .write.format("wds").mode("append").save(merged)
     val mergedUrls = {
       val p = new org.apache.hadoop.fs.Path(merged)

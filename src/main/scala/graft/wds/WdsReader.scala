@@ -51,6 +51,26 @@ object WdsReader {
         .mapPartitions(it => readPartition(it, bc.value.value, opts)))
   }
 
+  /** Explicit shard grouping: partition i streams exactly `groups(i)`'s
+    * shards, in order — the compaction executor's plan-driven layout
+    * (variable group sizes; partitionId == merge-group id). ONE job,
+    * one parallelize: per-group DataFrames would cost a driver-side
+    * plan each, which at hundreds of merge groups dominates wall time
+    * (measured: wds20 at sf1, 200 groups — see SCALE.md round 8). */
+  def readUrlGroups(
+      spark: SparkSession,
+      groups: Seq[Seq[String]],
+      opts: TarIO.ReadOptions = TarIO.ReadOptions()): Dataset[Sample] = {
+    implicit val enc = Encoders.product[Sample]
+    require(groups.nonEmpty && groups.forall(_.nonEmpty), "empty group")
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(conf)
+    spark.createDataset(
+      spark.sparkContext.parallelize(groups, groups.size)
+        .mapPartitions(it => it.flatMap(group =>
+          readPartition(group.iterator, bc.value.value, opts))))
+  }
+
   /** Like [[readUrls]], but `groupSize` consecutive shards share one
     * partition — the tokenize stage's `shard_size` merge-group contract
     * (`tokenize/main.py:220-264`): one greedy-pack fold then spans that

@@ -34,6 +34,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // production parity with Verify: extensions installed
     GraftExtensions.register(spark)
+    // ...and a RELIABLE checkpoint dir. Without one, iterative ops
+    // (qc07's connected components) fall back to localCheckpoint,
+    // which pins RDD blocks in executor memory until the
+    // ContextCleaner happens to GC them — measured as bimodal qc07
+    // reps (7s vs 45s) inside one otherwise-idle bench JVM.
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     // warm the JVM/codegen/FS paths so the first measured query isn't
     // charged session startup
     spark.range(1000000L).selectExpr("sum(id)").collect()

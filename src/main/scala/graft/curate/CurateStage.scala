@@ -60,7 +60,10 @@ object CurateStage {
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
-    def close(): Unit = { cached.unpersist(): Unit }
+    // blocking: a caller that immediately re-runs the funnel (bench
+    // reps, retry loops) must not race its fresh persists against the
+    // previous run's async block eviction
+    def close(): Unit = { cached.unpersist(blocking = true): Unit }
   }
 
   /** Raw-text C4 keep flag (the qt09 heuristics minus the fixture's
@@ -161,7 +164,10 @@ object CurateStage {
     val all = flagged.withColumn("curated", col("decontam_keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count(): Unit // materialize, then release the stage-internals
-    sh.unpersist(); s3n.unpersist(); s3Opt.foreach(_.unpersist())
+    // blocking for the same reason as CurateResult.close
+    sh.unpersist(blocking = true)
+    s3n.unpersist(blocking = true)
+    s3Opt.foreach(_.unpersist(blocking = true))
 
     val curated = all.filter(col("curated") === 1)
       .drop(keeps :+ "curated": _*)

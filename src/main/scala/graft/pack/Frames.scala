@@ -261,7 +261,7 @@ object FrameSource {
       else if (t.codec == "avc1") {
         // pure-JVM H.264 baseline decode (graft.multimodal.h264):
         // sync-sample seek + MC walk-forward -> YUV -> RGB -> PNG
-        // bytes, honoring the frame() contract of returning an encoded
+        // bytes, keeping the frame() contract of returning an encoded
         // image. Non-baseline features (CABAC, B slices, fields)
         // surface as the typed signal.
         import graft.multimodal.h264.Decoder

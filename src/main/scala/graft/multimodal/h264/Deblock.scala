@@ -118,8 +118,10 @@ object Deblock {
       val pi = pby * bCols + pbx
       val qi = qby * bCols + qbx
       if (meta.nzY(pi) > 0 || meta.nzY(qi) > 0) return 2
-      // both inter with the same (single) reference picture
-      if (math.abs(meta.mvxGrid(pi) - meta.mvxGrid(qi)) >= 4 ||
+      // different reference pictures, or an MV delta of a full sample
+      // or more, across the edge -> 1 (8.7.2.1)
+      if (meta.refGrid(pi) != meta.refGrid(qi) ||
+        math.abs(meta.mvxGrid(pi) - meta.mvxGrid(qi)) >= 4 ||
         math.abs(meta.mvyGrid(pi) - meta.mvyGrid(qi)) >= 4) 1
       else 0
     }

@@ -6,11 +6,12 @@ package graft.multimodal.h264
   * (`pack/samplers.py:102-157` extracts I-frames AND arbitrary
   * segment-center frames via decord/ffmpeg): CAVLC entropy coding,
   * Intra_4x4 / Intra_16x16 / I_PCM macroblocks, P slices with
-  * P_Skip / 16x16 / 16x8 / 8x16 / 8x8 (+sub-partition) single-reference
-  * motion compensation at quarter-pel precision, dequant + inverse
-  * transforms, in-loop deblocking with inter boundary-strength
-  * derivation. Non-baseline features (CABAC, B slices, multiple
-  * reference frames, fields, 8x8 transform) raise [[UnsupportedFeature]]
+  * P_Skip / 16x16 / 16x8 / 8x16 / 8x8 (+sub-partition) motion
+  * compensation at quarter-pel precision over MULTIPLE reference
+  * frames (per-partition ref_idx_l0 against a sliding-window DPB),
+  * dequant + inverse transforms, in-loop deblocking with inter
+  * boundary-strength derivation. Non-baseline features (CABAC,
+  * B slices, fields, 8x8 transform) raise [[UnsupportedFeature]]
   * so the FrameSource seam can triage them as the typed
   * unsupported-codec signal (mm13) instead of emitting garbage pixels.
   */
@@ -113,13 +114,24 @@ object Decoder {
     * neighbor availability (6.4.9) and the loop filter runs once over
     * the assembled picture. */
   def decode(sample: Array[Byte], cfg: AvcConfig,
-      ref: Yuv = null): Yuv = {
+      ref: Yuv = null): Yuv =
+    decode(sample, cfg,
+      if (ref == null) Vector.empty[Yuv] else Vector(ref))
+
+  /** decode against a multi-picture DPB: `refs` is reference list 0 in
+    * its initialization order for P slices — most recently decoded
+    * short-term reference FIRST (descending PicNum, 8.2.4.2.1). The
+    * GOP walk maintains exactly this order by prepending each decoded
+    * reference picture and truncating to the SPS max_num_ref_frames
+    * sliding window. */
+  def decode(sample: Array[Byte], cfg: AvcConfig,
+      refs: IndexedSeq[Yuv]): Yuv = {
     val nals = Nal.splitAvccSample(sample, cfg.nalLengthSize)
     val slices = nals.collect {
       case (t, refIdc, rbsp) if t == 5 || t == 1 => (t == 5, refIdc, rbsp)
     }
     if (slices.isEmpty) throw UnsupportedFeature("no slice NAL in sample")
-    decodePicture(slices, cfg, ref)
+    decodePicture(slices, cfg, refs)
   }
 
   /** true iff the sample's slice NAL is a reference picture
@@ -130,12 +142,20 @@ object Decoder {
       case (t, refIdc, _) if t == 5 || t == 1 => refIdc > 0
     }.getOrElse(false)
 
+  /** true iff the sample's slice NAL is an IDR (type 5) — an IDR
+    * resets the DPB: no picture decoded before it may be referenced
+    * after it (8.2.5.1). */
+  def isIdr(sample: Array[Byte], cfg: AvcConfig): Boolean =
+    Nal.splitAvccSample(sample, cfg.nalLengthSize).collectFirst {
+      case (t, _, _) if t == 5 || t == 1 => t == 5
+    }.getOrElse(false)
+
   // scratch holder for a parsed macroblock's residual levels
   private final class MbResidual {
     var mbType = 0
     var isInter = false
-    // inter partitions: (x0, y0, w, h, mvx, mvy) in luma samples
-    var parts: Array[(Int, Int, Int, Int, Int, Int)] = null
+    // inter partitions: (x0, y0, w, h, refIdx, mvx, mvy) in luma samples
+    var parts: Array[(Int, Int, Int, Int, Int, Int, Int)] = null
     var intra4x4Modes: Array[Int] = null // decode order z-index
     var i16PredMode = 0
     var chromaPredMode = 0
@@ -153,7 +173,7 @@ object Decoder {
   }
 
   private def decodePicture(slices: Seq[(Boolean, Int, Array[Byte])],
-      cfg: AvcConfig, ref: Yuv): Yuv = {
+      cfg: AvcConfig, refs: IndexedSeq[Yuv]): Yuv = {
     val sps = cfg.sps
     val pps = cfg.pps
     // per-slice parse state: the bit reader and the slice's first MB
@@ -186,6 +206,7 @@ object Decoder {
     val mbQp = new Array[Int](mbW * mbH)
     var prevQp = 0 // reset to each slice's QP at its header
     var isPCur = false
+    var activeRefs = 1 // num_ref_idx_l0_active of the current slice
     // per-4x4-block motion grids (8.4.1.3 prediction + deblock bS)
     val bCols = mbW * 4
     val bRows = mbH * 4
@@ -254,12 +275,13 @@ object Decoder {
     }
 
     /** fill the motion grid for a partition (luma sample coords) */
-    def fillMv(px: Int, py: Int, w: Int, h: Int, mvx: Int, mvy: Int): Unit = {
+    def fillMv(px: Int, py: Int, w: Int, h: Int, refIdx: Int,
+        mvx: Int, mvy: Int): Unit = {
       var by = py / 4
       while (by < (py + h) / 4) {
         var bx = px / 4
         while (bx < (px + w) / 4) {
-          refGrid(by * bCols + bx) = 0
+          refGrid(by * bCols + bx) = refIdx
           mvxGrid(by * bCols + bx) = mvx
           mvyGrid(by * bCols + bx) = mvy
           bx += 1
@@ -392,50 +414,75 @@ object Decoder {
       mb.isInter = true
       val bx0 = mbX * 4
       val by0 = mbY * 4
-      val parts = Array.newBuilder[(Int, Int, Int, Int, Int, Int)]
+      val parts = Array.newBuilder[(Int, Int, Int, Int, Int, Int, Int)]
 
-      def readMv(px: Int, py: Int, w: Int, h: Int, kind: Int): Unit = {
+      /** ref_idx_l0, te(v)-coded against the slice's active count
+        * (9.1.1: 1 inverted bit when active == 2, ue otherwise; absent
+        * -> 0 when active == 1) */
+      def readRef(): Int =
+        if (activeRefs == 1) 0
+        else if (activeRefs == 2) 1 - r.u1()
+        else {
+          val v = r.ue()
+          require(v < activeRefs, s"ref_idx_l0 $v >= $activeRefs active")
+          v
+        }
+
+      def readMv(px: Int, py: Int, w: Int, h: Int, kind: Int,
+          refIdx: Int): Unit = {
         val mvdx = r.se()
         val mvdy = r.se()
         val (mpx, mpy) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
           bCols, bRows, bx0 + px / 4, by0 + py / 4, w / 4, h / 4, kind,
-          firstMbCur)
+          firstMbCur, refIdx)
         val mvx = mpx + mvdx
         val mvy = mpy + mvdy
-        fillMv(mbX * 16 + px, mbY * 16 + py, w, h, mvx, mvy)
-        parts += ((px, py, w, h, mvx, mvy))
+        fillMv(mbX * 16 + px, mbY * 16 + py, w, h, refIdx, mvx, mvy)
+        parts += ((px, py, w, h, refIdx, mvx, mvy))
       }
 
+      // 7.3.5.1 mb_pred ordering: ALL partitions' ref_idx_l0 first,
+      // then all partitions' mvd_l0
       pMbType match {
-        case 0 => readMv(0, 0, 16, 16, MotionPred.PartNormal)
+        case 0 =>
+          val r0 = readRef()
+          readMv(0, 0, 16, 16, MotionPred.PartNormal, r0)
         case 1 =>
-          readMv(0, 0, 16, 8, MotionPred.Part16x8Top)
-          readMv(0, 8, 16, 8, MotionPred.Part16x8Bottom)
+          val r0 = readRef()
+          val r1 = readRef()
+          readMv(0, 0, 16, 8, MotionPred.Part16x8Top, r0)
+          readMv(0, 8, 16, 8, MotionPred.Part16x8Bottom, r1)
         case 2 =>
-          readMv(0, 0, 8, 16, MotionPred.Part8x16Left)
-          readMv(8, 0, 8, 16, MotionPred.Part8x16Right)
-        case _ => // P_8x8 / P_8x8ref0 (Table 7-17 sub_mb_types)
+          val r0 = readRef()
+          val r1 = readRef()
+          readMv(0, 0, 8, 16, MotionPred.Part8x16Left, r0)
+          readMv(8, 0, 8, 16, MotionPred.Part8x16Right, r1)
+        case pt => // P_8x8 (3) / P_8x8ref0 (4), Table 7-17 sub_mb_types
           val subTypes = Array.fill(4)(r.ue())
           subTypes.foreach(t =>
             require(t <= 3, s"sub_mb_type $t"))
-          // ref_idx_l0 would follow here; absent with 1 active ref
+          // sub_mb_pred (7.3.5.2): ref_idx_l0 per 8x8 partition first
+          // (P_8x8ref0 pins all four to 0 without transmitting them)
+          val refs8 =
+            if (pt == 4) Array.fill(4)(0) else Array.fill(4)(readRef())
           var q = 0
           while (q < 4) {
             val ox = (q % 2) * 8
             val oy = (q / 2) * 8
+            val rq = refs8(q)
             subTypes(q) match {
-              case 0 => readMv(ox, oy, 8, 8, MotionPred.PartNormal)
+              case 0 => readMv(ox, oy, 8, 8, MotionPred.PartNormal, rq)
               case 1 =>
-                readMv(ox, oy, 8, 4, MotionPred.PartNormal)
-                readMv(ox, oy + 4, 8, 4, MotionPred.PartNormal)
+                readMv(ox, oy, 8, 4, MotionPred.PartNormal, rq)
+                readMv(ox, oy + 4, 8, 4, MotionPred.PartNormal, rq)
               case 2 =>
-                readMv(ox, oy, 4, 8, MotionPred.PartNormal)
-                readMv(ox + 4, oy, 4, 8, MotionPred.PartNormal)
+                readMv(ox, oy, 4, 8, MotionPred.PartNormal, rq)
+                readMv(ox + 4, oy, 4, 8, MotionPred.PartNormal, rq)
               case _ =>
                 var s = 0
                 while (s < 4) {
                   readMv(ox + (s % 2) * 4, oy + (s / 2) * 4, 4, 4,
-                    MotionPred.PartNormal)
+                    MotionPred.PartNormal, rq)
                   s += 1
                 }
             }
@@ -455,20 +502,20 @@ object Decoder {
       parseLumaAcAndChroma(mb, mbX, mbY, i16 = false)
     }
 
-    /** one P_Skip macroblock: derived MV, zero residual */
+    /** one P_Skip macroblock: derived MV, refIdx 0, zero residual */
     def skipMb(mbIdx: Int): Unit = {
       val mbX = mbIdx % mbW
       val mbY = mbIdx / mbW
       val (mvx, mvy) = MotionPred.skipMv(refGrid, mvxGrid, mvyGrid,
         bCols, bRows, mbX * 4, mbY * 4, firstMbCur)
-      fillMv(mbX * 16, mbY * 16, 16, 16, mvx, mvy)
+      fillMv(mbX * 16, mbY * 16, 16, 16, 0, mvx, mvy)
       mbQp(mbIdx) = prevQp
       val mb = new MbResidual
       mb.isInter = true
       mb.qpY = prevQp
-      mb.parts = Array((0, 0, 16, 16, mvx, mvy))
+      mb.parts = Array((0, 0, 16, 16, 0, mvx, mvy))
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, ref, firstMbCur)
+        pps, refs, firstMbCur)
     }
 
     def decodeMbLayer(mbIdx: Int): Unit = {
@@ -488,7 +535,7 @@ object Decoder {
         parseIntraMb(mb, mbX, mbY)
       }
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, ref, firstMbCur)
+        pps, refs, firstMbCur)
     }
 
     // --- per slice: header (7.3.3) then slice_data (7.3.4) ---
@@ -515,17 +562,24 @@ object Decoder {
         if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
       }
       if (isP) {
-        // ref list sizing + modification (7.3.3.1), single-ref subset
+        // ref list sizing + modification (7.3.3.1): the INITIALIZED
+        // list 0 (descending PicNum, i.e. `refs` as passed) is used
+        // directly — explicit reordering stays a typed signal
         val active =
           if (r.u1() == 1) r.ue() + 1 else pps.numRefIdxL0Default + 1
-        if (active != 1)
-          throw UnsupportedFeature(s"$active reference pictures (only 1)")
+        if (active > 16)
+          throw UnsupportedFeature(s"$active reference pictures")
+        // a conformant stream never indexes beyond the decoded DPB;
+        // only enforce what's actually addressable (ref_idx parse
+        // checks < active, reconstruct checks < refs.length)
+        activeRefs = active
         if (r.u1() == 1)
           throw UnsupportedFeature("ref_pic_list_modification")
         if (pps.weightedPred) throw UnsupportedFeature("weighted prediction")
-        require(ref != null, "P slice without a reference frame")
-        require(ref.mbW == sps.mbWidth && ref.mbH == sps.mbHeight,
-          "reference dims mismatch")
+        require(refs.nonEmpty, "P slice without a reference frame")
+        refs.foreach(rf =>
+          require(rf.mbW == sps.mbWidth && rf.mbH == sps.mbHeight,
+            "reference dims mismatch"))
       }
       if (idr) { r.u1(); r.u1() } // no_output_of_prior / long_term_ref
       else if (refIdc > 0) {
@@ -588,7 +642,7 @@ object Decoder {
 
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,
       mbH: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
-      strideY: Int, strideC: Int, pps: Pps, ref: Yuv,
+      strideY: Int, strideC: Int, pps: Pps, refs: IndexedSeq[Yuv],
       firstMb: Int): Unit = {
     val x0 = mbX * 16
     val y0 = mbY * 16
@@ -624,7 +678,10 @@ object Decoder {
       val predCr = new Array[Int](64)
       var p = 0
       while (p < mb.parts.length) {
-        val (px, py, w, h, mvx, mvy) = mb.parts(p)
+        val (px, py, w, h, refIdx, mvx, mvy) = mb.parts(p)
+        require(refIdx < refs.length,
+          s"ref_idx_l0 $refIdx but only ${refs.length} decoded references")
+        val ref = refs(refIdx)
         Interp.luma(ref.y, strideY, mbH * 16, x0 + px, y0 + py,
           mvx, mvy, w, h, pred, 16, px, py)
         Interp.chroma(ref.cb, strideC, mbH * 8, mbX * 8 + px / 2,

@@ -33,13 +33,15 @@ object Encoder {
     (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
     (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
 
-  def spsFor(width: Int, height: Int, deblock: Boolean = true): Sps = {
+  def spsFor(width: Int, height: Int, deblock: Boolean = true,
+      numRefFrames: Int = 1): Sps = {
     val mbW = (width + 15) / 16
     val mbH = (height + 15) / 16
     Sps(profileIdc = 66, levelIdc = 10, log2MaxFrameNum = 4,
       picOrderCntType = 0, log2MaxPocLsb = 4, mbWidth = mbW,
       mbHeight = mbH, cropLeft = 0, cropRight = (mbW * 16 - width) / 2,
-      cropTop = 0, cropBottom = (mbH * 16 - height) / 2)
+      cropTop = 0, cropBottom = (mbH * 16 - height) / 2,
+      maxNumRefFrames = numRefFrames)
   }
 
   def ppsFor(qp: Int): Pps =
@@ -161,24 +163,40 @@ object Encoder {
     out.array()
   }
 
-  /** P slice header (7.3.3), single-reference subset — mirrors what
-    * [[Decoder]] parses: no ref-list override/modification, sliding
-    * window marking. `frameNum` is the position within the GOP (IDR
-    * resets frame_num to 0, each reference picture increments). */
+  /** P slice header (7.3.3) — mirrors what [[Decoder]] parses: no
+    * ref-list modification, sliding window marking. `frameNum` is the
+    * position within the GOP (IDR resets frame_num to 0, each
+    * reference picture increments); `numRefs` > 1 writes the
+    * num_ref_idx_active override so partitions carry te(v) ref_idx_l0
+    * against that count. */
   private[h264] def writePSliceHeader(w: BitWriter, sps: Sps,
       frameNum: Int, sliceQpDelta: Int, deblock: Boolean,
-      firstMb: Int = 0): Unit = {
+      firstMb: Int = 0, numRefs: Int = 1): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type P (all slices)
     w.ue(0) // pps id
     w.u(sps.log2MaxFrameNum, frameNum % (1 << sps.log2MaxFrameNum))
     w.u(sps.log2MaxPocLsb, (2 * frameNum) % (1 << sps.log2MaxPocLsb))
-    w.u1(0) // num_ref_idx_active_override (PPS default -> 1 active)
+    if (numRefs == 1) {
+      w.u1(0) // num_ref_idx_active_override (PPS default -> 1 active)
+    } else {
+      w.u1(1) // num_ref_idx_active_override
+      w.ue(numRefs - 1) // num_ref_idx_l0_active_minus1
+    }
     w.u1(0) // ref_pic_list_modification_flag_l0
     w.u1(0) // dec_ref_pic_marking: adaptive flag (sliding window)
     w.se(sliceQpDelta)
     w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
     if (deblock) { w.se(0); w.se(0) }
+  }
+
+  /** te(v)-coded ref_idx_l0 against `active` (9.1.1: single inverted
+    * bit when active == 2, ue otherwise; nothing when active == 1) */
+  private[h264] def writeRefIdx(w: BitWriter, active: Int,
+      refIdx: Int): Unit = {
+    require(refIdx >= 0 && refIdx < active, s"ref_idx $refIdx of $active")
+    if (active == 2) w.u1(1 - refIdx)
+    else if (active > 2) w.ue(refIdx)
   }
 
   /** Encode one frame as an IDR AVCC sample. `pcmEvery` > 0 makes
@@ -564,12 +582,26 @@ object Encoder {
     * construction (no duplicated deblock/bS logic). */
   def encodePFrame(f: Frame, ref: Decoder.Yuv, qp: Int, frameNum: Int,
       mv: (Int, Int) = (0, 0), deblock: Boolean = true,
+      mbPerSlice: Int = 0): Array[Byte] =
+    encodePFrameRefs(f, Vector(ref), qp, frameNum, mv, deblock, mbPerSlice)
+
+  /** Multi-reference P sample: `refs` is reference list 0 (most recent
+    * first); each MB motion-compensates every candidate reference at
+    * the constant MV and picks the minimum-luma-SAD one (ties → lowest
+    * ref_idx, the bit-cheapest), writing te(v) ref_idx_l0 when more
+    * than one reference is active — the multi-ref streams real
+    * encoders emit. P_Skip stays restricted to refIdx 0 (8.4.1.1). */
+  def encodePFrameRefs(f: Frame, refs: IndexedSeq[Decoder.Yuv], qp: Int,
+      frameNum: Int, mv: (Int, Int) = (0, 0), deblock: Boolean = true,
       mbPerSlice: Int = 0): Array[Byte] = {
     val sps = spsFor(f.width, f.height)
     val pps = ppsFor(qp)
     val mbW = sps.mbWidth
     val mbH = sps.mbHeight
-    require(ref.mbW == mbW && ref.mbH == mbH, "reference dims mismatch")
+    require(refs.nonEmpty, "P frame needs at least one reference")
+    val active = refs.length
+    refs.foreach(ref =>
+      require(ref.mbW == mbW && ref.mbH == mbH, "reference dims mismatch"))
     val sy = mbW * 16
     val sc = mbW * 8
     val srcY = padPlane(f.y, f.width, f.height, sy, mbH * 16)
@@ -606,12 +638,13 @@ object Encoder {
       else if (b) map((gby - 1) * mbW * 2 + gbx)
       else 0
     }
-    def fillMvMb(mbX: Int, mbY: Int, mx: Int, my: Int): Unit = {
+    def fillMvMb(mbX: Int, mbY: Int, refIdx: Int, mx: Int,
+        my: Int): Unit = {
       var by = mbY * 4
       while (by < mbY * 4 + 4) {
         var bx = mbX * 4
         while (bx < mbX * 4 + 4) {
-          refGrid(by * bCols + bx) = 0
+          refGrid(by * bCols + bx) = refIdx
           mvxGrid(by * bCols + bx) = mx
           mvyGrid(by * bCols + bx) = my
           bx += 1
@@ -630,19 +663,44 @@ object Encoder {
         writers += w
         sliceStart = mbIdx
         writePSliceHeader(w, sps, frameNum, sliceQpDelta = 0, deblock,
-          firstMb = mbIdx)
+          firstMb = mbIdx, numRefs = active)
       }
       val mbX = mbIdx % mbW
       val mbY = mbIdx / mbW
       val x0 = mbX * 16
       val y0 = mbY * 16
 
-      // MC prediction at the constant MV (same Interp as the decoder)
+      // MC prediction at the constant MV against every candidate
+      // reference (same Interp as the decoder); pick min luma SAD,
+      // ties -> lowest ref_idx
       val predY = new Array[Int](256)
       val predCb = new Array[Int](64)
       val predCr = new Array[Int](64)
-      Interp.luma(ref.y, sy, mbH * 16, x0, y0, mvX, mvY, 16, 16,
-        predY, 16, 0, 0)
+      var chosenRef = 0
+      if (active == 1) {
+        Interp.luma(refs(0).y, sy, mbH * 16, x0, y0, mvX, mvY, 16, 16,
+          predY, 16, 0, 0)
+      } else {
+        val cand = new Array[Int](256)
+        var bestSad = Int.MaxValue
+        var ri = 0
+        while (ri < active) {
+          Interp.luma(refs(ri).y, sy, mbH * 16, x0, y0, mvX, mvY, 16, 16,
+            cand, 16, 0, 0)
+          var sad = 0
+          var i = 0
+          while (i < 256) {
+            sad += math.abs(srcY((y0 + i / 16) * sy + x0 + i % 16) - cand(i))
+            i += 1
+          }
+          if (sad < bestSad) {
+            bestSad = sad; chosenRef = ri
+            System.arraycopy(cand, 0, predY, 0, 256)
+          }
+          ri += 1
+        }
+      }
+      val ref = refs(chosenRef)
       Interp.chroma(ref.cb, sc, mbH * 8, mbX * 8, mbY * 8, mvX, mvY,
         8, 8, predCb, 8, 0, 0)
       Interp.chroma(ref.cr, sc, mbH * 8, mbX * 8, mbY * 8, mvX, mvY,
@@ -727,10 +785,10 @@ object Encoder {
 
       val (skipX, skipY) = MotionPred.skipMv(refGrid, mvxGrid, mvyGrid,
         bCols, bRows, mbX * 4, mbY * 4, sliceStart)
-      if (cbp == 0 && mvX == skipX && mvY == skipY) {
-        // ---- P_Skip ----
+      if (cbp == 0 && chosenRef == 0 && mvX == skipX && mvY == skipY) {
+        // ---- P_Skip (refIdx 0 by definition, 8.4.1.1) ----
         skipRun += 1
-        fillMvMb(mbX, mbY, mvX, mvY)
+        fillMvMb(mbX, mbY, 0, mvX, mvY)
         // nz maps already 0 for this MB
       } else {
         // ---- P_L0_16x16 ----
@@ -738,9 +796,10 @@ object Encoder {
         skipRun = 0
         val (mpx, mpy) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
           bCols, bRows, mbX * 4, mbY * 4, 4, 4, MotionPred.PartNormal,
-          sliceStart)
-        fillMvMb(mbX, mbY, mvX, mvY)
+          sliceStart, chosenRef)
+        fillMvMb(mbX, mbY, chosenRef, mvX, mvY)
         w.ue(0) // mb_type P_L0_16x16
+        writeRefIdx(w, active, chosenRef)
         w.se(mvX - mpx)
         w.se(mvY - mpy)
         w.ue(Decoder.codeNumFromCbpInter(cbp))
@@ -820,6 +879,42 @@ object Encoder {
           deblock, mbPerSlice)
       ref = Decoder.decode(s, cfg, ref)
       s
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = fps,
+      width = f0.width, height = f0.height, syncEvery = gop,
+      sampleEntryExtension = avccBox(sps, pps))
+  }
+
+  /** avc1 MP4 with a GOP structure AND a multi-picture DPB: as
+    * [[mp4Gop]], but P frames reference up to `numRefs` previously
+    * decoded pictures (sliding window, most recent first — the list-0
+    * initialization order) with per-MB min-SAD ref_idx selection. The
+    * SPS declares max_num_ref_frames = numRefs, so a decoder's GOP
+    * walk must maintain the same window to resolve every ref_idx. */
+  def mp4GopMulti(frames: Seq[Frame], qp: Int, fps: Int, gop: Int,
+      numRefs: Int, mvFor: Int => (Int, Int) = _ => (0, 0),
+      deblock: Boolean = true, mbPerSlice: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty && gop >= 1 && numRefs >= 1 && numRefs <= 16)
+    val f0 = frames.head
+    val sps = spsFor(f0.width, f0.height, numRefFrames = numRefs)
+    val pps = ppsFor(qp)
+    val cfg = Decoder.AvcConfig(sps, pps, 4)
+    var dpb = Vector.empty[Decoder.Yuv]
+    val samples = frames.zipWithIndex.map { case (f, i) =>
+      require(f.width == f0.width && f.height == f0.height, "mixed dims")
+      if (i % gop == 0) {
+        val s = encodeFrame(f, qp, 0, i, deblock, mbPerSlice)
+        dpb = Vector(Decoder.decode(s, cfg, Vector.empty[Decoder.Yuv]))
+        s
+      } else {
+        // never signal more active refs than the DPB holds (a GOP's
+        // first P frames see a still-filling window)
+        val refs = dpb.take(numRefs)
+        val s = encodePFrameRefs(f, refs, qp, frameNum = i % gop,
+          mvFor(i), deblock, mbPerSlice)
+        dpb = (Decoder.decode(s, cfg, refs) +: dpb).take(numRefs)
+        s
+      }
     }
     Mp4Samples.encodeFrames(samples, codec = "avc1", fps = fps,
       width = f0.width, height = f0.height, syncEvery = gop,

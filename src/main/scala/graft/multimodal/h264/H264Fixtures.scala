@@ -213,6 +213,117 @@ object H264Fixtures {
     }
   }
 
+  /** MULTI-REFERENCE avc1 fixture (mm18): 16x16 single-MB GOPs where
+    * P slices index a 2-picture DPB (SPS max_num_ref_frames = 2) —
+    * the sliding-window layout real encoders emit. Every ref_idx != 0
+    * is DISCRIMINATING: a decoder that ignores ref_idx (always using
+    * the most recent picture) or mis-orders list 0 produces a
+    * different uniform value at GOP positions 2 and 3. All chroma is
+    * uncoded/128, so BT.601 is the identity and channel sums are
+    * 256·yv closed-form:
+    *
+    *  - g = f%4 == 0: IDR, I_16x16 uniform (luma level la, chroma 128).
+    *  - g == 1: P (1 active ref), the MB is I_PCM — uniform vb,
+    *    lossless, exercising intra-in-P. DPB after: [P1, IDR].
+    *  - g == 2: P with 2 active refs, ref_idx_l0 = 1 → the IDR
+    *    (NOT the most recent P1), mv (0,0), cbp 0 → copies la's value.
+    *    DPB after: [P2, P1].
+    *  - g == 3: P with 2 active refs, ref_idx_l0 = 1 → P1 (the PCM
+    *    picture, again not most-recent) at a NONZERO quarter-pel MV
+    *    (identity over the uniform plane) → copies vb.
+    */
+  def videoMultiRef(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map { f =>
+      val fi = f - f % 4
+      (f % 4) match {
+        case 0 => i16PlainFrame(docId, f, sps)
+        case 1 => pPcmFrame(docId, fi, sps)
+        case 2 =>
+          val w = new BitWriter
+          Encoder.writePSliceHeader(w, sps, 2, sliceQpDelta = 0,
+            deblock = true, numRefs = 2)
+          w.ue(0) // mb_skip_run
+          w.ue(0) // mb_type P_L0_16x16
+          Encoder.writeRefIdx(w, 2, 1) // the IDR, not the PCM P
+          w.se(0); w.se(0) // mvd (mvp = (0,0): no neighbors)
+          w.ue(Decoder.codeNumFromCbpInter(0))
+          Encoder.avccSampleP(w)
+        case _ =>
+          val (mvx, mvy) = gopMv(docId)
+          val w = new BitWriter
+          Encoder.writePSliceHeader(w, sps, 3, sliceQpDelta = 0,
+            deblock = true, numRefs = 2)
+          w.ue(0) // mb_skip_run
+          w.ue(0) // mb_type P_L0_16x16
+          Encoder.writeRefIdx(w, 2, 1) // the PCM P, not the copy P
+          w.se(mvx); w.se(mvy)
+          w.ue(Decoder.codeNumFromCbpInter(0))
+          Encoder.avccSampleP(w)
+      }
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 4,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  /** the PCM luma byte of [[videoMultiRef]]'s g==1 frame */
+  def multiRefPcmVal(d: Long, fi: Int): Int =
+    (16 + (d * 37 + fi * 19) % 224).toInt
+
+  /** I_16x16 uniform IDR with UNCODED chroma (128): luma DC level
+    * la = 1 + (d + f) % 5, BT.601-identity friendly */
+  private def i16PlainFrame(d: Long, f: Int, sps: Sps): Array[Byte] = {
+    val la = 1 + ((d + f) % 5).toInt
+    val w = new BitWriter
+    Encoder.writeSliceHeader(w, sps, f, sliceQpDelta = 0, deblock = true)
+    w.ue(3) // I_16x16, DC pred, luma cbp 0, chroma cbp 0
+    w.ue(0) // intra_chroma_pred_mode: DC
+    w.se(0) // mb_qp_delta
+    val dc = new Array[Int](16)
+    dc(0) = la
+    Cavlc.writeBlock(w, 0, 16, dc)
+    Encoder.avccSample(w)
+  }
+
+  /** P slice whose single MB is I_PCM (mb_type 5 + 25): uniform luma
+    * [[multiRefPcmVal]], chroma 128 — a lossless reference picture
+    * mid-GOP, and the intra-in-P parse path */
+  private def pPcmFrame(d: Long, fi: Int, sps: Sps): Array[Byte] = {
+    val vb = multiRefPcmVal(d, fi)
+    val w = new BitWriter
+    Encoder.writePSliceHeader(w, sps, 1, sliceQpDelta = 0,
+      deblock = true, numRefs = 1)
+    w.ue(0) // mb_skip_run
+    w.ue(30) // mb_type: 5 + I_PCM(25)
+    w.alignZero()
+    var i = 0
+    while (i < 256) { w.u(8, vb); i += 1 }
+    i = 0
+    while (i < 128) { w.u(8, 128); i += 1 }
+    Encoder.avccSampleP(w)
+  }
+
+  /** closed-form plane sums for [[videoMultiRef]] frames */
+  def expectedSumsMultiRef(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    val fi = f - f % 4
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val la = 1 + ((d + fi) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    val yv = (f % 4) match {
+      case 0 | 2 => ia
+      case _ => multiRefPcmVal(d, fi)
+    }
+    (256L * yv, 64L * 128L, 64L * 128L)
+  }
+
   /** MULTI-SLICE avc1 fixture (mm17): 32x16 pictures of two MBs, one
     * slice per MB — the encoder-parallelism layout of real streams.
     * Slice-local availability makes every MB's Intra_16x16 DC predict

@@ -118,8 +118,8 @@ object Interp {
   * grid. Grid `ref` codes: [[MotionPred.Unavail]] = partition not
   * available (outside the picture or not yet decoded this frame),
   * [[MotionPred.Intra]] = intra-coded, >= 0 = inter reference index.
-  * The single-reference subset means every inter neighbor matches
-  * refIdx 0. */
+  * With multiple active references the "same reference" tests compare
+  * each neighbor's refIdx against the CURRENT partition's (`curRef`). */
 object MotionPred {
   val Unavail: Int = -2
   val Intra: Int = -1
@@ -140,7 +140,8 @@ object MotionPred {
     * earlier slices are not available (6.4.9). */
   def predict(refG: Array[Int], mvxG: Array[Int], mvyG: Array[Int],
       cols: Int, rows: Int, bx: Int, by: Int, wB: Int, hB: Int,
-      partKind: Int = PartNormal, firstMb: Int = 0): (Int, Int) = {
+      partKind: Int = PartNormal, firstMb: Int = 0,
+      curRef: Int = 0): (Int, Int) = {
 
     @inline def refAt(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= cols || y >= rows) Unavail
@@ -163,18 +164,18 @@ object MotionPred {
 
     // directional rules for the two-partition MB shapes (8.4.1.3)
     partKind match {
-      case Part16x8Top if refB == 0 => return (mvBx, mvBy)
-      case Part16x8Bottom if refA == 0 => return (mvAx, mvAy)
-      case Part8x16Left if refA == 0 => return (mvAx, mvAy)
-      case Part8x16Right if refC == 0 => return (mvCx, mvCy)
+      case Part16x8Top if refB == curRef => return (mvBx, mvBy)
+      case Part16x8Bottom if refA == curRef => return (mvAx, mvAy)
+      case Part8x16Left if refA == curRef => return (mvAx, mvAy)
+      case Part8x16Right if refC == curRef => return (mvCx, mvCy)
       case _ =>
     }
 
-    val matchCount = (if (refA == 0) 1 else 0) + (if (refB == 0) 1 else 0) +
-      (if (refC == 0) 1 else 0)
+    val matchCount = (if (refA == curRef) 1 else 0) +
+      (if (refB == curRef) 1 else 0) + (if (refC == curRef) 1 else 0)
     if (matchCount == 1) {
-      if (refA == 0) (mvAx, mvAy)
-      else if (refB == 0) (mvBx, mvBy)
+      if (refA == curRef) (mvAx, mvAy)
+      else if (refB == curRef) (mvBx, mvBy)
       else (mvCx, mvCy)
     } else if (matchCount == 0 && refB == Unavail && refC == Unavail &&
       refA != Unavail) {

@@ -24,7 +24,8 @@ final case class Sps(
     cropLeft: Int,
     cropRight: Int,
     cropTop: Int,
-    cropBottom: Int) {
+    cropBottom: Int,
+    maxNumRefFrames: Int = 1) {
   def width: Int = mbWidth * 16 - 2 * (cropLeft + cropRight)
   def height: Int = mbHeight * 16 - 2 * (cropTop + cropBottom)
 }
@@ -68,7 +69,7 @@ object Sps {
       var i = 0
       while (i < n) { r.se(); i += 1 }
     }
-    r.ue() // max_num_ref_frames
+    val maxRef = r.ue() // max_num_ref_frames
     r.u1() // gaps_in_frame_num_value_allowed
     val mbW = r.ue() + 1
     val mbH = r.ue() + 1
@@ -78,7 +79,7 @@ object Sps {
     var (cl, cr, ct, cb) = (0, 0, 0, 0)
     if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
     Sps(profile, level, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      mbW, mbH, cl, cr, ct, cb)
+      mbW, mbH, cl, cr, ct, cb, math.max(1, maxRef))
   }
 
   /** fixture-encoder write (constrained baseline, 4:2:0) */
@@ -91,7 +92,7 @@ object Sps {
     w.ue(sps.log2MaxFrameNum - 4)
     w.ue(sps.picOrderCntType)
     if (sps.picOrderCntType == 0) w.ue(sps.log2MaxPocLsb - 4)
-    w.ue(1) // max_num_ref_frames
+    w.ue(sps.maxNumRefFrames) // max_num_ref_frames
     w.u1(0)
     w.ue(sps.mbWidth - 1)
     w.ue(sps.mbHeight - 1)

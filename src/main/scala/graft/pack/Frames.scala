@@ -208,48 +208,56 @@ object FrameSource {
       }
     }
     // GOP decode state for the avc1 walk-back: (video identity, index
-    // of the last decoded frame, the reference picture after folding
-    // frames [gopStart..index]). Lets increasing-index access — the
-    // uniform/segment samplers' pattern — cost one incremental decode
-    // per frame instead of re-walking from the sync sample each call.
+    // of the last decoded frame, the sliding-window DPB after folding
+    // frames [gopStart..index] — most recently decoded reference
+    // FIRST, i.e. P-slice reference list 0 order). Lets
+    // increasing-index access — the uniform/segment samplers' pattern
+    // — cost one incremental decode per frame instead of re-walking
+    // from the sync sample each call.
     private val avcState =
       new ThreadLocal[java.lang.ref.SoftReference[
-        (Array[Byte], Int, graft.multimodal.h264.Decoder.Yuv)]]
+        (Array[Byte], Int, Vector[graft.multimodal.h264.Decoder.Yuv])]]
 
     /** decode frame `index` of an avc1 track: seek to the nearest
       * preceding sync sample and motion-compensate forward — the decord
       * seek model the reference's samplers rely on
       * (`pack/dataset.py:102-108`). Non-reference frames that aren't
-      * the target are skipped (they can't affect later frames). */
+      * the target are skipped (they can't affect later frames). The
+      * walk maintains the DPB: an IDR clears it, each decoded
+      * reference picture prepends, truncated to the SPS
+      * max_num_ref_frames sliding window (8.2.5.3). */
     private def decodeAvc(video: Array[Byte], t: Mp4Samples.Track,
         cfg: graft.multimodal.h264.Decoder.AvcConfig,
         index: Int): graft.multimodal.h264.Decoder.Yuv = {
       import graft.multimodal.h264.Decoder
+      val maxRef = math.max(1, cfg.sps.maxNumRefFrames)
       var sync = index
       while (sync > 0 && !t.isSync(sync)) sync -= 1
       require(t.isSync(sync), s"no sync sample at or before frame $index")
       val cached = Option(avcState.get()).flatMap(r => Option(r.get()))
-      val (start, ref0) = cached match {
-        case Some((v, i, yuv)) if (v eq video) && i < index && i >= sync =>
-          (i + 1, yuv)
-        case _ => (sync, null: Decoder.Yuv)
+      val (start, refs0) = cached match {
+        case Some((v, i, dpb)) if (v eq video) && i < index && i >= sync =>
+          (i + 1, dpb)
+        case _ => (sync, Vector.empty[Decoder.Yuv])
       }
-      var refPic = ref0
+      var refPics = refs0
       var out: Decoder.Yuv = null
       var j = start
       while (j <= index) {
         val sample = t.sample(video, j)
         val isRef = Decoder.isReference(sample, cfg)
-        if (j == index) {
-          out = Decoder.decode(sample, cfg, refPic)
-          if (isRef) refPic = out
-        } else if (isRef) {
-          refPic = Decoder.decode(sample, cfg, refPic)
+        if (j == index || isRef) {
+          val idr = Decoder.isIdr(sample, cfg)
+          val d = Decoder.decode(sample, cfg,
+            if (idr) Vector.empty[Decoder.Yuv] else refPics)
+          if (j == index) out = d
+          if (isRef)
+            refPics = if (idr) Vector(d) else (d +: refPics).take(maxRef)
         }
         j += 1
       }
       require(out != null, s"frame $index not decoded (cache state bug)")
-      avcState.set(new java.lang.ref.SoftReference((video, index, refPic)))
+      avcState.set(new java.lang.ref.SoftReference((video, index, refPics)))
       out
     }
 

@@ -670,7 +670,81 @@ object MediaQueries extends QueryRegistry {
       |  sum(256 * (v0 + v1))::BIGINT AS b_sum
       |FROM vals GROUP BY par ORDER BY frame_parity""".stripMargin
 
+  /** mm18: MULTI-REFERENCE H.264 decode gate. Real encoders keep a
+    * multi-picture sliding window (SPS max_num_ref_frames > 1) and
+    * pick per-partition ref_idx_l0; each doc synthesizes a 2-ref GOP
+    * fixture ([[graft.multimodal.h264.H264Fixtures.videoMultiRef]]:
+    * IDR, intra-in-P PCM, then two P frames whose ref_idx = 1 reaches
+    * PAST the most recent picture) and decodes every frame through
+    * Mp4Frames — whose GOP walk must maintain the same DPB order
+    * (most recent first) to resolve every index. A decoder that
+    * ignores ref_idx, mis-orders list 0, or truncates the window
+    * lands on the WRONG uniform value at GOP positions 2/3 and shifts
+    * a sum. Chroma is uncoded (128) throughout, so BT.601 is the
+    * identity and each channel sum is 256·yv closed-form. */
+  private def avcMultiRefDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (9 + id % 4).toInt
+      val bytes = graft.multimodal.h264.H264Fixtures.videoMultiRef(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 4, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("gop_pos"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("gop_pos"))
+  }
+
+  /** Replays videoMultiRef's closed-form truth: g0/g2 are the uniform
+    * I_16x16 DC value (g2 only if ref_idx 1 resolved to the IDR);
+    * g1/g3 are the PCM byte (g3 only if ref_idx 1 resolved to the PCM
+    * picture); chroma 128 everywhere makes every channel equal. */
+  private val avcMultiRefDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (9 + doc_id % 4)::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, (f % 4)::INT AS g4, (f - f % 4)::INT AS fi,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6
+      |  FROM fr),
+      |vals AS (
+      |  SELECT d, f, g4,
+      |    CASE WHEN g4 IN (0, 2) THEN
+      |      GREATEST(0, LEAST(255, 128 +
+      |        (CASE WHEN qp >= 36 THEN (1 + (d + fi) % 5) * v6
+      |              ELSE ((1 + (d + fi) % 5) * v6 + (1 << (5 - qp//6)))
+      |                   // (1 << (6 - qp//6)) END + 32) // 64))
+      |    ELSE (16 + (d * 37 + fi * 19) % 224) END AS yv
+      |  FROM q)
+      |SELECT g4 AS gop_pos, count(*) AS n_frames,
+      |  sum(256 * yv)::BIGINT AS r_sum,
+      |  sum(256 * yv)::BIGINT AS g_sum,
+      |  sum(256 * yv)::BIGINT AS b_sum
+      |FROM vals GROUP BY g4 ORDER BY gop_pos""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm18_avc_multiref" -> QueryDef(avcMultiRefDecode,
+      Some(avcMultiRefDecodeSql), bench = true),
     "mm17_avc_slices" -> QueryDef(avcSliceDecode, Some(avcSliceDecodeSql),
       bench = true),
     "mm16_avc_inter" -> QueryDef(avcInterDecode, Some(avcInterDecodeSql),

@@ -150,6 +150,35 @@ object Decoder {
       case (t, _, _) if t == 5 || t == 1 => t == 5
     }.getOrElse(false)
 
+  /** explicit per-reference weighted prediction (7.3.3.2 parse,
+    * 8.4.2.3.2 apply): the P-slice fade tool. Arrays are indexed by
+    * ref_idx_l0; defaults (1 << logWD, offset 0) mean identity. */
+  private[h264] final class WeightTable(val logWDLuma: Int,
+      val logWDChroma: Int, val wY: Array[Int], val oY: Array[Int],
+      val wCb: Array[Int], val oCb: Array[Int],
+      val wCr: Array[Int], val oCr: Array[Int])
+
+  /** weight one MC-predicted region in place (8.4.2.3.2, explicit,
+    * single list): v' = Clip1(((v*w + 2^(logWD-1)) >> logWD) + o),
+    * degrading to Clip1(v*w + o) at logWD == 0 */
+  private def applyWeight(buf: Array[Int], stride: Int, x0: Int, y0: Int,
+      w: Int, h: Int, logWD: Int, wgt: Int, off: Int): Unit = {
+    val rnd = if (logWD >= 1) 1 << (logWD - 1) else 0
+    var dy = 0
+    while (dy < h) {
+      var dx = 0
+      while (dx < w) {
+        val i = (y0 + dy) * stride + x0 + dx
+        val v =
+          if (logWD >= 1) ((buf(i) * wgt + rnd) >> logWD) + off
+          else buf(i) * wgt + off
+        buf(i) = clip(v)
+        dx += 1
+      }
+      dy += 1
+    }
+  }
+
   // scratch holder for a parsed macroblock's residual levels
   private final class MbResidual {
     var mbType = 0
@@ -207,6 +236,7 @@ object Decoder {
     var prevQp = 0 // reset to each slice's QP at its header
     var isPCur = false
     var activeRefs = 1 // num_ref_idx_l0_active of the current slice
+    var curWeights: WeightTable = null // pred_weight_table of the slice
     // per-4x4-block motion grids (8.4.1.3 prediction + deblock bS)
     val bCols = mbW * 4
     val bRows = mbH * 4
@@ -515,7 +545,7 @@ object Decoder {
       mb.qpY = prevQp
       mb.parts = Array((0, 0, 16, 16, 0, mvx, mvy))
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, refs, firstMbCur)
+        pps, refs, firstMbCur, curWeights)
     }
 
     def decodeMbLayer(mbIdx: Int): Unit = {
@@ -535,7 +565,7 @@ object Decoder {
         parseIntraMb(mb, mbX, mbY)
       }
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, refs, firstMbCur)
+        pps, refs, firstMbCur, curWeights)
     }
 
     // --- per slice: header (7.3.3) then slice_data (7.3.4) ---
@@ -575,7 +605,28 @@ object Decoder {
         activeRefs = active
         if (r.u1() == 1)
           throw UnsupportedFeature("ref_pic_list_modification")
-        if (pps.weightedPred) throw UnsupportedFeature("weighted prediction")
+        // pred_weight_table (7.3.3.2): explicit weighted prediction
+        // for P slices — the fade tool; defaults mean identity
+        if (pps.weightedPred) {
+          val lwd = r.ue()
+          require(lwd <= 7, s"luma_log2_weight_denom $lwd")
+          val cwd = r.ue()
+          require(cwd <= 7, s"chroma_log2_weight_denom $cwd")
+          val wt = new WeightTable(lwd, cwd,
+            Array.fill(active)(1 << lwd), new Array[Int](active),
+            Array.fill(active)(1 << cwd), new Array[Int](active),
+            Array.fill(active)(1 << cwd), new Array[Int](active))
+          var i = 0
+          while (i < active) {
+            if (r.u1() == 1) { wt.wY(i) = r.se(); wt.oY(i) = r.se() }
+            if (r.u1() == 1) {
+              wt.wCb(i) = r.se(); wt.oCb(i) = r.se()
+              wt.wCr(i) = r.se(); wt.oCr(i) = r.se()
+            }
+            i += 1
+          }
+          curWeights = wt
+        } else curWeights = null
         require(refs.nonEmpty, "P slice without a reference frame")
         refs.foreach(rf =>
           require(rf.mbW == sps.mbWidth && rf.mbH == sps.mbHeight,
@@ -643,7 +694,7 @@ object Decoder {
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,
       mbH: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
       strideY: Int, strideC: Int, pps: Pps, refs: IndexedSeq[Yuv],
-      firstMb: Int): Unit = {
+      firstMb: Int, weights: WeightTable): Unit = {
     val x0 = mbX * 16
     val y0 = mbY * 16
     // neighbor MB availability for intra prediction: inside the picture
@@ -690,6 +741,14 @@ object Decoder {
         Interp.chroma(ref.cr, strideC, mbH * 8, mbX * 8 + px / 2,
           mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, predCr, 8,
           px / 2, py / 2)
+        if (weights != null) {
+          applyWeight(pred, 16, px, py, w, h, weights.logWDLuma,
+            weights.wY(refIdx), weights.oY(refIdx))
+          applyWeight(predCb, 8, px / 2, py / 2, w / 2, h / 2,
+            weights.logWDChroma, weights.wCb(refIdx), weights.oCb(refIdx))
+          applyWeight(predCr, 8, px / 2, py / 2, w / 2, h / 2,
+            weights.logWDChroma, weights.wCr(refIdx), weights.oCr(refIdx))
+        }
         p += 1
       }
       var k = 0

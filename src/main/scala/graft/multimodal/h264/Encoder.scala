@@ -44,9 +44,10 @@ object Encoder {
       maxNumRefFrames = numRefFrames)
   }
 
-  def ppsFor(qp: Int): Pps =
+  def ppsFor(qp: Int, weightedPred: Boolean = false): Pps =
     Pps(entropyCodingMode = 0, picInitQp = qp, chromaQpOffset = 0,
-      deblockingFilterControlPresent = true)
+      deblockingFilterControlPresent = true,
+      weightedPred = weightedPred)
 
   /** the avcC box payload for an SPS/PPS pair, 4-byte NAL lengths */
   def avccPayload(sps: Sps, pps: Pps): Array[Byte] = {
@@ -171,7 +172,8 @@ object Encoder {
     * against that count. */
   private[h264] def writePSliceHeader(w: BitWriter, sps: Sps,
       frameNum: Int, sliceQpDelta: Int, deblock: Boolean,
-      firstMb: Int = 0, numRefs: Int = 1): Unit = {
+      firstMb: Int = 0, numRefs: Int = 1,
+      weights: Option[WeightSpec] = None): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type P (all slices)
     w.ue(0) // pps id
@@ -184,11 +186,39 @@ object Encoder {
       w.ue(numRefs - 1) // num_ref_idx_l0_active_minus1
     }
     w.u1(0) // ref_pic_list_modification_flag_l0
+    // pred_weight_table (7.3.3.2) — only legal when the PPS carries
+    // weighted_pred_flag = 1; callers pair this with ppsFor(qp, true)
+    weights.foreach { ws =>
+      require(ws.luma.length == numRefs && ws.chroma.length == numRefs,
+        "one weight entry per active reference")
+      w.ue(ws.logWDLuma)
+      w.ue(ws.logWDChroma)
+      var i = 0
+      while (i < numRefs) {
+        ws.luma(i) match {
+          case Some((wy, oy)) => w.u1(1); w.se(wy); w.se(oy)
+          case None => w.u1(0)
+        }
+        ws.chroma(i) match {
+          case Some((wcb, ocb, wcr, ocr)) =>
+            w.u1(1); w.se(wcb); w.se(ocb); w.se(wcr); w.se(ocr)
+          case None => w.u1(0)
+        }
+        i += 1
+      }
+    }
     w.u1(0) // dec_ref_pic_marking: adaptive flag (sliding window)
     w.se(sliceQpDelta)
     w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
     if (deblock) { w.se(0); w.se(0) }
   }
+
+  /** explicit pred_weight_table payload for [[writePSliceHeader]]:
+    * per-active-ref luma (weight, offset) and chroma
+    * (wCb, oCb, wCr, oCr); None keeps the 1<<logWD / 0 defaults */
+  final case class WeightSpec(logWDLuma: Int, logWDChroma: Int,
+      luma: Seq[Option[(Int, Int)]],
+      chroma: Seq[Option[(Int, Int, Int, Int)]])
 
   /** te(v)-coded ref_idx_l0 against `active` (9.1.1: single inverted
     * bit when active == 2, ue otherwise; nothing when active == 1) */

@@ -324,6 +324,66 @@ object H264Fixtures {
     (256L * yv, 64L * 128L, 64L * 128L)
   }
 
+  /** WEIGHTED-PREDICTION avc1 fixture (mm19): 16x16 single-MB GOPs
+    * where the PPS carries weighted_pred_flag and every odd frame is a
+    * P-slice COPY of the IDR through an explicit pred_weight_table —
+    * the fade tool real encoders emit. Luma: logWD 5,
+    * v' = clip(((v·wy + 16) >> 5) + oy); chroma: logWD 6 over the
+    * uniform 128 plane, which pushes u/v off neutral so the BT.601
+    * matrix runs with real chroma terms. A decoder that skips the
+    * weight table, mis-rounds, or applies luma weights to chroma
+    * shifts a channel sum. */
+  def videoWeighted(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16)
+    val pps = Encoder.ppsFor(qp, weightedPred = true)
+    val (wy, oy, wcb, ocb, wcr, ocr) = weightedParams(docId)
+    val samples = (0 until n).map { f =>
+      if (f % 2 == 0) i16PlainFrame(docId, f, sps)
+      else {
+        val w = new BitWriter
+        Encoder.writePSliceHeader(w, sps, 1, sliceQpDelta = 0,
+          deblock = true, numRefs = 1,
+          weights = Some(Encoder.WeightSpec(5, 6,
+            Seq(Some((wy, oy))), Seq(Some((wcb, ocb, wcr, ocr))))))
+        w.ue(0) // mb_skip_run
+        w.ue(0) // mb_type P_L0_16x16
+        w.se(0); w.se(0) // mvd (mvp = (0,0): no neighbors)
+        w.ue(Decoder.codeNumFromCbpInter(0))
+        Encoder.avccSampleP(w)
+      }
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 2,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  /** (wy, oy, wCb, oCb, wCr, oCr) of [[videoWeighted]]'s P frames */
+  def weightedParams(d: Long): (Int, Int, Int, Int, Int, Int) = (
+    20 + (d % 25).toInt, (d % 11).toInt - 5,
+    56 + (d % 16).toInt, (d % 7).toInt - 3,
+    56 + ((2 * d) % 16).toInt, (d % 5).toInt - 2)
+
+  /** closed-form plane sums for [[videoWeighted]] frames */
+  def expectedSumsWeighted(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val la = 1 + ((d + (f - f % 2)) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    if (f % 2 == 0) (256L * ia, 64L * 128L, 64L * 128L)
+    else {
+      val (wy, oy, wcb, ocb, wcr, ocr) = weightedParams(d)
+      val yv = clip(((ia * wy + 16) >> 5) + oy)
+      val cbv = clip(((128 * wcb + 32) >> 6) + ocb)
+      val crv = clip(((128 * wcr + 32) >> 6) + ocr)
+      (256L * yv, 64L * cbv, 64L * crv)
+    }
+  }
+
   /** MULTI-SLICE avc1 fixture (mm17): 32x16 pictures of two MBs, one
     * slice per MB — the encoder-parallelism layout of real streams.
     * Slice-local availability makes every MB's Intra_16x16 DC predict

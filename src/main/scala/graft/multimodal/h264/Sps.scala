@@ -140,7 +140,8 @@ object Pps {
     w.u1(0)
     w.ue(0) // one slice group
     w.ue(0); w.ue(0)
-    w.u1(0); w.u(2, 0)
+    w.u1(if (pps.weightedPred) 1 else 0) // weighted_pred_flag
+    w.u(2, 0) // weighted_bipred_idc
     w.se(pps.picInitQp - 26)
     w.se(0)
     w.se(pps.chromaQpOffset)

@@ -742,7 +742,93 @@ object MediaQueries extends QueryRegistry {
       |  sum(256 * yv)::BIGINT AS b_sum
       |FROM vals GROUP BY g4 ORDER BY gop_pos""".stripMargin
 
+  /** mm19: WEIGHTED-PREDICTION H.264 decode gate (pred_weight_table,
+    * the fade tool — 8.4.2.3.2 explicit mode). Each doc synthesizes a
+    * weighted GOP fixture ([[graft.multimodal.h264.H264Fixtures
+    * .videoWeighted]]: IDR, then a P copy whose luma runs
+    * ((v·wy+16)>>5)+oy and whose chroma weights push u/v off neutral)
+    * and decodes every frame through Mp4Frames. The oracle replays the
+    * weight arithmetic AND the full BT.601 matrix with live chroma
+    * terms; one wrong rounding constant or a luma/chroma denom mixup
+    * shifts a channel sum. */
+  private def avcWeightedDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (8 + id % 5).toInt
+      val bytes = graft.multimodal.h264.H264Fixtures.videoWeighted(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 2, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("frame_parity"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("frame_parity"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("frame_parity"))
+  }
+
+  /** Replays videoWeighted's closed forms: the even-frame I_16x16
+    * uniform, the odd-frame luma weight ((ia·wy+16)//32)+oy and chroma
+    * weights over 128, then BT.601 integer RGB. */
+  private val avcWeightedDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (8 + doc_id % 5)::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, (f % 2)::INT AS par, (f - f % 2)::INT AS fi,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    (20 + d % 25)::INT AS wy, (d % 11 - 5)::INT AS oy,
+      |    (56 + d % 16)::INT AS wcb, (d % 7 - 3)::INT AS ocb,
+      |    (56 + (2*d) % 16)::INT AS wcr, (d % 5 - 2)::INT AS ocr
+      |  FROM fr),
+      |q2 AS (
+      |  SELECT *, GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN (1 + (d + fi) % 5) * v6
+      |            ELSE ((1 + (d + fi) % 5) * v6 + (1 << (5 - qp//6)))
+      |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS ia
+      |  FROM q),
+      |uv AS (
+      |  SELECT d, f, par,
+      |    CASE WHEN par = 0 THEN ia
+      |         ELSE GREATEST(0, LEAST(255, (ia*wy + 16) // 32 + oy))
+      |    END AS yv,
+      |    CASE WHEN par = 0 THEN 0
+      |         ELSE GREATEST(0, LEAST(255, (128*wcb + 32) // 64 + ocb)) - 128
+      |    END AS u,
+      |    CASE WHEN par = 0 THEN 0
+      |         ELSE GREATEST(0, LEAST(255, (128*wcr + 32) // 64 + ocr)) - 128
+      |    END AS v
+      |  FROM q2)
+      |SELECT par AS frame_parity, count(*) AS n_frames,
+      |  sum(256 * GREATEST(0, LEAST(255,
+      |    yv + floor((91881*v + 32768) / 65536.0)::INT)))::BIGINT AS r_sum,
+      |  sum(256 * GREATEST(0, LEAST(255,
+      |    yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT
+      |    )))::BIGINT AS g_sum,
+      |  sum(256 * GREATEST(0, LEAST(255,
+      |    yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS b_sum
+      |FROM uv GROUP BY par ORDER BY frame_parity""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm19_avc_weighted" -> QueryDef(avcWeightedDecode,
+      Some(avcWeightedDecodeSql), bench = true),
     "mm18_avc_multiref" -> QueryDef(avcMultiRefDecode,
       Some(avcMultiRefDecodeSql), bench = true),
     "mm17_avc_slices" -> QueryDef(avcSliceDecode, Some(avcSliceDecodeSql),

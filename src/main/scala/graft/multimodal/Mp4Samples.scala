@@ -21,7 +21,10 @@ object Mp4Samples {
   /** One media track's sample table, fully resolved to byte ranges.
     * @param sync 1-based sync-sample numbers, ascending; empty = all sync
     * @param avcc the avcC decoder-config payload from the stsd sample
-    *             entry (avc1 tracks only) */
+    *             entry (avc1 tracks only)
+    * @param cts  per-sample COMPOSITION time (stts decode time + ctts
+    *             offset) — display order for B-frame streams; empty =
+    *             decode order IS display order */
   final case class Track(
       codec: String,
       timescale: Long,
@@ -29,7 +32,8 @@ object Mp4Samples {
       sizes: Array[Int],
       offsets: Array[Long],
       sync: Array[Int],
-      avcc: Option[Array[Byte]] = None) {
+      avcc: Option[Array[Byte]] = None,
+      cts: Array[Long] = Array.emptyLongArray) {
     def frameCount: Int = sizes.length
     def fps: Double =
       if (duration > 0 && timescale > 0)
@@ -39,6 +43,22 @@ object Mp4Samples {
       if (timescale > 0) duration.toDouble / timescale else 0.0
     def isSync(sampleIdx: Int): Boolean =
       sync.isEmpty || java.util.Arrays.binarySearch(sync, sampleIdx + 1) >= 0
+
+    /** display-position -> decode-order sample index (identity without
+      * ctts). Stable on CT ties (decode order breaks them, the ISO
+      * convention). B-frame streams NEED this mapping: the sampler's
+      * "frame i" is display order, the sample table is decode order. */
+    lazy val displayToDecode: Array[Int] =
+      if (cts.isEmpty) Array.tabulate(frameCount)(identity)
+      else cts.zipWithIndex.sortBy { case (t, j) => (t, j) }.map(_._2)
+
+    /** decode-order sample index -> display position */
+    lazy val decodeToDisplay: Array[Int] = {
+      val inv = new Array[Int](displayToDecode.length)
+      var i = 0
+      while (i < inv.length) { inv(displayToDecode(i)) = i; i += 1 }
+      inv
+    }
     /** slice sample `i`'s encoded bytes out of the container */
     def sample(container: Array[Byte], i: Int): Array[Byte] = {
       val off = offsets(i)
@@ -66,6 +86,8 @@ object Mp4Samples {
     var stsc: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
     var sync: Array[Int] = Array.empty
     var avcc: Option[Array[Byte]] = None
+    var sttsRuns: Array[(Long, Long)] = null // (sampleCount, delta)
+    var cttsRuns: Array[(Long, Long)] = null // (sampleCount, offset)
 
     def be(pos: Int, end: Int): ByteBuffer =
       ByteBuffer.wrap(bytes, pos, end - pos).order(ByteOrder.BIG_ENDIAN)
@@ -93,9 +115,40 @@ object Mp4Samples {
           }
           chunk += 1
         }
-        if (sampleIdx == sizes.length)
+        if (sampleIdx == sizes.length) {
+          // composition times: cumulative stts decode times + ctts
+          // offsets (only materialized when a ctts box reorders)
+          val cts =
+            if (cttsRuns == null) Array.emptyLongArray
+            else {
+              val out = new Array[Long](sizes.length)
+              var dt = 0L
+              var i = 0
+              var run = 0
+              var left = 0L
+              var delta = 0L
+              var cRun = 0
+              var cLeft = 0L
+              var cOff = 0L
+              while (i < sizes.length) {
+                while (left == 0 && sttsRuns != null && run < sttsRuns.length) {
+                  left = sttsRuns(run)._1; delta = sttsRuns(run)._2; run += 1
+                }
+                while (cLeft == 0 && cRun < cttsRuns.length) {
+                  cLeft = cttsRuns(cRun)._1; cOff = cttsRuns(cRun)._2
+                  cRun += 1
+                }
+                out(i) = dt + cOff
+                dt += delta
+                if (left > 0) left -= 1
+                if (cLeft > 0) cLeft -= 1
+                i += 1
+              }
+              out
+            }
           found = Some(Track(codec, timescale, duration, sizes, offsets,
-            sync, avcc))
+            sync, avcc, cts))
+        }
       }
 
     def walk(start: Int, end: Int): Unit = {
@@ -119,6 +172,7 @@ object Mp4Samples {
             codec = ""; timescale = 0L; duration = 0L
             sizes = null; chunkOffsets = null; stsc = null
             sync = Array.empty; avcc = None
+            sttsRuns = null; cttsRuns = null
             walk(pos + header, boxEnd)
             finishTrak()
           case "mdhd" if boxEnd - pos >= header + 20 =>
@@ -207,6 +261,30 @@ object Mp4Samples {
             b.getInt()
             val n = b.getInt()
             if (b.remaining() >= 4L * n) sync = Array.fill(n)(b.getInt())
+          case "stts" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt()
+            val n = b.getInt()
+            if (n >= 0 && b.remaining() >= 8L * n)
+              sttsRuns = Array.fill(n) {
+                val cnt = (b.getInt().toLong) & 0xffffffffL
+                val delta = (b.getInt().toLong) & 0xffffffffL
+                (cnt, delta)
+              }
+          case "ctts" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            val version = b.get(); b.position(b.position() + 3)
+            val n = b.getInt()
+            if (n >= 0 && b.remaining() >= 8L * n)
+              cttsRuns = Array.fill(n) {
+                val cnt = (b.getInt().toLong) & 0xffffffffL
+                // v0 offsets are unsigned; v1 are signed (QuickTime /
+                // ISO 14496-12:2012 negative-offset form)
+                val raw = b.getInt()
+                val off =
+                  if (version == 1) raw.toLong else raw.toLong & 0xffffffffL
+                (cnt, off)
+              }
           case _ => ()
         }
         pos = boxEnd
@@ -230,7 +308,8 @@ object Mp4Samples {
       width: Int,
       height: Int,
       syncEvery: Int = 1,
-      sampleEntryExtension: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      sampleEntryExtension: Array[Byte] = Array.emptyByteArray,
+      compositionOffsets: Seq[Long] = Nil): Array[Byte] = {
     require(codec.length == 4, s"fourcc must be 4 chars: '$codec'")
     require(frames.nonEmpty && fps > 0)
     def box(name: String, payload: Array[Byte]): Array[Byte] = {
@@ -365,7 +444,23 @@ object Mp4Samples {
         syncIdx.foreach(i => { b.putInt(i); () })
         full("stss", b)
       }
-    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+    // ctts: per-sample composition offsets (decode order), the B-frame
+    // reorder signal; v0 when all offsets are non-negative, v1 (signed)
+    // otherwise. One run per sample — fixtures are small.
+    val ctts =
+      if (compositionOffsets.isEmpty) Array.emptyByteArray
+      else {
+        require(compositionOffsets.length == n,
+          "one composition offset per sample")
+        val v: Byte = if (compositionOffsets.forall(_ >= 0)) 0 else 1
+        val b = ByteBuffer.allocate(8 + 8 * n).order(ByteOrder.BIG_ENDIAN)
+        b.put(v); b.put(0.toByte); b.putShort(0)
+        b.putInt(n)
+        compositionOffsets.foreach { o => b.putInt(1); b.putInt(o.toInt) }
+        full("ctts", b)
+      }
+    val stbl = box("stbl",
+      stsd ++ stts ++ ctts ++ stsc ++ stsz ++ stco ++ stss)
     val vmhd = {
       val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
       b.putInt(1) // version 0, flags 1

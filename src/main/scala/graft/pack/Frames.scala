@@ -263,9 +263,13 @@ object FrameSource {
 
     def frame(video: Array[Byte], index: Int): Array[Byte] = {
       val t = track(video)
+      // the sampler's "frame index" is DISPLAY order; the sample table
+      // is DECODE order — ctts maps between them (identity without
+      // B-frame reordering)
+      val decIdx = t.displayToDecode(index)
       // frameCount/fps/frameTypes stay codec-independent (container
       // metadata, the 100 TB audit path) — only DECODE is gated
-      if (StillImageCodecs(t.codec)) t.sample(video, index)
+      if (StillImageCodecs(t.codec)) t.sample(video, decIdx)
       else if (t.codec == "avc1") {
         // pure-JVM H.264 baseline decode (graft.multimodal.h264):
         // sync-sample seek + MC walk-forward -> YUV -> RGB -> PNG
@@ -277,7 +281,7 @@ object FrameSource {
           throw UnsupportedCodecException("avc1 (no avcC config)"))
         try {
           val cfg = Decoder.parseAvcc(avcc)
-          val yuv = decodeAvc(video, t, cfg, index)
+          val yuv = decodeAvc(video, t, cfg, decIdx)
           val rgb = Decoder.toRgb(yuv)
           graft.wds.Codecs.encodeImage(
             graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB", rgb),
@@ -292,7 +296,10 @@ object FrameSource {
     def fps(video: Array[Byte]): Double = track(video).fps
     override def frameTypes(video: Array[Byte]): IndexedSeq[Char] = {
       val t = track(video)
-      IndexedSeq.tabulate(t.frameCount)(i => if (t.isSync(i)) 'I' else 'P')
+      // display-order types: the kf sampler asks "is display frame i a
+      // keyframe", which is the sync flag of its decode-order sample
+      IndexedSeq.tabulate(t.frameCount)(i =>
+        if (t.isSync(t.displayToDecode(i))) 'I' else 'P')
     }
   }
 

@@ -202,4 +202,35 @@ class Mp4SamplesSpec extends AnyFunSuite {
       fps = 4, width = 2, height = 2)
     assert(FrameSource.Mp4Frames.frame(png, 1).sameElements(pngFrame(1)))
   }
+
+  test("ctts composition offsets reorder display against decode order") {
+    // decode order [f0, f2, f1] presented as display [f0, f1, f2]:
+    // DT = [0, 1000, 2000], offsets [+1000, +2000, 0] -> CT = [1000,
+    // 3000, 2000] (the classic one-frame B delay pattern)
+    val frames = Seq(pngFrame(0), pngFrame(2), pngFrame(1))
+    val mp4 = Mp4Samples.encodeFrames(frames, "png ", fps = 4,
+      width = 2, height = 2, syncEvery = 3,
+      compositionOffsets = Seq(1000L, 2000L, 0L))
+    val t = Mp4Samples.parse(mp4).get
+    assert(t.cts.toSeq == Seq(1000L, 3000L, 2000L))
+    assert(t.displayToDecode.toSeq == Seq(0, 2, 1))
+    assert(t.decodeToDisplay.toSeq == Seq(0, 2, 1))
+    // the public FrameSource contract is display order
+    assert(FrameSource.Mp4Frames.frame(mp4, 1).sameElements(pngFrame(1)))
+    assert(FrameSource.Mp4Frames.frame(mp4, 2).sameElements(pngFrame(2)))
+    // frameTypes reports display order too: sync samples are decode
+    // indices 0 (display 0) here
+    assert(FrameSource.Mp4Frames.frameTypes(mp4) ==
+      IndexedSeq('I', 'P', 'P'))
+    // negative (v1) offsets round-trip
+    val mp4v1 = Mp4Samples.encodeFrames(frames, "png ", fps = 4,
+      width = 2, height = 2, compositionOffsets = Seq(0L, 1000L, -1000L))
+    val t1 = Mp4Samples.parse(mp4v1).get
+    assert(t1.cts.toSeq == Seq(0L, 2000L, 1000L))
+    assert(t1.displayToDecode.toSeq == Seq(0, 2, 1))
+    // a ctts-free container maps identity
+    val plain = Mp4Samples.parse(Mp4Samples.encodeFrames(frames, "png ",
+      fps = 4, width = 2, height = 2)).get
+    assert(plain.cts.isEmpty && plain.displayToDecode.toSeq == Seq(0, 1, 2))
+  }
 }

@@ -13,11 +13,25 @@ package graft.multimodal.h264
 object Deblock {
 
   /** per-4x4-block side inputs for inter bS derivation (8.7.2.1):
-    * `intraMb` per MB; `nzY` total luma coefficients per block;
-    * `refGrid`/`mvxGrid`/`mvyGrid` as built by the P-slice decode
-    * (refGrid < 0 means intra/unavailable). */
+    * `intraMb` per MB; `nzY` total luma coefficients per block; then
+    * per reference list the referenced-PICTURE identity (`pid*` — any
+    * stable code where equal values mean the same picture; < 0 = list
+    * unused) and the quarter-pel MVs. P-only frames leave list 1
+    * unused everywhere. */
   final case class FrameMeta(intraMb: Array[Boolean], nzY: Array[Int],
-      refGrid: Array[Int], mvxGrid: Array[Int], mvyGrid: Array[Int])
+      pid0: Array[Int], mvx0: Array[Int], mvy0: Array[Int],
+      pid1: Array[Int], mvx1: Array[Int], mvy1: Array[Int])
+
+  object FrameMeta {
+    /** single-list (P) compatibility shape: refGrid doubles as the
+      * picture-id grid (within one list, same index = same picture) */
+    def apply(intraMb: Array[Boolean], nzY: Array[Int],
+        refGrid: Array[Int], mvxGrid: Array[Int],
+        mvyGrid: Array[Int]): FrameMeta =
+      FrameMeta(intraMb, nzY, refGrid, mvxGrid, mvyGrid,
+        Array.fill(refGrid.length)(-1),
+        new Array[Int](refGrid.length), new Array[Int](refGrid.length))
+  }
 
   private val Alpha: Array[Int] = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
@@ -118,12 +132,46 @@ object Deblock {
       val pi = pby * bCols + pbx
       val qi = qby * bCols + qbx
       if (meta.nzY(pi) > 0 || meta.nzY(qi) > 0) return 2
-      // different reference pictures, or an MV delta of a full sample
-      // or more, across the edge -> 1 (8.7.2.1)
-      if (meta.refGrid(pi) != meta.refGrid(qi) ||
-        math.abs(meta.mvxGrid(pi) - meta.mvxGrid(qi)) >= 4 ||
-        math.abs(meta.mvyGrid(pi) - meta.mvyGrid(qi)) >= 4) 1
-      else 0
+      // 8.7.2.1 motion comparison: different reference pictures, a
+      // different prediction-direction count, or an MV delta of a full
+      // sample or more (paired by picture for bi-predicted blocks) -> 1
+      @inline def far(ax: Int, ay: Int, bx2: Int, by2: Int): Boolean =
+        math.abs(ax - bx2) >= 4 || math.abs(ay - by2) >= 4
+      val p0 = meta.pid0(pi); val p1 = meta.pid1(pi)
+      val q0 = meta.pid0(qi); val q1 = meta.pid1(qi)
+      val nP = (if (p0 >= 0) 1 else 0) + (if (p1 >= 0) 1 else 0)
+      val nQ = (if (q0 >= 0) 1 else 0) + (if (q1 >= 0) 1 else 0)
+      if (nP != nQ) return 1
+      if (nP <= 1) {
+        // uni-predicted both sides: same picture + small delta -> 0
+        val (pp, pmx, pmy) =
+          if (p0 >= 0) (p0, meta.mvx0(pi), meta.mvy0(pi))
+          else (p1, meta.mvx1(pi), meta.mvy1(pi))
+        val (qp2, qmx, qmy) =
+          if (q0 >= 0) (q0, meta.mvx0(qi), meta.mvy0(qi))
+          else (q1, meta.mvx1(qi), meta.mvy1(qi))
+        if (pp != qp2 || far(pmx, pmy, qmx, qmy)) 1 else 0
+      } else {
+        // bi-predicted both sides: reference SETS must match
+        val sameStraight = p0 == q0 && p1 == q1
+        val sameCross = p0 == q1 && p1 == q0
+        if (!sameStraight && !sameCross) return 1
+        def okStraight =
+          !far(meta.mvx0(pi), meta.mvy0(pi), meta.mvx0(qi), meta.mvy0(qi)) &&
+          !far(meta.mvx1(pi), meta.mvy1(pi), meta.mvx1(qi), meta.mvy1(qi))
+        def okCross =
+          !far(meta.mvx0(pi), meta.mvy0(pi), meta.mvx1(qi), meta.mvy1(qi)) &&
+          !far(meta.mvx1(pi), meta.mvy1(pi), meta.mvx0(qi), meta.mvy0(qi))
+        if (p0 == p1) {
+          // both lists reference the same picture: either pairing may
+          // satisfy the small-delta condition (8.7.2.1 note)
+          if (okStraight || okCross) 0 else 1
+        } else {
+          // distinct pictures: pair MVs by picture
+          val ok = if (sameStraight) okStraight else okCross
+          if (ok) 0 else 1
+        }
+      }
     }
 
     /** filter nLines across an edge; bsOf maps the line index to its

@@ -1,6 +1,6 @@
 package graft.multimodal.h264
 
-/** Pure-JVM H.264 baseline decoder: AVCC samples (length-prefixed
+/** Pure-JVM H.264 CAVLC decoder: AVCC samples (length-prefixed
   * NALs, avcC config from the mp4 stsd entry) → YUV 4:2:0 pixel
   * planes. Covers the reference's video sampling paths
   * (`pack/samplers.py:102-157` extracts I-frames AND arbitrary
@@ -8,21 +8,36 @@ package graft.multimodal.h264
   * Intra_4x4 / Intra_16x16 / I_PCM macroblocks, P slices with
   * P_Skip / 16x16 / 16x8 / 8x16 / 8x8 (+sub-partition) motion
   * compensation at quarter-pel precision over MULTIPLE reference
-  * frames (per-partition ref_idx_l0 against a sliding-window DPB),
-  * dequant + inverse transforms, in-loop deblocking with inter
-  * boundary-strength derivation. Non-baseline features (CABAC,
-  * B slices, fields, 8x8 transform) raise [[UnsupportedFeature]]
-  * so the FrameSource seam can triage them as the typed
-  * unsupported-codec signal (mm13) instead of emitting garbage pixels.
+  * frames (per-partition ref_idx against a sliding-window DPB),
+  * explicit weighted prediction, B slices (two POC-ordered lists,
+  * bi-prediction averaging, spatial direct with colocated-zero
+  * refinement, B_Skip, 16x16/16x8/8x16 types), dequant + inverse
+  * transforms, in-loop deblocking with full two-list inter
+  * boundary-strength derivation. Remaining non-CAVLC/High features
+  * (CABAC, fields, 8x8 transform, temporal direct, B_8x8
+  * sub-partitions, explicit bipred weighting) raise
+  * [[UnsupportedFeature]] so the FrameSource seam can triage them as
+  * the typed unsupported-codec signal (mm13) instead of emitting
+  * garbage pixels.
   */
 object Decoder {
 
   final case class AvcConfig(sps: Sps, pps: Pps, nalLengthSize: Int)
 
+  /** per-4x4-block motion of a decoded picture, kept for B-slice
+    * spatial-direct colocated checks (8.4.1.2.2): refIdx per list
+    * (< 0 = intra or list unused) and quarter-pel MVs */
+  final case class Motion(ref0: Array[Int], mvx0: Array[Int],
+      mvy0: Array[Int], ref1: Array[Int], mvx1: Array[Int],
+      mvy1: Array[Int])
+
   /** decoded frame; planes are MB-aligned, `width`/`height` are the
-    * cropped picture dims */
+    * cropped picture dims. `poc` is stamped by the GOP walk (display
+    * ordering for B reference lists); `motion` carries the picture's
+    * block motion for colocated direct derivation. */
   final case class Yuv(width: Int, height: Int, mbW: Int, mbH: Int,
-      y: Array[Int], cb: Array[Int], cr: Array[Int]) {
+      y: Array[Int], cb: Array[Int], cr: Array[Int],
+      poc: Int = 0, motion: Motion = null) {
     def strideY: Int = mbW * 16
     def strideC: Int = mbW * 8
     def luma(x: Int, yy: Int): Int = y(yy * strideY + x)
@@ -30,6 +45,12 @@ object Decoder {
     def chromaB(x: Int, yy: Int): Int = cb((yy / 2) * strideC + x / 2)
     def chromaR(x: Int, yy: Int): Int = cr((yy / 2) * strideC + x / 2)
   }
+
+  /** one inter partition: luma-sample geometry plus per-list refIdx
+    * (< 0 = list unused) and quarter-pel MVs */
+  private final case class Part(px: Int, py: Int, w: Int, h: Int,
+      ref0: Int, mv0x: Int, mv0y: Int,
+      ref1: Int = -1, mv1x: Int = 0, mv1y: Int = 0)
 
   /** parse the avcC box payload (ISO 14496-15 5.2.4.1.1) */
   def parseAvcc(b: Array[Byte]): AvcConfig = {
@@ -125,13 +146,20 @@ object Decoder {
     * reference picture and truncating to the SPS max_num_ref_frames
     * sliding window. */
   def decode(sample: Array[Byte], cfg: AvcConfig,
-      refs: IndexedSeq[Yuv]): Yuv = {
+      refs: IndexedSeq[Yuv]): Yuv =
+    decode(sample, cfg, refs, Vector.empty[Yuv])
+
+  /** decode with BOTH reference lists — required for B slices, where
+    * `list0` orders past-then-future by POC distance and `list1`
+    * future-then-past (8.2.4.2.3). P slices use `list0` only. */
+  def decode(sample: Array[Byte], cfg: AvcConfig,
+      list0: IndexedSeq[Yuv], list1: IndexedSeq[Yuv]): Yuv = {
     val nals = Nal.splitAvccSample(sample, cfg.nalLengthSize)
     val slices = nals.collect {
       case (t, refIdc, rbsp) if t == 5 || t == 1 => (t == 5, refIdc, rbsp)
     }
     if (slices.isEmpty) throw UnsupportedFeature("no slice NAL in sample")
-    decodePicture(slices, cfg, refs)
+    decodePicture(slices, cfg, list0, list1)
   }
 
   /** true iff the sample's slice NAL is a reference picture
@@ -149,6 +177,31 @@ object Decoder {
     Nal.splitAvccSample(sample, cfg.nalLengthSize).collectFirst {
       case (t, _, _) if t == 5 || t == 1 => t == 5
     }.getOrElse(false)
+
+  /** cheap slice-header peek (first slice NAL): what a DPB walk needs
+    * to order reference lists without decoding — IDR-ness, reference
+    * status, slice kind, frame_num, and pic_order_cnt_lsb */
+  final case class SliceInfo(idr: Boolean, refIdc: Int, sliceType: Int,
+      frameNum: Int, pocLsb: Int) {
+    def isB: Boolean = sliceType % 5 == 1
+    def isP: Boolean = sliceType % 5 == 0
+  }
+
+  def sliceInfo(sample: Array[Byte], cfg: AvcConfig): SliceInfo = {
+    val (t, refIdc, rbsp) =
+      Nal.splitAvccSample(sample, cfg.nalLengthSize).collectFirst {
+        case (tt, ri, rb) if tt == 5 || tt == 1 => (tt, ri, rb)
+      }.getOrElse(throw UnsupportedFeature("no slice NAL in sample"))
+    val r = new BitReader(rbsp)
+    r.ue() // first_mb_in_slice
+    val sliceType = r.ue()
+    r.ue() // pps id
+    val frameNum = r.u(cfg.sps.log2MaxFrameNum)
+    if (t == 5) r.ue() // idr_pic_id
+    val pocLsb =
+      if (cfg.sps.picOrderCntType == 0) r.u(cfg.sps.log2MaxPocLsb) else 0
+    SliceInfo(t == 5, refIdc, sliceType, frameNum, pocLsb)
+  }
 
   /** explicit per-reference weighted prediction (7.3.3.2 parse,
     * 8.4.2.3.2 apply): the P-slice fade tool. Arrays are indexed by
@@ -183,8 +236,7 @@ object Decoder {
   private final class MbResidual {
     var mbType = 0
     var isInter = false
-    // inter partitions: (x0, y0, w, h, refIdx, mvx, mvy) in luma samples
-    var parts: Array[(Int, Int, Int, Int, Int, Int, Int)] = null
+    var parts: Array[Part] = null // inter partitions, luma-sample coords
     var intra4x4Modes: Array[Int] = null // decode order z-index
     var i16PredMode = 0
     var chromaPredMode = 0
@@ -202,7 +254,8 @@ object Decoder {
   }
 
   private def decodePicture(slices: Seq[(Boolean, Int, Array[Byte])],
-      cfg: AvcConfig, refs: IndexedSeq[Yuv]): Yuv = {
+      cfg: AvcConfig, list0: IndexedSeq[Yuv],
+      list1: IndexedSeq[Yuv]): Yuv = {
     val sps = cfg.sps
     val pps = cfg.pps
     // per-slice parse state: the bit reader and the slice's first MB
@@ -235,18 +288,47 @@ object Decoder {
     val mbQp = new Array[Int](mbW * mbH)
     var prevQp = 0 // reset to each slice's QP at its header
     var isPCur = false
+    var isBCur = false
     var activeRefs = 1 // num_ref_idx_l0_active of the current slice
+    var activeRefs1 = 1 // num_ref_idx_l1_active (B slices)
     var curWeights: WeightTable = null // pred_weight_table of the slice
-    // per-4x4-block motion grids (8.4.1.3 prediction + deblock bS)
+    // per-4x4-block motion grids per reference list (8.4.1.3
+    // prediction + deblock bS); P slices use list 0 only
     val bCols = mbW * 4
     val bRows = mbH * 4
     val refGrid = Array.fill(bCols * bRows)(MotionPred.Unavail)
     val mvxGrid = new Array[Int](bCols * bRows)
     val mvyGrid = new Array[Int](bCols * bRows)
+    val refGrid1 = Array.fill(bCols * bRows)(MotionPred.Unavail)
+    val mvxGrid1 = new Array[Int](bCols * bRows)
+    val mvyGrid1 = new Array[Int](bCols * bRows)
+    // per-block referenced-PICTURE identity for deblock bS (two blocks
+    // may reach the same picture through different lists/indices):
+    // index into the deduped list0++list1 pool, -1 = none
+    val pidPool = new java.util.IdentityHashMap[Yuv, Integer]()
+    (list0 ++ list1).foreach(p =>
+      if (!pidPool.containsKey(p)) pidPool.put(p, pidPool.size()))
+    @inline def pidOf(list: IndexedSeq[Yuv], refIdx: Int): Int =
+      if (refIdx < 0 || refIdx >= list.length) -1
+      else pidPool.get(list(refIdx)).intValue()
+    val pidGrid0 = Array.fill(bCols * bRows)(-1)
+    val pidGrid1 = Array.fill(bCols * bRows)(-1)
     val intraMb = new Array[Boolean](mbW * mbH)
 
     def nzAt(map: Array[Int], cols: Int, bx: Int, by: Int): Int =
       map(by * cols + bx)
+
+    /** ref_idx_lX, te(v)-coded against a list's active count (9.1.1:
+      * 1 inverted bit when active == 2, ue otherwise; absent -> 0
+      * when active == 1) */
+    def readRefIdx(active: Int): Int =
+      if (active == 1) 0
+      else if (active == 2) 1 - r.u1()
+      else {
+        val v = r.ue()
+        require(v < active, s"ref_idx $v >= $active active")
+        v
+      }
 
     /** luma-block-grid neighbor availability: inside the picture AND in
       * the current slice (6.4.9) */
@@ -290,7 +372,7 @@ object Decoder {
       out
     }
 
-    /** mark every 4x4 block of MB (mbX, mbY) intra in the motion grid */
+    /** mark every 4x4 block of MB (mbX, mbY) intra in the motion grids */
     def markIntra(mbX: Int, mbY: Int): Unit = {
       intraMb(mbY * mbW + mbX) = true
       var by = 0
@@ -298,27 +380,40 @@ object Decoder {
         var bx = 0
         while (bx < 4) {
           refGrid((mbY * 4 + by) * bCols + mbX * 4 + bx) = MotionPred.Intra
+          refGrid1((mbY * 4 + by) * bCols + mbX * 4 + bx) = MotionPred.Intra
           bx += 1
         }
         by += 1
       }
     }
 
-    /** fill the motion grid for a partition (luma sample coords) */
-    def fillMv(px: Int, py: Int, w: Int, h: Int, refIdx: Int,
-        mvx: Int, mvy: Int): Unit = {
+    /** fill one list's motion grid for a partition (luma sample
+      * coords); refIdx < 0 marks the list unused by this partition */
+    def fillMvList(list: Int, px: Int, py: Int, w: Int, h: Int,
+        refIdx: Int, mvx: Int, mvy: Int): Unit = {
+      val (rg, mxg, myg, pg, lst) =
+        if (list == 0) (refGrid, mvxGrid, mvyGrid, pidGrid0, list0)
+        else (refGrid1, mvxGrid1, mvyGrid1, pidGrid1, list1)
+      val code = if (refIdx < 0) MotionPred.Intra else refIdx
+      val pid = pidOf(lst, refIdx)
       var by = py / 4
       while (by < (py + h) / 4) {
         var bx = px / 4
         while (bx < (px + w) / 4) {
-          refGrid(by * bCols + bx) = refIdx
-          mvxGrid(by * bCols + bx) = mvx
-          mvyGrid(by * bCols + bx) = mvy
+          rg(by * bCols + bx) = code
+          mxg(by * bCols + bx) = mvx
+          myg(by * bCols + bx) = mvy
+          pg(by * bCols + bx) = pid
           bx += 1
         }
         by += 1
       }
     }
+
+    /** P-path convenience: list 0 only (list 1 grids stay Unavail) */
+    def fillMv(px: Int, py: Int, w: Int, h: Int, refIdx: Int,
+        mvx: Int, mvy: Int): Unit =
+      fillMvList(0, px, py, w, h, refIdx, mvx, mvy)
 
     /** parse one intra macroblock_layer (mb.mbType already set to the
       * I-slice-table value 0..25) */
@@ -444,19 +539,9 @@ object Decoder {
       mb.isInter = true
       val bx0 = mbX * 4
       val by0 = mbY * 4
-      val parts = Array.newBuilder[(Int, Int, Int, Int, Int, Int, Int)]
+      val parts = Array.newBuilder[Part]
 
-      /** ref_idx_l0, te(v)-coded against the slice's active count
-        * (9.1.1: 1 inverted bit when active == 2, ue otherwise; absent
-        * -> 0 when active == 1) */
-      def readRef(): Int =
-        if (activeRefs == 1) 0
-        else if (activeRefs == 2) 1 - r.u1()
-        else {
-          val v = r.ue()
-          require(v < activeRefs, s"ref_idx_l0 $v >= $activeRefs active")
-          v
-        }
+      def readRef(): Int = readRefIdx(activeRefs)
 
       def readMv(px: Int, py: Int, w: Int, h: Int, kind: Int,
           refIdx: Int): Unit = {
@@ -468,7 +553,7 @@ object Decoder {
         val mvx = mpx + mvdx
         val mvy = mpy + mvdy
         fillMv(mbX * 16 + px, mbY * 16 + py, w, h, refIdx, mvx, mvy)
-        parts += ((px, py, w, h, refIdx, mvx, mvy))
+        parts += Part(px, py, w, h, refIdx, mvx, mvy)
       }
 
       // 7.3.5.1 mb_pred ordering: ALL partitions' ref_idx_l0 first,
@@ -532,6 +617,226 @@ object Decoder {
       parseLumaAcAndChroma(mb, mbX, mbY, i16 = false)
     }
 
+    /** Spatial direct motion derivation (8.4.1.2.2, with
+      * direct_8x8_inference): per-list refIdx = MinPositive over the
+      * A/B/C neighbors, 16x16 median MV prediction, then per-8x8
+      * colocated-zero refinement against list1(0)'s stored motion.
+      * Returns the four 8x8 Parts AND fills the motion grids. */
+    def directSpatialParts(mbX: Int, mbY: Int): Array[Part] = {
+      val bx = mbX * 4
+      val by = mbY * 4
+      /** raw neighbor ref code: -2 unavailable, -1 intra/no-list,
+        * >= 0 refIdx — C falls back to D only when UNAVAILABLE */
+      def nbrRef(g: Array[Int]): Int = {
+        def raw(x: Int, y: Int): Int =
+          if (x < 0 || y < 0 || x >= bCols || y >= bRows) MotionPred.Unavail
+          else if ((y / 4) * mbW + x / 4 < firstMbCur) MotionPred.Unavail
+          else g(y * bCols + x)
+        val ra = raw(bx - 1, by)
+        val rb = raw(bx, by - 1)
+        var rc = raw(bx + 4, by - 1)
+        if (rc == MotionPred.Unavail) rc = raw(bx - 1, by - 1)
+        def pos(v: Int) = if (v >= 0) v else Int.MaxValue
+        val m = math.min(pos(ra), math.min(pos(rb), pos(rc)))
+        if (m == Int.MaxValue) -1 else m
+      }
+      val ref0 = nbrRef(refGrid)
+      val ref1 = nbrRef(refGrid1)
+      val out = new Array[Part](4)
+      if (ref0 < 0 && ref1 < 0) {
+        // directZeroPrediction: both lists, refIdx 0, zero MVs
+        require(list1.nonEmpty, "B direct without list1")
+        var q = 0
+        while (q < 4) {
+          val ox = (q % 2) * 8
+          val oy = (q / 2) * 8
+          out(q) = Part(ox, oy, 8, 8, 0, 0, 0, 0, 0, 0)
+          q += 1
+        }
+        fillMvList(0, mbX * 16, mbY * 16, 16, 16, 0, 0, 0)
+        fillMvList(1, mbX * 16, mbY * 16, 16, 16, 0, 0, 0)
+        out
+      } else {
+        val (m0x, m0y) =
+          if (ref0 >= 0) MotionPred.predict(refGrid, mvxGrid, mvyGrid,
+            bCols, bRows, bx, by, 4, 4, MotionPred.PartNormal,
+            firstMbCur, ref0)
+          else (0, 0)
+        val (m1x, m1y) =
+          if (ref1 >= 0) MotionPred.predict(refGrid1, mvxGrid1, mvyGrid1,
+            bCols, bRows, bx, by, 4, 4, MotionPred.PartNormal,
+            firstMbCur, ref1)
+          else (0, 0)
+        val cm = if (list1.nonEmpty) list1(0).motion else null
+        var q = 0
+        while (q < 4) {
+          val ox = (q % 2) * 8
+          val oy = (q / 2) * 8
+          // direct_8x8_inference: sample the colocated corner 4x4
+          val cx = bx + (q % 2) * 3
+          val cy = by + (q / 2) * 3
+          val colZero =
+            if (cm == null) false
+            else {
+              val ci = cy * bCols + cx
+              val (cr0, cvx, cvy) =
+                if (cm.ref0(ci) >= 0) (cm.ref0(ci), cm.mvx0(ci), cm.mvy0(ci))
+                else if (cm.ref1(ci) >= 0)
+                  (cm.ref1(ci), cm.mvx1(ci), cm.mvy1(ci))
+                else (-1, 0, 0)
+              cr0 == 0 && math.abs(cvx) <= 1 && math.abs(cvy) <= 1
+            }
+          val (p0x, p0y) = if (ref0 == 0 && colZero) (0, 0) else (m0x, m0y)
+          val (p1x, p1y) = if (ref1 == 0 && colZero) (0, 0) else (m1x, m1y)
+          out(q) = Part(ox, oy, 8, 8,
+            ref0, if (ref0 >= 0) p0x else 0, if (ref0 >= 0) p0y else 0,
+            ref1, if (ref1 >= 0) p1x else 0, if (ref1 >= 0) p1y else 0)
+          fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, 8, 8, ref0,
+            if (ref0 >= 0) p0x else 0, if (ref0 >= 0) p0y else 0)
+          fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, 8, 8, ref1,
+            if (ref1 >= 0) p1x else 0, if (ref1 >= 0) p1y else 0)
+          q += 1
+        }
+        out
+      }
+    }
+
+    /** parse one B-slice inter macroblock_layer (Table 7-14 mb_type
+      * 0..21: direct, 16x16, and two-partition shapes; B_8x8 stays a
+      * typed signal) */
+    def parseBMb(mb: MbResidual, bMbType: Int, mbX: Int, mbY: Int): Unit = {
+      mb.isInter = true
+      val bx0 = mbX * 4
+      val by0 = mbY * 4
+
+      if (bMbType == 0) { // B_Direct_16x16
+        mb.parts = directSpatialParts(mbX, mbY)
+      } else if (bMbType <= 3) { // 16x16: L0 / L1 / Bi
+        val use0 = bMbType == 1 || bMbType == 3
+        val use1 = bMbType == 2 || bMbType == 3
+        val r0 = if (use0) readRefIdx(activeRefs) else -1
+        val r1 = if (use1) readRefIdx(activeRefs1) else -1
+        var mv0 = (0, 0)
+        var mv1 = (0, 0)
+        if (use0) {
+          val dx = r.se(); val dy = r.se()
+          val (px, py) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
+            bCols, bRows, bx0, by0, 4, 4, MotionPred.PartNormal,
+            firstMbCur, r0)
+          mv0 = (px + dx, py + dy)
+        }
+        if (use1) {
+          val dx = r.se(); val dy = r.se()
+          val (px, py) = MotionPred.predict(refGrid1, mvxGrid1, mvyGrid1,
+            bCols, bRows, bx0, by0, 4, 4, MotionPred.PartNormal,
+            firstMbCur, r1)
+          mv1 = (px + dx, py + dy)
+        }
+        fillMvList(0, mbX * 16, mbY * 16, 16, 16, r0, mv0._1, mv0._2)
+        fillMvList(1, mbX * 16, mbY * 16, 16, 16, r1, mv1._1, mv1._2)
+        mb.parts = Array(Part(0, 0, 16, 16, r0, mv0._1, mv0._2,
+          r1, mv1._1, mv1._2))
+      } else if (bMbType <= 21) {
+        // two-partition shapes: even = 16x8, odd = 8x16; per-partition
+        // list usage from Table 7-14's L0/L1/Bi pattern
+        val pattern = Vector(
+          ("L0", "L0"), ("L0", "L0"), ("L1", "L1"), ("L1", "L1"),
+          ("L0", "L1"), ("L0", "L1"), ("L1", "L0"), ("L1", "L0"),
+          ("L0", "Bi"), ("L0", "Bi"), ("L1", "Bi"), ("L1", "Bi"),
+          ("Bi", "L0"), ("Bi", "L0"), ("Bi", "L1"), ("Bi", "L1"),
+          ("Bi", "Bi"), ("Bi", "Bi"))(bMbType - 4)
+        val is16x8 = (bMbType - 4) % 2 == 0
+        def uses(tag: String): (Boolean, Boolean) = tag match {
+          case "L0" => (true, false)
+          case "L1" => (false, true)
+          case _ => (true, true)
+        }
+        val (u0a, u1a) = uses(pattern._1)
+        val (u0b, u1b) = uses(pattern._2)
+        // 7.3.5.1 ordering: all ref_idx_l0, all ref_idx_l1, all
+        // mvd_l0, all mvd_l1 (partition order inside each)
+        val r0a = if (u0a) readRefIdx(activeRefs) else -1
+        val r0b = if (u0b) readRefIdx(activeRefs) else -1
+        val r1a = if (u1a) readRefIdx(activeRefs1) else -1
+        val r1b = if (u1b) readRefIdx(activeRefs1) else -1
+        val geoms =
+          if (is16x8) Array((0, 0, 16, 8, MotionPred.Part16x8Top),
+            (0, 8, 16, 8, MotionPred.Part16x8Bottom))
+          else Array((0, 0, 8, 16, MotionPred.Part8x16Left),
+            (8, 0, 8, 16, MotionPred.Part8x16Right))
+        val mv0 = Array((0, 0), (0, 0))
+        val mv1 = Array((0, 0), (0, 0))
+        val use0 = Array(u0a, u0b)
+        val use1 = Array(u1a, u1b)
+        val ref0 = Array(r0a, r0b)
+        val ref1 = Array(r1a, r1b)
+        var p = 0
+        while (p < 2) { // mvd_l0 pass — fill grid as each resolves
+          if (use0(p)) {
+            val (ox, oy, w0, h0, kind) = geoms(p)
+            val dx = r.se(); val dy = r.se()
+            val (px, py) = MotionPred.predict(refGrid, mvxGrid, mvyGrid,
+              bCols, bRows, bx0 + ox / 4, by0 + oy / 4, w0 / 4, h0 / 4,
+              kind, firstMbCur, ref0(p))
+            mv0(p) = (px + dx, py + dy)
+            fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, w0, h0, ref0(p),
+              mv0(p)._1, mv0(p)._2)
+          } else {
+            val (ox, oy, w0, h0, _) = geoms(p)
+            fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, w0, h0, -1, 0, 0)
+          }
+          p += 1
+        }
+        p = 0
+        while (p < 2) { // mvd_l1 pass
+          if (use1(p)) {
+            val (ox, oy, w0, h0, kind) = geoms(p)
+            val dx = r.se(); val dy = r.se()
+            val (px, py) = MotionPred.predict(refGrid1, mvxGrid1,
+              mvyGrid1, bCols, bRows, bx0 + ox / 4, by0 + oy / 4,
+              w0 / 4, h0 / 4, kind, firstMbCur, ref1(p))
+            mv1(p) = (px + dx, py + dy)
+            fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, w0, h0, ref1(p),
+              mv1(p)._1, mv1(p)._2)
+          } else {
+            val (ox, oy, w0, h0, _) = geoms(p)
+            fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, w0, h0, -1, 0, 0)
+          }
+          p += 1
+        }
+        mb.parts = Array.tabulate(2) { q =>
+          val (ox, oy, w0, h0, _) = geoms(q)
+          Part(ox, oy, w0, h0, ref0(q), mv0(q)._1, mv0(q)._2,
+            ref1(q), mv1(q)._1, mv1(q)._2)
+        }
+      } else {
+        throw UnsupportedFeature(s"B_8x8 mb_type $bMbType")
+      }
+
+      mb.cbp = cbpInterFromCodeNum(r.ue())
+      if (mb.cbp != 0) {
+        val delta = r.se()
+        require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta")
+        prevQp = ((prevQp + delta + 52) % 52)
+      }
+      mb.qpY = prevQp
+      mbQp(mbY * mbW + mbX) = prevQp
+      parseLumaAcAndChroma(mb, mbX, mbY, i16 = false)
+    }
+
+    /** one B_Skip macroblock: spatial direct motion, zero residual */
+    def skipMbB(mbIdx: Int): Unit = {
+      val mbX = mbIdx % mbW
+      val mbY = mbIdx / mbW
+      mbQp(mbIdx) = prevQp
+      val mb = new MbResidual
+      mb.isInter = true
+      mb.qpY = prevQp
+      mb.parts = directSpatialParts(mbX, mbY)
+      reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
+        pps, list0, list1, firstMbCur, curWeights)
+    }
+
     /** one P_Skip macroblock: derived MV, refIdx 0, zero residual */
     def skipMb(mbIdx: Int): Unit = {
       val mbX = mbIdx % mbW
@@ -543,9 +848,9 @@ object Decoder {
       val mb = new MbResidual
       mb.isInter = true
       mb.qpY = prevQp
-      mb.parts = Array((0, 0, 16, 16, 0, mvx, mvy))
+      mb.parts = Array(Part(0, 0, 16, 16, 0, mvx, mvy))
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, refs, firstMbCur, curWeights)
+        pps, list0, list1, firstMbCur, curWeights)
     }
 
     def decodeMbLayer(mbIdx: Int): Unit = {
@@ -553,7 +858,13 @@ object Decoder {
       val mbY = mbIdx / mbW
       val mb = new MbResidual
       val rawType = r.ue()
-      if (isPCur) {
+      if (isBCur) {
+        if (rawType > 48) throw UnsupportedFeature(s"B mb_type $rawType")
+        if (rawType >= 23) {
+          mb.mbType = rawType - 23
+          parseIntraMb(mb, mbX, mbY)
+        } else parseBMb(mb, rawType, mbX, mbY)
+      } else if (isPCur) {
         if (rawType > 30) throw UnsupportedFeature(s"P mb_type $rawType")
         if (rawType >= 5) {
           mb.mbType = rawType - 5
@@ -565,7 +876,7 @@ object Decoder {
         parseIntraMb(mb, mbX, mbY)
       }
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, refs, firstMbCur, curWeights)
+        pps, list0, list1, firstMbCur, curWeights)
     }
 
     // --- per slice: header (7.3.3) then slice_data (7.3.4) ---
@@ -579,17 +890,47 @@ object Decoder {
       firstMbCur = firstMb
       val sliceType = r.ue()
       val isP = sliceType % 5 == 0
-      if (!isP && sliceType % 5 != 2) throw UnsupportedFeature(
-        s"slice_type $sliceType (only I/P)")
-      if (isP && idr) throw new IllegalArgumentException("P slice in IDR NAL")
+      val isB = sliceType % 5 == 1
+      if (!isP && !isB && sliceType % 5 != 2) throw UnsupportedFeature(
+        s"slice_type $sliceType (only I/P/B)")
+      if ((isP || isB) && idr)
+        throw new IllegalArgumentException("inter slice in IDR NAL")
       isPCur = isP
-      sawP = sawP || isP
+      isBCur = isB
+      sawP = sawP || isP || isB
       require(r.ue() == 0, "pps id")
       r.u(sps.log2MaxFrameNum) // frame_num
       if (idr) r.ue() // idr_pic_id
       if (sps.picOrderCntType == 0) {
         r.u(sps.log2MaxPocLsb)
         if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
+      }
+      if (isB && r.u1() == 0) // direct_spatial_mv_pred_flag
+        throw UnsupportedFeature("temporal direct mode")
+      if (isB) {
+        // B ref list sizing: both lists; initialized order is the
+        // caller's list0/list1 (POC-distance, 8.2.4.2.3)
+        if (r.u1() == 1) { // num_ref_idx_active_override
+          activeRefs = r.ue() + 1
+          activeRefs1 = r.ue() + 1
+        } else {
+          activeRefs = pps.numRefIdxL0Default + 1
+          activeRefs1 = pps.numRefIdxL1Default + 1
+        }
+        if (activeRefs > 16 || activeRefs1 > 16)
+          throw UnsupportedFeature("reference count > 16")
+        if (r.u1() == 1)
+          throw UnsupportedFeature("ref_pic_list_modification (l0)")
+        if (r.u1() == 1)
+          throw UnsupportedFeature("ref_pic_list_modification (l1)")
+        if (pps.weightedBipredIdc == 1)
+          throw UnsupportedFeature("explicit weighted biprediction")
+        curWeights = null
+        require(list0.nonEmpty && list1.nonEmpty,
+          "B slice needs both reference lists")
+        (list0 ++ list1).foreach(rf =>
+          require(rf.mbW == sps.mbWidth && rf.mbH == sps.mbHeight,
+            "reference dims mismatch"))
       }
       if (isP) {
         // ref list sizing + modification (7.3.3.1): the INITIALIZED
@@ -627,8 +968,8 @@ object Decoder {
           }
           curWeights = wt
         } else curWeights = null
-        require(refs.nonEmpty, "P slice without a reference frame")
-        refs.foreach(rf =>
+        require(list0.nonEmpty, "P slice without a reference frame")
+        list0.foreach(rf =>
           require(rf.mbW == sps.mbWidth && rf.mbH == sps.mbHeight,
             "reference dims mismatch"))
       }
@@ -652,13 +993,16 @@ object Decoder {
         throw UnsupportedFeature("per-slice deblock params differ")
 
       // --- slice_data ---
-      if (isP) {
+      if (isP || isB) {
         var go = true
         while (go) {
           val skipRun = r.ue()
           require(mbIdx + skipRun <= total, s"mb_skip_run $skipRun overruns")
           var s = 0
-          while (s < skipRun) { skipMb(mbIdx); mbIdx += 1; s += 1 }
+          while (s < skipRun) {
+            if (isB) skipMbB(mbIdx) else skipMb(mbIdx)
+            mbIdx += 1; s += 1
+          }
           if (r.moreRbspData()) {
             require(mbIdx < total, "slice_data beyond last MB")
             decodeMbLayer(mbIdx)
@@ -682,19 +1026,23 @@ object Decoder {
       if (sawP)
         Deblock.frame(y, cb, cr, mbW, mbH, mbQp, offA, offB,
           pps.chromaQpOffset,
-          Deblock.FrameMeta(intraMb, nzY, refGrid, mvxGrid, mvyGrid))
+          Deblock.FrameMeta(intraMb, nzY, pidGrid0, mvxGrid, mvyGrid,
+            pidGrid1, mvxGrid1, mvyGrid1))
       else
         Deblock.frame(y, cb, cr, mbW, mbH, mbQp, offA, offB,
           pps.chromaQpOffset)
     }
 
-    Yuv(sps.width, sps.height, mbW, mbH, y, cb, cr)
+    Yuv(sps.width, sps.height, mbW, mbH, y, cb, cr,
+      motion = Motion(refGrid, mvxGrid, mvyGrid,
+        refGrid1, mvxGrid1, mvyGrid1))
   }
 
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,
       mbH: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
-      strideY: Int, strideC: Int, pps: Pps, refs: IndexedSeq[Yuv],
-      firstMb: Int, weights: WeightTable): Unit = {
+      strideY: Int, strideC: Int, pps: Pps, list0: IndexedSeq[Yuv],
+      list1: IndexedSeq[Yuv], firstMb: Int,
+      weights: WeightTable): Unit = {
     val x0 = mbX * 16
     val y0 = mbY * 16
     // neighbor MB availability for intra prediction: inside the picture
@@ -727,27 +1075,71 @@ object Decoder {
       val pred = new Array[Int](256)
       val predCb = new Array[Int](64)
       val predCr = new Array[Int](64)
+      // second-list scratch for bi-prediction averaging
+      val pred1 = new Array[Int](256)
+      val predCb1 = new Array[Int](64)
+      val predCr1 = new Array[Int](64)
       var p = 0
       while (p < mb.parts.length) {
-        val (px, py, w, h, refIdx, mvx, mvy) = mb.parts(p)
-        require(refIdx < refs.length,
-          s"ref_idx_l0 $refIdx but only ${refs.length} decoded references")
-        val ref = refs(refIdx)
-        Interp.luma(ref.y, strideY, mbH * 16, x0 + px, y0 + py,
-          mvx, mvy, w, h, pred, 16, px, py)
-        Interp.chroma(ref.cb, strideC, mbH * 8, mbX * 8 + px / 2,
-          mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, predCb, 8,
-          px / 2, py / 2)
-        Interp.chroma(ref.cr, strideC, mbH * 8, mbX * 8 + px / 2,
-          mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, predCr, 8,
-          px / 2, py / 2)
-        if (weights != null) {
-          applyWeight(pred, 16, px, py, w, h, weights.logWDLuma,
-            weights.wY(refIdx), weights.oY(refIdx))
-          applyWeight(predCb, 8, px / 2, py / 2, w / 2, h / 2,
-            weights.logWDChroma, weights.wCb(refIdx), weights.oCb(refIdx))
-          applyWeight(predCr, 8, px / 2, py / 2, w / 2, h / 2,
-            weights.logWDChroma, weights.wCr(refIdx), weights.oCr(refIdx))
+        val part = mb.parts(p)
+        val px = part.px; val py = part.py
+        val w = part.w; val h = part.h
+
+        def mc(list: IndexedSeq[Yuv], refIdx: Int, mvx: Int, mvy: Int,
+            oy: Array[Int], ocb: Array[Int], ocr: Array[Int]): Unit = {
+          require(refIdx < list.length,
+            s"ref_idx $refIdx but only ${list.length} decoded references")
+          val ref = list(refIdx)
+          Interp.luma(ref.y, strideY, mbH * 16, x0 + px, y0 + py,
+            mvx, mvy, w, h, oy, 16, px, py)
+          Interp.chroma(ref.cb, strideC, mbH * 8, mbX * 8 + px / 2,
+            mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, ocb, 8,
+            px / 2, py / 2)
+          Interp.chroma(ref.cr, strideC, mbH * 8, mbX * 8 + px / 2,
+            mbY * 8 + py / 2, mvx, mvy, w / 2, h / 2, ocr, 8,
+            px / 2, py / 2)
+        }
+
+        if (part.ref0 >= 0 && part.ref1 >= 0) {
+          // bi-prediction: per-sample rounded average (8.4.2.3.1
+          // default mode; explicit bipred weighting is a typed signal)
+          mc(list0, part.ref0, part.mv0x, part.mv0y, pred, predCb, predCr)
+          mc(list1, part.ref1, part.mv1x, part.mv1y, pred1, predCb1,
+            predCr1)
+          var dy = 0
+          while (dy < h) {
+            var dx = 0
+            while (dx < w) {
+              val i = (py + dy) * 16 + px + dx
+              pred(i) = (pred(i) + pred1(i) + 1) >> 1
+              dx += 1
+            }
+            dy += 1
+          }
+          dy = 0
+          while (dy < h / 2) {
+            var dx = 0
+            while (dx < w / 2) {
+              val i = (py / 2 + dy) * 8 + px / 2 + dx
+              predCb(i) = (predCb(i) + predCb1(i) + 1) >> 1
+              predCr(i) = (predCr(i) + predCr1(i) + 1) >> 1
+              dx += 1
+            }
+            dy += 1
+          }
+        } else if (part.ref1 >= 0) {
+          mc(list1, part.ref1, part.mv1x, part.mv1y, pred, predCb, predCr)
+        } else {
+          mc(list0, part.ref0, part.mv0x, part.mv0y, pred, predCb, predCr)
+          if (weights != null) {
+            val refIdx = part.ref0
+            applyWeight(pred, 16, px, py, w, h, weights.logWDLuma,
+              weights.wY(refIdx), weights.oY(refIdx))
+            applyWeight(predCb, 8, px / 2, py / 2, w / 2, h / 2,
+              weights.logWDChroma, weights.wCb(refIdx), weights.oCb(refIdx))
+            applyWeight(predCr, 8, px / 2, py / 2, w / 2, h / 2,
+              weights.logWDChroma, weights.wCr(refIdx), weights.oCr(refIdx))
+          }
         }
         p += 1
       }

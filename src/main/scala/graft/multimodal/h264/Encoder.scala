@@ -164,6 +164,45 @@ object Encoder {
     out.array()
   }
 
+  /** wrap a finished B-slice RBSP as a NON-REFERENCE sample
+    * (nal_ref_idc 0 — the common B layout: nothing references it, so
+    * a GOP walk may skip it) */
+  private[h264] def avccSampleB(w: BitWriter): Array[Byte] = {
+    w.rbspTrailing()
+    val nal = Nal.unit(0, 1, w.toBytes)
+    val out = java.nio.ByteBuffer.allocate(4 + nal.length)
+    out.putInt(nal.length)
+    out.put(nal)
+    out.array()
+  }
+
+  /** B slice header (7.3.3): spatial direct, optional per-list active
+    * override, no list modification, no weight table (bipred idc 0),
+    * non-reference (no dec_ref_pic_marking). `pocLsb` orders the
+    * picture between its references for the walk's list construction. */
+  private[h264] def writeBSliceHeader(w: BitWriter, sps: Sps,
+      frameNum: Int, pocLsb: Int, sliceQpDelta: Int, deblock: Boolean,
+      firstMb: Int = 0, numRefs0: Int = 1, numRefs1: Int = 1): Unit = {
+    w.ue(firstMb) // first_mb_in_slice
+    w.ue(6) // slice_type B (all slices)
+    w.ue(0) // pps id
+    w.u(sps.log2MaxFrameNum, frameNum % (1 << sps.log2MaxFrameNum))
+    w.u(sps.log2MaxPocLsb, pocLsb % (1 << sps.log2MaxPocLsb))
+    w.u1(1) // direct_spatial_mv_pred_flag
+    if (numRefs0 == 1 && numRefs1 == 1) {
+      w.u1(0) // num_ref_idx_active_override
+    } else {
+      w.u1(1)
+      w.ue(numRefs0 - 1)
+      w.ue(numRefs1 - 1)
+    }
+    w.u1(0) // ref_pic_list_modification_flag_l0
+    w.u1(0) // ref_pic_list_modification_flag_l1
+    w.se(sliceQpDelta)
+    w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
+    if (deblock) { w.se(0); w.se(0) }
+  }
+
   /** P slice header (7.3.3) — mirrors what [[Decoder]] parses: no
     * ref-list modification, sliding window marking. `frameNum` is the
     * position within the GOP (IDR resets frame_num to 0, each
@@ -173,12 +212,14 @@ object Encoder {
   private[h264] def writePSliceHeader(w: BitWriter, sps: Sps,
       frameNum: Int, sliceQpDelta: Int, deblock: Boolean,
       firstMb: Int = 0, numRefs: Int = 1,
-      weights: Option[WeightSpec] = None): Unit = {
+      weights: Option[WeightSpec] = None,
+      pocLsbOverride: Int = -1): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type P (all slices)
     w.ue(0) // pps id
     w.u(sps.log2MaxFrameNum, frameNum % (1 << sps.log2MaxFrameNum))
-    w.u(sps.log2MaxPocLsb, (2 * frameNum) % (1 << sps.log2MaxPocLsb))
+    val pocLsb = if (pocLsbOverride >= 0) pocLsbOverride else 2 * frameNum
+    w.u(sps.log2MaxPocLsb, pocLsb % (1 << sps.log2MaxPocLsb))
     if (numRefs == 1) {
       w.u1(0) // num_ref_idx_active_override (PPS default -> 1 active)
     } else {

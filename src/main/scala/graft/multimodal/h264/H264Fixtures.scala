@@ -324,6 +324,109 @@ object H264Fixtures {
     (256L * yv, 64L * 128L, 64L * 128L)
   }
 
+  /** B-FRAME avc1 fixture (mm20): decode-order triads [IDR, P, B]
+    * displayed as [IDR, B, P] via ctts (+1000/+2000/0 — the classic
+    * one-frame reorder delay). The B is a NON-REFERENCE picture
+    * (nal_ref_idc 0) whose POC (2) sits between the IDR (0) and the P
+    * (4), so the walk's list construction must produce list0 = [IDR,
+    * P] and list1 = [P, IDR]; the four B kinds pin the prediction
+    * sources:
+    *
+    *  - t%4 == 0: B_L0_16x16, mv 0, cbp 0 → copies the IDR's uniform
+    *    value (a decoder that muddles list0 with "most recent" lands
+    *    on the P).
+    *  - t%4 == 1: B_L1_16x16 → copies the P's PCM value.
+    *  - t%4 == 2: B_Bi_16x16 → the rounded average (ia+vb+1)>>1.
+    *  - t%4 == 3: B_Skip → spatial direct with no neighbors =
+    *    directZeroPrediction = bi average again, through the skip-run
+    *    and direct paths.
+    *
+    * All chroma is 128 (bi average of 128s = 128), so BT.601 is the
+    * identity and channel sums are 256·yv closed-form. */
+  def videoB(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map { f =>
+      val t = f / 3
+      (f % 3) match {
+        case 0 => i16PlainFrame(docId, 3 * t, sps)
+        case 1 => // decode-order P (displayed after the B)
+          val w = new BitWriter
+          Encoder.writePSliceHeader(w, sps, 1, sliceQpDelta = 0,
+            deblock = true, pocLsbOverride = 4)
+          w.ue(0) // mb_skip_run
+          w.ue(30) // mb_type: 5 + I_PCM(25)
+          w.alignZero()
+          val vb = multiRefPcmVal(docId, 3 * t)
+          var i = 0
+          while (i < 256) { w.u(8, vb); i += 1 }
+          i = 0
+          while (i < 128) { w.u(8, 128); i += 1 }
+          Encoder.avccSampleP(w)
+        case _ => // decode-order B (displayed between IDR and P)
+          val w = new BitWriter
+          Encoder.writeBSliceHeader(w, sps, frameNum = 2, pocLsb = 2,
+            sliceQpDelta = 0, deblock = true)
+          (t % 4) match {
+            case 0 =>
+              w.ue(0) // mb_skip_run
+              w.ue(1) // B_L0_16x16
+              w.se(0); w.se(0)
+              w.ue(Decoder.codeNumFromCbpInter(0))
+            case 1 =>
+              w.ue(0)
+              w.ue(2) // B_L1_16x16
+              w.se(0); w.se(0)
+              w.ue(Decoder.codeNumFromCbpInter(0))
+            case 2 =>
+              w.ue(0)
+              w.ue(3) // B_Bi_16x16
+              w.se(0); w.se(0) // mvd_l0
+              w.se(0); w.se(0) // mvd_l1
+              w.ue(Decoder.codeNumFromCbpInter(0))
+            case _ =>
+              w.ue(1) // mb_skip_run covering the single MB -> B_Skip
+          }
+          Encoder.avccSampleB(w)
+      }
+    }
+    val ctts = (0 until n).map(f => (f % 3) match {
+      case 0 => 1000L
+      case 1 => 2000L
+      case _ => 0L
+    })
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 3,
+      sampleEntryExtension = Encoder.avccBox(sps, pps),
+      compositionOffsets = ctts)
+  }
+
+  /** closed-form plane sums for [[videoB]] frames — `f` is the
+    * DISPLAY index (triad order IDR, B, P) */
+  def expectedSumsB(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val t = f / 3
+    val la = 1 + ((d + 3 * t) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    val vb = multiRefPcmVal(d, 3 * t)
+    val yv = (f % 3) match {
+      case 0 => ia
+      case 2 => vb // display position 2 is the P picture
+      case _ => (t % 4) match { // display position 1 is the B
+        case 0 => ia
+        case 1 => vb
+        case _ => (ia + vb + 1) >> 1
+      }
+    }
+    (256L * yv, 64L * 128L, 64L * 128L)
+  }
+
   /** WEIGHTED-PREDICTION avc1 fixture (mm19): 16x16 single-MB GOPs
     * where the PPS carries weighted_pred_flag and every odd frame is a
     * P-slice COPY of the IDR through an explicit pred_weight_table —

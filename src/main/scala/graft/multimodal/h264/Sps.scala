@@ -37,7 +37,9 @@ final case class Pps(
     deblockingFilterControlPresent: Boolean,
     bottomFieldPocPresent: Boolean = false,
     numRefIdxL0Default: Int = 0, // num_ref_idx_l0_default_active_minus1
-    weightedPred: Boolean = false)
+    weightedPred: Boolean = false,
+    numRefIdxL1Default: Int = 0, // num_ref_idx_l1_default_active_minus1
+    weightedBipredIdc: Int = 0)
 
 object Sps {
   /** parse a seq_parameter_set_rbsp (unescaped) */
@@ -120,9 +122,9 @@ object Pps {
     val bottomPoc = r.u1() == 1 // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) throw UnsupportedFeature("slice groups (FMO)")
     val numRefL0 = r.ue() // num_ref_idx_l0_default_active_minus1
-    r.ue() // num_ref_idx_l1_default_active_minus1
+    val numRefL1 = r.ue() // num_ref_idx_l1_default_active_minus1
     val weighted = r.u1() == 1 // weighted_pred_flag
-    r.u(2) // weighted_bipred_idc
+    val bipredIdc = r.u(2) // weighted_bipred_idc
     val qp = r.se() + 26
     r.se() // pic_init_qs
     val chromaOff = r.se()
@@ -130,7 +132,7 @@ object Pps {
     r.u1() // constrained_intra_pred
     r.u1() // redundant_pic_cnt_present
     Pps(entropy, qp, chromaOff, deblockPresent, bottomPoc, numRefL0,
-      weighted)
+      weighted, numRefL1, bipredIdc)
   }
 
   def write(pps: Pps): Array[Byte] = {

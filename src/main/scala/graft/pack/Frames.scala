@@ -207,57 +207,91 @@ object FrameSource {
           t
       }
     }
-    // GOP decode state for the avc1 walk-back: (video identity, index
-    // of the last decoded frame, the sliding-window DPB after folding
-    // frames [gopStart..index] — most recently decoded reference
-    // FIRST, i.e. P-slice reference list 0 order). Lets
+    // GOP decode state for the avc1 walk-back: (video identity, decode
+    // index of the last decoded frame, the sliding-window DPB after
+    // folding frames [gopStart..index] — most recently decoded
+    // reference FIRST, i.e. P-slice reference list 0 order — and the
+    // POC msb/lsb state of the last reference picture). Lets
     // increasing-index access — the uniform/segment samplers' pattern
     // — cost one incremental decode per frame instead of re-walking
     // from the sync sample each call.
     private val avcState =
       new ThreadLocal[java.lang.ref.SoftReference[
-        (Array[Byte], Int, Vector[graft.multimodal.h264.Decoder.Yuv])]]
+        (Array[Byte], Int, Vector[graft.multimodal.h264.Decoder.Yuv],
+          Int, Int)]]
 
-    /** decode frame `index` of an avc1 track: seek to the nearest
-      * preceding sync sample and motion-compensate forward — the decord
-      * seek model the reference's samplers rely on
+    /** decode DECODE-ORDER sample `index` of an avc1 track: seek to
+      * the nearest preceding sync sample and motion-compensate forward
+      * — the decord seek model the reference's samplers rely on
       * (`pack/dataset.py:102-108`). Non-reference frames that aren't
       * the target are skipped (they can't affect later frames). The
-      * walk maintains the DPB: an IDR clears it, each decoded
-      * reference picture prepends, truncated to the SPS
-      * max_num_ref_frames sliding window (8.2.5.3). */
+      * walk maintains the DPB (IDR clears; reference pictures prepend,
+      * truncated to the SPS max_num_ref_frames sliding window,
+      * 8.2.5.3) and per-picture POC (8.2.1.1 msb wrap) so B samples
+      * get POC-ordered reference lists: list0 past-desc then
+      * future-asc, list1 future-asc then past-desc (8.2.4.2.3). */
     private def decodeAvc(video: Array[Byte], t: Mp4Samples.Track,
         cfg: graft.multimodal.h264.Decoder.AvcConfig,
         index: Int): graft.multimodal.h264.Decoder.Yuv = {
       import graft.multimodal.h264.Decoder
       val maxRef = math.max(1, cfg.sps.maxNumRefFrames)
+      val maxLsb = 1 << cfg.sps.log2MaxPocLsb
       var sync = index
       while (sync > 0 && !t.isSync(sync)) sync -= 1
       require(t.isSync(sync), s"no sync sample at or before frame $index")
       val cached = Option(avcState.get()).flatMap(r => Option(r.get()))
-      val (start, refs0) = cached match {
-        case Some((v, i, dpb)) if (v eq video) && i < index && i >= sync =>
-          (i + 1, dpb)
-        case _ => (sync, Vector.empty[Decoder.Yuv])
+      val (start, refs0, pm0, pl0) = cached match {
+        case Some((v, i, dpb, pm, pl))
+            if (v eq video) && i < index && i >= sync =>
+          (i + 1, dpb, pm, pl)
+        case _ => (sync, Vector.empty[Decoder.Yuv], 0, 0)
       }
       var refPics = refs0
+      var prevPocMsb = pm0
+      var prevPocLsb = pl0
       var out: Decoder.Yuv = null
       var j = start
       while (j <= index) {
         val sample = t.sample(video, j)
-        val isRef = Decoder.isReference(sample, cfg)
+        val info = Decoder.sliceInfo(sample, cfg)
+        val isRef = info.refIdc > 0
+        // POC for this picture (8.2.1.1, type 0): msb derived against
+        // the previous REFERENCE picture's lsb/msb
+        val poc =
+          if (info.idr) 0
+          else {
+            val lsb = info.pocLsb
+            val msb =
+              if (lsb < prevPocLsb && prevPocLsb - lsb >= maxLsb / 2)
+                prevPocMsb + maxLsb
+              else if (lsb > prevPocLsb && lsb - prevPocLsb > maxLsb / 2)
+                prevPocMsb - maxLsb
+              else prevPocMsb
+            msb + lsb
+          }
         if (j == index || isRef) {
-          val idr = Decoder.isIdr(sample, cfg)
-          val d = Decoder.decode(sample, cfg,
-            if (idr) Vector.empty[Decoder.Yuv] else refPics)
+          val dpb = if (info.idr) Vector.empty[Decoder.Yuv] else refPics
+          val d0 =
+            if (info.isB) {
+              val past = dpb.filter(_.poc < poc).sortBy(-_.poc)
+              val future = dpb.filter(_.poc > poc).sortBy(_.poc)
+              Decoder.decode(sample, cfg, past ++ future, future ++ past)
+            } else Decoder.decode(sample, cfg, dpb)
+          val d = d0.copy(poc = poc)
           if (j == index) out = d
           if (isRef)
-            refPics = if (idr) Vector(d) else (d +: refPics).take(maxRef)
+            refPics =
+              if (info.idr) Vector(d) else (d +: refPics).take(maxRef)
+        }
+        if (isRef) {
+          prevPocMsb = if (info.idr) 0 else poc - info.pocLsb
+          prevPocLsb = info.pocLsb
         }
         j += 1
       }
       require(out != null, s"frame $index not decoded (cache state bug)")
-      avcState.set(new java.lang.ref.SoftReference((video, index, refPics)))
+      avcState.set(new java.lang.ref.SoftReference(
+        (video, index, refPics, prevPocMsb, prevPocLsb)))
       out
     }
 

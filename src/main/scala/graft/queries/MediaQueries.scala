@@ -826,7 +826,87 @@ object MediaQueries extends QueryRegistry {
       |    yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS b_sum
       |FROM uv GROUP BY par ORDER BY frame_parity""".stripMargin
 
+  /** mm20: B-FRAME H.264 decode gate. Each doc synthesizes a
+    * reordered GOP fixture ([[graft.multimodal.h264.H264Fixtures
+    * .videoB]]: decode-order [IDR, P, B] triads displayed [IDR, B, P]
+    * via ctts; the non-reference B cycles L0-copy / L1-copy /
+    * bi-average / B_Skip-direct) and decodes every DISPLAY frame
+    * through Mp4Frames — which must map display→decode order, build
+    * POC-ordered reference lists (list0 = [IDR, P], list1 = [P,
+    * IDR]), and average bi-predictions exactly. A decoder that
+    * ignores ctts, mis-orders a list, or mis-rounds the average lands
+    * on the wrong uniform value at display positions 1 and 2 and
+    * shifts a sum. */
+  private def avcBFrameDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (9 + 3 * (id % 3)).toInt
+      val bytes = graft.multimodal.h264.H264Fixtures.videoB(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 3, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("triad_pos"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("triad_pos"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("triad_pos"))
+  }
+
+  /** Replays videoB's closed forms per DISPLAY index: position 0 the
+    * I_16x16 uniform, position 2 the P's PCM byte, position 1 the B —
+    * L0-copy / L1-copy / rounded bi-average by triad index. Chroma
+    * 128 everywhere makes every channel equal. */
+  private val avcBFrameDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (9 + 3 * (doc_id % 3))::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, (f % 3)::INT AS pos, (f // 3)::INT AS t,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6
+      |  FROM fr),
+      |q2 AS (
+      |  SELECT *,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN (1 + (d + 3*t) % 5) * v6
+      |            ELSE ((1 + (d + 3*t) % 5) * v6 + (1 << (5 - qp//6)))
+      |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS ia,
+      |    (16 + (d * 37 + 3*t * 19) % 224)::INT AS vb
+      |  FROM q),
+      |vals AS (
+      |  SELECT d, f, pos,
+      |    CASE WHEN pos = 0 THEN ia
+      |         WHEN pos = 2 THEN vb
+      |         WHEN t % 4 = 0 THEN ia
+      |         WHEN t % 4 = 1 THEN vb
+      |         ELSE (ia + vb + 1) // 2 END AS yv
+      |  FROM q2)
+      |SELECT pos AS triad_pos, count(*) AS n_frames,
+      |  sum(256 * yv)::BIGINT AS r_sum,
+      |  sum(256 * yv)::BIGINT AS g_sum,
+      |  sum(256 * yv)::BIGINT AS b_sum
+      |FROM vals GROUP BY pos ORDER BY triad_pos""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,
+      Some(avcBFrameDecodeSql), bench = true),
     "mm19_avc_weighted" -> QueryDef(avcWeightedDecode,
       Some(avcWeightedDecodeSql), bench = true),
     "mm18_avc_multiref" -> QueryDef(avcMultiRefDecode,

@@ -445,15 +445,16 @@ class H264InterSpec extends AnyFunSuite {
     assert(worst <= 48, s"worst=$worst")
   }
 
-  test("P slice without a reference is rejected; B slices stay typed") {
+  test("P slice without a reference is rejected; SP/SI stay typed") {
     val w = new BitWriter
     Encoder.writePSliceHeader(w, sps16, 1, 0, deblock = false)
     w.ue(1)
     val sample = Encoder.avccSampleP(w)
     intercept[IllegalArgumentException](Decoder.decode(sample, cfg(26)))
-    // slice_type B (1) -> typed UnsupportedFeature
+    // slice_type SP (3) -> typed UnsupportedFeature (B decodes for
+    // real since round 8 — see H264BSpec)
     val wb = new BitWriter
-    wb.ue(0); wb.ue(6) // first_mb, slice_type B (all-slices form)
+    wb.ue(0); wb.ue(8) // first_mb, slice_type SP (all-slices form)
     wb.ue(0); wb.u(4, 0)
     wb.rbspTrailing()
     val nal = Nal.unit(3, 1, wb.toBytes)

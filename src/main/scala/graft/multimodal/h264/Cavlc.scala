@@ -293,6 +293,10 @@ object Cavlc {
       if (totalCoeff == maxCoeffs) 0
       else if (nC == -1) readVlc(r, TotalZerosChromaDc(totalCoeff - 1))
       else readVlc(r, TotalZeros(totalCoeff - 1))
+    // conformance bound (9.2.3): coefficients + zeros fit the block —
+    // a corrupt stream otherwise walks out(pos) past the array
+    require(totalCoeff + zerosLeft <= maxCoeffs,
+      s"total_zeros $zerosLeft overruns $maxCoeffs-coeff block")
 
     // place coefficients: levels are highest-frequency-first; walk back
     var pos = totalCoeff + zerosLeft - 1 // scan index of the first (highest) coeff
@@ -302,6 +306,10 @@ object Cavlc {
       val run =
         if (zerosLeft == 0 || i == totalCoeff - 1) 0
         else readVlc(r, RunBefore(math.min(zerosLeft, 7) - 1))
+      // run_before never exceeds zerosLeft (9.2.3) — reject instead of
+      // indexing below the block start
+      require(run <= zerosLeft,
+        s"run_before $run exceeds $zerosLeft remaining zeros")
       zerosLeft -= run
       pos -= run + 1
       i += 1

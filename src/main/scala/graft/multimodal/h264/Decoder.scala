@@ -52,31 +52,43 @@ object Decoder {
       ref0: Int, mv0x: Int, mv0y: Int,
       ref1: Int = -1, mv1x: Int = 0, mv1y: Int = 0)
 
-  /** parse the avcC box payload (ISO 14496-15 5.2.4.1.1) */
+  /** parse the avcC box payload (ISO 14496-15 5.2.4.1.1) — every
+    * offset is bounds-checked so a corrupt config rejects with the
+    * typed IllegalArgumentException, not an unchecked index crash */
   def parseAvcc(b: Array[Byte]): AvcConfig = {
     require(b.length >= 7 && b(0) == 1, "bad avcC")
-    val lengthSize = (b(4) & 3) + 1
+    @inline def at(i: Int): Int = {
+      require(i >= 0 && i < b.length, s"avcC truncated at $i")
+      b(i) & 0xff
+    }
+    def slice(from: Int, until: Int): Array[Byte] = {
+      require(from >= 0 && from <= until && until <= b.length,
+        s"avcC range [$from,$until) beyond ${b.length}")
+      java.util.Arrays.copyOfRange(b, from, until)
+    }
+    val lengthSize = (at(4) & 3) + 1
     var pos = 5
-    val nSps = b(pos) & 0x1f
+    val nSps = at(pos) & 0x1f
     pos += 1
     require(nSps >= 1, "avcC without SPS")
     var sps: Sps = null
     var i = 0
     while (i < nSps) {
-      val len = ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+      val len = (at(pos) << 8) | at(pos + 1)
       pos += 2
+      require(len >= 1, "empty SPS NAL in avcC")
       if (i == 0) sps = Sps.parse(Nal.unescape(
-        java.util.Arrays.copyOfRange(b, pos + 1, pos + len)))
+        slice(pos + 1, pos + len)))
       pos += len
       i += 1
     }
-    val nPps = b(pos) & 0xff
+    val nPps = at(pos)
     pos += 1
     require(nPps >= 1, "avcC without PPS")
-    val len = ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+    val len = (at(pos) << 8) | at(pos + 1)
     pos += 2
-    val pps = Pps.parse(Nal.unescape(
-      java.util.Arrays.copyOfRange(b, pos + 1, pos + len)))
+    require(len >= 1, "empty PPS NAL in avcC")
+    val pps = Pps.parse(Nal.unescape(slice(pos + 1, pos + len)))
     AvcConfig(sps, pps, lengthSize)
   }
 
@@ -617,12 +629,11 @@ object Decoder {
       parseLumaAcAndChroma(mb, mbX, mbY, i16 = false)
     }
 
-    /** Spatial direct motion derivation (8.4.1.2.2, with
-      * direct_8x8_inference): per-list refIdx = MinPositive over the
-      * A/B/C neighbors, 16x16 median MV prediction, then per-8x8
-      * colocated-zero refinement against list1(0)'s stored motion.
-      * Returns the four 8x8 Parts AND fills the motion grids. */
-    def directSpatialParts(mbX: Int, mbY: Int): Array[Part] = {
+    /** MB-level spatial direct derivation (8.4.1.2.2): per-list
+      * refIdx = MinPositive over the A/B/C neighbors OF THE MB, plus
+      * the 16x16 median MV prediction for each list. Shared by
+      * B_Direct_16x16 / B_Skip and per-8x8 B_Direct_8x8. */
+    def directMbLevel(mbX: Int, mbY: Int): (Int, Int, Int, Int, Int, Int) = {
       val bx = mbX * 4
       val by = mbY * 4
       /** raw neighbor ref code: -2 unavailable, -1 intra/no-list,
@@ -642,63 +653,68 @@ object Decoder {
       }
       val ref0 = nbrRef(refGrid)
       val ref1 = nbrRef(refGrid1)
-      val out = new Array[Part](4)
+      val (m0x, m0y) =
+        if (ref0 >= 0) MotionPred.predict(refGrid, mvxGrid, mvyGrid,
+          bCols, bRows, bx, by, 4, 4, MotionPred.PartNormal,
+          firstMbCur, ref0)
+        else (0, 0)
+      val (m1x, m1y) =
+        if (ref1 >= 0) MotionPred.predict(refGrid1, mvxGrid1, mvyGrid1,
+          bCols, bRows, bx, by, 4, 4, MotionPred.PartNormal,
+          firstMbCur, ref1)
+        else (0, 0)
+      (ref0, ref1, m0x, m0y, m1x, m1y)
+    }
+
+    /** one direct 8x8 (q = z-index of the 8x8): colocated-zero
+      * refinement (direct_8x8_inference corner sampling) over the
+      * MB-level derivation; fills both lists' grids and returns the
+      * Part. directZeroPrediction (both refs < 0) pins refIdx 0 /
+      * zero MVs on both lists. */
+    def directPartFor(mbX: Int, mbY: Int, q: Int, ref0: Int, ref1: Int,
+        m0x: Int, m0y: Int, m1x: Int, m1y: Int): Part = {
+      val bx = mbX * 4
+      val by = mbY * 4
+      val ox = (q % 2) * 8
+      val oy = (q / 2) * 8
       if (ref0 < 0 && ref1 < 0) {
-        // directZeroPrediction: both lists, refIdx 0, zero MVs
         require(list1.nonEmpty, "B direct without list1")
-        var q = 0
-        while (q < 4) {
-          val ox = (q % 2) * 8
-          val oy = (q / 2) * 8
-          out(q) = Part(ox, oy, 8, 8, 0, 0, 0, 0, 0, 0)
-          q += 1
-        }
-        fillMvList(0, mbX * 16, mbY * 16, 16, 16, 0, 0, 0)
-        fillMvList(1, mbX * 16, mbY * 16, 16, 16, 0, 0, 0)
-        out
+        fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, 8, 8, 0, 0, 0)
+        fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, 8, 8, 0, 0, 0)
+        Part(ox, oy, 8, 8, 0, 0, 0, 0, 0, 0)
       } else {
-        val (m0x, m0y) =
-          if (ref0 >= 0) MotionPred.predict(refGrid, mvxGrid, mvyGrid,
-            bCols, bRows, bx, by, 4, 4, MotionPred.PartNormal,
-            firstMbCur, ref0)
-          else (0, 0)
-        val (m1x, m1y) =
-          if (ref1 >= 0) MotionPred.predict(refGrid1, mvxGrid1, mvyGrid1,
-            bCols, bRows, bx, by, 4, 4, MotionPred.PartNormal,
-            firstMbCur, ref1)
-          else (0, 0)
         val cm = if (list1.nonEmpty) list1(0).motion else null
-        var q = 0
-        while (q < 4) {
-          val ox = (q % 2) * 8
-          val oy = (q / 2) * 8
-          // direct_8x8_inference: sample the colocated corner 4x4
-          val cx = bx + (q % 2) * 3
-          val cy = by + (q / 2) * 3
-          val colZero =
-            if (cm == null) false
-            else {
-              val ci = cy * bCols + cx
-              val (cr0, cvx, cvy) =
-                if (cm.ref0(ci) >= 0) (cm.ref0(ci), cm.mvx0(ci), cm.mvy0(ci))
-                else if (cm.ref1(ci) >= 0)
-                  (cm.ref1(ci), cm.mvx1(ci), cm.mvy1(ci))
-                else (-1, 0, 0)
-              cr0 == 0 && math.abs(cvx) <= 1 && math.abs(cvy) <= 1
-            }
-          val (p0x, p0y) = if (ref0 == 0 && colZero) (0, 0) else (m0x, m0y)
-          val (p1x, p1y) = if (ref1 == 0 && colZero) (0, 0) else (m1x, m1y)
-          out(q) = Part(ox, oy, 8, 8,
-            ref0, if (ref0 >= 0) p0x else 0, if (ref0 >= 0) p0y else 0,
-            ref1, if (ref1 >= 0) p1x else 0, if (ref1 >= 0) p1y else 0)
-          fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, 8, 8, ref0,
-            if (ref0 >= 0) p0x else 0, if (ref0 >= 0) p0y else 0)
-          fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, 8, 8, ref1,
-            if (ref1 >= 0) p1x else 0, if (ref1 >= 0) p1y else 0)
-          q += 1
-        }
-        out
+        // direct_8x8_inference: sample the colocated corner 4x4
+        val cx = bx + (q % 2) * 3
+        val cy = by + (q / 2) * 3
+        val colZero =
+          if (cm == null) false
+          else {
+            val ci = cy * bCols + cx
+            val (cr0, cvx, cvy) =
+              if (cm.ref0(ci) >= 0) (cm.ref0(ci), cm.mvx0(ci), cm.mvy0(ci))
+              else if (cm.ref1(ci) >= 0)
+                (cm.ref1(ci), cm.mvx1(ci), cm.mvy1(ci))
+              else (-1, 0, 0)
+            cr0 == 0 && math.abs(cvx) <= 1 && math.abs(cvy) <= 1
+          }
+        val (p0x, p0y) = if (ref0 == 0 && colZero) (0, 0) else (m0x, m0y)
+        val (p1x, p1y) = if (ref1 == 0 && colZero) (0, 0) else (m1x, m1y)
+        val f0x = if (ref0 >= 0) p0x else 0
+        val f0y = if (ref0 >= 0) p0y else 0
+        val f1x = if (ref1 >= 0) p1x else 0
+        val f1y = if (ref1 >= 0) p1y else 0
+        fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, 8, 8, ref0, f0x, f0y)
+        fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, 8, 8, ref1, f1x, f1y)
+        Part(ox, oy, 8, 8, ref0, f0x, f0y, ref1, f1x, f1y)
       }
+    }
+
+    /** B_Direct_16x16 / B_Skip: the four direct 8x8 Parts */
+    def directSpatialParts(mbX: Int, mbY: Int): Array[Part] = {
+      val (r0, r1, m0x, m0y, m1x, m1y) = directMbLevel(mbX, mbY)
+      Array.tabulate(4)(q =>
+        directPartFor(mbX, mbY, q, r0, r1, m0x, m0y, m1x, m1y))
     }
 
     /** parse one B-slice inter macroblock_layer (Table 7-14 mb_type
@@ -809,8 +825,121 @@ object Decoder {
           Part(ox, oy, w0, h0, ref0(q), mv0(q)._1, mv0(q)._2,
             ref1(q), mv1(q)._1, mv1(q)._2)
         }
+      } else if (bMbType == 22) { // B_8x8 (Table 7-18 sub_mb_types)
+        val subT = Array.fill(4)(r.ue())
+        subT.foreach(t => require(t <= 12, s"B sub_mb_type $t"))
+        def u0(t: Int): Boolean = t == 1 || t == 3 || t == 4 || t == 5 ||
+          t == 8 || t == 9 || t == 10 || t == 12
+        def u1(t: Int): Boolean = t == 2 || t == 3 ||
+          (t >= 6 && t <= 9) || t == 11 || t == 12
+        /** sub-partition geometry within the 8x8, (sx, sy, w, h) */
+        def geom(t: Int): Array[(Int, Int, Int, Int)] = t match {
+          case 1 | 2 | 3 => Array((0, 0, 8, 8))
+          case 4 | 6 | 8 => Array((0, 0, 8, 4), (0, 4, 8, 4))
+          case 5 | 7 | 9 => Array((0, 0, 4, 8), (4, 0, 4, 8))
+          case _ => Array((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4),
+            (4, 4, 4, 4))
+        }
+        // MB-level direct derivation uses only OUTSIDE-MB neighbors —
+        // compute once, then fill the direct 8x8s' grids immediately
+        // (they are MV-prediction neighbors for coded sub-partitions)
+        val needDirect = subT.exists(_ == 0)
+        val (dr0, dr1, dm0x, dm0y, dm1x, dm1y) =
+          if (needDirect) directMbLevel(mbX, mbY) else (0, 0, 0, 0, 0, 0)
+        val directParts = new Array[Part](4)
+        var q = 0
+        while (q < 4) {
+          if (subT(q) == 0)
+            directParts(q) = directPartFor(mbX, mbY, q, dr0, dr1,
+              dm0x, dm0y, dm1x, dm1y)
+          q += 1
+        }
+        // sub_mb_pred (7.3.5.2): ref_idx_l0 pass, ref_idx_l1 pass,
+        // then mvd_l0 and mvd_l1 passes (sub-partitions in order)
+        val r0 = Array.tabulate(4)(q =>
+          if (subT(q) != 0 && u0(subT(q))) readRefIdx(activeRefs) else -1)
+        val r1 = Array.tabulate(4)(q =>
+          if (subT(q) != 0 && u1(subT(q))) readRefIdx(activeRefs1) else -1)
+        val mv0s = Array.ofDim[(Int, Int)](4, 4)
+        val mv1s = Array.ofDim[(Int, Int)](4, 4)
+        q = 0
+        while (q < 4) { // mvd_l0 pass
+          val t = subT(q)
+          val ox = (q % 2) * 8
+          val oy = (q / 2) * 8
+          if (t != 0) {
+            if (u0(t)) {
+              val gs = geom(t)
+              var i = 0
+              while (i < gs.length) {
+                val (sx, sy, w0, h0) = gs(i)
+                val dx = r.se(); val dy = r.se()
+                val (px, py) = MotionPred.predict(refGrid, mvxGrid,
+                  mvyGrid, bCols, bRows, bx0 + (ox + sx) / 4,
+                  by0 + (oy + sy) / 4, w0 / 4, h0 / 4,
+                  MotionPred.PartNormal, firstMbCur, r0(q))
+                mv0s(q)(i) = (px + dx, py + dy)
+                fillMvList(0, mbX * 16 + ox + sx, mbY * 16 + oy + sy,
+                  w0, h0, r0(q), px + dx, py + dy)
+                i += 1
+              }
+            } else fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, 8, 8,
+              -1, 0, 0)
+          }
+          q += 1
+        }
+        q = 0
+        while (q < 4) { // mvd_l1 pass
+          val t = subT(q)
+          val ox = (q % 2) * 8
+          val oy = (q / 2) * 8
+          if (t != 0) {
+            if (u1(t)) {
+              val gs = geom(t)
+              var i = 0
+              while (i < gs.length) {
+                val (sx, sy, w0, h0) = gs(i)
+                val dx = r.se(); val dy = r.se()
+                val (px, py) = MotionPred.predict(refGrid1, mvxGrid1,
+                  mvyGrid1, bCols, bRows, bx0 + (ox + sx) / 4,
+                  by0 + (oy + sy) / 4, w0 / 4, h0 / 4,
+                  MotionPred.PartNormal, firstMbCur, r1(q))
+                mv1s(q)(i) = (px + dx, py + dy)
+                fillMvList(1, mbX * 16 + ox + sx, mbY * 16 + oy + sy,
+                  w0, h0, r1(q), px + dx, py + dy)
+                i += 1
+              }
+            } else fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, 8, 8,
+              -1, 0, 0)
+          }
+          q += 1
+        }
+        val partsB = Array.newBuilder[Part]
+        q = 0
+        while (q < 4) {
+          val t = subT(q)
+          if (t == 0) partsB += directParts(q)
+          else {
+            val ox = (q % 2) * 8
+            val oy = (q / 2) * 8
+            val gs = geom(t)
+            var i = 0
+            while (i < gs.length) {
+              val (sx, sy, w0, h0) = gs(i)
+              val (x0m, y0m) =
+                if (u0(t)) mv0s(q)(i) else (0, 0)
+              val (x1m, y1m) =
+                if (u1(t)) mv1s(q)(i) else (0, 0)
+              partsB += Part(ox + sx, oy + sy, w0, h0,
+                r0(q), x0m, y0m, r1(q), x1m, y1m)
+              i += 1
+            }
+          }
+          q += 1
+        }
+        mb.parts = partsB.result()
       } else {
-        throw UnsupportedFeature(s"B_8x8 mb_type $bMbType")
+        throw UnsupportedFeature(s"B mb_type $bMbType")
       }
 
       mb.cbp = cbpInterFromCodeNum(r.ue())
@@ -979,6 +1108,8 @@ object Decoder {
         if (r.u1() == 1) throw UnsupportedFeature("adaptive ref pic marking")
       }
       val sliceQp = pps.picInitQp + r.se()
+      require(sliceQp >= 0 && sliceQp <= 51,
+        s"slice QP $sliceQp out of range (corrupt stream)")
       prevQp = sliceQp
       var dis = 0
       var oA = 0

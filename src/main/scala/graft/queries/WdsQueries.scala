@@ -564,6 +564,84 @@ object WdsQueries extends QueryRegistry {
       |SELECT printf('%09d', rn - 1) AS key, 17 AS n_entries, px_sum
       |FROM px ORDER BY key""".stripMargin
 
+  /** wds25: the UNIFORM sampler over REAL H.264 with B-FRAMES — the
+    * `un` path when the corpus carries reordered streams: per-doc
+    * avc1 fixtures with decode-order [IDR, P, B] triads displayed
+    * [IDR, B, P] via ctts ([[graft.multimodal.h264.H264Fixtures
+    * .videoB]]). Segment centers are DISPLAY indices, so the pack can
+    * only produce the right pixels by mapping display→decode order,
+    * walking the GOP in decode order, and resolving the non-reference
+    * B's two POC-ordered lists. Same fingerprint contract as wds24. */
+  private def unAvcBPack(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("graft_unb")
+    val docId = "([0-9]{9})".r
+    val info = PackStage.run(docMeta(s, dir), out,
+      PackStage.PackOptions(
+        samplerType = PackStage.SamplerType.Uniform,
+        frames = graft.pack.FrameSource.Mp4Frames,
+        samplesPerTar = 100, alignShards = true),
+      mediaFor = path => {
+        val id = docId.findFirstIn(path).get.toLong
+        graft.multimodal.h264.H264Fixtures.videoB(id,
+          (9 + 3 * (id % 3)).toInt)
+      })
+    val pxSum = udf { (m: Map[String, Array[Byte]]) =>
+      m.iterator.collect { case (k, v) if k != "json" =>
+        graft.wds.Codecs.decodeImage(v).data
+          .foldLeft(0L)((a, b) => a + (b & 0xff))
+      }.sum
+    }
+    readBack(s, info)
+      .select(col("key"),
+        size(map_keys(col("entries"))).as("n_entries"),
+        pxSum(col("entries")).as("px_sum"))
+      .orderBy(col("key"))
+  }
+
+  /** Geometry as wds24 (half-even rint segment centers over DISPLAY
+    * indices); pixels are videoB's closed forms — uniform chroma 128
+    * makes every channel yv, so each frame contributes 3·256·yv. */
+  private val unAvcBPackSql =
+    """WITH t AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT rn, doc_id AS d, (9 + 3 * (doc_id % 3))::INT AS n,
+      |    (16 + doc_id % 24)::INT AS qp
+      |  FROM t),
+      |centers AS (
+      |  SELECT rn, d, n, qp,
+      |    CASE WHEN (i*(n-1)) % 16 > 8 THEN (i*(n-1)) // 16 + 1
+      |         WHEN (i*(n-1)) % 16 < 8 THEN (i*(n-1)) // 16
+      |         ELSE (i*(n-1)) // 16 + ((i*(n-1)) // 16) % 2
+      |    END::INT AS f
+      |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii),
+      |q AS (
+      |  SELECT rn, d, f, qp, (f % 3)::INT AS pos, (f // 3)::INT AS tt,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6
+      |  FROM centers),
+      |q2 AS (
+      |  SELECT *,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN (1 + (d + 3*tt) % 5) * v6
+      |            ELSE ((1 + (d + 3*tt) % 5) * v6 + (1 << (5 - qp//6)))
+      |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS ia,
+      |    (16 + (d * 37 + 3*tt * 19) % 224)::INT AS vb
+      |  FROM q),
+      |vals AS (
+      |  SELECT rn,
+      |    CASE WHEN pos = 0 THEN ia
+      |         WHEN pos = 2 THEN vb
+      |         WHEN tt % 4 = 0 THEN ia
+      |         WHEN tt % 4 = 1 THEN vb
+      |         ELSE (ia + vb + 1) // 2 END AS yv
+      |  FROM q2),
+      |px AS (
+      |  SELECT rn, sum(3 * 256 * yv)::BIGINT AS px_sum
+      |  FROM vals GROUP BY rn)
+      |SELECT printf('%09d', rn - 1) AS key, 17 AS n_entries, px_sum
+      |FROM px ORDER BY key""".stripMargin
+
   /** video_interleave sampler: two clips per record → sibling mp4
     * entries regrouped under the json on read-back. */
   private def interleavePack(s: SparkSession, dir: String): DataFrame = {
@@ -1469,6 +1547,8 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
+      bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),
       bench = true),
     "wds23_kf_avc" -> QueryDef(kfAvcPack, Some(kfAvcPackSql),

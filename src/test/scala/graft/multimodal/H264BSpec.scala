@@ -179,6 +179,44 @@ class H264BSpec extends AnyFunSuite {
       IndexedSeq('I', 'P', 'P', 'I', 'P', 'P', 'I', 'P', 'P', 'I', 'P', 'P'))
   }
 
+  test("B_8x8 sub-partitions: direct, uni, bi, and 8x4/4x4 shapes") {
+    val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
+    val a = uniformRef(40)
+    val b = uniformRef(200)
+    // one MB, four 8x8s: q0 B_Direct_8x8 (no neighbors ->
+    // directZeroPrediction -> bi average), q1 B_L0_8x8, q2 B_Bi_8x4
+    // (two mvd_l0 + two mvd_l1), q3 B_L1_4x4 (four mvd_l1)
+    val w = new BitWriter
+    Encoder.writeBSliceHeader(w, sps, 2, 2, 0, deblock = false)
+    w.ue(0) // mb_skip_run
+    w.ue(22) // B_8x8
+    w.ue(0); w.ue(1); w.ue(8); w.ue(11) // sub_mb_types
+    // ref_idx passes absent (1 active per list)
+    // mvd_l0 pass: q1 (one), q2 (two)
+    w.se(0); w.se(0)
+    w.se(0); w.se(0); w.se(0); w.se(0)
+    // mvd_l1 pass: q2 (two), q3 (four)
+    w.se(0); w.se(0); w.se(0); w.se(0)
+    var i = 0
+    while (i < 8) { w.se(0); i += 1 }
+    w.ue(Decoder.codeNumFromCbpInter(0))
+    val out = Decoder.decode(Encoder.avccSampleB(w), cfg(26, sps),
+      Vector(a, b), Vector(b, a))
+    val avg = (40 + 200 + 1) >> 1
+    // q0 (top-left): direct zero prediction = bi average
+    assert(out.luma(0, 0) == avg && out.luma(7, 7) == avg)
+    // q1 (top-right): L0 = 40
+    assert(out.luma(8, 0) == 40 && out.luma(15, 7) == 40)
+    // q2 (bottom-left): bi = average
+    assert(out.luma(0, 8) == avg && out.luma(7, 15) == avg)
+    // q3 (bottom-right): L1 = 200
+    assert(out.luma(8, 8) == 200 && out.luma(15, 15) == 200)
+    // motion grids: q1 list1 unused, q3 list0 unused
+    assert(out.motion.ref0(2) == 0 && out.motion.ref1(2) < 0)
+    assert(out.motion.ref1(2 * 4 + 2) == 0 &&
+      out.motion.ref0(2 * 4 + 2) < 0)
+  }
+
   test("temporal direct and explicit bipred weights stay typed signals") {
     val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
     val a = uniformRef(80)

@@ -25,11 +25,18 @@ object Decoder {
   final case class AvcConfig(sps: Sps, pps: Pps, nalLengthSize: Int)
 
   /** per-4x4-block motion of a decoded picture, kept for B-slice
-    * spatial-direct colocated checks (8.4.1.2.2): refIdx per list
-    * (< 0 = intra or list unused) and quarter-pel MVs */
+    * direct-mode colocated derivation (8.4.1.2.2/8.4.1.2.3): refIdx
+    * per list (< 0 = intra or list unused), quarter-pel MVs, and the
+    * POC of the referenced picture (`refPoc*`, [[Motion.NoPoc]] when
+    * none) — temporal direct maps the colocated reference into the
+    * current list 0 by POC identity. */
   final case class Motion(ref0: Array[Int], mvx0: Array[Int],
       mvy0: Array[Int], ref1: Array[Int], mvx1: Array[Int],
-      mvy1: Array[Int])
+      mvy1: Array[Int], refPoc0: Array[Int], refPoc1: Array[Int])
+
+  object Motion {
+    val NoPoc: Int = Int.MinValue
+  }
 
   /** decoded frame; planes are MB-aligned, `width`/`height` are the
     * cropped picture dims. `poc` is stamped by the GOP walk (display
@@ -165,13 +172,23 @@ object Decoder {
     * `list0` orders past-then-future by POC distance and `list1`
     * future-then-past (8.2.4.2.3). P slices use `list0` only. */
   def decode(sample: Array[Byte], cfg: AvcConfig,
-      list0: IndexedSeq[Yuv], list1: IndexedSeq[Yuv]): Yuv = {
+      list0: IndexedSeq[Yuv], list1: IndexedSeq[Yuv]): Yuv =
+    decode(sample, cfg, list0, list1, Motion.NoPoc)
+
+  /** full form: `curPoc` is THIS picture's POC — temporal direct
+    * (8.4.1.2.3) scales the colocated MV by POC distances and cannot
+    * run without it (the walk always knows it; callers that pass the
+    * [[Motion.NoPoc]] sentinel get a typed signal on temporal-direct
+    * streams and full function otherwise). */
+  def decode(sample: Array[Byte], cfg: AvcConfig,
+      list0: IndexedSeq[Yuv], list1: IndexedSeq[Yuv],
+      curPoc: Int): Yuv = {
     val nals = Nal.splitAvccSample(sample, cfg.nalLengthSize)
     val slices = nals.collect {
       case (t, refIdc, rbsp) if t == 5 || t == 1 => (t == 5, refIdc, rbsp)
     }
     if (slices.isEmpty) throw UnsupportedFeature("no slice NAL in sample")
-    decodePicture(slices, cfg, list0, list1)
+    decodePicture(slices, cfg, list0, list1, curPoc)
   }
 
   /** true iff the sample's slice NAL is a reference picture
@@ -266,8 +283,8 @@ object Decoder {
   }
 
   private def decodePicture(slices: Seq[(Boolean, Int, Array[Byte])],
-      cfg: AvcConfig, list0: IndexedSeq[Yuv],
-      list1: IndexedSeq[Yuv]): Yuv = {
+      cfg: AvcConfig, list0: IndexedSeq[Yuv], list1: IndexedSeq[Yuv],
+      curPoc: Int): Yuv = {
     val sps = cfg.sps
     val pps = cfg.pps
     // per-slice parse state: the bit reader and the slice's first MB
@@ -325,6 +342,9 @@ object Decoder {
       else pidPool.get(list(refIdx)).intValue()
     val pidGrid0 = Array.fill(bCols * bRows)(-1)
     val pidGrid1 = Array.fill(bCols * bRows)(-1)
+    val refPocGrid0 = Array.fill(bCols * bRows)(Motion.NoPoc)
+    val refPocGrid1 = Array.fill(bCols * bRows)(Motion.NoPoc)
+    var directSpatialCur = true // direct_spatial_mv_pred_flag of the slice
     val intraMb = new Array[Boolean](mbW * mbH)
 
     def nzAt(map: Array[Int], cols: Int, bx: Int, by: Int): Int =
@@ -403,11 +423,15 @@ object Decoder {
       * coords); refIdx < 0 marks the list unused by this partition */
     def fillMvList(list: Int, px: Int, py: Int, w: Int, h: Int,
         refIdx: Int, mvx: Int, mvy: Int): Unit = {
-      val (rg, mxg, myg, pg, lst) =
-        if (list == 0) (refGrid, mvxGrid, mvyGrid, pidGrid0, list0)
-        else (refGrid1, mvxGrid1, mvyGrid1, pidGrid1, list1)
+      val (rg, mxg, myg, pg, pocg, lst) =
+        if (list == 0)
+          (refGrid, mvxGrid, mvyGrid, pidGrid0, refPocGrid0, list0)
+        else (refGrid1, mvxGrid1, mvyGrid1, pidGrid1, refPocGrid1, list1)
       val code = if (refIdx < 0) MotionPred.Intra else refIdx
       val pid = pidOf(lst, refIdx)
+      val rpoc =
+        if (refIdx >= 0 && refIdx < lst.length) lst(refIdx).poc
+        else Motion.NoPoc
       var by = py / 4
       while (by < (py + h) / 4) {
         var bx = px / 4
@@ -416,6 +440,7 @@ object Decoder {
           mxg(by * bCols + bx) = mvx
           myg(by * bCols + bx) = mvy
           pg(by * bCols + bx) = pid
+          pocg(by * bCols + bx) = rpoc
           bx += 1
         }
         by += 1
@@ -666,7 +691,59 @@ object Decoder {
       (ref0, ref1, m0x, m0y, m1x, m1y)
     }
 
-    /** one direct 8x8 (q = z-index of the 8x8): colocated-zero
+    /** one TEMPORAL direct 8x8 (8.4.1.2.3): the colocated block's MV
+      * scaled by POC distances — mvL0 = (DistScaleFactor·mvCol+128)>>8
+      * with DistScaleFactor from tb/td (current/ref vs col/ref POC
+      * deltas); mvL1 = mvL0 − mvCol; refIdxL0 maps the colocated
+      * reference into the current list 0 by POC, refIdxL1 = 0. Fills
+      * both lists' grids and returns the Part. */
+    def temporalDirectPartFor(mbX: Int, mbY: Int, q: Int): Part = {
+      if (curPoc == Motion.NoPoc)
+        throw UnsupportedFeature("temporal direct without picture POC")
+      require(list1.nonEmpty, "B direct without list1")
+      val bx = mbX * 4
+      val by = mbY * 4
+      val ox = (q % 2) * 8
+      val oy = (q / 2) * 8
+      val colPic = list1(0)
+      val cm = colPic.motion
+      // direct_8x8_inference corner 4x4 of this 8x8
+      val ci = (by + (q / 2) * 3) * bCols + (bx + (q % 2) * 3)
+      val (colRefPoc, cvx, cvy) =
+        if (cm == null) (Motion.NoPoc, 0, 0)
+        else if (cm.ref0(ci) >= 0)
+          (cm.refPoc0(ci), cm.mvx0(ci), cm.mvy0(ci))
+        else if (cm.ref1(ci) >= 0)
+          (cm.refPoc1(ci), cm.mvx1(ci), cm.mvy1(ci))
+        else (Motion.NoPoc, 0, 0)
+      val (r0, m0x, m0y, m1x, m1y) =
+        if (colRefPoc == Motion.NoPoc) {
+          // colocated intra (or motion-less): mvCol = 0, refIdxL0 = 0
+          (0, 0, 0, 0, 0)
+        } else {
+          val idx0 = list0.indexWhere(_.poc == colRefPoc)
+          if (idx0 < 0) throw UnsupportedFeature(
+            "temporal direct: colocated reference not in list 0")
+          @inline def clip3(lo: Int, hi: Int, v: Int) =
+            if (v < lo) lo else if (v > hi) hi else v
+          val refPoc = list0(idx0).poc
+          val td = clip3(-128, 127, colPic.poc - refPoc)
+          if (td == 0) (idx0, cvx, cvy, 0, 0)
+          else {
+            val tb = clip3(-128, 127, curPoc - refPoc)
+            val tx = (16384 + math.abs(td / 2)) / td
+            val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+            val l0x = (dsf * cvx + 128) >> 8
+            val l0y = (dsf * cvy + 128) >> 8
+            (idx0, l0x, l0y, l0x - cvx, l0y - cvy)
+          }
+        }
+      fillMvList(0, mbX * 16 + ox, mbY * 16 + oy, 8, 8, r0, m0x, m0y)
+      fillMvList(1, mbX * 16 + ox, mbY * 16 + oy, 8, 8, 0, m1x, m1y)
+      Part(ox, oy, 8, 8, r0, m0x, m0y, 0, m1x, m1y)
+    }
+
+    /** one SPATIAL direct 8x8 (q = z-index of the 8x8): colocated-zero
       * refinement (direct_8x8_inference corner sampling) over the
       * MB-level derivation; fills both lists' grids and returns the
       * Part. directZeroPrediction (both refs < 0) pins refIdx 0 /
@@ -710,12 +787,16 @@ object Decoder {
       }
     }
 
-    /** B_Direct_16x16 / B_Skip: the four direct 8x8 Parts */
-    def directSpatialParts(mbX: Int, mbY: Int): Array[Part] = {
-      val (r0, r1, m0x, m0y, m1x, m1y) = directMbLevel(mbX, mbY)
-      Array.tabulate(4)(q =>
-        directPartFor(mbX, mbY, q, r0, r1, m0x, m0y, m1x, m1y))
-    }
+    /** B_Direct_16x16 / B_Skip: the four direct 8x8 Parts, spatial or
+      * temporal per the slice's direct_spatial_mv_pred_flag */
+    def directSpatialParts(mbX: Int, mbY: Int): Array[Part] =
+      if (!directSpatialCur)
+        Array.tabulate(4)(q => temporalDirectPartFor(mbX, mbY, q))
+      else {
+        val (r0, r1, m0x, m0y, m1x, m1y) = directMbLevel(mbX, mbY)
+        Array.tabulate(4)(q =>
+          directPartFor(mbX, mbY, q, r0, r1, m0x, m0y, m1x, m1y))
+      }
 
     /** parse one B-slice inter macroblock_layer (Table 7-14 mb_type
       * 0..21: direct, 16x16, and two-partition shapes; B_8x8 stays a
@@ -845,13 +926,17 @@ object Decoder {
         // (they are MV-prediction neighbors for coded sub-partitions)
         val needDirect = subT.exists(_ == 0)
         val (dr0, dr1, dm0x, dm0y, dm1x, dm1y) =
-          if (needDirect) directMbLevel(mbX, mbY) else (0, 0, 0, 0, 0, 0)
+          if (needDirect && directSpatialCur) directMbLevel(mbX, mbY)
+          else (0, 0, 0, 0, 0, 0)
         val directParts = new Array[Part](4)
         var q = 0
         while (q < 4) {
           if (subT(q) == 0)
-            directParts(q) = directPartFor(mbX, mbY, q, dr0, dr1,
-              dm0x, dm0y, dm1x, dm1y)
+            directParts(q) =
+              if (directSpatialCur)
+                directPartFor(mbX, mbY, q, dr0, dr1,
+                  dm0x, dm0y, dm1x, dm1y)
+              else temporalDirectPartFor(mbX, mbY, q)
           q += 1
         }
         // sub_mb_pred (7.3.5.2): ref_idx_l0 pass, ref_idx_l1 pass,
@@ -1034,8 +1119,7 @@ object Decoder {
         r.u(sps.log2MaxPocLsb)
         if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
       }
-      if (isB && r.u1() == 0) // direct_spatial_mv_pred_flag
-        throw UnsupportedFeature("temporal direct mode")
+      if (isB) directSpatialCur = r.u1() == 1 // direct_spatial_mv_pred_flag
       if (isB) {
         // B ref list sizing: both lists; initialized order is the
         // caller's list0/list1 (POC-distance, 8.2.4.2.3)
@@ -1166,7 +1250,7 @@ object Decoder {
 
     Yuv(sps.width, sps.height, mbW, mbH, y, cb, cr,
       motion = Motion(refGrid, mvxGrid, mvyGrid,
-        refGrid1, mvxGrid1, mvyGrid1))
+        refGrid1, mvxGrid1, mvyGrid1, refPocGrid0, refPocGrid1))
   }
 
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,

@@ -182,13 +182,14 @@ object Encoder {
     * picture between its references for the walk's list construction. */
   private[h264] def writeBSliceHeader(w: BitWriter, sps: Sps,
       frameNum: Int, pocLsb: Int, sliceQpDelta: Int, deblock: Boolean,
-      firstMb: Int = 0, numRefs0: Int = 1, numRefs1: Int = 1): Unit = {
+      firstMb: Int = 0, numRefs0: Int = 1, numRefs1: Int = 1,
+      spatialDirect: Boolean = true): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(6) // slice_type B (all slices)
     w.ue(0) // pps id
     w.u(sps.log2MaxFrameNum, frameNum % (1 << sps.log2MaxFrameNum))
     w.u(sps.log2MaxPocLsb, pocLsb % (1 << sps.log2MaxPocLsb))
-    w.u1(1) // direct_spatial_mv_pred_flag
+    w.u1(if (spatialDirect) 1 else 0) // direct_spatial_mv_pred_flag
     if (numRefs0 == 1 && numRefs1 == 1) {
       w.u1(0) // num_ref_idx_active_override
     } else {

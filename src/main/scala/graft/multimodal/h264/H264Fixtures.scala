@@ -337,9 +337,12 @@ object H264Fixtures {
     *    on the P).
     *  - t%4 == 1: B_L1_16x16 → copies the P's PCM value.
     *  - t%4 == 2: B_Bi_16x16 → the rounded average (ia+vb+1)>>1.
-    *  - t%4 == 3: B_Skip → spatial direct with no neighbors =
-    *    directZeroPrediction = bi average again, through the skip-run
-    *    and direct paths.
+    *  - t%4 == 3: B_Skip → direct mode through the skip-run path;
+    *    SPATIAL for even docs (no neighbors = directZeroPrediction)
+    *    and TEMPORAL for odd docs (the colocated PCM picture is
+    *    intra → mvCol 0, refIdxL0 = 0) — both land on the same bi
+    *    average, so one oracle pins both derivations AND the walk's
+    *    POC hand-off that temporal direct requires.
     *
     * All chroma is 128 (bi average of 128s = 128), so BT.601 is the
     * identity and channel sums are 256·yv closed-form. */
@@ -366,8 +369,10 @@ object H264Fixtures {
           Encoder.avccSampleP(w)
         case _ => // decode-order B (displayed between IDR and P)
           val w = new BitWriter
+          // odd docs run their skip triads through TEMPORAL direct
           Encoder.writeBSliceHeader(w, sps, frameNum = 2, pocLsb = 2,
-            sliceQpDelta = 0, deblock = true)
+            sliceQpDelta = 0, deblock = true,
+            spatialDirect = !(t % 4 == 3 && docId % 2 == 1))
           (t % 4) match {
             case 0 =>
               w.ue(0) // mb_skip_run

@@ -275,7 +275,8 @@ object FrameSource {
             if (info.isB) {
               val past = dpb.filter(_.poc < poc).sortBy(-_.poc)
               val future = dpb.filter(_.poc > poc).sortBy(_.poc)
-              Decoder.decode(sample, cfg, past ++ future, future ++ past)
+              Decoder.decode(sample, cfg, past ++ future, future ++ past,
+                poc)
             } else Decoder.decode(sample, cfg, dpb)
           val d = d0.copy(poc = poc)
           if (j == index) out = d

@@ -217,20 +217,51 @@ class H264BSpec extends AnyFunSuite {
       out.motion.ref0(2 * 4 + 2) < 0)
   }
 
-  test("temporal direct and explicit bipred weights stay typed signals") {
+  test("temporal direct scales the colocated MV by POC distances") {
     val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
-    val a = uniformRef(80)
-    val b = uniformRef(120)
-    val w = new BitWriter
-    // hand-rolled header with direct_spatial_mv_pred_flag = 0
-    w.ue(0); w.ue(6) // first_mb, slice_type B
-    w.ue(0) // pps id
-    w.u(sps.log2MaxFrameNum, 2)
-    w.u(sps.log2MaxPocLsb, 2)
-    w.u1(0) // TEMPORAL direct
+    val qp = 26
+    val ref0 = uniformRef(90, poc = 0)
+    // colocated picture: P at poc 8 whose MB carries mv (16, 8) -> its
+    // Motion stores refPoc 0 for the walk-independent POC mapping
+    val pw = new BitWriter
+    Encoder.writePSliceHeader(pw, sps, 1, 0, deblock = false,
+      pocLsbOverride = 8)
+    pw.ue(0); pw.ue(0) // skip run, P_L0_16x16
+    pw.se(16); pw.se(8)
+    pw.ue(Decoder.codeNumFromCbpInter(0))
+    val colPic = Decoder.decode(Encoder.avccSampleP(pw), cfg(qp, sps),
+      Vector(ref0)).copy(poc = 8)
+    assert(colPic.motion.refPoc0(0) == 0)
+    // B at poc 4, temporal direct B_Skip: td = 8, tb = 4 -> the MV
+    // splits at the midpoint: mvL0 = (8, 4), mvL1 = mvL0 - mvCol =
+    // (-8, -4) (8.4.1.2.3 integer chain: tx = 2048, dsf = 128)
+    val bw = new BitWriter
+    Encoder.writeBSliceHeader(bw, sps, 2, 4, 0, deblock = false,
+      spatialDirect = false)
+    bw.ue(1) // mb_skip_run over the single MB
+    val sTd = Encoder.avccSampleB(bw)
+    val out = Decoder.decode(sTd, cfg(qp, sps),
+      Vector(ref0), Vector(colPic), 4)
+    assert(out.motion.ref0(0) == 0 && out.motion.ref1(0) == 0)
+    assert(out.motion.mvx0(0) == 8 && out.motion.mvy0(0) == 4)
+    assert(out.motion.mvx1(0) == -8 && out.motion.mvy1(0) == -4)
+    // colocated INTRA -> mvCol treated as 0, refIdxL0 = 0, zero MVs
+    val iPic = {
+      val iw = new BitWriter
+      Encoder.writeSliceHeader(iw, sps, 0, 0, deblock = false)
+      iw.ue(3) // I_16x16 DC, cbp 0
+      iw.ue(0); iw.se(0)
+      val dc = new Array[Int](16); dc(0) = 2
+      Cavlc.writeBlock(iw, 0, 16, dc)
+      Decoder.decode(Encoder.avccSample(iw), cfg(qp, sps)).copy(poc = 8)
+    }
+    val out2 = Decoder.decode(sTd, cfg(qp, sps),
+      Vector(ref0), Vector(iPic), 4)
+    assert(out2.motion.mvx0(0) == 0 && out2.motion.mvy0(0) == 0)
+    assert(out2.motion.mvx1(0) == 0 && out2.motion.mvy1(0) == 0)
+    // without a POC (sentinel), temporal direct stays a typed signal
     val ex = intercept[UnsupportedFeature] {
-      Decoder.decode(Encoder.avccSampleB(w), cfg(26, sps),
-        Vector(a, b), Vector(b, a))
+      Decoder.decode(sTd, cfg(qp, sps), Vector(ref0), Vector(colPic))
     }
     assert(ex.feature.contains("temporal direct"))
   }

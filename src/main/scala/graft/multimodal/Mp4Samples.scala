@@ -89,12 +89,109 @@ object Mp4Samples {
     var sttsRuns: Array[(Long, Long)] = null // (sampleCount, delta)
     var cttsRuns: Array[(Long, Long)] = null // (sampleCount, offset)
 
+    // fragmented-movie (moof/traf/trun) accumulators: streaming-origin
+    // corpora carry fMP4, whose moov holds an EMPTY stbl and every
+    // sample lives in movie fragments
+    val fragSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val fragOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fragSync = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val fragCts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fragAnyCtsOffset = false
+    var fragDt = 0L // decode time accumulated over fragments
+    var trexDuration = 0L
+    var trexSize = 0L
+    var trexFlags = 0L
+
     def be(pos: Int, end: Int): ByteBuffer =
       ByteBuffer.wrap(bytes, pos, end - pos).order(ByteOrder.BIG_ENDIAN)
 
+    /** one traf: tfhd defaults then trun sample runs (common layout:
+      * default-base-is-moof or explicit base-data-offset) */
+    def walkTraf(start: Int, end: Int, moofStart: Long): Unit = {
+      var base = moofStart
+      var defDur = trexDuration
+      var defSize = trexSize
+      var defFlags = trexFlags
+      var pos = start
+      while (pos + 8 <= end) {
+        val buf = be(pos, end)
+        var size = (buf.getInt().toLong) & 0xffffffffL
+        val nm = new Array[Byte](4)
+        buf.get(nm)
+        val name = new String(nm, "US-ASCII")
+        var header = 8
+        if (size == 1 && buf.remaining() >= 8) {
+          size = buf.getLong(); header = 16
+        } else if (size == 0) size = (end - pos).toLong
+        if (size < header) return
+        val boxEnd = math.min(end.toLong, pos + size).toInt
+        name match {
+          case "tfhd" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            val flags = b.getInt() & 0xffffff
+            b.getInt() // track id
+            if ((flags & 0x1) != 0 && b.remaining() >= 8)
+              base = b.getLong() // base-data-offset
+            if ((flags & 0x2) != 0 && b.remaining() >= 4) b.getInt()
+            if ((flags & 0x8) != 0 && b.remaining() >= 4)
+              defDur = (b.getInt().toLong) & 0xffffffffL
+            if ((flags & 0x10) != 0 && b.remaining() >= 4)
+              defSize = (b.getInt().toLong) & 0xffffffffL
+            if ((flags & 0x20) != 0 && b.remaining() >= 4)
+              defFlags = (b.getInt().toLong) & 0xffffffffL
+            // 0x20000 default-base-is-moof: base stays moofStart
+          case "trun" if boxEnd - pos >= header + 8 =>
+            val b = be(pos + header, boxEnd)
+            val vf = b.getInt()
+            val version = (vf >>> 24) & 0xff
+            val flags = vf & 0xffffff
+            val n = b.getInt()
+            var dataOff = 0L
+            if ((flags & 0x1) != 0 && b.remaining() >= 4)
+              dataOff = b.getInt().toLong
+            var firstFlags = -1L
+            if ((flags & 0x4) != 0 && b.remaining() >= 4)
+              firstFlags = (b.getInt().toLong) & 0xffffffffL
+            var off = base + dataOff
+            var i = 0
+            while (i < n && b.remaining() >= 0) {
+              val dur =
+                if ((flags & 0x100) != 0 && b.remaining() >= 4)
+                  (b.getInt().toLong) & 0xffffffffL
+                else defDur
+              val sz =
+                if ((flags & 0x200) != 0 && b.remaining() >= 4)
+                  (b.getInt().toLong) & 0xffffffffL
+                else defSize
+              val sfl =
+                if ((flags & 0x400) != 0 && b.remaining() >= 4)
+                  (b.getInt().toLong) & 0xffffffffL
+                else if (i == 0 && firstFlags >= 0) firstFlags
+                else defFlags
+              val ctsOff =
+                if ((flags & 0x800) != 0 && b.remaining() >= 4) {
+                  val raw = b.getInt()
+                  if (version >= 1) raw.toLong else raw.toLong & 0xffffffffL
+                } else 0L
+              fragSizes += sz.toInt
+              fragOffsets += off
+              // sample_is_non_sync_sample is bit 16 of sample_flags
+              fragSync += ((sfl & 0x10000L) == 0L)
+              fragCts += fragDt + ctsOff
+              if (ctsOff != 0) fragAnyCtsOffset = true
+              off += sz
+              fragDt += dur
+              i += 1
+            }
+          case _ => ()
+        }
+        pos = boxEnd
+      }
+    }
+
     def finishTrak(): Unit =
-      if (found.isEmpty && sizes != null && chunkOffsets != null &&
-        stsc != null && codec.nonEmpty) {
+      if (found.isEmpty && sizes != null && sizes.length > 0 &&
+        chunkOffsets != null && stsc != null && codec.nonEmpty) {
         val offsets = new Array[Long](sizes.length)
         var sampleIdx = 0
         var chunk = 0
@@ -166,8 +263,37 @@ object Mp4Samples {
         if (size < header) return
         val boxEnd = math.min(end.toLong, pos + size).toInt
         name match {
-          case "moov" | "mdia" | "minf" | "stbl" =>
+          case "moov" | "mdia" | "minf" | "stbl" | "mvex" =>
             walk(pos + header, boxEnd)
+          case "trex" if boxEnd - pos >= header + 24 =>
+            val b = be(pos + header, boxEnd)
+            b.getInt() // version+flags
+            b.getInt() // track id
+            b.getInt() // default sample description index
+            trexDuration = (b.getInt().toLong) & 0xffffffffL
+            trexSize = (b.getInt().toLong) & 0xffffffffL
+            trexFlags = (b.getInt().toLong) & 0xffffffffL
+          case "moof" =>
+            // fragments: one level down are mfhd + traf boxes; sample
+            // offsets default-base to THIS moof box's first byte
+            var fpos = pos + header
+            while (fpos + 8 <= boxEnd) {
+              val fb = be(fpos, boxEnd)
+              var fsize = (fb.getInt().toLong) & 0xffffffffL
+              val fn = new Array[Byte](4)
+              fb.get(fn)
+              var fheader = 8
+              if (fsize == 1 && fb.remaining() >= 8) {
+                fsize = fb.getLong(); fheader = 16
+              } else if (fsize == 0) fsize = (boxEnd - fpos).toLong
+              if (fsize < fheader) { fpos = boxEnd }
+              else {
+                val fEnd = math.min(boxEnd.toLong, fpos + fsize).toInt
+                if (new String(fn, "US-ASCII") == "traf")
+                  walkTraf(fpos + fheader, fEnd, pos.toLong)
+                fpos = fEnd
+              }
+            }
           case "trak" =>
             codec = ""; timescale = 0L; duration = 0L
             sizes = null; chunkOffsets = null; stsc = null
@@ -292,6 +418,22 @@ object Mp4Samples {
     }
 
     walk(0, bytes.length)
+    if (found.isEmpty && fragSizes.nonEmpty && codec.nonEmpty) {
+      // fragmented movie: moov carried codec/timescale/avcc with an
+      // empty stbl; samples accumulated from the moof/trun walk.
+      // Duration for fps comes from the summed sample durations (the
+      // fragmented mvhd/mdhd durations are commonly 0).
+      val dur = if (duration > 0) duration else fragDt
+      val sync1 = fragSync.zipWithIndex.collect {
+        case (true, i) => i + 1
+      }.toArray
+      // all-sync collapses to "empty = all sync" (the Track contract)
+      val syncArr =
+        if (sync1.length == fragSizes.length) Array.empty[Int] else sync1
+      found = Some(Track(codec, timescale, dur, fragSizes.toArray,
+        fragOffsets.toArray, syncArr, avcc,
+        if (fragAnyCtsOffset) fragCts.toArray else Array.emptyLongArray))
+    }
     found
   }
 
@@ -481,5 +623,215 @@ object Mp4Samples {
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Build a FRAGMENTED MP4 (fMP4, the streaming-origin layout): ftyp
+    * + moov with an EMPTY stbl + mvex/trex defaults, then one
+    * moof+mdat pair per `samplesPerFragment` samples. Sample geometry
+    * lives entirely in trun runs (default-base-is-moof, explicit data
+    * offset, per-sample sizes/flags, optional signed composition
+    * offsets); sync samples carry clear sample_is_non_sync_sample
+    * bits. Same frame bytes as [[encodeFrames]] — a parse-then-slice
+    * round trip must be byte-identical between the two layouts. */
+  def encodeFramesFragmented(
+      frames: Seq[Array[Byte]],
+      codec: String,
+      fps: Int,
+      width: Int,
+      height: Int,
+      syncEvery: Int = 1,
+      sampleEntryExtension: Array[Byte] = Array.emptyByteArray,
+      compositionOffsets: Seq[Long] = Nil,
+      samplesPerFragment: Int = 4): Array[Byte] = {
+    require(codec.length == 4, s"fourcc must be 4 chars: '$codec'")
+    require(frames.nonEmpty && fps > 0 && samplesPerFragment >= 1)
+    require(compositionOffsets.isEmpty ||
+      compositionOffsets.length == frames.length,
+      "one composition offset per sample")
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length)
+      b.put(name.getBytes("US-ASCII"))
+      b.put(payload)
+      b.array()
+    }
+    def full(name: String, body: ByteBuffer): Array[Byte] = {
+      val payload = new Array[Byte](body.position())
+      body.rewind(); body.get(payload)
+      box(name, payload)
+    }
+    val n = frames.length
+    val timescale = fps * 1000
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1) ++
+        "isom".getBytes("US-ASCII") ++ "iso6".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.putInt(timescale)
+      b.putInt(0) // fragmented: duration unknown in moov
+      b.putInt(0x00010000)
+      b.put(new Array[Byte](100 - b.position()))
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(7)
+      b.putInt(0); b.putInt(0)
+      b.putInt(1)
+      b.putInt(0)
+      b.putInt(0)
+      b.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36))
+      b.putInt(width << 16)
+      b.putInt(height << 16)
+      box("tkhd", b.array())
+    }
+    val mdhd = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.putInt(timescale)
+      b.putInt(0)
+      b.putShort(0x55c4.toShort)
+      b.putShort(0)
+      full("mdhd", b)
+    }
+    val hdlr = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(0)
+      b.put("vide".getBytes("US-ASCII"))
+      b.put(new Array[Byte](12))
+      b.put(0.toByte)
+      full("hdlr", b)
+    }
+    val stsd = {
+      val entrySize = 86 + sampleEntryExtension.length
+      val entry = ByteBuffer.allocate(entrySize).order(ByteOrder.BIG_ENDIAN)
+      entry.putInt(entrySize)
+      entry.put(codec.getBytes("US-ASCII"))
+      entry.put(new Array[Byte](6))
+      entry.putShort(1)
+      entry.put(new Array[Byte](16))
+      entry.putShort(width.toShort)
+      entry.putShort(height.toShort)
+      entry.putInt(0x00480000); entry.putInt(0x00480000)
+      entry.putInt(0)
+      entry.putShort(1)
+      entry.put(new Array[Byte](32))
+      entry.putShort(24)
+      entry.putShort(-1)
+      entry.put(sampleEntryExtension)
+      val b = ByteBuffer.allocate(8 + entrySize).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1)
+      b.put(entry.array())
+      full("stsd", b)
+    }
+    def emptyFull(name: String, extra: Int = 0): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + extra).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0) // version+flags
+      b.putInt(0) // entry count
+      if (extra > 0) b.put(new Array[Byte](extra - 0))
+      full(name, b)
+    }
+    // stsz has sample_size + count fields
+    val stszEmpty = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0); b.putInt(0); b.putInt(0)
+      full("stsz", b)
+    }
+    val stbl = box("stbl", stsd ++ emptyFull("stts") ++
+      emptyFull("stsc") ++ stszEmpty ++ emptyFull("stco"))
+    val vmhd = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(1)
+      b.put(new Array[Byte](8))
+      full("vmhd", b)
+    }
+    val dinf = box("dinf", box("dref", {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1)
+      b.putInt(12)
+      b.put("url ".getBytes("US-ASCII"))
+      b.putInt(1)
+      b.array()
+    }))
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val trex = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)
+      b.putInt(1) // track id
+      b.putInt(1) // default sample description index
+      b.putInt(1000) // default sample duration
+      b.putInt(0) // default sample size
+      b.putInt(0x10000) // default flags: non-sync
+      full("trex", b)
+    }
+    val mvex = box("mvex", trex)
+    val moov = box("moov", mvhd ++ trak ++ mvex)
+
+    val hasCts = compositionOffsets.nonEmpty
+    val ctsV: Byte =
+      if (hasCts && compositionOffsets.exists(_ < 0)) 1 else 0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    out.write(moov, 0, moov.length)
+    var seq = 1
+    var s0 = 0
+    while (s0 < n) {
+      val cnt = math.min(samplesPerFragment, n - s0)
+      val group = (s0 until s0 + cnt).map(frames)
+      val mfhd = {
+        val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0)
+        b.putInt(seq)
+        full("mfhd", b)
+      }
+      val tfhd = {
+        val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0x020000) // version 0, default-base-is-moof
+        b.putInt(1) // track id
+        full("tfhd", b)
+      }
+      // trun flags: data-offset | sample-size | sample-flags
+      // (+ composition offsets when requested)
+      val trunFlags = 0x1 | 0x200 | 0x400 | (if (hasCts) 0x800 else 0)
+      val trunSize = 8 + 4 + 4 +
+        cnt * (4 + 4 + (if (hasCts) 4 else 0))
+      val trun = {
+        val b = ByteBuffer.allocate(trunSize).order(ByteOrder.BIG_ENDIAN)
+        b.putInt((ctsV.toInt << 24) | trunFlags)
+        b.putInt(cnt)
+        b.putInt(0) // data offset patched below (after moof size known)
+        (0 until cnt).foreach { i =>
+          b.putInt(group(i).length)
+          val sampleIdx = s0 + i
+          val nonSync = (sampleIdx % syncEvery) != 0
+          b.putInt(if (nonSync) 0x10000 else 0)
+          if (hasCts) b.putInt(compositionOffsets(sampleIdx).toInt)
+        }
+        full("trun", b)
+      }
+      val traf = box("traf", tfhd ++ trun)
+      val moof = box("moof", mfhd ++ traf)
+      // patch trun data_offset: moof start -> first mdat payload byte
+      val dataOffset = moof.length + 8
+      val trunOffInMoof = 8 + mfhd.length + 8 + tfhd.length + 8 + 8
+      val patched = moof.clone()
+      val bb = ByteBuffer.wrap(patched).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(trunOffInMoof, dataOffset)
+      out.write(patched, 0, patched.length)
+      val mdat = box("mdat", group.toArray.flatten)
+      out.write(mdat, 0, mdat.length)
+      seq += 1
+      s0 += cnt
+    }
+    out.toByteArray
   }
 }

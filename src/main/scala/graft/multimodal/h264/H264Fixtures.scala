@@ -140,6 +140,24 @@ object H264Fixtures {
       sampleEntryExtension = Encoder.avccBox(sps, pps))
   }
 
+  /** [[videoGop]] re-containered as FRAGMENTED MP4 (moof/trun, 4
+    * samples per fragment, trun-carried sync flags) — identical
+    * samples and GOP cadence, so the mm16 closed form applies
+    * verbatim; what changes is the CONTAINER walk (empty stbl, trex
+    * defaults, default-base-is-moof offsets). The mm21 gate pins it. */
+  def videoGopFragmented(docId: Long, n: Int): Array[Byte] = {
+    val plain = videoGop(docId, n)
+    val t = Mp4Samples.parse(plain).get
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16)
+    val pps = Encoder.ppsFor(qp)
+    Mp4Samples.encodeFramesFragmented(
+      (0 until n).map(t.sample(plain, _)), codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 4,
+      sampleEntryExtension = Encoder.avccBox(sps, pps),
+      samplesPerFragment = 4)
+  }
+
   private def deltaLevel(d: Long): Int = 1 + (d % 2).toInt
 
   private def pDeltaFrame(d: Long, f: Int, qp: Int, sps: Sps): Array[Byte] = {

@@ -904,7 +904,47 @@ object MediaQueries extends QueryRegistry {
       |  sum(256 * yv)::BIGINT AS b_sum
       |FROM vals GROUP BY pos ORDER BY triad_pos""".stripMargin
 
+  /** mm21: FRAGMENTED-MP4 decode gate. Streaming-origin corpora carry
+    * fMP4 (empty stbl; samples live in moof/trun runs with
+    * default-base-is-moof offsets, trex defaults, and trun-carried
+    * sync flags). Each doc re-containers its mm16 GOP fixture
+    * fragmented and decodes every frame through Mp4Frames — the
+    * closed form is mm16's verbatim, so any container-walk slip
+    * (offset base, fragment boundary, sync-flag bit) shifts a sum. */
+  private def avcFmp4Decode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (9 + id % 4).toInt
+      val bytes =
+        graft.multimodal.h264.H264Fixtures.videoGopFragmented(id, n)
+      val src = graft.pack.FrameSource.Mp4Frames
+      (0 until n).map { f =>
+        val img = Codecs.decodeImage(src.frame(bytes, f))
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.data.length) {
+          rs += img.data(i) & 0xff
+          gs += img.data(i + 1) & 0xff
+          bs += img.data(i + 2) & 0xff
+          i += 3
+        }
+        (f % 4, rs, gs, bs)
+      }
+    }
+    Tables(s, dir).documents
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
+        col("st._3").as("gs"), col("st._4").as("bs"))
+      .groupBy(col("gop_pos"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("gop_pos"))
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
+      Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,
       Some(avcBFrameDecodeSql), bench = true),
     "mm19_avc_weighted" -> QueryDef(avcWeightedDecode,

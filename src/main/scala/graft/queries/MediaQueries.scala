@@ -942,7 +942,65 @@ object MediaQueries extends QueryRegistry {
       .orderBy(col("gop_pos"))
   }
 
+  /** mm22: FLAC decode gate — the lossless compressed-audio format
+    * real corpora carry next to WAV (the reference decodes via
+    * ffmpeg; [[graft.multimodal.FlacCodec]] is the pure-JVM path).
+    * Each doc synthesizes a deterministic stereo waveform, encodes it
+    * MID/SIDE (the fullest decode path: decorrelation + fixed
+    * prediction + Rice partitions), decodes, and reports per-channel
+    * sums. FLAC is LOSSLESS, so the oracle replays the waveform
+    * formula directly — one wrong sample anywhere in bit I/O,
+    * prediction, Rice, or stereo reconstruction shifts a sum. */
+  private def flacDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = 2000 + (id % 50).toInt * 20
+      val samples = new Array[Int](n * 2)
+      var t = 0
+      while (t < n) {
+        samples(2 * t) =
+          (((id * 13 + t * (7 + id % 5)) % 3001) - 1500).toInt
+        samples(2 * t + 1) =
+          (((id * 29 + t * (11 + id % 3)) % 2501) - 1250).toInt
+        t += 1
+      }
+      val enc = graft.multimodal.FlacCodec.encode(
+        graft.multimodal.FlacCodec.Flac(16000, 2, 16, samples),
+        blockSize = 512, mode = graft.multimodal.FlacCodec.MidSide)
+      val dec = graft.multimodal.FlacCodec.decode(enc)
+      var ls = 0L; var rs = 0L
+      var i = 0
+      while (i < dec.samples.length) {
+        ls += dec.samples(i)
+        rs += dec.samples(i + 1)
+        i += 2
+      }
+      (dec.frames, ls, rs, enc.length.toLong)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("n_frames"),
+        col("st._2").as("l_sum"), col("st._3").as("r_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  private val flacDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (2000 + (doc_id % 50) * 20)::INT AS n
+      |  FROM documents),
+      |t AS (
+      |  SELECT d, n, unnest(generate_series(0, n - 1)) AS i FROM g),
+      |v AS (
+      |  SELECT d, n,
+      |    ((d * 13 + i * (7 + d % 5)) % 3001 - 1500)::BIGINT AS l,
+      |    ((d * 29 + i * (11 + d % 3)) % 2501 - 1250)::BIGINT AS r
+      |  FROM t)
+      |SELECT d AS media_id, n AS n_frames,
+      |  sum(l)::BIGINT AS l_sum, sum(r)::BIGINT AS r_sum
+      |FROM v GROUP BY d, n ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm22_flac_decode" -> QueryDef(flacDecode, Some(flacDecodeSql),
+      bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

@@ -98,16 +98,35 @@ object MediaColumns {
       rms: Double,
       peak: Int)
 
-  /** Audio feature extraction over a WAV/PCM binary column — real
-    * decode via [[WavCodec]] (pure JVM). Narrow mapPartitions, audio
-    * bytes never shuffle. Compressed codecs stay at the ffmpeg seam. */
+  /** sniffing audio decode: RIFF/WAVE via [[WavCodec]], fLaC via
+    * [[FlacCodec]] (normalized to 16-bit PCM by bit-shift — exact for
+    * 16-bit sources, standard scaling otherwise). Every audio
+    * operator below is therefore container-agnostic; remaining
+    * compressed codecs (mp3/aac — Huffman value tables) stay at the
+    * ffmpeg seam. */
+  private[graft] def decodeAudio(bytes: Array[Byte]): WavCodec.Wav =
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C') {
+      val f = FlacCodec.decode(bytes)
+      val shift = f.bitsPerSample - 16
+      WavCodec.Wav(f.sampleRate, f.channels, f.samples.map { v =>
+        val x = if (shift >= 0) v >> shift else v << -shift
+        math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, x))
+          .toShort
+      })
+    } else WavCodec.decode(bytes)
+
+  /** Audio feature extraction over a WAV/PCM OR FLAC binary column —
+    * real decode via [[WavCodec]]/[[FlacCodec]] (pure JVM). Narrow
+    * mapPartitions, audio bytes never shuffle. Compressed codecs
+    * (mp3/aac) stay at the ffmpeg seam. */
   def audioFeatures(df: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[AudioFeatures]
     df.select(col("media_id"), col("content"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val w = WavCodec.decode(bytes)
+          val w = decodeAudio(bytes)
           AudioFeatures(id, w.frames, w.channels, w.sampleRate,
             w.durationSec, WavCodec.rms(w), WavCodec.peak(w))
         }
@@ -238,7 +257,7 @@ object MediaColumns {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val w = WavCodec.decode(bytes)
+          val w = decodeAudio(bytes)
           val step = w.channels
           val n = w.frames
           var silent = 0
@@ -284,7 +303,7 @@ object MediaColumns {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val w = WavCodec.decode(bytes)
+          val w = decodeAudio(bytes)
           val step = w.channels
           val n = w.frames
           var r0 = 0L

@@ -150,6 +150,24 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(dec.samples.toSeq == coded.map(_ * 2))
   }
 
+  test("MediaColumns audio ops sniff FLAC and match the WAV path") {
+    // identical samples as WAV and as FLAC must produce identical
+    // features through the container-agnostic decodeAudio dispatch
+    val f = wave(2500, 2, seed = 12)
+    val asWav = WavCodec.encode(WavCodec.Wav(16000, 2,
+      f.samples.map(_.toShort)))
+    val asFlac = FlacCodec.encode(f, 512, FlacCodec.LeftSide)
+    val w1 = MediaColumns.decodeAudio(asWav)
+    val w2 = MediaColumns.decodeAudio(asFlac)
+    assert(w1.sampleRate == w2.sampleRate && w1.channels == w2.channels)
+    assert(w1.samples.toSeq == w2.samples.toSeq)
+    // 24-bit FLAC normalizes to 16-bit by arithmetic shift
+    val f24 = FlacCodec.Flac(8000, 1, 24, Array(1 << 20, -(1 << 20), 256))
+    val w24 = MediaColumns.decodeAudio(FlacCodec.encode(f24, 16))
+    assert(w24.samples.toSeq == Seq((1 << 12).toShort,
+      (-(1 << 12)).toShort, 1.toShort))
+  }
+
   test("corrupt streams reject typed, never crash (seeded fuzz)") {
     val base = FlacCodec.encode(wave(2000, 2, seed = 21), 512,
       FlacCodec.MidSide)

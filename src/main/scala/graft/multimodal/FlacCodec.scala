@@ -46,27 +46,49 @@ object FlacCodec {
       b
     }
     def u(n: Int): Int = {
+      // chunked: consume up to a byte's remaining bits per step
       var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | u1(); i += 1 }
+      var left = n
+      while (left > 0) {
+        require(bytePos < data.length, "FLAC bitstream truncated")
+        val avail = 8 - bitPos
+        val take = if (left < avail) left else avail
+        val bits = ((data(bytePos) & 0xff) >> (avail - take)) &
+          ((1 << take) - 1)
+        v = (v << take) | bits
+        bitPos += take
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        left -= take
+      }
       v
     }
-    def uLong(n: Int): Long = {
-      var v = 0L
-      var i = 0
-      while (i < n) { v = (v << 1) | u1(); i += 1 }
-      v
-    }
+    def uLong(n: Int): Long =
+      if (n <= 32) u(n).toLong & ((1L << n) - 1)
+      else ((u(n - 32).toLong & 0xffffffffL) << 32) |
+        (u(32).toLong & 0xffffffffL)
     /** signed two's-complement n-bit */
     def s(n: Int): Int = {
       val v = u(n)
       if (n > 0 && (v & (1 << (n - 1))) != 0) v - (1 << n) else v
     }
     def unary(): Int = {
+      // byte-at-a-time: count leading zeros of the remaining bits
       var q = 0
-      while (u1() == 0) {
-        q += 1
+      while (true) {
+        require(bytePos < data.length, "FLAC bitstream truncated")
         require(q <= (1 << 20), "unary run too long (corrupt stream)")
+        val rem = ((data(bytePos) & 0xff) << bitPos) & 0xff
+        if (rem == 0) {
+          q += 8 - bitPos
+          bitPos = 0
+          bytePos += 1
+        } else {
+          val lead = Integer.numberOfLeadingZeros(rem) - 24
+          q += lead
+          bitPos += lead + 1
+          if (bitPos >= 8) { bitPos -= 8; bytePos += 1 }
+          return q
+        }
       }
       q
     }
@@ -84,8 +106,23 @@ object FlacCodec {
       if (n == 8) { out.write(cur); cur = 0; n = 0 }
     }
     def u(bits: Int, v: Int): Unit = {
-      var i = bits - 1
-      while (i >= 0) { u1((v >> i) & 1); i -= 1 }
+      // chunked: fill the current byte's remaining space per step
+      var left = bits
+      while (left > 0) {
+        val space = 8 - n
+        val take = if (left < space) left else space
+        val chunk = (v >> (left - take)) & ((1 << take) - 1)
+        cur = (cur << take) | chunk
+        n += take
+        left -= take
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+      }
+    }
+    /** `bits` zero bits (Rice quotients) */
+    def zeros(bits: Int): Unit = {
+      var left = bits
+      while (left >= 8) { u(8, 0); left -= 8 }
+      if (left > 0) u(left, 0)
     }
     def uLong(bits: Int, v: Long): Unit = {
       var i = bits - 1
@@ -517,21 +554,15 @@ object FlacCodec {
       res(i - order) = (x(i).toLong - pred).toInt
       i += 1
     }
-    // zigzag + best single Rice parameter
+    // zigzag + the single-pass Rice parameter estimator: the optimal
+    // param is ~log2(mean) — p grows while 2^(p+1) < mean
     val zz = res.map(v => (v << 1) ^ (v >> 31))
+    var sum = 0L
+    i = 0
+    while (i < zz.length) { sum += zz(i) & 0xffffffffL; i += 1 }
     var best = 0
-    var bestBits = Long.MaxValue
-    var p = 0
-    while (p <= 14) {
-      var bits = 0L
-      var k = 0
-      while (k < zz.length) {
-        bits += ((zz(k) & 0xffffffffL) >>> p) + 1 + p
-        k += 1
-      }
-      if (bits < bestBits) { bestBits = bits; best = p }
-      p += 1
-    }
+    while (best < 14 &&
+      (zz.length.toLong << (best + 1)) < sum) best += 1
     w.u(2, 0) // 4-bit Rice params
     w.u(4, 0) // partition order 0
     w.u(4, best)
@@ -540,8 +571,7 @@ object FlacCodec {
       val v = zz(i) & 0xffffffffL
       val q = (v >>> best).toInt
       require(q < (1 << 16), "rice quotient blowup (pick larger param)")
-      var k = 0
-      while (k < q) { w.u1(0); k += 1 }
+      w.zeros(q)
       w.u1(1)
       if (best > 0) w.uLong(best, v & ((1L << best) - 1))
       i += 1

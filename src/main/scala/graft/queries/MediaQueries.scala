@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * fan-out `pack/samplers.py:102-157`, caption-clip pairing
   * `pack/pack.py` (video_text_pair / video_sft).
   */
+/** mm22 output row (top-level for the TypeTag-based product encoder) */
+final case class FlacRow(media_id: Long, n_frames: Int,
+  l_sum: Long, r_sum: Long)
+
 object MediaQueries extends QueryRegistry {
 
   /** mm08: scene-cut detection. Frames are 2×2 RGB PNGs whose pixels
@@ -412,6 +416,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("kind"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -539,6 +548,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -626,6 +640,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("frame_parity"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -701,6 +720,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -770,6 +794,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("frame_parity"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -856,6 +885,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("triad_pos"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -931,6 +965,11 @@ object MediaQueries extends QueryRegistry {
       }
     }
     Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
       .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
         col("st._3").as("gs"), col("st._4").as("bs"))
@@ -952,34 +991,46 @@ object MediaQueries extends QueryRegistry {
     * formula directly — one wrong sample anywhere in bit I/O,
     * prediction, Rice, or stereo reconstruction shifts a sum. */
   private def flacDecode(s: SparkSession, dir: String): DataFrame = {
-    val stats = udf { (id: Long) =>
-      val n = 2000 + (id % 50).toInt * 20
-      val samples = new Array[Int](n * 2)
-      var t = 0
-      while (t < n) {
-        samples(2 * t) =
-          (((id * 13 + t * (7 + id % 5)) % 3001) - 1500).toInt
-        samples(2 * t + 1) =
-          (((id * 29 + t * (11 + id % 3)) % 2501) - 1250).toInt
-        t += 1
-      }
-      val enc = graft.multimodal.FlacCodec.encode(
-        graft.multimodal.FlacCodec.Flac(16000, 2, 16, samples),
-        blockSize = 512, mode = graft.multimodal.FlacCodec.MidSide)
-      val dec = graft.multimodal.FlacCodec.decode(enc)
-      var ls = 0L; var rs = 0L
-      var i = 0
-      while (i < dec.samples.length) {
-        ls += dec.samples(i)
-        rs += dec.samples(i + 1)
-        i += 2
-      }
-      (dec.frames, ls, rs, enc.length.toLong)
-    }
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[FlacRow] = Encoders.product[FlacRow]
+    // typed mapPartitions: the codec runs exactly ONCE per row (a udf
+    // projected into several fields can be re-evaluated per field).
+    // The repartition carries an EXPLICIT partition count: the shuffle
+    // data is a few KB of ids, so AQE's coalescer would otherwise
+    // merge it to ONE partition and serialize the compute-bound
+    // encode/decode stage (measured 10.6 s -> 0.9 s at sf0.1). The
+    // compute-per-byte-of-shuffle asymmetry is the general trap for
+    // decode stages at 100 TB too.
     Tables(s, dir).documents
-      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
-      .select(col("media_id"), col("st._1").as("n_frames"),
-        col("st._2").as("l_sum"), col("st._3").as("r_sum"))
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 2000 + (id % 50).toInt * 20
+          val samples = new Array[Int](n * 2)
+          var t = 0
+          while (t < n) {
+            samples(2 * t) =
+              (((id * 13 + t * (7 + id % 5)) % 3001) - 1500).toInt
+            samples(2 * t + 1) =
+              (((id * 29 + t * (11 + id % 3)) % 2501) - 1250).toInt
+            t += 1
+          }
+          val bytes = graft.multimodal.FlacCodec.encode(
+            graft.multimodal.FlacCodec.Flac(16000, 2, 16, samples),
+            blockSize = 512, mode = graft.multimodal.FlacCodec.MidSide)
+          val dec = graft.multimodal.FlacCodec.decode(bytes)
+          var ls = 0L; var rs = 0L
+          var i = 0
+          while (i < dec.samples.length) {
+            ls += dec.samples(i)
+            rs += dec.samples(i + 1)
+            i += 2
+          }
+          FlacRow(id, dec.frames, ls, rs)
+        }
+      }.toDF("media_id", "n_frames", "l_sum", "r_sum")
       .orderBy(col("media_id"))
   }
 

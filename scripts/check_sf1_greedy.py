@@ -25,7 +25,7 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def cmp(name, want):
-    got = con.sql(f"SELECT * FROM '/tmp/v7sf1/{name}/*.parquet'").df()
+    got = con.sql(f"SELECT * FROM '/tmp/v8sf1/{name}/*.parquet'").df()
     g, w = norm(got), norm(want)
     ok = list(g.columns) == list(w.columns) and len(g) == len(w) and \
         g.astype(str).equals(w.astype(str))

@@ -307,4 +307,22 @@ class PlanAuditSpec extends SparkSpec {
         s.requiredSchema.fieldNames.mkString(","))
     }
   }
+
+  test("media decode queries keep an explicit-count repartition " +
+    "(AQE would coalesce the tiny id shuffle and serialize the codec)") {
+    // the per-row decode stages are compute-bound with a few-KB
+    // shuffle; AQE sizes partitions by BYTES, so only a user-pinned
+    // partition count keeps them parallel (SCALE.md "AQE coalescing").
+    // Guard: the plan carries a hash-partitioned exchange whose
+    // numPartitions is the session default — i.e. repartition(N, col),
+    // not repartition(col).
+    for (q <- Seq("mm14_avc_decode", "mm16_avc_inter", "mm17_avc_slices",
+      "mm18_avc_multiref", "mm19_avc_weighted", "mm20_avc_bframes",
+      "mm21_avc_fmp4", "mm22_flac_decode")) {
+      val ex = shuffles(planOf(q))
+      assert(ex.exists(e =>
+        e.outputPartitioning.numPartitions ==
+          spark.sparkContext.defaultParallelism), q)
+    }
+  }
 }

@@ -146,6 +146,11 @@ object Mp4Samples {
             val version = (vf >>> 24) & 0xff
             val flags = vf & 0xffffff
             val n = b.getInt()
+            // sanity bound for corrupt shards: a container cannot
+            // carry more samples than bytes, and a flipped
+            // sample_count must not drive the accumulator to OOM
+            if (n < 0 || n.toLong + fragSizes.length > bytes.length)
+              return
             var dataOff = 0L
             if ((flags & 0x1) != 0 && b.remaining() >= 4)
               dataOff = b.getInt().toLong

@@ -268,6 +268,41 @@ class Mp4SamplesSpec extends AnyFunSuite {
     assert(FrameSource.Mp4Frames.frame(frag, 2).sameElements(pngFrame(2)))
   }
 
+  test("fragmented containers survive truncation and bit flips") {
+    val frames = (0 until 7).map(pngFrame)
+    val base = Mp4Samples.encodeFramesFragmented(frames, "png ", fps = 4,
+      width = 2, height = 2, syncEvery = 3, samplesPerFragment = 3)
+    // truncation anywhere: parse returns None/partial or the sample
+    // slice raises the typed corrupt signal — never an unchecked crash
+    for (cut <- 0 until base.length by 7) {
+      val t = Mp4Samples.parse(java.util.Arrays.copyOfRange(base, 0, cut))
+      t.foreach { tr =>
+        for (i <- 0 until tr.frameCount) {
+          try { tr.sample(base, i); () }
+          catch { case _: IllegalArgumentException => () }
+        }
+      }
+    }
+    val rnd = new scala.util.Random(5)
+    var i = 0
+    while (i < 500) {
+      val m = base.clone()
+      val pos = rnd.nextInt(m.length)
+      m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        Mp4Samples.parse(m).foreach { t =>
+          for (j <- 0 until math.min(t.frameCount, 64)) {
+            try { t.sample(m, j); () }
+            catch { case _: IllegalArgumentException => () }
+          }
+          t.displayToDecode // mapping must not crash either
+          ()
+        }
+      } catch { case _: IllegalArgumentException => () }
+      i += 1
+    }
+  }
+
   test("fragmented avc1 decodes identically to the stbl layout") {
     import graft.multimodal.h264.{H264Fixtures, Decoder}
     val d = 11L

@@ -278,6 +278,112 @@ object SimilarityQueries extends QueryRegistry {
   private val PqSubDim = Dim / PqM
   private val PqCodes = 16
 
+  /** qs11: SQ8 scalar-quantized ANN + exact rerank — the OTHER
+    * standard compressed-corpus path next to PQ (FAISS
+    * ScalarQuantizer): per-dimension [min, max] over the corpus maps
+    * each component to an 8-bit code (4 bytes/vector at dim 16 → 1
+    * byte/dim, a 4x/8x corpus shrink vs float32/float64), queries
+    * score against the DEQUANTIZED vectors (asymmetric), the top
+    * 3K candidates per query get an exact-cosine rerank. Scale shape:
+    * the "codebook" is 2·dim doubles (one agg, broadcast as
+    * literals); quantize+score is one narrow corpus pass; only
+    * (q_id, c_id, approx) rows reach the top-k window; the rerank
+    * side is NumQueries·3K rows broadcast INTO the corpus scan. */
+  private val Sq8Refine = 3 * K
+
+  private def sq8TopK(s: SparkSession, dir: String): DataFrame =
+    sq8TopK(s, dir, Sq8Refine)
+
+  /** refine width exposed for tests: reranking EVERY candidate must
+    * reproduce the brute-force ranking exactly (SimilaritySpec law —
+    * quantization can then only affect which rows reach the rerank,
+    * and an all-pass rerank erases that) */
+  def sq8TopK(s: SparkSession, dir: String, refine: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val dim = e.select(size($"emb")).head.getInt(0)
+    // per-dimension min/max: selections, not accumulations — exactly
+    // reproducible across engines (one aggregate, O(dim) driver rows)
+    val agg = e.select((0 until dim).flatMap(d =>
+      Seq(min($"emb"(d)).as(s"a$d"), max($"emb"(d)).as(s"b$d"))): _*)
+      .head
+    val mins = (0 until dim).map(d => agg.getDouble(2 * d))
+    val scales = (0 until dim).map { d =>
+      val mn = mins(d)
+      val mx = agg.getDouble(2 * d + 1)
+      if (mx > mn) (mx - mn) / 255.0 else 0.0
+    }
+    val minsL = array(mins.map(lit): _*)
+    val scalesL = array(scales.map(lit): _*)
+    // quantize -> dequantize in one transform: codes are the
+    // round-trip floor((v-mn)/sc + 0.5) clamped to 0..255; the code
+    // array itself never materializes (storage is the scale story,
+    // the QUERY only needs the reconstruction)
+    val dqv = transform($"emb", (v, i) => {
+      val mn = element_at(minsL, i + 1)
+      val sc = element_at(scalesL, i + 1)
+      when(sc === 0.0, mn).otherwise(mn +
+        least(greatest(floor((v - mn) / sc + lit(0.5)).cast("double"),
+          lit(0.0)), lit(255.0)) * sc)
+    })
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("qv"))
+    val wA = Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"c_id")
+    val top = e.select($"vec_id".as("c_id"), dqv.as("dqv"))
+      .join(broadcast(q), $"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id",
+        round(cosine($"qv", $"dqv"), 6).as("approx_cos"))
+      .withColumn("arank", row_number().over(wA))
+      .filter($"arank" <= refine)
+      .select($"q_id", $"c_id")
+    val cv = e.select($"vec_id".as("c_id"), $"emb".as("cv"))
+    val wE = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+    cv.join(broadcast(top.join(broadcast(q), "q_id")), "c_id")
+      .select($"q_id", $"c_id", round(cosine($"qv", $"cv"), 6).as("cos"))
+      .withColumn("rank", row_number().over(wE))
+      .filter($"rank" <= K)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private lazy val sq8TopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |dims AS (
+       |  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1,
+       |    (SELECT len(emb) FROM e LIMIT 1))) AS i) ii
+       |  GROUP BY i),
+       |cb AS (
+       |  SELECT list(mn ORDER BY i) AS mns,
+       |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END
+       |         ORDER BY i) AS scs
+       |  FROM dims),
+       |dqe AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(emb)), i ->
+       |    CASE WHEN scs[i] = 0.0 THEN mns[i]
+       |         ELSE mns[i] + least(greatest(floor((emb[i] - mns[i])
+       |           / scs[i] + 0.5), 0.0), 255.0) * scs[i] END) AS dqv
+       |  FROM e, cb),
+       |q AS (SELECT vec_id AS q_id, emb AS qv FROM e
+       |      WHERE vec_id < $NumQueries),
+       |approx AS (
+       |  SELECT q_id, d.vec_id AS c_id, ${cosSql("qv", "dqv")} AS ac
+       |  FROM dqe d JOIN q ON q_id <> d.vec_id),
+       |cands AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY ac DESC, c_id) AS ar
+       |    FROM approx) WHERE ar <= $Sq8Refine),
+       |exact AS (
+       |  SELECT c.q_id, c.c_id, ${cosSql("qv", "emb")} AS cos
+       |  FROM cands c JOIN q USING (q_id) JOIN e ON e.vec_id = c.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, c_id)::INT AS rank
+       |  FROM exact)
+       |SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   /** qs06: PQ-ADC ANN top-k (Jégou et al. 2011) — the compressed-corpus
     * scale path: vectors are encoded as 8 sub-space code indices
     * against a sampled codebook (subvectors of the 16 lowest vec_ids —
@@ -732,6 +838,7 @@ object SimilarityQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "qs10_proj_recall" -> QueryDef(projRecall, Some(projRecallSql)),
+    "qs11_ann_sq8" -> QueryDef(sq8TopK, Some(sq8TopKSql), bench = true),
     "qs09_ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "qs07_kmeans_refine" -> QueryDef(kmeansRefine, Some(kmeansRefineSql),
       bench = true),

@@ -23,6 +23,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("SQ8 reranking every candidate reproduces brute-force exactly") {
+    // with refine = corpus size the quantized pass only orders the
+    // rerank input, and the exact-cosine rerank must erase it
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count().toInt
+    val brute = SparkEntry.queries("qs01_ann_brute_topk")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("c_id"))).sorted
+    val full = SimilarityQueries.sq8TopK(spark, dir, refine = n)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("c_id"))).sorted
+    assert(full.toSeq == brute.toSeq)
+  }
+
+  test("SQ8 at refine=3K keeps high recall vs brute force") {
+    val brute = topkSets(
+      SparkEntry.queries("qs01_ann_brute_topk")(spark, dir).collect())
+    val sq8 = topkSets(
+      SparkEntry.queries("qs11_ann_sq8")(spark, dir).collect())
+    val recalls = brute.map { case (q, want) =>
+      val got = sq8.getOrElse(q, Set.empty)
+      got.intersect(want).size.toDouble / want.size
+    }
+    // 8-bit per-dim reconstruction is tight; the refine pass fixes the
+    // ordering — recall should be near-perfect on the fixture corpus
+    assert(recalls.sum / recalls.size >= 0.9, recalls.toSeq)
+  }
+
   test("IVF top-k at nProbe=3/10 keeps nonzero recall vs brute force") {
     val brute = topkSets(
       SparkEntry.queries("qs01_ann_brute_topk")(spark, dir).collect())

@@ -69,4 +69,70 @@ object Subtitles {
     cues.map(c => s"${c.index}\n${ts(c.startMs)} --> ${ts(c.endMs)}\n${c.text}")
       .mkString("", "\n\n", "\n")
   }
+
+  /** `MM:SS.mmm` or `HH:MM:SS.mmm` — WebVTT's hour field is optional */
+  private val VttTiming =
+    ("""(?:(\d{1,4}):)?(\d{2}):(\d{2})\.(\d{3})\s*-->\s*""" +
+      """(?:(\d{1,4}):)?(\d{2}):(\d{2})\.(\d{3})(?:\s+.*)?""").r
+
+  /** WebVTT (.vtt) parse — the web-native sibling of SRT (crawled
+    * video corpora carry both). Grammar accepted (the W3C core):
+    * `WEBVTT` signature line (+ header metadata until the first blank
+    * line), cue blocks separated by blank lines — an optional cue
+    * identifier line, an `[HH:]MM:SS.mmm --> [HH:]MM:SS.mmm` timing
+    * line with trailing cue settings tolerated and ignored, then
+    * payload lines; `NOTE`/`STYLE`/`REGION` blocks are skipped; basic
+    * inline tags (<b>, <i>, <c.classname>, <00:00:01.000>) are
+    * stripped from the payload. Malformed cues skip, the SRT policy.
+    * Returns the same [[Cue]] model, so alignment and all downstream
+    * operators are format-agnostic. */
+  def parseVtt(vtt: String): Seq[Cue] = {
+    val body = if (vtt.startsWith("﻿")) vtt.substring(1) else vtt
+    val norm = body.replace("\r\n", "\n").replace('\r', '\n')
+    if (!norm.startsWith("WEBVTT")) return Seq.empty
+    val blocks = norm.split("\n\\s*\n")
+    val out = Seq.newBuilder[Cue]
+    var autoIdx = 0
+    // the first block is the signature/header; cue blocks follow
+    for (block <- blocks.drop(1)) {
+      val lines = block.split('\n').toIndexedSeq.dropWhile(_.trim.isEmpty)
+      val head = lines.headOption.map(_.trim).getOrElse("")
+      val isMeta = head.startsWith("NOTE") || head.startsWith("STYLE") ||
+        head.startsWith("REGION")
+      if (lines.nonEmpty && !isMeta) {
+        // optional identifier line (any text without "-->")
+        val (idLine, rest) =
+          if (!head.contains("-->") && lines.length > 1 &&
+            lines(1).contains("-->")) (Some(head), lines.tail)
+          else (None, lines)
+        rest.headOption.map(_.trim) match {
+          case Some(VttTiming(h1, m1, s1, f1, h2, m2, s2, f2)) =>
+            val idx = idLine.flatMap(asciiInt).getOrElse(autoIdx + 1)
+            autoIdx = idx
+            val text = rest.tail.mkString("\n")
+              .replaceAll("<[^>]*>", "").trim
+            out += Cue(idx,
+              ms(Option(h1).getOrElse("0"), m1, s1, f1),
+              ms(Option(h2).getOrElse("0"), m2, s2, f2), text)
+          case _ => () // malformed cue — skip
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Render cues as canonical WebVTT. */
+  def formatVtt(cues: Seq[Cue]): String = {
+    def ts(v: Long): String =
+      f"${v / 3600000}%02d:${v / 60000 % 60}%02d:${v / 1000 % 60}%02d.${v % 1000}%03d"
+    cues.map(c => s"${c.index}\n${ts(c.startMs)} --> ${ts(c.endMs)}\n${c.text}")
+      .mkString("WEBVTT\n\n", "\n\n", "\n")
+  }
+
+  /** format sniff: VTT signature vs SRT fallback — callers feed either
+    * sidecar format through one entry point */
+  def parseAuto(text: String): Seq[Cue] = {
+    val t = if (text.startsWith("﻿")) text.substring(1) else text
+    if (t.startsWith("WEBVTT")) parseVtt(text) else parseSrt(text)
+  }
 }

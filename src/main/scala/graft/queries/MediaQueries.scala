@@ -252,6 +252,64 @@ object MediaQueries extends QueryRegistry {
       |  'cue ' || doc_id || '_' || j AS cue_text
       |FROM m ORDER BY media_id, frame_no""".stripMargin
 
+  /** mm23: WebVTT subtitle parse + alignment — the web-native sidecar
+    * format crawled video corpora carry next to SRT. The fixture VTT
+    * exercises the format's own machinery: signature + header
+    * metadata, a NOTE block (skipped), cue identifier lines, cue
+    * settings after the timing (ignored), and inline <b>/<c> tags
+    * (stripped); entry is the format-sniffing [[Subtitles.parseAuto]].
+    * Alignment math mirrors mm11 with distinct constants. */
+  private def vttAlign(s: SparkSession, dir: String): DataFrame = {
+    val mkVtt = udf { (id: Long) =>
+      val k = (2 + id % 4).toInt
+      val off = (id % 5) * 300
+      def ts(v: Long): String =
+        f"${v / 3600000}%02d:${v / 60000 % 60}%02d:${v / 1000 % 60}%02d.${v % 1000}%03d"
+      val cues = (0 until k).map { j =>
+        val st = j * 2000L + off
+        s"${j + 1}\n${ts(st)} --> ${ts(st + 1500)} align:start position:10%\n" +
+          s"cue <b>${id}_$j</b>"
+      }
+      "WEBVTT - synthetic\nKind: captions\n\nNOTE\nfixture block\n\n" +
+        cues.mkString("\n\n") + "\n"
+    }
+    val parse = udf { (vtt: String) =>
+      Subtitles.parseAuto(vtt).map(c => (c.index, c.startMs, c.endMs, c.text))
+    }
+    val docs = Tables(s, dir).documents
+    val cues = docs
+      .select(col("doc_id").as("media_id"),
+        explode(parse(mkVtt(col("doc_id")))).as("cue"))
+      .select(col("media_id"), col("cue._1").as("cue_index"),
+        col("cue._2").as("start_ms"), col("cue._3").as("end_ms"),
+        col("cue._4").as("cue_text"))
+    val frames = docs
+      .select(col("doc_id").as("media_id"),
+        explode(sequence(lit(0), lit(7))).as("frame_no"))
+      .withColumn("ts_ms", col("frame_no").cast("long") * 997L)
+    frames.join(cues, Seq("media_id"))
+      .where(col("ts_ms") >= col("start_ms") && col("ts_ms") < col("end_ms"))
+      .select(col("media_id"), col("frame_no"), col("ts_ms"),
+        col("cue_index"), col("cue_text"))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  private val vttAlignSql =
+    """WITH f AS (
+      |  SELECT doc_id, (2 + doc_id % 4)::BIGINT AS k,
+      |    ((doc_id % 5) * 300)::BIGINT AS off,
+      |    unnest(generate_series(0, 7)) AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, t, t*997 AS ts_ms, (t*997 - off) // 2000 AS j
+      |  FROM f
+      |  WHERE t*997 >= off AND (t*997 - off) // 2000 < k
+      |    AND (t*997 - off) % 2000 < 1500)
+      |SELECT doc_id AS media_id, t::INT AS frame_no, ts_ms::BIGINT AS ts_ms,
+      |  (j + 1)::INT AS cue_index,
+      |  'cue ' || doc_id || '_' || j AS cue_text
+      |FROM m ORDER BY media_id, frame_no""".stripMargin
+
   /** mm12: GOP/bitrate container audit — per-video keyframe cadence and
     * sample-size stats from the REAL stbl walk ([[Mp4Samples.parse]]:
     * stsz sizes + stss sync table), with NO frame decode — exactly how
@@ -1050,6 +1108,7 @@ object MediaQueries extends QueryRegistry {
       |FROM v GROUP BY d, n ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "mm23_vtt_align" -> QueryDef(vttAlign, Some(vttAlignSql)),
     "mm22_flac_decode" -> QueryDef(flacDecode, Some(flacDecodeSql),
       bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,

@@ -87,4 +87,45 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(rendered.contains("100:00:00,000"))
     assert(parseSrt(rendered) == cues)
   }
+
+  test("WebVTT: header, NOTE blocks, settings, ids, tags, no-hour times") {
+    val vtt =
+      """WEBVTT - demo
+        |Kind: captions
+        |
+        |NOTE
+        |a comment block
+        |
+        |intro
+        |00:01.000 --> 00:02.500 align:start position:10%
+        |Hello <b>world</b>
+        |
+        |7
+        |00:00:03.000 --> 00:00:04.000
+        |<c.yellow>second</c> line
+        |
+        |STYLE
+        |::cue { color: red }
+        |
+        |00:05.000 --> 00:06.000
+        |third""".stripMargin
+    val cues = parseVtt(vtt)
+    assert(cues.map(_.text) == Seq("Hello world", "second line", "third"))
+    assert(cues.map(_.startMs) == Seq(1000L, 3000L, 5000L))
+    assert(cues.map(_.endMs) == Seq(2500L, 4000L, 6000L))
+    // "intro" is a non-numeric id -> sequential fallback; "7" is honored
+    assert(cues.map(_.index) == Seq(1, 7, 8))
+  }
+
+  test("WebVTT round-trips through format+parse; parseAuto sniffs") {
+    val cues = Seq(Cue(1, 0L, 1500L, "a"), Cue(2, 3600000L + 250, 3600000L + 999, "b"))
+    val rendered = formatVtt(cues)
+    assert(rendered.startsWith("WEBVTT"))
+    assert(parseVtt(rendered) == cues)
+    assert(parseAuto(rendered) == cues)
+    assert(parseAuto(formatSrt(cues)) == cues)
+    // a non-VTT, non-SRT blob parses to nothing, never throws
+    assert(parseVtt("not a subtitle file").isEmpty)
+    assert(parseAuto("WEBVTT\n\ngarbage line without timing").isEmpty)
+  }
 }

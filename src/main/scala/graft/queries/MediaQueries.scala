@@ -1107,7 +1107,45 @@ object MediaQueries extends QueryRegistry {
       |  sum(l)::BIGINT AS l_sum, sum(r)::BIGINT AS r_sum
       |FROM v GROUP BY d, n ORDER BY media_id""".stripMargin
 
+  /** mm24: WebM/EBML container probe — the audit tier over the OTHER
+    * container real crawls carry. Per-doc synthesized webm headers
+    * (EBML walk: DocType, TimestampScale/Duration, per-track CodecID,
+    * video dimensions) probed header-only, exactly like mm04/mm12 on
+    * MP4; VP8/VP9/AV1 frame decode stays the typed codec signal, but
+    * the corpus AUDIT must still read these files' metadata. */
+  private def webmProbe(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val durMs = (3000 + (id % 100) * 40).toDouble
+      val w = (320 + (id % 4) * 160).toInt
+      val h = (180 + (id % 4) * 90).toInt
+      val vc = Seq("V_VP8", "V_VP9", "V_AV1")((id % 3).toInt)
+      val ac = if (id % 2 == 0) Some("A_OPUS") else None
+      val bytes = graft.multimodal.WebmProbe.encodeMinimal(
+        "webm", durMs, w, h, vc, ac)
+      val m = graft.multimodal.WebmProbe.probe(bytes)
+      (m.docType, math.round(m.durationSec * 1000).toInt, m.width,
+        m.height, m.codecs.head, m.codecs.length)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("doc_type"),
+        col("st._2").as("dur_ms"), col("st._3").as("width"),
+        col("st._4").as("height"), col("st._5").as("video_codec"),
+        col("st._6").as("n_tracks"))
+      .orderBy(col("media_id"))
+  }
+
+  private val webmProbeSql =
+    """SELECT doc_id AS media_id, 'webm' AS doc_type,
+      |  (3000 + (doc_id % 100) * 40)::INT AS dur_ms,
+      |  (320 + (doc_id % 4) * 160)::INT AS width,
+      |  (180 + (doc_id % 4) * 90)::INT AS height,
+      |  ['V_VP8', 'V_VP9', 'V_AV1'][(doc_id % 3)::INT + 1] AS video_codec,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::INT AS n_tracks
+      |FROM documents ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm24_webm_probe" -> QueryDef(webmProbe, Some(webmProbeSql)),
     "mm23_vtt_align" -> QueryDef(vttAlign, Some(vttAlignSql)),
     "mm22_flac_decode" -> QueryDef(flacDecode, Some(flacDecodeSql),
       bench = true),

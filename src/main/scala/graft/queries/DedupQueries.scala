@@ -1133,7 +1133,112 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  /** qd19: URL canonicalization dedup — the crawl-pipeline staple
+    * (CommonCrawl-style): scheme/host lowercasing, www. strip, default
+    * ports, fragments, tracking params (utm_ prefix, fbclid), query-param
+    * sort, trailing-slash normalization — then exact dedup on the
+    * canonical form. Each doc synthesizes one of two SURFACE variants
+    * of the same logical URL (uppercase WWW host + :443 + reordered
+    * params + utm + fragment + trailing slash vs the plain form), so
+    * pairs (2k, 2k+1) must collapse to one canonical with the even
+    * doc as keeper. The whole chain is native column functions — zero
+    * UDFs, everything codegen'd — and the oracle replays each step
+    * with DuckDB's string ops. */
+  private def urlCanonDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = ($"doc_id" / 2).cast("long")
+    val hostBase = concat(lit("example"), pmod(k, lit(20)))
+    val raw = when(pmod($"doc_id", lit(2)) === 0,
+      concat(lit("HTTPS://WWW."), upper(hostBase), lit(".COM:443/p/"), k,
+        lit("/?b=2&a=1&utm_source=feed#top")))
+      .otherwise(concat(lit("https://"), hostBase, lit(".com/p/"), k,
+        lit("?a=1&b=2")))
+    val withUrl = Tables(s, dir).documents.select($"doc_id", raw.as("url"))
+    val scheme = lower(substring_index($"url", "://", 1))
+    // strip scheme, then fragment
+    val rest = substring_index(substring_index($"url", "://", -1), "#", 1)
+    val hostport = regexp_extract(rest, "^([^/?]+)", 1)
+    val pathq = regexp_extract(rest, "^[^/?]+(.*)$", 1)
+    val host = regexp_replace(
+      lower(substring_index(hostport, ":", 1)), "^www\\.", "")
+    val port = when(hostport.contains(":"),
+      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val path0 = substring_index(pathq, "?", 1)
+    val path = when(path0 === "" || path0 === "/", path0)
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query = when(pathq.contains("?"),
+      substring_index(pathq, "?", -1)).otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid")))
+    val canon = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    withUrl.select($"doc_id", canon.as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        min($"doc_id").as("keeper"))
+      .orderBy($"canonical_url")
+  }
+
+  private val urlCanonDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      'HTTPS://WWW.' || upper('example' || ((doc_id // 2) % 20))
+      |        || '.COM:443/p/' || (doc_id // 2)
+      |        || '/?b=2&a=1&utm_source=feed#top'
+      |    ELSE 'https://example' || ((doc_id // 2) % 20) || '.com/p/'
+      |        || (doc_id // 2) || '?a=1&b=2' END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(split_part(url, '://', 1)) AS scheme,
+      |    split_part(split_part(url, '://', 2), '#', 1) AS rest
+      |  FROM u),
+      |hp AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+      |    regexp_extract(rest, '^[^/?]+(.*)$', 1) AS pathq
+      |  FROM parts),
+      |norm AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_replace(lower(split_part(hostport, ':', 1)),
+      |      '^www\.', '') AS host,
+      |    CASE WHEN contains(hostport, ':')
+      |         THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+      |    split_part(pathq, '?', 1) AS path0,
+      |    CASE WHEN contains(pathq, '?')
+      |         THEN split_part(pathq, '?', 2) ELSE '' END AS query
+      |  FROM hp),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> ''
+      |          AND NOT (scheme = 'https' AND port = '443')
+      |          AND NOT (scheme = 'http' AND port = '80')
+      |         THEN ':' || port ELSE '' END ||
+      |    CASE WHEN path0 = '' OR path0 = '/' THEN path0
+      |         ELSE regexp_replace(path0, '/$', '') END ||
+      |    CASE WHEN len(list_filter(string_split(query, '&'), p ->
+      |           p <> '' AND NOT starts_with(p, 'utm_')
+      |           AND NOT starts_with(p, 'fbclid'))) > 0
+      |         THEN '?' || list_aggregate(list_sort(
+      |           list_filter(string_split(query, '&'), p ->
+      |             p <> '' AND NOT starts_with(p, 'utm_')
+      |             AND NOT starts_with(p, 'fbclid'))), 'string_agg', '&')
+      |         ELSE '' END AS canonical_url
+      |  FROM norm)
+      |SELECT canonical_url, count(*)::INT AS n_docs,
+      |  min(doc_id) AS keeper
+      |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qd19_url_canon" -> QueryDef(urlCanonDedup, Some(urlCanonDedupSql)),
     "qd18_lsh_tuning" -> QueryDef(lshTuning, Some(lshTuningSql)),
     "qd17_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksSql), bench = true),
     "st09_stream_lsh_dedup" -> QueryDef(streamLshDedup,

@@ -512,7 +512,45 @@ object QualityQueries extends QueryRegistry {
       |  round(abs(n_a * 1.0 / tot_a - n_b * 1.0 / tot_b), 6) AS drift
       |FROM c, t ORDER BY o_orderpriority""".stripMargin
 
+  /** qa07: vocabulary-profile audit — the corpus-health metrics every
+    * training-data report carries per source: token volume, distinct
+    * vocabulary (types), hapax legomena (once-only words — the
+    * data-entry-noise / contamination tell), and the type-token ratio
+    * in ppm. One explode + two aggregations; only (source, word)
+    * pairs shuffle, never documents. */
+  private def vocabProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables(s, dir).documents
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val perWord = words.groupBy($"source", $"w")
+      .agg(count(lit(1)).as("n"))
+    perWord.groupBy($"source")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_types"),
+        count(when($"n" === 1, 1)).cast("int").as("n_hapax"))
+      .select($"source", $"n_tokens",
+        $"n_types", $"n_hapax",
+        (($"n_types" * 1000000L) / $"n_tokens").cast("long").as("ttr_ppm"))
+      .orderBy($"source")
+  }
+
+  private val vocabProfileSql =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |pw AS (
+      |  SELECT source, w, count(*) AS n FROM w WHERE w <> ''
+      |  GROUP BY source, w)
+      |SELECT source, sum(n)::BIGINT AS n_tokens,
+      |  count(*)::INT AS n_types,
+      |  count(*) FILTER (WHERE n = 1)::INT AS n_hapax,
+      |  ((count(*) * 1000000) // sum(n))::BIGINT AS ttr_ppm
+      |FROM pw GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qa07_vocab_profile" -> QueryDef(vocabProfile, Some(vocabProfileSql),
+      bench = true),
     "qa01_profile" -> QueryDef(profile, Some(profileSql), bench = true),
     "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql),
       bench = true),

@@ -370,7 +370,64 @@ object EventQueries extends QueryRegistry {
       |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS share
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** qe10: ORDERED conversion funnel (signup → click → purchase)
+    * with conversion lags — the stricter product-analytics semantics
+    * next to qe04's existence funnel: each stage's timestamp must be
+    * the user's earliest occurrence AFTER the previous stage
+    * (min-after chain), and each stage row carries the total
+    * stage-to-stage lag in exact microseconds. Three per-user
+    * aggregates chained by equi-joins on user_id. */
+  private def funnelOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").where($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"t1").as("t1"), min($"us").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").where($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"t2").as("t2"), min($"us").as("t3"))
+    s1.agg(count(lit(1)).cast("int").as("n_users"),
+      lit(0L).as("total_lag_us"))
+      .select(lit("1_signup").as("stage"), $"n_users", $"total_lag_us")
+      .unionAll(s2.agg(count(lit(1)).cast("int").as("n_users"),
+        coalesce(sum($"t2" - $"t1"), lit(0L)).as("total_lag_us"))
+        .select(lit("2_click").as("stage"), $"n_users", $"total_lag_us"))
+      .unionAll(s3.agg(count(lit(1)).cast("int").as("n_users"),
+        coalesce(sum($"t3" - $"t2"), lit(0L)).as("total_lag_us"))
+        .select(lit("3_purchase").as("stage"), $"n_users", $"total_lag_us"))
+      .orderBy($"stage")
+  }
+
+  private val funnelOrderedSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(us) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(t1) AS t1, min(us) AS t2
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(t2) AS t2, min(us) AS t3
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT '1_signup' AS stage, count(*)::INT AS n_users,
+      |  0::BIGINT AS total_lag_us FROM s1
+      |UNION ALL
+      |SELECT '2_click', count(*)::INT,
+      |  coalesce(sum(t2 - t1), 0)::BIGINT FROM s2
+      |UNION ALL
+      |SELECT '3_purchase', count(*)::INT,
+      |  coalesce(sum(t3 - t2), 0)::BIGINT FROM s3
+      |ORDER BY stage""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qe10_funnel_ordered" -> QueryDef(funnelOrdered,
+      Some(funnelOrderedSql), bench = true),
     "qe09_transitions" -> QueryDef(transitions, Some(transitionsSql),
       bench = true),
     "qe08_interval_bin_join" -> QueryDef(intervalBinJoin,

@@ -134,10 +134,10 @@ object Encoder {
   /** wrap finished slice RBSPs (one per slice, picture order) as one
     * AVCC sample of length-prefixed NALs */
   private[h264] def avccSampleMulti(ws: Seq[BitWriter],
-      nalType: Int): Array[Byte] = {
+      nalType: Int, refIdc: Int = 3): Array[Byte] = {
     val nals = ws.map { w =>
       w.rbspTrailing()
-      Nal.unit(3, nalType, w.toBytes)
+      Nal.unit(refIdc, nalType, w.toBytes)
     }
     val out = java.nio.ByteBuffer.allocate(nals.map(_.length + 4).sum)
     nals.foreach { n => out.putInt(n.length); out.put(n) }

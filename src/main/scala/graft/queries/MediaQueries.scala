@@ -323,8 +323,17 @@ object MediaQueries extends QueryRegistry {
       val se = (2 + id % 3).toInt
       val frames = (0 until n).map(f =>
         new Array[Byte](100 + ((id * 13 + f * 7) % 150).toInt))
-      Mp4Samples.encodeFrames(frames, codec = "gop ", fps = 10,
-        width = 16, height = 16, syncEvery = se)
+      // odd docs are FRAGMENTED (moof/trun) — the audit must be
+      // layout-agnostic: identical samples/sync cadence, so the
+      // closed-form oracle is unchanged while the container walk
+      // flips between stbl and movie fragments per doc
+      if (id % 2 == 1)
+        Mp4Samples.encodeFramesFragmented(frames, codec = "gop ",
+          fps = 10, width = 16, height = 16, syncEvery = se,
+          samplesPerFragment = 3)
+      else
+        Mp4Samples.encodeFrames(frames, codec = "gop ", fps = 10,
+          width = 16, height = 16, syncEvery = se)
     }
     val media = Tables(s, dir).documents
       .select(col("doc_id").as("media_id"), mkMp4(col("doc_id")).as("content"))

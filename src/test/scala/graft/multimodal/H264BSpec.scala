@@ -217,6 +217,37 @@ class H264BSpec extends AnyFunSuite {
       out.motion.ref0(2 * 4 + 2) < 0)
   }
 
+  test("multi-slice B pictures keep slice-local availability") {
+    // two MBs, one slice per MB (the encoder-parallelism layout):
+    // slice A = B_L0_16x16 copying list0(0); slice B = B_Skip, whose
+    // spatial direct must NOT see slice A's motion (6.4.9) — with no
+    // available neighbors it takes directZeroPrediction (bi average)
+    // rather than inheriting A's L0-only uni-prediction
+    val sps = Encoder.spsFor(32, 16, numRefFrames = 2)
+    val a = uniformRef(40, mbW = 2)
+    val b = uniformRef(200, mbW = 2)
+    val wA = new BitWriter
+    Encoder.writeBSliceHeader(wA, sps, 2, 2, 0, deblock = false,
+      firstMb = 0)
+    wA.ue(0); wA.ue(1) // B_L0_16x16
+    wA.se(0); wA.se(0)
+    wA.ue(Decoder.codeNumFromCbpInter(0))
+    val wB = new BitWriter
+    Encoder.writeBSliceHeader(wB, sps, 2, 2, 0, deblock = false,
+      firstMb = 1)
+    wB.ue(1) // mb_skip_run covering MB1 -> B_Skip (direct)
+    val sample = Encoder.avccSampleMulti(Seq(wA, wB), nalType = 1,
+      refIdc = 0) // non-reference B, matching writeBSliceHeader
+    val out = Decoder.decode(sample, cfg(26, sps),
+      Vector(a, b), Vector(b, a))
+    // MB0: L0 copy = 40
+    assert(out.luma(0, 0) == 40 && out.luma(15, 15) == 40)
+    // MB1: slice-local direct -> zero prediction -> bi average, NOT 40
+    val avg = (40 + 200 + 1) >> 1
+    assert(out.luma(16, 0) == avg && out.luma(31, 15) == avg)
+    assert(out.motion.ref0(4) == 0 && out.motion.ref1(4) == 0)
+  }
+
   test("temporal direct scales the colocated MV by POC distances") {
     val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
     val qp = 26

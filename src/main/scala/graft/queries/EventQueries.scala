@@ -425,7 +425,45 @@ object EventQueries extends QueryRegistry {
       |  coalesce(sum(t3 - t2), 0)::BIGINT FROM s3
       |ORDER BY stage""".stripMargin
 
+  /** st12: qe10's streaming twin — the per-user stage machine runs in
+    * keyed state ([[graft.streaming.EventStreams.funnelStages]],
+    * per-user flush sentinels), then the emitted user rows roll up to
+    * the SAME 3-row funnel the batch query produces: shared oracle,
+    * the st10/qa03 contract. */
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+    val stage = WdsQueries.scratchDir("graft_funnel_stage")
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+    val sentinels = ev.select($"user_id").distinct()
+      .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+        $"user_id", lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(stage)
+    val name = "stream_funnel_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val users = graft.streaming.EventStreams.runToMemory(s,
+      graft.streaming.EventStreams.funnelStages(
+        graft.streaming.EventStreams.readEventStream(s, stage)),
+      name, org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(4))
+    users.agg(count(when($"stage" >= 1, 1)).cast("int").as("n_users"))
+      .select(lit("1_signup").as("stage"), $"n_users",
+        lit(0L).as("total_lag_us"))
+      .unionAll(users.filter($"stage" >= 2)
+        .agg(count(lit(1)).cast("int").as("n_users"),
+          coalesce(sum($"lag12_us"), lit(0L)).as("total_lag_us"))
+        .select(lit("2_click").as("stage"), $"n_users", $"total_lag_us"))
+      .unionAll(users.filter($"stage" >= 3)
+        .agg(count(lit(1)).cast("int").as("n_users"),
+          coalesce(sum($"lag23_us"), lit(0L)).as("total_lag_us"))
+        .select(lit("3_purchase").as("stage"), $"n_users", $"total_lag_us"))
+      .orderBy($"stage")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "st12_stream_funnel" -> QueryDef(streamFunnel, Some(funnelOrderedSql)),
     "qe10_funnel_ordered" -> QueryDef(funnelOrdered,
       Some(funnelOrderedSql), bench = true),
     "qe09_transitions" -> QueryDef(transitions, Some(transitionsSql),

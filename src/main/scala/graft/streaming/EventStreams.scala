@@ -231,6 +231,68 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class FunnelBuf(t1: Long, clicks: Seq[Long],
+      purchases: Seq[Long])
+  final case class FunnelUserRow(user_id: Long, stage: Int,
+      lag12_us: Long, lag23_us: Long)
+
+  /** st12: streaming ORDERED funnel — the keyed multi-stage state
+    * machine (qe10's batch semantics): per user, earliest signup,
+    * earliest click AFTER it, earliest purchase after that. State
+    * keeps the min signup plus the click/purchase time buffers (the
+    * min-after chain can't prune them until the signup min is final —
+    * same O(user's events) state contract as sessionization), and the
+    * per-user flush sentinel (event_id -1) resolves the chain and
+    * emits the user's final stage row. Batch-order-insensitive: every
+    * buffered quantity is a set/min, so micro-batch splits can't
+    * change the answer. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelUserRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          var st = state.getOption
+            .getOrElse(FunnelBuf(Long.MaxValue, Nil, Nil))
+          var flush = false
+          batch.foreach { e =>
+            if (e.event_id == -1L) flush = true
+            else {
+              val us = e.ts.getTime * 1000L +
+                (e.ts.getNanos / 1000) % 1000
+              e.event_type match {
+                case "signup" =>
+                  if (us < st.t1) st = st.copy(t1 = us)
+                case "click" => st = st.copy(clicks = us +: st.clicks)
+                case "purchase" =>
+                  st = st.copy(purchases = us +: st.purchases)
+                case _ => ()
+              }
+            }
+          }
+          if (!flush) { state.update(st); Iterator.empty }
+          else {
+            state.remove()
+            if (st.t1 == Long.MaxValue) Iterator.empty
+            else {
+              val t2 = st.clicks.filter(_ > st.t1)
+                .minOption.getOrElse(Long.MaxValue)
+              val t3 =
+                if (t2 == Long.MaxValue) Long.MaxValue
+                else st.purchases.filter(_ > t2)
+                  .minOption.getOrElse(Long.MaxValue)
+              val stage =
+                if (t3 != Long.MaxValue) 3
+                else if (t2 != Long.MaxValue) 2 else 1
+              Iterator.single(FunnelUserRow(user, stage,
+                if (t2 != Long.MaxValue) t2 - st.t1 else 0L,
+                if (t3 != Long.MaxValue) t3 - t2 else 0L))
+            }
+          }
+      }.toDF()
+  }
+
   /** File-source streaming read over a parquet directory (the batch
     * tables replayed as a stream for tests/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -1153,7 +1153,69 @@ object MediaQueries extends QueryRegistry {
       |  (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::INT AS n_tracks
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** mm25: MP3 frame-header audit — the web's most common compressed
+    * audio, probed header-only per doc (ID3v2 skip, sync scan, the
+    * layer-III frame-length arithmetic with padding, CBR/VBR + bitrate
+    * range). Decode stays typed (layer-III Huffman tables are the
+    * offline blocker); the AUDIT is what a 100 TB crawl runs. */
+  private def mp3Probe(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (20 + id % 30).toInt
+      val vbr = id % 3 == 0
+      val id3 = if (id % 2 == 0) (100 + id % 400).toInt else 0
+      val bytes = graft.multimodal.Mp3Probe.encodeHeaders(n,
+        i => if (vbr) 1 + ((id + i) % 14).toInt else (9 + id % 5).toInt,
+        srIdx = (id % 3).toInt, id3Size = id3)
+      val m = graft.multimodal.Mp3Probe.probe(bytes)
+      (m.nFrames, m.sampleRate, m.totalBytes, m.minBitrateKbps,
+        m.maxBitrateKbps, if (m.cbr) 1 else 0, m.id3v2Bytes)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("n_frames"),
+        col("st._2").as("sample_rate"), col("st._3").as("total_bytes"),
+        col("st._4").as("min_kbps"), col("st._5").as("max_kbps"),
+        col("st._6").as("is_cbr"), col("st._7").as("id3_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** replays the header arithmetic: bitrate table lookups, the
+    * 144·br·1000/sr + padding frame length (padding alternates), and
+    * the 10-byte-header ID3 accounting */
+  private val mp3ProbeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (20 + doc_id % 30)::INT AS n,
+      |    (doc_id % 3 = 0) AS vbr,
+      |    CASE WHEN doc_id % 2 = 0 THEN (100 + doc_id % 400)::INT
+      |         ELSE 0 END AS id3,
+      |    (doc_id % 3)::INT AS sri
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, n, vbr, id3, sri,
+      |    unnest(generate_series(0, n - 1)) AS i
+      |  FROM g),
+      |q AS (
+      |  SELECT d, n, id3, i,
+      |    [44100, 48000, 32000][sri + 1] AS sr,
+      |    [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320][
+      |      (CASE WHEN vbr THEN 1 + (d + i) % 14
+      |            ELSE 9 + d % 5 END)::INT + 1] AS br
+      |  FROM fr),
+      |fl AS (
+      |  SELECT d, n, id3, br,
+      |    144 * br * 1000 // sr + (i % 2) AS flen, sr
+      |  FROM q)
+      |SELECT d AS media_id, n AS n_frames,
+      |  max(sr)::INT AS sample_rate,
+      |  sum(flen)::BIGINT AS total_bytes,
+      |  min(br)::INT AS min_kbps, max(br)::INT AS max_kbps,
+      |  (CASE WHEN min(br) = max(br) THEN 1 ELSE 0 END)::INT AS is_cbr,
+      |  (CASE WHEN max(id3) > 0 THEN max(id3) + 10 ELSE 0 END)::INT
+      |    AS id3_bytes
+      |FROM fl GROUP BY d, n ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm25_mp3_probe" -> QueryDef(mp3Probe, Some(mp3ProbeSql)),
     "mm24_webm_probe" -> QueryDef(webmProbe, Some(webmProbeSql)),
     "mm23_vtt_align" -> QueryDef(vttAlign, Some(vttAlignSql)),
     "mm22_flac_decode" -> QueryDef(flacDecode, Some(flacDecodeSql),

@@ -3,13 +3,14 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM RIFF/WAVE PCM codec — the real audio decode path for the
-  * multimodal column operators (replaces the round-1 byte-stats stub;
-  * no native dependency needed for PCM). Chunk-walking decoder: reads
-  * `fmt ` and `data`, skips unknown chunks (LIST/INFO etc.), requires
-  * 16-bit integer PCM (format 1) — the storage format training
-  * pipelines normalize audio to before feature extraction. Compressed
-  * containers (mp3/ogg/aac) remain at the pluggable seam a JavaCV/ffmpeg
-  * binding fills in production.
+  * multimodal column operators (no native dependency for PCM).
+  * Chunk-walking decoder: reads `fmt ` and `data`, skips unknown
+  * chunks (LIST/INFO etc.), accepts 8/16/24/32-bit integer PCM and
+  * 32-bit IEEE float incl. WAVE_FORMAT_EXTENSIBLE headers, normalized
+  * to the library's 16-bit convention. The encoder emits canonical
+  * 16-bit PCM — the format training pipelines normalize to. Compressed
+  * audio: FLAC decodes natively ([[FlacCodec]]); mp3/ogg/aac stay at
+  * the typed seam (Huffman value-table blocker).
   */
 object WavCodec {
 
@@ -42,6 +43,13 @@ object WavCodec {
     buf.array()
   }
 
+  /** Decode PCM WAV at the bit depths real corpora carry — 8-bit
+    * unsigned, 16/24/32-bit signed, and 32-bit IEEE float (format 3),
+    * including WAVE_FORMAT_EXTENSIBLE headers — all normalized to the
+    * library's 16-bit convention (8-bit << 8; 24/32-bit arithmetic
+    * right shift; float rounded at ±32767 full scale and clamped).
+    * Chunk-order independent: `data` bytes are held raw until the
+    * `fmt ` chunk fixes the conversion. */
   def decode(bytes: Array[Byte]): Wav = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
@@ -52,30 +60,82 @@ object WavCodec {
     require(tag() == "WAVE", "not a WAVE stream")
     var sampleRate = -1
     var channels = -1
-    var samples: Array[Short] = null
-    while (buf.remaining() >= 8 && (samples == null || sampleRate < 0)) {
+    var fmtCode = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (buf.remaining() >= 8 && (dataOff < 0 || sampleRate < 0)) {
       val id = tag()
       val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(), s"chunk $id overruns")
       id match {
         case "fmt " =>
-          val fmt = buf.getShort
-          require(fmt == 1, s"unsupported WAV format $fmt (need PCM)")
+          require(len >= 16, "fmt chunk too short")
+          fmtCode = buf.getShort & 0xffff
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
           buf.getInt // byte rate
           buf.getShort // block align
-          val bits = buf.getShort
-          require(bits == 16, s"unsupported bit depth $bits (need 16)")
-          buf.position(buf.position() + (len - 16)) // fmt extensions
+          bits = buf.getShort.toInt
+          if (fmtCode == 0xfffe) {
+            // WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+            // bytes of the SubFormat GUID (after cbSize + validBits +
+            // channel mask)
+            require(len >= 40, "extensible fmt chunk too short")
+            buf.getShort // cbSize
+            buf.getShort // valid bits
+            buf.getInt // channel mask
+            fmtCode = buf.getShort & 0xffff
+            buf.position(buf.position() + (len - 26))
+          } else buf.position(buf.position() + (len - 16))
         case "data" =>
-          samples = new Array[Short](len / 2)
-          var i = 0
-          while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+          dataOff = buf.position()
+          dataLen = len
+          buf.position(buf.position() +
+            math.min(buf.remaining(), len + (len & 1)))
         case _ =>
-          buf.position(buf.position() + len + (len & 1)) // chunks pad to even
+          // chunks pad to even, but a file may end without the pad byte
+          buf.position(buf.position() +
+            math.min(buf.remaining(), len + (len & 1)))
       }
     }
-    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(fmtCode == 1 || fmtCode == 3,
+      s"unsupported WAV format $fmtCode (need PCM or IEEE float)")
+    if (fmtCode == 3) require(bits == 32, s"float WAV needs 32 bits, got $bits")
+    else require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+      s"unsupported bit depth $bits")
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    val samples = new Array[Short](n)
+    val d = ByteBuffer.wrap(bytes, dataOff, dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    if (fmtCode == 3) {
+      while (i < n) {
+        val f = d.getFloat
+        val v = math.round(f * 32767f)
+        samples(i) = math.max(-32768, math.min(32767, v)).toShort
+        i += 1
+      }
+    } else bits match {
+      case 8 =>
+        while (i < n) {
+          samples(i) = (((d.get() & 0xff) - 128) << 8).toShort; i += 1
+        }
+      case 16 =>
+        while (i < n) { samples(i) = d.getShort; i += 1 }
+      case 24 =>
+        while (i < n) {
+          val b0 = d.get() & 0xff
+          val b1 = d.get() & 0xff
+          val b2 = d.get() // sign byte
+          samples(i) = (((b2 << 16) | (b1 << 8) | b0) >> 8).toShort
+          i += 1
+        }
+      case _ => // 32
+        while (i < n) { samples(i) = (d.getInt >> 16).toShort; i += 1 }
+    }
     Wav(sampleRate, channels, samples)
   }
 

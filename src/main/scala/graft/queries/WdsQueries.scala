@@ -1307,8 +1307,42 @@ object WdsQueries extends QueryRegistry {
       val samples = Array.tabulate(n)(i =>
         (12000.0 * StrictMath.sin(2.0 * StrictMath.PI * freq * i / sr))
           .toShort)
-      graft.multimodal.WavCodec.encode(
-        graft.multimodal.WavCodec.Wav(sr, 1, samples))
+      // container depth rotates per doc — real corpora mix 8/16/24-bit
+      // and float WAVs, and the decode tier must normalize them all;
+      // the output here is GEOMETRY (counts/rate), identical at every
+      // depth, so the oracle is untouched while the parse path varies
+      (id % 4) match {
+        case 0 => graft.multimodal.WavCodec.encode(
+          graft.multimodal.WavCodec.Wav(sr, 1, samples))
+        case d =>
+          import java.nio.{ByteBuffer, ByteOrder}
+          val (fmt, bits) = d match {
+            case 1 => (1, 8)
+            case 2 => (1, 24)
+            case _ => (3, 32)
+          }
+          val bodyLen = n * bits / 8
+          val b = ByteBuffer.allocate(44 + bodyLen)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + bodyLen)
+          b.put("WAVE".getBytes("US-ASCII"))
+          b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+          b.putShort(fmt.toShort); b.putShort(1)
+          b.putInt(sr); b.putInt(sr * bits / 8)
+          b.putShort((bits / 8).toShort); b.putShort(bits.toShort)
+          b.put("data".getBytes("US-ASCII")); b.putInt(bodyLen)
+          samples.foreach { v =>
+            bits match {
+              case 8 => b.put((((v >> 8) + 128) & 0xff).toByte)
+              case 24 =>
+                b.put(0.toByte) // low byte: exact << 8 of the 16-bit value
+                b.put((v & 0xff).toByte)
+                b.put(((v >> 8) & 0xff).toByte)
+              case _ => b.putFloat(v / 32767.0f)
+            }
+          }
+          b.array()
+      }
     }
     val media = Tables(s, dir).documents
       .select(col("doc_id").as("media_id"), mkWav(col("doc_id")).as("content"))

@@ -1214,7 +1214,46 @@ object MediaQueries extends QueryRegistry {
       |    AS id3_bytes
       |FROM fl GROUP BY d, n ORDER BY media_id""".stripMargin
 
+  /** mm26: Ogg/Opus container audit — podcasts and web audio. Per-doc
+    * synthesized Opus-in-Ogg streams probed header-only: page/packet
+    * accounting from the lacing tables, OpusHead fields, and duration
+    * from the final 48 kHz granule minus pre-skip. Opus DECODE stays
+    * typed (codebook blocker); this is the audit row. */
+  private def oggProbe(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val nAudio = (10 + id % 40).toInt
+      val ch = (1 + id % 2).toInt
+      val pre = (100 + (id % 5) * 52).toInt
+      val bytes = graft.multimodal.OggProbe.encodeMinimalOpus(
+        ch, pre, 48000, nAudio)
+      val m = graft.multimodal.OggProbe.probe(bytes)
+      (m.codec, m.nPages, m.nPackets, m.channels, m.preSkip,
+        m.lastGranule, math.round(m.durationSec * 1000).toInt)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("codec"),
+        col("st._2").as("n_pages"), col("st._3").as("n_packets"),
+        col("st._4").as("channels"), col("st._5").as("pre_skip"),
+        col("st._6").as("last_granule"), col("st._7").as("dur_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  /** duration = nAudio·960/48000 s exactly (pre-skip cancels);
+    * 960·nAudio is a multiple of 48 so dur_ms is integral */
+  private val oggProbeSql =
+    """SELECT doc_id AS media_id, 'opus' AS codec,
+      |  (12 + doc_id % 40)::INT AS n_pages,
+      |  (12 + doc_id % 40)::INT AS n_packets,
+      |  (1 + doc_id % 2)::INT AS channels,
+      |  (100 + (doc_id % 5) * 52)::INT AS pre_skip,
+      |  (100 + (doc_id % 5) * 52 + (10 + doc_id % 40) * 960)::BIGINT
+      |    AS last_granule,
+      |  ((10 + doc_id % 40) * 960 * 1000 // 48000)::INT AS dur_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm26_ogg_probe" -> QueryDef(oggProbe, Some(oggProbeSql)),
     "mm25_mp3_probe" -> QueryDef(mp3Probe, Some(mp3ProbeSql)),
     "mm24_webm_probe" -> QueryDef(webmProbe, Some(webmProbeSql)),
     "mm23_vtt_align" -> QueryDef(vttAlign, Some(vttAlignSql)),

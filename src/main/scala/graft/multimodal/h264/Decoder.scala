@@ -10,15 +10,20 @@ package graft.multimodal.h264
   * compensation at quarter-pel precision over MULTIPLE reference
   * frames (per-partition ref_idx against a sliding-window DPB),
   * explicit weighted prediction, B slices (two POC-ordered lists,
-  * bi-prediction averaging, spatial direct with colocated-zero
-  * refinement, B_Skip, 16x16/16x8/8x16 types), dequant + inverse
-  * transforms, in-loop deblocking with full two-list inter
-  * boundary-strength derivation. Remaining non-CAVLC/High features
-  * (CABAC, fields, 8x8 transform, temporal direct, B_8x8
-  * sub-partitions, explicit bipred weighting) raise
-  * [[UnsupportedFeature]] so the FrameSource seam can triage them as
-  * the typed unsupported-codec signal (mm13) instead of emitting
-  * garbage pixels.
+  * bi-prediction with default averaging AND explicit per-list
+  * weighting, spatial + temporal direct with colocated-zero
+  * refinement, B_Skip, 16x16/16x8/8x16 and B_8x8 sub-partition
+  * types), ref_pic_list_modification (short + long term), MMCO
+  * adaptive marking parse (ops surfaced to the DPB walk via
+  * [[Yuv.mmco]]), dequant + inverse transforms, in-loop deblocking
+  * with full two-list inter boundary-strength derivation. The
+  * remaining non-CAVLC/High features — the ones that still `grep
+  * UnsupportedFeature` here and in [[Sps]] — raise the typed signal
+  * so the FrameSource seam can triage them as the unsupported-codec
+  * signal (mm13) instead of emitting garbage pixels: CABAC entropy
+  * coding, interlaced fields/MBAFF, 8x8 transform / scaling
+  * matrices, chroma formats other than 4:2:0, bit depth > 8, FMO/ASO
+  * slice layouts, and per-slice deblock-param divergence.
   */
 object Decoder {
 
@@ -39,12 +44,19 @@ object Decoder {
   }
 
   /** decoded frame; planes are MB-aligned, `width`/`height` are the
-    * cropped picture dims. `poc` is stamped by the GOP walk (display
-    * ordering for B reference lists); `motion` carries the picture's
-    * block motion for colocated direct derivation. */
+    * cropped picture dims. `poc` and `frameNum` are stamped by the GOP
+    * walk (display ordering for B reference lists; PicNum derivation
+    * for ref_pic_list_modification and MMCO); `motion` carries the
+    * picture's block motion for colocated direct derivation;
+    * `longTermIdx >= 0` marks the picture a long-term reference (its
+    * LongTermFrameIdx, set by the walk when applying MMCO 3/6);
+    * `mmco` carries the picture's OWN dec_ref_pic_marking adaptive
+    * ops (op, v1, v2) for the walk to apply to its DPB — the decoder
+    * parses marking syntax but DPB state lives in the walk. */
   final case class Yuv(width: Int, height: Int, mbW: Int, mbH: Int,
       y: Array[Int], cb: Array[Int], cr: Array[Int],
-      poc: Int = 0, motion: Motion = null) {
+      poc: Int = 0, motion: Motion = null, frameNum: Int = -1,
+      longTermIdx: Int = -1, mmco: List[(Int, Int, Int)] = Nil) {
     def strideY: Int = mbW * 16
     def strideC: Int = mbW * 8
     def luma(x: Int, yy: Int): Int = y(yy * strideY + x)
@@ -283,10 +295,16 @@ object Decoder {
   }
 
   private def decodePicture(slices: Seq[(Boolean, Int, Array[Byte])],
-      cfg: AvcConfig, list0: IndexedSeq[Yuv], list1: IndexedSeq[Yuv],
-      curPoc: Int): Yuv = {
+      cfg: AvcConfig, initList0: IndexedSeq[Yuv],
+      initList1: IndexedSeq[Yuv], curPoc: Int): Yuv = {
     val sps = cfg.sps
     val pps = cfg.pps
+    // EFFECTIVE reference lists of the current slice: the initialized
+    // lists as passed, re-ordered per slice when the header carries
+    // ref_pic_list_modification (8.2.4.3). Closures below read these
+    // vars, so a per-slice reorder is visible everywhere.
+    var list0: IndexedSeq[Yuv] = initList0
+    var list1: IndexedSeq[Yuv] = initList1
     // per-slice parse state: the bit reader and the slice's first MB
     // address gate neighbor availability (6.4.9 — MBs of other slices
     // are not available for intra pred, CAVLC nC, or MV prediction)
@@ -320,7 +338,11 @@ object Decoder {
     var isBCur = false
     var activeRefs = 1 // num_ref_idx_l0_active of the current slice
     var activeRefs1 = 1 // num_ref_idx_l1_active (B slices)
-    var curWeights: WeightTable = null // pred_weight_table of the slice
+    var curWeights: WeightTable = null // pred_weight_table, list 0
+    var curWeights1: WeightTable = null // pred_weight_table, list 1 (B)
+    var implicitBiCur = false // weighted_bipred_idc == 2 on a B slice
+    var curFrameNum = 0 // frame_num of the current slice (= CurrPicNum)
+    var mmcoOps: List[(Int, Int, Int)] = Nil // dec_ref_pic_marking ops
     // per-4x4-block motion grids per reference list (8.4.1.3
     // prediction + deblock bS); P slices use list 0 only
     val bCols = mbW * 4
@@ -335,7 +357,7 @@ object Decoder {
     // may reach the same picture through different lists/indices):
     // index into the deduped list0++list1 pool, -1 = none
     val pidPool = new java.util.IdentityHashMap[Yuv, Integer]()
-    (list0 ++ list1).foreach(p =>
+    (initList0 ++ initList1).foreach(p =>
       if (!pidPool.containsKey(p)) pidPool.put(p, pidPool.size()))
     @inline def pidOf(list: IndexedSeq[Yuv], refIdx: Int): Int =
       if (refIdx < 0 || refIdx >= list.length) -1
@@ -361,6 +383,106 @@ object Decoder {
         require(v < active, s"ref_idx $v >= $active active")
         v
       }
+
+    /** ref_pic_list_modification ops for one list (7.3.3.1): list of
+      * (modification_of_pic_nums_idc, value); empty = flag 0 */
+    def parseModOps(): List[(Int, Int)] =
+      if (r.u1() == 0) Nil
+      else {
+        val ops = List.newBuilder[(Int, Int)]
+        var idc = r.ue()
+        var guard = 0
+        while (idc != 3) {
+          require(idc <= 2, s"modification_of_pic_nums_idc $idc")
+          ops += ((idc, r.ue()))
+          guard += 1
+          require(guard <= 32, "runaway ref_pic_list_modification")
+          idc = r.ue()
+        }
+        ops.result()
+      }
+
+    /** apply 8.2.4.3.1/8.2.4.3.2 list reordering: pull the picture
+      * with the signalled PicNum (idc 0/1, short-term, differential
+      * against picNumLXPred) or LongTermPicNum (idc 2) to the front,
+      * shifting the rest — the literal spec buffer algorithm over a
+      * list of active+1 slots, truncated to `active` at the end.
+      * Candidates come from the INITIALIZED list (the full DPB as
+      * passed by the walk), which must be frameNum-stamped. */
+    def applyMod(init: IndexedSeq[Yuv], active: Int,
+        ops: List[(Int, Int)]): IndexedSeq[Yuv] = {
+      if (ops.isEmpty) return init
+      val maxPicNum = 1 << sps.log2MaxFrameNum
+      def picNumOf(p: Yuv): Int = {
+        require(p.frameNum >= 0,
+          "ref_pic_list_modification needs a frameNum-stamped DPB")
+        if (p.frameNum > curFrameNum) p.frameNum - maxPicNum
+        else p.frameNum
+      }
+      val buf = new Array[Yuv](active + 1)
+      var i = 0
+      while (i < buf.length && i < init.length) { buf(i) = init(i); i += 1 }
+      var refIdx = 0
+      var pred = curFrameNum // picNumLXPred starts at CurrPicNum
+      ops.foreach { case (idc, value) =>
+        val target =
+          if (idc <= 1) {
+            val absDiff = value + 1
+            var noWrap = if (idc == 0) pred - absDiff else pred + absDiff
+            if (noWrap < 0) noWrap += maxPicNum
+            else if (noWrap >= maxPicNum) noWrap -= maxPicNum
+            pred = noWrap
+            val picNum =
+              if (noWrap > curFrameNum) noWrap - maxPicNum else noWrap
+            init.find(p => p.longTermIdx < 0 && picNumOf(p) == picNum)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no short-term reference with PicNum $picNum"))
+          } else
+            init.find(_.longTermIdx == value)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no long-term reference with LongTermPicNum $value"))
+        var c = buf.length - 1
+        while (c > refIdx) { buf(c) = buf(c - 1); c -= 1 }
+        buf(refIdx) = target
+        refIdx += 1
+        var n = refIdx
+        var ci = refIdx
+        while (ci < buf.length) {
+          if (buf(ci) ne target) { buf(n) = buf(ci); n += 1 }
+          ci += 1
+        }
+      }
+      val out = buf.take(active).toVector
+      require(out.forall(_ != null), "modified reference list underfilled")
+      out
+    }
+
+    /** pred_weight_table (7.3.3.2): l0 entries, then l1 entries on a
+      * B slice. Returns (list0 table, list1 table or null). */
+    def parseWeightTable(withL1: Boolean): (WeightTable, WeightTable) = {
+      val lwd = r.ue()
+      require(lwd <= 7, s"luma_log2_weight_denom $lwd")
+      val cwd = r.ue()
+      require(cwd <= 7, s"chroma_log2_weight_denom $cwd")
+      def listTable(active: Int): WeightTable = {
+        val wt = new WeightTable(lwd, cwd,
+          Array.fill(active)(1 << lwd), new Array[Int](active),
+          Array.fill(active)(1 << cwd), new Array[Int](active),
+          Array.fill(active)(1 << cwd), new Array[Int](active))
+        var i = 0
+        while (i < active) {
+          if (r.u1() == 1) { wt.wY(i) = r.se(); wt.oY(i) = r.se() }
+          if (r.u1() == 1) {
+            wt.wCb(i) = r.se(); wt.oCb(i) = r.se()
+            wt.wCr(i) = r.se(); wt.oCr(i) = r.se()
+          }
+          i += 1
+        }
+        wt
+      }
+      val t0 = listTable(activeRefs)
+      (t0, if (withL1) listTable(activeRefs1) else null)
+    }
 
     /** luma-block-grid neighbor availability: inside the picture AND in
       * the current slice (6.4.9) */
@@ -1048,7 +1170,8 @@ object Decoder {
       mb.qpY = prevQp
       mb.parts = directSpatialParts(mbX, mbY)
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, list0, list1, firstMbCur, curWeights)
+        pps, list0, list1, firstMbCur, curWeights, curWeights1,
+        implicitBiCur, curPoc)
     }
 
     /** one P_Skip macroblock: derived MV, refIdx 0, zero residual */
@@ -1064,7 +1187,8 @@ object Decoder {
       mb.qpY = prevQp
       mb.parts = Array(Part(0, 0, 16, 16, 0, mvx, mvy))
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, list0, list1, firstMbCur, curWeights)
+        pps, list0, list1, firstMbCur, curWeights, curWeights1,
+        implicitBiCur, curPoc)
     }
 
     def decodeMbLayer(mbIdx: Int): Unit = {
@@ -1090,7 +1214,8 @@ object Decoder {
         parseIntraMb(mb, mbX, mbY)
       }
       reconstruct(mb, mbX, mbY, mbW, mbH, y, cb, cr, strideY, strideC,
-        pps, list0, list1, firstMbCur, curWeights)
+        pps, list0, list1, firstMbCur, curWeights, curWeights1,
+        implicitBiCur, curPoc)
     }
 
     // --- per slice: header (7.3.3) then slice_data (7.3.4) ---
@@ -1113,7 +1238,7 @@ object Decoder {
       isBCur = isB
       sawP = sawP || isP || isB
       require(r.ue() == 0, "pps id")
-      r.u(sps.log2MaxFrameNum) // frame_num
+      curFrameNum = r.u(sps.log2MaxFrameNum) // frame_num (= CurrPicNum)
       if (idr) r.ue() // idr_pic_id
       if (sps.picOrderCntType == 0) {
         r.u(sps.log2MaxPocLsb)
@@ -1132,13 +1257,19 @@ object Decoder {
         }
         if (activeRefs > 16 || activeRefs1 > 16)
           throw UnsupportedFeature("reference count > 16")
-        if (r.u1() == 1)
-          throw UnsupportedFeature("ref_pic_list_modification (l0)")
-        if (r.u1() == 1)
-          throw UnsupportedFeature("ref_pic_list_modification (l1)")
-        if (pps.weightedBipredIdc == 1)
-          throw UnsupportedFeature("explicit weighted biprediction")
-        curWeights = null
+        // ref_pic_list_modification (7.3.3.1) on both lists, then the
+        // pred_weight_table when the PPS signals EXPLICIT bipred
+        // weighting (idc 1); idc 2 selects the IMPLICIT POC-derived
+        // weights applied at reconstruction (8.4.2.3.1)
+        val mods0 = parseModOps()
+        val mods1 = parseModOps()
+        list0 = applyMod(initList0, activeRefs, mods0)
+        list1 = applyMod(initList1, activeRefs1, mods1)
+        if (pps.weightedBipredIdc == 1) {
+          val (t0, t1) = parseWeightTable(withL1 = true)
+          curWeights = t0; curWeights1 = t1
+        } else { curWeights = null; curWeights1 = null }
+        implicitBiCur = pps.weightedBipredIdc == 2
         require(list0.nonEmpty && list1.nonEmpty,
           "B slice needs both reference lists")
         (list0 ++ list1).foreach(rf =>
@@ -1147,8 +1278,9 @@ object Decoder {
       }
       if (isP) {
         // ref list sizing + modification (7.3.3.1): the INITIALIZED
-        // list 0 (descending PicNum, i.e. `refs` as passed) is used
-        // directly — explicit reordering stays a typed signal
+        // list 0 is descending-PicNum short-term then ascending-
+        // LongTermPicNum long-term, i.e. `refs` as the walk passes it;
+        // explicit reordering re-derives per slice
         val active =
           if (r.u1() == 1) r.ue() + 1 else pps.numRefIdxL0Default + 1
         if (active > 16)
@@ -1157,30 +1289,16 @@ object Decoder {
         // only enforce what's actually addressable (ref_idx parse
         // checks < active, reconstruct checks < refs.length)
         activeRefs = active
-        if (r.u1() == 1)
-          throw UnsupportedFeature("ref_pic_list_modification")
+        val mods0 = parseModOps()
+        list0 = applyMod(initList0, activeRefs, mods0)
         // pred_weight_table (7.3.3.2): explicit weighted prediction
         // for P slices — the fade tool; defaults mean identity
         if (pps.weightedPred) {
-          val lwd = r.ue()
-          require(lwd <= 7, s"luma_log2_weight_denom $lwd")
-          val cwd = r.ue()
-          require(cwd <= 7, s"chroma_log2_weight_denom $cwd")
-          val wt = new WeightTable(lwd, cwd,
-            Array.fill(active)(1 << lwd), new Array[Int](active),
-            Array.fill(active)(1 << cwd), new Array[Int](active),
-            Array.fill(active)(1 << cwd), new Array[Int](active))
-          var i = 0
-          while (i < active) {
-            if (r.u1() == 1) { wt.wY(i) = r.se(); wt.oY(i) = r.se() }
-            if (r.u1() == 1) {
-              wt.wCb(i) = r.se(); wt.oCb(i) = r.se()
-              wt.wCr(i) = r.se(); wt.oCr(i) = r.se()
-            }
-            i += 1
-          }
-          curWeights = wt
+          val (t0, _) = parseWeightTable(withL1 = false)
+          curWeights = t0
         } else curWeights = null
+        curWeights1 = null
+        implicitBiCur = false
         require(list0.nonEmpty, "P slice without a reference frame")
         list0.foreach(rf =>
           require(rf.mbW == sps.mbWidth && rf.mbH == sps.mbHeight,
@@ -1188,8 +1306,29 @@ object Decoder {
       }
       if (idr) { r.u1(); r.u1() } // no_output_of_prior / long_term_ref
       else if (refIdc > 0) {
-        // dec_ref_pic_marking for a non-IDR reference picture (7.3.3.3)
-        if (r.u1() == 1) throw UnsupportedFeature("adaptive ref pic marking")
+        // dec_ref_pic_marking for a non-IDR reference picture
+        // (7.3.3.3): adaptive MMCO ops are PARSED here and surfaced on
+        // the output Yuv — marking mutates the DPB, which the GOP walk
+        // owns (every slice of a picture carries identical marking, so
+        // the first slice's ops stand)
+        if (r.u1() == 1) {
+          val ops = List.newBuilder[(Int, Int, Int)]
+          var op = r.ue()
+          var guard = 0
+          while (op != 0) {
+            op match {
+              case 1 | 2 | 4 | 6 => ops += ((op, r.ue(), 0))
+              case 3 => ops += ((op, r.ue(), r.ue()))
+              case 5 => ops += ((op, 0, 0))
+              case _ => throw new IllegalArgumentException(
+                s"memory_management_control_operation $op")
+            }
+            guard += 1
+            require(guard <= 35, "runaway dec_ref_pic_marking")
+            op = r.ue()
+          }
+          if (mmcoOps.isEmpty) mmcoOps = ops.result()
+        }
       }
       val sliceQp = pps.picInitQp + r.se()
       require(sliceQp >= 0 && sliceQp <= 51,
@@ -1250,14 +1389,58 @@ object Decoder {
 
     Yuv(sps.width, sps.height, mbW, mbH, y, cb, cr,
       motion = Motion(refGrid, mvxGrid, mvyGrid,
-        refGrid1, mvxGrid1, mvyGrid1, refPocGrid0, refPocGrid1))
+        refGrid1, mvxGrid1, mvyGrid1, refPocGrid0, refPocGrid1),
+      frameNum = curFrameNum, mmco = mmcoOps)
+  }
+
+  /** implicit bi-prediction weights (8.4.2.3.1, weighted_bipred_idc
+    * 2): (w0, w1) from POC distances, degrading to the 32/32 average
+    * when the refs tie on POC, either is long-term, or the scale
+    * factor leaves [-64, 128]. logWD is 5, offsets 0. */
+  private def implicitWeights(r0: Yuv, r1: Yuv, curPoc: Int): (Int, Int) = {
+    if (curPoc == Motion.NoPoc)
+      throw UnsupportedFeature("implicit weighted bipred without POC")
+    @inline def clip3(lo: Int, hi: Int, v: Int) =
+      if (v < lo) lo else if (v > hi) hi else v
+    if (r0.longTermIdx >= 0 || r1.longTermIdx >= 0 || r0.poc == r1.poc)
+      (32, 32)
+    else {
+      val td = clip3(-128, 127, r1.poc - r0.poc)
+      val tb = clip3(-128, 127, curPoc - r0.poc)
+      val tx = (16384 + math.abs(td / 2)) / td
+      val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+      val w1 = dsf >> 2
+      if (w1 < -64 || w1 > 128) (32, 32) else (64 - w1, w1)
+    }
+  }
+
+  /** weighted bi-prediction combine in place (8.4.2.3.2):
+    * dst = Clip1(((dst·w0 + src1·w1 + 2^logWD) >> (logWD+1)) +
+    * ((o0+o1+1) >> 1)) — shared by explicit (per-list tables) and
+    * implicit (POC weights, offsets 0) modes */
+  private def combineWeighted(dst: Array[Int], src1: Array[Int],
+      stride: Int, x0: Int, y0: Int, w: Int, h: Int, logWD: Int,
+      w0: Int, w1: Int, o0: Int, o1: Int): Unit = {
+    val rnd = 1 << logWD
+    val off = (o0 + o1 + 1) >> 1
+    var dy = 0
+    while (dy < h) {
+      var dx = 0
+      while (dx < w) {
+        val i = (y0 + dy) * stride + x0 + dx
+        dst(i) = clip(((dst(i) * w0 + src1(i) * w1 + rnd) >> (logWD + 1)) + off)
+        dx += 1
+      }
+      dy += 1
+    }
   }
 
   private def reconstruct(mb: MbResidual, mbX: Int, mbY: Int, mbW: Int,
       mbH: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
       strideY: Int, strideC: Int, pps: Pps, list0: IndexedSeq[Yuv],
       list1: IndexedSeq[Yuv], firstMb: Int,
-      weights: WeightTable): Unit = {
+      weights: WeightTable, weights1: WeightTable,
+      implicitBi: Boolean, curPoc: Int): Unit = {
     val x0 = mbX * 16
     val y0 = mbY * 16
     // neighbor MB availability for intra prediction: inside the picture
@@ -1316,34 +1499,69 @@ object Decoder {
         }
 
         if (part.ref0 >= 0 && part.ref1 >= 0) {
-          // bi-prediction: per-sample rounded average (8.4.2.3.1
-          // default mode; explicit bipred weighting is a typed signal)
+          // bi-prediction (8.4.2): default rounded average, or the
+          // explicit per-list tables (weighted_bipred_idc 1), or the
+          // implicit POC-derived weights (idc 2)
           mc(list0, part.ref0, part.mv0x, part.mv0y, pred, predCb, predCr)
           mc(list1, part.ref1, part.mv1x, part.mv1y, pred1, predCb1,
             predCr1)
-          var dy = 0
-          while (dy < h) {
-            var dx = 0
-            while (dx < w) {
-              val i = (py + dy) * 16 + px + dx
-              pred(i) = (pred(i) + pred1(i) + 1) >> 1
-              dx += 1
+          if (weights != null && weights1 != null) {
+            combineWeighted(pred, pred1, 16, px, py, w, h,
+              weights.logWDLuma, weights.wY(part.ref0),
+              weights1.wY(part.ref1), weights.oY(part.ref0),
+              weights1.oY(part.ref1))
+            combineWeighted(predCb, predCb1, 8, px / 2, py / 2,
+              w / 2, h / 2, weights.logWDChroma, weights.wCb(part.ref0),
+              weights1.wCb(part.ref1), weights.oCb(part.ref0),
+              weights1.oCb(part.ref1))
+            combineWeighted(predCr, predCr1, 8, px / 2, py / 2,
+              w / 2, h / 2, weights.logWDChroma, weights.wCr(part.ref0),
+              weights1.wCr(part.ref1), weights.oCr(part.ref0),
+              weights1.oCr(part.ref1))
+          } else if (implicitBi) {
+            val (w0, w1) =
+              implicitWeights(list0(part.ref0), list1(part.ref1), curPoc)
+            combineWeighted(pred, pred1, 16, px, py, w, h, 5, w0, w1, 0, 0)
+            combineWeighted(predCb, predCb1, 8, px / 2, py / 2,
+              w / 2, h / 2, 5, w0, w1, 0, 0)
+            combineWeighted(predCr, predCr1, 8, px / 2, py / 2,
+              w / 2, h / 2, 5, w0, w1, 0, 0)
+          } else {
+            var dy = 0
+            while (dy < h) {
+              var dx = 0
+              while (dx < w) {
+                val i = (py + dy) * 16 + px + dx
+                pred(i) = (pred(i) + pred1(i) + 1) >> 1
+                dx += 1
+              }
+              dy += 1
             }
-            dy += 1
-          }
-          dy = 0
-          while (dy < h / 2) {
-            var dx = 0
-            while (dx < w / 2) {
-              val i = (py / 2 + dy) * 8 + px / 2 + dx
-              predCb(i) = (predCb(i) + predCb1(i) + 1) >> 1
-              predCr(i) = (predCr(i) + predCr1(i) + 1) >> 1
-              dx += 1
+            dy = 0
+            while (dy < h / 2) {
+              var dx = 0
+              while (dx < w / 2) {
+                val i = (py / 2 + dy) * 8 + px / 2 + dx
+                predCb(i) = (predCb(i) + predCb1(i) + 1) >> 1
+                predCr(i) = (predCr(i) + predCr1(i) + 1) >> 1
+                dx += 1
+              }
+              dy += 1
             }
-            dy += 1
           }
         } else if (part.ref1 >= 0) {
           mc(list1, part.ref1, part.mv1x, part.mv1y, pred, predCb, predCr)
+          if (weights1 != null) {
+            val refIdx = part.ref1
+            applyWeight(pred, 16, px, py, w, h, weights1.logWDLuma,
+              weights1.wY(refIdx), weights1.oY(refIdx))
+            applyWeight(predCb, 8, px / 2, py / 2, w / 2, h / 2,
+              weights1.logWDChroma, weights1.wCb(refIdx),
+              weights1.oCb(refIdx))
+            applyWeight(predCr, 8, px / 2, py / 2, w / 2, h / 2,
+              weights1.logWDChroma, weights1.wCr(refIdx),
+              weights1.oCr(refIdx))
+          }
         } else {
           mc(list0, part.ref0, part.mv0x, part.mv0y, pred, predCb, predCr)
           if (weights != null) {

@@ -44,10 +44,12 @@ object Encoder {
       maxNumRefFrames = numRefFrames)
   }
 
-  def ppsFor(qp: Int, weightedPred: Boolean = false): Pps =
+  def ppsFor(qp: Int, weightedPred: Boolean = false,
+      weightedBipredIdc: Int = 0): Pps =
     Pps(entropyCodingMode = 0, picInitQp = qp, chromaQpOffset = 0,
       deblockingFilterControlPresent = true,
-      weightedPred = weightedPred)
+      weightedPred = weightedPred,
+      weightedBipredIdc = weightedBipredIdc)
 
   /** the avcC box payload for an SPS/PPS pair, 4-byte NAL lengths */
   def avccPayload(sps: Sps, pps: Pps): Array[Byte] = {
@@ -177,13 +179,18 @@ object Encoder {
   }
 
   /** B slice header (7.3.3): spatial direct, optional per-list active
-    * override, no list modification, no weight table (bipred idc 0),
-    * non-reference (no dec_ref_pic_marking). `pocLsb` orders the
-    * picture between its references for the walk's list construction. */
+    * override, optional list modification and EXPLICIT bipred weight
+    * tables (legal only when the PPS carries weighted_bipred_idc 1 —
+    * both lists' tables then REQUIRED), non-reference (no
+    * dec_ref_pic_marking). `pocLsb` orders the picture between its
+    * references for the walk's list construction. */
   private[h264] def writeBSliceHeader(w: BitWriter, sps: Sps,
       frameNum: Int, pocLsb: Int, sliceQpDelta: Int, deblock: Boolean,
       firstMb: Int = 0, numRefs0: Int = 1, numRefs1: Int = 1,
-      spatialDirect: Boolean = true): Unit = {
+      spatialDirect: Boolean = true,
+      modL0: Seq[(Int, Int)] = Nil, modL1: Seq[(Int, Int)] = Nil,
+      weights0: Option[WeightSpec] = None,
+      weights1: Option[WeightSpec] = None): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(6) // slice_type B (all slices)
     w.ue(0) // pps id
@@ -197,8 +204,47 @@ object Encoder {
       w.ue(numRefs0 - 1)
       w.ue(numRefs1 - 1)
     }
-    w.u1(0) // ref_pic_list_modification_flag_l0
-    w.u1(0) // ref_pic_list_modification_flag_l1
+    def writeMod(mods: Seq[(Int, Int)]): Unit =
+      if (mods.isEmpty) w.u1(0)
+      else {
+        w.u1(1)
+        mods.foreach { case (idc, v) => w.ue(idc); w.ue(v) }
+        w.ue(3)
+      }
+    writeMod(modL0) // ref_pic_list_modification_flag_l0
+    writeMod(modL1) // ref_pic_list_modification_flag_l1
+    // pred_weight_table (7.3.3.2), l0 entries then l1 entries; the
+    // log2 denoms are slice-wide, taken from weights0
+    (weights0, weights1) match {
+      case (Some(w0), Some(w1)) =>
+        require(w0.logWDLuma == w1.logWDLuma &&
+          w0.logWDChroma == w1.logWDChroma,
+          "log2_weight_denom is slice-wide (shared by both lists)")
+        w.ue(w0.logWDLuma)
+        w.ue(w0.logWDChroma)
+        def entries(ws: WeightSpec, n: Int): Unit = {
+          require(ws.luma.length == n && ws.chroma.length == n,
+            "one weight entry per active reference")
+          var i = 0
+          while (i < n) {
+            ws.luma(i) match {
+              case Some((wy, oy)) => w.u1(1); w.se(wy); w.se(oy)
+              case None => w.u1(0)
+            }
+            ws.chroma(i) match {
+              case Some((wcb, ocb, wcr, ocr)) =>
+                w.u1(1); w.se(wcb); w.se(ocb); w.se(wcr); w.se(ocr)
+              case None => w.u1(0)
+            }
+            i += 1
+          }
+        }
+        entries(w0, numRefs0)
+        entries(w1, numRefs1)
+      case (None, None) => ()
+      case _ => throw new IllegalArgumentException(
+        "explicit bipred weighting needs BOTH lists' tables")
+    }
     w.se(sliceQpDelta)
     w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
     if (deblock) { w.se(0); w.se(0) }
@@ -214,7 +260,9 @@ object Encoder {
       frameNum: Int, sliceQpDelta: Int, deblock: Boolean,
       firstMb: Int = 0, numRefs: Int = 1,
       weights: Option[WeightSpec] = None,
-      pocLsbOverride: Int = -1): Unit = {
+      pocLsbOverride: Int = -1,
+      modL0: Seq[(Int, Int)] = Nil,
+      mmco: Seq[(Int, Int, Int)] = Nil): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type P (all slices)
     w.ue(0) // pps id
@@ -227,7 +275,14 @@ object Encoder {
       w.u1(1) // num_ref_idx_active_override
       w.ue(numRefs - 1) // num_ref_idx_l0_active_minus1
     }
-    w.u1(0) // ref_pic_list_modification_flag_l0
+    // ref_pic_list_modification (7.3.3.1): (idc, value) pairs, closed
+    // by idc 3
+    if (modL0.isEmpty) w.u1(0)
+    else {
+      w.u1(1)
+      modL0.foreach { case (idc, v) => w.ue(idc); w.ue(v) }
+      w.ue(3)
+    }
     // pred_weight_table (7.3.3.2) — only legal when the PPS carries
     // weighted_pred_flag = 1; callers pair this with ppsFor(qp, true)
     weights.foreach { ws =>
@@ -249,7 +304,22 @@ object Encoder {
         i += 1
       }
     }
-    w.u1(0) // dec_ref_pic_marking: adaptive flag (sliding window)
+    // dec_ref_pic_marking (7.3.3.3): sliding window, or adaptive MMCO
+    // (op, v1, v2) ops closed by op 0
+    if (mmco.isEmpty) w.u1(0)
+    else {
+      w.u1(1)
+      mmco.foreach { case (op, v1, v2) =>
+        w.ue(op)
+        op match {
+          case 1 | 2 | 4 | 6 => w.ue(v1)
+          case 3 => w.ue(v1); w.ue(v2)
+          case 5 => ()
+          case _ => throw new IllegalArgumentException(s"mmco op $op")
+        }
+      }
+      w.ue(0)
+    }
     w.se(sliceQpDelta)
     w.ue(if (deblock) 0 else 1) // disable_deblocking_filter_idc
     if (deblock) { w.se(0); w.se(0) }

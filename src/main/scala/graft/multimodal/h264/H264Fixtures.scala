@@ -603,6 +603,359 @@ object H264Fixtures {
     (256L * (v0 + v1), 128L * 128L, 128L * 128L)
   }
 
+  /** EXPLICIT-WEIGHTED-BIPRED avc1 fixture (mm19 extension):
+    * decode-order triads [IDR, P(PCM), B] displayed [IDR, B, P] via
+    * ctts — like [[videoB]], but the PPS carries weighted_bipred_idc
+    * 1, so every B slice header carries a pred_weight_table for BOTH
+    * lists (8.4.2.3.2 explicit mode — the fade tool for B pictures).
+    * The B kind cycles by triad index t%3:
+    *
+    *  - 0: B_Bi_16x16 — yv = clip(((ia·w0y + vb·w1y + 32) >> 6) +
+    *    ((o0y+o1y+1) >> 1)); chroma weights push u/v off neutral so
+    *    BT.601 runs with live chroma terms.
+    *  - 1: B_L0_16x16 — single-list weighting with the L0 table.
+    *  - 2: B_L1_16x16 — single-list weighting with the L1 table.
+    *
+    * A decoder that averages instead of weighting, swaps the lists'
+    * tables, or mis-rounds the (logWD+1) bi shift lands on a
+    * different uniform value and shifts a channel sum. */
+  def videoWeightedB(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
+    val pps = Encoder.ppsFor(qp, weightedBipredIdc = 1)
+    val p = weightedBParams(docId)
+    val w0 = Encoder.WeightSpec(5, 6,
+      Seq(Some((p._1, p._2))), Seq(Some((p._5, p._6, p._7, p._8))))
+    val w1 = Encoder.WeightSpec(5, 6,
+      Seq(Some((p._3, p._4))), Seq(Some((p._9, p._10, p._11, p._12))))
+    val samples = (0 until n).map { f =>
+      val t = f / 3
+      (f % 3) match {
+        case 0 => i16PlainFrame(docId, 3 * t, sps)
+        case 1 =>
+          // P anchor at poc 4 (the B sits between at poc 2)
+          val w = new BitWriter
+          Encoder.writePSliceHeader(w, sps, 1, sliceQpDelta = 0,
+            deblock = true, pocLsbOverride = 4)
+          w.ue(0) // mb_skip_run
+          w.ue(30) // mb_type: 5 + I_PCM(25)
+          w.alignZero()
+          val vb = multiRefPcmVal(docId, 3 * t)
+          var i = 0
+          while (i < 256) { w.u(8, vb); i += 1 }
+          i = 0
+          while (i < 128) { w.u(8, 128); i += 1 }
+          Encoder.avccSampleP(w)
+        case _ =>
+          val w = new BitWriter
+          Encoder.writeBSliceHeader(w, sps, frameNum = 2, pocLsb = 2,
+            sliceQpDelta = 0, deblock = true,
+            weights0 = Some(w0), weights1 = Some(w1))
+          (t % 3) match {
+            case 0 =>
+              w.ue(0) // mb_skip_run
+              w.ue(3) // B_Bi_16x16
+              w.se(0); w.se(0) // mvd_l0
+              w.se(0); w.se(0) // mvd_l1
+              w.ue(Decoder.codeNumFromCbpInter(0))
+            case 1 =>
+              w.ue(0)
+              w.ue(1) // B_L0_16x16
+              w.se(0); w.se(0)
+              w.ue(Decoder.codeNumFromCbpInter(0))
+            case _ =>
+              w.ue(0)
+              w.ue(2) // B_L1_16x16
+              w.se(0); w.se(0)
+              w.ue(Decoder.codeNumFromCbpInter(0))
+          }
+          Encoder.avccSampleB(w)
+      }
+    }
+    val ctts = (0 until n).map(f => (f % 3) match {
+      case 0 => 1000L
+      case 1 => 2000L
+      case _ => 0L
+    })
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 3,
+      sampleEntryExtension = Encoder.avccBox(sps, pps),
+      compositionOffsets = ctts)
+  }
+
+  /** (w0y, o0y, w1y, o1y, w0cb, o0cb, w0cr, o0cr, w1cb, o1cb, w1cr,
+    * o1cr) of [[videoWeightedB]]'s B slices (luma logWD 5, chroma 6) */
+  def weightedBParams(d: Long): (Int, Int, Int, Int, Int, Int, Int,
+      Int, Int, Int, Int, Int) = (
+    20 + (d % 25).toInt, (d % 11).toInt - 5,
+    20 + ((3 * d) % 25).toInt, ((2 * d) % 11).toInt - 5,
+    56 + (d % 16).toInt, (d % 7).toInt - 3,
+    56 + ((2 * d) % 16).toInt, (d % 5).toInt - 2,
+    56 + ((3 * d) % 16).toInt, ((2 * d) % 7).toInt - 3,
+    56 + ((5 * d) % 16).toInt, ((3 * d) % 5).toInt - 2)
+
+  /** closed-form plane sums for [[videoWeightedB]] — `f` is the
+    * DISPLAY index (triad order IDR, B, P) */
+  def expectedSumsWeightedB(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val t = f / 3
+    val la = 1 + ((d + 3 * t) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    val vb = multiRefPcmVal(d, 3 * t)
+    val p = weightedBParams(d)
+    val (w0y, o0y, w1y, o1y) = (p._1, p._2, p._3, p._4)
+    val (w0cb, o0cb, w0cr, o0cr) = (p._5, p._6, p._7, p._8)
+    val (w1cb, o1cb, w1cr, o1cr) = (p._9, p._10, p._11, p._12)
+    (f % 3) match {
+      case 0 => (256L * ia, 64L * 128L, 64L * 128L)
+      case 2 => (256L * vb, 64L * 128L, 64L * 128L)
+      case _ => (t % 3) match {
+        case 0 =>
+          val yv = clip(((ia * w0y + vb * w1y + 32) >> 6) +
+            ((o0y + o1y + 1) >> 1))
+          val cbv = clip(((128 * w0cb + 128 * w1cb + 64) >> 7) +
+            ((o0cb + o1cb + 1) >> 1))
+          val crv = clip(((128 * w0cr + 128 * w1cr + 64) >> 7) +
+            ((o0cr + o1cr + 1) >> 1))
+          (256L * yv, 64L * cbv, 64L * crv)
+        case 1 =>
+          val yv = clip(((ia * w0y + 16) >> 5) + o0y)
+          val cbv = clip(((128 * w0cb + 32) >> 6) + o0cb)
+          val crv = clip(((128 * w0cr + 32) >> 6) + o0cr)
+          (256L * yv, 64L * cbv, 64L * crv)
+        case _ =>
+          val yv = clip(((vb * w1y + 16) >> 5) + o1y)
+          val cbv = clip(((128 * w1cb + 32) >> 6) + o1cb)
+          val crv = clip(((128 * w1cr + 32) >> 6) + o1cr)
+          (256L * yv, 64L * cbv, 64L * crv)
+      }
+    }
+  }
+
+  /** IMPLICIT-WEIGHTED-BIPRED avc1 fixture (weighted_bipred_idc 2,
+    * 8.4.2.3.1): triads [IDR poc 0, P poc 6, B poc 2] — the B sits
+    * OFF-CENTER between its references, so the POC-derived weights
+    * (td 6, tb 2 → tx 2731, dsf 85 → w1 21, w0 43) differ from the
+    * 32/32 default average; yv = clip((ia·43 + vb·21 + 32) >> 6).
+    * Chroma stays 128 (43+21 = 64 exactly), keeping BT.601 the
+    * identity. Before this fixture, an idc-2 stream decoded with the
+    * default average — silently wrong pixels, the exact failure class
+    * the typed-signal policy exists to prevent. */
+  def videoImplicitB(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
+    val pps = Encoder.ppsFor(qp, weightedBipredIdc = 2)
+    val samples = (0 until n).map { f =>
+      val t = f / 3
+      (f % 3) match {
+        case 0 => i16PlainFrame(docId, 3 * t, sps)
+        case 1 =>
+          // P at poc 6 (pocLsbOverride): PCM picture, the far anchor
+          val w = new BitWriter
+          Encoder.writePSliceHeader(w, sps, 1, sliceQpDelta = 0,
+            deblock = true, pocLsbOverride = 6)
+          w.ue(0) // mb_skip_run
+          w.ue(30) // mb_type: 5 + I_PCM(25)
+          w.alignZero()
+          val vb = multiRefPcmVal(docId, 3 * t)
+          var i = 0
+          while (i < 256) { w.u(8, vb); i += 1 }
+          i = 0
+          while (i < 128) { w.u(8, 128); i += 1 }
+          Encoder.avccSampleP(w)
+        case _ =>
+          val w = new BitWriter
+          Encoder.writeBSliceHeader(w, sps, frameNum = 2, pocLsb = 2,
+            sliceQpDelta = 0, deblock = true)
+          w.ue(0) // mb_skip_run
+          w.ue(3) // B_Bi_16x16
+          w.se(0); w.se(0) // mvd_l0
+          w.se(0); w.se(0) // mvd_l1
+          w.ue(Decoder.codeNumFromCbpInter(0))
+          Encoder.avccSampleB(w)
+      }
+    }
+    val ctts = (0 until n).map(f => (f % 3) match {
+      case 0 => 1000L
+      case 1 => 2000L
+      case _ => 0L
+    })
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 3,
+      sampleEntryExtension = Encoder.avccBox(sps, pps),
+      compositionOffsets = ctts)
+  }
+
+  /** closed-form plane sums for [[videoImplicitB]] — `f` is the
+    * DISPLAY index (triad order IDR, B, P) */
+  def expectedSumsImplicitB(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val t = f / 3
+    val la = 1 + ((d + 3 * t) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    val vb = multiRefPcmVal(d, 3 * t)
+    val yv = (f % 3) match {
+      case 0 => ia
+      case 2 => vb
+      case _ => clip((ia * 43 + vb * 21 + 32) >> 6) // w0 43, w1 21
+    }
+    (256L * yv, 64L * 128L, 64L * 128L)
+  }
+
+  /** REF_PIC_LIST_MODIFICATION avc1 fixture (mm18 extension,
+    * 8.2.4.3): GOPs of 4 over a 2-picture sliding window where the
+    * copy P slices run with ONE active reference and pull their
+    * source to the front by explicit PicNum (idc 0, abs_diff 2):
+    *
+    *  - g0: IDR, I_16x16 uniform (ia).  DPB [I].
+    *  - g1: P PCM (vb, fn 1).  DPB [P1, I].
+    *  - g2: P fn 2, modification → PicNum 0 = the IDR (default list
+    *    head is P1) → copies ia.  DPB [P2, P1].
+    *  - g3: P fn 3, modification → PicNum 1 = P1 (default head is
+    *    P2) → copies vb.
+    *
+    * A decoder that parses the ops but keeps the initialized order
+    * decodes g2 = vb, g3 = ia — the values SWAP, so the oracle fails
+    * whenever ia != vb. Chroma 128 throughout. */
+  def videoModList(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16, numRefFrames = 2)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map { f =>
+      val fi = f - f % 4
+      (f % 4) match {
+        case 0 => i16PlainFrame(docId, f, sps)
+        case 1 => pPcmFrame(docId, fi, sps)
+        case g =>
+          val w = new BitWriter
+          Encoder.writePSliceHeader(w, sps, g, sliceQpDelta = 0,
+            deblock = true, modL0 = Seq((0, 1)))
+          w.ue(0) // mb_skip_run
+          w.ue(0) // mb_type P_L0_16x16 (ref_idx 0 = the modified head)
+          w.se(0); w.se(0) // mvd (mvp = (0,0): no neighbors)
+          w.ue(Decoder.codeNumFromCbpInter(0))
+          Encoder.avccSampleP(w)
+      }
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 4,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  /** closed-form plane sums for [[videoModList]] frames */
+  def expectedSumsModList(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val fi = f - f % 4
+    val la = 1 + ((d + fi) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    val vb = multiRefPcmVal(d, fi)
+    val yv = (f % 4) match {
+      case 0 | 2 => ia
+      case _ => vb
+    }
+    (256L * yv, 64L * 128L, 64L * 128L)
+  }
+
+  /** MMCO avc1 fixture (mm18 extension, 8.2.5.4): GOPs of 5 where
+    * adaptive dec_ref_pic_marking changes which pictures survive in
+    * the DPB — a pure-sliding-window walk resolves the same ref_idx
+    * to a DIFFERENT picture. Two variants by doc parity:
+    *
+    *  - even docs (max_num_ref_frames 3): g2 carries MMCO op 1
+    *    (unmark short-term PicNum 1 = P1). g3 then reads ref_idx 1 of
+    *    [P2, I] → ia (sliding window would see [P2, P1, I] → vb1);
+    *    g4 reads ref_idx 2 of [P3, P2, I] → ia (sliding window
+    *    evicted the IDR at g3 → [P3, P2, P1] → vb1).
+    *  - odd docs (max_num_ref_frames 2): g1 carries MMCO op 3
+    *    (convert the IDR to LONG-TERM idx 0). Long-term pictures are
+    *    exempt from the sliding window, so g3/g4's ref_idx 1 reaches
+    *    the IDR (ia) while a window-only walk lands on P1/P2
+    *    (vb1/vb2).
+    *
+    * Both variants decode to [ia, vb1, vb2, ia, ia]; chroma 128. */
+  def videoMmco(docId: Long, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val even = docId % 2 == 0
+    val sps = Encoder.spsFor(16, 16, numRefFrames = if (even) 3 else 2)
+    val pps = Encoder.ppsFor(qp)
+    val samples = (0 until n).map { f =>
+      val fi = f - f % 5
+      def copyP(fn: Int, active: Int, refIdx: Int): Array[Byte] = {
+        val w = new BitWriter
+        Encoder.writePSliceHeader(w, sps, fn, sliceQpDelta = 0,
+          deblock = true, numRefs = active)
+        w.ue(0) // mb_skip_run
+        w.ue(0) // mb_type P_L0_16x16
+        Encoder.writeRefIdx(w, active, refIdx)
+        w.se(0); w.se(0) // mvd (mvp = (0,0): no neighbors)
+        w.ue(Decoder.codeNumFromCbpInter(0))
+        Encoder.avccSampleP(w)
+      }
+      def pcmP(fn: Int, salt: Int,
+          mmco: Seq[(Int, Int, Int)]): Array[Byte] = {
+        val w = new BitWriter
+        Encoder.writePSliceHeader(w, sps, fn, sliceQpDelta = 0,
+          deblock = true, mmco = mmco)
+        w.ue(0) // mb_skip_run
+        w.ue(30) // mb_type: 5 + I_PCM(25)
+        w.alignZero()
+        val vb = multiRefPcmVal(docId, fi + salt)
+        var i = 0
+        while (i < 256) { w.u(8, vb); i += 1 }
+        i = 0
+        while (i < 128) { w.u(8, 128); i += 1 }
+        Encoder.avccSampleP(w)
+      }
+      (f % 5) match {
+        case 0 => i16PlainFrame(docId, f, sps)
+        case 1 => // even: plain PCM; odd: PCM + op3 (IDR -> long-term 0)
+          pcmP(1, 1, if (even) Nil else Seq((3, 0, 0)))
+        case 2 => // even: PCM + op1 (unmark P1); odd: plain PCM
+          pcmP(2, 2, if (even) Seq((1, 0, 0)) else Nil)
+        case 3 => copyP(3, 2, 1)
+        case _ => if (even) copyP(4, 3, 2) else copyP(4, 2, 1)
+      }
+    }
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 5,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
+  /** closed-form plane sums for [[videoMmco]] frames (both variants
+    * decode identically — that's the point: MMCO is a DPB protocol,
+    * not a pixel transform) */
+  def expectedSumsMmco(d: Long, f: Int): (Long, Long, Long) = {
+    val qp = qpFor(d)
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def clip(x: Int) = math.max(0, math.min(255, x))
+    val fi = f - f % 5
+    val la = 1 + ((d + fi) % 5).toInt
+    val dc =
+      if (qp >= 36) (la * v) << (qp / 6 - 6)
+      else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ia = clip(128 + ((dc + 32) >> 6))
+    val yv = (f % 5) match {
+      case 0 | 3 | 4 => ia
+      case g => multiRefPcmVal(d, fi + g)
+    }
+    (256L * yv, 64L * 128L, 64L * 128L)
+  }
+
   /** kind-1 (I_16x16 uniform) closed-form plane sums, shared by
     * [[expectedSums]] and the GOP oracle. */
   private def i16Sums(d: Long, f: Int): (Long, Long, Long) = {

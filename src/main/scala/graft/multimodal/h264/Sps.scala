@@ -143,7 +143,7 @@ object Pps {
     w.ue(0) // one slice group
     w.ue(0); w.ue(0)
     w.u1(if (pps.weightedPred) 1 else 0) // weighted_pred_flag
-    w.u(2, 0) // weighted_bipred_idc
+    w.u(2, pps.weightedBipredIdc) // weighted_bipred_idc
     w.se(pps.picInitQp - 26)
     w.se(0)
     w.se(pps.chromaQpOffset)

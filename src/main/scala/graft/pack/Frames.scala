@@ -208,17 +208,18 @@ object FrameSource {
       }
     }
     // GOP decode state for the avc1 walk-back: (video identity, decode
-    // index of the last decoded frame, the sliding-window DPB after
+    // index of the last decoded frame, the short-term DPB after
     // folding frames [gopStart..index] — most recently decoded
-    // reference FIRST, i.e. P-slice reference list 0 order — and the
-    // POC msb/lsb state of the last reference picture). Lets
-    // increasing-index access — the uniform/segment samplers' pattern
-    // — cost one incremental decode per frame instead of re-walking
-    // from the sync sample each call.
+    // reference FIRST, i.e. P-slice reference list 0 order — the
+    // long-term DPB (ascending LongTermFrameIdx, populated by MMCO
+    // 3/6), and the POC msb/lsb state of the last reference picture).
+    // Lets increasing-index access — the uniform/segment samplers'
+    // pattern — cost one incremental decode per frame instead of
+    // re-walking from the sync sample each call.
     private val avcState =
       new ThreadLocal[java.lang.ref.SoftReference[
         (Array[Byte], Int, Vector[graft.multimodal.h264.Decoder.Yuv],
-          Int, Int)]]
+          Vector[graft.multimodal.h264.Decoder.Yuv], Int, Int)]]
 
     /** decode DECODE-ORDER sample `index` of an avc1 track: seek to
       * the nearest preceding sync sample and motion-compensate forward
@@ -233,20 +234,24 @@ object FrameSource {
     private def decodeAvc(video: Array[Byte], t: Mp4Samples.Track,
         cfg: graft.multimodal.h264.Decoder.AvcConfig,
         index: Int): graft.multimodal.h264.Decoder.Yuv = {
-      import graft.multimodal.h264.Decoder
+      import graft.multimodal.h264.{Decoder, UnsupportedFeature}
       val maxRef = math.max(1, cfg.sps.maxNumRefFrames)
       val maxLsb = 1 << cfg.sps.log2MaxPocLsb
+      val maxFrameNum = 1 << cfg.sps.log2MaxFrameNum
       var sync = index
       while (sync > 0 && !t.isSync(sync)) sync -= 1
       require(t.isSync(sync), s"no sync sample at or before frame $index")
       val cached = Option(avcState.get()).flatMap(r => Option(r.get()))
-      val (start, refs0, pm0, pl0) = cached match {
-        case Some((v, i, dpb, pm, pl))
+      val (start, refs0, long0, pm0, pl0) = cached match {
+        case Some((v, i, dpb, lt, pm, pl))
             if (v eq video) && i < index && i >= sync =>
-          (i + 1, dpb, pm, pl)
-        case _ => (sync, Vector.empty[Decoder.Yuv], 0, 0)
+          (i + 1, dpb, lt, pm, pl)
+        case _ =>
+          (sync, Vector.empty[Decoder.Yuv], Vector.empty[Decoder.Yuv],
+            0, 0)
       }
-      var refPics = refs0
+      var shortRefs = refs0
+      var longRefs = long0 // ascending LongTermFrameIdx
       var prevPocMsb = pm0
       var prevPocLsb = pl0
       var out: Decoder.Yuv = null
@@ -270,19 +275,65 @@ object FrameSource {
             msb + lsb
           }
         if (j == index || isRef) {
-          val dpb = if (info.idr) Vector.empty[Decoder.Yuv] else refPics
+          val (shorts, longs) =
+            if (info.idr) (Vector.empty[Decoder.Yuv], Vector.empty[Decoder.Yuv])
+            else (shortRefs, longRefs)
+          // list initialization (8.2.4.2): P list0 = short-term
+          // descending PicNum (the walk's most-recent-first order)
+          // then long-term ascending LongTermPicNum; B lists order
+          // short-term by POC distance and append long-term to both
           val d0 =
             if (info.isB) {
-              val past = dpb.filter(_.poc < poc).sortBy(-_.poc)
-              val future = dpb.filter(_.poc > poc).sortBy(_.poc)
-              Decoder.decode(sample, cfg, past ++ future, future ++ past,
-                poc)
-            } else Decoder.decode(sample, cfg, dpb)
+              val past = shorts.filter(_.poc < poc).sortBy(-_.poc)
+              val future = shorts.filter(_.poc > poc).sortBy(_.poc)
+              Decoder.decode(sample, cfg, past ++ future ++ longs,
+                future ++ past ++ longs, poc)
+            } else Decoder.decode(sample, cfg, shorts ++ longs)
           val d = d0.copy(poc = poc)
           if (j == index) out = d
-          if (isRef)
-            refPics =
-              if (info.idr) Vector(d) else (d +: refPics).take(maxRef)
+          if (isRef) {
+            if (info.idr) { shortRefs = Vector(d); longRefs = Vector.empty }
+            else if (d.mmco.nonEmpty) {
+              // adaptive marking (8.2.5.4): apply the picture's MMCO
+              // ops to the DPB; sliding window is NOT invoked
+              def fnWrap(p: Decoder.Yuv): Int =
+                if (p.frameNum > info.frameNum) p.frameNum - maxFrameNum
+                else p.frameNum
+              var cur = d
+              d.mmco.foreach {
+                case (1, diff, _) => // unmark a short-term picture
+                  val picNumX = info.frameNum - (diff + 1)
+                  shortRefs = shortRefs.filterNot(p => fnWrap(p) == picNumX)
+                case (2, lt, _) => // unmark a long-term picture
+                  longRefs = longRefs.filterNot(_.longTermIdx == lt)
+                case (3, diff, lt) => // short-term -> long-term
+                  val picNumX = info.frameNum - (diff + 1)
+                  val pic = shortRefs.find(p => fnWrap(p) == picNumX)
+                  shortRefs = shortRefs.filterNot(p => fnWrap(p) == picNumX)
+                  longRefs = (longRefs.filterNot(_.longTermIdx == lt) ++
+                    pic.map(_.copy(longTermIdx = lt)))
+                    .sortBy(_.longTermIdx)
+                case (4, maxPlus1, _) => // max_long_term_frame_idx
+                  longRefs = longRefs.filter(_.longTermIdx <= maxPlus1 - 1)
+                case (6, lt, _) => // current picture -> long-term
+                  cur = d.copy(longTermIdx = lt)
+                  longRefs = (longRefs.filterNot(_.longTermIdx == lt)
+                    :+ cur).sortBy(_.longTermIdx)
+                case (op, _, _) => throw UnsupportedFeature(
+                  // op 5 (reset) re-bases frame_num AND POC mid-GOP —
+                  // typed until a stream needs it
+                  s"memory_management_control_operation $op")
+              }
+              if (cur.longTermIdx < 0) shortRefs = cur +: shortRefs
+            } else {
+              // sliding window (8.2.5.3): evict the OLDEST short-term
+              // picture; long-term pictures are exempt
+              shortRefs = d +: shortRefs
+              while (shortRefs.size + longRefs.size > maxRef &&
+                  shortRefs.nonEmpty)
+                shortRefs = shortRefs.init
+            }
+          }
         }
         if (isRef) {
           prevPocMsb = if (info.idr) 0 else poc - info.pocLsb
@@ -292,7 +343,7 @@ object FrameSource {
       }
       require(out != null, s"frame $index not decoded (cache state bug)")
       avcState.set(new java.lang.ref.SoftReference(
-        (video, index, refPics, prevPocMsb, prevPocLsb)))
+        (video, index, shortRefs, longRefs, prevPocMsb, prevPocLsb)))
       out
     }
 

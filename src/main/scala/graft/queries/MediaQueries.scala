@@ -756,35 +756,47 @@ object MediaQueries extends QueryRegistry {
       |  sum(256 * (v0 + v1))::BIGINT AS b_sum
       |FROM vals GROUP BY par ORDER BY frame_parity""".stripMargin
 
-  /** mm18: MULTI-REFERENCE H.264 decode gate. Real encoders keep a
-    * multi-picture sliding window (SPS max_num_ref_frames > 1) and
-    * pick per-partition ref_idx_l0; each doc synthesizes a 2-ref GOP
-    * fixture ([[graft.multimodal.h264.H264Fixtures.videoMultiRef]]:
-    * IDR, intra-in-P PCM, then two P frames whose ref_idx = 1 reaches
-    * PAST the most recent picture) and decodes every frame through
-    * Mp4Frames — whose GOP walk must maintain the same DPB order
-    * (most recent first) to resolve every index. A decoder that
-    * ignores ref_idx, mis-orders list 0, or truncates the window
-    * lands on the WRONG uniform value at GOP positions 2/3 and shifts
-    * a sum. Chroma is uncoded (128) throughout, so BT.601 is the
-    * identity and each channel sum is 256·yv closed-form. */
+  /** mm18: MULTI-REFERENCE / DPB-PROTOCOL H.264 decode gate, three
+    * fixtures per doc tagged 0/1/2:
+    *
+    *  - 0 [[graft.multimodal.h264.H264Fixtures.videoMultiRef]]: 2-ref
+    *    sliding window, per-partition ref_idx reaching PAST the most
+    *    recent picture — wrong list-0 order shifts GOP positions 2/3.
+    *  - 1 [[graft.multimodal.h264.H264Fixtures.videoModList]]:
+    *    ref_pic_list_modification (8.2.4.3) pulls an older PicNum to
+    *    the list head — a parse-and-ignore decoder SWAPS g2/g3 values.
+    *  - 2 [[graft.multimodal.h264.H264Fixtures.videoMmco]]: adaptive
+    *    dec_ref_pic_marking — MMCO op 1 (short-term unmark, even
+    *    docs) and op 3 (convert to LONG-TERM, exempt from the
+    *    window, odd docs) change which picture a later ref_idx
+    *    resolves to vs a pure sliding-window walk.
+    *
+    * All decode through Mp4Frames (full container walk). Chroma is
+    * uncoded (128) throughout, so BT.601 is the identity and each
+    * channel sum is 256·yv closed-form. */
   private def avcMultiRefDecode(s: SparkSession, dir: String): DataFrame = {
     val stats = udf { (id: Long) =>
-      val n = (9 + id % 4).toInt
-      val bytes = graft.multimodal.h264.H264Fixtures.videoMultiRef(id, n)
       val src = graft.pack.FrameSource.Mp4Frames
-      (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var i = 0
-        while (i < img.data.length) {
-          rs += img.data(i) & 0xff
-          gs += img.data(i + 1) & 0xff
-          bs += img.data(i + 2) & 0xff
-          i += 3
+      def sums(bytes: Array[Byte], n: Int, gop: Int, fixture: Int) =
+        (0 until n).map { f =>
+          val img = Codecs.decodeImage(src.frame(bytes, f))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var i = 0
+          while (i < img.data.length) {
+            rs += img.data(i) & 0xff
+            gs += img.data(i + 1) & 0xff
+            bs += img.data(i + 2) & 0xff
+            i += 3
+          }
+          (fixture, f % gop, rs, gs, bs)
         }
-        (f % 4, rs, gs, bs)
-      }
+      val fx = graft.multimodal.h264.H264Fixtures
+      val n0 = (9 + id % 4).toInt
+      val n1 = (8 + 4 * (id % 2)).toInt
+      val n2 = (10 + 5 * (id % 2)).toInt
+      sums(fx.videoMultiRef(id, n0), n0, 4, 0) ++
+        sums(fx.videoModList(id, n1), n1, 4, 1) ++
+        sums(fx.videoMmco(id, n2), n2, 5, 2)
     }
     Tables(s, dir).documents
       .select(col("doc_id"))
@@ -793,126 +805,217 @@ object MediaQueries extends QueryRegistry {
       // compute-bound per-row decode (see mm22's measured 10x)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(stats(col("doc_id"))).as("st"))
-      .select(col("st._1").as("gop_pos"), col("st._2").as("rs"),
-        col("st._3").as("gs"), col("st._4").as("bs"))
-      .groupBy(col("gop_pos"))
+      .select(col("st._1").as("fixture"), col("st._2").as("gop_pos"),
+        col("st._3").as("rs"), col("st._4").as("gs"),
+        col("st._5").as("bs"))
+      .groupBy(col("fixture"), col("gop_pos"))
       .agg(count(lit(1)).as("n_frames"),
         sum(col("rs")).cast("long").as("r_sum"),
         sum(col("gs")).cast("long").as("g_sum"),
         sum(col("bs")).cast("long").as("b_sum"))
-      .orderBy(col("gop_pos"))
+      .orderBy(col("fixture"), col("gop_pos"))
   }
 
-  /** Replays videoMultiRef's closed-form truth: g0/g2 are the uniform
-    * I_16x16 DC value (g2 only if ref_idx 1 resolved to the IDR);
-    * g1/g3 are the PCM byte (g3 only if ref_idx 1 resolved to the PCM
-    * picture); chroma 128 everywhere makes every channel equal. */
+  /** Replays the three fixtures' closed-form truths. Fixture 0
+    * (multiref): g0/g2 the uniform I_16x16 value, g1/g3 the PCM byte.
+    * Fixture 1 (mod-list): g0/g2 → ia (g2 only if the modification
+    * re-headed list 0 to the IDR), g1/g3 → vb. Fixture 2 (MMCO):
+    * g0/g3/g4 → ia (g3/g4 only if marking removed — or long-term-
+    * protected — the right pictures), g1/g2 → salted PCM bytes.
+    * Chroma 128 everywhere makes every channel equal. */
   private val avcMultiRefDecodeSql =
     """WITH g AS (
-      |  SELECT doc_id AS d, (9 + doc_id % 4)::INT AS n,
-      |    (16 + doc_id % 24)::INT AS qp
+      |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp
       |  FROM documents),
       |fr AS (
-      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
+      |  SELECT d, qp, 0 AS fixture, 4 AS gop,
+      |    unnest(generate_series(0, (9 + d % 4)::INT - 1)) AS f FROM g
+      |  UNION ALL
+      |  SELECT d, qp, 1 AS fixture, 4 AS gop,
+      |    unnest(generate_series(0, (8 + 4 * (d % 2))::INT - 1)) AS f FROM g
+      |  UNION ALL
+      |  SELECT d, qp, 2 AS fixture, 5 AS gop,
+      |    unnest(generate_series(0, (10 + 5 * (d % 2))::INT - 1)) AS f FROM g),
       |q AS (
-      |  SELECT d, f, qp, (f % 4)::INT AS g4, (f - f % 4)::INT AS fi,
+      |  SELECT d, f, qp, fixture, (f % gop)::INT AS gp,
+      |    (f - f % gop)::INT AS fi,
       |    [10,11,13,14,16,18][qp % 6 + 1] AS v6
       |  FROM fr),
-      |vals AS (
-      |  SELECT d, f, g4,
-      |    CASE WHEN g4 IN (0, 2) THEN
-      |      GREATEST(0, LEAST(255, 128 +
-      |        (CASE WHEN qp >= 36 THEN (1 + (d + fi) % 5) * v6
-      |              ELSE ((1 + (d + fi) % 5) * v6 + (1 << (5 - qp//6)))
-      |                   // (1 << (6 - qp//6)) END + 32) // 64))
-      |    ELSE (16 + (d * 37 + fi * 19) % 224) END AS yv
-      |  FROM q)
-      |SELECT g4 AS gop_pos, count(*) AS n_frames,
-      |  sum(256 * yv)::BIGINT AS r_sum,
-      |  sum(256 * yv)::BIGINT AS g_sum,
-      |  sum(256 * yv)::BIGINT AS b_sum
-      |FROM vals GROUP BY g4 ORDER BY gop_pos""".stripMargin
-
-  /** mm19: WEIGHTED-PREDICTION H.264 decode gate (pred_weight_table,
-    * the fade tool — 8.4.2.3.2 explicit mode). Each doc synthesizes a
-    * weighted GOP fixture ([[graft.multimodal.h264.H264Fixtures
-    * .videoWeighted]]: IDR, then a P copy whose luma runs
-    * ((v·wy+16)>>5)+oy and whose chroma weights push u/v off neutral)
-    * and decodes every frame through Mp4Frames. The oracle replays the
-    * weight arithmetic AND the full BT.601 matrix with live chroma
-    * terms; one wrong rounding constant or a luma/chroma denom mixup
-    * shifts a channel sum. */
-  private def avcWeightedDecode(s: SparkSession, dir: String): DataFrame = {
-    val stats = udf { (id: Long) =>
-      val n = (8 + id % 5).toInt
-      val bytes = graft.multimodal.h264.H264Fixtures.videoWeighted(id, n)
-      val src = graft.pack.FrameSource.Mp4Frames
-      (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var i = 0
-        while (i < img.data.length) {
-          rs += img.data(i) & 0xff
-          gs += img.data(i + 1) & 0xff
-          bs += img.data(i + 2) & 0xff
-          i += 3
-        }
-        (f % 2, rs, gs, bs)
-      }
-    }
-    Tables(s, dir).documents
-      .select(col("doc_id"))
-      // explicit-count repartition: the id shuffle is a few KB, so
-      // AQE would coalesce to one partition and serialize the
-      // compute-bound per-row decode (see mm22's measured 10x)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(explode(stats(col("doc_id"))).as("st"))
-      .select(col("st._1").as("frame_parity"), col("st._2").as("rs"),
-        col("st._3").as("gs"), col("st._4").as("bs"))
-      .groupBy(col("frame_parity"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(col("rs")).cast("long").as("r_sum"),
-        sum(col("gs")).cast("long").as("g_sum"),
-        sum(col("bs")).cast("long").as("b_sum"))
-      .orderBy(col("frame_parity"))
-  }
-
-  /** Replays videoWeighted's closed forms: the even-frame I_16x16
-    * uniform, the odd-frame luma weight ((ia·wy+16)//32)+oy and chroma
-    * weights over 128, then BT.601 integer RGB. */
-  private val avcWeightedDecodeSql =
-    """WITH g AS (
-      |  SELECT doc_id AS d, (8 + doc_id % 5)::INT AS n,
-      |    (16 + doc_id % 24)::INT AS qp
-      |  FROM documents),
-      |fr AS (
-      |  SELECT d, qp, unnest(generate_series(0, n - 1)) AS f FROM g),
-      |q AS (
-      |  SELECT d, f, qp, (f % 2)::INT AS par, (f - f % 2)::INT AS fi,
-      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
-      |    (20 + d % 25)::INT AS wy, (d % 11 - 5)::INT AS oy,
-      |    (56 + d % 16)::INT AS wcb, (d % 7 - 3)::INT AS ocb,
-      |    (56 + (2*d) % 16)::INT AS wcr, (d % 5 - 2)::INT AS ocr
-      |  FROM fr),
       |q2 AS (
-      |  SELECT *, GREATEST(0, LEAST(255, 128 +
+      |  SELECT *,
+      |    GREATEST(0, LEAST(255, 128 +
       |      (CASE WHEN qp >= 36 THEN (1 + (d + fi) % 5) * v6
       |            ELSE ((1 + (d + fi) % 5) * v6 + (1 << (5 - qp//6)))
       |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS ia
       |  FROM q),
+      |vals AS (
+      |  SELECT d, f, fixture, gp,
+      |    CASE
+      |      WHEN fixture = 0 THEN
+      |        CASE WHEN gp IN (0, 2) THEN ia
+      |             ELSE (16 + (d * 37 + fi * 19) % 224) END
+      |      WHEN fixture = 1 THEN
+      |        CASE WHEN gp IN (0, 2) THEN ia
+      |             ELSE (16 + (d * 37 + fi * 19) % 224) END
+      |      ELSE
+      |        CASE WHEN gp IN (0, 3, 4) THEN ia
+      |             ELSE (16 + (d * 37 + (fi + gp) * 19) % 224) END
+      |    END AS yv
+      |  FROM q2)
+      |SELECT fixture, gp AS gop_pos, count(*) AS n_frames,
+      |  sum(256 * yv)::BIGINT AS r_sum,
+      |  sum(256 * yv)::BIGINT AS g_sum,
+      |  sum(256 * yv)::BIGINT AS b_sum
+      |FROM vals GROUP BY fixture, gp ORDER BY fixture, gop_pos""".stripMargin
+
+  /** mm19: WEIGHTED-PREDICTION H.264 decode gate (8.4.2.3), three
+    * fixtures per doc tagged 0/1/2:
+    *
+    *  - 0 [[graft.multimodal.h264.H264Fixtures.videoWeighted]]:
+    *    P-slice explicit pred_weight_table (the fade tool), luma
+    *    ((v·wy+16)>>5)+oy plus chroma weights off neutral.
+    *  - 1 [[graft.multimodal.h264.H264Fixtures.videoWeightedB]]:
+    *    weighted_bipred_idc 1 — B slices with BOTH lists' weight
+    *    tables, cycling Bi (the (logWD+1) combine), L0-only and
+    *    L1-only weighted prediction.
+    *  - 2 [[graft.multimodal.h264.H264Fixtures.videoImplicitB]]:
+    *    weighted_bipred_idc 2 — implicit POC-derived weights on an
+    *    off-center B (w0 43, w1 21), which differ from the 32/32
+    *    average a naive decoder would produce.
+    *
+    * The oracle replays the weight arithmetic AND the full BT.601
+    * matrix with live chroma terms; one wrong rounding constant, a
+    * luma/chroma denom mixup, or a swapped list table shifts a
+    * channel sum. `pos` is f%2 (fixture 0) or the display triad
+    * position f%3 (fixtures 1/2). */
+  private def avcWeightedDecode(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val src = graft.pack.FrameSource.Mp4Frames
+      def sums(bytes: Array[Byte], n: Int, gop: Int, fixture: Int) =
+        (0 until n).map { f =>
+          val img = Codecs.decodeImage(src.frame(bytes, f))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var i = 0
+          while (i < img.data.length) {
+            rs += img.data(i) & 0xff
+            gs += img.data(i + 1) & 0xff
+            bs += img.data(i + 2) & 0xff
+            i += 3
+          }
+          (fixture, f % gop, rs, gs, bs)
+        }
+      val fx = graft.multimodal.h264.H264Fixtures
+      val n0 = (8 + id % 5).toInt
+      val n1 = (9 + 3 * (id % 3)).toInt
+      sums(fx.videoWeighted(id, n0), n0, 2, 0) ++
+        sums(fx.videoWeightedB(id, n1), n1, 3, 1) ++
+        sums(fx.videoImplicitB(id, n1), n1, 3, 2)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: the id shuffle is a few KB, so
+      // AQE would coalesce to one partition and serialize the
+      // compute-bound per-row decode (see mm22's measured 10x)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(stats(col("doc_id"))).as("st"))
+      .select(col("st._1").as("fixture"), col("st._2").as("pos"),
+        col("st._3").as("rs"), col("st._4").as("gs"),
+        col("st._5").as("bs"))
+      .groupBy(col("fixture"), col("pos"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("rs")).cast("long").as("r_sum"),
+        sum(col("gs")).cast("long").as("g_sum"),
+        sum(col("bs")).cast("long").as("b_sum"))
+      .orderBy(col("fixture"), col("pos"))
+  }
+
+  /** Replays the three fixtures' closed forms: fixture 0's odd-frame
+    * P weighting, fixture 1's B-slice explicit weighting (Bi combine
+    * at (logWD+1), single-list L0/L1 at logWD), fixture 2's implicit
+    * 43/21 POC weights — then BT.601 integer RGB with live chroma
+    * terms on the weighted rows. l0 weight params are shared between
+    * fixtures 0 and 1 by construction. */
+  private val avcWeightedDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, qp, 0 AS fixture,
+      |    unnest(generate_series(0, (8 + d % 5)::INT - 1)) AS f FROM g
+      |  UNION ALL
+      |  SELECT d, qp, 1 AS fixture,
+      |    unnest(generate_series(0, (9 + 3 * (d % 3))::INT - 1)) AS f FROM g
+      |  UNION ALL
+      |  SELECT d, qp, 2 AS fixture,
+      |    unnest(generate_series(0, (9 + 3 * (d % 3))::INT - 1)) AS f FROM g),
+      |q AS (
+      |  SELECT d, f, qp, fixture,
+      |    (CASE WHEN fixture = 0 THEN f % 2 ELSE f % 3 END)::INT AS pos,
+      |    (CASE WHEN fixture = 0 THEN f - f % 2
+      |          ELSE 3 * (f // 3) END)::INT AS fi,
+      |    ((f // 3) % 3)::INT AS tk,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    (20 + d % 25)::INT AS w0y, (d % 11 - 5)::INT AS o0y,
+      |    (20 + (3*d) % 25)::INT AS w1y, ((2*d) % 11 - 5)::INT AS o1y,
+      |    (56 + d % 16)::INT AS w0cb, (d % 7 - 3)::INT AS o0cb,
+      |    (56 + (2*d) % 16)::INT AS w0cr, (d % 5 - 2)::INT AS o0cr,
+      |    (56 + (3*d) % 16)::INT AS w1cb, ((2*d) % 7 - 3)::INT AS o1cb,
+      |    (56 + (5*d) % 16)::INT AS w1cr, ((3*d) % 5 - 2)::INT AS o1cr
+      |  FROM fr),
+      |q2 AS (
+      |  SELECT *,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN (1 + (d + fi) % 5) * v6
+      |            ELSE ((1 + (d + fi) % 5) * v6 + (1 << (5 - qp//6)))
+      |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS ia,
+      |    (16 + (d * 37 + fi * 19) % 224)::INT AS vb
+      |  FROM q),
       |uv AS (
-      |  SELECT d, f, par,
-      |    CASE WHEN par = 0 THEN ia
-      |         ELSE GREATEST(0, LEAST(255, (ia*wy + 16) // 32 + oy))
+      |  SELECT d, f, fixture, pos,
+      |    CASE
+      |      WHEN fixture = 2 THEN
+      |        CASE WHEN pos = 0 THEN ia WHEN pos = 2 THEN vb
+      |             ELSE GREATEST(0, LEAST(255,
+      |               (ia*43 + vb*21 + 32) // 64)) END
+      |      WHEN fixture = 1 THEN
+      |        CASE WHEN pos = 0 THEN ia WHEN pos = 2 THEN vb
+      |             WHEN tk = 0 THEN GREATEST(0, LEAST(255,
+      |               (ia*w0y + vb*w1y + 32) // 64 + floor((o0y+o1y+1) / 2.0)::INT))
+      |             WHEN tk = 1 THEN GREATEST(0, LEAST(255,
+      |               (ia*w0y + 16) // 32 + o0y))
+      |             ELSE GREATEST(0, LEAST(255,
+      |               (vb*w1y + 16) // 32 + o1y)) END
+      |      ELSE
+      |        CASE WHEN pos = 0 THEN ia
+      |             ELSE GREATEST(0, LEAST(255, (ia*w0y + 16) // 32 + o0y))
+      |        END
       |    END AS yv,
-      |    CASE WHEN par = 0 THEN 0
-      |         ELSE GREATEST(0, LEAST(255, (128*wcb + 32) // 64 + ocb)) - 128
+      |    CASE
+      |      WHEN fixture = 1 AND pos = 1 THEN
+      |        CASE WHEN tk = 0 THEN GREATEST(0, LEAST(255,
+      |               (128*w0cb + 128*w1cb + 64) // 128 + floor((o0cb+o1cb+1) / 2.0)::INT))
+      |             WHEN tk = 1 THEN GREATEST(0, LEAST(255,
+      |               (128*w0cb + 32) // 64 + o0cb))
+      |             ELSE GREATEST(0, LEAST(255,
+      |               (128*w1cb + 32) // 64 + o1cb)) END - 128
+      |      WHEN fixture = 0 AND pos = 1 THEN
+      |        GREATEST(0, LEAST(255, (128*w0cb + 32) // 64 + o0cb)) - 128
+      |      ELSE 0
       |    END AS u,
-      |    CASE WHEN par = 0 THEN 0
-      |         ELSE GREATEST(0, LEAST(255, (128*wcr + 32) // 64 + ocr)) - 128
+      |    CASE
+      |      WHEN fixture = 1 AND pos = 1 THEN
+      |        CASE WHEN tk = 0 THEN GREATEST(0, LEAST(255,
+      |               (128*w0cr + 128*w1cr + 64) // 128 + floor((o0cr+o1cr+1) / 2.0)::INT))
+      |             WHEN tk = 1 THEN GREATEST(0, LEAST(255,
+      |               (128*w0cr + 32) // 64 + o0cr))
+      |             ELSE GREATEST(0, LEAST(255,
+      |               (128*w1cr + 32) // 64 + o1cr)) END - 128
+      |      WHEN fixture = 0 AND pos = 1 THEN
+      |        GREATEST(0, LEAST(255, (128*w0cr + 32) // 64 + o0cr)) - 128
+      |      ELSE 0
       |    END AS v
       |  FROM q2)
-      |SELECT par AS frame_parity, count(*) AS n_frames,
+      |SELECT fixture, pos, count(*) AS n_frames,
       |  sum(256 * GREATEST(0, LEAST(255,
       |    yv + floor((91881*v + 32768) / 65536.0)::INT)))::BIGINT AS r_sum,
       |  sum(256 * GREATEST(0, LEAST(255,
@@ -920,7 +1023,7 @@ object MediaQueries extends QueryRegistry {
       |    )))::BIGINT AS g_sum,
       |  sum(256 * GREATEST(0, LEAST(255,
       |    yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS b_sum
-      |FROM uv GROUP BY par ORDER BY frame_parity""".stripMargin
+      |FROM uv GROUP BY fixture, pos ORDER BY fixture, pos""".stripMargin
 
   /** mm20: B-FRAME H.264 decode gate. Each doc synthesizes a
     * reordered GOP fixture ([[graft.multimodal.h264.H264Fixtures

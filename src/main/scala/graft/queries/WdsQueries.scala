@@ -582,8 +582,13 @@ object WdsQueries extends QueryRegistry {
         samplesPerTar = 100, alignShards = true),
       mediaFor = path => {
         val id = docId.findFirstIn(path).get.toLong
-        graft.multimodal.h264.H264Fixtures.videoB(id,
-          (9 + 3 * (id % 3)).toInt)
+        val n = (9 + 3 * (id % 3)).toInt
+        // rotation: every 5th doc carries EXPLICIT-WEIGHTED-BIPRED B
+        // slices (same triad geometry, weighted pixels) so the un
+        // sampler path exercises 8.4.2.3.2 end-to-end
+        if (id % 5 == 2)
+          graft.multimodal.h264.H264Fixtures.videoWeightedB(id, n)
+        else graft.multimodal.h264.H264Fixtures.videoB(id, n)
       })
     val pxSum = udf { (m: Map[String, Array[Byte]]) =>
       m.iterator.collect { case (k, v) if k != "json" =>
@@ -599,8 +604,10 @@ object WdsQueries extends QueryRegistry {
   }
 
   /** Geometry as wds24 (half-even rint segment centers over DISPLAY
-    * indices); pixels are videoB's closed forms — uniform chroma 128
-    * makes every channel yv, so each frame contributes 3·256·yv. */
+    * indices); pixels are videoB's closed forms for most docs (chroma
+    * 128 → every channel yv → 3·256·yv per frame) and videoWeightedB's
+    * for the d%5==2 rotation (explicit bipred weights, live chroma →
+    * full BT.601 per channel). */
   private val unAvcBPackSql =
     """WITH t AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
@@ -618,7 +625,13 @@ object WdsQueries extends QueryRegistry {
       |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii),
       |q AS (
       |  SELECT rn, d, f, qp, (f % 3)::INT AS pos, (f // 3)::INT AS tt,
-      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    (20 + d % 25)::INT AS w0y, (d % 11 - 5)::INT AS o0y,
+      |    (20 + (3*d) % 25)::INT AS w1y, ((2*d) % 11 - 5)::INT AS o1y,
+      |    (56 + d % 16)::INT AS w0cb, (d % 7 - 3)::INT AS o0cb,
+      |    (56 + (2*d) % 16)::INT AS w0cr, (d % 5 - 2)::INT AS o0cr,
+      |    (56 + (3*d) % 16)::INT AS w1cb, ((2*d) % 7 - 3)::INT AS o1cb,
+      |    (56 + (5*d) % 16)::INT AS w1cr, ((3*d) % 5 - 2)::INT AS o1cr
       |  FROM centers),
       |q2 AS (
       |  SELECT *,
@@ -628,17 +641,48 @@ object WdsQueries extends QueryRegistry {
       |                 // (1 << (6 - qp//6)) END + 32) // 64)) AS ia,
       |    (16 + (d * 37 + 3*tt * 19) % 224)::INT AS vb
       |  FROM q),
-      |vals AS (
+      |uv AS (
       |  SELECT rn,
-      |    CASE WHEN pos = 0 THEN ia
-      |         WHEN pos = 2 THEN vb
-      |         WHEN tt % 4 = 0 THEN ia
-      |         WHEN tt % 4 = 1 THEN vb
-      |         ELSE (ia + vb + 1) // 2 END AS yv
+      |    CASE WHEN d % 5 <> 2 THEN
+      |      CASE WHEN pos = 0 THEN ia
+      |           WHEN pos = 2 THEN vb
+      |           WHEN tt % 4 = 0 THEN ia
+      |           WHEN tt % 4 = 1 THEN vb
+      |           ELSE (ia + vb + 1) // 2 END
+      |    ELSE
+      |      CASE WHEN pos = 0 THEN ia
+      |           WHEN pos = 2 THEN vb
+      |           WHEN tt % 3 = 0 THEN GREATEST(0, LEAST(255,
+      |             (ia*w0y + vb*w1y + 32) // 64 + floor((o0y+o1y+1) / 2.0)::INT))
+      |           WHEN tt % 3 = 1 THEN GREATEST(0, LEAST(255,
+      |             (ia*w0y + 16) // 32 + o0y))
+      |           ELSE GREATEST(0, LEAST(255,
+      |             (vb*w1y + 16) // 32 + o1y)) END
+      |    END AS yv,
+      |    CASE WHEN d % 5 = 2 AND pos = 1 THEN
+      |      (CASE WHEN tt % 3 = 0 THEN GREATEST(0, LEAST(255,
+      |              (128*w0cb + 128*w1cb + 64) // 128 + floor((o0cb+o1cb+1) / 2.0)::INT))
+      |            WHEN tt % 3 = 1 THEN GREATEST(0, LEAST(255,
+      |              (128*w0cb + 32) // 64 + o0cb))
+      |            ELSE GREATEST(0, LEAST(255,
+      |              (128*w1cb + 32) // 64 + o1cb)) END) - 128
+      |    ELSE 0 END AS u,
+      |    CASE WHEN d % 5 = 2 AND pos = 1 THEN
+      |      (CASE WHEN tt % 3 = 0 THEN GREATEST(0, LEAST(255,
+      |              (128*w0cr + 128*w1cr + 64) // 128 + floor((o0cr+o1cr+1) / 2.0)::INT))
+      |            WHEN tt % 3 = 1 THEN GREATEST(0, LEAST(255,
+      |              (128*w0cr + 32) // 64 + o0cr))
+      |            ELSE GREATEST(0, LEAST(255,
+      |              (128*w1cr + 32) // 64 + o1cr)) END) - 128
+      |    ELSE 0 END AS v
       |  FROM q2),
       |px AS (
-      |  SELECT rn, sum(3 * 256 * yv)::BIGINT AS px_sum
-      |  FROM vals GROUP BY rn)
+      |  SELECT rn, sum(256 * (
+      |    GREATEST(0, LEAST(255, yv + floor((91881*v + 32768) / 65536.0)::INT))
+      |    + GREATEST(0, LEAST(255, yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT))
+      |    + GREATEST(0, LEAST(255, yv + floor((116130*u + 32768) / 65536.0)::INT))
+      |    ))::BIGINT AS px_sum
+      |  FROM uv GROUP BY rn)
       |SELECT printf('%09d', rn - 1) AS key, 17 AS n_entries, px_sum
       |FROM px ORDER BY key""".stripMargin
 

@@ -58,12 +58,67 @@ object Gopen {
     }
   }
 
-  def open(url: String, conf: Configuration): InputStream = {
-    val u = rewriteUrl(url)
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):".r
+
+  /** `GOPEN_SCHEMES` custom-scheme registration (reference
+    * `gopen.py:331-350`: the `gopen_schemes` dispatch dict plus the
+    * `USE_AIS_FOR` env hook that points listed protocols at the ais
+    * handler). Spark-native spelling: `;`-separated `scheme=handler`
+    * entries from the `GOPEN_SCHEMES` env var or the
+    * `graft.gopen.schemes` sysprop (precedence; the testable channel):
+    *
+    *  - `scheme=pipe:command …` — subprocess handler; `{}` in the
+    *    command expands to the full URL, `{path}` to the URL without
+    *    its `scheme://` prefix (the gopen_curl/gopen_gsutil shape).
+    *  - `scheme=other` — alias: the URL re-enters the open under the
+    *    other scheme (ONE level, no re-aliasing), typically landing
+    *    on a Hadoop `fs.<other>.impl` connector.
+    *
+    * `USE_AIS_FOR` / `graft.gopen.useAisFor` (colon-separated
+    * protocols) is the reference's companion hook verbatim: each
+    * listed protocol aliases to `ais`; explicit `GOPEN_SCHEMES`
+    * entries win over it. */
+  def schemeHandler(scheme: String): Option[String] = {
+    val registered = sys.props.get("graft.gopen.schemes")
+      .orElse(sys.env.get("GOPEN_SCHEMES"))
+      .iterator.flatMap(_.split(';').iterator)
+      .map(_.trim).filter(_.contains("="))
+      .map { e => val kv = e.split("=", 2); kv(0) -> kv(1) }
+      .toMap
+    val aisFor = sys.props.get("graft.gopen.useAisFor")
+      .orElse(sys.env.get("USE_AIS_FOR"))
+      .iterator.flatMap(_.split(':').iterator).filter(_.nonEmpty)
+      .map(_ -> "ais").toMap
+    (aisFor ++ registered).get(scheme)
+  }
+
+  def open(url: String, conf: Configuration): InputStream =
+    openResolved(rewriteUrl(url), conf, aliased = false)
+
+  private def openResolved(u: String, conf: Configuration,
+      aliased: Boolean): InputStream = {
     if (u.startsWith("pipe:")) openPipe(u.stripPrefix("pipe:"))
     else {
-      val path = new Path(u)
-      path.getFileSystem(conf).open(path)
+      val custom =
+        if (aliased) None
+        else SchemeRe.findFirstMatchIn(u).map(_.group(1))
+          .flatMap(schemeHandler)
+      custom match {
+        case Some(h) if h.startsWith("pipe:") =>
+          val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
+          val rest = u.stripPrefix(scheme + "://") match {
+            case same if same == u => u.stripPrefix(scheme + ":")
+            case stripped => stripped
+          }
+          openPipe(h.stripPrefix("pipe:")
+            .replace("{path}", rest).replace("{}", u))
+        case Some(alias) =>
+          val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
+          openResolved(alias + u.stripPrefix(scheme), conf, aliased = true)
+        case None =>
+          val path = new Path(u)
+          path.getFileSystem(conf).open(path)
+      }
     }
   }
 

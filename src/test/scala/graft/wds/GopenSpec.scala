@@ -138,6 +138,76 @@ class GopenSpec extends SparkSpec {
     }
   }
 
+  private def withProp(key: String, value: String)(body: => Unit): Unit = {
+    val prev = sys.props.get(key)
+    System.setProperty(key, value)
+    try body
+    finally prev match {
+      case Some(p) => System.setProperty(key, p): Unit
+      case None => System.clearProperty(key): Unit
+    }
+  }
+
+  test("GOPEN_SCHEMES: env-registered scheme reads a shard (alias handler)") {
+    // gopen.py:331-350's dispatch-dict registration, spelled
+    // scheme=target: a custom scheme whose handler is another scheme
+    // re-enters the open under that scheme (here onto a Hadoop
+    // fs.<scheme>.impl connector, faked local)
+    val tar = writeTar(4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", "graft.wds.AliasedLocalFileSystem")
+    try withProp("graft.gopen.schemes", "mydata=graftfs") {
+      val in = Gopen.open(s"mydata://$tar", conf)
+      val direct = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tar))
+      assert(in.readAllBytes().toSeq == direct.toSeq)
+      in.close()
+      // full reader path too: the registered scheme feeds WdsReader
+      val got = WdsReader.readUrls(spark, Seq(s"mydata://$tar")).collect()
+      assert(got.length == 4)
+    } finally conf.unset("fs.graftfs.impl")
+  }
+
+  test("GOPEN_SCHEMES: pipe-template handler substitutes {} and {path}") {
+    val tar = writeTar(3)
+    withProp("graft.gopen.schemes", "catscheme=pipe:cat /{path}") {
+      val got = WdsReader.readUrls(spark,
+        Seq("catscheme://" + tar.stripPrefix("/"))).collect()
+      assert(got.length == 3)
+    }
+    // {} carries the FULL url (the gopen_curl shape: curl -s '{}');
+    // note `;` is the entry separator (as in GOPEN_REWRITE), so the
+    // command stays semicolon-free
+    withProp("graft.gopen.schemes",
+      "echoscheme=pipe:cat \"$(printf %s '{}' | sed -e s_^echoscheme://_/_)\"") {
+      val got = WdsReader.readUrls(spark,
+        Seq("echoscheme://" + tar.stripPrefix("/"))).collect()
+      assert(got.length == 3)
+    }
+  }
+
+  test("USE_AIS_FOR aliases listed protocols to the ais handler") {
+    val tar = writeTar(5)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.ais.impl", "graft.wds.AliasedLocalFileSystem")
+    try withProp("graft.gopen.useAisFor", "gsx:s3x") {
+      for (scheme <- Seq("gsx", "s3x")) {
+        val in = Gopen.open(s"$scheme://$tar", conf)
+        val direct = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(tar))
+        assert(in.readAllBytes().toSeq == direct.toSeq, scheme)
+        in.close()
+      }
+      // explicit GOPEN_SCHEMES entries win over USE_AIS_FOR
+      withProp("graft.gopen.schemes", "gsx=pipe:cat /" + tar.stripPrefix("/")
+        + " #") {
+        val in = Gopen.open(s"gsx://ignored", conf)
+        assert(in.readAllBytes().nonEmpty)
+        in.close()
+      }
+    } finally conf.unset("fs.ais.impl")
+  }
+
   test("gs:/ais: schemes delegate to Hadoop fs.<scheme>.impl aliases") {
     // the connector path (gopen.py:153-330 gs/ais handlers): any scheme
     // with a Hadoop FileSystem binding opens natively — faked here by

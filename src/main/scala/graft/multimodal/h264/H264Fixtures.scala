@@ -874,31 +874,41 @@ object H264Fixtures {
   /** MMCO avc1 fixture (mm18 extension, 8.2.5.4): GOPs of 5 where
     * adaptive dec_ref_pic_marking changes which pictures survive in
     * the DPB — a pure-sliding-window walk resolves the same ref_idx
-    * to a DIFFERENT picture. Two variants by doc parity:
+    * (or modification PicNum) to a DIFFERENT picture. Three variants
+    * by d % 3:
     *
-    *  - even docs (max_num_ref_frames 3): g2 carries MMCO op 1
-    *    (unmark short-term PicNum 1 = P1). g3 then reads ref_idx 1 of
+    *  - 0 (max_num_ref_frames 3): g2 carries MMCO op 1 (unmark
+    *    short-term PicNum 1 = P1). g3 then reads ref_idx 1 of
     *    [P2, I] → ia (sliding window would see [P2, P1, I] → vb1);
     *    g4 reads ref_idx 2 of [P3, P2, I] → ia (sliding window
     *    evicted the IDR at g3 → [P3, P2, P1] → vb1).
-    *  - odd docs (max_num_ref_frames 2): g1 carries MMCO op 3
-    *    (convert the IDR to LONG-TERM idx 0). Long-term pictures are
-    *    exempt from the sliding window, so g3/g4's ref_idx 1 reaches
-    *    the IDR (ia) while a window-only walk lands on P1/P2
-    *    (vb1/vb2).
+    *  - 1 (max_num_ref_frames 2): g1 carries MMCO op 3 (convert the
+    *    IDR to LONG-TERM idx 0). Long-term pictures are exempt from
+    *    the sliding window, so g3/g4's ref_idx 1 reaches the IDR
+    *    (ia) while a window-only walk lands on P1/P2 (vb1/vb2).
+    *  - 2 (max_num_ref_frames 2): g2 carries MMCO op 5 (RESET): all
+    *    refs unmark and the current picture re-bases to frame_num 0 /
+    *    POC 0. g3 (stream frame_num 1, per the rebase) pulls PicNum 0
+    *    via ref_pic_list_modification → the rebased P2 (vb2); a walk
+    *    that ignores op 5 resolves PicNum 0 to the IDR (ia). g4
+    *    copies g3 (vb2).
     *
-    * Both variants decode to [ia, vb1, vb2, ia, ia]; chroma 128. */
+    * Variants 0/1 decode to [ia, vb1, vb2, ia, ia], variant 2 to
+    * [ia, vb1, vb2, vb2, vb2]; chroma 128. */
   def videoMmco(docId: Long, n: Int): Array[Byte] = {
     val qp = qpFor(docId)
-    val even = docId % 2 == 0
-    val sps = Encoder.spsFor(16, 16, numRefFrames = if (even) 3 else 2)
+    val variant = (docId % 3).toInt
+    val sps = Encoder.spsFor(16, 16,
+      numRefFrames = if (variant == 0) 3 else 2)
     val pps = Encoder.ppsFor(qp)
     val samples = (0 until n).map { f =>
       val fi = f - f % 5
-      def copyP(fn: Int, active: Int, refIdx: Int): Array[Byte] = {
+      def copyP(fn: Int, active: Int, refIdx: Int,
+          pocLsb: Int = -1, modL0: Seq[(Int, Int)] = Nil): Array[Byte] = {
         val w = new BitWriter
         Encoder.writePSliceHeader(w, sps, fn, sliceQpDelta = 0,
-          deblock = true, numRefs = active)
+          deblock = true, numRefs = active, pocLsbOverride = pocLsb,
+          modL0 = modL0)
         w.ue(0) // mb_skip_run
         w.ue(0) // mb_type P_L0_16x16
         Encoder.writeRefIdx(w, active, refIdx)
@@ -921,14 +931,21 @@ object H264Fixtures {
         while (i < 128) { w.u(8, 128); i += 1 }
         Encoder.avccSampleP(w)
       }
-      (f % 5) match {
-        case 0 => i16PlainFrame(docId, f, sps)
-        case 1 => // even: plain PCM; odd: PCM + op3 (IDR -> long-term 0)
-          pcmP(1, 1, if (even) Nil else Seq((3, 0, 0)))
-        case 2 => // even: PCM + op1 (unmark P1); odd: plain PCM
-          pcmP(2, 2, if (even) Seq((1, 0, 0)) else Nil)
-        case 3 => copyP(3, 2, 1)
-        case _ => if (even) copyP(4, 3, 2) else copyP(4, 2, 1)
+      (f % 5, variant) match {
+        case (0, _) => i16PlainFrame(docId, f, sps)
+        case (1, 1) => pcmP(1, 1, Seq((3, 0, 0))) // IDR -> long-term 0
+        case (1, _) => pcmP(1, 1, Nil)
+        case (2, 0) => pcmP(2, 2, Seq((1, 0, 0))) // unmark P1
+        case (2, 2) => pcmP(2, 2, Seq((5, 0, 0))) // full reset
+        case (2, _) => pcmP(2, 2, Nil)
+        case (3, 2) =>
+          // post-reset frame_num restarts at 1; the modification's
+          // PicNum 0 must resolve to the REBASED P2, not the IDR
+          copyP(1, 1, 0, pocLsb = 2, modL0 = Seq((0, 0)))
+        case (3, _) => copyP(3, 2, 1)
+        case (_, 0) => copyP(4, 3, 2)
+        case (_, 2) => copyP(2, 1, 0, pocLsb = 4)
+        case _ => copyP(4, 2, 1)
       }
     }
     Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
@@ -936,9 +953,10 @@ object H264Fixtures {
       sampleEntryExtension = Encoder.avccBox(sps, pps))
   }
 
-  /** closed-form plane sums for [[videoMmco]] frames (both variants
-    * decode identically — that's the point: MMCO is a DPB protocol,
-    * not a pixel transform) */
+  /** closed-form plane sums for [[videoMmco]] frames (variants 0/1
+    * decode identically — MMCO 1/3 are DPB protocol, not a pixel
+    * transform; variant 2's reset re-targets g3/g4 onto the rebased
+    * P2) */
   def expectedSumsMmco(d: Long, f: Int): (Long, Long, Long) = {
     val qp = qpFor(d)
     val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
@@ -950,8 +968,10 @@ object H264Fixtures {
       else (la * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
     val ia = clip(128 + ((dc + 32) >> 6))
     val yv = (f % 5) match {
-      case 0 | 3 | 4 => ia
-      case g => multiRefPcmVal(d, fi + g)
+      case 0 => ia
+      case 1 => multiRefPcmVal(d, fi + 1)
+      case 2 => multiRefPcmVal(d, fi + 2)
+      case _ => if (d % 3 == 2) multiRefPcmVal(d, fi + 2) else ia
     }
     (256L * yv, 64L * 128L, 64L * 128L)
   }

@@ -274,6 +274,7 @@ object FrameSource {
               else prevPocMsb
             msb + lsb
           }
+        var mmco5 = false // set when this picture's marking carries op 5
         if (j == index || isRef) {
           val (shorts, longs) =
             if (info.idr) (Vector.empty[Decoder.Yuv], Vector.empty[Decoder.Yuv])
@@ -315,13 +316,19 @@ object FrameSource {
                     .sortBy(_.longTermIdx)
                 case (4, maxPlus1, _) => // max_long_term_frame_idx
                   longRefs = longRefs.filter(_.longTermIdx <= maxPlus1 - 1)
+                case (5, _, _) => // reset (8.2.5.4.5): unmark ALL refs;
+                  // the current picture re-bases to frame_num 0 / POC 0
+                  // (tempPicOrderCnt subtraction) and the POC chain
+                  // restarts from it for subsequent pictures
+                  shortRefs = Vector.empty
+                  longRefs = Vector.empty
+                  cur = cur.copy(poc = 0, frameNum = 0)
+                  mmco5 = true
                 case (6, lt, _) => // current picture -> long-term
-                  cur = d.copy(longTermIdx = lt)
+                  cur = cur.copy(longTermIdx = lt)
                   longRefs = (longRefs.filterNot(_.longTermIdx == lt)
                     :+ cur).sortBy(_.longTermIdx)
                 case (op, _, _) => throw UnsupportedFeature(
-                  // op 5 (reset) re-bases frame_num AND POC mid-GOP —
-                  // typed until a stream needs it
                   s"memory_management_control_operation $op")
               }
               if (cur.longTermIdx < 0) shortRefs = cur +: shortRefs
@@ -336,8 +343,13 @@ object FrameSource {
           }
         }
         if (isRef) {
-          prevPocMsb = if (info.idr) 0 else poc - info.pocLsb
-          prevPocLsb = info.pocLsb
+          // MMCO 5 re-bases the POC chain: the current picture now
+          // reads as POC 0, so the next derivation starts from (0, 0)
+          if (mmco5) { prevPocMsb = 0; prevPocLsb = 0 }
+          else {
+            prevPocMsb = if (info.idr) 0 else poc - info.pocLsb
+            prevPocLsb = info.pocLsb
+          }
         }
         j += 1
       }

@@ -766,10 +766,11 @@ object MediaQueries extends QueryRegistry {
     *    ref_pic_list_modification (8.2.4.3) pulls an older PicNum to
     *    the list head — a parse-and-ignore decoder SWAPS g2/g3 values.
     *  - 2 [[graft.multimodal.h264.H264Fixtures.videoMmco]]: adaptive
-    *    dec_ref_pic_marking — MMCO op 1 (short-term unmark, even
-    *    docs) and op 3 (convert to LONG-TERM, exempt from the
-    *    window, odd docs) change which picture a later ref_idx
-    *    resolves to vs a pure sliding-window walk.
+    *    dec_ref_pic_marking by d%3 — MMCO op 1 (short-term unmark),
+    *    op 3 (convert to LONG-TERM, exempt from the window), and op 5
+    *    (full reset re-basing frame_num/POC) change which picture a
+    *    later ref_idx or modification PicNum resolves to vs a pure
+    *    sliding-window walk.
     *
     * All decode through Mp4Frames (full container walk). Chroma is
     * uncoded (128) throughout, so BT.601 is the identity and each
@@ -858,8 +859,12 @@ object MediaQueries extends QueryRegistry {
       |        CASE WHEN gp IN (0, 2) THEN ia
       |             ELSE (16 + (d * 37 + fi * 19) % 224) END
       |      ELSE
-      |        CASE WHEN gp IN (0, 3, 4) THEN ia
-      |             ELSE (16 + (d * 37 + (fi + gp) * 19) % 224) END
+      |        CASE WHEN gp = 0 THEN ia
+      |             WHEN gp IN (1, 2) THEN
+      |               (16 + (d * 37 + (fi + gp) * 19) % 224)
+      |             WHEN d % 3 = 2 THEN
+      |               (16 + (d * 37 + (fi + 2) * 19) % 224)
+      |             ELSE ia END
       |    END AS yv
       |  FROM q2)
       |SELECT fixture, gp AS gop_pos, count(*) AS n_frames,

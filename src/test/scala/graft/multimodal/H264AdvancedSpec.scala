@@ -108,14 +108,14 @@ class H264AdvancedSpec extends AnyFunSuite {
     assert(diffs > 8)
   }
 
-  test("videoMmco: op 1 unmark (even docs) and op 3 long-term (odd docs)") {
+  test("videoMmco: op 1 unmark / op 3 long-term / op 5 reset by d%3") {
     for (d <- 0L until 12L) {
       val n = 10 + 5 * (d % 2).toInt
       val mp4 = H264Fixtures.videoMmco(d, n)
       for (f <- 0 until n) {
         val got = channelSums(mp4, f)
         val want = rgbSums(H264Fixtures.expectedSumsMmco(d, f))
-        assert(got == want, s"doc=$d f=$f (variant ${d % 2})")
+        assert(got == want, s"doc=$d f=$f (variant ${d % 3})")
       }
     }
   }
@@ -194,12 +194,13 @@ class H264AdvancedSpec extends AnyFunSuite {
     assert(out.frameNum == 1)
   }
 
-  test("MMCO op 5 (reset) stays a typed signal in the walk") {
+  test("MMCO op 5 resets the DPB and re-bases frame_num for later PicNum math") {
     val d = 2L
     val qp = H264Fixtures.qpFor(d)
     val sps = Encoder.spsFor(16, 16, numRefFrames = 3)
     val pps = Encoder.ppsFor(qp)
-    // frame 0: IDR; frame 1: P with MMCO op 5
+    // IDR(100); P1 PCM(200) with op 5; P2 (stream fn 1, post-reset)
+    // pulling PicNum 0 via modification — the REBASED P1, not the IDR
     val idr = {
       val w = new BitWriter
       Encoder.writeSliceHeader(w, sps, 0, 0, deblock = true)
@@ -208,20 +209,35 @@ class H264AdvancedSpec extends AnyFunSuite {
       (0 until 128).foreach(_ => w.u(8, 128))
       Encoder.avccSample(w)
     }
-    val p = {
+    val p1 = {
       val w = new BitWriter
       Encoder.writePSliceHeader(w, sps, 1, 0, deblock = true,
         mmco = Seq((5, 0, 0)))
-      w.ue(1)
+      w.ue(0); w.ue(30); w.alignZero()
+      (0 until 256).foreach(_ => w.u(8, 200))
+      (0 until 128).foreach(_ => w.u(8, 128))
       Encoder.avccSampleP(w)
     }
-    val mp4 = Mp4Samples.encodeFrames(Seq(idr, p), codec = "avc1",
-      fps = 10, width = 16, height = 16, syncEvery = 2,
-      sampleEntryExtension = Encoder.avccBox(sps, pps))
-    // the FrameSource seam wraps the decoder's typed signal into its
-    // own unsupported-codec exception (the mm13 triage contract)
-    intercept[FrameSource.UnsupportedCodecException] {
-      FrameSource.Mp4Frames.frame(mp4, 1)
+    val p2 = {
+      val w = new BitWriter
+      Encoder.writePSliceHeader(w, sps, 1, 0, deblock = true,
+        pocLsbOverride = 2, modL0 = Seq((0, 0)))
+      w.ue(0); w.ue(0) // P_L0_16x16, ref_idx absent (1 active)
+      w.se(0); w.se(0)
+      w.ue(Decoder.codeNumFromCbpInter(0))
+      Encoder.avccSampleP(w)
     }
+    val mp4 = Mp4Samples.encodeFrames(Seq(idr, p1, p2), codec = "avc1",
+      fps = 10, width = 16, height = 16, syncEvery = 3,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+    val (rs, _, _) = {
+      val img = graft.wds.Codecs.decodeImage(FrameSource.Mp4Frames.frame(mp4, 2))
+      var s = 0L
+      var i = 0
+      while (i < img.data.length) { s += img.data(i) & 0xff; i += 3 }
+      (s, 0L, 0L)
+    }
+    // p2 must copy the rebased P1 (200), not the unmarked IDR (100)
+    assert(rs == 256L * 200)
   }
 }

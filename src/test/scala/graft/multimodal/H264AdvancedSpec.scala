@@ -120,6 +120,21 @@ class H264AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("videoMmco random access: backward jumps rebuild MMCO/long-term DPB state") {
+    // the walk caches (shortRefs, longRefs, poc state) incrementally;
+    // a backward display jump must rebuild marking state from the
+    // sync sample, not reuse a stale post-reset or long-term DPB
+    for (d <- Seq(0L, 1L, 2L)) { // one doc per MMCO variant
+      val n = 15
+      val mp4 = H264Fixtures.videoMmco(d, n)
+      for (f <- Seq(9, 3, 4, 13, 0, 7, 14, 1, 12, 2)) {
+        val got = channelSums(mp4, f)
+        val want = rgbSums(H264Fixtures.expectedSumsMmco(d, f))
+        assert(got == want, s"doc=$d f=$f (variant ${d % 3})")
+      }
+    }
+  }
+
   test("videoMmco discriminates: MMCO target differs from the sliding-window pick") {
     // g3 reads ref_idx 1: MMCO resolves it to the IDR (ia); a pure
     // sliding window resolves it to P1 (vb1)

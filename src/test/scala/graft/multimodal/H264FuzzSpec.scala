@@ -80,6 +80,54 @@ class H264FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** decode every DISPLAY frame through the PRODUCTION walk
+    * (FrameSource.Mp4Frames: sync-seek, DPB + MMCO + long-term state,
+    * display→decode mapping); success, IAE, or the seam's typed
+    * unsupported-codec signal only */
+  private def walkAll(mp4: Array[Byte]): Unit = {
+    import graft.pack.FrameSource
+    val n =
+      try FrameSource.Mp4Frames.frameCount(mp4)
+      catch { case _: IllegalArgumentException => return }
+    var f = 0
+    while (f < n) {
+      try {
+        FrameSource.Mp4Frames.frame(mp4, f)
+        ()
+      } catch {
+        // typed rejection (incl. the seam's UnsupportedCodecException,
+        // an IllegalArgumentException subtype): fine
+        case _: IllegalArgumentException => ()
+      }
+      f += 1
+    }
+  }
+
+  test("bit flips in MMCO/mod-list/weighted-B streams stay typed through the walk") {
+    // the round-9 DPB-protocol features add parse surface (marking
+    // ops, modification loops, weight tables) — corrupting them must
+    // surface as typed errors in the real walk, never as crashes or
+    // wedged DPB state that breaks LATER frames silently
+    val bases = Seq(
+      H264Fixtures.videoMmco(0L, 10), // op-1 variant
+      H264Fixtures.videoMmco(1L, 10), // op-3 long-term variant
+      H264Fixtures.videoMmco(2L, 10), // op-5 reset variant
+      H264Fixtures.videoModList(3L, 8),
+      H264Fixtures.videoWeightedB(4L, 9),
+      H264Fixtures.videoImplicitB(5L, 9))
+    val rnd = new scala.util.Random(99)
+    bases.foreach { base =>
+      var i = 0
+      while (i < N / 3) {
+        val mutated = base.clone()
+        val pos = rnd.nextInt(mutated.length)
+        mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+        walkAll(mutated)
+        i += 1
+      }
+    }
+  }
+
   test("random bytes as a sample are rejected, not crashed on") {
     val sps = Encoder.spsFor(16, 16)
     val cfg = Decoder.AvcConfig(sps, Encoder.ppsFor(26), 4)

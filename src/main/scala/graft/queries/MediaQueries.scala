@@ -451,7 +451,164 @@ object MediaQueries extends QueryRegistry {
       |  (CASE WHEN m = 3 THEN 0 ELSE sum(n) END)::BIGINT AS n_decoded
       |FROM g GROUP BY m ORDER BY codec""".stripMargin
 
-  /** mm14: end-to-end H.264 baseline decode gate. Each doc synthesizes
+  /** mm27: VIDEO NEAR-DUPLICATE detection — the video analog of
+    * MinHash text dedup, over REALLY-DECODED H.264 frames. Each doc
+    * carries two videos: the original (6/9/12 frames by d%3) and a
+    * "re-upload" sharing its full frame prefix plus 3 new frames (the
+    * trailing-ad / re-encode-tail shape). Per video, a task-LOCAL
+    * pass decodes every frame and emits temporal SHINGLES: md5 over
+    * the channel-sum fingerprints of 3 consecutive display frames,
+    * stride 1 — shingling (not single-frame hashes) keeps chance
+    * collisions nil and tolerates boundary trims, exactly like n-gram
+    * shingling for text (qd04). Candidates come from shingle-hash
+    * bucket equality (banded-LSH shape: only (doc, vid, hash) rows
+    * ever cross an exchange — frames and pixels never move); verified
+    * pairs report exact shingle-set Jaccard in ppm, thresholded at
+    * 0.4. 100 TB shape: decode + shingle cost is per-video narrow
+    * work inside one task; the join is hash-bucketed, never all-pairs
+    * over videos. */
+  private def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val shingles = udf { (id: Long) =>
+      val src = graft.pack.FrameSource.Mp4Frames
+      val nx = (6 + (id % 3) * 3).toInt
+      def sums(bytes: Array[Byte], n: Int): IndexedSeq[String] =
+        (0 until n).map { f =>
+          val img = Codecs.decodeImage(src.frame(bytes, f))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var i = 0
+          while (i < img.data.length) {
+            rs += img.data(i) & 0xff
+            gs += img.data(i + 1) & 0xff
+            bs += img.data(i + 2) & 0xff
+            i += 3
+          }
+          s"$rs:$gs:$bs"
+        }
+      def md5hex(t: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        d.map(b => f"$b%02x").mkString
+      }
+      Seq(0, 1).flatMap { vid =>
+        val n = if (vid == 0) nx else nx + 3
+        val fp = sums(
+          graft.multimodal.h264.H264Fixtures.video(id, n), n)
+        (0 to n - 3).map(t =>
+          (vid, md5hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2))))
+      }.distinct
+    }
+    val sigs = Tables(s, dir).documents
+      .select(col("doc_id"))
+      // explicit-count repartition: compute-bound decode (see mm22)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("doc_id"))).as("e"))
+      .select(col("doc_id"), col("e._1").as("vid"), col("e._2").as("sh"))
+    val sizes = sigs.groupBy(col("doc_id"), col("vid"))
+      .agg(count(lit(1)).as("n_sh"))
+    val a = sigs.select(col("doc_id").as("a_doc"), col("vid").as("a_vid"),
+      col("sh"))
+    val b = sigs.select(col("doc_id").as("b_doc"), col("vid").as("b_vid"),
+      col("sh"))
+    a.join(b, "sh")
+      .where(struct(col("a_doc"), col("a_vid")) <
+        struct(col("b_doc"), col("b_vid")))
+      .groupBy(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("n_sh", "a_n"),
+        col("a_doc") === col("doc_id") && col("a_vid") === col("vid"))
+      .drop("doc_id", "vid")
+      .join(sizes.withColumnRenamed("n_sh", "b_n"),
+        col("b_doc") === col("doc_id") && col("b_vid") === col("vid"))
+      .drop("doc_id", "vid")
+      .select(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"),
+        col("shared"),
+        (col("a_n") + col("b_n") - col("shared")).as("union_n"),
+        floor(lit(1000000L) * col("shared") /
+          (col("a_n") + col("b_n") - col("shared"))).as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= 400000)
+      .orderBy(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"))
+  }
+
+  /** Replays mm14's closed-form per-frame channel sums for BOTH
+    * videos, shingles them with window leads, and re-derives the
+    * bucket-join Jaccard — the oracle computes the same near-dup
+    * pairs from pure arithmetic. */
+  private val videoNearDupSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp,
+      |    (6 + (doc_id % 3) * 3)::INT AS nx
+      |  FROM documents),
+      |vids AS (
+      |  SELECT d, qp, 0 AS vid, nx AS n FROM g
+      |  UNION ALL SELECT d, qp, 1 AS vid, nx + 3 AS n FROM g),
+      |fr AS (
+      |  SELECT d, qp, vid, n, unnest(generate_series(0, n - 1)) AS f
+      |  FROM vids),
+      |q AS (
+      |  SELECT d, f, qp, vid, n, (f % 3)::INT AS kind,
+      |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
+      |    CASE WHEN qp < 30 THEN qp
+      |         ELSE [29,30,31,32,32,33,34,34,35,35][qp - 29] END AS qpc
+      |  FROM fr),
+      |q2 AS (
+      |  SELECT *, [10,11,13,14,16,18][qpc % 6 + 1] AS vc FROM q),
+      |k0px AS (
+      |  SELECT d, vid, n, f,
+      |    (d*31 + f*53 + i*7) % 251 AS yv,
+      |    (d*29 + f*47 + (((i//16)//2)*8 + (i%16)//2)*11) % 251 - 128 AS u,
+      |    (d*23 + f*41 + (((i//16)//2)*8 + (i%16)//2)*13) % 251 - 128 AS v
+      |  FROM q2 CROSS JOIN (
+      |    SELECT unnest(generate_series(0, 255)) AS i) px
+      |  WHERE kind = 0),
+      |k0 AS (
+      |  SELECT d, vid, n, f,
+      |    sum(GREATEST(0, LEAST(255,
+      |      yv + floor((91881*v + 32768) / 65536.0)::INT)))::BIGINT AS rs,
+      |    sum(GREATEST(0, LEAST(255,
+      |      yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT
+      |      )))::BIGINT AS gs,
+      |    sum(GREATEST(0, LEAST(255,
+      |      yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS bs
+      |  FROM k0px GROUP BY d, vid, n, f),
+      |k1a AS (
+      |  SELECT d, vid, n, f, qp, qpc, v6, vc,
+      |    (1 + (d + f) % 5)::INT AS ly,
+      |    ((d + f) % 3)::INT AS lcb,
+      |    ((d + 2*f) % 3)::INT AS lcr
+      |  FROM q2 WHERE kind = 1),
+      |k1b AS (
+      |  SELECT d, vid, n, f,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      (CASE WHEN qp >= 36 THEN ly * v6
+      |            ELSE (ly*v6 + (1 << (5 - qp//6))) // (1 << (6 - qp//6))
+      |       END + 32) // 64)) AS yv,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcb*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS u,
+      |    GREATEST(0, LEAST(255, 128 +
+      |      ((lcr*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS v
+      |  FROM k1a),
+      |k1 AS (
+      |  SELECT d, vid, n, f,
+      |    256 * GREATEST(0, LEAST(255,
+      |      yv + floor((91881*v + 32768) / 65536.0)::INT))::BIGINT AS rs,
+      |    256 * GREATEST(0, LEAST(255,
+      |      yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT
+      |      ))::BIGINT AS gs,
+      |    256 * GREATEST(0, LEAST(255,
+      |      yv + floor((116130*u + 32768) / 65536.0)::INT))::BIGINT AS bs
+      |  FROM k1b),
+      |k2 AS (
+      |  SELECT d, vid, n, f,
+      |    256 * GREATEST(0, LEAST(255, 128 +
+      |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
+      |      ))::BIGINT AS rs,
+      |    256 * GREATEST(0, LEAST(255, 128 +
+      |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
+      |      ))::BIGINT AS gs,
+      |    256 * GREATEST(0, LEAST(255, 128 +
+      |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
+      |      ))::BIGINT AS bs
+      |  FROM k2 GROUP BY ALL) SELECT 1""".stripMargin
     * a real avc1 mp4 ([[graft.multimodal.h264.H264Fixtures]]: avcC
     * config + AVCC IDR samples cycling I_PCM / I_16x16 / I_NxN
     * macroblock kinds at qp 16..39), decodes EVERY frame through the
@@ -1367,6 +1524,8 @@ object MediaQueries extends QueryRegistry {
     "mm23_vtt_align" -> QueryDef(vttAlign, Some(vttAlignSql)),
     "mm22_flac_decode" -> QueryDef(flacDecode, Some(flacDecodeSql),
       bench = true),
+    "mm27_video_near_dup" -> QueryDef(videoNearDup,
+      Some(videoNearDupSql), bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

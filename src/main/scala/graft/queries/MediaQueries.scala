@@ -609,6 +609,8 @@ object MediaQueries extends QueryRegistry {
       |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
       |      ))::BIGINT AS bs
       |  FROM k2 GROUP BY ALL) SELECT 1""".stripMargin
+
+  /** mm14: end-to-end H.264 baseline decode gate. Each doc synthesizes
     * a real avc1 mp4 ([[graft.multimodal.h264.H264Fixtures]]: avcC
     * config + AVCC IDR samples cycling I_PCM / I_16x16 / I_NxN
     * macroblock kinds at qp 16..39), decodes EVERY frame through the

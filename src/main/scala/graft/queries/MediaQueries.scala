@@ -451,24 +451,44 @@ object MediaQueries extends QueryRegistry {
       |  (CASE WHEN m = 3 THEN 0 ELSE sum(n) END)::BIGINT AS n_decoded
       |FROM g GROUP BY m ORDER BY codec""".stripMargin
 
+  /** Local-mode instrumentation for mm27's single-evaluation audit:
+    * the decode UDF bumps this once per evaluated document, so a spec
+    * can assert the expensive decode subtree ran exactly ONCE per doc
+    * (not once per join branch) after a full mm27 materialization.
+    * local[*] runs executors in this JVM, so a static counter sees
+    * every task; on a real cluster this is a no-op cost. */
+  private[graft] val mm27DecodeCalls =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** mm27: VIDEO NEAR-DUPLICATE detection — the video analog of
-    * MinHash text dedup, over REALLY-DECODED H.264 frames. Each doc
-    * carries two videos: the original (6/9/12 frames by d%3) and a
-    * "re-upload" sharing its full frame prefix plus 3 new frames (the
-    * trailing-ad / re-encode-tail shape). Per video, a task-LOCAL
-    * pass decodes every frame and emits temporal SHINGLES: md5 over
-    * the channel-sum fingerprints of 3 consecutive display frames,
-    * stride 1 — shingling (not single-frame hashes) keeps chance
-    * collisions nil and tolerates boundary trims, exactly like n-gram
-    * shingling for text (qd04). Candidates come from shingle-hash
-    * bucket equality (banded-LSH shape: only (doc, vid, hash) rows
-    * ever cross an exchange — frames and pixels never move); verified
-    * pairs report exact shingle-set Jaccard in ppm, thresholded at
-    * 0.4. 100 TB shape: decode + shingle cost is per-video narrow
-    * work inside one task; the join is hash-bucketed, never all-pairs
-    * over videos. */
+    * n-gram/MinHash text dedup (qd04/qd02), over REALLY-DECODED H.264
+    * frames. Each doc carries two videos: the original (6/9/12 frames
+    * by d%3) and a "re-upload" sharing its full frame prefix plus 3
+    * new frames (the trailing-ad / re-encode-tail shape). Per video, a
+    * task-LOCAL pass decodes every frame and emits temporal SHINGLES:
+    * md5 over the channel-sum fingerprints of 3 consecutive display
+    * frames, stride 1 — shingling (not single-frame hashes) keeps
+    * chance collisions nil and tolerates boundary trims, exactly like
+    * n-gram shingling for text (qd04). The (doc, vid, shingle,
+    * set-size) relation is STAGED to a scratch parquet before the
+    * self-join fan-out, so the decode subtree is evaluated exactly
+    * once — not once per join branch ([[mm27DecodeCalls]] + Mm27Spec
+    * pin this; ReuseExchange cannot, because the UDF sits above the
+    * repartition exchange). At cluster scale the stage doubles as a
+    * fault-tolerant checkpoint: losing an executor mid-join re-reads
+    * KBs of hashes, never re-decodes videos. The per-video shingle-set
+    * size rides along from the UDF (the set is task-local), so no
+    * extra groupBy/join is needed for the Jaccard denominators.
+    * Candidates come from shingle-hash bucket equality (banded-LSH
+    * shape: only (doc, vid, hash) rows ever cross an exchange — frames
+    * and pixels never move); verified pairs report exact shingle-set
+    * Jaccard in ppm, thresholded at 0.4. 100 TB shape: decode +
+    * shingle cost is per-video narrow work inside one task; the join
+    * is hash-bucketed, never all-pairs over videos. Reference decode
+    * path: `pack/samplers.py:102-157`. */
   private def videoNearDup(s: SparkSession, dir: String): DataFrame = {
     val shingles = udf { (id: Long) =>
+      mm27DecodeCalls.incrementAndGet(): Unit
       val src = graft.pack.FrameSource.Mp4Frames
       val nx = (6 + (id % 3) * 3).toInt
       def sums(bytes: Array[Byte], n: Int): IndexedSeq[String] =
@@ -493,33 +513,32 @@ object MediaQueries extends QueryRegistry {
         val n = if (vid == 0) nx else nx + 3
         val fp = sums(
           graft.multimodal.h264.H264Fixtures.video(id, n), n)
-        (0 to n - 3).map(t =>
-          (vid, md5hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2))))
-      }.distinct
+        val sh = (0 to n - 3)
+          .map(t => md5hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
+          .distinct
+        sh.map(h => (vid, h, sh.size))
+      }
     }
-    val sigs = Tables(s, dir).documents
+    val stage = WdsQueries.scratchDir("graft_mm27")
+    Tables(s, dir).documents
       .select(col("doc_id"))
       // explicit-count repartition: compute-bound decode (see mm22)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("doc_id"))).as("e"))
-      .select(col("doc_id"), col("e._1").as("vid"), col("e._2").as("sh"))
-    val sizes = sigs.groupBy(col("doc_id"), col("vid"))
-      .agg(count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), col("e._1").as("vid"), col("e._2").as("sh"),
+        col("e._3").as("n_sh"))
+      .write.mode("overwrite").parquet(stage)
+    val sigs = s.read.parquet(stage)
     val a = sigs.select(col("doc_id").as("a_doc"), col("vid").as("a_vid"),
-      col("sh"))
+      col("sh"), col("n_sh").as("a_n"))
     val b = sigs.select(col("doc_id").as("b_doc"), col("vid").as("b_vid"),
-      col("sh"))
+      col("sh"), col("n_sh").as("b_n"))
     a.join(b, "sh")
       .where(struct(col("a_doc"), col("a_vid")) <
         struct(col("b_doc"), col("b_vid")))
       .groupBy(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("n_sh", "a_n"),
-        col("a_doc") === col("doc_id") && col("a_vid") === col("vid"))
-      .drop("doc_id", "vid")
-      .join(sizes.withColumnRenamed("n_sh", "b_n"),
-        col("b_doc") === col("doc_id") && col("b_vid") === col("vid"))
-      .drop("doc_id", "vid")
+      .agg(count(lit(1)).as("shared"),
+        max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
       .select(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"),
         col("shared"),
         (col("a_n") + col("b_n") - col("shared")).as("union_n"),
@@ -530,7 +549,10 @@ object MediaQueries extends QueryRegistry {
   }
 
   /** Replays mm14's closed-form per-frame channel sums for BOTH
-    * videos, shingles them with window leads, and re-derives the
+    * videos (frame content is a pure function of (doc, frame, qp) —
+    * independent of video length, which is what makes the re-upload a
+    * true prefix), shingles them with window leads + DuckDB's built-in
+    * md5 over the same `rs:gs:bs|…` strings, and re-derives the
     * bucket-join Jaccard — the oracle computes the same near-dup
     * pairs from pure arithmetic. */
   private val videoNearDupSql =
@@ -542,10 +564,10 @@ object MediaQueries extends QueryRegistry {
       |  SELECT d, qp, 0 AS vid, nx AS n FROM g
       |  UNION ALL SELECT d, qp, 1 AS vid, nx + 3 AS n FROM g),
       |fr AS (
-      |  SELECT d, qp, vid, n, unnest(generate_series(0, n - 1)) AS f
+      |  SELECT d, qp, vid, unnest(generate_series(0, n - 1)) AS f
       |  FROM vids),
       |q AS (
-      |  SELECT d, f, qp, vid, n, (f % 3)::INT AS kind,
+      |  SELECT d, f, qp, vid, (f % 3)::INT AS kind,
       |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
       |    CASE WHEN qp < 30 THEN qp
       |         ELSE [29,30,31,32,32,33,34,34,35,35][qp - 29] END AS qpc
@@ -553,7 +575,7 @@ object MediaQueries extends QueryRegistry {
       |q2 AS (
       |  SELECT *, [10,11,13,14,16,18][qpc % 6 + 1] AS vc FROM q),
       |k0px AS (
-      |  SELECT d, vid, n, f,
+      |  SELECT d, vid, f,
       |    (d*31 + f*53 + i*7) % 251 AS yv,
       |    (d*29 + f*47 + (((i//16)//2)*8 + (i%16)//2)*11) % 251 - 128 AS u,
       |    (d*23 + f*41 + (((i//16)//2)*8 + (i%16)//2)*13) % 251 - 128 AS v
@@ -561,7 +583,7 @@ object MediaQueries extends QueryRegistry {
       |    SELECT unnest(generate_series(0, 255)) AS i) px
       |  WHERE kind = 0),
       |k0 AS (
-      |  SELECT d, vid, n, f,
+      |  SELECT d, vid, f,
       |    sum(GREATEST(0, LEAST(255,
       |      yv + floor((91881*v + 32768) / 65536.0)::INT)))::BIGINT AS rs,
       |    sum(GREATEST(0, LEAST(255,
@@ -569,15 +591,15 @@ object MediaQueries extends QueryRegistry {
       |      )))::BIGINT AS gs,
       |    sum(GREATEST(0, LEAST(255,
       |      yv + floor((116130*u + 32768) / 65536.0)::INT)))::BIGINT AS bs
-      |  FROM k0px GROUP BY d, vid, n, f),
+      |  FROM k0px GROUP BY d, vid, f),
       |k1a AS (
-      |  SELECT d, vid, n, f, qp, qpc, v6, vc,
+      |  SELECT d, vid, f, qp, qpc, v6, vc,
       |    (1 + (d + f) % 5)::INT AS ly,
       |    ((d + f) % 3)::INT AS lcb,
       |    ((d + 2*f) % 3)::INT AS lcr
       |  FROM q2 WHERE kind = 1),
       |k1b AS (
-      |  SELECT d, vid, n, f,
+      |  SELECT d, vid, f,
       |    GREATEST(0, LEAST(255, 128 +
       |      (CASE WHEN qp >= 36 THEN ly * v6
       |            ELSE (ly*v6 + (1 << (5 - qp//6))) // (1 << (6 - qp//6))
@@ -588,7 +610,7 @@ object MediaQueries extends QueryRegistry {
       |      ((lcr*vc*(1 << (qpc//6))) // 32 + 32) // 64)) - 128 AS v
       |  FROM k1a),
       |k1 AS (
-      |  SELECT d, vid, n, f,
+      |  SELECT d, vid, f,
       |    256 * GREATEST(0, LEAST(255,
       |      yv + floor((91881*v + 32768) / 65536.0)::INT))::BIGINT AS rs,
       |    256 * GREATEST(0, LEAST(255,
@@ -598,7 +620,7 @@ object MediaQueries extends QueryRegistry {
       |      yv + floor((116130*u + 32768) / 65536.0)::INT))::BIGINT AS bs
       |  FROM k1b),
       |k2 AS (
-      |  SELECT d, vid, n, f,
+      |  SELECT d, vid, f,
       |    256 * GREATEST(0, LEAST(255, 128 +
       |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
       |      ))::BIGINT AS rs,
@@ -608,7 +630,40 @@ object MediaQueries extends QueryRegistry {
       |    256 * GREATEST(0, LEAST(255, 128 +
       |      ((1 + (d*3 + f) % 5) * v6 * (1 << (qp//6)) + 32) // 64
       |      ))::BIGINT AS bs
-      |  FROM k2 GROUP BY ALL) SELECT 1""".stripMargin
+      |  FROM q2 WHERE kind = 2),
+      |allk AS (
+      |  SELECT * FROM k0 UNION ALL SELECT * FROM k1
+      |  UNION ALL SELECT * FROM k2),
+      |fp AS (
+      |  SELECT d, vid, f,
+      |    rs::VARCHAR || ':' || gs::VARCHAR || ':' || bs::VARCHAR AS s
+      |  FROM allk),
+      |led AS (
+      |  SELECT d, vid, s,
+      |    lead(s, 1) OVER (PARTITION BY d, vid ORDER BY f) AS s1,
+      |    lead(s, 2) OVER (PARTITION BY d, vid ORDER BY f) AS s2
+      |  FROM fp),
+      |shd AS (
+      |  SELECT DISTINCT d, vid, md5(s || '|' || s1 || '|' || s2) AS sh
+      |  FROM led WHERE s2 IS NOT NULL),
+      |sizes AS (
+      |  SELECT d, vid, count(*)::INT AS n_sh FROM shd GROUP BY d, vid),
+      |pairs AS (
+      |  SELECT a.d AS a_doc, a.vid AS a_vid, b.d AS b_doc,
+      |    b.vid AS b_vid, count(*)::BIGINT AS shared
+      |  FROM shd a JOIN shd b ON a.sh = b.sh
+      |  WHERE (a.d, a.vid) < (b.d, b.vid)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT p.a_doc, p.a_vid, p.b_doc, p.b_vid, p.shared,
+      |  (sa.n_sh + sb.n_sh - p.shared)::BIGINT AS union_n,
+      |  ((1000000 * p.shared) // (sa.n_sh + sb.n_sh - p.shared))::BIGINT
+      |    AS jaccard_ppm
+      |FROM pairs p
+      |JOIN sizes sa ON sa.d = p.a_doc AND sa.vid = p.a_vid
+      |JOIN sizes sb ON sb.d = p.b_doc AND sb.vid = p.b_vid
+      |WHERE (1000000 * p.shared) // (sa.n_sh + sb.n_sh - p.shared)
+      |  >= 400000
+      |ORDER BY a_doc, a_vid, b_doc, b_vid""".stripMargin
 
   /** mm14: end-to-end H.264 baseline decode gate. Each doc synthesizes
     * a real avc1 mp4 ([[graft.multimodal.h264.H264Fixtures]]: avcC

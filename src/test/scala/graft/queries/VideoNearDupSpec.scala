@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.wds.Codecs
+
+/** mm27 laws the scaladoc claims, enforced against an independent
+  * in-memory brute force over the same public decode contract
+  * ([[graft.pack.FrameSource.Mp4Frames]]):
+  *
+  *  1. EQUALITY — the bucket-join output equals the all-pairs
+  *     shingle-set Jaccard computed brute-force (same threshold),
+  *     i.e. hash-bucketing loses no candidate and invents none.
+  *  2. TRIM ROBUSTNESS — every doc's prefix-sharing re-upload pair
+  *     exceeds the 0.4 threshold with the closed-form Jaccard
+  *     (nx-2)/(nx+1); fully disjoint videos (different docs) produce
+  *     NO candidate pair at all.
+  *  3. SINGLE EVALUATION — the expensive decode subtree runs exactly
+  *     once per document per invocation (the staged-parquet fan-out;
+  *     [[MediaQueries.mm27DecodeCalls]] counts UDF activations), not
+  *     once per join branch as a naive self-join plan would.
+  */
+class VideoNearDupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Independent shingle-set derivation: decode every frame through
+    * the public contract, fingerprint per-channel sums, md5 3-grams. */
+  private def shingleSet(docId: Long, n: Int): Set[String] = {
+    val bytes = graft.multimodal.h264.H264Fixtures.video(docId, n)
+    val src = graft.pack.FrameSource.Mp4Frames
+    val fp = (0 until n).map { f =>
+      val img = Codecs.decodeImage(src.frame(bytes, f))
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var i = 0
+      while (i < img.data.length) {
+        rs += img.data(i) & 0xff
+        gs += img.data(i + 1) & 0xff
+        bs += img.data(i + 2) & 0xff
+        i += 3
+      }
+      s"$rs:$gs:$bs"
+    }
+    (0 to n - 3).map(t => md5hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
+      .toSet
+  }
+
+  private lazy val docIds: Seq[Long] = {
+    import spark.implicits._
+    graft.Tables(spark, sf).documents.select($"doc_id".as[Long])
+      .collect().toSeq.sorted
+  }
+
+  private lazy val bruteSets: Map[(Long, Int), Set[String]] =
+    docIds.flatMap { d =>
+      val nx = (6 + (d % 3) * 3).toInt
+      Seq((d, 0) -> shingleSet(d, nx), (d, 1) -> shingleSet(d, nx + 3))
+    }.toMap
+
+  private lazy val bruteExpected: Seq[(Long, Int, Long, Int, Long, Long, Long)] = {
+    val keys = bruteSets.keys.toSeq.sorted
+    for {
+      i <- keys.indices
+      j <- (i + 1) until keys.size
+      a = keys(i); b = keys(j)
+      shared = (bruteSets(a) & bruteSets(b)).size.toLong
+      union = (bruteSets(a) | bruteSets(b)).size.toLong
+      if shared > 0 && 1000000L * shared / union >= 400000L
+    } yield (a._1, a._2, b._1, b._2, shared, union,
+      1000000L * shared / union)
+  }
+
+  test("mm27 bucket-join equals brute-force all-pairs Jaccard") {
+    val got = graft.SparkEntry.queries("mm27_video_near_dup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq.sorted
+    assert(got == bruteExpected.sorted,
+      s"bucket-join ${got.size} pairs != brute ${bruteExpected.size}")
+  }
+
+  test("mm27 trim robustness: prefix pair passes, disjoint docs never pair") {
+    // closed form: vid0's shingles are a strict subset of vid1's
+    // (frame content is a pure function of (doc, frame)), so
+    // shared = nx-2, union = nx+1
+    docIds.foreach { d =>
+      val nx = (6 + (d % 3) * 3).toInt
+      assert(bruteSets((d, 0)).subsetOf(bruteSets((d, 1))))
+      assert(bruteExpected.exists(p =>
+        p._1 == d && p._2 == 0 && p._3 == d && p._4 == 1 &&
+          p._5 == nx - 2L && p._6 == nx + 1L &&
+          p._7 == 1000000L * (nx - 2) / (nx + 1)), s"doc $d pair missing")
+    }
+    // no cross-doc candidate survives (fingerprints are doc-keyed)
+    assert(bruteExpected.forall(p => p._1 == p._3),
+      "unexpected cross-doc near-dup pair")
+    assert(bruteExpected.size == docIds.size)
+  }
+
+  test("mm27 decode subtree evaluates exactly once per document") {
+    MediaQueries.mm27DecodeCalls.set(0L)
+    val df = graft.SparkEntry.queries("mm27_video_near_dup")(spark, sf)
+    assert(df.count() == docIds.size.toLong)
+    assert(MediaQueries.mm27DecodeCalls.get() == docIds.size.toLong,
+      s"decode ran ${MediaQueries.mm27DecodeCalls.get()} times for " +
+        s"${docIds.size} docs — the staged fan-out must decode once")
+  }
+}

@@ -343,6 +343,7 @@ object Decoder {
     var implicitBiCur = false // weighted_bipred_idc == 2 on a B slice
     var curFrameNum = 0 // frame_num of the current slice (= CurrPicNum)
     var mmcoOps: List[(Int, Int, Int)] = Nil // dec_ref_pic_marking ops
+    var mmcoSet = false // first slice's marking parsed (even if empty)
     // per-4x4-block motion grids per reference list (8.4.1.3
     // prediction + deblock bS); P slices use list 0 only
     val bCols = mbW * 4
@@ -1309,26 +1310,33 @@ object Decoder {
         // dec_ref_pic_marking for a non-IDR reference picture
         // (7.3.3.3): adaptive MMCO ops are PARSED here and surfaced on
         // the output Yuv — marking mutates the DPB, which the GOP walk
-        // owns (every slice of a picture carries identical marking, so
-        // the first slice's ops stand)
-        if (r.u1() == 1) {
-          val ops = List.newBuilder[(Int, Int, Int)]
-          var op = r.ue()
-          var guard = 0
-          while (op != 0) {
-            op match {
-              case 1 | 2 | 4 | 6 => ops += ((op, r.ue(), 0))
-              case 3 => ops += ((op, r.ue(), r.ue()))
-              case 5 => ops += ((op, 0, 0))
-              case _ => throw new IllegalArgumentException(
-                s"memory_management_control_operation $op")
+        // owns. Conformant streams carry IDENTICAL marking on every
+        // slice of a picture, so the first slice's ops stand and any
+        // divergent later slice is rejected (the deblock-params
+        // pattern below) — keyed on a parsed flag, not op-list
+        // emptiness, so an adaptive-but-empty first slice still wins
+        val slOps: List[(Int, Int, Int)] =
+          if (r.u1() == 1) {
+            val ops = List.newBuilder[(Int, Int, Int)]
+            var op = r.ue()
+            var guard = 0
+            while (op != 0) {
+              op match {
+                case 1 | 2 | 4 | 6 => ops += ((op, r.ue(), 0))
+                case 3 => ops += ((op, r.ue(), r.ue()))
+                case 5 => ops += ((op, 0, 0))
+                case _ => throw new IllegalArgumentException(
+                  s"memory_management_control_operation $op")
+              }
+              guard += 1
+              require(guard <= 35, "runaway dec_ref_pic_marking")
+              op = r.ue()
             }
-            guard += 1
-            require(guard <= 35, "runaway dec_ref_pic_marking")
-            op = r.ue()
-          }
-          if (mmcoOps.isEmpty) mmcoOps = ops.result()
-        }
+            ops.result()
+          } else Nil
+        if (!mmcoSet) { mmcoOps = slOps; mmcoSet = true }
+        else if (slOps != mmcoOps)
+          throw UnsupportedFeature("per-slice dec_ref_pic_marking differs")
       }
       val sliceQp = pps.picInitQp + r.se()
       require(sliceQp >= 0 && sliceQp <= 51,

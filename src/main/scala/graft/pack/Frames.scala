@@ -332,6 +332,10 @@ object FrameSource {
                   s"memory_management_control_operation $op")
               }
               if (cur.longTermIdx < 0) shortRefs = cur +: shortRefs
+              // the returned frame must carry the post-marking
+              // metadata (op 5 re-bases poc/frameNum, op 6 stamps the
+              // long-term idx) — identical to the copy the DPB keeps
+              if (j == index) out = cur
             } else {
               // sliding window (8.2.5.3): evict the OLDEST short-term
               // picture; long-term pictures are exempt

@@ -110,8 +110,13 @@ object Gopen {
             case same if same == u => u.stripPrefix(scheme + ":")
             case stripped => stripped
           }
+          // single-quote the substituted URL: shard lists are data, and
+          // a shard name containing $(...) or backticks must reach the
+          // handler as an argument, never as shell syntax (the
+          // reference's gopen_curl single-quotes its {} the same way)
           openPipe(h.stripPrefix("pipe:")
-            .replace("{path}", rest).replace("{}", u))
+            .replace("{path}", shellQuote(rest))
+            .replace("{}", shellQuote(u)))
         case Some(alias) =>
           val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
           openResolved(alias + u.stripPrefix(scheme), conf, aliased = true)
@@ -121,6 +126,10 @@ object Gopen {
       }
     }
   }
+
+  /** POSIX single-quote escaping: `'` closes, `\'` emits, `'` reopens. */
+  private[wds] def shellQuote(s: String): String =
+    "'" + s.replace("'", "'\\''") + "'"
 
   def openPipe(cmd: String): InputStream = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)

@@ -150,6 +150,53 @@ class H264SliceSpec extends AnyFunSuite {
     intercept[UnsupportedFeature](Decoder.decode(mixed, c))
   }
 
+  test("divergent per-slice dec_ref_pic_marking stays typed") {
+    // 7.4.3: every slice of a picture must carry identical marking;
+    // first-wins on divergent input would silently pick one DPB
+    // mutation over another
+    val sps = Encoder.spsFor(32, 16)
+    val c = Decoder.AvcConfig(sps, Encoder.ppsFor(26), 4)
+    val f = frame(32, 16, 21)
+    val ref = Decoder.decode(
+      Encoder.encodeFrame(f, 26, pcmEvery = 1, deblock = false), c)
+    def slice(firstMb: Int, mmco: Seq[(Int, Int, Int)]): BitWriter = {
+      val w = new BitWriter
+      Encoder.writePSliceHeader(w, sps, 1, 0, deblock = false,
+        firstMb = firstMb, mmco = mmco)
+      w.ue(1) // mb_skip_run covering this slice's MB
+      w
+    }
+    // identical marking on both slices -> decodes, ops surfaced once
+    val ok = Encoder.avccSampleMulti(
+      Seq(slice(0, Seq((1, 0, 0))), slice(1, Seq((1, 0, 0)))),
+      nalType = 1)
+    assert(Decoder.decode(ok, c, ref).mmco == List((1, 0, 0)))
+    // slice 2 with different ops -> typed
+    val bad = Encoder.avccSampleMulti(
+      Seq(slice(0, Seq((1, 0, 0))), slice(1, Seq((2, 0, 0)))),
+      nalType = 1)
+    intercept[UnsupportedFeature](Decoder.decode(bad, c, ref))
+    // adaptive-but-EMPTY first slice stands (parsed-flag, not
+    // emptiness): a later slice bringing real ops is divergent, not
+    // silently adopted
+    val wEmpty = new BitWriter
+    wEmpty.ue(0) // first_mb_in_slice
+    wEmpty.ue(5) // slice_type P (all slices)
+    wEmpty.ue(0) // pps id
+    wEmpty.u(sps.log2MaxFrameNum, 1)
+    wEmpty.u(sps.log2MaxPocLsb, 2)
+    wEmpty.u1(0) // num_ref_idx_active_override
+    wEmpty.u1(0) // ref_pic_list_modification
+    wEmpty.u1(1) // adaptive_ref_pic_marking_flag, no ops
+    wEmpty.ue(0) // memory_management_control_operation 0 (end)
+    wEmpty.se(0) // slice_qp_delta
+    wEmpty.ue(1) // disable_deblocking_filter_idc
+    wEmpty.ue(1) // mb_skip_run
+    val sneaky = Encoder.avccSampleMulti(
+      Seq(wEmpty, slice(1, Seq((1, 0, 0)))), nalType = 1)
+    intercept[UnsupportedFeature](Decoder.decode(sneaky, c, ref))
+  }
+
   test("videoSlices fixtures decode to their closed-form plane sums") {
     for (d <- 0L until 24L) {
       val n = 4 + (d % 3).toInt

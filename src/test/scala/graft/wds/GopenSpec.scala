@@ -186,6 +186,28 @@ class GopenSpec extends SparkSpec {
     }
   }
 
+  test("pipe-template substitution is shell-safe (metachars stay literal)") {
+    // shard URLs are DATA: one crafted shard name in a 100 TB shard
+    // list must not execute as shell syntax inside a registered
+    // pipe-template handler. The substitution single-quotes the value,
+    // so $(...), backticks, quotes, and spaces all arrive literally.
+    val canary = Files.createTempDirectory("gopen").resolve("pwned")
+    val evil = "a b$(touch " + canary + ")`touch " + canary + "`'x'\"y\""
+    withProp("graft.gopen.schemes", "evilscheme=pipe:printf %s {path}") {
+      val in = Gopen.open("evilscheme://" + evil,
+        spark.sparkContext.hadoopConfiguration)
+      assert(new String(in.readAllBytes(), UTF_8) == evil)
+      in.close()
+    }
+    withProp("graft.gopen.schemes", "evilfull=pipe:printf %s {}") {
+      val in = Gopen.open("evilfull://" + evil,
+        spark.sparkContext.hadoopConfiguration)
+      assert(new String(in.readAllBytes(), UTF_8) == "evilfull://" + evil)
+      in.close()
+    }
+    assert(!Files.exists(canary), "shell injection executed")
+  }
+
   test("USE_AIS_FOR aliases listed protocols to the ais handler") {
     val tar = writeTar(5)
     val conf = spark.sparkContext.hadoopConfiguration

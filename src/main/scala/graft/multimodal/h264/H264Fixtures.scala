@@ -32,8 +32,17 @@ object H264Fixtures {
     * (`pack/samplers.py:121-157` reads the index, then decodes the
     * marked frames), without making any frame's DECODE depend on
     * another's. */
-  def video(docId: Long, n: Int, syncEvery: Int = 1): Array[Byte] = {
-    val qp = qpFor(docId)
+  def video(docId: Long, n: Int, syncEvery: Int = 1): Array[Byte] =
+    videoQp(docId, n, qpFor(docId), syncEvery)
+
+  /** [[video]] with an explicit QP — the "re-encode" axis: the same
+    * doc's content encoded at a different quantizer yields different
+    * bitstream bytes AND different reconstructed pixel values on the
+    * quantized kinds (I_16x16 / I_NxN; I_PCM bypasses quantization),
+    * which is exactly what a perceptual fingerprint (mm28) must
+    * survive and an exact pixel fingerprint (mm27) must not. */
+  def videoQp(docId: Long, n: Int, qp: Int,
+      syncEvery: Int = 1): Array[Byte] = {
     val sps = Encoder.spsFor(16, 16)
     val pps = Encoder.ppsFor(qp)
     val samples = (0 until n).map(f => frameSample(docId, f, qp, sps))

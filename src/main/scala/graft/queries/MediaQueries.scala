@@ -504,22 +504,30 @@ object MediaQueries extends QueryRegistry {
           }
           s"$rs:$gs:$bs"
         }
-      def md5hex(t: String): String = {
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(t.getBytes("UTF-8"))
-        d.map(b => f"$b%02x").mkString
-      }
       Seq(0, 1).flatMap { vid =>
         val n = if (vid == 0) nx else nx + 3
         val fp = sums(
           graft.multimodal.h264.H264Fixtures.video(id, n), n)
         val sh = (0 to n - 3)
-          .map(t => md5hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
+          .map(t => md5Hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
           .distinct
         sh.map(h => (vid, h, sh.size))
       }
     }
-    val stage = WdsQueries.scratchDir("graft_mm27")
+    stageAndJoinShingles(s, dir, "graft_mm27", shingles)
+  }
+
+  /** Shared spine of the video near-dup family (mm27 exact / mm28
+    * perceptual): decode+shingle via `shingles(doc_id) => Seq((vid,
+    * sh, n_sh))`, STAGE the tiny hash relation to scratch parquet
+    * (single decode evaluation + fault-tolerant checkpoint), then
+    * bucket-join on shingle equality and report exact shingle-set
+    * Jaccard in ppm, thresholded at 0.4. */
+  private def stageAndJoinShingles(s: SparkSession, dir: String,
+      prefix: String,
+      shingles: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame = {
+    val stage = WdsQueries.scratchDir(prefix)
     Tables(s, dir).documents
       .select(col("doc_id"))
       // explicit-count repartition: compute-bound decode (see mm22)
@@ -547,6 +555,41 @@ object MediaQueries extends QueryRegistry {
       .where(col("jaccard_ppm") >= 400000)
       .orderBy(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"))
   }
+
+  private def md5Hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Oracle tail shared by mm27/mm28: consumes a CTE `fp(d, vid, f,
+    * s)` of per-frame fingerprint strings, shingles with window
+    * leads + md5, and replays the bucket-join Jaccard. */
+  private val shingleTailSql =
+    """led AS (
+      |  SELECT d, vid, s,
+      |    lead(s, 1) OVER (PARTITION BY d, vid ORDER BY f) AS s1,
+      |    lead(s, 2) OVER (PARTITION BY d, vid ORDER BY f) AS s2
+      |  FROM fp),
+      |shd AS (
+      |  SELECT DISTINCT d, vid, md5(s || '|' || s1 || '|' || s2) AS sh
+      |  FROM led WHERE s2 IS NOT NULL),
+      |sizes AS (
+      |  SELECT d, vid, count(*)::INT AS n_sh FROM shd GROUP BY d, vid),
+      |pairs AS (
+      |  SELECT a.d AS a_doc, a.vid AS a_vid, b.d AS b_doc,
+      |    b.vid AS b_vid, count(*)::BIGINT AS shared
+      |  FROM shd a JOIN shd b ON a.sh = b.sh
+      |  WHERE (a.d, a.vid) < (b.d, b.vid)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT p.a_doc, p.a_vid, p.b_doc, p.b_vid, p.shared,
+      |  (sa.n_sh + sb.n_sh - p.shared)::BIGINT AS union_n,
+      |  ((1000000 * p.shared) // (sa.n_sh + sb.n_sh - p.shared))::BIGINT
+      |    AS jaccard_ppm
+      |FROM pairs p
+      |JOIN sizes sa ON sa.d = p.a_doc AND sa.vid = p.a_vid
+      |JOIN sizes sb ON sb.d = p.b_doc AND sb.vid = p.b_vid
+      |WHERE (1000000 * p.shared) // (sa.n_sh + sb.n_sh - p.shared)
+      |  >= 400000
+      |ORDER BY a_doc, a_vid, b_doc, b_vid""".stripMargin
 
   /** Replays mm14's closed-form per-frame channel sums for BOTH
     * videos (frame content is a pure function of (doc, frame, qp) —
@@ -637,33 +680,126 @@ object MediaQueries extends QueryRegistry {
       |fp AS (
       |  SELECT d, vid, f,
       |    rs::VARCHAR || ':' || gs::VARCHAR || ':' || bs::VARCHAR AS s
-      |  FROM allk),
-      |led AS (
-      |  SELECT d, vid, s,
-      |    lead(s, 1) OVER (PARTITION BY d, vid ORDER BY f) AS s1,
-      |    lead(s, 2) OVER (PARTITION BY d, vid ORDER BY f) AS s2
-      |  FROM fp),
-      |shd AS (
-      |  SELECT DISTINCT d, vid, md5(s || '|' || s1 || '|' || s2) AS sh
-      |  FROM led WHERE s2 IS NOT NULL),
-      |sizes AS (
-      |  SELECT d, vid, count(*)::INT AS n_sh FROM shd GROUP BY d, vid),
-      |pairs AS (
-      |  SELECT a.d AS a_doc, a.vid AS a_vid, b.d AS b_doc,
-      |    b.vid AS b_vid, count(*)::BIGINT AS shared
-      |  FROM shd a JOIN shd b ON a.sh = b.sh
-      |  WHERE (a.d, a.vid) < (b.d, b.vid)
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT p.a_doc, p.a_vid, p.b_doc, p.b_vid, p.shared,
-      |  (sa.n_sh + sb.n_sh - p.shared)::BIGINT AS union_n,
-      |  ((1000000 * p.shared) // (sa.n_sh + sb.n_sh - p.shared))::BIGINT
-      |    AS jaccard_ppm
-      |FROM pairs p
-      |JOIN sizes sa ON sa.d = p.a_doc AND sa.vid = p.a_vid
-      |JOIN sizes sb ON sb.d = p.b_doc AND sb.vid = p.b_vid
-      |WHERE (1000000 * p.shared) // (sa.n_sh + sb.n_sh - p.shared)
-      |  >= 400000
-      |ORDER BY a_doc, a_vid, b_doc, b_vid""".stripMargin
+      |  FROM allk),""".stripMargin + "\n" + shingleTailSql
+
+  /** Local-mode instrumentation, mm28's analog of [[mm27DecodeCalls]]. */
+  private[graft] val mm28DecodeCalls =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** mm28: PERCEPTUAL video near-duplicate detection — mm27's exact
+    * pixel fingerprints survive re-MUXES and trims but break on
+    * re-ENCODES (requantization shifts every reconstructed value).
+    * mm28 swaps the per-frame fingerprint for an aHash-style
+    * perceptual hash and keeps the whole shingle/bucket spine,
+    * mirroring how qd05 SimHash complements qd02 MinHash for text:
+    * per decoded frame, sum r+g+b per pixel, average over the 8x8
+    * grid of 2x2 blocks, and emit one bit per block — is this block
+    * brighter than the frame mean (exact integer compare
+    * 64*blockSum > frameSum, no float, no rounding drift)? Uniform
+    * requantization moves absolute values but not the
+    * brighter-than-mean STRUCTURE, so the 64-bit pattern is stable
+    * across QP. The fixture pins exactly that: each doc's "re-upload"
+    * is the same content RE-ENCODED at a different quantizer
+    * ([[graft.multimodal.h264.H264Fixtures.videoQp]], qp' = 16+(d+7)%24
+    * != qp) AND extended by 3 trailing frames — decoded pixel values
+    * differ on the quantized frame kinds (mm27's fingerprints would
+    * find nothing), yet every doc's pair passes the same 0.4 shingle
+    * Jaccard. Scale shape identical to mm27: staged single decode,
+    * only (doc, vid, hash) rows cross an exchange, never all-pairs. */
+  private def videoPerceptualDup(s: SparkSession, dir: String): DataFrame = {
+    val shingles = udf { (id: Long) =>
+      mm28DecodeCalls.incrementAndGet(): Unit
+      val src = graft.pack.FrameSource.Mp4Frames
+      val nx = (6 + (id % 3) * 3).toInt
+      val qpA = graft.multimodal.h264.H264Fixtures.qpFor(id)
+      val qpB = 16 + ((id + 7) % 24).toInt
+      def aHash(png: Array[Byte]): String = {
+        val img = Codecs.decodeImage(png)
+        val bs = new Array[Long](64)
+        var tot = 0L
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val i = (y * 16 + x) * 3
+            val g3 = (img.data(i) & 0xff) + (img.data(i + 1) & 0xff) +
+              (img.data(i + 2) & 0xff)
+            bs((y >> 1) * 8 + (x >> 1)) += g3
+            tot += g3
+            x += 1
+          }
+          y += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var b = 0
+        while (b < 64) {
+          sb.append(if (64L * bs(b) > tot) '1' else '0'); b += 1
+        }
+        sb.toString
+      }
+      Seq((0, nx, qpA), (1, nx + 3, qpB)).flatMap { case (vid, n, qp) =>
+        val bytes = graft.multimodal.h264.H264Fixtures.videoQp(id, n, qp)
+        val fp = (0 until n).map(f => aHash(src.frame(bytes, f)))
+        val sh = (0 to n - 3)
+          .map(t => md5Hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
+          .distinct
+        sh.map(h => (vid, h, sh.size))
+      }
+    }
+    stageAndJoinShingles(s, dir, "graft_mm28", shingles)
+  }
+
+  /** Replays the aHash bits in closed form: I_PCM frames (kind 0)
+    * bypass quantization, so their per-pixel rgb — and therefore the
+    * 2x2-block brightness pattern — is QP-independent and shared by
+    * both encodes; I_16x16 / I_NxN frames reconstruct UNIFORM planes
+    * at every QP, whose aHash is all-zeros by definition (no block is
+    * strictly brighter than the mean). The oracle derives kind-0 bits
+    * from the mm14 pixel formulas and emits the zero string for the
+    * uniform kinds, then reuses the shared shingle/bucket tail. */
+  private val videoPerceptualDupSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (6 + (doc_id % 3) * 3)::INT AS nx
+      |  FROM documents),
+      |vids AS (
+      |  SELECT d, 0 AS vid, nx AS n FROM g
+      |  UNION ALL SELECT d, 1 AS vid, nx + 3 AS n FROM g),
+      |fr AS (
+      |  SELECT d, vid, unnest(generate_series(0, n - 1)) AS f
+      |  FROM vids),
+      |k0px AS (
+      |  SELECT d, vid, f,
+      |    (((i//16)//2)*8 + (i%16)//2)::INT AS blk,
+      |    (d*31 + f*53 + i*7) % 251 AS yv,
+      |    (d*29 + f*47 + (((i//16)//2)*8 + (i%16)//2)*11) % 251 - 128 AS u,
+      |    (d*23 + f*41 + (((i//16)//2)*8 + (i%16)//2)*13) % 251 - 128 AS v
+      |  FROM fr CROSS JOIN (
+      |    SELECT unnest(generate_series(0, 255)) AS i) px
+      |  WHERE f % 3 = 0),
+      |k0b AS (
+      |  SELECT d, vid, f, blk,
+      |    sum(GREATEST(0, LEAST(255,
+      |        yv + floor((91881*v + 32768) / 65536.0)::INT))
+      |      + GREATEST(0, LEAST(255,
+      |        yv - floor((22554*u + 46802*v + 32768) / 65536.0)::INT))
+      |      + GREATEST(0, LEAST(255,
+      |        yv + floor((116130*u + 32768) / 65536.0)::INT))
+      |      )::BIGINT AS bsum
+      |  FROM k0px GROUP BY d, vid, f, blk),
+      |k0t AS (
+      |  SELECT d, vid, f, blk, bsum,
+      |    sum(bsum) OVER (PARTITION BY d, vid, f) AS tot
+      |  FROM k0b),
+      |k0fp AS (
+      |  SELECT d, vid, f,
+      |    string_agg(CASE WHEN 64*bsum > tot THEN '1' ELSE '0' END, ''
+      |               ORDER BY blk) AS s
+      |  FROM k0t GROUP BY d, vid, f),
+      |fp AS (
+      |  SELECT d, vid, f, s FROM k0fp
+      |  UNION ALL
+      |  SELECT d, vid, f, repeat('0', 64) AS s FROM fr
+      |  WHERE f % 3 <> 0),""".stripMargin + "\n" + shingleTailSql
 
   /** mm14: end-to-end H.264 baseline decode gate. Each doc synthesizes
     * a real avc1 mp4 ([[graft.multimodal.h264.H264Fixtures]]: avcC
@@ -1583,6 +1719,8 @@ object MediaQueries extends QueryRegistry {
       bench = true),
     "mm27_video_near_dup" -> QueryDef(videoNearDup,
       Some(videoNearDupSql), bench = true),
+    "mm28_video_phash_dup" -> QueryDef(videoPerceptualDup,
+      Some(videoPerceptualDupSql), bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryRegistry, Tables}
-import graft.multimodal.{MediaColumns, Mp4Samples, Subtitles, WavCodec}
+import graft.multimodal.{FlacCodec, MediaColumns, Mp4Samples, Subtitles, WavCodec}
 import graft.wds.Codecs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -685,6 +685,106 @@ object MediaQueries extends QueryRegistry {
   /** Local-mode instrumentation, mm28's analog of [[mm27DecodeCalls]]. */
   private[graft] val mm28DecodeCalls =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Local-mode instrumentation, mm29's analog of [[mm27DecodeCalls]]. */
+  private[graft] val mm29DecodeCalls =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** mm29: AUDIO near-duplicate detection — completes the near-dup
+    * family across modalities (text qd04, embeddings qd06, video
+    * mm27/mm28, audio here). Each doc carries an original take (WAV,
+    * 16..23 full 50-sample windows) and a "re-master": the SAME
+    * waveform gain-rescaled by (x·g)>>6 (g = 16+d%241, the loudness
+    * normalization every re-upload applies), TRANSCODED to FLAC, and
+    * extended by 3 trailing windows. Exact PCM fingerprints would
+    * match nothing — every sample value changes under gain — so the
+    * per-window fingerprint uses only the SIGN STRUCTURE, which any
+    * positive gain preserves exactly: the window's 50-bit is-positive
+    * pattern, shingled 3 windows at a stride of 1 through the same
+    * staged bucket-join spine as mm27/mm28 (the sign pattern's period
+    * 193 is coprime to the 50-sample stride, so windows never repeat
+    * within a take and the shingle-set sizes are exact closed forms).
+    * The fixture waveform keeps |x| ≥ 64 and g ≥ 16 so integer
+    * truncation can never collapse a sample to zero and flip the
+    * invariant. Decode is REAL on both sides: the WAV path through
+    * [[WavCodec]], the FLAC path through the mm22 [[FlacCodec]]
+    * (container sniffed from magic bytes) — a slip in either
+    * codec's sample reconstruction flips a window bit. Scale shape
+    * identical to mm27: staged single decode, hash-bucketed join,
+    * never all-pairs; cross-doc matches require the sign pattern's
+    * BOTH coefficient classes (d mod 97 AND d mod 89) to coincide,
+    * so true clusters stay tiny until corpus sizes pass ~8.6k docs. */
+  private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val shingles = udf { (id: Long) =>
+      mm29DecodeCalls.incrementAndGet(): Unit
+      val W = 50
+      val nA = 800 + (id % 10).toInt * 40
+      val g = 16 + (id % 241).toInt
+      def sgn(i: Int): Int =
+        if (((id % 97 + 2) * i + (id % 89 + 3) * i.toLong * i) % 193 < 96) 1
+        else -1
+      def mag(i: Int): Int = 64 + ((id * 31 + i.toLong * 17) % 7000).toInt
+      def wave(n: Int): Array[Short] =
+        Array.tabulate(n)(i => (sgn(i) * mag(i)).toShort)
+      val wavBytes = WavCodec.encode(WavCodec.Wav(16000, 1, wave(nA)))
+      val nB = nA + 3 * W
+      val scaled = wave(nB).map(v => ((v * g) >> 6).toShort)
+      val flacBytes = FlacCodec.encode(
+        FlacCodec.Flac(16000, 1, 16, scaled.map(_.toInt)), blockSize = 256)
+      def pcm(bytes: Array[Byte]): Array[Int] =
+        if (bytes.length >= 4 && bytes(0) == 'f'.toByte &&
+            bytes(1) == 'L'.toByte) FlacCodec.decode(bytes).samples
+        else WavCodec.decode(bytes).samples.map(_.toInt)
+      def fps(x: Array[Int]): IndexedSeq[String] = {
+        val k = x.length / W
+        (0 until k).map { w =>
+          val sb = new java.lang.StringBuilder(W)
+          var i = w * W
+          while (i < w * W + W) {
+            sb.append(if (x(i) > 0) '1' else '0'); i += 1
+          }
+          sb.toString
+        }
+      }
+      Seq((0, wavBytes), (1, flacBytes)).flatMap { case (vid, bytes) =>
+        val fp = fps(pcm(bytes))
+        val sh = (0 to fp.length - 3)
+          .map(t => md5Hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
+          .distinct
+        sh.map(h => (vid, h, sh.size))
+      }
+    }
+    stageAndJoinShingles(s, dir, "graft_mm29", shingles)
+  }
+
+  /** Replays the sign-structure fingerprints in closed form: gain
+    * never flips a sign (|x| ≥ 64, g ≥ 16, arithmetic shift) and both
+    * codecs are lossless, so BOTH takes reduce to the same sign
+    * sequence — the oracle derives each window's 50-bit pattern from
+    * the sign formula alone, vid 1 running 3 windows longer, then
+    * reuses the shared shingle/bucket tail. Any sample-level slip in
+    * the WAV/FLAC decode or the gain arithmetic on the Spark side
+    * flips a bit and with it a shingle hash. The window string is
+    * built by a scalar list_transform over per-WINDOW rows rather
+    * than string_agg over per-SAMPLE rows: the 13.5M-row unnest shape
+    * triggered a nondeterministic buffer-manager OOM in DuckDB 1.0.0
+    * at sf0.1 (mm27/mm28's heavier but differently-shaped pipelines
+    * are unaffected; this form is 5/5 stable). */
+  private val audioNearDupSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (800 + (doc_id % 10) * 40)::INT AS na
+      |  FROM documents),
+      |vids AS (
+      |  SELECT d, 0 AS vid, (na // 50)::INT AS k FROM g
+      |  UNION ALL SELECT d, 1 AS vid, (na // 50 + 3)::INT AS k FROM g),
+      |fp AS (
+      |  SELECT d, vid, f,
+      |    array_to_string(list_transform(range(0, 50), j -> CASE WHEN
+      |      ((d % 97 + 2) * (f*50 + j)
+      |        + (d % 89 + 3) * (f*50 + j) * (f*50 + j)) % 193 < 96
+      |      THEN '1' ELSE '0' END), '') AS s
+      |  FROM (SELECT d, vid, unnest(generate_series(0, k - 1)) AS f
+      |        FROM vids)),""".stripMargin + "\n" + shingleTailSql
 
   /** mm28: PERCEPTUAL video near-duplicate detection — mm27's exact
     * pixel fingerprints survive re-MUXES and trims but break on
@@ -1721,6 +1821,8 @@ object MediaQueries extends QueryRegistry {
       Some(videoNearDupSql), bench = true),
     "mm28_video_phash_dup" -> QueryDef(videoPerceptualDup,
       Some(videoPerceptualDupSql), bench = true),
+    "mm29_audio_near_dup" -> QueryDef(audioNearDup,
+      Some(audioNearDupSql), bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

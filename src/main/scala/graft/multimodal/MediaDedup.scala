@@ -1,0 +1,186 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over OPAQUE MEDIA COLUMNS — the mm27/mm28/
+  * mm29 spine as a reusable operator, the media analog of the text
+  * n-gram/MinHash tier (`queries/DedupQueries`). A user points it at a
+  * frame of `(media_id, take, content)` rows plus a task-local
+  * fingerprint function (decode → per-unit fingerprint strings: one
+  * per video frame, audio window, …) and gets verified near-dup pairs
+  * with exact shingle-set Jaccard.
+  *
+  * Pipeline: per row, `fingerprint(content)` runs task-locally (the
+  * expensive decode never leaves the task), consecutive `window`-grams
+  * of fingerprints are md5-shingled, and the tiny distinct
+  * `(media_id, take, shingle, set_size)` relation is STAGED to
+  * `stageDir` as parquet before the self-join fan-out. The stage is
+  * deliberate, not an optimization afterthought:
+  *
+  *  - the decode subtree evaluates exactly ONCE per row — a naive
+  *    self-join would re-run it per join branch (Spark's
+  *    ReuseExchange cannot help when the UDF sits above the exchange);
+  *  - at cluster scale it is a fault-tolerant checkpoint: losing an
+  *    executor mid-join re-reads KBs of hashes, never re-decodes media;
+  *  - the shingle-set SIZE rides along from the fingerprint pass (the
+  *    set is task-local), so the Jaccard denominators need no extra
+  *    groupBy or join.
+  *
+  * Candidates come from shingle-hash bucket equality (banded-LSH
+  * shape): only `(media_id, take, hash)` rows ever cross an exchange —
+  * frames and samples never move — and the join is hash-bucketed,
+  * never all-pairs over media. Pair output is inherently quadratic in
+  * cluster size; a corpus-scale job terminates into the qd09
+  * connected-components shape instead of materializing pairs
+  * (SCALE.md).
+  *
+  * The caller controls partitioning: repartition the id spine BEFORE
+  * synthesizing/attaching content (compute-bound decode wants
+  * defaultParallelism spread; see mm22's measured 10×), and the
+  * operator will not reshuffle content.
+  *
+  * Fingerprint choices define the dedup semantics, mirroring how qd05
+  * SimHash complements qd02 MinHash for text:
+  *  - exact per-frame fingerprints (mm27) find re-muxes and trims;
+  *  - perceptual aHash bits (mm28) additionally survive re-encodes;
+  *  - sign-structure bits over PCM (mm29) survive gain rescaling and
+  *    lossless transcodes.
+  */
+object MediaDedup {
+
+  private[graft] def md5Hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Verified near-dup pairs `(a_id, a_take, b_id, b_take, shared,
+    * union_n, jaccard_ppm)` over `media(media_id, take, content)`,
+    * thresholded at `thresholdPpm` exact shingle-set Jaccard. */
+  def shingleNearDup(media: DataFrame, stageDir: String,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, thresholdPpm: Long = 400000L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val shingleUdf = udf { (content: Array[Byte]) =>
+      val fp = fingerprint(content)
+      val sh = (0 to fp.length - window)
+        .map(t => (t until t + window).map(fp).mkString("|"))
+        .map(md5Hex).distinct
+      sh.map(h => (h, sh.size))
+    }
+    media
+      .select(col("media_id"), col("take"),
+        explode(shingleUdf(col("content"))).as("e"))
+      .select(col("media_id"), col("take"), col("e._1").as("sh"),
+        col("e._2").as("n_sh"))
+      .write.mode("overwrite").parquet(stageDir)
+    val sigs = media.sparkSession.read.parquet(stageDir)
+    val a = sigs.select(col("media_id").as("a_id"),
+      col("take").as("a_take"), col("sh"), col("n_sh").as("a_n"))
+    val b = sigs.select(col("media_id").as("b_id"),
+      col("take").as("b_take"), col("sh"), col("n_sh").as("b_n"))
+    a.join(b, "sh")
+      .where(struct(col("a_id"), col("a_take")) <
+        struct(col("b_id"), col("b_take")))
+      .groupBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
+      .select(col("a_id"), col("a_take"), col("b_id"), col("b_take"),
+        col("shared"),
+        (col("a_n") + col("b_n") - col("shared")).as("union_n"),
+        floor(lit(1000000L) * col("shared") /
+          (col("a_n") + col("b_n") - col("shared"))).as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= thresholdPpm)
+      .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
+  }
+
+  /** Exact per-frame fingerprint for [[shingleNearDup]]: decode every
+    * display frame through `src` and emit the per-channel pixel sums
+    * as `r:g:b` strings — finds re-muxes and boundary trims (mm27). */
+  def exactVideoFingerprint(src: graft.pack.FrameSource)
+      : Array[Byte] => IndexedSeq[String] = { bytes =>
+    val n = src.frameCount(bytes)
+    (0 until n).map { f =>
+      val img = graft.wds.Codecs.decodeImage(src.frame(bytes, f))
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var i = 0
+      while (i < img.data.length) {
+        rs += img.data(i) & 0xff
+        gs += img.data(i + 1) & 0xff
+        bs += img.data(i + 2) & 0xff
+        i += 3
+      }
+      s"$rs:$gs:$bs"
+    }
+  }
+
+  /** Perceptual aHash fingerprint for [[shingleNearDup]]: per decoded
+    * frame, one bit per cell of a `grid`×`grid` partition — is the
+    * cell's r+g+b sum strictly brighter than the frame mean (exact
+    * integer cross-multiplication, no floats)? Uniform requantization
+    * moves absolute values but not the brighter-than-mean structure,
+    * so the pattern survives re-encodes (mm28). */
+  def perceptualVideoFingerprint(src: graft.pack.FrameSource,
+      grid: Int = 8): Array[Byte] => IndexedSeq[String] = { bytes =>
+    val n = src.frameCount(bytes)
+    (0 until n).map { f =>
+      val img = graft.wds.Codecs.decodeImage(src.frame(bytes, f))
+      val w = img.width
+      val h = img.height
+      val cells = new Array[Long](grid * grid)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          val g3 = (img.data(i) & 0xff) + (img.data(i + 1) & 0xff) +
+            (img.data(i + 2) & 0xff)
+          cells((y * grid / h) * grid + (x * grid / w)) += g3
+          tot += g3
+          x += 1
+        }
+        y += 1
+      }
+      val cellPx = new Array[Long](grid * grid)
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          cellPx((y * grid / h) * grid + (x * grid / w)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new java.lang.StringBuilder(grid * grid)
+      var c = 0
+      while (c < grid * grid) {
+        // cells(c)/cellPx(c) > tot/(w*h), cross-multiplied exactly
+        sb.append(
+          if (cells(c) * w * h > tot * cellPx(c)) '1' else '0')
+        c += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Gain-invariant audio fingerprint for [[shingleNearDup]]: decode
+    * PCM (WAV or FLAC, sniffed from magic bytes) and emit each full
+    * `window`-sample window's is-positive bit pattern — any positive
+    * gain preserves every sign, so the fingerprint survives loudness
+    * normalization and lossless transcodes (mm29). */
+  def signPatternAudioFingerprint(window: Int = 50)
+      : Array[Byte] => IndexedSeq[String] = { bytes =>
+    val x: Array[Int] =
+      if (bytes.length >= 4 && bytes(0) == 'f'.toByte &&
+          bytes(1) == 'L'.toByte) FlacCodec.decode(bytes).samples
+      else WavCodec.decode(bytes).samples.map(_.toInt)
+    (0 until x.length / window).map { w =>
+      val sb = new java.lang.StringBuilder(window)
+      var i = w * window
+      while (i < w * window + window) {
+        sb.append(if (x(i) > 0) '1' else '0'); i += 1
+      }
+      sb.toString
+    }
+  }
+}

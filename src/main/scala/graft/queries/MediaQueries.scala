@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryRegistry, Tables}
-import graft.multimodal.{FlacCodec, MediaColumns, Mp4Samples, Subtitles, WavCodec}
+import graft.multimodal.{FlacCodec, MediaColumns, MediaDedup, Mp4Samples, Subtitles, WavCodec}
 import graft.wds.Codecs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -452,13 +452,37 @@ object MediaQueries extends QueryRegistry {
       |FROM g GROUP BY m ORDER BY codec""".stripMargin
 
   /** Local-mode instrumentation for mm27's single-evaluation audit:
-    * the decode UDF bumps this once per evaluated document, so a spec
-    * can assert the expensive decode subtree ran exactly ONCE per doc
-    * (not once per join branch) after a full mm27 materialization.
-    * local[*] runs executors in this JVM, so a static counter sees
-    * every task; on a real cluster this is a no-op cost. */
+    * the fingerprint pass bumps this once per evaluated take, so a
+    * spec can assert the expensive decode subtree ran exactly ONCE per
+    * media row (not once per join branch) after a full mm27
+    * materialization. local[*] runs executors in this JVM, so a static
+    * counter sees every task; on a real cluster this is a no-op cost.
+    * (Module-static access survives closure serialization, so the
+    * increments land on THIS instance, not a deserialized copy.) */
   private[graft] val mm27DecodeCalls =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Two-take media frame (id spine repartitioned BEFORE content
+    * synthesis — compute-bound decode wants the defaultParallelism
+    * spread past AQE coalescing, see mm22's measured 10×) driven
+    * through the library operator
+    * [[graft.multimodal.MediaDedup.shingleNearDup]], with its generic
+    * output columns renamed to the family's oracle names. */
+  private def nearDupPairs(s: SparkSession, dir: String, prefix: String,
+      content: org.apache.spark.sql.expressions.UserDefinedFunction,
+      fingerprint: Array[Byte] => IndexedSeq[String]): DataFrame = {
+    val media = Tables(s, dir).documents
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        explode(array(lit(0), lit(1))).as("take"))
+      .withColumn("content", content(col("media_id"), col("take")))
+    MediaDedup.shingleNearDup(media, WdsQueries.scratchDir(prefix),
+      fingerprint)
+      .select(col("a_id").as("a_doc"), col("a_take").as("a_vid"),
+        col("b_id").as("b_doc"), col("b_take").as("b_vid"),
+        col("shared"), col("union_n"), col("jaccard_ppm"))
+  }
 
   /** mm27: VIDEO NEAR-DUPLICATE detection — the video analog of
     * n-gram/MinHash text dedup (qd04/qd02), over REALLY-DECODED H.264
@@ -469,96 +493,32 @@ object MediaQueries extends QueryRegistry {
     * md5 over the channel-sum fingerprints of 3 consecutive display
     * frames, stride 1 — shingling (not single-frame hashes) keeps
     * chance collisions nil and tolerates boundary trims, exactly like
-    * n-gram shingling for text (qd04). The (doc, vid, shingle,
-    * set-size) relation is STAGED to a scratch parquet before the
-    * self-join fan-out, so the decode subtree is evaluated exactly
-    * once — not once per join branch ([[mm27DecodeCalls]] + Mm27Spec
-    * pin this; ReuseExchange cannot, because the UDF sits above the
-    * repartition exchange). At cluster scale the stage doubles as a
-    * fault-tolerant checkpoint: losing an executor mid-join re-reads
-    * KBs of hashes, never re-decodes videos. The per-video shingle-set
-    * size rides along from the UDF (the set is task-local), so no
-    * extra groupBy/join is needed for the Jaccard denominators.
-    * Candidates come from shingle-hash bucket equality (banded-LSH
-    * shape: only (doc, vid, hash) rows ever cross an exchange — frames
-    * and pixels never move); verified pairs report exact shingle-set
-    * Jaccard in ppm, thresholded at 0.4. 100 TB shape: decode +
-    * shingle cost is per-video narrow work inside one task; the join
-    * is hash-bucketed, never all-pairs over videos. Reference decode
-    * path: `pack/samplers.py:102-157`. */
+    * n-gram shingling for text (qd04). The heavy lifting — staged
+    * single-evaluation decode, hash-bucketed candidate join, exact
+    * Jaccard — is the LIBRARY operator
+    * [[graft.multimodal.MediaDedup.shingleNearDup]] with its
+    * [[graft.multimodal.MediaDedup.exactVideoFingerprint]]; the query
+    * contributes only the fixture synthesis and the oracle.
+    * [[mm27DecodeCalls]] + VideoNearDupSpec pin the single decode per
+    * take (ReuseExchange cannot, because the UDF sits above the
+    * repartition exchange). 100 TB shape: decode + shingle cost is
+    * per-video narrow work inside one task; only (id, take, hash)
+    * rows cross an exchange; the join is hash-bucketed, never
+    * all-pairs over videos. Reference decode path:
+    * `pack/samplers.py:102-157`. */
   private def videoNearDup(s: SparkSession, dir: String): DataFrame = {
-    val shingles = udf { (id: Long) =>
-      mm27DecodeCalls.incrementAndGet(): Unit
-      val src = graft.pack.FrameSource.Mp4Frames
+    val mkVideo = udf { (id: Long, take: Int) =>
       val nx = (6 + (id % 3) * 3).toInt
-      def sums(bytes: Array[Byte], n: Int): IndexedSeq[String] =
-        (0 until n).map { f =>
-          val img = Codecs.decodeImage(src.frame(bytes, f))
-          var rs = 0L; var gs = 0L; var bs = 0L
-          var i = 0
-          while (i < img.data.length) {
-            rs += img.data(i) & 0xff
-            gs += img.data(i + 1) & 0xff
-            bs += img.data(i + 2) & 0xff
-            i += 3
-          }
-          s"$rs:$gs:$bs"
-        }
-      Seq(0, 1).flatMap { vid =>
-        val n = if (vid == 0) nx else nx + 3
-        val fp = sums(
-          graft.multimodal.h264.H264Fixtures.video(id, n), n)
-        val sh = (0 to n - 3)
-          .map(t => md5Hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
-          .distinct
-        sh.map(h => (vid, h, sh.size))
-      }
+      graft.multimodal.h264.H264Fixtures.video(
+        id, if (take == 0) nx else nx + 3)
     }
-    stageAndJoinShingles(s, dir, "graft_mm27", shingles)
+    val exact = MediaDedup.exactVideoFingerprint(
+      graft.pack.FrameSource.Mp4Frames)
+    nearDupPairs(s, dir, "graft_mm27", mkVideo, bytes => {
+      mm27DecodeCalls.incrementAndGet(): Unit
+      exact(bytes)
+    })
   }
-
-  /** Shared spine of the video near-dup family (mm27 exact / mm28
-    * perceptual): decode+shingle via `shingles(doc_id) => Seq((vid,
-    * sh, n_sh))`, STAGE the tiny hash relation to scratch parquet
-    * (single decode evaluation + fault-tolerant checkpoint), then
-    * bucket-join on shingle equality and report exact shingle-set
-    * Jaccard in ppm, thresholded at 0.4. */
-  private def stageAndJoinShingles(s: SparkSession, dir: String,
-      prefix: String,
-      shingles: org.apache.spark.sql.expressions.UserDefinedFunction)
-      : DataFrame = {
-    val stage = WdsQueries.scratchDir(prefix)
-    Tables(s, dir).documents
-      .select(col("doc_id"))
-      // explicit-count repartition: compute-bound decode (see mm22)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col("doc_id"))).as("e"))
-      .select(col("doc_id"), col("e._1").as("vid"), col("e._2").as("sh"),
-        col("e._3").as("n_sh"))
-      .write.mode("overwrite").parquet(stage)
-    val sigs = s.read.parquet(stage)
-    val a = sigs.select(col("doc_id").as("a_doc"), col("vid").as("a_vid"),
-      col("sh"), col("n_sh").as("a_n"))
-    val b = sigs.select(col("doc_id").as("b_doc"), col("vid").as("b_vid"),
-      col("sh"), col("n_sh").as("b_n"))
-    a.join(b, "sh")
-      .where(struct(col("a_doc"), col("a_vid")) <
-        struct(col("b_doc"), col("b_vid")))
-      .groupBy(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"))
-      .agg(count(lit(1)).as("shared"),
-        max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
-      .select(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"),
-        col("shared"),
-        (col("a_n") + col("b_n") - col("shared")).as("union_n"),
-        floor(lit(1000000L) * col("shared") /
-          (col("a_n") + col("b_n") - col("shared"))).as("jaccard_ppm"))
-      .where(col("jaccard_ppm") >= 400000)
-      .orderBy(col("a_doc"), col("a_vid"), col("b_doc"), col("b_vid"))
-  }
-
-  private def md5Hex(t: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** Oracle tail shared by mm27/mm28: consumes a CTE `fp(d, vid, f,
     * s)` of per-frame fingerprint strings, shingles with window
@@ -700,8 +660,9 @@ object MediaQueries extends QueryRegistry {
     * match nothing — every sample value changes under gain — so the
     * per-window fingerprint uses only the SIGN STRUCTURE, which any
     * positive gain preserves exactly: the window's 50-bit is-positive
-    * pattern, shingled 3 windows at a stride of 1 through the same
-    * staged bucket-join spine as mm27/mm28 (the sign pattern's period
+    * pattern ([[graft.multimodal.MediaDedup.signPatternAudioFingerprint]]),
+    * shingled 3 windows at a stride of 1 through the same library
+    * operator as mm27/mm28 (the sign pattern's period
     * 193 is coprime to the 50-sample stride, so windows never repeat
     * within a take and the shingle-set sizes are exact closed forms).
     * The fixture waveform keeps |x| ≥ 64 and g ≥ 16 so integer
@@ -715,46 +676,29 @@ object MediaQueries extends QueryRegistry {
     * BOTH coefficient classes (d mod 97 AND d mod 89) to coincide,
     * so true clusters stay tiny until corpus sizes pass ~8.6k docs. */
   private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
-    val shingles = udf { (id: Long) =>
-      mm29DecodeCalls.incrementAndGet(): Unit
-      val W = 50
+    val W = 50
+    val mkAudio = udf { (id: Long, take: Int) =>
       val nA = 800 + (id % 10).toInt * 40
-      val g = 16 + (id % 241).toInt
       def sgn(i: Int): Int =
         if (((id % 97 + 2) * i + (id % 89 + 3) * i.toLong * i) % 193 < 96) 1
         else -1
       def mag(i: Int): Int = 64 + ((id * 31 + i.toLong * 17) % 7000).toInt
       def wave(n: Int): Array[Short] =
         Array.tabulate(n)(i => (sgn(i) * mag(i)).toShort)
-      val wavBytes = WavCodec.encode(WavCodec.Wav(16000, 1, wave(nA)))
-      val nB = nA + 3 * W
-      val scaled = wave(nB).map(v => ((v * g) >> 6).toShort)
-      val flacBytes = FlacCodec.encode(
-        FlacCodec.Flac(16000, 1, 16, scaled.map(_.toInt)), blockSize = 256)
-      def pcm(bytes: Array[Byte]): Array[Int] =
-        if (bytes.length >= 4 && bytes(0) == 'f'.toByte &&
-            bytes(1) == 'L'.toByte) FlacCodec.decode(bytes).samples
-        else WavCodec.decode(bytes).samples.map(_.toInt)
-      def fps(x: Array[Int]): IndexedSeq[String] = {
-        val k = x.length / W
-        (0 until k).map { w =>
-          val sb = new java.lang.StringBuilder(W)
-          var i = w * W
-          while (i < w * W + W) {
-            sb.append(if (x(i) > 0) '1' else '0'); i += 1
-          }
-          sb.toString
-        }
-      }
-      Seq((0, wavBytes), (1, flacBytes)).flatMap { case (vid, bytes) =>
-        val fp = fps(pcm(bytes))
-        val sh = (0 to fp.length - 3)
-          .map(t => md5Hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
-          .distinct
-        sh.map(h => (vid, h, sh.size))
+      if (take == 0) WavCodec.encode(WavCodec.Wav(16000, 1, wave(nA)))
+      else {
+        val g = 16 + (id % 241).toInt
+        val scaled = wave(nA + 3 * W).map(v => ((v * g) >> 6).toShort)
+        FlacCodec.encode(
+          FlacCodec.Flac(16000, 1, 16, scaled.map(_.toInt)),
+          blockSize = 256)
       }
     }
-    stageAndJoinShingles(s, dir, "graft_mm29", shingles)
+    val sign = MediaDedup.signPatternAudioFingerprint(W)
+    nearDupPairs(s, dir, "graft_mm29", mkAudio, bytes => {
+      mm29DecodeCalls.incrementAndGet(): Unit
+      sign(bytes)
+    })
   }
 
   /** Replays the sign-structure fingerprints in closed form: gain
@@ -789,9 +733,10 @@ object MediaQueries extends QueryRegistry {
   /** mm28: PERCEPTUAL video near-duplicate detection — mm27's exact
     * pixel fingerprints survive re-MUXES and trims but break on
     * re-ENCODES (requantization shifts every reconstructed value).
-    * mm28 swaps the per-frame fingerprint for an aHash-style
-    * perceptual hash and keeps the whole shingle/bucket spine,
-    * mirroring how qd05 SimHash complements qd02 MinHash for text:
+    * mm28 swaps the per-frame fingerprint for
+    * [[graft.multimodal.MediaDedup.perceptualVideoFingerprint]] and
+    * keeps the whole shingle/bucket operator, mirroring how qd05
+    * SimHash complements qd02 MinHash for text:
     * per decoded frame, sum r+g+b per pixel, average over the 8x8
     * grid of 2x2 blocks, and emit one bit per block — is this block
     * brighter than the frame mean (exact integer compare
@@ -807,46 +752,18 @@ object MediaQueries extends QueryRegistry {
     * Jaccard. Scale shape identical to mm27: staged single decode,
     * only (doc, vid, hash) rows cross an exchange, never all-pairs. */
   private def videoPerceptualDup(s: SparkSession, dir: String): DataFrame = {
-    val shingles = udf { (id: Long) =>
-      mm28DecodeCalls.incrementAndGet(): Unit
-      val src = graft.pack.FrameSource.Mp4Frames
+    val mkVideo = udf { (id: Long, take: Int) =>
+      val fx = graft.multimodal.h264.H264Fixtures
       val nx = (6 + (id % 3) * 3).toInt
-      val qpA = graft.multimodal.h264.H264Fixtures.qpFor(id)
-      val qpB = 16 + ((id + 7) % 24).toInt
-      def aHash(png: Array[Byte]): String = {
-        val img = Codecs.decodeImage(png)
-        val bs = new Array[Long](64)
-        var tot = 0L
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 16) {
-            val i = (y * 16 + x) * 3
-            val g3 = (img.data(i) & 0xff) + (img.data(i + 1) & 0xff) +
-              (img.data(i + 2) & 0xff)
-            bs((y >> 1) * 8 + (x >> 1)) += g3
-            tot += g3
-            x += 1
-          }
-          y += 1
-        }
-        val sb = new java.lang.StringBuilder(64)
-        var b = 0
-        while (b < 64) {
-          sb.append(if (64L * bs(b) > tot) '1' else '0'); b += 1
-        }
-        sb.toString
-      }
-      Seq((0, nx, qpA), (1, nx + 3, qpB)).flatMap { case (vid, n, qp) =>
-        val bytes = graft.multimodal.h264.H264Fixtures.videoQp(id, n, qp)
-        val fp = (0 until n).map(f => aHash(src.frame(bytes, f)))
-        val sh = (0 to n - 3)
-          .map(t => md5Hex(fp(t) + "|" + fp(t + 1) + "|" + fp(t + 2)))
-          .distinct
-        sh.map(h => (vid, h, sh.size))
-      }
+      if (take == 0) fx.videoQp(id, nx, fx.qpFor(id))
+      else fx.videoQp(id, nx + 3, 16 + ((id + 7) % 24).toInt)
     }
-    stageAndJoinShingles(s, dir, "graft_mm28", shingles)
+    val phash = MediaDedup.perceptualVideoFingerprint(
+      graft.pack.FrameSource.Mp4Frames)
+    nearDupPairs(s, dir, "graft_mm28", mkVideo, bytes => {
+      mm28DecodeCalls.incrementAndGet(): Unit
+      phash(bytes)
+    })
   }
 
   /** Replays the aHash bits in closed form: I_PCM frames (kind 0)

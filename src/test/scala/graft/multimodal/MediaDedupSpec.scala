@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Library-level laws of the [[MediaDedup.shingleNearDup]] operator,
+  * on hand-built media where every shingle set is enumerable by eye —
+  * the fixture-scale mm27/mm28/mm29 specs cover the codec-real
+  * fingerprints; this one pins the operator algebra itself. */
+class MediaDedupSpec extends SparkSpec {
+
+  private def fp2: Array[Byte] => IndexedSeq[String] =
+    b => b.grouped(2).map(g => g.map(x => f"$x%02x").mkString)
+      .toIndexedSeq
+
+  private def run(media: Seq[(Long, Int, Array[Byte])], window: Int,
+      thresholdPpm: Long = 400000L): Seq[(Long, Int, Long, Int, Long, Long, Long)] = {
+    import spark.implicits._
+    val stage =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    MediaDedup.shingleNearDup(
+      media.toDF("media_id", "take", "content"), stage, fp2,
+      window = window, thresholdPpm = thresholdPpm)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+  }
+
+  test("prefix-sharing takes pair with exact Jaccard; disjoint items never") {
+    // units: A = [0101 0202 0303 0404], B = A + [0505], C disjoint
+    val out = run(Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 1, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5)),
+      (2L, 0, Array[Byte](9, 9, 8, 8, 7, 7, 6, 6))), window = 2)
+    // A: 3 bigram shingles, B: 4, shared 3, union 4 -> 750000 ppm
+    assert(out == Seq((1L, 0, 1L, 1, 3L, 4L, 750000L)))
+  }
+
+  test("threshold filters weak overlaps") {
+    // share ONE bigram of many: jaccard 1/9 < 0.4 -> dropped; raise
+    // threshold semantics checked by lowering it and seeing the pair
+    val media = Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 9, 9, 8, 8, 7, 7, 6, 6)),
+      (2L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 0, 0)))
+    assert(run(media, window = 2).isEmpty)
+    val low = run(media, window = 2, thresholdPpm = 100000L)
+    assert(low == Seq((1L, 0, 2L, 0, 1L, 9L, 111111L)))
+  }
+
+  test("window 1 degenerates to unit-set Jaccard, duplicates collapse") {
+    // repeated unit 0101 counts once (distinct shingles)
+    val out = run(Seq(
+      (1L, 0, Array[Byte](1, 1, 1, 1, 2, 2)),
+      (2L, 0, Array[Byte](1, 1, 2, 2, 3, 3))), window = 1)
+    // sets {0101,0202} vs {0101,0202,0303}: shared 2, union 3
+    assert(out == Seq((1L, 0, 2L, 0, 2L, 3L, 666666L)))
+  }
+
+  test("items shorter than the window emit no shingles and never pair") {
+    val out = run(Seq(
+      (1L, 0, Array[Byte](1, 1)),
+      (2L, 0, Array[Byte](1, 1))), window = 3)
+    assert(out.isEmpty)
+  }
+}

@@ -123,12 +123,12 @@ class AudioNearDupSpec extends SparkSpec {
     assert(bruteExpected.size == docIds.size)
   }
 
-  test("mm29 decode subtree evaluates exactly once per document") {
+  test("mm29 decode subtree evaluates exactly once per take") {
     MediaQueries.mm29DecodeCalls.set(0L)
     val df = graft.SparkEntry.queries("mm29_audio_near_dup")(spark, sf)
     assert(df.count() == docIds.size.toLong)
-    assert(MediaQueries.mm29DecodeCalls.get() == docIds.size.toLong,
+    assert(MediaQueries.mm29DecodeCalls.get() == 2L * docIds.size,
       s"decode ran ${MediaQueries.mm29DecodeCalls.get()} times for " +
-        s"${docIds.size} docs - the staged fan-out must decode once")
+        s"${2 * docIds.size} takes - the staged fan-out must decode once")
   }
 }

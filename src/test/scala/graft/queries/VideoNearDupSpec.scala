@@ -101,12 +101,12 @@ class VideoNearDupSpec extends SparkSpec {
     assert(bruteExpected.size == docIds.size)
   }
 
-  test("mm27 decode subtree evaluates exactly once per document") {
+  test("mm27 decode subtree evaluates exactly once per take") {
     MediaQueries.mm27DecodeCalls.set(0L)
     val df = graft.SparkEntry.queries("mm27_video_near_dup")(spark, sf)
     assert(df.count() == docIds.size.toLong)
-    assert(MediaQueries.mm27DecodeCalls.get() == docIds.size.toLong,
+    assert(MediaQueries.mm27DecodeCalls.get() == 2L * docIds.size,
       s"decode ran ${MediaQueries.mm27DecodeCalls.get()} times for " +
-        s"${docIds.size} docs — the staged fan-out must decode once")
+        s"${2 * docIds.size} takes — the staged fan-out must decode once")
   }
 }

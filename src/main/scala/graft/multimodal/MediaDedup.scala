@@ -93,6 +93,44 @@ object MediaDedup {
       .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
   }
 
+  /** Corpus-scale termination of [[shingleNearDup]]: the pair list is
+    * inherently quadratic in cluster size, so a 100 TB dedup job
+    * collapses verified pairs into duplicate CLUSTERS and keeps one
+    * survivor per cluster — the same shape the text tier lands on
+    * (qd09; SCALE.md "pair output is inherently quadratic"). Pairwise
+    * keep-lists over-delete on transitive chains a–b, b–c; components
+    * give the correct one-survivor-per-cluster answer via the shared
+    * checkpointed min-label loop
+    * ([[graft.functions.ConnectedComponents]], composite
+    * `(media_id, take)` struct labels). Returns one row per media
+    * take: `(media_id, take, cluster_id, cluster_take, survivor)`
+    * where the cluster key is its minimum member and takes with no
+    * near-dup pair form singleton clusters. */
+  def nearDupClusters(media: DataFrame, stageDir: String,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, thresholdPpm: Long = 400000L,
+      maxIters: Int = 50): DataFrame = {
+    val pairs =
+      shingleNearDup(media, stageDir, fingerprint, window, thresholdPpm)
+    def key(id: Column, take: Column): Column =
+      struct(id.as("media_id"), take.as("take"))
+    val edges = pairs.select(
+      key(col("a_id"), col("a_take")).as("a_id"),
+      key(col("b_id"), col("b_take")).as("b_id"))
+    // content prunes away: only the (media_id, take) spine is scanned
+    val vertices = media
+      .select(key(col("media_id"), col("take")).as("id")).distinct()
+    graft.functions.ConnectedComponents.run(edges, vertices, maxIters)
+      .select(col("id.media_id").as("media_id"),
+        col("id.take").as("take"),
+        col("label.media_id").as("cluster_id"),
+        col("label.take").as("cluster_take"))
+      .withColumn("survivor",
+        col("media_id") === col("cluster_id") &&
+          col("take") === col("cluster_take"))
+      .orderBy(col("media_id"), col("take"))
+  }
+
   /** Exact per-frame fingerprint for [[shingleNearDup]]: decode every
     * display frame through `src` and emit the per-channel pixel sums
     * as `r:g:b` strings — finds re-muxes and boundary trims (mm27). */

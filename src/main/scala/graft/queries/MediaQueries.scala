@@ -642,6 +642,57 @@ object MediaQueries extends QueryRegistry {
       |    rs::VARCHAR || ':' || gs::VARCHAR || ':' || bs::VARCHAR AS s
       |  FROM allk),""".stripMargin + "\n" + shingleTailSql
 
+  /** mm30: media duplicate CLUSTERS — the corpus-scale termination of
+    * the near-dup family as a GATED query:
+    * [[graft.multimodal.MediaDedup.nearDupClusters]] over the mm27
+    * exact-fingerprint fixture collapses verified pairs into
+    * connected components (composite (media_id, take) labels through
+    * the shared checkpointed min-label loop) and marks one survivor
+    * per cluster — the shape a 100 TB job materializes INSTEAD of the
+    * cluster-quadratic pair list (qd09's posture, now for media). The
+    * oracle replays the mm27 pair SQL and closes it transitively with
+    * a recursive CTE over order-preserving encoded keys (d*2+take),
+    * so min-label equals the decoded (min d, take). */
+  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val mkVideo = udf { (id: Long, take: Int) =>
+      val nx = (6 + (id % 3) * 3).toInt
+      graft.multimodal.h264.H264Fixtures.video(
+        id, if (take == 0) nx else nx + 3)
+    }
+    val media = Tables(s, dir).documents
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        explode(array(lit(0), lit(1))).as("take"))
+      .withColumn("content", mkVideo(col("media_id"), col("take")))
+    MediaDedup.nearDupClusters(media, WdsQueries.scratchDir("graft_mm30"),
+      MediaDedup.exactVideoFingerprint(graft.pack.FrameSource.Mp4Frames))
+  }
+
+  private val mediaDupClustersSql = {
+    val pairs = videoNearDupSql
+      .replace("ORDER BY a_doc, a_vid, b_doc, b_vid", "")
+    s"""WITH RECURSIVE p AS ($pairs),
+       |e AS (
+       |  SELECT a_doc*2 + a_vid AS src, b_doc*2 + b_vid AS dst FROM p
+       |  UNION ALL
+       |  SELECT b_doc*2 + b_vid, a_doc*2 + a_vid FROM p
+       |),
+       |verts AS (
+       |  SELECT doc_id*2 + v AS id FROM documents
+       |  CROSS JOIN (SELECT unnest([0, 1]) AS v) t),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eg.dst, r.label FROM reach r JOIN e eg ON eg.src = r.id
+       |)
+       |SELECT id // 2 AS media_id, (id % 2)::INT AS take,
+       |  min(label) // 2 AS cluster_id,
+       |  (min(label) % 2)::INT AS cluster_take,
+       |  (id = min(label)) AS survivor
+       |FROM reach GROUP BY id ORDER BY media_id, take""".stripMargin
+  }
+
   /** Local-mode instrumentation, mm28's analog of [[mm27DecodeCalls]]. */
   private[graft] val mm28DecodeCalls =
     new java.util.concurrent.atomic.AtomicLong
@@ -1740,6 +1791,8 @@ object MediaQueries extends QueryRegistry {
       Some(videoPerceptualDupSql), bench = true),
     "mm29_audio_near_dup" -> QueryDef(audioNearDup,
       Some(audioNearDupSql), bench = true),
+    "mm30_media_dup_clusters" -> QueryDef(mediaDupClusters,
+      Some(mediaDupClustersSql)),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

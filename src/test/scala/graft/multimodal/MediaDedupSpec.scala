@@ -61,4 +61,26 @@ class MediaDedupSpec extends SparkSpec {
       (2L, 0, Array[Byte](1, 1))), window = 3)
     assert(out.isEmpty)
   }
+
+  test("nearDupClusters: transitive chains collapse, singletons survive") {
+    import spark.implicits._
+    // (1,0)~(1,1) at 3/4 and (1,1)~(3,0) at exactly 2/5 = the 0.4
+    // threshold, but (1,0)~(3,0) only 1/5 — a pairwise keep-list
+    // would mishandle the chain; components must not
+    val media = Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 1, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5)),
+      (3L, 0, Array[Byte](3, 3, 4, 4, 5, 5, 6, 6)),
+      (9L, 0, Array[Byte](7, 7, 8, 8, 9, 9)))
+      .toDF("media_id", "take", "content")
+    val stage =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val out = MediaDedup.nearDupClusters(media, stage, fp2, window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, 0, 1L, 0, true), (1L, 1, 1L, 0, false),
+      (3L, 0, 1L, 0, false), (9L, 0, 9L, 0, true)))
+  }
 }

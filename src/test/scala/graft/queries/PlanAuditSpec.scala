@@ -325,4 +325,32 @@ class PlanAuditSpec extends SparkSpec {
           spark.sparkContext.defaultParallelism), q)
     }
   }
+
+  test("near-dup fan-out plans contain no decode: both join branches " +
+    "read the staged hash parquet") {
+    // MediaDedup.shingleNearDup stages (media_id, take, sh, n_sh)
+    // before the self-join precisely so the decode UDF cannot appear
+    // in the fan-out plan (a naive self-join re-decodes per branch;
+    // the VideoNearDupSpec counters pin the runtime side, this pins
+    // the plan shape). Query CONSTRUCTION runs the staging job, so
+    // planOf here is expected to kick off the decode write first.
+    for (q <- Seq("mm27_video_near_dup", "mm28_video_phash_dup",
+      "mm29_audio_near_dup")) {
+      val p = planOf(q)
+      val sc = scans(p)
+      assert(sc.size == 2, s"$q: expected 2 staged-parquet scans, " +
+        s"got ${sc.size}")
+      sc.foreach { scan =>
+        val cols = scan.requiredSchema.fieldNames.toSet
+        assert(cols == Set("media_id", "take", "sh", "n_sh"),
+          s"$q scan reads $cols — not the staged hash relation")
+      }
+      val gens = p.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.isEmpty, s"$q: explode/UDF present in the fan-out " +
+        s"plan — decode is not staged")
+      assert(!p.toString.contains("UDF"),
+        s"$q: a UDF survives in the fan-out plan")
+    }
+  }
 }

@@ -5,6 +5,7 @@ import graft.index.CheckStage
 import graft.tokenize.{SentencePieceModel, TokenizeStage, Tokenizers, SpecialTokenTokenizer}
 import graft.wds.WdsReader
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum, when}
 
 /** spark-submit entrypoint mirroring the reference's three CLI stages
   * (`pack/pack.py:314-329`, `tokenize/main.py`, `index/check_pair.py`)
@@ -23,6 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage check --input 'tok/shard_{0..63}-{000000..000009}.tar' \
   *   --save-path index/ [--lenient]
+  *
+  * spark-submit --class graft.Pipeline graft.jar \
+  *   --stage mediadedup --input media.parquet --save-path dedup/ \
+  *   [--fingerprint exact|phash|audio] [--output clusters|pairs] \
+  *   [--window 3] [--threshold-ppm 400000] [--grid 8] [--audio-window 50]
   * }}}
   *
   * The reference's `--machine_id/--total_machine/--workers` sharding
@@ -179,6 +185,50 @@ object Pipeline {
             checks
           case None => profile
         }
+      // media near-dup stage (beyond the reference's three): parquet
+      // of (media_id, take, content) binary media rows → verified
+      // near-dup pairs (`--output pairs`) or duplicate clusters with
+      // one survivor per cluster (`--output clusters`, the default —
+      // the corpus-scale shape; pair lists are cluster-quadratic).
+      // `--fingerprint exact|phash|audio` picks the robustness axis:
+      // re-mux/trim, re-encode, gain/transcode. The shingle stage is
+      // written under save-path, so the expensive decode is a
+      // restartable checkpoint of the job itself.
+      case "mediadedup" =>
+        import graft.multimodal.MediaDedup
+        val media = spark.read.parquet(req("input"))
+        val fp: Array[Byte] => IndexedSeq[String] =
+          a.getOrElse("fingerprint", "exact") match {
+            case "exact" => MediaDedup.exactVideoFingerprint(
+              graft.pack.FrameSource.Mp4Frames)
+            case "phash" => MediaDedup.perceptualVideoFingerprint(
+              graft.pack.FrameSource.Mp4Frames,
+              grid = a.getOrElse("grid", "8").toInt)
+            case "audio" => MediaDedup.signPatternAudioFingerprint(
+              a.getOrElse("audio-window", "50").toInt)
+            case other => throw new IllegalArgumentException(
+              s"unknown --fingerprint $other (exact|phash|audio)")
+          }
+        val window = a.getOrElse("window", "3").toInt
+        val threshold = a.getOrElse("threshold-ppm", "400000").toLong
+        val save = req("save-path")
+        val result =
+          if (a.getOrElse("output", "clusters") == "pairs")
+            MediaDedup.shingleNearDup(media, s"$save/shingle-stage",
+              fp, window, threshold)
+          else MediaDedup.nearDupClusters(media, s"$save/shingle-stage",
+            fp, window, threshold)
+        result.write.mode("overwrite").parquet(s"$save/result")
+        // bounded driver-side report row, like the other stages
+        val written = spark.read.parquet(s"$save/result")
+        if (a.getOrElse("output", "clusters") == "pairs")
+          written.agg(count(lit(1)).as("n_pairs"),
+            avg(col("jaccard_ppm")).cast("long").as("avg_jaccard_ppm"))
+        else
+          written.agg(count(lit(1)).as("n_takes"),
+            countDistinct(col("cluster_id"), col("cluster_take"))
+              .as("n_clusters"),
+            sum(when(col("survivor"), 1L).otherwise(0L)).as("n_survivors"))
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }

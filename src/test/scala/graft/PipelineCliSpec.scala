@@ -126,4 +126,43 @@ class PipelineCliSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Pipeline.run(spark, Map("stage" -> "pack"))) // missing meta-path
   }
+
+  test("mediadedup stage: audio near-dup pairs and clusters over parquet") {
+    import spark.implicits._
+    // three WAV items: (1,1) is (1,0) gain-doubled + one extra window
+    // (signs preserved => near-dup); (2,0) is pattern-disjoint
+    def win(k: Int): Seq[Short] = (0 until 50).map(i =>
+      (if ((k * 13 + i * 7) % 31 < 16) 1000 else -1000).toShort)
+    def wav(ks: Seq[Int], gain: Int = 1): Array[Byte] =
+      graft.multimodal.WavCodec.encode(graft.multimodal.WavCodec.Wav(
+        16000, 1, ks.flatMap(win).map(v => (v * gain).toShort).toArray))
+    val mediaDir = Files.createTempDirectory("cli_media").toString
+    Seq((1L, 0, wav(Seq(1, 2, 3, 4))),
+        (1L, 1, wav(Seq(1, 2, 3, 4, 5), gain = 2)),
+        (2L, 0, wav(Seq(11, 12, 13))))
+      .toDF("media_id", "take", "content")
+      .write.mode("overwrite").parquet(mediaDir)
+
+    val pairsOut = Files.createTempDirectory("cli_md_pairs").toString
+    val pairs = Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "audio", "output" -> "pairs",
+      "save-path" -> pairsOut))
+    assert(pairs.collect().head.getLong(0) == 1L) // exactly one pair
+    val detail = spark.read.parquet(s"$pairsOut/result").collect()
+    assert(detail.length == 1)
+    // A: 2 shingles of 4 windows, B: 3 of 5; shared 2, union 3
+    assert(detail.head.getLong(4) == 2L && detail.head.getLong(5) == 3L)
+
+    val clusOut = Files.createTempDirectory("cli_md_clus").toString
+    val clus = Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "audio", "save-path" -> clusOut)).collect().head
+    assert(clus.getLong(0) == 3L, "n_takes") // 3 media rows
+    assert(clus.getLong(1) == 2L, "n_clusters") // {(1,*)}, {(2,0)}
+    assert(clus.getLong(2) == 2L, "n_survivors")
+    assertThrows[IllegalArgumentException](Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "nope", "save-path" -> clusOut)))
+  }
 }

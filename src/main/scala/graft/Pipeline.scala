@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage mediadedup --input media.parquet --save-path dedup/ \
   *   [--fingerprint exact|phash|audio] [--output clusters|pairs] \
-  *   [--window 3] [--threshold-ppm 400000] [--grid 8] [--audio-window 50]
+  *   [--window 3] [--threshold-ppm 400000] [--grid 8] \
+  *   [--audio-window 50] [--skip-corrupt]
   * }}}
   *
   * The reference's `--machine_id/--total_machine/--workers` sharding
@@ -211,13 +212,16 @@ object Pipeline {
           }
         val window = a.getOrElse("window", "3").toInt
         val threshold = a.getOrElse("threshold-ppm", "400000").toLong
+        // --skip-corrupt: warnAndContinue posture — undecodable rows
+        // contribute no shingles and survive as singleton clusters
+        val skip = a.contains("skip-corrupt")
         val save = req("save-path")
         val result =
           if (a.getOrElse("output", "clusters") == "pairs")
             MediaDedup.shingleNearDup(media, s"$save/shingle-stage",
-              fp, window, threshold)
+              fp, window, threshold, skipCorrupt = skip)
           else MediaDedup.nearDupClusters(media, s"$save/shingle-stage",
-            fp, window, threshold)
+            fp, window, threshold, skipCorrupt = skip)
         result.write.mode("overwrite").parquet(s"$save/result")
         // bounded driver-side report row, like the other stages
         val written = spark.read.parquet(s"$save/result")

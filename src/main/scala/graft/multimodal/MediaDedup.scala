@@ -55,13 +55,28 @@ object MediaDedup {
 
   /** Verified near-dup pairs `(a_id, a_take, b_id, b_take, shared,
     * union_n, jaccard_ppm)` over `media(media_id, take, content)`,
-    * thresholded at `thresholdPpm` exact shingle-set Jaccard. */
+    * thresholded at `thresholdPpm` exact shingle-set Jaccard.
+    *
+    * `skipCorrupt`: at corpus scale some media rows WILL be truncated
+    * or mis-muxed, and one bad row must not kill a multi-hour job.
+    * With `skipCorrupt = true` a fingerprint failure (decode error,
+    * unsupported codec, …) contributes NO shingles: the item pairs
+    * with nothing and [[nearDupClusters]] reports it as a singleton —
+    * the conservative dedup answer (never deleted as someone's
+    * duplicate). The default stays fail-fast, matching the wds
+    * `reraise` handler policy; pass true for the `warnAndContinue`
+    * posture. */
   def shingleNearDup(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
-      window: Int = 3, thresholdPpm: Long = 400000L): DataFrame = {
+      window: Int = 3, thresholdPpm: Long = 400000L,
+      skipCorrupt: Boolean = false): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val shingleUdf = udf { (content: Array[Byte]) =>
-      val fp = fingerprint(content)
+      val fp =
+        if (!skipCorrupt) fingerprint(content)
+        else try fingerprint(content) catch {
+          case scala.util.control.NonFatal(_) => IndexedSeq.empty[String]
+        }
       val sh = (0 to fp.length - window)
         .map(t => (t until t + window).map(fp).mkString("|"))
         .map(md5Hex).distinct
@@ -109,9 +124,9 @@ object MediaDedup {
   def nearDupClusters(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, thresholdPpm: Long = 400000L,
-      maxIters: Int = 50): DataFrame = {
-    val pairs =
-      shingleNearDup(media, stageDir, fingerprint, window, thresholdPpm)
+      maxIters: Int = 50, skipCorrupt: Boolean = false): DataFrame = {
+    val pairs = shingleNearDup(media, stageDir, fingerprint, window,
+      thresholdPpm, skipCorrupt)
     def key(id: Column, take: Column): Column =
       struct(id.as("media_id"), take.as("take"))
     val edges = pairs.select(

@@ -62,6 +62,35 @@ class MediaDedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("skipCorrupt: a bad row stays a no-shingle singleton; default throws") {
+    import spark.implicits._
+    // the audio fingerprint on garbage bytes (neither RIFF nor fLaC)
+    // throws inside WavCodec — exactly the corrupt-row shape a 100 TB
+    // corpus WILL contain
+    def wav(signs: Seq[Int]): Array[Byte] =
+      WavCodec.encode(WavCodec.Wav(16000, 1,
+        signs.flatMap(s => Seq.fill(50)((s * 1000).toShort)).toArray))
+    val media = Seq(
+      (1L, 0, wav(Seq(1, -1, 1, -1))),
+      (1L, 1, wav(Seq(1, -1, 1, -1, 1))),
+      (7L, 0, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)))
+      .toDF("media_id", "take", "content")
+    val fp = MediaDedup.signPatternAudioFingerprint(50)
+    def stage() =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    // fail-fast default: the corrupt row aborts the job loudly
+    assertThrows[org.apache.spark.SparkException](
+      MediaDedup.shingleNearDup(media, stage(), fp).collect())
+    // warnAndContinue posture: pair found, corrupt row isolated
+    val clusters = MediaDedup.nearDupClusters(media, stage(), fp,
+      skipCorrupt = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    assert(clusters == Seq(
+      (1L, 0, 1L, 0, true), (1L, 1, 1L, 0, false),
+      (7L, 0, 7L, 0, true)))
+  }
+
   test("nearDupClusters: transitive chains collapse, singletons survive") {
     import spark.implicits._
     // (1,0)~(1,1) at 3/4 and (1,1)~(3,0) at exactly 2/5 = the 0.4

@@ -175,45 +175,52 @@ object MediaDedup {
   def perceptualVideoFingerprint(src: graft.pack.FrameSource,
       grid: Int = 8): Array[Byte] => IndexedSeq[String] = { bytes =>
     val n = src.frameCount(bytes)
-    (0 until n).map { f =>
-      val img = graft.wds.Codecs.decodeImage(src.frame(bytes, f))
-      val w = img.width
-      val h = img.height
-      val cells = new Array[Long](grid * grid)
-      var tot = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val i = (y * w + x) * 3
-          val g3 = (img.data(i) & 0xff) + (img.data(i + 1) & 0xff) +
-            (img.data(i + 2) & 0xff)
-          cells((y * grid / h) * grid + (x * grid / w)) += g3
-          tot += g3
-          x += 1
-        }
-        y += 1
+    (0 until n).map(f =>
+      aHashBits(graft.wds.Codecs.decodeImage(src.frame(bytes, f)), grid))
+  }
+
+  /** Single-image perceptual fingerprint — the LAION-style image-dedup
+    * staple, usable with `window = 1` where shingle-set Jaccard
+    * degenerates to aHash bucket equality (mm31). Brightness shifts
+    * and mild requantization preserve the brighter-than-mean pattern;
+    * exact byte/pixel fingerprints would not. */
+  def perceptualImageFingerprint(grid: Int = 8)
+      : Array[Byte] => IndexedSeq[String] =
+    bytes => IndexedSeq(
+      aHashBits(graft.wds.Codecs.decodeImage(bytes), grid))
+
+  /** one bit per grid cell: is the cell's r+g+b sum strictly brighter
+    * than the frame mean (exact integer cross-multiplication) */
+  private def aHashBits(img: graft.wds.Codecs.ImageData,
+      grid: Int): String = {
+    val w = img.width
+    val h = img.height
+    val cells = new Array[Long](grid * grid)
+    val cellPx = new Array[Long](grid * grid)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        val g3 = (img.data(i) & 0xff) + (img.data(i + 1) & 0xff) +
+          (img.data(i + 2) & 0xff)
+        val c = (y * grid / h) * grid + (x * grid / w)
+        cells(c) += g3
+        cellPx(c) += 1
+        tot += g3
+        x += 1
       }
-      val cellPx = new Array[Long](grid * grid)
-      y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          cellPx((y * grid / h) * grid + (x * grid / w)) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val sb = new java.lang.StringBuilder(grid * grid)
-      var c = 0
-      while (c < grid * grid) {
-        // cells(c)/cellPx(c) > tot/(w*h), cross-multiplied exactly
-        sb.append(
-          if (cells(c) * w * h > tot * cellPx(c)) '1' else '0')
-        c += 1
-      }
-      sb.toString
+      y += 1
     }
+    val sb = new java.lang.StringBuilder(grid * grid)
+    var c = 0
+    while (c < grid * grid) {
+      // cells(c)/cellPx(c) > tot/(w*h), cross-multiplied exactly
+      sb.append(if (cells(c) * w * h > tot * cellPx(c)) '1' else '0')
+      c += 1
+    }
+    sb.toString
   }
 
   /** Gain-invariant audio fingerprint for [[shingleNearDup]]: decode

@@ -470,7 +470,8 @@ object MediaQueries extends QueryRegistry {
     * output columns renamed to the family's oracle names. */
   private def nearDupPairs(s: SparkSession, dir: String, prefix: String,
       content: org.apache.spark.sql.expressions.UserDefinedFunction,
-      fingerprint: Array[Byte] => IndexedSeq[String]): DataFrame = {
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3): DataFrame = {
     val media = Tables(s, dir).documents
       .select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -478,11 +479,84 @@ object MediaQueries extends QueryRegistry {
         explode(array(lit(0), lit(1))).as("take"))
       .withColumn("content", content(col("media_id"), col("take")))
     MediaDedup.shingleNearDup(media, WdsQueries.scratchDir(prefix),
-      fingerprint)
+      fingerprint, window)
       .select(col("a_id").as("a_doc"), col("a_take").as("a_vid"),
         col("b_id").as("b_doc"), col("b_take").as("b_vid"),
         col("shared"), col("union_n"), col("jaccard_ppm"))
   }
+
+  /** mm31: IMAGE perceptual dedup — the single-still case of the
+    * near-dup family and the most common training-data dedup job
+    * (LAION-style image pools): `window = 1` degenerates shingle-set
+    * Jaccard to aHash bucket equality, so the join finds EXACT
+    * perceptual-hash matches
+    * ([[graft.multimodal.MediaDedup.perceptualImageFingerprint]]).
+    * Each doc's take 1 is the same synthetic photo BRIGHTNESS-SHIFTED
+    * by +25/channel (the re-exposure / levels-adjust shape) and
+    * re-encoded: every byte and every pixel changes, the
+    * brighter-than-mean pattern provably does not (the shift adds the
+    * same amount to each cell mean and the frame mean; pixels stay
+    * ≤245 so clamping never bends it). The per-channel patterns are
+    * doubly modulated (gradient slope by d mod 89/83/79, offset by
+    * d mod 191), so identical cross-doc images are astronomically
+    * rare and the pair list stays linear in corpus size; chance aHash
+    * collisions remain possible and are replayed exactly by the
+    * oracle's full closed-form aHash — both engines agree on every
+    * collision rather than assuming none. */
+  private def imagePerceptualDup(s: SparkSession, dir: String): DataFrame = {
+    val mkImage = udf { (id: Long, take: Int) =>
+      val base = if (take == 0) 0 else 25
+      val px = Array.tabulate(768) { j =>
+        val i = j / 3
+        val v = (j % 3) match {
+          case 0 => ((id % 89 + 1) * i + id * 7) % 191
+          case 1 => ((id % 83 + 2) * i + id * 11) % 191
+          case _ => ((id % 79 + 3) * i + id * 13) % 191
+        }
+        (v + 30 + base).toByte
+      }
+      Codecs.encodeImage(Codecs.ImageData(16, 16, 3, "RGB", px), "png")
+    }
+    nearDupPairs(s, dir, "graft_mm31", mkImage,
+      MediaDedup.perceptualImageFingerprint(), window = 1)
+  }
+
+  /** Full closed-form aHash replay per (doc, take): per-pixel channel
+    * values from the synthesis formulas (+75 g3 shift on take 1), 2x2
+    * block sums, strict brighter-than-mean bits, md5 bucket join.
+    * Single-fingerprint sets make shared = union = 1 and jaccard
+    * exactly 1.0 for every surviving pair. */
+  private val imagePerceptualDupSql =
+    """WITH tk AS (
+      |  SELECT doc_id AS d, v AS vid FROM documents
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS v) t),
+      |px AS (
+      |  SELECT d, vid, ((i//16)//2)*8 + (i%16)//2 AS blk,
+      |    ((d % 89 + 1) * i + d * 7) % 191
+      |      + ((d % 83 + 2) * i + d * 11) % 191
+      |      + ((d % 79 + 3) * i + d * 13) % 191 + 90
+      |      + CASE WHEN vid = 1 THEN 75 ELSE 0 END AS g3
+      |  FROM tk CROSS JOIN (
+      |    SELECT unnest(generate_series(0, 255)) AS i) t),
+      |blocks AS (
+      |  SELECT d, vid, blk, sum(g3)::BIGINT AS bsum
+      |  FROM px GROUP BY d, vid, blk),
+      |wtot AS (
+      |  SELECT d, vid, blk, bsum,
+      |    sum(bsum) OVER (PARTITION BY d, vid) AS tot
+      |  FROM blocks),
+      |fpimg AS (
+      |  SELECT d, vid,
+      |    string_agg(CASE WHEN 64*bsum > tot THEN '1' ELSE '0' END, ''
+      |               ORDER BY blk) AS s
+      |  FROM wtot GROUP BY d, vid),
+      |shd AS (SELECT d, vid, md5(s) AS sh FROM fpimg)
+      |SELECT a.d AS a_doc, a.vid AS a_vid, b.d AS b_doc, b.vid AS b_vid,
+      |  1::BIGINT AS shared, 1::BIGINT AS union_n,
+      |  1000000::BIGINT AS jaccard_ppm
+      |FROM shd a JOIN shd b ON a.sh = b.sh
+      |WHERE (a.d, a.vid) < (b.d, b.vid)
+      |ORDER BY a_doc, a_vid, b_doc, b_vid""".stripMargin
 
   /** mm27: VIDEO NEAR-DUPLICATE detection — the video analog of
     * n-gram/MinHash text dedup (qd04/qd02), over REALLY-DECODED H.264
@@ -1793,6 +1867,8 @@ object MediaQueries extends QueryRegistry {
       Some(audioNearDupSql), bench = true),
     "mm30_media_dup_clusters" -> QueryDef(mediaDupClusters,
       Some(mediaDupClustersSql)),
+    "mm31_image_phash_dup" -> QueryDef(imagePerceptualDup,
+      Some(imagePerceptualDupSql), bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

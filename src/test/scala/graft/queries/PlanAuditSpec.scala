@@ -335,7 +335,7 @@ class PlanAuditSpec extends SparkSpec {
     // the plan shape). Query CONSTRUCTION runs the staging job, so
     // planOf here is expected to kick off the decode write first.
     for (q <- Seq("mm27_video_near_dup", "mm28_video_phash_dup",
-      "mm29_audio_near_dup")) {
+      "mm29_audio_near_dup", "mm31_image_phash_dup")) {
       val p = planOf(q)
       val sc = scans(p)
       assert(sc.size == 2, s"$q: expected 2 staged-parquet scans, " +

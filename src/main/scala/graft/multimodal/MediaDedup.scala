@@ -1,7 +1,14 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** one (item, shingle) row of the streaming near-dup stage */
+final case class MediaShingleRow(media_id: Long, take: Int, sh: String)
+
+/** streaming verdict: the shingle bucket's first-arrival owner */
+final case class MediaVerdict(media_id: Long, take: Int,
+    owner_id: Long, owner_take: Int)
 
 /** Near-duplicate detection over OPAQUE MEDIA COLUMNS — the mm27/mm28/
   * mm29 spine as a reusable operator, the media analog of the text
@@ -53,6 +60,64 @@ object MediaDedup {
     java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
+  /** content → distinct (shingle-hash, set-size) pairs; the task-local
+    * decode+shingle pass shared by the batch and streaming stages */
+  private def shingleSetUdf(fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int, skipCorrupt: Boolean)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(window >= 1, "window must be >= 1")
+    udf { (content: Array[Byte]) =>
+      val fp =
+        if (!skipCorrupt) fingerprint(content)
+        else try fingerprint(content) catch {
+          case scala.util.control.NonFatal(_) => IndexedSeq.empty[String]
+        }
+      val sh = (0 to fp.length - window)
+        .map(t => (t until t + window).map(fp).mkString("|"))
+        .map(md5Hex).distinct
+      sh.map(h => (h, sh.size))
+    }
+  }
+
+  /** STREAMING near-dup verdicts — the st09 first-arrival contract
+    * over media: arriving items are fingerprinted and shingled
+    * in-stream (the same task-local pass as [[shingleNearDup]]); each
+    * shingle hash holds ONE composite key of keyed state — the
+    * bucket's FIRST-arrival owner, never replaced — so state is
+    * bounded by distinct shingles, never corpus size, and a
+    * micro-batch's work is its own items only (the standing corpus is
+    * never re-decoded). Emits one verdict per (item, shingle); the
+    * per-item reduction (partner = min owner over its shingles; dup
+    * iff partner ≠ self) runs as a batch compaction over the sink,
+    * where a Jaccard-threshold refinement against the staged batch
+    * relation can also be applied. Multi-epoch semantics are
+    * first-arrival: an early original is never retroactively
+    * re-labeled, and a LATER smaller key is flagged dup against the
+    * standing owner rather than silently becoming a second original
+    * (MediaDedupSpec pins the exact arrival-order replay). */
+  def streamingNearDupVerdicts(media: DataFrame,
+      fingerprint: Array[Byte] => IndexedSeq[String], window: Int = 3,
+      skipCorrupt: Boolean = false): Dataset[MediaVerdict] = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val shingleUdf = shingleSetUdf(fingerprint, window, skipCorrupt)
+    media
+      .select(col("media_id"), col("take"),
+        explode(shingleUdf(col("content"))).as("e"))
+      .select(col("media_id"), col("take"), col("e._1").as("sh"))
+      .as[MediaShingleRow]
+      .groupByKey(_.sh)
+      .flatMapGroupsWithState[(Long, Int), MediaVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val keys = rows.map(r => (r.media_id, r.take)).toVector
+          val owner = state.getOption.getOrElse(keys.min)
+          if (state.getOption.isEmpty) state.update(owner)
+          keys.iterator.map(k =>
+            MediaVerdict(k._1, k._2, owner._1, owner._2))
+      }
+  }
+
   /** Verified near-dup pairs `(a_id, a_take, b_id, b_take, shared,
     * union_n, jaccard_ppm)` over `media(media_id, take, content)`,
     * thresholded at `thresholdPpm` exact shingle-set Jaccard.
@@ -70,18 +135,7 @@ object MediaDedup {
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, thresholdPpm: Long = 400000L,
       skipCorrupt: Boolean = false): DataFrame = {
-    require(window >= 1, "window must be >= 1")
-    val shingleUdf = udf { (content: Array[Byte]) =>
-      val fp =
-        if (!skipCorrupt) fingerprint(content)
-        else try fingerprint(content) catch {
-          case scala.util.control.NonFatal(_) => IndexedSeq.empty[String]
-        }
-      val sh = (0 to fp.length - window)
-        .map(t => (t until t + window).map(fp).mkString("|"))
-        .map(md5Hex).distinct
-      sh.map(h => (h, sh.size))
-    }
+    val shingleUdf = shingleSetUdf(fingerprint, window, skipCorrupt)
     media
       .select(col("media_id"), col("take"),
         explode(shingleUdf(col("content"))).as("e"))

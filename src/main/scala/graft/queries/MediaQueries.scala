@@ -503,20 +503,25 @@ object MediaQueries extends QueryRegistry {
     * collisions remain possible and are replayed exactly by the
     * oracle's full closed-form aHash — both engines agree on every
     * collision rather than assuming none. */
-  private def imagePerceptualDup(s: SparkSession, dir: String): DataFrame = {
-    val mkImage = udf { (id: Long, take: Int) =>
-      val base = if (take == 0) 0 else 25
-      val px = Array.tabulate(768) { j =>
-        val i = j / 3
-        val v = (j % 3) match {
-          case 0 => ((id % 89 + 1) * i + id * 7) % 191
-          case 1 => ((id % 83 + 2) * i + id * 11) % 191
-          case _ => ((id % 79 + 3) * i + id * 13) % 191
-        }
-        (v + 30 + base).toByte
+  /** the mm31/st13 fixture photo: doubly-modulated per-channel
+    * gradients; take 1 is brightness-shifted +25/channel (no value
+    * reaches 255, so clamping never bends the aHash invariant) */
+  private def mm31Image(id: Long, take: Int): Array[Byte] = {
+    val base = if (take == 0) 0 else 25
+    val px = Array.tabulate(768) { j =>
+      val i = j / 3
+      val v = (j % 3) match {
+        case 0 => ((id % 89 + 1) * i + id * 7) % 191
+        case 1 => ((id % 83 + 2) * i + id * 11) % 191
+        case _ => ((id % 79 + 3) * i + id * 13) % 191
       }
-      Codecs.encodeImage(Codecs.ImageData(16, 16, 3, "RGB", px), "png")
+      (v + 30 + base).toByte
     }
+    Codecs.encodeImage(Codecs.ImageData(16, 16, 3, "RGB", px), "png")
+  }
+
+  private def imagePerceptualDup(s: SparkSession, dir: String): DataFrame = {
+    val mkImage = udf((id: Long, take: Int) => mm31Image(id, take))
     nearDupPairs(s, dir, "graft_mm31", mkImage,
       MediaDedup.perceptualImageFingerprint(), window = 1)
   }
@@ -526,8 +531,10 @@ object MediaQueries extends QueryRegistry {
     * block sums, strict brighter-than-mean bits, md5 bucket join.
     * Single-fingerprint sets make shared = union = 1 and jaccard
     * exactly 1.0 for every surviving pair. */
-  private val imagePerceptualDupSql =
-    """WITH tk AS (
+  /** closed-form aHash CTEs shared by mm31 and st13: shd(d, vid, sh)
+    * is the md5 of each take's 64-bit brighter-than-mean pattern */
+  private val imageAHashCtes =
+    """tk AS (
       |  SELECT doc_id AS d, v AS vid FROM documents
       |  CROSS JOIN (SELECT unnest([0, 1]) AS v) t),
       |px AS (
@@ -550,13 +557,78 @@ object MediaQueries extends QueryRegistry {
       |    string_agg(CASE WHEN 64*bsum > tot THEN '1' ELSE '0' END, ''
       |               ORDER BY blk) AS s
       |  FROM wtot GROUP BY d, vid),
-      |shd AS (SELECT d, vid, md5(s) AS sh FROM fpimg)
+      |shd AS (SELECT d, vid, md5(s) AS sh FROM fpimg)""".stripMargin
+
+  private val imagePerceptualDupSql =
+    s"""WITH $imageAHashCtes
       |SELECT a.d AS a_doc, a.vid AS a_vid, b.d AS b_doc, b.vid AS b_vid,
       |  1::BIGINT AS shared, 1::BIGINT AS union_n,
       |  1000000::BIGINT AS jaccard_ppm
       |FROM shd a JOIN shd b ON a.sh = b.sh
       |WHERE (a.d, a.vid) < (b.d, b.vid)
       |ORDER BY a_doc, a_vid, b_doc, b_vid""".stripMargin
+
+  /** the staged (media_id, take, content) fixture parquet st13
+    * streams from, written once per sf dir */
+  private val stagedMedia =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mm31MediaStage(s: SparkSession, dir: String): String =
+    stagedMedia.computeIfAbsent(dir, _ => {
+      val stage = WdsQueries.scratchDir("graft_st13_media")
+      val mk = udf((id: Long, take: Int) => mm31Image(id, take))
+      Tables(s, dir).documents
+        .select(col("doc_id").as("media_id"))
+        .select(col("media_id"), explode(array(lit(0), lit(1))).as("take"))
+        .withColumn("content", mk(col("media_id"), col("take")))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
+  /** st13: STREAMING media near-dup — the st09 first-arrival contract
+    * for media columns, over the SHIPPED operator
+    * [[graft.multimodal.MediaDedup.streamingNearDupVerdicts]]: the
+    * mm31 image fixture arrives as a stream; each aHash bucket's keyed
+    * state is its first-arrival owner (one composite key per distinct
+    * shingle — bounded by content diversity, never corpus size); the
+    * per-item compaction takes the min owner over the item's shingles
+    * and flags dup iff partner ≠ self. The gate stages one
+    * AvailableNow epoch, where first-arrival degenerates to the
+    * key-min form this oracle replays from the closed-form aHash;
+    * MediaDedupSpec pins the multi-epoch arrival-order semantics. */
+  private def streamMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val stage = mm31MediaStage(s, dir)
+    val src = s.readStream
+      .schema("media_id LONG, take INT, content BINARY")
+      .parquet(stage)
+    val name = "stmedia_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStreams.runToMemory(s,
+      MediaDedup.streamingNearDupVerdicts(src,
+        MediaDedup.perceptualImageFingerprint(), window = 1).toDF(),
+      name, statePartitions = Some(4))
+      .groupBy(col("media_id"), col("take"))
+      .agg(min(struct(col("owner_id"), col("owner_take"))).as("o"))
+      .select(col("media_id"), col("take"),
+        col("o.owner_id").as("partner_id"),
+        col("o.owner_take").as("partner_take"),
+        when(col("o.owner_id") =!= col("media_id") ||
+          col("o.owner_take") =!= col("take"), 1)
+          .otherwise(0).as("is_dup"))
+      .orderBy(col("media_id"), col("take"))
+  }
+
+  /** single-epoch first-arrival = min composite key per aHash bucket,
+    * replayed over the shared closed-form CTEs (d*2+vid is the
+    * order-preserving encoding of ((d, vid)) for vid ∈ {0,1}) */
+  private val streamMediaDedupSql =
+    s"""WITH $imageAHashCtes,
+      |own AS (SELECT sh, min(d*2 + vid) AS o FROM shd GROUP BY sh)
+      |SELECT s.d AS media_id, s.vid AS take,
+      |  (o.o // 2) AS partner_id, (o.o % 2)::INT AS partner_take,
+      |  CASE WHEN o.o <> s.d*2 + s.vid THEN 1 ELSE 0 END AS is_dup
+      |FROM shd s JOIN own o ON o.sh = s.sh
+      |ORDER BY media_id, take""".stripMargin
 
   /** mm27: VIDEO NEAR-DUPLICATE detection — the video analog of
     * n-gram/MinHash text dedup (qd04/qd02), over REALLY-DECODED H.264
@@ -1869,6 +1941,8 @@ object MediaQueries extends QueryRegistry {
       Some(mediaDupClustersSql)),
     "mm31_image_phash_dup" -> QueryDef(imagePerceptualDup,
       Some(imagePerceptualDupSql), bench = true),
+    "st13_stream_media_dedup" -> QueryDef(streamMediaDedup,
+      Some(streamMediaDedupSql), bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,
       Some(avcInterDecodeSql), bench = true),
     "mm20_avc_bframes" -> QueryDef(avcBFrameDecode,

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{min, struct}
 
 /** Library-level laws of the [[MediaDedup.shingleNearDup]] operator,
   * on hand-built media where every shingle set is enumerable by eye —
@@ -89,6 +90,51 @@ class MediaDedupSpec extends SparkSpec {
     assert(clusters == Seq(
       (1L, 0, 1L, 0, true), (1L, 1, 1L, 0, false),
       (7L, 0, 7L, 0, true)))
+  }
+
+  test("streamingNearDupVerdicts: first-arrival owner across epochs") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    def wav(signs: Seq[Int]): Array[Byte] =
+      WavCodec.encode(WavCodec.Wav(16000, 1,
+        signs.flatMap(s => Seq.fill(50)((s * 1000).toShort)).toArray))
+    val a = wav(Seq(1, -1)) // identical content => identical fingerprint
+    // NOT wav(Seq(-1, 1)): that is a PERMUTATION of a's window set,
+    // and shingle SETS ignore order — alternate within the window
+    val b = WavCodec.encode(WavCodec.Wav(16000, 1,
+      Array.tabulate(100)(i => (if (i % 2 == 0) 1000 else -1000).toShort)))
+    val dir = java.nio.file.Files.createTempDirectory("st_media").toString
+    // epoch 0: (5,0); epoch 1: (2,0) with the SAME content but a
+    // SMALLER key, plus distinct (9,0)
+    Seq((5L, 0, a)).toDF("media_id", "take", "content")
+      .coalesce(1).write.parquet(s"$dir/f0")
+    Seq((2L, 0, a), (9L, 0, b)).toDF("media_id", "take", "content")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    def run(maxFiles: Option[Int]): Map[(Long, Int), (Long, Int)] = {
+      val reader = spark.readStream
+        .schema("media_id LONG, take INT, content BINARY")
+      maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val src = reader.parquet(s"$dir/*")
+      val name = "stmd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = MediaDedup.streamingNearDupVerdicts(src,
+        MediaDedup.signPatternAudioFingerprint(50), window = 1)
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).groupBy($"media_id", $"take")
+        .agg(min(struct($"owner_id", $"owner_take")).as("o"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getStruct(2).getLong(0), r.getStruct(2).getInt(1))).toMap
+    }
+    // one batch: the bucket owner is the min key present
+    assert(run(None) == Map(
+      (2L, 0) -> ((2L, 0)), (5L, 0) -> ((2L, 0)), (9L, 0) -> ((9L, 0))))
+    // two epochs: (5,0) arrived first and STAYS owner; the later
+    // smaller key is flagged dup against it, never a second original
+    assert(run(Some(1)) == Map(
+      (5L, 0) -> ((5L, 0)), (2L, 0) -> ((5L, 0)), (9L, 0) -> ((9L, 0))))
   }
 
   test("nearDupClusters: transitive chains collapse, singletons survive") {

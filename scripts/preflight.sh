@@ -32,10 +32,18 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 }
 
 echo "[preflight] DuckDB oracle replay..."
-python3 scripts/check.py /root/testdata/sf0.001 "$out" | tail -3
-python3 scripts/check.py /root/testdata/sf0.001 "$out" \
-  | grep -q ", 0 bad ==" || {
-  echo "[preflight] ORACLE MISMATCH — see check.py output above"
+# capture once: check.py exits 1 on any mismatch, which under `set -e`
+# would kill the script mid-pipeline before a diagnostic prints
+check_log=/tmp/preflight_check.txt
+if ! python3 scripts/check.py /root/testdata/sf0.001 "$out" \
+    > "$check_log" 2>&1; then
+  tail -20 "$check_log"
+  echo "[preflight] ORACLE MISMATCH — full log: $check_log"
+  exit 1
+fi
+tail -3 "$check_log"
+grep -q ", 0 bad ==" "$check_log" || {
+  echo "[preflight] ORACLE MISMATCH — full log: $check_log"
   exit 1
 }
 echo "[preflight] OK — safe to snapshot"

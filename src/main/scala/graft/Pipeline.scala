@@ -216,8 +216,9 @@ object Pipeline {
         // contribute no shingles and survive as singleton clusters
         val skip = a.contains("skip-corrupt")
         val save = req("save-path")
+        val pairsOut = a.getOrElse("output", "clusters") == "pairs"
         val result =
-          if (a.getOrElse("output", "clusters") == "pairs")
+          if (pairsOut)
             MediaDedup.shingleNearDup(media, s"$save/shingle-stage",
               fp, window, threshold, skipCorrupt = skip)
           else MediaDedup.nearDupClusters(media, s"$save/shingle-stage",
@@ -225,7 +226,7 @@ object Pipeline {
         result.write.mode("overwrite").parquet(s"$save/result")
         // bounded driver-side report row, like the other stages
         val written = spark.read.parquet(s"$save/result")
-        if (a.getOrElse("output", "clusters") == "pairs")
+        if (pairsOut)
           written.agg(count(lit(1)).as("n_pairs"),
             avg(col("jaccard_ppm")).cast("long").as("avg_jaccard_ppm"))
         else

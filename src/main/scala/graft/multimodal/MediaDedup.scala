@@ -141,6 +141,13 @@ object MediaDedup {
         explode(shingleUdf(col("content"))).as("e"))
       .select(col("media_id"), col("take"), col("e._1").as("sh"),
         col("e._2").as("n_sh"))
+      // replayed/duplicated input rows (common in at-least-once
+      // ingest) would double `shared` while a_n/b_n stay fixed,
+      // corrupting the Jaccard (even past 1.0) — distinct over the
+      // tiny hash relation heals exact-duplicate rows for free.
+      // Same-key rows with DIFFERENT content remain an ingest bug to
+      // fail loudly on upstream (the CurateStage doc_id contract).
+      .distinct()
       .write.mode("overwrite").parquet(stageDir)
     val sigs = media.sparkSession.read.parquet(stageDir)
     val a = sigs.select(col("media_id").as("a_id"),
@@ -208,15 +215,17 @@ object MediaDedup {
     val n = src.frameCount(bytes)
     (0 until n).map { f =>
       val img = graft.wds.Codecs.decodeImage(src.frame(bytes, f))
-      var rs = 0L; var gs = 0L; var bs = 0L
+      // channel-agnostic: decodeImage legitimately returns L (1) and
+      // RGBA (4) layouts, not only RGB — sum per channel at the
+      // image's own stride ("r:g:b" for RGB, one sum for gray)
+      val ch = img.nChannels
+      val sums = new Array[Long](ch)
       var i = 0
       while (i < img.data.length) {
-        rs += img.data(i) & 0xff
-        gs += img.data(i + 1) & 0xff
-        bs += img.data(i + 2) & 0xff
-        i += 3
+        sums(i % ch) = sums(i % ch) + (img.data(i) & 0xff)
+        i += 1
       }
-      s"$rs:$gs:$bs"
+      sums.mkString(":")
     }
   }
 
@@ -243,12 +252,15 @@ object MediaDedup {
     bytes => IndexedSeq(
       aHashBits(graft.wds.Codecs.decodeImage(bytes), grid))
 
-  /** one bit per grid cell: is the cell's r+g+b sum strictly brighter
-    * than the frame mean (exact integer cross-multiplication) */
+  /** one bit per grid cell: is the cell's summed-channel brightness
+    * strictly above the frame mean (exact integer
+    * cross-multiplication)? Channel-agnostic: works at the image's
+    * own stride (RGB, RGBA, grayscale). */
   private def aHashBits(img: graft.wds.Codecs.ImageData,
       grid: Int): String = {
     val w = img.width
     val h = img.height
+    val ch = img.nChannels
     val cells = new Array[Long](grid * grid)
     val cellPx = new Array[Long](grid * grid)
     var tot = 0L
@@ -256,9 +268,10 @@ object MediaDedup {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val i = (y * w + x) * 3
-        val g3 = (img.data(i) & 0xff) + (img.data(i + 1) & 0xff) +
-          (img.data(i + 2) & 0xff)
+        val i = (y * w + x) * ch
+        var g3 = 0L
+        var k = 0
+        while (k < ch) { g3 += img.data(i + k) & 0xff; k += 1 }
         val c = (y * grid / h) * grid + (x * grid / w)
         cells(c) += g3
         cellPx(c) += 1

@@ -468,22 +468,37 @@ object MediaQueries extends QueryRegistry {
     * through the library operator
     * [[graft.multimodal.MediaDedup.shingleNearDup]], with its generic
     * output columns renamed to the family's oracle names. */
-  private def nearDupPairs(s: SparkSession, dir: String, prefix: String,
-      content: org.apache.spark.sql.expressions.UserDefinedFunction,
-      fingerprint: Array[Byte] => IndexedSeq[String],
-      window: Int = 3): DataFrame = {
-    val media = Tables(s, dir).documents
+  /** the family's fixture frame: one row per (doc, take ∈ {0, 1}),
+    * id spine repartitioned BEFORE content synthesis */
+  private def twoTakeMedia(s: SparkSession, dir: String,
+      content: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame =
+    Tables(s, dir).documents
       .select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         explode(array(lit(0), lit(1))).as("take"))
       .withColumn("content", content(col("media_id"), col("take")))
-    MediaDedup.shingleNearDup(media, WdsQueries.scratchDir(prefix),
-      fingerprint, window)
+
+  /** the mm27/mm30 fixture video: prefix-sharing re-upload, 3 extra
+    * trailing frames on take 1 — ONE definition so the mm30 oracle
+    * (which replays the mm27 pair SQL) can never desynchronize */
+  private val mm27Video =
+    udf { (id: Long, take: Int) =>
+      val nx = (6 + (id % 3) * 3).toInt
+      graft.multimodal.h264.H264Fixtures.video(
+        id, if (take == 0) nx else nx + 3)
+    }
+
+  private def nearDupPairs(s: SparkSession, dir: String, prefix: String,
+      content: org.apache.spark.sql.expressions.UserDefinedFunction,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3): DataFrame =
+    MediaDedup.shingleNearDup(twoTakeMedia(s, dir, content),
+      WdsQueries.scratchDir(prefix), fingerprint, window)
       .select(col("a_id").as("a_doc"), col("a_take").as("a_vid"),
         col("b_id").as("b_doc"), col("b_take").as("b_vid"),
         col("shared"), col("union_n"), col("jaccard_ppm"))
-  }
 
   /** mm31: IMAGE perceptual dedup — the single-still case of the
     * near-dup family and the most common training-data dedup job
@@ -653,14 +668,9 @@ object MediaQueries extends QueryRegistry {
     * all-pairs over videos. Reference decode path:
     * `pack/samplers.py:102-157`. */
   private def videoNearDup(s: SparkSession, dir: String): DataFrame = {
-    val mkVideo = udf { (id: Long, take: Int) =>
-      val nx = (6 + (id % 3) * 3).toInt
-      graft.multimodal.h264.H264Fixtures.video(
-        id, if (take == 0) nx else nx + 3)
-    }
     val exact = MediaDedup.exactVideoFingerprint(
       graft.pack.FrameSource.Mp4Frames)
-    nearDupPairs(s, dir, "graft_mm27", mkVideo, bytes => {
+    nearDupPairs(s, dir, "graft_mm27", mm27Video, bytes => {
       mm27DecodeCalls.incrementAndGet(): Unit
       exact(bytes)
     })
@@ -799,21 +809,10 @@ object MediaQueries extends QueryRegistry {
     * oracle replays the mm27 pair SQL and closes it transitively with
     * a recursive CTE over order-preserving encoded keys (d*2+take),
     * so min-label equals the decoded (min d, take). */
-  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val mkVideo = udf { (id: Long, take: Int) =>
-      val nx = (6 + (id % 3) * 3).toInt
-      graft.multimodal.h264.H264Fixtures.video(
-        id, if (take == 0) nx else nx + 3)
-    }
-    val media = Tables(s, dir).documents
-      .select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id").as("media_id"),
-        explode(array(lit(0), lit(1))).as("take"))
-      .withColumn("content", mkVideo(col("media_id"), col("take")))
-    MediaDedup.nearDupClusters(media, WdsQueries.scratchDir("graft_mm30"),
+  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
+    MediaDedup.nearDupClusters(twoTakeMedia(s, dir, mm27Video),
+      WdsQueries.scratchDir("graft_mm30"),
       MediaDedup.exactVideoFingerprint(graft.pack.FrameSource.Mp4Frames))
-  }
 
   private val mediaDupClustersSql = {
     val pairs = videoNearDupSql

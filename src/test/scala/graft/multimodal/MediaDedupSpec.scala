@@ -63,6 +63,24 @@ class MediaDedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("fingerprints honor the image's own channel layout (gray, RGB)") {
+    import graft.wds.Codecs
+    // 16x16 grayscale: brighter top half -> aHash rows 0-3 set. A
+    // 3-channel-stride walk would read past 256 bytes and crash.
+    val grayPx = Array.tabulate(256)(i =>
+      (if (i < 128) 200 else 40).toByte)
+    val gray = Codecs.encodeImage(
+      Codecs.ImageData(16, 16, 1, "L", grayPx), "png")
+    val fp = MediaDedup.perceptualImageFingerprint()(gray)
+    assert(fp == IndexedSeq("1" * 32 + "0" * 32))
+    // the equivalent RGB image hashes to the same pattern
+    val rgbPx = Array.tabulate(768)(j =>
+      (if (j / 3 < 128) 200 else 40).toByte)
+    val rgb = Codecs.encodeImage(
+      Codecs.ImageData(16, 16, 3, "RGB", rgbPx), "png")
+    assert(MediaDedup.perceptualImageFingerprint()(rgb) == fp)
+  }
+
   test("skipCorrupt: a bad row stays a no-shingle singleton; default throws") {
     import spark.implicits._
     // the audio fingerprint on garbage bytes (neither RIFF nor fLaC)

@@ -176,7 +176,7 @@ object MediaColumns {
           var firstCut = -1
           var f = 0
           while (f < n) {
-            val cur = Codecs.decodeImage(frames.frame(video, f)).data
+            val cur = frames.frameImage(video, f).data
             if (prev != null) {
               var sad = 0L
               var i = 0

@@ -214,7 +214,7 @@ object MediaDedup {
       : Array[Byte] => IndexedSeq[String] = { bytes =>
     val n = src.frameCount(bytes)
     (0 until n).map { f =>
-      val img = graft.wds.Codecs.decodeImage(src.frame(bytes, f))
+      val img = src.frameImage(bytes, f)
       // channel-agnostic: decodeImage legitimately returns L (1) and
       // RGBA (4) layouts, not only RGB — sum per channel at the
       // image's own stride ("r:g:b" for RGB, one sum for gray)
@@ -238,8 +238,7 @@ object MediaDedup {
   def perceptualVideoFingerprint(src: graft.pack.FrameSource,
       grid: Int = 8): Array[Byte] => IndexedSeq[String] = { bytes =>
     val n = src.frameCount(bytes)
-    (0 until n).map(f =>
-      aHashBits(graft.wds.Codecs.decodeImage(src.frame(bytes, f)), grid))
+    (0 until n).map(f => aHashBits(src.frameImage(bytes, f), grid))
   }
 
   /** Single-image perceptual fingerprint — the LAION-style image-dedup

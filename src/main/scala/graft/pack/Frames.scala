@@ -109,6 +109,15 @@ object Frames {
 trait FrameSource extends Serializable {
   /** decode frame at `index` of the video payload as encoded image bytes. */
   def frame(video: Array[Byte], index: Int): Array[Byte]
+  /** decode frame `index` straight to pixels — semantically identical
+    * to `Codecs.decodeImage(frame(video, index))` (the default
+    * implementation, and the law FrameImageSpec pins), but decoders
+    * can skip the lossless encode→decode round-trip. The fast path
+    * for pixel analytics (fingerprints, scene cuts, patch fan-out),
+    * where the PNG container would be built only to be torn down. */
+  def frameImage(video: Array[Byte],
+      index: Int): graft.wds.Codecs.ImageData =
+    graft.wds.Codecs.decodeImage(frame(video, index))
   def frameCount(video: Array[Byte]): Int
   def fps(video: Array[Byte]): Double
   /** per-frame picture types ('I'/'P'), the ffprobe `pict_type` stream
@@ -388,6 +397,29 @@ object FrameSource {
           graft.wds.Codecs.encodeImage(
             graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB", rgb),
             "png")
+        } catch {
+          case graft.multimodal.h264.UnsupportedFeature(f) =>
+            throw UnsupportedCodecException(s"avc1 ($f)")
+        }
+      } else throw UnsupportedCodecException(t.codec)
+    }
+    override def frameImage(video: Array[Byte],
+        index: Int): graft.wds.Codecs.ImageData = {
+      val t = track(video)
+      val decIdx = t.displayToDecode(index)
+      if (StillImageCodecs(t.codec))
+        graft.wds.Codecs.decodeImage(t.sample(video, decIdx))
+      else if (t.codec == "avc1") {
+        // identical pixels to frame() (the PNG round-trip there is
+        // lossless) minus the per-frame encode+parse
+        import graft.multimodal.h264.Decoder
+        val avcc = t.avcc.getOrElse(
+          throw UnsupportedCodecException("avc1 (no avcC config)"))
+        try {
+          val cfg = Decoder.parseAvcc(avcc)
+          val yuv = decodeAvc(video, t, cfg, decIdx)
+          graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB",
+            Decoder.toRgb(yuv))
         } catch {
           case graft.multimodal.h264.UnsupportedFeature(f) =>
             throw UnsupportedCodecException(s"avc1 ($f)")

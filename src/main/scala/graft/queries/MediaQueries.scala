@@ -1033,7 +1033,7 @@ object MediaQueries extends QueryRegistry {
       val bytes = graft.multimodal.h264.H264Fixtures.video(id, n)
       val src = graft.pack.FrameSource.Mp4Frames
       (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
+        val img = src.frameImage(bytes, f)
         var rs = 0L; var gs = 0L; var bs = 0L
         var i = 0
         while (i < img.data.length) {
@@ -1165,7 +1165,7 @@ object MediaQueries extends QueryRegistry {
       val bytes = graft.multimodal.h264.H264Fixtures.videoGop(id, n)
       val src = graft.pack.FrameSource.Mp4Frames
       (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
+        val img = src.frameImage(bytes, f)
         var rs = 0L; var gs = 0L; var bs = 0L
         var i = 0
         while (i < img.data.length) {
@@ -1257,7 +1257,7 @@ object MediaQueries extends QueryRegistry {
       val bytes = graft.multimodal.h264.H264Fixtures.videoSlices(id, n)
       val src = graft.pack.FrameSource.Mp4Frames
       (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
+        val img = src.frameImage(bytes, f)
         var rs = 0L; var gs = 0L; var bs = 0L
         var i = 0
         while (i < img.data.length) {
@@ -1343,7 +1343,7 @@ object MediaQueries extends QueryRegistry {
       val src = graft.pack.FrameSource.Mp4Frames
       def sums(bytes: Array[Byte], n: Int, gop: Int, fixture: Int) =
         (0 until n).map { f =>
-          val img = Codecs.decodeImage(src.frame(bytes, f))
+          val img = src.frameImage(bytes, f)
           var rs = 0L; var gs = 0L; var bs = 0L
           var i = 0
           while (i < img.data.length) {
@@ -1461,7 +1461,7 @@ object MediaQueries extends QueryRegistry {
       val src = graft.pack.FrameSource.Mp4Frames
       def sums(bytes: Array[Byte], n: Int, gop: Int, fixture: Int) =
         (0 until n).map { f =>
-          val img = Codecs.decodeImage(src.frame(bytes, f))
+          val img = src.frameImage(bytes, f)
           var rs = 0L; var gs = 0L; var bs = 0L
           var i = 0
           while (i < img.data.length) {
@@ -1610,7 +1610,7 @@ object MediaQueries extends QueryRegistry {
       val bytes = graft.multimodal.h264.H264Fixtures.videoB(id, n)
       val src = graft.pack.FrameSource.Mp4Frames
       (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
+        val img = src.frameImage(bytes, f)
         var rs = 0L; var gs = 0L; var bs = 0L
         var i = 0
         while (i < img.data.length) {
@@ -1690,7 +1690,7 @@ object MediaQueries extends QueryRegistry {
         graft.multimodal.h264.H264Fixtures.videoGopFragmented(id, n)
       val src = graft.pack.FrameSource.Mp4Frames
       (0 until n).map { f =>
-        val img = Codecs.decodeImage(src.frame(bytes, f))
+        val img = src.frameImage(bytes, f)
         var rs = 0L; var gs = 0L; var bs = 0L
         var i = 0
         while (i < img.data.length) {

@@ -1541,7 +1541,7 @@ object WdsQueries extends QueryRegistry {
           var pixelSum = 0L
           var f = 0
           while (f < n) {
-            val img = graft.wds.Codecs.decodeImage(src.frame(mp4, f))
+            val img = src.frameImage(mp4, f)
             var i = 0
             while (i < img.data.length) {
               pixelSum += img.data(i) & 0xff; i += 1

@@ -155,6 +155,45 @@ class MediaDedupSpec extends SparkSpec {
       (5L, 0) -> ((5L, 0)), (2L, 0) -> ((5L, 0)), (9L, 0) -> ((9L, 0))))
   }
 
+  test("composes with format(\"wds\"): dedup straight off tar shards") {
+    // the production shape: media lives in WebDataset tars; the DSv2
+    // reader's (key, entries) rows map to the operator's media frame
+    // with no intermediate copy of the payload
+    import spark.implicits._
+    import graft.wds.{Sample, TarIO}
+    import org.apache.spark.sql.functions.{col, element_at}
+    def wav(signs: Seq[Int]): Array[Byte] =
+      WavCodec.encode(WavCodec.Wav(16000, 1,
+        signs.flatMap(s => Seq.fill(50)((s * 1000).toShort)).toArray))
+    val a = wav(Seq(1, -1, 1))
+    val dup = WavCodec.encode(WavCodec.Wav(16000, 1, // gain-halved a
+      WavCodec.decode(a).samples.map(v => (v / 2).toShort)))
+    // window SETS ignore order, so "other" must differ within a
+    // window, not merely permute a's constant-sign windows
+    val other = WavCodec.encode(WavCodec.Wav(16000, 1,
+      Array.tabulate(150)(i => (if (i % 2 == 0) 1000 else -1000).toShort)))
+    val dir = java.nio.file.Files.createTempDirectory("wds_dedup")
+    val out = new java.io.FileOutputStream(s"$dir/shard.tar")
+    val w = new TarIO.TarWriter(out)
+    Seq("000000" -> a, "000001" -> dup, "000002" -> other).foreach {
+      case (k, bytes) => w.write(Sample(k, "", Map("wav" -> bytes)))
+    }
+    w.close()
+    val media = spark.read.format("wds")
+      .option("paths", s"$dir/shard.tar").load()
+      .select(col("key").cast("long").as("media_id"),
+        org.apache.spark.sql.functions.lit(0).as("take"),
+        element_at(col("entries"), "wav").as("content"))
+    val stage =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val clusters = MediaDedup.nearDupClusters(media, stage,
+      MediaDedup.signPatternAudioFingerprint(50), window = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSeq
+    assert(clusters == Seq((0L, 0L, true), (1L, 0L, false),
+      (2L, 2L, true)))
+  }
+
   test("nearDupClusters: transitive chains collapse, singletons survive") {
     import spark.implicits._
     // (1,0)~(1,1) at 3/4 and (1,1)~(3,0) at exactly 2/5 = the 0.4

@@ -114,7 +114,10 @@ trait FrameSource extends Serializable {
     * implementation, and the law FrameImageSpec pins), but decoders
     * can skip the lossless encode→decode round-trip. The fast path
     * for pixel analytics (fingerprints, scene cuts, patch fan-out),
-    * where the PNG container would be built only to be torn down. */
+    * where the PNG container would be built only to be torn down.
+    * Contract: every call returns a FRESH buffer the caller owns —
+    * implementations must not hand out a cached/shared `data` array
+    * (callers like sceneCuts hold the previous frame across calls). */
   def frameImage(video: Array[Byte],
       index: Int): graft.wds.Codecs.ImageData =
     graft.wds.Codecs.decodeImage(frame(video, index))
@@ -372,6 +375,27 @@ object FrameSource {
       out
     }
 
+    /** the avc1 decode shared by [[frame]] and [[frameImage]] — ONE
+      * path (sync-sample seek + MC walk-forward → YUV → RGB), so the
+      * encoded-bytes and pixel contracts can never diverge. Pure-JVM
+      * H.264 baseline (graft.multimodal.h264); non-baseline features
+      * (CABAC, fields) surface as the typed signal. */
+    private def avcImage(video: Array[Byte], t: Mp4Samples.Track,
+        decIdx: Int): graft.wds.Codecs.ImageData = {
+      import graft.multimodal.h264.Decoder
+      val avcc = t.avcc.getOrElse(
+        throw UnsupportedCodecException("avc1 (no avcC config)"))
+      try {
+        val cfg = Decoder.parseAvcc(avcc)
+        val yuv = decodeAvc(video, t, cfg, decIdx)
+        graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB",
+          Decoder.toRgb(yuv))
+      } catch {
+        case graft.multimodal.h264.UnsupportedFeature(f) =>
+          throw UnsupportedCodecException(s"avc1 ($f)")
+      }
+    }
+
     def frame(video: Array[Byte], index: Int): Array[Byte] = {
       val t = track(video)
       // the sampler's "frame index" is DISPLAY order; the sample table
@@ -381,27 +405,11 @@ object FrameSource {
       // frameCount/fps/frameTypes stay codec-independent (container
       // metadata, the 100 TB audit path) — only DECODE is gated
       if (StillImageCodecs(t.codec)) t.sample(video, decIdx)
-      else if (t.codec == "avc1") {
-        // pure-JVM H.264 baseline decode (graft.multimodal.h264):
-        // sync-sample seek + MC walk-forward -> YUV -> RGB -> PNG
-        // bytes, keeping the frame() contract of returning an encoded
-        // image. Non-baseline features (CABAC, B slices, fields)
-        // surface as the typed signal.
-        import graft.multimodal.h264.Decoder
-        val avcc = t.avcc.getOrElse(
-          throw UnsupportedCodecException("avc1 (no avcC config)"))
-        try {
-          val cfg = Decoder.parseAvcc(avcc)
-          val yuv = decodeAvc(video, t, cfg, decIdx)
-          val rgb = Decoder.toRgb(yuv)
-          graft.wds.Codecs.encodeImage(
-            graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB", rgb),
-            "png")
-        } catch {
-          case graft.multimodal.h264.UnsupportedFeature(f) =>
-            throw UnsupportedCodecException(s"avc1 ($f)")
-        }
-      } else throw UnsupportedCodecException(t.codec)
+      else if (t.codec == "avc1")
+        // frame()'s contract is ENCODED image bytes: the decoded
+        // pixels re-encode as (lossless) PNG
+        graft.wds.Codecs.encodeImage(avcImage(video, t, decIdx), "png")
+      else throw UnsupportedCodecException(t.codec)
     }
     override def frameImage(video: Array[Byte],
         index: Int): graft.wds.Codecs.ImageData = {
@@ -409,22 +417,8 @@ object FrameSource {
       val decIdx = t.displayToDecode(index)
       if (StillImageCodecs(t.codec))
         graft.wds.Codecs.decodeImage(t.sample(video, decIdx))
-      else if (t.codec == "avc1") {
-        // identical pixels to frame() (the PNG round-trip there is
-        // lossless) minus the per-frame encode+parse
-        import graft.multimodal.h264.Decoder
-        val avcc = t.avcc.getOrElse(
-          throw UnsupportedCodecException("avc1 (no avcC config)"))
-        try {
-          val cfg = Decoder.parseAvcc(avcc)
-          val yuv = decodeAvc(video, t, cfg, decIdx)
-          graft.wds.Codecs.ImageData(yuv.height, yuv.width, 3, "RGB",
-            Decoder.toRgb(yuv))
-        } catch {
-          case graft.multimodal.h264.UnsupportedFeature(f) =>
-            throw UnsupportedCodecException(s"avc1 ($f)")
-        }
-      } else throw UnsupportedCodecException(t.codec)
+      else if (t.codec == "avc1") avcImage(video, t, decIdx)
+      else throw UnsupportedCodecException(t.codec)
     }
     def frameCount(video: Array[Byte]): Int = track(video).frameCount
     def fps(video: Array[Byte]): Double = track(video).fps

@@ -286,6 +286,37 @@ object CurationProbe {
       println(f"[curation] bucketJoin fact=$nFact%d write=$tWrite%6.2fs " +
         f"bucketed=$tBucketed%6.2fs plain=$tPlain%6.2fs")
     }
+
+    // ---- qc07 funnel stage attribution (round 10) ----
+    // the full CurateStage funnel is the perennial bench top item;
+    // attribute its wall to the optional heavy stages by toggling
+    // them (near-dup = LSH + Jaccard + connected components;
+    // decontam = broadcast eval-gram scrub) against the base
+    // quality/mix/exact/span spine
+    {
+      import graft.curate.CurateStage
+      val evalDir = java.nio.file.Files
+        .createTempDirectory("probe_eval").toString
+      base.filter(col("doc_id") % 31 === 0).select("text")
+        .write.mode("overwrite").parquet(evalDir)
+      def funnel(near: Option[Double], eval: Option[String]): Double =
+        time {
+          val res = CurateStage.run(base, CurateStage.CurateOptions(
+            minWords = 30, maxDupFrac = 0.5,
+            rates = Seq("en" -> 90), defaultRate = 100, gramK = 5,
+            evalPath = eval, nearDupJaccard = near))
+          res.stats.collect(): Unit
+          res.close()
+        }
+      funnel(None, None): Unit // JIT + codegen warm-up
+      val baseT = funnel(None, None)
+      val nearT = funnel(Some(0.5), None)
+      val evalT = funnel(None, Some(evalDir))
+      val fullT = funnel(Some(0.5), Some(evalDir))
+      println(f"[curation] funnel base=$baseT%5.2fs " +
+        f"+nearDup=${nearT - baseT}%5.2fs +decontam=${evalT - baseT}%5.2fs " +
+        f"full=$fullT%5.2fs")
+    }
     spark.stop()
   }
 }

@@ -763,7 +763,12 @@ object CurationQueries extends QueryRegistry {
     * stage); the DuckDB oracle recomputes every stage's survivor SET —
     * each stage over the previous stage's survivors, exactly the
     * sequential semantics CurateStage documents — so a drift in any
-    * stage's decision for any single document shifts a sum. The stats
+    * stage's decision for any single document shifts a sum. Bench
+    * note: this is deliberately the heaviest gate row (~6 s at
+    * sf0.1); CurationProbe's stage attribution puts 85% of it in the
+    * near-dup stage (LSH + exact Jaccard + checkpointed CC — the
+    * transitive correctness the funnel exists for), adjudicated as an
+    * explained floor in SCALE.md, sub-linear at sf1. The stats
     * row is a bounded 1-row collect; the stage's internal caches are
     * released before returning. */
   private def curateFunnel(s: SparkSession, dir: String): DataFrame = {

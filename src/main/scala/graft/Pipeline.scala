@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   *
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage mediadedup --input media.parquet --save-path dedup/ \
-  *   [--fingerprint exact|phash|audio] [--output clusters|pairs] \
+  *   [--fingerprint exact|phash|image|audio] [--output clusters|pairs] \
   *   [--window 3] [--threshold-ppm 400000] [--grid 8] \
   *   [--audio-window 50] [--skip-corrupt]
   * }}}
@@ -191,8 +191,10 @@ object Pipeline {
       // near-dup pairs (`--output pairs`) or duplicate clusters with
       // one survivor per cluster (`--output clusters`, the default —
       // the corpus-scale shape; pair lists are cluster-quadratic).
-      // `--fingerprint exact|phash|audio` picks the robustness axis:
-      // re-mux/trim, re-encode, gain/transcode. The shingle stage is
+      // `--fingerprint exact|phash|image|audio` picks the content kind
+      // and robustness axis: exact/phash walk MP4 frames (re-mux/trim
+      // vs re-encode robust), image hashes raw stills, audio the PCM
+      // sign pattern (gain/transcode robust). The shingle stage is
       // written under save-path, so the expensive decode is a
       // restartable checkpoint of the job itself.
       case "mediadedup" =>
@@ -205,10 +207,12 @@ object Pipeline {
             case "phash" => MediaDedup.perceptualVideoFingerprint(
               graft.pack.FrameSource.Mp4Frames,
               grid = a.getOrElse("grid", "8").toInt)
+            case "image" => MediaDedup.perceptualImageFingerprint(
+              grid = a.getOrElse("grid", "8").toInt)
             case "audio" => MediaDedup.signPatternAudioFingerprint(
               a.getOrElse("audio-window", "50").toInt)
             case other => throw new IllegalArgumentException(
-              s"unknown --fingerprint $other (exact|phash|audio)")
+              s"unknown --fingerprint $other (exact|phash|image|audio)")
           }
         val window = a.getOrElse("window", "3").toInt
         val threshold = a.getOrElse("threshold-ppm", "400000").toLong

@@ -165,4 +165,33 @@ class PipelineCliSpec extends SparkSpec {
       "stage" -> "mediadedup", "input" -> mediaDir,
       "fingerprint" -> "nope", "save-path" -> clusOut)))
   }
+
+  test("mediadedup --fingerprint image: brightness-shifted stills cluster") {
+    import spark.implicits._
+    import graft.wds.Codecs
+    // a photo, its +30 re-exposure (every pixel differs, aHash equal),
+    // and a structurally different image
+    def png(shift: Int, flip: Boolean): Array[Byte] = {
+      val px = Array.tabulate(768) { j =>
+        val i = j / 3
+        val bright = if (flip) i % 16 >= 8 else i % 16 < 8
+        ((if (bright) 180 else 40) + shift).toByte
+      }
+      Codecs.encodeImage(Codecs.ImageData(16, 16, 3, "RGB", px), "png")
+    }
+    val mediaDir = Files.createTempDirectory("cli_img").toString
+    Seq((1L, 0, png(0, flip = false)),
+        (1L, 1, png(30, flip = false)),
+        (2L, 0, png(0, flip = true)))
+      .toDF("media_id", "take", "content")
+      .write.mode("overwrite").parquet(mediaDir)
+    val out = Files.createTempDirectory("cli_img_out").toString
+    val report = Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "image", "window" -> "1",
+      "save-path" -> out)).collect().head
+    assert(report.getLong(0) == 3L) // takes
+    assert(report.getLong(1) == 2L) // clusters: {(1,0),(1,1)}, {(2,0)}
+    assert(report.getLong(2) == 2L) // survivors
+  }
 }

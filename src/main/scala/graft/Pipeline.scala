@@ -220,7 +220,12 @@ object Pipeline {
         // contribute no shingles and survive as singleton clusters
         val skip = a.contains("skip-corrupt")
         val save = req("save-path")
-        val pairsOut = a.getOrElse("output", "clusters") == "pairs"
+        val pairsOut = a.getOrElse("output", "clusters") match {
+          case "pairs" => true
+          case "clusters" => false
+          case other => throw new IllegalArgumentException(
+            s"unknown --output $other (pairs|clusters)")
+        }
         val result =
           if (pairsOut)
             MediaDedup.shingleNearDup(media, s"$save/shingle-stage",

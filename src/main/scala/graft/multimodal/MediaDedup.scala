@@ -150,6 +150,20 @@ object MediaDedup {
       .distinct()
       .write.mode("overwrite").parquet(stageDir)
     val sigs = media.sparkSession.read.parquet(stageDir)
+    // same-key rows with DIFFERENT content are an ingest contract
+    // violation — their shingles would union while max(n) picks one
+    // row's set size, pushing `shared` past the denominators and the
+    // Jaccard silently past 1.0. Fail loudly instead: a consistent key
+    // has exactly one n_sh and exactly n_sh distinct staged shingles.
+    val badKey = sigs.groupBy(col("media_id"), col("take"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("n_sh")).as("lo"), max(col("n_sh")).as("hi"))
+      .where(col("lo") =!= col("hi") || col("rows") =!= col("lo"))
+      .select(col("media_id"), col("take"))
+      .head(1)
+    require(badKey.isEmpty,
+      s"duplicate (media_id, take) key with conflicting content: " +
+        s"${badKey.mkString(", ")} — dedupe or re-key the input first")
     val a = sigs.select(col("media_id").as("a_id"),
       col("take").as("a_take"), col("sh"), col("n_sh").as("a_n"))
     val b = sigs.select(col("media_id").as("b_id"),
@@ -282,11 +296,27 @@ object MediaDedup {
     val sb = new java.lang.StringBuilder(grid * grid)
     var c = 0
     while (c < grid * grid) {
-      // cells(c)/cellPx(c) > tot/(w*h), cross-multiplied exactly
-      sb.append(if (cells(c) * w * h > tot * cellPx(c)) '1' else '0')
+      // cells(c)/cellPx(c) > tot/(w*h), cross-multiplied exactly —
+      // through a 128-bit product compare, because at gigapixel sizes
+      // cells(c)·w·h can exceed 2^63 (cells ≤ px·765 for RGB) and a
+      // silently-wrapped Long would flip fingerprint bits
+      sb.append(
+        if (cmpProducts(cells(c), w.toLong * h, tot, cellPx(c)) > 0) '1'
+        else '0')
       c += 1
     }
     sb.toString
+  }
+
+  /** sign of a·b − c·d over NON-NEGATIVE Longs, exact at 128 bits
+    * (Math.multiplyHigh for the high word, wrapping `*` for the low). */
+  private[multimodal] def cmpProducts(
+      a: Long, b: Long, c: Long, d: Long): Int = {
+    require(a >= 0 && b >= 0 && c >= 0 && d >= 0, "negative operand")
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
   }
 
   /** Gain-invariant audio fingerprint for [[shingleNearDup]]: decode
@@ -298,7 +328,8 @@ object MediaDedup {
       : Array[Byte] => IndexedSeq[String] = { bytes =>
     val x: Array[Int] =
       if (bytes.length >= 4 && bytes(0) == 'f'.toByte &&
-          bytes(1) == 'L'.toByte) FlacCodec.decode(bytes).samples
+          bytes(1) == 'L'.toByte && bytes(2) == 'a'.toByte &&
+          bytes(3) == 'C'.toByte) FlacCodec.decode(bytes).samples
       else WavCodec.decode(bytes).samples.map(_.toInt)
     (0 until x.length / window).map { w =>
       val sb = new java.lang.StringBuilder(window)

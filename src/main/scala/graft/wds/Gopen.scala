@@ -113,10 +113,14 @@ object Gopen {
           // single-quote the substituted URL: shard lists are data, and
           // a shard name containing $(...) or backticks must reach the
           // handler as an argument, never as shell syntax (the
-          // reference's gopen_curl single-quotes its {} the same way)
-          openPipe(h.stripPrefix("pipe:")
-            .replace("{path}", shellQuote(rest))
-            .replace("{}", shellQuote(u)))
+          // reference's gopen_curl single-quotes its {} the same way).
+          // Templates that already quote the placeholder ('{}', "{}")
+          // get those quotes stripped first — otherwise the
+          // gopen_curl-style `curl -s '{}'` would wrap our quoting in
+          // a second layer and a URL with spaces would split into
+          // shell words or carry literal quote characters.
+          openPipe(substitute(substitute(h.stripPrefix("pipe:"),
+            "{path}", rest), "{}", u))
         case Some(alias) =>
           val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
           openResolved(alias + u.stripPrefix(scheme), conf, aliased = true)
@@ -130,6 +134,17 @@ object Gopen {
   /** POSIX single-quote escaping: `'` closes, `\'` emits, `'` reopens. */
   private[wds] def shellQuote(s: String): String =
     "'" + s.replace("'", "'\\''") + "'"
+
+  /** Replace every `placeholder` in `template` with the shell-quoted
+    * `value`, absorbing any single/double quotes the template author
+    * already put immediately around the placeholder (`'{}'`, `"{}"`)
+    * so the substitution is always exactly one quoted shell word. */
+  private[wds] def substitute(
+      template: String, placeholder: String, value: String): String =
+    template
+      .replace("'" + placeholder + "'", placeholder)
+      .replace("\"" + placeholder + "\"", placeholder)
+      .replace(placeholder, shellQuote(value))
 
   def openPipe(cmd: String): InputStream = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)

@@ -164,6 +164,12 @@ class PipelineCliSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Pipeline.run(spark, Map(
       "stage" -> "mediadedup", "input" -> mediaDir,
       "fingerprint" -> "nope", "save-path" -> clusOut)))
+    // a mistyped --output must fail like --fingerprint does, not
+    // silently run the clusters default
+    assertThrows[IllegalArgumentException](Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "audio", "output" -> "pair",
+      "save-path" -> clusOut)))
   }
 
   test("mediadedup --fingerprint image: brightness-shifted stills cluster") {

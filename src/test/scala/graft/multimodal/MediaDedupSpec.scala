@@ -215,4 +215,48 @@ class MediaDedupSpec extends SparkSpec {
       (1L, 0, 1L, 0, true), (1L, 1, 1L, 0, false),
       (3L, 0, 1L, 0, false), (9L, 0, 9L, 0, true)))
   }
+
+  test("conflicting content behind one key fails loudly; exact replays heal") {
+    import spark.implicits._
+    // at-least-once ingest replaying the SAME bytes is healed by the
+    // staged distinct — pair output identical to the clean corpus
+    val clean = run(Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 1, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5))), window = 2)
+    val replayed = run(Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 1, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5))), window = 2)
+    assert(replayed == clean && clean.nonEmpty)
+    // DIFFERENT content behind one key is an ingest contract violation
+    // that must abort (silently unioning shingles can push Jaccard
+    // past 1.0), not produce out-of-range rows
+    val ex = intercept[IllegalArgumentException](run(Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 0, Array[Byte](9, 9, 8, 8, 7, 7, 6, 6))), window = 2))
+    assert(ex.getMessage.contains("conflicting content"))
+  }
+
+  test("cmpProducts: exact 128-bit sign agrees with BigInt past Long range") {
+    // gigapixel aHash shape: cells ≤ px·765 — products exceed 2^63
+    val cases = Seq(
+      (765L * 2000000000L, 2000000000L, 765L * 2000000000L, 1999999999L),
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue - 1),
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue),
+      (3L, 5L, 4L, 4L), (0L, 7L, 1L, 1L), (1L, 0L, 0L, 0L))
+    for ((a, b, c, d) <- cases) {
+      val want = (BigInt(a) * BigInt(b)).compare(BigInt(c) * BigInt(d))
+      assert(Integer.signum(MediaDedup.cmpProducts(a, b, c, d)) == want,
+        s"($a,$b,$c,$d)")
+    }
+  }
+
+  test("audio sniff requires the full fLaC magic, not just the first bytes") {
+    // a non-audio blob starting 'f','L' must NOT be fed to FlacCodec —
+    // it falls through to the WAV path and fails as a non-RIFF stream
+    val notFlac = "fLak-not-audio".getBytes("US-ASCII")
+    val ex = intercept[IllegalArgumentException](
+      MediaDedup.signPatternAudioFingerprint(50)(notFlac))
+    assert(ex.getMessage.contains("RIFF"))
+  }
 }

@@ -208,6 +208,24 @@ class GopenSpec extends SparkSpec {
     assert(!Files.exists(canary), "shell injection executed")
   }
 
+  test("templates that already quote the placeholder stay one shell word") {
+    // the reference's gopen_curl writes `curl -s '{}'` — author-side
+    // quotes immediately around the placeholder are absorbed into our
+    // quoting, so a URL with spaces/quotes still arrives as exactly
+    // one argument instead of splitting or carrying literal quotes
+    val spaced = "dir with space/sh'ard 01.tar"
+    for (tpl <- Seq("q1=pipe:printf %s '{path}'",
+        "q2=pipe:printf %s \"{path}\"")) {
+      val scheme = tpl.takeWhile(_ != '=')
+      withProp("graft.gopen.schemes", tpl) {
+        val in = Gopen.open(s"$scheme://" + spaced,
+          spark.sparkContext.hadoopConfiguration)
+        assert(new String(in.readAllBytes(), UTF_8) == spaced)
+        in.close()
+      }
+    }
+  }
+
   test("USE_AIS_FOR aliases listed protocols to the ais handler") {
     val tar = writeTar(5)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -57,24 +57,35 @@ object Bench {
 
     // Load gate (round-7 verdict: a bench captured at load 24/32 read
     // 437.9s vs 82.5s clean — contention medians are un-adjudicable).
-    // Wait up to SPARK_GRAFT_BENCH_MAXWAIT seconds (default 600) for
-    // the 1-min loadavg to drop below cpus/2 before measuring; if it
-    // never does, proceed but stamp "load_warning" so the number is
-    // self-describing.
+    // Wait up to SPARK_GRAFT_BENCH_MAXWAIT seconds (default 600,
+    // a SHARED budget) for the 1-min loadavg to drop below cpus/2; if
+    // the budget runs out, proceed but stamp "load_warning" so the
+    // number is self-describing. Round-10 verdict: the r10 capture's
+    // loadavg climbed 4.7 → 13.5 DURING the run, so the gate re-checks
+    // before every query, not only at start. Our own just-finished
+    // 32-thread burst inflates the 1-min average, so mid-run re-checks
+    // subtract the process's own recent CPU share (conservatively
+    // approximated by its current core usage) before comparing.
     val loadLimit = cpus.toDouble / 2
     val maxWaitMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT", "600").toLong * 1000
-    val waitStart = System.nanoTime()
+    var waitBudgetMs = maxWaitMs
     var waited = 0L
-    while (loadavg.headOption.exists(_ > loadLimit) &&
-      (System.nanoTime() - waitStart) / 1000000 < maxWaitMs) {
-      System.err.println(
-        s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
-          s"$loadLimit, waiting for a quiet machine...")
-      Thread.sleep(15000)
-      waited = (System.nanoTime() - waitStart) / 1000000000
+    var loadWarning = false
+    def waitQuiet(ownShare: Double): Unit = {
+      while (loadavg.headOption.exists(_ - ownShare > loadLimit) &&
+        waitBudgetMs > 0) {
+        System.err.println(
+          s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
+            s"$loadLimit (+own $ownShare), waiting for a quiet machine...")
+        Thread.sleep(15000)
+        waitBudgetMs -= 15000
+        waited += 15
+      }
+      if (loadavg.headOption.exists(_ - ownShare > loadLimit))
+        loadWarning = true
     }
-    val loadWarning = loadavg.headOption.exists(_ > loadLimit)
+    waitQuiet(0.0)
     val loadStart = loadavg
 
     // optional comma-separated name-prefix filter (e.g. "qd,qs,st,wds"
@@ -117,19 +128,82 @@ object Bench {
         b.getProcessCpuTime / 1e9
       case _ => 0.0
     }
+
+    // Per-rep I/O adjudication (round-10 verdict: the official capture
+    // inflated read-heavy rows 6× while the CPU-only ambient stamped
+    // 0.0 — the contaminator was I/O / memory-bandwidth bound, invisible
+    // to Δbusy-jiffies). Two signals, both "other processes' work":
+    //  - iowait cores: Δ /proc/stat iowait jiffies over rep wall — CPUs
+    //    stalled on storage. Our own reads hit warmed page cache, so
+    //    sustained iowait during a rep is ambient storage pressure.
+    //  - ambient disk MB/s: Δ /proc/diskstats sectors (whole physical
+    //    devices only) minus Δ own /proc/self/io storage bytes, over
+    //    rep wall — the bytes OTHER processes moved to/from disk.
+    // A rep exceeding SPARK_GRAFT_BENCH_IOWAIT (default 2.0 cores) or
+    // SPARK_GRAFT_BENCH_IO_MBPS (default 200) is discarded and re-run
+    // on the same retry budget as the CPU path; the max across KEPT
+    // reps is stamped per query so every number is self-describing.
+    def iowaitCpuSec: Double =
+      try {
+        val first = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = first.trim.split("\\s+").drop(1).map(_.toLong)
+        f.lift(4).getOrElse(0L) / userHz
+      } catch { case _: Exception => 0.0 }
+    // whole physical devices only — summing partitions (sda1) on top of
+    // their disk (sda) would double-count every byte
+    val wholeDiskRe =
+      "^(?:sd|vd|xvd)[a-z]+$|^nvme\\d+n\\d+$|^mmcblk\\d+$".r
+    def diskBytes: Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/diskstats")).asScala
+          .map(_.trim.split("\\s+"))
+          .filter(f => f.length >= 10 &&
+            wholeDiskRe.matches(f(2)))
+          .map(f => (f(5).toLong + f(9).toLong) * 512L)
+          .sum
+      } catch { case _: Exception => 0L }
+    def ownIoBytes: Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/io")).asScala
+          .filter(l => l.startsWith("read_bytes:") ||
+            l.startsWith("write_bytes:"))
+          .map(_.split("\\s+")(1).toLong).sum
+      } catch { case _: Exception => 0L }
+    val iowaitLimit = sys.env.get("SPARK_GRAFT_BENCH_IOWAIT")
+      .map(_.toDouble).getOrElse(2.0)
+    val ioMbpsLimit = sys.env.get("SPARK_GRAFT_BENCH_IO_MBPS")
+      .map(_.toDouble).getOrElse(200.0)
     var totalReruns = 0
 
-    // (name, per-rep seconds ascending, max ambient over kept reps, ok)
+    // (name, per-rep seconds ascending, max cpu/iowait/io-MBps ambient
+    // over kept reps, ok)
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map {
       case (name, fn) =>
+        // re-enter the load gate between queries: a contaminator that
+        // arrives mid-run must stall the bench, not pollute the tail
+        // (own recent burst ≈ current own core usage, conservative)
+        waitQuiet(osBean match {
+          case b: com.sun.management.OperatingSystemMXBean =>
+            (b.getProcessCpuLoad.max(0.0) * cpus.toInt).min(cpus.toInt)
+          case _ => 0.0
+        })
         val times = Seq.newBuilder[Double]
         var maxAmbient = 0.0
+        var maxIowait = 0.0
+        var maxIoMbps = 0.0
         var ok = true
         var kept = 0
         var retries = 0
         while (ok && kept < reps) {
           val busy0 = busyCpuSec; val own0 = ownCpuSec
+          val iow0 = iowaitCpuSec
+          val disk0 = diskBytes; val ownIo0 = ownIoBytes
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -137,14 +211,23 @@ object Bench {
             val ambient =
               ((busyCpuSec - busy0) - (ownCpuSec - own0)).max(0.0) /
                 wall.max(1e-3)
-            if (ambient > ambientLimit && retries < maxRetries) {
+            val iowait = (iowaitCpuSec - iow0).max(0.0) / wall.max(1e-3)
+            val ioMbps =
+              ((diskBytes - disk0) - (ownIoBytes - ownIo0)).max(0L) /
+                wall.max(1e-3) / 1e6
+            val dirty = ambient > ambientLimit || iowait > iowaitLimit ||
+              ioMbps > ioMbpsLimit
+            if (dirty && retries < maxRetries) {
               retries += 1; totalReruns += 1
               System.err.println(
                 f"[bench] $name rep contaminated (ambient $ambient%.1f " +
-                  f"cores > $ambientLimit%.1f), rerunning")
+                  f"cores, iowait $iowait%.1f, io $ioMbps%.0f MB/s), " +
+                  "rerunning")
             } else {
               times += wall
               maxAmbient = maxAmbient.max(ambient)
+              maxIowait = maxIowait.max(iowait)
+              maxIoMbps = maxIoMbps.max(ioMbps)
               kept += 1
             }
           } catch { case e: Throwable =>
@@ -152,7 +235,7 @@ object Bench {
             ok = false
           }
         }
-        (name, times.result().sorted, maxAmbient, ok)
+        (name, times.result().sorted, (maxAmbient, maxIowait, maxIoMbps), ok)
     }
     val loadEnd = loadavg
     // even lengths average the two middle elements (a 2-rep run must
@@ -166,8 +249,12 @@ object Bench {
       "\"" + k + f"\":${median(ts)}%.3f" }.mkString("{", ",", "}")
     val mins = results.collect { case (k, ts, _, true) =>
       "\"" + k + f"\":${ts.head}%.3f" }.mkString("{", ",", "}")
-    val ambients = results.collect { case (k, _, a, true) =>
+    val ambients = results.collect { case (k, _, (a, _, _), true) =>
       "\"" + k + f"\":$a%.1f" }.mkString("{", ",", "}")
+    val iowaits = results.collect { case (k, _, (_, w, _), true) =>
+      "\"" + k + f"\":$w%.1f" }.mkString("{", ",", "}")
+    val ioMbps = results.collect { case (k, _, (_, _, m), true) =>
+      "\"" + k + f"\":$m%.0f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, _, true) => median(ts) }.sum
@@ -187,10 +274,15 @@ object Bench {
     val loads = (loadStart ++ loadEnd).map(v => f"$v%.2f")
       .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"reruns":$totalReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // per-round history so future rounds can diff without the driver
+    // self-contained artifact (round-10 verdict: the driver's stdout
+    // parse came back `parsed: null` — the official number must also
+    // live in a file the driver/judge can read directly) + per-round
+    // history so future rounds can diff without the driver
     try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n"): Unit
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_history.jsonl"), line + "\n",
         java.nio.file.StandardOpenOption.CREATE,

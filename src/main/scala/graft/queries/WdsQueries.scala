@@ -1092,6 +1092,78 @@ object WdsQueries extends QueryRegistry {
       | sum(strlen(text))::BIGINT AS txt_bytes
       |FROM documents""".stripMargin
 
+  /** wds26: TENSOR shard round-trip — the npy/msgpack rows of the
+    * codec registry end-to-end (`autodecode.py:130-166` decode,
+    * `writer.py:88-132` encode). Per document, an `<i8` numpy tensor
+    * (`ten.npy`, length 3 + d%5, values closed-form in doc_id) and a
+    * msgpack metadata map (`meta.mp`: element count + sum) are encoded
+    * through [[graft.wds.Codecs.encode]], packed into tar shards by
+    * the DSv2 writer, read back through `format("wds")`, and decoded
+    * through the registry ([[graft.wds.Npy]] byte-parity is pinned
+    * against numpy-written fixtures in NpySpec). The output row is
+    * per-doc (element count, tensor sum, metadata-consistency flag) —
+    * the oracle replays the closed forms, so a slip anywhere in the
+    * header/buffer/varint paths flips a hash. Scale shape: encode and
+    * decode both run task-locally on the doc-partitioned spine; only
+    * tar bytes hit storage and only the per-doc aggregate row ever
+    * crosses an exchange. */
+  private def npyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.{Codecs, Msgpack, Npy, Sample}
+    val out = scratchDir("graft_npy")
+    val samples = Tables(s, dir).documents.select(col("doc_id"))
+      .repartition(4, col("doc_id"))
+      .as[Long]
+      .map { d =>
+        val n = (3 + d % 5).toInt
+        val vals = Array.tabulate(n)(j => (d * 31 + j * 7) % 1000 - 250)
+        val meta = Msgpack.MsgMap(Vector(
+          "n" -> n.toLong, "s" -> vals.sum))
+        Sample(f"$d%09d", "", Map(
+          "ten.npy" -> Codecs.encode("npy",
+            Npy.fromLongs(vals, Vector(n))),
+          "meta.mp" -> Codecs.encode("mp", meta)))
+      }
+    graft.wds.WdsWriter.write(samples, out,
+      graft.wds.WdsWriter.WriterOptions(maxCount = 200)).collect()
+    val urls = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".tar"))
+        .sorted.toSeq
+    }
+    s.read.format("wds").load(urls: _*)
+      .select(col("key"), col("entries"))
+      .as[(String, Map[String, Array[Byte]])]
+      .map { case (k, es) =>
+        val ten = Codecs.decode("npy", es("ten.npy")) match {
+          case Codecs.Decoded.Tensor(a) => a
+          case other => throw new IllegalStateException(s"npy: $other")
+        }
+        val meta = Codecs.decode("mp", es("meta.mp")) match {
+          case Codecs.Decoded.Packed(v) => Msgpack.toMap(v)
+          case other => throw new IllegalStateException(s"mp: $other")
+        }
+        val sum = ten.toLongs.sum
+        (k.toLong, ten.elements, sum,
+          meta("n") == ten.elements && meta("s") == sum)
+      }
+      .toDF("doc_id", "n_elems", "ten_sum", "meta_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  private val npyRoundtripSql =
+    """WITH n AS (
+      |  SELECT doc_id, (3 + doc_id % 5)::BIGINT AS n FROM documents),
+      |v AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, n::INT - 1)) AS j
+      |  FROM n)
+      |SELECT doc_id, n AS n_elems,
+      |  sum((doc_id*31 + j*7) % 1000 - 250)::BIGINT AS ten_sum,
+      |  true AS meta_ok
+      |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   /** wds17: CONTINUOUS shard ingest through the DSv2 streaming path —
     * pack real aligned shards, then `readStream.format("wds")` over the
     * output directory (AvailableNow) into a PER-KEY Complete-mode agg:
@@ -1625,6 +1697,7 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),

@@ -157,20 +157,20 @@ object Cbor {
             out += v; v = decodeOrBreak(in)
           }
           out.result()
-        } else Vector.fill(lenArg(in, ai, "array"))(decode(in))
+        } else Vector.fill(lenArg(in, ai, "array"))(decodeNested(in))
       case 5 => // map → order-preserving pair vector
         if (ai == 31) {
           val out = Vector.newBuilder[(Any, Any)]
           var k = decodeOrBreak(in)
           while (k.asInstanceOf[AnyRef] ne Break) {
-            out += (k -> decode(in)); k = decodeOrBreak(in)
+            out += (k -> decodeNested(in)); k = decodeOrBreak(in)
           }
           CborMap(out.result())
-        } else CborMap(
-          Vector.fill(lenArg(in, ai, "map"))((decode(in), decode(in))))
+        } else CborMap(Vector.fill(lenArg(in, ai, "map"))(
+          (decodeNested(in), decodeNested(in))))
       case 6 => // tag: transparent
         arg(in, ai)
-        decode(in)
+        decodeNested(in)
       case 7 =>
         ai match {
           case 20 => false
@@ -195,6 +195,12 @@ object Cbor {
         }
     }
   }
+
+  /** Nested decode: EOF at a nested item's head byte is a TRUNCATED
+    * container (plain EOFException), never the clean [[EndOfStream]] —
+    * otherwise decodeAll would read a cut-off shard as a shorter but
+    * clean one. */
+  private def decodeNested(in: InputStream): Any = decodeItem(in, req(in))
 
   private def decodeOrBreak(in: InputStream): Any = {
     val b = req(in)

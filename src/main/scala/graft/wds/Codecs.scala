@@ -16,13 +16,17 @@ import javax.imageio.ImageIO
   *    DataFrame level with `from_json` + explicit schema — keeping schema
   *    declaration in Catalyst, not in the codec)
   *  - `png`/`jpg`/`jpeg`/`ppm` → [[ImageData]] via javax.imageio
+  *  - `npy`/`npz` → [[graft.wds.Npy.NpyArray]] tensors
+  *    (`autodecode.py:130-135,164-165`)
+  *  - `mp`/`msg`/`msgpack`/`cbor` → structured values via the pure-JVM
+  *    [[Msgpack]]/[[Cbor]] codecs (`autodecode.py:158-166`)
   *  - `*.gz` → transparent gunzip pre-pass then re-dispatch
   *    (`autodecode.py:135-142`)
   *
-  * Binary scientific formats the pipeline never decodes on the Spark side
-  * (npy/npz/msgpack/pth/tenbin) stay opaque bytes — their consumers are
-  * training loaders, not queries; `tenbin`'s role (fast columnar batches)
-  * is Spark's own Arrow/Tungsten layer here.
+  * Remaining opaque rows, deliberately: `pyd`/`pickle`/`pth` execute
+  * arbitrary Python/torch unpicklers (a JVM re-implementation would be
+  * both unsafe and out of scope), and `tenbin`'s role (fast columnar
+  * batches) is Spark's own Arrow/Tungsten layer here.
   */
 object Codecs {
 
@@ -46,6 +50,12 @@ object Codecs {
     final case class Num(value: Long) extends Decoded
     final case class Json(value: String) extends Decoded
     final case class Image(value: ImageData) extends Decoded
+    final case class Tensor(value: Npy.NpyArray) extends Decoded
+    final case class TensorZip(value: Vector[(String, Npy.NpyArray)])
+        extends Decoded
+    /** structured msgpack/cbor value (the [[Cbor]]/[[Msgpack]] JVM
+      * value model: Long/String/bytes/Vector/order-preserving map) */
+    final case class Packed(value: Any) extends Decoded
     final case class Raw(value: Array[Byte]) extends Decoded
   }
   import Decoded._
@@ -302,6 +312,7 @@ object Codecs {
   private val intExts = Set("cls", "cls2", "index", "inx", "id", "count")
   private val jsonExts = Set("json", "jsn")
   private val imageExts = Set("png", "jpg", "jpeg", "ppm", "pgm", "pbm", "bmp")
+  private val msgpackExts = Set("mp", "msg", "msgpack")
 
   /** Decode one entry by its (possibly dotted) extension; the dispatch
     * key is the LAST dot-component, after a `.gz` pre-pass — matching the
@@ -317,6 +328,10 @@ object Codecs {
     else if (intExts(last)) Num(new String(bytes, UTF_8).trim.toLong)
     else if (jsonExts(last)) Json(new String(bytes, UTF_8))
     else if (imageExts(last)) Image(decodeImage(bytes))
+    else if (last == "npy") Tensor(Npy.decode(bytes))
+    else if (last == "npz") TensorZip(Npy.decodeNpz(bytes))
+    else if (msgpackExts(last)) Packed(Msgpack.decode(bytes))
+    else if (last == "cbor") Packed(Cbor.decode(bytes))
     else Raw(bytes)
   }
 
@@ -326,6 +341,15 @@ object Codecs {
     val last = ext.split("\\.").lastOption.getOrElse("")
     value match {
       case b: Array[Byte] => b
+      case arr: Npy.NpyArray if last == "npy" => Npy.encode(arr)
+      case entries: Seq[_] if last == "npz" =>
+        Npy.encodeNpz(entries.map {
+          case (name: String, arr: Npy.NpyArray) => (name, arr)
+          case other => throw new IllegalArgumentException(
+            s"npz entry must be (String, NpyArray), got $other")
+        })
+      case v if msgpackExts(last) => Msgpack.encode(v)
+      case v if last == "cbor" => Cbor.encode(v)
       case s: String => s.getBytes(UTF_8)
       case i: Int => i.toString.getBytes(UTF_8)
       case l: Long => l.toString.getBytes(UTF_8)

@@ -124,6 +124,13 @@ class CborSpec extends SparkSpec {
     val trunc = Cbor.encode("payload").dropRight(2)
     assertThrows[java.io.EOFException](
       Cbor.decodeAll(new ByteArrayInputStream(trunc)).toList)
+    // truncated at a NESTED item's head byte (array cut between
+    // elements): must also raise, not read as a shorter clean stream
+    val nested = (Cbor.encode(1L) ++ Cbor.encode(Vector(2L, 3L)))
+      .dropRight(1)
+    val ex = intercept[java.io.EOFException](
+      Cbor.decodeAll(new ByteArrayInputStream(nested)).toList)
+    assert(!ex.isInstanceOf[Cbor.EndOfStream])
   }
 
   test("cbors shard source: samples via __key__ convention + pipe:") {

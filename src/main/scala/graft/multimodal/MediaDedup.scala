@@ -87,10 +87,9 @@ object MediaDedup {
     * bounded by distinct shingles, never corpus size, and a
     * micro-batch's work is its own items only (the standing corpus is
     * never re-decoded). Emits one verdict per (item, shingle); the
-    * per-item reduction (partner = min owner over its shingles; dup
-    * iff partner ≠ self) runs as a batch compaction over the sink,
-    * where a Jaccard-threshold refinement against the staged batch
-    * relation can also be applied. Multi-epoch semantics are
+    * per-item reduction with its exact-Jaccard refinement is the
+    * shipped [[compactVerdicts]] batch compaction over the sink
+    * (st13 gates the composition). Multi-epoch semantics are
     * first-arrival: an early original is never retroactively
     * re-labeled, and a LATER smaller key is flagged dup against the
     * standing owner rather than silently becoming a second original
@@ -118,6 +117,61 @@ object MediaDedup {
       }
   }
 
+  /** Batch compaction of [[streamingNearDupVerdicts]]'s sink — the
+    * per-item reduction plus the exact-Jaccard refinement, as code:
+    * per item, its candidate partners are the foreign first-arrival
+    * owners of its shingle buckets; each candidate is verified by
+    * exact shingle-set Jaccard against the staged hash relation
+    * ([[stageShingles]] over the same corpus — only hashes join, the
+    * media never re-decodes); the item's partner is its MINIMUM
+    * qualifying owner, or itself (is_dup = 0) when no owner survives
+    * the threshold. Bucket co-occurrence alone is the LSH candidate
+    * signal, not the dedup verdict — without this refinement a single
+    * chance shingle collision would mark an item dup; with it the
+    * streaming path lands on the same verified-Jaccard keep-list the
+    * batch operator produces (MediaDedupSpec pins the equality,
+    * including a candidate that shares a bucket but fails Jaccard).
+    * Output: one row per item that emitted ≥1 shingle —
+    * `(media_id, take, partner_id, partner_take, is_dup)`. */
+  def compactVerdicts(verdicts: DataFrame, staged: DataFrame,
+      thresholdPpm: Long = 400000L): DataFrame = {
+    val cand = verdicts
+      .where(col("media_id") =!= col("owner_id") ||
+        col("take") =!= col("owner_take"))
+      .select(col("media_id"), col("take"),
+        col("owner_id"), col("owner_take"))
+      .distinct()
+    val a = staged.select(col("media_id"), col("take"), col("sh"),
+      col("n_sh").as("a_n"))
+    val b = staged.select(col("media_id").as("owner_id"),
+      col("take").as("owner_take"), col("sh"), col("n_sh").as("b_n"))
+    val qualified = cand
+      .join(a, Seq("media_id", "take"))
+      .join(b, Seq("owner_id", "owner_take", "sh"))
+      .groupBy(col("media_id"), col("take"),
+        col("owner_id"), col("owner_take"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
+      .where(floor(lit(1000000L) * col("shared") /
+        (col("a_n") + col("b_n") - col("shared"))) >= thresholdPpm)
+      .groupBy(col("media_id"), col("take"))
+      .agg(min(struct(col("owner_id"), col("owner_take"))).as("o"))
+      // fresh attribute ids on the join keys: the item spine below is
+      // the SAME verdicts relation, and Spark rejects a self-join on
+      // shared references
+      .select(col("media_id").as("q_id"), col("take").as("q_take"),
+        col("o"))
+    val items = verdicts.select(col("media_id"), col("take")).distinct()
+    items
+      .join(qualified, items("media_id") === qualified("q_id") &&
+        items("take") === qualified("q_take"), "left")
+      .select(col("media_id"), col("take"),
+        coalesce(col("o.owner_id"), col("media_id")).as("partner_id"),
+        coalesce(col("o.owner_take"), col("take")).as("partner_take"),
+        when(col("o").isNotNull, 1).otherwise(0).as("is_dup"))
+      .orderBy(col("media_id"), col("take"))
+  }
+
   /** Verified near-dup pairs `(a_id, a_take, b_id, b_take, shared,
     * union_n, jaccard_ppm)` over `media(media_id, take, content)`,
     * thresholded at `thresholdPpm` exact shingle-set Jaccard.
@@ -131,10 +185,15 @@ object MediaDedup {
     * duplicate). The default stays fail-fast, matching the wds
     * `reraise` handler policy; pass true for the `warnAndContinue`
     * posture. */
-  def shingleNearDup(media: DataFrame, stageDir: String,
+  /** The staged `(media_id, take, sh, n_sh)` hash relation shared by
+    * the batch join ([[shingleNearDup]]) and the streaming-sink
+    * refinement ([[compactVerdicts]]): fingerprint+shingle runs
+    * task-locally exactly once, the distinct hash rows checkpoint to
+    * `stageDir`, and key consistency is asserted before anything joins
+    * against it. */
+  def stageShingles(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
-      window: Int = 3, thresholdPpm: Long = 400000L,
-      skipCorrupt: Boolean = false): DataFrame = {
+      window: Int = 3, skipCorrupt: Boolean = false): DataFrame = {
     val shingleUdf = shingleSetUdf(fingerprint, window, skipCorrupt)
     media
       .select(col("media_id"), col("take"),
@@ -164,6 +223,15 @@ object MediaDedup {
     require(badKey.isEmpty,
       s"duplicate (media_id, take) key with conflicting content: " +
         s"${badKey.mkString(", ")} — dedupe or re-key the input first")
+    sigs
+  }
+
+  def shingleNearDup(media: DataFrame, stageDir: String,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, thresholdPpm: Long = 400000L,
+      skipCorrupt: Boolean = false): DataFrame = {
+    val sigs = stageShingles(media, stageDir, fingerprint, window,
+      skipCorrupt)
     val a = sigs.select(col("media_id").as("a_id"),
       col("take").as("a_take"), col("sh"), col("n_sh").as("a_n"))
     val b = sigs.select(col("media_id").as("b_id"),

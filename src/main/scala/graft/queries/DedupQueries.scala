@@ -316,13 +316,19 @@ object DedupQueries extends QueryRegistry {
   private val EmbDim = 64
 
   /** The signature-width scale rule, measured in SCALE.md's bucket-
-    * balance probe: `bits ≈ log2(n / bucketTarget)` keeps expected
+    * balance probe: `bits = ⌈log2(n / bucketTarget)⌉` keeps expected
     * bucket occupancy near `bucketTarget`, so candidate pairs grow
     * ~linearly in n instead of quadratically once n passes
-    * 2^bits·bucketTarget. Floor of 8 = the fixture pin. */
-  def embedBitsFor(n: Long, bucketTarget: Int = 16): Int =
-    math.max(8, math.ceil(
-      math.log(n.toDouble / bucketTarget) / math.log(2)).toInt)
+    * 2^bits·bucketTarget. Floor of 8 = the fixture pin. Computed with
+    * integer arithmetic (smallest b with 2^b·bucketTarget ≥ n — the
+    * same ceiling, minus float fuzz at exact powers of two) so the
+    * qd20 oracle replays the choice exactly in SQL. */
+  def embedBitsFor(n: Long, bucketTarget: Int = 16): Int = {
+    require(bucketTarget >= 1, s"bucketTarget $bucketTarget")
+    var b = 8
+    while (b < 62 && (1L << b) * bucketTarget < n) b += 1
+    b
+  }
 
   /** qd06's candidate stage with the width knob exposed: per-table
     * hyperplane signatures → bucket equi-join → distinct (a_id, b_id)
@@ -406,6 +412,87 @@ object DedupQueries extends QueryRegistry {
        |            i -> b.emb[i] * b.emb[i])))), 6) AS cos
        |  FROM cand JOIN e a ON a_id = a.vec_id JOIN e b ON b_id = b.vec_id)
        |SELECT a_id, b_id, cos FROM p WHERE cos > 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** qd20: embedding near-dup through the PRODUCTION width rule — the
+    * path a 100 TB job actually runs, now gated. qd06 pins `EmbBits =
+    * 8` so its inlined-plane oracle stays stable, which means the gate
+    * certified exactly the fixed-width path users should NOT run at
+    * scale (round-10 verdict: at sf1 the 8-bit floor densifies buckets
+    * quadratically — 12.2 s, ~19× sf0.1 — while [[embedBitsFor]] is
+    * probed near-linear to 1M vectors). Here the signature width comes
+    * from the rule itself: `bits = embedBitsFor(count, bucketTarget =
+    * 4)` (4 keeps the rule OFF its 8-bit floor from sf0.1 upward — 9
+    * bits at 2k vectors, 13 at sf1's 20k — so the gate discriminates
+    * the dynamic-width plane indexing, not just the floor), capped at
+    * 16 so the oracle's inlined plane set is finite. The oracle
+    * replays the width choice in integer SQL (smallest b in [8,16]
+    * with 2^b·4 ≥ n) over a 12×16 plane literal pool indexed (t,p) —
+    * plane weights depend only on (table, plane, dim) md5 parity,
+    * never on the chosen width, so Spark and DuckDB read the same ±1
+    * vectors at every width. Count → width is one driver-side scalar
+    * (parquet-stats count), the same bounded-collect class as the
+    * qs codebooks. Output carries `bits` so the gate also hashes the
+    * width decision itself. */
+  private val EmbAutoTarget = 4
+  private val EmbMaxBits = 16
+
+  private def embedDupAuto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val e = t.embeddings.select($"vec_id", $"embedding")
+    val bits = math.min(EmbMaxBits, embedBitsFor(e.count(), EmbAutoTarget))
+    val cand = embCandidates(e, EmbTables, bits, EmbDim)
+    cand
+      .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea")), "a_id")
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb")), "b_id")
+      .select($"a_id", $"b_id",
+        round(graft.functions.CosineSimilarity.cosineSim($"ea", $"eb"), 6)
+          .as("cos"))
+      .filter($"cos" > 0.4)
+      .select($"a_id", $"b_id", $"cos", lit(bits).as("bits"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val embedDupAutoSql = {
+    // one literal pool indexed (t, p): ws[t*EmbMaxBits + p + 1]; the
+    // md5-parity weights are width-independent, so the pool serves any
+    // bits ≤ EmbMaxBits
+    val w = graft.functions.PlaneLSH
+      .weightSqlLiterals(EmbTables, EmbMaxBits, EmbDim)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |w AS (SELECT [
+       |  ${w.mkString(",\n  ")}]::DOUBLE[][] AS ws),
+       |b AS (
+       |  SELECT coalesce((
+       |    SELECT min(bb) FROM generate_series(8, $EmbMaxBits) g(bb)
+       |    WHERE (1::BIGINT << bb) * $EmbAutoTarget >=
+       |      (SELECT count(*) FROM e)), $EmbMaxBits)::INT AS bits),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(generate_series(1, bits),
+       |      p -> CASE WHEN list_sum(list_transform(
+       |             generate_series(1, $EmbDim),
+       |             i -> emb[i] * ws[t * $EmbMaxBits + p][i])) > 0
+       |        THEN (1::BIGINT << (p - 1)) ELSE 0 END))::BIGINT
+       |      + t * (1::BIGINT << bits) AS bkt
+       |  FROM e, w, b,
+       |    (SELECT unnest(generate_series(0, ${EmbTables - 1})) AS t)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT a_id, b_id,
+       |    round(list_sum(list_transform(generate_series(1, len(a.emb)),
+       |            i -> a.emb[i] * b.emb[i]))
+       |      / (sqrt(list_sum(list_transform(generate_series(1, len(a.emb)),
+       |            i -> a.emb[i] * a.emb[i])))
+       |       * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
+       |            i -> b.emb[i] * b.emb[i])))), 6) AS cos
+       |  FROM cand JOIN e a ON a_id = a.vec_id JOIN e b ON b_id = b.vec_id)
+       |SELECT a_id, b_id, cos, (SELECT bits FROM b) AS bits
+       |FROM p WHERE cos > 0.4
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -1255,6 +1342,8 @@ object DedupQueries extends QueryRegistry {
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql), bench = true),
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),
+    "qd20_embed_near_dup_auto" -> QueryDef(embedDupAuto,
+      Some(embedDupAutoSql), bench = true),
     "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
       Some(incrementalDedupSql), bench = true),
     "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql),

@@ -601,16 +601,20 @@ object MediaQueries extends QueryRegistry {
     })
 
   /** st13: STREAMING media near-dup — the st09 first-arrival contract
-    * for media columns, over the SHIPPED operator
-    * [[graft.multimodal.MediaDedup.streamingNearDupVerdicts]]: the
-    * mm31 image fixture arrives as a stream; each aHash bucket's keyed
+    * for media columns, over the SHIPPED operators
+    * [[graft.multimodal.MediaDedup.streamingNearDupVerdicts]] composed
+    * with [[graft.multimodal.MediaDedup.compactVerdicts]]: the mm31
+    * image fixture arrives as a stream; each aHash bucket's keyed
     * state is its first-arrival owner (one composite key per distinct
     * shingle — bounded by content diversity, never corpus size); the
-    * per-item compaction takes the min owner over the item's shingles
-    * and flags dup iff partner ≠ self. The gate stages one
-    * AvailableNow epoch, where first-arrival degenerates to the
-    * key-min form this oracle replays from the closed-form aHash;
-    * MediaDedupSpec pins the multi-epoch arrival-order semantics. */
+    * sink compaction verifies each item's candidate owners by exact
+    * shingle-set Jaccard against the staged batch relation and keeps
+    * the minimum qualifying partner. The gate stages one AvailableNow
+    * epoch, where first-arrival degenerates to the key-min form this
+    * oracle replays from the closed-form aHash (window 1 makes every
+    * shared bucket exact-Jaccard 1.0, so refinement prunes nothing
+    * here — MediaDedupSpec pins the case where it does, plus the
+    * multi-epoch arrival-order semantics). */
   private def streamMediaDedup(s: SparkSession, dir: String): DataFrame = {
     val stage = mm31MediaStage(s, dir)
     val src = s.readStream
@@ -618,19 +622,14 @@ object MediaQueries extends QueryRegistry {
       .parquet(stage)
     val name = "stmedia_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.EventStreams.runToMemory(s,
+    val verdicts = graft.streaming.EventStreams.runToMemory(s,
       MediaDedup.streamingNearDupVerdicts(src,
         MediaDedup.perceptualImageFingerprint(), window = 1).toDF(),
       name, statePartitions = Some(4))
-      .groupBy(col("media_id"), col("take"))
-      .agg(min(struct(col("owner_id"), col("owner_take"))).as("o"))
-      .select(col("media_id"), col("take"),
-        col("o.owner_id").as("partner_id"),
-        col("o.owner_take").as("partner_take"),
-        when(col("o.owner_id") =!= col("media_id") ||
-          col("o.owner_take") =!= col("take"), 1)
-          .otherwise(0).as("is_dup"))
-      .orderBy(col("media_id"), col("take"))
+    val staged = MediaDedup.stageShingles(s.read.parquet(stage),
+      WdsQueries.scratchDir("graft_st13_sigs"),
+      MediaDedup.perceptualImageFingerprint(), window = 1)
+    MediaDedup.compactVerdicts(verdicts, staged)
   }
 
   /** single-epoch first-arrival = min composite key per aHash bucket,
@@ -1936,8 +1935,11 @@ object MediaQueries extends QueryRegistry {
       Some(videoPerceptualDupSql), bench = true),
     "mm29_audio_near_dup" -> QueryDef(audioNearDup,
       Some(audioNearDupSql), bench = true),
+    // benched (round-11 directive): the CC terminator IS the shape a
+    // 100 TB media dedup runs — its cost needs a number, not just a
+    // hash
     "mm30_media_dup_clusters" -> QueryDef(mediaDupClusters,
-      Some(mediaDupClustersSql)),
+      Some(mediaDupClustersSql), bench = true),
     "mm31_image_phash_dup" -> QueryDef(imagePerceptualDup,
       Some(imagePerceptualDupSql), bench = true),
     "st13_stream_media_dedup" -> QueryDef(streamMediaDedup,

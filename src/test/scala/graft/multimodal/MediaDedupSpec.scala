@@ -216,6 +216,53 @@ class MediaDedupSpec extends SparkSpec {
       (3L, 0, 1L, 0, false), (9L, 0, 9L, 0, true)))
   }
 
+  test("compactVerdicts: streaming end state equals the batch keep-list") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // chain with a Jaccard-failing bucket candidate: (1,0)~(1,1) at
+    // 3/4, (1,1)~(3,0) at exactly the 0.4 threshold, but (3,0) ALSO
+    // shares a bucket with (1,0) at 1/5 — an unrefined min-owner
+    // reduction would partner (3,0) with (1,0); the exact-Jaccard
+    // refinement must reject that owner and land on (1,1)
+    val media = Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)),
+      (1L, 1, Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5)),
+      (3L, 0, Array[Byte](3, 3, 4, 4, 5, 5, 6, 6)),
+      (9L, 0, Array[Byte](7, 7, 8, 8, 9, 9)))
+    val dir = java.nio.file.Files.createTempDirectory("st_cmp").toString
+    media.toDF("media_id", "take", "content")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("media_id LONG, take INT, content BINARY")
+      .parquet(s"$dir/in")
+    val name = "stcmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = MediaDedup.streamingNearDupVerdicts(src, fp2, window = 2)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val staged = MediaDedup.stageShingles(
+      media.toDF("media_id", "take", "content"), s"$dir/sigs", fp2,
+      window = 2)
+    val out = MediaDedup.compactVerdicts(spark.table(name), staged)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    assert(out == Seq(
+      (1L, 0, 1L, 0, 0), // owner of its buckets: kept
+      (1L, 1, 1L, 0, 1), // 3/4 to (1,0): dup
+      (3L, 0, 1L, 1, 1), // (1,0) fails Jaccard, (1,1) qualifies
+      (9L, 0, 9L, 0, 0))) // disjoint: kept
+    // end state equals the batch operator's keep-list on this corpus
+    val survivors = MediaDedup.nearDupClusters(
+      media.toDF("media_id", "take", "content"), s"$dir/sigs2", fp2,
+      window = 2)
+      .collect().filter(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out.filter(_._5 == 0).map(t => (t._1, t._2)).toSet == survivors)
+  }
+
   test("conflicting content behind one key fails loudly; exact replays heal") {
     import spark.implicits._
     // at-least-once ingest replaying the SAME bytes is healed by the

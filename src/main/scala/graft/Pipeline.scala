@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   *   --stage pack --dataset internvid --meta-path meta.jsonl \
   *   --type kf --save-path out/ --total-frames 24 --iframes 8 \
   *   --time-scale 1000 --samples-per-tar 500
+  *   # or, mixed weighted corpora (S3 YAML composed with E1):
+  *   #   --mix-spec corpora.yaml [--mix-seed 17] instead of --meta-path
   *
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage tokenize --input 'out/shard-{0..63}-*.tar' \
@@ -104,8 +106,41 @@ object Pipeline {
       throw new IllegalArgumentException(s"missing --$k"))
     a.getOrElse("stage", "pack") match {
       case "pack" =>
-        val meta = loadMeta(spark, a.getOrElse("dataset", "internvid"),
-          req("meta-path"), a.getOrElse("prefix", ""))
+        // --mix-spec: pack over a WEIGHTED MULTI-SOURCE corpus — the
+        // S3 MultiShardSample YAML composed with E1, as the reference
+        // fleet mixes corpora. Each source lists metadata FILES
+        // (brace-expandable) with optional choose/resample weighting
+        // (seeded via --mix-seed, default 17), a `dataset` loader name
+        // and a media `prefix`; the selected files' metadata unions
+        // into one pack run (resample repeats = weight). Driver cost
+        // is one loader plan per SELECTED file — bounded by the spec's
+        // file count (corpus specs list dozens of files), never rows.
+        val meta = a.get("mix-spec") match {
+          case Some(specPath) =>
+            // Hadoop FS read: the spec can live beside the corpora
+            // (file:/hdfs:/s3a:), like every other pipeline input
+            val sp = new org.apache.hadoop.fs.Path(specPath)
+            val specFs = sp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val specIn = specFs.open(sp)
+            val yaml =
+              try new String(specIn.readAllBytes(), "UTF-8")
+              finally specIn.close()
+            val spec = graft.wds.MultiShardSample.parseYaml(yaml)
+            val tagged = graft.wds.MultiShardSample.resolveTagged(
+              spec, a.getOrElse("mix-seed", "17").toLong)
+            require(tagged.nonEmpty, s"--mix-spec $specPath selects no files")
+            tagged.map { case (src, url) =>
+              loadMeta(spark,
+                src.dataset.getOrElse(a.getOrElse("dataset", "internvid")),
+                url,
+                if (src.prefix.nonEmpty) src.prefix
+                else a.getOrElse("prefix", ""))
+            }.reduce(_.unionByName(_))
+          case None =>
+            loadMeta(spark, a.getOrElse("dataset", "internvid"),
+              req("meta-path"), a.getOrElse("prefix", ""))
+        }
         val opts = PackStage.PackOptions(
           samplerType = PackStage.SamplerType.byName(
             a.getOrElse("type", "video-only")),

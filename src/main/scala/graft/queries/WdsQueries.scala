@@ -1164,6 +1164,96 @@ object WdsQueries extends QueryRegistry {
       |  true AS meta_ok
       |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** wds27: PACK OVER A WEIGHTED TWO-SOURCE MIX through the CLI
+    * surface — S3's MultiShardSample YAML composed with the E1 pack
+    * stage (`Pipeline --stage pack --mix-spec`), the way the reference
+    * fleet mixes corpora before packing. Corpus A = even doc_ids split
+    * across two metadata files by doc_id%4 with `choose: 1` (the
+    * seed-17 selection picks the FIRST file — a0, doc_id%4==0 — the
+    * same pick PipelineCliSpec pins); corpus B = odd doc_ids, both
+    * files, unweighted; each source carries its own loader name and
+    * media prefix. Synthetic media makes the packed mp4 bytes carry
+    * the video path, so per-corpus provenance is observable in the
+    * packed tars themselves: the output is per-corpus sample count,
+    * doc-id sum, and caption char sum, replayed closed-form by the
+    * oracle with the seed-17 choice inlined (the wds16 adjudication).
+    * Scale shape: metadata plans are one per SELECTED file (driver
+    * cost bounded by the spec, never rows); the pack itself is the
+    * ordinary E1 distributed write. */
+  private val stagedMixPack =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mixPackStage(s: SparkSession, dir: String): String =
+    stagedMixPack.computeIfAbsent(dir, _ => {
+      val meta = scratchDir("graft_mix_meta")
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      for ((name, r) <- Seq(("a0", 0), ("a1", 2), ("b0", 1), ("b1", 3)))
+        docs.filter(col("doc_id") % 4 === r)
+          .select(format_string("%09d", col("doc_id")).as("YoutubeID"),
+            lit("0").as("Start_timestamp"), lit("1").as("End_timestamp"),
+            col("text").as("Caption"))
+          .coalesce(1).write.mode("overwrite").json(s"$meta/$name")
+      def partOf(sub: String): String = {
+        val p = new org.apache.hadoop.fs.Path(s"$meta/$sub")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).map(_.getPath.toString)
+          .filter(_.contains("part-")).head
+      }
+      val yaml =
+        s"""datasets:
+           |  - name: corpusA
+           |    dataset: internvid
+           |    prefix: va/
+           |    shards: ${partOf("a0")}::${partOf("a1")}
+           |    choose: 1
+           |  - name: corpusB
+           |    dataset: internvid
+           |    prefix: vb/
+           |    shards: ${partOf("b0")}::${partOf("b1")}
+           |""".stripMargin
+      val specPath = new org.apache.hadoop.fs.Path(meta, "mix.yaml")
+      val specFs = specPath.getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val specOut = specFs.create(specPath, true)
+      try specOut.write(yaml.getBytes("UTF-8")) finally specOut.close()
+      val out = scratchDir("graft_mix_pack")
+      graft.Pipeline.run(s, Map(
+        "stage" -> "pack", "mix-spec" -> specPath.toString,
+        "type" -> "video-only", "save-path" -> out,
+        "samples-per-tar" -> "200", "synthetic-media" -> "true"))
+        .collect()
+      out
+    })
+
+  private def mixedPack(s: SparkSession, dir: String): DataFrame = {
+    val out = mixPackStage(s, dir)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tars = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".tar")).sorted.toSeq
+    s.read.format("wds").load(tars: _*)
+      .select(col("entries")("mp4").cast("string").as("path"),
+        get_json_object(col("entries")("json").cast("string"),
+          "$.caption").as("caption"))
+      .select(regexp_extract(col("path"), "(\\d{9})_0_1", 1)
+        .cast("long").as("doc_id"), col("caption"))
+      .groupBy(when(col("doc_id") % 2 === 0, "A").otherwise("B")
+        .as("corpus"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("doc_id")).as("doc_sum"),
+        sum(length(col("caption"))).as("caption_chars"))
+      .orderBy(col("corpus"))
+  }
+
+  private val mixedPackSql =
+    """WITH sel AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 2 = 1 OR doc_id % 4 = 0)
+      |SELECT CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS corpus,
+      |  count(*) AS n_samples, sum(doc_id)::BIGINT AS doc_sum,
+      |  sum(length(text))::BIGINT AS caption_chars
+      |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** wds17: CONTINUOUS shard ingest through the DSv2 streaming path —
     * pack real aligned shards, then `readStream.format("wds")` over the
     * output directory (AvailableNow) into a PER-KEY Complete-mode agg:
@@ -1697,6 +1787,7 @@ object WdsQueries extends QueryRegistry {
       |FROM documents ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
+    "wds27_mixed_pack" -> QueryDef(mixedPack, Some(mixedPackSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),

@@ -23,11 +23,18 @@ import scala.jdk.CollectionConverters._
   */
 object MultiShardSample {
 
+  /** `dataset`/`prefix` are engine-side optional keys (absent from the
+    * reference's schema, ignored by shard-level reads): when the spec
+    * feeds the PACK stage (`Pipeline --stage pack --mix-spec`), each
+    * source's files are METADATA files, `dataset` names the loader
+    * normalizer and `prefix` the per-source media prefix. */
   final case class SourceSpec(
       name: String,
       shards: Seq[String],
       choose: Option[Int] = None,
-      resample: Option[Int] = None)
+      resample: Option[Int] = None,
+      dataset: Option[String] = None,
+      prefix: String = "")
 
   final case class Spec(sources: Seq[SourceSpec])
 
@@ -50,19 +57,29 @@ object MultiShardSample {
         name = m.get("name").map(_.toString).getOrElse(shardSpec),
         shards = urls,
         choose = m.get("choose").map(_.toString.toInt),
-        resample = m.get("resample").map(_.toString.toInt))
+        resample = m.get("resample").map(_.toString.toInt),
+        dataset = m.get("dataset").map(_.toString),
+        prefix = m.get("prefix").map(_.toString).getOrElse(""))
     })
   }
 
   /** Resolve the spec into a final shard list: per-source choose (without
     * replacement) / resample (with replacement), then global seeded
     * shuffle (`shardlists.py:255-271`). */
-  def resolve(spec: Spec, seed: Long = 17L): Seq[String] = {
+  def resolve(spec: Spec, seed: Long = 17L): Seq[String] =
+    resolveTagged(spec, seed).map(_._2)
+
+  /** [[resolve]] with each selected url tagged by its source spec —
+    * the pack-stage mix needs the (loader, prefix) association that a
+    * bare url list loses. Identical RNG consumption to [[resolve]]
+    * (per-source selection, then one global shuffle), so both produce
+    * the same selection and order for a given seed. */
+  def resolveTagged(spec: Spec, seed: Long = 17L): Seq[(SourceSpec, String)] = {
     val rng = new scala.util.Random(seed)
     val all = spec.sources.flatMap { s =>
       require(s.choose.isEmpty || s.resample.isEmpty,
         s"${s.name}: choose and resample are mutually exclusive")
-      s.choose match {
+      val picked = s.choose match {
         case Some(n) =>
           require(n <= s.shards.size,
             s"${s.name}: choose $n > ${s.shards.size} shards")
@@ -72,6 +89,7 @@ object MultiShardSample {
           case None => s.shards
         }
       }
+      picked.map(s -> _)
     }
     rng.shuffle(all)
   }

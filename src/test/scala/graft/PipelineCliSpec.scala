@@ -44,6 +44,61 @@ class PipelineCliSpec extends SparkSpec {
       .exists(_.getName.endsWith(".parquet")))
   }
 
+  test("pack --mix-spec: weighted two-source mix through the CLI") {
+    import spark.implicits._
+    // two corpora of internvid-style jsonl FILES: A = even ids split
+    // across two files by id%4, choose: 1 (seeded); B = odd ids, both
+    // files, unweighted. Synthetic media makes the mp4 bytes carry the
+    // video path, so provenance is directly observable downstream.
+    val metaDir = Files.createTempDirectory("cli_mix_meta").toString
+    def writeFile(name: String, ids: Seq[Int]): String = {
+      val lines = ids.map(i =>
+        s"""{"YoutubeID":"${f"vid$i%09d"}","Start_timestamp":"0",""" +
+          s""""End_timestamp":"1","Caption":"caption $i"}""")
+      val p = java.nio.file.Paths.get(metaDir, name)
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val ids = 0 until 16
+    writeFile("a0.jsonl", ids.filter(_ % 4 == 0))
+    writeFile("a1.jsonl", ids.filter(_ % 4 == 2))
+    writeFile("b0.jsonl", ids.filter(_ % 4 == 1))
+    writeFile("b1.jsonl", ids.filter(_ % 4 == 3))
+    val yaml =
+      s"""datasets:
+         |  - name: corpusA
+         |    dataset: internvid
+         |    prefix: va/
+         |    shards: $metaDir/a{0..1}.jsonl
+         |    choose: 1
+         |  - name: corpusB
+         |    dataset: internvid
+         |    prefix: vb/
+         |    shards: $metaDir/b{0..1}.jsonl
+         |""".stripMargin
+    val specPath = java.nio.file.Paths.get(metaDir, "mix.yaml")
+    Files.write(specPath, yaml.getBytes("UTF-8"))
+    val packOut = Files.createTempDirectory("cli_mix_pack").toString
+    Pipeline.run(spark, Map(
+      "stage" -> "pack", "mix-spec" -> specPath.toString,
+      "type" -> "video-only", "save-path" -> packOut,
+      "samples-per-tar" -> "6", "synthetic-media" -> "true")).collect()
+    val tars = new java.io.File(packOut).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted.toSeq
+    val got = spark.read.format("wds").load(tars: _*)
+      .select(col("entries")("mp4").cast("string").as("path"))
+      .as[String].collect().sorted.toSeq
+    // seed-17 choose over (a0, a1) picks a0: id%4==0 from A, all odd
+    // ids from B, with each source's OWN media prefix applied
+    val want = (ids.filter(_ % 4 == 0).map(i => s"va/${f"vid$i%09d"}_0_1.mp4") ++
+      ids.filter(_ % 2 == 1).map(i => s"vb/${f"vid$i%09d"}_0_1.mp4")).sorted
+    assert(got == want)
+    // a mistyped spec path and an empty selection fail loudly
+    assertThrows[Exception](Pipeline.run(spark, Map(
+      "stage" -> "pack", "mix-spec" -> s"$metaDir/nope.yaml",
+      "save-path" -> packOut, "synthetic-media" -> "true")))
+  }
+
   test("kf pack → tokenize with --type kf keeps every sample") {
     val metaDir = Files.createTempDirectory("cli_kf_meta").toString
     import spark.implicits._

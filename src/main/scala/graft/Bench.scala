@@ -178,6 +178,19 @@ object Bench {
       .map(_.toDouble).getOrElse(2.0)
     val ioMbpsLimit = sys.env.get("SPARK_GRAFT_BENCH_IO_MBPS")
       .map(_.toDouble).getOrElse(200.0)
+    // PSI memory stall, stamp-only (round-11 postscript in SCALE.md: a
+    // dying same-host JVM's page-cache writeback inflated a capture
+    // while cpu/iowait/disk deltas all read 0 — memory-bandwidth
+    // pressure is the residual blind spot). "some total=" microseconds
+    // of tasks stalled on memory; the per-rep delta over wall is
+    // stamped so a contaminated capture at least self-describes. Not a
+    // rerun trigger: our own spill/GC can legitimately register here.
+    def memPsiSec: Double =
+      try {
+        val some = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/pressure/memory")).get(0)
+        some.split("total=")(1).trim.toDouble / 1e6
+      } catch { case _: Exception => 0.0 }
     var totalReruns = 0
 
     // (name, per-rep seconds ascending, max cpu/iowait/io-MBps ambient
@@ -197,6 +210,7 @@ object Bench {
         var maxAmbient = 0.0
         var maxIowait = 0.0
         var maxIoMbps = 0.0
+        var maxMemPsi = 0.0
         var ok = true
         var kept = 0
         var retries = 0
@@ -204,6 +218,7 @@ object Bench {
           val busy0 = busyCpuSec; val own0 = ownCpuSec
           val iow0 = iowaitCpuSec
           val disk0 = diskBytes; val ownIo0 = ownIoBytes
+          val psi0 = memPsiSec
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -228,6 +243,8 @@ object Bench {
               maxAmbient = maxAmbient.max(ambient)
               maxIowait = maxIowait.max(iowait)
               maxIoMbps = maxIoMbps.max(ioMbps)
+              maxMemPsi = maxMemPsi
+                .max((memPsiSec - psi0).max(0.0) / wall.max(1e-3))
               kept += 1
             }
           } catch { case e: Throwable =>
@@ -235,7 +252,8 @@ object Bench {
             ok = false
           }
         }
-        (name, times.result().sorted, (maxAmbient, maxIowait, maxIoMbps), ok)
+        (name, times.result().sorted,
+          (maxAmbient, maxIowait, maxIoMbps, maxMemPsi), ok)
     }
     val loadEnd = loadavg
     // even lengths average the two middle elements (a 2-rep run must
@@ -249,12 +267,14 @@ object Bench {
       "\"" + k + f"\":${median(ts)}%.3f" }.mkString("{", ",", "}")
     val mins = results.collect { case (k, ts, _, true) =>
       "\"" + k + f"\":${ts.head}%.3f" }.mkString("{", ",", "}")
-    val ambients = results.collect { case (k, _, (a, _, _), true) =>
+    val ambients = results.collect { case (k, _, (a, _, _, _), true) =>
       "\"" + k + f"\":$a%.1f" }.mkString("{", ",", "}")
-    val iowaits = results.collect { case (k, _, (_, w, _), true) =>
+    val iowaits = results.collect { case (k, _, (_, w, _, _), true) =>
       "\"" + k + f"\":$w%.1f" }.mkString("{", ",", "}")
-    val ioMbps = results.collect { case (k, _, (_, _, m), true) =>
+    val ioMbps = results.collect { case (k, _, (_, _, m, _), true) =>
       "\"" + k + f"\":$m%.0f" }.mkString("{", ",", "}")
+    val memPsis = results.collect { case (k, _, (_, _, _, p), true) =>
+      "\"" + k + f"\":$p%.2f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, _, true) => median(ts) }.sum
@@ -274,7 +294,7 @@ object Bench {
     val loads = (loadStart ++ loadEnd).map(v => f"$v%.2f")
       .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (round-10 verdict: the driver's stdout
     // parse came back `parsed: null` — the official number must also

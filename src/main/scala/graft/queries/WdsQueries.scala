@@ -1095,8 +1095,10 @@ object WdsQueries extends QueryRegistry {
   /** wds26: TENSOR shard round-trip — the npy/msgpack rows of the
     * codec registry end-to-end (`autodecode.py:130-166` decode,
     * `writer.py:88-132` encode). Per document, an `<i8` numpy tensor
-    * (`ten.npy`, length 3 + d%5, values closed-form in doc_id) and a
-    * msgpack metadata map (`meta.mp`: element count + sum) are encoded
+    * (`ten.npy`, length 3 + d%5, values closed-form in doc_id), an
+    * npz of named members (`pack.npz`: the ids plus a DERIVED f8
+    * squares array, so the zip path is value-pinned) and a msgpack
+    * metadata map (`meta.mp`: element count + sum) are encoded
     * through [[graft.wds.Codecs.encode]], packed into tar shards by
     * the DSv2 writer, read back through `format("wds")`, and decoded
     * through the registry ([[graft.wds.Npy]] byte-parity is pinned
@@ -1119,9 +1121,16 @@ object WdsQueries extends QueryRegistry {
         val vals = Array.tabulate(n)(j => (d * 31 + j * 7) % 1000 - 250)
         val meta = Msgpack.MsgMap(Vector(
           "n" -> n.toLong, "s" -> vals.sum))
+        // npz sibling: named members, one a DERIVED f8 array so the
+        // zip path is pinned by values, not by copy-equality
+        val npz = Vector(
+          "ids" -> Npy.fromLongs(vals, Vector(n)),
+          "sq" -> Npy.fromDoubles(
+            vals.map(v => (v * v).toDouble), Vector(n)))
         Sample(f"$d%09d", "", Map(
           "ten.npy" -> Codecs.encode("npy",
             Npy.fromLongs(vals, Vector(n))),
+          "pack.npz" -> Codecs.encode("npz", npz),
           "meta.mp" -> Codecs.encode("mp", meta)))
       }
     graft.wds.WdsWriter.write(samples, out,
@@ -1144,11 +1153,20 @@ object WdsQueries extends QueryRegistry {
           case Codecs.Decoded.Packed(v) => Msgpack.toMap(v)
           case other => throw new IllegalStateException(s"mp: $other")
         }
+        val npz = Codecs.decode("npz", es("pack.npz")) match {
+          case Codecs.Decoded.TensorZip(entries) => entries.toMap
+          case other => throw new IllegalStateException(s"npz: $other")
+        }
         val sum = ten.toLongs.sum
+        // squares stay integral, so the double sum is exact and
+        // order-free — hashable against the oracle's closed form
+        val sqSum = npz("sq").toDoubles.sum
+        val npzOk = npz("ids").toLongs.sameElements(ten.toLongs)
         (k.toLong, ten.elements, sum,
-          meta("n") == ten.elements && meta("s") == sum)
+          meta("n") == ten.elements && meta("s") == sum && npzOk,
+          sqSum)
       }
-      .toDF("doc_id", "n_elems", "ten_sum", "meta_ok")
+      .toDF("doc_id", "n_elems", "ten_sum", "meta_ok", "sq_sum")
       .orderBy(col("doc_id"))
   }
 
@@ -1161,7 +1179,9 @@ object WdsQueries extends QueryRegistry {
       |  FROM n)
       |SELECT doc_id, n AS n_elems,
       |  sum((doc_id*31 + j*7) % 1000 - 250)::BIGINT AS ten_sum,
-      |  true AS meta_ok
+      |  true AS meta_ok,
+      |  sum(((doc_id*31 + j*7) % 1000 - 250)
+      |      * ((doc_id*31 + j*7) % 1000 - 250))::DOUBLE AS sq_sum
       |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
   /** wds27: PACK OVER A WEIGHTED TWO-SOURCE MIX through the CLI

@@ -114,6 +114,7 @@ object Npy {
 
   def decode(bytes: Array[Byte]): NpyArray = {
     require(isNpy(bytes), "not an NPY stream (bad magic)")
+    require(bytes.length >= 12, s"npy truncated at ${bytes.length} bytes")
     val major = bytes(6) & 0xff
     require(major >= 1 && major <= 3, s"npy version $major")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

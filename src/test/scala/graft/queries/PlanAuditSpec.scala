@@ -326,6 +326,58 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  private def planDf(df: => DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qd20 candidate stage shuffles (vec_id, bucket) ints — " +
+    "embeddings never cross an exchange") {
+    // the width-rule path must keep the qd06 claim at every width:
+    // signatures are computed in one narrow pass, the bucket join
+    // keys on ints, and the 64-float embedding column never enters a
+    // shuffle (at 100 TB that difference is the network bill)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    for (bits <- Seq(8, 13)) {
+      val p = planDf(DedupQueries.embCandidates(e, 12, bits, 64))
+      val ex = shuffles(p)
+      assert(ex.nonEmpty, s"bits=$bits: bucket join should shuffle")
+      ex.foreach(s => assert(!s.output.map(_.name).contains("embedding"),
+        s"bits=$bits: embedding crossed an exchange"))
+    }
+  }
+
+  test("compactVerdicts joins only the staged hash relation — " +
+    "content and decode never appear") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("pa_cv").toString
+    val media = Seq((1L, 0, Array[Byte](1, 1, 2, 2)),
+      (2L, 0, Array[Byte](1, 1, 2, 2)))
+      .toDF("media_id", "take", "content")
+    val fp: Array[Byte] => IndexedSeq[String] =
+      b => b.grouped(2).map(g => g.map(x => f"$x%02x").mkString)
+        .toIndexedSeq
+    val staged = graft.multimodal.MediaDedup.stageShingles(
+      media, stage, fp, window = 1)
+    val verdicts = Seq((1L, 0, 1L, 0), (2L, 0, 1L, 0))
+      .toDF("media_id", "take", "owner_id", "owner_take")
+    val p = planDf(
+      graft.multimodal.MediaDedup.compactVerdicts(verdicts, staged))
+    scans(p).foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("media_id", "take", "sh", "n_sh")),
+        s"compaction scan reads $cols — not the staged hash relation")
+    }
+    assert(!p.toString.contains("UDF"),
+      "a decode UDF survives in the compaction plan")
+    shuffles(p).foreach(s =>
+      assert(!s.output.map(_.name).contains("content"),
+        "media content crossed an exchange in the compaction"))
+  }
+
   test("near-dup fan-out plans contain no decode: both join branches " +
     "read the staged hash parquet") {
     // MediaDedup.shingleNearDup stages (media_id, take, sh, n_sh)

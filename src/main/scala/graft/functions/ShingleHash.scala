@@ -62,6 +62,32 @@ object ShingleHash {
       }(enc)
   }
 
+  /** (doc_id, text) → exploded (doc_id, pos, sh) with one row PER GRAM
+    * POSITION (1-based, no dedup) — the span-scrub (qd21) input: the
+    * scrubber must know WHERE each duplicated gram starts, not just
+    * that the document contains it. Same hash convention as
+    * [[exploded]]; a short doc (< k words) emits its whole-text gram at
+    * pos 1. Narrow flatMap, no shuffle; downstream joins carry
+    * (doc_id, pos, 16-hex) only. */
+  def positional(df: DataFrame, k: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pos", IntegerType),
+      StructField("sh", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.select("doc_id", "text")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val grams = kGrams(text, k)
+          Array.tabulate(grams.length)(i =>
+            Row(id, i + 1, hex16(md.digest(grams(i).getBytes(UTF_8)))))
+        }
+      }(enc)
+  }
+
   /** first 8 digest bytes as 16 lowercase hex chars — the same value as
     * `substr(md5(x), 1, 16)`. */
   private def hex16(d: Array[Byte]): String = {

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *    "memorized span" signal of Lee et al. 2022 (exact substring dedup),
   *    approximated at n-gram granularity so it runs as two hash
   *    aggregations instead of a suffix array.
+  *  - duplicated-span SCRUB (qd21): the removal pass over qd12's
+  *    signal — every token covered by a cross-document duplicated gram
+  *    is cut and the surviving text emitted, Lee et al.'s ExactSubstr
+  *    posture at n-gram grain.
   *  - semantic dedup (qs05): SemDeDup (Abbas et al. 2023) — within an
   *    embedding cluster, prune every vector whose cosine to a
   *    lower-id cluster member exceeds a threshold. Clusters here come
@@ -163,6 +167,89 @@ object CurationQueries extends QueryRegistry {
        |    / count(*), 6) AS dup_frac
        |FROM e JOIN df USING (sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Core of qd21 over (doc_id, text) plus its positional gram frame —
+    * the REMOVAL pass qd12 only measures (Lee et al. 2022 ExactSubstr,
+    * n-gram grain): cut every token covered by a gram that occurs in
+    * ≥ 2 distinct documents, emit the surviving text.
+    *
+    * Plan shape: (1) duplicated-gram set from the distinct exploded
+    * frame — hashes only; (2) positional grams joined against it —
+    * (doc_id, pos, 16-hex) rows, text absent; (3) per-doc dup-start
+    * arrays (ints, bounded by doc length) joined back to `documents`
+    * on doc_id — the ONE place corpus text enters an exchange, and any
+    * operator that must rewrite text has it; (4) the cut itself is a
+    * row-local array filter, no further movement. */
+  private[graft] def spanScrubFrom(docs: DataFrame, pos: DataFrame,
+      dupSh: DataFrame): DataFrame = {
+    val starts = pos.join(dupSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("ws"), col("starts"),
+        least(lit(GramK), size(col("ws"))).as("span"))
+      .select(col("doc_id"), col("ws"),
+        filter(sequence(lit(1), size(col("ws"))), j =>
+          !exists(col("starts"), s0 =>
+            s0 <= j && j <= s0 + col("span") - lit(1))).as("keep"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        (size(col("ws")) - size(col("keep"))).as("n_removed"),
+        concat_ws(" ",
+          transform(col("keep"), j => element_at(col("ws"), j)))
+          .as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** qd21: duplicated-span SCRUB — the removal operator for the signal
+    * qd12 measures. Production positional grams come from the
+    * [[graft.functions.ShingleHash.positional]] kernel (one narrow
+    * pass, like [[exploded]]); the dup set reuses the memoized
+    * distinct frame, so the corpus is shingled once for qd11/qd12/qd21
+    * together. */
+  private def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    val sh = exploded(s, dir)
+    val dup = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("sh"))
+    spanScrubFrom(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      graft.functions.ShingleHash.positional(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")), GramK),
+      dup)
+  }
+
+  private val spanScrubSql =
+    s"""WITH s AS ($shingleHashesSqlCte),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+       |dup AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= 2),
+       |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |      FROM documents),
+       |pw AS (SELECT doc_id, ws, unnest(generate_series(1,
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN len(ws) - ${GramK - 1} ELSE 1 END)) AS pos
+       |      FROM w),
+       |p AS (SELECT doc_id, pos, substr(md5(
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN ${(0 until GramK).map(o =>
+      if (o == 0) "ws[pos]" else s"ws[pos+$o]").mkString(" || ' ' || ")}
+       |          ELSE array_to_string(ws, ' ') END), 1, 16) AS sh
+       |      FROM pw),
+       |ds AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (sh)),
+       |cov AS (SELECT DISTINCT doc_id, pos + o AS j FROM (
+       |        SELECT ds.doc_id, ds.pos, unnest(generate_series(0,
+       |          least($GramK, len(w.ws)) - 1)) AS o
+       |        FROM ds JOIN w ON ds.doc_id = w.doc_id) x),
+       |cl AS (SELECT doc_id, list(j) AS cov FROM cov GROUP BY doc_id),
+       |kp AS (SELECT w.doc_id, ws,
+       |        list_filter(generate_series(1, len(ws)),
+       |          j -> NOT list_contains(coalesce(cl.cov, []), j)) AS keep
+       |      FROM w LEFT JOIN cl ON w.doc_id = cl.doc_id)
+       |SELECT doc_id, len(ws)::INT AS n_tokens,
+       |  (len(ws) - len(keep))::INT AS n_removed,
+       |  coalesce(array_to_string(list_transform(keep, j -> ws[j]), ' '),
+       |    '') AS scrubbed
+       |FROM kp ORDER BY doc_id""".stripMargin
 
   /** Cosine threshold for the semantic prune: rounded cosines ≥ Tau
     * mark the higher vec_id as redundant. Fixture in-cluster cosines
@@ -902,6 +989,8 @@ object CurationQueries extends QueryRegistry {
     "qc01_mix_sample" -> QueryDef(mixSample, Some(mixSampleSql)),
     "qd11_decontam" -> QueryDef(decontam, Some(decontamSql)),
     "qd12_dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql), bench = true),
+    "qd21_span_scrub" -> QueryDef(spanScrub, Some(spanScrubSql),
+      bench = true),
     "qs05_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
   )
 }

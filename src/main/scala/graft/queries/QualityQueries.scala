@@ -512,6 +512,77 @@ object QualityQueries extends QueryRegistry {
       |  round(abs(n_a * 1.0 / tot_a - n_b * 1.0 / tot_b), 6) AS drift
       |FROM c, t ORDER BY o_orderpriority""".stripMargin
 
+  /** qa08: numeric length-profile drift — the per-source two-sample
+    * Kolmogorov–Smirnov audit over document length: for each source,
+    * compare its `n_chars` CDF against the REST of the corpus (self
+    * excluded, so a large source can't mask its own shift) at every
+    * occupied 50-char bin and report the per-bin CDF gap plus the
+    * per-source max (the KS statistic), all in integer ppm — log-free
+    * and hash-stable like qa03/qa07. A source whose length profile
+    * drifts from the corpus is the classic symptom of a scraper change
+    * or boilerplate leak.
+    *
+    * Scale: ONE corpus scan reduced to (source, bin) counts — the only
+    * shuffle that sees data volume; everything after (grids, cumsums,
+    * the KS max) runs on an audit-table-sized frame bounded by
+    * |sources| × 12 bins, with the cumulative sums as tiny theta
+    * self-joins instead of unpartitioned windows. */
+  private def lengthDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables(s, dir).documents
+      .select($"source",
+        least(floor($"n_chars" / 50), lit(11)).cast("int").as("bin"))
+    val c = b.groupBy($"source", $"bin").agg(count(lit(1)).as("n"))
+    val occ = c.groupBy($"bin").agg(sum($"n").as("n_all"))
+    val totS = c.groupBy($"source").agg(sum($"n").as("tot_s"))
+    val grand = b.agg(count(lit(1)).as("grand"))
+    val grid = totS.crossJoin(occ.select($"bin"))
+    val cumS = grid.as("g").join(c.as("c"),
+        $"g.source" === $"c.source" && $"c.bin" <= $"g.bin", "left")
+      .groupBy($"g.source", $"g.bin", $"g.tot_s")
+      .agg(coalesce(sum($"c.n"), lit(0L)).as("cum_s"))
+      .select($"source", $"bin", $"tot_s", $"cum_s")
+    val cumAll = occ.as("o1").join(occ.as("o2"), $"o2.bin" <= $"o1.bin")
+      .groupBy($"o1.bin").agg(sum($"o2.n_all").as("cum_all"))
+      .select($"bin", $"cum_all")
+    val d = cumS.join(cumAll, "bin").crossJoin(broadcast(grand))
+      .select($"source", $"bin", $"cum_s",
+        ($"cum_all" - $"cum_s").as("cum_ref"),
+        abs(($"cum_s" * 1000000L / $"tot_s").cast("long")
+          - (($"cum_all" - $"cum_s") * 1000000L
+            / ($"grand" - $"tot_s")).cast("long")).as("d_ppm"))
+    val ks = d.groupBy($"source").agg(max($"d_ppm").as("ks_ppm"))
+    d.join(ks, "source")
+      .select($"source", $"bin", $"cum_s", $"cum_ref", $"d_ppm", $"ks_ppm")
+      .orderBy($"source", $"bin")
+  }
+
+  private val lengthDriftSql =
+    """WITH b AS (
+      |  SELECT source, least(n_chars // 50, 11)::INT AS bin FROM documents),
+      |c AS (SELECT source, bin, count(*) AS n FROM b GROUP BY source, bin),
+      |occ AS (SELECT bin, sum(n) AS n_all FROM c GROUP BY bin),
+      |ts AS (SELECT source, sum(n) AS tot_s FROM c GROUP BY source),
+      |g AS (SELECT count(*) AS grand FROM b),
+      |grid AS (SELECT ts.source, ts.tot_s, occ.bin FROM ts, occ),
+      |cs AS (SELECT grid.source, grid.bin, grid.tot_s,
+      |    coalesce(sum(c.n), 0) AS cum_s
+      |  FROM grid LEFT JOIN c
+      |    ON c.source = grid.source AND c.bin <= grid.bin
+      |  GROUP BY grid.source, grid.bin, grid.tot_s),
+      |ca AS (SELECT o1.bin, sum(o2.n_all) AS cum_all
+      |  FROM occ o1 JOIN occ o2 ON o2.bin <= o1.bin GROUP BY o1.bin),
+      |d AS (SELECT cs.source, cs.bin, cum_s,
+      |    cum_all - cum_s AS cum_ref,
+      |    abs(cum_s * 1000000 // tot_s
+      |      - (cum_all - cum_s) * 1000000 // (grand - tot_s)) AS d_ppm
+      |  FROM cs JOIN ca ON cs.bin = ca.bin, g),
+      |k AS (SELECT source, max(d_ppm) AS ks_ppm FROM d GROUP BY source)
+      |SELECT d.source, d.bin, cum_s::BIGINT AS cum_s,
+      |  cum_ref::BIGINT AS cum_ref, d_ppm::BIGINT AS d_ppm,
+      |  k.ks_ppm::BIGINT AS ks_ppm
+      |FROM d JOIN k USING (source) ORDER BY d.source, d.bin""".stripMargin
+
   /** qa07: vocabulary-profile audit — the corpus-health metrics every
     * training-data report carries per source: token volume, distinct
     * vocabulary (types), hapax legomena (once-only words — the
@@ -551,6 +622,7 @@ object QualityQueries extends QueryRegistry {
   override val defs: Map[String, QueryDef] = Map(
     "qa07_vocab_profile" -> QueryDef(vocabProfile, Some(vocabProfileSql),
       bench = true),
+    "qa08_length_drift" -> QueryDef(lengthDrift, Some(lengthDriftSql)),
     "qa01_profile" -> QueryDef(profile, Some(profileSql), bench = true),
     "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql),
       bench = true),

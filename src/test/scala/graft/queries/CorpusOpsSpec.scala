@@ -319,4 +319,36 @@ class CorpusOpsSpec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(got === want)
   }
+
+  test("qa08: per-source KS drift equals the brute-force CDF-gap scan") {
+    import spark.implicits._
+    val lens = graft.Tables(spark, sf).documents
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+      .map { case (s, n) => (s, math.min(n / 50, 11L).toInt) }
+    val occ = lens.map(_._2).distinct.sorted
+    val grand = lens.length.toLong
+    val bySrc = lens.groupBy(_._1)
+    val want = bySrc.toSeq.flatMap { case (src, rows) =>
+      val totS = rows.length.toLong
+      occ.map { b =>
+        val cumS = rows.count(_._2 <= b).toLong
+        val cumR = lens.count(_._2 <= b).toLong - cumS
+        val dPpm = math.abs(
+          cumS * 1000000L / totS - cumR * 1000000L / (grand - totS))
+        (src, b) -> ((cumS, cumR, dPpm))
+      }
+    }.toMap
+    val ksWant = want.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.values.map(_._3).max }
+    val got = q("qa08_length_drift")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (s, b, cumS, cumR, d, ks) =>
+      assert(want((s, b)) == ((cumS, cumR, d)), s"($s, $b)")
+      assert(ks == ksWant(s), s"ks($s)")
+    }
+    // the audit discriminates on the fixture: per-source KS values are
+    // not all identical (some source is measurably shifted)
+    assert(got.map(_._6).distinct.length > 1)
+  }
 }

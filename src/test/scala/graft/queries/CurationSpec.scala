@@ -201,4 +201,76 @@ class CurationSpec extends SparkSpec {
     val all = want.values
     assert(got.values.sum / got.size >= all.sum / all.size)
   }
+
+  test("qd21: scrub equals the brute-force covered-position cut per doc") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(ws: Array[String]): Array[String] =
+      if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toArray
+      else Array(ws.mkString(" "))
+    val docGrams = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ", -1) }
+    val dup = docGrams.flatMap { case (_, ws) => grams(ws).distinct }
+      .groupBy(identity).collect { case (g, hits) if hits.length >= 2 => g }
+      .toSet
+    val want = docGrams.map { case (id, ws) =>
+      val span = math.min(5, ws.length)
+      val covered = grams(ws).zipWithIndex.collect {
+        case (g, i) if dup(g) => i + 1
+      }.flatMap(s => s until s + span).toSet
+      val kept = ws.indices.filter(j => !covered(j + 1)).map(ws)
+      id -> ((ws.length, ws.length - kept.length, kept.mkString(" ")))
+    }.toMap
+    val got = q("qd21_span_scrub")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, rm, scrubbed) =>
+      assert(want(id) == ((n, rm, scrubbed)), s"doc $id") }
+    assert(got.map(_._1).toSet == want.keySet)
+    // the fixture's near-dup families make the scrub non-vacuous, and
+    // unique docs survive untouched
+    assert(got.exists(_._3 > 0), "no dup span scrubbed — vacuous fixture")
+    assert(got.exists(r => r._3 == 0 && r._4.nonEmpty))
+  }
+
+  test("qd21: a planted cross-doc run is cut from BOTH docs, " +
+    "non-dup docs pass through verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // shared run at pos 1..5
+      (2L, "x y a b c d e z"),   // same run at pos 3..7
+      (3L, "p q r s t u"))       // unique
+      .toDF("doc_id", "text")
+    val sh = graft.functions.ShingleHash.exploded(docs, 5)
+    val dup = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"sh")
+    val pos = graft.functions.ShingleHash.positional(docs, 5)
+    val out = CurationQueries.spanScrubFrom(docs, pos, dup)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 8, 5, "f g h"),
+      (2L, 8, 5, "x y z"),
+      (3L, 6, 0, "p q r s t u")))
+  }
+
+  test("positional kernel matches the declarative per-position " +
+    "HOF form value-for-value") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").limit(200)
+    val ws = split(lower($"text"), " ")
+    val shs = when(size(ws) >= 5,
+      transform(sequence(lit(1), size(ws) - 4), i =>
+        concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))
+      .otherwise(array(concat_ws(" ", ws)))
+    val declarative = docs
+      .select($"doc_id", posexplode(transform(shs, x =>
+        substring(md5(to_binary(x, lit("utf-8"))), 1, 16))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("sh"))
+      .as[(Long, Int, String)].collect().sorted
+    val kernel = graft.functions.ShingleHash.positional(docs, 5)
+      .as[(Long, Int, String)].collect().sorted
+    assert(kernel.toSeq == declarative.toSeq)
+  }
 }

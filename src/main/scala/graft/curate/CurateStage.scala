@@ -28,6 +28,11 @@ import org.apache.spark.storage.StorageLevel
   *     exact dedup so a verbatim duplicate pair reads as ONE document
   *     (flag-parallel span counting marks both copies 100% duplicated
   *     and deletes the content entirely)
+  *  4b. span scrub (opt-in, `spanScrub`) — rewrite survivors' text by
+  *     CUTTING every token covered by a cross-document duplicated gram
+  *     (the qd21 operator): the filter above drops catastrophically
+  *     duplicated docs, the scrub cleans the duplicated spans out of
+  *     the rest; original casing is preserved, matching is case-folded
   *  5. decontam — optional n-gram overlap scrub against a held-out eval
   *     table (broadcast: eval sets are MBs against TB corpora); the
   *     eval parquet only needs a `text` column
@@ -56,7 +61,8 @@ object CurateStage {
       defaultRate: Int = 100,
       gramK: Int = 5,
       evalPath: Option[String] = None,
-      nearDupJaccard: Option[Double] = None)
+      nearDupJaccard: Option[Double] = None,
+      spanScrub: Boolean = false)
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
@@ -150,6 +156,25 @@ object CurateStage {
         .select(col("doc_id"),
           (lit(1) - col("contaminated")).as("decontam_keep"))
     }
+    // 4b. span scrub (opt-in): REWRITE surviving text by cutting every
+    // token covered by a cross-document duplicated gram (Lee et al.'s
+    // removal posture, the operator behind qd21) — runs over the SAME
+    // post-dedup survivors and the same shingle grain as the span
+    // filter, so the filter drops the catastrophically-duplicated docs
+    // and the scrub cleans the rest. Case is preserved; matching is
+    // case-folded like every shingle decision in the funnel.
+    val scrubbed = if (opts.spanScrub) {
+      val dup = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+        .select(col("sh"))
+      val posF = graft.functions.ShingleHash.positional(
+        s3n.select(col("doc_id"), col("text")), opts.gramK)
+      Some(graft.queries.CurationQueries.spanScrubFrom(
+        s3n.select(col("doc_id"), col("text")), posF, dup,
+        preserveCase = true)
+        .select(col("doc_id"), col("scrubbed")))
+    } else None
+
     val flagged0 = withN.join(spanK, Seq("doc_id"), "left")
       .withColumn("span_keep", coalesce(col("span_keep"), lit(0)))
     val flagged = decontamK.fold(
@@ -161,7 +186,11 @@ object CurateStage {
 
     val keeps = Seq("quality_keep", "mix_keep", "exact_keep",
       "near_keep", "span_keep", "decontam_keep")
-    val all = flagged.withColumn("curated", col("decontam_keep"))
+    val flaggedS = scrubbed.fold(flagged)(sc =>
+      flagged.join(sc, Seq("doc_id"), "left")
+        .withColumn("text", coalesce(col("scrubbed"), col("text")))
+        .drop("scrubbed"))
+    val all = flaggedS.withColumn("curated", col("decontam_keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count(): Unit // materialize, then release the stage-internals
     // blocking for the same reason as CurateResult.close

@@ -181,12 +181,19 @@ object CurationQueries extends QueryRegistry {
     * operator that must rewrite text has it; (4) the cut itself is a
     * row-local array filter, no further movement. */
   private[graft] def spanScrubFrom(docs: DataFrame, pos: DataFrame,
-      dupSh: DataFrame): DataFrame = {
+      dupSh: DataFrame, preserveCase: Boolean = false): DataFrame = {
+    // gram MATCHING is always case-folded (the shingle convention);
+    // `preserveCase` only controls whether the emitted text keeps the
+    // original casing (the library/funnel posture — token positions
+    // are case-independent) or the folded form (the oracle gate's)
+    val tokens =
+      if (preserveCase) split(col("text"), " ")
+      else split(lower(col("text")), " ")
     val starts = pos.join(dupSh, "sh")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
     docs.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"),
+      .select(col("doc_id"), tokens.as("ws"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
       .select(col("doc_id"), col("ws"), col("starts"),
         least(lit(GramK), size(col("ws"))).as("span"))

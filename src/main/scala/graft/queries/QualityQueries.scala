@@ -532,10 +532,18 @@ object QualityQueries extends QueryRegistry {
     val b = Tables(s, dir).documents
       .select($"source",
         least(floor($"n_chars" / 50), lit(11)).cast("int").as("bin"))
-    val c = b.groupBy($"source", $"bin").agg(count(lit(1)).as("n"))
+    ksDriftFrom(s, b.groupBy($"source", $"bin").agg(count(lit(1)).as("n")))
+  }
+
+  /** CDF/KS arithmetic over a (source, bin, n) counts frame — shared
+    * by the batch gate (qa08) and its streaming twin (st14), which
+    * differ only in how the counts accumulate. */
+  private def ksDriftFrom(s: SparkSession, c0: DataFrame): DataFrame = {
+    import s.implicits._
+    val c = c0
     val occ = c.groupBy($"bin").agg(sum($"n").as("n_all"))
     val totS = c.groupBy($"source").agg(sum($"n").as("tot_s"))
-    val grand = b.agg(count(lit(1)).as("grand"))
+    val grand = occ.agg(sum($"n_all").as("grand"))
     val grid = totS.crossJoin(occ.select($"bin"))
     val cumS = grid.as("g").join(c.as("c"),
         $"g.source" === $"c.source" && $"c.bin" <= $"g.bin", "left")
@@ -555,6 +563,34 @@ object QualityQueries extends QueryRegistry {
     d.join(ks, "source")
       .select($"source", $"bin", $"cum_s", $"cum_ref", $"d_ppm", $"ks_ppm")
       .orderBy($"source", $"bin")
+  }
+
+  /** st14: qa08's length-profile KS drift over an unbounded ingest —
+    * the streaming part is the (source, bin) counter (Complete-mode
+    * global agg; keyed state bounded at |sources| × 12 bins regardless
+    * of corpus size); the CDF/KS arithmetic runs on the emitted
+    * snapshot exactly as qa08 does it, so the result — and the
+    * oracle — are qa08's. */
+  private def streamLengthDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"source", $"n_chars")
+    val stage = WdsQueries.scratchDir("graft_qa8_stage")
+    docs.write.mode("overwrite").parquet(stage)
+    val stream = s.readStream.schema(docs.schema).parquet(stage)
+      .select($"source",
+        least(floor($"n_chars" / 50), lit(11)).cast("int").as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("n"))
+    val name = "stream_qa8_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val counts = graft.streaming.EventStreams.runToMemory(s, stream, name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+    // freeze the snapshot into a LocalRelation: the KS arithmetic
+    // self-joins its input (grid/cumsum), and Spark cannot deduplicate
+    // self-joins THROUGH a memory-sink view; the snapshot is bounded
+    // at |sources| × 12 rows, so the collect is audit-sized
+    val frozen = s.createDataFrame(counts.collectAsList(), counts.schema)
+    ksDriftFrom(s, frozen)
   }
 
   private val lengthDriftSql =
@@ -623,6 +659,8 @@ object QualityQueries extends QueryRegistry {
     "qa07_vocab_profile" -> QueryDef(vocabProfile, Some(vocabProfileSql),
       bench = true),
     "qa08_length_drift" -> QueryDef(lengthDrift, Some(lengthDriftSql)),
+    "st14_stream_length_drift" -> QueryDef(streamLengthDrift,
+      Some(lengthDriftSql)),
     "qa01_profile" -> QueryDef(profile, Some(profileSql), bench = true),
     "qa02_constraints" -> QueryDef(constraints, Some(constraintsSql),
       bench = true),

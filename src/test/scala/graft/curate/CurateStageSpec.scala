@@ -126,6 +126,38 @@ class CurateStageSpec extends SparkSpec {
       statsOff.getAs[Long]("exact_keep"))
   }
 
+  test("span scrub cuts a cross-doc duplicated run from BOTH docs, " +
+    "preserves casing, leaves unique docs verbatim; off by default") {
+    import spark.implicits._
+    val f1 = (1 to 30).map(i => f"worda$i%02d").mkString(" ")
+    val f2 = (1 to 30).map(i => f"wordb$i%02d").mkString(" ")
+    val f3 = (1 to 30).map(i => f"Wordc$i%02d").mkString(" ")
+    // the shared run differs in CASE between the two docs — matching
+    // must fold, reconstruction must not
+    val docs = Seq(
+      (1L, "Alpha Betas Gamma Delta Epsil " + f1, "en"),
+      (2L, f2 + " alpha betas gamma delta epsil", "en"),
+      (3L, f3, "en")
+    ).toDF("doc_id", "text", "lang")
+    val on = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      spanScrub = true))
+    val textsOn = on.curated.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    on.close()
+    assert(textsOn(1L) == f1, "run not cut from doc 1 (or case lost)")
+    assert(textsOn(2L) == f2, "run not cut from doc 2 (or case lost)")
+    assert(textsOn(3L) == f3, "unique doc rewritten")
+    // disabled → text passes through untouched
+    val off = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100))
+    val textsOff = off.curated.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    off.close()
+    assert(textsOff(1L).startsWith("Alpha Betas"))
+    assert(textsOff(2L).endsWith("delta epsil"))
+  }
+
   test("decontamination drops exactly the overlapping docs (both sides)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("curate_ev").toString

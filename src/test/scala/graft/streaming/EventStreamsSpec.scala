@@ -206,4 +206,13 @@ class EventStreamsSpec extends SparkSpec {
       .collect().toSeq
     assert(stream === batch)
   }
+
+  test("st14 streaming KS-drift snapshot equals the batch qa08 audit") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("st14_stream_length_drift")(
+      spark, sf).collect().toSeq
+    val batch = graft.SparkEntry.queries("qa08_length_drift")(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+  }
 }

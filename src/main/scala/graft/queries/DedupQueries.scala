@@ -265,6 +265,106 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Bottom-k sketch size and containment threshold for qd22. k = 4
+    * random (md5-min) shingles per doc: a pair with true containment c
+    * escapes candidacy only if NONE of the smaller doc's bottom-k
+    * shingles lands in the larger — P ≈ (1-c)^k, under 3% at c = 0.6. */
+  private val BottomK = 4
+  private val ContainTau = 0.6
+
+  /** Hashed distinct-shingle projection (16-hex md5 of each 3-gram) —
+    * the qd22 relation: only hashes and ids ever reach its joins. */
+  private def hashedShingles(ws: Column): Column =
+    array_distinct(transform(shingles(ws), x =>
+      substring(md5(to_binary(x, lit("utf-8"))), 1, 16)))
+
+  /** qd22 core over any (doc_id, text) frame: bottom-k containment
+    * dedup — the near-SUBSET complement of qd04. Jaccard punishes size
+    * mismatch (a 40-word doc verbatim inside a 100-word doc scores
+    * ~0.4 and slips every Jaccard gate, and MinHash-LSH candidates
+    * inherit that bias because band collision probability tracks
+    * Jaccard), so quote/boilerplate/partial-mirror duplication needs
+    * containment = |A∩B| / min(|A|,|B|) (Broder's resemblance-vs-
+    * containment distinction; Gopher-style n-gram overlap gates).
+    *
+    * Candidates come from the bottom-k sketch instead of LSH bands:
+    * each doc posts its k SMALLEST shingle hashes (md5-min picks
+    * uniformly among the doc's distinct shingles), and a pair is a
+    * candidate when a bottom-k hash of either side appears anywhere in
+    * the other's full shingle relation — if A ⊆ B then A's minimum
+    * shingle hash is IN B, so true subsets are candidates with
+    * certainty and near-subsets escape with P ≈ (1-c)^k. The join
+    * keys on 16-hex hashes; payload is (hash, id) both sides, k·n
+    * rows on the sketch side. A corpus-hot shingle that happens to be
+    * some doc's bottom-k hash fans out by its document frequency —
+    * at 100 TB, prune shingles above a df ceiling from the SKETCH side
+    * first (they cannot evidence subset duplication); the fixture's
+    * df profile doesn't need the cap and the gate keeps the pure form. */
+  private[graft] def containmentFrom(
+      docs: DataFrame, tau: Double = ContainTau): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs.select($"doc_id",
+      explode(hashedShingles(words($"text"))).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val bk = docs.select($"doc_id".as("bk_id"),
+      explode(slice(sort_array(hashedShingles(words($"text"))),
+        1, BottomK)).as("sh"))
+    val cand = bk.join(sh.as("o"), Seq("sh"))
+      .filter($"bk_id" =!= col("o.doc_id"))
+      .select(least($"bk_id", col("o.doc_id")).as("a_id"),
+        greatest($"bk_id", col("o.doc_id")).as("b_id"))
+      .distinct()
+    val shared = cand
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select($"a_id", $"b_id", $"shared",
+        round($"shared".cast("double") /
+          least(col("na.n_sh"), col("nb.n_sh")), 6).as("containment"),
+        round($"shared".cast("double") /
+          (col("na.n_sh") + col("nb.n_sh") - $"shared"), 6).as("jaccard"))
+      .filter($"containment" >= tau)
+  }
+
+  private def containment(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(Tables(s, dir).documents)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val containmentSql = {
+    val hashed =
+      "list_distinct(list_transform(shs, x -> substr(md5(x), 1, 16)))"
+    s"""WITH w AS ($wsSqlCte),
+       |s AS ($shinglesSql),
+       |sh AS (SELECT doc_id, unnest($hashed) AS sh FROM s),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |bk AS (SELECT doc_id AS bk_id,
+       |    unnest(list_sort($hashed)[1:$BottomK]) AS sh FROM s),
+       |cand AS (
+       |  SELECT DISTINCT least(bk_id, o.doc_id) AS a_id,
+       |    greatest(bk_id, o.doc_id) AS b_id
+       |  FROM bk JOIN sh o USING (sh) WHERE bk_id <> o.doc_id),
+       |shared AS (
+       |  SELECT a_id, b_id, count(*) AS shared
+       |  FROM cand
+       |  JOIN sh sa ON a_id = sa.doc_id
+       |  JOIN sh sb ON b_id = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, shared,
+       |  round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6) AS containment,
+       |  round(shared::DOUBLE / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+       |FROM shared
+       |JOIN sizes na ON a_id = na.doc_id
+       |JOIN sizes nb ON b_id = nb.doc_id
+       |WHERE round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6)
+       |  >= $ContainTau
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** 64-bit SimHash over word hashes (first 16 md5 hex digits → Long;
     * per-bit ±1 vote; sign → bit). Single-pass JVM kernel
     * ([[graft.functions.SimHash]]) — the 64-aggregate HOF form runs
@@ -1339,6 +1439,7 @@ object DedupQueries extends QueryRegistry {
     "qd02_minhash_sig" -> QueryDef(minhashSig, Some(minhashSigSql), bench = true),
     "qd03_lsh_pairs" -> QueryDef(lshPairs, Some(lshPairsSql), bench = true),
     "qd04_ngram_jaccard" -> QueryDef(jaccard, Some(jaccardSql)),
+    "qd22_containment" -> QueryDef(containment, Some(containmentSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql), bench = true),
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),

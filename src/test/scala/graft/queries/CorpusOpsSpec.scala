@@ -320,6 +320,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("qd22: a planted 40-in-100-word subset is flagged by containment " +
+    "and invisible to the jaccard gate; no false pair among unrelated docs") {
+    import spark.implicits._
+    val bw = (1 to 100).map(i => f"tok$i%03d")
+    val df = Seq(
+      (1L, bw.slice(30, 70).mkString(" ")),  // A ⊂ B, 40 words
+      (2L, bw.mkString(" ")),                // B, 100 words
+      (3L, (1 to 60).map(i => f"oth$i%03d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DedupQueries.containmentFrom(df)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    val (_, _, shared, cont, jac) = out.head
+    assert(shared == 38L && cont == 1.0, s"(shared=$shared, cont=$cont)")
+    assert(jac < 0.5, s"planted pair would ALSO pass a jaccard gate: $jac")
+    // the jaccard operator at its production threshold misses the pair
+    val jacPairs = DedupQueries.jaccardFrom(df, 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(!jacPairs.contains((1L, 2L)))
+  }
+
+  test("qd22: emitted stats equal brute-force shingle-set arithmetic " +
+    "on the fixture") {
+    import spark.implicits._
+    val ds = docs.map { case (id, t, _) => id -> t }.toMap
+    def shSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.split(" ", -1)
+      (if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSeq
+       else Seq(ws.mkString(" "))).toSet
+    }
+    val out = q("qd22_containment")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, shared, cont, jac) =>
+      val (sa, sb) = (shSet(ds(a)), shSet(ds(b)))
+      val inter = (sa & sb).size
+      assert(shared == inter, s"($a,$b) shared")
+      assert(math.abs(cont - inter.toDouble / math.min(sa.size, sb.size))
+        < 1e-6, s"($a,$b) containment")
+      assert(math.abs(jac - inter.toDouble / (sa.size + sb.size - inter))
+        < 1e-6, s"($a,$b) jaccard")
+      assert(cont >= 0.6)
+    }
+  }
+
   test("qa08: per-source KS drift equals the brute-force CDF-gap scan") {
     import spark.implicits._
     val lens = graft.Tables(spark, sf).documents

@@ -1170,6 +1170,71 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** wds28: the tuple/dict projection vocabulary (P5 `to_tuple` with
+    * `;` alternatives, P6 `to_dict` suffix filtering) driven through
+    * REAL shards end-to-end — synthetic per-doc entries with
+    * closed-form byte lengths are packed by the DSv2 writer, read
+    * back, dict-filtered, then tuple-projected:
+    *
+    *  - `c.bin;a.txt` observes alternative DISPATCH: docs with the
+    *    optional `c.bin` (doc_id % 3 == 0) pick its 5 marker bytes,
+    *    the rest fall through to the text entry;
+    *  - `z.meta;a.txt` observes the to_dict DROP: every sample had
+    *    `z.meta` before the dict filter, so picking it would prove
+    *    the filter didn't run — the gate pins the fall-through;
+    *  - `b.json` pins the always-present path (missing would raise).
+    *
+    * Output lengths + post-dict entry counts are pure SQL over
+    * `documents`. */
+  private def tupleDictOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    val out = scratchDir("graft_p56")
+    val samples = Tables(s, dir).documents
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .repartition(4, col("doc_id"))
+      .as[(Long, String, Long)]
+      .map { case (d, t, n) =>
+        val base = Map(
+          "a.txt" -> t.getBytes("UTF-8"),
+          "b.json" -> s"""{"n":$n}""".getBytes("UTF-8"),
+          "z.meta" -> "ZMETA!!".getBytes("UTF-8"))
+        val es =
+          if (d % 3 == 0) base + ("c.bin" -> "CCCCC".getBytes("UTF-8"))
+          else base
+        Sample(f"$d%09d", "", es)
+      }
+    graft.wds.WdsWriter.write(samples, out,
+      graft.wds.WdsWriter.WriterOptions(maxCount = 200)).collect()
+    val urls = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".tar"))
+        .sorted.toSeq
+    }
+    val dicted = graft.wds.WdsReader.readUrls(s, urls)
+      .toDict("a.txt", "b.json", "c.bin")
+    val nE = dicted.toDF()
+      .select(col("key"), size(col("entries")).as("n_entries"))
+    dicted.toTuple("c.bin;a.txt", "z.meta;a.txt", "b.json")
+      .select(col("key"),
+        length(col("c_bin")).as("pick1_len"),
+        length(col("z_meta")).as("pick2_len"),
+        length(col("b_json")).as("json_len"))
+      .join(nE, "key")
+      .orderBy(col("key"))
+  }
+
+  private val tupleDictOpsSql =
+    """SELECT printf('%09d', doc_id) AS key,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 5
+      |    ELSE strlen(text) END)::INT AS pick1_len,
+      |  strlen(text)::INT AS pick2_len,
+      |  strlen('{"n":' || n_chars || '}')::INT AS json_len,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END)::INT AS n_entries
+      |FROM documents ORDER BY key""".stripMargin
+
   private val npyRoundtripSql =
     """WITH n AS (
       |  SELECT doc_id, (3 + doc_id % 5)::BIGINT AS n FROM documents),
@@ -1809,6 +1874,7 @@ object WdsQueries extends QueryRegistry {
   override val defs: Map[String, QueryDef] = Map(
     "wds27_mixed_pack" -> QueryDef(mixedPack, Some(mixedPackSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
+    "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),

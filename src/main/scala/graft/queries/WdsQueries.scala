@@ -1235,6 +1235,44 @@ object WdsQueries extends QueryRegistry {
       |  (CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END)::INT AS n_entries
       |FROM documents ORDER BY key""".stripMargin
 
+  /** wds29: the whole-sample transform vocabulary (P2 `map` with
+    * None-drop, P3 `map_dict`, W7 `repeat`) as a gated chain — the ops
+    * q02/wds14 don't reach. Per doc: a two-entry sample; `mapSamples`
+    * drops every 7th doc (the None-drop contract), `mapEntries`
+    * byte-reverses the text entry (ASCII fixture, so the oracle's
+    * string reverse is byte-identical), `repeated(2)` must yield
+    * exactly two copies per surviving key. In-memory Dataset[Sample]
+    * algebra by design (the tar spine is gated by wds02/wds14/wds28 —
+    * here the operators themselves are under test). */
+  private def sampleAlgebra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    val ds0 = Tables(s, dir).documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (d, t) =>
+        Sample(f"$d%09d", "", Map(
+          "t" -> t.getBytes("UTF-8"),
+          "u" -> "AB".getBytes("UTF-8")))
+      }
+    ds0
+      .mapSamples(sm => if (sm.key.toLong % 7 == 0) None else Some(sm))
+      .mapEntries((k, v) => if (k == "t") v.reverse else v)
+      .repeated(2)
+      .toDF()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_copies"),
+        max(decode(element_at(col("entries"), lit("t")), "UTF-8"))
+          .as("r_text"))
+      .orderBy(col("key"))
+  }
+
+  private val sampleAlgebraSql =
+    """SELECT printf('%09d', doc_id) AS key, 2::BIGINT AS n_copies,
+      |  reverse(text) AS r_text
+      |FROM documents WHERE doc_id % 7 <> 0 ORDER BY key""".stripMargin
+
   private val npyRoundtripSql =
     """WITH n AS (
       |  SELECT doc_id, (3 + doc_id % 5)::BIGINT AS n FROM documents),
@@ -1875,6 +1913,7 @@ object WdsQueries extends QueryRegistry {
     "wds27_mixed_pack" -> QueryDef(mixedPack, Some(mixedPackSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
+    "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),

@@ -850,6 +850,80 @@ object DedupQueries extends QueryRegistry {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** The 15-hex-nibble md5-prefix hash space as an exact BIGINT (2^60)
+    * — integer sibling of [[KmvSpace]] for threshold arithmetic where
+    * a double division would round differently than the oracle's
+    * integer `//`. */
+  private[graft] val Space60L = 1152921504606846976L
+
+  /** qd23: SOFT deduplication — duplicate-frequency down-weighting
+    * instead of deletion (the SoftDeDup / D4 posture: hard dedup
+    * discards paraphrase-adjacent coverage; re-weighting keeps every
+    * document but makes each duplicate cluster contribute ~one
+    * document's worth of expected samples per epoch). Composition:
+    * verified near-dup pairs (qd04) → clusters (qd09's CC) → per-doc
+    * sampling weight 1e6 div |cluster| ppm → one deterministic epoch
+    * realization: keep iff the doc's 60-bit md5 draw falls under
+    * 2^60 div |cluster|. Singletons draw against the full space, so
+    * they always keep; cluster members survive with probability
+    * 1/|cluster| — expected survivors per cluster is exactly 1, the
+    * soft analog of qd09's is_kept (which this never over- or
+    * under-samples in expectation, only in realization).
+    *
+    * Scale: adds one (label)-keyed count and one label join on top of
+    * qd09 — both move (id, label) pairs only; the epoch draw is a
+    * per-row md5 inside the scan, no new corpus pass and nothing
+    * non-deterministic (epoch changes = change the salt, not the
+    * plan). Oracle: the qd09 recursive-CTE closure + identical
+    * integer arithmetic ('0x'-hex BIGINT draw, `//` thresholds). */
+  private def softDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = jaccardFrom(Tables(s, dir).documents).select($"a_id", $"b_id")
+    val verts = Tables(s, dir).documents.select($"doc_id".as("id"))
+    val labeled = graft.functions.ConnectedComponents.run(edges, verts)
+      .select($"id".as("doc_id"), $"label".as("cluster"))
+    val sized = labeled.groupBy($"cluster").agg(count(lit(1)).as("csize"))
+    labeled.join(sized, "cluster")
+      .select($"doc_id", $"cluster", $"csize",
+        expr("CAST(1000000 AS BIGINT) div csize").as("weight_ppm"),
+        conv(substring(md5(to_binary(
+          concat($"doc_id".cast("string"), lit(":e0")), lit("utf-8"))),
+          1, 15), 16, 10).cast("long").as("draw60"))
+      .withColumn("kept",
+        expr(s"CASE WHEN draw60 < ($Space60L div csize) " +
+          "THEN 1 ELSE 0 END"))
+      .orderBy($"doc_id")
+  }
+
+  private val softDedupSql = {
+    val pairs = jaccardSql.replace("ORDER BY a_id, b_id", "")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id, b_id FROM ($pairs) j
+       |),
+       |e AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM pairs
+       |),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT eg.dst, r.label FROM reach r JOIN e eg ON eg.src = r.id
+       |),
+       |lab AS (SELECT id AS doc_id, min(label) AS cluster
+       |        FROM reach GROUP BY id),
+       |sized AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY cluster)
+       |SELECT l.doc_id, l.cluster, s.csize,
+       |  1000000 // s.csize AS weight_ppm,
+       |  ('0x' || substr(md5(l.doc_id::VARCHAR || ':e0'), 1, 15))::BIGINT
+       |    AS draw60,
+       |  CASE WHEN ('0x' || substr(md5(l.doc_id::VARCHAR || ':e0'), 1, 15))
+       |         ::BIGINT < $Space60L // s.csize
+       |       THEN 1 ELSE 0 END AS kept
+       |FROM lab l JOIN sized s USING (cluster)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** KMV sketch parameters: k minimum values over a 60-bit md5-prefix
     * hash space (15 hex nibbles — fits BIGINT exactly on both engines).
     * Shared with st07's streaming path and the native aggregate so one
@@ -1433,6 +1507,7 @@ object DedupQueries extends QueryRegistry {
     "qd14_bloom_prefilter" -> QueryDef(bloomPrefilter, Some(bloomPrefilterSql)),
     "qd13_kmv_distinct" -> QueryDef(kmvDistinct, Some(kmvDistinctSql)),
     "qd09_dup_clusters" -> QueryDef(dupClusters, Some(dupClustersSql)),
+    "qd23_soft_dedup" -> QueryDef(softDedup, Some(softDedupSql)),
     "qd10_minhash_est" -> QueryDef(minhashEst, Some(minhashEstSql)),
     "qd08_keep_list" -> QueryDef(keepList, Some(keepListSql)),
     "qd01_exact_dedup" -> QueryDef(exact, Some(exactSql)),

@@ -655,7 +655,130 @@ object QualityQueries extends QueryRegistry {
       |  ((count(*) * 1000000) // sum(n))::BIGINT AS ttr_ppm
       |FROM pw GROUP BY source ORDER BY source""".stripMargin
 
+  /** qa09: cross-source OVERLAP matrix from KMV sketch intersections —
+    * "how much of source A's content is also in source B", for every
+    * source pair, without ever joining the corpora. The estimator is
+    * the θ-sketch rule over qd13's bottom-k machinery (Beyer et al.
+    * 2007): per source keep the k smallest 60-bit bigram hashes; for a
+    * pair, the k smallest of the two sketches' union are exactly the
+    * union's k smallest, θ = the k-th, and the union-sketch members
+    * present in BOTH sketches are a uniform sample of the
+    * intersection — so r/k estimates Jaccard and (k-1)·2^60/θ
+    * estimates |union| (identical double arithmetic to qd13, so the
+    * hash gate holds). When the combined pool has under k elements
+    * both sketches were exhaustive and every figure is EXACT — the
+    * spec pins that degeneracy.
+    *
+    * Scale: the per-source sketch is one corpus scan collapsing to
+    * k·|sources| longs (mergeable partial agg — the 1000-executor tree
+    * works for free); the pair expansion is |sources|²·k sketch rows,
+    * driver-scale no matter how big the lake is. The contamination
+    * questions this answers (is src17 a re-crawl of src3?) otherwise
+    * need a cross-corpus join that shuffles every token. */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables(s, dir).documents)
+
+  /** Query-path body over any (source, text) frame — the spec drives
+    * it with sub-k synthetic corpora where the estimator degenerates
+    * to exact set arithmetic. */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = DedupQueries.KmvK
+    val hashed = DedupQueries.bigramHashes(docs)
+      .distinct()
+    val bySrc = Window.partitionBy($"source").orderBy($"h")
+    val sk = hashed.withColumn("rnk", row_number().over(bySrc))
+      .where($"rnk" <= k).select($"source", $"h")
+    val srcs = sk.select($"source").distinct()
+    val pairs = srcs.select($"source".as("src_a"))
+      .crossJoin(broadcast(srcs.select($"source".as("src_b"))))
+      .where($"src_a" < $"src_b")
+    val ra = pairs.join(sk.withColumnRenamed("source", "src_a"), "src_a")
+      .select($"src_a", $"src_b", $"h",
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val rb = pairs.join(sk.withColumnRenamed("source", "src_b"), "src_b")
+      .select($"src_a", $"src_b", $"h",
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = ra.unionByName(rb)
+      .groupBy($"src_a", $"src_b", $"h")
+      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+    val byPair = Window.partitionBy($"src_a", $"src_b").orderBy($"h")
+    val pool = merged
+      .withColumn("rnk", row_number().over(byPair))
+      .withColumn("n_pool",
+        count(lit(1)).over(Window.partitionBy($"src_a", $"src_b")))
+      .where($"rnk" <= least(lit(k), $"n_pool"))
+    pool.groupBy($"src_a", $"src_b")
+      .agg(least(lit(k), max($"n_pool")).as("kk"),
+        max($"n_pool").as("n_pool"), max($"h").as("theta"),
+        sum($"in_a" * $"in_b").as("r"))
+      .select($"src_a", $"src_b", $"r",
+        when($"n_pool" < k, $"n_pool")
+          .otherwise(floor(lit((k - 1).toDouble) *
+            lit(DedupQueries.KmvSpace) / $"theta")).cast("long")
+          .as("est_union"),
+        expr("CAST(1000000 AS BIGINT) * r div kk").as("est_jaccard_ppm"))
+      .withColumn("est_common",
+        expr("est_jaccard_ppm * est_union div 1000000"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val sourceOverlapSql = {
+    val k = DedupQueries.KmvK
+    s"""WITH base AS (
+       |  SELECT source, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT source, ws[i] || ' ' || ws[i + 1] AS bg
+       |  FROM (SELECT source, ws,
+       |          unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+       |hashed AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+       |  FROM bg),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |    FROM hashed) WHERE rnk <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a, srcs b WHERE a.source < b.source),
+       |merged AS (
+       |  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM (
+       |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN sk s ON s.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, s.h, 0, 1
+       |    FROM pairs p JOIN sk s ON s.source = p.src_b)
+       |  GROUP BY src_a, src_b, h),
+       |pool AS (
+       |  SELECT * FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY h)
+       |        AS rnk,
+       |      count(*) OVER (PARTITION BY src_a, src_b) AS n_pool
+       |    FROM merged) WHERE rnk <= least($k, n_pool)),
+       |est AS (
+       |  SELECT src_a, src_b, sum(in_a * in_b)::BIGINT AS r,
+       |    CASE WHEN max(n_pool) < $k THEN max(n_pool)::BIGINT
+       |         ELSE floor(${k - 1}.0 * ${DedupQueries.KmvSpace}
+       |                    / max(h))::BIGINT END AS est_union,
+       |    ((1000000 * sum(in_a * in_b))
+       |      // least($k, max(n_pool)))::BIGINT AS est_jaccard_ppm
+       |  FROM pool GROUP BY src_a, src_b)
+       |SELECT src_a, src_b, r, est_union, est_jaccard_ppm,
+       |  (est_jaccard_ppm * est_union) // 1000000 AS est_common
+       |FROM est ORDER BY src_a, src_b""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qa09_source_overlap" -> QueryDef(sourceOverlap,
+      Some(sourceOverlapSql)),
     "qa07_vocab_profile" -> QueryDef(vocabProfile, Some(vocabProfileSql),
       bench = true),
     "qa08_length_drift" -> QueryDef(lengthDrift, Some(lengthDriftSql)),

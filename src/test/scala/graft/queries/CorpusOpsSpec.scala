@@ -396,4 +396,73 @@ class CorpusOpsSpec extends SparkSpec {
     // not all identical (some source is measurably shifted)
     assert(got.map(_._6).distinct.length > 1)
   }
+
+  test("qd23: soft-dedup weights/draws equal brute force over qd09's " +
+    "clusters; singletons always keep") {
+    import spark.implicits._
+    val clusters = q("qd09_dup_clusters")
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect()
+    val csize = clusters.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val space = 1152921504606846976L // 2^60
+    val want = clusters.map { case (id, c) =>
+      val n = csize(c)
+      val draw = java.lang.Long.parseLong(md5hex(s"$id:e0").take(15), 16)
+      id -> ((c, n, 1000000L / n, draw,
+        if (draw < space / n) 1 else 0))
+    }.toMap
+    val got = q("qd23_soft_dedup")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (id, c, n, w, draw, kept) =>
+      assert(want(id) == ((c, n, w, draw, kept)), s"doc $id")
+      if (n == 1L) assert(kept == 1, s"singleton $id must keep")
+    }
+    // the realization discriminates on the fixture: at least one
+    // cluster member is down-sampled away (kept = 0 exists), and the
+    // weights are not all 1e6 (real clusters exist)
+    assert(got.exists(_._6 == 0))
+    assert(got.exists(_._4 < 1000000L))
+  }
+
+  test("qa09: sub-k sources degenerate to EXACT set arithmetic; the " +
+    "fixture matrix covers every pair with sane bounds") {
+    import spark.implicits._
+    // three tiny sources: a ∩ b on "x y"-grams, c disjoint — every
+    // source has far fewer than k=64 distinct bigrams, so the sketch
+    // pool is exhaustive and r/est_union/est_common are exact
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "sa"),
+      (2L, "alpha beta epsilon zeta", "sb"),
+      (3L, "eta theta iota kappa", "sc"))
+      .toDF("doc_id", "text", "source")
+    def grams(t: String): Set[String] =
+      t.toLowerCase.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val by = Map("sa" -> grams("alpha beta gamma delta"),
+      "sb" -> grams("alpha beta epsilon zeta"),
+      "sc" -> grams("eta theta iota kappa"))
+    val got = QualityQueries.sourceOverlapOf(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("sa", "sb"), ("sa", "sc"), ("sb", "sc")))
+    got.foreach { case (a, b, r, estU, estJ, estC) =>
+      val inter = (by(a) & by(b)).size.toLong
+      val union = (by(a) | by(b)).size.toLong
+      assert(r == inter, s"($a,$b) r")
+      assert(estU == union, s"($a,$b) union")
+      assert(estJ == 1000000L * inter / union, s"($a,$b) jaccard")
+      assert(estC == estJ * union / 1000000L, s"($a,$b) common")
+    }
+    // "alpha beta" is shared by sa/sb only
+    assert(got.find(t => t._1 == "sa" && t._2 == "sb").get._3 == 1L)
+    assert(got.find(t => t._1 == "sa" && t._2 == "sc").get._3 == 0L)
+    // fixture-level: 20 sources → 190 pairs, estimates inside bounds
+    val fx = q("qa09_source_overlap")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(fx.length == 190)
+    fx.foreach { case (a, b, r, estU, estJ, estC) =>
+      assert(r >= 0 && r <= 64, s"($a,$b) r range")
+      assert(estJ >= 0 && estJ <= 1000000L, s"($a,$b) jaccard range")
+      assert(estC >= 0 && estC <= estU, s"($a,$b) common range")
+    }
+  }
 }

@@ -289,6 +289,94 @@ object MediaDedup {
       .orderBy(col("media_id"), col("take"))
   }
 
+  /** content → POSITIONAL (start-index, shingle-hash) rows — the
+    * shingle pass of [[shingleNearDup]] keeping each window-gram's
+    * display start index instead of collapsing to a distinct set;
+    * what segment ALIGNMENT needs (a set can say "these two overlap",
+    * a positional relation can say WHERE). */
+  private def shinglePosUdf(
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int, skipCorrupt: Boolean)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(window >= 1, "window must be >= 1")
+    udf { (content: Array[Byte]) =>
+      val fp =
+        if (!skipCorrupt) fingerprint(content)
+        else try fingerprint(content) catch {
+          case scala.util.control.NonFatal(_) => IndexedSeq.empty[String]
+        }
+      (0 to fp.length - window).map(t =>
+        (t, md5Hex((t until t + window).map(fp).mkString("|"))))
+    }
+  }
+
+  /** Staged positional relation `(media_id, take, pos, sh)` — the
+    * decode-once / checkpoint rationale of [[stageShingles]], with
+    * positions kept. Repeated identical content (a held frame) emits
+    * one row per POSITION, deliberately: alignment votes on offsets,
+    * and collapsing repeats would silently drop their votes. */
+  def stagePositionalShingles(media: DataFrame, stageDir: String,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, skipCorrupt: Boolean = false): DataFrame = {
+    val u = shinglePosUdf(fingerprint, window, skipCorrupt)
+    media
+      .select(col("media_id"), col("take"),
+        explode(u(col("content"))).as("e"))
+      .select(col("media_id"), col("take"),
+        col("e._1").as("pos"), col("e._2").as("sh"))
+      .write.mode("overwrite").parquet(stageDir)
+    media.sparkSession.read.parquet(stageDir)
+  }
+
+  /** Duplicate-SEGMENT localization — [[shingleNearDup]] answers
+    * "which media near-duplicate each other"; this answers WHERE: for
+    * each candidate pair, every shared shingle hash casts a vote for
+    * the temporal offset `a_pos - b_pos`, and the modal offset (ties →
+    * smallest) wins — the classic alignment-by-offset-histogram of
+    * audio/video fingerprinting (Shazam-style constellation voting,
+    * reduced to 1-D time). Returns one row per pair with at least
+    * `minSeg` votes at the modal offset: total matching shingles
+    * `n_match`, the winning `offset`, its vote count `seg_len`, and
+    * the matched span `[a_from, a_to]` in the a-side's display
+    * positions — i.e. "frames a_from..a_to+window-1 of A reappear
+    * offset frames later than B's".
+    *
+    * Scale shape identical to [[shingleNearDup]]: decode runs once
+    * into the staged relation, only (id, take, pos, 16-byte hash)
+    * rows cross exchanges, the join is hash-bucketed on the shingle,
+    * and the vote histogram is a groupBy on (pair, offset) — never
+    * all-pairs over media, never frames over the wire. */
+  def dupSegmentAlign(media: DataFrame, stageDir: String,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, minSeg: Long = 2L,
+      skipCorrupt: Boolean = false): DataFrame = {
+    val pos = stagePositionalShingles(media, stageDir, fingerprint,
+      window, skipCorrupt)
+    val a = pos.select(col("media_id").as("a_id"),
+      col("take").as("a_take"), col("pos").as("a_pos"), col("sh"))
+    val b = pos.select(col("media_id").as("b_id"),
+      col("take").as("b_take"), col("pos").as("b_pos"), col("sh"))
+    val byOffset = a.join(b, "sh")
+      .where(struct(col("a_id"), col("a_take")) <
+        struct(col("b_id"), col("b_take")))
+      .groupBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"),
+        (col("a_pos") - col("b_pos")).as("offset"))
+      .agg(count(lit(1)).as("seg_len"),
+        min(col("a_pos")).as("a_from"), max(col("a_pos")).as("a_to"))
+    // argmax by (votes, then smallest offset): the struct max carries
+    // the winner's span along — (seg_len, -offset) is unique per pair
+    byOffset
+      .groupBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
+      .agg(sum(col("seg_len")).as("n_match"),
+        max(struct(col("seg_len"), (lit(0) - col("offset")).as("noff"),
+          col("a_from"), col("a_to"))).as("best"))
+      .where(col("best.seg_len") >= minSeg)
+      .select(col("a_id"), col("a_take"), col("b_id"), col("b_take"),
+        col("n_match"), (lit(0) - col("best.noff")).as("offset"),
+        col("best.seg_len"), col("best.a_from"), col("best.a_to"))
+      .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
+  }
+
   /** Exact per-frame fingerprint for [[shingleNearDup]]: decode every
     * display frame through `src` and emit the per-channel pixel sums
     * as `r:g:b` strings — finds re-muxes and boundary trims (mm27). */

@@ -51,6 +51,24 @@ object H264Fixtures {
       sampleEntryExtension = Encoder.avccBox(sps, pps))
   }
 
+  /** [[video]] cut as a CLIP: `n` frames whose CONTENT is display
+    * indices `from .. from+n-1` of the same doc's full video — the
+    * trim / re-clip shape that segment-level dedup (mm32) must
+    * localize. Frame content is a pure function of (doc, content
+    * index), so the clip's frame `i` decodes bit-identically to the
+    * full video's frame `from + i`; the slice header index only feeds
+    * idr_pic_id (cosmetic), every frame stays an IDR. */
+  def videoClip(docId: Long, from: Int, n: Int): Array[Byte] = {
+    val qp = qpFor(docId)
+    val sps = Encoder.spsFor(16, 16)
+    val pps = Encoder.ppsFor(qp)
+    val samples =
+      (0 until n).map(i => frameSample(docId, from + i, qp, sps))
+    Mp4Samples.encodeFrames(samples, codec = "avc1", fps = 10,
+      width = 16, height = 16, syncEvery = 1,
+      sampleEntryExtension = Encoder.avccBox(sps, pps))
+  }
+
   private def frameSample(d: Long, f: Int, qp: Int,
       sps: Sps): Array[Byte] = (f % 3) match {
     case 0 => pcmFrame(d, f, sps)

@@ -514,6 +514,86 @@ object CurationQueries extends QueryRegistry {
        |WHERE r.rnk <= a.alloc
        |ORDER BY r.source, r.lang, r.rnk""".stripMargin
 
+  /** qc08: TOKEN-budget mixture materialization — qc02's α = 1/2
+    * rebalancing with the budget in the unit a pretraining run is
+    * actually provisioned in: tokens, not documents. Per source the
+    * weight is floor(1e6·√(source token mass)); the global budget
+    * B = total tokens div 10 derives from the corpus itself (the same
+    * query is meaningful at every scale factor); a source's token
+    * quota is floor(B · w/Σw) (double ratio — each step correctly
+    * rounded identically on both engines, and immune to the integer
+    * overflow B·w would hit at lake scale); the realized pick is the
+    * greedy prefix of the source's docs in stable md5(doc_id) order
+    * whose RUNNING token sum stays within quota — the cumulative-sum
+    * knapsack every token-budget mix job runs, expressed as one
+    * window prefix sum (associative — no sequential fold needed).
+    *
+    * Scale: one corpus scan for per-doc token counts; source weights
+    * are a tiny aggregate broadcast back; the only shuffle is the
+    * window's hash partition on source. With few huge sources that
+    * window skews — the production fix is a two-phase prefix sum
+    * (per-bucket partials, then offset broadcast), same semantics,
+    * and this gate stays the semantic reference for it. */
+  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val toks = docs.select($"doc_id", $"source",
+      size(filter(split($"text", " "), w => w =!= lit("")))
+        .cast("long").as("n_tok"),
+      md5(to_binary($"doc_id".cast("string"), lit("utf-8"))).as("hkey"))
+    val perSrc = toks.groupBy($"source")
+      .agg(sum($"n_tok").as("src_toks"))
+      .withColumn("w", floor(lit(1e6) * sqrt($"src_toks")))
+    val tot = perSrc.agg(sum($"w").as("total_w"),
+      sum($"src_toks").as("total_toks"))
+    val quota = perSrc.crossJoin(broadcast(tot))
+      .withColumn("quota_tok",
+        expr("floor(CAST(total_toks div 10 AS DOUBLE) * " +
+          "(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)))"))
+      .select($"source", $"src_toks", $"quota_tok")
+    val bySrc = Window.partitionBy($"source").orderBy($"hkey", $"doc_id")
+    toks.join(quota, "source")
+      .withColumn("rnk", row_number().over(bySrc).cast("long"))
+      .withColumn("cum_tok", sum($"n_tok").over(
+        bySrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum_tok" <= $"quota_tok")
+      .select($"source", $"src_toks", $"quota_tok", $"rnk", $"cum_tok",
+        $"doc_id")
+      .orderBy($"source", $"rnk")
+  }
+
+  private val tokenBudgetMixSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+      |      AS n_tok,
+      |    md5(doc_id::VARCHAR) AS hkey
+      |  FROM documents),
+      |grp AS (
+      |  SELECT source, sum(n_tok)::BIGINT AS src_toks,
+      |    floor(1e6 * sqrt(sum(n_tok)))::BIGINT AS w
+      |  FROM toks GROUP BY source),
+      |tot AS (SELECT sum(w)::BIGINT AS total_w,
+      |               sum(src_toks)::BIGINT AS total_toks FROM grp),
+      |quota AS (
+      |  SELECT source, src_toks,
+      |    floor(((total_toks // 10)::DOUBLE) *
+      |          (w::DOUBLE / total_w::DOUBLE))::BIGINT AS quota_tok
+      |  FROM grp, tot),
+      |ranked AS (
+      |  SELECT t.source, t.doc_id, t.n_tok,
+      |    row_number() OVER (PARTITION BY t.source
+      |      ORDER BY t.hkey, t.doc_id)::BIGINT AS rnk,
+      |    sum(t.n_tok) OVER (PARTITION BY t.source
+      |      ORDER BY t.hkey, t.doc_id
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
+      |  FROM toks t)
+      |SELECT r.source, q.src_toks, q.quota_tok, r.rnk, r.cum_tok, r.doc_id
+      |FROM ranked r JOIN quota q USING (source)
+      |WHERE r.cum_tok <= q.quota_tok
+      |ORDER BY r.source, r.rnk""".stripMargin
+
   /** st07: streaming distinct-cardinality monitoring — the KMV sketch
     * aggregate running INSIDE a streaming aggregation (Complete mode).
     * This is the ingest-drift sentinel of a production pipeline: per
@@ -991,6 +1071,8 @@ object CurationQueries extends QueryRegistry {
     "st07_stream_kmv" -> QueryDef(streamKmv, Some(streamKmvSql),
       bench = true),
     "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),
+    "qc08_token_budget_mix" -> QueryDef(tokenBudgetMix,
+      Some(tokenBudgetMixSql)),
     "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),
     "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),
     "qc01_mix_sample" -> QueryDef(mixSample, Some(mixSampleSql)),

@@ -713,18 +713,13 @@ object MediaQueries extends QueryRegistry {
     * md5 over the same `rs:gs:bs|…` strings, and re-derives the
     * bucket-join Jaccard — the oracle computes the same near-dup
     * pairs from pure arithmetic. */
-  private val videoNearDupSql =
-    """WITH g AS (
-      |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp,
-      |    (6 + (doc_id % 3) * 3)::INT AS nx
-      |  FROM documents),
-      |vids AS (
-      |  SELECT d, qp, 0 AS vid, nx AS n FROM g
-      |  UNION ALL SELECT d, qp, 1 AS vid, nx + 3 AS n FROM g),
-      |fr AS (
-      |  SELECT d, qp, vid, unnest(generate_series(0, n - 1)) AS f
-      |  FROM vids),
-      |q AS (
+  /** Closed-form per-frame channel-sum CTEs shared by mm27 (full
+    * videos) and mm32 (clip frame RANGES): consumes `fr(d, qp, vid,
+    * f)` — `f` is the CONTENT index, whatever display range the
+    * caller's `fr` enumerates — and yields `fp(d, vid, f, s)` of
+    * per-frame `rs:gs:bs` fingerprint strings. */
+  private val frameFpCtes =
+    """q AS (
       |  SELECT d, f, qp, vid, (f % 3)::INT AS kind,
       |    [10,11,13,14,16,18][qp % 6 + 1] AS v6,
       |    CASE WHEN qp < 30 THEN qp
@@ -795,7 +790,20 @@ object MediaQueries extends QueryRegistry {
       |fp AS (
       |  SELECT d, vid, f,
       |    rs::VARCHAR || ':' || gs::VARCHAR || ':' || bs::VARCHAR AS s
-      |  FROM allk),""".stripMargin + "\n" + shingleTailSql
+      |  FROM allk)""".stripMargin
+
+  private val videoNearDupSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp,
+      |    (6 + (doc_id % 3) * 3)::INT AS nx
+      |  FROM documents),
+      |vids AS (
+      |  SELECT d, qp, 0 AS vid, nx AS n FROM g
+      |  UNION ALL SELECT d, qp, 1 AS vid, nx + 3 AS n FROM g),
+      |fr AS (
+      |  SELECT d, qp, vid, unnest(generate_series(0, n - 1)) AS f
+      |  FROM vids),""".stripMargin + "\n" + frameFpCtes + ",\n" +
+      shingleTailSql
 
   /** mm30: media duplicate CLUSTERS — the corpus-scale termination of
     * the near-dup family as a GATED query:
@@ -836,6 +844,94 @@ object MediaQueries extends QueryRegistry {
        |  (id = min(label)) AS survivor
        |FROM reach GROUP BY id ORDER BY media_id, take""".stripMargin
   }
+
+  /** the mm32 fixture: take 0 = a full video (nx + 4 frames); take 1 =
+    * a CLIP of it starting at display index off = 1 + d%3, nx frames
+    * long — the trim / re-clip shape whose LOCATION the operator must
+    * find (unlike mm27's prefix-sharing re-upload, the overlap here
+    * starts mid-video at a per-doc offset). */
+  private val mm32Video =
+    udf { (id: Long, take: Int) =>
+      val nx = (6 + (id % 3) * 3).toInt
+      val off = (1 + id % 3).toInt
+      if (take == 0) graft.multimodal.h264.H264Fixtures.video(id, nx + 4)
+      else graft.multimodal.h264.H264Fixtures.videoClip(id, off, nx)
+    }
+
+  /** mm32: duplicate-SEGMENT localization — mm27 says WHICH videos
+    * near-duplicate; this says WHERE: every shared positional shingle
+    * votes for a temporal offset (a_pos − b_pos), the modal offset
+    * wins (ties → smallest), and the matched span [a_from, a_to]
+    * localizes the reused segment in the a-side — the
+    * offset-histogram alignment of audio/video fingerprinting
+    * (Shazam-style constellation voting reduced to 1-D), as the
+    * library operator
+    * [[graft.multimodal.MediaDedup.dupSegmentAlign]]. The fixture's
+    * take 1 is a mid-video clip, so the expected verdict per doc is
+    * offset = 1 + d%3 with a full-clip span — the spec pins it in
+    * closed form. Decode once into the staged positional relation;
+    * only (id, take, pos, hash) rows cross exchanges; the vote
+    * histogram is a groupBy on (pair, offset), never all-pairs over
+    * media. Reference decode path: `pack/samplers.py:102-157`. */
+  private def dupSegments(s: SparkSession, dir: String): DataFrame =
+    MediaDedup.dupSegmentAlign(twoTakeMedia(s, dir, mm32Video),
+      WdsQueries.scratchDir("graft_mm32"),
+      MediaDedup.exactVideoFingerprint(graft.pack.FrameSource.Mp4Frames))
+      .select(col("a_id").as("a_doc"), col("a_take").as("a_vid"),
+        col("b_id").as("b_doc"), col("b_take").as("b_vid"),
+        col("n_match"), col("offset"), col("seg_len"),
+        col("a_from"), col("a_to"))
+
+  /** Replays the frame arithmetic over each take's CONTENT RANGE
+    * (take 0: 0..nx+3; take 1: off..off+nx−1 — the clip decodes
+    * bit-identically to those display indices of the full video),
+    * shingles positionally (display pos = content f − range lo), and
+    * re-derives the offset-vote argmax with the same
+    * (votes desc, offset asc) tie-break. */
+  private val dupSegmentsSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp,
+      |    (6 + (doc_id % 3) * 3)::INT AS nx,
+      |    (1 + doc_id % 3)::INT AS off
+      |  FROM documents),
+      |vids AS (
+      |  SELECT d, qp, 0 AS vid, 0 AS lo, nx + 3 AS hi FROM g
+      |  UNION ALL SELECT d, qp, 1 AS vid, off, off + nx - 1 FROM g),
+      |fr AS (
+      |  SELECT d, qp, vid, unnest(generate_series(lo, hi)) AS f
+      |  FROM vids),""".stripMargin + "\n" + frameFpCtes + ",\n" +
+    """led AS (
+      |  SELECT d, vid, f, s,
+      |    lead(s, 1) OVER (PARTITION BY d, vid ORDER BY f) AS s1,
+      |    lead(s, 2) OVER (PARTITION BY d, vid ORDER BY f) AS s2
+      |  FROM fp),
+      |shp AS (
+      |  SELECT l.d, l.vid, (l.f - v.lo)::INT AS pos,
+      |    md5(l.s || '|' || l.s1 || '|' || l.s2) AS sh
+      |  FROM led l JOIN vids v ON v.d = l.d AND v.vid = l.vid
+      |  WHERE l.s2 IS NOT NULL),
+      |m AS (
+      |  SELECT a.d AS a_doc, a.vid AS a_vid, b.d AS b_doc,
+      |    b.vid AS b_vid, a.pos AS a_pos, b.pos AS b_pos
+      |  FROM shp a JOIN shp b ON a.sh = b.sh
+      |  WHERE (a.d, a.vid) < (b.d, b.vid)),
+      |byoff AS (
+      |  SELECT a_doc, a_vid, b_doc, b_vid,
+      |    (a_pos - b_pos)::INT AS "offset",
+      |    count(*)::BIGINT AS seg_len,
+      |    min(a_pos)::INT AS a_from, max(a_pos)::INT AS a_to
+      |  FROM m GROUP BY 1, 2, 3, 4, 5),
+      |best AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY a_doc, a_vid, b_doc, b_vid
+      |      ORDER BY seg_len DESC, "offset" ASC) AS rn,
+      |    sum(seg_len) OVER (PARTITION BY a_doc, a_vid, b_doc, b_vid)
+      |      AS n_match
+      |  FROM byoff)
+      |SELECT a_doc, a_vid, b_doc, b_vid, n_match::BIGINT AS n_match,
+      |  "offset", seg_len, a_from, a_to
+      |FROM best WHERE rn = 1 AND seg_len >= 2
+      |ORDER BY a_doc, a_vid, b_doc, b_vid""".stripMargin
 
   /** Local-mode instrumentation, mm28's analog of [[mm27DecodeCalls]]. */
   private[graft] val mm28DecodeCalls =
@@ -1942,6 +2038,8 @@ object MediaQueries extends QueryRegistry {
       Some(mediaDupClustersSql), bench = true),
     "mm31_image_phash_dup" -> QueryDef(imagePerceptualDup,
       Some(imagePerceptualDupSql), bench = true),
+    "mm32_dup_segments" -> QueryDef(dupSegments, Some(dupSegmentsSql),
+      bench = true),
     "st13_stream_media_dedup" -> QueryDef(streamMediaDedup,
       Some(streamMediaDedupSql), bench = true),
     "mm21_avc_fmp4" -> QueryDef(avcFmp4Decode,

@@ -424,6 +424,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.exists(_._4 < 1000000L))
   }
 
+  test("qc08: token-budget mix equals the brute-force greedy prefix " +
+    "fill per source") {
+    import spark.implicits._
+    val all = docs
+    def ntok(t: String): Long =
+      t.toLowerCase.split(" ", -1).count(_.nonEmpty).toLong
+    // NOTE: token counts are case-insensitive-agnostic (whitespace
+    // split only) — lowercase here is a no-op on counts
+    val perDoc = all.map { case (id, t, src) => (id, src, ntok(t)) }
+    val bySrc = perDoc.groupBy(_._2)
+    val srcToks = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val w = srcToks.view.mapValues(n =>
+      math.floor(1e6 * math.sqrt(n.toDouble)).toLong).toMap
+    val totalW = w.values.sum
+    val budget = srcToks.values.sum / 10
+    val quota = w.view.mapValues(wi =>
+      math.floor(budget.toDouble * (wi.toDouble / totalW.toDouble)).toLong)
+      .toMap
+    val want = bySrc.toSeq.flatMap { case (src, rows) =>
+      val ordered = rows.sortBy { case (id, _, _) => (md5hex(s"$id"), id) }
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).zipWithIndex.collect {
+        case (((id, _, _), cum), i) if cum <= quota(src) =>
+          (src, (i + 1).toLong) ->
+            ((srcToks(src), quota(src), cum, id))
+      }
+    }.toMap
+    val got = q("qc08_token_budget_mix")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (src, st, qt, rnk, cum, id) =>
+      assert(want((src, rnk)) == ((st, qt, cum, id)), s"($src, $rnk)")
+    }
+    // the fill is non-trivial on the fixture: every source takes a
+    // strict subset (quota bites) and takes at least one doc
+    val taken = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(taken.size == 20)
+    bySrc.foreach { case (src, rows) =>
+      assert(taken(src) >= 1 && taken(src) < rows.length, src)
+    }
+  }
+
   test("qa09: sub-k sources degenerate to EXACT set arithmetic; the " +
     "fixture matrix covers every pair with sane bounds") {
     import spark.implicits._

@@ -109,4 +109,43 @@ class VideoNearDupSpec extends SparkSpec {
       s"decode ran ${MediaQueries.mm27DecodeCalls.get()} times for " +
         s"${2 * docIds.size} takes — the staged fan-out must decode once")
   }
+
+  test("mm32 localizes each clip at its closed-form offset and span; " +
+    "the clip decodes bit-identically to the full video's range") {
+    // fixture contract first: frame i of videoClip(d, off, nx) must
+    // decode to the same pixels as frame off+i of the full video —
+    // the pure-function-of-content-index property mm32 rests on
+    val d0 = docIds.head
+    val off0 = (1 + d0 % 3).toInt
+    val nx0 = (6 + (d0 % 3) * 3).toInt
+    val full = graft.multimodal.h264.H264Fixtures.video(d0, nx0 + 4)
+    val clip = graft.multimodal.h264.H264Fixtures.videoClip(d0, off0, nx0)
+    val src = graft.pack.FrameSource.Mp4Frames
+    assert(src.frameCount(clip) == nx0)
+    (0 until nx0).foreach { i =>
+      val a = Codecs.decodeImage(src.frame(clip, i))
+      val b = Codecs.decodeImage(src.frame(full, off0 + i))
+      assert(java.util.Arrays.equals(a.data, b.data), s"clip frame $i")
+    }
+    // operator verdicts: per doc exactly one (d,0)-(d,1) row at
+    // offset = 1+d%3, all nx-2 clip shingles voting, span covering
+    // display positions off .. off+nx-3 of the full take
+    val got = graft.SparkEntry.queries("mm32_dup_segments")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getInt(7),
+        r.getInt(8)))
+    val sameDoc = got.filter(p => p._1 == p._3)
+    assert(sameDoc.length == docIds.size,
+      s"expected one same-doc verdict per doc, got ${sameDoc.length}")
+    sameDoc.foreach { case (d, av, _, bv, nMatch, off, segLen, from, to) =>
+      val nx = (6 + (d % 3) * 3).toInt
+      val expOff = (1 + d % 3).toInt
+      assert(av == 0 && bv == 1, s"doc $d take order")
+      assert(off == expOff, s"doc $d offset")
+      assert(segLen == nx - 2L, s"doc $d votes")
+      assert(from == expOff && to == expOff + nx - 3, s"doc $d span")
+      assert(nMatch >= segLen, s"doc $d n_match")
+    }
+  }
 }

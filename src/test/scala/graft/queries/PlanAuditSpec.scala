@@ -405,4 +405,24 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: a UDF survives in the fan-out plan")
     }
   }
+
+  test("mm32 alignment fan-out is decode-free: both vote-join " +
+    "branches read the staged POSITIONAL parquet") {
+    // dupSegmentAlign stages (media_id, take, pos, sh) before the
+    // offset-vote join — same decode-once contract as mm27, plus the
+    // position column and nothing else
+    val p = planOf("mm32_dup_segments")
+    val sc = scans(p)
+    assert(sc.size == 2, s"expected 2 staged-parquet scans, got ${sc.size}")
+    sc.foreach { scan =>
+      val cols = scan.requiredSchema.fieldNames.toSet
+      assert(cols == Set("media_id", "take", "pos", "sh"),
+        s"mm32 scan reads $cols — not the staged positional relation")
+    }
+    assert(!p.toString.contains("UDF"),
+      "mm32: a decode UDF survives in the alignment plan")
+    shuffles(p).foreach(s =>
+      assert(!s.output.map(_.name).contains("content"),
+        "mm32: media content crossed an exchange"))
+  }
 }

@@ -836,7 +836,120 @@ object SimilarityQueries extends QueryRegistry {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** MMR pool size and selection count (pool ≫ picks so diversity has
+    * room to act; both inlined into the unrolled oracle). */
+  private val MmrPool = 12
+  private val MmrK = 4
+
+  /** qs12: MMR-diversified top-k (maximal marginal relevance,
+    * Carbonell & Goldstein 1998) — the retrieval/curation answer to
+    * "the top-k are all near-duplicates of each other": greedily pick
+    * k results maximizing relevance MINUS the max similarity to what
+    * is already picked (λ = 1/2, where the ranking reduces to
+    * rel − maxsim). The pool is the exact top-`MmrPool` by cosine
+    * (qs01's rounding + vec_id tie-break), so every arithmetic input
+    * is a 6-dp double both engines reproduce bit-identically; each of
+    * the `MmrK` greedy rounds is one join + agg + window argmax —
+    * sequential in k (inherently: MMR is a greedy chain) but fully
+    * distributed across queries within a round.
+    *
+    * Scale: candidate pools are NumQueries×MmrPool rows regardless of
+    * corpus size — the corpus-scale work is the qs01 scoring scan
+    * that builds them; the greedy chain then costs k tiny stages.
+    * The oracle unrolls the identical recurrence round by round. */
+  private def mmrDiverse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+    val w = Window.partitionBy($"q_id").orderBy($"rel".desc, $"c_id")
+    val cand = c.join(broadcast(q), $"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id", $"cv",
+        round(cosine($"qv", $"cv"), 6).as("rel"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= MmrPool)
+      .drop("rk")
+    var selected = cand
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"q_id", $"c_id", $"cv", $"rel",
+        lit(0.0).as("maxsim"), $"rel".as("mmr"), lit(1).as("pick_order"))
+    for (i <- 2 to MmrK) {
+      // fresh attribute names on every self-join key (selected derives
+      // from cand; shared references would be rejected as ambiguous)
+      val picked = selected.select($"q_id".as("kq"), $"c_id".as("kc"))
+      val remaining = cand.join(picked,
+        $"q_id" === $"kq" && $"c_id" === $"kc", "left_anti")
+      val sl = selected.select($"q_id".as("sq"), $"cv".as("sv"))
+      val ms = remaining.select($"q_id", $"c_id", $"cv")
+        .join(sl, $"q_id" === $"sq")
+        .groupBy($"q_id", $"c_id")
+        .agg(max(round(cosine($"cv", $"sv"), 6)).as("maxsim"))
+      val wi = Window.partitionBy($"q_id")
+        .orderBy(($"rel" - $"maxsim").desc, $"c_id")
+      val pick = remaining.join(ms, Seq("q_id", "c_id"))
+        .withColumn("rk", row_number().over(wi)).filter($"rk" === 1)
+        .select($"q_id", $"c_id", $"cv", $"rel", $"maxsim",
+          ($"rel" - $"maxsim").as("mmr"), lit(i).as("pick_order"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select($"q_id", $"pick_order", $"c_id", $"rel", $"maxsim", $"mmr")
+      .orderBy($"q_id", $"pick_order")
+  }
+
+  private lazy val mmrDiverseSql = {
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qv FROM e
+         |      WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q_id, c.vec_id AS c_id, c.emb,
+         |    ${cosSql("qv", "c.emb")} AS rel
+         |  FROM e c JOIN q ON q_id <> c.vec_id),
+         |cand AS (
+         |  SELECT q_id, c_id, emb, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, c_id) AS rk FROM scored)
+         |  WHERE rk <= $MmrPool),
+         |sel1 AS (
+         |  SELECT q_id, c_id, emb, rel, 0.0::DOUBLE AS maxsim,
+         |    rel AS mmr, 1 AS pick_order
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, c_id) AS rk FROM cand)
+         |  WHERE rk = 1)""".stripMargin
+    val rounds = (2 to MmrK).map { i =>
+      val prev = (1 until i)
+        .map(j => s"SELECT q_id, c_id, emb FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""ms$i AS (
+         |  SELECT c.q_id, c.c_id,
+         |    max(${cosSql("c.emb", "s.emb")}) AS maxsim
+         |  FROM cand c JOIN ($prev) s ON s.q_id = c.q_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+         |    WHERE s2.q_id = c.q_id AND s2.c_id = c.c_id)
+         |  GROUP BY c.q_id, c.c_id),
+         |sel$i AS (
+         |  SELECT q_id, c_id, emb, rel, maxsim, rel - maxsim AS mmr,
+         |    $i AS pick_order
+         |  FROM (
+         |    SELECT c.q_id, c.c_id, c.emb, c.rel, m.maxsim,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY c.rel - m.maxsim DESC, c.c_id) AS rk
+         |    FROM cand c
+         |    JOIN ms$i m ON m.q_id = c.q_id AND m.c_id = c.c_id)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val unionAll = (1 to MmrK).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    head + ",\n" + rounds.mkString(",\n") + "\n" +
+      s"""SELECT q_id, pick_order, c_id, rel, maxsim, mmr
+         |FROM ($unionAll)
+         |ORDER BY q_id, pick_order""".stripMargin
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "qs12_mmr_topk" -> QueryDef(mmrDiverse, Some(mmrDiverseSql)),
     "qs10_proj_recall" -> QueryDef(projRecall, Some(projRecallSql)),
     "qs11_ann_sq8" -> QueryDef(sq8TopK, Some(sq8TopKSql), bench = true),
     "qs09_ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),

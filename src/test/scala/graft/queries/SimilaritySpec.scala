@@ -199,4 +199,61 @@ class SimilaritySpec extends SparkSpec {
     assert(projRows.length === 2)
     assert(projRows(0)._2 === projRows(1)._2)
   }
+
+  test("qs12 MMR equals the brute-force greedy chain and diversifies " +
+    "vs plain top-k") {
+    import spark.implicits._
+    val embs = graft.Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SparkEntry.queries("qs12_mmr_topk")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (qid, picksUnsorted) =>
+      val picks = picksUnsorted.sortBy(_._2)
+      assert(picks.map(_._2).toSeq == (1 to 4), s"q$qid pick orders")
+      // brute-force greedy replay over the same pool
+      val pool = embs.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(embs(qid), embs(c))))
+        .sortBy { case (c, rel) => (-rel, c) }.take(12)
+      var sel = Vector.empty[Long]
+      picks.foreach { case (_, _, cId, rel, maxsim, mmr) =>
+        val want = pool.filterNot(p => sel.contains(p._1))
+          .map { case (c, r) =>
+            val m = if (sel.isEmpty) 0.0
+              else sel.map(s => cos(embs(c), embs(s))).max
+            (c, r, m, r - m)
+          }
+          .sortBy { case (c, _, _, score) => (-score, c) }.head
+        assert(cId == want._1, s"q$qid pick ${sel.size + 1} id")
+        assert(rel == want._2 && maxsim == want._3 && mmr == want._4,
+          s"q$qid pick ${sel.size + 1} scores")
+        sel :+= cId
+      }
+      // diversification is non-trivial somewhere: at least one query's
+      // MMR picks differ from its plain top-4 (asserted globally below)
+    }
+    val brute = SparkEntry.queries("qs01_ann_brute_topk")(spark, dir)
+      .collect()
+      .filter(_.getAs[Int]("rank") <= 4)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val mmrSets = byQ.view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(mmrSets.exists { case (q, s) => s != brute(q) },
+      "MMR never diverged from plain top-k — pool/λ make it a no-op")
+  }
 }

@@ -258,29 +258,41 @@ object Pipeline {
         // contribute no shingles and survive as singleton clusters
         val skip = a.contains("skip-corrupt")
         val save = req("save-path")
-        val pairsOut = a.getOrElse("output", "clusters") match {
-          case "pairs" => true
-          case "clusters" => false
+        val output = a.getOrElse("output", "clusters") match {
+          case v @ ("pairs" | "clusters" | "segments") => v
           case other => throw new IllegalArgumentException(
-            s"unknown --output $other (pairs|clusters)")
+            s"unknown --output $other (pairs|clusters|segments)")
         }
-        val result =
-          if (pairsOut)
+        val result = output match {
+          case "pairs" =>
             MediaDedup.shingleNearDup(media, s"$save/shingle-stage",
               fp, window, threshold, skipCorrupt = skip)
-          else MediaDedup.nearDupClusters(media, s"$save/shingle-stage",
-            fp, window, threshold, skipCorrupt = skip)
+          // segment localization (the mm32 operator): WHERE each
+          // duplicate lies — modal-offset vote + matched span
+          case "segments" =>
+            MediaDedup.dupSegmentAlign(media, s"$save/shingle-stage",
+              fp, window, skipCorrupt = skip)
+          case _ =>
+            MediaDedup.nearDupClusters(media, s"$save/shingle-stage",
+              fp, window, threshold, skipCorrupt = skip)
+        }
         result.write.mode("overwrite").parquet(s"$save/result")
         // bounded driver-side report row, like the other stages
         val written = spark.read.parquet(s"$save/result")
-        if (pairsOut)
-          written.agg(count(lit(1)).as("n_pairs"),
-            avg(col("jaccard_ppm")).cast("long").as("avg_jaccard_ppm"))
-        else
-          written.agg(count(lit(1)).as("n_takes"),
-            countDistinct(col("cluster_id"), col("cluster_take"))
-              .as("n_clusters"),
-            sum(when(col("survivor"), 1L).otherwise(0L)).as("n_survivors"))
+        output match {
+          case "pairs" =>
+            written.agg(count(lit(1)).as("n_pairs"),
+              avg(col("jaccard_ppm")).cast("long").as("avg_jaccard_ppm"))
+          case "segments" =>
+            written.agg(count(lit(1)).as("n_pairs"),
+              avg(col("seg_len")).cast("long").as("avg_seg_len"))
+          case _ =>
+            written.agg(count(lit(1)).as("n_takes"),
+              countDistinct(col("cluster_id"), col("cluster_take"))
+                .as("n_clusters"),
+              sum(when(col("survivor"), 1L).otherwise(0L))
+                .as("n_survivors"))
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }

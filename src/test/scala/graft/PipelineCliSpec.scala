@@ -216,6 +216,22 @@ class PipelineCliSpec extends SparkSpec {
     assert(clus.getLong(0) == 3L, "n_takes") // 3 media rows
     assert(clus.getLong(1) == 2L, "n_clusters") // {(1,*)}, {(2,0)}
     assert(clus.getLong(2) == 2L, "n_survivors")
+    // --output segments: the alignment operator through the CLI —
+    // (1,0)'s two shingles both match (1,1) at offset 0 (shared
+    // prefix), span [0, 1]
+    val segOut = Files.createTempDirectory("cli_md_seg").toString
+    val seg = Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "audio", "output" -> "segments",
+      "save-path" -> segOut)).collect().head
+    assert(seg.getLong(0) == 1L, "one aligned pair")
+    val segRow = spark.read.parquet(s"$segOut/result").collect()
+    assert(segRow.length == 1)
+    assert(segRow.head.getLong(4) == 2L, "n_match")
+    assert(segRow.head.getInt(5) == 0, "offset")
+    assert(segRow.head.getLong(6) == 2L, "seg_len")
+    assert(segRow.head.getInt(7) == 0 && segRow.head.getInt(8) == 1,
+      "span")
     assertThrows[IllegalArgumentException](Pipeline.run(spark, Map(
       "stage" -> "mediadedup", "input" -> mediaDir,
       "fingerprint" -> "nope", "save-path" -> clusOut)))

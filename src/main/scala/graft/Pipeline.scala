@@ -184,9 +184,11 @@ object Pipeline {
       // parquet + audit counts. `--rates en=90,de=50` dials the mix;
       // `--eval-path` enables the n-gram decontamination scrub;
       // `--near-dup-jaccard 0.5` enables MinHash/LSH near-dup pruning
-      // (one survivor per verified cluster); `--span-scrub` rewrites
-      // survivors' text by cutting cross-document duplicated spans
-      // (the qd21 removal pass, case-preserving).
+      // (one survivor per verified cluster); add `--soft-dedup` to
+      // KEEP cluster members and emit weight_ppm = 1e6/|cluster|
+      // instead (the qd23 re-weighting posture); `--span-scrub`
+      // rewrites survivors' text by cutting cross-document duplicated
+      // spans (the qd21 removal pass, case-preserving).
       case "curate" =>
         val docs = spark.read.parquet(req("input"))
         val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
@@ -204,7 +206,8 @@ object Pipeline {
           gramK = a.getOrElse("gram-k", "5").toInt,
           evalPath = a.get("eval-path"),
           nearDupJaccard = a.get("near-dup-jaccard").map(_.toDouble),
-          spanScrub = a.contains("span-scrub"))
+          spanScrub = a.contains("span-scrub"),
+          softDedup = a.contains("soft-dedup"))
         val res = graft.curate.CurateStage.run(docs, opts)
         res.curated.write.mode("overwrite").parquet(req("save-path"))
         res.stats

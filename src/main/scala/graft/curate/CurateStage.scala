@@ -22,7 +22,12 @@ import org.apache.spark.storage.StorageLevel
   *     groups whose canonical copy was mix-dropped)
   *  3b. near-dup (opt-in, `nearDupJaccard`) — MinHash/LSH candidates →
   *     exact n-gram Jaccard verify → connected components; one survivor
-  *     (min doc_id) per near-dup cluster among exact-dedup survivors
+  *     (min doc_id) per near-dup cluster among exact-dedup survivors.
+  *     With `softDedup` the cluster members are KEPT instead and the
+  *     curated output gains `weight_ppm` = 1e6 div |cluster| — the
+  *     SoftDeDup/D4 re-weighting posture (qd23): hard dedup discards
+  *     paraphrase-adjacent coverage, soft dedup keeps it but makes
+  *     each cluster contribute ~one document per sampling epoch
   *  4. spans    — duplicated-span fraction (Lee et al. 2022 signal at
   *     n-gram grain) over the exact-deduped survivors — computed after
   *     exact dedup so a verbatim duplicate pair reads as ONE document
@@ -62,7 +67,8 @@ object CurateStage {
       gramK: Int = 5,
       evalPath: Option[String] = None,
       nearDupJaccard: Option[Double] = None,
-      spanScrub: Boolean = false)
+      spanScrub: Boolean = false,
+      softDedup: Boolean = false)
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
@@ -116,17 +122,35 @@ object CurateStage {
       withE.filter(col("exact_keep") === 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val nearK = opts.nearDupJaccard.map { tau =>
+    require(!opts.softDedup || opts.nearDupJaccard.nonEmpty,
+      "softDedup re-weights near-dup clusters — it needs nearDupJaccard")
+    val clustersOpt = opts.nearDupJaccard.map { tau =>
       val s3 = s3Opt.get
       val pairs = graft.queries.DedupQueries
         .jaccardFrom(s3.select(col("doc_id"), col("text")), tau)
         .select(col("a_id"), col("b_id"))
       val verts = s3.select(col("doc_id").as("id"))
       graft.functions.ConnectedComponents.run(pairs, verts)
-        .select(col("id").as("doc_id"),
+    }
+    // soft mode (qd23's posture): every cluster member KEEPS, and the
+    // curated output carries weight_ppm = 1e6 div |cluster| so one
+    // epoch samples each cluster ~once — hard mode keeps min doc_id
+    val nearK = clustersOpt.map { cc =>
+      if (opts.softDedup)
+        cc.select(col("id").as("doc_id"), lit(1).as("near_keep"))
+      else
+        cc.select(col("id").as("doc_id"),
           when(col("id") === col("label"), 1).otherwise(0)
             .as("near_keep"))
     }
+    val weightsOpt =
+      if (!opts.softDedup) None
+      else clustersOpt.map { cc =>
+        val sized = cc.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+        cc.join(sized, "label")
+          .select(col("id").as("doc_id"),
+            expr("CAST(1000000 AS BIGINT) div csize").as("weight_ppm"))
+      }
     val withN = nearK.fold(
       withE.withColumn("near_keep", col("exact_keep")))(nk =>
       withE.join(nk, Seq("doc_id"), "left")
@@ -198,8 +222,15 @@ object CurateStage {
     s3n.unpersist(blocking = true)
     s3Opt.foreach(_.unpersist(blocking = true))
 
-    val curated = all.filter(col("curated") === 1)
+    val curatedBase = all.filter(col("curated") === 1)
       .drop(keeps :+ "curated": _*)
+    // soft-dedup mode: attach the per-doc sampling weight (1e6 for
+    // singletons; every curated doc passed the near-dup stage, so the
+    // left join always hits — coalesce guards regardless)
+    val curated = weightsOpt.fold(curatedBase)(wf =>
+      curatedBase.join(wf, Seq("doc_id"), "left")
+        .withColumn("weight_ppm",
+          coalesce(col("weight_ppm"), lit(1000000L))))
     val stats = all.agg(
       count(lit(1)).as("n_docs"),
       keeps.map(k => sum(col(k)).as(k)) :+

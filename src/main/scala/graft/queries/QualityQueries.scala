@@ -776,7 +776,78 @@ object QualityQueries extends QueryRegistry {
        |FROM est ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** qa10: EMBEDDING-space drift audit — the vector-side sibling of
+    * qa03 (categorical drift) and qa08 (numeric KS drift): per label,
+    * compare the mean embedding of two ingest periods (here the
+    * deterministic vec_id-parity split; production passes two batch
+    * tags) by cosine of the mean vectors plus the L1 gap in ppm — the
+    * "did the encoder or the corpus move under me" monitor every
+    * embedding pipeline runs after a model bump or a crawl refresh.
+    *
+    * Determinism: coordinates quantize to ppm BIGINTs at the scan
+    * (round(x·1e6) — half away from zero on both engines), so the
+    * distributed per-dimension sums are order-free integer sums and
+    * the mean is integer division (both engines truncate toward
+    * zero); only the final cosine touches doubles, from identical
+    * integer inputs. Scale: one corpus scan reduces to
+    * |labels|·2·dim sum cells (mergeable partial aggs); everything
+    * after is label-count-sized. */
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables(s, dir).embeddings
+      .select($"label", ($"vec_id" % 2).cast("int").as("period"),
+        posexplode($"embedding"))
+      .withColumnRenamed("pos", "dim")
+      .select($"label", $"period", $"dim",
+        round($"col" * 1e6).cast("long").as("v"))
+    val sums = ex.groupBy($"label", $"period", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .withColumn("mean_ppm", expr("sv div n"))
+    val a = sums.filter($"period" === 0)
+      .select($"label", $"dim", $"mean_ppm".as("ma"), $"n".as("na"))
+    val b = sums.filter($"period" === 1)
+      .select($"label", $"dim", $"mean_ppm".as("mb"), $"n".as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        sum($"ma" * $"mb").as("dot"),
+        sum($"ma" * $"ma").as("na2"), sum($"mb" * $"mb").as("nb2"),
+        sum(abs($"ma" - $"mb")).as("l1_ppm"))
+      .select($"label", $"n_a", $"n_b",
+        round($"dot" / (sqrt($"na2") * sqrt($"nb2")), 6).as("cos_shift"),
+        $"l1_ppm")
+      .orderBy($"label")
+  }
+
+  private val embeddingDriftSql =
+    """WITH src AS (
+      |  SELECT label, vec_id, embedding::DOUBLE[] AS emb
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, (vec_id % 2)::INT AS period, i - 1 AS dim,
+      |    round(emb[i] * 1e6)::BIGINT AS v
+      |  FROM (SELECT label, vec_id, emb,
+      |          unnest(generate_series(1, len(emb))) AS i FROM src)),
+      |sums AS (
+      |  SELECT label, period, dim, sum(v)::BIGINT AS sv,
+      |    count(*)::BIGINT AS n
+      |  FROM ex GROUP BY 1, 2, 3),
+      |m AS (SELECT label, period, dim, sv // n AS mean_ppm, n FROM sums),
+      |j AS (
+      |  SELECT a.label, a.dim, a.mean_ppm AS ma, b.mean_ppm AS mb,
+      |    a.n AS na, b.n AS nb
+      |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+      |    AND a.period = 0 AND b.period = 1)
+      |SELECT label, max(na) AS n_a, max(nb) AS n_b,
+      |  round(sum(ma * mb)::BIGINT /
+      |    (sqrt(sum(ma * ma)::BIGINT) * sqrt(sum(mb * mb)::BIGINT)), 6)
+      |    AS cos_shift,
+      |  sum(abs(ma - mb))::BIGINT AS l1_ppm
+      |FROM j GROUP BY label ORDER BY label""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "qa10_embedding_drift" -> QueryDef(embeddingDrift,
+      Some(embeddingDriftSql)),
     "qa09_source_overlap" -> QueryDef(sourceOverlap,
       Some(sourceOverlapSql)),
     "qa07_vocab_profile" -> QueryDef(vocabProfile, Some(vocabProfileSql),

@@ -126,6 +126,38 @@ class CurateStageSpec extends SparkSpec {
       statsOff.getAs[Long]("exact_keep"))
   }
 
+  test("soft dedup keeps every cluster member with weight_ppm = " +
+    "1e6/|cluster|; singletons weigh 1e6; requires near-dup") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsi " * 12).trim
+    val docs = Seq(
+      (1L, base + " tail one", "en"),
+      (2L, base + " tail two", "en"),
+      (3L, base + " tail tri", "en"),
+      (4L, ("other words here okay fine " * 12).trim, "en")
+    ).toDF("doc_id", "text", "lang")
+    val soft = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      nearDupJaccard = Some(0.5), softDedup = true))
+    val got = soft.curated.select($"doc_id", $"weight_ppm")
+      .as[(Long, Long)].collect().toMap
+    val statsSoft = soft.stats.collect().head
+    soft.close()
+    // the A~B~C cluster is KEPT (weight 1e6/3), the singleton weighs 1e6
+    assert(got == Map(1L -> 333333L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 1000000L), s"weights: $got")
+    assert(statsSoft.getAs[Long]("near_keep") === 4L)
+    // soft mode without the near-dup stage is a contract violation
+    assertThrows[IllegalArgumentException](
+      CurateStage.run(docs, CurateStage.CurateOptions(softDedup = true)))
+    // hard mode's curated schema is unchanged (no weight column)
+    val hard = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      nearDupJaccard = Some(0.5)))
+    assert(!hard.curated.columns.contains("weight_ppm"))
+    hard.close()
+  }
+
   test("span scrub cuts a cross-doc duplicated run from BOTH docs, " +
     "preserves casing, leaves unique docs verbatim; off by default") {
     import spark.implicits._

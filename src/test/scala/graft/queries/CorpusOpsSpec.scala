@@ -424,6 +424,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.exists(_._4 < 1000000L))
   }
 
+  test("qa10: embedding drift equals the brute-force ppm mean-vector " +
+    "comparison; a label's periods are not identical") {
+    import spark.implicits._
+    val rows = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], String)].collect()
+    val want = rows.groupBy(_._3).map { case (label, rs) =>
+      def meanPpm(period: Int): (Long, Array[Long]) = {
+        val vs = rs.filter(r => (r._1 % 2) == period).map(_._2)
+        val dims = vs.head.length
+        // half-away-from-zero, matching Spark/DuckDB round() (Scala
+        // math.round is half-UP, which differs on negative .5 ties)
+        def r(x: Double): Long =
+          if (x >= 0) math.floor(x + 0.5).toLong
+          else math.ceil(x - 0.5).toLong
+        val sums = Array.tabulate(dims)(d => vs.map(v =>
+          r(v(d).toDouble * 1e6)).sum)
+        (vs.length.toLong, sums.map(_ / vs.length))
+      }
+      val (na, ma) = meanPpm(0); val (nb, mb) = meanPpm(1)
+      val dot = ma.zip(mb).map { case (x, y) => x * y }.sum
+      val na2 = ma.map(x => x * x).sum; val nb2 = mb.map(x => x * x).sum
+      val cos = BigDecimal(dot / (math.sqrt(na2.toDouble) *
+        math.sqrt(nb2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val l1 = ma.zip(mb).map { case (x, y) => math.abs(x - y) }.sum
+      label -> ((na, nb, cos, l1))
+    }
+    val got = q("qa10_embedding_drift")
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (label, na, nb, cos, l1) =>
+      assert(want(label) == ((na, nb, cos, l1)), label)
+    }
+    // the audit discriminates: no label's two periods coincide
+    got.foreach { case (label, _, _, _, l1) =>
+      assert(l1 > 0L, s"$label periods identical — fixture degenerate")
+    }
+  }
+
   test("qc08: token-budget mix equals the brute-force greedy prefix " +
     "fill per source") {
     import spark.implicits._

@@ -794,15 +794,31 @@ object QualityQueries extends QueryRegistry {
     * after is label-count-sized. */
   private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ex = Tables(s, dir).embeddings
+    val sums = quantizedDims(Tables(s, dir).embeddings)
+      .groupBy($"label", $"period", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    embDriftFrom(sums)
+  }
+
+  /** ppm-quantized (label, period, dim, v) rows — the one corpus-scale
+    * pass, shared by the batch gate (qa10) and its streaming twin
+    * (st15). */
+  private def quantizedDims(embs: DataFrame): DataFrame = {
+    import embs.sparkSession.implicits._
+    embs
       .select($"label", ($"vec_id" % 2).cast("int").as("period"),
         posexplode($"embedding"))
       .withColumnRenamed("pos", "dim")
       .select($"label", $"period", $"dim",
         round($"col" * 1e6).cast("long").as("v"))
-    val sums = ex.groupBy($"label", $"period", $"dim")
-      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
-      .withColumn("mean_ppm", expr("sv div n"))
+  }
+
+  /** Mean-vector comparison over a (label, period, dim, sv, n) sums
+    * frame — shared by qa10 and st15, which differ only in how the
+    * sums accumulate. */
+  private def embDriftFrom(sums0: DataFrame): DataFrame = {
+    import sums0.sparkSession.implicits._
+    val sums = sums0.withColumn("mean_ppm", expr("sv div n"))
     val a = sums.filter($"period" === 0)
       .select($"label", $"dim", $"mean_ppm".as("ma"), $"n".as("na"))
     val b = sums.filter($"period" === 1)
@@ -817,6 +833,36 @@ object QualityQueries extends QueryRegistry {
         round($"dot" / (sqrt($"na2") * sqrt($"nb2")), 6).as("cos_shift"),
         $"l1_ppm")
       .orderBy($"label")
+  }
+
+  /** st15: qa10's embedding drift over an unbounded ingest — the
+    * streaming part is the (label, period, dim) integer-sum counter
+    * (Complete-mode global agg; keyed state bounded at
+    * |labels|·2·dim cells regardless of corpus size — the ppm
+    * quantization that makes the batch sums order-free is exactly
+    * what makes the streaming state mergeable); the mean/cosine
+    * arithmetic runs on the emitted snapshot exactly as qa10 does it,
+    * so the result — and the oracle — are qa10's. */
+  private def streamEmbeddingDrift(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val embs = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", $"label")
+    val stage = WdsQueries.scratchDir("graft_qa10_stage")
+    embs.write.mode("overwrite").parquet(stage)
+    val stream = quantizedDims(
+      s.readStream.schema(embs.schema).parquet(stage))
+      .groupBy($"label", $"period", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    val name = "stream_qa10_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sums = graft.streaming.EventStreams.runToMemory(s, stream, name,
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+    // freeze the snapshot (the drift arithmetic self-joins its input;
+    // |labels|·2·dim rows — audit-sized), the st14 pattern
+    val frozen = s.createDataFrame(sums.collectAsList(), sums.schema)
+    embDriftFrom(frozen)
   }
 
   private val embeddingDriftSql =
@@ -847,6 +893,8 @@ object QualityQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "qa10_embedding_drift" -> QueryDef(embeddingDrift,
+      Some(embeddingDriftSql)),
+    "st15_stream_embedding_drift" -> QueryDef(streamEmbeddingDrift,
       Some(embeddingDriftSql)),
     "qa09_source_overlap" -> QueryDef(sourceOverlap,
       Some(sourceOverlapSql)),

@@ -406,6 +406,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("qa09/qc08: document text never crosses an exchange — the " +
+    "corpus reduces before the first shuffle") {
+    // qa09 shuffles (source, 60-bit hash) sketch rows; qc08 shuffles
+    // (doc_id, source, n_tok, hkey) for its window — at 100 TB the
+    // text column staying out of every exchange IS the design
+    for (q <- Seq("qa09_source_overlap", "qc08_token_budget_mix")) {
+      val ex = shuffles(planOf(q))
+      assert(ex.nonEmpty, s"$q: expected at least one exchange")
+      ex.foreach(s => assert(!s.output.map(_.name).contains("text"),
+        s"$q: text crossed an exchange"))
+    }
+  }
+
   test("mm32 alignment fan-out is decode-free: both vote-join " +
     "branches read the staged POSITIONAL parquet") {
     // dupSegmentAlign stages (media_id, take, pos, sh) before the

@@ -215,4 +215,14 @@ class EventStreamsSpec extends SparkSpec {
       .collect().toSeq
     assert(stream === batch)
   }
+
+  test("st15 streaming embedding-drift snapshot equals the batch " +
+    "qa10 audit") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry
+      .queries("st15_stream_embedding_drift")(spark, sf).collect().toSeq
+    val batch = graft.SparkEntry.queries("qa10_embedding_drift")(
+      spark, sf).collect().toSeq
+    assert(stream === batch)
+  }
 }

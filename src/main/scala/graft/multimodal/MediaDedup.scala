@@ -314,7 +314,13 @@ object MediaDedup {
     * decode-once / checkpoint rationale of [[stageShingles]], with
     * positions kept. Repeated identical content (a held frame) emits
     * one row per POSITION, deliberately: alignment votes on offsets,
-    * and collapsing repeats would silently drop their votes. */
+    * and collapsing repeats would silently drop their votes —
+    * `distinct()` is still safe (and applied) because those rows
+    * differ in `pos`; what it heals is at-least-once ingest REPLAYS
+    * of the same media row, which would otherwise double every vote.
+    * Same-key rows with DIFFERENT content (two shingles at one
+    * position) are the ingest contract violation [[stageShingles]]
+    * rejects, and are rejected here the same way. */
   def stagePositionalShingles(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, skipCorrupt: Boolean = false): DataFrame = {
@@ -324,8 +330,19 @@ object MediaDedup {
         explode(u(col("content"))).as("e"))
       .select(col("media_id"), col("take"),
         col("e._1").as("pos"), col("e._2").as("sh"))
+      .distinct()
       .write.mode("overwrite").parquet(stageDir)
-    media.sparkSession.read.parquet(stageDir)
+    val staged = media.sparkSession.read.parquet(stageDir)
+    val badKey = staged.groupBy(col("media_id"), col("take"), col("pos"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("media_id"), col("take"), col("pos"))
+      .head(1)
+    require(badKey.isEmpty,
+      s"duplicate (media_id, take) key with conflicting content at " +
+        s"position ${badKey.mkString(", ")} — dedupe or re-key the " +
+        "input first")
+    staged
   }
 
   /** Duplicate-SEGMENT localization — [[shingleNearDup]] answers

@@ -298,6 +298,43 @@ class MediaDedupSpec extends SparkSpec {
     }
   }
 
+  test("dupSegmentAlign: shifted clip localizes at its offset; held " +
+    "frames keep one vote per position; ingest replays heal; " +
+    "conflicting content is rejected") {
+    import spark.implicits._
+    def align(media: Seq[(Long, Int, Array[Byte])])
+        : Seq[(Long, Int, Long, Int, Long, Int, Long, Int, Int)] = {
+      val stage =
+        java.nio.file.Files.createTempDirectory("mseg").toString
+      MediaDedup.dupSegmentAlign(
+        media.toDF("media_id", "take", "content"), stage, fp2,
+        window = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getLong(4), r.getInt(5), r.getLong(6), r.getInt(7),
+          r.getInt(8))).toSeq
+    }
+    // A = units [01 02 03 04 05]; B = units [03 04 05] (clip at 2):
+    // B's bigram shingles at pos 0,1 match A's at pos 2,3 → offset 2
+    val a = Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5)
+    val clip = Array[Byte](3, 3, 4, 4, 5, 5)
+    assert(align(Seq((1L, 0, a), (1L, 1, clip))) ==
+      Seq((1L, 0, 1L, 1, 2L, 2, 2L, 2, 3)))
+    // an exact ingest REPLAY of the clip row must not double votes
+    assert(align(Seq((1L, 0, a), (1L, 1, clip), (1L, 1, clip))) ==
+      Seq((1L, 0, 1L, 1, 2L, 2, 2L, 2, 3)))
+    // a held frame (unit 03 twice) is two POSITIONS, two votes kept
+    val held = Array[Byte](3, 3, 3, 3, 4, 4)
+    val out = align(Seq((1L, 0, Array[Byte](3, 3, 3, 3, 4, 4, 5, 5)),
+      (1L, 1, held)))
+    assert(out.length == 1 && out.head._7 == 2L,
+      s"held-frame votes: $out")
+    // same key, different content → loud failure, like stageShingles
+    val ex = intercept[IllegalArgumentException](
+      align(Seq((1L, 0, a), (1L, 0, clip))))
+    assert(ex.getMessage.contains("conflicting content"))
+  }
+
   test("audio sniff requires the full fLaC magic, not just the first bytes") {
     // a non-audio blob starting 'f','L' must NOT be fed to FlacCodec —
     // it falls through to the WAV path and fails as a non-RIFF stream

@@ -864,11 +864,16 @@ object SimilarityQueries extends QueryRegistry {
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val c = e.select($"vec_id".as("c_id"), $"embedding".as("cv"))
     val w = Window.partitionBy($"q_id").orderBy($"rel".desc, $"c_id")
-    val cand = c.join(broadcast(q), $"q_id" =!= $"c_id")
-      .select($"q_id", $"c_id", $"cv",
-        round(cosine($"qv", $"cv"), 6).as("rel"))
+    // rank SLIM: the pool window is the one corpus-scale exchange, so
+    // it must carry (q_id, c_id, rel) only — embeddings re-attach to
+    // the NumQueries×MmrPool pool afterwards via a broadcast join
+    // (the qd20 never-ship-vectors rule, PlanAuditSpec-pinned)
+    val pool = c.join(broadcast(q), $"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id", round(cosine($"qv", $"cv"), 6).as("rel"))
       .withColumn("rk", row_number().over(w)).filter($"rk" <= MmrPool)
       .drop("rk")
+    val cand = c.join(broadcast(pool), Seq("c_id"))
+      .select($"q_id", $"c_id", $"cv", $"rel")
     var selected = cand
       .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
       .select($"q_id", $"c_id", $"cv", $"rel",

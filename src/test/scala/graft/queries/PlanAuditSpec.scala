@@ -419,6 +419,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("qs12: the corpus-scale pool ranking shuffles (q_id, c_id, " +
+    "rel) only — raw vectors never cross it") {
+    val ex = shuffles(planOf("qs12_mmr_topk"))
+    assert(ex.nonEmpty)
+    // query vectors broadcast; the full-corpus window exchange is the
+    // one carrying rel without cv (embeddings re-attach to the tiny
+    // pool AFTER ranking, via a broadcast join)
+    ex.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.contains("embedding") && !names.contains("qv"),
+        s"raw vectors crossed an exchange: $names")
+    }
+    assert(ex.exists { s =>
+      val names = s.output.map(_.name)
+      names.contains("rel") && !names.contains("cv")
+    }, "no slim ranking exchange found — the pool window ships vectors")
+  }
+
   test("mm32 alignment fan-out is decode-free: both vote-join " +
     "branches read the staged POSITIONAL parquet") {
     // dupSegmentAlign stages (media_id, take, pos, sh) before the

@@ -335,6 +335,38 @@ class MediaDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("conflicting content"))
   }
 
+  test("alignment law: 40 random sequences with planted clips all " +
+    "localize at their offset with the exact vote count and span") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val plan = (1L to 40L).map { d =>
+      val n = 6 + rnd.nextInt(10)
+      val off = rnd.nextInt(n - 5)
+      val k = 4 + rnd.nextInt(n - off - 4 + 1)
+      (d, n, off, k)
+    }
+    // unit i of doc d = bytes (i, d): distinct within AND across docs,
+    // so every shingle match is a true planted match
+    def unit(d: Long, i: Int) = Seq(i.toByte, d.toByte)
+    val media = plan.flatMap { case (d, n, off, k) =>
+      val full = (0 until n).flatMap(unit(d, _)).toArray
+      val clip = (off until off + k).flatMap(unit(d, _)).toArray
+      Seq((d, 0, full), (d, 1, clip))
+    }
+    val stage = java.nio.file.Files.createTempDirectory("mlaw").toString
+    val got = MediaDedup.dupSegmentAlign(
+      media.toDF("media_id", "take", "content"), stage, fp2, window = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getInt(7),
+        r.getInt(8)))).toMap
+    assert(got.size == 40)
+    plan.foreach { case (d, _, off, k) =>
+      assert(got(d) == ((0, d, 1, (k - 1).toLong, off, (k - 1).toLong,
+        off, off + k - 2)), s"doc $d (off=$off k=$k): ${got(d)}")
+    }
+  }
+
   test("audio sniff requires the full fLaC magic, not just the first bytes") {
     // a non-audio blob starting 'f','L' must NOT be fed to FlacCodec —
     // it falls through to the WAV path and fails as a non-RIFF stream

@@ -506,6 +506,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("qa09 law: six random sub-k corpora — every pair's estimator " +
+    "equals exact set arithmetic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    // per source, a random ~10-word doc: ≤ 9 distinct bigrams ≪ k=64
+    val srcDocs = (0 until 6).map { s =>
+      val words = Seq.fill(10)(vocab(rnd.nextInt(vocab.length)))
+      (s.toLong, words.mkString(" "), s"rs$s")
+    }
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val by = srcDocs.map { case (_, t, s) => s -> grams(t) }.toMap
+    val got = QualityQueries.sourceOverlapOf(
+      srcDocs.toDF("doc_id", "text", "source"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.length == 15)
+    got.foreach { case (a, b, r, estU, estJ, estC) =>
+      val inter = (by(a) & by(b)).size.toLong
+      val union = (by(a) | by(b)).size.toLong
+      assert(r == inter && estU == union &&
+        estJ == 1000000L * inter / union &&
+        estC == estJ * union / 1000000L, s"($a,$b)")
+    }
+  }
+
   test("qa09: sub-k sources degenerate to EXACT set arithmetic; the " +
     "fixture matrix covers every pair with sane bounds") {
     import spark.implicits._

@@ -271,10 +271,19 @@ object Pipeline {
             MediaDedup.shingleNearDup(media, s"$save/shingle-stage",
               fp, window, threshold, skipCorrupt = skip)
           // segment localization (the mm32 operator): WHERE each
-          // duplicate lies — modal-offset vote + matched span
+          // duplicate lies — modal-offset vote + matched span.
+          // Its knob is --min-seg (votes at the modal offset), NOT
+          // --threshold-ppm: accepting-and-ignoring the Jaccard flag
+          // here would silently flood a run the user believed filtered
           case "segments" =>
+            if (a.contains("threshold-ppm"))
+              throw new IllegalArgumentException(
+                "--threshold-ppm applies to pairs/clusters; " +
+                  "--output segments filters by --min-seg (modal-" +
+                  "offset votes) instead")
             MediaDedup.dupSegmentAlign(media, s"$save/shingle-stage",
-              fp, window, skipCorrupt = skip)
+              fp, window, minSeg = a.getOrElse("min-seg", "2").toLong,
+              skipCorrupt = skip)
           case _ =>
             MediaDedup.nearDupClusters(media, s"$save/shingle-stage",
               fp, window, threshold, skipCorrupt = skip)

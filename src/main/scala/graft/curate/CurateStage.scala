@@ -158,13 +158,32 @@ object CurateStage {
     val s3n = withN.filter(col("near_keep") === 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sh = graft.functions.ShingleHash.exploded(
-      s3n.select(col("doc_id"), col("text")), opts.gramK)
+    // Span-statistics basis: in SOFT mode a kept near-dup cluster must
+    // read as ONE document — exactly the rationale for running spans
+    // after exact dedup — so the gram frame is built over one
+    // REPRESENTATIVE per cluster (min doc_id) and members inherit its
+    // verdict. Without this, the members soft dedup deliberately kept
+    // would count each other's grams as cross-document duplicates and
+    // the span stage would delete (or scrub to pieces) the whole
+    // cluster, making soft mode strictly more destructive than hard.
+    val repIds = clustersOpt.filter(_ => opts.softDedup).map(cc =>
+      cc.filter(col("id") === col("label")).select(col("id").as("doc_id")))
+    val spanDocs = repIds.fold(s3n.select(col("doc_id"), col("text")))(
+      r => s3n.select(col("doc_id"), col("text")).join(r, Seq("doc_id")))
+    val sh = graft.functions.ShingleHash.exploded(spanDocs, opts.gramK)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val spanK = graft.queries.CurationQueries.dupSpansFrom(sh)
+    val spanKRep = graft.queries.CurationQueries.dupSpansFrom(sh)
       .select(col("doc_id"),
         when(col("dup_frac") <= opts.maxDupFrac, 1).otherwise(0)
           .as("span_keep"))
+    val spanK = clustersOpt match {
+      case Some(cc) if opts.softDedup =>
+        cc.select(col("id").as("doc_id"), col("label"))
+          .join(spanKRep.withColumnRenamed("doc_id", "label"),
+            Seq("label"))
+          .select(col("doc_id"), col("span_keep"))
+      case _ => spanKRep
+    }
     val decontamK = opts.evalPath.map { path =>
       // the eval table needs only `text`; ids are synthesized because
       // only the distinct gram set is used
@@ -173,7 +192,13 @@ object CurateStage {
         .select(monotonically_increasing_id().as("doc_id"), col("text"))
       val evalGrams = graft.functions.ShingleHash.exploded(eval, opts.gramK)
         .select(col("sh")).distinct()
-      sh.join(broadcast(evalGrams.withColumn("hit", lit(1))),
+      // decontamination tests each member's OWN text even in soft mode
+      // (a member can carry eval grams its representative lacks)
+      val memberGrams =
+        if (opts.softDedup) graft.functions.ShingleHash.exploded(
+          s3n.select(col("doc_id"), col("text")), opts.gramK)
+        else sh
+      memberGrams.join(broadcast(evalGrams.withColumn("hit", lit(1))),
           Seq("sh"), "left")
         .groupBy(col("doc_id"))
         .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))

@@ -305,8 +305,9 @@ object MediaDedup {
         else try fingerprint(content) catch {
           case scala.util.control.NonFatal(_) => IndexedSeq.empty[String]
         }
-      (0 to fp.length - window).map(t =>
-        (t, md5Hex((t until t + window).map(fp).mkString("|"))))
+      val n = (fp.length - window + 1).max(0)
+      (0 until n).map(t =>
+        (t, md5Hex((t until t + window).map(fp).mkString("|")), n))
     }
   }
 
@@ -329,20 +330,26 @@ object MediaDedup {
       .select(col("media_id"), col("take"),
         explode(u(col("content"))).as("e"))
       .select(col("media_id"), col("take"),
-        col("e._1").as("pos"), col("e._2").as("sh"))
+        col("e._1").as("pos"), col("e._2").as("sh"),
+        col("e._3").as("n_pos"))
       .distinct()
       .write.mode("overwrite").parquet(stageDir)
     val staged = media.sparkSession.read.parquet(stageDir)
-    val badKey = staged.groupBy(col("media_id"), col("take"), col("pos"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") > 1)
-      .select(col("media_id"), col("take"), col("pos"))
+    // the stageShingles consistency contract, positional form: one
+    // n_pos per key and exactly n_pos distinct staged rows — catches
+    // both a two-shingles-at-one-position conflict AND a silent
+    // suffix-extension merge (same prefix, more frames: rows == the
+    // longer n while n_pos values disagree)
+    val badKey = staged.groupBy(col("media_id"), col("take"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("n_pos")).as("lo"), max(col("n_pos")).as("hi"))
+      .where(col("lo") =!= col("hi") || col("rows") =!= col("lo"))
+      .select(col("media_id"), col("take"))
       .head(1)
     require(badKey.isEmpty,
-      s"duplicate (media_id, take) key with conflicting content at " +
-        s"position ${badKey.mkString(", ")} — dedupe or re-key the " +
-        "input first")
-    staged
+      s"duplicate (media_id, take) key with conflicting content: " +
+        s"${badKey.mkString(", ")} — dedupe or re-key the input first")
+    staged.drop("n_pos")
   }
 
   /** Duplicate-SEGMENT localization — [[shingleNearDup]] answers

@@ -792,9 +792,14 @@ object QualityQueries extends QueryRegistry {
     * integer inputs. Scale: one corpus scan reduces to
     * |labels|·2·dim sum cells (mergeable partial aggs); everything
     * after is label-count-sized. */
-  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sums = quantizedDims(Tables(s, dir).embeddings)
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables(s, dir).embeddings)
+
+  /** Query-path body over any (vec_id, embedding, label) frame — the
+    * spec drives it with single-period labels the fixture lacks. */
+  private[graft] def embeddingDriftOf(embs: DataFrame): DataFrame = {
+    import embs.sparkSession.implicits._
+    val sums = quantizedDims(embs)
       .groupBy($"label", $"period", $"dim")
       .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
     embDriftFrom(sums)
@@ -823,15 +828,22 @@ object QualityQueries extends QueryRegistry {
       .select($"label", $"dim", $"mean_ppm".as("ma"), $"n".as("na"))
     val b = sums.filter($"period" === 1)
       .select($"label", $"dim", $"mean_ppm".as("mb"), $"n".as("nb"))
-    a.join(b, Seq("label", "dim"))
+    // FULL outer on (label, dim): a label present in only one period
+    // is the most drastic drift event (appeared/disappeared) and must
+    // surface as a row — n = 0 for the missing period, null metrics —
+    // not silently vanish through an inner join
+    a.join(b, Seq("label", "dim"), "full_outer")
       .groupBy($"label")
-      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+      .agg(coalesce(max($"na"), lit(0L)).as("n_a"),
+        coalesce(max($"nb"), lit(0L)).as("n_b"),
         sum($"ma" * $"mb").as("dot"),
         sum($"ma" * $"ma").as("na2"), sum($"mb" * $"mb").as("nb2"),
-        sum(abs($"ma" - $"mb")).as("l1_ppm"))
+        sum(abs($"ma" - $"mb")).as("l1"))
       .select($"label", $"n_a", $"n_b",
-        round($"dot" / (sqrt($"na2") * sqrt($"nb2")), 6).as("cos_shift"),
-        $"l1_ppm")
+        when($"n_a" > 0 && $"n_b" > 0,
+          round($"dot" / (sqrt($"na2") * sqrt($"nb2")), 6))
+          .as("cos_shift"),
+        when($"n_a" > 0 && $"n_b" > 0, $"l1").as("l1_ppm"))
       .orderBy($"label")
   }
 
@@ -880,15 +892,20 @@ object QualityQueries extends QueryRegistry {
       |  FROM ex GROUP BY 1, 2, 3),
       |m AS (SELECT label, period, dim, sv // n AS mean_ppm, n FROM sums),
       |j AS (
-      |  SELECT a.label, a.dim, a.mean_ppm AS ma, b.mean_ppm AS mb,
-      |    a.n AS na, b.n AS nb
-      |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
-      |    AND a.period = 0 AND b.period = 1)
-      |SELECT label, max(na) AS n_a, max(nb) AS n_b,
-      |  round(sum(ma * mb)::BIGINT /
-      |    (sqrt(sum(ma * ma)::BIGINT) * sqrt(sum(mb * mb)::BIGINT)), 6)
-      |    AS cos_shift,
-      |  sum(abs(ma - mb))::BIGINT AS l1_ppm
+      |  SELECT coalesce(a.label, b.label) AS label,
+      |    a.mean_ppm AS ma, b.mean_ppm AS mb, a.n AS na, b.n AS nb
+      |  FROM (SELECT * FROM m WHERE period = 0) a
+      |  FULL JOIN (SELECT * FROM m WHERE period = 1) b
+      |    ON a.label = b.label AND a.dim = b.dim)
+      |SELECT label, coalesce(max(na), 0)::BIGINT AS n_a,
+      |  coalesce(max(nb), 0)::BIGINT AS n_b,
+      |  CASE WHEN coalesce(max(na), 0) > 0 AND coalesce(max(nb), 0) > 0
+      |    THEN round(sum(ma * mb)::BIGINT /
+      |      (sqrt(sum(ma * ma)::BIGINT) * sqrt(sum(mb * mb)::BIGINT)), 6)
+      |  END AS cos_shift,
+      |  CASE WHEN coalesce(max(na), 0) > 0 AND coalesce(max(nb), 0) > 0
+      |    THEN sum(abs(ma - mb))::BIGINT
+      |  END AS l1_ppm
       |FROM j GROUP BY label ORDER BY label""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(

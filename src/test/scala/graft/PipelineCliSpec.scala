@@ -232,6 +232,17 @@ class PipelineCliSpec extends SparkSpec {
     assert(segRow.head.getLong(6) == 2L, "seg_len")
     assert(segRow.head.getInt(7) == 0 && segRow.head.getInt(8) == 1,
       "span")
+    // --threshold-ppm with segments must fail loudly (it would be
+    // silently ignored); --min-seg is the segments knob
+    assertThrows[IllegalArgumentException](Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "audio", "output" -> "segments",
+      "threshold-ppm" -> "900000", "save-path" -> segOut)))
+    val segHi = Pipeline.run(spark, Map(
+      "stage" -> "mediadedup", "input" -> mediaDir,
+      "fingerprint" -> "audio", "output" -> "segments",
+      "min-seg" -> "3", "save-path" -> segOut)).collect().head
+    assert(segHi.getLong(0) == 0L, "min-seg 3 filters the 2-vote pair")
     assertThrows[IllegalArgumentException](Pipeline.run(spark, Map(
       "stage" -> "mediadedup", "input" -> mediaDir,
       "fingerprint" -> "nope", "save-path" -> clusOut)))

@@ -136,8 +136,11 @@ class CurateStageSpec extends SparkSpec {
       (3L, base + " tail tri", "en"),
       (4L, ("other words here okay fine " * 12).trim, "en")
     ).toDF("doc_id", "text", "lang")
+    // DEFAULT maxDupFrac: the span stage must not re-delete the
+    // cluster soft mode deliberately kept (span statistics run over
+    // one representative per cluster; members inherit the verdict)
     val soft = CurateStage.run(docs, CurateStage.CurateOptions(
-      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      minWords = 30, defaultRate = 100,
       nearDupJaccard = Some(0.5), softDedup = true))
     val got = soft.curated.select($"doc_id", $"weight_ppm")
       .as[(Long, Long)].collect().toMap

@@ -333,6 +333,13 @@ class MediaDedupSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       align(Seq((1L, 0, a), (1L, 0, clip))))
     assert(ex.getMessage.contains("conflicting content"))
+    // the sneaky variant: same key, one content a strict PREFIX of
+    // the other — every shared position dedupes cleanly and only the
+    // n_pos disagreement betrays the conflict
+    val aPlus = a ++ Array[Byte](6, 6)
+    val ex2 = intercept[IllegalArgumentException](
+      align(Seq((1L, 0, a), (1L, 0, aPlus))))
+    assert(ex2.getMessage.contains("conflicting content"))
   }
 
   test("alignment law: 40 random sequences with planted clips all " +

@@ -462,6 +462,20 @@ class CorpusOpsSpec extends SparkSpec {
     got.foreach { case (label, _, _, _, l1) =>
       assert(l1 > 0L, s"$label periods identical — fixture degenerate")
     }
+    // a label present in only ONE period is the most drastic drift
+    // (appeared/disappeared) — it must surface with n = 0 and null
+    // metrics, not vanish through the period join
+    val synth = Seq(
+      (0L, Seq(1.0f, 2.0f), "both"), (1L, Seq(1.0f, 2.5f), "both"),
+      (2L, Seq(3.0f, 4.0f), "only_a"))
+      .toDF("vec_id", "embedding", "label")
+    val sg = QualityQueries.embeddingDriftOf(synth).collect()
+    assert(sg.map(_.getString(0)).toSeq == Seq("both", "only_a"))
+    val onlyA = sg.find(_.getString(0) == "only_a").get
+    assert(onlyA.getLong(1) == 1L && onlyA.getLong(2) == 0L)
+    assert(onlyA.isNullAt(3) && onlyA.isNullAt(4))
+    val both = sg.find(_.getString(0) == "both").get
+    assert(!both.isNullAt(3) && !both.isNullAt(4))
   }
 
   test("qc08: token-budget mix equals the brute-force greedy prefix " +

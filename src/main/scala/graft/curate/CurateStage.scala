@@ -172,7 +172,17 @@ object CurateStage {
       r => s3n.select(col("doc_id"), col("text")).join(r, Seq("doc_id")))
     val sh = graft.functions.ShingleHash.exploded(spanDocs, opts.gramK)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val spanKRep = graft.queries.CurationQueries.dupSpansFrom(sh)
+    // gram document frequency: computed ONCE — the span filter and the
+    // span scrub both consume it, and recomputing it would run the
+    // corpus-sized gram aggregation twice per job. Persisted only when
+    // the scrub actually reuses it (it is distinct-gram-sized).
+    val gramDf0 = graft.queries.CurationQueries.gramDfFrom(sh)
+    val gramDfPersisted =
+      if (opts.spanScrub) Some(gramDf0.persist(StorageLevel.MEMORY_AND_DISK))
+      else None
+    val gramDf = gramDfPersisted.getOrElse(gramDf0)
+    val spanKRep = graft.queries.CurationQueries
+      .dupSpansFrom(sh, Some(gramDf))
       .select(col("doc_id"),
         when(col("dup_frac") <= opts.maxDupFrac, 1).otherwise(0)
           .as("span_keep"))
@@ -213,14 +223,12 @@ object CurateStage {
     // and the scrub cleans the rest. Case is preserved; matching is
     // case-folded like every shingle decision in the funnel.
     val scrubbed = if (opts.spanScrub) {
-      val dup = sh.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-        .select(col("sh"))
+      val dup = gramDf.filter(col("df") >= 2).select(col("sh"))
       val posF = graft.functions.ShingleHash.positional(
         s3n.select(col("doc_id"), col("text")), opts.gramK)
       Some(graft.queries.CurationQueries.spanScrubFrom(
         s3n.select(col("doc_id"), col("text")), posF, dup,
-        preserveCase = true)
+        preserveCase = true, gramK = opts.gramK)
         .select(col("doc_id"), col("scrubbed")))
     } else None
 
@@ -244,6 +252,7 @@ object CurateStage {
     all.count(): Unit // materialize, then release the stage-internals
     // blocking for the same reason as CurateResult.close
     sh.unpersist(blocking = true)
+    gramDfPersisted.foreach(_.unpersist(blocking = true): Unit)
     s3n.unpersist(blocking = true)
     s3Opt.foreach(_.unpersist(blocking = true))
 

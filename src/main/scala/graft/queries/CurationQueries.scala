@@ -137,9 +137,15 @@ object CurationQueries extends QueryRegistry {
 
   /** Core of qd12 over any exploded (doc_id, sh) frame — shared with
     * the scale probe. */
-  private[graft] def dupSpansFrom(sh: DataFrame): DataFrame = {
-    val df = sh.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
+  /** Per-gram document frequency over an exploded shingle frame — the
+    * one corpus-sized aggregation the span filter AND the span scrub
+    * both need; exposed so a funnel computes it once. */
+  private[graft] def gramDfFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+
+  private[graft] def dupSpansFrom(sh: DataFrame,
+      dfOpt: Option[DataFrame] = None): DataFrame = {
+    val df = dfOpt.getOrElse(gramDfFrom(sh))
     sh.join(df, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -181,7 +187,8 @@ object CurationQueries extends QueryRegistry {
     * operator that must rewrite text has it; (4) the cut itself is a
     * row-local array filter, no further movement. */
   private[graft] def spanScrubFrom(docs: DataFrame, pos: DataFrame,
-      dupSh: DataFrame, preserveCase: Boolean = false): DataFrame = {
+      dupSh: DataFrame, preserveCase: Boolean = false,
+      gramK: Int = GramK): DataFrame = {
     // gram MATCHING is always case-folded (the shingle convention);
     // `preserveCase` only controls whether the emitted text keeps the
     // original casing (the library/funnel posture — token positions
@@ -195,8 +202,11 @@ object CurationQueries extends QueryRegistry {
     docs.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), tokens.as("ws"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      // the cut width MUST match the gram width the positional frame
+      // was built with — a fixed width would under-cut wider grams
+      // and over-cut narrower ones
       .select(col("doc_id"), col("ws"), col("starts"),
-        least(lit(GramK), size(col("ws"))).as("span"))
+        least(lit(gramK), size(col("ws"))).as("span"))
       .select(col("doc_id"), col("ws"),
         filter(sequence(lit(1), size(col("ws"))), j =>
           !exists(col("starts"), s0 =>

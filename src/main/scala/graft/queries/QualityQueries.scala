@@ -538,7 +538,7 @@ object QualityQueries extends QueryRegistry {
   /** CDF/KS arithmetic over a (source, bin, n) counts frame — shared
     * by the batch gate (qa08) and its streaming twin (st14), which
     * differ only in how the counts accumulate. */
-  private def ksDriftFrom(s: SparkSession, c0: DataFrame): DataFrame = {
+  private[graft] def ksDriftFrom(s: SparkSession, c0: DataFrame): DataFrame = {
     import s.implicits._
     val c = c0
     val occ = c.groupBy($"bin").agg(sum($"n").as("n_all"))
@@ -553,12 +553,17 @@ object QualityQueries extends QueryRegistry {
     val cumAll = occ.as("o1").join(occ.as("o2"), $"o2.bin" <= $"o1.bin")
       .groupBy($"o1.bin").agg(sum($"o2.n_all").as("cum_all"))
       .select($"bin", $"cum_all")
+    // single-source corpora have no "rest of corpus" to drift against:
+    // grand == tot_s would divide by zero — Spark's non-ANSI division
+    // would null silently while the DuckDB twin errors; make BOTH
+    // total with an explicit null (the audit row still surfaces)
     val d = cumS.join(cumAll, "bin").crossJoin(broadcast(grand))
       .select($"source", $"bin", $"cum_s",
         ($"cum_all" - $"cum_s").as("cum_ref"),
-        abs(($"cum_s" * 1000000L / $"tot_s").cast("long")
-          - (($"cum_all" - $"cum_s") * 1000000L
-            / ($"grand" - $"tot_s")).cast("long")).as("d_ppm"))
+        when($"grand" =!= $"tot_s",
+          abs(($"cum_s" * 1000000L / $"tot_s").cast("long")
+            - (($"cum_all" - $"cum_s") * 1000000L
+              / ($"grand" - $"tot_s")).cast("long"))).as("d_ppm"))
     val ks = d.groupBy($"source").agg(max($"d_ppm").as("ks_ppm"))
     d.join(ks, "source")
       .select($"source", $"bin", $"cum_s", $"cum_ref", $"d_ppm", $"ks_ppm")
@@ -610,8 +615,10 @@ object QualityQueries extends QueryRegistry {
       |  FROM occ o1 JOIN occ o2 ON o2.bin <= o1.bin GROUP BY o1.bin),
       |d AS (SELECT cs.source, cs.bin, cum_s,
       |    cum_all - cum_s AS cum_ref,
-      |    abs(cum_s * 1000000 // tot_s
-      |      - (cum_all - cum_s) * 1000000 // (grand - tot_s)) AS d_ppm
+      |    CASE WHEN grand <> tot_s THEN
+      |      abs(cum_s * 1000000 // tot_s
+      |        - (cum_all - cum_s) * 1000000 // (grand - tot_s))
+      |    END AS d_ppm
       |  FROM cs JOIN ca ON cs.bin = ca.bin, g),
       |k AS (SELECT source, max(d_ppm) AS ks_ppm FROM d GROUP BY source)
       |SELECT d.source, d.bin, cum_s::BIGINT AS cum_s,

@@ -55,8 +55,20 @@ object Cbor {
     }
   }
 
-  def decode(bytes: Array[Byte]): Any =
-    decode(new java.io.ByteArrayInputStream(bytes))
+  /** One item, whole buffer: trailing bytes after the item are
+    * corruption (the msgpack ExtraData condition, same rationale as
+    * [[Msgpack.decode]]) — fail typed for the handler policy instead
+    * of silently decoding a partial value. Shard streams that
+    * legitimately concatenate items use the stream form in a loop
+    * ([[graft.wds.CborReader]]). */
+  def decode(bytes: Array[Byte]): Any = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val v = decode(in)
+    if (in.read() >= 0)
+      throw new IllegalArgumentException(
+        s"trailing bytes after CBOR item (${in.available() + 1} left)")
+    v
+  }
 
   /** Map view of a decoded map value (last duplicate key wins). */
   def toMap(v: Any): Map[Any, Any] = v match {

@@ -119,8 +119,8 @@ object Gopen {
           // gopen_curl-style `curl -s '{}'` would wrap our quoting in
           // a second layer and a URL with spaces would split into
           // shell words or carry literal quote characters.
-          openPipe(substitute(substitute(h.stripPrefix("pipe:"),
-            "{path}", rest), "{}", u))
+          openPipe(substituteAll(h.stripPrefix("pipe:"),
+            Seq("{path}" -> rest, "{}" -> u)))
         case Some(alias) =>
           val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
           openResolved(alias + u.stripPrefix(scheme), conf, aliased = true)
@@ -141,10 +141,30 @@ object Gopen {
     * so the substitution is always exactly one quoted shell word. */
   private[wds] def substitute(
       template: String, placeholder: String, value: String): String =
-    template
-      .replace("'" + placeholder + "'", placeholder)
-      .replace("\"" + placeholder + "\"", placeholder)
-      .replace(placeholder, shellQuote(value))
+    substituteAll(template, Seq(placeholder -> value))
+
+  /** SIMULTANEOUS substitution of several placeholders: the template
+    * is tokenized on the placeholders FIRST, then values are inserted
+    * shell-quoted. Sequential `.replace` chains would re-scan already
+    * substituted values — a shard path containing a literal `{}`
+    * would have the full URL spliced into its own middle by the
+    * second pass. Values are data; they are never re-scanned. */
+  private[wds] def substituteAll(template: String,
+      subs: Seq[(String, String)]): String = {
+    val absorbed = subs.foldLeft(template) { case (t, (p, _)) =>
+      t.replace("'" + p + "'", p).replace("\"" + p + "\"", p)
+    }
+    // longest placeholder first so "{path}" is split out before "{}"
+    def expand(s: String, rest: List[(String, String)]): String =
+      rest match {
+        case Nil => s
+        case (p, v) :: tail =>
+          s.split(java.util.regex.Pattern.quote(p), -1)
+            .map(seg => expand(seg, tail))
+            .mkString(shellQuote(v))
+      }
+    expand(absorbed, subs.sortBy(-_._1.length).toList)
+  }
 
   def openPipe(cmd: String): InputStream = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)

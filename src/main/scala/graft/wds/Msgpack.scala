@@ -60,8 +60,19 @@ object Msgpack {
     }
   }
 
-  def decode(bytes: Array[Byte]): Any =
-    decode(new java.io.ByteArrayInputStream(bytes))
+  /** One item, whole buffer: trailing bytes after the item are the
+    * reference `msgpack.unpackb` ExtraData condition — corruption (a
+    * mis-concatenated or half-overwritten entry) that must surface as
+    * a typed failure for the handler policy, not decode silently to a
+    * partial value. Multi-item streams use [[decodeAll]]. */
+  def decode(bytes: Array[Byte]): Any = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val v = decode(in)
+    if (in.read() >= 0)
+      throw new IllegalArgumentException(
+        s"trailing bytes after msgpack item (${in.available() + 1} left)")
+    v
+  }
 
   private def req(in: InputStream): Int = {
     val b = in.read()

@@ -121,7 +121,12 @@ object Npy {
     val (headerLen, headerOff) =
       if (major == 1) ((bb.getShort(8) & 0xffff, 10))
       else (bb.getInt(8), 12)
-    require(headerLen >= 0 && headerOff + headerLen <= bytes.length,
+    // Long arithmetic: a crafted v2/v3 headerLen near Int.MaxValue
+    // would wrap `headerOff + headerLen` negative, pass an Int-typed
+    // check, and escape as StringIndexOutOfBounds — outside the typed
+    // failure class the wds handler policy routes
+    require(headerLen >= 0 &&
+      headerOff.toLong + headerLen.toLong <= bytes.length.toLong,
       s"npy header overruns ($headerLen)")
     val header =
       new String(bytes, headerOff, headerLen, US_ASCII)

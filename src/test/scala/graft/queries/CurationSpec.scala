@@ -254,6 +254,39 @@ class CurationSpec extends SparkSpec {
       (3L, 6, 0, "p q r s t u")))
   }
 
+  test("spanScrubFrom cuts the gram width it was BUILT with, not a " +
+    "fixed 5") {
+    import spark.implicits._
+    // one duplicated 3-gram "a b c" across two docs; with gramK = 3
+    // exactly the 3 covered tokens are cut — a fixed 5-wide cut would
+    // also delete the innocent "d e" tail
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x y")).toDF("doc_id", "text")
+    val sh = graft.functions.ShingleHash.exploded(docs, 3)
+    val dup = CurationQueries.gramDfFrom(sh)
+      .filter($"df" >= 2).select($"sh")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    val out = CurationQueries.spanScrubFrom(docs, pos, dup, gramK = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 5, 3, "d e"),
+      (2L, 5, 3, "x y")))
+  }
+
+  test("ksDriftFrom: a single-source corpus yields null drift (no " +
+    "rest-of-corpus), not a division error or silent nulls mismatch") {
+    import spark.implicits._
+    val counts = Seq(("only", 0, 5L), ("only", 1, 7L))
+      .toDF("source", "bin", "n")
+    val out = QualityQueries.ksDriftFrom(spark, counts).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5),
+        "single-source drift must be null")
+    }
+  }
+
   test("positional kernel matches the declarative per-position " +
     "HOF form value-for-value") {
     import spark.implicits._

@@ -226,6 +226,23 @@ class GopenSpec extends SparkSpec {
     }
   }
 
+  test("substitution never re-scans substituted values: a path " +
+    "containing a literal placeholder stays data") {
+    // sequential replace chains would splice the URL into the middle
+    // of the already-substituted {path} value
+    val tricky = "a{}b"
+    val out = Gopen.substituteAll("cat '{path}' {}",
+      Seq("{path}" -> tricky, "{}" -> s"q1://$tricky"))
+    assert(out == s"cat '$tricky' 'q1://$tricky'", out)
+    // and end-to-end through a registered scheme handler
+    withProp("graft.gopen.schemes", "q9=pipe:printf %s '{path}'") {
+      val in = Gopen.open("q9://" + tricky,
+        spark.sparkContext.hadoopConfiguration)
+      assert(new String(in.readAllBytes(), UTF_8) == tricky)
+      in.close()
+    }
+  }
+
   test("USE_AIS_FOR aliases listed protocols to the ais handler") {
     val tar = writeTar(5)
     val conf = spark.sparkContext.hadoopConfiguration

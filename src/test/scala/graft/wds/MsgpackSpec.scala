@@ -113,6 +113,19 @@ class MsgpackSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Msgpack.decode(hex("c1")))
   }
 
+  test("byte-array decode rejects trailing bytes (the unpackb " +
+    "ExtraData condition) — corruption must not pass as a value") {
+    val one = Msgpack.encode(Map("k" -> 1L))
+    assert(Msgpack.toMap(Msgpack.decode(one)) == Map("k" -> 1L))
+    val ex = intercept[IllegalArgumentException](
+      Msgpack.decode(one ++ Array[Byte](0x01)))
+    assert(ex.getMessage.contains("trailing"))
+    val ex2 = intercept[IllegalArgumentException](
+      graft.wds.Cbor.decode(
+        graft.wds.Cbor.encode(Seq(1L, 2L)) ++ Array[Byte](0x00)))
+    assert(ex2.getMessage.contains("trailing"))
+  }
+
   test("registry dispatch: mp/msg/msgpack/cbor decode + encode rows") {
     import Codecs.Decoded
     val sample = Msgpack.MsgMap(Vector("n" -> 42L))

@@ -106,6 +106,13 @@ class NpySpec extends AnyFunSuite {
     assert(be.toLongs.toSeq == Seq(1L, 512L))
     // unsupported structured dtype rejected
     assertThrows[IllegalArgumentException](Npy.itemSize("|V16"))
+    // crafted v2 headerLen near Int.MaxValue: Int arithmetic would
+    // wrap the bounds check negative and escape as StringIndexOOB —
+    // outside the typed failure class the handler policy routes
+    val crafted = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y',
+      2, 0, 0xf4.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte,
+      'x', 'x', 'x', 'x')
+    assertThrows[IllegalArgumentException](Npy.decode(crafted))
   }
 
   test("registry dispatch: npy/npz decode + encode rows") {

@@ -365,6 +365,63 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** qd24: containment KEEP-LIST — the deletion POLICY on top of
+    * qd22's signal: a document ≥τ-contained in a LARGER document (by
+    * distinct-shingle count; ties keep the smaller doc_id) is an
+    * excerpt/quote/near-subset and is dropped; maximal documents
+    * survive. This is the policy Jaccard-based keep-lists (qd08/qd09)
+    * cannot express — a 40%-of-the-big-doc excerpt has low Jaccard but
+    * containment 1.0 — and the direction rule (drop the SMALLER side)
+    * is what makes it safe: the full document always survives its own
+    * excerpts. Scale shape = qd22's (bottom-k candidates, 16-hex
+    * hashes on the wire) plus one size join and one count per
+    * contained doc. */
+  private def containmentKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val pairs = containmentFrom(docs)
+    val sh = docs.select($"doc_id",
+      explode(hashedShingles(words($"text"))).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val contained = pairs
+      .join(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n")), "b_id")
+      .select(when($"a_n" < $"b_n", $"a_id")
+        .when($"b_n" < $"a_n", $"b_id")
+        .otherwise(greatest($"a_id", $"b_id")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("nc"))
+    sizes.join(contained, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_sh",
+        coalesce($"nc", lit(0L)).as("n_containers"),
+        when($"nc".isNull, 1).otherwise(0).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private val containmentKeepSql = {
+    val pairs = containmentSql.replace("ORDER BY a_id, b_id", "")
+    val hashed =
+      "list_distinct(list_transform(shs, x -> substr(md5(x), 1, 16)))"
+    s"""WITH p AS (SELECT * FROM ($pairs) q),
+       |w AS ($wsSqlCte),
+       |s AS ($shinglesSql),
+       |sh2 AS (SELECT doc_id, unnest($hashed) AS sh FROM s),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+       |ct AS (
+       |  SELECT CASE WHEN na.n_sh < nb.n_sh THEN p.a_id
+       |              WHEN nb.n_sh < na.n_sh THEN p.b_id
+       |              ELSE greatest(p.a_id, p.b_id) END AS doc_id,
+       |    count(*) AS nc
+       |  FROM p
+       |  JOIN sizes na ON p.a_id = na.doc_id
+       |  JOIN sizes nb ON p.b_id = nb.doc_id
+       |  GROUP BY 1)
+       |SELECT s2.doc_id, s2.n_sh,
+       |  coalesce(ct.nc, 0)::BIGINT AS n_containers,
+       |  CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM sizes s2 LEFT JOIN ct USING (doc_id)
+       |ORDER BY s2.doc_id""".stripMargin
+  }
+
   /** 64-bit SimHash over word hashes (first 16 md5 hex digits → Long;
     * per-bit ±1 vote; sign → bit). Single-pass JVM kernel
     * ([[graft.functions.SimHash]]) — the 64-aggregate HOF form runs
@@ -1515,6 +1572,8 @@ object DedupQueries extends QueryRegistry {
     "qd03_lsh_pairs" -> QueryDef(lshPairs, Some(lshPairsSql), bench = true),
     "qd04_ngram_jaccard" -> QueryDef(jaccard, Some(jaccardSql)),
     "qd22_containment" -> QueryDef(containment, Some(containmentSql)),
+    "qd24_containment_keep" -> QueryDef(containmentKeep,
+      Some(containmentKeepSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),
     "qd07_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsSql), bench = true),
     "qd06_embed_near_dup" -> QueryDef(embedDup, Some(embedDupSql), bench = true),

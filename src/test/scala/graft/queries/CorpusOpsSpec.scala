@@ -341,6 +341,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!jacPairs.contains((1L, 2L)))
   }
 
+  test("qd24: the excerpt drops, its superset and bystanders keep; " +
+    "equal-size ties keep the smaller doc_id; fixture law holds") {
+    import spark.implicits._
+    val bw = (1 to 100).map(i => f"tok$i%03d")
+    val df = Seq(
+      (1L, bw.slice(30, 70).mkString(" ")),   // A ⊂ B: the excerpt
+      (2L, bw.mkString(" ")),                 // B: maximal, survives
+      (3L, (1 to 60).map(i => f"oth$i%03d").mkString(" ")), // bystander
+      (4L, bw.slice(30, 70).mkString(" ")))   // A twin: equal-size tie
+      .toDF("doc_id", "text")
+    // private query body exercised through the registered gate shape:
+    // rebuild via the public queries map is fixture-bound, so drive
+    // the operator parts directly
+    val pairs = DedupQueries.containmentFrom(df)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val got = q("qd24_containment_keep") // fixture run: sanity only
+    val cols = got.columns.toSeq
+    assert(cols == Seq("doc_id", "n_sh", "n_containers", "kept"))
+    // synthetic run through the same composition the query uses
+    import org.apache.spark.sql.functions.{count, lit}
+    val sh = graft.functions.ShingleHash.exploded(df, 3)
+    // brute force: doc 1 contained in 2 (larger) and tied with 4
+    // (equal size, larger id 4 drops); doc 4 contained in 2 AND loses
+    // the tie with 1 → dropped; docs 2 and 3 keep
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    def containedSide(a: Long, b: Long): Long =
+      if (sizes(a) < sizes(b)) a
+      else if (sizes(b) < sizes(a)) b else math.max(a, b)
+    val dropped = pairs.map { case (a, b) => containedSide(a, b) }
+    assert(dropped == Set(1L, 4L))
+    // fixture-level law: every dropped doc has at least one container,
+    // every kept doc has none, and at least one doc is dropped (the
+    // fixture plants near-subsets)
+    val fx = got.as[(Long, Long, Long, Int)].collect()
+    fx.foreach { case (id, _, nc, kept) =>
+      assert((kept == 1) == (nc == 0L), s"doc $id")
+    }
+    assert(fx.exists(_._4 == 0), "no containment drop on the fixture")
+  }
+
   test("qd22: emitted stats equal brute-force shingle-set arithmetic " +
     "on the fixture") {
     import spark.implicits._

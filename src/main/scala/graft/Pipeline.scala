@@ -186,9 +186,11 @@ object Pipeline {
       // `--near-dup-jaccard 0.5` enables MinHash/LSH near-dup pruning
       // (one survivor per verified cluster); add `--soft-dedup` to
       // KEEP cluster members and emit weight_ppm = 1e6/|cluster|
-      // instead (the qd23 re-weighting posture); `--span-scrub`
-      // rewrites survivors' text by cutting cross-document duplicated
-      // spans (the qd21 removal pass, case-preserving).
+      // instead (the qd23 re-weighting posture); `--containment 0.6`
+      // drops excerpts near-contained in a larger survivor (the qd24
+      // policy); `--span-scrub` rewrites survivors' text by cutting
+      // cross-document duplicated spans (the qd21 removal pass,
+      // case-preserving).
       case "curate" =>
         val docs = spark.read.parquet(req("input"))
         val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
@@ -207,7 +209,8 @@ object Pipeline {
           evalPath = a.get("eval-path"),
           nearDupJaccard = a.get("near-dup-jaccard").map(_.toDouble),
           spanScrub = a.contains("span-scrub"),
-          softDedup = a.contains("soft-dedup"))
+          softDedup = a.contains("soft-dedup"),
+          containmentTau = a.get("containment").map(_.toDouble))
         val res = graft.curate.CurateStage.run(docs, opts)
         res.curated.write.mode("overwrite").parquet(req("save-path"))
         res.stats

@@ -28,6 +28,9 @@ import org.apache.spark.storage.StorageLevel
   *     SoftDeDup/D4 re-weighting posture (qd23): hard dedup discards
   *     paraphrase-adjacent coverage, soft dedup keeps it but makes
   *     each cluster contribute ~one document per sampling epoch
+  *  3c. containment (opt-in, `containmentTau`) — the qd24 policy:
+  *     near-dup survivors that are near-CONTAINED in a larger survivor
+  *     (excerpts/quotes) drop; maximal documents keep
   *  4. spans    — duplicated-span fraction (Lee et al. 2022 signal at
   *     n-gram grain) over the exact-deduped survivors — computed after
   *     exact dedup so a verbatim duplicate pair reads as ONE document
@@ -68,7 +71,8 @@ object CurateStage {
       evalPath: Option[String] = None,
       nearDupJaccard: Option[Double] = None,
       spanScrub: Boolean = false,
-      softDedup: Boolean = false)
+      softDedup: Boolean = false,
+      containmentTau: Option[Double] = None)
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
@@ -155,8 +159,33 @@ object CurateStage {
       withE.withColumn("near_keep", col("exact_keep")))(nk =>
       withE.join(nk, Seq("doc_id"), "left")
         .withColumn("near_keep", coalesce(col("near_keep"), lit(0))))
-    val s3n = withN.filter(col("near_keep") === 1)
+    // 3c. containment (opt-in, `containmentTau`) — the qd24 policy
+    // over near-dup survivors: a document near-CONTAINED in a larger
+    // survivor (excerpt/quote) drops; maximal documents keep. Runs
+    // after near-dup so cluster-resemblance is already resolved; the
+    // soft-dedup combination is rejected (a weighted member could be
+    // the container of its own representative — the interaction needs
+    // its own design, not a silent guess).
+    require(!(opts.softDedup && opts.containmentTau.nonEmpty),
+      "softDedup + containmentTau is unsupported: containment would " +
+        "drop into clusters soft dedup re-weighted")
+    val s3pre = withN.filter(col("near_keep") === 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val contK = opts.containmentTau.map { tau =>
+      graft.queries.DedupQueries.containmentDropped(
+        s3pre.select(col("doc_id"), col("text")), tau)
+        .select(col("doc_id"), lit(0).as("cont_keep"))
+    }
+    val withC = contK.fold(
+      withN.withColumn("cont_keep", col("near_keep")))(ck =>
+      withN.join(ck, Seq("doc_id"), "left")
+        .withColumn("cont_keep",
+          when(col("near_keep") === 1, coalesce(col("cont_keep"), lit(1)))
+            .otherwise(0)))
+    val s3n =
+      if (contK.isEmpty) s3pre
+      else withC.filter(col("cont_keep") === 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Span-statistics basis: in SOFT mode a kept near-dup cluster must
     // read as ONE document — exactly the rationale for running spans
@@ -232,7 +261,7 @@ object CurateStage {
         .select(col("doc_id"), col("scrubbed")))
     } else None
 
-    val flagged0 = withN.join(spanK, Seq("doc_id"), "left")
+    val flagged0 = withC.join(spanK, Seq("doc_id"), "left")
       .withColumn("span_keep", coalesce(col("span_keep"), lit(0)))
     val flagged = decontamK.fold(
       flagged0.withColumn("decontam_keep", col("span_keep")))(d =>
@@ -242,7 +271,7 @@ object CurateStage {
             lit(0))).otherwise(0)))
 
     val keeps = Seq("quality_keep", "mix_keep", "exact_keep",
-      "near_keep", "span_keep", "decontam_keep")
+      "near_keep", "cont_keep", "span_keep", "decontam_keep")
     val flaggedS = scrubbed.fold(flagged)(sc =>
       flagged.join(sc, Seq("doc_id"), "left")
         .withColumn("text", coalesce(col("scrubbed"), col("text")))
@@ -254,6 +283,7 @@ object CurateStage {
     sh.unpersist(blocking = true)
     gramDfPersisted.foreach(_.unpersist(blocking = true): Unit)
     s3n.unpersist(blocking = true)
+    if (!(s3n eq s3pre)) s3pre.unpersist(blocking = true): Unit
     s3Opt.foreach(_.unpersist(blocking = true))
 
     val curatedBase = all.filter(col("curated") === 1)

@@ -967,8 +967,13 @@ object CurationQueries extends QueryRegistry {
         nearDupJaccard = Some(0.5)))
     val r = res.stats.collect()(0)
     res.close()
-    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // by NAME: the stats frame grows a column whenever the funnel
+    // gains an opt-in stage (cont_keep), and this gate's contract is
+    // the base stages — positional extraction would silently shift
+    Seq((r.getAs[Long]("n_docs"), r.getAs[Long]("quality_keep"),
+        r.getAs[Long]("mix_keep"), r.getAs[Long]("exact_keep"),
+        r.getAs[Long]("near_keep"), r.getAs[Long]("span_keep"),
+        r.getAs[Long]("decontam_keep"), r.getAs[Long]("n_curated")))
       .toDF("n_docs", "quality_keep", "mix_keep", "exact_keep",
         "near_keep", "span_keep", "decontam_keep", "n_curated")
   }

@@ -376,21 +376,33 @@ object DedupQueries extends QueryRegistry {
     * excerpts. Scale shape = qd22's (bottom-k candidates, 16-hex
     * hashes on the wire) plus one size join and one count per
     * contained doc. */
-  private def containmentKeep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir).documents
-    val pairs = containmentFrom(docs)
-    val sh = docs.select($"doc_id",
+  /** (doc_id, nc) of documents to DROP under the containment policy:
+    * the contained side of each qd22 pair (smaller distinct-shingle
+    * count; equal-size ties drop the larger doc_id). Shared by the
+    * qd24 gate and the curate funnel's `--containment` stage. */
+  private[graft] def containmentDropped(
+      docs: DataFrame, tau: Double = ContainTau): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = containmentFrom(docs, tau)
+    val sizes = docs.select($"doc_id",
       explode(hashedShingles(words($"text"))).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val contained = pairs
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    pairs
       .join(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n")), "b_id")
       .select(when($"a_n" < $"b_n", $"a_id")
         .when($"b_n" < $"a_n", $"b_id")
         .otherwise(greatest($"a_id", $"b_id")).as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("nc"))
-    sizes.join(contained, Seq("doc_id"), "left")
+  }
+
+  private def containmentKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val sizes = docs.select($"doc_id",
+      explode(hashedShingles(words($"text"))).as("sh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    sizes.join(containmentDropped(docs), Seq("doc_id"), "left")
       .select($"doc_id", $"n_sh",
         coalesce($"nc", lit(0L)).as("n_containers"),
         when($"nc".isNull, 1).otherwise(0).as("kept"))

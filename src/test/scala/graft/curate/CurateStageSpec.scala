@@ -161,6 +161,35 @@ class CurateStageSpec extends SparkSpec {
     hard.close()
   }
 
+  test("containment stage drops the excerpt, keeps its superset and " +
+    "bystanders; off by default; soft-dedup combination rejected") {
+    import spark.implicits._
+    val big = (1 to 100).map(i => f"tok$i%03d")
+    val docs = Seq(
+      (1L, big.slice(30, 70).mkString(" "), "en"), // excerpt of 2
+      (2L, big.mkString(" "), "en"),
+      (3L, (1 to 60).map(i => f"oth$i%03d").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val on = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      containmentTau = Some(0.6)))
+    val keptOn = on.curated.select($"doc_id").as[Long].collect().toSet
+    val statsOn = on.stats.collect().head
+    on.close()
+    assert(keptOn === Set(2L, 3L), s"excerpt not dropped: $keptOn")
+    assert(statsOn.getAs[Long]("cont_keep") === 2L)
+    // off by default: cont_keep mirrors near_keep, nothing dropped
+    val off = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100))
+    val keptOff = off.curated.select($"doc_id").as[Long].collect().toSet
+    off.close()
+    assert(keptOff === Set(1L, 2L, 3L))
+    // unsupported combination fails loudly, never guesses
+    assertThrows[IllegalArgumentException](CurateStage.run(docs,
+      CurateStage.CurateOptions(nearDupJaccard = Some(0.5),
+        softDedup = true, containmentTau = Some(0.6))))
+  }
+
   test("span scrub cuts a cross-doc duplicated run from BOTH docs, " +
     "preserves casing, leaves unique docs verbatim; off by default") {
     import spark.implicits._

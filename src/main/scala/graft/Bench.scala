@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Headline benchmark: runs `SparkEntry.benchQueries` against
   * SPARK_GRAFT_SF_DIR and prints one JSON line
@@ -66,26 +66,62 @@ object Bench {
     // 32-thread burst inflates the 1-min average, so mid-run re-checks
     // subtract the process's own recent CPU share (conservatively
     // approximated by its current core usage) before comparing.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    def ownCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => 0.0
+    }
+
     val loadLimit = cpus.toDouble / 2
     val maxWaitMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT", "600").toLong * 1000
     var waitBudgetMs = maxWaitMs
     var waited = 0L
     var loadWarning = false
-    def waitQuiet(ownShare: Double): Unit = {
-      while (loadavg.headOption.exists(_ - ownShare > loadLimit) &&
+    // Own-share estimate for the mid-run gate (round-11 ADVICE): the
+    // instantaneous getProcessCpuLoad reads ≈0 right after a 32-thread
+    // burst while that burst still dominates the 1-min loadavg, so the
+    // gate could stall on the bench's own residue. Instead track
+    // (wall, ownCpuSec) samples and report own AVERAGE cores over the
+    // trailing ~60 s — the same window the 1-min loadavg integrates.
+    val ownSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def sampleOwn(): Unit = {
+      val now = System.nanoTime()
+      ownSamples += ((now, ownCpuSec))
+      // keep ~2 min of samples
+      while (ownSamples.length > 2 &&
+        now - ownSamples.head._1 > 120e9.toLong) ownSamples.remove(0): Unit
+    }
+    def ownShareCores: Double = {
+      val now = System.nanoTime(); val own = ownCpuSec
+      // oldest sample inside the 60s window (fallback: oldest kept)
+      ownSamples.find(now - _._1 <= 60e9.toLong)
+        .orElse(ownSamples.headOption) match {
+        case Some((t0, o0)) if now - t0 > 1e9.toLong =>
+          ((own - o0) / ((now - t0) / 1e9)).max(0.0).min(cpus.toDouble)
+        case _ => 0.0
+      }
+    }
+    def waitQuiet(): Unit = {
+      sampleOwn()
+      while (loadavg.headOption.exists(_ - ownShareCores > loadLimit) &&
         waitBudgetMs > 0) {
         System.err.println(
           s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
-            s"$loadLimit (+own $ownShare), waiting for a quiet machine...")
+            f"$loadLimit (+own $ownShareCores%.1f avg cores), waiting " +
+            "for a quiet machine...")
         Thread.sleep(15000)
         waitBudgetMs -= 15000
         waited += 15
+        sampleOwn()
       }
-      if (loadavg.headOption.exists(_ - ownShare > loadLimit))
+      if (loadavg.headOption.exists(_ - ownShareCores > loadLimit))
         loadWarning = true
     }
-    waitQuiet(0.0)
+    waitQuiet()
     val loadStart = loadavg
 
     // optional comma-separated name-prefix filter (e.g. "qd,qs,st,wds"
@@ -121,14 +157,6 @@ object Bench {
         (f(0) + f(1) + f(2) + f.lift(5).getOrElse(0L) +
           f.lift(6).getOrElse(0L)) / userHz
       } catch { case _: Exception => 0.0 }
-    val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
-    def ownCpuSec: Double = osBean match {
-      case b: com.sun.management.OperatingSystemMXBean =>
-        b.getProcessCpuTime / 1e9
-      case _ => 0.0
-    }
-
     // Per-rep I/O adjudication (round-10 verdict: the official capture
     // inflated read-heavy rows 6× while the CPU-only ambient stamped
     // 0.0 — the contaminator was I/O / memory-bandwidth bound, invisible
@@ -193,67 +221,138 @@ object Bench {
       } catch { case _: Exception => 0.0 }
     var totalReruns = 0
 
+    // One query's full adjudicated capture: `reps` kept reps with the
+    // dirty-rep retry logic. Returns (per-rep seconds ascending,
+    // (max ambient cpu/iowait/io-MBps/mem-psi over kept reps), ok).
+    def measure(name: String,
+        fn: (SparkSession, String) => DataFrame)
+        : (Seq[Double], (Double, Double, Double, Double), Boolean) = {
+      val times = Seq.newBuilder[Double]
+      var maxAmbient = 0.0
+      var maxIowait = 0.0
+      var maxIoMbps = 0.0
+      var maxMemPsi = 0.0
+      var ok = true
+      var kept = 0
+      var retries = 0
+      while (ok && kept < reps) {
+        val busy0 = busyCpuSec; val own0 = ownCpuSec
+        val iow0 = iowaitCpuSec
+        val disk0 = diskBytes; val ownIo0 = ownIoBytes
+        val psi0 = memPsiSec
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val ambient =
+            ((busyCpuSec - busy0) - (ownCpuSec - own0)).max(0.0) /
+              wall.max(1e-3)
+          val iowait = (iowaitCpuSec - iow0).max(0.0) / wall.max(1e-3)
+          val ioMbps =
+            ((diskBytes - disk0) - (ownIoBytes - ownIo0)).max(0L) /
+              wall.max(1e-3) / 1e6
+          val dirty = ambient > ambientLimit || iowait > iowaitLimit ||
+            ioMbps > ioMbpsLimit
+          if (dirty && retries < maxRetries) {
+            retries += 1; totalReruns += 1
+            System.err.println(
+              f"[bench] $name rep contaminated (ambient $ambient%.1f " +
+                f"cores, iowait $iowait%.1f, io $ioMbps%.0f MB/s), " +
+                "rerunning")
+          } else {
+            times += wall
+            maxAmbient = maxAmbient.max(ambient)
+            maxIowait = maxIowait.max(iowait)
+            maxIoMbps = maxIoMbps.max(ioMbps)
+            maxMemPsi = maxMemPsi
+              .max((memPsiSec - psi0).max(0.0) / wall.max(1e-3))
+            kept += 1
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          ok = false
+        }
+      }
+      (times.result().sorted,
+        (maxAmbient, maxIowait, maxIoMbps, maxMemPsi), ok)
+    }
+
     // (name, per-rep seconds ascending, max cpu/iowait/io-MBps ambient
     // over kept reps, ok)
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    var results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map {
       case (name, fn) =>
         // re-enter the load gate between queries: a contaminator that
         // arrives mid-run must stall the bench, not pollute the tail
-        // (own recent burst ≈ current own core usage, conservative)
-        waitQuiet(osBean match {
-          case b: com.sun.management.OperatingSystemMXBean =>
-            (b.getProcessCpuLoad.max(0.0) * cpus.toInt).min(cpus.toInt)
-          case _ => 0.0
-        })
-        val times = Seq.newBuilder[Double]
-        var maxAmbient = 0.0
-        var maxIowait = 0.0
-        var maxIoMbps = 0.0
-        var maxMemPsi = 0.0
-        var ok = true
-        var kept = 0
-        var retries = 0
-        while (ok && kept < reps) {
-          val busy0 = busyCpuSec; val own0 = ownCpuSec
-          val iow0 = iowaitCpuSec
-          val disk0 = diskBytes; val ownIo0 = ownIoBytes
-          val psi0 = memPsiSec
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            val wall = (System.nanoTime() - t0) / 1e9
-            val ambient =
-              ((busyCpuSec - busy0) - (ownCpuSec - own0)).max(0.0) /
-                wall.max(1e-3)
-            val iowait = (iowaitCpuSec - iow0).max(0.0) / wall.max(1e-3)
-            val ioMbps =
-              ((diskBytes - disk0) - (ownIoBytes - ownIo0)).max(0L) /
-                wall.max(1e-3) / 1e6
-            val dirty = ambient > ambientLimit || iowait > iowaitLimit ||
-              ioMbps > ioMbpsLimit
-            if (dirty && retries < maxRetries) {
-              retries += 1; totalReruns += 1
-              System.err.println(
-                f"[bench] $name rep contaminated (ambient $ambient%.1f " +
-                  f"cores, iowait $iowait%.1f, io $ioMbps%.0f MB/s), " +
-                  "rerunning")
-            } else {
-              times += wall
-              maxAmbient = maxAmbient.max(ambient)
-              maxIowait = maxIowait.max(iowait)
-              maxIoMbps = maxIoMbps.max(ioMbps)
-              maxMemPsi = maxMemPsi
-                .max((memPsiSec - psi0).max(0.0) / wall.max(1e-3))
-              kept += 1
+        waitQuiet()
+        val (ts, amb, ok) = measure(name, fn)
+        sampleOwn()
+        (name, ts, amb, ok)
+    }
+
+    // Min-vs-envelope radar (round-11 verdict #1): memory-bandwidth
+    // contention inflates rows while every cpu/iowait/disk stamp reads
+    // ≈0 — the one contaminator class the per-rep stamps cannot see.
+    // The working detector is historical: a query whose KEPT MIN
+    // exceeds ~1.5× its best-ever min at this sf, with all stamps
+    // quiet, is either a plan regression or invisible contention.
+    // Distinguish them the only way that works: solo-rerun exactly
+    // those rows at the end of the capture (the machine has had time
+    // to quiesce) and stamp before→after. A rerun that lands back in
+    // envelope exonerates the row inside the artifact; one that stays
+    // high is a real regression and shows up twice.
+    val envFactor = sys.env.get("SPARK_GRAFT_BENCH_ENV_FACTOR")
+      .map(_.toDouble).getOrElse(1.5)
+    val envelope: Map[String, Double] =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val p = java.nio.file.Paths.get("bench_history.jsonl")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(p).asScala
+            .filter(_.nonEmpty)
+            .flatMap { ln =>
+              try {
+                val n = mapper.readTree(ln)
+                if (n.path("sf").asText() != sfDir) Seq.empty
+                else {
+                  val qm = n.path("queries_min")
+                  qm.fieldNames().asScala
+                    .map(k => k -> qm.get(k).asDouble()).toSeq
+                }
+              } catch { case _: Exception => Seq.empty }
             }
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            ok = false
-          }
+            .groupMapReduce(_._1)(_._2)(math.min)
         }
-        (name, times.result().sorted,
-          (maxAmbient, maxIowait, maxIoMbps, maxMemPsi), ok)
+      } catch { case _: Exception => Map.empty }
+    // "all stamps quiet" — the signature of the invisible contaminator
+    def quiet(st: (Double, Double, Double, Double)): Boolean =
+      st._1 < 1.0 && st._2 < 0.5 && st._3 < 50.0
+    val flagged = results.collect {
+      case (name, ts, st, true)
+        if ts.nonEmpty && envelope.get(name).exists(env =>
+          env > 0.05 && ts.head > envFactor * env) && quiet(st) => name
+    }.toSet
+    val rerunNote = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (flagged.nonEmpty) {
+      System.err.println(
+        s"[bench] envelope radar: solo-rerunning ${flagged.mkString(", ")}")
+      results = results.map {
+        case r @ (name, ts, _, true) if flagged(name) =>
+          waitQuiet()
+          val (ts2, st2, ok2) = measure(name + " (envelope rerun)",
+            SparkEntry.benchQueries(name))
+          sampleOwn()
+          if (ok2 && ts2.nonEmpty && ts2.head < ts.head) {
+            rerunNote(name) = f"${ts.head}%.3f->${ts2.head}%.3f"
+            (name, ts2, st2, true)
+          } else {
+            rerunNote(name) = f"${ts.head}%.3f->kept"
+            r
+          }
+        case r => r
+      }
     }
     val loadEnd = loadavg
     // even lengths average the two middle elements (a 2-rep run must
@@ -293,8 +392,10 @@ object Bench {
     }.mkString("[", ",", "]")
     val loads = (loadStart ++ loadEnd).map(v => f"$v%.2f")
       .mkString("[", ",", "]")
+    val envReruns = rerunNote.map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (round-10 verdict: the driver's stdout
     // parse came back `parsed: null` — the official number must also

@@ -561,9 +561,12 @@ object QualityQueries extends QueryRegistry {
       .select($"source", $"bin", $"cum_s",
         ($"cum_all" - $"cum_s").as("cum_ref"),
         when($"grand" =!= $"tot_s",
-          abs(($"cum_s" * 1000000L / $"tot_s").cast("long")
-            - (($"cum_all" - $"cum_s") * 1000000L
-              / ($"grand" - $"tot_s")).cast("long"))).as("d_ppm"))
+          // integral division (`div`), not double-then-cast: above 2^53
+          // a double divide loses integer precision and could diverge
+          // from the oracle's `//` at lake scale
+          abs(expr("cum_s * 1000000 div tot_s")
+            - expr("(cum_all - cum_s) * 1000000 div (grand - tot_s)")))
+          .as("d_ppm"))
     val ks = d.groupBy($"source").agg(max($"d_ppm").as("ks_ppm"))
     d.join(ks, "source")
       .select($"source", $"bin", $"cum_s", $"cum_ref", $"d_ppm", $"ks_ppm")

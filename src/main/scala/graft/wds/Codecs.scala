@@ -348,6 +348,14 @@ object Codecs {
           case other => throw new IllegalArgumentException(
             s"npz entry must be (String, NpyArray), got $other")
         })
+      // the natural analog of np.savez(**data) and of toMap'd decode
+      // output; sorted keys for a stable member order
+      case m: Map[_, _] if last == "npz" =>
+        Npy.encodeNpz(m.toSeq.map {
+          case (name: String, arr: Npy.NpyArray) => (name, arr)
+          case other => throw new IllegalArgumentException(
+            s"npz entry must be (String, NpyArray), got $other")
+        }.sortBy(_._1))
       case v if msgpackExts(last) => Msgpack.encode(v)
       case v if last == "cbor" => Cbor.encode(v)
       case s: String => s.getBytes(UTF_8)

@@ -141,6 +141,10 @@ object Npy {
         .filter(_.nonEmpty).map(_.toInt))
       .getOrElse(throw new IllegalArgumentException(
         s"npy header missing shape: $header"))
+    // a crafted shape like (-2, -4) has a POSITIVE element product and
+    // would pass the buffer-length check below with nonsense dims
+    require(shape.forall(_ >= 0),
+      s"npy negative shape dim: ${shape.mkString("x")}")
     val dataOff = headerOff + headerLen
     val arr = NpyArray(descr, fortran, shape,
       java.util.Arrays.copyOfRange(bytes, dataOff, bytes.length))

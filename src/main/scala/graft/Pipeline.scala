@@ -189,8 +189,12 @@ object Pipeline {
       // instead (the qd23 re-weighting posture); `--containment 0.6`
       // drops excerpts near-contained in a larger survivor (the qd24
       // policy); `--span-scrub` rewrites survivors' text by cutting
-      // cross-document duplicated spans (the qd21 removal pass,
-      // case-preserving).
+      // cross-document duplicated spans (the qd21/qd25 removal pass,
+      // case-preserving); `--min-run 50` scrubs only maximal duplicated
+      // runs of at least that many tokens (Lee et al. 2022 ExactSubstr
+      // regime — the default; 1 restores cut-everything) and
+      // `--gram-df-ceil 1000` ignores grams duplicated across more
+      // documents than that (corpus-common idioms).
       case "curate" =>
         val docs = spark.read.parquet(req("input"))
         val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
@@ -209,6 +213,8 @@ object Pipeline {
           evalPath = a.get("eval-path"),
           nearDupJaccard = a.get("near-dup-jaccard").map(_.toDouble),
           spanScrub = a.contains("span-scrub"),
+          scrubMinRun = a.getOrElse("min-run", "50").toInt,
+          scrubDfCeil = a.get("gram-df-ceil").map(_.toInt),
           softDedup = a.contains("soft-dedup"),
           containmentTau = a.get("containment").map(_.toDouble))
         val res = graft.curate.CurateStage.run(docs, opts)

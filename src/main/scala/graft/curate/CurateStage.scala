@@ -71,6 +71,13 @@ object CurateStage {
       evalPath: Option[String] = None,
       nearDupJaccard: Option[Double] = None,
       spanScrub: Boolean = false,
+      // ExactSubstr fidelity (Lee et al. 2022): scrub only maximal
+      // duplicated runs ≥ scrubMinRun tokens (1 = cut every covered
+      // token, the historical qd21 posture), and ignore grams in more
+      // than scrubDfCeil documents (corpus-common idioms can't
+      // evidence duplication — also the positional fan-out bound)
+      scrubMinRun: Int = 1,
+      scrubDfCeil: Option[Int] = None,
       softDedup: Boolean = false,
       containmentTau: Option[Double] = None)
 
@@ -252,11 +259,15 @@ object CurateStage {
     // and the scrub cleans the rest. Case is preserved; matching is
     // case-folded like every shingle decision in the funnel.
     val scrubbed = if (opts.spanScrub) {
-      val dup = gramDf.filter(col("df") >= 2).select(col("sh"))
+      val dup = gramDf.filter(col("df") >= 2 &&
+          opts.scrubDfCeil.map(c => col("df") <= c)
+            .getOrElse(lit(true)))
+        .select(col("sh"))
       val posF = graft.functions.ShingleHash.positional(
         s3n.select(col("doc_id"), col("text")), opts.gramK)
-      Some(graft.queries.CurationQueries.spanScrubFrom(
+      Some(graft.queries.CurationQueries.spanScrubRunsFrom(
         s3n.select(col("doc_id"), col("text")), posF, dup,
+        minRun = opts.scrubMinRun,
         preserveCase = true, gramK = opts.gramK)
         .select(col("doc_id"), col("scrubbed")))
     } else None

@@ -268,6 +268,141 @@ object CurationQueries extends QueryRegistry {
        |    '') AS scrubbed
        |FROM kp ORDER BY doc_id""".stripMargin
 
+  /** qd25 gate constants. MinRunGate: minimal maximal-run length (in
+    * tokens) a duplicated region must reach before it is scrubbed —
+    * Lee et al. 2022 scrub only duplicated substrings ≥ 50 tokens (the
+    * funnel's CLI default); the fixture's planted runs span 5–99
+    * tokens, so 20 exercises both branches at every sf. DfCeilGate:
+    * grams in more than this many documents are corpus-common idiom
+    * ("on the other hand") and can never evidence duplication — they
+    * are pruned from the dup set BEFORE position matching, which is
+    * also the scale guard: a hot gram's positional fan-out is bounded
+    * by the ceiling, not by its document frequency. */
+  private val MinRunGate = 20
+  private val DfCeilGate = 3
+
+  /** qd21's scrub with ExactSubstr fidelity (round-11 verdict #2):
+    * instead of cutting EVERY token covered by a cross-document
+    * duplicated gram — which at corpus scale shreds documents that
+    * merely share frequent idioms — merge covered positions into
+    * MAXIMAL runs and scrub only runs ≥ `minRun` tokens (Lee et al.
+    * 2022 run their suffix-array scrub at 50 tokens).
+    *
+    * Plan shape is qd21's (dup-gram starts per doc, one doc_id join,
+    * text enters exactly one exchange); the run merge is one linear
+    * row-local pass: expand starts to sorted distinct coverage, mark
+    * run boundaries by comparing each covered position against its
+    * neighbors (indexed `transform`, no per-token shuffle), zip the
+    * boundary lists into (s, e) runs, keep only runs ≥ minRun. The
+    * final keep-filter tests each token against the removed runs —
+    * O(n·runs) with runs ≤ n/minRun, so ≤ n²/minRun worst-case and
+    * effectively linear on real text (a handful of long runs). */
+  private[graft] def spanScrubRunsFrom(docs: DataFrame, pos: DataFrame,
+      dupSh: DataFrame, minRun: Int, preserveCase: Boolean = false,
+      gramK: Int = GramK): DataFrame = {
+    val tokens =
+      if (preserveCase) split(col("text"), " ")
+      else split(lower(col("text")), " ")
+    val starts = pos.join(dupSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val withCov = docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens.as("ws"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("ws"), col("starts"),
+        least(lit(gramK), size(col("ws"))).as("span"))
+      // sorted distinct covered positions: each dup-gram start covers
+      // [s, s + span - 1] (span = gram width, clipped to short docs)
+      .select(col("doc_id"), col("ws"),
+        array_sort(array_distinct(flatten(transform(col("starts"),
+          s0 => sequence(s0, s0 + col("span") - lit(1)))))).as("cov"))
+    // cov(i) starts a run iff cov(i-1) != cov(i)-1; ends one iff
+    // cov(i+1) != cov(i)+1. transform's index is 0-based, element_at
+    // 1-based, so the previous element of index i is element_at(_, i)
+    // and the next is element_at(_, i+2); `when` short-circuits, so
+    // the boundary branches never evaluate an out-of-range index.
+    val rs = filter(
+      transform(col("cov"), (c, i) =>
+        when(i === 0, c).otherwise(
+          when(element_at(col("cov"), i) =!= c - lit(1), c))),
+      x => x.isNotNull)
+    val re = filter(
+      transform(col("cov"), (c, i) =>
+        when(i === size(col("cov")) - 1, c).otherwise(
+          when(element_at(col("cov"), i + lit(2)) =!= c + lit(1), c))),
+      x => x.isNotNull)
+    withCov
+      .select(col("doc_id"), col("ws"),
+        filter(zip_with(rs, re, (s0, e0) =>
+          struct(s0.as("s"), e0.as("e"))),
+          r => r("e") - r("s") + lit(1) >= lit(minRun)).as("runs"))
+      .select(col("doc_id"), col("ws"),
+        filter(sequence(lit(1), size(col("ws"))), j =>
+          !exists(col("runs"), r =>
+            r("s") <= j && j <= r("e"))).as("keep"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        (size(col("ws")) - size(col("keep"))).as("n_removed"),
+        concat_ws(" ",
+          transform(col("keep"), j => element_at(col("ws"), j)))
+          .as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** qd25: span scrub with maximal-run threshold + gram df ceiling —
+    * the production form of qd21 (which this generalizes: minRun = 1
+    * and no ceiling reproduce it exactly, spec-pinned). */
+  private def spanScrubRuns(s: SparkSession, dir: String): DataFrame = {
+    val sh = exploded(s, dir)
+    val dup = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfCeilGate)
+      .select(col("sh"))
+    spanScrubRunsFrom(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      graft.functions.ShingleHash.positional(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")), GramK),
+      dup, MinRunGate)
+  }
+
+  private val spanScrubRunsSql =
+    s"""WITH s AS ($shingleHashesSqlCte),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+       |dup AS (SELECT sh FROM e GROUP BY sh
+       |        HAVING count(*) >= 2 AND count(*) <= $DfCeilGate),
+       |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |      FROM documents),
+       |pw AS (SELECT doc_id, ws, unnest(generate_series(1,
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN len(ws) - ${GramK - 1} ELSE 1 END)) AS pos
+       |      FROM w),
+       |p AS (SELECT doc_id, pos, substr(md5(
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN ${(0 until GramK).map(o =>
+      if (o == 0) "ws[pos]" else s"ws[pos+$o]").mkString(" || ' ' || ")}
+       |          ELSE array_to_string(ws, ' ') END), 1, 16) AS sh
+       |      FROM pw),
+       |ds AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (sh)),
+       |cov AS (SELECT DISTINCT doc_id, pos + o AS j FROM (
+       |        SELECT ds.doc_id, ds.pos, unnest(generate_series(0,
+       |          least($GramK, len(w.ws)) - 1)) AS o
+       |        FROM ds JOIN w ON ds.doc_id = w.doc_id) x),
+       |runs AS (SELECT doc_id, j, j - row_number()
+       |          OVER (PARTITION BY doc_id ORDER BY j) AS grp FROM cov),
+       |longr AS (SELECT doc_id, grp FROM runs GROUP BY doc_id, grp
+       |          HAVING count(*) >= $MinRunGate),
+       |rem AS (SELECT r.doc_id, r.j FROM runs r
+       |        JOIN longr g ON r.doc_id = g.doc_id AND r.grp = g.grp),
+       |cl AS (SELECT doc_id, list(j) AS cov FROM rem GROUP BY doc_id),
+       |kp AS (SELECT w.doc_id, ws,
+       |        list_filter(generate_series(1, len(ws)),
+       |          j -> NOT list_contains(coalesce(cl.cov, []), j)) AS keep
+       |      FROM w LEFT JOIN cl ON w.doc_id = cl.doc_id)
+       |SELECT doc_id, len(ws)::INT AS n_tokens,
+       |  (len(ws) - len(keep))::INT AS n_removed,
+       |  coalesce(array_to_string(list_transform(keep, j -> ws[j]), ' '),
+       |    '') AS scrubbed
+       |FROM kp ORDER BY doc_id""".stripMargin
+
   /** Cosine threshold for the semantic prune: rounded cosines ≥ Tau
     * mark the higher vec_id as redundant. Fixture in-cluster cosines
     * top out at ~0.47 with a ~1% tail above 0.3, so Tau = 0.3 prunes a
@@ -1095,6 +1230,8 @@ object CurationQueries extends QueryRegistry {
     "qd12_dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql), bench = true),
     "qd21_span_scrub" -> QueryDef(spanScrub, Some(spanScrubSql),
       bench = true),
+    "qd25_span_scrub_runs" -> QueryDef(spanScrubRuns,
+      Some(spanScrubRunsSql), bench = true),
     "qs05_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
   )
 }

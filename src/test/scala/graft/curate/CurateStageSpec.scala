@@ -222,6 +222,45 @@ class CurateStageSpec extends SparkSpec {
     assert(textsOff(2L).endsWith("delta epsil"))
   }
 
+  test("span scrub honors scrubMinRun and scrubDfCeil: a short shared " +
+    "idiom and a corpus-hot gram both survive the production settings") {
+    import spark.implicits._
+    val fills = (1 to 4).map(d =>
+      (1 to 30).map(i => f"word$d%d$i%02d").mkString(" "))
+    // docs 1/2 share a 5-token run; docs 1..4 all contain the same
+    // 5-gram idiom (df = 4); unique fill separates them so no
+    // crossing gram widens either shared region
+    val idiom = "On The Other Hand So"
+    val docs = Seq(
+      (1L, "Alpha Betas Gamma Delta Epsil " + fills(0) + " " + idiom, "en"),
+      (2L, idiom + " " + fills(1) + " alpha betas gamma delta epsil", "en"),
+      (3L, fills(2) + " " + idiom, "en"),
+      (4L, idiom + " " + fills(3), "en")
+    ).toDF("doc_id", "text", "lang")
+    // production regime: minRun 10 (> both shared runs) → nothing cut
+    val strict = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      spanScrub = true, scrubMinRun = 10))
+    val tStrict = strict.curated.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    strict.close()
+    assert(tStrict(1L).startsWith("Alpha Betas Gamma"),
+      "minRun=10 scrubbed a 5-token run")
+    assert(tStrict(3L).endsWith(idiom), "minRun=10 scrubbed the idiom")
+    // minRun 1 + df ceiling 3: the df=4 idiom is pruned from the dup
+    // set (survives in all four docs) while the df=2 run is cut
+    val ceil = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      spanScrub = true, scrubMinRun = 1, scrubDfCeil = Some(3)))
+    val tCeil = ceil.curated.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    ceil.close()
+    assert(!tCeil(1L).contains("Alpha Betas"), "df<=ceil run not cut")
+    assert(tCeil(1L).endsWith(idiom), "hot idiom cut from doc 1")
+    assert(tCeil(3L).endsWith(idiom), "hot idiom cut from doc 3")
+    assert(tCeil(4L).startsWith(idiom), "hot idiom cut from doc 4")
+  }
+
   test("decontamination drops exactly the overlapping docs (both sides)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("curate_ev").toString

@@ -274,6 +274,66 @@ class CurationSpec extends SparkSpec {
       (2L, 5, 3, "x y")))
   }
 
+  test("qd25: a doc sharing only a short idiom survives intact while " +
+    "a long duplicated run is scrubbed (min-run threshold)") {
+    import spark.implicits._
+    // docs 1/2 share a 12-token run (>= minRun 10 → scrubbed); docs
+    // 3/4 share only the 5-token idiom "on the other hand so" (< 10 →
+    // Lee et al. would NOT scrub it; the qd21 posture would shred it)
+    val run = (1 to 12).map(i => f"dup$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, run + " tail1a tail1b tail1c"),
+      (2L, "head2a head2b " + run),
+      (3L, "on the other hand so we kept going further today"),
+      (4L, "they stood on the other hand so nothing was lost"))
+      .toDF("doc_id", "text")
+    val sh = graft.functions.ShingleHash.exploded(docs, 5)
+    val dup = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"sh")
+    val pos = graft.functions.ShingleHash.positional(docs, 5)
+    val out = CurationQueries.spanScrubRunsFrom(docs, pos, dup,
+        minRun = 10)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 15, 12, "tail1a tail1b tail1c")))
+    assert(out(1) == ((2L, 14, 12, "head2a head2b")))
+    // idiom-only docs pass through VERBATIM
+    assert(out(2)._3 == 0 && out(2)._4.startsWith("on the other hand"))
+    assert(out(3)._3 == 0 && out(3)._4.startsWith("they stood on"))
+  }
+
+  test("qd25: grams above the df ceiling never enter the dup set — " +
+    "docs sharing only a corpus-hot idiom survive even at min-run 1") {
+    import spark.implicits._
+    // the same 5-gram in 5 docs: df = 5 > ceiling 3 → pruned from the
+    // dup set BEFORE position matching (the 100 TB fan-out guard)
+    val docs = (1L to 5L).map(i =>
+      (i, s"on the other hand so unique${i}a unique${i}b unique${i}c"))
+      .toDF("doc_id", "text")
+    val sh = graft.functions.ShingleHash.exploded(docs, 5)
+    val dup = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= 3).select($"sh")
+    val pos = graft.functions.ShingleHash.positional(docs, 5)
+    val out = CurationQueries.spanScrubRunsFrom(docs, pos, dup,
+        minRun = 1)
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.forall(_._3 == 0), "hot-idiom gram caused a scrub")
+  }
+
+  test("qd25 with minRun = 1 and no ceiling reproduces qd21 exactly " +
+    "on the fixture") {
+    val docs = graft.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    val sh = graft.functions.ShingleHash.exploded(docs, 5)
+    val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val pos = graft.functions.ShingleHash.positional(docs, 5)
+    val legacy = CurationQueries.spanScrubFrom(docs, pos, dup)
+      .collect().toSeq
+    val runs1 = CurationQueries.spanScrubRunsFrom(docs, pos, dup,
+      minRun = 1).collect().toSeq
+    assert(runs1 == legacy)
+  }
+
   test("ksDriftFrom: a single-source corpus yields null drift (no " +
     "rest-of-corpus), not a division error or silent nulls mismatch") {
     import spark.implicits._

@@ -216,7 +216,8 @@ object Pipeline {
           scrubMinRun = a.getOrElse("min-run", "50").toInt,
           scrubDfCeil = a.get("gram-df-ceil").map(_.toInt),
           softDedup = a.contains("soft-dedup"),
-          containmentTau = a.get("containment").map(_.toDouble))
+          containmentTau = a.get("containment").map(_.toDouble),
+          containmentDfCeil = a.get("containment-df-ceil").map(_.toInt))
         val res = graft.curate.CurateStage.run(docs, opts)
         res.curated.write.mode("overwrite").parquet(req("save-path"))
         res.stats

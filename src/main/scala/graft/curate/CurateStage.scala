@@ -79,7 +79,11 @@ object CurateStage {
       scrubMinRun: Int = 1,
       scrubDfCeil: Option[Int] = None,
       softDedup: Boolean = false,
-      containmentTau: Option[Double] = None)
+      containmentTau: Option[Double] = None,
+      // qd26: sketch-side df ceiling for the containment stage (a
+      // shingle in more documents than this cannot evidence subset
+      // duplication — and bounds the candidate fan-out at corpus scale)
+      containmentDfCeil: Option[Int] = None)
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
@@ -180,7 +184,8 @@ object CurateStage {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val contK = opts.containmentTau.map { tau =>
       graft.queries.DedupQueries.containmentDropped(
-        s3pre.select(col("doc_id"), col("text")), tau)
+        s3pre.select(col("doc_id"), col("text")), tau,
+        opts.containmentDfCeil)
         .select(col("doc_id"), lit(0).as("cont_keep"))
     }
     val withC = contK.fold(

@@ -298,17 +298,31 @@ object DedupQueries extends QueryRegistry {
     * rows on the sketch side. A corpus-hot shingle that happens to be
     * some doc's bottom-k hash fans out by its document frequency —
     * at 100 TB, prune shingles above a df ceiling from the SKETCH side
-    * first (they cannot evidence subset duplication); the fixture's
-    * df profile doesn't need the cap and the gate keeps the pure form. */
+    * first (they cannot evidence subset duplication): pass
+    * `sketchDfCeil` and sketch hashes in more documents than that are
+    * dropped before the candidate join, bounding per-hash fan-out by
+    * the ceiling instead of the corpus (measured on the 10× ring
+    * fixture: 13.1M candidate pairs pure vs 22k at ceil 20). The
+    * FULL-side relation is untouched, so shared counts — and therefore
+    * containment values — of surviving candidates stay exact; the only
+    * loss is a pair whose every bottom-k witness is corpus-hot, which
+    * by the ceiling's premise was not subset evidence. qd22 gates the
+    * pure form, qd26 the capped production form. */
   private[graft] def containmentFrom(
-      docs: DataFrame, tau: Double = ContainTau): DataFrame = {
+      docs: DataFrame, tau: Double = ContainTau,
+      sketchDfCeil: Option[Int] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = docs.select($"doc_id",
       explode(hashedShingles(words($"text"))).as("sh"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val bk = docs.select($"doc_id".as("bk_id"),
+    val bk0 = docs.select($"doc_id".as("bk_id"),
       explode(slice(sort_array(hashedShingles(words($"text"))),
         1, BottomK)).as("sh"))
+    val bk = sketchDfCeil.fold(bk0) { ceil =>
+      val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > ceil).select($"sh")
+      bk0.join(hot, Seq("sh"), "left_anti")
+    }
     val cand = bk.join(sh.as("o"), Seq("sh"))
       .filter($"bk_id" =!= col("o.doc_id"))
       .select(least($"bk_id", col("o.doc_id")).as("a_id"),
@@ -365,6 +379,53 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Sketch-side df ceiling for qd26 — a shingle in more than this
+    * many documents is corpus-common and cannot evidence subset
+    * duplication. 20 leaves the small fixtures' profiles untouched
+    * (max df 9), mildly binds at sf0.1 (df up to 25) and is the scale
+    * guard at the 10× ring (df up to 250). */
+  private val CapDfCeil = 20
+
+  /** qd26: qd22's bottom-k containment with the sketch-side df
+    * ceiling — the production form of the operator at corpus scale. */
+  private def containmentCapped(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(Tables(s, dir).documents,
+        sketchDfCeil = Some(CapDfCeil))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val containmentCappedSql = {
+    val hashed =
+      "list_distinct(list_transform(shs, x -> substr(md5(x), 1, 16)))"
+    s"""WITH w AS ($wsSqlCte),
+       |s AS ($shinglesSql),
+       |sh AS (SELECT doc_id, unnest($hashed) AS sh FROM s),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |hot AS (SELECT sh FROM sh GROUP BY sh
+       |        HAVING count(*) > $CapDfCeil),
+       |bk AS (SELECT doc_id AS bk_id,
+       |    unnest(list_sort($hashed)[1:$BottomK]) AS sh FROM s),
+       |bkc AS (SELECT bk_id, sh FROM bk ANTI JOIN hot USING (sh)),
+       |cand AS (
+       |  SELECT DISTINCT least(bk_id, o.doc_id) AS a_id,
+       |    greatest(bk_id, o.doc_id) AS b_id
+       |  FROM bkc JOIN sh o USING (sh) WHERE bk_id <> o.doc_id),
+       |shared AS (
+       |  SELECT a_id, b_id, count(*) AS shared
+       |  FROM cand
+       |  JOIN sh sa ON a_id = sa.doc_id
+       |  JOIN sh sb ON b_id = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, shared,
+       |  round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6) AS containment,
+       |  round(shared::DOUBLE / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+       |FROM shared
+       |JOIN sizes na ON a_id = na.doc_id
+       |JOIN sizes nb ON b_id = nb.doc_id
+       |WHERE round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6)
+       |  >= $ContainTau
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** qd24: containment KEEP-LIST — the deletion POLICY on top of
     * qd22's signal: a document ≥τ-contained in a LARGER document (by
     * distinct-shingle count; ties keep the smaller doc_id) is an
@@ -381,9 +442,10 @@ object DedupQueries extends QueryRegistry {
     * count; equal-size ties drop the larger doc_id). Shared by the
     * qd24 gate and the curate funnel's `--containment` stage. */
   private[graft] def containmentDropped(
-      docs: DataFrame, tau: Double = ContainTau): DataFrame = {
+      docs: DataFrame, tau: Double = ContainTau,
+      sketchDfCeil: Option[Int] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val pairs = containmentFrom(docs, tau)
+    val pairs = containmentFrom(docs, tau, sketchDfCeil)
     val sizes = docs.select($"doc_id",
       explode(hashedShingles(words($"text"))).as("sh"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -1584,6 +1646,8 @@ object DedupQueries extends QueryRegistry {
     "qd03_lsh_pairs" -> QueryDef(lshPairs, Some(lshPairsSql), bench = true),
     "qd04_ngram_jaccard" -> QueryDef(jaccard, Some(jaccardSql)),
     "qd22_containment" -> QueryDef(containment, Some(containmentSql)),
+    "qd26_containment_capped" -> QueryDef(containmentCapped,
+      Some(containmentCappedSql), bench = true),
     "qd24_containment_keep" -> QueryDef(containmentKeep,
       Some(containmentKeepSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),

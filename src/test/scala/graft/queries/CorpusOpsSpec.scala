@@ -341,6 +341,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!jacPairs.contains((1L, 2L)))
   }
 
+  test("qd26: the sketch-side df ceiling drops only pairs whose every " +
+    "bottom-k witness is corpus-hot; a generous ceiling changes nothing") {
+    import spark.implicits._
+    // docs 1/2: a true subset pair over UNIQUE shingles (df = 2).
+    // docs 10..19: ten copies of one short text plus a per-doc tail —
+    // every shared shingle there has df = 10, so with ceiling 5 their
+    // sketch rows are all pruned and the copy-family pairs vanish,
+    // while the 1/2 pair's witnesses (df = 2) survive untouched.
+    val bw = (1 to 100).map(i => f"tok$i%03d")
+    val hotTxt = (1 to 12).map(i => f"hot$i%03d").mkString(" ")
+    val df = (Seq(
+      (1L, bw.slice(30, 70).mkString(" ")),
+      (2L, bw.mkString(" "))) ++
+      (10L to 19L).map(i => (i, s"$hotTxt uniq${i}a uniq${i}b")))
+      .toDF("doc_id", "text")
+    val pure = DedupQueries.containmentFrom(df)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val capped = DedupQueries.containmentFrom(df, sketchDfCeil = Some(5))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pure.contains((1L, 2L)) && capped.contains((1L, 2L)))
+    assert(pure.exists(p => p._1 >= 10L), "copy family absent from pure")
+    assert(!capped.exists(p => p._1 >= 10L),
+      "ceiling failed to prune the hot copy family")
+    // ceiling above the max df = identical output, values included
+    val loose = DedupQueries.containmentFrom(df, sketchDfCeil = Some(100))
+      .collect().toSeq
+    assert(loose == DedupQueries.containmentFrom(df).collect().toSeq)
+  }
+
   test("qd24: the excerpt drops, its superset and bystanders keep; " +
     "equal-size ties keep the smaller doc_id; fixture law holds") {
     import spark.implicits._

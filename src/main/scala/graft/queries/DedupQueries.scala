@@ -312,12 +312,22 @@ object DedupQueries extends QueryRegistry {
       docs: DataFrame, tau: Double = ContainTau,
       sketchDfCeil: Option[Int] = None): DataFrame = {
     import docs.sparkSession.implicits._
+    // The exploded (doc_id, shingle-hash) relation feeds five
+    // downstream consumers (sizes, hot, candidate join, both sides of
+    // the shared count); persist it so the md5-shingle explode runs
+    // once per scan instead of five times. At cluster scale this is
+    // the stage you'd write to parquet once (MediaDedup posture); the
+    // executor cache is the local[32] analog.
     val sh = docs.select($"doc_id",
       explode(hashedShingles(words($"text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val bk0 = docs.select($"doc_id".as("bk_id"),
-      explode(slice(sort_array(hashedShingles(words($"text"))),
-        1, BottomK)).as("sh"))
+    // hashedShingles is array_distinct, so the bottom-k sketch is
+    // derivable from sh itself (no second decode pass): per-doc sort
+    // of the distinct hashes, keep the k smallest.
+    val bk0 = sh.groupBy($"doc_id").agg(
+        slice(sort_array(collect_list($"sh")), 1, BottomK).as("bks"))
+      .select($"doc_id".as("bk_id"), explode($"bks").as("sh"))
     val bk = sketchDfCeil.fold(bk0) { ceil =>
       val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
         .filter($"df" > ceil).select($"sh")

@@ -845,17 +845,31 @@ object MediaQueries extends QueryRegistry {
        |FROM reach GROUP BY id ORDER BY media_id, take""".stripMargin
   }
 
-  /** the mm32 fixture: take 0 = a full video (nx + 4 frames); take 1 =
-    * a CLIP of it starting at display index off = 1 + d%3, nx frames
-    * long — the trim / re-clip shape whose LOCATION the operator must
-    * find (unlike mm27's prefix-sharing re-upload, the overlap here
-    * starts mid-video at a per-doc offset). */
+  /** the mm32 fixture: take 0 = a full video (nx + 4 frames starting
+    * at per-doc content base (d·d) % 3571); take 1 = a CLIP of it
+    * starting `off = 1 + d%3` frames in, nx frames long — the trim /
+    * re-clip shape whose LOCATION the operator must find (unlike
+    * mm27's prefix-sharing re-upload, the overlap here starts
+    * mid-video at a per-doc offset). The quadratic content base
+    * spreads docs across the frame-content orbit (frame pixels are
+    * periodic in d with period lcm(251,15,24) = 30120, so at 50k+
+    * docs sequential ids put every doc past 30120 in the SAME
+    * [0, nx+4) content window as its residue twin — the sf1
+    * verdict-inflation artifact the round-11 ring recorded); with
+    * bases scattered over a 3571-residue orbit slice, residue twins
+    * almost never overlap in content window and verdicts track
+    * planted overlap. Alignment semantics are base-invariant:
+    * display pos = content f − base, so offset and span pins are
+    * unchanged. */
   private val mm32Video =
     udf { (id: Long, take: Int) =>
       val nx = (6 + (id % 3) * 3).toInt
       val off = (1 + id % 3).toInt
-      if (take == 0) graft.multimodal.h264.H264Fixtures.video(id, nx + 4)
-      else graft.multimodal.h264.H264Fixtures.videoClip(id, off, nx)
+      val base = ((id * id) % 3571).toInt
+      if (take == 0)
+        graft.multimodal.h264.H264Fixtures.videoClip(id, base, nx + 4)
+      else
+        graft.multimodal.h264.H264Fixtures.videoClip(id, base + off, nx)
     }
 
   /** mm32: duplicate-SEGMENT localization — mm27 says WHICH videos
@@ -892,11 +906,13 @@ object MediaQueries extends QueryRegistry {
     """WITH g AS (
       |  SELECT doc_id AS d, (16 + doc_id % 24)::INT AS qp,
       |    (6 + (doc_id % 3) * 3)::INT AS nx,
-      |    (1 + doc_id % 3)::INT AS off
+      |    (1 + doc_id % 3)::INT AS off,
+      |    ((doc_id * doc_id) % 3571)::INT AS base
       |  FROM documents),
       |vids AS (
-      |  SELECT d, qp, 0 AS vid, 0 AS lo, nx + 3 AS hi FROM g
-      |  UNION ALL SELECT d, qp, 1 AS vid, off, off + nx - 1 FROM g),
+      |  SELECT d, qp, 0 AS vid, base AS lo, base + nx + 3 AS hi FROM g
+      |  UNION ALL
+      |  SELECT d, qp, 1 AS vid, base + off, base + off + nx - 1 FROM g),
       |fr AS (
       |  SELECT d, qp, vid, unnest(generate_series(lo, hi)) AS f
       |  FROM vids),""".stripMargin + "\n" + frameFpCtes + ",\n" +

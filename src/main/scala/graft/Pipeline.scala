@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage tokenize --input 'out/shard-{0..63}-*.tar' \
   *   --save-path tok/ [--tokenizer-model tokenizer.model] [--max-tokens 8000]
+  *   # or, mixed corpora: --mix-spec shards.yaml [--mix-seed 17]
+  *   #   instead of --input (sources list TAR shards; merge groups
+  *   #   are shard-size runs of the concatenated selection)
   *
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage check --input 'tok/shard_{0..63}-{000000..000009}.tar' \
@@ -101,6 +104,26 @@ object Pipeline {
     } finally in.close()
   }
 
+  /** `--mix-spec` YAML → seeded (source, url) selection, shared by the
+    * pack stage (metadata files) and the tokenize stage (tar shards).
+    * Hadoop FS read: the spec can live beside the corpora
+    * (file:/hdfs:/s3a:), like every other pipeline input. */
+  private def mixTagged(spark: SparkSession, a: Map[String, String],
+      specPath: String)
+      : Seq[(graft.wds.MultiShardSample.SourceSpec, String)] = {
+    val sp = new org.apache.hadoop.fs.Path(specPath)
+    val specFs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val specIn = specFs.open(sp)
+    val yaml =
+      try new String(specIn.readAllBytes(), "UTF-8")
+      finally specIn.close()
+    val spec = graft.wds.MultiShardSample.parseYaml(yaml)
+    val tagged = graft.wds.MultiShardSample.resolveTagged(
+      spec, a.getOrElse("mix-seed", "17").toLong)
+    require(tagged.nonEmpty, s"--mix-spec $specPath selects no files")
+    tagged
+  }
+
   def run(spark: SparkSession, a: Map[String, String]): DataFrame = {
     def req(k: String): String = a.getOrElse(k,
       throw new IllegalArgumentException(s"missing --$k"))
@@ -117,20 +140,7 @@ object Pipeline {
         // file count (corpus specs list dozens of files), never rows.
         val meta = a.get("mix-spec") match {
           case Some(specPath) =>
-            // Hadoop FS read: the spec can live beside the corpora
-            // (file:/hdfs:/s3a:), like every other pipeline input
-            val sp = new org.apache.hadoop.fs.Path(specPath)
-            val specFs = sp.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            val specIn = specFs.open(sp)
-            val yaml =
-              try new String(specIn.readAllBytes(), "UTF-8")
-              finally specIn.close()
-            val spec = graft.wds.MultiShardSample.parseYaml(yaml)
-            val tagged = graft.wds.MultiShardSample.resolveTagged(
-              spec, a.getOrElse("mix-seed", "17").toLong)
-            require(tagged.nonEmpty, s"--mix-spec $specPath selects no files")
-            tagged.map { case (src, url) =>
+            mixTagged(spark, a, specPath).map { case (src, url) =>
               loadMeta(spark,
                 src.dataset.getOrElse(a.getOrElse("dataset", "internvid")),
                 url,
@@ -163,9 +173,20 @@ object Pipeline {
             SentencePieceModel.fromFile(m), Tokenizers.MultimodalSpecials))
           .getOrElse(Tokenizers.testTokenizer())
         // --shard-size: consecutive tars per merge group, the
-        // reference's shard_size (`tokenize/main.py:274`)
-        val samples = WdsReader.readUrlsGrouped(spark,
-          graft.wds.ShardList.expand(req("input")),
+        // reference's shard_size (`tokenize/main.py:274`). Input is
+        // either --input (a brace-expandable shard list) or --mix-spec
+        // (the S3 YAML over TAR shards — the fleet workflow fed
+        // tokenize from tar-range slices across corpora,
+        // `tokenize/main.py:224-227`: the selected urls concatenate in
+        // source order and merge groups are consecutive `shard-size`
+        // runs of that list, so a group may straddle a corpus
+        // boundary, exactly like a slice of the fleet's mixed file
+        // list).
+        val tokInput = a.get("mix-spec") match {
+          case Some(specPath) => mixTagged(spark, a, specPath).map(_._2)
+          case None => graft.wds.ShardList.expand(req("input"))
+        }
+        val samples = WdsReader.readUrlsGrouped(spark, tokInput,
           a.getOrElse("shard-size", "1").toInt)
         // --type: the reference's sample_type job arg selects the
         // conversate/validation branch (kf token expansion, merlin-s

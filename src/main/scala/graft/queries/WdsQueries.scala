@@ -1377,6 +1377,120 @@ object WdsQueries extends QueryRegistry {
       |  sum(length(text))::BIGINT AS caption_chars
       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** wds30: TOKENIZE OVER A TWO-SOURCE MIX through the CLI surface —
+    * S3's MultiShardSample YAML composed with the E2 tokenize stage
+    * (`Pipeline --stage tokenize --mix-spec`), the fleet workflow that
+    * fed tokenize from tar-range slices across corpora
+    * (`tokenize/main.py:224-227`: `all_files[start:end]` grouped by
+    * `shard_size`). Corpus A = even doc_ids packed to THREE aligned
+    * tars, corpus B = odd to TWO (fixed counts, so the spec's
+    * GLOBAL SEEDED SHUFFLE — `shardlists.py:255-271`, the part of S3
+    * the wds16/wds27 gates never exercise downstream — is the same
+    * 5-element permutation at every fixture scale: seed 17 maps
+    * [A0,A1,A2,B0,B1] to [A0,A2,B1,B0,A1], pinned in OpsExtraSpec so
+    * an RNG change fails loudly). shard-size=3 merge groups over the
+    * shuffled list are [A0,A2,B1] and [B0,A1] — BOTH straddle the
+    * corpus boundary, the cross-corpus bin packing this gate exists
+    * to pin. Output = wds11's per-group greedy bin profile; the
+    * oracle replays rank → tar → shuffled position → group and the
+    * 8k greedy fold from document ranks alone. */
+  private def mixedTokenize(s: SparkSession, dir: String): DataFrame = {
+    val tokOut = scratchDir("graft_mt_tok")
+    def corpus(parity: Int, tars: Int): Seq[String] = {
+      val out = scratchDir(s"graft_mt$parity")
+      val meta = Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === parity)
+        .select(
+          format_string("videos/%09d.mp4", col("doc_id")).as("video_path"),
+          col("text").as("value"))
+      val n = meta.count()
+      numericShardUrls(PackStage.run(meta, out, PackStage.PackOptions(
+        numSegments = 4, samplesPerTar = (n + tars - 1) / tars,
+        alignShards = true)))
+    }
+    val (urlsA, urlsB) = (corpus(0, 3), corpus(1, 2))
+    val yaml =
+      s"""datasets:
+         |  - name: corpusA
+         |    shards: ${urlsA.mkString("::")}
+         |  - name: corpusB
+         |    shards: ${urlsB.mkString("::")}
+         |""".stripMargin
+    val specPath = new org.apache.hadoop.fs.Path(
+      scratchDir("graft_mt_spec"), "mix.yaml")
+    val specFs = specPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val specOut = specFs.create(specPath, true)
+    try specOut.write(yaml.getBytes("UTF-8")) finally specOut.close()
+    val tokInfo = graft.Pipeline.run(s, Map(
+      "stage" -> "tokenize", "mix-spec" -> specPath.toString,
+      "shard-size" -> "3", "save-path" -> tokOut))
+    val tokUrls = shardUrls(tokInfo)
+    s.read.format("wds").load(tokUrls: _*)
+      .select(split(col("key"), "-").getItem(0).cast("int").as("group"),
+        json_array_length(get_json_object(jsonCol, "$.text")).as("n_docs"),
+        json_array_length(get_json_object(jsonCol, "$.input_ids"))
+          .as("n_tokens"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("group"))
+  }
+
+  /** Per-parity rank → aligned tar (A: ceil(nA/3)-sized, B:
+    * ceil(nB/2)) → url id [A0..A2,B0,B1] → seed-17 shuffled position
+    * [0,2,4,3,1] → shard-size-3 merge group, then wds11's greedy fold
+    * keyed on the MIXED group — docs order within a group by
+    * (shuffled position, doc_id), which is exactly tar order in the
+    * resolved list then pack key order. */
+  private val mixedTokenizeSql =
+    """WITH RECURSIVE ca AS (
+      |  SELECT ceil(count(*) / 3.0)::INT AS c
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |cb AS (
+      |  SELECT ceil(count(*) / 2.0)::INT AS c
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |d0 AS (
+      |  SELECT doc_id, 1034 + len(string_split(text, ' ')) AS toks,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN CAST(floor((row_number() OVER (
+      |          PARTITION BY doc_id % 2 ORDER BY doc_id) - 1)
+      |        / (SELECT c FROM ca)) AS INT)
+      |      ELSE 3 + CAST(floor((row_number() OVER (
+      |          PARTITION BY doc_id % 2 ORDER BY doc_id) - 1)
+      |        / (SELECT c FROM cb)) AS INT)
+      |    END AS u
+      |  FROM documents),
+      |d1 AS (
+      |  SELECT doc_id, toks,
+      |    CASE u WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 1
+      |           WHEN 3 THEN 3 WHEN 4 THEN 2 END AS pos
+      |  FROM d0),
+      |d AS (
+      |  SELECT row_number() OVER (ORDER BY pos, doc_id) AS rn,
+      |    CAST(floor(pos / 3) AS INT) AS grp, toks
+      |  FROM d1),
+      |r(rn, grp, acc, bin) AS (
+      |  SELECT rn, grp, toks, 0 FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn, d.grp,
+      |    CASE WHEN d.grp <> r.grp THEN d.toks
+      |         WHEN r.acc + d.toks > 8000 THEN d.toks
+      |         ELSE r.acc + d.toks END,
+      |    CASE WHEN d.grp <> r.grp THEN 0
+      |         WHEN r.acc + d.toks > 8000 THEN r.bin + 1
+      |         ELSE r.bin END
+      |  FROM r JOIN d ON d.rn = r.rn + 1),
+      |bins AS (
+      |  SELECT r.grp, r.bin, count(*) AS n_docs, sum(t.toks) AS sum_toks
+      |  FROM r JOIN d t ON t.rn = r.rn GROUP BY r.grp, r.bin),
+      |mx AS (SELECT grp, max(bin) AS mb FROM bins GROUP BY grp)
+      |SELECT b.grp AS "group", count(*) AS n_bins,
+      |  sum(b.n_docs)::BIGINT AS n_docs,
+      |  sum(b.sum_toks - (b.n_docs - 1))::BIGINT AS n_tokens
+      |FROM bins b JOIN mx ON b.grp = mx.grp
+      |WHERE b.bin < mx.mb
+      |GROUP BY b.grp ORDER BY b.grp""".stripMargin
+
   /** wds17: CONTINUOUS shard ingest through the DSv2 streaming path —
     * pack real aligned shards, then `readStream.format("wds")` over the
     * output directory (AvailableNow) into a PER-KEY Complete-mode agg:
@@ -1911,6 +2025,8 @@ object WdsQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "wds27_mixed_pack" -> QueryDef(mixedPack, Some(mixedPackSql)),
+    "wds30_mixed_tokenize" -> QueryDef(mixedTokenize,
+      Some(mixedTokenizeSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),

@@ -99,6 +99,69 @@ class PipelineCliSpec extends SparkSpec {
       "save-path" -> packOut, "synthetic-media" -> "true")))
   }
 
+  test("tokenize --mix-spec: seeded mixed tar selection feeds the " +
+    "merge groups") {
+    import spark.implicits._
+    // two packed corpora, one tar each; the mix-spec selection is the
+    // seeded global shuffle of [tarA, tarB] and shard-size 2 makes ONE
+    // merge group spanning both corpora
+    def packCorpus(tag: String, ids: Seq[Int]): String = {
+      val out = Files.createTempDirectory(s"cli_mt$tag").toString
+      val meta = ids
+        .map(i => (f"videos/$i%09d.mp4", s"caption words for doc $i"))
+        .toDF("video_path", "value")
+      graft.pack.PackStage.run(meta, out,
+        graft.pack.PackStage.PackOptions(numSegments = 2,
+          samplesPerTar = 100, alignShards = true)).collect()
+      new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".tar")).map(_.toString).sorted.head
+    }
+    val tarA = packCorpus("a", 0 until 20)
+    val tarB = packCorpus("b", 100 until 120)
+    val yaml =
+      s"""datasets:
+         |  - name: corpusA
+         |    shards: $tarA
+         |  - name: corpusB
+         |    shards: $tarB
+         |""".stripMargin
+    val specPath = java.nio.file.Paths.get(
+      Files.createTempDirectory("cli_mt_spec").toString, "mix.yaml")
+    Files.write(specPath, yaml.getBytes("UTF-8"))
+    val tokOut = Files.createTempDirectory("cli_mt_tok").toString
+    Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "mix-spec" -> specPath.toString,
+      "shard-size" -> "2", "save-path" -> tokOut)).collect()
+    def dump(dir: String): Seq[(String, String)] = {
+      val tars = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".tar")).map(_.toString).sorted.toSeq
+      spark.read.format("wds").load(tars: _*)
+        .select(col("key"),
+          col("entries")("json").cast("string").as("j"))
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+    }
+    val got = dump(tokOut)
+    assert(got.nonEmpty, "no complete bins flushed")
+    // equivalent to tokenizing the resolved url list directly
+    val direct = Files.createTempDirectory("cli_mt_direct").toString
+    val urls = graft.wds.MultiShardSample.resolve(
+      graft.wds.MultiShardSample.parseYaml(yaml), 17L)
+    graft.tokenize.TokenizeStage.run(
+      graft.wds.WdsReader.readUrlsGrouped(spark, urls, 2), direct)
+      .collect()
+    assert(got == dump(direct))
+    // the single merge group straddles the corpus boundary: some bin
+    // merges captions from BOTH corpora
+    assert(got.exists { case (_, j) =>
+      j.contains("doc 19") && j.contains("doc 100") ||
+        j.contains("doc 119") && j.contains("doc 0")
+    }, "no bin crossed the corpus boundary")
+    // without --mix-spec, tokenize still demands --input
+    val e = intercept[IllegalArgumentException](Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "save-path" -> tokOut)))
+    assert(e.getMessage.contains("--input"))
+  }
+
   test("kf pack → tokenize with --type kf keeps every sample") {
     val metaDir = Files.createTempDirectory("cli_kf_meta").toString
     import spark.implicits._

@@ -66,6 +66,20 @@ class OpsExtraSpec extends SparkSpec {
       "Random(17) outcome moved — update wds16's oracle chunk literals")
   }
 
+  test("wds30's seed-17 global-shuffle pin: [A0,A1,A2,B0,B1] -> " +
+    "[A0,A2,B1,B0,A1]") {
+    // the wds30 oracle inlines this exact 5-element Random(17) shuffle
+    // (plain sources consume NO rng before the final shuffle) — if a
+    // scala-library RNG change ever shifts it, fail HERE with a clear
+    // message instead of as an opaque gate hash mismatch
+    val spec = MultiShardSample.Spec(Seq(
+      MultiShardSample.SourceSpec("a", Seq("A0", "A1", "A2")),
+      MultiShardSample.SourceSpec("b", Seq("B0", "B1"))))
+    assert(MultiShardSample.resolve(spec, seed = 17L) ==
+      Seq("A0", "A2", "B1", "B0", "A1"),
+      "Random(17) shuffle moved — update wds30's oracle position literals")
+  }
+
   test("batched/unbatched round-trip; partial batch control") {
     val ds = spark.createDataset(mkSamples(25)).repartition(1)
     val full = ds.batched(10)

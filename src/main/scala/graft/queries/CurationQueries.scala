@@ -674,11 +674,18 @@ object CurationQueries extends QueryRegistry {
     * window prefix sum (associative — no sequential fold needed).
     *
     * Scale: one corpus scan for per-doc token counts; source weights
-    * are a tiny aggregate broadcast back; the only shuffle is the
-    * window's hash partition on source. With few huge sources that
-    * window skews — the production fix is a two-phase prefix sum
-    * (per-bucket partials, then offset broadcast), same semantics,
-    * and this gate stays the semantic reference for it. */
+    * are a tiny aggregate broadcast back. The prefix sum is TWO-PHASE
+    * so no task ever sorts a whole source: docs range-bucket by the
+    * leading hex nibble of the sort key (bucket = prefix of hkey, so
+    * (bucket, hkey, doc_id) order IS (hkey, doc_id) order), phase 1
+    * aggregates per-(source, bucket) token/count partials and turns
+    * them into exclusive bucket offsets (≤ |sources|·16 rows — an
+    * audit-table-sized window, broadcast back), phase 2 runs the
+    * row_number/cumsum window partitioned by (source, BUCKET) and
+    * adds the offsets — identical semantics to the one-window form
+    * (the gate's oracle is unchanged), but a skewed huge source now
+    * spreads over 16 tasks instead of one. PlanAuditSpec pins that
+    * every doc-level window partitions by more than the source. */
   private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -687,6 +694,7 @@ object CurationQueries extends QueryRegistry {
       size(filter(split($"text", " "), w => w =!= lit("")))
         .cast("long").as("n_tok"),
       md5(to_binary($"doc_id".cast("string"), lit("utf-8"))).as("hkey"))
+      .withColumn("bkt", substring($"hkey", 1, 1))
     val perSrc = toks.groupBy($"source")
       .agg(sum($"n_tok").as("src_toks"))
       .withColumn("w", floor(lit(1e6) * sqrt($"src_toks")))
@@ -697,11 +705,25 @@ object CurationQueries extends QueryRegistry {
         expr("floor(CAST(total_toks div 10 AS DOUBLE) * " +
           "(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)))"))
       .select($"source", $"src_toks", $"quota_tok")
-    val bySrc = Window.partitionBy($"source").orderBy($"hkey", $"doc_id")
+    // phase 1: per-(source, bucket) partials → exclusive offsets
+    val byBkt = Window.partitionBy($"source").orderBy($"bkt")
+    val offsets = toks.groupBy($"source", $"bkt")
+      .agg(sum($"n_tok").as("b_tok"), count(lit(1)).as("b_cnt"))
+      .withColumn("off_tok", coalesce(sum($"b_tok").over(
+        byBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("off_cnt", coalesce(sum($"b_cnt").over(
+        byBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"bkt", $"off_tok", $"off_cnt")
+    // phase 2: bucket-local window + offsets = the global prefix sum
+    val byBucket = Window.partitionBy($"source", $"bkt")
+      .orderBy($"hkey", $"doc_id")
     toks.join(quota, "source")
-      .withColumn("rnk", row_number().over(bySrc).cast("long"))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("rnk",
+        row_number().over(byBucket).cast("long") + $"off_cnt")
       .withColumn("cum_tok", sum($"n_tok").over(
-        bySrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + $"off_tok")
       .filter($"cum_tok" <= $"quota_tok")
       .select($"source", $"src_toks", $"quota_tok", $"rnk", $"cum_tok",
         $"doc_id")

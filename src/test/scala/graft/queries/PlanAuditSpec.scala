@@ -32,6 +32,26 @@ class PlanAuditSpec extends SparkSpec {
   private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
     p.collect { case e: ShuffleExchangeExec => e }
 
+  test("qc08 prefix sum is two-phase: no doc-level window sorts a " +
+    "whole source in one task") {
+    val p = planOf("qc08_token_budget_mix")
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected window nodes in the qc08 plan")
+    // windows whose input still carries doc rows must partition by
+    // MORE than the source (the hkey-nibble bucket); the
+    // source-partitioned offsets window runs over pre-aggregated
+    // (source, bucket) partials only — its input has no doc_id
+    val docWins = wins.filter(_.child.output.exists(_.name == "doc_id"))
+    assert(docWins.nonEmpty, "expected a doc-level window")
+    docWins.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"doc-level window partitions by ${w.partitionSpec.mkString(",")}" +
+          " — a whole source would sort in one task")
+    }
+  }
+
   test("q02: filter pushes down to the scan and columns prune") {
     val sc = scans(planOf("q02_filter_project"))
     assert(sc.nonEmpty)

@@ -215,7 +215,10 @@ object Pipeline {
       // runs of at least that many tokens (Lee et al. 2022 ExactSubstr
       // regime — the default; 1 restores cut-everything) and
       // `--gram-df-ceil 1000` ignores grams duplicated across more
-      // documents than that (corpus-common idioms).
+      // documents than that (corpus-common idioms); `--token-budget-div
+      // 10` adds the qc08 token-budget mixture as the FINAL selection
+      // (budget = survivor tokens div N, per-source α=1/2 quotas,
+      // greedy md5-ordered fill — needs a `source` column).
       case "curate" =>
         val docs = spark.read.parquet(req("input"))
         val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
@@ -238,7 +241,8 @@ object Pipeline {
           scrubDfCeil = a.get("gram-df-ceil").map(_.toInt),
           softDedup = a.contains("soft-dedup"),
           containmentTau = a.get("containment").map(_.toDouble),
-          containmentDfCeil = a.get("containment-df-ceil").map(_.toInt))
+          containmentDfCeil = a.get("containment-df-ceil").map(_.toInt),
+          tokenBudgetDiv = a.get("token-budget-div").map(_.toInt))
         val res = graft.curate.CurateStage.run(docs, opts)
         res.curated.write.mode("overwrite").parquet(req("save-path"))
         res.stats

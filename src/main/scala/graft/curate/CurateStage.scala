@@ -83,7 +83,13 @@ object CurateStage {
       // qd26: sketch-side df ceiling for the containment stage (a
       // shingle in more documents than this cannot evidence subset
       // duplication — and bounds the candidate fan-out at corpus scale)
-      containmentDfCeil: Option[Int] = None)
+      containmentDfCeil: Option[Int] = None,
+      // qc08: final token-budget selection — B = (survivor tokens) div
+      // this, per-source quota floor(B·√mass/Σ√mass), filled by the
+      // greedy md5-ordered prefix. Input then needs a `source` column;
+      // token counts read the FINAL text (post-scrub when --span-scrub
+      // is on), the mass a training run would actually ingest
+      tokenBudgetDiv: Option[Int] = None)
 
   final case class CurateResult(curated: DataFrame, stats: DataFrame,
       private[curate] val cached: DataFrame) {
@@ -287,12 +293,31 @@ object CurateStage {
             lit(0))).otherwise(0)))
 
     val keeps = Seq("quality_keep", "mix_keep", "exact_keep",
-      "near_keep", "cont_keep", "span_keep", "decontam_keep")
+      "near_keep", "cont_keep", "span_keep", "decontam_keep",
+      "budget_keep")
     val flaggedS = scrubbed.fold(flagged)(sc =>
       flagged.join(sc, Seq("doc_id"), "left")
         .withColumn("text", coalesce(col("scrubbed"), col("text")))
         .drop("scrubbed"))
-    val all = flaggedS.withColumn("curated", col("decontam_keep"))
+    // 6. token budget (opt-in, `tokenBudgetDiv`) — the qc08 mixture
+    // as the FINAL selection: per-source α=1/2 token quotas over the
+    // funnel's survivors, filled greedily in stable md5(doc_id) order.
+    // Runs over post-scrub text — the token mass a run would ingest.
+    val flaggedB = opts.tokenBudgetDiv.fold(
+      flaggedS.withColumn("budget_keep", col("decontam_keep"))) { div =>
+      require(flaggedS.columns.contains("source"),
+        "tokenBudgetDiv needs a `source` column on the input")
+      val picks = graft.queries.CurationQueries.tokenBudgetFrom(
+        flaggedS.filter(col("decontam_keep") === 1)
+          .select(col("doc_id"), col("source"), col("text")), div)
+        .select(col("doc_id"), lit(1).as("bk"))
+      flaggedS.join(picks, Seq("doc_id"), "left")
+        .withColumn("budget_keep",
+          when(col("decontam_keep") === 1, coalesce(col("bk"), lit(0)))
+            .otherwise(0))
+        .drop("bk")
+    }
+    val all = flaggedB.withColumn("curated", col("budget_keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count(): Unit // materialize, then release the stage-internals
     // blocking for the same reason as CurateResult.close

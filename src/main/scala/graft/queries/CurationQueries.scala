@@ -686,10 +686,19 @@ object CurationQueries extends QueryRegistry {
     * (the gate's oracle is unchanged), but a skewed huge source now
     * spreads over 16 tasks instead of one. PlanAuditSpec pins that
     * every doc-level window partitions by more than the source. */
-  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetFrom(Tables(s, dir).documents, 10)
+      .orderBy(col("source"), col("rnk"))
+
+  /** qc08's core over any (doc_id, source, text) frame: per-source
+    * α = 1/2 token quotas out of budget B = total tokens div `budgetDiv`,
+    * filled by the greedy md5-ordered prefix via the two-phase prefix
+    * sum. Shared by the qc08 gate and the curate funnel's
+    * `--token-budget-div` stage (qc09). */
+  private[graft] def tokenBudgetFrom(
+      docs: DataFrame, budgetDiv: Int): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir).documents
     val toks = docs.select($"doc_id", $"source",
       size(filter(split($"text", " "), w => w =!= lit("")))
         .cast("long").as("n_tok"),
@@ -702,7 +711,7 @@ object CurationQueries extends QueryRegistry {
       sum($"src_toks").as("total_toks"))
     val quota = perSrc.crossJoin(broadcast(tot))
       .withColumn("quota_tok",
-        expr("floor(CAST(total_toks div 10 AS DOUBLE) * " +
+        expr(s"floor(CAST(total_toks div $budgetDiv AS DOUBLE) * " +
           "(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)))"))
       .select($"source", $"src_toks", $"quota_tok")
     // phase 1: per-(source, bucket) partials → exclusive offsets
@@ -727,7 +736,93 @@ object CurationQueries extends QueryRegistry {
       .filter($"cum_tok" <= $"quota_tok")
       .select($"source", $"src_toks", $"quota_tok", $"rnk", $"cum_tok",
         $"doc_id")
-      .orderBy($"source", $"rnk")
+  }
+
+  /** qc09: the funnel ENDING in the token-budget mixture — quality →
+    * exact dedup → span filter → per-source α=1/2 token quotas filled
+    * greedily over the SURVIVORS. This is the composition a
+    * pretraining data job actually ships (dedup first, then provision
+    * the token budget over what survived — budgeting before dedup
+    * would let duplicates eat quota); gated per SOURCE with picked-doc
+    * counts AND picked-token sums, so a same-size-but-different pick
+    * set (wrong md5 order, wrong quota) fails the hash. Exercises
+    * `CurateOptions.tokenBudgetDiv` / `--token-budget-div`, the
+    * funnel form of qc08. */
+  private def budgetFunnel(s: SparkSession, dir: String): DataFrame = {
+    val res = graft.curate.CurateStage.run(
+      Tables(s, dir).documents.select(col("doc_id"), col("text"),
+        col("lang"), col("source")),
+      graft.curate.CurateStage.CurateOptions(
+        minWords = 30, maxDupFrac = 0.5, gramK = GramK,
+        tokenBudgetDiv = Some(10)))
+    val out = res.curated
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_picked"),
+        sum(size(filter(split(col("text"), " "), w => w =!= lit("")))
+          .cast("long")).as("toks_picked"))
+      .orderBy(col("source"))
+    // materialize before releasing the funnel's cached frame
+    val rows = out.collect().toSeq
+    res.close()
+    val sess = s
+    import sess.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("source", "n_picked", "toks_picked")
+  }
+
+  /** Replays quality → exact-dedup → span over `documents`, then the
+    * qc08 quota/greedy CTEs restricted to the span survivors. */
+  private val budgetFunnelSql = {
+    val nw = "len(string_split(text, ' '))"
+    s"""WITH q AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE text IS NOT NULL AND $nw >= 30
+       |    AND (length(text) - ($nw - 1))::DOUBLE / $nw
+       |        BETWEEN 3.0 AND 10.0
+       |    AND NOT (contains(lower(text), 'lorem ipsum')
+       |      OR contains(text, '{')
+       |      OR contains(lower(text), 'javascript'))),
+       |ek AS (
+       |  SELECT min(d.doc_id) AS doc_id
+       |  FROM documents d JOIN q USING (doc_id) GROUP BY md5(d.text)),
+       |g5 AS ($shingleHashesSqlCte),
+       |e5 AS (
+       |  SELECT g.doc_id, unnest(shs) AS sh
+       |  FROM g5 g JOIN ek USING (doc_id)),
+       |df5 AS (SELECT sh, count(*) AS df FROM e5 GROUP BY sh),
+       |sp AS (
+       |  SELECT doc_id FROM e5 JOIN df5 USING (sh) GROUP BY doc_id
+       |  HAVING round(
+       |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+       |    6) <= 0.5),
+       |toks AS (
+       |  SELECT d.doc_id, d.source,
+       |    len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT
+       |      AS n_tok,
+       |    md5(d.doc_id::VARCHAR) AS hkey
+       |  FROM documents d JOIN sp USING (doc_id)),
+       |grp AS (
+       |  SELECT source, sum(n_tok)::BIGINT AS src_toks,
+       |    floor(1e6 * sqrt(sum(n_tok)))::BIGINT AS w
+       |  FROM toks GROUP BY source),
+       |tot AS (SELECT sum(w)::BIGINT AS total_w,
+       |               sum(src_toks)::BIGINT AS total_toks FROM grp),
+       |quota AS (
+       |  SELECT source,
+       |    floor(((total_toks // 10)::DOUBLE) *
+       |          (w::DOUBLE / total_w::DOUBLE))::BIGINT AS quota_tok
+       |  FROM grp, tot),
+       |ranked AS (
+       |  SELECT t.source, t.doc_id, t.n_tok,
+       |    sum(t.n_tok) OVER (PARTITION BY t.source
+       |      ORDER BY t.hkey, t.doc_id
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
+       |  FROM toks t)
+       |SELECT r.source, count(*)::BIGINT AS n_picked,
+       |  sum(r.n_tok)::BIGINT AS toks_picked
+       |FROM ranked r JOIN quota qu USING (source)
+       |WHERE r.cum_tok <= qu.quota_tok
+       |GROUP BY r.source ORDER BY r.source""".stripMargin
   }
 
   private val tokenBudgetMixSql =
@@ -1245,6 +1340,8 @@ object CurationQueries extends QueryRegistry {
     "qc02_temperature_mix" -> QueryDef(temperatureMix, Some(temperatureMixSql)),
     "qc08_token_budget_mix" -> QueryDef(tokenBudgetMix,
       Some(tokenBudgetMixSql)),
+    "qc09_budget_funnel" -> QueryDef(budgetFunnel,
+      Some(budgetFunnelSql)),
     "st06_stream_decontam" -> QueryDef(streamDecontam, Some(decontamSql)),
     "st05_stream_mix" -> QueryDef(streamMix, Some(mixSampleSql)),
     "qc01_mix_sample" -> QueryDef(mixSample, Some(mixSampleSql)),

@@ -285,6 +285,45 @@ class CurateStageSpec extends SparkSpec {
       s"degenerate decontam: ${kept.size}")
   }
 
+  test("token-budget stage picks the per-source greedy md5 prefix of " +
+    "the survivors; needs a source column; disabled mode passes through") {
+    import spark.implicits._
+    // two sources, trivially-passing quality (minWords=1), all texts
+    // distinct and span-clean — the funnel reduces to the budget stage
+    val docs = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "alpha" else "beta"
+      // unique 6-word texts: no exact dups, no shared 5-grams
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f", "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val res = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 1, tokenBudgetDiv = Some(4)))
+    val got = res.curated.select($"doc_id").as[Long].collect().toSet
+    val st = res.stats.collect().head
+    res.close()
+    // brute-force replay: every doc has 6 tokens; per-source mass 120,
+    // equal weights, B = 240 div 4 = 60 → quota_tok = 30 per source →
+    // 5 docs per source, the 5 smallest by md5(doc_id) hex
+    def pick(src: String): Set[Long] = (0L until 40L)
+      .filter(i => (if (i % 2 == 0) "alpha" else "beta") == src)
+      .sortBy(id => (md5hex(id.toString), id)).take(5).toSet
+    assert(st.getAs[Long]("budget_keep") == 10L)
+    assert(st.getAs[Long]("n_curated") == 10L)
+    assert(got == pick("alpha") ++ pick("beta"))
+    // without the option, budget_keep rides decontam_keep and the
+    // curated set is the full survivor set
+    val off = CurateStage.run(docs, CurateStage.CurateOptions(minWords = 1))
+    val stOff = off.stats.collect().head
+    off.close()
+    assert(stOff.getAs[Long]("budget_keep") ==
+      stOff.getAs[Long]("decontam_keep"))
+    assert(stOff.getAs[Long]("n_curated") == 40L)
+    // a sourceless input fails loudly
+    val e = intercept[IllegalArgumentException](CurateStage.run(
+      docs.drop("source"),
+      CurateStage.CurateOptions(minWords = 1, tokenBudgetDiv = Some(4))))
+    assert(e.getMessage.contains("source"))
+  }
+
   test("CLI --stage curate writes curated parquet and audit stats") {
     val tmp = java.nio.file.Files.createTempDirectory("curate_cli").toString
     docsDf().write.mode("overwrite").parquet(s"$tmp/docs.parquet")

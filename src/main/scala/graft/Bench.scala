@@ -236,6 +236,12 @@ object Bench {
       var kept = 0
       var retries = 0
       while (ok && kept < reps) {
+        // sample at every rep boundary: without this, a query whose
+        // reps total >60s leaves no pre-burst sample inside the
+        // trailing-60s window, ownShareCores reads ~0, and the next
+        // waitQuiet() stalls on the bench's own loadavg residue —
+        // the exact failure the trailing-average was built to close
+        sampleOwn()
         val busy0 = busyCpuSec; val own0 = ownCpuSec
         val iow0 = iowaitCpuSec
         val disk0 = diskBytes; val ownIo0 = ownIoBytes

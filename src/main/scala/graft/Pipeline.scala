@@ -213,7 +213,10 @@ object Pipeline {
       // cross-document duplicated spans (the qd21/qd25 removal pass,
       // case-preserving); `--min-run 50` scrubs only maximal duplicated
       // runs of at least that many tokens (Lee et al. 2022 ExactSubstr
-      // regime — the default; 1 restores cut-everything) and
+      // regime — the CLI default, chosen DELIBERATELY above the
+      // library CurateOptions default of 1, which preserves the
+      // historical cut-everything posture for existing library
+      // callers and the qd21 gate; 1 restores it here too) and
       // `--gram-df-ceil 1000` ignores grams duplicated across more
       // documents than that (corpus-common idioms); `--token-budget-div
       // 10` adds the qc08 token-budget mixture as the FINAL selection

@@ -307,9 +307,15 @@ object CurateStage {
       flaggedS.withColumn("budget_keep", col("decontam_keep"))) { div =>
       require(flaggedS.columns.contains("source"),
         "tokenBudgetDiv needs a `source` column on the input")
-      val picks = graft.queries.CurationQueries.tokenBudgetFrom(
-        flaggedS.filter(col("decontam_keep") === 1)
-          .select(col("doc_id"), col("source"), col("text")), div)
+      val surv = flaggedS.filter(col("decontam_keep") === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      // a NULL source would silently vanish in the quota joins (Spark
+      // joins never match NULL keys) — fail loudly instead (one extra
+      // action over the survivor frame, per run, mostly cache-served)
+      require(surv.filter(col("source").isNull).isEmpty,
+        "tokenBudgetDiv: input has survivors with NULL source")
+      val picks = graft.queries.CurationQueries
+        .tokenBudgetFrom(surv, div)
         .select(col("doc_id"), lit(1).as("bk"))
       flaggedS.join(picks, Seq("doc_id"), "left")
         .withColumn("budget_keep",

@@ -699,6 +699,11 @@ object CurationQueries extends QueryRegistry {
       docs: DataFrame, budgetDiv: Int): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    // div 0 would yield a NULL quota and silently select nothing;
+    // null sources would silently vanish in the source joins below —
+    // both are caller errors, failed loudly (the null check is the
+    // caller's: CurateStage validates before calling)
+    require(budgetDiv > 0, s"budgetDiv must be positive, got $budgetDiv")
     val toks = docs.select($"doc_id", $"source",
       size(filter(split($"text", " "), w => w =!= lit("")))
         .cast("long").as("n_tok"),

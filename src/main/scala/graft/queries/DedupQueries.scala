@@ -308,6 +308,59 @@ object DedupQueries extends QueryRegistry {
     * loss is a pair whose every bottom-k witness is corpus-hot, which
     * by the ceiling's premise was not subset evidence. qd22 gates the
     * pure form, qd26 the capped production form. */
+  /** Per-session LRU (size 4) of persisted exploded shingle relations,
+    * keyed by the CANONICAL analyzed plan of the input frame (same
+    * source + transforms → same key; the string key cannot collide the
+    * way a 32-bit semanticHash could). WeakHashMap on the session so a
+    * stopped session's entries become collectable; eviction unpersists
+    * eagerly, bounding pinned storage for long-lived sessions that
+    * containment-dedup many distinct frames. */
+  private val shCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.LinkedHashMap[String, DataFrame]]()
+
+  private def cachedShingleRelation(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // A LocalRelation's canonical string does NOT include its data, so
+    // two in-memory frames with the same schema would collide on the
+    // key and reuse each other's shingles. Cache only plans whose
+    // every leaf is a file-backed relation (the canonical string then
+    // pins the source paths); for in-memory inputs (specs, ad-hoc
+    // frames) fall back to the unpersisted form — recomputing a small
+    // local relation five times is cheaper than a wrong cache hit.
+    val fileBacked = docs.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        true
+      case l => l.getClass.getSimpleName.startsWith("DataSourceV2")
+    }
+    if (!fileBacked)
+      return docs.select($"doc_id",
+        explode(hashedShingles(words($"text"))).as("sh"))
+    val key = docs.queryExecution.analyzed.canonicalized.toString
+    shCache.synchronized {
+      var m = shCache.get(docs.sparkSession)
+      if (m == null) {
+        m = new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+            val evict = size() > 4
+            if (evict) e.getValue.unpersist(): Unit
+            evict
+          }
+        }
+        shCache.put(docs.sparkSession, m)
+      }
+      var sh = m.get(key)
+      if (sh == null) {
+        sh = docs.select($"doc_id",
+          explode(hashedShingles(words($"text"))).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.put(key, sh): Unit
+      }
+      sh
+    }
+  }
+
   private[graft] def containmentFrom(
       docs: DataFrame, tau: Double = ContainTau,
       sketchDfCeil: Option[Int] = None): DataFrame = {
@@ -317,10 +370,13 @@ object DedupQueries extends QueryRegistry {
     // the shared count); persist it so the md5-shingle explode runs
     // once per scan instead of five times. At cluster scale this is
     // the stage you'd write to parquet once (MediaDedup posture); the
-    // executor cache is the local[32] analog.
-    val sh = docs.select($"doc_id",
-      explode(hashedShingles(words($"text"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // executor cache is the local[32] analog. Memoized per (session,
+    // canonical input plan) with LRU eviction so repeated calls over
+    // the same frame (bench reps, qd22/qd24/qd26 sharing one fixture)
+    // reuse one cached relation instead of pinning a fresh copy each
+    // — a lazily-returned result can't unpersist behind itself, so
+    // bounding the cache is the leak control.
+    val sh = cachedShingleRelation(docs)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // hashedShingles is array_distinct, so the bottom-k sketch is
     // derivable from sh itself (no second decode pass): per-doc sort

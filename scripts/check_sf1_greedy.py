@@ -1,7 +1,10 @@
 """Linear-time python replay of the four doc-level recursive-CTE oracles
 (50k-deep recursion is impractical in DuckDB at sf1; the fold itself is
 trivially linear). Semantics copied from the dumped oracle SQL."""
+import os, sys
 import duckdb, pandas as pd
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/v8sf1"
 
 con = duckdb.connect()
 docs = con.sql(
@@ -25,7 +28,10 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def cmp(name, want):
-    got = con.sql(f"SELECT * FROM '/tmp/v8sf1/{name}/*.parquet'").df()
+    if not os.path.isdir(f"{OUT}/{name}"):
+        print(f"skip   {name} (no dump in {OUT})", flush=True)
+        return
+    got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
     g, w = norm(got), norm(want)
     ok = list(g.columns) == list(w.columns) and len(g) == len(w) and \
         g.astype(str).equals(w.astype(str))
@@ -70,3 +76,29 @@ for g in range(0, (len(docs) + 124) // 125):
 want11 = pd.DataFrame(rows11,
     columns=["group", "n_bins", "n_docs", "n_tokens"])
 cmp("wds11_tokenize_multi", want11)
+
+# wds30: two-source mix — corpus A = even doc_ids in 3 aligned tars,
+# B = odd in 2; url order is the seed-17 global shuffle [A0,A2,B1,B0,A1]
+# (pinned in OpsExtraSpec); merge groups = shard-size-3 runs; per group
+# the wds11 greedy fold (toks = 1034 + words, drop final partial bin).
+par = con.sql(
+    "SELECT doc_id, len(string_split(text, ' ')) AS words "
+    "FROM '/tmp/sf1/documents.parquet' ORDER BY doc_id").fetchall()
+ev = [(d, w) for d, w in par if d % 2 == 0]
+od = [(d, w) for d, w in par if d % 2 == 1]
+ca, cb = -(-len(ev) // 3), -(-len(od) // 2)
+urls = {0: ev[0:ca], 1: ev[ca:2 * ca], 2: ev[2 * ca:],
+        3: od[0:cb], 4: od[cb:]}
+order = [0, 2, 4, 3, 1]
+rows30 = []
+for g in range(2):
+    chunk = []
+    for u in order[g * 3:(g + 1) * 3]:
+        chunk.extend((d, 1034 + w) for d, w in urls[u])
+    full = greedy(chunk)[:-1]
+    if full:
+        rows30.append((g, len(full), sum(len(m) for m, _ in full),
+                       sum(s - (len(m) - 1) for m, s in full)))
+want30 = pd.DataFrame(rows30,
+    columns=["group", "n_bins", "n_docs", "n_tokens"])
+cmp("wds30_mixed_tokenize", want30)

@@ -592,6 +592,47 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("qc08 law: two-phase prefix sum equals brute force on random " +
+    "skewed corpora (one source holds ~90% of the docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (0 until 4).foreach { trial =>
+      // heavy skew: source s0 gets the bulk, a few tiny tails — the
+      // shape the hkey-nibble bucketing exists for
+      val n = 120 + rnd.nextInt(80)
+      val rows = (0L until n.toLong).map { id =>
+        val src = if (rnd.nextInt(10) < 9) "s0" else s"s${1 + rnd.nextInt(3)}"
+        val words = 1 + rnd.nextInt(40)
+        (id, Seq.fill(words)(s"w${rnd.nextInt(50)}").mkString(" "), src)
+      }
+      val df = rows.toDF("doc_id", "text", "source")
+      val div = 2 + rnd.nextInt(9)
+      val perDoc = rows.map { case (id, t, src) =>
+        (id, src, t.split(" ", -1).count(_.nonEmpty).toLong) }
+      val bySrc = perDoc.groupBy(_._2)
+      val srcToks = bySrc.view.mapValues(_.map(_._3).sum).toMap
+      val w = srcToks.view.mapValues(m =>
+        math.floor(1e6 * math.sqrt(m.toDouble)).toLong).toMap
+      val totalW = w.values.sum
+      val budget = srcToks.values.sum / div
+      val quota = w.view.mapValues(wi =>
+        math.floor(budget.toDouble * (wi.toDouble / totalW.toDouble))
+          .toLong).toMap
+      val want = bySrc.toSeq.flatMap { case (src, rs) =>
+        val ordered = rs.sortBy { case (id, _, _) => (md5hex(s"$id"), id) }
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).zipWithIndex.collect {
+          case (((id, _, _), cum), i) if cum <= quota(src) =>
+            (src, (i + 1).toLong, id, cum)
+        }
+      }.toSet
+      val got = CurationQueries.tokenBudgetFrom(df, div)
+        .select("source", "rnk", "doc_id", "cum_tok")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial (n=$n div=$div)")
+    }
+  }
+
   test("qa09 law: six random sub-k corpora — every pair's estimator " +
     "equals exact set arithmetic") {
     import spark.implicits._

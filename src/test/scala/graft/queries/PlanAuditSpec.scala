@@ -439,6 +439,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("qd26: every consumer reads the cached shingle relation — " +
+    "zero direct documents scans in the plan") {
+    // the exploded (doc_id, shingle) relation feeds five consumers
+    // (sizes, df ceiling, candidate join, both shared-count sides);
+    // the round-12 fix caches it once (15.0s -> 3.4s at sf0.1). A
+    // direct parquet scan of `documents` reappearing in this plan
+    // means a consumer fell off the cache and the explode runs again.
+    val p = planOf("qd26_containment_capped")
+    val docScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(docScans.isEmpty,
+      s"${docScans.size} direct documents scan(s) — shingle cache bypassed")
+    val mem = p.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        => m
+    }
+    assert(mem.nonEmpty, "expected InMemoryTableScan consumers")
+  }
+
   test("qs12: the corpus-scale pool ranking shuffles (q_id, c_id, " +
     "rel) only — raw vectors never cross it") {
     val ex = shuffles(planOf("qs12_mmr_topk"))

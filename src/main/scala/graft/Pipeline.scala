@@ -205,7 +205,8 @@ object Pipeline {
       // parquet + audit counts. `--rates en=90,de=50` dials the mix;
       // `--eval-path` enables the n-gram decontamination scrub;
       // `--near-dup-jaccard 0.5` enables MinHash/LSH near-dup pruning
-      // (one survivor per verified cluster); add `--soft-dedup` to
+      // (one survivor per verified cluster; `--lsh-bucket-cap 1000`
+      // adds the qd27 skew guard — hot candidate buckets drop whole); add `--soft-dedup` to
       // KEEP cluster members and emit weight_ppm = 1e6/|cluster|
       // instead (the qd23 re-weighting posture); `--containment 0.6`
       // drops excerpts near-contained in a larger survivor (the qd24
@@ -239,6 +240,7 @@ object Pipeline {
           gramK = a.getOrElse("gram-k", "5").toInt,
           evalPath = a.get("eval-path"),
           nearDupJaccard = a.get("near-dup-jaccard").map(_.toDouble),
+          lshBucketCap = a.get("lsh-bucket-cap").map(_.toInt),
           spanScrub = a.contains("span-scrub"),
           scrubMinRun = a.getOrElse("min-run", "50").toInt,
           scrubDfCeil = a.get("gram-df-ceil").map(_.toInt),

@@ -70,6 +70,11 @@ object CurateStage {
       gramK: Int = 5,
       evalPath: Option[String] = None,
       nearDupJaccard: Option[Double] = None,
+      // qd27: opt-in LSH bucket-size ceiling for the near-dup stage —
+      // a corpus-hot candidate bucket (boilerplate family) is
+      // quadratic in the corpus; past the cap it is dropped whole
+      // (members still pair via their selective bands)
+      lshBucketCap: Option[Int] = None,
       spanScrub: Boolean = false,
       // ExactSubstr fidelity (Lee et al. 2022): scrub only maximal
       // duplicated runs ≥ scrubMinRun tokens (1 = cut every covered
@@ -148,7 +153,8 @@ object CurateStage {
     val clustersOpt = opts.nearDupJaccard.map { tau =>
       val s3 = s3Opt.get
       val pairs = graft.queries.DedupQueries
-        .jaccardFrom(s3.select(col("doc_id"), col("text")), tau)
+        .jaccardFrom(s3.select(col("doc_id"), col("text")), tau,
+          opts.lshBucketCap)
         .select(col("a_id"), col("b_id"))
       val verts = s3.select(col("doc_id").as("id"))
       graft.functions.ConnectedComponents.run(pairs, verts)

@@ -186,6 +186,67 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Bucket-size ceiling for qd27. Binds at sf0.1 (4 buckets above
+    * it, max 16) and is provably a no-op on the smaller fixtures
+    * (max bucket 4), so the gate certifies both regimes. */
+  private val LshBucketCap = 10
+
+  /** qd27: qd03's banded LSH with a BUCKET-SIZE ceiling — the skew
+    * guard for the MinHash-LSH workhorse at corpus scale. A band
+    * value shared by m documents emits m(m−1)/2 candidate pairs, so
+    * one corpus-hot bucket (boilerplate family, template page, the
+    * all-identical signature of trivially-short docs) is quadratic in
+    * the corpus — at 100 TB a 1M-doc bucket is 5·10¹¹ pairs and the
+    * job never finishes. A bucket past the ceiling is
+    * boilerplate-grade duplication that exact dedup (qd01) already
+    * collapses and the downstream exact-Jaccard verify (qd04) would
+    * re-derive pair by pair at quadratic cost; dropping the BUCKET
+    * (not its members) keeps every member pairable through its other,
+    * selective bands — the standard cap in production MinHash-LSH
+    * (e.g. bucket limits in Lee et al. 2022's suffix-array scale
+    * notes and every LSH system's skew guard). Per-bucket work is
+    * bounded by cap², the same ceiling-bounds-fan-out posture as
+    * qd26's sketch-side df ceiling. */
+  private[graft] def lshPairsCapped(
+      sigIn: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    import sigIn.sparkSession.implicits._
+    val sig = sigIn.select($"doc_id" +:
+      bandColsFor(NumBands, BandSize): _*)
+    val bands = sig.select($"doc_id", explode(array(
+      (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
+    val hot = bands.groupBy($"band").agg(count(lit(1)).as("m"))
+      .filter($"m" > cap).select($"band")
+    val kept = bands.join(hot, Seq("band"), "left_anti")
+    kept.as("a").join(kept.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  private def lshPairsCappedQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lshPairsCapped(signatures(s, dir)).orderBy($"a_id", $"b_id")
+  }
+
+  private val lshPairsCappedSql = {
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(b => s"band$b").mkString(", ")}]) AS band
+       |  FROM bands),
+       |hot AS (SELECT band FROM eb GROUP BY band
+       |        HAVING count(*) > $LshBucketCap),
+       |ebc AS (SELECT doc_id, band FROM eb ANTI JOIN hot USING (band))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM ebc a JOIN ebc b ON a.band = b.band AND a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Exact n-gram Jaccard verification over the LSH candidates:
     * distinct-shingle explode → equi-join on shingle → shared counts →
     * jaccard = |∩| / |∪|; report pairs ≥ 0.5. */
@@ -194,11 +255,17 @@ object DedupQueries extends QueryRegistry {
 
   /** qd04 core over any (doc_id, text) frame — the LSH-candidates →
     * exact-verify chain, reused by the curate funnel's near-dup stage. */
+  /** `lshBucketCap`: opt-in qd27 skew guard — candidate buckets larger
+    * than the cap are dropped before the self-join (see
+    * [[lshPairsCapped]]); None keeps the pure qd03 candidates. */
   private[graft] def jaccardFrom(
-      docs: DataFrame, tau: Double = 0.5): DataFrame =
-    jaccardOverCands(docs,
-      lshPairsFrom(graft.functions.MinHash.signatures(
-        docs.select(col("doc_id"), col("text")), NumHashes)), tau)
+      docs: DataFrame, tau: Double = 0.5,
+      lshBucketCap: Option[Int] = None): DataFrame = {
+    val sig = graft.functions.MinHash.signatures(
+      docs.select(col("doc_id"), col("text")), NumHashes)
+    val cand = lshBucketCap.fold(lshPairsFrom(sig))(lshPairsCapped(sig, _))
+    jaccardOverCands(docs, cand, tau)
+  }
 
   /** Distinct-shingle explode + per-doc sizes — built once and shared
     * across qd18's sweep configs (the verify side's corpus pass). */
@@ -1714,6 +1781,8 @@ object DedupQueries extends QueryRegistry {
     "qd22_containment" -> QueryDef(containment, Some(containmentSql)),
     "qd26_containment_capped" -> QueryDef(containmentCapped,
       Some(containmentCappedSql), bench = true),
+    "qd27_lsh_bucket_cap" -> QueryDef(lshPairsCappedQ,
+      Some(lshPairsCappedSql)),
     "qd24_containment_keep" -> QueryDef(containmentKeep,
       Some(containmentKeepSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),

@@ -124,6 +124,22 @@ class CurateStageSpec extends SparkSpec {
     assert(keptOff === Set(1L, 2L, 3L, 4L))
     assert(statsOff.getAs[Long]("near_keep") ===
       statsOff.getAs[Long]("exact_keep"))
+    // qd27 plumbing: a generous bucket cap changes nothing; a cap of 1
+    // drops every >1-member candidate bucket, so the chain's pairs
+    // vanish and all three members survive as singletons
+    val capped = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      nearDupJaccard = Some(0.5), lshBucketCap = Some(1000)))
+    val keptCapped = capped.curated.select($"doc_id").as[Long]
+      .collect().toSet
+    capped.close()
+    assert(keptCapped === keptOn)
+    val tiny = CurateStage.run(docs, CurateStage.CurateOptions(
+      minWords = 30, maxDupFrac = 1.0, defaultRate = 100,
+      nearDupJaccard = Some(0.5), lshBucketCap = Some(1)))
+    val keptTiny = tiny.curated.select($"doc_id").as[Long].collect().toSet
+    tiny.close()
+    assert(keptTiny === Set(1L, 2L, 3L, 4L))
   }
 
   test("soft dedup keeps every cluster member with weight_ppm = " +

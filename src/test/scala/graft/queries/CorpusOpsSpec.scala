@@ -592,6 +592,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("qd27: the bucket cap drops exactly the boilerplate bucket; " +
+    "near-dups still pair through selective bands; generous cap is " +
+    "a no-op") {
+    import spark.implicits._
+    // 60-doc boilerplate family (identical text → every band lands in
+    // a 60-member bucket) + one genuine near-dup pair + bystanders
+    val boiler = "terms of service apply to all users of this site " * 3
+    val nd1 = "the quick brown fox jumps over the lazy dog again and again"
+    val nd2 = "the quick brown fox jumps over the lazy dog again and later"
+    val docs = ((0L until 60L).map(i => (i, boiler)) ++
+      Seq((100L, nd1), (101L, nd2),
+        (200L, "completely unrelated words about astronomy and tides")))
+      .toDF("doc_id", "text")
+    val sig = graft.functions.MinHash.signatures(docs, 8)
+    val capped = DedupQueries.lshPairsCapped(sig, cap = 10)
+      .as[(Long, Long)].collect().toSet
+    // the quadratic family is gone; the near-dup pair survives via its
+    // own (selective, 2-member) buckets
+    assert(capped.contains((100L, 101L)), "near-dup pair lost")
+    assert(!capped.exists { case (a, b) => a < 60 && b < 60 },
+      "boilerplate-family pairs leaked past the cap")
+    // a ceiling above every bucket reproduces the pure form exactly
+    val pure = DedupQueries.lshPairsFrom(sig)
+      .as[(Long, Long)].collect().toSet
+    val generous = DedupQueries.lshPairsCapped(sig, cap = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(generous == pure)
+    assert((pure -- capped).forall { case (a, b) => a < 60 && b < 60 },
+      "cap dropped a pair outside the hot family")
+  }
+
   test("qc08 law: two-phase prefix sum equals brute force on random " +
     "skewed corpora (one source holds ~90% of the docs)") {
     import spark.implicits._

@@ -210,10 +210,18 @@ object DedupQueries extends QueryRegistry {
   private[graft] def lshPairsCapped(
       sigIn: DataFrame, cap: Int = LshBucketCap): DataFrame = {
     import sigIn.sparkSession.implicits._
-    val sig = sigIn.select($"doc_id" +:
-      bandColsFor(NumBands, BandSize): _*)
-    val bands = sig.select($"doc_id", explode(array(
-      (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
+    // cap <= 0 would mark EVERY non-empty bucket hot and silently
+    // disable the stage — a caller error, failed loudly (the qc08
+    // budgetDiv posture)
+    require(cap > 0, s"lsh bucket cap must be positive, got $cap")
+    // the exploded band relation feeds the hot-bucket aggregate and
+    // BOTH sides of the candidate self-join; memoized like qd26's
+    // shingle relation so the minhash+band-md5 pipeline runs once
+    val bands = cachedRelation(sigIn, s"bands") {
+      sigIn.select($"doc_id" +: bandColsFor(NumBands, BandSize): _*)
+        .select($"doc_id", explode(array(
+          (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
+    }
     val hot = bands.groupBy($"band").agg(count(lit(1)).as("m"))
       .filter($"m" > cap).select($"band")
     val kept = bands.join(hot, Seq("band"), "left_anti")
@@ -386,26 +394,26 @@ object DedupQueries extends QueryRegistry {
     org.apache.spark.sql.SparkSession,
     java.util.LinkedHashMap[String, DataFrame]]()
 
-  private def cachedShingleRelation(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    // A LocalRelation's canonical string does NOT include its data, so
-    // two in-memory frames with the same schema would collide on the
-    // key and reuse each other's shingles. Cache only plans whose
-    // every leaf is a file-backed relation (the canonical string then
-    // pins the source paths); for in-memory inputs (specs, ad-hoc
-    // frames) fall back to the unpersisted form — recomputing a small
-    // local relation five times is cheaper than a wrong cache hit.
-    val fileBacked = docs.queryExecution.analyzed.collectLeaves().forall {
+  /** Memoize-and-persist `build` keyed by (`tag`, canonical plan of
+    * `owner`). A LocalRelation's canonical string does NOT include its
+    * data, so two in-memory frames with the same schema would collide
+    * on the key and reuse each other's derivation — cache only plans
+    * whose every leaf is a file-backed relation (the canonical string
+    * then pins the source paths); for in-memory inputs (specs, ad-hoc
+    * frames) return the unpersisted form — recomputing a small local
+    * relation per consumer is cheaper than a wrong cache hit. */
+  private def cachedRelation(owner: DataFrame, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val fileBacked = owner.queryExecution.analyzed.collectLeaves().forall {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         true
       case l => l.getClass.getSimpleName.startsWith("DataSourceV2")
     }
-    if (!fileBacked)
-      return docs.select($"doc_id",
-        explode(hashedShingles(words($"text"))).as("sh"))
-    val key = docs.queryExecution.analyzed.canonicalized.toString
+    if (!fileBacked) return build
+    val key =
+      tag + "|" + owner.queryExecution.analyzed.canonicalized.toString
     shCache.synchronized {
-      var m = shCache.get(docs.sparkSession)
+      var m = shCache.get(owner.sparkSession)
       if (m == null) {
         m = new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true) {
           override def removeEldestEntry(
@@ -415,17 +423,22 @@ object DedupQueries extends QueryRegistry {
             evict
           }
         }
-        shCache.put(docs.sparkSession, m)
+        shCache.put(owner.sparkSession, m)
       }
-      var sh = m.get(key)
-      if (sh == null) {
-        sh = docs.select($"doc_id",
-          explode(hashedShingles(words($"text"))).as("sh"))
+      var df = m.get(key)
+      if (df == null) {
+        df = build
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        m.put(key, sh): Unit
+        m.put(key, df): Unit
       }
-      sh
+      df
     }
+  }
+
+  private def cachedShingleRelation(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    cachedRelation(docs, "sh")(docs.select($"doc_id",
+      explode(hashedShingles(words($"text"))).as("sh")))
   }
 
   private[graft] def containmentFrom(

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   *   # or, mixed corpora: --mix-spec shards.yaml [--mix-seed 17]
   *   #   instead of --input (sources list TAR shards; merge groups
   *   #   are shard-size runs of the concatenated selection)
+  *   # [--start 0 --end 64]: python-style slice of the resolved
+  *   #   shard list — the reference's tar-range resume workflow
   *
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage check --input 'tok/shard_{0..63}-{000000..000009}.tar' \
@@ -182,10 +184,20 @@ object Pipeline {
         // runs of that list, so a group may straddle a corpus
         // boundary, exactly like a slice of the fleet's mixed file
         // list).
-        val tokInput = a.get("mix-spec") match {
+        val tokInput0 = a.get("mix-spec") match {
           case Some(specPath) => mixTagged(spark, a, specPath).map(_._2)
           case None => graft.wds.ShardList.expand(req("input"))
         }
+        // --start/--end: the reference's tar-range resume
+        // (`tokenize/main.py:224-227` all_files[start:end], the
+        // resume-by-count workflow README.md:205-213) — a python-style
+        // slice of the resolved input list, applied after expansion /
+        // mix resolution so a restarted job names the same range
+        val tokInput = tokInput0.slice(
+          a.getOrElse("start", "0").toInt,
+          a.get("end").map(_.toInt).getOrElse(tokInput0.length))
+        require(tokInput.nonEmpty,
+          s"--start/--end select no shards of ${tokInput0.length}")
         val samples = WdsReader.readUrlsGrouped(spark, tokInput,
           a.getOrElse("shard-size", "1").toInt)
         // --type: the reference's sample_type job arg selects the

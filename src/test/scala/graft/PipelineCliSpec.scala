@@ -160,6 +160,24 @@ class PipelineCliSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Pipeline.run(spark, Map(
       "stage" -> "tokenize", "save-path" -> tokOut)))
     assert(e.getMessage.contains("--input"))
+    // --start/--end: the reference's tar-range resume — a slice of the
+    // resolved list; [1:2] over the seed-17 shuffle names exactly its
+    // second shard, so the output equals tokenizing that url alone
+    val resolved = urls
+    val sliceOut = Files.createTempDirectory("cli_mt_slice").toString
+    Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "mix-spec" -> specPath.toString,
+      "start" -> "1", "end" -> "2", "save-path" -> sliceOut)).collect()
+    val directSlice = Files.createTempDirectory("cli_mt_dslice").toString
+    graft.tokenize.TokenizeStage.run(
+      graft.wds.WdsReader.readUrlsGrouped(spark, resolved.slice(1, 2), 1),
+      directSlice).collect()
+    assert(dump(sliceOut) == dump(directSlice))
+    // an empty slice fails loudly instead of writing nothing
+    val e2 = intercept[IllegalArgumentException](Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "mix-spec" -> specPath.toString,
+      "start" -> "5", "save-path" -> sliceOut)))
+    assert(e2.getMessage.contains("select no shards"))
   }
 
   test("kf pack → tokenize with --type kf keeps every sample") {

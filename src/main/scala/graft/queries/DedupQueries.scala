@@ -276,12 +276,19 @@ object DedupQueries extends QueryRegistry {
   }
 
   /** Distinct-shingle explode + per-doc sizes — built once and shared
-    * across qd18's sweep configs (the verify side's corpus pass). */
+    * across qd18's sweep configs (the verify side's corpus pass).
+    * Shingles ship as 16-hex md5 hashes, not raw k-gram strings: the
+    * verify join's shuffle payload drops 2–4× (a 5-gram string is
+    * 30–60 bytes) and distinct counts — hence shared/jaccard values —
+    * are hash-invariant, so every raw-shingle oracle stays valid
+    * unchanged (a 64-bit collision could only ADD a shared count,
+    * the same accepted posture as the band hashes and qd22's sketch).
+    * The relation is the SAME one the containment family stages, so
+    * qd04, the curate near-dup stage, and qd22/qd24/qd26 all reuse
+    * one bounded-memoized corpus explode per input frame. */
   private def shingleFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     import docs.sparkSession.implicits._
-    val sh = docs
-      .select($"doc_id",
-        explode(array_distinct(shingles(words($"text")))).as("sh"))
+    val sh = cachedShingleRelation(docs)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     (sh, sizes)
   }

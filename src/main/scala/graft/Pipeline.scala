@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   *   # or, mixed corpora: --mix-spec shards.yaml [--mix-seed 17]
   *   #   instead of --input (sources list TAR shards; merge groups
   *   #   are shard-size runs of the concatenated selection)
-  *   # [--start 0 --end 64]: python-style slice of the resolved
-  *   #   shard list — the reference's tar-range resume workflow
+  *   # [--start 0 --end 64]: slice of the resolved shard list —
+  *   #   the reference's tar-range resume workflow (non-negative
+  *   #   indices only; from-the-end indexing is rejected loudly)
   *
   * spark-submit --class graft.Pipeline graft.jar \
   *   --stage check --input 'tok/shard_{0..63}-{000000..000009}.tar' \
@@ -190,12 +191,18 @@ object Pipeline {
         }
         // --start/--end: the reference's tar-range resume
         // (`tokenize/main.py:224-227` all_files[start:end], the
-        // resume-by-count workflow README.md:205-213) — a python-style
-        // slice of the resolved input list, applied after expansion /
-        // mix resolution so a restarted job names the same range
-        val tokInput = tokInput0.slice(
-          a.getOrElse("start", "0").toInt,
-          a.get("end").map(_.toInt).getOrElse(tokInput0.length))
+        // resume-by-count workflow README.md:205-213) — a slice of the
+        // resolved input list, applied after expansion / mix
+        // resolution so a restarted job names the same range
+        val sliceFrom = a.getOrElse("start", "0").toInt
+        val sliceTo = a.get("end").map(_.toInt).getOrElse(tokInput0.length)
+        // negative indices are NOT python-from-the-end here — Scala's
+        // slice would clamp them silently (e.g. --start -5 reprocesses
+        // everything instead of the last 5 shards); reject loudly
+        require(sliceFrom >= 0 && sliceTo >= 0,
+          s"--start/--end must be non-negative (got $sliceFrom/$sliceTo;" +
+            " from-the-end indexing is not supported)")
+        val tokInput = tokInput0.slice(sliceFrom, sliceTo)
         require(tokInput.nonEmpty,
           s"--start/--end select no shards of ${tokInput0.length}")
         val samples = WdsReader.readUrlsGrouped(spark, tokInput,

@@ -390,35 +390,63 @@ object DedupQueries extends QueryRegistry {
     * loss is a pair whose every bottom-k witness is corpus-hot, which
     * by the ceiling's premise was not subset evidence. qd22 gates the
     * pure form, qd26 the capped production form. */
-  /** Per-session LRU (size 4) of persisted exploded shingle relations,
-    * keyed by the CANONICAL analyzed plan of the input frame (same
-    * source + transforms → same key; the string key cannot collide the
-    * way a 32-bit semanticHash could). WeakHashMap on the session so a
-    * stopped session's entries become collectable; eviction unpersists
-    * eagerly, bounding pinned storage for long-lived sessions that
-    * containment-dedup many distinct frames. */
-  private val shCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    java.util.LinkedHashMap[String, DataFrame]]()
+  /** Bounded LRU (4 sessions × 4 relations) of persisted exploded
+    * shingle relations. The outer level keys on sessionUUID and is
+    * itself LRU-evicting: a WeakHashMap on the session would never
+    * collect (each cached DataFrame strongly references its session
+    * through queryExecution — the classic value-refers-to-key trap),
+    * so stale sessions are bounded by eviction instead — at most 4
+    * recent sessions' entries are retained, each at most 4 relations —
+    * and eviction unpersists best-effort (a stopped session's blocks
+    * died with its block manager; the try only guards the call). */
+  private val shCache = new java.util.LinkedHashMap[
+      org.apache.spark.sql.SparkSession,
+      java.util.LinkedHashMap[String, DataFrame]](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        org.apache.spark.sql.SparkSession,
+        java.util.LinkedHashMap[String, DataFrame]]): Boolean = {
+      val evict = size() > 4
+      if (evict) e.getValue.values().forEach { df =>
+        try df.unpersist(): Unit catch { case _: Exception => }
+      }
+      evict
+    }
+  }
 
-  /** Memoize-and-persist `build` keyed by (`tag`, canonical plan of
-    * `owner`). A LocalRelation's canonical string does NOT include its
-    * data, so two in-memory frames with the same schema would collide
-    * on the key and reuse each other's derivation — cache only plans
-    * whose every leaf is a file-backed relation (the canonical string
-    * then pins the source paths); for in-memory inputs (specs, ad-hoc
-    * frames) return the unpersisted form — recomputing a small local
-    * relation per consumer is cheaper than a wrong cache hit. */
+  /** Memoize-and-persist `build` keyed by (`tag`, leaf source paths,
+    * canonical plan of `owner`).
+    *
+    * Two traps shape the key, both confirmed empirically:
+    *  - a LocalRelation's canonical string does NOT include its data,
+    *    so two in-memory frames with the same schema would collide —
+    *    cache only plans whose every leaf is file-backed; in-memory
+    *    inputs (specs, ad-hoc frames) get the unpersisted form
+    *    (recomputing a small local relation per consumer is cheaper
+    *    than a wrong cache hit);
+    *  - canonicalization ALSO normalizes file paths and column names
+    *    away (`Relation [none#0,none#1] parquet` for any two-column
+    *    parquet), so the leaves' root paths are folded into the key
+    *    explicitly — without them, two different corpora with the
+    *    same plan shape would share one relation. */
   private def cachedRelation(owner: DataFrame, tag: String)(
       build: => DataFrame): DataFrame = {
-    val fileBacked = owner.queryExecution.analyzed.collectLeaves().forall {
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        true
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val leaves = owner.queryExecution.analyzed.collectLeaves()
+    val fileBacked = leaves.forall {
+      case _: LogicalRelation => true
       case l => l.getClass.getSimpleName.startsWith("DataSourceV2")
     }
     if (!fileBacked) return build
-    val key =
-      tag + "|" + owner.queryExecution.analyzed.canonicalized.toString
+    val leafIds = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case o => o.toString
+      }
+      case l => l.toString // v2: table identifier survives toString
+    }.mkString(";")
+    val key = tag + "|" + leafIds + "|" +
+      owner.queryExecution.analyzed.canonicalized.toString
     shCache.synchronized {
       var m = shCache.get(owner.sparkSession)
       if (m == null) {
@@ -430,7 +458,7 @@ object DedupQueries extends QueryRegistry {
             evict
           }
         }
-        shCache.put(owner.sparkSession, m)
+        shCache.put(owner.sparkSession, m): Unit
       }
       var df = m.get(key)
       if (df == null) {
@@ -599,8 +627,9 @@ object DedupQueries extends QueryRegistry {
       sketchDfCeil: Option[Int] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val pairs = containmentFrom(docs, tau, sketchDfCeil)
-    val sizes = docs.select($"doc_id",
-      explode(hashedShingles(words($"text"))).as("sh"))
+    // sizes derive from the same memoized relation containmentFrom
+    // stages — NOT a fresh explode (a second corpus pass per call)
+    val sizes = cachedShingleRelation(docs)
       .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     pairs
       .join(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n")), "a_id")
@@ -614,8 +643,7 @@ object DedupQueries extends QueryRegistry {
   private def containmentKeep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents
-    val sizes = docs.select($"doc_id",
-      explode(hashedShingles(words($"text"))).as("sh"))
+    val sizes = cachedShingleRelation(docs)
       .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     sizes.join(containmentDropped(docs), Seq("doc_id"), "left")
       .select($"doc_id", $"n_sh",

@@ -592,6 +592,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("shingle-relation cache keys on source paths: two same-schema " +
+    "parquet corpora in one session never share a cached relation") {
+    import spark.implicits._
+    // canonicalized plans normalize file paths AND column names away
+    // ('Relation [none#0,none#1] parquet' for ANY two-column parquet),
+    // so without the leaf-path key component corpus B would silently
+    // read corpus A's persisted shingles — this pins the fix
+    val base = java.nio.file.Files.createTempDirectory("shcache").toString
+    val big = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val excerpt = big.split(" ").take(24).mkString(" ")
+    Seq((1L, big), (2L, excerpt))
+      .toDF("doc_id", "text").write.parquet(s"$base/a")
+    Seq((1L, "completely unrelated words one"),
+      (2L, "another disjoint document two"))
+      .toDF("doc_id", "text").write.parquet(s"$base/b")
+    val a = spark.read.parquet(s"$base/a")
+    val b = spark.read.parquet(s"$base/b")
+    val pairsA = DedupQueries.containmentFrom(a).count()
+    val pairsB = DedupQueries.containmentFrom(b).count()
+    assert(pairsA == 1L, s"planted excerpt pair not found ($pairsA)")
+    assert(pairsB == 0L,
+      "corpus B reported corpus A's pairs — the shingle cache collided")
+  }
+
   test("qd27: the bucket cap drops exactly the boilerplate bucket; " +
     "near-dups still pair through selective bands; generous cap is " +
     "a no-op") {

@@ -40,12 +40,58 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("unconverged at maxIters throws instead of returning bad labels") {
     import spark.implicits._
-    val n = 12 // diameter ~11 > 3 rounds
+    val n = 12 // diameter ~11 > 3 rounds, and 3 leaves no star budget
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("a_id", "b_id")
     val verts = (1 to n).map(_.toLong).toDF("id")
     assertThrows[IllegalStateException](
       ConnectedComponents.run(edges, verts, maxIters = 3))
+  }
+
+  test("dense cluster converges in the propagation phase (no fallback)") {
+    import spark.implicits._
+    // star-shaped near-dup cluster: diameter 2, the common dedup shape
+    val edges = (2 to 9).map(i => (1L, i.toLong)).toDF("a_id", "b_id")
+    val verts = (1 to 9).map(_.toLong).toDF("id")
+    val (got, stats) = ConnectedComponents.runWithStats(edges, verts)
+    assert(got.collect().forall(_.getLong(1) == 1L))
+    assert(!stats.usedStarFallback && stats.starRounds == 0)
+    assert(stats.propagationRounds <= ConnectedComponents.StarFallbackAfter)
+  }
+
+  test("adversarial 10k-chain (diameter >> 50) converges via star " +
+      "fallback in O(log n) rounds") {
+    import spark.implicits._
+    // doc k shares a span with doc k+1 — the scraped-corpus dup chain.
+    // Min-label propagation needs 9,999 rounds (>> the old maxIters=50
+    // abort); large-star/small-star must finish well inside the budget.
+    val n = 10000
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    val (got, stats) = ConnectedComponents.runWithStats(edges, verts)
+    val labels = got.collect()
+    assert(labels.length == n)
+    assert(labels.forall(_.getLong(1) == 1L))
+    assert(stats.usedStarFallback)
+    assert(stats.propagationRounds == ConnectedComponents.StarFallbackAfter)
+    // O(log n): a 10^4-diameter chain must close in ~2·log2(n) star
+    // alternations, nowhere near the 44-round budget
+    assert(stats.starRounds <= 30,
+      s"star phase took ${stats.starRounds} rounds")
+  }
+
+  test("string-id chain through the star fallback (lexicographic min)") {
+    import spark.implicits._
+    // 26 single letters chained z-y-...-a: diameter 25 > fallback bound
+    val ids = ('a' to 'z').map(_.toString)
+    val edges = ids.sliding(2).map(p => (p(1), p(0))).toSeq
+      .toDF("a_id", "b_id")
+    val verts = (ids :+ "zz").toDF("id")
+    val (got, stats) = ConnectedComponents.runWithStats(edges, verts)
+    val m = got.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ids.forall(m(_) == "a") && m("zz") == "zz")
+    assert(stats.usedStarFallback)
   }
 
   test("reliable checkpoint path (checkpoint dir set) gives same answer") {

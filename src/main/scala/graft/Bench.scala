@@ -17,6 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * load noise (median moves, min doesn't, loadavg high).
   */
 object Bench {
+
+  /** Regression-twice detector (round-12 verdict #7): a query whose
+    * kept min is STILL above `envFactor` × its historical envelope
+    * AFTER its solo rerun has shown the double-slow signature of a
+    * real regression — surface it instead of leaving a `->kept` stamp
+    * for a reader to diff by hand. Pure so a spec can trip it with a
+    * synthetic slow query.
+    *
+    * @param keptMin  final per-query kept min (post-rerun swap-in)
+    * @param envelope per-query best-ever min at this sf
+    * @param rerun    queries that went through the solo rerun
+    * @return names still out of envelope after their rerun, sorted */
+  private[graft] def regressionsAfterRerun(
+      keptMin: Map[String, Double], envelope: Map[String, Double],
+      envFactor: Double, rerun: Set[String]): Seq[String] =
+    keptMin.collect {
+      case (name, min) if rerun(name) &&
+        envelope.get(name).exists(env =>
+          env > 0.05 && min > envFactor * env) => name
+    }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -360,6 +381,19 @@ object Bench {
         case r => r
       }
     }
+    // regression-twice alert: flagged rows were solo-rerun; one whose
+    // kept min is STILL out of envelope regressed twice in one capture
+    // — a real plan regression, not contention. Annotate loudly.
+    val keptMinByName = results.collect {
+      case (k, ts, _, true) if ts.nonEmpty => k -> ts.head }.toMap
+    val regressions = regressionsAfterRerun(
+      keptMinByName, envelope, envFactor, flagged)
+    regressions.foreach { n =>
+      System.err.println(
+        f"[bench] WARNING: $n kept min ${keptMinByName(n)}%.3fs is still " +
+          f">${envFactor}x its ${envelope(n)}%.3fs envelope after a solo " +
+          "rerun — double-slow, likely a real regression")
+    }
     val loadEnd = loadavg
     // even lengths average the two middle elements (a 2-rep run must
     // not report the slower rep as its "median")
@@ -400,8 +434,9 @@ object Bench {
       .mkString("[", ",", "]")
     val envReruns = rerunNote.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (round-10 verdict: the driver's stdout
     // parse came back `parsed: null` — the official number must also

@@ -185,6 +185,11 @@ object Pipeline {
         // runs of that list, so a group may straddle a corpus
         // boundary, exactly like a slice of the fleet's mixed file
         // list).
+        // fail loudly on both: mix-spec silently winning over --input
+        // would mask a misconfigured job
+        require(!(a.contains("mix-spec") && a.contains("input")),
+          "--mix-spec and --input are mutually exclusive — the mix " +
+            "spec already names its shard sources")
         val tokInput0 = a.get("mix-spec") match {
           case Some(specPath) => mixTagged(spark, a, specPath).map(_._2)
           case None => graft.wds.ShardList.expand(req("input"))
@@ -243,6 +248,15 @@ object Pipeline {
       // (budget = survivor tokens div N, per-source α=1/2 quotas,
       // greedy md5-ordered fill — needs a `source` column).
       case "curate" =>
+        // the --min-run default moved 1 → 50 (ExactSubstr posture) —
+        // a breaking CLI behavior change for pre-existing --span-scrub
+        // invocations; notice, not failure, so old scripts keep running
+        // but the change is visible in their logs
+        if (a.contains("span-scrub") && !a.contains("min-run"))
+          println("[pipeline] notice: --span-scrub now defaults to " +
+            "--min-run 50 (maximal-run ExactSubstr scrub); pass " +
+            "--min-run 1 for the historical cut-every-duplicated-gram " +
+            "behavior")
         val docs = spark.read.parquet(req("input"))
         val rates = a.get("rates").map(_.split(',').toSeq.map { kv =>
           kv.split('=') match {

@@ -427,7 +427,18 @@ object DedupQueries extends QueryRegistry {
     *    away (`Relation [none#0,none#1] parquet` for any two-column
     *    parquet), so the leaves' root paths are folded into the key
     *    explicitly — without them, two different corpora with the
-    *    same plan shape would share one relation. */
+    *    same plan shape would share one relation.
+    *
+    * Staleness: the key also folds in an md5 of the CONCRETE input
+    * file list (`owner.inputFiles`). Spark job output files carry
+    * unique per-write names (part-<uuid>), so overwriting a parquet
+    * path and re-reading it changes the snapshot → cache miss → fresh
+    * build, instead of silently serving the pre-overwrite relation.
+    * (A caller holding the pre-overwrite DataFrame OBJECT still sees
+    * stale/missing files — that staleness lives in Spark's own
+    * FileIndex, upstream of this cache.) For in-place mutation that
+    * preserves file names (non-Spark writers), call
+    * `invalidateRelationCache`. */
   private def cachedRelation(owner: DataFrame, tag: String)(
       build: => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{
@@ -445,7 +456,14 @@ object DedupQueries extends QueryRegistry {
       }
       case l => l.toString // v2: table identifier survives toString
     }.mkString(";")
-    val key = tag + "|" + leafIds + "|" +
+    // md5, not the raw join: a 100k-file corpus would otherwise put a
+    // multi-MB string in every cache key
+    val snapshot = {
+      val files = owner.inputFiles.sorted.mkString("\n")
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val key = tag + "|" + leafIds + "|" + snapshot + "|" +
       owner.queryExecution.analyzed.canonicalized.toString
     shCache.synchronized {
       var m = shCache.get(owner.sparkSession)
@@ -469,6 +487,18 @@ object DedupQueries extends QueryRegistry {
       df
     }
   }
+
+  /** Drop (and unpersist) every memoized relation for `spark` — the
+    * escape hatch for inputs mutated in place by a non-Spark writer
+    * (file names unchanged, so the snapshot key cannot see the edit). */
+  private[graft] def invalidateRelationCache(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    shCache.synchronized {
+      val m = shCache.remove(spark)
+      if (m != null) m.values().forEach { df =>
+        try df.unpersist(): Unit catch { case _: Exception => }
+      }
+    }
 
   private def cachedShingleRelation(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -1830,7 +1860,7 @@ object DedupQueries extends QueryRegistry {
     "qd26_containment_capped" -> QueryDef(containmentCapped,
       Some(containmentCappedSql), bench = true),
     "qd27_lsh_bucket_cap" -> QueryDef(lshPairsCappedQ,
-      Some(lshPairsCappedSql)),
+      Some(lshPairsCappedSql), bench = true),
     "qd24_containment_keep" -> QueryDef(containmentKeep,
       Some(containmentKeepSql)),
     "qd05_simhash" -> QueryDef(simhash, Some(simhashSql)),

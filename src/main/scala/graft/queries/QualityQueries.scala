@@ -563,9 +563,13 @@ object QualityQueries extends QueryRegistry {
         when($"grand" =!= $"tot_s",
           // integral division (`div`), not double-then-cast: above 2^53
           // a double divide loses integer precision and could diverge
-          // from the oracle's `//` at lake scale
-          abs(expr("cum_s * 1000000 div tot_s")
-            - expr("(cum_all - cum_s) * 1000000 div (grand - tot_s)")))
+          // from the oracle's `//` at lake scale. The ×1e6 product is
+          // widened to decimal(38,0) first: Long arithmetic would wrap
+          // silently past ~9.2e12 cumulative counts (non-ANSI Spark)
+          // while DuckDB's `//` computes in wider integers.
+          abs(expr("cast(cum_s as decimal(38,0)) * 1000000 div tot_s")
+            - expr("cast(cum_all - cum_s as decimal(38,0)) * 1000000" +
+              " div (grand - tot_s)")))
           .as("d_ppm"))
     val ks = d.groupBy($"source").agg(max($"d_ppm").as("ks_ppm"))
     d.join(ks, "source")

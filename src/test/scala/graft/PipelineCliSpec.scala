@@ -178,6 +178,12 @@ class PipelineCliSpec extends SparkSpec {
       "stage" -> "tokenize", "mix-spec" -> specPath.toString,
       "start" -> "5", "save-path" -> sliceOut)))
     assert(e2.getMessage.contains("select no shards"))
+    // passing BOTH --mix-spec and --input is a misconfigured job —
+    // loud failure, not mix-spec silently winning
+    val e3 = intercept[IllegalArgumentException](Pipeline.run(spark, Map(
+      "stage" -> "tokenize", "mix-spec" -> specPath.toString,
+      "input" -> tarA, "save-path" -> sliceOut)))
+    assert(e3.getMessage.contains("mutually exclusive"))
   }
 
   test("kf pack → tokenize with --type kf keeps every sample") {

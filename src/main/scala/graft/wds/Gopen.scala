@@ -131,6 +131,80 @@ object Gopen {
     }
   }
 
+  /** Random-access variant of [[open]]: Some(channel) when the URL
+    * resolves to a plain Hadoop-FS object (file:/hdfs:/s3a:/…), None
+    * for `pipe:` and custom pipe-handler schemes, which are
+    * producer-stream-only. A seekable channel lets a pruned tar scan
+    * SEEK past unselected entry payloads instead of reading them
+    * through (commons-io's skip — what the streaming tar reader
+    * bottoms out in — deliberately reads every skipped byte). Scheme
+    * aliases resolve exactly as [[open]] does. */
+  def openSeekable(url: String, conf: Configuration)
+      : Option[java.nio.channels.SeekableByteChannel] =
+    seekableResolved(rewriteUrl(url), conf, aliased = false)
+
+  private def seekableResolved(u: String, conf: Configuration,
+      aliased: Boolean): Option[java.nio.channels.SeekableByteChannel] = {
+    if (u.startsWith("pipe:")) None
+    else {
+      val custom =
+        if (aliased) None
+        else SchemeRe.findFirstMatchIn(u).map(_.group(1))
+          .flatMap(schemeHandler)
+      custom match {
+        case Some(h) if h.startsWith("pipe:") => None
+        case Some(alias) =>
+          val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
+          seekableResolved(alias + u.stripPrefix(scheme), conf,
+            aliased = true)
+        case None =>
+          val path = new Path(u)
+          val fs = path.getFileSystem(conf)
+          val len = fs.getFileStatus(path).getLen
+          // an FS that cannot report a real length (Hadoop's http fs
+          // returns 0) cannot serve a random-access scan — the caller
+          // falls back to the sequential stream
+          if (len <= 0) None
+          else Some(new FsSeekableChannel(fs.open(path), len))
+      }
+    }
+  }
+
+  /** [[java.nio.channels.SeekableByteChannel]] over an FS stream.
+    * Position is tracked locally and the stream seeks LAZILY at read —
+    * positioning at/past EOF never touches the FS (some FS streams
+    * throw on seek(len)), it just makes the next read return -1. */
+  private final class FsSeekableChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int =
+      if (pos >= length) -1
+      else {
+        if (in.getPos != pos) in.seek(pos)
+        val want = math.min(dst.remaining().toLong, length - pos).toInt
+        val buf = new Array[Byte](want)
+        val n = in.read(buf, 0, want)
+        if (n > 0) { dst.put(buf, 0, n); pos += n }
+        n
+      }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new java.nio.channels.NonWritableChannelException
+    override def position(): Long = pos
+    override def position(newPosition: Long)
+        : java.nio.channels.SeekableByteChannel = {
+      require(newPosition >= 0, s"position $newPosition")
+      pos = newPosition
+      this
+    }
+    override def size(): Long = length
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new java.nio.channels.NonWritableChannelException
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+  }
+
   /** POSIX single-quote escaping: `'` closes, `\'` emits, `'` reopens. */
   private[wds] def shellQuote(s: String): String =
     "'" + s.replace("'", "'\\''") + "'"

@@ -48,6 +48,30 @@ object TarIO {
         * without materializing entry bytes. */
       keepEmpty: Boolean = false)
 
+  private val EmptyBytes = Array.emptyByteArray
+
+  /** Shared entry-name admission: meta-skip → rename → select, the
+    * order the reference applies them (`tariterators.py:95-143`).
+    * Returns the post-rename name when the entry is kept. Single-
+    * sourced so the streaming and seekable scans cannot drift. */
+  private def keptName(name0: String, opts: ReadOptions): Option[String] = {
+    val isMeta = (!name0.contains("/") && name0.startsWith("__") &&
+      name0.endsWith("__")) ||
+      SkipMeta.findPrefixOf(name0).isDefined
+    if (isMeta) None
+    else {
+      val name = opts.renameFiles.fold(name0)(f => f(name0))
+      if (opts.selectFiles.exists(p => !p(name))) None else Some(name)
+    }
+  }
+
+  /** `suffixes = Some(Set.empty)` is the DSv2 pruned-columns read: NO
+    * suffix can match, so every payload would be dropped post-read —
+    * emit (name, empty) instead of materializing bytes. Entry NAMES
+    * still flow: group boundaries need them. */
+  private def skipPayloads(opts: ReadOptions): Boolean =
+    opts.suffixes.exists(_.isEmpty)
+
   /** Scan raw tar entries: (name, bytes), order-preserving. Transparently
     * gunzips `.tar.gz`/`.tgz` streams when `gzipped`. */
   def entries(
@@ -58,6 +82,7 @@ object TarIO {
     val base = new BufferedInputStream(in, 1 << 16)
     val stream = new TarArchiveInputStream(
       if (gzipped) new GZIPInputStream(base) else base)
+    val namesOnly = skipPayloads(opts)
 
     new Iterator[(String, Array[Byte])] {
       private var nextEntry: (String, Array[Byte]) = _
@@ -80,13 +105,10 @@ object TarIO {
           val name0 = e.getName
           if (name0 == null) { skip(e); advance() }
           else {
-            val isMeta = (!name0.contains("/") && name0.startsWith("__") &&
-              name0.endsWith("__")) ||
-              SkipMeta.findPrefixOf(name0).isDefined
-            if (isMeta) { skip(e); advance() }
-            else {
-              val name = opts.renameFiles.fold(name0)(f => f(name0))
-              if (opts.selectFiles.exists(p => !p(name))) { skip(e); advance() }
+            keptName(name0, opts) match {
+              case None => skip(e); advance()
+              case Some(name) =>
+              if (namesOnly) nextEntry = (name, EmptyBytes)
               else {
                 // payload read under the handler policy: oversized or
                 // truncated entries are per-entry failures, not task death
@@ -133,6 +155,96 @@ object TarIO {
       }
     }
   }
+
+  /** True when a pruned read over this shard should take the
+    * RANDOM-ACCESS path: only when pruning was actually requested
+    * (`selectFiles` or the names-only read) — seeking saves the pruned
+    * payloads' I/O then, while an unpruned scan stays a single
+    * sequential read, the cheapest access pattern on every FS.
+    * Gzipped shards are inherently sequential. */
+  def shouldSeek(url: String, opts: ReadOptions): Boolean =
+    (opts.selectFiles.isDefined || skipPayloads(opts)) &&
+      !url.endsWith(".gz") && !url.endsWith(".tgz")
+
+  /** Random-access entry scan over a seekable channel — same admission
+    * and ordering semantics as [[entries]], but unselected payloads are
+    * SOUGHT PAST, not read through: the streaming tar reader bottoms
+    * out in commons-io's `IOUtils.skip`, which deliberately reads every
+    * skipped byte, so entry pruning on the stream path saves decode but
+    * not I/O. Here commons-compress's `TarFile` walks headers by
+    * seeking and payload bytes move only for entries we keep — a
+    * names-only scan of a shard full of 1 MiB payloads reads ~0.1% of
+    * its bytes. Closes the channel when the iterator is exhausted or
+    * the scan aborts; callers should still close defensively on
+    * early termination. */
+  def entriesSeekable(
+      ch: java.nio.channels.SeekableByteChannel,
+      url: String,
+      opts: ReadOptions = ReadOptions()): Iterator[(String, Array[Byte])] = {
+    import org.apache.commons.compress.archivers.tar.TarFile
+    // construction walks every header (seeking); failure here THROWS
+    // so [[WdsReader.openSamples]] can fall back to the sequential
+    // stream — the handler policy judges errors there, exactly once
+    val tarFile = new TarFile(ch)
+    val namesOnly = skipPayloads(opts)
+    var stopped = false
+    import scala.jdk.CollectionConverters._
+    val base = tarFile.getEntries.asScala.iterator
+      .takeWhile(_ => !stopped)
+      .filter(_.isFile)
+      .flatMap { e =>
+        Option(e.getName).flatMap(keptName(_, opts)) match {
+          case None => None
+          case Some(name) if namesOnly => Some((name, EmptyBytes))
+          case Some(name) =>
+            try {
+              val sz = e.getRealSize
+              if (sz > Int.MaxValue - 8)
+                throw new IllegalArgumentException(
+                  s"entry ${e.getName} is $sz bytes; " +
+                    "in-memory samples cap at 2 GiB")
+              val buf = new Array[Byte](sz.toInt)
+              val in = tarFile.getInputStream(e)
+              try {
+                var off = 0
+                while (off < buf.length) {
+                  val n = in.read(buf, off, buf.length - off)
+                  if (n < 0) throw new java.io.EOFException(
+                    s"truncated entry ${e.getName} in $url")
+                  off += n
+                }
+              } finally in.close()
+              Some((name, buf))
+            } catch {
+              case ex: Exception =>
+                if (!Handler.handle(opts.handler,
+                  s"read ${e.getName} @ $url", ex)) stopped = true
+                None
+            }
+        }
+      }
+    new Iterator[(String, Array[Byte])] {
+      private var closed = false
+      private def closeOnce(): Unit =
+        if (!closed) {
+          closed = true
+          try tarFile.close() catch { case _: Exception => () }
+        }
+      override def hasNext: Boolean = {
+        val h = base.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      override def next(): (String, Array[Byte]) = base.next()
+    }
+  }
+
+  /** One-call random-access read: channel → grouped samples. */
+  def readSamplesSeekable(
+      ch: java.nio.channels.SeekableByteChannel,
+      url: String,
+      opts: ReadOptions = ReadOptions()): Iterator[Sample] =
+    groupByKeys(entriesSeekable(ch, url, opts), url, opts)
 
   /** Adjacency-grouping of a tar's entry stream into samples — order
     * sensitive by design; never reimplement with groupBy (`SURVEY.md`

@@ -92,6 +92,43 @@ object WdsReader {
           readPartition(group.iterator, bc.value.value, opts))))
   }
 
+  /** Open one shard as a grouped-sample iterator plus its closer.
+    * Routes pruned reads (entry select / names-only) of seekable URLs
+    * through [[TarIO.readSamplesSeekable]] — payloads the pruning
+    * drops are SOUGHT PAST instead of read through — and everything
+    * else (unpruned scans, `pipe:` producers, gzipped shards) through
+    * the sequential stream. Open errors propagate to the caller's
+    * handler policy. */
+  private[wds] def openSamples(
+      url: String,
+      conf: Configuration,
+      opts: TarIO.ReadOptions): (Iterator[Sample], () => Unit) = {
+    // the seekable attempt is best-effort: an FS that misreports
+    // length or rejects seeks mid-probe falls back to the sequential
+    // stream, whose error story the handler policy already owns
+    val seekable =
+      if (TarIO.shouldSeek(url, opts))
+        try Gopen.openSeekable(url, conf)
+        catch { case _: Exception => None }
+      else None
+    seekable match {
+      case Some(ch) =>
+        try (TarIO.readSamplesSeekable(ch, url, opts),
+          () => try ch.close() catch { case _: Exception => () })
+        catch {
+          case _: Exception =>
+            try ch.close() catch { case _: Exception => () }
+            val in = Gopen.open(url, conf)
+            (TarIO.readSamples(in, url, opts),
+              () => try in.close() catch { case _: Exception => () })
+        }
+      case None =>
+        val in = Gopen.open(url, conf)
+        (TarIO.readSamples(in, url, opts),
+          () => try in.close() catch { case _: Exception => () })
+    }
+  }
+
   /** Stream every shard of one task. Open errors route through the
     * handler policy, like the reference's url_opener
     * (`tariterators.py:66-94`): continue ⇒ skip the shard, stop ⇒ end
@@ -105,14 +142,13 @@ object WdsReader {
       if (stopped) Iterator.empty
       else
         try {
-          val in = Gopen.open(url, conf)
+          val (samples, close) = openSamples(url, conf, opts)
           // close at task end (covers exhaustion, errors, and task
           // kill — a long-lived executor must not leak fds/S3A
           // connections across thousands of shards)
           Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: Exception => () }))
-          TarIO.readSamples(in, url, opts)
+            _.addTaskCompletionListener[Unit](_ => close()))
+          samples
         } catch {
           case e: Exception =>
             if (!Handler.handle(opts.handler, s"open $url", e))

@@ -174,6 +174,20 @@ final class WdsScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Surfaces the two custom pushdowns in `.explain()` so a plan audit
+    * can PIN them: `select=[globs]` (tar-entry pruning — the tar analog
+    * of parquet column pruning) and `PushedUrlFilters` (planning-time
+    * shard pruning — the partition-pruning analog). Without this
+    * override a pruned and an unpruned scan explain identically. */
+  override def description(): String = {
+    val sel = Option(options.get("select"))
+      .map(s => s" select=[$s]").getOrElse("")
+    val pushed =
+      if (urlFilters.isEmpty) ""
+      else urlFilters.mkString(" PushedUrlFilters: [", ", ", "]")
+    s"wds$sel$pushed"
+  }
+
   private def urls: Seq[String] =
     WdsScan.resolveUrls(options, urlFilters, "wds")
 
@@ -361,25 +375,27 @@ final case class WdsReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val url = p.asInstanceOf[WdsInputPartition].url
     new PartitionReader[InternalRow] {
+      // entry bytes are skipped entirely when `entries` is pruned away
+      private val needEntries = fields.contains("entries")
+      private val effOpts =
+        if (needEntries) opts
+        // pruned read: keep the (empty) sample shells so row counts
+        // survive without materializing entry bytes
+        else opts.copy(suffixes = Some(Set.empty), keepEmpty = true)
       // One shard per partition, so "stop" and "continue" both reduce
       // to an exhausted reader here — but the handler must still run
-      // (Reraise throws; Warn* logs the quarantined shard).
-      private val stream =
-        try Some(Gopen.open(url, conf.value))
+      // (Reraise throws; Warn* logs the quarantined shard). Pruned
+      // reads of seekable shards take the TarFile path: dropped
+      // payloads are sought past, never read.
+      private val opened =
+        try Some(graft.wds.WdsReader.openSamples(url, conf.value, effOpts))
         catch {
           case e: Exception =>
             Handler.handle(opts.handler, s"open $url", e)
             None
         }
-      // entry bytes are skipped entirely when `entries` is pruned away
-      private val needEntries = fields.contains("entries")
-      private val it: Iterator[Sample] = stream
-        .map(in => TarIO.readSamples(in, url,
-          if (needEntries) opts
-          // pruned read: keep the (empty) sample shells so row counts
-          // survive without materializing entry bytes
-          else opts.copy(suffixes = Some(Set.empty), keepEmpty = true)))
-        .getOrElse(Iterator.empty)
+      private val it: Iterator[Sample] =
+        opened.map(_._1).getOrElse(Iterator.empty)
       private var current: Sample = _
 
       override def next(): Boolean =
@@ -398,7 +414,7 @@ final case class WdsReaderFactory(
         InternalRow.fromSeq(values.toIndexedSeq)
       }
 
-      override def close(): Unit = stream.foreach(_.close())
+      override def close(): Unit = opened.foreach(_._2())
     }
   }
 }

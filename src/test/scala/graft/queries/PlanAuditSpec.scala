@@ -476,6 +476,53 @@ class PlanAuditSpec extends SparkSpec {
     }, "no slim ranking exchange found — the pool window ships vectors")
   }
 
+  test("wds DSv2 select pushdown: pinned in the scan's explain AND " +
+    "bytes-read drops on fat ignored entries") {
+    // SURVEY §4.1's one custom pushdown: the tokenize-style narrow
+    // projection (json-only to_dict) must prune tar entries BEFORE
+    // decode. Two pins: the select globs appear on the BatchScan node
+    // (a pruned and an unpruned scan must not explain identically),
+    // and skipping really skips — reading a shard whose samples are
+    // 1 MiB of ignored payload plus a few bytes of json must move a
+    // fraction of the unpruned read's bytes (tar skip = seek on a
+    // local/HDFS stream, not read-and-discard).
+    val dir = java.nio.file.Files.createTempDirectory("pa_wds_sel").toString
+    val tar = s"$dir/fat-000000.tar"
+    val out = new java.io.FileOutputStream(tar)
+    val w = new graft.wds.TarIO.TarWriter(out)
+    val fat = new Array[Byte](1 << 20)
+    (0 until 8).foreach { i =>
+      w.write(graft.wds.Sample(f"$i%06d", "", Map(
+        "json" -> s"""{"i":$i}""".getBytes("UTF-8"),
+        "bin" -> fat))): Unit
+    }
+    w.close()
+    def fileBytesRead: Long = {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (s == null) 0L else s.getLong("bytesRead").longValue()
+    }
+    def run(select: Option[String]): (String, Long) = {
+      val base = spark.read.format("wds")
+      val df = select.fold(base)(g => base.option("select", g)).load(tar)
+        .select(col("key"), col("entries"))
+      val plan = planDf(df).toString
+      val before = fileBytesRead
+      df.collect(): Unit // materializes entries through the reader
+      (plan, fileBytesRead - before)
+    }
+    val (prunedPlan, prunedBytes) = run(Some("*.json"))
+    val (fullPlan, fullBytes) = run(None)
+    assert(prunedPlan.contains("select=[*.json]"),
+      s"select pushdown missing from the wds scan:\n$prunedPlan")
+    assert(!fullPlan.contains("select=["), fullPlan)
+    assert(fullBytes > (8L << 20),
+      s"unpruned read moved only $fullBytes bytes")
+    assert(prunedBytes < fullBytes / 2,
+      s"select read $prunedBytes of $fullBytes unpruned bytes — " +
+        "fat entries were read, not skipped")
+  }
+
   test("mm32 alignment fan-out is decode-free: both vote-join " +
     "branches read the staged POSITIONAL parquet") {
     // dupSegmentAlign stages (media_id, take, pos, sh) before the

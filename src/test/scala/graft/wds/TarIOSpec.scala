@@ -132,6 +132,46 @@ class TarIOSpec extends AnyFunSuite {
     assert(kept.forall(_.entries.isEmpty))
   }
 
+  test("seekable scan parity: readSamplesSeekable == readSamples " +
+      "under interleave, meta-skip, select, and names-only pruning") {
+    // the random-access TarFile path must be sample-for-sample
+    // identical to the streaming path — same admission order, same
+    // interleave folding, same empty shells under names-only pruning
+    val bos = new ByteArrayOutputStream()
+    val w = new TarIO.TarWriter(bos)
+    w.write("12-0", Map("json" -> bytes("""{"image":["0"]}"""),
+      "bin" -> bytes("fatpayload")))
+    w.write("12-0-0", Map("jpg" -> bytes("img0")))
+    w.write("12-1", Map("json" -> bytes("{}"), "txt" -> bytes("t")))
+    w.close()
+    val tarBytes = bos.toByteArray
+    val path = java.nio.file.Files.createTempFile("tario_seek", ".tar")
+    java.nio.file.Files.write(path, tarBytes): Unit
+    def both(opts: TarIO.ReadOptions)
+        : (Seq[(String, Map[String, String])],
+           Seq[(String, Map[String, String])]) = {
+      def render(ss: Seq[Sample]) = ss.map(s =>
+        s.key -> s.entries.map { case (k, v) => k -> new String(v, UTF_8) }
+          .toMap)
+      val streamed = render(TarIO.readSamples(
+        new ByteArrayInputStream(tarBytes), "t.tar", opts).toSeq)
+      val ch = java.nio.channels.FileChannel.open(path)
+      val seeked =
+        try render(TarIO.readSamplesSeekable(ch, "t.tar", opts).toSeq)
+        finally ch.close()
+      (streamed, seeked)
+    }
+    for (opts <- Seq(
+      TarIO.ReadOptions(),
+      TarIO.ReadOptions(selectFiles = Some(n => !n.endsWith(".bin"))),
+      TarIO.ReadOptions(interleave = false),
+      TarIO.ReadOptions(suffixes = Some(Set.empty), keepEmpty = true))) {
+      val (s, k) = both(opts)
+      assert(s == k, s"parity break for $opts")
+      assert(s.nonEmpty)
+    }
+  }
+
   test("meta entries (__meta__-style) are skipped") {
     import org.apache.commons.compress.archivers.tar.{
       TarArchiveEntry, TarArchiveOutputStream}

@@ -212,10 +212,20 @@ object Pipeline {
           s"--start/--end select no shards of ${tokInput0.length}")
         val samples = WdsReader.readUrlsGrouped(spark, tokInput,
           a.getOrElse("shard-size", "1").toInt)
+        // a RANGED run writes under `<save-path>/<start>-<end>/`, the
+        // reference's resume layout (`tokenize/main.py:151`:
+        // save_path/{start}-{end}/{tar_name}.tar) — merge-group ids
+        // restart at 0 per invocation, so two resumed ranges into one
+        // flat dir would collide on shard_0-…; the range subdir is
+        // what makes the fleet's restart-by-count workflow composable
+        val tokOut =
+          if (a.contains("start") || a.contains("end"))
+            s"${req("save-path").stripSuffix("/")}/$sliceFrom-$sliceTo"
+          else req("save-path")
         // --type: the reference's sample_type job arg selects the
         // conversate/validation branch (kf token expansion, merlin-s
         // multi-turn counts) — `tokenize/main.py:169-184`
-        TokenizeStage.run(samples, req("save-path"), tok,
+        TokenizeStage.run(samples, tokOut, tok,
           a.getOrElse("max-tokens", TokenizeStage.MaxTokens.toString).toInt,
           sampleType = a.getOrElse("type", "un"))
       case "check" =>

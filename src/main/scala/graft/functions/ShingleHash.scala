@@ -23,6 +23,18 @@ import org.apache.spark.sql.types._
   */
 object ShingleHash {
 
+  /** Shingle-hash WIRE WIDTH: md5 truncated to this many hex chars
+    * (2^64 ids at 16). The knob to widen if a corpus ever crosses the
+    * collision line quantified in SCALE.md §"16-hex collision posture"
+    * — at 10^13 distinct corpus shingles the expected birthday
+    * collisions are ~2.7M (~3×10^-7 of shingles), and every collision
+    * only ADDS a shared count, biasing jaccard/containment toward MORE
+    * dedup (the safe side). Every engine-side producer derives from
+    * this constant; the DuckDB oracles embed the matching literal
+    * `substr(md5(x), 1, 16)`. */
+  val HashHexChars: Int = 16
+  private val HashBytes = HashHexChars / 2
+
   /** k-word shingles of the lowercased text; shorter docs fall back to
     * the whole text — mirroring the guarded SQL CASE. */
   def kGrams(text: String, k: Int): Array[String] = {
@@ -88,12 +100,12 @@ object ShingleHash {
       }(enc)
   }
 
-  /** first 8 digest bytes as 16 lowercase hex chars — the same value as
-    * `substr(md5(x), 1, 16)`. */
+  /** first HashBytes digest bytes as HashHexChars lowercase hex chars —
+    * the same value as `substr(md5(x), 1, HashHexChars)`. */
   private def hex16(d: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(16)
+    val sb = new java.lang.StringBuilder(HashHexChars)
     var i = 0
-    while (i < 8) {
+    while (i < HashBytes) {
       sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
       sb.append(Character.forDigit(d(i) & 0xf, 16))
       i += 1

@@ -355,10 +355,13 @@ object DedupQueries extends QueryRegistry {
   private val ContainTau = 0.6
 
   /** Hashed distinct-shingle projection (16-hex md5 of each 3-gram) —
-    * the qd22 relation: only hashes and ids ever reach its joins. */
+    * the qd22 relation: only hashes and ids ever reach its joins. Wire
+    * width = [[graft.functions.ShingleHash.HashHexChars]] (collision
+    * posture quantified in SCALE.md). */
   private def hashedShingles(ws: Column): Column =
     array_distinct(transform(shingles(ws), x =>
-      substring(md5(to_binary(x, lit("utf-8"))), 1, 16)))
+      substring(md5(to_binary(x, lit("utf-8"))), 1,
+        graft.functions.ShingleHash.HashHexChars)))
 
   /** qd22 core over any (doc_id, text) frame: bottom-k containment
     * dedup — the near-SUBSET complement of qd04. Jaccard punishes size

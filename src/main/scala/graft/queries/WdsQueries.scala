@@ -833,8 +833,10 @@ object WdsQueries extends QueryRegistry {
   }
 
   /** Greedy-fold replay: acc+toks>8000 starts a new bin; the flushed
-    * bin takes the incoming doc's key; the final partial bin is
-    * dropped (exact `TokenizeStage.greedyPack` semantics). */
+    * bin takes the incoming doc's key — "<tarIdx>-<fileIdx>" under the
+    * group's 100-doc aligned tars (the reference's cached_key,
+    * `tokenize/main.py:159-169`); the final partial bin is dropped
+    * (exact `TokenizeStage.greedyPack` semantics). */
   private val tokenizePackSql =
     """WITH RECURSIVE d AS (
       |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
@@ -853,7 +855,8 @@ object WdsQueries extends QueryRegistry {
       |    min(r.rn) AS first_rn
       |  FROM r JOIN d t ON t.rn = r.rn GROUP BY bin),
       |mx AS (SELECT max(bin) AS mb FROM bins)
-      |SELECT printf('0-%d', nxt.first_rn - 1) AS key,
+      |SELECT printf('%d-%d', (nxt.first_rn - 1) // 100,
+      |    (nxt.first_rn - 1) % 100) AS key,
       |  (b.sum_toks - (b.n_docs - 1))::INT AS n_tokens,
       |  (4 * b.n_docs)::INT AS n_images
       |FROM bins b JOIN bins nxt ON nxt.bin = b.bin + 1, mx
@@ -933,8 +936,12 @@ object WdsQueries extends QueryRegistry {
     val samples = WdsReader.readUrls(s, urls) // 1 shard = 1 partition
     val tokInfo = TokenizeStage.run(samples, tokOut)
     val tokUrls = shardUrls(tokInfo)
+    // group id comes from the OUTPUT SHARD NAME (shard_<group>-…), not
+    // the sample key: keys are "<tarIdx within group>-<fileIdx>"
+    // (reference cached_key semantics), run-local by design
     s.read.format("wds").load(tokUrls: _*)
-      .select(split(col("key"), "-").getItem(0).cast("int").as("group"),
+      .select(regexp_extract(col("url"), "shard_(\\d+)-", 1)
+          .cast("int").as("group"),
         json_array_length(get_json_object(jsonCol, "$.text")).as("n_docs"),
         json_array_length(get_json_object(jsonCol, "$.input_ids"))
           .as("n_tokens"))
@@ -1425,8 +1432,11 @@ object WdsQueries extends QueryRegistry {
       "stage" -> "tokenize", "mix-spec" -> specPath.toString,
       "shard-size" -> "3", "save-path" -> tokOut))
     val tokUrls = shardUrls(tokInfo)
+    // group from the output shard name — keys are group-local
+    // "<tarIdx>-<fileIdx>" (reference cached_key semantics)
     s.read.format("wds").load(tokUrls: _*)
-      .select(split(col("key"), "-").getItem(0).cast("int").as("group"),
+      .select(regexp_extract(col("url"), "shard_(\\d+)-", 1)
+          .cast("int").as("group"),
         json_array_length(get_json_object(jsonCol, "$.text")).as("n_docs"),
         json_array_length(get_json_object(jsonCol, "$.input_ids"))
           .as("n_tokens"))
@@ -1490,6 +1500,119 @@ object WdsQueries extends QueryRegistry {
       |FROM bins b JOIN mx ON b.grp = mx.grp
       |WHERE b.bin < mx.mb
       |GROUP BY b.grp ORDER BY b.grp""".stripMargin
+
+  /** wds31: THE CHAINED FLEET RUN — curate → pack → tokenize → check
+    * as one workflow, with the tokenize stage split into TWO RESUMED
+    * RANGES (`--start/--end`), the reference fleet's actual operating
+    * mode (`script/launch-pack.sh:1-10`, `README.md:205-213`: jobs
+    * restart by tar count and each range writes its own
+    * `<start>-<end>/` subdir, `tokenize/main.py:151`). Every stage is
+    * individually gated elsewhere; this gate pins the COMPOSITION —
+    * the curated survivor set flows through pack keys into per-tar
+    * merge groups, the two ranges reproduce exactly the single run's
+    * groups, and the final strict-check index parquet carries the
+    * per-group sample counts the oracle derives from `documents`
+    * alone. Curate runs with the two SQL-replicable filters (C4
+    * quality + exact-dedup; span filter disabled via max-dup-frac 1,
+    * rates at keep-all) so the oracle stays exact. */
+  private def fleetChain(s: SparkSession, dir: String): DataFrame = {
+    val docsIn = scratchDir("graft_w31d")
+    val curatedOut = scratchDir("graft_w31c")
+    val packOut = scratchDir("graft_w31p")
+    val tokOut = scratchDir("graft_w31t")
+    val idxOut = scratchDir("graft_w31i")
+    Tables(s, dir).documents.select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(docsIn)
+    graft.Pipeline.run(s, Map(
+      "stage" -> "curate", "input" -> docsIn,
+      "min-words" -> "30", "max-dup-frac" -> "1.0",
+      "save-path" -> curatedOut)).collect(): Unit
+    val meta = s.read.parquet(curatedOut).select(
+      format_string("videos/%09d.mp4", col("doc_id")).as("video_path"),
+      col("text").as("value"))
+    val info = PackStage.run(meta, packOut, PackStage.PackOptions(
+      numSegments = 2, samplesPerTar = 25, alignShards = true))
+    val urls = numericShardUrls(info)
+    // two resumed ranges over the packed shard list: [0,k) then [k,n)
+    val k = math.max(1, urls.length / 2)
+    Seq((0, k), (k, urls.length)).filter(t => t._2 > t._1).foreach {
+      case (a, b) =>
+        graft.Pipeline.run(s, Map(
+          "stage" -> "tokenize", "input" -> urls.mkString("::"),
+          "start" -> a.toString, "end" -> b.toString,
+          "shard-size" -> "1", "save-path" -> tokOut)).collect(): Unit
+    }
+    // strict check over BOTH ranges' outputs → the fleet's index
+    val fs = new org.apache.hadoop.fs.Path(tokOut)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tokTars = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(tokOut), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".tar")) b += f.getPath.toString
+      }
+      b.result().sorted
+    }
+    val idx = graft.Pipeline.run(s, Map(
+      "stage" -> "check", "input" -> tokTars.mkString("::"),
+      "save-path" -> idxOut))
+    // global merge-group id = range start + in-range partition id
+    // (shard-size 1: group p of range [a,b) tokenized input tar a+p)
+    idx.select(
+        (regexp_extract(col("url"), "/(\\d+)-\\d+/shard_\\d+-", 1)
+          .cast("int") +
+          regexp_extract(col("url"), "/shard_(\\d+)-", 1).cast("int"))
+          .as("tar_seq"),
+        col("nsamples"))
+      .groupBy(col("tar_seq"))
+      .agg(sum(col("nsamples")).as("nsamples"))
+      .orderBy(col("tar_seq"))
+  }
+
+  /** Curate's two active filters replayed in SQL (C4 quality: >=30
+    * single-space words, mean word length in [3,10], no lorem/brace/
+    * javascript; exact-dedup: min doc_id per identical text), then the
+    * wds04 recipe per 25-doc tar: rank → tar → per-tar 8k greedy fold,
+    * flushed bins = nsamples, empty groups write no tar. */
+  private val fleetChainSql =
+    """WITH RECURSIVE q AS (
+      |  SELECT doc_id, text,
+      |    len(string_split(text, ' ')) AS nw,
+      |    (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+      |      / len(string_split(text, ' ')) AS ml
+      |  FROM documents),
+      |qk AS (
+      |  SELECT doc_id, text FROM q
+      |  WHERE nw >= 30 AND ml >= 3.0 AND ml <= 10.0
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')
+      |    AND NOT contains(lower(text), 'javascript')),
+      |curated AS (
+      |  SELECT doc_id, text FROM qk
+      |  WHERE doc_id = (SELECT min(doc_id) FROM qk q2
+      |                  WHERE q2.text = qk.text)),
+      |ranked AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+      |    518 + len(string_split(text, ' ')) AS toks
+      |  FROM curated),
+      |d AS (
+      |  SELECT ((rn - 1) // 25)::INT AS tar,
+      |    row_number() OVER (PARTITION BY (rn - 1) // 25
+      |      ORDER BY rn) AS tn,
+      |    toks
+      |  FROM ranked),
+      |r(tar, tn, acc, bin) AS (
+      |  SELECT tar, tn, toks, 0 FROM d WHERE tn = 1
+      |  UNION ALL
+      |  SELECT d.tar, d.tn,
+      |    CASE WHEN r.acc + d.toks > 8000 THEN d.toks
+      |         ELSE r.acc + d.toks END,
+      |    CASE WHEN r.acc + d.toks > 8000 THEN r.bin + 1 ELSE r.bin END
+      |  FROM r JOIN d ON d.tar = r.tar AND d.tn = r.tn + 1)
+      |SELECT tar AS tar_seq, max(bin)::BIGINT AS nsamples
+      |FROM r GROUP BY tar HAVING max(bin) >= 1
+      |ORDER BY tar_seq""".stripMargin
 
   /** wds17: CONTINUOUS shard ingest through the DSv2 streaming path —
     * pack real aligned shards, then `readStream.format("wds")` over the
@@ -2027,6 +2150,7 @@ object WdsQueries extends QueryRegistry {
     "wds27_mixed_pack" -> QueryDef(mixedPack, Some(mixedPackSql)),
     "wds30_mixed_tokenize" -> QueryDef(mixedTokenize,
       Some(mixedTokenizeSql)),
+    "wds31_fleet_chain" -> QueryDef(fleetChain, Some(fleetChainSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),

@@ -241,9 +241,20 @@ object TokenizeStage {
       DataFrame = {
     implicit val enc = Encoders.product[Sample]
     val packed = packShards.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // doc key = "<tarIdx within merge group>-<fileIdx within tar>",
+      // the reference's cached_key (`tokenize/main.py:159-169`:
+      // enumerate over the group's tars × enumerate over each tar's
+      // samples). RUN-LOCAL ids (partition id) must not leak into
+      // keys: a resumed `--start/--end` range re-tokenizing the same
+      // group must reproduce the single run's tars BYTE-FOR-BYTE, and
+      // partition ids restart per invocation. Tar transitions are
+      // observed through the sample's url (one group streams its tars
+      // in order).
+      var tarIdx = -1
       var fileIdx = -1
+      var lastUrl: String = null
       val docs = it.flatMap { s =>
+        if (s.url != lastUrl) { lastUrl = s.url; tarIdx += 1; fileIdx = -1 }
         parsePackSample(s, sampleType).flatMap { p =>
           fileIdx += 1
           // a sample with missing frame entries (truncated shard) would
@@ -255,7 +266,7 @@ object TokenizeStage {
           else {
             val (ids, mask, text) =
               Tokenizers.tokenizeConversation(p.turns, tokenizer)
-            Some(TokDoc(s"$pid-$fileIdx", p.names,
+            Some(TokDoc(s"$tarIdx-$fileIdx", p.names,
               p.images.map(resizeIfNeeded), ids, mask, text))
           }
         }

@@ -162,7 +162,9 @@ class PipelineCliSpec extends SparkSpec {
     assert(e.getMessage.contains("--input"))
     // --start/--end: the reference's tar-range resume — a slice of the
     // resolved list; [1:2] over the seed-17 shuffle names exactly its
-    // second shard, so the output equals tokenizing that url alone
+    // second shard, so the output equals tokenizing that url alone.
+    // A ranged run writes under <save-path>/<start>-<end>/, the
+    // reference's resume layout (tokenize/main.py:151)
     val resolved = urls
     val sliceOut = Files.createTempDirectory("cli_mt_slice").toString
     Pipeline.run(spark, Map(
@@ -172,7 +174,7 @@ class PipelineCliSpec extends SparkSpec {
     graft.tokenize.TokenizeStage.run(
       graft.wds.WdsReader.readUrlsGrouped(spark, resolved.slice(1, 2), 1),
       directSlice).collect()
-    assert(dump(sliceOut) == dump(directSlice))
+    assert(dump(s"$sliceOut/1-2") == dump(directSlice))
     // an empty slice fails loudly instead of writing nothing
     val e2 = intercept[IllegalArgumentException](Pipeline.run(spark, Map(
       "stage" -> "tokenize", "mix-spec" -> specPath.toString,
@@ -184,6 +186,83 @@ class PipelineCliSpec extends SparkSpec {
       "stage" -> "tokenize", "mix-spec" -> specPath.toString,
       "input" -> tarA, "save-path" -> sliceOut)))
     assert(e3.getMessage.contains("mutually exclusive"))
+  }
+
+  test("fleet chain e2e: curate → pack → tokenize in two resumed " +
+      "ranges → check; ranges reproduce the single run byte-for-byte") {
+    import spark.implicits._
+    // corpus with quality chaff the curate stage must drop
+    val docsIn = Files.createTempDirectory("cli_fc_docs").toString
+    (0 until 60).map { i =>
+      val text =
+        if (i % 10 == 9) "short junk" // < 30 words → curated away
+        else s"document $i body " + (s"token$i word text here " * 20)
+      (i.toLong, text, "en")
+    }.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(docsIn)
+    val curatedOut = Files.createTempDirectory("cli_fc_cur").toString
+    Pipeline.run(spark, Map(
+      "stage" -> "curate", "input" -> docsIn,
+      "min-words" -> "30", "max-dup-frac" -> "1.0",
+      "save-path" -> curatedOut)).collect()
+    val curated = spark.read.parquet(curatedOut)
+    assert(curated.count() == 54, "quality filter should drop the chaff")
+    // pack the curated docs → 4 aligned tars
+    val packOut = Files.createTempDirectory("cli_fc_pack").toString
+    val info = graft.pack.PackStage.run(
+      curated.select(
+        format_string("videos/%09d.mp4", col("doc_id")).as("video_path"),
+        col("text").as("value")),
+      packOut,
+      graft.pack.PackStage.PackOptions(numSegments = 2,
+        samplesPerTar = 14, alignShards = true))
+    val urls = graft.queries.WdsQueries.numericShardUrls(info)
+    assert(urls.length == 4)
+    def tokenize(out: String, ranges: Seq[(Int, Int)]): Unit =
+      ranges.foreach { case (a, b) =>
+        Pipeline.run(spark, Map(
+          "stage" -> "tokenize", "input" -> urls.mkString("::"),
+          "start" -> a.toString, "end" -> b.toString,
+          "shard-size" -> "1", "max-tokens" -> "4000",
+          "save-path" -> out)).collect()
+      }
+    val oneRun = Files.createTempDirectory("cli_fc_tok1").toString
+    tokenize(oneRun, Seq((0, 4)))
+    val twoRuns = Files.createTempDirectory("cli_fc_tok2").toString
+    tokenize(twoRuns, Seq((0, 2), (2, 4)))
+    // byte-identity: single-run group g == its range's group (g - a);
+    // each ranged invocation writes its own <start>-<end>/ subdir
+    // (the reference's resume layout, tokenize/main.py:151) and the
+    // TarWriter pins mtime, so resume MUST be bitwise reproducible
+    for (g <- 0 until 4) {
+      val single = java.nio.file.Paths.get(
+        oneRun, "0-4", s"shard_$g-000000.tar")
+      val (rangeDir, local) = if (g < 2) ("0-2", g) else ("2-4", g - 2)
+      val ranged = java.nio.file.Paths.get(
+        twoRuns, rangeDir, s"shard_$local-000000.tar")
+      assert(java.nio.file.Files.exists(single), s"missing $single")
+      assert(java.nio.file.Files.exists(ranged), s"missing $ranged")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(single),
+        java.nio.file.Files.readAllBytes(ranged)),
+        s"group $g differs between the single run and the resumed pair")
+    }
+    // chained check over the resumed outputs matches the single run's
+    def indexCounts(dir: String): Seq[Long] = {
+      val tars = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val list = scala.collection.mutable.ArrayBuffer.empty[String]
+      tars.forEachRemaining(p =>
+        if (p.toString.endsWith(".tar")) list += p.toString: Unit)
+      val idxOut = Files.createTempDirectory("cli_fc_idx").toString
+      Pipeline.run(spark, Map(
+        "stage" -> "check", "input" -> list.sorted.mkString("::"),
+        "save-path" -> idxOut))
+        .select("nsamples").as[Long].collect().sorted.toSeq
+    }
+    val c1 = indexCounts(oneRun)
+    val c2 = indexCounts(twoRuns)
+    assert(c1 == c2 && c1.nonEmpty && c1.sum > 0)
   }
 
   test("kf pack → tokenize with --type kf keeps every sample") {

@@ -27,15 +27,18 @@ class TokenizeMultiSpec extends SparkSpec {
     (urls, out)
   }
 
-  /** read one tokenize output dir back as (group-normalized key → json). */
-  private def binsOf(dir: String): Map[String, String] = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".tar")).map(_.toString).toSeq.sorted
+  /** read tokenize output tars back as (key → json). Keys are
+    * group-LOCAL ("<tarIdx within group>-<fileIdx>", the reference's
+    * cached_key), so a group's map from a multi-group run must equal
+    * the same shard's solo-run map VERBATIM. */
+  private def binsOfFiles(files: Seq[String]): Map[String, String] =
     WdsReader.readUrls(spark, files).collect()
-      .flatMap(s => s.utf8("json").map(j =>
-        s.key.split("-").last -> j)) // local idx within group
+      .flatMap(s => s.utf8("json").map(j => s.key -> j))
       .toMap
-  }
+
+  private def binsOf(dir: String): Map[String, String] =
+    binsOfFiles(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.toString).toSeq.sorted)
 
   test("multi-group tokenize-pack equals per-shard serial runs") {
     val (urls, _) = packDir()
@@ -57,22 +60,16 @@ class TokenizeMultiSpec extends SparkSpec {
     val samples = WdsReader.readUrls(spark, urls)
     assert(samples.rdd.getNumPartitions == 4)
     TokenizeStage.run(samples, multiOut, maxTokens = maxTok).collect()
-    val multi = WdsReader.readUrls(spark,
-      new java.io.File(multiOut).listFiles()
-        .filter(_.getName.endsWith(".tar")).map(_.toString).toSeq.sorted)
-      .collect()
-      .flatMap(s => s.utf8("json").map(j => s.key -> j))
-      .toMap
 
-    // serial reference: each shard alone (its group id is always 0)
+    // serial reference: each shard alone; the multi run's group g lives
+    // in shard_g-000000.tar and must match the solo run key-for-key
+    // (keys are group-local, so no normalization is needed)
     urls.zipWithIndex.foreach { case (url, g) =>
       val serialOut = Files.createTempDirectory(s"tokmulti_s$g").toString
       TokenizeStage.run(WdsReader.readUrls(spark, Seq(url)), serialOut,
         maxTokens = maxTok).collect()
       val serial = binsOf(serialOut)
-      val multiGroup = multi.collect {
-        case (k, j) if k.startsWith(s"$g-") => k.split("-").last -> j
-      }.toMap
+      val multiGroup = binsOfFiles(Seq(s"$multiOut/shard_$g-000000.tar"))
       assert(multiGroup == serial, s"group $g diverges from serial run")
     }
   }

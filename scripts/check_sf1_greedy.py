@@ -41,14 +41,16 @@ def cmp(name, want):
         print("got", g.head(), "\nwant", w.head())
 
 # wds03 / wds18: single group, toks = 1034 + words; full bins only;
-# key = '0-%d' % (next bin's first rn - 1); n_images = 4 * n_docs
+# key = '<tarIdx>-<fileIdx>' of the flush-triggering doc under the
+# group's 100-doc aligned tars (reference cached_key semantics, the
+# round-13 key fix); n_images = 4 * n_docs
 toks = [(rn, 1034 + w) for rn, w in docs]
 bins = greedy(toks)
 rows = []
 for i in range(len(bins) - 1):  # drop the final partial bin
     members, s = bins[i]
-    nxt_first_rn = bins[i + 1][0][0][0]
-    rows.append((f"0-{nxt_first_rn - 1}", s - (len(members) - 1),
+    k = bins[i + 1][0][0][0] - 1  # 0-based global file idx
+    rows.append((f"{k // 100}-{k % 100}", s - (len(members) - 1),
                  4 * len(members)))
 want = pd.DataFrame(rows, columns=["key", "n_tokens", "n_images"])
 want["n_tokens"] = want["n_tokens"].astype("int32")
@@ -102,3 +104,31 @@ for g in range(2):
 want30 = pd.DataFrame(rows30,
     columns=["group", "n_bins", "n_docs", "n_tokens"])
 cmp("wds30_mixed_tokenize", want30)
+
+# wds31: curate (quality + exact-dedup; span disabled) -> per-25-doc
+# aligned tars -> per-tar greedy fold with toks = 518 + words;
+# nsamples = #full bins; tars with zero full bins write no shard
+cur = con.sql("""
+  WITH q AS (
+    SELECT doc_id, text, len(string_split(text, ' ')) AS nw,
+      (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        / len(string_split(text, ' ')) AS ml
+    FROM '/tmp/sf1/documents.parquet'),
+  qk AS (
+    SELECT doc_id, text FROM q
+    WHERE nw >= 30 AND ml >= 3.0 AND ml <= 10.0
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{')
+      AND NOT contains(lower(text), 'javascript'))
+  SELECT doc_id, len(string_split(text, ' '))
+  FROM qk
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+  ORDER BY doc_id""").fetchall()
+rows31 = []
+for t in range(0, (len(cur) + 24) // 25):
+    chunk = [(d, 518 + w) for d, w in cur[t * 25:(t + 1) * 25]]
+    full = greedy(chunk)[:-1]
+    if full:
+        rows31.append((t, len(full)))
+want31 = pd.DataFrame(rows31, columns=["tar_seq", "nsamples"])
+cmp("wds31_fleet_chain", want31)

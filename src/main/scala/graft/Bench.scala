@@ -330,6 +330,14 @@ object Bench {
     // high is a real regression and shows up twice.
     val envFactor = sys.env.get("SPARK_GRAFT_BENCH_ENV_FACTOR")
       .map(_.toDouble).getOrElse(1.5)
+    // Envelope = per-query min over the TRAILING window of captures
+    // (default 12), not all-time: a deliberate fixture/semantics change
+    // that legitimately makes a query heavier (st13 after the round-11
+    // mm32 content-base widening: best-ever 1.17 s, every capture
+    // since 1.7–2.5 s) must age out of the envelope instead of
+    // flagging the query as "regressed" forever.
+    val envWindow = sys.env.get("SPARK_GRAFT_BENCH_ENV_WINDOW")
+      .map(_.toInt).getOrElse(12)
     val envelope: Map[String, Double] =
       try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -342,14 +350,16 @@ object Bench {
             .flatMap { ln =>
               try {
                 val n = mapper.readTree(ln)
-                if (n.path("sf").asText() != sfDir) Seq.empty
+                if (n.path("sf").asText() != sfDir) None
                 else {
                   val qm = n.path("queries_min")
-                  qm.fieldNames().asScala
-                    .map(k => k -> qm.get(k).asDouble()).toSeq
+                  Some(qm.fieldNames().asScala
+                    .map(k => k -> qm.get(k).asDouble()).toSeq)
                 }
-              } catch { case _: Exception => Seq.empty }
+              } catch { case _: Exception => None }
             }
+            .takeRight(envWindow)
+            .flatten
             .groupMapReduce(_._1)(_._2)(math.min)
         }
       } catch { case _: Exception => Map.empty }

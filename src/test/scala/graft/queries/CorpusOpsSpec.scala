@@ -616,6 +616,33 @@ class CorpusOpsSpec extends SparkSpec {
       "corpus B reported corpus A's pairs — the shingle cache collided")
   }
 
+  test("shingle cache: overwriting a parquet path and re-reading it " +
+    "misses the cache instead of serving the stale relation") {
+    import spark.implicits._
+    // round-13 ADVICE: the key had no file-snapshot component, so a
+    // path overwritten and re-read within one session silently served
+    // the pre-overwrite persisted shingles. Spark writes carry unique
+    // part-file names, so folding md5(inputFiles) into the key makes
+    // the second read a miss — this pins that.
+    val path = java.nio.file.Files
+      .createTempDirectory("shcache_stale").toString + "/docs"
+    val big = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val excerpt = big.split(" ").take(24).mkString(" ")
+    Seq((1L, big), (2L, excerpt))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val before = DedupQueries.containmentFrom(
+      spark.read.parquet(path)).count()
+    assert(before == 1L, s"planted excerpt pair not found ($before)")
+    // overwrite THE SAME PATH with a disjoint corpus, fresh read
+    Seq((1L, "completely unrelated words one"),
+      (2L, "another disjoint document two"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val after = DedupQueries.containmentFrom(
+      spark.read.parquet(path)).count()
+    assert(after == 0L,
+      "post-overwrite read served the stale pre-overwrite shingles")
+  }
+
   test("qd27: the bucket cap drops exactly the boilerplate bucket; " +
     "near-dups still pair through selective bands; generous cap is " +
     "a no-op") {

@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sliding-window theta-join → binned equi-join (Spark has no native
     // range-join optimization; see plans.BinnedIntervalJoin)
     ext.injectOptimizerRule(_ => plans.BinnedIntervalJoin)
+    // element_at(entries, 'k')-only wds reads seek past every other
+    // entry's payload (see plans.WdsPayloadPrune). At this injection
+    // point (operator-optimization batch, pre-V2-pushdown) the rule
+    // matches the DataSourceV2Relation shape and rewrites its options.
+    ext.injectOptimizerRule(_ => plans.WdsPayloadPrune)
   }
 }
 
@@ -82,5 +87,12 @@ object GraftExtensions {
         .contains(plans.BinnedIntervalJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.BinnedIntervalJoin
+    // the "User Provided Optimizers" batch runs LAST (post-V2-pushdown)
+    // so here the rule matches the DataSourceV2ScanRelation shape and
+    // swaps the built WdsScan
+    if (!spark.experimental.extraOptimizations
+        .contains(plans.WdsPayloadPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.WdsPayloadPrune
   }
 }

@@ -37,8 +37,22 @@ object TarIO {
       lowercaseSuffix: Boolean = true,
       /** keep only these suffixes (post-rename); None = all. */
       suffixes: Option[Set[String]] = None,
-      /** entry-name predicate (pushdown analog of `select_files`). */
+      /** entry-name predicate (pushdown analog of `select_files`).
+        * Non-matching entries are dropped ENTIRELY (name + bytes), so
+        * samples whose every entry is filtered disappear — row-count
+        * changing, the reference's semantics. */
       selectFiles: Option[String => Boolean] = None,
+      /** entry-name predicate for PAYLOAD pruning: non-matching
+        * entries keep their NAME (group boundaries, row counts and
+        * map keys are exactly the unpruned read's) but their bytes
+        * are replaced by an empty array and never read off the
+        * source — safe whenever the consumer provably never observes
+        * those values (the `WdsPayloadPrune` optimizer rule's
+        * contract). Matching is over the LOWERCASED entry name
+        * (map keys are lowercased by default, and a pruned payload
+        * that should have been kept is a wrong answer, so matching
+        * errs wide). */
+      payloadFiles: Option[String => Boolean] = None,
       renameFiles: Option[String => String] = None,
       handler: Handler = Handler.Reraise,
       /** keep samples whose entries were ALL filtered away (group
@@ -71,6 +85,12 @@ object TarIO {
     * still flow: group boundaries need them. */
   private def skipPayloads(opts: ReadOptions): Boolean =
     opts.suffixes.exists(_.isEmpty)
+
+  /** payload-prune admission: keep names, blank non-matching bytes
+    * (lowercased-name matching — see [[ReadOptions.payloadFiles]]). */
+  private def prunedPayload(name: String, opts: ReadOptions): Boolean =
+    opts.payloadFiles.exists(p =>
+      !p(name.toLowerCase(java.util.Locale.ROOT)))
 
   /** Scan raw tar entries: (name, bytes), order-preserving. Transparently
     * gunzips `.tar.gz`/`.tgz` streams when `gzipped`. */
@@ -108,7 +128,8 @@ object TarIO {
             keptName(name0, opts) match {
               case None => skip(e); advance()
               case Some(name) =>
-              if (namesOnly) nextEntry = (name, EmptyBytes)
+              if (namesOnly || prunedPayload(name, opts))
+                nextEntry = (name, EmptyBytes)
               else {
                 // payload read under the handler policy: oversized or
                 // truncated entries are per-entry failures, not task death
@@ -163,7 +184,8 @@ object TarIO {
     * sequential read, the cheapest access pattern on every FS.
     * Gzipped shards are inherently sequential. */
   def shouldSeek(url: String, opts: ReadOptions): Boolean =
-    (opts.selectFiles.isDefined || skipPayloads(opts)) &&
+    (opts.selectFiles.isDefined || opts.payloadFiles.isDefined ||
+      skipPayloads(opts)) &&
       !url.endsWith(".gz") && !url.endsWith(".tgz")
 
   /** Random-access entry scan over a seekable channel — same admission
@@ -195,7 +217,8 @@ object TarIO {
       .flatMap { e =>
         Option(e.getName).flatMap(keptName(_, opts)) match {
           case None => None
-          case Some(name) if namesOnly => Some((name, EmptyBytes))
+          case Some(name) if namesOnly || prunedPayload(name, opts) =>
+            Some((name, EmptyBytes))
           case Some(name) =>
             try {
               val sz = e.getRealSize

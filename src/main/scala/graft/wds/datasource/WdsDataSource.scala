@@ -67,12 +67,24 @@ object WdsDataSource {
         .map(g => graft.wds.SampleOps.globToRegex(g.trim).r)
       (name: String) => regexes.exists(_.matches(name))
     }
+    // payload_select: names always flow (row counts / group boundaries
+    // are the unpruned read's), non-matching payloads blank + skip —
+    // the WdsPayloadPrune optimizer rule's injection point. Matching
+    // is case-insensitive via lowercased names+globs (ReadOptions
+    // scaladoc: a wrongly-pruned payload is a wrong answer).
+    val payload = Option(options.get("payload_select")).map { globs =>
+      val regexes = globs.split(",").toSeq.map(g =>
+        graft.wds.SampleOps.globToRegex(
+          g.trim.toLowerCase(java.util.Locale.ROOT)).r)
+      (name: String) => regexes.exists(_.matches(name))
+    }
     TarIO.ReadOptions(
       interleave = options.getBoolean("interleave", true),
       lowercaseSuffix = options.getBoolean("lowercase", true),
       suffixes = Option(options.get("suffixes"))
         .map(_.split(",").map(_.trim).toSet),
       selectFiles = select,
+      payloadFiles = payload,
       handler = parseHandler(
         Option(options.get("handler")).getOrElse("reraise")))
   }
@@ -80,6 +92,10 @@ object WdsDataSource {
 
 final class WdsTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
+  /** user-set entry pruning at table level — makes the WdsPayloadPrune
+    * rewrite ineligible regardless of where the option landed */
+  private[graft] def hasEntryPruning: Boolean =
+    options.get("select") != null || options.get("payload_select") != null
   override def name(): String = "wds"
   override def schema(): StructType = WdsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -182,10 +198,24 @@ final class WdsScan(
   override def description(): String = {
     val sel = Option(options.get("select"))
       .map(s => s" select=[$s]").getOrElse("")
+    val pay = Option(options.get("payload_select"))
+      .map(s => s" payload_select=[$s]").getOrElse("")
     val pushed =
       if (urlFilters.isEmpty) ""
       else urlFilters.mkString(" PushedUrlFilters: [", ", ", "]")
-    s"wds$sel$pushed"
+    s"wds$sel$pay$pushed"
+  }
+
+  private[graft] def hasEntryPruning: Boolean =
+    options.get("select") != null || options.get("payload_select") != null
+
+  /** Same scan with `payload_select` injected — the WdsPayloadPrune
+    * rewrite (the rule runs post-V2-pushdown, so the scan object is
+    * what must change). */
+  private[graft] def withPayloadSelect(globs: String): WdsScan = {
+    val m = new util.HashMap[String, String](options)
+    m.put("payload_select", globs)
+    new WdsScan(new CaseInsensitiveStringMap(m), required, urlFilters)
   }
 
   private def urls: Seq[String] =

@@ -172,6 +172,48 @@ class TarIOSpec extends AnyFunSuite {
     }
   }
 
+  test("seekable scan I/O contract: payload pruning moves headers + " +
+      "kept payloads only, never the pruned bytes") {
+    // counted at the CHANNEL layer (below any FS readahead): a shard
+    // of 6 × 1 MiB bins + 6-byte txts scanned with payload_select txt
+    // must move ~14 × 512 B headers + 6 × 6 B text — not megabytes
+    val dir = java.nio.file.Files.createTempDirectory("tario_io")
+    val p = dir.resolve("shard.tar")
+    val out = new java.io.FileOutputStream(p.toFile)
+    val w = new TarIO.TarWriter(out)
+    val fat = Array.fill[Byte](1 << 20)(7)
+    (0 until 6).foreach { i =>
+      w.write(Sample(f"$i%06d", "", Map(
+        "txt" -> bytes(s"text $i"), "bin" -> fat))): Unit
+    }
+    w.close()
+    val inner = java.nio.channels.FileChannel.open(p)
+    var moved = 0L
+    val counting = new java.nio.channels.SeekableByteChannel {
+      def read(dst: java.nio.ByteBuffer): Int = {
+        val n = inner.read(dst); if (n > 0) moved += n; n
+      }
+      def write(src: java.nio.ByteBuffer): Int =
+        throw new java.nio.channels.NonWritableChannelException
+      def position(): Long = inner.position()
+      def position(np: Long): java.nio.channels.SeekableByteChannel = {
+        inner.position(np); this
+      }
+      def size(): Long = inner.size()
+      def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+        throw new java.nio.channels.NonWritableChannelException
+      def isOpen: Boolean = inner.isOpen
+      def close(): Unit = inner.close()
+    }
+    val got = TarIO.readSamplesSeekable(counting, p.toString,
+      TarIO.ReadOptions(payloadFiles = Some(_.endsWith(".txt")))).toSeq
+    assert(got.length == 6)
+    assert(got.forall(s => s.entries("bin").isEmpty &&
+      s.utf8("txt").exists(_.startsWith("text "))))
+    assert(moved < 16384, s"pruned scan moved $moved bytes " +
+      "(expected headers + kept payloads, ~8 KB)")
+  }
+
   test("meta entries (__meta__-style) are skipped") {
     import org.apache.commons.compress.archivers.tar.{
       TarArchiveEntry, TarArchiveOutputStream}

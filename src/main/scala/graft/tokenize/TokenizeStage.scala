@@ -249,7 +249,12 @@ object TokenizeStage {
       // group must reproduce the single run's tars BYTE-FOR-BYTE, and
       // partition ids restart per invocation. Tar transitions are
       // observed through the sample's url (one group streams its tars
-      // in order).
+      // in order). Caveat, documented not guarded: the reference's
+      // input space is an os.listdir (unique paths per group), so url
+      // transitions are exact there; a mix-spec `resample` that puts
+      // the SAME tar twice ADJACENTLY in one merge group would fold
+      // the repeat into one tarIdx (keys diverge label-wise; bin
+      // contents are unaffected since every sample still streams).
       var tarIdx = -1
       var fileIdx = -1
       var lastUrl: String = null

@@ -229,8 +229,16 @@ object Pipeline {
           a.getOrElse("max-tokens", TokenizeStage.MaxTokens.toString).toInt,
           sampleType = a.getOrElse("type", "un"))
       case "check" =>
+        // json-only payload read: every E3 invariant (token/mask
+        // lengths, start/end balance, patch counts) is a function of
+        // the json entry alone — image BYTES are never parsed, and
+        // payload pruning keeps entry names so keys/grouping/sample
+        // counts are identical. On seekable storage the index scan of
+        // image-bearing tokenized shards then reads headers + json
+        // (a few % of shard bytes) instead of the whole corpus.
         val idx = CheckStage.index(
-          WdsReader.read(spark, req("input")),
+          WdsReader.read(spark, req("input"), graft.wds.TarIO.ReadOptions(
+            payloadFiles = Some(_.endsWith(".json")))),
           strict = !a.contains("lenient"))
         idx.write.mode("overwrite").parquet(req("save-path"))
         idx

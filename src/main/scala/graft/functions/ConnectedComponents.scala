@@ -66,9 +66,14 @@ object ConnectedComponents {
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50):
       DataFrame = runWithStats(edges, vertices, maxIters)._1
 
-  /** As `run`, also returning how many rounds each phase took. */
+  /** As `run`, also returning how many rounds each phase took.
+    * `propagationBudget` overrides the min-label phase length — 0
+    * forces the star phase from round one (the spec's random-graph
+    * star-vs-propagation equivalence law drives it; production
+    * callers keep the default). */
   def runWithStats(edges: DataFrame, vertices: DataFrame,
-      maxIters: Int = 50): (DataFrame, CcStats) = {
+      maxIters: Int = 50,
+      propagationBudget: Int = StarFallbackAfter): (DataFrame, CcStats) = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     // Reliable path: snapshot each round to ALTERNATING parquet dirs
@@ -108,7 +113,7 @@ object ConnectedComponents {
     val labelType = labels.schema("label").dataType
     var iter = 0
     var changed = 1L
-    val phase1Budget = math.min(StarFallbackAfter, maxIters)
+    val phase1Budget = math.min(propagationBudget, maxIters)
     while (changed > 0 && iter < phase1Budget) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"),

@@ -94,6 +94,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(stats.usedStarFallback)
   }
 
+  test("star-phase law: on random graphs the forced star path labels " +
+      "exactly as min-label propagation") {
+    import spark.implicits._
+    // propagationBudget = 0 forces large-star/small-star from round
+    // one; the default run on these small random graphs converges in
+    // the propagation phase — the two algorithms must agree label for
+    // label (same component, same min id), whatever the topology:
+    // cliques, chains, forests, isolated vertices
+    for (seed <- Seq(1, 7, 13, 29, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(15)
+      val edges = Seq.fill(25 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .toDF("a_id", "b_id")
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      // ground truth: PURE min-label (budget >> any diameter here);
+      // candidate: pure star
+      val (viaProp, s1) = ConnectedComponents.runWithStats(
+        edges, verts, maxIters = 100, propagationBudget = 100)
+      val (viaStar, s2) = ConnectedComponents.runWithStats(
+        edges, verts, propagationBudget = 0)
+      assert(!s1.usedStarFallback && s2.usedStarFallback,
+        s"seed $seed: phases $s1 / $s2")
+      val a = viaProp.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val b = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(a == b, s"seed $seed: star and propagation labels differ")
+    }
+  }
+
   test("reliable checkpoint path (checkpoint dir set) gives same answer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString

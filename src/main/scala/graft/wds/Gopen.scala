@@ -165,7 +165,14 @@ object Gopen {
           // returns 0) cannot serve a random-access scan — the caller
           // falls back to the sequential stream
           if (len <= 0) None
-          else Some(new FsSeekableChannel(fs.open(path), len))
+          // 4 KB read buffer, not the FS default (64 KB): a pruned
+          // scan's access pattern is many small reads at seek
+          // discontinuities, and the buffered stream refills a full
+          // buffer at each one — with the default, a shard of
+          // hundreds of small kept entries reads MORE through seeks
+          // than a single sequential pass (measured: wds11 +26% before
+          // this). Sequential header runs still coalesce at 4 KB.
+          else Some(new FsSeekableChannel(fs.open(path, 4096), len))
       }
     }
   }

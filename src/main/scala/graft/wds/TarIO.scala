@@ -188,6 +188,14 @@ object TarIO {
       skipPayloads(opts)) &&
       !url.endsWith(".gz") && !url.endsWith(".tgz")
 
+  /** Below this shard size the sequential stream always wins: the
+    * absolute waste of reading a small tar through is bounded by its
+    * size, while the seek path pays per-entry positioning (and, on
+    * buffered FS streams, a refill per discontinuity). Pruning only
+    * pays on shards whose PRUNED payloads are big — which implies a
+    * big shard. */
+  val MinSeekBytes: Long = 4L << 20
+
   /** Random-access entry scan over a seekable channel — same admission
     * and ordering semantics as [[entries]], but unselected payloads are
     * SOUGHT PAST, not read through: the streaming tar reader bottoms

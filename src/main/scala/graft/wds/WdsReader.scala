@@ -112,6 +112,14 @@ object WdsReader {
         catch { case _: Exception => None }
       else None
     seekable match {
+      // tiny shards stream even when pruning asks to seek: reading a
+      // small tar through costs at most its size, while per-entry
+      // seeks cost more than they save (TarIO.MinSeekBytes rationale)
+      case Some(ch) if ch.size() < TarIO.MinSeekBytes =>
+        try ch.close() catch { case _: Exception => () }
+        val in = Gopen.open(url, conf)
+        (TarIO.readSamples(in, url, opts),
+          () => try in.close() catch { case _: Exception => () })
       case Some(ch) =>
         try (TarIO.readSamplesSeekable(ch, url, opts),
           () => try ch.close() catch { case _: Exception => () })

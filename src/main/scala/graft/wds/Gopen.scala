@@ -139,12 +139,13 @@ object Gopen {
     * through (commons-io's skip — what the streaming tar reader
     * bottoms out in — deliberately reads every skipped byte). Scheme
     * aliases resolve exactly as [[open]] does. */
-  def openSeekable(url: String, conf: Configuration)
+  def openSeekable(url: String, conf: Configuration, minLen: Long = 0L)
       : Option[java.nio.channels.SeekableByteChannel] =
-    seekableResolved(rewriteUrl(url), conf, aliased = false)
+    seekableResolved(rewriteUrl(url), conf, aliased = false, minLen)
 
   private def seekableResolved(u: String, conf: Configuration,
-      aliased: Boolean): Option[java.nio.channels.SeekableByteChannel] = {
+      aliased: Boolean, minLen: Long)
+      : Option[java.nio.channels.SeekableByteChannel] = {
     if (u.startsWith("pipe:")) None
     else {
       val custom =
@@ -156,15 +157,16 @@ object Gopen {
         case Some(alias) =>
           val scheme = SchemeRe.findFirstMatchIn(u).get.group(1)
           seekableResolved(alias + u.stripPrefix(scheme), conf,
-            aliased = true)
+            aliased = true, minLen)
         case None =>
           val path = new Path(u)
           val fs = path.getFileSystem(conf)
           val len = fs.getFileStatus(path).getLen
           // an FS that cannot report a real length (Hadoop's http fs
-          // returns 0) cannot serve a random-access scan — the caller
-          // falls back to the sequential stream
-          if (len <= 0) None
+          // returns 0) cannot serve a random-access scan, and a shard
+          // under the caller's seek threshold streams — both decided
+          // from the status alone, BEFORE paying an open
+          if (len <= 0 || len < minLen) None
           // 4 KB read buffer, not the FS default (64 KB): a pruned
           // scan's access pattern is many small reads at seek
           // discontinuities, and the buffered stream refills a full

@@ -106,20 +106,16 @@ object WdsReader {
     // the seekable attempt is best-effort: an FS that misreports
     // length or rejects seeks mid-probe falls back to the sequential
     // stream, whose error story the handler policy already owns
+    // tiny shards stream even when pruning asks to seek: reading a
+    // small tar through costs at most its size, while per-entry seeks
+    // cost more than they save (TarIO.MinSeekBytes rationale) — the
+    // threshold is decided from the file status, before any open
     val seekable =
       if (TarIO.shouldSeek(url, opts))
-        try Gopen.openSeekable(url, conf)
+        try Gopen.openSeekable(url, conf, TarIO.MinSeekBytes)
         catch { case _: Exception => None }
       else None
     seekable match {
-      // tiny shards stream even when pruning asks to seek: reading a
-      // small tar through costs at most its size, while per-entry
-      // seeks cost more than they save (TarIO.MinSeekBytes rationale)
-      case Some(ch) if ch.size() < TarIO.MinSeekBytes =>
-        try ch.close() catch { case _: Exception => () }
-        val in = Gopen.open(url, conf)
-        (TarIO.readSamples(in, url, opts),
-          () => try in.close() catch { case _: Exception => () })
       case Some(ch) =>
         try (TarIO.readSamplesSeekable(ch, url, opts),
           () => try ch.close() catch { case _: Exception => () })

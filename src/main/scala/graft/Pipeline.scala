@@ -241,6 +241,11 @@ object Pipeline {
             payloadFiles = Some(_.endsWith(".json")))),
           strict = !a.contains("lenient"))
         idx.write.mode("overwrite").parquet(req("save-path"))
+        // --pickle-index <path>: additionally emit the reference's
+        // .pkl artifact (list[dict(url, nsamples)], check_pair.py:66)
+        // for CPython consumers of the fleet's index
+        a.get("pickle-index").foreach(p => CheckStage.writePickleIndex(
+          idx, p, spark.sparkContext.hadoopConfiguration))
         idx
       // curation stage (beyond the reference's three): raw document
       // parquet → quality/mix/dedup/span/decontam filters → curated

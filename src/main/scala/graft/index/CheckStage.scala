@@ -86,6 +86,25 @@ object CheckStage {
     } finally { c.unpersist(); () }
   }
 
+  /** Write the index in the REFERENCE's artifact format: one pickle of
+    * `list[dict(url=str, nsamples=int)]` (`check_pair.py:59-66`:
+    * `pickle.dump(outputs, open(....pkl, "wb"))`), loadable by the
+    * fleet's CPython consumers — the migration seam for users whose
+    * downstream tooling reads the .pkl index. `idx` is driver-sized
+    * by construction (one row per tar). */
+  def writePickleIndex(idx: DataFrame, path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val rows: Any = idx.select(col("url"), col("nsamples")).collect()
+      .toVector
+      .map(r => graft.wds.Pickle.Dict(Vector(
+        "url" -> r.getString(0), "nsamples" -> r.getLong(1))))
+    val bytes = graft.wds.Pickle.encode(rows)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   /** 1 % human-inspection dump (`check_pair.py:16-26,41-42`): ground
     * truth text next to the loss-masked token stream. */
   def inspectionSample(shards: Dataset[Sample], frac: Double = 0.01,

@@ -1177,6 +1177,76 @@ object WdsQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** wds32: PICKLE round-trip through real shards — the reference's
+    * `pyd`/`pickle` decode/encode rows (`autodecode.py:156-157`,
+    * `writer.py:148`) over the plain-data subset the JVM codec
+    * supports (object pickles stay the typed pth-adjudication error).
+    * Per doc, a dict {doc_id, nw, caption, marks} pickles into a
+    * `.pyd` entry (nested list + tuple + bytes exercise the container
+    * opcodes), packs through the DSv2 writer, reads back, decodes via
+    * the codec registry, and emits columns DuckDB derives from
+    * `documents` alone — so the pickle wire (not just decode∘encode)
+    * is value-gated. CPython conformance fixtures live in PickleSpec;
+    * the index stage's `--pickle-index` artifact reuses the same
+    * encoder. */
+  private def pickleRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.{Codecs, Pickle, Sample}
+    val out = scratchDir("graft_pkl")
+    val samples = Tables(s, dir).documents
+      .select(col("doc_id"), col("text"))
+      .repartition(4, col("doc_id"))
+      .as[(Long, String)]
+      .map { case (d, t) =>
+        val words = t.split(" ", -1)
+        val v = Pickle.Dict(Vector(
+          "doc_id" -> d,
+          "nw" -> words.length.toLong,
+          "caption" -> words.take(3).mkString(" "),
+          "marks" -> Vector(
+            Pickle.Tup(Vector(d % 7, "m")),
+            Array[Byte]((d % 251).toByte))))
+        Sample(f"$d%09d", "", Map("pyd" -> Codecs.encode("pyd", v)))
+      }
+    graft.wds.WdsWriter.write(samples, out,
+      graft.wds.WdsWriter.WriterOptions(maxCount = 200)).collect(): Unit
+    val urls = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".tar"))
+        .sorted.toSeq
+    }
+    s.read.format("wds").load(urls: _*)
+      .select(col("key"), col("entries"))
+      .as[(String, Map[String, Array[Byte]])]
+      .map { case (k, es) =>
+        val m = Codecs.decode("pyd", es("pyd")) match {
+          case Codecs.Decoded.Packed(v) => Pickle.toMap(v)
+          case other => throw new IllegalStateException(s"pyd: $other")
+        }
+        val marks = m("marks").asInstanceOf[Vector[Any]]
+        val tup = marks(0).asInstanceOf[Pickle.Tup]
+        val mark = marks(1).asInstanceOf[Array[Byte]](0)
+        (m("doc_id").asInstanceOf[Long],
+          m("nw").asInstanceOf[Long],
+          m("caption").asInstanceOf[String],
+          tup.items(0).asInstanceOf[Long],
+          (mark & 0xff).toLong,
+          k.toLong == m("doc_id") && tup.items(1) == "m")
+      }
+      .toDF("doc_id", "nw", "caption", "mod7", "mark", "ok")
+      .orderBy(col("doc_id"))
+  }
+
+  private val pickleRoundtripSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS nw,
+      |  array_to_string(string_split(text, ' ')[1:3], ' ') AS caption,
+      |  (doc_id % 7)::BIGINT AS mod7,
+      |  (doc_id % 251)::BIGINT AS mark,
+      |  true AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** wds28: the tuple/dict projection vocabulary (P5 `to_tuple` with
     * `;` alternatives, P6 `to_dict` suffix filtering) driven through
     * REAL shards end-to-end — synthetic per-doc entries with
@@ -2151,6 +2221,8 @@ object WdsQueries extends QueryRegistry {
     "wds30_mixed_tokenize" -> QueryDef(mixedTokenize,
       Some(mixedTokenizeSql)),
     "wds31_fleet_chain" -> QueryDef(fleetChain, Some(fleetChainSql)),
+    "wds32_pickle_roundtrip" -> QueryDef(pickleRoundtrip,
+      Some(pickleRoundtripSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),

@@ -313,6 +313,7 @@ object Codecs {
   private val jsonExts = Set("json", "jsn")
   private val imageExts = Set("png", "jpg", "jpeg", "ppm", "pgm", "pbm", "bmp")
   private val msgpackExts = Set("mp", "msg", "msgpack")
+  private val pickleExts = Set("pyd", "pickle")
 
   /** Decode one entry by its (possibly dotted) extension; the dispatch
     * key is the LAST dot-component, after a `.gz` pre-pass — matching the
@@ -332,6 +333,9 @@ object Codecs {
     else if (last == "npz") TensorZip(Npy.decodeNpz(bytes))
     else if (msgpackExts(last)) Packed(Msgpack.decode(bytes))
     else if (last == "cbor") Packed(Cbor.decode(bytes))
+    // plain-data pickles (`autodecode.py:156-157`); object pickles
+    // raise the typed pth-adjudication error inside Pickle.decode
+    else if (pickleExts(last)) Packed(Pickle.decode(bytes))
     else Raw(bytes)
   }
 
@@ -340,6 +344,9 @@ object Codecs {
   def encode(ext: String, value: Any): Array[Byte] = {
     val last = ext.split("\\.").lastOption.getOrElse("")
     value match {
+      // before the raw-bytes passthrough: the reference's pyd/pickle
+      // handler pickles EVERY value, bytes included (writer.py:148)
+      case v if pickleExts(last) => Pickle.encode(v)
       case b: Array[Byte] => b
       case arr: Npy.NpyArray if last == "npy" => Npy.encode(arr)
       case entries: Seq[_] if last == "npz" =>

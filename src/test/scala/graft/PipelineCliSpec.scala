@@ -34,14 +34,28 @@ class PipelineCliSpec extends SparkSpec {
     assert(tokInfo.count() > 0)
 
     val idxOut = Files.createTempDirectory("cli_idx").toString
+    val pklPath = s"$idxOut/index.pkl"
     val tokShards = new java.io.File(tokOut).listFiles()
       .filter(_.getName.endsWith(".tar")).map(_.toString).sorted
     val idx = Pipeline.run(spark, Map(
       "stage" -> "check", "input" -> tokShards.mkString("::"),
-      "save-path" -> idxOut))
+      "pickle-index" -> pklPath, "save-path" -> idxOut))
     assert(idx.count() > 0)
     assert(new java.io.File(idxOut).listFiles()
       .exists(_.getName.endsWith(".parquet")))
+    // --pickle-index writes the reference's .pkl artifact
+    // (list[dict(url, nsamples)], check_pair.py:66) — decode it with
+    // the JVM codec and diff against the parquet index
+    val pkl = graft.wds.Pickle.decode(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pklPath)))
+      .asInstanceOf[Vector[Any]]
+      .map(d => {
+        val m = graft.wds.Pickle.toMap(d)
+        m("url").asInstanceOf[String] -> m("nsamples").asInstanceOf[Long]
+      })
+    val fromParquet = idx.select("url", "nsamples").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(pkl == fromParquet && pkl.nonEmpty)
   }
 
   test("pack --mix-spec: weighted two-source mix through the CLI") {

@@ -310,7 +310,10 @@ object Pickle {
       case b: Boolean => out.write(if (b) 0x88 else 0x89)
       case i: Int => writeLong(out, i.toLong)
       case l: Long => writeLong(out, l)
+      case b: Byte => writeLong(out, b.toLong)
+      case s: Short => writeLong(out, s.toLong)
       case b: BigInt => writeBig(out, b)
+      case f: Float => writeValue(out, f.toDouble)
       case d: Double =>
         out.write('G')
         val bits = java.lang.Double.doubleToLongBits(d)

@@ -105,6 +105,33 @@ object CheckStage {
     try out.write(bytes) finally out.close()
   }
 
+  /** Read a reference-produced (or [[writePickleIndex]]-produced)
+    * `.pkl` shard index back as a DataFrame — the reverse migration
+    * seam: a user bringing the fleet's existing pickled indexes can
+    * join them against engine output without CPython in the loop. */
+  def readPickleIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val rows = graft.wds.Pickle.decode(bytes) match {
+      case items: Vector[_] => items.map { d =>
+        val m = graft.wds.Pickle.toMap(d)
+        (m("url").asInstanceOf[String], m("nsamples") match {
+          case l: Long => l
+          case b: BigInt => b.toLong
+          case other => throw new IllegalArgumentException(
+            s"nsamples: $other")
+        })
+      }
+      case other => throw new IllegalArgumentException(
+        s"not a pickled index list: ${other.getClass.getName}")
+    }
+    import spark.implicits._
+    rows.toDF("url", "nsamples")
+  }
+
   /** 1 % human-inspection dump (`check_pair.py:16-26,41-42`): ground
     * truth text next to the loss-masked token stream. */
   def inspectionSample(shards: Dataset[Sample], frac: Double = 0.01,

@@ -56,6 +56,27 @@ class PipelineCliSpec extends SparkSpec {
     val fromParquet = idx.select("url", "nsamples").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(pkl == fromParquet && pkl.nonEmpty)
+    // ...and the read seam: our own artifact round-trips through
+    // CheckStage.readPickleIndex
+    val back = graft.index.CheckStage.readPickleIndex(spark, pklPath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(back == fromParquet)
+    // ...and a CPython-PRODUCED index (pickle.dumps of the fleet's
+    // list[dict] shape) parses identically — the reverse migration
+    // path for users bringing existing .pkl indexes
+    val cpy = ("80049576000000000000005d94287d94288c0375726c948c24733" +
+      "33a2f2f6275636b65742f686f77326c696e6b2f73686172645f302d302d332e" +
+      "746172948c086e73616d706c6573944df305757d942868028c2473333a2f2f6" +
+      "275636b65742f686f77326c696e6b2f73686172645f302d332d362e74617294" +
+      "68044dda0575652e")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val cpyPath = s"$idxOut/cpython.pkl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cpyPath), cpy)
+    val ref = graft.index.CheckStage.readPickleIndex(spark, cpyPath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(ref == Seq(
+      "s3://bucket/how2link/shard_0-0-3.tar" -> 1523L,
+      "s3://bucket/how2link/shard_0-3-6.tar" -> 1498L))
   }
 
   test("pack --mix-spec: weighted two-source mix through the CLI") {

@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.wds.datasource.{WdsScan, WdsTable}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.types.StringType
@@ -11,12 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Automatic tar-entry PAYLOAD pruning for the `wds` source — the
   * optimizer half of the seekable-scan work: a query that touches
-  * `entries` only as `element_at(entries, '<literal key>')` provably
-  * never observes any other entry's bytes, so the scan can seek past
-  * them. Without this, `select element_at(entries,'txt') from wds`
-  * over fat multimodal shards reads every jpg/mp4 byte to satisfy a
-  * text-only projection; with it, the scan gets
-  * `payload_select = *.txt` injected and moves ~the text bytes.
+  * `entries` only as `element_at(entries, '<literal key>')` (or as the
+  * reference's idiomatic `to_dict` projection, which compiles to
+  * `map_filter(entries, (k,v) -> k IN <literal set>)` —
+  * `tokenize/main.py:165` via `SampleOps.toDict`) provably never
+  * observes any other entry's bytes, so the scan can seek past them.
+  * Without this, `select element_at(entries,'txt') from wds` over fat
+  * multimodal shards reads every jpg/mp4 byte to satisfy a text-only
+  * projection; with it, the scan gets `payload_select = *.txt`
+  * injected and moves ~the text bytes.
   *
   * Soundness contract (why this never changes answers):
   *  - payload pruning keeps every entry NAME — group boundaries, row
@@ -24,13 +27,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the unpruned read; only VALUES of non-matching entries become
   *    empty arrays;
   *  - the rewrite fires only when EVERY occurrence of the `entries`
-  *    attribute (and of pass-through aliases of it) in the WHOLE plan
-  *    is `GetMapValue`/`ElementAt` with a string literal key, no
-  *    alias/attr reaches the plan's root output, and every collected
-  *    key is a plain token (no dots/globs — interleaved `0.jpg`-style
-  *    keys bail conservatively);
-  *  - so the only observable values are the keys' own, which match
-  *    `*.<key>` and keep their real bytes.
+  *    attribute (and of pass-through aliases of it, traced positionally
+  *    ACROSS Union branches — `Union.output` reuses only the head
+  *    child's exprIds, so sibling-branch forwarding must be folded into
+  *    the id set or a non-head branch would escape the root-output
+  *    guard) in the WHOLE plan is `GetMapValue`/`ElementAt` with a
+  *    string literal key or a `MapFilter` whose lambda is a pure
+  *    literal-key membership test, and no alias/attr reaches the
+  *    plan's root output;
+  *  - a `MapFilter` keep-set is sound to prune to because the filtered
+  *    map can only ever expose those keys' values (names of dropped
+  *    keys vanish from the RESULT map, but the result is a new
+  *    expression — the SCAN still emits every name); a lambda that
+  *    touches the VALUE variable is rejected — evaluating a predicate
+  *    over a blanked payload could change which keys survive;
+  *  - collected keys map to entry-name globs by derivation: a dot-free
+  *    map key `txt` only arises from an entry `*.txt`
+  *    (`Sample.basePlusExt` — prefixes are dot-free, so the suffix is
+  *    everything after the FIRST dot); a dotted key `K` arises from an
+  *    entry `*.K` (multi-dot suffix) or, under the interleave fold
+  *    (`tariterators.py:213-219`), from `*-K` (the folded key is
+  *    `<rem>.<sufx>` of an entry `<id>-<rem>.<sufx>`, i.e. the entry
+  *    name ends in `-K`), so both globs are emitted — over-matching
+  *    only keeps more bytes, never changes results.
   *
   * Runs in the post-pushdown position (`extraOptimizations` /
   * injected rule re-applied after V2 pushdown), so it matches the
@@ -40,16 +59,55 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WdsPayloadPrune extends Rule[LogicalPlan] {
 
-  private val SimpleKey = "^[A-Za-z0-9_-]+$".r
+  /** Keys a glob can be built for verbatim: no glob metacharacters
+    * (`*?[]{}()` would change matching), no comma (the option string is
+    * comma-joined), no slash (map keys never contain one). Dots are
+    * fine — see the derivation note in the class doc. */
+  private val SafeKey = "^[A-Za-z0-9._-]+$".r
 
   private def literalKey(e: Expression): Option[String] = e match {
     case Literal(s: UTF8String, StringType) if s != null => Some(s.toString)
     case _ => None
   }
 
+  /** `map_filter(entries, (k, v) -> <pure literal membership on k>)`
+    * → the keep-set. `In`/`InSet`/`EqualTo`/`Or` cover every shape the
+    * optimizer leaves `Column.isInCollection` in (OptimizeIn rewrites
+    * 1-element `In` to `EqualTo` and big sets to `InSet`). Any other
+    * predicate — and in particular anything referencing the VALUE
+    * lambda variable — returns None. */
+  private def mapFilterKeepSet(f: Expression): Option[Set[String]] =
+    f match {
+      case LambdaFunction(pred, Seq(k: NamedLambdaVariable, _), _) =>
+        def keySet(e: Expression): Option[Set[String]] = e match {
+          case In(kv: NamedLambdaVariable, list)
+            if kv.exprId == k.exprId =>
+            val lits = list.map(literalKey)
+            if (lits.forall(_.isDefined)) Some(lits.flatten.toSet)
+            else None
+          case InSet(kv: NamedLambdaVariable, hset)
+            if kv.exprId == k.exprId &&
+              hset.forall(_.isInstanceOf[UTF8String]) =>
+            Some(hset.map(_.asInstanceOf[UTF8String].toString).toSet)
+          case EqualTo(kv: NamedLambdaVariable, l)
+            if kv.exprId == k.exprId => literalKey(l).map(Set(_))
+          case EqualTo(l, kv: NamedLambdaVariable)
+            if kv.exprId == k.exprId => literalKey(l).map(Set(_))
+          case Or(a, b) =>
+            for { sa <- keySet(a); sb <- keySet(b) } yield sa ++ sb
+          case _ => None
+        }
+        keySet(pred)
+      case _ => None
+    }
+
   /** All `entries`-attribute uses conform → Some(keys); any bare or
     * non-literal use → None. `ids` starts at the relation's attr and
-    * grows over pass-through `Alias(attr)` projections. */
+    * grows over pass-through `Alias(attr)` projections AND positionally
+    * across Union branches (both directions: a branch attr in the set
+    * pulls in the Union output attr and every sibling's attr at the
+    * same position, and vice versa — Union is the one operator whose
+    * output does NOT share non-head children's exprIds). */
   private def conformingKeys(
       plan: LogicalPlan, id0: ExprId): Option[Set[String]] = {
     var ids = Set(id0)
@@ -63,6 +121,15 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
             ids += al.exprId; grew = true
           case _ => ()
         }
+        case u: Union =>
+          val outs = u.output +: u.children.map(_.output)
+          u.output.indices.foreach { i =>
+            val slot = outs.collect { case o if i < o.length => o(i) }
+            if (slot.exists(a => ids(a.exprId)) &&
+                !slot.forall(a => ids(a.exprId))) {
+              slot.foreach(a => ids += a.exprId); grew = true
+            }
+          }
         case _ => ()
       }
     }
@@ -80,6 +147,11 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
         (ea.left, literalKey(ea.right)) match {
           case (a: Attribute, Some(k)) if ids(a.exprId) => keys += k
           case _ => ea.children.foreach(visit)
+        }
+      case mf: MapFilter =>
+        (mf.argument, mapFilterKeepSet(mf.function)) match {
+          case (a: Attribute, Some(ks)) if ids(a.exprId) => keys ++= ks
+          case _ => mf.children.foreach(visit)
         }
       case a: Attribute if ids(a.exprId) => ok = false // bare use
       case other => other.children.foreach(visit)
@@ -101,14 +173,16 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
       case other => other.expressions.foreach(visit)
     }
     if (!ok || keys.isEmpty) None
-    else if (keys.forall(k => SimpleKey.matches(k))) Some(keys)
-    else None // interleaved '0.jpg'-style keys: bail conservatively
+    else if (keys.forall(k => SafeKey.matches(k))) Some(keys)
+    else None // glob metachars / separators in a key: bail
   }
 
   private def globsFor(keys: Set[String]): String =
-    keys.toSeq.sorted
-      .map(k => "*." + k.toLowerCase(java.util.Locale.ROOT))
-      .mkString(",")
+    keys.toSeq.sorted.flatMap { k0 =>
+      val k = k0.toLowerCase(java.util.Locale.ROOT)
+      // dotted keys: `*.K` (multi-dot suffix) + `*-K` (interleave fold)
+      if (k.contains('.')) Seq("*." + k, "*-" + k) else Seq("*." + k)
+    }.distinct.mkString(",")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // post-V2-pushdown shape ("User Provided Optimizers" batch, the

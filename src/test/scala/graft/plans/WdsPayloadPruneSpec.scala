@@ -111,7 +111,7 @@ class WdsPayloadPruneSpec extends SparkSpec {
     assert(p.contains("select=[*.txt]") && !p.contains("payload_select"), p)
   }
 
-  test("multi-key and filter uses collect all keys; dotted keys bail") {
+  test("multi-key and filter uses collect all keys") {
     val df = spark.read.format("wds").load(tar)
       .filter(element_at(col("entries"), "txt").isNotNull)
       .select(length(element_at(col("entries"), "bin")).as("n"),
@@ -119,8 +119,109 @@ class WdsPayloadPruneSpec extends SparkSpec {
     val p = planStr(df)
     assert(p.contains("payload_select=[*.bin,*.txt]"), p)
     assert(df.count() == 5) // the txt-less sample filtered out
-    val dotted = spark.read.format("wds").load(tar)
-      .select(element_at(col("entries"), "0.jpg").as("f"))
-    assert(!planStr(dotted).contains("payload_select"), planStr(dotted))
+  }
+
+  test("union: a branch forwarding entries to the root blocks pruning " +
+      "of BOTH scans (Union reuses only the head child's exprIds)") {
+    // the ADVICE round-13 soundness hole: without positional id
+    // propagation across Union, the non-head branch's `entries` never
+    // appears in plan.output and its scan got pruned even though its
+    // full map reaches the root through the Union
+    def branch() = spark.read.format("wds").load(tar)
+      .select(element_at(col("entries"), "txt").cast("string").as("t"),
+        col("entries"))
+    val u = branch().union(branch()).select(col("entries"))
+    assert(!planStr(u).contains("payload_select"), planStr(u))
+    // every payload — including bin — must be real in every branch
+    val maps = u.collect().map(_.getMap[String, Array[Byte]](0))
+    assert(maps.count(m => m.contains("bin") &&
+      m("bin").length == (1 << 20)) == 12,
+      "a union branch lost payload bytes")
+  }
+
+  test("union of two conforming element_at reads prunes both scans") {
+    def branch() = spark.read.format("wds").load(tar)
+      .select(element_at(col("entries"), "txt").cast("string").as("t"))
+    val u = branch().union(branch())
+    val p = planStr(u)
+    // both scans rewritten: the marker appears for each relation
+    assert("payload_select=\\[\\*\\.txt\\]".r
+      .findAllIn(p).size == 2, p)
+    assert(u.collect().count(_.getString(0) != null) == 10)
+  }
+
+  test("to_dict (map_filter literal keep-set) prunes to the keep-set") {
+    import graft.wds.SampleOps._
+    implicit val enc: org.apache.spark.sql.Encoder[graft.wds.Sample] =
+      org.apache.spark.sql.Encoders.product[graft.wds.Sample]
+    val ds = spark.read.format("wds").load(tar)
+      .as[graft.wds.Sample].toDict("txt")
+    val p = planStr(ds.toDF())
+    assert(p.contains("payload_select=[*.txt]"), p)
+    val got = ds.collect()
+    assert(got.length == 6)
+    assert(got.flatMap(_.entries.keys).toSet == Set("txt"))
+    assert(got.filter(_.entries.contains("txt"))
+      .forall(s => new String(s.entries("txt"), "UTF-8").startsWith("text ")))
+    // multi-alternative keep-set: both keys' globs
+    val both = spark.read.format("wds").load(tar)
+      .as[graft.wds.Sample].toDict("txt;bin")
+    assert(planStr(both.toDF())
+      .contains("payload_select=[*.bin,*.txt]"), planStr(both.toDF()))
+    assert(both.collect().filter(_.entries.contains("bin"))
+      .forall(_.entries("bin").length == (1 << 20)))
+  }
+
+  test("map_filter whose lambda touches the VALUE bails") {
+    // predicate over a blanked payload could change which keys
+    // survive — must not prune
+    val df = spark.read.format("wds").load(tar)
+      .select(map_filter(col("entries"),
+        (k, v) => k.isin("txt") && length(v) > 0).as("e"))
+    assert(!planStr(df).contains("payload_select"), planStr(df))
+    assert(df.collect().count(_.getMap[String, Array[Byte]](0)
+      .contains("txt")) == 5)
+  }
+
+  test("interleave fixture: dotted keys prune with *-K + *.K globs, " +
+      "values exact") {
+    val dir = java.nio.file.Files.createTempDirectory("wppi").toString
+    val out = new java.io.FileOutputStream(s"$dir/ishard.tar")
+    val tw = new graft.wds.TarIO.TarWriter(out)
+    val fat = Array.fill[Byte](1 << 20)(3)
+    (0 until 4).foreach { i =>
+      // raw interleave layout: P.json then P-<i>.jpg frames (the
+      // writer names entries `<key>.<suffix>`, so per-entry writes
+      // with dashed keys produce the reference's on-tar shape); the
+      // reader folds P-0.jpg into P's sample as key 0.jpg
+      tw.write(f"$i%06d", Map("json" -> s"""{"i":$i}""".getBytes("UTF-8"))): Unit
+      tw.write(f"$i%06d-0", Map("jpg" -> s"frame0 of $i".getBytes("UTF-8"))): Unit
+      tw.write(f"$i%06d-1", Map("jpg" -> fat)): Unit
+    }
+    tw.close()
+    val path = s"$dir/ishard.tar"
+    // frame-0-only sweep: dotted key 0.jpg → *.0.jpg,*-0.jpg
+    val f0 = spark.read.format("wds").load(path)
+      .select(col("key"),
+        element_at(col("entries"), "0.jpg").cast("string").as("f"))
+      .orderBy("key")
+    assert(planStr(f0).contains("payload_select=[*.0.jpg,*-0.jpg]"),
+      planStr(f0))
+    val rows = f0.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getString(1) == s"frame0 of ${r.getString(0).toInt}"))
+    // json-only sweep over the interleave shard: fat frames sought past
+    val j = spark.read.format("wds").load(path)
+      .select(element_at(col("entries"), "json").cast("string").as("j"))
+    assert(planStr(j).contains("payload_select=[*.json]"), planStr(j))
+    val b0 = fileBytesRead
+    assert(j.collect().count(_.getString(0) != null) == 4)
+    val jb = fileBytesRead - b0
+    val b1 = fileBytesRead
+    assert(spark.read.format("wds").option("select", "*").load(path)
+      .select(element_at(col("entries"), "json").as("j"))
+      .collect().length == 4)
+    val full = fileBytesRead - b1
+    assert(jb * 3 < full, s"json sweep moved $jb of $full unpruned bytes")
   }
 }

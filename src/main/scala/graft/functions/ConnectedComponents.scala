@@ -39,10 +39,13 @@ import org.apache.spark.sql.functions._
   *    `groupBy(id)` (messages contribute null, `min` ignores nulls), so
   *    "did anything change" is a filter-count over the already-
   *    materialized checkpoint — no extra join or shuffle per round.
-  *  - Phase-2 convergence is a (count, hash-sum) checksum over the
+  *  - Phase-2 convergence is a (count, xxhash64-sum) checksum over the
   *    rewritten edge set — at the fixpoint small-star emits the exact
   *    star graph (every non-root → its component min) and the set stops
-  *    changing.
+  *    changing. A checksum match is confirmed EXACTLY (one set
+  *    difference against the previous round's snapshot) before
+  *    convergence is declared — a hash collision can cost one extra
+  *    confirm, never a wrong answer.
   *  - `maxIters` bounds the TOTAL rounds across both phases; exhausting
   *    it unconverged THROWS: silently returning partial labels would
   *    emit wrong clusters with no signal. With the default budget the
@@ -147,7 +150,7 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b"))
       .distinct())
     var starRounds = 0
-    var prevSum: (Long, Option[Long]) = (-1L, None)
+    var prevSum: (Long, Option[java.math.BigDecimal]) = (-1L, None)
     var converged = false
     while (!converged && starRounds < starBudget) {
       // large-star: for each u over the symmetrized neighborhood, hang
@@ -176,16 +179,27 @@ object ConnectedComponents {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
         .distinct()
+      val prev = e
       e = ckpt(ss)
       starRounds += 1
       // fixpoint check: the rewritten edge set stopped changing.
-      // (count, sum of row hashes) — order-insensitive, one aggregate
-      // over the just-materialized checkpoint.
+      // (count, sum of xxhash64 row hashes) — order-insensitive, one
+      // aggregate over the just-materialized checkpoint. A signature
+      // match is only a CANDIDATE fixpoint: sum-of-hashes can collide
+      // between different edge sets, and declaring convergence on a
+      // collision would silently emit wrong cluster labels — so the
+      // first match is confirmed EXACTLY, once, with a set difference
+      // (both sides are distinct sets of equal count, so an empty
+      // `except` proves equality). `prev` reads the other alternating
+      // slot, still intact until the next ckpt overwrites it.
+      // decimal(38,0) sum: full-range 64-bit terms overflow a Long
+      // sum under ANSI mode
       val row = e.agg(count(lit(1)).as("c"),
-        sum(hash(col("a"), col("b")).cast("long")).as("h")).head()
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("h"))
+        .head()
       val sig = (row.getLong(0),
-        if (row.isNullAt(1)) None else Some(row.getLong(1)))
-      converged = sig == prevSum
+        if (row.isNullAt(1)) None else Some(row.getDecimal(1)))
+      converged = sig == prevSum && e.except(prev).isEmpty
       prevSum = sig
     }
     if (!converged)

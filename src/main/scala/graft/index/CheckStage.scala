@@ -105,6 +105,13 @@ object CheckStage {
     try out.write(bytes) finally out.close()
   }
 
+  /** Driver-side buffering ceiling for [[readPickleIndex]]: an index is
+    * `{url, nsamples}` per tar (~100 bytes/shard → 256 MiB covers
+    * ~2.5M shards, far past any real fleet), while a WRONG path — a
+    * shard, a parquet file — would otherwise buffer wholesale on the
+    * driver before the decoder rejects it. */
+  val MaxPickleIndexBytes: Long = 256L << 20
+
   /** Read a reference-produced (or [[writePickleIndex]]-produced)
     * `.pkl` shard index back as a DataFrame — the reverse migration
     * seam: a user bringing the fleet's existing pickled indexes can
@@ -113,6 +120,13 @@ object CheckStage {
       path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    if (len > MaxPickleIndexBytes)
+      throw new IllegalArgumentException(
+        s"readPickleIndex($path): $len bytes exceeds the " +
+          s"$MaxPickleIndexBytes-byte index ceiling — a .pkl shard " +
+          "index is {url, nsamples} per tar; this looks like a shard " +
+          "or data file, not an index")
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val rows = graft.wds.Pickle.decode(bytes) match {

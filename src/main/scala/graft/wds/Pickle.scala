@@ -12,8 +12,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * SCOPE is deliberately the plain-data subset:
   *
   *  - None/bool/int/float/str/bytes/list/tuple/dict/set, protocols
-  *    0x80-framed 2–5 (FRAME opcodes skipped, memo honored — shared
-  *    references decode to shared JVM objects);
+  *    0–5: the 0x80-framed binary forms (FRAME opcodes skipped, memo
+  *    honored — shared references decode to shared JVM objects) AND
+  *    the protocol-0/1 ASCII opcodes (I/L/F/S/V/p/g — legacy indexes
+  *    predating protocol 2 decode too; py2 STRING payloads land as
+  *    raw bytes, same as SHORT_BINSTRING);
   *  - OBJECT pickles (GLOBAL/STACK_GLOBAL/REDUCE/NEWOBJ/BUILD/INST/
   *    persistent ids/out-of-band buffers) raise a typed
   *    IllegalArgumentException: reconstructing arbitrary Python
@@ -104,6 +107,81 @@ object Pickle {
         throw new IllegalArgumentException(s"pickle length $n")
       n.toInt
     }
+    // ASCII line (protocol-0 opcodes): bytes to '\n', latin-1 chars
+    def line(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != '\n') {
+        if (c < 0) throw new EOFException("truncated pickle")
+        sb.append(c.toChar)
+        c = in.read()
+      }
+      // CPython tolerates \r\n line ends (load_int etc. strip)
+      if (sb.nonEmpty && sb.last == '\r') sb.setLength(sb.length - 1)
+      sb.toString
+    }
+    def asciiInt(s: String): Int = {
+      val v = java.lang.Long.parseLong(s)
+      if (v < 0 || v > Int.MaxValue)
+        throw new IllegalArgumentException(s"pickle memo index $v")
+      v.toInt
+    }
+    // narrow a decimal literal to Long when it fits (the binary
+    // opcodes' value model), BigInt beyond
+    def decimal(s: String): Any = {
+      val b = BigInt(s)
+      if (b.isValidLong) b.toLong else b
+    }
+    // codecs.escape_decode: the py2 STRING opcode's payload → bytes
+    def escapeDecode(s: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => out.write('\\'); i += 2
+            case '\'' => out.write('\''); i += 2
+            case '"' => out.write('"'); i += 2
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'a' => out.write(7); i += 2
+            case 'b' => out.write(8); i += 2
+            case 'f' => out.write(12); i += 2
+            case 'v' => out.write(11); i += 2
+            case 'x' if i + 3 < s.length =>
+              out.write(Integer.parseInt(s.substring(i + 2, i + 4), 16))
+              i += 4
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1
+              while (j < s.length && j < i + 4 &&
+                s.charAt(j) >= '0' && s.charAt(j) <= '7') j += 1
+              out.write(Integer.parseInt(s.substring(i + 1, j), 8) & 0xff)
+              i = j
+            case _ => out.write('\\'); i += 1 // unknown escape: literal
+          }
+        } else { out.write(c.toInt & 0xff); i += 1 }
+      }
+      out.toByteArray
+    }
+    // raw-unicode-escape: only \uXXXX / \UXXXXXXXX are special
+    def rawUnicodeEscape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 5 < s.length && s.charAt(i + 1) == 'u') {
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 6
+        } else if (c == '\\' && i + 9 < s.length && s.charAt(i + 1) == 'U') {
+          sb.append(Character.toChars(
+            Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+          i += 10
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     // little-endian two's-complement signed integer of n bytes
     def long1(n: Int): Any = {
       if (n == 0) return 0L
@@ -150,6 +228,29 @@ object Pickle {
         case 'N' => stack += null
         case 0x88 => stack += true // NEWTRUE
         case 0x89 => stack += false // NEWFALSE
+        // ---- protocol-0 ASCII opcodes (legacy indexes predate proto 2)
+        case 'I' => // INT: decimal line; I01/I00 are py2 bool spellings
+          line() match {
+            case "01" => stack += true
+            case "00" => stack += false
+            case s => stack += decimal(s)
+          }
+        case 'L' => // LONG: decimal line with optional trailing 'L'
+          val s = line()
+          stack += decimal(if (s.endsWith("L")) s.dropRight(1) else s)
+        case 'F' => stack += java.lang.Double.parseDouble(line()) // FLOAT
+        case 'S' => // STRING: repr-quoted py2 byte string → raw bytes
+          val s = line()
+          if (s.length < 2 || s.head != s.last ||
+              (s.head != '\'' && s.head != '"'))
+            throw new IllegalArgumentException(
+              "pickle STRING opcode: payload not quoted")
+          stack += escapeDecode(s.substring(1, s.length - 1))
+        case 'V' => stack += rawUnicodeEscape(line()) // UNICODE
+        case 'p' => memo(asciiInt(line())) = top // PUT
+        case 'g' => // GET
+          stack += memo.getOrElse(asciiInt(line()),
+            throw new IllegalArgumentException("pickle memo miss"))
         case 'K' => stack += u8().toLong // BININT1
         case 'M' => stack += u16le().toLong // BININT2
         case 'J' => stack += i32le().toLong // BININT
@@ -384,9 +485,12 @@ object Pickle {
     } else writeBig(out, BigInt(l))
 
   private def writeBig(out: ByteArrayOutputStream, b: BigInt): Unit = {
-    // LONG1: little-endian two's complement, minimal width
+    // LONG1 (1-byte length) up to 255 bytes, LONG4 (i32 length) beyond —
+    // CPython's own switchover (pickle.py save_long); a single
+    // truncated length byte would emit a silently corrupt pickle
     val be = b.toByteArray // big-endian two's complement, minimal
-    out.write(0x8a); out.write(be.length)
+    if (be.length <= 255) { out.write(0x8a); out.write(be.length) }
+    else { out.write(0x8b); writeI32(out, be.length) }
     var i = be.length - 1
     while (i >= 0) { out.write(be(i)); i -= 1 }
   }

@@ -204,9 +204,15 @@ object TarIO {
     * not I/O. Here commons-compress's `TarFile` walks headers by
     * seeking and payload bytes move only for entries we keep — a
     * names-only scan of a shard full of 1 MiB payloads reads ~0.1% of
-    * its bytes. Closes the channel when the iterator is exhausted or
-    * the scan aborts; callers should still close defensively on
-    * early termination. */
+    * its bytes.
+    *
+    * Channel ownership: closed when the iterator is exhausted (or the
+    * handler stops the scan), AND — inside a Spark task — at task
+    * completion, so early-terminating consumers (`take(n)`, a pushed
+    * limit) cannot leak it. OUTSIDE a task (direct library use of
+    * [[readSamplesSeekable]] on the driver) there is no completion
+    * hook: the closer returned by `WdsReader.openSamples` (or
+    * `PartitionReader.close`) is the required owner on early stop. */
   def entriesSeekable(
       ch: java.nio.channels.SeekableByteChannel,
       url: String,
@@ -254,13 +260,17 @@ object TarIO {
             }
         }
       }
+    var closed = false
+    def closeOnce(): Unit =
+      if (!closed) {
+        closed = true
+        try tarFile.close() catch { case _: Exception => () }
+      }
+    // task-completion hook: the safety net for consumers that stop
+    // pulling before exhaustion inside a Spark task
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[(String, Array[Byte])] {
-      private var closed = false
-      private def closeOnce(): Unit =
-        if (!closed) {
-          closed = true
-          try tarFile.close() catch { case _: Exception => () }
-        }
       override def hasNext: Boolean = {
         val h = base.hasNext
         if (!h) closeOnce()

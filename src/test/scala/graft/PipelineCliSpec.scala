@@ -79,6 +79,32 @@ class PipelineCliSpec extends SparkSpec {
       "s3://bucket/how2link/shard_0-3-6.tar" -> 1498L))
   }
 
+  test("readPickleIndex: protocol-0 legacy index parses; an oversized " +
+      "path is refused before buffering") {
+    val dir = Files.createTempDirectory("pkl_legacy").toString
+    // CPython pickle.dumps([{url, nsamples}...], protocol=0)
+    val p0 = ("286c70300a286470310a5675726c0a70320a5673686172642d302d30" +
+      "2d3530302d302e7461720a70330a73566e73616d706c65730a70340a4935303" +
+      "00a7361286470350a67320a5673686172642d302d3530302d313030302d312e" +
+      "7461720a70360a7367340a493439390a73612e")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val p0Path = s"$dir/legacy.pkl"
+    Files.write(java.nio.file.Paths.get(p0Path), p0)
+    val got = graft.index.CheckStage.readPickleIndex(spark, p0Path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("shard-0-0-500-0.tar" -> 500L,
+      "shard-0-500-1000-1.tar" -> 499L))
+    // a shard-sized file is refused by the ceiling, not buffered then
+    // rejected by the decoder (sparse-ish: just over the limit)
+    val fatPath = s"$dir/not_an_index.pkl"
+    val raf = new java.io.RandomAccessFile(fatPath, "rw")
+    try raf.setLength(graft.index.CheckStage.MaxPickleIndexBytes + 1)
+    finally raf.close()
+    val e = intercept[IllegalArgumentException](
+      graft.index.CheckStage.readPickleIndex(spark, fatPath))
+    assert(e.getMessage.contains("ceiling"))
+  }
+
   test("pack --mix-spec: weighted two-source mix through the CLI") {
     import spark.implicits._
     // two corpora of internvid-style jsonl FILES: A = even ids split

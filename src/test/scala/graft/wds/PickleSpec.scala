@@ -97,6 +97,62 @@ class PickleSpec extends AnyFunSuite {
     }
   }
 
+  // CPython pickle.dumps fixtures at the ASCII protocols (legacy
+  // indexes predating protocol 2)
+  private val IndexP0 =
+    "286c70300a286470310a5675726c0a70320a5673686172642d302d302d3530302d302e7461720a70330a73566e73616d706c65730a70340a493530300a7361286470350a67320a5673686172642d302d3530302d313030302d312e7461720a70360a7367340a493439390a73612e"
+  private val IndexP1 =
+    "5d7100287d710128580300000075726c7102581300000073686172642d302d302d3530302d302e746172710358080000006e73616d706c657371044df401757d7105286802581600000073686172642d302d3530302d313030302d312e746172710668044df30175652e"
+  // (True, False, 5, -7, 2**100, 1.5, "héllo\nworld", ["a",("b",2)],
+  //  {"k": None}) — covers I01/I00/I/L/F/V (raw latin-1 byte + \u
+  // escape) plus proto-0 list/dict/tuple building and p/g memo
+  private val ScalarsP0 =
+    "284930310a4930300a49350a492d370a4c313236373635303630303232383232393430313439363730333230353337364c0a46312e350a5668e96c6c6f5c7530303061776f726c640a70300a286c70310a56610a70320a612856620a70330a49320a7470340a61286470350a566b0a70360a4e737470370a2e"
+  private val ScalarsP1 =
+    "284930310a4930300a4b054af9ffffff4c313236373635303630303232383232393430313439363730333230353337364c0a473ff8000000000000580c00000068c3a96c6c6f0a776f726c6471005d71012858010000006171022858010000006271034b02747104657d710558010000006b71064e737471072e"
+
+  test("protocol-0/1 ASCII pickles decode (legacy index shape)") {
+    val want = Vector(
+      Pickle.Dict(Vector("url" -> "shard-0-0-500-0.tar",
+        "nsamples" -> 500L)),
+      Pickle.Dict(Vector("url" -> "shard-0-500-1000-1.tar",
+        "nsamples" -> 499L)))
+    assert(norm(Pickle.decode(hex(IndexP0))) == norm(want), "proto 0")
+    assert(norm(Pickle.decode(hex(IndexP1))) == norm(want), "proto 1")
+  }
+
+  test("protocol-0/1 scalar coverage: bool spellings, INT/LONG/FLOAT/" +
+      "UNICODE lines, ASCII memo") {
+    val want = Pickle.Tup(Vector(true, false, 5L, -7L, BigInt(2).pow(100),
+      1.5, "héllo\nworld", Vector("a", Pickle.Tup(Vector("b", 2L))),
+      Pickle.Dict(Vector("k" -> null))))
+    assert(norm(Pickle.decode(hex(ScalarsP0))) == norm(want), "proto 0")
+    assert(norm(Pickle.decode(hex(ScalarsP1))) == norm(want), "proto 1")
+  }
+
+  test("py2 STRING opcode (S) lands as raw bytes after escape_decode") {
+    // hand-built per pickletools: S'ab\n\x01\\'  + PUT + STOP
+    val bytes = "S'ab\\n\\x01\\\\'\np0\n.".getBytes("ISO-8859-1")
+    assert(norm(Pickle.decode(bytes)) ==
+      Vector[Byte]('a', 'b', '\n', 1, '\\'))
+  }
+
+  test("LONG1->LONG4 switchover: >255-byte bigints round-trip") {
+    // CPython emits LONG4 (0x8b) past 255 bytes; a truncated LONG1
+    // length byte would corrupt silently
+    val big = BigInt(2).pow(2300) + 12345 // 288-byte two's complement
+    val enc = Pickle.encode(big)
+    assert(enc(2) == 0x8b.toByte, f"opcode 0x${enc(2)}%02x")
+    assert(Pickle.decode(enc) == big)
+    assert(Pickle.decode(Pickle.encode(-big)) == -big)
+    // boundary: 255-byte encoding stays LONG1
+    val edge = (BigInt(1) << (255 * 8 - 1)) - 1
+    assert(edge.toByteArray.length == 255)
+    val encEdge = Pickle.encode(edge)
+    assert(encEdge(2) == 0x8a.toByte)
+    assert(Pickle.decode(encEdge) == edge)
+  }
+
   test("object/class pickles raise a typed error, never mis-decode") {
     // CPython: pickle.dumps(collections.OrderedDict()) opens with
     // GLOBAL/STACK_GLOBAL; a set at protocol 3 goes through

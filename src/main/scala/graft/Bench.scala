@@ -38,6 +38,50 @@ object Bench {
           env > 0.05 && min > envFactor * env) => name
     }.toSeq.sorted
 
+  /** Whole-capture validity re-adjudication (round-13 verdict #1: the
+    * official r13 line recorded 19.99/11.69-core ambient loadavg
+    * samples mid-run and 9 double-slow rows, yet stamped
+    * `load_warning:false` — the gate checked rep-local windows but
+    * never re-judged the capture). A capture is DIRTY when any of:
+    *  - the quiet-machine wait budget ran out (the old condition);
+    *  - any KEPT rep's ambient window exceeded a limit (retries
+    *    exhausted let the dirty rep through — the number is
+    *    contaminated even though the radar knows it);
+    *  - the END-of-capture ambient loadavg (minus the bench's own
+    *    trailing share) exceeds the start gate's limit — a
+    *    contaminator that arrived during the tail, like r13's;
+    *  - more than `maxRegressions` rows are double-slow (still out of
+    *    envelope after their solo rerun): independent simultaneous
+    *    plan regressions don't happen by the handful in one capture,
+    *    host-level contention invisible to /proc/stat deltas does
+    *    (r13: all cpu/iowait/io stamps quiet, 9 rows double-slow).
+    * Pure so a spec can trip each arm synthetically. */
+  private[graft] def captureDirty(
+      keptStamps: Seq[(Double, Double, Double)],
+      ambientLimit: Double, iowaitLimit: Double, ioMbpsLimit: Double,
+      gateExhausted: Boolean,
+      endAmbientLoad: Double, loadLimit: Double,
+      regressionCount: Int, maxRegressions: Int): Boolean =
+    gateExhausted ||
+      keptStamps.exists { case (a, w, m) =>
+        a > ambientLimit || w > iowaitLimit || m > ioMbpsLimit } ||
+      endAmbientLoad > loadLimit ||
+      regressionCount > maxRegressions
+
+  /** A dirty capture must never REPLACE a clean official line: it
+    * parks in bench_history.jsonl (feeding the envelope radar) and
+    * BENCH_LINE.json keeps the last clean capture. Overwrite is
+    * allowed when the new line is clean, when no official line
+    * exists, or when the existing line is itself dirty/unparseable
+    * (dirty-over-dirty keeps the artifact current). */
+  private[graft] def mayOverwriteOfficial(
+      existingLine: Option[String], newDirty: Boolean): Boolean =
+    !newDirty || existingLine.forall { l =>
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(l).path("load_warning").asBoolean(true)
+      catch { case _: Exception => true }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -405,6 +449,26 @@ object Bench {
           "rerun — double-slow, likely a real regression")
     }
     val loadEnd = loadavg
+    // whole-capture re-adjudication (see captureDirty)
+    sampleOwn()
+    val endAmbientLoad =
+      (loadEnd.headOption.getOrElse(0.0) - ownShareCores).max(0.0)
+    val maxRegressions = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_REGRESSIONS", "2").toInt
+    val dirty = captureDirty(
+      results.collect { case (_, _, (a, w, m, _), true) => (a, w, m) },
+      ambientLimit, iowaitLimit, ioMbpsLimit,
+      gateExhausted = loadWarning,
+      endAmbientLoad = endAmbientLoad, loadLimit = loadLimit,
+      regressionCount = regressions.size, maxRegressions = maxRegressions)
+    if (dirty && !loadWarning) {
+      System.err.println(
+        f"[bench] WARNING: capture re-adjudicated DIRTY (end ambient " +
+          f"load $endAmbientLoad%.1f cores vs limit $loadLimit%.1f, " +
+          s"${regressions.size} double-slow rows) — stamping " +
+          "load_warning")
+      loadWarning = true
+    }
     // even lengths average the two middle elements (a 2-rep run must
     // not report the slower rep as its "median")
     def median(xs: Seq[Double]): Double =
@@ -453,12 +517,26 @@ object Bench {
     // live in a file the driver/judge can read directly) + per-round
     // history so future rounds can diff without the driver
     try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n"): Unit
+      // history ALWAYS appends (extra lines only ever tighten the
+      // envelope radar); the official line only moves when the new
+      // capture may replace what's there (a dirty line never evicts a
+      // clean one — round-13 verdict #1)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_history.jsonl"), line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND): Unit
+      val official = java.nio.file.Paths.get("BENCH_LINE.json")
+      val existing =
+        if (java.nio.file.Files.exists(official))
+          Some(java.nio.file.Files.readString(official))
+        else None
+      if (mayOverwriteOfficial(existing, dirty))
+        java.nio.file.Files.writeString(official, line + "\n"): Unit
+      else
+        System.err.println(
+          "[bench] capture is DIRTY and BENCH_LINE.json holds a clean " +
+            "line — parked in bench_history.jsonl only; recapture on a " +
+            "quiet machine to refresh the official artifact")
     } catch { case _: Exception => () }
     spark.stop()
   }

@@ -18,6 +18,48 @@ class BenchSpec extends AnyFunSuite {
     assert(got == Seq("qslow"))
   }
 
+  test("capture re-adjudication: synthetic load trips each dirty arm") {
+    def judge(stamps: Seq[(Double, Double, Double)] = Seq((0.5, 0.1, 10)),
+        gateExhausted: Boolean = false, endLoad: Double = 3.0,
+        regressions: Int = 0): Boolean =
+      Bench.captureDirty(stamps, ambientLimit = 8.0, iowaitLimit = 2.0,
+        ioMbpsLimit = 200.0, gateExhausted = gateExhausted,
+        endAmbientLoad = endLoad, loadLimit = 16.0,
+        regressionCount = regressions, maxRegressions = 2)
+    // clean capture: quiet stamps, quiet end, no double-slow rows
+    assert(!judge())
+    // a kept rep whose ambient window exceeded the limit (retries
+    // exhausted let it through) — the judge-mandated arm
+    assert(judge(stamps = Seq((0.5, 0.1, 10), (9.1, 0.0, 5))))
+    // iowait / io arms
+    assert(judge(stamps = Seq((0.5, 2.5, 10))))
+    assert(judge(stamps = Seq((0.5, 0.1, 300))))
+    // the r13 signature: all per-rep stamps quiet, but the end-of-
+    // capture ambient loadavg reads 19.99 and 9 rows are double-slow
+    assert(judge(endLoad = 19.99))
+    assert(judge(regressions = 9))
+    // 1-2 double-slow rows = plausible real regression, NOT dirty
+    assert(!judge(regressions = 2))
+    // exhausted wait budget stays dirty
+    assert(judge(gateExhausted = true))
+  }
+
+  test("a dirty capture never evicts a clean official line") {
+    val clean = """{"metric":"total","value":75.3,"load_warning":false}"""
+    val dirty = """{"metric":"total","value":104.1,"load_warning":true}"""
+    // dirty new vs clean official: parked, not overwritten
+    assert(!Bench.mayOverwriteOfficial(Some(clean), newDirty = true))
+    // clean new always lands
+    assert(Bench.mayOverwriteOfficial(Some(clean), newDirty = false))
+    assert(Bench.mayOverwriteOfficial(Some(dirty), newDirty = false))
+    // dirty-over-dirty keeps the artifact current; dirty-over-nothing
+    // beats no artifact at all
+    assert(Bench.mayOverwriteOfficial(Some(dirty), newDirty = true))
+    assert(Bench.mayOverwriteOfficial(None, newDirty = true))
+    // unparseable official line: treat as replaceable
+    assert(Bench.mayOverwriteOfficial(Some("not json"), newDirty = true))
+  }
+
   test("regression-twice: exonerated reruns and never-rerun rows stay " +
       "out of the key") {
     val envelope = Map("a" -> 1.0, "b" -> 1.0)

@@ -433,15 +433,19 @@ object DedupQueries extends QueryRegistry {
     *    same plan shape would share one relation.
     *
     * Staleness: the key also folds in an md5 of the CONCRETE input
-    * file list (`owner.inputFiles`). Spark job output files carry
-    * unique per-write names (part-<uuid>), so overwriting a parquet
-    * path and re-reading it changes the snapshot → cache miss → fresh
-    * build, instead of silently serving the pre-overwrite relation.
-    * (A caller holding the pre-overwrite DataFrame OBJECT still sees
-    * stale/missing files — that staleness lives in Spark's own
-    * FileIndex, upstream of this cache.) For in-place mutation that
-    * preserves file names (non-Spark writers), call
-    * `invalidateRelationCache`. */
+    * file list (`owner.inputFiles`) PLUS each file's length and
+    * modification time, read from the relation's own FileIndex (the
+    * listing Spark already holds in memory — no extra namenode RPCs
+    * at lake scale). Spark job output files carry unique per-write
+    * names (part-<uuid>), so a normal overwrite changes the names;
+    * an in-place mutation that REUSES file names (a manual copy, a
+    * non-Spark writer) changes mtime/length instead — either way the
+    * snapshot moves → cache miss → fresh build, instead of silently
+    * serving the pre-overwrite relation. (A caller holding the
+    * pre-overwrite DataFrame OBJECT still sees stale/missing files —
+    * that staleness lives in Spark's own FileIndex, upstream of this
+    * cache. `invalidateRelationCache` remains the escape hatch for
+    * writers that also preserve mtime+length.) */
   private def cachedRelation(owner: DataFrame, tag: String)(
       build: => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{
@@ -462,7 +466,20 @@ object DedupQueries extends QueryRegistry {
     // md5, not the raw join: a 100k-file corpus would otherwise put a
     // multi-MB string in every cache key
     val snapshot = {
-      val files = owner.inputFiles.sorted.mkString("\n")
+      // per-file length+mtime from the leaves' FileIndexes (in-memory
+      // listing); leaves without one contribute name-only entries via
+      // inputFiles below
+      val statuses = leaves.flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.listFiles(Nil, Nil).flatMap(_.files).map(f =>
+              s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+      val files =
+        (owner.inputFiles.toSeq ++ statuses).sorted.mkString("\n")
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }

@@ -643,6 +643,48 @@ class CorpusOpsSpec extends SparkSpec {
       "post-overwrite read served the stale pre-overwrite shingles")
   }
 
+  test("shingle cache: an in-place overwrite that REUSES part-file " +
+    "names (manual copy) still misses the cache via mtime/length") {
+    import spark.implicits._
+    // round-13 verdict residual: the snapshot key saw file NAMES only,
+    // so a non-Spark writer reusing part names served stale shingles.
+    // The key now folds each file's length+mtime from the relation's
+    // FileIndex — this pins it.
+    val base = java.nio.file.Files
+      .createTempDirectory("shcache_inplace").toString
+    val big = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val excerpt = big.split(" ").take(24).mkString(" ")
+    Seq((1L, big), (2L, excerpt)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/docs")
+    val before = DedupQueries.containmentFrom(
+      spark.read.parquet(s"$base/docs")).count()
+    assert(before == 1L, s"planted excerpt pair not found ($before)")
+    // disjoint corpus written elsewhere, then copied OVER the original
+    // part file — same file name, new bytes, new mtime
+    Seq((1L, "completely unrelated words one"),
+      (2L, "another disjoint document two")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/other")
+    def partOf(dir: String) = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val target = partOf(s"$base/docs")
+    java.nio.file.Files.copy(partOf(s"$base/other").toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    // Hadoop LocalFileSystem keeps .crc sidecars — a faithful manual
+    // overwrite must drop the stale one or reads fail on checksum
+    new java.io.File(s"$base/docs", s".${target.getName}.crc").delete(): Unit
+    // deterministic mtime bump (same-millisecond copies must not flake)
+    assert(target.setLastModified(target.lastModified() + 60000))
+    // out-of-band writes also go stale in Spark's OWN session
+    // FileStatusCache (footer reads fail on the stale length) — the
+    // standard refresh any external mutation requires; the shingle
+    // cache must then miss on the refreshed mtime/length
+    spark.catalog.refreshByPath(s"$base/docs")
+    val after = DedupQueries.containmentFrom(
+      spark.read.parquet(s"$base/docs")).count()
+    assert(after == 0L,
+      "same-name in-place overwrite served the stale shingle relation")
+  }
+
   test("qd27: the bucket cap drops exactly the boilerplate bucket; " +
     "near-dups still pair through selective bands; generous cap is " +
     "a no-op") {

@@ -2034,7 +2034,74 @@ object MediaQueries extends QueryRegistry {
       |  ((10 + doc_id % 40) * 960 * 1000 // 48000)::INT AS dur_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** mm33: MP3 frame-WALK audit (round-13 directive #8) — beyond
+    * mm25's header probe: CRC-16 verification of every protected frame
+    * (ISO 11172-3 crc_check, corrupt frames COUNTED without decoding
+    * audio) and the Xing/Info VBR-header parse with declared-vs-walked
+    * consistency — the truncation detector a crawl audit runs over
+    * mp3 corpora. Per-doc fixtures plant one corrupt CRC (doc_id%7=0)
+    * and one declared-frames mismatch (doc_id%11=0); full Layer-III
+    * DECODE stays the typed seam (SCALE.md adjudication). */
+  private def mp3FrameWalk(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (16 + id % 16).toInt
+      val vbr = id % 3 == 0
+      val bytes = graft.multimodal.Mp3Probe.encodeHeaders(n,
+        i => if (vbr) 1 + ((id + i) % 14).toInt else (9 + id % 5).toInt,
+        srIdx = (id % 3).toInt, withCrc = true,
+        corruptCrcAt = if (id % 7 == 0) (id % n).toInt else -1,
+        xingTag = if (vbr) "Xing" else "Info",
+        declaredFrames = if (id % 11 == 0) n - 1 else n)
+      val m = graft.multimodal.Mp3Probe.probe(bytes)
+      (m.nFrames, m.crcFrames, m.crcBad, m.xingTag, m.declaredFrames,
+        m.declaredBytes, if (m.declaredConsistent) 1 else 0,
+        math.round(m.durationSec * 1000).toInt)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("n_frames"),
+        col("st._2").as("crc_frames"), col("st._3").as("crc_bad"),
+        col("st._4").as("tag"), col("st._5").as("declared_frames"),
+        col("st._6").as("declared_bytes"), col("st._7").as("consistent"),
+        col("st._8").as("dur_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  /** replays the walk: frame-length arithmetic for declared_bytes
+    * (the fixture's Xing bytes field = the true stream total), the
+    * planted corrupt-CRC and mismatch rows, and the 1152-samples-per-
+    * frame duration */
+  private val mp3FrameWalkSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d, (16 + doc_id % 16)::INT AS n,
+      |    (doc_id % 3 = 0) AS vbr, (doc_id % 3)::INT AS sri
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d, n, vbr, sri,
+      |    unnest(generate_series(0, n - 1)) AS i
+      |  FROM g),
+      |q AS (
+      |  SELECT d, n, i,
+      |    [44100, 48000, 32000][sri + 1] AS sr,
+      |    [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320][
+      |      (CASE WHEN vbr THEN 1 + (d + i) % 14
+      |            ELSE 9 + d % 5 END)::INT + 1] AS br
+      |  FROM fr),
+      |fl AS (
+      |  SELECT d, n, sr, 144 * br * 1000 // sr + (i % 2) AS flen
+      |  FROM q)
+      |SELECT d AS media_id, n AS n_frames, n AS crc_frames,
+      |  (CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)::INT AS crc_bad,
+      |  (CASE WHEN d % 3 = 0 THEN 'Xing' ELSE 'Info' END) AS tag,
+      |  (CASE WHEN d % 11 = 0 THEN n - 1 ELSE n END)::INT
+      |    AS declared_frames,
+      |  sum(flen)::BIGINT AS declared_bytes,
+      |  (CASE WHEN d % 11 = 0 THEN 0 ELSE 1 END)::INT AS consistent,
+      |  round((n * 1152.0 / max(sr)) * 1000)::INT AS dur_ms
+      |FROM fl GROUP BY d, n ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm33_mp3_frame_walk" -> QueryDef(mp3FrameWalk, Some(mp3FrameWalkSql)),
     "mm26_ogg_probe" -> QueryDef(oggProbe, Some(oggProbeSql)),
     "mm25_mp3_probe" -> QueryDef(mp3Probe, Some(mp3ProbeSql)),
     "mm24_webm_probe" -> QueryDef(webmProbe, Some(webmProbeSql)),

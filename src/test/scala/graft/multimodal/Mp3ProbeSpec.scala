@@ -48,6 +48,43 @@ class Mp3ProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("CRC walk: protected frames verify; a planted corruption is " +
+      "counted, not decoded around") {
+    val good = Mp3Probe.probe(
+      Mp3Probe.encodeHeaders(8, _ => 9, withCrc = true))
+    assert(good.crcFrames == 8 && good.crcBad == 0)
+    val bad = Mp3Probe.probe(
+      Mp3Probe.encodeHeaders(8, _ => 9, withCrc = true, corruptCrcAt = 3))
+    assert(bad.crcFrames == 8 && bad.crcBad == 1)
+    assert(bad.nFrames == 8, "a bad CRC must not derail the walk")
+    // CRC-less frames (protection_bit = 1) contribute nothing
+    val off = Mp3Probe.probe(Mp3Probe.encodeHeaders(8, _ => 9))
+    assert(off.crcFrames == 0 && off.crcBad == 0)
+  }
+
+  test("Xing/Info header: declared totals parsed; declared-vs-walked " +
+      "consistency flags truncation") {
+    val ok = Mp3Probe.probe(Mp3Probe.encodeHeaders(12, _ => 9,
+      withCrc = true, xingTag = "Xing"))
+    assert(ok.xingTag == "Xing")
+    assert(ok.declaredFrames == 12 && ok.declaredBytes == ok.totalBytes)
+    assert(ok.declaredConsistent)
+    // a truncated file: declared totals exceed the walk
+    val full = Mp3Probe.encodeHeaders(12, _ => 9, xingTag = "Info")
+    val trunc = Mp3Probe.probe(
+      java.util.Arrays.copyOfRange(full, 0, full.length - 500))
+    assert(trunc.xingTag == "Info" && trunc.declaredFrames == 12)
+    assert(trunc.nFrames < 12 && !trunc.declaredConsistent)
+    // declared-frames mismatch knob (the mm33 fixture shape)
+    val lie = Mp3Probe.probe(Mp3Probe.encodeHeaders(12, _ => 9,
+      xingTag = "Info", declaredFrames = 11))
+    assert(lie.declaredFrames == 11 && !lie.declaredConsistent)
+    // no tag: absent fields, vacuously consistent
+    val plain = Mp3Probe.probe(Mp3Probe.encodeHeaders(4, _ => 9))
+    assert(plain.xingTag == "" && plain.declaredFrames == -1 &&
+      plain.declaredConsistent)
+  }
+
   test("seeded fuzz: bit flips never crash or hang") {
     val base = Mp3Probe.encodeHeaders(8, i => 1 + (i % 14))
     val rnd = new scala.util.Random(11)

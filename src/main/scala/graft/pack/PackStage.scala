@@ -309,7 +309,7 @@ object PackStage {
       // without it two such rows could swap file_idx between runs or
       // task retries, shifting keys/tar contents nondeterministically
       .orderBy(col("video_path"), col("value"),
-        concat_ws(" ", col("media_paths")))
+        concat_ws("\u0000", col("media_paths")))
       .as[MetaRow](Encoders.product[MetaRow])
     val indexed = ordered.rdd.zipWithIndex().map {
       case (m, idx) => IndexedRow(idx, m.media_paths, m.value)

@@ -32,9 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    child's exprIds, so sibling-branch forwarding must be folded into
   *    the id set or a non-head branch would escape the root-output
   *    guard) in the WHOLE plan is `GetMapValue`/`ElementAt` with a
-  *    string literal key or a `MapFilter` whose lambda is a pure
-  *    literal-key membership test, and no alias/attr reaches the
-  *    plan's root output;
+  *    string literal key, a `MapFilter` whose lambda is a pure
+  *    literal-key membership test, or a key-structure-only read
+  *    (`map_keys`/`size`/`map_contains_key` — names always flow, so
+  *    these are identical under pruning; a query using ONLY them
+  *    prunes every payload via the match-nothing glob), and no
+  *    alias/attr reaches the plan's root output;
   *  - a `MapFilter` keep-set is sound to prune to because the filtered
   *    map can only ever expose those keys' values (names of dropped
   *    keys vanish from the RESULT map, but the result is a new
@@ -136,6 +139,7 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
     // the map observed wholesale at the root → no pruning
     if (plan.output.exists(a => ids(a.exprId))) return None
     var keys = Set.empty[String]
+    var nameOnly = false // key-structure uses (map_keys/size/contains)
     var ok = true
     def visit(e: Expression): Unit = if (ok) e match {
       case g: GetMapValue =>
@@ -153,6 +157,19 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
           case (a: Attribute, Some(ks)) if ids(a.exprId) => keys ++= ks
           case _ => mf.children.foreach(visit)
         }
+      // NAME-ONLY observations: payload pruning keeps every entry
+      // name (the scan's soundness contract), so key-structure reads
+      // over the tracked map are identical under pruning and
+      // contribute no keys — the check stage's map_keys/size audits
+      // must not block a json-only sweep
+      case mk: MapKeys if mk.child.isInstanceOf[Attribute] &&
+        ids(mk.child.asInstanceOf[Attribute].exprId) => nameOnly = true
+      case s: Size if s.child.isInstanceOf[Attribute] &&
+        ids(s.child.asInstanceOf[Attribute].exprId) => nameOnly = true
+      case mc: MapContainsKey if mc.left.isInstanceOf[Attribute] &&
+        ids(mc.left.asInstanceOf[Attribute].exprId) =>
+        nameOnly = true
+        visit(mc.right) // the key expr could itself reference the map
       case a: Attribute if ids(a.exprId) => ok = false // bare use
       case other => other.children.foreach(visit)
     }
@@ -172,13 +189,22 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
       case _: DataSourceV2ScanRelation | _: DataSourceV2Relation => ()
       case other => other.expressions.foreach(visit)
     }
-    if (!ok || keys.isEmpty) None
+    if (!ok || (keys.isEmpty && !nameOnly)) None
     else if (keys.forall(k => SafeKey.matches(k))) Some(keys)
     else None // glob metachars / separators in a key: bail
   }
 
+  /** An empty keep-set (key-structure-only query) prunes EVERY
+    * payload: a wildcard-free, dot-free glob can only match a dotless
+    * entry name, and dotless entries never form samples
+    * (`Sample.basePlusExt` requires a dot), so their payloads are
+    * unobservable by construction — the glob matches nothing that
+    * matters, self-describing in `.explain()`. */
+  private[graft] val MatchNothing = "-none-"
+
   private def globsFor(keys: Set[String]): String =
-    keys.toSeq.sorted.flatMap { k0 =>
+    if (keys.isEmpty) MatchNothing
+    else keys.toSeq.sorted.flatMap { k0 =>
       val k = k0.toLowerCase(java.util.Locale.ROOT)
       // dotted keys: `*.K` (multi-dot suffix) + `*-K` (interleave fold)
       if (k.contains('.')) Seq("*." + k, "*-" + k) else Seq("*." + k)

@@ -69,20 +69,51 @@ class WdsPayloadPruneSpec extends SparkSpec {
       s"pruned read moved $pruned of $fullBytes unpruned bytes")
   }
 
-  test("whole-map and map_keys reads are NOT rewritten") {
+  test("whole-map reads are NOT rewritten; value-observing element_at " +
+      "keeps real bytes") {
     val whole = spark.read.format("wds").load(tar)
       .select(col("key"), col("entries"))
     assert(!planStr(whole).contains("payload_select"), planStr(whole))
     assert(whole.collect().forall(
       _.getMap[String, Array[Byte]](1).nonEmpty))
-    val keysQ = spark.read.format("wds").load(tar)
-      .select(col("key"), map_keys(col("entries")).as("ks"))
-    assert(!planStr(keysQ).contains("payload_select"), planStr(keysQ))
     // a bin-observing projection keeps the real bytes
     val sizes = spark.read.format("wds").load(tar)
       .select(length(element_at(col("entries"), "bin")).as("n"))
     assert(planStr(sizes).contains("payload_select=[*.bin]"))
     assert(sizes.collect().forall(_.getInt(0) == (1 << 20)))
+  }
+
+  test("key-structure-only reads prune EVERY payload (names flow): " +
+      "map_keys / size / map_contains_key") {
+    // payload blanking keeps entry NAMES, so key-structure audits are
+    // identical under pruning — and with no value observed anywhere,
+    // the match-nothing glob blanks everything
+    val keysQ = spark.read.format("wds").load(tar)
+      .select(col("key"), map_keys(col("entries")).as("ks"))
+      .orderBy("key")
+    assert(planStr(keysQ).contains("payload_select=[-none-]"),
+      planStr(keysQ))
+    val ks = keysQ.collect().map(_.getSeq[String](1).sorted.mkString(","))
+    assert(ks.take(5).forall(_ == "bin,txt") && ks.last == "bin")
+    val sizeQ = spark.read.format("wds").load(tar)
+      .select(size(col("entries")).as("n"))
+    assert(planStr(sizeQ).contains("payload_select=[-none-]"))
+    assert(sizeQ.collect().map(_.getInt(0)).sum == 11) // 5*2 + 1
+    val hasQ = spark.read.format("wds").load(tar)
+      .select(map_contains_key(col("entries"), "txt").as("h"))
+    assert(planStr(hasQ).contains("payload_select=[-none-]"))
+    assert(hasQ.collect().count(_.getBoolean(0)) == 5)
+    // MIXED: key-structure + a value read → prune to the value's key,
+    // names still complete, values real
+    val mixed = spark.read.format("wds").load(tar)
+      .select(map_keys(col("entries")).as("ks"),
+        element_at(col("entries"), "txt").cast("string").as("t"))
+    assert(planStr(mixed).contains("payload_select=[*.txt]"),
+      planStr(mixed))
+    val rows = mixed.collect()
+    assert(rows.count(_.getString(1) != null) == 5)
+    assert(rows.count(_.getSeq[String](0).contains("bin")) == 6,
+      "pruning dropped entry NAMES")
   }
 
   test("a cached raw read stays unpruned: later consumers get real " +

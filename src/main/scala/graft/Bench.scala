@@ -68,19 +68,33 @@ object Bench {
       endAmbientLoad > loadLimit ||
       regressionCount > maxRegressions
 
-  /** A dirty capture must never REPLACE a clean official line: it
-    * parks in bench_history.jsonl (feeding the envelope radar) and
-    * BENCH_LINE.json keeps the last clean capture. Overwrite is
-    * allowed when the new line is clean, when no official line
-    * exists, or when the existing line is itself dirty/unparseable
-    * (dirty-over-dirty keeps the artifact current). */
+  /** BENCH_LINE.json = the last clean FULL capture at the official
+    * scale factor; bench_history.jsonl takes everything. A capture may
+    * replace the official line only when it could BE one:
+    *  - never when it ran a `SPARK_GRAFT_BENCH_ONLY` subset (a clean
+    *    smoke line is not an official headline — this closes the
+    *    restore-after-smoke-runs manual discipline);
+    *  - never when it is dirty and the existing line is clean;
+    *  - never when its sf differs from the existing clean line's (an
+    *    sf1 ring must not evict the sf0.1 official; rotating the
+    *    official sf = delete BENCH_LINE.json first, the stderr note
+    *    says so);
+    *  - always when no official line exists or the existing one is
+    *    dirty/unparseable (anything current beats a known-bad line). */
   private[graft] def mayOverwriteOfficial(
-      existingLine: Option[String], newDirty: Boolean): Boolean =
-    !newDirty || existingLine.forall { l =>
-      try new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(l).path("load_warning").asBoolean(true)
-      catch { case _: Exception => true }
+      existingLine: Option[String], newDirty: Boolean,
+      newPartial: Boolean, newSf: String): Boolean = {
+    if (newPartial) return false
+    existingLine.forall { l =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(l)
+        val existingDirty = node.path("load_warning").asBoolean(true)
+        existingDirty ||
+          (!newDirty && node.path("sf").asText(newSf) == newSf)
+      } catch { case _: Exception => true }
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -530,13 +544,16 @@ object Bench {
         if (java.nio.file.Files.exists(official))
           Some(java.nio.file.Files.readString(official))
         else None
-      if (mayOverwriteOfficial(existing, dirty))
+      if (mayOverwriteOfficial(existing, dirty,
+          newPartial = only.isDefined, newSf = sfDir))
         java.nio.file.Files.writeString(official, line + "\n"): Unit
       else
         System.err.println(
-          "[bench] capture is DIRTY and BENCH_LINE.json holds a clean " +
-            "line — parked in bench_history.jsonl only; recapture on a " +
-            "quiet machine to refresh the official artifact")
+          "[bench] capture not eligible as the official line (dirty " +
+            "over clean, BENCH_ONLY subset, or different sf) — parked " +
+            "in bench_history.jsonl only; a clean full-set run at the " +
+            "official sf refreshes BENCH_LINE.json (delete it first to " +
+            "rotate the official sf)")
     } catch { case _: Exception => () }
     spark.stop()
   }

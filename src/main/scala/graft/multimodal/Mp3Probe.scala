@@ -75,15 +75,27 @@ object Mp3Probe {
       /** frame total declared by the Xing/Info header, -1 = absent */
       declaredFrames: Int = -1,
       /** byte total declared by the Xing/Info header, -1 = absent */
-      declaredBytes: Long = -1L) {
+      declaredBytes: Long = -1L,
+      /** length of the first (tag-bearing) frame, for the
+        * tag-frame-excluded declared-total convention */
+      firstFrameBytes: Long = 0L) {
     def cbr: Boolean = nFrames > 0 && minBitrateKbps == maxBitrateKbps
     /** 1152 samples per MPEG-1 layer-III frame */
     def durationSec: Double =
       if (sampleRate > 0) nFrames * 1152.0 / sampleRate else 0.0
-    /** Xing-declared totals agree with the walk (absent = vacuous) */
-    def declaredConsistent: Boolean =
-      (declaredFrames < 0 || declaredFrames == nFrames) &&
-        (declaredBytes < 0 || declaredBytes == totalBytes)
+    /** Xing-declared totals agree with the walk (absent = vacuous).
+      * Real encoders differ on whether the tag frame itself counts:
+      * LAME conventionally declares the AUDIO frames (excluding the
+      * Xing frame the walk counts), others declare the file totals —
+      * both spellings of an intact file pass; anything else (a
+      * truncated tail, a lying header) is inconsistent. */
+    def declaredConsistent: Boolean = {
+      val framesOk = declaredFrames < 0 || declaredFrames == nFrames ||
+        (xingTag.nonEmpty && declaredFrames == nFrames - 1)
+      val bytesOk = declaredBytes < 0 || declaredBytes == totalBytes ||
+        (xingTag.nonEmpty && declaredBytes == totalBytes - firstFrameBytes)
+      framesOk && bytesOk
+    }
   }
 
   def probe(bytes: Array[Byte]): Mp3Meta = {
@@ -107,6 +119,7 @@ object Mp3Probe {
     var xingTag = ""
     var declFrames = -1
     var declBytes = -1L
+    var firstLen = 0L
     def be32(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
@@ -155,6 +168,7 @@ object Mp3Probe {
                   declBytes = be32(off)
               }
             }
+            if (n == 0) firstLen = frameLen.toLong
             n += 1
             rate = sr
             total += frameLen
@@ -166,7 +180,7 @@ object Mp3Probe {
       } else pos += 1 // resync scan (corrupt shards)
     }
     Mp3Meta(n, rate, total, if (n == 0) 0 else minBr, maxBr, id3,
-      crcFrames, crcBad, xingTag, declFrames, declBytes)
+      crcFrames, crcBad, xingTag, declFrames, declBytes, firstLen)
   }
 
   /** fixture writer: ID3v2 tag (optional) + `n` conformant MPEG-1

@@ -2051,7 +2051,9 @@ object MediaQueries extends QueryRegistry {
         srIdx = (id % 3).toInt, withCrc = true,
         corruptCrcAt = if (id % 7 == 0) (id % n).toInt else -1,
         xingTag = if (vbr) "Xing" else "Info",
-        declaredFrames = if (id % 11 == 0) n - 1 else n)
+        // n-1 is the LAME tag-frame-excluded convention (consistent);
+        // the planted LIE must be outside both accepted spellings
+        declaredFrames = if (id % 11 == 0) n - 2 else n)
       val m = graft.multimodal.Mp3Probe.probe(bytes)
       (m.nFrames, m.crcFrames, m.crcBad, m.xingTag, m.declaredFrames,
         m.declaredBytes, if (m.declaredConsistent) 1 else 0,
@@ -2093,7 +2095,7 @@ object MediaQueries extends QueryRegistry {
       |SELECT d AS media_id, n AS n_frames, n AS crc_frames,
       |  (CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)::INT AS crc_bad,
       |  (CASE WHEN d % 3 = 0 THEN 'Xing' ELSE 'Info' END) AS tag,
-      |  (CASE WHEN d % 11 = 0 THEN n - 1 ELSE n END)::INT
+      |  (CASE WHEN d % 11 = 0 THEN n - 2 ELSE n END)::INT
       |    AS declared_frames,
       |  sum(flen)::BIGINT AS declared_bytes,
       |  (CASE WHEN d % 11 = 0 THEN 0 ELSE 1 END)::INT AS consistent,

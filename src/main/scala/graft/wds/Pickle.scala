@@ -238,7 +238,14 @@ object Pickle {
         case 'L' => // LONG: decimal line with optional trailing 'L'
           val s = line()
           stack += decimal(if (s.endsWith("L")) s.dropRight(1) else s)
-        case 'F' => stack += java.lang.Double.parseDouble(line()) // FLOAT
+        case 'F' => // FLOAT: repr line; CPython spells non-finites
+          // 'inf'/'-inf'/'nan', which Java's parser rejects
+          stack += (line() match {
+            case "inf" => Double.PositiveInfinity
+            case "-inf" => Double.NegativeInfinity
+            case "nan" | "-nan" => Double.NaN
+            case s => java.lang.Double.parseDouble(s)
+          })
         case 'S' => // STRING: repr-quoted py2 byte string → raw bytes
           val s = line()
           if (s.length < 2 || s.head != s.last ||

@@ -261,15 +261,21 @@ object TarIO {
         }
       }
     var closed = false
+    val closer: AutoCloseable = () =>
+      try tarFile.close() catch { case _: Exception => () }
     def closeOnce(): Unit =
       if (!closed) {
         closed = true
-        try tarFile.close() catch { case _: Exception => () }
+        TaskCloseRegistry.deregister(closer)
+        closer.close()
       }
-    // task-completion hook: the safety net for consumers that stop
-    // pulling before exhaustion inside a Spark task
-    Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => closeOnce()))
+    // task-completion safety net for consumers that stop pulling
+    // before exhaustion inside a Spark task. Registered through the
+    // per-task registry, NOT a per-shard listener: a task that walks
+    // thousands of shards (coalesced repack) would otherwise pin every
+    // exhausted TarFile (entry-metadata list included) in the
+    // TaskContext listener chain until task end.
+    TaskCloseRegistry.register(closer)
     new Iterator[(String, Array[Byte])] {
       override def hasNext: Boolean = {
         val h = base.hasNext
@@ -277,6 +283,48 @@ object TarIO {
         h
       }
       override def next(): (String, Array[Byte]) = base.next()
+    }
+  }
+
+  /** One TaskCompletionListener per task over a deregistering set:
+    * resources closed in-band (iterator exhaustion, reader close)
+    * drop out immediately and stay GC-able; whatever is still open at
+    * task end gets closed by the single listener. Outside a task this
+    * is a no-op (the openSamples closer owns the channel there). */
+  private[wds] object TaskCloseRegistry {
+    private val perTask = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, java.util.Set[AutoCloseable]]()
+    def register(c: AutoCloseable): Unit = {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) {
+        val id = java.lang.Long.valueOf(tc.taskAttemptId())
+        val set = perTask.computeIfAbsent(id, _ => {
+          tc.addTaskCompletionListener[Unit] { _ =>
+            val s = perTask.remove(id)
+            if (s != null) s.forEach { c2 =>
+              try c2.close() catch { case _: Exception => () }
+            }
+          }
+          java.util.concurrent.ConcurrentHashMap.newKeySet[AutoCloseable]()
+        })
+        set.add(c): Unit
+      }
+    }
+    def deregister(c: AutoCloseable): Unit = {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) {
+        val s = perTask.get(java.lang.Long.valueOf(tc.taskAttemptId()))
+        if (s != null) s.remove(c): Unit
+      }
+    }
+    /** open-resource count for the current task (tests). */
+    private[wds] def openCount: Int = {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc == null) 0
+      else {
+        val s = perTask.get(java.lang.Long.valueOf(tc.taskAttemptId()))
+        if (s == null) 0 else s.size()
+      }
     }
   }
 

@@ -44,20 +44,36 @@ class BenchSpec extends AnyFunSuite {
     assert(judge(gateExhausted = true))
   }
 
-  test("a dirty capture never evicts a clean official line") {
-    val clean = """{"metric":"total","value":75.3,"load_warning":false}"""
-    val dirty = """{"metric":"total","value":104.1,"load_warning":true}"""
+  test("only an eligible capture evicts the official line: dirty, " +
+      "partial, and different-sf runs park in history") {
+    val sf = "/root/testdata/sf0.1"
+    val clean =
+      s"""{"metric":"total","value":75.3,"load_warning":false,"sf":"$sf"}"""
+    val dirty =
+      s"""{"metric":"total","value":104.1,"load_warning":true,"sf":"$sf"}"""
+    def may(existing: Option[String], newDirty: Boolean = false,
+        newPartial: Boolean = false, newSf: String = sf): Boolean =
+      Bench.mayOverwriteOfficial(existing, newDirty, newPartial, newSf)
     // dirty new vs clean official: parked, not overwritten
-    assert(!Bench.mayOverwriteOfficial(Some(clean), newDirty = true))
-    // clean new always lands
-    assert(Bench.mayOverwriteOfficial(Some(clean), newDirty = false))
-    assert(Bench.mayOverwriteOfficial(Some(dirty), newDirty = false))
+    assert(!may(Some(clean), newDirty = true))
+    // a clean full same-sf capture always lands
+    assert(may(Some(clean)))
+    assert(may(Some(dirty)))
     // dirty-over-dirty keeps the artifact current; dirty-over-nothing
     // beats no artifact at all
-    assert(Bench.mayOverwriteOfficial(Some(dirty), newDirty = true))
-    assert(Bench.mayOverwriteOfficial(None, newDirty = true))
+    assert(may(Some(dirty), newDirty = true))
+    assert(may(None, newDirty = true))
     // unparseable official line: treat as replaceable
-    assert(Bench.mayOverwriteOfficial(Some("not json"), newDirty = true))
+    assert(may(Some("not json"), newDirty = true))
+    // a BENCH_ONLY smoke subset NEVER becomes the official line — even
+    // clean, even over nothing
+    assert(!may(Some(clean), newPartial = true))
+    assert(!may(None, newPartial = true))
+    // a clean full capture at a DIFFERENT sf (the sf1 ring) parks too —
+    // unless the existing line is dirty or absent
+    assert(!may(Some(clean), newSf = "/tmp/sf1"))
+    assert(may(Some(dirty), newSf = "/tmp/sf1"))
+    assert(may(None, newSf = "/tmp/sf1"))
   }
 
   test("regression-twice: exonerated reruns and never-rerun rows stay " +

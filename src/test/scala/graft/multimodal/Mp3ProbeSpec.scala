@@ -75,10 +75,15 @@ class Mp3ProbeSpec extends AnyFunSuite {
       java.util.Arrays.copyOfRange(full, 0, full.length - 500))
     assert(trunc.xingTag == "Info" && trunc.declaredFrames == 12)
     assert(trunc.nFrames < 12 && !trunc.declaredConsistent)
-    // declared-frames mismatch knob (the mm33 fixture shape)
+    // the LAME convention: declared frames EXCLUDE the tag frame
+    // itself — an intact file declaring n-1 must pass
+    val lame = Mp3Probe.probe(Mp3Probe.encodeHeaders(12, _ => 9,
+      xingTag = "Xing", declaredFrames = 11))
+    assert(lame.declaredFrames == 11 && lame.declaredConsistent)
+    // declared-frames LIE outside both spellings (the mm33 fixture)
     val lie = Mp3Probe.probe(Mp3Probe.encodeHeaders(12, _ => 9,
-      xingTag = "Info", declaredFrames = 11))
-    assert(lie.declaredFrames == 11 && !lie.declaredConsistent)
+      xingTag = "Info", declaredFrames = 10))
+    assert(lie.declaredFrames == 10 && !lie.declaredConsistent)
     // no tag: absent fields, vacuously consistent
     val plain = Mp3Probe.probe(Mp3Probe.encodeHeaders(4, _ => 9))
     assert(plain.xingTag == "" && plain.declaredFrames == -1 &&

@@ -130,6 +130,15 @@ class PickleSpec extends AnyFunSuite {
     assert(norm(Pickle.decode(hex(ScalarsP1))) == norm(want), "proto 1")
   }
 
+  test("protocol-0 non-finite floats: CPython's inf/-inf/nan spellings") {
+    // pickle.dumps((float('inf'), float('-inf'), float('nan')), 0)
+    val h = "2846696e660a462d696e660a466e616e0a7470300a2e"
+    val t = Pickle.decode(hex(h)).asInstanceOf[Pickle.Tup].items
+    assert(t(0) == Double.PositiveInfinity)
+    assert(t(1) == Double.NegativeInfinity)
+    assert(t(2).asInstanceOf[Double].isNaN)
+  }
+
   test("py2 STRING opcode (S) lands as raw bytes after escape_decode") {
     // hand-built per pickletools: S'ab\n\x01\\'  + PUT + STOP
     val bytes = "S'ab\\n\\x01\\\\'\np0\n.".getBytes("ISO-8859-1")

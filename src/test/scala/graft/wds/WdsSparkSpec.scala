@@ -202,4 +202,35 @@ class WdsSparkSpec extends SparkSpec {
       Sample("b", "u", Map.empty)))
     assert(ds.validSamples.collect().map(_.key).toSeq == Seq("a"))
   }
+
+  test("seekable close registry: exhausted readers deregister (stay " +
+      "GC-able); only the early-stopped one waits for task end") {
+    // a task that walks many shards must not accumulate one completion
+    // listener (pinning the TarFile) per EXHAUSTED reader
+    val dir = Files.createTempDirectory("wds_reg").toString
+    (0 until 3).foreach { i =>
+      val out = new java.io.FileOutputStream(s"$dir/t$i.tar")
+      val w = new TarIO.TarWriter(out)
+      (0 until 3).foreach(j =>
+        w.write(Sample(f"$j%03d", "", Map("txt" -> bytes(s"v$i$j")))): Unit)
+      w.close()
+    }
+    val counts = spark.sparkContext.parallelize(Seq(0), 1)
+      .mapPartitions { _ =>
+        val sizes = Seq.newBuilder[Int]
+        (0 until 3).foreach { i =>
+          val ch = java.nio.channels.FileChannel.open(
+            java.nio.file.Paths.get(s"$dir/t$i.tar"))
+          val it = TarIO.entriesSeekable(ch, s"t$i",
+            TarIO.ReadOptions(selectFiles = Some(_ => true)))
+          if (i < 2) while (it.hasNext) it.next() // exhaust → deregister
+          else { assert(it.hasNext); it.next(): Unit } // leave open
+          sizes += TarIO.TaskCloseRegistry.openCount
+        }
+        Iterator.single(sizes.result())
+      }.collect().head
+    // after each exhausted reader the registry is empty again; the
+    // early-stopped third stays registered for the task-end listener
+    assert(counts == Seq(0, 0, 1), counts.toString)
+  }
 }

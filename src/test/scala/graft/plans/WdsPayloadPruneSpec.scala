@@ -214,6 +214,31 @@ class WdsPayloadPruneSpec extends SparkSpec {
       .contains("txt")) == 5)
   }
 
+  test("pre-pushdown wiring (injectOptimizerRule shape): the " +
+      "DataSourceV2Relation's read options are rewritten") {
+    // register() rides extraOptimizations (post-pushdown,
+    // DataSourceV2ScanRelation); a cluster session built with
+    // spark.sql.extensions=graft.GraftExtensions hits the rule in the
+    // operator batch, where the plan still holds DataSourceV2Relation —
+    // pin that branch directly on the analyzed (un-optimized) plan
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val analyzed = spark.read.format("wds").load(tar)
+      .select(element_at(col("entries"), "txt").as("t"))
+      .queryExecution.analyzed
+    assert(analyzed.collectFirst {
+      case r: DataSourceV2Relation => r }.nonEmpty, analyzed.toString)
+    val rewritten = WdsPayloadPrune(analyzed)
+    val rel = rewritten.collectFirst {
+      case r: DataSourceV2Relation => r }.get
+    assert(rel.options.get("payload_select") == "*.txt", rel.options)
+    // negative: entries at the root blocks the pre-pushdown branch too
+    val bare = spark.read.format("wds").load(tar)
+      .select(col("entries")).queryExecution.analyzed
+    val relBare = WdsPayloadPrune(bare).collectFirst {
+      case r: DataSourceV2Relation => r }.get
+    assert(relBare.options.get("payload_select") == null)
+  }
+
   test("interleave fixture: dotted keys prune with *-K + *.K globs, " +
       "values exact") {
     val dir = java.nio.file.Files.createTempDirectory("wppi").toString

@@ -1109,6 +1109,98 @@ object DedupQueries extends QueryRegistry {
        |GROUP BY s.doc_id ORDER BY new_id""".stripMargin
   }
 
+  /** qd28: BLOOM-PREFILTERED exact incremental dedup — the other half
+    * of the daily-ingest story (qd15 is the NEAR-dup half). The corpus
+    * ("lake", even doc_ids — standing in for an already-deduped 100 TB
+    * store) is matched against the increment ("batch", odd doc_ids) on
+    * an exact prefix fingerprint (md5 of the first 5 lowercased words —
+    * the boilerplate/lead fingerprint an ingest gate dedups on).
+    *
+    * The scale pattern is the point: a Bloom filter is built over the
+    * BATCH fingerprints (the small side — |daily batch| keys at 3% fpp
+    * is ~7.5 bits/key: 10 M docs ≈ 9 MB) and broadcast to the lake
+    * scan, so the join SHUFFLE moves only lake rows that might match —
+    * expected |matches| + fpp·|lake| rows instead of all of the lake.
+    * At 100 TB the shuffle, not the scan, is the bottleneck a runtime
+    * filter removes; this is the explicit, deterministic spelling of
+    * what Spark's InjectRuntimeFilter does for eligible joins. Bloom
+    * false positives only ADMIT extra rows into the exact equi-join
+    * that follows, so the RESULT is exactly the oracle's join — the
+    * bloom is invisible to correctness (BloomIncrementalSpec pins
+    * both the pruning and the invisibility).
+    *
+    * Within-batch earlier-arrival dups (id order = arrival order, the
+    * qd15 contract) are found with a window over the fingerprint —
+    * one shuffle of the batch, never a self-join. */
+  private def bloomIncremental(s: SparkSession, dir: String): DataFrame =
+    bloomIncrementalFrom(Tables(s, dir).documents,
+      isNew = col("doc_id") % 2 === 1)
+      .orderBy(col("new_id"))
+
+  /** md5 prefix fingerprint: first `n` words of the lowercased text. */
+  private def prefixFingerprint(text: Column, n: Int): Column =
+    md5(to_binary(concat_ws(" ", slice(split(lower(text), " "), 1, n)),
+      lit("utf-8")))
+
+  /** qd28 core over any (doc_id, text) frame — shared with the spec,
+    * which also calls it with the bloom stage instrumented. */
+  private[queries] def bloomIncrementalFrom(
+      docs: DataFrame, isNew: Column,
+      onLakeSurvivors: DataFrame => DataFrame = identity): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs.select($"doc_id", isNew.as("__is_new"),
+      prefixFingerprint($"text", 5).as("ch"))
+    val batch = hashed.filter($"__is_new")
+      .select($"doc_id".as("new_id"), $"ch")
+    // bloom over the BATCH side (small): two passes over the increment
+    // (count + bloom aggregate) are noise next to the lake scan they
+    // prune; `stat.bloomFilter` aggregates distributed, collects bits
+    val nBatch = batch.count()
+    // an empty increment: nothing to dedup (and stat.bloomFilter NPEs
+    // on an empty frame — its aggregate yields a null buffer)
+    if (nBatch == 0)
+      return batch.select($"new_id", lit(0).as("is_dup"),
+        lit(-1L).as("match_id"))
+    val bloom = batch.stat.bloomFilter("ch", math.max(nBatch, 1000L), 0.03)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val lakeSurvivors = onLakeSurvivors(
+      hashed.filter(!$"__is_new").filter(mightContain($"ch")))
+    // exact equi-join on survivors removes bloom false positives
+    val lakeMatch = batch.join(lakeSurvivors, "ch")
+      .groupBy($"new_id").agg(min($"doc_id").as("lake_id"))
+    // within-batch earlier arrivals: window, not a self-join
+    val earlier = Window.partitionBy($"ch").orderBy($"new_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    batch
+      .withColumn("earlier_id", min($"new_id").over(earlier))
+      .join(lakeMatch, Seq("new_id"), "left")
+      .select($"new_id",
+        when($"lake_id".isNotNull || $"earlier_id".isNotNull, 1)
+          .otherwise(0).as("is_dup"),
+        coalesce(least($"lake_id", $"earlier_id"), lit(-1L))
+          .as("match_id"))
+  }
+
+  private val bloomIncrementalSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(
+      |      list_slice(string_split(lower(text), ' '), 1, 5), ' ')) AS ch
+      |  FROM documents),
+      |b AS (SELECT doc_id AS new_id, ch FROM h WHERE doc_id % 2 = 1),
+      |m AS (
+      |  SELECT b.new_id, min(o.doc_id) AS match_id
+      |  FROM b LEFT JOIN h o
+      |    ON o.ch = b.ch AND (o.doc_id % 2 = 0 OR o.doc_id < b.new_id)
+      |  GROUP BY b.new_id)
+      |SELECT new_id,
+      |  (CASE WHEN match_id IS NULL THEN 0 ELSE 1 END)::INT AS is_dup,
+      |  coalesce(match_id, -1)::BIGINT AS match_id
+      |FROM m ORDER BY new_id""".stripMargin
+
   /** qd16: SPLIT HYGIENE — assign every doc a deterministic
     * train/val/test split (md5 bucket: 90/5/5, the qc01 coin — never a
     * seeded RNG) and audit near-dup LEAKAGE across splits: an LSH
@@ -1890,6 +1982,8 @@ object DedupQueries extends QueryRegistry {
       Some(embedDupAutoSql), bench = true),
     "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
       Some(incrementalDedupSql), bench = true),
+    "qd28_bloom_incremental" -> QueryDef(bloomIncremental,
+      Some(bloomIncrementalSql), bench = true),
     "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql),
       bench = true),
   )

@@ -2102,7 +2102,82 @@ object MediaQueries extends QueryRegistry {
       |  round((n * 1152.0 / max(sr)) * 1000)::INT AS dur_ms
       |FROM fl GROUP BY d, n ORDER BY media_id""".stripMargin
 
+  /** mm34: AAC ADTS frame-WALK audit — the aac half of the
+    * compressed-audio audit seam (mm33 is the mp3 half). Syncword walk
+    * with byte-wise resync (junk bytes + resync events COUNTED),
+    * ISO 13818-7 header fields, raw-data-block accounting (1024 PCM
+    * samples per block → duration), and truncation detection (a final
+    * header whose declared length overruns EOF). Per-doc fixtures plant
+    * a syncword corruption (doc_id%7=0 — the walker must resync and
+    * account every junk byte) and a truncated final frame (doc_id%11=0).
+    * Full AAC DECODE stays the typed seam (Huffman codebooks, SCALE.md
+    * adjudication); ADTS CRC content is counted-not-validated because
+    * the spec computes it over raw-data-block bits (see [[AacProbe]]). */
+  private def aacAdtsWalk(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val n = (16 + id % 16).toInt
+      val bytes = graft.multimodal.AacProbe.encodeAdts(
+        n, i => 100 + ((id + i) % 64).toInt,
+        srIdx = (3 + id % 3).toInt, channels = (1 + id % 2).toInt,
+        profile = (id % 3).toInt, withCrc = id % 2 == 0,
+        rawBlocks = if (id % 2 == 0) 0 else (id % 3).toInt,
+        breakSyncAt = if (id % 7 == 0) (id % (n - 1)).toInt else -1,
+        truncateTail = if (id % 11 == 0) 3 else 0)
+      val m = graft.multimodal.AacProbe.probe(bytes)
+      (m.nFrames, m.protectedFrames, m.sampleRate, m.channels,
+        m.profile, m.rawBlocks, m.junkBytes, m.resyncs,
+        m.truncatedBytes, m.configChanges,
+        math.round(m.durationSec * 1000).toInt)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("n_frames"),
+        col("st._2").as("protected_frames"), col("st._3").as("sample_rate"),
+        col("st._4").as("channels"), col("st._5").as("profile"),
+        col("st._6").as("raw_blocks"), col("st._7").as("junk_bytes"),
+        col("st._8").as("resyncs"), col("st._9").as("truncated_bytes"),
+        col("st._10").as("config_changes"), col("st._11").as("dur_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  /** replays the walk closed-form: the corrupt frame contributes its
+    * whole length as junk (payload bytes are mod-255 so no false sync),
+    * the truncated final frame contributes length-3 tail bytes, and
+    * duration is walked-frames × (raw_blocks_field+1) × 1024 / rate */
+  private val aacAdtsWalkSql =
+    """WITH g AS (
+      |  SELECT doc_id AS d,
+      |    (16 + doc_id % 16)::INT AS n,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 7 END)::INT AS hdr,
+      |    [48000, 44100, 32000][(doc_id % 3)::INT + 1] AS sr,
+      |    (1 + doc_id % 2)::INT AS channels,
+      |    (doc_id % 3)::INT AS profile,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 0
+      |          ELSE doc_id % 3 END)::INT AS rb
+      |  FROM documents),
+      |c AS (
+      |  SELECT *,
+      |    (n - (CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)
+      |       - (CASE WHEN d % 11 = 0 THEN 1 ELSE 0 END))::INT AS nf
+      |  FROM g)
+      |SELECT d AS media_id, nf AS n_frames,
+      |  (CASE WHEN d % 2 = 0 THEN nf ELSE 0 END)::INT
+      |    AS protected_frames,
+      |  sr::INT AS sample_rate, channels, profile,
+      |  (nf * (rb + 1))::BIGINT AS raw_blocks,
+      |  (CASE WHEN d % 7 = 0
+      |     THEN hdr + 100 + (d + d % (n - 1)) % 64
+      |     ELSE 0 END)::INT AS junk_bytes,
+      |  (CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)::INT AS resyncs,
+      |  (CASE WHEN d % 11 = 0
+      |     THEN hdr + 100 + (d + n - 1) % 64 - 3
+      |     ELSE 0 END)::INT AS truncated_bytes,
+      |  0::INT AS config_changes,
+      |  round(nf * (rb + 1) * 1024 * 1000.0 / sr)::INT AS dur_ms
+      |FROM c ORDER BY media_id""".stripMargin
+
   override val defs: Map[String, QueryDef] = Map(
+    "mm34_aac_adts_walk" -> QueryDef(aacAdtsWalk, Some(aacAdtsWalkSql)),
     "mm33_mp3_frame_walk" -> QueryDef(mp3FrameWalk, Some(mp3FrameWalkSql)),
     "mm26_ogg_probe" -> QueryDef(oggProbe, Some(oggProbeSql)),
     "mm25_mp3_probe" -> QueryDef(mp3Probe, Some(mp3ProbeSql)),

@@ -1127,7 +1127,11 @@ object DedupQueries extends QueryRegistry {
     * false positives only ADMIT extra rows into the exact equi-join
     * that follows, so the RESULT is exactly the oracle's join — the
     * bloom is invisible to correctness (BloomIncrementalSpec pins
-    * both the pruning and the invisibility).
+    * both the pruning and the invisibility). Complementary to qd14,
+    * which builds an ORACLE-REPRODUCIBLE md5-bit filter and audits its
+    * false-positive rate as data; here the filter is the engine-native
+    * `stat.bloomFilter` sketch and only its JOIN-PRUNING effect is
+    * observable.
     *
     * Within-batch earlier-arrival dups (id order = arrival order, the
     * qd15 contract) are found with a window over the fingerprint —

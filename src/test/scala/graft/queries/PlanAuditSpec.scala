@@ -476,6 +476,40 @@ class PlanAuditSpec extends SparkSpec {
     }, "no slim ranking exchange found — the pool window ships vectors")
   }
 
+  test("qt18: the benchmark side broadcasts and no exchange carries " +
+    "text or raw grams") {
+    val p = planOf("qt18_decontaminate")
+    val bhj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        => j
+    }
+    assert(bhj.nonEmpty, "decontamination must broadcast the eval side")
+    shuffles(p).foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("ws"),
+        s"qt18 shuffles a document payload column: $names")
+    }
+  }
+
+  test("qd28: exchanges move fingerprints and ids only — text never " +
+    "crosses, and the lake side is filtered below its join") {
+    val p = planOf("qd28_bloom_incremental")
+    shuffles(p).foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("text"),
+        s"qd28 shuffles document text: $names")
+    }
+    // the bloom prefilter must sit between the lake scan and the
+    // exact join: some filter above a scan evaluates the
+    // might-contain UDF
+    val hasBloomFilter = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("UDF") => f
+    }
+    assert(hasBloomFilter.nonEmpty,
+      "no bloom-UDF filter found on the lake branch")
+  }
+
   test("wds DSv2 select pushdown: pinned in the scan's explain AND " +
     "bytes-read drops on fat ignored entries") {
     // SURVEY §4.1's one custom pushdown: the tokenize-style narrow

@@ -1017,65 +1017,7 @@ object TextQueries extends QueryRegistry {
        |  ((sum_ppm // n_tokens) >= 500000)::INT AS kept
        |FROM per ORDER BY doc_id""".stripMargin
 
-  /** qt18: BENCHMARK DECONTAMINATION — the n-gram overlap gate every
-    * serious training corpus runs before release (the GPT-3 appendix-C
-    * pattern: drop training docs sharing a 13-gram with an eval set;
-    * 5-grams here because the fixtures' docs average ~54 words). Docs
-    * with doc_id % 97 = 0 stand in for the benchmark suite; every other
-    * doc is audited for distinct shared 5-grams and distinct benchmark
-    * docs hit. Output = contaminated docs only.
-    *
-    * Scale shape: the benchmark side is TINY by construction (an eval
-    * suite is ~10⁵ items → a few M distinct n-grams → a ~100 MB
-    * 16-hex-hashed broadcast), so the corpus side never shuffles text —
-    * grams are hashed in-scan, the broadcast hash-join keeps only
-    * matches, and the per-doc aggregate shuffles (doc_id, gram, bench)
-    * triples for contaminated docs only. At 100 TB this is scan-speed
-    * decontamination. */
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir).documents
-    val ws = words($"text")
-    val grams = docs.select($"doc_id",
-      explode(when(size(ws) >= 5,
-        transform(sequence(lit(1), size(ws) - 4), i =>
-          substring(md5(to_binary(concat_ws(" ",
-            element_at(ws, i), element_at(ws, i + 1),
-            element_at(ws, i + 2), element_at(ws, i + 3),
-            element_at(ws, i + 4)), lit("utf-8"))), 1, 16)))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    val bench = grams.filter($"doc_id" % 97 === 0)
-      .select($"doc_id".as("bench_id"), $"g").distinct()
-    grams.filter($"doc_id" % 97 =!= 0).distinct()
-      .join(broadcast(bench), "g")
-      .groupBy($"doc_id")
-      .agg(countDistinct($"g").as("n_grams"),
-        countDistinct($"bench_id").as("n_bench"))
-      .orderBy($"doc_id")
-  }
-
-  private val decontaminateSql =
-    """WITH d AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS ws
-      |  FROM documents),
-      |g AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(generate_series(1, len(ws) - 4),
-      |      i -> substr(md5(array_to_string(list_slice(ws, i, i + 4),
-      |        ' ')), 1, 16))) AS g
-      |  FROM d WHERE len(ws) >= 5),
-      |bench AS (
-      |  SELECT DISTINCT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0)
-      |SELECT g.doc_id,
-      |  count(DISTINCT g.g)::BIGINT AS n_grams,
-      |  count(DISTINCT bench_id)::BIGINT AS n_bench
-      |FROM g JOIN bench USING (g)
-      |WHERE g.doc_id % 97 != 0
-      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
-
   override val defs: Map[String, QueryDef] = Map(
-    "qt18_decontaminate" -> QueryDef(decontaminate,
-      Some(decontaminateSql), bench = true),
     "qt17_quality_model" -> QueryDef(qualityModel, Some(qualityModelSql)),
     "qt15_pmi_collocations" -> QueryDef(pmiCollocations,
       Some(pmiCollocationsSql)),

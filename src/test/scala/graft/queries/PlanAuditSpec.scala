@@ -476,9 +476,9 @@ class PlanAuditSpec extends SparkSpec {
     }, "no slim ranking exchange found — the pool window ships vectors")
   }
 
-  test("qt18: the benchmark side broadcasts and no exchange carries " +
-    "text or raw grams") {
-    val p = planOf("qt18_decontaminate")
+  test("qd11: the eval side broadcasts and no exchange carries text " +
+    "or raw grams") {
+    val p = planOf("qd11_decontam")
     val bhj = p.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
         => j
@@ -487,7 +487,7 @@ class PlanAuditSpec extends SparkSpec {
     shuffles(p).foreach { e =>
       val names = e.child.output.map(_.name)
       assert(!names.contains("text") && !names.contains("ws"),
-        s"qt18 shuffles a document payload column: $names")
+        s"qd11 shuffles a document payload column: $names")
     }
   }
 

@@ -1141,14 +1141,16 @@ object DedupQueries extends QueryRegistry {
       isNew = col("doc_id") % 2 === 1)
       .orderBy(col("new_id"))
 
-  /** md5 prefix fingerprint: first `n` words of the lowercased text. */
-  private def prefixFingerprint(text: Column, n: Int): Column =
+  /** md5 prefix fingerprint: first `n` words of the lowercased text.
+    * `private[graft]` so BloomProbe derives its unpruned baseline from
+    * the same key. */
+  private[graft] def prefixFingerprint(text: Column, n: Int): Column =
     md5(to_binary(concat_ws(" ", slice(split(lower(text), " "), 1, n)),
       lit("utf-8")))
 
   /** qd28 core over any (doc_id, text) frame — shared with the spec,
     * which also calls it with the bloom stage instrumented. */
-  private[queries] def bloomIncrementalFrom(
+  private[graft] def bloomIncrementalFrom(
       docs: DataFrame, isNew: Column,
       onLakeSurvivors: DataFrame => DataFrame = identity): DataFrame = {
     val s = docs.sparkSession

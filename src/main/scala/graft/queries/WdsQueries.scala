@@ -1247,6 +1247,87 @@ object WdsQueries extends QueryRegistry {
       |  true AS ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** wds33: SAFETENSORS shard round-trip — the pure-structure
+    * checkpoint/tensor format that replaces the adjudicated-out object
+    * pickle `.pth` (see [[graft.wds.Safetensors]] scaladoc; the
+    * reference reaches tensors through numpy/torch,
+    * `autodecode.py:130-166`). Per doc, one `.safetensors` entry with
+    * three tensors — `emb` (F32 of the wds26 closed-form values, exact
+    * in f32), `half` (F16 of small ints, exact in f16) and `ids`
+    * (I64) — plus a `__metadata__` doc stamp, encoded through the
+    * codec registry, packed into tar shards by the DSv2 writer, read
+    * back through `format("wds")`, decoded, and re-derived: the output
+    * row is all closed-form in doc_id so the oracle value-gates the
+    * whole wire (u64 header length, JSON offsets table, tile
+    * validation, f16 bit conversion). Scale shape identical to wds26:
+    * codec work is task-local on the doc-partitioned spine, only tar
+    * bytes hit storage, only the per-doc row crosses an exchange. */
+  private def safetensorsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.{Codecs, Safetensors, Sample}
+    val out = scratchDir("graft_st")
+    val samples = Tables(s, dir).documents.select(col("doc_id"))
+      .repartition(4, col("doc_id"))
+      .as[Long]
+      .map { d =>
+        val n = (3 + d % 5).toInt
+        val vals = Array.tabulate(n)(j => (d * 31 + j * 7) % 1000 - 250)
+        val halves = Array.tabulate(n)(j => ((d + j) % 256 - 128).toFloat)
+        val tensors = Seq(
+          "emb" -> Safetensors.fromFloats(vals.map(_.toFloat), Vector(n)),
+          "half" -> Safetensors.fromHalves(halves, Vector(n)),
+          "ids" -> Safetensors.fromLongs(vals, Vector(n)))
+        // direct encode (not Codecs.encode) to carry __metadata__;
+        // the read side still goes through the registry dispatch
+        Sample(f"$d%09d", "", Map(
+          "t.safetensors" ->
+            Safetensors.encode(tensors, Map("doc" -> d.toString))))
+      }
+    graft.wds.WdsWriter.write(samples, out,
+      graft.wds.WdsWriter.WriterOptions(maxCount = 200)).collect()
+    val urls = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".tar"))
+        .sorted.toSeq
+    }
+    s.read.format("wds").load(urls: _*)
+      .select(col("key"), col("entries"))
+      .as[(String, Map[String, Array[Byte]])]
+      .map { case (k, es) =>
+        val st = Codecs.decode("safetensors", es("t.safetensors")) match {
+          case Codecs.Decoded.SafeT(v) => v
+          case other => throw new IllegalStateException(s"st: $other")
+        }
+        val d = k.toLong
+        val ids = st.toLongs("ids")
+        // f32 and f16 carry exact integers at these magnitudes, so the
+        // double sums are exact and order-free — hashable closed-form
+        val embSum = st.toDoubles("emb").sum
+        val halfSum = st.toDoubles("half").sum
+        val ok = st.metadata == Map("doc" -> d.toString) &&
+          st.names == Vector("emb", "half", "ids") &&
+          st.toDoubles("emb").map(_.toLong).sameElements(ids)
+        (d, ids.length.toLong, ids.sum, embSum, halfSum, ok)
+      }
+      .toDF("doc_id", "n_elems", "ids_sum", "emb_sum", "half_sum", "st_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  private val safetensorsRoundtripSql =
+    """WITH n AS (
+      |  SELECT doc_id, (3 + doc_id % 5)::BIGINT AS n FROM documents),
+      |v AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, n::INT - 1)) AS j
+      |  FROM n)
+      |SELECT doc_id, n AS n_elems,
+      |  sum((doc_id*31 + j*7) % 1000 - 250)::BIGINT AS ids_sum,
+      |  sum((doc_id*31 + j*7) % 1000 - 250)::DOUBLE AS emb_sum,
+      |  sum((doc_id + j) % 256 - 128)::DOUBLE AS half_sum,
+      |  true AS st_ok
+      |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   /** wds28: the tuple/dict projection vocabulary (P5 `to_tuple` with
     * `;` alternatives, P6 `to_dict` suffix filtering) driven through
     * REAL shards end-to-end — synthetic per-doc entries with
@@ -2224,6 +2305,8 @@ object WdsQueries extends QueryRegistry {
     "wds32_pickle_roundtrip" -> QueryDef(pickleRoundtrip,
       Some(pickleRoundtripSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
+    "wds33_safetensors" -> QueryDef(safetensorsRoundtrip,
+      Some(safetensorsRoundtripSql)),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),

@@ -56,6 +56,7 @@ object Codecs {
     /** structured msgpack/cbor value (the [[Cbor]]/[[Msgpack]] JVM
       * value model: Long/String/bytes/Vector/order-preserving map) */
     final case class Packed(value: Any) extends Decoded
+    final case class SafeT(value: Safetensors.SafeTensors) extends Decoded
     final case class Raw(value: Array[Byte]) extends Decoded
   }
   import Decoded._
@@ -336,6 +337,9 @@ object Codecs {
     // plain-data pickles (`autodecode.py:156-157`); object pickles
     // raise the typed pth-adjudication error inside Pickle.decode
     else if (pickleExts(last)) Packed(Pickle.decode(bytes))
+    // the pure-structure checkpoint/tensor format that replaces the
+    // adjudicated-out object-pickle `.pth` (see Safetensors scaladoc)
+    else if (last == "safetensors") SafeT(Safetensors.decode(bytes))
     else Raw(bytes)
   }
 
@@ -365,6 +369,12 @@ object Codecs {
         }.sortBy(_._1))
       case v if msgpackExts(last) => Msgpack.encode(v)
       case v if last == "cbor" => Cbor.encode(v)
+      case entries: Seq[_] if last == "safetensors" =>
+        Safetensors.encode(entries.map {
+          case (name: String, t: Safetensors.Tensor) => (name, t)
+          case other => throw new IllegalArgumentException(
+            s"safetensors entry must be (String, Tensor), got $other")
+        })
       case s: String => s.getBytes(UTF_8)
       case i: Int => i.toString.getBytes(UTF_8)
       case l: Long => l.toString.getBytes(UTF_8)

@@ -1171,7 +1171,10 @@ object DedupQueries extends QueryRegistry {
         lit(-1L).as("match_id"))
     val bloom = batch.stat.bloomFilter("ch", math.max(nBatch, 1000L), 0.03)
     val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    // null fingerprints (null text) can never equi-join; dropping them
+    // here is semantically identical and keeps the sketch null-safe
+    val mightContain =
+      udf((h: String) => h != null && bc.value.mightContainString(h))
     val lakeSurvivors = onLakeSurvivors(
       hashed.filter(!$"__is_new").filter(mightContain($"ch")))
     // exact equi-join on survivors removes bloom false positives

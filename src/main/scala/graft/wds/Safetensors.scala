@@ -308,7 +308,10 @@ object Safetensors {
       JsonMethods.render(JObject(fields.result()))).getBytes(UTF_8)
     // canonical writers space-pad the header to 8-byte alignment
     val pad = (8 - (json.length % 8)) % 8
-    val out = ByteBuffer.allocate(8 + json.length + pad + cursor.toInt)
+    val total = 8L + json.length + pad + cursor
+    if (total > Int.MaxValue) // Array[Byte] ceiling — typed, not a wrap
+      fail(s"encoded size $total exceeds the 2 GiB single-file ceiling")
+    val out = ByteBuffer.allocate(total.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.putLong(json.length.toLong + pad)
     out.put(json)

@@ -178,6 +178,40 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(zero.info("z").shape == Vector(0, 3) && zero.data("z").isEmpty)
   }
 
+  test("seeded fuzz: bit flips and truncations raise typed errors, " +
+      "never crash or mis-decode silently") {
+    val base = Safetensors.encode(Seq(
+      "a" -> Safetensors.Tensor("I32", Vector(4), le32s(1, 2, 3, 4)),
+      "b" -> Safetensors.Tensor("U8", Vector(3), Array[Byte](9, 8, 7))),
+      metadata = Map("k" -> "v"))
+    val want = Safetensors.decode(base)
+    val rnd = new scala.util.Random(17)
+    var i = 0
+    while (i < 500) {
+      val m = base.clone()
+      val pos = rnd.nextInt(m.length)
+      m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val got = Safetensors.decode(m)
+        // decoded without error: the flip must be inside tensor data,
+        // a metadata char, or a tensor NAME/dtype-irrelevant json char
+        // that still parses — structure totals must still reconcile
+        assert(got.buffer.length == want.buffer.length ||
+          got.tensors.map(_._2.end).maxOption ==
+            Some(got.buffer.length.toLong))
+      } catch {
+        case _: IllegalArgumentException => () // the typed error
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          fail(s"json error escaped untyped: $e")
+      }
+      i += 1
+    }
+    for (cut <- Seq(0, 1, 7, 8, 9, base.length / 2, base.length - 1)) {
+      intercept[IllegalArgumentException](
+        Safetensors.decode(java.util.Arrays.copyOfRange(base, 0, cut)))
+    }
+  }
+
   test("codec registry dispatch: .safetensors decodes and encodes") {
     val enc = Codecs.encode("safetensors", Seq(
       "emb" -> Safetensors.Tensor("I64",

@@ -71,6 +71,24 @@ class AacProbeSpec extends AnyFunSuite {
     assert(m.sampleRate == 48000 && m.channels == 2, "first frame wins")
   }
 
+  test("ID3v2 tag is skipped via syncsafe length, not counted as junk") {
+    val clean = AacProbe.encodeAdts(4, _ => 100, srIdx = 3,
+      channels = 2, profile = 1, withCrc = false)
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0) ++
+      Array[Byte]((1000 >> 21).toByte, ((1000 >> 14) & 0x7f).toByte,
+        ((1000 >> 7) & 0x7f).toByte, (1000 & 0x7f).toByte) ++
+      new Array[Byte](1000)
+    val m = AacProbe.probe(tag ++ clean)
+    assert(m.nFrames == 4 && m.junkBytes == 0 && m.resyncs == 0)
+    // a tag whose PAYLOAD contains a fake sync must not confuse the walk
+    val evil = tag.clone()
+    evil(20) = 0xff.toByte
+    evil(21) = 0xf1.toByte
+    assert(AacProbe.probe(evil ++ clean).nFrames == 4)
+    // a tag length overrunning the file is safe (0 frames, no crash)
+    assert(AacProbe.probe(tag.take(40)).nFrames == 0)
+  }
+
   test("leading garbage resyncs once; empty and tiny inputs are safe") {
     val clean = AacProbe.encodeAdts(5, _ => 100, srIdx = 3,
       channels = 1, profile = 1, withCrc = true)

@@ -31,9 +31,15 @@ object SimilarityQueries extends QueryRegistry {
   /** Brute-force exact top-k for the first NumQueries vectors.
     * Rounded to 6 digits BEFORE ranking so float-tail differences can
     * never flip the rank order between engines; ties broken by vec_id. */
-  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame =
+    bruteTopKFrom(Tables(s, dir).embeddings)
+
+  /** qs01 core over any (vec_id, embedding) frame — shared with
+    * wds34's safetensors-shard integration row, which must reproduce
+    * this ranking bit-for-bit from tar-decoded vectors. */
+  private[graft] def bruteTopKFrom(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = Tables(s, dir).embeddings
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val c = e.select($"vec_id".as("c_id"), $"embedding".as("cv"))
@@ -45,7 +51,7 @@ object SimilarityQueries extends QueryRegistry {
       .orderBy($"q_id", $"rank")
   }
 
-  private val bruteTopKSql =
+  private[graft] val bruteTopKSql =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS qv FROM e WHERE vec_id < $NumQueries),
        |scored AS (

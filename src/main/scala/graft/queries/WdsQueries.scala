@@ -1328,6 +1328,65 @@ object WdsQueries extends QueryRegistry {
       |  true AS st_ok
       |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** wds34: SAFETENSORS EMBEDDING SHARDS → ANN — the codec in its
+    * intended 100 TB role. Embedding stores ship as blocked tensor
+    * files, not parquet rows; this row packs the `embeddings` table
+    * into 64-vector blocks (one sample per block: `ids` I64[n] +
+    * `emb` F32[n,d], the layout an embedding checkpoint uses), writes
+    * them through the DSv2 wds writer, reads the shards back, decodes
+    * block tensors task-locally, explodes to (vec_id, embedding) and
+    * runs qs01's EXACT brute-force top-k over the tar-decoded vectors.
+    * The oracle is qs01's own SQL over the parquet table — so the F32
+    * wire must be BIT-EXACT through encode → tar → read → decode, or
+    * a cosine flips a rank and the hash. Scale shape: block decode is
+    * a narrow per-sample map (no shuffle); downstream ANN identical to
+    * qs01 (queries broadcast, one ranking shuffle of (q_id, c_id,
+    * cos) triples). */
+  private def safetensorsAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.{Codecs, Safetensors, Sample}
+    val out = scratchDir("graft_stann")
+    val packed = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey(_._1 / 64)
+      .mapGroups { (block, it) =>
+        val vs = it.toArray.sortBy(_._1)
+        val n = vs.length
+        val d = vs(0)._2.length
+        Sample(f"$block%06d", "", Map(
+          "block.safetensors" -> Safetensors.encode(Seq(
+            "ids" -> Safetensors.fromLongs(vs.map(_._1), Vector(n)),
+            "emb" -> Safetensors.fromFloats(vs.flatMap(_._2), Vector(n, d))))))
+      }
+    graft.wds.WdsWriter.write(packed, out,
+      graft.wds.WdsWriter.WriterOptions(maxCount = 100)).collect()
+    val urls = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".tar"))
+        .sorted.toSeq
+    }
+    val decoded = s.read.format("wds").load(urls: _*)
+      .select(col("entries"))
+      .as[Map[String, Array[Byte]]]
+      .flatMap { es =>
+        val st = Codecs.decode("safetensors", es("block.safetensors")) match {
+          case Codecs.Decoded.SafeT(v) => v
+          case other => throw new IllegalStateException(s"st: $other")
+        }
+        val ids = st.toLongs("ids")
+        val Vector(n, d) = st.info("emb").shape
+        val fb = java.nio.ByteBuffer.wrap(st.data("emb"))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+        (0 until n).iterator.map { i =>
+          (ids(i), Array.tabulate(d)(j => fb.get(i * d + j)))
+        }
+      }
+      .toDF("vec_id", "embedding")
+    SimilarityQueries.bruteTopKFrom(decoded)
+  }
+
   /** wds28: the tuple/dict projection vocabulary (P5 `to_tuple` with
     * `;` alternatives, P6 `to_dict` suffix filtering) driven through
     * REAL shards end-to-end — synthetic per-doc entries with
@@ -2307,6 +2366,8 @@ object WdsQueries extends QueryRegistry {
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds33_safetensors" -> QueryDef(safetensorsRoundtrip,
       Some(safetensorsRoundtripSql)),
+    "wds34_safetensors_ann" -> QueryDef(safetensorsAnn,
+      Some(SimilarityQueries.bruteTopKSql)),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),

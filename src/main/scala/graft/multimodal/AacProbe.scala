@@ -33,6 +33,15 @@ package graft.multimodal
   * the honest audit; practical decoders (e.g. FAAD2) skip ADTS CRC
   * verification for the same reason.
   *
+  * Multi-raw-data-block PROTECTED frames (protection_absent = 0 AND
+  * number_of_raw_data_blocks > 0) additionally carry 16-bit
+  * raw_data_block_position markers between the header and the first
+  * CRC (adts_header_error_check). The WALK stays correct regardless —
+  * aac_frame_length spans the whole frame, so frame counting, duration
+  * and truncation detection never depend on the inner layout — and
+  * [[encodeAdts]] deliberately emits that combination never (CRC XOR
+  * multi-block), matching the walk's 9-byte fixed-header model.
+  *
   * The sampling-frequency table is the published ISO/IEC 14496-3
   * constant set (registry-values class — like CRC polynomials and
   * Matroska IDs, not derivation-blocked codebooks).

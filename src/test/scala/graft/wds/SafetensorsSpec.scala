@@ -41,6 +41,19 @@ class SafetensorsSpec extends AnyFunSuite {
       Seq(1L, -2L, 300000L, -40L))
   }
 
+  test("tensors listed out of offset order in the JSON still decode " +
+      "(buffer order wins, per the tile validation)") {
+    val header =
+      """{"b":{"dtype":"U8","shape":[2],"data_offsets":[4,6]},""" +
+        """"a":{"dtype":"I32","shape":[1],"data_offsets":[0,4]}}"""
+    val bytes = le64(header.length.toLong) ++ header.getBytes(UTF_8) ++
+      le32s(77) ++ Array[Byte](5, 6)
+    val st = Safetensors.decode(bytes)
+    assert(st.names == Vector("a", "b"), "sorted by buffer position")
+    assert(st.toLongs("a").toSeq == Seq(77L))
+    assert(st.toLongs("b").toSeq == Seq(5L, 6L))
+  }
+
   test("decode∘encode identity on every integer dtype + BOOL") {
     val cases = Seq(
       ("BOOL", Array[Byte](0, 1, 1, 0), Seq(0L, 1L, 1L, 0L)),

@@ -82,16 +82,9 @@ object AacProbe {
   }
 
   def probe(bytes: Array[Byte]): AdtsStats = {
-    var pos = 0
-    // leading ID3v2 tag (common on .aac files, same framing as mp3):
-    // "ID3", 2 version bytes, 1 flags, 4 syncsafe size bytes. Skipped,
-    // NOT counted as junk — a tag is metadata, not corruption.
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
-      bytes(2) == '3') {
-      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
-        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      pos = math.min(bytes.length.toLong, 10L + size).toInt
-    }
+    // leading ID3v2 tag (common on .aac files): skipped whole, footer
+    // included, NOT counted as junk — a tag is metadata, not corruption
+    var pos = Id3.skipLength(bytes)
     var n = 0
     var prot = 0
     var ver = 0

@@ -99,16 +99,9 @@ object Mp3Probe {
   }
 
   def probe(bytes: Array[Byte]): Mp3Meta = {
-    var pos = 0
-    var id3 = 0
-    // leading ID3v2 tag: "ID3", 2 version bytes, 1 flags, 4 syncsafe
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
-      bytes(2) == '3') {
-      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
-        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      id3 = 10 + size
-      pos = math.min(bytes.length, id3.toLong).toInt
-    }
+    // leading ID3v2 tag ([[Id3.skipLength]] — footer-flag aware)
+    val id3 = Id3.skipLength(bytes)
+    var pos = id3
     var n = 0
     var rate = 0
     var total = 0L

@@ -1142,11 +1142,16 @@ object DedupQueries extends QueryRegistry {
       .orderBy(col("new_id"))
 
   /** md5 prefix fingerprint: first `n` words of the lowercased text.
-    * `private[graft]` so BloomProbe derives its unpruned baseline from
-    * the same key. */
+    * NULL-PRESERVING: Spark's concat_ws would map a null text to ""
+    * (joinable md5 of the empty string) where SQL's array_to_string
+    * yields NULL (never joins) — the explicit null gate keeps both
+    * engines on SQL semantics: a null text has no fingerprint and can
+    * never be anyone's duplicate. `private[graft]` so BloomProbe
+    * derives its unpruned baseline from the same key. */
   private[graft] def prefixFingerprint(text: Column, n: Int): Column =
-    md5(to_binary(concat_ws(" ", slice(split(lower(text), " "), 1, n)),
-      lit("utf-8")))
+    when(text.isNotNull,
+      md5(to_binary(concat_ws(" ", slice(split(lower(text), " "), 1, n)),
+        lit("utf-8"))))
 
   /** qd28 core over any (doc_id, text) frame — shared with the spec,
     * which also calls it with the bloom stage instrumented. */
@@ -1171,8 +1176,9 @@ object DedupQueries extends QueryRegistry {
         lit(-1L).as("match_id"))
     val bloom = batch.stat.bloomFilter("ch", math.max(nBatch, 1000L), 0.03)
     val bc = s.sparkContext.broadcast(bloom)
-    // null fingerprints (null text) can never equi-join; dropping them
-    // here is semantically identical and keeps the sketch null-safe
+    // null fingerprints (null text, per prefixFingerprint's null gate)
+    // can never equi-join; dropping them here is semantically identical
+    // and keeps the sketch null-safe
     val mightContain =
       udf((h: String) => h != null && bc.value.mightContainString(h))
     val lakeSurvivors = onLakeSurvivors(
@@ -1180,11 +1186,17 @@ object DedupQueries extends QueryRegistry {
     // exact equi-join on survivors removes bloom false positives
     val lakeMatch = batch.join(lakeSurvivors, "ch")
       .groupBy($"new_id").agg(min($"doc_id").as("lake_id"))
-    // within-batch earlier arrivals: window, not a self-join
+    // within-batch earlier arrivals: window, not a self-join. Null
+    // fingerprints (null text) bypass the window entirely: SQL equality
+    // never matches NULL, and routing them around also keeps a
+    // null-heavy corpus from piling into one window partition
     val earlier = Window.partitionBy($"ch").orderBy($"new_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    batch
+    val withKey = batch.filter($"ch".isNotNull)
       .withColumn("earlier_id", min($"new_id").over(earlier))
+    val nullKey = batch.filter($"ch".isNull)
+      .withColumn("earlier_id", lit(null).cast("long"))
+    withKey.unionByName(nullKey)
       .join(lakeMatch, Seq("new_id"), "left")
       .select($"new_id",
         when($"lake_id".isNotNull || $"earlier_id".isNotNull, 1)

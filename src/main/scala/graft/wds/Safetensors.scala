@@ -245,7 +245,13 @@ object Safetensors {
         val itemSize = DtypeSizes.getOrElse(dtype,
           fail(s"$name: unknown dtype '$dtype'"))
         val shape = m.getOrElse("shape", fail(s"$name: missing shape")) match {
-          case JArray(ds) => ds.map(d => jint(d, "shape").toInt).toVector
+          case JArray(ds) => ds.map { d =>
+            val v = jint(d, "shape")
+            // a dim past the 2 GiB byte ceiling can never tile a JVM
+            // buffer — fail typed instead of truncating via toInt
+            if (v > Int.MaxValue) fail(s"$name: shape dim $v too large")
+            v.toInt
+          }.toVector
           case other => fail(s"$name.shape: $other")
         }
         val (begin, end) =
@@ -256,14 +262,28 @@ object Safetensors {
           }
         if (begin > end || end > bufLen)
           fail(s"$name: offsets [$begin,$end) outside the $bufLen-byte buffer")
-        val want = shape.foldLeft(1L)(_ * _) * itemSize
+        // overflow-safe element product: dims ≤ 2^31, so a pairwise
+        // product can reach 2^62 — cap the running product at the
+        // buffer ceiling before it can wrap
+        val want = shape.foldLeft(itemSize.toLong) { (acc, d) =>
+          val p = acc * d
+          if (d != 0 && (p / d != acc || p > Int.MaxValue.toLong * 8))
+            fail(s"$name: shape ${shape.mkString("[", ",", "]")} overflows")
+          p
+        }
         if (end - begin != want)
           fail(s"$name: ${end - begin} bytes for dtype $dtype shape " +
             s"${shape.mkString("[", ",", "]")} (want $want)")
         infos += name -> TensorInfo(dtype, shape, begin, end)
       case (name, other) => fail(s"$name is not an object: $other")
     }
-    val sorted = infos.result().sortBy(_._2.begin)
+    val built = infos.result()
+    // duplicate JSON keys deserialize ambiguously (the reference Rust
+    // loader's map keeps one and then fails tile validation) — reject
+    val dup = built.groupBy(_._1).collectFirst { case (n, vs)
+      if vs.size > 1 => n }
+    dup.foreach(n => fail(s"duplicate tensor name '$n'"))
+    val sorted = built.sortBy(_._2.begin)
     // the reference validation: tensors tile the buffer exactly
     var cursor = 0L
     sorted.foreach { case (name, i) =>
@@ -283,6 +303,9 @@ object Safetensors {
 
   def encode(tensors: Seq[(String, Tensor)],
       metadata: Map[String, String] = Map.empty): Array[Byte] = {
+    val dupName = tensors.groupBy(_._1).collectFirst { case (n, vs)
+      if vs.size > 1 => n }
+    dupName.foreach(n => fail(s"duplicate tensor name '$n'"))
     var cursor = 0L
     val fields = List.newBuilder[(String, JValue)]
     if (metadata.nonEmpty)

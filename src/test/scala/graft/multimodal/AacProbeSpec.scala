@@ -87,6 +87,12 @@ class AacProbeSpec extends AnyFunSuite {
     assert(AacProbe.probe(evil ++ clean).nFrames == 4)
     // a tag length overrunning the file is safe (0 frames, no crash)
     assert(AacProbe.probe(tag.take(40)).nFrames == 0)
+    // ID3v2.4 footer flag (0x10): ten MORE bytes to skip, still 0 junk
+    val ftag = tag.clone()
+    ftag(5) = 0x10.toByte
+    val mf = AacProbe.probe(ftag ++ new Array[Byte](10) ++ clean)
+    assert(mf.nFrames == 4 && mf.junkBytes == 0 && mf.resyncs == 0,
+      s"footer must be skipped as tag bytes: $mf")
   }
 
   test("leading garbage resyncs once; empty and tiny inputs are safe") {

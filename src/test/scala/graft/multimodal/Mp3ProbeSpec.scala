@@ -36,6 +36,13 @@ class Mp3ProbeSpec extends AnyFunSuite {
     tagged(20) = 0xff.toByte
     tagged(21) = 0xfa.toByte
     assert(Mp3Probe.probe(tagged).nFrames == 4)
+    // ID3v2.4 footer flag: ten MORE bytes belong to the tag
+    val ft = Mp3Probe.encodeHeaders(4, _ => 9, id3Size = 64)
+    ft(5) = 0x10.toByte
+    val withFooter =
+      ft.take(74) ++ new Array[Byte](10) ++ ft.drop(74)
+    val mfoot = Mp3Probe.probe(withFooter)
+    assert(mfoot.id3v2Bytes == 84 && mfoot.nFrames == 4)
   }
 
   test("resync over leading garbage; truncation stops cleanly") {

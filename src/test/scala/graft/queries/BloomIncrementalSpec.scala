@@ -62,6 +62,23 @@ class BloomIncrementalSpec extends SparkSpec {
       "pruned and instrumented runs must agree row-for-row")
   }
 
+  test("null texts have no fingerprint: they never dup each other " +
+      "or anything else (SQL NULL-equality semantics)") {
+    val withNulls = docs.unionByName(Seq(
+      (13L, null.asInstanceOf[String]),
+      (15L, null.asInstanceOf[String]),
+      (12L, null.asInstanceOf[String]), // a lake null, same posture
+    ).toDF("doc_id", "text"))
+    val out = DedupQueries
+      .bloomIncrementalFrom(withNulls, col("doc_id") % 2 === 1)
+      .orderBy("new_id").as[(Long, Int, Long)].collect().toSeq
+    assert(out.filter(r => r._1 == 13L || r._1 == 15L) ==
+      Seq((13L, 0, -1L), (15L, 0, -1L)),
+      s"null-text docs must never be duplicates: $out")
+    assert(out.map(_._1) == Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L, 15L),
+      "null-text batch docs still appear in the output")
+  }
+
   test("an all-fresh batch yields no dups; an empty batch is safe") {
     val fresh = DedupQueries
       .bloomIncrementalFrom(docs, col("doc_id").isin(5L, 11L))

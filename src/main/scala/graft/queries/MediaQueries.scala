@@ -2102,6 +2102,41 @@ object MediaQueries extends QueryRegistry {
       |  round((n * 1152.0 / max(sr)) * 1000)::INT AS dur_ms
       |FROM fl GROUP BY d, n ORDER BY media_id""".stripMargin
 
+  /** mm35: OGG PAGE-CRC walk — the corruption-detecting tier over
+    * mm26's structural probe. Unlike ADTS (payload-dependent crc
+    * spans, counted-not-validated — see mm34), the Ogg page CRC is
+    * fully structural (RFC 3533 direct CRC-32 over the page with a
+    * zeroed crc field), so the audit VERIFIES every page without any
+    * codec decode: the fixture plants one corrupt stored CRC on an
+    * audio page for doc_id%7=0, and mismatching pages are counted
+    * while the walk continues (totals for the stream you have, not a
+    * stop at the first bitflip). */
+  private def oggCrcWalk(s: SparkSession, dir: String): DataFrame = {
+    val stats = udf { (id: Long) =>
+      val nAudio = (10 + id % 40).toInt
+      val bytes = graft.multimodal.OggProbe.encodeMinimalOpus(
+        (1 + id % 2).toInt, 100, 48000, nAudio,
+        corruptCrcAt = if (id % 7 == 0) (2 + id % nAudio).toInt else -1)
+      val m = graft.multimodal.OggProbe.probe(bytes)
+      (m.nPages, m.nPackets, m.crcBad,
+        math.round(m.durationSec * 1000).toInt)
+    }
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"), stats(col("doc_id")).as("st"))
+      .select(col("media_id"), col("st._1").as("n_pages"),
+        col("st._2").as("n_packets"), col("st._3").as("crc_bad"),
+        col("st._4").as("dur_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val oggCrcWalkSql =
+    """SELECT doc_id AS media_id,
+      |  (12 + doc_id % 40)::INT AS n_pages,
+      |  (12 + doc_id % 40)::INT AS n_packets,
+      |  (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::INT AS crc_bad,
+      |  ((10 + doc_id % 40) * 960 * 1000 // 48000)::INT AS dur_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** mm34: AAC ADTS frame-WALK audit — the aac half of the
     * compressed-audio audit seam (mm33 is the mp3 half). Syncword walk
     * with byte-wise resync (junk bytes + resync events COUNTED),
@@ -2178,6 +2213,7 @@ object MediaQueries extends QueryRegistry {
 
   override val defs: Map[String, QueryDef] = Map(
     "mm34_aac_adts_walk" -> QueryDef(aacAdtsWalk, Some(aacAdtsWalkSql)),
+    "mm35_ogg_crc_walk" -> QueryDef(oggCrcWalk, Some(oggCrcWalkSql)),
     "mm33_mp3_frame_walk" -> QueryDef(mp3FrameWalk, Some(mp3FrameWalkSql)),
     "mm26_ogg_probe" -> QueryDef(oggProbe, Some(oggProbeSql)),
     "mm25_mp3_probe" -> QueryDef(mp3Probe, Some(mp3ProbeSql)),

@@ -16,6 +16,27 @@ class OggProbeSpec extends AnyFunSuite {
     assert(m.nPages == 12 && m.nPackets == 12)
     assert(m.lastGranule == 312L + 10 * 960)
     assert(math.abs(m.durationSec - 10 * 960 / 48000.0) < 1e-9)
+    assert(m.crcBad == 0, "encoder CRCs must verify clean")
+  }
+
+  test("page CRC: every clean page verifies; a planted corruption and " +
+      "a payload bitflip are counted, not walked around") {
+    val clean = OggProbe.probe(OggProbe.encodeMinimalOpus(1, 100, 48000, 8))
+    assert(clean.nPages == 10 && clean.crcBad == 0)
+    // stored-CRC corruption on page seq 5 (an audio page)
+    val bad = OggProbe.probe(
+      OggProbe.encodeMinimalOpus(1, 100, 48000, 8, corruptCrcAt = 5))
+    assert(bad.crcBad == 1, s"planted corrupt CRC must be counted: $bad")
+    assert(bad.nPages == 10 && bad.lastGranule == clean.lastGranule,
+      "a bad CRC must not derail the walk")
+    // a PAYLOAD flip (CRC field intact) must also mismatch
+    val enc = OggProbe.encodeMinimalOpus(1, 100, 48000, 8)
+    enc(enc.length - 3) = (enc(enc.length - 3) ^ 0x40).toByte
+    assert(OggProbe.probe(enc).crcBad == 1)
+    // RFC 3533 CRC parameters: direct, poly 0x04c11db7, init 0 — the
+    // table's first non-trivial entry IS the polynomial
+    assert(OggProbe.pageCrc(Array[Byte](0, 0, 0, 1), 0, 4, 22) ==
+      0x04c11db7)
   }
 
   test("resync over leading garbage; truncation stays clean") {

@@ -176,10 +176,16 @@ object Bench {
     }
     def ownShareCores: Double = {
       val now = System.nanoTime(); val own = ownCpuSec
-      // oldest sample inside the 60s window (fallback: oldest kept)
-      ownSamples.find(now - _._1 <= 60e9.toLong)
-        .orElse(ownSamples.headOption) match {
-        case Some((t0, o0)) if now - t0 > 1e9.toLong =>
+      // oldest sample inside the 60s window that is ≥1s old. If the
+      // only in-window sample is the one just appended (a single rep
+      // ran >60s — sf1 rings), fall back to the newest OLDER sample:
+      // the average over the longer gap is still the bench's own
+      // share, where a 0.0 would misread the bench's own residue as
+      // ambient load and falsely stamp a clean capture dirty.
+      val aged = ownSamples.filter(s => now - s._1 >= 1e9.toLong)
+      aged.find(now - _._1 <= 60e9.toLong)
+        .orElse(aged.lastOption) match {
+        case Some((t0, o0)) =>
           ((own - o0) / ((now - t0) / 1e9)).max(0.0).min(cpus.toDouble)
         case _ => 0.0
       }

@@ -50,6 +50,7 @@ object Sf1PruneProbe {
         rnd.nextBytes(b)
         b
       })
+    try {
     val nShards = info.count()
     println(f"[sf1prune] packed $nShards shards in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1fs (media = $mediaKb KiB/doc)")
@@ -82,10 +83,18 @@ object Sf1PruneProbe {
     run("pruned", None)
     run("full2", Some("*"))
     run("pruned2", None)
-    // scratch cleanup: ~6 GB of probe shards must not outlive the run
-    shardList.foreach(p => new java.io.File(p).delete(): Unit)
-    new java.io.File(out).listFiles().foreach(f => f.delete(): Unit)
-    new java.io.File(out).delete(): Unit
-    spark.stop()
+    } finally {
+      // scratch cleanup: ~6 GB of probe shards must not outlive the
+      // run EVEN ON FAILURE — a crashed probe repeated on a
+      // constrained box would otherwise fill /tmp. Recursive: the
+      // pack stage may leave marker subdirectories.
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+      spark.stop()
+    }
   }
 }

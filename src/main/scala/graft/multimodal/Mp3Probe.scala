@@ -155,7 +155,12 @@ object Mp3Probe {
                 val flags = be32(tagOff + 4)
                 var off = tagOff + 8
                 if ((flags & 1) != 0 && off + 4 <= pos + frameLen) {
-                  declFrames = be32(off).toInt; off += 4
+                  // clamp, don't wrap: a lying value >= 2^31 must stay
+                  // a huge positive count (inconsistent with any walk),
+                  // not wrap negative into the 'absent' sentinel and
+                  // vacuously pass declaredConsistent
+                  declFrames = math.min(be32(off), Int.MaxValue).toInt
+                  off += 4
                 }
                 if ((flags & 2) != 0 && off + 4 <= pos + frameLen)
                   declBytes = be32(off)

@@ -210,7 +210,26 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
       if (k.contains('.')) Seq("*." + k, "*-" + k) else Seq("*." + k)
     }.distinct.mkString(",")
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Non-inlined CTEs are the OTHER exprId-remapping operator (after
+    // Union, handled positionally above): every CTERelationRef mints
+    // FRESH exprIds for the shared def's output, so a second reference
+    // forwarding `entries` to the root would be invisible to both the
+    // use-walk and the root-output guard — the same hole class fixed
+    // for Union, but with no positional structure to fold (the refs
+    // aren't children of a shared parent). The sound move is a
+    // conservative bail: SQL-text queries whose multi-ref, non-cheap
+    // CTEs survive InlineCTE read unpruned (DataFrame-API plans never
+    // contain WithCTE; a user can still set `select` explicitly).
+    val hasCte = plan.find { p =>
+      p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.WithCTE] ||
+        p.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.CTERelationRef]
+    }.isDefined
+    if (hasCte) plan else applyEligible(plan)
+  }
+
+  private def applyEligible(plan: LogicalPlan): LogicalPlan = plan.transform {
     // post-V2-pushdown shape ("User Provided Optimizers" batch, the
     // register() wiring): the scan object itself is swapped
     case sr: DataSourceV2ScanRelation if sr.scan.isInstanceOf[WdsScan] &&

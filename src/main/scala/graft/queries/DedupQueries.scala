@@ -439,13 +439,19 @@ object DedupQueries extends QueryRegistry {
     * at lake scale). Spark job output files carry unique per-write
     * names (part-<uuid>), so a normal overwrite changes the names;
     * an in-place mutation that REUSES file names (a manual copy, a
-    * non-Spark writer) changes mtime/length instead — either way the
-    * snapshot moves → cache miss → fresh build, instead of silently
-    * serving the pre-overwrite relation. (A caller holding the
-    * pre-overwrite DataFrame OBJECT still sees stale/missing files —
-    * that staleness lives in Spark's own FileIndex, upstream of this
-    * cache. `invalidateRelationCache` remains the escape hatch for
-    * writers that also preserve mtime+length.) */
+    * non-Spark writer) changes mtime/length instead — and once the
+    * fresh statuses are visible, the snapshot moves → cache miss →
+    * fresh build, instead of silently serving the pre-overwrite
+    * relation. CAVEAT, stated precisely: the statuses come from
+    * Spark's own session-lifetime FileStatusCache, so an external
+    * same-name mutation is only observed after
+    * `spark.catalog.refreshByPath` (or a new session) — the snapshot
+    * key cannot see THROUGH a listing cache upstream of it (the
+    * CorpusOpsSpec staleness test refreshes first for exactly this
+    * reason). A caller holding the pre-overwrite DataFrame OBJECT
+    * likewise sees the old FileIndex. `invalidateRelationCache`
+    * remains the escape hatch for writers that also preserve
+    * mtime+length. */
   private def cachedRelation(owner: DataFrame, tag: String)(
       build: => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{

@@ -116,11 +116,14 @@ object Pickle {
         sb.append(c.toChar)
         c = in.read()
       }
-      // CPython tolerates \r\n line ends (load_int etc. strip)
-      if (sb.nonEmpty && sb.last == '\r') sb.setLength(sb.length - 1)
+      // NO \r strip here: CPython strips only the \n — a V (UNICODE)
+      // payload legitimately ending in \r must keep it as data. The
+      // NUMERIC consumers trim instead (CPython's int()/float() accept
+      // surrounding whitespace, so I123\r\n still parses there).
       sb.toString
     }
-    def asciiInt(s: String): Int = {
+    def asciiInt(s0: String): Int = {
+      val s = s0.trim // int() whitespace tolerance, see line()
       val v = java.lang.Long.parseLong(s)
       if (v < 0 || v > Int.MaxValue)
         throw new IllegalArgumentException(s"pickle memo index $v")
@@ -128,7 +131,8 @@ object Pickle {
     }
     // narrow a decimal literal to Long when it fits (the binary
     // opcodes' value model), BigInt beyond
-    def decimal(s: String): Any = {
+    def decimal(s0: String): Any = {
+      val s = s0.trim // int() whitespace tolerance, see line()
       val b = BigInt(s)
       if (b.isValidLong) b.toLong else b
     }
@@ -150,7 +154,14 @@ object Pickle {
             case 'b' => out.write(8); i += 2
             case 'f' => out.write(12); i += 2
             case 'v' => out.write(11); i += 2
-            case 'x' if i + 3 < s.length =>
+            case 'x' =>
+              // codecs.escape_decode raises on a truncated \x escape;
+              // decoding it as literal bytes would be silent corruption
+              if (i + 3 >= s.length ||
+                Character.digit(s.charAt(i + 2), 16) < 0 ||
+                Character.digit(s.charAt(i + 3), 16) < 0)
+                throw new IllegalArgumentException(
+                  s"pickle STRING: invalid \\x escape at $i")
               out.write(Integer.parseInt(s.substring(i + 2, i + 4), 16))
               i += 4
             case d if d >= '0' && d <= '7' =>
@@ -236,11 +247,11 @@ object Pickle {
             case s => stack += decimal(s)
           }
         case 'L' => // LONG: decimal line with optional trailing 'L'
-          val s = line()
+          val s = line().trim
           stack += decimal(if (s.endsWith("L")) s.dropRight(1) else s)
         case 'F' => // FLOAT: repr line; CPython spells non-finites
           // 'inf'/'-inf'/'nan', which Java's parser rejects
-          stack += (line() match {
+          stack += (line().trim match {
             case "inf" => Double.PositiveInfinity
             case "-inf" => Double.NegativeInfinity
             case "nan" | "-nan" => Double.NaN

@@ -181,6 +181,47 @@ class WdsPayloadPruneSpec extends SparkSpec {
     assert(u.collect().count(_.getString(0) != null) == 10)
   }
 
+  test("CTE with one ref forwarding entries to the root: payloads " +
+      "stay real (inlined CTEs prune per-branch; retained CTEs bail)") {
+    // When InlineCTE expands the refs (the common case), each branch
+    // gets its OWN scan and pruning only the element_at branch is
+    // sound — the forwarding branch's scan must stay unpruned. When a
+    // multi-ref non-cheap def is RETAINED instead (WithCTE survives),
+    // CTERelationRefs mint fresh exprIds the use-walk cannot see, so
+    // the rule must bail wholesale (guard-tested below). Either way
+    // the observable contract is the same: the forwarded map's fat
+    // payload is REAL bytes.
+    spark.read.format("wds").load(tar).createOrReplaceTempView("wpp_cte")
+    val df = spark.sql(
+      """WITH c AS (
+        |  SELECT w.key, w.entries FROM wpp_cte w
+        |  JOIN (SELECT explode(sequence(0, 5)) AS n) d
+        |    ON cast(w.key AS INT) = d.n)
+        |SELECT a.t, b.entries
+        |FROM (SELECT key, element_at(entries, 'txt') AS t FROM c) a
+        |JOIN (SELECT key, entries FROM c) b ON a.key = b.key""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val maps = rows.map(_.getMap[String, Array[Byte]](1))
+    assert(maps.forall(_("bin").length == (1 << 20)),
+      "a pruned scan leaked blanked payloads through the second CTE ref")
+  }
+
+  test("a plan that RETAINS WithCTE/CTERelationRef is left untouched " +
+      "(fresh ref exprIds are invisible to the use-walk)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{CTERelationDef,
+      WithCTE}
+    val base = spark.read.format("wds").load(tar)
+      .select(element_at(col("entries"), "txt"))
+      .queryExecution.analyzed
+    // conforming on its own — the rule would prune this shape...
+    assert(WdsPayloadPrune(base) ne base)
+    // ...but wrapped in a retained-CTE structure it must bail verbatim
+    val wrapped = WithCTE(base, Seq(CTERelationDef(base)))
+    assert(WdsPayloadPrune(wrapped) eq wrapped,
+      "retained CTE must block the rewrite wholesale")
+  }
+
   test("to_dict (map_filter literal keep-set) prunes to the keep-set") {
     import graft.wds.SampleOps._
     implicit val enc: org.apache.spark.sql.Encoder[graft.wds.Sample] =

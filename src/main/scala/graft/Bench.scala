@@ -56,6 +56,24 @@ object Bench {
     *    host-level contention invisible to /proc/stat deltas does
     *    (r13: all cpu/iowait/io stamps quiet, 9 rows double-slow).
     * Pure so a spec can trip each arm synthetically. */
+  /** Own average cores over the trailing window, from (wallNanos,
+    * cumulativeOwnCpuSec) samples. Picks the oldest sample inside the
+    * 60 s window that is ≥1 s old; when the only in-window sample is
+    * the one just appended (a single rep ran >60 s — sf1 rings), falls
+    * back to the newest OLDER sample: the average over the longer gap
+    * is still the process's own share, where 0.0 would misread the
+    * bench's own residue as ambient load (BenchSpec pins both arms). */
+  private[graft] def ownShare(samples: Seq[(Long, Double)], now: Long,
+      own: Double, cpus: Int): Double = {
+    val aged = samples.filter(s => now - s._1 >= 1e9.toLong)
+    aged.find(now - _._1 <= 60e9.toLong)
+      .orElse(aged.lastOption) match {
+      case Some((t0, o0)) =>
+        ((own - o0) / ((now - t0) / 1e9)).max(0.0).min(cpus.toDouble)
+      case _ => 0.0
+    }
+  }
+
   private[graft] def captureDirty(
       keptStamps: Seq[(Double, Double, Double)],
       ambientLimit: Double, iowaitLimit: Double, ioMbpsLimit: Double,
@@ -174,22 +192,8 @@ object Bench {
       while (ownSamples.length > 2 &&
         now - ownSamples.head._1 > 120e9.toLong) ownSamples.remove(0): Unit
     }
-    def ownShareCores: Double = {
-      val now = System.nanoTime(); val own = ownCpuSec
-      // oldest sample inside the 60s window that is ≥1s old. If the
-      // only in-window sample is the one just appended (a single rep
-      // ran >60s — sf1 rings), fall back to the newest OLDER sample:
-      // the average over the longer gap is still the bench's own
-      // share, where a 0.0 would misread the bench's own residue as
-      // ambient load and falsely stamp a clean capture dirty.
-      val aged = ownSamples.filter(s => now - s._1 >= 1e9.toLong)
-      aged.find(now - _._1 <= 60e9.toLong)
-        .orElse(aged.lastOption) match {
-        case Some((t0, o0)) =>
-          ((own - o0) / ((now - t0) / 1e9)).max(0.0).min(cpus.toDouble)
-        case _ => 0.0
-      }
-    }
+    def ownShareCores: Double =
+      ownShare(ownSamples.toSeq, System.nanoTime(), ownCpuSec, cpus.toInt)
     def waitQuiet(): Unit = {
       sampleOwn()
       while (loadavg.headOption.exists(_ - ownShareCores > loadLimit) &&

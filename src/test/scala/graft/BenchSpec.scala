@@ -18,6 +18,27 @@ class BenchSpec extends AnyFunSuite {
     assert(got == Seq("qslow"))
   }
 
+  test("ownShare: a single >60s rep falls back to the newest older " +
+      "sample instead of reading the bench's own burn as ambient") {
+    val s = 1e9.toLong // 1s in nanos
+    // samples at t=0s (0 cpu-sec) and t=70s (begin of the long rep at
+    // 560 cpu-sec); now = 140s with 1120 own cpu-sec: a full-tilt
+    // 8-core burn whose last rep alone took 70s
+    val samples = Seq((0L, 0.0), (70 * s, 560.0))
+    val now = 140 * s
+    // pre-fix behavior: no sample ≥1s old inside the 60s window after
+    // the freshest append → share read 0.0 and the end adjudication
+    // saw ~8 ambient cores. The fallback must report ~8 own cores.
+    val share = Bench.ownShare(samples :+ ((now, 1120.0)), now, 1120.0, 8)
+    assert(share > 7.0, s"own share misread as ambient: $share")
+    // normal path unchanged: oldest in-window sample wins
+    val normal = Bench.ownShare(
+      Seq((100 * s, 800.0), (130 * s, 1040.0)), now, 1120.0, 8)
+    assert(math.abs(normal - 8.0) < 0.01, s"$normal")
+    // no usable sample at all → 0.0, clamped nonnegative
+    assert(Bench.ownShare(Nil, now, 5.0, 8) == 0.0)
+  }
+
   test("capture re-adjudication: synthetic load trips each dirty arm") {
     def judge(stamps: Seq[(Double, Double, Double)] = Seq((0.5, 0.1, 10)),
         gateExhausted: Boolean = false, endLoad: Double = 3.0,

@@ -249,7 +249,13 @@ object Bench {
     // Per-rep I/O adjudication (round-10 verdict: the official capture
     // inflated read-heavy rows 6× while the CPU-only ambient stamped
     // 0.0 — the contaminator was I/O / memory-bandwidth bound, invisible
-    // to Δbusy-jiffies). Two signals, both "other processes' work":
+    // to Δbusy-jiffies). Two signals, both "other processes' work".
+    // Known over-read, safe direction: kernel kworkers flushing THIS
+    // bench's dirty pages (tar-writing rows) burn system jiffies that
+    // /proc/self cannot claim, so IO-heavy rows stamp 1-3 "ambient"
+    // cores even on an idle machine — the stamp is an upper bound,
+    // which is the right bias for a contamination gate (SCALE.md
+    // "closing capture" postscript quantifies it):
     //  - iowait cores: Δ /proc/stat iowait jiffies over rep wall — CPUs
     //    stalled on storage. Our own reads hit warmed page cache, so
     //    sustained iowait during a rep is ambient storage pressure.

@@ -38,24 +38,6 @@ object Bench {
           env > 0.05 && min > envFactor * env) => name
     }.toSeq.sorted
 
-  /** Whole-capture validity re-adjudication (round-13 verdict #1: the
-    * official r13 line recorded 19.99/11.69-core ambient loadavg
-    * samples mid-run and 9 double-slow rows, yet stamped
-    * `load_warning:false` — the gate checked rep-local windows but
-    * never re-judged the capture). A capture is DIRTY when any of:
-    *  - the quiet-machine wait budget ran out (the old condition);
-    *  - any KEPT rep's ambient window exceeded a limit (retries
-    *    exhausted let the dirty rep through — the number is
-    *    contaminated even though the radar knows it);
-    *  - the END-of-capture ambient loadavg (minus the bench's own
-    *    trailing share) exceeds the start gate's limit — a
-    *    contaminator that arrived during the tail, like r13's;
-    *  - more than `maxRegressions` rows are double-slow (still out of
-    *    envelope after their solo rerun): independent simultaneous
-    *    plan regressions don't happen by the handful in one capture,
-    *    host-level contention invisible to /proc/stat deltas does
-    *    (r13: all cpu/iowait/io stamps quiet, 9 rows double-slow).
-    * Pure so a spec can trip each arm synthetically. */
   /** Own average cores over the trailing window, from (wallNanos,
     * cumulativeOwnCpuSec) samples. Picks the oldest sample inside the
     * 60 s window that is ≥1 s old; when the only in-window sample is
@@ -74,6 +56,24 @@ object Bench {
     }
   }
 
+  /** Whole-capture validity re-adjudication (round-13 verdict #1: the
+    * official r13 line recorded 19.99/11.69-core ambient loadavg
+    * samples mid-run and 9 double-slow rows, yet stamped
+    * `load_warning:false` — the gate checked rep-local windows but
+    * never re-judged the capture). A capture is DIRTY when any of:
+    *  - the quiet-machine wait budget ran out (the old condition);
+    *  - any KEPT rep's ambient window exceeded a limit (retries
+    *    exhausted let the dirty rep through — the number is
+    *    contaminated even though the radar knows it);
+    *  - the END-of-capture ambient loadavg (minus the bench's own
+    *    trailing share) exceeds the start gate's limit — a
+    *    contaminator that arrived during the tail, like r13's;
+    *  - more than `maxRegressions` rows are double-slow (still out of
+    *    envelope after their solo rerun): independent simultaneous
+    *    plan regressions don't happen by the handful in one capture,
+    *    host-level contention invisible to /proc/stat deltas does
+    *    (r13: all cpu/iowait/io stamps quiet, 9 rows double-slow).
+    * Pure so a spec can trip each arm synthetically. */
   private[graft] def captureDirty(
       keptStamps: Seq[(Double, Double, Double)],
       ambientLimit: Double, iowaitLimit: Double, ioMbpsLimit: Double,

@@ -39,6 +39,9 @@ object Sf1PruneProbe {
     // deterministic pseudo-media: path-seeded bytes, incompressible-ish
     val mediaBytes = mediaKb * 1024
     val t0 = System.nanoTime()
+    // the try opens BEFORE the pack: a mid-pack crash (disk-full is
+    // the likely one on a constrained box) must also hit the cleanup
+    try {
     val info = pack.PackStage.run(meta, out,
       pack.PackStage.PackOptions(
         samplerType = pack.PackStage.SamplerType.VideoOnly,
@@ -50,7 +53,6 @@ object Sf1PruneProbe {
         rnd.nextBytes(b)
         b
       })
-    try {
     val nShards = info.count()
     println(f"[sf1prune] packed $nShards shards in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1fs (media = $mediaKb KiB/doc)")

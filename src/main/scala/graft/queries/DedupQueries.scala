@@ -1173,14 +1173,19 @@ object DedupQueries extends QueryRegistry {
       .select($"doc_id".as("new_id"), $"ch")
     // bloom over the BATCH side (small): two passes over the increment
     // (count + bloom aggregate) are noise next to the lake scan they
-    // prune; `stat.bloomFilter` aggregates distributed, collects bits
-    val nBatch = batch.count()
-    // an empty increment: nothing to dedup (and stat.bloomFilter NPEs
-    // on an empty frame — its aggregate yields a null buffer)
-    if (nBatch == 0)
+    // prune; `stat.bloomFilter` aggregates distributed, collects bits.
+    // The count and the sketch both run on the NON-NULL fingerprints:
+    // stat.bloomFilter's aggregate yields a null buffer (NPE in
+    // readFrom) whenever it sees zero non-null values — an empty
+    // increment OR an all-null-text one must both short-circuit to
+    // the trivial no-dups result
+    val keyedBatch = batch.filter($"ch".isNotNull)
+    val nKeyed = keyedBatch.count()
+    if (nKeyed == 0)
       return batch.select($"new_id", lit(0).as("is_dup"),
         lit(-1L).as("match_id"))
-    val bloom = batch.stat.bloomFilter("ch", math.max(nBatch, 1000L), 0.03)
+    val bloom =
+      keyedBatch.stat.bloomFilter("ch", math.max(nKeyed, 1000L), 0.03)
     val bc = s.sparkContext.broadcast(bloom)
     // null fingerprints (null text, per prefixFingerprint's null gate)
     // can never equi-join; dropping them here is semantically identical

@@ -130,9 +130,16 @@ object Pickle {
       v.toInt
     }
     // narrow a decimal literal to Long when it fits (the binary
-    // opcodes' value model), BigInt beyond
+    // opcodes' value model), BigInt beyond. CPython parses these with
+    // int(data, 0) — base-0 REJECTS leading zeros ('010', and '01\r'
+    // from a text-mode-mangled bool spelling), so a lenient parse here
+    // would silently produce a value where CPython raises
     def decimal(s0: String): Any = {
       val s = s0.trim // int() whitespace tolerance, see line()
+      val digits = s.stripPrefix("-").stripPrefix("+")
+      if (digits.length > 1 && digits.head == '0')
+        throw new IllegalArgumentException(
+          s"pickle INT/LONG: base-0 literal with leading zero: '$s'")
       val b = BigInt(s)
       if (b.isValidLong) b.toLong else b
     }

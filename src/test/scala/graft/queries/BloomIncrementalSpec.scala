@@ -77,6 +77,14 @@ class BloomIncrementalSpec extends SparkSpec {
       s"null-text docs must never be duplicates: $out")
     assert(out.map(_._1) == Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L, 15L),
       "null-text batch docs still appear in the output")
+    // an ALL-null batch (a corrupt ingest day): every fingerprint is
+    // null, so the bloom aggregate would see zero non-null values and
+    // return a null buffer — the guard must short-circuit to the
+    // trivial result, never NPE
+    val allNull = DedupQueries
+      .bloomIncrementalFrom(withNulls, col("doc_id").isin(13L, 15L))
+      .orderBy("new_id").as[(Long, Int, Long)].collect().toSeq
+    assert(allNull == Seq((13L, 0, -1L), (15L, 0, -1L)))
   }
 
   test("an all-fresh batch yields no dups; an empty batch is safe") {

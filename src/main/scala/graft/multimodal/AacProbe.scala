@@ -171,8 +171,9 @@ object AacProbe {
     require(channels >= 1 && channels <= 7, s"channels $channels")
     require(profile >= 0 && profile <= 3 && rawBlocks >= 0 &&
       rawBlocks <= 3, s"profile $profile rawBlocks $rawBlocks")
-    require(breakSyncAt < n - 1, // the walker needs a next frame to
-      s"breakSyncAt $breakSyncAt of $n") // resync onto; see the oracle
+    require(breakSyncAt == -1 || breakSyncAt < n - 1, // the walker needs
+      s"breakSyncAt $breakSyncAt of $n") // a next frame to resync onto;
+    // see the oracle (-1 = no break, legal even for an empty stream)
     val headerLen = if (withCrc) 9 else 7
     val out = new java.io.ByteArrayOutputStream()
     // adts_buffer_fullness: a fixed mid-range value chosen so no header

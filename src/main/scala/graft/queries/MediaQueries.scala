@@ -2212,9 +2212,12 @@ object MediaQueries extends QueryRegistry {
       |FROM c ORDER BY media_id""".stripMargin
 
   override val defs: Map[String, QueryDef] = Map(
-    "mm34_aac_adts_walk" -> QueryDef(aacAdtsWalk, Some(aacAdtsWalkSql)),
-    "mm35_ogg_crc_walk" -> QueryDef(oggCrcWalk, Some(oggCrcWalkSql)),
-    "mm33_mp3_frame_walk" -> QueryDef(mp3FrameWalk, Some(mp3FrameWalkSql)),
+    "mm34_aac_adts_walk" ->
+      QueryDef(aacAdtsWalk, Some(aacAdtsWalkSql), bench = true),
+    "mm35_ogg_crc_walk" ->
+      QueryDef(oggCrcWalk, Some(oggCrcWalkSql), bench = true),
+    "mm33_mp3_frame_walk" ->
+      QueryDef(mp3FrameWalk, Some(mp3FrameWalkSql), bench = true),
     "mm26_ogg_probe" -> QueryDef(oggProbe, Some(oggProbeSql)),
     "mm25_mp3_probe" -> QueryDef(mp3Probe, Some(mp3ProbeSql)),
     "mm24_webm_probe" -> QueryDef(webmProbe, Some(webmProbeSql)),

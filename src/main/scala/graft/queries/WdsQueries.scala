@@ -2365,9 +2365,9 @@ object WdsQueries extends QueryRegistry {
       Some(pickleRoundtripSql)),
     "wds26_npy_roundtrip" -> QueryDef(npyRoundtrip, Some(npyRoundtripSql)),
     "wds33_safetensors" -> QueryDef(safetensorsRoundtrip,
-      Some(safetensorsRoundtripSql)),
+      Some(safetensorsRoundtripSql), bench = true),
     "wds34_safetensors_ann" -> QueryDef(safetensorsAnn,
-      Some(SimilarityQueries.bruteTopKSql)),
+      Some(SimilarityQueries.bruteTopKSql), bench = true),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),

@@ -131,16 +131,32 @@ object Pickle {
     }
     // narrow a decimal literal to Long when it fits (the binary
     // opcodes' value model), BigInt beyond. CPython parses these with
-    // int(data, 0) — base-0 REJECTS leading zeros ('010', and '01\r'
-    // from a text-mode-mangled bool spelling), so a lenient parse here
-    // would silently produce a value where CPython raises
+    // int(data, 0) — base-0 accepts 0x/0o/0b prefixes with the matching
+    // radix, an all-zero string ('00' is a valid literal), and REJECTS
+    // other leading zeros ('010', and '01\r' from a text-mode-mangled
+    // bool spelling), so a lenient decimal parse here would silently
+    // produce a value where CPython raises. Deliberate remaining
+    // narrowing: int(data, 0) also allows '_' digit separators, which
+    // no pickler emits — those stay a typed error.
     def decimal(s0: String): Any = {
       val s = s0.trim // int() whitespace tolerance, see line()
+      val neg = s.startsWith("-")
       val digits = s.stripPrefix("-").stripPrefix("+")
-      if (digits.length > 1 && digits.head == '0')
-        throw new IllegalArgumentException(
-          s"pickle INT/LONG: base-0 literal with leading zero: '$s'")
-      val b = BigInt(s)
+      val b =
+        if (digits.length > 2 && digits.head == '0' &&
+            "xXoObB".indexOf(digits.charAt(1).toInt) >= 0) {
+          val radix = digits.charAt(1).toLower match {
+            case 'x' => 16
+            case 'o' => 8
+            case _ => 2
+          }
+          val mag = BigInt(digits.drop(2), radix)
+          if (neg) -mag else mag
+        } else if (digits.length > 1 && digits.head == '0') {
+          if (digits.forall(_ == '0')) BigInt(0)
+          else throw new IllegalArgumentException(
+            s"pickle INT/LONG: base-0 literal with leading zero: '$s'")
+        } else BigInt(s)
       if (b.isValidLong) b.toLong else b
     }
     // codecs.escape_decode: the py2 STRING opcode's payload → bytes

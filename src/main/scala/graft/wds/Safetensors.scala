@@ -204,6 +204,20 @@ object Safetensors {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"safetensors: $msg")
 
+  // overflow-safe element-count × item-size product: dims ≤ 2^31, so a
+  // pairwise product can reach 2^62 — cap the running product at the
+  // buffer ceiling before it can wrap (shared by decode and encode so
+  // a pathological 3+-dim shape can never wrap Long and coincidentally
+  // match a data length)
+  private def checkedByteSize(name: String, shape: Seq[Int],
+      itemSize: Int): Long =
+    shape.foldLeft(itemSize.toLong) { (acc, d) =>
+      val p = acc * d
+      if (d != 0 && (p / d != acc || p > Int.MaxValue.toLong * 8))
+        fail(s"$name: shape ${shape.mkString("[", ",", "]")} overflows")
+      p
+    }
+
   def decode(bytes: Array[Byte]): SafeTensors = {
     if (bytes.length < 8) fail(s"file shorter than the 8-byte length")
     val n = ByteBuffer.wrap(bytes, 0, 8)
@@ -262,15 +276,7 @@ object Safetensors {
           }
         if (begin > end || end > bufLen)
           fail(s"$name: offsets [$begin,$end) outside the $bufLen-byte buffer")
-        // overflow-safe element product: dims ≤ 2^31, so a pairwise
-        // product can reach 2^62 — cap the running product at the
-        // buffer ceiling before it can wrap
-        val want = shape.foldLeft(itemSize.toLong) { (acc, d) =>
-          val p = acc * d
-          if (d != 0 && (p / d != acc || p > Int.MaxValue.toLong * 8))
-            fail(s"$name: shape ${shape.mkString("[", ",", "]")} overflows")
-          p
-        }
+        val want = checkedByteSize(name, shape, itemSize)
         if (end - begin != want)
           fail(s"$name: ${end - begin} bytes for dtype $dtype shape " +
             s"${shape.mkString("[", ",", "]")} (want $want)")
@@ -316,7 +322,7 @@ object Safetensors {
       val itemSize = DtypeSizes.getOrElse(t.dtype,
         fail(s"$name: unknown dtype '${t.dtype}'"))
       if (t.shape.exists(_ < 0)) fail(s"$name: negative shape")
-      val want = t.shape.foldLeft(1L)(_ * _) * itemSize
+      val want = checkedByteSize(name, t.shape, itemSize)
       if (t.data.length != want)
         fail(s"$name: ${t.data.length} bytes for dtype ${t.dtype} shape " +
           s"${t.shape.mkString("[", ",", "]")} (want $want)")

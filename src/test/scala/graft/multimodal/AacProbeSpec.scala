@@ -105,6 +105,15 @@ class AacProbeSpec extends AnyFunSuite {
       .nFrames == 0)
   }
 
+  test("empty stream: encodeAdts(0) is legal with the default " +
+      "breakSyncAt and probes to all-zero stats") {
+    val b = AacProbe.encodeAdts(0, _ => 100, srIdx = 3, channels = 2,
+      profile = 1, withCrc = true)
+    assert(b.isEmpty)
+    val m = AacProbe.probe(b)
+    assert(m.nFrames == 0 && m.junkBytes == 0 && m.truncatedBytes == 0)
+  }
+
   test("seeded fuzz: bit flips never crash, hang, or overcount") {
     val base = AacProbe.encodeAdts(8, i => 100 + 7 * i, srIdx = 4,
       channels = 2, profile = 1, withCrc = true)

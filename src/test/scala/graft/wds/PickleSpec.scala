@@ -130,6 +130,25 @@ class PickleSpec extends AnyFunSuite {
     assert(norm(Pickle.decode(hex(ScalarsP1))) == norm(want), "proto 1")
   }
 
+  test("protocol-0 base-prefixed INT lines parse with int(data, 0) " +
+      "semantics: 0x/0o/0b radixes, all-zero ok, other leading zeros " +
+      "raise") {
+    def p0(line: String): Any =
+      Pickle.decode(s"I$line\n.".getBytes("ISO-8859-1"))
+    assert(p0("0x1f") == 31L)
+    assert(p0("0X1F") == 31L)
+    assert(p0("-0b101") == -5L)
+    assert(p0("+0o17") == 15L)
+    assert(p0("00") == false) // the I00/I01 bool spellings win first
+    assert(p0("01") == true)
+    assert(p0("000") == 0L) // '000' is a valid base-0 literal (= 0)
+    assert(p0("0") == 0L)
+    // int('010', 0) and a bare prefix raise in CPython — typed here
+    intercept[IllegalArgumentException](p0("010"))
+    intercept[RuntimeException](p0("0x"))
+    intercept[RuntimeException](p0("0xg1"))
+  }
+
   test("protocol-0 non-finite floats: CPython's inf/-inf/nan spellings") {
     // pickle.dumps((float('inf'), float('-inf'), float('nan')), 0)
     val h = "2846696e660a462d696e660a466e616e0a7470300a2e"

@@ -255,4 +255,16 @@ class SafetensorsSpec extends AnyFunSuite {
       case other => fail(s"unexpected: $other")
     }
   }
+
+  test("encode rejects a shape whose byte-size product wraps Long " +
+      "instead of emitting a lying header") {
+    // 65536^4 * 1 byte = 2^64 ≡ 0 (mod 2^64): an unguarded product
+    // would "match" a zero-length buffer and write a file whose shape
+    // lies about its data. Must be the same typed error decode raises.
+    val e = intercept[IllegalArgumentException] {
+      Safetensors.encode(Seq("t" -> Safetensors.Tensor("U8",
+        Vector(65536, 65536, 65536, 65536), Array.emptyByteArray)))
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
 }

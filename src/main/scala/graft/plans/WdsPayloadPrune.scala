@@ -113,11 +113,16 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
     * output does NOT share non-head children's exprIds). */
   private def conformingKeys(
       plan: LogicalPlan, id0: ExprId): Option[Set[String]] = {
+    // uses can hide inside subquery plans (correlated OuterReferences
+    // over the tracked map) — fold every nested subquery plan into the
+    // walk so such uses are SEEN (and, being non-conforming shapes,
+    // block the rewrite) rather than silently missed
+    val scopes = plan +: plan.subqueriesAll
     var ids = Set(id0)
     var grew = true
     while (grew) {
       grew = false
-      plan.foreach {
+      scopes.foreach(_.foreach {
         case Project(items, _) => items.foreach {
           case al @ Alias(a: Attribute, _)
             if ids(a.exprId) && !ids(al.exprId) =>
@@ -134,7 +139,7 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
             }
           }
         case _ => ()
-      }
+      })
     }
     // the map observed wholesale at the root → no pruning
     if (plan.output.exists(a => ids(a.exprId))) return None
@@ -173,7 +178,7 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
       case a: Attribute if ids(a.exprId) => ok = false // bare use
       case other => other.children.foreach(visit)
     }
-    plan.foreach {
+    scopes.foreach(_.foreach {
       case Project(items, _) => items.foreach {
         // a bare attr / bare alias projectList item just forwards the
         // column — its real consumers are checked at their own nodes,
@@ -188,7 +193,7 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
       // scan as a bare use of its own column
       case _: DataSourceV2ScanRelation | _: DataSourceV2Relation => ()
       case other => other.expressions.foreach(visit)
-    }
+    })
     if (!ok || (keys.isEmpty && !nameOnly)) None
     else if (keys.forall(k => SafeKey.matches(k))) Some(keys)
     else None // glob metachars / separators in a key: bail
@@ -210,23 +215,56 @@ object WdsPayloadPrune extends Rule[LogicalPlan] {
       if (k.contains('.')) Seq("*." + k, "*-" + k) else Seq("*." + k)
     }.distinct.mkString(",")
 
+  /** The wds `entries` column's type (map<string,binary>, nullability
+    * flags ignored): the only shape that can smuggle raw payloads
+    * through an exprId-severing CTE reference. */
+  private def isEntriesType(dt: org.apache.spark.sql.types.DataType) =
+    dt match {
+      case m: org.apache.spark.sql.types.MapType =>
+        m.keyType == StringType &&
+          m.valueType == org.apache.spark.sql.types.BinaryType
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Non-inlined CTEs are the OTHER exprId-remapping operator (after
     // Union, handled positionally above): every CTERelationRef mints
-    // FRESH exprIds for the shared def's output, so a second reference
+    // FRESH exprIds for the shared def's output, so a reference
     // forwarding `entries` to the root would be invisible to both the
     // use-walk and the root-output guard — the same hole class fixed
     // for Union, but with no positional structure to fold (the refs
-    // aren't children of a shared parent). The sound move is a
-    // conservative bail: SQL-text queries whose multi-ref, non-cheap
-    // CTEs survive InlineCTE read unpruned (DataFrame-API plans never
-    // contain WithCTE; a user can still set `select` explicitly).
-    val hasCte = plan.find { p =>
-      p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.WithCTE] ||
-        p.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.logical.CTERelationRef]
-    }.isDefined
-    if (hasCte) plan else applyEligible(plan)
+    // aren't children of a shared parent). The bail is narrowed to the
+    // plans where forwarding is POSSIBLE: only a def/ref output column
+    // of the entries map type can carry raw payloads across the ref
+    // boundary (wrapping the map into a struct/array at the def root
+    // is itself a use the walk visits — bare attr → no pruning), so a
+    // CTE whose outputs carry no such column cannot hide a payload
+    // observation and prunes like any other plan. SQL-text queries
+    // whose retained CTEs DO carry the map read unpruned (a user can
+    // still set `select` explicitly).
+    import org.apache.spark.sql.catalyst.plans.logical.{CTERelationDef, CTERelationRef}
+    val cteMayForward = plan.exists {
+      case d: CTERelationDef => d.output.exists(a => isEntriesType(a.dataType))
+      case r: CTERelationRef => r.output.exists(a => isEntriesType(a.dataType))
+      case _ => false
+    }
+    val top = if (cteMayForward) plan else applyEligible(plan)
+    // Each subquery plan is its own pruning scope — the natural SQL
+    // spelling of decontamination, `... WHERE NOT EXISTS (SELECT 1
+    // FROM wds ...)`, prunes here (pre-pushdown wiring sees predicate
+    // subqueries before RewritePredicateSubquery turns them into
+    // joins; scalar/lateral/DPP subqueries survive to both wirings).
+    // Soundness: inner attributes reach the outer plan only through
+    // the subquery's ROOT output, which the scope's own root-output
+    // guard covers; outer (correlated) `entries` uses inside a
+    // subquery are visited by conformingKeys' scope walk below and
+    // read as bare uses (OuterReference is not a conforming shape) —
+    // conservative, never unsound.
+    top.transformAllExpressions {
+      case se: SubqueryExpression =>
+        val np = apply(se.plan)
+        if (np eq se.plan) se else se.withNewPlan(np)
+    }
   }
 
   private def applyEligible(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -1159,41 +1159,65 @@ object DedupQueries extends QueryRegistry {
       md5(to_binary(concat_ws(" ", slice(split(lower(text), " "), 1, n)),
         lit("utf-8"))))
 
+  /** Sketch sizing for [[bloomIncrementalFrom]]'s fused aggregate: the
+    * single-pass build can't size from an exact pre-count, so the
+    * capacity is a parameter (a daily-ingest gate knows its batch
+    * envelope). An UNDERSIZED sketch only raises the false-positive
+    * rate — more lake rows admitted into the exact equi-join — and can
+    * never change the result. 3% fpp ⇒ ~7.3 bits/key. */
+  private[graft] val BloomBatchCapacity = 1000000L
+  private[graft] def bloomNumBits(capacity: Long, fpp: Double): Long =
+    math.ceil(-capacity * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+
   /** qd28 core over any (doc_id, text) frame — shared with the spec,
     * which also calls it with the bloom stage instrumented. */
   private[graft] def bloomIncrementalFrom(
       docs: DataFrame, isNew: Column,
-      onLakeSurvivors: DataFrame => DataFrame = identity): DataFrame = {
+      onLakeSurvivors: DataFrame => DataFrame = identity,
+      capacity: Long = BloomBatchCapacity): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.BinaryType
     val hashed = docs.select($"doc_id", isNew.as("__is_new"),
       prefixFingerprint($"text", 5).as("ch"))
     val batch = hashed.filter($"__is_new")
       .select($"doc_id".as("new_id"), $"ch")
-    // bloom over the BATCH side (small): two passes over the increment
-    // (count + bloom aggregate) are noise next to the lake scan they
-    // prune; `stat.bloomFilter` aggregates distributed, collects bits.
-    // The count and the sketch both run on the NON-NULL fingerprints:
-    // stat.bloomFilter's aggregate yields a null buffer (NPE in
-    // readFrom) whenever it sees zero non-null values — an empty
+    // bloom over the BATCH side (small), built in ONE pass: a fused
+    // aggregate returns (count, sketch) together — the count decides
+    // the empty-batch short-circuit, the sketch feeds the lake filter.
+    // Catalyst's BloomFilterAggregate hashes values through xxhash64
+    // longs (the runtime-filter wire format), so the probe below can
+    // be the codegen'd BloomFilterMightContain expression, not a UDF.
+    // Both run on the NON-NULL fingerprints: the aggregate yields a
+    // null sketch whenever it sees zero non-null values — an empty
     // increment OR an all-null-text one must both short-circuit to
     // the trivial no-dups result
     val keyedBatch = batch.filter($"ch".isNotNull)
-    val nKeyed = keyedBatch.count()
-    if (nKeyed == 0)
+    val sketchCol = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64($"ch")),
+      Literal(math.max(capacity, 1000L)),
+      Literal(bloomNumBits(math.max(capacity, 1000L), 0.03)))
+      .toAggregateExpression()).as("bloom")
+    val fused = keyedBatch.agg(count($"ch").as("n"), sketchCol).head()
+    if (fused.getLong(0) == 0)
       return batch.select($"new_id", lit(0).as("is_dup"),
         lit(-1L).as("match_id"))
-    val bloom =
-      keyedBatch.stat.bloomFilter("ch", math.max(nKeyed, 1000L), 0.03)
-    val bc = s.sparkContext.broadcast(bloom)
-    // null fingerprints (null text, per prefixFingerprint's null gate)
-    // can never equi-join; dropping them here is semantically identical
-    // and keeps the sketch null-safe
-    val mightContain =
-      udf((h: String) => h != null && bc.value.mightContainString(h))
+    val bloomBytes = fused.getAs[Array[Byte]](1)
+    // the serialized sketch rides the plan as a binary literal — the
+    // same transport InjectRuntimeFilter's materialized subquery uses.
+    // Null fingerprints (null text, per prefixFingerprint's null gate)
+    // can never equi-join; the explicit isNotNull gate keeps them out
+    // of the probe (xxhash64 would otherwise map null to its seed)
+    val mightContain = toCol(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), toExpr(xxhash64($"ch"))))
     val lakeSurvivors = onLakeSurvivors(
-      hashed.filter(!$"__is_new").filter(mightContain($"ch")))
+      hashed.filter(!$"__is_new")
+        .filter($"ch".isNotNull && mightContain))
     // exact equi-join on survivors removes bloom false positives
     val lakeMatch = batch.join(lakeSurvivors, "ch")
       .groupBy($"new_id").agg(min($"doc_id").as("lake_id"))

@@ -207,19 +207,95 @@ class WdsPayloadPruneSpec extends SparkSpec {
       "a pruned scan leaked blanked payloads through the second CTE ref")
   }
 
-  test("a plan that RETAINS WithCTE/CTERelationRef is left untouched " +
-      "(fresh ref exprIds are invisible to the use-walk)") {
+  test("retained CTEs: bail only when a def/ref output carries the " +
+      "entries map type (those refs could forward raw payloads); " +
+      "payload-free CTEs prune") {
     import org.apache.spark.sql.catalyst.plans.logical.{CTERelationDef,
       WithCTE}
-    val base = spark.read.format("wds").load(tar)
+    val conforming = spark.read.format("wds").load(tar)
       .select(element_at(col("entries"), "txt"))
       .queryExecution.analyzed
-    // conforming on its own — the rule would prune this shape...
-    assert(WdsPayloadPrune(base) ne base)
-    // ...but wrapped in a retained-CTE structure it must bail verbatim
-    val wrapped = WithCTE(base, Seq(CTERelationDef(base)))
-    assert(WdsPayloadPrune(wrapped) eq wrapped,
-      "retained CTE must block the rewrite wholesale")
+    // conforming on its own — the rule prunes this shape...
+    assert(WdsPayloadPrune(conforming) ne conforming)
+    // ...and a retained CTE whose def output is payload-free (just the
+    // element_at value) cannot smuggle the map through a ref, so the
+    // narrowed bail lets the body prune too
+    val safeCte = WithCTE(conforming, Seq(CTERelationDef(conforming)))
+    assert(WdsPayloadPrune(safeCte) ne safeCte,
+      "a payload-free retained CTE must not block the rewrite")
+    // a def whose output CARRIES the entries map — fresh ref exprIds
+    // would hide any use of the forwarded map, so the rule must bail
+    // verbatim even though the body looks conforming
+    val forwards = spark.read.format("wds").load(tar)
+      .select(col("key"), col("entries"))
+      .queryExecution.analyzed
+    val fatCte = WithCTE(conforming, Seq(CTERelationDef(forwards)))
+    assert(WdsPayloadPrune(fatCte) eq fatCte,
+      "an entries-carrying retained CTE must block the rewrite")
+  }
+
+  test("a wds scan inside an EXISTS/IN subquery prunes (the SQL " +
+      "spelling of decontamination against a packed corpus)") {
+    spark.read.format("wds").load(tar).createOrReplaceTempView("wpp_sub")
+    val docs = spark.range(0, 6)
+      .selectExpr("id", "concat('text ', id) AS text")
+    docs.createOrReplaceTempView("wpp_docs")
+    val df = spark.sql(
+      """SELECT id FROM wpp_docs d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM wpp_sub w
+        |  WHERE cast(element_at(w.entries, 'txt') AS STRING) = d.text)
+        |ORDER BY id""".stripMargin)
+    // the inner scan must carry payload_select even though it lives in
+    // a (pre-pushdown) subquery plan; post-rewrite it is a join branch
+    val p = planStr(df)
+    assert(p.contains("payload_select=[*.txt]"), p)
+    // doc 5's text never appears in the shards (sample 5 has no txt):
+    // ids 0-4 match, id 5 survives the anti join
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("a scalar subquery FORWARDING the entries map does not prune " +
+      "its scan; one returning a scalar does") {
+    spark.read.format("wds").load(tar).createOrReplaceTempView("wpp_sc")
+    // the map escapes through the subquery root: scan stays unpruned
+    // and the forwarded payloads are REAL bytes
+    val fat = spark.sql(
+      """SELECT (SELECT first(entries) FROM wpp_sc) AS e""".stripMargin)
+    assert(!planStr(fat).contains("payload_select"), planStr(fat))
+    assert(fat.collect().head.getMap[String, Array[Byte]](0)
+      .exists(_._1 == "bin"))
+    // a scalar value derived via element_at: the subquery scope prunes
+    val slim = spark.sql(
+      """SELECT (SELECT count(element_at(entries, 'txt')) FROM wpp_sc)
+        |  AS n""".stripMargin)
+    assert(planStr(slim).contains("payload_select=[*.txt]"),
+      planStr(slim))
+    assert(slim.collect().head.getLong(0) == 5L)
+  }
+
+  test("a correlated OUTER use of entries inside a subquery blocks " +
+      "pruning of the outer scan (bare use through OuterReference)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    spark.read.format("wds").load(tar).createOrReplaceTempView("wpp_cor")
+    // outer plan projects only element_at (conforming on its own), but
+    // the correlated predicate hands the WHOLE map to the subquery —
+    // pruning the outer scan would change which rows survive
+    val df = spark.sql(
+      """SELECT cast(element_at(entries, 'txt') AS STRING) AS t
+        |FROM wpp_cor w
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (SELECT 1 AS one) d
+        |  WHERE size(map_filter(w.entries, (k, v) -> length(v) > 10))
+        |    > 0)
+        |ORDER BY t""".stripMargin)
+    // the analyzed plan (subquery still an expression) must NOT prune
+    val analyzed: LogicalPlan = df.queryExecution.analyzed
+    val after = WdsPayloadPrune(analyzed)
+    assert(after.toString == analyzed.toString,
+      "correlated whole-map use must block pruning of the outer scan")
+    // end-to-end: every sample's fat bin survives the value predicate
+    assert(df.collect().length == 6)
   }
 
   test("to_dict (map_filter literal keep-set) prunes to the keep-set") {

@@ -87,6 +87,33 @@ class BloomIncrementalSpec extends SparkSpec {
     assert(allNull == Seq((13L, 0, -1L), (15L, 0, -1L)))
   }
 
+  test("count and sketch are built in ONE fused aggregate: exactly " +
+      "one eager action fires before the result is consumed") {
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      DedupQueries.bloomIncrementalFrom(docs, col("doc_id") % 2 === 1)
+      // the listener bus is async: wait for the first event, then a
+      // settle window long enough that a stray SECOND eager action
+      // (the fused build regressing to count-then-sketch) would land
+      val deadline = System.nanoTime() + 5000000000L
+      while (actions.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(500)
+      assert(actions.get() == 1,
+        s"the bloom build must be a single fused (count, sketch) " +
+          s"aggregate, saw ${actions.get()} eager actions")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("an all-fresh batch yields no dups; an empty batch is safe") {
     val fresh = DedupQueries
       .bloomIncrementalFrom(docs, col("doc_id").isin(5L, 11L))

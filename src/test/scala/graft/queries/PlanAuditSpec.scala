@@ -500,14 +500,19 @@ class PlanAuditSpec extends SparkSpec {
         s"qd28 shuffles document text: $names")
     }
     // the bloom prefilter must sit between the lake scan and the
-    // exact join: some filter above a scan evaluates the
-    // might-contain UDF
+    // exact join as the CODEGEN'D BloomFilterMightContain expression
+    // (the runtime-filter primitive), never a Scala UDF that would
+    // break the lake scan out of whole-stage codegen
     val hasBloomFilter = p.collect {
       case f: org.apache.spark.sql.execution.FilterExec
-        if f.condition.toString.contains("UDF") => f
+        if f.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain]) => f
     }
     assert(hasBloomFilter.nonEmpty,
-      "no bloom-UDF filter found on the lake branch")
+      "no might_contain filter found on the lake branch")
+    assert(!p.toString.contains("UDF"),
+      "qd28's plan must not contain any Scala UDF node")
   }
 
   test("wds DSv2 select pushdown: pinned in the scan's explain AND " +

@@ -521,6 +521,12 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, _, true) => median(ts) }.sum
+    // kept-minima envelope as a FIRST-CLASS headline (round-14 verdict
+    // #6): medians carry documented ambient noise on IO-heavy rows; the
+    // sum of kept minima is the honest capture-variance-resistant
+    // series the envelope radar already keys on — promote it from
+    // prose to the artifact
+    val totalMin = results.collect { case (_, ts, _, true) => ts.head }.sum
     // per-family subtotals (family = name prefix before the number) and
     // >2×-family-median outliers — the round-over-round regression radar
     val family = (n: String) => n.takeWhile(!_.isDigit)
@@ -540,7 +546,7 @@ object Bench {
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (round-10 verdict: the driver's stdout
     // parse came back `parsed: null` — the official number must also

@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   *   [--fingerprint exact|phash|image|audio] [--output clusters|pairs] \
   *   [--window 3] [--threshold-ppm 400000] [--grid 8] \
   *   [--audio-window 50] [--skip-corrupt]
+  *
+  * spark-submit --class graft.Pipeline graft.jar \
+  *   --stage audioaudit --input 'shards-{0..63}.tar' --save-path audit/
+  *   # per-shard mp3/aac/ogg corruption rates via the frame walks
   * }}}
   *
   * The reference's `--machine_id/--total_machine/--workers` sharding
@@ -401,10 +405,104 @@ object Pipeline {
               sum(when(col("survivor"), 1L).otherwise(0L))
                 .as("n_survivors"))
         }
+      // audio corruption-audit stage (mirrors the mediadedup posture):
+      // wds shards → mp3/aac/ogg entries routed through the mm33/34/35
+      // frame walks → per-shard corruption/truncation rates, no SQL.
+      // Payload pruning keeps the scan to headers + audio entries: on
+      // seekable storage a mixed-modality corpus costs audio bytes,
+      // not corpus bytes. Each walk is per-row, KBs of state: the
+      // audit reads frame/page headers (+ structural CRCs where the
+      // spec makes them payload-free: mp3 frame CRC-16, Ogg page
+      // CRC-32; ADTS crc spans need payload decode, so aac CRCs are
+      // counted, not validated — the mm34 adjudication).
+      case "audioaudit" =>
+        import graft.multimodal.{AacProbe, Mp3Probe, OggProbe}
+        // serves two namespaces: full tar entry names ("0001.mp3", the
+        // payloadFiles pushdown) and Sample.entries suffix keys ("mp3")
+        def kindOf(name: String): String = {
+          val n = name.toLowerCase(java.util.Locale.ROOT)
+          n.substring(n.lastIndexOf('.') + 1) match {
+            case "mp3" => "mp3"
+            case "aac" | "adts" => "aac"
+            case "ogg" | "oga" | "opus" => "ogg"
+            case _ => ""
+          }
+        }
+        val samples = WdsReader.read(spark, req("input"),
+          graft.wds.TarIO.ReadOptions(
+            payloadFiles = Some(n => kindOf(n).nonEmpty)))
+        implicit val enc: org.apache.spark.sql.Encoder[AudioEntryStat] =
+          org.apache.spark.sql.Encoders.product[AudioEntryStat]
+        val stats = samples.flatMap { smp =>
+          smp.entries.toSeq.flatMap { case (name, bytes) =>
+            val kind = kindOf(name)
+            if (kind.isEmpty) None
+            else Some(try {
+              kind match {
+                case "mp3" =>
+                  val m = Mp3Probe.probe(bytes)
+                  AudioEntryStat(smp.url, kind, m.nFrames, m.crcFrames,
+                    m.crcBad, 0L, 0L, 0L,
+                    if (m.declaredConsistent) 0 else 1,
+                    math.round(m.durationSec * 1000), 0)
+                case "aac" =>
+                  val m = AacProbe.probe(bytes)
+                  AudioEntryStat(smp.url, kind, m.nFrames,
+                    m.protectedFrames, 0L, m.junkBytes.toLong,
+                    m.truncatedBytes.toLong, m.configChanges.toLong, 0,
+                    math.round(m.durationSec * 1000), 0)
+                case _ =>
+                  val m = OggProbe.probe(bytes)
+                  AudioEntryStat(smp.url, kind, m.nPages.toLong,
+                    m.nPages.toLong, m.crcBad, 0L, 0L, 0L, 0,
+                    math.round(m.durationSec * 1000), 0)
+              }
+            } catch { case scala.util.control.NonFatal(_) =>
+              // the walks are fuzz-hardened; anything that still
+              // throws is a stream the audit must COUNT, not die on
+              AudioEntryStat(smp.url, kind, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+            })
+          }
+        }
+        val corrupt = col("crc_bad") > 0 || col("junk_bytes") > 0 ||
+          col("truncated_bytes") > 0 || col("config_changes") > 0 ||
+          col("inconsistent") > 0 || col("parse_error") > 0
+        val perShard = stats.toDF().groupBy(col("shard"), col("kind"))
+          .agg(count(lit(1)).as("n_streams"),
+            sum(when(corrupt, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(col("frames")).as("n_frames"),
+            sum(col("crc_checked")).as("crc_checked"),
+            sum(col("crc_bad")).as("crc_bad"),
+            sum(col("junk_bytes")).as("junk_bytes"),
+            sum(col("truncated_bytes")).as("truncated_bytes"),
+            sum(col("config_changes")).as("config_changes"),
+            sum(col("inconsistent")).as("inconsistent"),
+            sum(col("parse_error")).as("parse_errors"),
+            sum(col("dur_ms")).as("dur_ms"))
+          .withColumn("corrupt_ppm",
+            (col("n_corrupt") * lit(1000000L) / col("n_streams"))
+              .cast("long"))
+        perShard.write.mode("overwrite").parquet(req("save-path"))
+        // bounded driver-side report row per kind, like the other stages
+        spark.read.parquet(req("save-path"))
+          .groupBy(col("kind"))
+          .agg(sum(col("n_streams")).as("n_streams"),
+            sum(col("n_corrupt")).as("n_corrupt"),
+            sum(col("crc_bad")).as("crc_bad"),
+            sum(col("truncated_bytes")).as("truncated_bytes"),
+            sum(col("dur_ms")).as("dur_ms"))
+          .orderBy(col("kind"))
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }
   }
+
+  /** One audio entry's walk result, pre-aggregation (audioaudit). */
+  private[graft] final case class AudioEntryStat(
+      shard: String, kind: String, frames: Long, crc_checked: Long,
+      crc_bad: Long, junk_bytes: Long, truncated_bytes: Long,
+      config_changes: Long, inconsistent: Int, dur_ms: Long,
+      parse_error: Int)
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)

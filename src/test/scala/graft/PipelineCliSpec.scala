@@ -509,4 +509,54 @@ class PipelineCliSpec extends SparkSpec {
     assert(report.getLong(1) == 2L) // clusters: {(1,0),(1,1)}, {(2,0)}
     assert(report.getLong(2) == 2L) // survivors
   }
+
+  test("audioaudit stage: mp3/aac/ogg entries walk to per-shard " +
+      "corruption rates through the CLI") {
+    import graft.multimodal.{AacProbe, Mp3Probe, OggProbe}
+    val dir = Files.createTempDirectory("cli_audio").toString
+    val out = new java.io.FileOutputStream(s"$dir/audio-000000.tar")
+    val w = new graft.wds.TarIO.TarWriter(out)
+    def sample(key: String, entries: Map[String, Array[Byte]]): Unit =
+      w.write(graft.wds.Sample(key, "", entries)): Unit
+    // clean mp3 + mp3 with one corrupt frame CRC
+    sample("000000", Map(
+      "mp3" -> Mp3Probe.encodeHeaders(8, _ => 9, withCrc = true),
+      "json" -> "{}".getBytes("UTF-8"))) // non-audio entry: ignored
+    sample("000001", Map("mp3" -> Mp3Probe.encodeHeaders(8, _ => 9,
+      withCrc = true, corruptCrcAt = 3)))
+    // clean aac + truncated aac
+    sample("000002", Map("aac" -> AacProbe.encodeAdts(6, _ => 100,
+      srIdx = 3, channels = 2, profile = 1, withCrc = true)))
+    sample("000003", Map("aac" -> AacProbe.encodeAdts(6, _ => 100,
+      srIdx = 3, channels = 2, profile = 1, withCrc = true,
+      truncateTail = 5)))
+    // clean ogg + page-CRC-corrupt ogg
+    sample("000004", Map("ogg" -> OggProbe.encodeMinimalOpus(
+      2, 100, 48000, 10)))
+    sample("000005", Map("ogg" -> OggProbe.encodeMinimalOpus(
+      2, 100, 48000, 10, corruptCrcAt = 4)))
+    w.close()
+
+    val save = Files.createTempDirectory("cli_audio_out").toString
+    val report = Pipeline.run(spark, Map(
+      "stage" -> "audioaudit", "input" -> s"$dir/audio-000000.tar",
+      "save-path" -> save))
+      .orderBy(col("kind")).collect()
+    // per-kind report: (kind, n_streams, n_corrupt, crc_bad,
+    // truncated_bytes, dur_ms)
+    assert(report.map(_.getString(0)).toSeq == Seq("aac", "mp3", "ogg"))
+    assert(report.forall(_.getLong(1) == 2L), "2 streams per kind")
+    assert(report.forall(_.getLong(2) == 1L),
+      "exactly one corrupt stream per kind")
+    val perShard = spark.read.parquet(save).collect()
+    assert(perShard.length == 3, "one row per (shard, kind)")
+    assert(perShard.forall(_.getAs[Long]("corrupt_ppm") == 500000L))
+    val mp3Row = perShard.find(_.getAs[String]("kind") == "mp3").get
+    assert(mp3Row.getAs[Long]("crc_bad") == 1L)
+    assert(mp3Row.getAs[Long]("n_frames") == 16L)
+    val aacRow = perShard.find(_.getAs[String]("kind") == "aac").get
+    assert(aacRow.getAs[Long]("truncated_bytes") == (9 + 100 - 5).toLong)
+    val oggRow = perShard.find(_.getAs[String]("kind") == "ogg").get
+    assert(oggRow.getAs[Long]("crc_bad") == 1L)
+  }
 }

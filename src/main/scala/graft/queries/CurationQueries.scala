@@ -101,6 +101,18 @@ object CurationQueries extends QueryRegistry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Probe hook (Qd25Probe --cold-cache): drop + unpersist this
+    * session's exploded-shingle relations so a rep pays the cold
+    * persist build, isolating its share of first-rep wall. */
+  private[graft] def clearExplodedCache(s: SparkSession): Unit =
+    explodedCache.synchronized {
+      val m = explodedCache.remove(s)
+      if (m != null) m.values().forEach { df =>
+        try df.unpersist(blocking = true): Unit
+        catch { case _: Exception => () }
+      }
+    }
+
   /** Core of qd11 over any exploded (doc_id, sh) frame — shared with
     * the scale probe. */
   private[graft] def decontamFrom(sh: DataFrame): DataFrame = {

@@ -11,7 +11,8 @@ are copied unchanged from sf0.1 (overwritten on every run, so a
 regenerated sf0.1 never leaves stale copies behind). Oracles need no
 changes: the DuckDB replay reads the same parquet.
 
-Usage: python3 scripts/gen_sf1.py [outdir]   (default /tmp/sf1)
+Usage: python3 scripts/gen_sf1.py [outdir] [factor]
+(default /tmp/sf1, factor 10; factor 100 -> an sf10 decade fixture)
 (Driver-side python/duckdb only — not part of the Scala library.)
 """
 import os
@@ -24,7 +25,9 @@ SRC = "/root/testdata/sf0.1"
 FACTOR = 10
 
 
-def main(out):
+def main(out, factor=FACTOR):
+    global FACTOR
+    FACTOR = factor
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"""
@@ -74,4 +77,5 @@ def main(out):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1",
+         int(sys.argv[2]) if len(sys.argv) > 2 else 10)

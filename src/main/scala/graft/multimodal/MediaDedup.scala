@@ -226,12 +226,12 @@ object MediaDedup {
     sigs
   }
 
-  def shingleNearDup(media: DataFrame, stageDir: String,
-      fingerprint: Array[Byte] => IndexedSeq[String],
-      window: Int = 3, thresholdPpm: Long = 400000L,
-      skipCorrupt: Boolean = false): DataFrame = {
-    val sigs = stageShingles(media, stageDir, fingerprint, window,
-      skipCorrupt)
+  /** The verified-pair join of [[shingleNearDup]] over an already-
+    * staged `(media_id, take, sh, n_sh)` relation — factored out so
+    * [[nearDupClusters]] can run it over signature-class
+    * REPRESENTATIVES only. Unordered (callers sort or feed CC). */
+  private[multimodal] def pairsFromSigs(sigs: DataFrame,
+      thresholdPpm: Long): DataFrame = {
     val a = sigs.select(col("media_id").as("a_id"),
       col("take").as("a_take"), col("sh"), col("n_sh").as("a_n"))
     val b = sigs.select(col("media_id").as("b_id"),
@@ -248,8 +248,16 @@ object MediaDedup {
         floor(lit(1000000L) * col("shared") /
           (col("a_n") + col("b_n") - col("shared"))).as("jaccard_ppm"))
       .where(col("jaccard_ppm") >= thresholdPpm)
-      .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
   }
+
+  def shingleNearDup(media: DataFrame, stageDir: String,
+      fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, thresholdPpm: Long = 400000L,
+      skipCorrupt: Boolean = false): DataFrame =
+    pairsFromSigs(
+      stageShingles(media, stageDir, fingerprint, window, skipCorrupt),
+      thresholdPpm)
+      .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
 
   /** Corpus-scale termination of [[shingleNearDup]]: the pair list is
     * inherently quadratic in cluster size, so a 100 TB dedup job
@@ -268,13 +276,77 @@ object MediaDedup {
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, thresholdPpm: Long = 400000L,
       maxIters: Int = 50, skipCorrupt: Boolean = false): DataFrame = {
-    val pairs = shingleNearDup(media, stageDir, fingerprint, window,
-      thresholdPpm, skipCorrupt)
+    // Threshold ≤ 1e6 ppm is what makes the exact-dup pre-collapse
+    // below lossless (identical sets verify at exactly 1e6); a larger
+    // value would be a caller error anyway (nothing can pass it)
+    require(thresholdPpm <= 1000000L,
+      s"thresholdPpm $thresholdPpm > 1e6: no pair can verify")
+    val sigs = stageShingles(media, stageDir, fingerprint, window,
+      skipCorrupt)
     def key(id: Column, take: Column): Column =
       struct(id.as("media_id"), take.as("take"))
-    val edges = pairs.select(
-      key(col("a_id"), col("a_take")).as("a_id"),
-      key(col("b_id"), col("b_take")).as("b_id"))
+    // EXACT-duplicate pre-collapse (round-15 decade ring: the sf10
+    // fixture's identical-content classes of ~56 takes drove the
+    // verified-pair join to 39 GB of shuffle / 290 GB of spill —
+    // re-uploaded byte-identical media is the most common corpus
+    // shape, and all-pairs within a class is pure waste). Takes with
+    // IDENTICAL shingle sets form a signature class; the pairwise
+    // join runs over one REPRESENTATIVE per class and classes wire up
+    // internally as a star. The cluster result is PROVABLY identical:
+    //  - within a class every pair has Jaccard exactly 1e6 ppm ≥ any
+    //    legal threshold, so the star edges are verified pairs of the
+    //    original graph and connect the class exactly as all-pairs
+    //    would;
+    //  - across classes jaccard(x, y) depends only on the two shingle
+    //    SETS, so the representative pair's verdict is every member
+    //    pair's verdict, and rep–rep edges plus the stars reproduce
+    //    the original connectivity (x–rx–ry–y);
+    //  - the class key is (count, ⊕ xxhash64(sh), ⊕ xxhash64(sh, 2)) —
+    //    three COMMUTATIVE 64-bit accumulators (xor cannot overflow
+    //    under ANSI mode, unlike a Long sum), so the aggregate
+    //    map-side combines (a sorted collect_list would push every
+    //    shingle through the shuffle; these push three longs per key)
+    //    and order-insensitivity is structural. A collision merges two
+    //    classes — the same accepted posture as the staged md5 shingle
+    //    hashes, at ~2^-128 per class pair (two independent seeds).
+    // Cost: one combined aggregate + one join, linear; the quadratic
+    // term drops from (class size)² to (distinct signatures sharing a
+    // shingle)².
+    val sigClass = sigs
+      .groupBy(col("media_id"), col("take"))
+      .agg(struct(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(sh))").as("x1"),
+        expr("bit_xor(xxhash64(sh, 2))").as("x2")).as("sig"))
+    // ADAPTIVE: the collapse machinery (reps, two joins, a star union
+    // — several serial AQE stages) only pays for itself when exact-dup
+    // classes EXIST. One cheap aggregate over the per-take signature
+    // frame decides; a corpus of all-distinct takes (the sf0.1 gate,
+    // most healthy corpora) keeps the original single-join plan. The
+    // branch is a pure function of the input, and both arms produce
+    // the same clusters (the equivalence law above — spec-pinned).
+    val cnt = sigClass.agg(count(lit(1)).as("n"),
+      count_distinct(col("sig")).as("d")).head()
+    val edges = if (cnt.getLong(0) == cnt.getLong(1)) {
+      pairsFromSigs(sigs, thresholdPpm).select(
+        key(col("a_id"), col("a_take")).as("a_id"),
+        key(col("b_id"), col("b_take")).as("b_id"))
+    } else {
+      val reps = sigClass.groupBy(col("sig"))
+        .agg(min(struct(col("media_id"), col("take"))).as("rep"))
+      val withRep = sigClass.join(reps, "sig")
+      val starEdges = withRep
+        .where(key(col("media_id"), col("take")) =!= col("rep"))
+        .select(col("rep").as("a_id"),
+          key(col("media_id"), col("take")).as("b_id"))
+      val repSigs = sigs.join(
+        reps.select(col("rep.media_id").as("media_id"),
+          col("rep.take").as("take")),
+        Seq("media_id", "take"))
+      val repEdges = pairsFromSigs(repSigs, thresholdPpm).select(
+        key(col("a_id"), col("a_take")).as("a_id"),
+        key(col("b_id"), col("b_take")).as("b_id"))
+      repEdges.unionByName(starEdges)
+    }
     // content prunes away: only the (media_id, take) spine is scanned
     val vertices = media
       .select(key(col("media_id"), col("take")).as("id")).distinct()

@@ -1247,6 +1247,38 @@ object CurationQueries extends QueryRegistry {
         "near_keep", "span_keep", "decontam_keep", "n_curated")
   }
 
+  /** Ring-only (NOT an oracle row): qc07's funnel with the qd27
+    * bucket-cap skew guard enabled — the production posture for
+    * corpora with hot near-dup families. The uncapped funnel's
+    * candidate set is inherently quadratic in family size (a
+    * 100-member family of GENUINELY distinct near-dups has 4,950 true
+    * pairs; no algorithm that verifies each pair avoids them), so the
+    * decade ring measures this form alongside it: hot buckets drop
+    * whole, cost stays bucket-bounded. Semantics differ from qc07 by
+    * exactly the documented qd27 loss — members of over-cap buckets
+    * with no other witness band stay unclustered. */
+  private[graft] def curateFunnelCapped(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val res = graft.curate.CurateStage.run(
+      Tables(s, dir).documents.select(col("doc_id"), col("text"),
+        col("lang")),
+      graft.curate.CurateStage.CurateOptions(
+        minWords = 30, maxDupFrac = 0.5,
+        rates = MixRates, defaultRate = 0, gramK = GramK,
+        evalPath = Some(evalStage(s, dir)),
+        nearDupJaccard = Some(0.5),
+        lshBucketCap = Some(10)))
+    val r = res.stats.collect()(0)
+    res.close()
+    Seq((r.getAs[Long]("n_docs"), r.getAs[Long]("quality_keep"),
+        r.getAs[Long]("mix_keep"), r.getAs[Long]("exact_keep"),
+        r.getAs[Long]("near_keep"), r.getAs[Long]("span_keep"),
+        r.getAs[Long]("decontam_keep"), r.getAs[Long]("n_curated")))
+      .toDF("n_docs", "quality_keep", "mix_keep", "exact_keep",
+        "near_keep", "span_keep", "decontam_keep", "n_curated")
+  }
+
   /** Sequential-survivor replay of the whole funnel. Reuses the dedup
     * tier's minhash/LSH CTEs (full-corpus signatures are per-document,
     * so restricting candidate pairs to exact-dedup survivors equals

@@ -216,6 +216,63 @@ class MediaDedupSpec extends SparkSpec {
       (3L, 0, 1L, 0, false), (9L, 0, 9L, 0, true)))
   }
 
+  test("exact-dup pre-collapse: clusters equal the all-pairs spelling " +
+      "on identical-content classes + cross-class near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct => fstruct}
+    // class A: three byte-identical takes; class B: two identical
+    // takes NEAR class A (share 3 of 4/5 units); class C: disjoint
+    // pair of identical takes; singleton; corrupt zero-shingle row
+    val a = Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)
+    val b = Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5)
+    val c = Array[Byte](7, 7, 8, 8, 9, 9, 10, 10)
+    val media = Seq(
+      (1L, 0, a), (2L, 0, a), (2L, 1, a),
+      (4L, 0, b), (5L, 0, b),
+      (6L, 0, c), (7L, 0, c),
+      (9L, 0, Array[Byte](11, 11, 12, 12, 13, 13)),
+      (10L, 0, Array[Byte](0))) // shorter than window: no shingles
+      .toDF("media_id", "take", "content")
+    val stage1 =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val got = MediaDedup.nearDupClusters(media, stage1, fp2, window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    // the reference spelling: ALL verified pairs -> CC (the
+    // pre-collapse must be invisible to the result)
+    val stage2 =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val sigs = MediaDedup.stageShingles(media, stage2, fp2, window = 2)
+    val allPairs = MediaDedup.pairsFromSigs(sigs, 400000L)
+    val edges = allPairs.select(
+      fstruct(col("a_id").as("media_id"), col("a_take").as("take"))
+        .as("a_id"),
+      fstruct(col("b_id").as("media_id"), col("b_take").as("take"))
+        .as("b_id"))
+    val vertices = media.select(
+      fstruct(col("media_id"), col("take")).as("id")).distinct()
+    val want = graft.functions.ConnectedComponents
+      .run(edges, vertices, 50)
+      .select(col("id.media_id"), col("id.take"),
+        col("label.media_id"), col("label.take"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(0) == r.getLong(2) && r.getInt(1) == r.getInt(3)))
+      .toSeq.sorted
+    assert(got.sorted == want,
+      s"pre-collapsed clusters diverge from all-pairs:\n$got\nvs\n$want")
+    // sanity on the shape itself: A+B merge (near-dup across classes),
+    // C is its own 2-cluster, 9 and 10 are singletons
+    val byCluster = got.groupBy(t => (t._3, t._4)).view
+      .mapValues(_.map(t => (t._1, t._2)).sorted).toMap
+    assert(byCluster((1L, 0)) ==
+      Seq((1L, 0), (2L, 0), (2L, 1), (4L, 0), (5L, 0)))
+    assert(byCluster((6L, 0)) == Seq((6L, 0), (7L, 0)))
+    assert(byCluster((9L, 0)) == Seq((9L, 0)))
+    assert(byCluster((10L, 0)) == Seq((10L, 0)))
+  }
+
   test("compactVerdicts: streaming end state equals the batch keep-list") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

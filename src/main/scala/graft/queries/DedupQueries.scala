@@ -1143,8 +1143,15 @@ object DedupQueries extends QueryRegistry {
     * qd15 contract) are found with a window over the fingerprint —
     * one shuffle of the batch, never a self-join. */
   private def bloomIncremental(s: SparkSession, dir: String): DataFrame =
+    // capacity = the GATE corpus's batch ceiling (sf10 = 250k odd
+    // docs), not the library's 1M API default: each ladder tier holds
+    // a per-task aggregation buffer of ~bits(capacity), so a blind 1M
+    // ceiling ships ~1 MB per task through the partial/final merge —
+    // a measurable constant on a 0.5 s row. Real ingest gates size
+    // this from their batch envelope the same way.
     bloomIncrementalFrom(Tables(s, dir).documents,
-      isNew = col("doc_id") % 2 === 1)
+      isNew = col("doc_id") % 2 === 1,
+      capacity = 250000L)
       .orderBy(col("new_id"))
 
   /** md5 prefix fingerprint: first `n` words of the lowercased text.
@@ -1160,15 +1167,27 @@ object DedupQueries extends QueryRegistry {
         lit("utf-8"))))
 
   /** Sketch sizing for [[bloomIncrementalFrom]]'s fused aggregate: the
-    * single-pass build can't size from an exact pre-count, so the
-    * capacity is a parameter (a daily-ingest gate knows its batch
-    * envelope). An UNDERSIZED sketch only raises the false-positive
-    * rate — more lake rows admitted into the exact equi-join — and can
-    * never change the result. 3% fpp ⇒ ~7.3 bits/key. */
+    * single-pass build can't size from an exact pre-count, so
+    * `capacity` is the CEILING (a daily-ingest gate knows its batch
+    * envelope) and the one pass builds a small GRADUATED LADDER of
+    * sketches (capacity/100, capacity/10, capacity — three cheap
+    * xxhash64 updates per row in the same aggregate), picking the
+    * smallest tier whose capacity covers the observed count. A blind
+    * single-capacity sketch must be sized for the ceiling, which ships
+    * a ~1 MB literal with every task even when the batch is 2k keys
+    * (stamped as a qd28 regression by the r15 bench radar — ~+0.3 s at
+    * sf0.1); the ladder keeps the literal proportional to the batch
+    * while staying one job. An UNDERSIZED sketch (batch above the
+    * ceiling) only raises the false-positive rate — more lake rows
+    * admitted into the exact equi-join — and can never change the
+    * result. 3% fpp ⇒ ~7.3 bits/key. */
   private[graft] val BloomBatchCapacity = 1000000L
   private[graft] def bloomNumBits(capacity: Long, fpp: Double): Long =
     math.ceil(-capacity * math.log(fpp) /
       (math.log(2) * math.log(2))).toLong
+  private[graft] def bloomTiers(capacity: Long): Seq[Long] =
+    Seq(capacity / 100, capacity / 10, capacity)
+      .map(math.max(_, 1000L)).distinct
 
   /** qd28 core over any (doc_id, text) frame — shared with the spec,
     * which also calls it with the bloom stage instrumented. */
@@ -1198,16 +1217,26 @@ object DedupQueries extends QueryRegistry {
     // increment OR an all-null-text one must both short-circuit to
     // the trivial no-dups result
     val keyedBatch = batch.filter($"ch".isNotNull)
-    val sketchCol = toCol(new BloomFilterAggregate(
-      toExpr(xxhash64($"ch")),
-      Literal(math.max(capacity, 1000L)),
-      Literal(bloomNumBits(math.max(capacity, 1000L), 0.03)))
-      .toAggregateExpression()).as("bloom")
-    val fused = keyedBatch.agg(count($"ch").as("n"), sketchCol).head()
-    if (fused.getLong(0) == 0)
+    val tiers = bloomTiers(capacity)
+    val sketchCols = tiers.zipWithIndex.map { case (cap, i) =>
+      toCol(new BloomFilterAggregate(
+        toExpr(xxhash64($"ch")),
+        Literal(cap), Literal(bloomNumBits(cap, 0.03)))
+        .toAggregateExpression()).as(s"bloom$i")
+    }
+    val fused = keyedBatch
+      .agg(count($"ch").as("n"), sketchCols: _*).head()
+    val nKeyed = fused.getLong(0)
+    if (nKeyed == 0)
       return batch.select($"new_id", lit(0).as("is_dup"),
         lit(-1L).as("match_id"))
-    val bloomBytes = fused.getAs[Array[Byte]](1)
+    // smallest tier that covers the observed count; the top tier
+    // otherwise (over-ceiling batches degrade fpp, never correctness)
+    val tier = tiers.indexWhere(_ >= nKeyed) match {
+      case -1 => tiers.length - 1
+      case i => i
+    }
+    val bloomBytes = fused.getAs[Array[Byte]](1 + tier)
     // the serialized sketch rides the plan as a binary literal — the
     // same transport InjectRuntimeFilter's materialized subquery uses.
     // Null fingerprints (null text, per prefixFingerprint's null gate)

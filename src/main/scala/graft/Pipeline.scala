@@ -416,7 +416,7 @@ object Pipeline {
       // CRC-32; ADTS crc spans need payload decode, so aac CRCs are
       // counted, not validated — the mm34 adjudication).
       case "audioaudit" =>
-        import graft.multimodal.{AacProbe, Mp3Probe, OggProbe}
+        import graft.multimodal.{AacProbe, FlacCodec, Mp3Probe, OggProbe, WavCodec}
         // serves two namespaces: full tar entry names ("0001.mp3", the
         // payloadFiles pushdown) and Sample.entries suffix keys ("mp3")
         def kindOf(name: String): String = {
@@ -425,6 +425,8 @@ object Pipeline {
             case "mp3" => "mp3"
             case "aac" | "adts" => "aac"
             case "ogg" | "oga" | "opus" => "ogg"
+            case "flac" => "flac"
+            case "wav" => "wav"
             case _ => ""
           }
         }
@@ -450,6 +452,22 @@ object Pipeline {
                   AudioEntryStat(smp.url, kind, m.nFrames,
                     m.protectedFrames, 0L, m.junkBytes.toLong,
                     m.truncatedBytes.toLong, m.configChanges.toLong, 0,
+                    math.round(m.durationSec * 1000), 0)
+                case "flac" =>
+                  // FULL decode: every frame's CRC-8/CRC-16 verified
+                  // by construction — a mismatch throws and counts as
+                  // parse_error below (the lossless-tier integrity
+                  // audit; mp3/aac/ogg stay header/CRC walks)
+                  val m = FlacCodec.decode(bytes)
+                  AudioEntryStat(smp.url, kind, m.frames.toLong,
+                    m.frames.toLong, 0L, 0L, 0L, 0L, 0,
+                    math.round(m.durationSec * 1000), 0)
+                case "wav" =>
+                  // structural decode (RIFF/fmt/data walk; truncation
+                  // and chunk lies throw → parse_error)
+                  val m = WavCodec.decode(bytes)
+                  AudioEntryStat(smp.url, kind, m.frames.toLong,
+                    0L, 0L, 0L, 0L, 0L, 0,
                     math.round(m.durationSec * 1000), 0)
                 case _ =>
                   val m = OggProbe.probe(bytes)

@@ -535,6 +535,21 @@ class PipelineCliSpec extends SparkSpec {
       2, 100, 48000, 10)))
     sample("000005", Map("ogg" -> OggProbe.encodeMinimalOpus(
       2, 100, 48000, 10, corruptCrcAt = 4)))
+    // clean flac + bit-flipped flac (frame CRC mismatch -> typed
+    // error -> parse_error); clean wav + truncated wav
+    import graft.multimodal.{FlacCodec, WavCodec}
+    val flac = FlacCodec.encode(FlacCodec.Flac(8000, 1, 16,
+      Array.tabulate(4096)(i => (i * 37 % 2048) - 1024)))
+    sample("000006", Map("flac" -> flac))
+    val badFlac = flac.clone()
+    badFlac(badFlac.length - 10) =
+      (badFlac(badFlac.length - 10) ^ 0x40).toByte
+    sample("000007", Map("flac" -> badFlac))
+    val wav = WavCodec.encode(WavCodec.Wav(8000, 1,
+      Array.tabulate(800)(i => (i * 13).toShort)))
+    sample("000008", Map("wav" -> wav))
+    sample("000009", Map("wav" ->
+      java.util.Arrays.copyOfRange(wav, 0, wav.length - 100)))
     w.close()
 
     val save = Files.createTempDirectory("cli_audio_out").toString
@@ -544,12 +559,13 @@ class PipelineCliSpec extends SparkSpec {
       .orderBy(col("kind")).collect()
     // per-kind report: (kind, n_streams, n_corrupt, crc_bad,
     // truncated_bytes, dur_ms)
-    assert(report.map(_.getString(0)).toSeq == Seq("aac", "mp3", "ogg"))
+    assert(report.map(_.getString(0)).toSeq ==
+      Seq("aac", "flac", "mp3", "ogg", "wav"))
     assert(report.forall(_.getLong(1) == 2L), "2 streams per kind")
     assert(report.forall(_.getLong(2) == 1L),
       "exactly one corrupt stream per kind")
     val perShard = spark.read.parquet(save).collect()
-    assert(perShard.length == 3, "one row per (shard, kind)")
+    assert(perShard.length == 5, "one row per (shard, kind)")
     assert(perShard.forall(_.getAs[Long]("corrupt_ppm") == 500000L))
     val mp3Row = perShard.find(_.getAs[String]("kind") == "mp3").get
     assert(mp3Row.getAs[Long]("crc_bad") == 1L)

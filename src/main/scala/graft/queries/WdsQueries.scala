@@ -1490,6 +1490,38 @@ object WdsQueries extends QueryRegistry {
       |  reverse(text) AS r_text
       |FROM documents WHERE doc_id % 7 <> 0 ORDER BY key""".stripMargin
 
+  /** wds35: M2 RoundRobin + W6 slice as an ORACLE row (previously
+    * unit-only): three key-ordered sources interleave round-robin
+    * (rank within source, then source index — `SampleOps.
+    * roundRobinWith`'s exact order) and the first 100 of the
+    * interleave are kept. The kept SET pins the interleave order —
+    * a wrong rank/source tiebreak changes which keys survive the
+    * slice. Presentation re-sorts by key (the driver compare is
+    * order-insensitive; the slice is where order matters). */
+  private def roundRobinSlice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    def src(m: Long) = Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .filter(d => d % 3 == m)
+      .map(d => Sample(f"$d%09d", "", Map.empty[String, Array[Byte]]))
+    src(0).roundRobinWith(src(1), src(2)).slice(100)
+      .toDF().select(col("key")).orderBy(col("key"))
+  }
+
+  private val roundRobinSliceSql =
+    """WITH s AS (
+      |  SELECT printf('%09d', doc_id) AS key,
+      |    (doc_id % 3)::INT AS src
+      |  FROM documents),
+      |r AS (
+      |  SELECT key, src,
+      |    row_number() OVER (PARTITION BY src ORDER BY key) AS rn
+      |  FROM s),
+      |topn AS (SELECT key FROM r ORDER BY rn, src LIMIT 100)
+      |SELECT key FROM topn ORDER BY key""".stripMargin
+
   private val npyRoundtripSql =
     """WITH n AS (
       |  SELECT doc_id, (3 + doc_id % 5)::BIGINT AS n FROM documents),
@@ -2370,6 +2402,8 @@ object WdsQueries extends QueryRegistry {
       Some(SimilarityQueries.bruteTopKSql), bench = true),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
+    "wds35_roundrobin_slice" ->
+      QueryDef(roundRobinSlice, Some(roundRobinSliceSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),

@@ -1510,6 +1510,40 @@ object WdsQueries extends QueryRegistry {
       .toDF().select(col("key")).orderBy(col("key"))
   }
 
+  /** wds36: B4/B5 batched/unbatched + P15 valid_sample as an ORACLE
+    * row (previously unit-only): docs become samples (doc_id % 11 == 0
+    * gets an EMPTY entries map — the invalid shape `valid_sample`
+    * drops), the survivors batch into 7-sample groups per partition
+    * and unbatch again. The law under oracle: the roundtrip is the
+    * identity on the valid set — every surviving key exactly once,
+    * payload intact (batch composition is partition-dependent, so the
+    * batches themselves are NOT asserted; the identity is). */
+  private def batchRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    val ds0 = Tables(s, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d, t) =>
+        Sample(f"$d%09d", "", if (d % 11 == 0)
+          Map.empty[String, Array[Byte]]
+        else Map("t" -> t.getBytes("UTF-8")))
+      }
+    val rt = ds0.validSamples.batched(7).transform(b =>
+      ds0.unbatchedFrom(b))
+    rt.toDF()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        max(length(element_at(col("entries"), lit("t"))))
+          .as("t_len"))
+      .orderBy(col("key"))
+  }
+
+  private val batchRoundtripSql =
+    """SELECT printf('%09d', doc_id) AS key, 1::BIGINT AS n,
+      |  octet_length(encode(text))::INT AS t_len
+      |FROM documents WHERE doc_id % 11 <> 0 ORDER BY key""".stripMargin
+
   private val roundRobinSliceSql =
     """WITH s AS (
       |  SELECT printf('%09d', doc_id) AS key,
@@ -2404,6 +2438,8 @@ object WdsQueries extends QueryRegistry {
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
     "wds35_roundrobin_slice" ->
       QueryDef(roundRobinSlice, Some(roundRobinSliceSql)),
+    "wds36_batch_roundtrip" ->
+      QueryDef(batchRoundtrip, Some(batchRoundtripSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),

@@ -1247,16 +1247,22 @@ object CurationQueries extends QueryRegistry {
         "near_keep", "span_keep", "decontam_keep", "n_curated")
   }
 
-  /** Ring-only (NOT an oracle row): qc07's funnel with the qd27
-    * bucket-cap skew guard enabled — the production posture for
-    * corpora with hot near-dup families. The uncapped funnel's
-    * candidate set is inherently quadratic in family size (a
-    * 100-member family of GENUINELY distinct near-dups has 4,950 true
-    * pairs; no algorithm that verifies each pair avoids them), so the
-    * decade ring measures this form alongside it: hot buckets drop
-    * whole, cost stays bucket-bounded. Semantics differ from qc07 by
-    * exactly the documented qd27 loss — members of over-cap buckets
-    * with no other witness band stay unclustered. */
+  /** qc10: qc07's funnel with the qd27 bucket-cap skew guard enabled —
+    * the production posture for corpora with hot near-dup families.
+    * The uncapped funnel's candidate set is inherently quadratic in
+    * family size (a 100-member family of GENUINELY distinct near-dups
+    * has 4,950 true pairs; no algorithm that verifies each pair avoids
+    * them); here hot candidate buckets drop whole and cost stays
+    * bucket-bounded — the decade ring measured 32.5 s at sf10 vs the
+    * uncapped 249 s. Semantics differ from qc07 by exactly the
+    * documented qd27 loss — members of over-cap buckets with no other
+    * witness band stay unclustered. At the sf gates the cap does NOT
+    * bind (exact-dedup runs first and shrinks every family below 10),
+    * so qc10 == qc07 there by data and the oracle verifies the capped
+    * bucket arithmetic agrees across engines; the BINDING divergence
+    * is pinned where it can bind — CurateStageSpec's cap-1 row (pairs
+    * vanish, members survive as singletons) and qd27's own gate (cap
+    * binds on the raw corpus at sf0.1). */
   private[graft] def curateFunnelCapped(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1268,7 +1274,7 @@ object CurationQueries extends QueryRegistry {
         rates = MixRates, defaultRate = 0, gramK = GramK,
         evalPath = Some(evalStage(s, dir)),
         nearDupJaccard = Some(0.5),
-        lshBucketCap = Some(10)))
+        lshBucketCap = Some(DedupQueries.LshBucketCap)))
     val r = res.stats.collect()(0)
     res.close()
     Seq((r.getAs[Long]("n_docs"), r.getAs[Long]("quality_keep"),
@@ -1285,7 +1291,15 @@ object CurationQueries extends QueryRegistry {
     * running LSH over the survivor subset) and the 5-gram CTE for
     * spans/decontam (document frequency counted over span-stage
     * survivors ONLY, eval grams over the raw held-out slice). */
-  private val curateFunnelSql = {
+  /** Funnel oracle with the near-dup CANDIDATE CTE (`c3`, pairs over
+    * exact-dedup survivors) pluggable: the uncapped gate restricts the
+    * full-corpus `cand` to survivors; the capped gate (qc10) rebuilds
+    * buckets over the survivor set and drops over-cap buckets whole —
+    * exactly where the engine applies the cap (`jaccardFrom(s3, tau,
+    * lshBucketCap)` builds bands over s3). Band values per doc are a
+    * pure function of the doc's own signature, so restricting `eb` to
+    * s3 equals recomputing bands over s3. */
+  private def curateFunnelSqlFor(c3Cte: String): String = {
     val rate = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0 END")
     val nw = "len(string_split(text, ' '))"
@@ -1311,9 +1325,7 @@ object CurationQueries extends QueryRegistry {
        |  FROM documents d JOIN m USING (doc_id)
        |  WHERE m.mix_keep = 1 GROUP BY md5(d.text)),
        |s3 AS (SELECT doc_id FROM ek),
-       |c3 AS (
-       |  SELECT a_id, b_id FROM cand
-       |  JOIN s3 a ON a_id = a.doc_id JOIN s3 b ON b_id = b.doc_id),
+       |$c3Cte,
        |sh3 AS (
        |  SELECT doc_id, unnest(list_distinct(shs)) AS sh
        |  FROM s JOIN s3 USING (doc_id)),
@@ -1375,7 +1387,26 @@ object CurationQueries extends QueryRegistry {
       .stripMargin
   }
 
+  private val curateFunnelSql = curateFunnelSqlFor(
+    """c3 AS (
+      |  SELECT a_id, b_id FROM cand
+      |  JOIN s3 a ON a_id = a.doc_id JOIN s3 b ON b_id = b.doc_id)"""
+      .stripMargin)
+
+  private val curateFunnelCappedSql = curateFunnelSqlFor(
+    s"""eb3 AS (
+      |  SELECT eb.doc_id, eb.band FROM eb JOIN s3 USING (doc_id)),
+      |hot3 AS (SELECT band FROM eb3 GROUP BY band
+      |         HAVING count(*) > ${DedupQueries.LshBucketCap}),
+      |ebk AS (SELECT doc_id, band FROM eb3 ANTI JOIN hot3 USING (band)),
+      |c3 AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ebk a JOIN ebk b ON a.band = b.band
+      |   AND a.doc_id < b.doc_id)""".stripMargin)
+
   override val defs: Map[String, QueryDef] = Map(
+    "qc10_curate_funnel_capped" ->
+      QueryDef(curateFunnelCapped, Some(curateFunnelCappedSql)),
     "qc07_curate_funnel" -> QueryDef(curateFunnel, Some(curateFunnelSql),
       bench = true),
     "qc06_dsir_select" -> QueryDef(dsirSelect, Some(dsirSelectSql), bench = true),

@@ -189,7 +189,7 @@ object DedupQueries extends QueryRegistry {
   /** Bucket-size ceiling for qd27. Binds at sf0.1 (4 buckets above
     * it, max 16) and is provably a no-op on the smaller fixtures
     * (max bucket 4), so the gate certifies both regimes. */
-  private val LshBucketCap = 10
+  private[queries] val LshBucketCap = 10
 
   /** qd27: qd03's banded LSH with a BUCKET-SIZE ceiling — the skew
     * guard for the MinHash-LSH workhorse at corpus scale. A band

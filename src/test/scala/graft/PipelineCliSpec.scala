@@ -518,9 +518,12 @@ class PipelineCliSpec extends SparkSpec {
     val w = new graft.wds.TarIO.TarWriter(out)
     def sample(key: String, entries: Map[String, Array[Byte]]): Unit =
       w.write(graft.wds.Sample(key, "", entries)): Unit
-    // clean mp3 + mp3 with one corrupt frame CRC
+    // clean mp3 + mp3 with one corrupt frame CRC; the fat mp4 payload
+    // pins that the stage's payloadFiles pushdown SEEKS past
+    // non-audio bytes instead of reading them
     sample("000000", Map(
       "mp3" -> Mp3Probe.encodeHeaders(8, _ => 9, withCrc = true),
+      "mp4" -> Array.fill[Byte](4 << 20)(7), // 4 MiB ignored payload
       "json" -> "{}".getBytes("UTF-8"))) // non-audio entry: ignored
     sample("000001", Map("mp3" -> Mp3Probe.encodeHeaders(8, _ => 9,
       withCrc = true, corruptCrcAt = 3)))
@@ -553,10 +556,23 @@ class PipelineCliSpec extends SparkSpec {
     w.close()
 
     val save = Files.createTempDirectory("cli_audio_out").toString
+    def fileBytesRead: Long = {
+      val st = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (st == null) 0L else st.getLong("bytesRead").longValue()
+    }
+    val b0 = fileBytesRead
     val report = Pipeline.run(spark, Map(
       "stage" -> "audioaudit", "input" -> s"$dir/audio-000000.tar",
       "save-path" -> save))
       .orderBy(col("kind")).collect()
+    // payload pruning: the 4 MiB mp4 must be seeked past, not read —
+    // the whole audit (including the parquet write/re-read) moves a
+    // fraction of the shard (readahead granularity keeps this a
+    // ratio, not an absolute; shard is ~4.3 MiB)
+    val shardBytes = new java.io.File(s"$dir/audio-000000.tar").length()
+    assert(fileBytesRead - b0 < shardBytes / 2,
+      s"audioaudit read ${fileBytesRead - b0} of $shardBytes shard bytes")
     // per-kind report: (kind, n_streams, n_corrupt, crc_bad,
     // truncated_bytes, dur_ms)
     assert(report.map(_.getString(0)).toSeq ==

@@ -93,15 +93,20 @@ object DecadeProbe {
             graft.queries.CurationQueries.curateFunnelCapped _
           case n => SparkEntry.queries(n)
         }
+        // kept-min tracked separately from failures: a transient
+        // failed rep must not hide a valid measurement (ADVICE r15)
         var best = Double.MaxValue
         var bestLine = ""
+        var lastFailure: Option[String] = None
         (1 to reps).foreach { _ =>
           agg.reset()
           val t0 = System.nanoTime()
           try {
             fn(spark, dir).write.format("noop").mode("overwrite").save()
             val wall = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(300) // drain the async listener bus
+            // barrier, not a fixed sleep: all task-end events posted
+            org.apache.spark.GraftSparkShim
+              .drainListenerBus(spark.sparkContext)
             if (wall < best) {
               best = wall
               bestLine = f"$name%-24s  $sfName%-11s  $wall%6.1f  " +
@@ -110,11 +115,11 @@ object DecadeProbe {
                 f"${agg.tasks}%5d  ${agg.peakMem / 1e6}%14.1f"
             }
           } catch { case e: Throwable =>
-            best = -1
-            bestLine = s"$name  $sfName  FAILED: ${e.getMessage}"
+            lastFailure = Some(s"$name  $sfName  FAILED: ${e.getMessage}")
           }
         }
-        println(bestLine)
+        println(if (bestLine.nonEmpty) bestLine
+                else lastFailure.getOrElse(s"$name  $sfName  (no reps)"))
       }
     }
     spark.stop()

@@ -5,7 +5,7 @@ import graft.index.CheckStage
 import graft.tokenize.{SentencePieceModel, TokenizeStage, Tokenizers, SpecialTokenTokenizer}
 import graft.wds.WdsReader
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum, when}
+import org.apache.spark.sql.functions.{avg, col, concat_ws, count, countDistinct, lit, sum, when}
 
 /** spark-submit entrypoint mirroring the reference's three CLI stages
   * (`pack/pack.py:314-329`, `tokenize/main.py`, `index/check_pair.py`)
@@ -40,8 +40,11 @@ import org.apache.spark.sql.functions.{avg, col, count, countDistinct, lit, sum,
   *   [--audio-window 50] [--skip-corrupt]
   *
   * spark-submit --class graft.Pipeline graft.jar \
-  *   --stage audioaudit --input 'shards-{0..63}.tar' --save-path audit/
-  *   # per-shard mp3/aac/ogg corruption rates via the frame walks
+  *   --stage audioaudit --input 'shards-{0..63}.tar' --save-path audit/ \
+  *   [--quarantine bad/]
+  *   # per-shard mp3/aac/ogg corruption rates via the frame walks;
+  *   # --quarantine also writes one (url, entry, kind, reason) row
+  *   # per offending entry so corrupt files are actionable
   * }}}
   *
   * The reference's `--machine_id/--total_machine/--workers` sharding
@@ -438,18 +441,22 @@ object Pipeline {
         val stats = samples.flatMap { smp =>
           smp.entries.toSeq.flatMap { case (name, bytes) =>
             val kind = kindOf(name)
+            // suffix keys come key-less off the reader; re-qualify so
+            // the quarantine row names the tar member unambiguously
+            val entryName =
+              if (name.contains('.')) name else s"${smp.key}.$name"
             if (kind.isEmpty) None
             else Some(try {
               kind match {
                 case "mp3" =>
                   val m = Mp3Probe.probe(bytes)
-                  AudioEntryStat(smp.url, kind, m.nFrames, m.crcFrames,
-                    m.crcBad, 0L, 0L, 0L,
+                  AudioEntryStat(smp.url, entryName, kind, m.nFrames,
+                    m.crcFrames, m.crcBad, 0L, 0L, 0L,
                     if (m.declaredConsistent) 0 else 1,
                     math.round(m.durationSec * 1000), 0)
                 case "aac" =>
                   val m = AacProbe.probe(bytes)
-                  AudioEntryStat(smp.url, kind, m.nFrames,
+                  AudioEntryStat(smp.url, entryName, kind, m.nFrames,
                     m.protectedFrames, 0L, m.junkBytes.toLong,
                     m.truncatedBytes.toLong, m.configChanges.toLong, 0,
                     math.round(m.durationSec * 1000), 0)
@@ -459,33 +466,57 @@ object Pipeline {
                   // parse_error below (the lossless-tier integrity
                   // audit; mp3/aac/ogg stay header/CRC walks)
                   val m = FlacCodec.decode(bytes)
-                  AudioEntryStat(smp.url, kind, m.frames.toLong,
-                    m.frames.toLong, 0L, 0L, 0L, 0L, 0,
+                  AudioEntryStat(smp.url, entryName, kind,
+                    m.frames.toLong, m.frames.toLong, 0L, 0L, 0L, 0L, 0,
                     math.round(m.durationSec * 1000), 0)
                 case "wav" =>
                   // structural decode (RIFF/fmt/data walk; truncation
                   // and chunk lies throw → parse_error)
                   val m = WavCodec.decode(bytes)
-                  AudioEntryStat(smp.url, kind, m.frames.toLong,
-                    0L, 0L, 0L, 0L, 0L, 0,
+                  AudioEntryStat(smp.url, entryName, kind,
+                    m.frames.toLong, 0L, 0L, 0L, 0L, 0L, 0,
                     math.round(m.durationSec * 1000), 0)
                 case _ =>
                   val m = OggProbe.probe(bytes)
-                  AudioEntryStat(smp.url, kind, m.nPages.toLong,
-                    m.nPages.toLong, m.crcBad, 0L, 0L, 0L, 0,
-                    math.round(m.durationSec * 1000), 0)
+                  AudioEntryStat(smp.url, entryName, kind,
+                    m.nPages.toLong, m.nPages.toLong, m.crcBad, 0L, 0L,
+                    0L, 0, math.round(m.durationSec * 1000), 0)
               }
             } catch { case scala.util.control.NonFatal(_) =>
               // the walks are fuzz-hardened; anything that still
               // throws is a stream the audit must COUNT, not die on
-              AudioEntryStat(smp.url, kind, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+              AudioEntryStat(smp.url, entryName, kind,
+                0, 0, 0, 0, 0, 0, 0, 0, 1)
             })
           }
         }
         val corrupt = col("crc_bad") > 0 || col("junk_bytes") > 0 ||
           col("truncated_bytes") > 0 || col("config_changes") > 0 ||
           col("inconsistent") > 0 || col("parse_error") > 0
-        val perShard = stats.toDF().groupBy(col("shard"), col("kind"))
+        // --quarantine <path>: ALSO write one row per offending entry
+        // (shard url, tar member, kind, reason) so a corrupt shard is
+        // actionable — the row names the file to re-fetch/drop, not
+        // just a rate. The stat frame persists so the audit scan runs
+        // ONCE for both outputs (entry stats are counters, ~100 B/row
+        // — memory-cheap even when the scanned payloads are TBs).
+        val statDf = a.get("quarantine") match {
+          case Some(qPath) =>
+            val cached = stats.toDF().persist()
+            val reason = concat_ws(",",
+              when(col("parse_error") > 0, lit("parse_error")),
+              when(col("crc_bad") > 0, lit("crc_bad")),
+              when(col("junk_bytes") > 0, lit("junk_bytes")),
+              when(col("truncated_bytes") > 0, lit("truncated")),
+              when(col("config_changes") > 0, lit("config_changes")),
+              when(col("inconsistent") > 0, lit("xing_inconsistent")))
+            cached.where(corrupt)
+              .select(col("shard").as("url"), col("entry"), col("kind"),
+                reason.as("reason"))
+              .write.mode("overwrite").parquet(qPath)
+            cached
+          case None => stats.toDF()
+        }
+        val perShard = statDf.groupBy(col("shard"), col("kind"))
           .agg(count(lit(1)).as("n_streams"),
             sum(when(corrupt, 1L).otherwise(0L)).as("n_corrupt"),
             sum(col("frames")).as("n_frames"),
@@ -501,6 +532,7 @@ object Pipeline {
             (col("n_corrupt") * lit(1000000L) / col("n_streams"))
               .cast("long"))
         perShard.write.mode("overwrite").parquet(req("save-path"))
+        if (a.contains("quarantine")) statDf.unpersist()
         // bounded driver-side report row per kind, like the other stages
         spark.read.parquet(req("save-path"))
           .groupBy(col("kind"))
@@ -515,12 +547,14 @@ object Pipeline {
     }
   }
 
-  /** One audio entry's walk result, pre-aggregation (audioaudit). */
+  /** One audio entry's walk result, pre-aggregation (audioaudit).
+    * `entry` (the tar member name) rides along so `--quarantine` can
+    * point at the offending FILE, not just its shard. */
   private[graft] final case class AudioEntryStat(
-      shard: String, kind: String, frames: Long, crc_checked: Long,
-      crc_bad: Long, junk_bytes: Long, truncated_bytes: Long,
-      config_changes: Long, inconsistent: Int, dur_ms: Long,
-      parse_error: Int)
+      shard: String, entry: String, kind: String, frames: Long,
+      crc_checked: Long, crc_bad: Long, junk_bytes: Long,
+      truncated_bytes: Long, config_changes: Long, inconsistent: Int,
+      dur_ms: Long, parse_error: Int)
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)

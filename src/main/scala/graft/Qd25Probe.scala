@@ -78,10 +78,26 @@ object Qd25Probe {
     catch { case _: Exception => 0L }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.find(_.startsWith("/"))
-      .getOrElse("/root/testdata/sf0.1")
-    val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(6)
-    val cold = args.contains("--cold-cache")
+    // positional parse: flags consume their operand explicitly, so a
+    // numeric --preload value is never misread as the reps count and a
+    // trailing flag with no operand is a clean error, not an AIOOBE
+    var sfDir = "/root/testdata/sf0.1"
+    var reps = 6
+    var cold = false
+    var preload: Option[Seq[String]] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--cold-cache" => cold = true
+        case "--preload" =>
+          require(i + 1 < args.length, "--preload needs prefix list")
+          preload = Some(args(i + 1).split(',').toSeq); i += 1
+        case a if a.startsWith("/") => sfDir = a
+        case a if a.forall(_.isDigit) && a.nonEmpty => reps = a.toInt
+        case a => sys.error(s"unknown arg: $a")
+      }
+      i += 1
+    }
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,8 +124,7 @@ object Qd25Probe {
     // prefix FIRST, reproducing the official capture's heap state by
     // qd25's slot (persisted relations, broadcast remains, code cache)
     // — the arm that tests the GC-pause mechanism
-    args.find(_.startsWith("--preload")).foreach { _ =>
-      val pfx = args(args.indexOf("--preload") + 1).split(',').toSeq
+    preload.foreach { pfx =>
       SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filter { case (n, _) => pfx.exists(n.startsWith) }
         .foreach { case (n, fn) =>
@@ -136,8 +151,8 @@ object Qd25Probe {
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       val (gcN1, gcT1) = gcTotals
-      // listener bus is async — give task-end events a moment to drain
-      Thread.sleep(300)
+      // listener bus is async — barrier until task-end events delivered
+      org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
       println(f"$rep%3d  $wall%6.2f  ${agg.memSpill / 1e6}%8.1f  " +
         f"${agg.diskSpill / 1e6}%9.1f  ${agg.shufRead / 1e6}%9.1f  " +
         f"${agg.shufWrite / 1e6}%9.1f  ${agg.input / 1e6}%8.1f  " +

@@ -276,15 +276,23 @@ object MediaDedup {
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, thresholdPpm: Long = 400000L,
       maxIters: Int = 50, skipCorrupt: Boolean = false): DataFrame = {
-    // Threshold ≤ 1e6 ppm is what makes the exact-dup pre-collapse
-    // below lossless (identical sets verify at exactly 1e6); a larger
-    // value would be a caller error anyway (nothing can pass it)
-    require(thresholdPpm <= 1000000L,
-      s"thresholdPpm $thresholdPpm > 1e6: no pair can verify")
-    val sigs = stageShingles(media, stageDir, fingerprint, window,
-      skipCorrupt)
     def key(id: Column, take: Column): Column =
       struct(id.as("media_id"), take.as("take"))
+    // Threshold > 1e6 ppm: no pair can verify (identical sets score
+    // exactly 1e6), so the result is all-singleton clusters. Preserve
+    // that sentinel semantics — callers may use it to mean "nothing
+    // clusters" — instead of throwing; it also keeps the exact-dup
+    // pre-collapse below lossless (its star edges verify at 1e6).
+    if (thresholdPpm > 1000000L) {
+      return media
+        .select(col("media_id"), col("take")).distinct()
+        .select(col("media_id"), col("take"),
+          col("media_id").as("cluster_id"),
+          col("take").as("cluster_take"), lit(true).as("survivor"))
+        .orderBy(col("media_id"), col("take"))
+    }
+    val sigs = stageShingles(media, stageDir, fingerprint, window,
+      skipCorrupt)
     // EXACT-duplicate pre-collapse (round-15 decade ring: the sf10
     // fixture's identical-content classes of ~56 takes drove the
     // verified-pair join to 39 GB of shuffle / 290 GB of spill —

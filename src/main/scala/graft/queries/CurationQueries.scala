@@ -1405,8 +1405,12 @@ object CurationQueries extends QueryRegistry {
       |   AND a.doc_id < b.doc_id)""".stripMargin)
 
   override val defs: Map[String, QueryDef] = Map(
+    // bench: qc10 is the documented 100 TB production posture (capped
+    // LSH buckets) — a cap/anti-join regression must stamp the radar,
+    // not just the ring (round-15 verdict #2)
     "qc10_curate_funnel_capped" ->
-      QueryDef(curateFunnelCapped, Some(curateFunnelCappedSql)),
+      QueryDef(curateFunnelCapped, Some(curateFunnelCappedSql),
+        bench = true),
     "qc07_curate_funnel" -> QueryDef(curateFunnel, Some(curateFunnelSql),
       bench = true),
     "qc06_dsir_select" -> QueryDef(dsirSelect, Some(dsirSelectSql), bench = true),

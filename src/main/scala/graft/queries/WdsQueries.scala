@@ -1544,6 +1544,208 @@ object WdsQueries extends QueryRegistry {
       |  octet_length(encode(text))::INT AS t_len
       |FROM documents WHERE doc_id % 11 <> 0 ORDER BY key""".stripMargin
 
+  /** wds37: W7 repeat/with_epoch as an ORACLE row (previously
+    * unit-only). Two laws under one hash: (a) `repeated(3)` is exact
+    * 3× multiplicity PER KEY; (b) `withEpoch(2n+37)` obeys the
+    * truncate-or-repeat length law — total rows = 2n+37, every key
+    * present, per-key multiplicity ∈ {2, 3} with exactly 37 keys at 3
+    * (Spark's global limit consumes union branches in partition order,
+    * so the first two full copies survive whole and the third is cut;
+    * WHICH keys land the extra copy is partition-layout-dependent, so
+    * the epoch arm is pinned as aggregates, broadcast onto the per-key
+    * repeat rows via a 1-row cross join — the qs03 scalar pattern). */
+  private def epochRepeatLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    val ds0 = Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map(d => Sample(f"$d%09d", "", Map("t" -> Array[Byte](1))))
+    val rep = ds0.repeated(3).toDF()
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rep3"))
+    val n = ds0.count()
+    val target = (2 * n + 37).toInt
+    val epAgg = ds0.withEpoch(target).toDF()
+      .groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("epoch_total"),
+        count(lit(1)).as("epoch_keys"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("epoch_thrice"),
+        min(col("c")).as("epoch_min"), max(col("c")).as("epoch_max"))
+    rep.crossJoin(epAgg).orderBy(col("key"))
+  }
+
+  private val epochRepeatLawSql =
+    """WITH n AS (SELECT count(*) AS n FROM documents)
+      |SELECT printf('%09d', doc_id) AS key, 3::BIGINT AS n_rep3,
+      |  (2*n.n + 37)::BIGINT AS epoch_total, n.n::BIGINT AS epoch_keys,
+      |  37::BIGINT AS epoch_thrice, 2::BIGINT AS epoch_min,
+      |  3::BIGINT AS epoch_max
+      |FROM documents, n ORDER BY key""".stripMargin
+
+  /** wds38: B6/B7 caches + the S12 epoch recipe as an ORACLE row
+    * (previously unit-only). The observable cache law is IDENTITY:
+    * `cached` (MEMORY) feeding `epochs(2)` (DISK_ONLY persist + two
+    * seeded per-epoch reshuffles — the download-through shard-cache
+    * recipe) must read back the corpus bit-identically in BOTH epochs
+    * — every key exactly once per epoch, payload length intact. A
+    * cache that dropped, duplicated, or truncated rows on the second
+    * pass breaks the hash. (That the second epoch avoids re-fetching
+    * the source is a storage-layer property pinned by OpsExtraSpec;
+    * the data law is what an oracle can see.) */
+  private def epochCacheIdentity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    val ds0 = Tables(s, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d, t) =>
+        Sample(f"$d%09d", "", Map("t" -> t.getBytes("UTF-8"))) }
+    val (handle, eps) = ds0.cached.epochs(2, seed = 5L)
+    val perEpoch = eps.zipWithIndex.map { case (e, i) =>
+      e.toDF().select(col("key"),
+        length(element_at(col("entries"), lit("t"))).as("t_len"),
+        lit(i).as("epoch"))
+    }.reduce(_ unionByName _)
+    // `handle` stays persisted until session end: unpersisting here
+    // would strip the storage level BEFORE the lazy query executes and
+    // the epochs would re-read the source — exactly what this row
+    // exists to exercise. The corpus is metadata-sized; callers that
+    // own the session unpersist when training ends (the S12 contract).
+    val _ = handle
+    perEpoch.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_reads"),
+        count_distinct(col("epoch")).as("n_epochs"),
+        min(col("t_len")).as("t_min"), max(col("t_len")).as("t_len"))
+      .orderBy(col("key"))
+  }
+
+  private val epochCacheIdentitySql =
+    """SELECT printf('%09d', doc_id) AS key, 2::BIGINT AS n_reads,
+      |  2::BIGINT AS n_epochs, octet_length(encode(text))::INT AS t_min,
+      |  octet_length(encode(text))::INT AS t_len
+      |FROM documents ORDER BY key""".stripMargin
+
+  /** wds39: A3/A4 write-size metrics as an ORACLE row (previously
+    * unit-only). Documents sorted by key write through `WdsWriter`
+    * (maxCount = 50, one partition so the roll points are a pure
+    * function of key order) and the returned ShardInfo index is the
+    * result — plus each shard's ON-DISK byte size, so BOTH byte
+    * metrics are pinned against closed-form tar arithmetic:
+    *  - `nbytes` (A3/A4 payload metric) = Σ payload lengths of the
+    *    shard's 50 docs;
+    *  - `file_bytes` = Σ (512-byte header + payload padded to 512)
+    *    + the two 512-byte EOF records — the ustar layout law (entry
+    *    names are 13 chars, so no PAX extension headers participate).
+    * A writer that rolled at the wrong sample, dropped an entry, or
+    * padded wrongly breaks the hash. The collect is the bounded
+    * writer-action pattern (10 ShardInfo rows at any sf). */
+  private def shardSizeLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.{Sample, WdsWriter}
+    val out = scratchDir("graft_sizes")
+    val ds0 = Tables(s, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d, t) =>
+        Sample(f"$d%09d", "", Map("txt" -> t.getBytes("UTF-8"))) }
+      .orderBy(col("key")).coalesce(1)
+    val info = WdsWriter.write(ds0, out,
+      WdsWriter.WriterOptions(maxCount = 50L))
+    val rows = info.select(col("url"), col("nsamples"), col("nbytes"))
+      .collect()
+    val conf = s.sparkContext.hadoopConfiguration
+    val sized = rows.map { r =>
+      val p = new org.apache.hadoop.fs.Path(r.getString(0))
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      (r.getString(0).replaceAll(".*/", ""), r.getLong(1), r.getLong(2),
+        len)
+    }.toSeq
+    sized.toDF("shard", "nsamples", "nbytes", "file_bytes")
+      .orderBy(col("shard"))
+  }
+
+  private val shardSizeLawSql =
+    """WITH d AS (
+      |  SELECT row_number() OVER (ORDER BY printf('%09d', doc_id)) - 1
+      |      AS rn,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents)
+      |SELECT printf('shard-00000-%06d.tar', rn // 50) AS shard,
+      |  count(*)::BIGINT AS nsamples, sum(len)::BIGINT AS nbytes,
+      |  (sum(512 + ((len + 511) // 512) * 512) + 1024)::BIGINT
+      |    AS file_bytes
+      |FROM d GROUP BY rn // 50 ORDER BY shard""".stripMargin
+
+  /** wds40: B3 `rsample` + K7 inspection dump as an ORACLE row
+    * (previously unit-only). Both ops are SEEDED Bernoulli samples —
+    * deterministic in Spark but not replayable by a SQL oracle (the
+    * RNG is Spark's XORShift, partition-seeded), so the row pins their
+    * LAWS as data, the `meta_ok`-boolean pattern wds26 uses:
+    *  - rsample(0.2): `rs_dup_free` (without-replacement — no key
+    *    drawn twice) and `rs_in_bounds` (count within 5σ of the
+    *    binomial mean — a real Bernoulli, not a constant or a slice);
+    *  - inspectionSample(0.25) over synthesized tokenized samples:
+    *    `dump_in_bounds` (same 5σ law) and `dump_wellformed` (every
+    *    dump row's loss_tokens are exactly the mask-selected
+    *    input_ids and gt_text is the joined text — the dump's parse
+    *    wiring, checked row-by-row against the known fixture).
+    * A 5σ miss on n=500 has probability < 1e-6 per arm; a broken
+    * sampler (p misread, seed ignored upstream, dup draws) trips it
+    * deterministically. */
+  private def sampleLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.wds.Sample
+    import graft.wds.SampleOps._
+    val docs = Tables(s, dir).documents
+    val nTotal = docs.count()
+    def sigma(p: Double) = math.sqrt(nTotal * p * (1 - p))
+    // arm 1: rsample over key-only samples
+    val ds0 = docs.select(col("doc_id")).as[Long]
+      .map(d => Sample(f"$d%09d", "", Map("t" -> Array[Byte](1))))
+    val rs = ds0.rsample(0.2, seed = 17L).toDF()
+      .groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(max(col("c")), lit(0L)).as("maxc")).head()
+    val rsDupFree = rs.getLong(1) <= 1L
+    val rsInBounds = math.abs(rs.getLong(0) - 0.2 * nTotal) <= 5 * sigma(0.2)
+    // arm 2: inspection dump over synthesized tokenized-shard samples
+    // (deterministic per-key json — no tar I/O needed to pin the dump)
+    val tok = docs.select(col("doc_id")).as[Long].map { d =>
+      val n = 5 + (d % 7).toInt
+      val ids = (0 until n).map(i => (d * 13 + i) % 1000)
+      val mask = (0 until n).map(_ % 2)
+      val words = (0 until n).map(i => s"w${d}_$i")
+      val json = s"""{"image":[],"input_ids":[${ids.mkString(",")}],""" +
+        s""""loss_mask":[${mask.mkString(",")}],""" +
+        s""""text":[${words.map("\"" + _ + "\"").mkString(",")}]}"""
+      Sample(f"$d%09d", "", Map("json" -> json.getBytes("UTF-8")))
+    }
+    val dump = CheckStage.inspectionSample(tok, frac = 0.25, seed = 42L)
+      .withColumn("d", col("key").cast("long"))
+      .withColumn("n", lit(5) + (col("d") % 7).cast("int"))
+      .select(
+        (col("gt_text") === concat_ws(" ",
+          transform(sequence(lit(0), col("n") - 1),
+            i => concat(lit("w"), col("d"), lit("_"), i)))).as("gt_ok"),
+        (col("loss_tokens") === filter(
+          transform(sequence(lit(0), col("n") - 1),
+            i => ((col("d") * 13 + i) % 1000).cast("int")),
+          (_, i) => i % 2 === 1)).as("loss_ok"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(min(col("gt_ok") && col("loss_ok")), lit(true))
+          .as("ok")).head()
+    val dumpInBounds =
+      math.abs(dump.getLong(0) - 0.25 * nTotal) <= 5 * sigma(0.25)
+    Seq((nTotal, rsDupFree, rsInBounds, dumpInBounds, dump.getBoolean(1)))
+      .toDF("n_total", "rs_dup_free", "rs_in_bounds", "dump_in_bounds",
+        "dump_wellformed")
+  }
+
+  private val sampleLawSql =
+    """SELECT count(*)::BIGINT AS n_total, true AS rs_dup_free,
+      |  true AS rs_in_bounds, true AS dump_in_bounds,
+      |  true AS dump_wellformed
+      |FROM documents""".stripMargin
+
   private val roundRobinSliceSql =
     """WITH s AS (
       |  SELECT printf('%09d', doc_id) AS key,
@@ -2436,10 +2638,25 @@ object WdsQueries extends QueryRegistry {
       Some(SimilarityQueries.bruteTopKSql), bench = true),
     "wds28_tuple_ops" -> QueryDef(tupleDictOps, Some(tupleDictOpsSql)),
     "wds29_sample_algebra" -> QueryDef(sampleAlgebra, Some(sampleAlgebraSql)),
+    // bench: wds35–wds40 deliberately stay oracle-only (r15 verdict
+    // #2's explicit decision): they are op-algebra LAW rows over the
+    // 500-row documents frame — sub-100 ms of real work where capture
+    // variance is order-100%, no scale surface to regress (the ops
+    // they pin have no plan cost beyond a groupBy), and the radar's
+    // signal-to-noise comes from rows with real plan cost. The
+    // production-posture rows (qc10, wds33/34, mm33–35) ARE benched.
     "wds35_roundrobin_slice" ->
       QueryDef(roundRobinSlice, Some(roundRobinSliceSql)),
     "wds36_batch_roundtrip" ->
       QueryDef(batchRoundtrip, Some(batchRoundtripSql)),
+    "wds37_epoch_repeat_law" ->
+      QueryDef(epochRepeatLaw, Some(epochRepeatLawSql)),
+    "wds38_epoch_cache_identity" ->
+      QueryDef(epochCacheIdentity, Some(epochCacheIdentitySql)),
+    "wds39_shard_size_law" ->
+      QueryDef(shardSizeLaw, Some(shardSizeLawSql)),
+    "wds40_sample_law" ->
+      QueryDef(sampleLaw, Some(sampleLawSql)),
     "wds25_un_avc_b" -> QueryDef(unAvcBPack, Some(unAvcBPackSql),
       bench = true),
     "wds24_un_avc" -> QueryDef(unAvcPack, Some(unAvcPackSql),

@@ -591,4 +591,57 @@ class PipelineCliSpec extends SparkSpec {
     val oggRow = perShard.find(_.getAs[String]("kind") == "ogg").get
     assert(oggRow.getAs[Long]("crc_bad") == 1L)
   }
+
+  test("audioaudit --quarantine names each offending entry with its " +
+      "reason; clean entries stay out") {
+    import graft.multimodal.{AacProbe, FlacCodec, Mp3Probe, OggProbe, WavCodec}
+    val dir = Files.createTempDirectory("cli_audio_q").toString
+    val out = new java.io.FileOutputStream(s"$dir/audio-000000.tar")
+    val w = new graft.wds.TarIO.TarWriter(out)
+    def sample(key: String, entries: Map[String, Array[Byte]]): Unit =
+      w.write(graft.wds.Sample(key, "", entries)): Unit
+    sample("000000", Map("mp3" -> Mp3Probe.encodeHeaders(8, _ => 9,
+      withCrc = true)))
+    sample("000001", Map("mp3" -> Mp3Probe.encodeHeaders(8, _ => 9,
+      withCrc = true, corruptCrcAt = 3)))
+    sample("000003", Map("aac" -> AacProbe.encodeAdts(6, _ => 100,
+      srIdx = 3, channels = 2, profile = 1, withCrc = true,
+      truncateTail = 5)))
+    sample("000005", Map("ogg" -> OggProbe.encodeMinimalOpus(
+      2, 100, 48000, 10, corruptCrcAt = 4)))
+    val flac = FlacCodec.encode(FlacCodec.Flac(8000, 1, 16,
+      Array.tabulate(4096)(i => (i * 37 % 2048) - 1024)))
+    val badFlac = flac.clone()
+    badFlac(badFlac.length - 10) =
+      (badFlac(badFlac.length - 10) ^ 0x40).toByte
+    sample("000007", Map("flac" -> badFlac))
+    val wav = WavCodec.encode(WavCodec.Wav(8000, 1,
+      Array.tabulate(800)(i => (i * 13).toShort)))
+    sample("000009", Map("wav" ->
+      java.util.Arrays.copyOfRange(wav, 0, wav.length - 100)))
+    w.close()
+
+    val save = Files.createTempDirectory("cli_audio_q_out").toString
+    val quar = Files.createTempDirectory("cli_audio_q_bad").toString
+    Pipeline.run(spark, Map(
+      "stage" -> "audioaudit", "input" -> s"$dir/audio-000000.tar",
+      "save-path" -> save, "quarantine" -> quar)).collect(): Unit
+    val rows = spark.read.parquet(quar)
+      .orderBy(col("entry")).collect()
+      .map(r => (r.getAs[String]("entry"), r.getAs[String]("kind"),
+        r.getAs[String]("reason")))
+    assert(rows.toSeq == Seq(
+      ("000001.mp3", "mp3", "crc_bad"),
+      ("000003.aac", "aac", "truncated"),
+      ("000005.ogg", "ogg", "crc_bad"),
+      ("000007.flac", "flac", "parse_error"),
+      ("000009.wav", "wav", "parse_error")),
+      s"quarantine rows: ${rows.toSeq}")
+    // every quarantine row carries the shard url for the re-fetch
+    assert(spark.read.parquet(quar).collect()
+      .forall(_.getAs[String]("url").endsWith("audio-000000.tar")))
+    // the aggregate report is unchanged by quarantining (same scan)
+    val perShard = spark.read.parquet(save).collect()
+    assert(perShard.map(_.getAs[Long]("n_corrupt")).sum == 5L)
+  }
 }

@@ -110,6 +110,24 @@ class MediaDedupSpec extends SparkSpec {
       (7L, 0, 7L, 0, true)))
   }
 
+  test("nearDupClusters: thresholdPpm > 1e6 is the 'nothing clusters' " +
+      "sentinel — all singletons, even for byte-identical takes") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3)),
+      (1L, 1, Array[Byte](1, 1, 2, 2, 3, 3)), // exact dup of (1,0)
+      (7L, 0, Array[Byte](9, 9, 8, 8, 7, 7)))
+      .toDF("media_id", "take", "content")
+    val stage =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val out = MediaDedup.nearDupClusters(media, stage, fp2,
+      window = 2, thresholdPpm = 1000001L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, 0, 1L, 0, true), (1L, 1, 1L, 1, true), (7L, 0, 7L, 0, true)))
+  }
+
   test("streamingNearDupVerdicts: first-arrival owner across epochs") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -68,10 +68,61 @@ def main(out, factor=FACTOR):
         CROSS JOIN (SELECT unnest(generate_series(0, {FACTOR - 1})) AS k) k
         ORDER BY event_id
       ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+    # relational fact/dim tables scale too (round-15 verdict #4: the
+    # qa/qe/relational decade rings were not real while these were
+    # copied unchanged). Copy k shifts every surrogate key by
+    # k * (max+1) of ITS table, and foreign keys shift by the parent's
+    # stride — replica orders point at replica customers, replica
+    # lineitems at replica orders/parts/suppliers, so join fan-outs and
+    # group cardinalities scale like the data (keys per group grow 1:1
+    # with factor only where the base data has cross-copy keys — here
+    # none do, matching a real SF scale-up where groups multiply).
+    # region/nation stay fixed (they are fixed-size in TPC-H proper).
+    strides = {}
+    for t, key in [("customer", "c_custkey"), ("supplier", "s_suppkey"),
+                   ("part", "p_partkey"), ("orders", "o_orderkey")]:
+        strides[t] = con.sql(
+            f"SELECT max({key}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+    kjoin = (f"CROSS JOIN (SELECT unnest(generate_series(0, "
+             f"{FACTOR - 1})) AS k) k")
+    con.sql(f"""
+      COPY (SELECT c_custkey + k.k * {strides['customer']} AS c_custkey,
+              c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM '{SRC}/customer.parquet' {kjoin}
+            ORDER BY c_custkey)
+      TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (SELECT s_suppkey + k.k * {strides['supplier']} AS s_suppkey,
+              s_name, s_nationkey, s_acctbal
+            FROM '{SRC}/supplier.parquet' {kjoin}
+            ORDER BY s_suppkey)
+      TO '{out}/supplier.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (SELECT p_partkey + k.k * {strides['part']} AS p_partkey,
+              p_name, p_brand, p_type, p_size, p_retailprice
+            FROM '{SRC}/part.parquet' {kjoin}
+            ORDER BY p_partkey)
+      TO '{out}/part.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (SELECT o_orderkey + k.k * {strides['orders']} AS o_orderkey,
+              o_custkey + k.k * {strides['customer']} AS o_custkey,
+              o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{SRC}/orders.parquet' {kjoin}
+            ORDER BY o_orderkey)
+      TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (SELECT l_orderkey + k.k * {strides['orders']} AS l_orderkey,
+              l_partkey + k.k * {strides['part']} AS l_partkey,
+              l_suppkey + k.k * {strides['supplier']} AS l_suppkey,
+              l_linenumber, l_quantity, l_extendedprice, l_discount,
+              l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{SRC}/lineitem.parquet' {kjoin}
+            ORDER BY l_orderkey)
+      TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    for t in ["region", "nation"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "customer",
+              "supplier", "part", "orders", "lineitem"]:
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(t, n)
 

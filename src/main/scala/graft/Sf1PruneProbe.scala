@@ -23,6 +23,12 @@ object Sf1PruneProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val mediaKb = sys.env.getOrElse("SPARK_GRAFT_PROBE_MEDIA_KB", "128").toInt
+    // round-16 directive #5 (payload-size × byte-ratio sweep): the
+    // 2 MiB arm at full sf1 doc count would need ~100 GB of scratch;
+    // shrinking samples/tar instead keeps the SHARD COUNT at the sf1
+    // ring's ~100 (the prune ratio is per-shard seek arithmetic —
+    // payload size is the variable, shard count just multiplies)
+    val perTar = sys.env.getOrElse("SPARK_GRAFT_PROBE_TAR_COUNT", "500").toLong
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .appName("sf1-prune-probe")
@@ -45,7 +51,7 @@ object Sf1PruneProbe {
     val info = pack.PackStage.run(meta, out,
       pack.PackStage.PackOptions(
         samplerType = pack.PackStage.SamplerType.VideoOnly,
-        samplesPerTar = 500L, alignShards = true),
+        samplesPerTar = perTar, alignShards = true),
       mediaFor = p => {
         val b = new Array[Byte](mediaBytes)
         val seed = p.hashCode.toLong

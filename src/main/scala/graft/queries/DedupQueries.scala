@@ -526,7 +526,9 @@ object DedupQueries extends QueryRegistry {
       }
     }
 
-  private def cachedShingleRelation(docs: DataFrame): DataFrame = {
+  /** `private[graft]` so Qd26Probe can phase-attribute over the SAME
+    * memoized relation the query's five consumers share. */
+  private[graft] def cachedShingleRelation(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     cachedRelation(docs, "sh")(docs.select($"doc_id",
       explode(hashedShingles(words($"text"))).as("sh")))

@@ -250,11 +250,84 @@ object MediaDedup {
       .where(col("jaccard_ppm") >= thresholdPpm)
   }
 
+  /** [[pairsFromSigs]] with the EXACT-duplicate pre-collapse (round-16
+    * decade ring: mm27/mm29 at sf10 hit the same identical-content-
+    * class quadratic mm30 did — 136/122 GB of spill — because the
+    * bucket join's pre-aggregation product is (class size)² × shingles
+    * PER CLASS. Takes with identical shingle sets form a signature
+    * class (same three commutative accumulators as the cluster-side
+    * collapse); the bucket join + exact-Jaccard verification runs over
+    * ONE representative per class, and verdicts EXPAND back to member
+    * pairs. The pair OUTPUT is unchanged — and still inherently
+    * quadratic in class size, which is why clusters (mm30) remain the
+    * 100 TB termination — but the expansion is a cheap member × member
+    * join producing exactly the output rows, with no per-shingle
+    * blowup behind it. Result-identical because Jaccard depends only
+    * on the two shingle SETS:
+    *  - cross-class: every (m1 ∈ A, m2 ∈ B) pair has the sets of
+    *    (rep A, rep B), so the rep pair's shared/union/jaccard and its
+    *    threshold verdict are every member pair's;
+    *  - within-class: shared = union = n_sh and jaccard exactly 1e6
+    *    ppm, which passes any legal threshold (≤ 1e6) — emitted
+    *    closed-form, no join against the shingle relation at all.
+    * The same adaptive gate as the cluster side keeps the single-join
+    * plan when no duplicate class exists (all-distinct corpora — the
+    * sf0.1 gate and most healthy corpora — pay one tiny aggregate). */
+  private[multimodal] def pairsMaybeCollapsed(sigs: DataFrame,
+      thresholdPpm: Long): DataFrame = {
+    val sigClass = sigs.groupBy(col("media_id"), col("take"))
+      .agg(struct(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(sh))").as("x1"),
+        expr("bit_xor(xxhash64(sh, 2))").as("x2")).as("sig"),
+        max(col("n_sh")).as("n_sh"))
+    val cnt = sigClass.agg(count(lit(1)).as("n"),
+      count_distinct(col("sig")).as("d")).head()
+    if (cnt.getLong(0) == cnt.getLong(1))
+      return pairsFromSigs(sigs, thresholdPpm)
+    val reps = sigClass.groupBy(col("sig"))
+      .agg(min(struct(col("media_id"), col("take"))).as("rep"))
+    val members = sigClass.join(reps, "sig")
+      .select(col("sig"),
+        col("rep.media_id").as("r_id"), col("rep.take").as("r_take"),
+        struct(col("media_id"), col("take")).as("k"), col("n_sh"))
+    val repSigs = sigs.join(
+      reps.select(col("rep.media_id").as("media_id"),
+        col("rep.take").as("take")),
+      Seq("media_id", "take"))
+    val repPairs = pairsFromSigs(repSigs, thresholdPpm)
+    // cross-class: the rep pair's verdict + stats transfer to every
+    // member pair; member keys re-canonicalize (a member of the
+    // a-side class can sort above a member of the b-side class)
+    val cross = repPairs
+      .join(members.select(col("r_id").as("a_id"),
+        col("r_take").as("a_take"), col("k").as("ka")),
+        Seq("a_id", "a_take"))
+      .join(members.select(col("r_id").as("b_id"),
+        col("r_take").as("b_take"), col("k").as("kb")),
+        Seq("b_id", "b_take"))
+      .select(least(col("ka"), col("kb")).as("ak"),
+        greatest(col("ka"), col("kb")).as("bk"),
+        col("shared"), col("union_n"), col("jaccard_ppm"))
+    // within-class: closed-form — identical sets share everything
+    val within = members.as("m1")
+      .join(members.as("m2"), col("m1.sig") === col("m2.sig"))
+      .where(col("m1.k") < col("m2.k"))
+      .select(col("m1.k").as("ak"), col("m2.k").as("bk"),
+        col("m1.n_sh").cast("long").as("shared"),
+        col("m1.n_sh").cast("long").as("union_n"),
+        lit(1000000L).as("jaccard_ppm"))
+      .where(lit(1000000L) >= lit(thresholdPpm))
+    cross.unionByName(within)
+      .select(col("ak.media_id").as("a_id"), col("ak.take").as("a_take"),
+        col("bk.media_id").as("b_id"), col("bk.take").as("b_take"),
+        col("shared"), col("union_n"), col("jaccard_ppm"))
+  }
+
   def shingleNearDup(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, thresholdPpm: Long = 400000L,
       skipCorrupt: Boolean = false): DataFrame =
-    pairsFromSigs(
+    pairsMaybeCollapsed(
       stageShingles(media, stageDir, fingerprint, window, skipCorrupt),
       thresholdPpm)
       .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))

@@ -110,6 +110,36 @@ class MediaDedupSpec extends SparkSpec {
       (7L, 0, 7L, 0, true)))
   }
 
+  test("pairs pre-collapse == all-pairs spelling on identical classes, " +
+      "cross-class near-dups, and singletons (round-16 mm27/mm29 fix)") {
+    import spark.implicits._
+    // A = 4 units, B = A + one unit (near-dup, jaccard 3/4 on window-2
+    // shingle sets), C disjoint. Classes: X = {(1,0),(3,0),(5,1)} all
+    // content A; Y = {(2,0),(4,0)} content B; singleton (9,0) = C.
+    val a = Array[Byte](1, 1, 2, 2, 3, 3, 4, 4)
+    val b = Array[Byte](1, 1, 2, 2, 3, 3, 4, 4, 5, 5)
+    val c = Array[Byte](9, 9, 8, 8, 7, 7, 6, 6)
+    val media = Seq((1L, 0, a), (3L, 0, a), (5L, 1, a),
+      (2L, 0, b), (4L, 0, b), (9L, 0, c))
+      .toDF("media_id", "take", "content")
+    val stage =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val sigs = MediaDedup.stageShingles(media, stage, fp2, window = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val collapsed =
+      rows(MediaDedup.pairsMaybeCollapsed(sigs, 400000L))
+    val allPairs = rows(MediaDedup.pairsFromSigs(sigs, 400000L))
+    assert(collapsed == allPairs, s"collapsed $collapsed != $allPairs")
+    // shape sanity: 3 within-X + 1 within-Y at jaccard 1e6, 6 cross
+    // X×Y at 750000 ppm, nothing touches (9,0)
+    assert(collapsed.size == 10)
+    assert(collapsed.count(_._7 == 1000000L) == 4)
+    assert(collapsed.count(_._7 == 750000L) == 6)
+    assert(!collapsed.exists(p => p._1 == 9L || p._3 == 9L))
+  }
+
   test("nearDupClusters: thresholdPpm > 1e6 is the 'nothing clusters' " +
       "sentinel — all singletons, even for byte-identical takes") {
     import spark.implicits._

@@ -410,11 +410,17 @@ class PlanAuditSpec extends SparkSpec {
       "mm29_audio_near_dup", "mm31_image_phash_dup")) {
       val p = planOf(q)
       val sc = scans(p)
-      assert(sc.size == 2, s"$q: expected 2 staged-parquet scans, " +
+      // ≥2 scans: the single-join arm reads the staged parquet twice;
+      // the exact-dup pre-collapse arm (taken when the fixture has
+      // identical-fingerprint classes — mm28's coarse phash does at
+      // gate scale) adds a third, COLUMN-PRUNED scan for the class
+      // signatures. The invariant is decode-freedom, not a scan
+      // count: every scan must read only staged hash columns.
+      assert(sc.size >= 2, s"$q: expected >=2 staged-parquet scans, " +
         s"got ${sc.size}")
       sc.foreach { scan =>
         val cols = scan.requiredSchema.fieldNames.toSet
-        assert(cols == Set("media_id", "take", "sh", "n_sh"),
+        assert(cols.subsetOf(Set("media_id", "take", "sh", "n_sh")),
           s"$q scan reads $cols — not the staged hash relation")
       }
       val gens = p.collect {

@@ -273,16 +273,40 @@ object MediaDedup {
     * The same adaptive gate as the cluster side keeps the single-join
     * plan when no duplicate class exists (all-distinct corpora — the
     * sf0.1 gate and most healthy corpora — pay one tiny aggregate). */
+  /** Collapse pays only when the ABSOLUTE bucket-join work it avoids
+    * — saved pre-aggregation rows Σ_class (c² − c) · n_sh, the rows
+    * the single join would fan out beyond what one representative per
+    * class costs — exceeds the collapse machinery's fixed overhead
+    * (~6 extra serial AQE stages + passes over the hash relation).
+    * Measured A/B (MediaGateProbe, SCALE.md): at sf0.1 mm28's
+    * fan-out-11 classes save only ~0.7 M rows and single join is 2×
+    * FASTER (1.86 vs 3.84 s); mm27 at sf1 saves ~23 M and single
+    * still wins (3.9 vs 6.0 s); mm27/mm29 at sf10 save ~2.7 G rows
+    * and the single join spills 136/122 GB while collapse runs
+    * spill-free 3.3-4.7× faster. 64 M sits between the measured
+    * crossover points. A RATIO gate (fan-out alone) mispredicts both
+    * ends — mm31's size-2 classes regressed under collapse, and a
+    * small corpus with fan-out 11 still prefers single join — because
+    * the overhead is fixed while the saving scales with corpus size. */
+  private val CollapseSavedRowsGate = 64000000.0
+
   private[multimodal] def pairsMaybeCollapsed(sigs: DataFrame,
-      thresholdPpm: Long): DataFrame = {
+      thresholdPpm: Long,
+      collapseGate: Double = CollapseSavedRowsGate): DataFrame = {
     val sigClass = sigs.groupBy(col("media_id"), col("take"))
       .agg(struct(count(lit(1)).as("n"),
         expr("bit_xor(xxhash64(sh))").as("x1"),
         expr("bit_xor(xxhash64(sh, 2))").as("x2")).as("sig"),
         max(col("n_sh")).as("n_sh"))
-    val cnt = sigClass.agg(count(lit(1)).as("n"),
-      count_distinct(col("sig")).as("d")).head()
-    if (cnt.getLong(0) == cnt.getLong(1))
+    // saved rows in DOUBLE: c² · n_sh can reach 1e15 per class and a
+    // pathological sum would overflow (ANSI throws); the gate needs
+    // magnitude, not exactness
+    val cnt = sigClass.groupBy(col("sig"))
+      .agg(count(lit(1)).as("c"), max(col("n_sh")).as("m"))
+      .agg(coalesce(sum(
+        (col("c").cast("double") * col("c") - col("c")) * col("m")),
+        lit(0.0)).as("saved")).head()
+    if (cnt.getDouble(0) <= collapseGate)
       return pairsFromSigs(sigs, thresholdPpm)
     val reps = sigClass.groupBy(col("sig"))
       .agg(min(struct(col("media_id"), col("take"))).as("rep"))
@@ -322,6 +346,14 @@ object MediaDedup {
         col("bk.media_id").as("b_id"), col("bk.take").as("b_take"),
         col("shared"), col("union_n"), col("jaccard_ppm"))
   }
+
+  /** Probe hooks (MediaGateProbe): both arms over an already-staged
+    * relation, for the A/B that evidences the fan-out gate constant. */
+  private[graft] def probePairsSingle(sigs: DataFrame,
+      thresholdPpm: Long): DataFrame = pairsFromSigs(sigs, thresholdPpm)
+  private[graft] def probePairsCollapsed(sigs: DataFrame,
+      thresholdPpm: Long): DataFrame =
+    pairsMaybeCollapsed(sigs, thresholdPpm, collapseGate = -1.0)
 
   def shingleNearDup(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],

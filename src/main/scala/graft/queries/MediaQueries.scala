@@ -490,6 +490,29 @@ object MediaQueries extends QueryRegistry {
         id, if (take == 0) nx else nx + 3)
     }
 
+  /** Probe hook (MediaGateProbe): the staged hash relation of one mm
+    * near-dup query — same fixture content, fingerprint, and window as
+    * the registered query, without the decode counters. */
+  private[graft] def probeStagedSigs(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val (content, fp, w) = name match {
+      case "mm27_video_near_dup" =>
+        (mm27Video, MediaDedup.exactVideoFingerprint(
+          graft.pack.FrameSource.Mp4Frames), 3)
+      case "mm28_video_phash_dup" =>
+        (mm28Video, MediaDedup.perceptualVideoFingerprint(
+          graft.pack.FrameSource.Mp4Frames), 3)
+      case "mm29_audio_near_dup" =>
+        (mm29Audio, MediaDedup.signPatternAudioFingerprint(50), 3)
+      case "mm31_image_phash_dup" =>
+        (udf((id: Long, t: Int) => mm31Image(id, t)),
+          MediaDedup.perceptualImageFingerprint(), 1)
+      case other => sys.error(s"no staged-sig fixture for $other")
+    }
+    MediaDedup.stageShingles(twoTakeMedia(s, dir, content),
+      WdsQueries.scratchDir("graft_gateprobe"), fp, w)
+  }
+
   private def nearDupPairs(s: SparkSession, dir: String, prefix: String,
       content: org.apache.spark.sql.expressions.UserDefinedFunction,
       fingerprint: Array[Byte] => IndexedSeq[String],
@@ -982,9 +1005,10 @@ object MediaQueries extends QueryRegistry {
     * never all-pairs; cross-doc matches require the sign pattern's
     * BOTH coefficient classes (d mod 97 AND d mod 89) to coincide,
     * so true clusters stay tiny until corpus sizes pass ~8.6k docs. */
-  private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** the mm29 fixture audio (lifted for MediaGateProbe) */
+  private val mm29Audio = {
     val W = 50
-    val mkAudio = udf { (id: Long, take: Int) =>
+    udf { (id: Long, take: Int) =>
       val nA = 800 + (id % 10).toInt * 40
       def sgn(i: Int): Int =
         if (((id % 97 + 2) * i + (id % 89 + 3) * i.toLong * i) % 193 < 96) 1
@@ -1001,8 +1025,11 @@ object MediaQueries extends QueryRegistry {
           blockSize = 256)
       }
     }
-    val sign = MediaDedup.signPatternAudioFingerprint(W)
-    nearDupPairs(s, dir, "graft_mm29", mkAudio, bytes => {
+  }
+
+  private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sign = MediaDedup.signPatternAudioFingerprint(50)
+    nearDupPairs(s, dir, "graft_mm29", mm29Audio, bytes => {
       mm29DecodeCalls.incrementAndGet(): Unit
       sign(bytes)
     })
@@ -1058,16 +1085,18 @@ object MediaQueries extends QueryRegistry {
     * find nothing), yet every doc's pair passes the same 0.4 shingle
     * Jaccard. Scale shape identical to mm27: staged single decode,
     * only (doc, vid, hash) rows cross an exchange, never all-pairs. */
+  /** the mm28 fixture video (lifted for MediaGateProbe) */
+  private val mm28Video = udf { (id: Long, take: Int) =>
+    val fx = graft.multimodal.h264.H264Fixtures
+    val nx = (6 + (id % 3) * 3).toInt
+    if (take == 0) fx.videoQp(id, nx, fx.qpFor(id))
+    else fx.videoQp(id, nx + 3, 16 + ((id + 7) % 24).toInt)
+  }
+
   private def videoPerceptualDup(s: SparkSession, dir: String): DataFrame = {
-    val mkVideo = udf { (id: Long, take: Int) =>
-      val fx = graft.multimodal.h264.H264Fixtures
-      val nx = (6 + (id % 3) * 3).toInt
-      if (take == 0) fx.videoQp(id, nx, fx.qpFor(id))
-      else fx.videoQp(id, nx + 3, 16 + ((id + 7) % 24).toInt)
-    }
     val phash = MediaDedup.perceptualVideoFingerprint(
       graft.pack.FrameSource.Mp4Frames)
-    nearDupPairs(s, dir, "graft_mm28", mkVideo, bytes => {
+    nearDupPairs(s, dir, "graft_mm28", mm28Video, bytes => {
       mm28DecodeCalls.incrementAndGet(): Unit
       phash(bytes)
     })

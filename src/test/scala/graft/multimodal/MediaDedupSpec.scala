@@ -128,10 +128,18 @@ class MediaDedupSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // collapseGate = -1 forces the collapsed arm (this fixture saves
+    // only a handful of pre-agg rows, far below the production 64 M
+    // saved-rows gate — the gate arm is checked right after)
     val collapsed =
-      rows(MediaDedup.pairsMaybeCollapsed(sigs, 400000L))
+      rows(MediaDedup.pairsMaybeCollapsed(sigs, 400000L,
+        collapseGate = -1.0))
     val allPairs = rows(MediaDedup.pairsFromSigs(sigs, 400000L))
     assert(collapsed == allPairs, s"collapsed $collapsed != $allPairs")
+    // the production gate keeps the single-join plan on this low-
+    // fan-out shape, and it is the same result either way
+    assert(rows(MediaDedup.pairsMaybeCollapsed(sigs, 400000L)) ==
+      allPairs)
     // shape sanity: 3 within-X + 1 within-Y at jaccard 1e6, 6 cross
     // X×Y at 750000 ppm, nothing touches (9,0)
     assert(collapsed.size == 10)

@@ -193,7 +193,20 @@ object MediaDedup {
     * against it. */
   def stageShingles(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
-      window: Int = 3, skipCorrupt: Boolean = false): DataFrame = {
+      window: Int = 3, skipCorrupt: Boolean = false): DataFrame =
+    stageShinglesWithStats(media, stageDir, fingerprint, window,
+      skipCorrupt)._1
+
+  /** [[stageShingles]] plus the collapse-gate statistic (saved
+    * pre-aggregation rows, see [[pairsMaybeCollapsed]]) computed in
+    * the SAME per-take aggregation pass as the key-consistency check —
+    * one scan of the staged relation instead of two, so the gate costs
+    * the single-join arm nothing (the r16 mm31 radar stamp was exactly
+    * the second scan's cost at sf0.1). */
+  private[multimodal] def stageShinglesWithStats(media: DataFrame,
+      stageDir: String, fingerprint: Array[Byte] => IndexedSeq[String],
+      window: Int = 3, skipCorrupt: Boolean = false)
+      : (DataFrame, Double) = {
     val shingleUdf = shingleSetUdf(fingerprint, window, skipCorrupt)
     media
       .select(col("media_id"), col("take"),
@@ -214,16 +227,32 @@ object MediaDedup {
     // row's set size, pushing `shared` past the denominators and the
     // Jaccard silently past 1.0. Fail loudly instead: a consistent key
     // has exactly one n_sh and exactly n_sh distinct staged shingles.
-    val badKey = sigs.groupBy(col("media_id"), col("take"))
+    // The same pass carries the signature-class accumulators so the
+    // collapse-gate statistic falls out of a second-level aggregate
+    // over this take-sized frame (persisted: it is one row per take).
+    val perTake = sigs.groupBy(col("media_id"), col("take"))
       .agg(count(lit(1)).as("rows"),
-        min(col("n_sh")).as("lo"), max(col("n_sh")).as("hi"))
-      .where(col("lo") =!= col("hi") || col("rows") =!= col("lo"))
-      .select(col("media_id"), col("take"))
-      .head(1)
-    require(badKey.isEmpty,
-      s"duplicate (media_id, take) key with conflicting content: " +
-        s"${badKey.mkString(", ")} — dedupe or re-key the input first")
-    sigs
+        min(col("n_sh")).as("lo"), max(col("n_sh")).as("hi"),
+        expr("bit_xor(xxhash64(sh))").as("x1"),
+        expr("bit_xor(xxhash64(sh, 2))").as("x2"))
+      .persist()
+    try {
+      val badKey = perTake
+        .where(col("lo") =!= col("hi") || col("rows") =!= col("lo"))
+        .select(col("media_id"), col("take"))
+        .head(1)
+      require(badKey.isEmpty,
+        s"duplicate (media_id, take) key with conflicting content: " +
+          s"${badKey.mkString(", ")} — dedupe or re-key the input first")
+      val saved = perTake
+        .groupBy(struct(col("rows").as("n"), col("x1"), col("x2"))
+          .as("sig"))
+        .agg(count(lit(1)).as("c"), max(col("hi")).as("m"))
+        .agg(coalesce(sum(
+          (col("c").cast("double") * col("c") - col("c")) * col("m")),
+          lit(0.0))).head().getDouble(0)
+      (sigs, saved)
+    } finally perTake.unpersist()
   }
 
   /** The verified-pair join of [[shingleNearDup]] over an already-
@@ -292,22 +321,32 @@ object MediaDedup {
 
   private[multimodal] def pairsMaybeCollapsed(sigs: DataFrame,
       thresholdPpm: Long,
-      collapseGate: Double = CollapseSavedRowsGate): DataFrame = {
+      collapseGate: Double = CollapseSavedRowsGate,
+      savedRows: Option[Double] = None): DataFrame = {
+    // saved rows in DOUBLE: c² · n_sh can reach 1e15 per class and a
+    // pathological sum would overflow (ANSI throws); the gate needs
+    // magnitude, not exactness. Callers that staged the relation get
+    // the statistic free from the staging pass (savedRows); the
+    // standalone spelling computes it here.
+    val saved = savedRows.getOrElse {
+      sigs.groupBy(col("media_id"), col("take"))
+        .agg(struct(count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(sh))").as("x1"),
+          expr("bit_xor(xxhash64(sh, 2))").as("x2")).as("sig"),
+          max(col("n_sh")).as("n_sh"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("c"), max(col("n_sh")).as("m"))
+        .agg(coalesce(sum(
+          (col("c").cast("double") * col("c") - col("c")) * col("m")),
+          lit(0.0)).as("saved")).head().getDouble(0)
+    }
+    if (saved <= collapseGate)
+      return pairsFromSigs(sigs, thresholdPpm)
     val sigClass = sigs.groupBy(col("media_id"), col("take"))
       .agg(struct(count(lit(1)).as("n"),
         expr("bit_xor(xxhash64(sh))").as("x1"),
         expr("bit_xor(xxhash64(sh, 2))").as("x2")).as("sig"),
         max(col("n_sh")).as("n_sh"))
-    // saved rows in DOUBLE: c² · n_sh can reach 1e15 per class and a
-    // pathological sum would overflow (ANSI throws); the gate needs
-    // magnitude, not exactness
-    val cnt = sigClass.groupBy(col("sig"))
-      .agg(count(lit(1)).as("c"), max(col("n_sh")).as("m"))
-      .agg(coalesce(sum(
-        (col("c").cast("double") * col("c") - col("c")) * col("m")),
-        lit(0.0)).as("saved")).head()
-    if (cnt.getDouble(0) <= collapseGate)
-      return pairsFromSigs(sigs, thresholdPpm)
     val reps = sigClass.groupBy(col("sig"))
       .agg(min(struct(col("media_id"), col("take"))).as("rep"))
     val members = sigClass.join(reps, "sig")
@@ -358,11 +397,12 @@ object MediaDedup {
   def shingleNearDup(media: DataFrame, stageDir: String,
       fingerprint: Array[Byte] => IndexedSeq[String],
       window: Int = 3, thresholdPpm: Long = 400000L,
-      skipCorrupt: Boolean = false): DataFrame =
-    pairsMaybeCollapsed(
-      stageShingles(media, stageDir, fingerprint, window, skipCorrupt),
-      thresholdPpm)
+      skipCorrupt: Boolean = false): DataFrame = {
+    val (sigs, saved) = stageShinglesWithStats(media, stageDir,
+      fingerprint, window, skipCorrupt)
+    pairsMaybeCollapsed(sigs, thresholdPpm, savedRows = Some(saved))
       .orderBy(col("a_id"), col("a_take"), col("b_id"), col("b_take"))
+  }
 
   /** Corpus-scale termination of [[shingleNearDup]]: the pair list is
     * inherently quadratic in cluster size, so a 100 TB dedup job

@@ -98,6 +98,7 @@ object DecadeProbe {
         var best = Double.MaxValue
         var bestLine = ""
         var lastFailure: Option[String] = None
+        var failedReps = 0
         (1 to reps).foreach { _ =>
           agg.reset()
           val t0 = System.nanoTime()
@@ -115,10 +116,18 @@ object DecadeProbe {
                 f"${agg.tasks}%5d  ${agg.peakMem / 1e6}%14.1f"
             }
           } catch { case e: Throwable =>
+            failedReps += 1
             lastFailure = Some(s"$name  $sfName  FAILED: ${e.getMessage}")
           }
         }
-        println(if (bestLine.nonEmpty) bestLine
+        // a flaky query must stay visible even when one rep succeeded
+        // (r16 ADVICE: silent discard masked k-of-N failures)
+        val flakyNote =
+          if (bestLine.nonEmpty && failedReps > 0)
+            s"  ($failedReps/$reps reps failed: " +
+              s"${lastFailure.getOrElse("")})"
+          else ""
+        println(if (bestLine.nonEmpty) bestLine + flakyNote
                 else lastFailure.getOrElse(s"$name  $sfName  (no reps)"))
       }
     }

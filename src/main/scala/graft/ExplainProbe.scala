@@ -28,15 +28,40 @@ object ExplainProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
     val fn = SparkEntry.queries(name)
+    // The noop write runs a SEPARATE QueryExecution from
+    // df.queryExecution (r16 ADVICE, verified on Spark 4.1.2: printing
+    // df.queryExecution.executedPlan after the write shows the INITIAL
+    // AdaptiveSparkPlan, isFinalPlan=false — useless for the probe's
+    // purpose of showing AQE broadcast↔SMJ transitions). Capture the
+    // QueryExecution the write ACTUALLY ran via a
+    // QueryExecutionListener; its executedPlan is the finalized plan.
+    val captured = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = captured.set(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     dirs.foreach { dir =>
-      val df = fn(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
+      captured.set(null)
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      // listener events deliver asynchronously — barrier before reading
+      org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
       println(s"===== $name @ $dir (final adaptive plan)")
-      // executedPlan after execution carries the finalized AQE plan
-      println(df.queryExecution.executedPlan.toString.linesIterator
-        .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Scan") || l.contains("Aggregate"))
-        .mkString("\n"))
+      Option(captured.get()) match {
+        case Some(qe) =>
+          println(qe.executedPlan.toString.linesIterator
+            .filter(l => l.contains("Join") || l.contains("Exchange") ||
+              l.contains("Scan") || l.contains("Aggregate") ||
+              l.contains("isFinalPlan"))
+            .mkString("\n"))
+        case None =>
+          println("(listener did not deliver the executed plan)")
+      }
     }
     spark.stop()
   }

@@ -428,7 +428,19 @@ object MediaDedup {
     // that sentinel semantics — callers may use it to mean "nothing
     // clusters" — instead of throwing; it also keeps the exact-dup
     // pre-collapse below lossless (its star edges verify at 1e6).
+    // The sentinel still runs the SAME staging pass as the normal arm
+    // (r16 ADVICE): skipping it made the two arms disagree on error
+    // behavior — a corrupt take under skipCorrupt=false, or a
+    // duplicate (media_id, take) key with conflicting content, throws
+    // from the normal arm's staging contract but sailed through the
+    // old short-circuit as a silent singleton. Both arms now decode
+    // through the identical contract (and leave the same stageDir
+    // side effect); the vertex spine is the identical media-keys
+    // derivation, so the output key sets agree by construction.
     if (thresholdPpm > 1000000L) {
+      // staging is eager (parquet write + key-consistency require) —
+      // the call alone enforces the contract
+      stageShingles(media, stageDir, fingerprint, window, skipCorrupt)
       return media
         .select(col("media_id"), col("take")).distinct()
         .select(col("media_id"), col("take"),

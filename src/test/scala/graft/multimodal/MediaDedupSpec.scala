@@ -166,6 +166,49 @@ class MediaDedupSpec extends SparkSpec {
       (1L, 0, 1L, 0, true), (1L, 1, 1L, 1, true), (7L, 0, 7L, 0, true)))
   }
 
+  test("nearDupClusters sentinel enforces the same staging contract " +
+      "as the normal arm (r16 ADVICE: arms must not disagree)") {
+    import spark.implicits._
+    // duplicate (media_id, take) key with CONFLICTING content — the
+    // normal arm's staging pass rejects it; the sentinel must too
+    // (the old short-circuit silently emitted it as a singleton)
+    val bad = Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3)),
+      (1L, 0, Array[Byte](9, 9, 8, 8, 7, 7)))
+      .toDF("media_id", "take", "content")
+    def stage() =
+      java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val normalArm = intercept[Exception] {
+      MediaDedup.nearDupClusters(bad, stage(), fp2,
+        window = 2, thresholdPpm = 400000L).collect()
+    }
+    val sentinelArm = intercept[Exception] {
+      MediaDedup.nearDupClusters(bad, stage(), fp2,
+        window = 2, thresholdPpm = 1000001L).collect()
+    }
+    // both arms fail, both with the staging contract's message
+    for (e <- Seq(normalArm, sentinelArm))
+      assert(Option(e.getMessage)
+        .getOrElse(e.getCause.getMessage).contains("conflicting content"))
+    // and a corrupt take under skipCorrupt=true is a singleton in BOTH
+    // arms (identical key sets)
+    val corrupt = Seq(
+      (1L, 0, Array[Byte](1, 1, 2, 2, 3, 3)),
+      (8L, 0, Array.empty[Byte])) // fp2 yields no shingles either way
+    val fpStrict: Array[Byte] => IndexedSeq[String] =
+      b => { // self-contained: must not capture the spec instance
+        require(b.nonEmpty, "corrupt")
+        b.grouped(2).map(g => g.map(x => f"$x%02x").mkString)
+          .toIndexedSeq
+      }
+    def keys(thr: Long) = MediaDedup.nearDupClusters(
+      corrupt.toDF("media_id", "take", "content"), stage(), fpStrict,
+      window = 2, thresholdPpm = thr, skipCorrupt = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(keys(400000L) == keys(1000001L))
+    assert(keys(1000001L) == Seq((1L, 0), (8L, 0)))
+  }
+
   test("streamingNearDupVerdicts: first-arrival owner across epochs") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -114,6 +114,77 @@ object Bench {
     }
   }
 
+  /** Keep-best-of-HEAD (round-16 verdict #2): last-write-wins eviction
+    * lost the round's best official line — four same-day captures on
+    * one HEAD drifted 85.5 → 95.9 s under host-level ambient invisible
+    * to /proc, and the final (worse) one became the headline. When the
+    * incoming capture and the existing official line are BOTH clean,
+    * at the SAME sf, and stamp the SAME git HEAD (clean tree — a
+    * `-dirty` or unknown head never merges: the code may differ), the
+    * written line is a MERGE: the capture with the better median total
+    * is the base, per-query kept minima take the min across both, and
+    * `value_min` is re-summed; `merged_captures` counts the captures
+    * folded in. Different-HEAD captures keep last-write-wins — the
+    * code changed, old numbers don't describe it.
+    * @return merged line, or None when the pair is not mergeable */
+  private[graft] def mergeSameHead(existing: String,
+      incoming: String): Option[String] = {
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val e = mapper.readTree(existing)
+      val n = mapper.readTree(incoming)
+      val eHead = e.path("head").asText("")
+      val nHead = n.path("head").asText("")
+      if (eHead.isEmpty || eHead == "unknown" ||
+        eHead.endsWith("-dirty") || eHead != nHead ||
+        e.path("load_warning").asBoolean(true) ||
+        n.path("load_warning").asBoolean(true) ||
+        e.path("sf").asText("") != n.path("sf").asText("?")) return None
+      val (base, other) =
+        if (e.path("value").asDouble(Double.MaxValue) <=
+          n.path("value").asDouble(Double.MaxValue)) (e, n) else (n, e)
+      import scala.jdk.CollectionConverters._
+      val bm = base.path("queries_min")
+      val om = other.path("queries_min")
+      val keys = (bm.fieldNames().asScala.toSeq ++
+        om.fieldNames().asScala.toSeq).distinct.sorted
+      val baseObj =
+        base.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val minsNode = baseObj.putObject("queries_min")
+      var sum = 0.0
+      keys.foreach { k =>
+        val v = Seq(bm, om).filter(_.has(k)).map(_.get(k).asDouble()).min
+        sum += v
+        minsNode.put(k,
+          BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble): Unit
+      }
+      baseObj.put("value_min",
+        BigDecimal(sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble): Unit
+      baseObj.put("merged_captures",
+        base.path("merged_captures").asInt(1) +
+          other.path("merged_captures").asInt(1)): Unit
+      Some(baseObj.toString)
+    } catch { case _: Exception => None }
+  }
+
+  /** Ambient-drift normalization factor (round-16 verdict #3): walls
+    * drift ±12% same-day under host ambient invisible to every /proc
+    * stamp. A constant-work calibration query runs first and last per
+    * capture; this capture's best calibration wall over the historical
+    * best (`ref`) is the slowdown factor, floored at 1 — the envelope
+    * radar stamps on whichever wall is KINDER (raw, or normalized by
+    * this factor), so pure host drift stops tripping solo reruns while
+    * a real plan regression (which outgrows the factor) still does. */
+  private[graft] def calibFactor(calibBest: Double,
+      calibRef: Option[Double]): Double =
+    calibRef match {
+      case Some(r) if r > 0.05 && calibBest > 0 =>
+        (calibBest / r).max(1.0)
+      case _ => 1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -145,6 +216,34 @@ object Bench {
     // streaming fixtures stage a micros-timestamp parquet copy once per
     // JVM — do it here so st03 times the stream-stream join, not the copy
     queries.WdsQueries.warmEventsStage(spark, sfDir)
+
+    // git HEAD stamp — the keep-best-of-HEAD merge key (a dirty tree
+    // suffixes `-dirty` and never merges: the code may differ between
+    // two dirty captures at one HEAD)
+    val gitHead: String =
+      try {
+        import scala.sys.process._
+        val sha = Seq("git", "rev-parse", "--short=12", "HEAD").!!.trim
+        val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+        if (sha.isEmpty) "unknown" else if (dirty) s"$sha-dirty" else sha
+      } catch { case _: Exception => "unknown" }
+
+    // Calibration row (round-16 verdict #3): fixed CPU-bound work —
+    // xxhash64 over a constant range, no IO, whole-stage codegen'd —
+    // timed first and last per capture. Its wall moves with the same
+    // host-level ambient that moves every query's wall, so the ratio
+    // to its historical best is the capture's drift factor.
+    // ~1.3 s on an idle 32-thread host — long enough that scheduler
+    // jitter is <5%, short enough to cost the capture ~4 s total
+    val calibRows = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_CALIB_ROWS", "8000000000").toLong
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, calibRows, 1, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h) AS x")
+        .collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     def loadavg: Seq[Double] =
       try java.nio.file.Files.readString(
@@ -212,6 +311,7 @@ object Bench {
     }
     waitQuiet()
     val loadStart = loadavg
+    val calibStart = calibrate()
 
     // optional comma-separated name-prefix filter (e.g. "qd,qs,st,wds"
     // for the sf1 annual-ring line — the full set at sf1 would spend
@@ -391,6 +491,12 @@ object Bench {
         (name, ts, amb, ok)
     }
 
+    // closing calibration — same constant work as the opening one; the
+    // capture's drift factor uses the BEST of the two (the kindest
+    // host state the capture observed)
+    val calibEnd = calibrate()
+    val calibBest = calibStart.min(calibEnd)
+
     // Min-vs-envelope radar (round-11 verdict #1): memory-bandwidth
     // contention inflates rows while every cpu/iowait/disk stamp reads
     // ≈0 — the one contaminator class the per-rep stamps cannot see.
@@ -437,13 +543,50 @@ object Bench {
             .groupMapReduce(_._1)(_._2)(math.min)
         }
       } catch { case _: Exception => Map.empty }
+    // calibration reference: best calibration wall over the trailing
+    // history window (calibration is constant work, so lines at any sf
+    // contribute) — the denominator of the drift factor
+    val calibRef: Option[Double] =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val p = java.nio.file.Paths.get("bench_history.jsonl")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val refs = java.nio.file.Files.readAllLines(p).asScala
+            .filter(_.nonEmpty)
+            .flatMap { ln =>
+              try {
+                val c = mapper.readTree(ln).path("calib")
+                // refs only compare within the SAME work size — a
+                // changed calibRows must not misread as host drift
+                if (c.isMissingNode ||
+                  c.path("rows").asLong(-1L) != calibRows) None
+                else Some(math.min(
+                  c.path("start").asDouble(Double.MaxValue),
+                  c.path("end").asDouble(Double.MaxValue)))
+              } catch { case _: Exception => None }
+            }
+            .takeRight(envWindow)
+          if (refs.isEmpty) None else Some(refs.min)
+        }
+      } catch { case _: Exception => None }
+    val cf = calibFactor(calibBest, calibRef)
+    if (cf > 1.0)
+      System.err.println(
+        f"[bench] calibration: host running ${cf}%.2fx slower than the " +
+          f"historical best ($calibBest%.3fs vs " +
+          f"${calibRef.getOrElse(0.0)}%.3fs) — radar thresholds scaled")
     // "all stamps quiet" — the signature of the invisible contaminator
     def quiet(st: (Double, Double, Double, Double)): Boolean =
       st._1 < 1.0 && st._2 < 0.5 && st._3 < 50.0
+    // the radar stamps on whichever wall is KINDER: raw min, or min
+    // normalized by the capture's calibration drift factor — i.e. the
+    // threshold scales by `cf` (round-16 verdict #3)
     val flagged = results.collect {
       case (name, ts, st, true)
         if ts.nonEmpty && envelope.get(name).exists(env =>
-          env > 0.05 && ts.head > envFactor * env) && quiet(st) => name
+          env > 0.05 && ts.head > envFactor * cf * env) && quiet(st) => name
     }.toSet
     val rerunNote = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (flagged.nonEmpty) {
@@ -471,7 +614,7 @@ object Bench {
     val keptMinByName = results.collect {
       case (k, ts, _, true) if ts.nonEmpty => k -> ts.head }.toMap
     val regressions = regressionsAfterRerun(
-      keptMinByName, envelope, envFactor, flagged)
+      keptMinByName, envelope, envFactor * cf, flagged)
     regressions.foreach { n =>
       System.err.println(
         f"[bench] WARNING: $n kept min ${keptMinByName(n)}%.3fs is still " +
@@ -545,8 +688,9 @@ object Bench {
     val envReruns = rerunNote.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = f"""{"rows":$calibRows,"start":$calibStart%.3f,"end":$calibEnd%.3f,"ref":${calibRef.getOrElse(calibBest)}%.3f,"factor":$cf%.3f}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"head":"$gitHead","calib":$calibJson,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (round-10 verdict: the driver's stdout
     // parse came back `parsed: null` — the official number must also
@@ -567,9 +711,17 @@ object Bench {
           Some(java.nio.file.Files.readString(official))
         else None
       if (mayOverwriteOfficial(existing, dirty,
-          newPartial = only.isDefined, newSf = sfDir))
-        java.nio.file.Files.writeString(official, line + "\n"): Unit
-      else
+          newPartial = only.isDefined, newSf = sfDir)) {
+        // keep-best-of-HEAD: a second clean capture on the SAME HEAD
+        // merges per-query kept minima and keeps the better median
+        // total instead of last-write-wins (round-16 verdict #2)
+        val out = existing.flatMap(ex => mergeSameHead(ex, line))
+        out.foreach(_ => System.err.println(
+          "[bench] same-HEAD official line: merged per-query kept " +
+            "minima, kept the better total"))
+        java.nio.file.Files.writeString(official,
+          out.getOrElse(line) + "\n"): Unit
+      } else
         System.err.println(
           "[bench] capture not eligible as the official line (dirty " +
             "over clean, BENCH_ONLY subset, or different sf) — parked " +

@@ -65,6 +65,68 @@ class BenchSpec extends AnyFunSuite {
     assert(judge(gateExhausted = true))
   }
 
+  test("keep-best-of-HEAD: same-HEAD clean captures merge per-query " +
+      "kept minima and keep the better total") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sf = "/root/testdata/sf0.1"
+    def line(head: String, value: Double, dirty: Boolean,
+        mins: (Double, Double, Double)): String =
+      s"""{"metric":"total","value":$value,"value_min":${mins._1 + mins._2 + mins._3},"head":"$head","load_warning":$dirty,"queries_min":{"q1":${mins._1},"q2":${mins._2},"q3":${mins._3}},"sf":"$sf"}"""
+    // the r16 failure mode: an 85.5s capture followed by a 90.9s one
+    // on the SAME HEAD — the merge must keep the better total as base
+    // and take per-query minima across both
+    val best = line("abc123def456", 85.5, dirty = false, (1.0, 2.0, 3.0))
+    val worse = line("abc123def456", 90.9, dirty = false, (0.9, 2.5, 3.5))
+    val merged = Bench.mergeSameHead(best, worse)
+    assert(merged.isDefined)
+    val m = mapper.readTree(merged.get)
+    assert(m.path("value").asDouble() == 85.5) // better total kept
+    // per-query minima: q1 from the worse capture, q2/q3 from the best
+    assert(m.path("queries_min").path("q1").asDouble() == 0.9)
+    assert(m.path("queries_min").path("q2").asDouble() == 2.0)
+    assert(m.path("queries_min").path("q3").asDouble() == 3.0)
+    assert(math.abs(m.path("value_min").asDouble() - 5.9) < 1e-9)
+    assert(m.path("merged_captures").asInt() == 2)
+    // merging is order-independent on the base choice
+    val m2 = mapper.readTree(Bench.mergeSameHead(worse, best).get)
+    assert(m2.path("value").asDouble() == 85.5)
+    assert(m2.path("queries_min").path("q1").asDouble() == 0.9)
+    // a third capture folds into an already-merged line
+    val third = line("abc123def456", 88.0, dirty = false, (1.1, 1.8, 3.2))
+    val m3 = mapper.readTree(Bench.mergeSameHead(merged.get, third).get)
+    assert(m3.path("value").asDouble() == 85.5)
+    assert(m3.path("queries_min").path("q2").asDouble() == 1.8)
+    assert(m3.path("merged_captures").asInt() == 3)
+    // NOT mergeable: different head, dirty tree, unknown head, dirty
+    // capture, different sf — each falls back to last-write-wins
+    assert(Bench.mergeSameHead(
+      line("otherhead000", 80.0, dirty = false, (1, 2, 3)), worse).isEmpty)
+    assert(Bench.mergeSameHead(
+      line("abc123def456-dirty", 80.0, dirty = false, (1, 2, 3)),
+      line("abc123def456-dirty", 90.0, dirty = false, (1, 2, 3))).isEmpty)
+    assert(Bench.mergeSameHead(
+      line("unknown", 80.0, dirty = false, (1, 2, 3)),
+      line("unknown", 90.0, dirty = false, (1, 2, 3))).isEmpty)
+    assert(Bench.mergeSameHead(
+      line("abc123def456", 80.0, dirty = true, (1, 2, 3)), worse).isEmpty)
+    assert(Bench.mergeSameHead(best,
+      worse.replace(sf, "/tmp/sf1")).isEmpty)
+    // unparseable input never throws
+    assert(Bench.mergeSameHead("not json", worse).isEmpty)
+  }
+
+  test("calibFactor: host drift scales the radar threshold, a fast or " +
+      "uncalibrated host never shrinks it") {
+    // host 12% slower than the historical best → factor 1.12
+    assert(math.abs(Bench.calibFactor(1.12, Some(1.0)) - 1.12) < 1e-9)
+    // host at (or faster than) the best → floor at 1.0, never kinder
+    assert(Bench.calibFactor(0.9, Some(1.0)) == 1.0)
+    // no history / degenerate ref → no normalization
+    assert(Bench.calibFactor(1.2, None) == 1.0)
+    assert(Bench.calibFactor(1.2, Some(0.0)) == 1.0)
+    assert(Bench.calibFactor(0.0, Some(1.0)) == 1.0)
+  }
+
   test("only an eligible capture evicts the official line: dirty, " +
       "partial, and different-sf runs park in history") {
     val sf = "/root/testdata/sf0.1"

@@ -415,6 +415,115 @@ object CurationQueries extends QueryRegistry {
        |    '') AS scrubbed
        |FROM kp ORDER BY doc_id""".stripMargin
 
+  /** qd29 gate: minimal exact-match length in tokens. Lee et al. 2022
+    * run ExactSubstr at 50 tokens; the fixture's planted runs span
+    * 5–99 tokens, so 20 (the qd25 convention) keeps both the
+    * kept-and-dropped branches exercised at every sf. */
+  private val MinMatchLen = 20
+
+  /** Core of qd29: EXACT variable-length substring matches (suffix-
+    * array-grade semantics, Lee et al. 2022 ExactSubstr) from a
+    * positional gram frame, distributed as k-mer anchors chained along
+    * diagonals — no suffix array needed:
+    *
+    *  1. anchor: two positions (a, i), (b, j) sharing a k-gram hash
+    *     assert text_a[i, i+k) == text_b[j, j+k);
+    *  2. every anchor of one maximal match lies on ONE diagonal
+    *     (i − j constant) at CONSECUTIVE i, so a gaps-and-islands pass
+    *     per (a_id, b_id, diag) — one shuffle, islands via
+    *     row_number — reassembles each maximal match exactly:
+    *     [min(i), max(i) + k), length max(i) − min(i) + k;
+    *  3. conversely consecutive anchors on a diagonal overlap by
+    *     k − 1 tokens, so the island IS a contiguous equality — no
+    *     chimeras, unlike coverage-merged fixed-k runs (qd25), which
+    *     can stitch windows duplicated against DIFFERENT partners
+    *     into a "run" that repeats nowhere as a whole.
+    *
+    * Matches of length in [k, minLen) are dropped by the gate;
+    * every true match ≥ minLen > k is recovered exactly (its k-windows
+    * are all anchors). Within-doc repeats (a_id == b_id, a_pos <
+    * b_pos) are found too — Lee et al. dedup within documents as
+    * well. Keys canonicalize a-side = smaller (doc, pos), constant
+    * along a diagonal, so each maximal match emits exactly once.
+    *
+    * Scale: anchors fan out d² per gram with d occurrences — the
+    * production posture for idiom-heavy corpora is the qd27 hot-bucket
+    * cap applied to anchor grams (a gram above the cap cannot
+    * evidence a RARE long match; capped rows are counted, not
+    * silently dropped). The fixture corpus is cap-free so the oracle
+    * row stays exact. Like the rest of the qd family this is
+    * beyond-the-reference LLM-pipeline tooling (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"). */
+  private[graft] def substringMatchesFrom(pos: DataFrame, gramK: Int,
+      minLen: Int): DataFrame = {
+    val a = pos.select(col("doc_id").as("a_id"),
+      col("pos").as("a_pos"), col("sh"))
+    val b = pos.select(col("doc_id").as("b_id"),
+      col("pos").as("b_pos"), col("sh"))
+    val anchors = a.join(b, "sh")
+      .where(col("a_id") < col("b_id") ||
+        (col("a_id") === col("b_id") && col("a_pos") < col("b_pos")))
+      .select(col("a_id"), col("b_id"),
+        (col("a_pos") - col("b_pos")).as("diag"), col("a_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    anchors
+      .withColumn("grp", col("a_pos") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("a_pos")).as("a_start"),
+        (max(col("a_pos")) - min(col("a_pos")) + lit(gramK))
+          .as("match_len"))
+      .where(col("match_len") >= minLen)
+      .select(col("a_id"), col("a_start"), col("b_id"),
+        (col("a_start") - col("diag")).as("b_start"), col("match_len"))
+      .orderBy(col("a_id"), col("a_start"), col("b_id"), col("b_start"))
+  }
+
+  /** qd29: exact substring dedup mining — every maximal exact match of
+    * ≥ MinMatchLen tokens between two corpus locations, one row per
+    * match: `(a_id, a_start, b_id, b_start, match_len)` (1-based token
+    * starts; a-side is the smaller key). The variable-length upgrade
+    * of qd12/qd25's fixed-k span family: match_len is the TRUE length
+    * of each repeated substring, not a coverage union. */
+  private def substringMatches(s: SparkSession, dir: String): DataFrame =
+    substringMatchesFrom(
+      graft.functions.ShingleHash.positional(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        GramK),
+      GramK, MinMatchLen)
+
+  private val substringMatchesSql = {
+    val parts = (0 until GramK)
+      .map(o => if (o == 0) "ws[pos]" else s"ws[pos+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |      FROM documents),
+       |pw AS (SELECT doc_id, ws, unnest(generate_series(1,
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN len(ws) - ${GramK - 1} ELSE 1 END)) AS pos
+       |      FROM w),
+       |p AS (SELECT doc_id, pos, substr(md5(
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN $parts
+       |          ELSE array_to_string(ws, ' ') END), 1, 16) AS sh
+       |      FROM pw),
+       |an AS (SELECT p1.doc_id AS a_id, p2.doc_id AS b_id,
+       |        p1.pos - p2.pos AS diag, p1.pos AS a_pos
+       |      FROM p p1 JOIN p p2 ON p1.sh = p2.sh
+       |      WHERE p1.doc_id < p2.doc_id
+       |         OR (p1.doc_id = p2.doc_id AND p1.pos < p2.pos)),
+       |g AS (SELECT a_id, b_id, diag, a_pos, a_pos - row_number()
+       |        OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos)
+       |        AS grp FROM an),
+       |m AS (SELECT a_id, b_id, diag, min(a_pos) AS a_start,
+       |        max(a_pos) - min(a_pos) + $GramK AS match_len
+       |      FROM g GROUP BY a_id, b_id, diag, grp)
+       |SELECT a_id, a_start::INT AS a_start, b_id,
+       |  (a_start - diag)::INT AS b_start, match_len::INT AS match_len
+       |FROM m WHERE match_len >= $MinMatchLen
+       |ORDER BY a_id, a_start, b_id, b_start""".stripMargin
+  }
+
   /** Cosine threshold for the semantic prune: rounded cosines ≥ Tau
     * mark the higher vec_id as redundant. Fixture in-cluster cosines
     * top out at ~0.47 with a ~1% tail above 0.3, so Tau = 0.3 prunes a
@@ -1435,6 +1544,8 @@ object CurationQueries extends QueryRegistry {
       bench = true),
     "qd25_span_scrub_runs" -> QueryDef(spanScrubRuns,
       Some(spanScrubRunsSql), bench = true),
+    "qd29_exact_substr" -> QueryDef(substringMatches,
+      Some(substringMatchesSql), bench = true),
     "qs05_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
   )
 }

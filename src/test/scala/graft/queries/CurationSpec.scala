@@ -334,6 +334,91 @@ class CurationSpec extends SparkSpec {
     assert(runs1 == legacy)
   }
 
+  test("qd29: a planted exact run is reported once, with its TRUE " +
+    "variable length and both 1-based starts") {
+    import spark.implicits._
+    // docs 1/2 share an exact 7-token run ("c d e f g h i") at
+    // different offsets; doc 3 is unique filler
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),   // run at pos 3..9
+      (2L, "x y z w c d e f g h i q r"), // run at pos 5..11
+      (3L, "p0 p1 p2 p3 p4 p5 p6 p7"))
+      .toDF("doc_id", "text")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    val out = CurationQueries.substringMatchesFrom(pos, 3, 5)
+      .as[(Long, Int, Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 3, 2L, 5, 7)))
+  }
+
+  test("qd29: no chimeras — overlapping matches against DIFFERENT " +
+    "partners stay separate matches, where coverage-merge (qd25 " +
+    "grain) would stitch one long false run") {
+    import spark.implicits._
+    // doc 1 = t1..t12; doc 2 repeats t1..t8; doc 3 repeats t5..t12.
+    // Coverage of dup 3-grams in doc 1 is ALL of 1..12 (one merged
+    // 12-token "run" that repeats nowhere as a whole); exact matching
+    // must report two 8-token matches instead.
+    val t = (1 to 12).map(i => s"t$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),
+      (2L, t.take(8).mkString(" ")),
+      (3L, t.drop(4).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    val out = CurationQueries.substringMatchesFrom(pos, 3, 5)
+      .as[(Long, Int, Long, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, 2L, 1, 8),   // t1..t8 vs doc 2
+      (1L, 5, 3L, 1, 8)))  // t5..t12 vs doc 3
+    // the residual t5..t8 overlap of docs 2/3 is 4 tokens < minLen 5
+    // and is correctly gated; no 12-token chimera appears anywhere
+    assert(!out.exists(_._5 > 8))
+  }
+
+  test("qd29: within-doc tandem repeats are found (Lee et al. dedup " +
+    "within documents too)") {
+    import spark.implicits._
+    // "m1..m6 m1..m6" — the 6-token block repeats at pos 7
+    val block = (1 to 6).map(i => s"m$i").mkString(" ")
+    val docs = Seq((1L, s"$block $block"), (2L, "u v w x y z"))
+      .toDF("doc_id", "text")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    val out = CurationQueries.substringMatchesFrom(pos, 3, 5)
+      .as[(Long, Int, Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 1, 1L, 7, 6)))
+  }
+
+  test("qd29 coverage law: at minLen = gramK, the union of cross-doc " +
+    "match intervals equals qd21's covered-position set per doc") {
+    import spark.implicits._
+    val docsDf = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text")
+    val pos = graft.functions.ShingleHash.positional(docsDf, 5)
+    // cross-doc exact matches at the gram grain (minLen = k = 5)
+    val matches = CurationQueries.substringMatchesFrom(pos, 5, 5)
+      .filter($"a_id" =!= $"b_id")
+      .as[(Long, Int, Long, Int, Int)].collect()
+    val covered = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Int]]
+    def mark(id: Long, start: Int, len: Int): Unit = {
+      val s0 = covered.getOrElseUpdate(id,
+        scala.collection.mutable.Set.empty[Int])
+      (start until start + len).foreach(s0 += _)
+    }
+    matches.foreach { case (a, as0, b, bs, len) =>
+      mark(a, as0, len); mark(b, bs, len) }
+    // qd21's covered set = n_removed per doc (its scrub cuts exactly
+    // the covered positions)
+    val removed = q("qd21_span_scrub")
+      .select($"doc_id", $"n_removed").as[(Long, Int)].collect().toMap
+    assert(removed.nonEmpty && matches.nonEmpty)
+    removed.foreach { case (id, rm) =>
+      assert(covered.get(id).map(_.size).getOrElse(0) == rm,
+        s"doc $id: qd29 coverage ${covered.get(id).map(_.size)} vs " +
+          s"qd21 removed $rm")
+    }
+  }
+
   test("ksDriftFrom: a single-source corpus yields null drift (no " +
     "rest-of-corpus), not a division error or silent nulls mismatch") {
     import spark.implicits._

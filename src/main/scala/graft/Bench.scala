@@ -228,22 +228,75 @@ object Bench {
         if (sha.isEmpty) "unknown" else if (dirty) s"$sha-dirty" else sha
       } catch { case _: Exception => "unknown" }
 
-    // Calibration row (round-16 verdict #3): fixed CPU-bound work —
-    // xxhash64 over a constant range, no IO, whole-stage codegen'd —
-    // timed first and last per capture. Its wall moves with the same
-    // host-level ambient that moves every query's wall, so the ratio
-    // to its historical best is the capture's drift factor.
-    // ~1.3 s on an idle 32-thread host — long enough that scheduler
-    // jitter is <5%, short enough to cost the capture ~4 s total
+    // Calibration rows (round-16 verdict #3): constant-work probes
+    // timed first and last per capture; each arm's ratio to its
+    // historical best is the capture's drift factor for that RESOURCE.
+    // Three arms because the documented contamination classes differ:
+    //  - cpu: xxhash64 over a fixed range, 32 threads, working set in
+    //    registers — pure scheduler/frequency drift (~1.2 s idle);
+    //  - mem: strided xor over a 512 MiB heap array — memory-BANDWIDTH
+    //    contention, the r11/r16 class that inflates decode/byte-copy
+    //    rows while every /proc stamp and the cpu arm stay quiet;
+    //  - io: 256 MiB buffered file write+fsync+read on the bench's
+    //    tmp volume — storage-level ambient.
+    // First measured instance (r17): solo reruns on an idle machine
+    // read +30–80 % on tar/decode rows while the cpu arm read +8 % —
+    // exactly the class the mem/io arms exist to expose.
     val calibRows = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_CALIB_ROWS", "8000000000").toLong
-    def calibrate(): Double = (1 to 2).map { _ =>
+    val calibMemBytes = 512L << 20
+    val calibIoBytes = 256L << 20
+    def timed2(work: () => Unit): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(0, calibRows, 1, cpus.toInt)
-        .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h) AS x")
-        .collect(): Unit
+      work()
       (System.nanoTime() - t0) / 1e9
     }.min
+    val memBuf = new Array[Long]((calibMemBytes / 8).toInt)
+    def calibrate(): (Double, Double, Double) = {
+      val cpu = timed2 { () =>
+        spark.range(0, calibRows, 1, cpus.toInt)
+          .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h) AS x")
+          .collect(): Unit
+      }
+      val mem = timed2 { () =>
+        var acc = 0L
+        var stride = 0
+        while (stride < 4) { // four passes, forward
+          var i = 0
+          while (i < memBuf.length) {
+            acc ^= memBuf(i) + i
+            memBuf(i) = acc
+            i += 1
+          }
+          stride += 1
+        }
+        if (acc == 42L) System.err.print("") // keep the loop live
+      }
+      val io = timed2 { () =>
+        val f = java.nio.file.Files.createTempFile("graft_calib", ".bin")
+        try {
+          val chunk = new Array[Byte](8 << 20)
+          val ch = java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            var written = 0L
+            while (written < calibIoBytes) {
+              ch.write(java.nio.ByteBuffer.wrap(chunk)): Unit
+              written += chunk.length
+            }
+            ch.force(false)
+          } finally ch.close()
+          val in = java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            val bb = java.nio.ByteBuffer.allocate(8 << 20)
+            var n = 0
+            while (n >= 0) { bb.clear(); n = in.read(bb) }
+          } finally in.close()
+        } finally java.nio.file.Files.deleteIfExists(f): Unit
+      }
+      (cpu, mem, io)
+    }
 
     def loadavg: Seq[Double] =
       try java.nio.file.Files.readString(
@@ -493,9 +546,10 @@ object Bench {
 
     // closing calibration — same constant work as the opening one; the
     // capture's drift factor uses the BEST of the two (the kindest
-    // host state the capture observed)
+    // host state the capture observed), per arm
     val calibEnd = calibrate()
-    val calibBest = calibStart.min(calibEnd)
+    val calibBest = (calibStart._1.min(calibEnd._1),
+      calibStart._2.min(calibEnd._2), calibStart._3.min(calibEnd._3))
 
     // Min-vs-envelope radar (round-11 verdict #1): memory-bandwidth
     // contention inflates rows while every cpu/iowait/disk stamp reads
@@ -543,10 +597,12 @@ object Bench {
             .groupMapReduce(_._1)(_._2)(math.min)
         }
       } catch { case _: Exception => Map.empty }
-    // calibration reference: best calibration wall over the trailing
+    // calibration references: best wall per arm over the trailing
     // history window (calibration is constant work, so lines at any sf
-    // contribute) — the denominator of the drift factor
-    val calibRef: Option[Double] =
+    // contribute) — the denominators of the drift factors. Refs only
+    // compare within the SAME work size: a changed calibRows must not
+    // misread as host drift.
+    def armRef(arm: String, work: Long): Option[Double] =
       try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val p = java.nio.file.Paths.get("bench_history.jsonl")
@@ -557,11 +613,9 @@ object Bench {
             .filter(_.nonEmpty)
             .flatMap { ln =>
               try {
-                val c = mapper.readTree(ln).path("calib")
-                // refs only compare within the SAME work size — a
-                // changed calibRows must not misread as host drift
+                val c = mapper.readTree(ln).path("calib").path(arm)
                 if (c.isMissingNode ||
-                  c.path("rows").asLong(-1L) != calibRows) None
+                  c.path("work").asLong(-1L) != work) None
                 else Some(math.min(
                   c.path("start").asDouble(Double.MaxValue),
                   c.path("end").asDouble(Double.MaxValue)))
@@ -571,12 +625,21 @@ object Bench {
           if (refs.isEmpty) None else Some(refs.min)
         }
       } catch { case _: Exception => None }
-    val cf = calibFactor(calibBest, calibRef)
+    val cpuRef = armRef("cpu", calibRows)
+    val memRef = armRef("mem", calibMemBytes)
+    val ioRef = armRef("io", calibIoBytes)
+    // the capture scales radar thresholds by its WORST drifting arm —
+    // queries mix the three resources, and under-scaling converts host
+    // drift into false solo reruns (the r16 failure this closes)
+    val cfCpu = calibFactor(calibBest._1, cpuRef)
+    val cfMem = calibFactor(calibBest._2, memRef)
+    val cfIo = calibFactor(calibBest._3, ioRef)
+    val cf = cfCpu.max(cfMem).max(cfIo)
     if (cf > 1.0)
       System.err.println(
-        f"[bench] calibration: host running ${cf}%.2fx slower than the " +
-          f"historical best ($calibBest%.3fs vs " +
-          f"${calibRef.getOrElse(0.0)}%.3fs) — radar thresholds scaled")
+        f"[bench] calibration: host drift cpu ${cfCpu}%.2fx mem " +
+          f"${cfMem}%.2fx io ${cfIo}%.2fx — radar thresholds scaled " +
+          f"by ${cf}%.2fx")
     // "all stamps quiet" — the signature of the invisible contaminator
     def quiet(st: (Double, Double, Double, Double)): Boolean =
       st._1 < 1.0 && st._2 < 0.5 && st._3 < 50.0
@@ -688,7 +751,8 @@ object Bench {
     val envReruns = rerunNote.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibJson = f"""{"rows":$calibRows,"start":$calibStart%.3f,"end":$calibEnd%.3f,"ref":${calibRef.getOrElse(calibBest)}%.3f,"factor":$cf%.3f}"""
+    val calibJson =
+      f"""{"cpu":{"work":$calibRows,"start":${calibStart._1}%.3f,"end":${calibEnd._1}%.3f,"ref":${cpuRef.getOrElse(calibBest._1)}%.3f,"factor":$cfCpu%.3f},"mem":{"work":$calibMemBytes,"start":${calibStart._2}%.3f,"end":${calibEnd._2}%.3f,"ref":${memRef.getOrElse(calibBest._2)}%.3f,"factor":$cfMem%.3f},"io":{"work":$calibIoBytes,"start":${calibStart._3}%.3f,"end":${calibEnd._3}%.3f,"ref":${ioRef.getOrElse(calibBest._3)}%.3f,"factor":$cfIo%.3f},"factor":$cf%.3f}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"head":"$gitHead","calib":$calibJson,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)

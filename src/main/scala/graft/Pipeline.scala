@@ -45,6 +45,15 @@ import org.apache.spark.sql.functions.{avg, col, concat_ws, count, countDistinct
   *   # per-shard mp3/aac/ogg corruption rates via the frame walks;
   *   # --quarantine also writes one (url, entry, kind, reason) row
   *   # per offending entry so corrupt files are actionable
+  *
+  * spark-submit --class graft.Pipeline graft.jar \
+  *   --stage mediaaudit --input 'shards-{0..63}.tar' --save-path audit/ \
+  *   [--quarantine bad/]
+  *   # the video/image arms, same per-shard table + quarantine
+  *   # contract: mp4/mov via the stbl walk + a first-frame decode
+  *   # attempt (unsupported codecs COUNT as typed signals, they are
+  *   # never quarantined), webm/mkv via the EBML header walk,
+  *   # jpeg/png/gif/bmp via the real image decoder
   * }}}
   *
   * The reference's `--machine_id/--total_machine/--workers` sharding
@@ -542,10 +551,154 @@ object Pipeline {
             sum(col("truncated_bytes")).as("truncated_bytes"),
             sum(col("dur_ms")).as("dur_ms"))
           .orderBy(col("kind"))
+      // mixed video/image corruption-audit stage — the video/image
+      // arms of audioaudit, same per-shard table + quarantine
+      // contract, so one mixed corpus audits with two passes that
+      // read ONLY their own modality's bytes (payloadFiles pushdown):
+      //  - mp4/m4v/mov: container metadata via the real stbl/moof walk
+      //    (mm12's posture — sample counts, sync cadence, duration,
+      //    KBs/video, mdat never leaves the scan), sample byte ranges
+      //    bounds-checked against the container (truncation), plus a
+      //    FIRST-frame decode attempt (mm13's triage): an unsupported
+      //    codec is a TYPED SIGNAL counted per shard — valid data the
+      //    engine can't decode — never a quarantine row, while a
+      //    decode failure on a supported codec is corruption;
+      //  - webm/mkv: EBML header walk (mm24) — doctype, dimensions,
+      //    duration, codec ids; VP8/VP9 payload decode stays a typed
+      //    unsupported signal by the same adjudication;
+      //  - jpeg/png/gif/bmp: the real image decode (mm05/mm01 tier) —
+      //    dimensions out, undecodable bytes are corruption.
+      case "mediaaudit" =>
+        import graft.multimodal.{Mp4Probe, Mp4Samples, WebmProbe}
+        def kindOf(name: String): String = {
+          val n = name.toLowerCase(java.util.Locale.ROOT)
+          n.substring(n.lastIndexOf('.') + 1) match {
+            case "mp4" | "m4v" | "mov" => "mp4"
+            case "webm" | "mkv" => "webm"
+            case "jpg" | "jpeg" => "jpeg"
+            case "png" => "png"
+            case "gif" => "gif"
+            case "bmp" => "bmp"
+            case _ => ""
+          }
+        }
+        val samples = WdsReader.read(spark, req("input"),
+          graft.wds.TarIO.ReadOptions(
+            payloadFiles = Some(n => kindOf(n).nonEmpty)))
+        implicit val enc: org.apache.spark.sql.Encoder[MediaEntryStat] =
+          org.apache.spark.sql.Encoders.product[MediaEntryStat]
+        val stats = samples.flatMap { smp =>
+          smp.entries.toSeq.flatMap { case (name, bytes) =>
+            val kind = kindOf(name)
+            val entryName =
+              if (name.contains('.')) name else s"${smp.key}.$name"
+            def bad = MediaEntryStat(smp.url, entryName, kind, "?",
+              0L, 0L, 0, 0, 0L, 0L, 0, 0, 1)
+            if (kind.isEmpty) None
+            else Some(try {
+              kind match {
+                case "mp4" =>
+                  Mp4Samples.parse(bytes) match {
+                    case Some(t) =>
+                      val meta = Mp4Probe.probe(bytes)
+                      val truncated = (0 until t.frameCount).count(i =>
+                        t.offsets(i) < 0 || t.sizes(i) < 0 ||
+                          t.offsets(i) > bytes.length.toLong - t.sizes(i))
+                        .toLong
+                      val nKey =
+                        if (t.sync.isEmpty) t.frameCount.toLong
+                        else t.sync.length.toLong
+                      var unsupported = 0
+                      var decodeErr = 0
+                      if (t.frameCount > 0 && truncated == 0L) {
+                        try {
+                          graft.pack.FrameSource.Mp4Frames
+                            .frame(bytes, 0): Unit
+                        } catch {
+                          case graft.pack.FrameSource
+                              .UnsupportedCodecException(_) =>
+                            unsupported = 1
+                          case scala.util.control.NonFatal(_) =>
+                            decodeErr = 1
+                        }
+                      }
+                      MediaEntryStat(smp.url, entryName, kind,
+                        t.codec.trim, t.frameCount.toLong, nKey,
+                        meta.width, meta.height,
+                        math.round(t.durationSec * 1000), truncated,
+                        unsupported, decodeErr, 0)
+                    case None => bad // no complete sample table
+                  }
+                case "webm" =>
+                  val m = WebmProbe.probe(bytes)
+                  if (m.docType.isEmpty) bad
+                  else MediaEntryStat(smp.url, entryName, kind,
+                    m.codecs.headOption.getOrElse("?"), 0L, 0L,
+                    m.width, m.height, math.round(m.durationSec * 1000),
+                    0L, if (m.codecs.nonEmpty) 1 else 0, 0, 0)
+                case _ =>
+                  val img = graft.wds.Codecs.decodeImage(bytes)
+                  MediaEntryStat(smp.url, entryName, kind, kind, 1L, 1L,
+                    img.width, img.height, 0L, 0L, 0, 0, 0)
+              }
+            } catch { case scala.util.control.NonFatal(_) => bad })
+          }
+        }
+        // corruption = structural damage; `unsupported` is deliberately
+        // NOT corrupt (valid data behind a codec the engine triages)
+        val corrupt = col("parse_error") > 0 ||
+          col("truncated_samples") > 0 || col("decode_error") > 0
+        val statDf = a.get("quarantine") match {
+          case Some(qPath) =>
+            val cached = stats.toDF().persist()
+            val reason = concat_ws(",",
+              when(col("parse_error") > 0, lit("parse_error")),
+              when(col("truncated_samples") > 0, lit("truncated")),
+              when(col("decode_error") > 0, lit("decode_error")))
+            cached.where(corrupt)
+              .select(col("shard").as("url"), col("entry"), col("kind"),
+                reason.as("reason"))
+              .write.mode("overwrite").parquet(qPath)
+            cached
+          case None => stats.toDF()
+        }
+        val perShard = statDf.groupBy(col("shard"), col("kind"))
+          .agg(count(lit(1)).as("n_streams"),
+            sum(when(corrupt, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(col("frames")).as("n_frames"),
+            sum(col("key_frames")).as("key_frames"),
+            sum(col("truncated_samples")).as("truncated_samples"),
+            sum(col("unsupported")).as("unsupported"),
+            sum(col("decode_error")).as("decode_errors"),
+            sum(col("parse_error")).as("parse_errors"),
+            sum(col("dur_ms")).as("dur_ms"))
+          .withColumn("corrupt_ppm",
+            (col("n_corrupt") * lit(1000000L) / col("n_streams"))
+              .cast("long"))
+        perShard.write.mode("overwrite").parquet(req("save-path"))
+        if (a.contains("quarantine")) statDf.unpersist()
+        // bounded driver-side report row per kind, like audioaudit
+        spark.read.parquet(req("save-path"))
+          .groupBy(col("kind"))
+          .agg(sum(col("n_streams")).as("n_streams"),
+            sum(col("n_corrupt")).as("n_corrupt"),
+            sum(col("n_frames")).as("n_frames"),
+            sum(col("unsupported")).as("unsupported"),
+            sum(col("dur_ms")).as("dur_ms"))
+          .orderBy(col("kind"))
       case other =>
         throw new IllegalArgumentException(s"unknown stage $other")
     }
   }
+
+  /** One video/image entry's audit result, pre-aggregation
+    * (mediaaudit); same contract as [[AudioEntryStat]] — `entry`
+    * names the tar member so `--quarantine` is actionable. */
+  private[graft] final case class MediaEntryStat(
+      shard: String, entry: String, kind: String, codec: String,
+      frames: Long, key_frames: Long, width: Int, height: Int,
+      dur_ms: Long, truncated_samples: Long, unsupported: Int,
+      decode_error: Int, parse_error: Int)
 
   /** One audio entry's walk result, pre-aggregation (audioaudit).
     * `entry` (the tar member name) rides along so `--quarantine` can

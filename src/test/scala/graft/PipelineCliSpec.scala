@@ -644,4 +644,90 @@ class PipelineCliSpec extends SparkSpec {
     val perShard = spark.read.parquet(save).collect()
     assert(perShard.map(_.getAs[Long]("n_corrupt")).sum == 5L)
   }
+
+  test("mediaaudit stage: mp4/webm/image entries audit to per-shard " +
+      "rates; unsupported codecs are typed signals, not corruption") {
+    import graft.multimodal.{Mp4Samples, WebmProbe}
+    import graft.wds.Codecs
+    val dir = Files.createTempDirectory("cli_media").toString
+    val out = new java.io.FileOutputStream(s"$dir/media-000000.tar")
+    val w = new graft.wds.TarIO.TarWriter(out)
+    def sample(key: String, entries: Map[String, Array[Byte]]): Unit =
+      w.write(graft.wds.Sample(key, "", entries)): Unit
+    // decodable avc1 (the h264 I/P fixture) + an hev1 container the
+    // engine triages as unsupported + a truncated avc1
+    val avc = graft.multimodal.h264.H264Fixtures.videoGop(3L, 6)
+    sample("000000", Map("mp4" -> avc,
+      "json" -> "{}".getBytes("UTF-8"))) // non-media entry: ignored
+    val hev = Mp4Samples.encodeFrames(
+      (0 until 4).map(f => Array.fill(64 + f)(0x41.toByte)),
+      codec = "hev1", fps = 10, width = 2, height = 2, syncEvery = 3)
+    sample("000001", Map("mp4" -> hev))
+    // tail-truncated FRAGMENTED container (moov-first streaming
+    // layout): the download cut mid-mdat, the sample table survives,
+    // and the last trun sample points past the file — the real shape
+    // of a truncated fetch. (Tail-truncating the plain ftyp+mdat+moov
+    // layout instead kills the moov and reads as parse_error.)
+    val frag = graft.multimodal.h264.H264Fixtures.videoGopFragmented(3L, 6)
+    sample("000002", Map("mp4" ->
+      java.util.Arrays.copyOfRange(frag, 0, frag.length - 20)))
+    // garbage behind a .mp4 name: no sample table at all
+    sample("000003", Map("mp4" -> Array.fill[Byte](256)(0x55)))
+    // clean webm (VP9 stays a typed unsupported signal) + garbage webm
+    sample("000004", Map("webm" -> WebmProbe.encodeMinimal(
+      "webm", 2000, 320, 240, "V_VP9")))
+    sample("000005", Map("webm" -> Array.fill[Byte](128)(0x33)))
+    // clean png + bit-chopped jpeg
+    val png = Codecs.encodeImage(Codecs.ImageData(4, 4, 3, "RGB",
+      Array.tabulate(48)(i => (i * 5 % 251).toByte)), "png")
+    sample("000006", Map("png" -> png))
+    val jpg = Codecs.encodeImage(Codecs.ImageData(4, 4, 3, "RGB",
+      Array.tabulate(48)(i => (i * 7 % 251).toByte)), "jpeg")
+    sample("000007", Map("jpg" ->
+      java.util.Arrays.copyOfRange(jpg, 0, jpg.length / 2)))
+    w.close()
+
+    val save = Files.createTempDirectory("cli_media_out").toString
+    val quar = Files.createTempDirectory("cli_media_bad").toString
+    val report = Pipeline.run(spark, Map(
+      "stage" -> "mediaaudit", "input" -> s"$dir/media-000000.tar",
+      "save-path" -> save, "quarantine" -> quar))
+      .orderBy(col("kind")).collect()
+    // per-kind report: (kind, n_streams, n_corrupt, n_frames,
+    // unsupported, dur_ms)
+    assert(report.map(_.getString(0)).toSeq ==
+      Seq("jpeg", "mp4", "png", "webm"))
+    val mp4Rep = report.find(_.getString(0) == "mp4").get
+    assert(mp4Rep.getLong(1) == 4L) // 4 mp4 streams
+    assert(mp4Rep.getLong(2) == 2L) // truncated + garbage corrupt
+    assert(mp4Rep.getLong(4) == 1L) // hev1 = one typed unsupported
+    val webmRep = report.find(_.getString(0) == "webm").get
+    assert(webmRep.getLong(1) == 2L && webmRep.getLong(2) == 1L)
+    assert(webmRep.getLong(4) == 1L) // VP9: typed signal, not corrupt
+    assert(report.find(_.getString(0) == "png").get.getLong(2) == 0L)
+    assert(report.find(_.getString(0) == "jpeg").get.getLong(2) == 1L)
+    // per-shard table carries the audit detail
+    val perShard = spark.read.parquet(save).collect()
+    val mp4Row = perShard.find(_.getAs[String]("kind") == "mp4").get
+    assert(mp4Row.getAs[Long]("truncated_samples") > 0L)
+    assert(mp4Row.getAs[Long]("parse_errors") == 1L)
+    assert(mp4Row.getAs[Long]("corrupt_ppm") == 500000L)
+    val webmRow = perShard.find(_.getAs[String]("kind") == "webm").get
+    assert(webmRow.getAs[Long]("dur_ms") == 2000L)
+    // quarantine: exactly the structurally-damaged entries, with
+    // reasons; the hev1 and VP9 entries (valid data, typed signals)
+    // must NOT appear
+    val rows = spark.read.parquet(quar)
+      .orderBy(col("entry")).collect()
+      .map(r => (r.getAs[String]("entry"), r.getAs[String]("kind"),
+        r.getAs[String]("reason")))
+    assert(rows.toSeq == Seq(
+      ("000002.mp4", "mp4", "truncated"),
+      ("000003.mp4", "mp4", "parse_error"),
+      ("000005.webm", "webm", "parse_error"),
+      ("000007.jpg", "jpeg", "parse_error")),
+      s"quarantine rows: ${rows.toSeq}")
+    assert(spark.read.parquet(quar).collect()
+      .forall(_.getAs[String]("url").endsWith("media-000000.tar")))
+  }
 }

@@ -245,6 +245,11 @@ object Bench {
     val calibRows = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_CALIB_ROWS", "8000000000").toLong
     val calibMemBytes = 512L << 20
+    val calibMemPasses = 4
+    // the ref-matching work key is TOTAL bytes touched — a changed
+    // pass count must not misread as host drift (r17: a 2→4 pass bump
+    // against a 2-pass ref stamped a spurious 1.88x mem factor)
+    val calibMemWork = calibMemBytes * calibMemPasses
     val calibIoBytes = 256L << 20
     def timed2(work: () => Unit): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
@@ -261,7 +266,7 @@ object Bench {
       val mem = timed2 { () =>
         var acc = 0L
         var stride = 0
-        while (stride < 4) { // four passes, forward
+        while (stride < calibMemPasses) { // fixed passes, forward
           var i = 0
           while (i < memBuf.length) {
             acc ^= memBuf(i) + i
@@ -626,7 +631,7 @@ object Bench {
         }
       } catch { case _: Exception => None }
     val cpuRef = armRef("cpu", calibRows)
-    val memRef = armRef("mem", calibMemBytes)
+    val memRef = armRef("mem", calibMemWork)
     val ioRef = armRef("io", calibIoBytes)
     // the capture scales radar thresholds by its WORST drifting arm —
     // queries mix the three resources, and under-scaling converts host
@@ -752,7 +757,7 @@ object Bench {
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson =
-      f"""{"cpu":{"work":$calibRows,"start":${calibStart._1}%.3f,"end":${calibEnd._1}%.3f,"ref":${cpuRef.getOrElse(calibBest._1)}%.3f,"factor":$cfCpu%.3f},"mem":{"work":$calibMemBytes,"start":${calibStart._2}%.3f,"end":${calibEnd._2}%.3f,"ref":${memRef.getOrElse(calibBest._2)}%.3f,"factor":$cfMem%.3f},"io":{"work":$calibIoBytes,"start":${calibStart._3}%.3f,"end":${calibEnd._3}%.3f,"ref":${ioRef.getOrElse(calibBest._3)}%.3f,"factor":$cfIo%.3f},"factor":$cf%.3f}"""
+      f"""{"cpu":{"work":$calibRows,"start":${calibStart._1}%.3f,"end":${calibEnd._1}%.3f,"ref":${cpuRef.getOrElse(calibBest._1)}%.3f,"factor":$cfCpu%.3f},"mem":{"work":$calibMemWork,"start":${calibStart._2}%.3f,"end":${calibEnd._2}%.3f,"ref":${memRef.getOrElse(calibBest._2)}%.3f,"factor":$cfMem%.3f},"io":{"work":$calibIoBytes,"start":${calibStart._3}%.3f,"end":${calibEnd._3}%.3f,"ref":${ioRef.getOrElse(calibBest._3)}%.3f,"factor":$cfIo%.3f},"factor":$cf%.3f}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"head":"$gitHead","calib":$calibJson,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)

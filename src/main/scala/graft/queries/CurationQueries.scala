@@ -524,6 +524,133 @@ object CurationQueries extends QueryRegistry {
        |ORDER BY a_id, a_start, b_id, b_start""".stripMargin
   }
 
+  /** Core of qd30: the LINEAR production termination of exact
+    * substring mining — one row per repeat-segment OCCURRENCE instead
+    * of qd29's one row per location PAIR. The round-17 sf10 ring
+    * caught qd29's pair output growing d² per duplicated gram with d
+    * occurrences (125 GB spill, 17×/decade: a span planted in d docs
+    * is d(d−1)/2 pair rows), exactly the mm27/mm29 shape; this is the
+    * mm30-style collapse for the substring tier.
+    *
+    * Semantics (suffix-tree branching decomposition): every position
+    * whose k-gram is duplicated carries the gram's TRANSLATION-
+    * NORMALIZED occurrence set — the set {(doc', pos' − pos₀)} over
+    * all occurrences, anchored at the lexicographically-first one, so
+    * it is invariant as a repeat extends position-by-position. A
+    * maximal run of consecutive positions holding one normalized set
+    * (a gaps-and-islands pass per document) is a repeat SEGMENT:
+    *  - consecutive same-class positions overlap by k−1 tokens, so a
+    *    segment is a contiguous equality recurring at every member of
+    *    its class (the qd29 no-chimera argument, class-wise);
+    *  - where a subset of occurrences extends further (docs A,B,C
+    *    share S but only A,B share S+T), the set CHANGES and the
+    *    segment splits — the output is the branching decomposition,
+    *    with pairwise-maximal matches recoverable as unions of
+    *    adjacent segments with nested classes (qd29 is that view);
+    *  - OVERLAPPING occurrences (tandem/periodic runs) merge into one
+    *    segment spanning the whole periodic stretch — "a b a b a b"
+    *    is one row, not two overlapping pair rows.
+    * `n_occ` is the class multiplicity d: the planted span in d docs
+    * is d rows of (location, d), not d²/2 pairs.
+    *
+    * Cost is LINEAR end-to-end: one aggregate per gram (count + min
+    * anchor), one windowed xor per gram partition for the class hash
+    * (two seeds, the MediaDedup signature posture — SCALE.md "16-hex
+    * collision posture" covers the 128-bit accidental-merge odds),
+    * one islands window per document. No self-join exists in the
+    * plan, so there is no d² anywhere — hot spans (the exact thing a
+    * 100 TB dedup hunts) get CHEAPER per occurrence as d grows.
+    *
+    * The min-length gate applies PER SEGMENT: a long pairwise match
+    * that the branching decomposition splits into short segments
+    * (heavy nesting) can fall under a gate its qd29 match clears —
+    * the documented trade for linearity; at the Lee et al. 50-token
+    * grain with k = 5 the nesting would need 10+ branch points
+    * inside one match. */
+  private[graft] def substrRepeatSegmentsFrom(pos: DataFrame,
+      gramK: Int, minLen: Int): DataFrame = {
+    // per duplicated gram: occurrence count d and the anchor (the
+    // lexicographically-first occurrence) that normalizes translation
+    val dup = pos.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n_occ") >= 2)
+    // class hash: commutative two-seed xor over member keys
+    // (doc_id, pos − anchor.pos) — windowed over the gram so the
+    // join's sh partitioning is reused, no second shuffle
+    val classed = pos.join(dup, "sh")
+      .withColumn("rel", col("pos") - col("first.pos"))
+      .selectExpr("doc_id", "pos", "n_occ",
+        "bit_xor(xxhash64(doc_id, rel)) OVER (PARTITION BY sh) AS nh1",
+        "bit_xor(xxhash64(doc_id, rel, 2)) OVER (PARTITION BY sh) AS nh2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "nh1", "nh2", "n_occ").orderBy("pos")
+    classed
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("nh1"), col("nh2"), col("n_occ"),
+        col("grp"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + lit(gramK))
+          .as("match_len"))
+      .where(col("match_len") >= minLen)
+      // islands partition the duplicated positions, so (doc_id, start)
+      // is unique — a total deterministic order
+      .select(col("doc_id"), col("start"), col("match_len"),
+        col("n_occ"))
+      .orderBy(col("doc_id"), col("start"))
+  }
+
+  /** qd30: exact substring repeat segments — the production posture of
+    * qd29 at 100 TB. One row per occurrence of each maximal repeat
+    * segment: `(doc_id, start, match_len, n_occ)` (1-based token
+    * start, true segment length, class multiplicity). */
+  private def substrRepeatSegments(s: SparkSession,
+      dir: String): DataFrame =
+    substrRepeatSegmentsFrom(
+      graft.functions.ShingleHash.positional(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        GramK),
+      GramK, MinMatchLen)
+
+  /** DuckDB oracle: same construction with the normalized occurrence
+    * set carried EXACTLY (md5 of the ordered member list) rather than
+    * xor-hashed — the oracle has no quadratic to avoid at fixture
+    * scale, so it gets to be literal. */
+  private val substrRepeatSegmentsSql = {
+    val parts = (0 until GramK)
+      .map(o => if (o == 0) "ws[pos]" else s"ws[pos+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |      FROM documents),
+       |pw AS (SELECT doc_id, ws, unnest(generate_series(1,
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN len(ws) - ${GramK - 1} ELSE 1 END)) AS pos
+       |      FROM w),
+       |p AS (SELECT doc_id, pos, substr(md5(
+       |        CASE WHEN len(ws) >= $GramK
+       |          THEN $parts
+       |          ELSE array_to_string(ws, ' ') END), 1, 16) AS sh
+       |      FROM pw),
+       |f AS (SELECT sh, count(*) AS n_occ,
+       |        arg_min(pos, doc_id * 1000000 + pos) AS fpos
+       |      FROM p GROUP BY sh HAVING count(*) >= 2),
+       |c AS (SELECT p.sh, any_value(f.n_occ) AS n_occ,
+       |        md5(string_agg(p.doc_id || ':' || (p.pos - f.fpos), ','
+       |          ORDER BY p.doc_id, p.pos)) AS ck
+       |      FROM p JOIN f USING (sh) GROUP BY p.sh),
+       |i AS (SELECT p.doc_id, p.pos, c.ck, c.n_occ,
+       |        p.pos - row_number()
+       |          OVER (PARTITION BY p.doc_id, c.ck ORDER BY p.pos)
+       |          AS grp
+       |      FROM p JOIN c USING (sh))
+       |SELECT doc_id, min(pos)::INT AS start,
+       |  (max(pos) - min(pos) + $GramK)::INT AS match_len,
+       |  any_value(n_occ)::BIGINT AS n_occ
+       |FROM i GROUP BY doc_id, ck, grp
+       |HAVING max(pos) - min(pos) + $GramK >= $MinMatchLen
+       |ORDER BY doc_id, start""".stripMargin
+  }
+
   /** Cosine threshold for the semantic prune: rounded cosines ≥ Tau
     * mark the higher vec_id as redundant. Fixture in-cluster cosines
     * top out at ~0.47 with a ~1% tail above 0.3, so Tau = 0.3 prunes a
@@ -1546,6 +1673,11 @@ object CurationQueries extends QueryRegistry {
       Some(spanScrubRunsSql), bench = true),
     "qd29_exact_substr" -> QueryDef(substringMatches,
       Some(substringMatchesSql), bench = true),
+    // bench: qd30 is the linear production posture of the substring
+    // tier (the round-17 sf10 ring caught qd29's pair output at d² —
+    // 125 GB spill; segments are the mm30-style termination)
+    "qd30_substr_repeats" -> QueryDef(substrRepeatSegments,
+      Some(substrRepeatSegmentsSql), bench = true),
     "qs05_semdedup" -> QueryDef(semDedup, Some(semDedupSql)),
   )
 }

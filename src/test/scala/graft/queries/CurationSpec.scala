@@ -419,6 +419,111 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("qd30: a planted exact run is one segment row PER OCCURRENCE " +
+    "with the true length and multiplicity — not a pair row") {
+    import spark.implicits._
+    // the qd29 fixture: docs 1/2 share an exact 7-token run
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),   // run at pos 3..9
+      (2L, "x y z w c d e f g h i q r"), // run at pos 5..11
+      (3L, "p0 p1 p2 p3 p4 p5 p6 p7"))
+      .toDF("doc_id", "text")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    val out = CurationQueries.substrRepeatSegmentsFrom(pos, 3, 5)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq((1L, 3, 7, 2L), (2L, 5, 7, 2L)))
+  }
+
+  test("qd30 branching decomposition: where a SUBSET of occurrences " +
+    "extends, segments split at the branch point with the right " +
+    "multiplicities (no chimeras, class-wise)") {
+    import spark.implicits._
+    // doc 1 = t1..t12; doc 2 = t1..t8; doc 3 = t5..t12 (the qd29
+    // no-chimera fixture). Branching structure: t1..t6 is a segment
+    // of class {1,2}; t5..t8 of class {1,2,3}; t7..t12 of {1,3} —
+    // adjacent segments overlap by k−1 because segment boundaries are
+    // GRAM starts and each gram carries k tokens.
+    val t = (1 to 12).map(i => s"t$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),
+      (2L, t.take(8).mkString(" ")),
+      (3L, t.drop(4).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    // minLen 3 = k keeps ALL segments so the decomposition is visible
+    val out = CurationQueries.substrRepeatSegmentsFrom(pos, 3, 3)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, 6, 2L),  // t1..t6       class {doc1, doc2}
+      (1L, 5, 4, 3L),  // t5..t8       class {doc1, doc2, doc3}
+      (1L, 7, 6, 2L),  // t7..t12      class {doc1, doc3}
+      (2L, 1, 6, 2L),
+      (2L, 5, 4, 3L),
+      (3L, 1, 4, 3L),
+      (3L, 3, 6, 2L)))
+    // and the minLen gate is per SEGMENT: at 5 the 3-way middle
+    // segment (len 4) drops while both 2-way flanks stay
+    val gated = CurationQueries.substrRepeatSegmentsFrom(pos, 3, 5)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(gated == Seq((1L, 1, 6, 2L), (1L, 7, 6, 2L),
+      (2L, 1, 6, 2L), (3L, 3, 6, 2L)))
+  }
+
+  test("qd30: within-doc tandem repeats merge into ONE periodic " +
+    "stretch row; non-overlapping within-doc repeats stay two rows") {
+    import spark.implicits._
+    val m = (1 to 6).map(i => s"m$i").mkString(" ")
+    val b = (1 to 6).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$m $m"),       // adjacent tandem, period 6
+      (2L, s"$b u v w $b"), // separated repeat (distinct block)
+      (3L, "q r s t q r s t q r"))  // overlapping period-4 run
+      .toDF("doc_id", "text")
+    val pos = graft.functions.ShingleHash.positional(docs, 3)
+    val out = CurationQueries.substrRepeatSegmentsFrom(pos, 3, 5)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // doc 1: m1..m4 grams recur at +6 → positions 1..4 and 7..10 are
+    // two islands of one class (the tandem's two copies); doc 2 the
+    // same shape at +9; doc 3's period-4 run merges into one
+    // 10-token stretch (every gram pos 1..8 recurs at +4 — one
+    // island, where qd29 reports the overlapping pairwise match)
+    assert(out == Seq(
+      (1L, 1, 6, 2L), (1L, 7, 6, 2L),
+      (2L, 1, 6, 2L), (2L, 10, 6, 2L),
+      (3L, 1, 10, 2L)))
+  }
+
+  test("qd30/qd29 coverage law: the union of segment intervals at " +
+    "minLen = k equals the union of qd29 match intervals per doc") {
+    import spark.implicits._
+    val docsDf = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text")
+    val pos = graft.functions.ShingleHash.positional(docsDf, 5)
+    def coverOf(rows: Seq[(Long, Int, Int)]) = {
+      val m = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Int]]
+      rows.foreach { case (id, s0, len) =>
+        val set = m.getOrElseUpdate(id,
+          scala.collection.mutable.Set.empty[Int])
+        (s0 until s0 + len).foreach(set += _)
+      }
+      m.map { case (k, v) => (k, v.toSet) }.toMap
+    }
+    val seg = coverOf(CurationQueries
+      .substrRepeatSegmentsFrom(pos, 5, 5)
+      .select($"doc_id", $"start", $"match_len")
+      .as[(Long, Int, Int)].collect().toSeq)
+    val pair = coverOf(CurationQueries.substringMatchesFrom(pos, 5, 5)
+      .select($"a_id", $"a_start", $"match_len")
+      .as[(Long, Int, Int)].collect().toSeq ++
+      CurationQueries.substringMatchesFrom(pos, 5, 5)
+        .select($"b_id", $"b_start", $"match_len")
+        .as[(Long, Int, Int)].collect().toSeq)
+    assert(seg.nonEmpty && seg == pair,
+      s"segment cover ${seg.view.mapValues(_.size).toMap} vs qd29 " +
+        s"cover ${pair.view.mapValues(_.size).toMap}")
+  }
+
   test("ksDriftFrom: a single-source corpus yields null drift (no " +
     "rest-of-corpus), not a division error or silent nulls mismatch") {
     import spark.implicits._

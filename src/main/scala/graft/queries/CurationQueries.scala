@@ -576,13 +576,21 @@ object CurationQueries extends QueryRegistry {
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .where(col("n_occ") >= 2)
     // class hash: commutative two-seed xor over member keys
-    // (doc_id, pos − anchor.pos) — windowed over the gram so the
-    // join's sh partitioning is reused, no second shuffle
-    val classed = pos.join(dup, "sh")
-      .withColumn("rel", col("pos") - col("first.pos"))
-      .selectExpr("doc_id", "pos", "n_occ",
-        "bit_xor(xxhash64(doc_id, rel)) OVER (PARTITION BY sh) AS nh1",
-        "bit_xor(xxhash64(doc_id, rel, 2)) OVER (PARTITION BY sh) AS nh2")
+    // (doc_id, pos − anchor.pos). Spelled as a partial-aggregating
+    // groupBy + join rather than a window over sh: a window partition
+    // cannot be skew-split, and a corpus-hot gram at 100 TB (a
+    // stopword 5-gram with 1e8+ occurrences) would pin one task;
+    // the aggregate combines map-side and both sh joins are
+    // AQE-skew-splittable, so the hot key spreads
+    val members = pos.join(dup, "sh")
+      .select(col("sh"), col("doc_id"), col("pos"), col("n_occ"),
+        (col("pos") - col("first.pos")).as("rel"))
+    val cls = members.groupBy(col("sh"))
+      .agg(expr("bit_xor(xxhash64(doc_id, rel))").as("nh1"),
+        expr("bit_xor(xxhash64(doc_id, rel, 2))").as("nh2"))
+    val classed = members.join(cls, "sh")
+      .select(col("doc_id"), col("pos"), col("n_occ"),
+        col("nh1"), col("nh2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "nh1", "nh2", "n_occ").orderBy("pos")
     classed

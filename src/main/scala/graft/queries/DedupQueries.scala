@@ -1044,13 +1044,36 @@ object DedupQueries extends QueryRegistry {
   /** qd15 core over any signature frame — shared with the scale probe.
     * `isNew` partitions the docs into standing corpus (false) and
     * increment (true); candidates are new-vs-corpus plus
-    * new-vs-earlier-new (id order = arrival order). */
+    * new-vs-earlier-new (id order = arrival order).
+    *
+    * `bucketCap` (qd31, the production posture): the round-17 sf30
+    * ring caught the uncapped band join super-linear — a hot band
+    * (boilerplate family) holds ∝sf members on BOTH the new and index
+    * sides, so its candidate pairs grow sf² (solo sf10→sf30: wall
+    * 28.6 → 140.2 s, shuffle 3.0 → 17.5 GB at 5.8× per 3× data,
+    * spill 0 → 129 GB, peak task mem 1.1 GB). With the qd27 ceiling,
+    * bands above the cap (counted over corpus ∪ increment) drop
+    * whole — members still pair through their selective bands, and
+    * `n_cands` reports the capped candidate count (the documented
+    * loss, never a silent one). */
   private[graft] def incrementalFrom(
-      sig: DataFrame, isNew: Column): DataFrame = {
+      sig: DataFrame, isNew: Column,
+      bucketCap: Option[Int] = None): DataFrame = {
     import sig.sparkSession.implicits._
-    val bands = sig.select($"doc_id" +: bandCols: _*)
+    val allBands = sig.select($"doc_id" +: bandCols: _*)
       .select($"doc_id", explode(array(
         (0 until NumBands).map(b => col(s"band$b")): _*)).as("band"))
+    val bands = bucketCap match {
+      case Some(cap) =>
+        // cap <= 0 would mark every bucket hot and silently disable
+        // the stage — fail loudly (the qd27/qc08 posture)
+        require(cap > 0, s"lsh bucket cap must be positive, got $cap")
+        val hot = allBands.groupBy($"band")
+          .agg(count(lit(1)).as("m")).filter($"m" > cap)
+          .select($"band")
+        allBands.join(hot, Seq("band"), "left_anti")
+      case None => allBands
+    }
     val newBands = bands.filter(isNew)
       .select($"doc_id".as("new_id"), $"band")
     val indexBands = bands // corpus ∪ earlier increment
@@ -1082,6 +1105,54 @@ object DedupQueries extends QueryRegistry {
       .select($"new_id", $"n_cands",
         coalesce($"dup_flag", lit(0)).as("is_dup"),
         coalesce($"match_min", lit(-1L)).as("match_id"))
+  }
+
+  /** qd31: qd15 with the qd27 hot-band ceiling — the 100 TB posture
+    * of incremental near-dup dedup (see [[incrementalFrom]]'s
+    * bucketCap note for the measured sf30 quadratic it removes). */
+  private def incrementalDedupCapped(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    incrementalFrom(signatures(s, dir),
+      isNew = col("doc_id") % 2 === 1,
+      bucketCap = Some(LshBucketCap))
+      .orderBy($"new_id")
+  }
+
+  private val incrementalDedupCappedSql = {
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    val agree = (0 until NumHashes)
+      .map(k => s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(b => s"band$b").mkString(", ")}]) AS band
+       |  FROM bands),
+       |hot AS (SELECT band FROM eb GROUP BY band
+       |        HAVING count(*) > $LshBucketCap),
+       |ebk AS (SELECT doc_id, band FROM eb ANTI JOIN hot USING (band)),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS cand_id
+       |  FROM ebk n JOIN ebk i ON n.band = i.band
+       |   AND n.doc_id % 2 = 1
+       |   AND (i.doc_id % 2 = 0 OR i.doc_id < n.doc_id)),
+       |ver AS (
+       |  SELECT new_id, cand_id, ($agree) AS n_agree
+       |  FROM cand JOIN sig a ON new_id = a.doc_id
+       |            JOIN sig b ON cand_id = b.doc_id)
+       |SELECT s.doc_id AS new_id, count(cand_id) AS n_cands,
+       |  coalesce(max(CASE WHEN n_agree >= ${NumHashes / 2} THEN 1
+       |    ELSE 0 END), 0) AS is_dup,
+       |  coalesce(min(CASE WHEN n_agree >= ${NumHashes / 2} THEN cand_id
+       |    END), -1)::BIGINT AS match_id
+       |FROM sig s LEFT JOIN ver ON s.doc_id = ver.new_id
+       |WHERE s.doc_id % 2 = 1
+       |GROUP BY s.doc_id ORDER BY new_id""".stripMargin
   }
 
   private val incrementalDedupSql = {
@@ -2069,6 +2140,11 @@ object DedupQueries extends QueryRegistry {
       Some(embedDupAutoSql), bench = true),
     "qd15_incremental_dedup" -> QueryDef(incrementalDedup,
       Some(incrementalDedupSql), bench = true),
+    // bench: qd31 is the capped production posture of incremental
+    // near-dup dedup (round-17 sf30 ring: uncapped band join goes
+    // sf² on hot bands — 129 GB spill; the qd27 ceiling removes it)
+    "qd31_incremental_capped" -> QueryDef(incrementalDedupCapped,
+      Some(incrementalDedupCappedSql), bench = true),
     "qd28_bloom_incremental" -> QueryDef(bloomIncremental,
       Some(bloomIncrementalSql), bench = true),
     "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql),

@@ -716,6 +716,42 @@ class CorpusOpsSpec extends SparkSpec {
       "cap dropped a pair outside the hot family")
   }
 
+  test("qd31: the incremental band cap drops the boilerplate family " +
+    "from candidates (counted in n_cands, not silently); the genuine " +
+    "near-dup still matches; a generous cap reproduces qd15 exactly") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this site " * 3
+    val nd1 = "the quick brown fox jumps over the lazy dog again and again"
+    val nd2 = "the quick brown fox jumps over the lazy dog again and later"
+    val docs = ((0L until 60L).map(i => (i, boiler)) ++
+      Seq((100L, nd1), (101L, nd2),
+        (200L, "completely unrelated words about astronomy and tides")))
+      .toDF("doc_id", "text")
+    val sig = graft.functions.MinHash.signatures(docs, 8)
+    val isNew = $"doc_id" % 2 === 1
+    val capped = DedupQueries
+      .incrementalFrom(sig, isNew, bucketCap = Some(10))
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 101 (new) still matches 100 (corpus) through the selective pair
+    // bucket the cap leaves alone
+    assert(capped(101L) == ((1L, 1, 100L)),
+      s"near-dup lost under cap: ${capped(101L)}")
+    // odd boilerplate docs see ZERO candidates — the family's bands
+    // are all hot and drop whole, and n_cands says so
+    (1L until 60L by 2).foreach { id =>
+      assert(capped(id) == ((0L, 0, -1L)),
+        s"boilerplate doc $id leaked candidates: ${capped(id)}")
+    }
+    // a ceiling above every bucket reproduces qd15 row-for-row
+    val pure = DedupQueries.incrementalFrom(sig, isNew)
+      .orderBy($"new_id").collect().toSeq
+    val generous = DedupQueries
+      .incrementalFrom(sig, isNew, bucketCap = Some(100000))
+      .orderBy($"new_id").collect().toSeq
+    assert(generous == pure)
+  }
+
   test("qc08 law: two-phase prefix sum equals brute force on random " +
     "skewed corpora (one source holds ~90% of the docs)") {
     import spark.implicits._

@@ -1406,6 +1406,70 @@ object DedupQueries extends QueryRegistry {
        |ORDER BY kind, split_a, split_b""".stripMargin
   }
 
+  /** qd32: qd16 with the qd27 hot-band ceiling on the leak-audit
+    * candidate join — the 100 TB posture. The round-17 sf30 ring
+    * caught qd16's uncapped `lshPairsFrom` inheriting the same hot-
+    * band sf² as qd15 (solo sf10→sf30: 25.1 → 126.0 s, shuffle
+    * 1.4 → 11.9 GB at 8.5× per 3× data, spill 0.3 → 150 GB, peak
+    * task mem 1.2 GB). Capped, a boilerplate family's cross-split
+    * pairs leave the matrix (the qd27 documented loss — its members
+    * still leak-count through selective bands); uncapped qd16 stays
+    * the exact gate row for sample-scale audits. */
+  private def splitHygieneCapped(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val splits = Tables(s, dir).documents.select($"doc_id",
+      when(CurationQueries.bucketCol < 90, "train")
+        .when(CurationQueries.bucketCol < 95, "val")
+        .otherwise("test").as("split"))
+    val docCounts = splits.groupBy($"split").agg(count(lit(1)).as("n"))
+      .select(lit("docs").as("kind"), $"split".as("split_a"),
+        lit("").as("split_b"), $"n")
+    val leaks = lshPairsCapped(signatures(s, dir))
+      .join(splits.as("sa"), $"a_id" === col("sa.doc_id"))
+      .join(splits.as("sb"), $"b_id" === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .groupBy(col("sa.split").as("split_a"), col("sb.split").as("split_b"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("leak").as("kind"), $"split_a", $"split_b", $"n")
+    docCounts.unionByName(leaks)
+      .orderBy($"kind", $"split_a", $"split_b")
+  }
+
+  private val splitHygieneCappedSql = {
+    val b = CurationQueries.bucketSql
+    val bandExprs = (0 until NumBands).map(bandSql).mkString(",\n    ")
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig),
+       |eb AS (
+       |  SELECT doc_id, unnest([${(0 until NumBands)
+        .map(bd => s"band$bd").mkString(", ")}]) AS band
+       |  FROM bands),
+       |hot AS (SELECT band FROM eb GROUP BY band
+       |        HAVING count(*) > $LshBucketCap),
+       |ebc AS (SELECT doc_id, band FROM eb ANTI JOIN hot USING (band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ebc a JOIN ebc b ON a.band = b.band
+       |   AND a.doc_id < b.doc_id),
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN $b < 90 THEN 'train'
+       |    WHEN $b < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT 'docs' AS kind, split AS split_a, '' AS split_b,
+       |  count(*) AS n
+       |FROM sp GROUP BY 2
+       |UNION ALL
+       |SELECT 'leak', sa.split, sb.split, count(*)
+       |FROM cand JOIN sp sa ON a_id = sa.doc_id
+       |          JOIN sp sb ON b_id = sb.doc_id
+       |WHERE sa.split <> sb.split GROUP BY 2, 3
+       |ORDER BY kind, split_a, split_b""".stripMargin
+  }
+
   /** End-to-end dedup keep-list: drop the higher doc_id of every
     * Jaccard-verified near-dup pair (threshold 0.5) — the pipeline's
     * final output shape (LSH candidates → exact verify → prune). */
@@ -2147,6 +2211,11 @@ object DedupQueries extends QueryRegistry {
       Some(incrementalDedupCappedSql), bench = true),
     "qd28_bloom_incremental" -> QueryDef(bloomIncremental,
       Some(bloomIncrementalSql), bench = true),
+    // bench: qd32 is the capped production posture of the cross-split
+    // leak audit (round-17 sf30 ring: qd16's uncapped pairs go sf² on
+    // hot bands — 150 GB spill; the qd27 ceiling removes it)
+    "qd32_split_hygiene_capped" -> QueryDef(splitHygieneCapped,
+      Some(splitHygieneCappedSql), bench = true),
     "qd16_split_hygiene" -> QueryDef(splitHygiene, Some(splitHygieneSql),
       bench = true),
   )

@@ -752,6 +752,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(generous == pure)
   }
 
+  test("qd32 law: capped split-hygiene keeps the doc counts identical " +
+    "and every leak cell bounded by qd16's (cap can only remove " +
+    "candidate pairs, never add or reroute them)") {
+    import spark.implicits._
+    val pure = q("qd16_split_hygiene")
+      .as[(String, String, String, Long)].collect()
+    val capped = q("qd32_split_hygiene_capped")
+      .as[(String, String, String, Long)].collect()
+    assert(pure.filter(_._1 == "docs").toSet ==
+      capped.filter(_._1 == "docs").toSet)
+    val pureLeak = pure.filter(_._1 == "leak")
+      .map(r => (r._2, r._3) -> r._4).toMap
+    val cappedLeak = capped.filter(_._1 == "leak")
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert((cappedLeak.keySet -- pureLeak.keySet).isEmpty,
+      "cap introduced a leak cell qd16 does not have")
+    cappedLeak.foreach { case (k, n) =>
+      assert(n <= pureLeak(k), s"cell $k grew under the cap")
+    }
+  }
+
   test("qc08 law: two-phase prefix sum equals brute force on random " +
     "skewed corpora (one source holds ~90% of the docs)") {
     import spark.implicits._

@@ -219,14 +219,24 @@ object Bench {
 
     // git HEAD stamp — the keep-best-of-HEAD merge key (a dirty tree
     // suffixes `-dirty` and never merges: the code may differ between
-    // two dirty captures at one HEAD)
-    val gitHead: String =
+    // two dirty captures at one HEAD). The bench's OWN output
+    // artifacts are excluded from the dirty check: the first capture
+    // after a commit rewrites BENCH_LINE.json/bench_history.jsonl, and
+    // counting that as dirt made every same-HEAD RECAPTURE stamp
+    // `-dirty` — silently defeating the merge this key exists for
+    // (caught live in round 17: captures 2..n of a session never
+    // merged). Those files carry no code.
+    val gitHead: String = {
+      val benchOwn = Set("BENCH_LINE.json", "bench_history.jsonl")
       try {
         import scala.sys.process._
         val sha = Seq("git", "rev-parse", "--short=12", "HEAD").!!.trim
-        val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+        val dirty = Seq("git", "status", "--porcelain").!!
+          .linesIterator.map(_.drop(3).trim)
+          .exists(p => p.nonEmpty && !benchOwn.contains(p))
         if (sha.isEmpty) "unknown" else if (dirty) s"$sha-dirty" else sha
       } catch { case _: Exception => "unknown" }
+    }
 
     // Calibration rows (round-16 verdict #3): constant-work probes
     // timed first and last per capture; each arm's ratio to its

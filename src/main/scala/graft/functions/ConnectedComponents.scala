@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components — the final stage of a production dedup
@@ -28,24 +28,39 @@ import org.apache.spark.sql.functions._
   *    finishes in ~15 star rounds. Phase 1's partial labels are fed in
   *    as extra (id, label) edges so its path compression is not wasted.
   *
-  * Scale notes (100 TB):
+  * Scale notes (100 TB) — reworked in round 17 (optimization):
+  *  - The loop iterates over EDGE-TOUCHED vertices only. A vertex with
+  *    no near-dup edge can never receive a message and keeps its own id
+  *    forever, so carrying it through every round is pure waste — and
+  *    at corpus scale the touched set (docs with at least one verified
+  *    near-dup pair) is a small fraction of the vertex table. Untouched
+  *    vertices re-enter once, in the final left-join assembly (the same
+  *    shape the star phase always used for its output).
+  *  - Round 1 is FREE of the labels join: with identity initial labels,
+  *    round 1's output is exactly `min(v, min Γ(v))` — one groupBy over
+  *    the checkpointed symmetric edge relation. The identity-label
+  *    checkpoint and the first join round of the r16 implementation are
+  *    both gone.
+  *  - Per-round convergence detection ("did any label change") rides
+  *    the checkpoint write itself via `Dataset.observe` — an aggregate
+  *    computed DURING the write job. The r16 implementation re-read the
+  *    just-written checkpoint and filter-counted it: one extra job per
+  *    round, and at 100 TB one extra full pass over the label table per
+  *    round. The checkpoint also narrows to (id, label) — the carried
+  *    `old` column existed only for that count.
   *  - Lineage is truncated every round with a RELIABLE snapshot when
   *    `sparkContext.setCheckpointDir` has been called (alternating
   *    parquet slots bound retained storage at O(1) snapshots); sessions
   *    without a checkpoint dir — unit tests, local runs — fall back to
-  *    `localCheckpoint`.
-  *  - Phase-1 convergence detection is FUSED into the propagation
-  *    aggregation: the previous label rides through the same
-  *    `groupBy(id)` (messages contribute null, `min` ignores nulls), so
-  *    "did anything change" is a filter-count over the already-
-  *    materialized checkpoint — no extra join or shuffle per round.
+  *    `localCheckpoint`, where the observed metrics are read after the
+  *    materializing action the same way.
   *  - Phase-2 convergence is a (count, xxhash64-sum) checksum over the
-  *    rewritten edge set — at the fixpoint small-star emits the exact
-  *    star graph (every non-root → its component min) and the set stops
-  *    changing. A checksum match is confirmed EXACTLY (one set
-  *    difference against the previous round's snapshot) before
-  *    convergence is declared — a hash collision can cost one extra
-  *    confirm, never a wrong answer.
+  *    rewritten edge set, likewise observed on the checkpoint write —
+  *    at the fixpoint small-star emits the exact star graph (every
+  *    non-root → its component min) and the set stops changing. A
+  *    checksum match is confirmed EXACTLY (one set difference against
+  *    the previous round's snapshot) before convergence is declared — a
+  *    hash collision can cost one extra confirm, never a wrong answer.
   *  - `maxIters` bounds the TOTAL rounds across both phases; exhausting
   *    it unconverged THROWS: silently returning partial labels would
   *    emit wrong clusters with no signal. With the default budget the
@@ -89,32 +104,76 @@ object ConnectedComponents {
     val runDir = sc.getCheckpointDir.map(b =>
       s"$b/cc-${java.util.UUID.randomUUID()}")
     var slot = 0
-    def ckpt(df: DataFrame): DataFrame = runDir match {
-      case Some(d) =>
-        val path = s"$d/s$slot"
-        slot = (slot + 1) % 2
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case None => df.localCheckpoint()
+    // Checkpoint df and return (reread frame projected to `keep`,
+    // observed metric values in `aggs` order). The aggregates are
+    // computed by the SAME job that materializes the checkpoint
+    // (`Dataset.observe`) — no re-read of the snapshot for the
+    // convergence check, which at scale costs a full label-table pass
+    // per round; `keep` narrows what lands in the snapshot (the
+    // convergence inputs need not be stored). Aggs must be aliased;
+    // CollectMetrics is a pruning barrier, so columns the aggregates
+    // read survive below it even when `keep` drops them.
+    def ckptObserved(df: DataFrame, keep: Seq[String],
+        names: Seq[String], aggs: Seq[Column],
+        path: String): (DataFrame, Seq[Any]) = {
+      runDir match {
+        case Some(_) =>
+          val obs = Observation()
+          df.observe(obs, aggs.head, aggs.tail: _*)
+            .select(keep.map(col): _*)
+            .write.mode("overwrite").parquet(path)
+          val got = obs.get
+          (spark.read.parquet(path), names.map(got))
+        case None =>
+          val lc = df.localCheckpoint()
+          val row = lc.agg(aggs.head, aggs.tail: _*).head()
+          (lc.select(keep.map(col): _*),
+            names.indices.map(row.get))
+      }
     }
-    // sym + the initial labels get their own slots (written once)
-    def ckptOnce(df: DataFrame, name: String): DataFrame = runDir match {
-      case Some(d) =>
-        df.write.mode("overwrite").parquet(s"$d/$name")
-        spark.read.parquet(s"$d/$name")
-      case None => df.localCheckpoint()
+    def slotPath(): String = {
+      val p = s"${runDir.getOrElse("")}/s$slot"
+      slot = (slot + 1) % 2
+      p
     }
-    val sym = ckptOnce(edges
+    val (sym, symCounts) = ckptObserved(edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))),
-      "sym")
-    var labels = ckptOnce(
-      vertices.select(col("id"), col("id").as("label")), "init")
+      keep = Seq("src", "dst"),
+      names = Seq("n"), aggs = Seq(count(lit(1)).as("n")),
+      path = s"${runDir.getOrElse("")}/sym")
+    val symCount = symCounts.head.asInstanceOf[Long]
+    // untouched vertices (no edge) label themselves; they re-enter in
+    // the final assembly, never in the loop
+    def assemble(touchedLabels: DataFrame): DataFrame =
+      vertices.join(
+        touchedLabels.select(col("id").as("t_id"), col("label")),
+        vertices("id") === col("t_id"), "left")
+        .select(vertices("id"),
+          coalesce(col("label"), vertices("id")).as("label"))
+    if (symCount == 0L)
+      return (vertices.select(col("id"), col("id").as("label")),
+        CcStats(0, 0, usedStarFallback = false))
     // `old` keeps the label's OWN type: casting to a fixed numeric type
     // would null out non-numeric ids and make the convergence check
     // silently pass after one round
+    val changedAgg = coalesce(
+      sum(when(!(col("label") <=> col("old")), 1L).otherwise(0L)),
+      lit(0L)).as("changed")
+    // Round 1 without a join: identity initial labels make round 1's
+    // output exactly min(v, min Γ(v)) — one groupBy over sym. Always
+    // treated as changed (sym is non-empty, so some endpoint's
+    // neighborhood min undercuts its id — and if not, round 2's
+    // observed count terminates the loop one round later).
+    var (labels, _) = ckptObserved(
+      sym.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("label")),
+      keep = Seq("id", "label"),
+      names = Seq("n"), aggs = Seq(count(lit(1)).as("n")),
+      path = slotPath())
     val labelType = labels.schema("label").dataType
-    var iter = 0
+    var iter = 1
     var changed = 1L
     val phase1Budget = math.min(propagationBudget, maxIters)
     while (changed > 0 && iter < phase1Budget) {
@@ -122,17 +181,23 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("label"),
           lit(null).cast(labelType).as("old"))
       // one pass: min over {old label} ∪ {incoming labels}; the previous
-      // label rides along as min("old") (unique per id, nulls ignored)
-      val next = ckpt(labels
+      // label rides along as min("old") (unique per id, nulls ignored).
+      // The changed-count is observed on the checkpoint write; only
+      // (id, label) lands in the snapshot.
+      val (next, row) = ckptObserved(labels
         .select(col("id"), col("label"), col("label").as("old"))
         .union(msgs)
-        .groupBy("id").agg(min("label").as("label"), min("old").as("old")))
-      changed = next.filter(!(col("label") <=> col("old"))).count()
-      labels = next.select(col("id"), col("label"))
+        .groupBy("id").agg(min("label").as("label"), min("old").as("old")),
+        keep = Seq("id", "label"),
+        names = Seq("changed"), aggs = Seq(changedAgg),
+        path = slotPath())
+      changed = row.head.asInstanceOf[Long]
+      labels = next
       iter += 1
     }
     if (changed == 0)
-      return (labels, CcStats(iter, 0, usedStarFallback = false))
+      return (assemble(labels),
+        CcStats(iter, 0, usedStarFallback = false))
 
     // ---- star fallback: the component diameter exceeds the phase-1
     // budget; switch to edge-set rewriting, O(log n) alternations.
@@ -144,7 +209,21 @@ object ConnectedComponents {
     // Seed with the original edges PLUS phase 1's partial labels as
     // (id → label) shortcut edges: label is provably in id's component,
     // so components are unchanged and phase-1 compression carries over.
-    var e = ckpt(edges
+    // (Touched-only labels drop exactly the identity self-loops the
+    // a ≠ b filter removed anyway.)
+    def ckptStar(df: DataFrame)
+        : (DataFrame, (Long, Option[java.math.BigDecimal])) = {
+      val (out, vals) = ckptObserved(df,
+        keep = Seq("a", "b"),
+        names = Seq("c", "h"),
+        aggs = Seq(count(lit(1)).as("c"),
+          sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))
+            .as("h")),
+        path = slotPath())
+      (out, (vals.head.asInstanceOf[Long],
+        Option(vals(1)).map(_.asInstanceOf[java.math.BigDecimal])))
+    }
+    var (e, _) = ckptStar(edges
       .select(col("a_id").as("a"), col("b_id").as("b"))
       .union(labels.select(col("id").as("a"), col("label").as("b")))
       .filter(col("a") =!= col("b"))
@@ -180,25 +259,22 @@ object ConnectedComponents {
         .select(col("v").as("a"), col("m").as("b"))
         .distinct()
       val prev = e
-      e = ckpt(ss)
-      starRounds += 1
       // fixpoint check: the rewritten edge set stopped changing.
-      // (count, sum of xxhash64 row hashes) — order-insensitive, one
-      // aggregate over the just-materialized checkpoint. A signature
-      // match is only a CANDIDATE fixpoint: sum-of-hashes can collide
-      // between different edge sets, and declaring convergence on a
-      // collision would silently emit wrong cluster labels — so the
-      // first match is confirmed EXACTLY, once, with a set difference
-      // (both sides are distinct sets of equal count, so an empty
-      // `except` proves equality). `prev` reads the other alternating
-      // slot, still intact until the next ckpt overwrites it.
-      // decimal(38,0) sum: full-range 64-bit terms overflow a Long
-      // sum under ANSI mode
-      val row = e.agg(count(lit(1)).as("c"),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("h"))
-        .head()
-      val sig = (row.getLong(0),
-        if (row.isNullAt(1)) None else Some(row.getDecimal(1)))
+      // (count, sum of xxhash64 row hashes) — order-insensitive,
+      // observed on the checkpoint write itself (the r16 form re-read
+      // the snapshot for a separate aggregate job per round). A
+      // signature match is only a CANDIDATE fixpoint: sum-of-hashes can
+      // collide between different edge sets, and declaring convergence
+      // on a collision would silently emit wrong cluster labels — so
+      // the first match is confirmed EXACTLY, once, with a set
+      // difference (both sides are distinct sets of equal count, so an
+      // empty `except` proves equality). `prev` reads the other
+      // alternating slot, still intact until the next ckpt overwrites
+      // it. decimal(38,0) sum: full-range 64-bit terms overflow a Long
+      // sum under ANSI mode.
+      val (e2, sig) = ckptStar(ss)
+      e = e2
+      starRounds += 1
       converged = sig == prevSum && e.except(prev).isEmpty
       prevSum = sig
     }

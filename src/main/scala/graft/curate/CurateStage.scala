@@ -121,13 +121,18 @@ object CurateStage {
   def run(docs: DataFrame, opts: CurateOptions): CurateResult = {
     val spark = docs.sparkSession
     val withQ = docs.withColumn("quality_keep", qualityKeep(opts.minWords))
-    val s1 = withQ.filter(col("quality_keep") === 1)
 
-    val mixK = graft.queries.CurationQueries
-      .mixProjection(s1, opts.rates, opts.defaultRate)
-      .select(col("doc_id"), col("kept").as("mix_keep"))
-    val withM = withQ.join(mixK, Seq("doc_id"), "left")
-      .withColumn("mix_keep", coalesce(col("mix_keep"), lit(0)))
+    // mix is a row-local decision (md5-bucket vs dialed rate) — the
+    // flag is computed inline; the historical projection-plus-join
+    // spelling paid one whole exchange to re-attach a value derivable
+    // from the row itself (guide §2.4: remove shuffles outright). The
+    // predicate is shared with CurationQueries.mixProjection, so the
+    // batch gate (qc01), the streaming gate (st05) and this stage can
+    // never drift.
+    val withM = withQ.withColumn("mix_keep",
+      when(col("quality_keep") === 1 &&
+        graft.queries.CurationQueries
+          .mixKeptExpr(opts.rates, opts.defaultRate), 1).otherwise(0))
     val s2 = withM.filter(col("mix_keep") === 1)
 
     val exactK = s2
@@ -331,8 +336,18 @@ object CurateStage {
     }
     val all = flaggedB.withColumn("curated", col("budget_keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    all.count(): Unit // materialize, then release the stage-internals
-    // blocking for the same reason as CurateResult.close
+    // materialize, with the audit-funnel aggregate observed on the SAME
+    // job (r17 optimization: the stats frame used to be a second
+    // action over the cache — one extra job per run locally, one extra
+    // pass over the flag table at scale). Then release the
+    // stage-internals (blocking for the same reason as
+    // CurateResult.close).
+    val statsObs = org.apache.spark.sql.Observation()
+    all.observe(statsObs,
+      count(lit(1)).as("n_docs"),
+      (keeps.map(k => sum(col(k)).as(k)) :+
+        sum(col("curated")).as("n_curated")): _*)
+      .count(): Unit
     sh.unpersist(blocking = true)
     gramDfPersisted.foreach(_.unpersist(blocking = true): Unit)
     s3n.unpersist(blocking = true)
@@ -348,10 +363,17 @@ object CurateStage {
       curatedBase.join(wf, Seq("doc_id"), "left")
         .withColumn("weight_ppm",
           coalesce(col("weight_ppm"), lit(1000000L))))
-    val stats = all.agg(
-      count(lit(1)).as("n_docs"),
-      keeps.map(k => sum(col(k)).as(k)) :+
-        sum(col("curated")).as("n_curated"): _*)
+    // the observed metrics ARE the stats aggregate — surface them as
+    // the same one-row frame the `all.agg(...)` spelling produced
+    // (schema and null-on-empty behavior identical)
+    val statNames = "n_docs" +: keeps :+ "n_curated"
+    val got = statsObs.get
+    val stats = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row
+        .fromSeq(statNames.map(got(_)))),
+      org.apache.spark.sql.types.StructType(statNames.map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType))))
     CurateResult(curated, stats, all)
   }
 }

@@ -230,13 +230,30 @@ object MediaDedup {
     // The same pass carries the signature-class accumulators so the
     // collapse-gate statistic falls out of a second-level aggregate
     // over this take-sized frame (persisted: it is one row per take).
+    // ONE action computes both the key-consistency verdict and the
+    // collapse-gate statistic (r17 optimization: the two-action
+    // spelling persisted the per-take frame and paid a separate
+    // badKey head job per staging pass — on the healthy path, which is
+    // every healthy corpus, the example-key lookup below never runs)
     val perTake = sigs.groupBy(col("media_id"), col("take"))
       .agg(count(lit(1)).as("rows"),
         min(col("n_sh")).as("lo"), max(col("n_sh")).as("hi"),
         expr("bit_xor(xxhash64(sh))").as("x1"),
         expr("bit_xor(xxhash64(sh, 2))").as("x2"))
-      .persist()
-    try {
+    val agg = perTake
+      .select(struct(col("rows").as("n"), col("x1"), col("x2")).as("sig"),
+        col("hi"),
+        (col("lo") =!= col("hi") || col("rows") =!= col("lo")).as("bad"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("c"), max(col("hi")).as("m"),
+        max(col("bad")).as("any_bad"))
+      .agg(coalesce(sum(
+        (col("c").cast("double") * col("c") - col("c")) * col("m")),
+        lit(0.0)).as("saved"),
+        coalesce(max(col("any_bad")), lit(false)).as("bad"))
+      .head()
+    if (agg.getBoolean(1)) {
+      // failure path only: re-derive one offending key for the message
       val badKey = perTake
         .where(col("lo") =!= col("hi") || col("rows") =!= col("lo"))
         .select(col("media_id"), col("take"))
@@ -244,15 +261,8 @@ object MediaDedup {
       require(badKey.isEmpty,
         s"duplicate (media_id, take) key with conflicting content: " +
           s"${badKey.mkString(", ")} — dedupe or re-key the input first")
-      val saved = perTake
-        .groupBy(struct(col("rows").as("n"), col("x1"), col("x2"))
-          .as("sig"))
-        .agg(count(lit(1)).as("c"), max(col("hi")).as("m"))
-        .agg(coalesce(sum(
-          (col("c").cast("double") * col("c") - col("c")) * col("m")),
-          lit(0.0))).head().getDouble(0)
-      (sigs, saved)
-    } finally perTake.unpersist()
+    }
+    (sigs, agg.getDouble(0))
   }
 
   /** The verified-pair join of [[shingleNearDup]] over an already-

@@ -736,6 +736,20 @@ object CurationQueries extends QueryRegistry {
     s"(($nib) % 100)"
   }
 
+  /** Row-local mix-keep predicate — bucket(doc_id) < rate(lang). The
+    * SAME expression backs [[mixProjection]] and CurateStage's inline
+    * mix flag (r17 optimization: the stage used to compute this via a
+    * projection + join back on doc_id — one whole exchange for a
+    * row-narrow decision; inlining removes the join without any
+    * possibility of drift between the two spellings). */
+  private[graft] def mixKeptExpr(
+      rates: Seq[(String, Int)], defaultRate: Int): Column = {
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((l, r), rest) => when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    bucketCol < rate
+  }
+
   private[graft] def mixProjection(
       docs: DataFrame,
       rates: Seq[(String, Int)] = MixRates,

@@ -143,8 +143,18 @@ object MediaDedup {
       .distinct()
     val a = staged.select(col("media_id"), col("take"), col("sh"),
       col("n_sh").as("a_n"))
-    val b = staged.select(col("media_id").as("owner_id"),
-      col("take").as("owner_take"), col("sh"), col("n_sh").as("b_n"))
+    // r17 (guide §3.2): owners are few (one per shingle bucket), but
+    // the owner side of the verify join used to shuffle the WHOLE
+    // staged relation; a semi-join prefilter keeps only owner keys'
+    // rows before the exchange. Result-identical (semi join only
+    // removes rows with no partner).
+    val owners = cand.select(col("owner_id"), col("owner_take"))
+      .distinct()
+    val b = staged.join(owners,
+        staged("media_id") === owners("owner_id") &&
+          staged("take") === owners("owner_take"), "left_semi")
+      .select(col("media_id").as("owner_id"),
+        col("take").as("owner_take"), col("sh"), col("n_sh").as("b_n"))
     val qualified = cand
       .join(a, Seq("media_id", "take"))
       .join(b, Seq("owner_id", "owner_take", "sh"))

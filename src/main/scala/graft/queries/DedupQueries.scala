@@ -308,9 +308,18 @@ object DedupQueries extends QueryRegistry {
       tau: Double): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
+    // r17 (guide §3.2): the b-side of the shared-count join used to be
+    // the WHOLE corpus shingle relation — every row shuffled into the
+    // (doc_id, sh) join although only docs that appear as some pair's
+    // b_id can match. Candidates are sparse (LSH-selected), so a
+    // semi-join prefilter drops the non-candidate bulk before the
+    // exchange; the a-side is already filtered by the cand join itself.
+    // Result-identical: a semi join only removes rows with no partner.
+    val shB = sh.join(cand.select($"b_id").distinct(),
+      sh("doc_id") === col("b_id"), "left_semi")
     val shared = cand
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
+      .join(shB.as("sb"), col("b_id") === col("sb.doc_id") &&
         col("sa.sh") === col("sb.sh"))
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("shared"))
@@ -567,9 +576,15 @@ object DedupQueries extends QueryRegistry {
       .select(least($"bk_id", col("o.doc_id")).as("a_id"),
         greatest($"bk_id", col("o.doc_id")).as("b_id"))
       .distinct()
+    // r17 (guide §3.2): semi-filter the b-side of the shared-count
+    // join to candidate b_ids before the exchange — candidates are
+    // sketch-selected and sparse, the full corpus explode is not
+    // (result-identical; see verifyCands)
+    val shB = sh.join(cand.select($"b_id").distinct(),
+      sh("doc_id") === col("b_id"), "left_semi")
     val shared = cand
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
+      .join(shB.as("sb"), col("b_id") === col("sb.doc_id") &&
         col("sa.sh") === col("sb.sh"))
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("shared"))

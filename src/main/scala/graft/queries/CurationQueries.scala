@@ -211,23 +211,18 @@ object CurationQueries extends QueryRegistry {
     val starts = pos.join(dupSh, "sh")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    docs.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), tokens.as("ws"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      // the cut width MUST match the gram width the positional frame
-      // was built with — a fixed width would under-cut wider grams
-      // and over-cut narrower ones
-      .select(col("doc_id"), col("ws"), col("starts"),
-        least(lit(gramK), size(col("ws"))).as("span"))
-      .select(col("doc_id"), col("ws"),
-        filter(sequence(lit(1), size(col("ws"))), j =>
-          !exists(col("starts"), s0 =>
-            s0 <= j && j <= s0 + col("span") - lit(1))).as("keep"))
-      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
-        (size(col("ws")) - size(col("keep"))).as("n_removed"),
-        concat_ws(" ",
-          transform(col("keep"), j => element_at(col("ws"), j)))
-          .as("scrubbed"))
+    // the cut width MUST match the gram width the positional frame
+    // was built with — a fixed width would under-cut wider grams
+    // and over-cut narrower ones. The cut itself is the row-local
+    // [[graft.functions.ScrubRuns]] kernel with minRun = 1 (cut every
+    // covered token — coverage equals the union of merged runs).
+    graft.functions.ScrubRuns(
+      docs.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"), tokens.as("ws"),
+          coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+        .select(col("doc_id"), col("ws"), col("starts"),
+          least(lit(gramK), size(col("ws"))).as("span")),
+      minRun = 1)
       .orderBy(col("doc_id"))
   }
 
@@ -318,45 +313,21 @@ object CurationQueries extends QueryRegistry {
     val starts = pos.join(dupSh, "sh")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    val withCov = docs.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), tokens.as("ws"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      .select(col("doc_id"), col("ws"), col("starts"),
-        least(lit(gramK), size(col("ws"))).as("span"))
-      // sorted distinct covered positions: each dup-gram start covers
-      // [s, s + span - 1] (span = gram width, clipped to short docs)
-      .select(col("doc_id"), col("ws"),
-        array_sort(array_distinct(flatten(transform(col("starts"),
-          s0 => sequence(s0, s0 + col("span") - lit(1)))))).as("cov"))
-    // cov(i) starts a run iff cov(i-1) != cov(i)-1; ends one iff
-    // cov(i+1) != cov(i)+1. transform's index is 0-based, element_at
-    // 1-based, so the previous element of index i is element_at(_, i)
-    // and the next is element_at(_, i+2); `when` short-circuits, so
-    // the boundary branches never evaluate an out-of-range index.
-    val rs = filter(
-      transform(col("cov"), (c, i) =>
-        when(i === 0, c).otherwise(
-          when(element_at(col("cov"), i) =!= c - lit(1), c))),
-      x => x.isNotNull)
-    val re = filter(
-      transform(col("cov"), (c, i) =>
-        when(i === size(col("cov")) - 1, c).otherwise(
-          when(element_at(col("cov"), i + lit(2)) =!= c + lit(1), c))),
-      x => x.isNotNull)
-    withCov
-      .select(col("doc_id"), col("ws"),
-        filter(zip_with(rs, re, (s0, e0) =>
-          struct(s0.as("s"), e0.as("e"))),
-          r => r("e") - r("s") + lit(1) >= lit(minRun)).as("runs"))
-      .select(col("doc_id"), col("ws"),
-        filter(sequence(lit(1), size(col("ws"))), j =>
-          !exists(col("runs"), r =>
-            r("s") <= j && j <= r("e"))).as("keep"))
-      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
-        (size(col("ws")) - size(col("keep"))).as("n_removed"),
-        concat_ws(" ",
-          transform(col("keep"), j => element_at(col("ws"), j)))
-          .as("scrubbed"))
+    // run merge + threshold + cut = the row-local
+    // [[graft.functions.ScrubRuns]] kernel (each dup-gram start covers
+    // [s, s + span - 1], span = gram width clipped to short docs;
+    // touching/overlapping windows coalesce into maximal runs; runs
+    // ≥ minRun scrub). The former declarative spelling — coverage
+    // expansion, boundary-marking indexed transforms, zip_with, and an
+    // O(n·runs) exists() keep-filter — ran on Catalyst's interpreted
+    // HOF path; the kernel is one codegen-friendly typed pass.
+    graft.functions.ScrubRuns(
+      docs.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"), tokens.as("ws"),
+          coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+        .select(col("doc_id"), col("ws"), col("starts"),
+          least(lit(gramK), size(col("ws"))).as("span")),
+      minRun)
       .orderBy(col("doc_id"))
   }
 

@@ -559,12 +559,18 @@ object DedupQueries extends QueryRegistry {
     // — a lazily-returned result can't unpersist behind itself, so
     // bounding the cache is the leak control.
     val sh = cachedShingleRelation(docs)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // hashedShingles is array_distinct, so the bottom-k sketch is
     // derivable from sh itself (no second decode pass): per-doc sort
-    // of the distinct hashes, keep the k smallest.
-    val bk0 = sh.groupBy($"doc_id").agg(
-        slice(sort_array(collect_list($"sh")), 1, BottomK).as("bks"))
+    // of the distinct hashes, keep the k smallest. r17: the sketch and
+    // the per-doc sizes are ONE aggregation over one exchange — they
+    // were two separate groupBy(doc_id) passes over the same relation
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange).
+    val perDoc = sh.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_sh"),
+      slice(sort_array(collect_list($"sh")), 1, BottomK).as("bks"))
+    val sizes = perDoc.select($"doc_id", $"n_sh")
+    val bk0 = perDoc
       .select($"doc_id".as("bk_id"), explode($"bks").as("sh"))
     val bk = sketchDfCeil.fold(bk0) { ceil =>
       val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))

@@ -185,6 +185,21 @@ object Bench {
       case _ => 1.0
     }
 
+  /** Driver-parsable compact summary — the LAST stdout line (round-18,
+    * r17 verdict #1): the full line below grew to ~13 KB of per-query
+    * maps and the driver's stdout capture keeps only a ~2 KB tail,
+    * which landed mid-JSON and parsed null in BOTH BENCH_r16 and
+    * BENCH_r17. This line carries the headline fields ONLY (~230
+    * bytes, no per-query maps) so the tail always contains one
+    * complete parseable JSON object; the full line — same numbers,
+    * plus every per-query map — still prints first and still lands in
+    * BENCH_LINE.json / bench_history.jsonl. Pure so BenchSpec can pin
+    * the size bound and field set. */
+  private[graft] def compactSummaryLine(total: Double, totalMin: Double,
+      reps: Int, head: String, calibFactor: Double, loadWarning: Boolean,
+      nQueries: Int, nFailed: Int, sf: String): String =
+    f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"head":"$head","calib_factor":$calibFactor%.3f,"load_warning":$loadWarning,"n_queries":$nQueries,"n_failed":$nFailed,"sf":"$sf"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -771,6 +786,10 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","reps":$reps,"head":"$gitHead","calib":$calibJson,"load":$loads,"load_warning":$loadWarning,"load_waited_sec":$waited,"ambient_limit":$ambientLimit%.1f,"iowait_limit":$iowaitLimit%.1f,"io_mbps_limit":$ioMbpsLimit%.0f,"reruns":$totalReruns,"envelope_rerun":$envReruns,"regressions":$regs,"queries":$qs,"queries_min":$mins,"queries_ambient":$ambients,"queries_iowait":$iowaits,"queries_io_mbps":$ioMbps,"queries_mem_psi":$memPsis,"families":$fams,"outliers":$outliers,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
+    // compact summary as the FINAL stdout line (see compactSummaryLine)
+    println(compactSummaryLine(total, totalMin, reps, gitHead, cf,
+      loadWarning, nQueries = results.count(_._4),
+      nFailed = results.count(!_._4), sf = sfDir))
     // self-contained artifact (round-10 verdict: the driver's stdout
     // parse came back `parsed: null` — the official number must also
     // live in a file the driver/judge can read directly) + per-round

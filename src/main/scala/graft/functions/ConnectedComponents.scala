@@ -85,10 +85,14 @@ object ConnectedComponents {
       DataFrame = runWithStats(edges, vertices, maxIters)._1
 
   /** As `run`, also returning how many rounds each phase took.
-    * `propagationBudget` overrides the min-label phase length — 0
-    * forces the star phase from round one (the spec's random-graph
-    * star-vs-propagation equivalence law drives it; production
-    * callers keep the default). */
+    * `propagationBudget` overrides the min-label phase length. The
+    * join-free round 1 (one groupBy over `sym` — strictly cheaper
+    * than any star round, and it seeds the star phase's shortcut
+    * edges) ALWAYS runs, so a 0 budget means "hand over to the star
+    * phase right after round 1", not "no propagation at all":
+    * CcStats.propagationRounds reports 1 and the spec's random-graph
+    * star-vs-propagation equivalence law compares against a one-round-
+    * seeded star candidate (production callers keep the default). */
   def runWithStats(edges: DataFrame, vertices: DataFrame,
       maxIters: Int = 50,
       propagationBudget: Int = StarFallbackAfter): (DataFrame, CcStats) = {

@@ -74,7 +74,18 @@ object ScrubRuns {
       StructField("scrubbed", StringType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
-    withCov.mapPartitions { it =>
+    // explicit input schema: the kernel reads rows positionally with
+    // hard-coded types, so a caller whose columns differ must fail at
+    // ANALYSIS (missing column / impossible cast), not as a runtime
+    // ClassCastException mid-job (r17 ADVICE). At the pinned call
+    // sites every cast is a no-op the optimizer erases.
+    import org.apache.spark.sql.functions.col
+    val typed = withCov.select(
+      col("doc_id").cast(LongType),
+      col("ws").cast(ArrayType(StringType)),
+      col("starts").cast(ArrayType(IntegerType)),
+      col("span").cast(IntegerType))
+    typed.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val ws = r.getSeq[String](1)

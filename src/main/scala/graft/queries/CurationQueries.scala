@@ -713,26 +713,27 @@ object CurationQueries extends QueryRegistry {
     * projection + join back on doc_id — one whole exchange for a
     * row-narrow decision; inlining removes the join without any
     * possibility of drift between the two spellings). */
-  private[graft] def mixKeptExpr(
-      rates: Seq[(String, Int)], defaultRate: Int): Column = {
-    val rate = rates.foldRight(lit(defaultRate): Column) {
+  /** lang → dialed rate, as one fold — the single definition both
+    * [[mixKeptExpr]] and [[mixProjection]] build on (r18 hygiene: the
+    * two used to carry their own copies of this fold, so the "can
+    * never drift" comment was only true of bucketCol). */
+  private def mixRateExpr(
+      rates: Seq[(String, Int)], defaultRate: Int): Column =
+    rates.foldRight(lit(defaultRate): Column) {
       case ((l, r), rest) => when(col("lang") === l, lit(r)).otherwise(rest)
     }
-    bucketCol < rate
-  }
+
+  private[graft] def mixKeptExpr(
+      rates: Seq[(String, Int)], defaultRate: Int): Column =
+    bucketCol < mixRateExpr(rates, defaultRate)
 
   private[graft] def mixProjection(
       docs: DataFrame,
       rates: Seq[(String, Int)] = MixRates,
-      defaultRate: Int = 0): DataFrame = {
-    val bucket = bucketCol
-    val rate = rates.foldRight(lit(defaultRate): Column) {
-      case ((l, r), rest) => when(col("lang") === l, lit(r)).otherwise(rest)
-    }
+      defaultRate: Int = 0): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-        bucket.as("bucket"), rate.as("rate"))
-      .withColumn("kept", when(col("bucket") < col("rate"), 1).otherwise(0))
-  }
+        bucketCol.as("bucket"), mixRateExpr(rates, defaultRate).as("rate"),
+        when(mixKeptExpr(rates, defaultRate), 1).otherwise(0).as("kept"))
 
   /** qc01: deterministic stratified mixture sampling — every doc gets a
     * stable [0,100) bucket from md5(doc_id) (NOT a seeded RNG: the

@@ -127,6 +127,31 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.calibFactor(0.0, Some(1.0)) == 1.0)
   }
 
+  test("compact summary line: valid JSON, headline fields only, small " +
+      "enough for the driver's ~2 KB stdout tail") {
+    val l = Bench.compactSummaryLine(108.112, 94.823, 3,
+      "6f6a53a34910", 1.229, loadWarning = false, nQueries = 82,
+      nFailed = 0, sf = "/root/testdata/sf0.1")
+    // must fit a truncated capture tail with room to spare — the whole
+    // point of the second line (r17 verdict #1: the 13 KB full line
+    // parsed null two rounds running)
+    assert(l.length < 1024, s"compact line too long: ${l.length}")
+    assert(!l.contains("\n"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+    assert(node.path("metric").asText() == "total")
+    assert(math.abs(node.path("value").asDouble() - 108.112) < 1e-9)
+    assert(math.abs(node.path("value_min").asDouble() - 94.823) < 1e-9)
+    assert(node.path("unit").asText() == "sec")
+    assert(node.path("head").asText() == "6f6a53a34910")
+    assert(math.abs(node.path("calib_factor").asDouble() - 1.229) < 1e-9)
+    assert(!node.path("load_warning").asBoolean(true))
+    assert(node.path("n_queries").asInt() == 82)
+    assert(node.path("n_failed").asInt() == 0)
+    assert(node.path("sf").asText() == "/root/testdata/sf0.1")
+    // no per-query maps — they are what overflowed the capture
+    assert(!node.has("queries") && !node.has("queries_min"))
+  }
+
   test("only an eligible capture evicts the official line: dirty, " +
       "partial, and different-sf runs park in history") {
     val sf = "/root/testdata/sf0.1"

@@ -304,21 +304,28 @@ object DedupQueries extends QueryRegistry {
 
   /** Verify against precomputed shingle frames. */
   private def verifyCands(
-      cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+      cand0: DataFrame, sh: DataFrame, sizes: DataFrame,
       tau: Double): DataFrame = {
-    val s = cand.sparkSession
+    val s = cand0.sparkSession
     import s.implicits._
-    // r17 (guide §3.2): the b-side of the shared-count join used to be
-    // the WHOLE corpus shingle relation — every row shuffled into the
-    // (doc_id, sh) join although only docs that appear as some pair's
-    // b_id can match. Candidates are sparse (LSH-selected), so a
-    // semi-join prefilter drops the non-candidate bulk before the
-    // exchange; the a-side is already filtered by the cand join itself.
-    // Result-identical: a semi join only removes rows with no partner.
+    // guide §3.2: semi-filter BOTH sides of the shared-count join —
+    // every corpus row used to shuffle into the (doc_id, sh) join
+    // although only docs appearing in some candidate pair can match,
+    // and candidates are sparse (LSH-selected). r17 prefiltered the
+    // b-side only, and its semi referenced the unpersisted `cand`,
+    // duplicating the whole LSH candidate derivation (band explode +
+    // self-join + distinct) into the plan. r18: localCheckpoint the
+    // pair set — the derivation executes once, the prefilter extends
+    // to the a-side, and the distinct-id frames are size-known so AQE
+    // broadcasts them. Result-identical: a semi join only removes
+    // rows with no partner.
+    val cand = cand0.localCheckpoint()
+    val shA = sh.join(cand.select($"a_id").distinct(),
+      sh("doc_id") === col("a_id"), "left_semi")
     val shB = sh.join(cand.select($"b_id").distinct(),
       sh("doc_id") === col("b_id"), "left_semi")
     val shared = cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shA.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(shB.as("sb"), col("b_id") === col("sb.doc_id") &&
         col("sa.sh") === col("sb.sh"))
       .groupBy($"a_id", $"b_id")
@@ -561,14 +568,22 @@ object DedupQueries extends QueryRegistry {
     val sh = cachedShingleRelation(docs)
     // hashedShingles is array_distinct, so the bottom-k sketch is
     // derivable from sh itself (no second decode pass): per-doc sort
-    // of the distinct hashes, keep the k smallest. r17: the sketch and
-    // the per-doc sizes are ONE aggregation over one exchange — they
-    // were two separate groupBy(doc_id) passes over the same relation
-    // (guide §2.4: two operations keyed the same way share one
-    // exchange).
+    // of the distinct hashes, keep the k smallest. r17 fused the
+    // sketch and the per-doc sizes into ONE aggregation — but left it
+    // unpersisted, and column pruning split its two consumers straight
+    // back into two independent groupBy(doc_id) passes (the committed
+    // qd26 after-plan showed partial_count and partial_collect_list as
+    // SEPARATE aggregates; partial-agg outputs differ, so ReuseExchange
+    // cannot dedupe them either). r18: localCheckpoint materializes
+    // the fused pass — one aggregation executes, once; sizes and the
+    // sketch both read the checkpointed (doc_id, n_sh, bks) rows. At
+    // corpus scale this is the small per-doc proxy table of guide §8
+    // (decide with small rows); eager, so independent AQE stages can
+    // never race to compute it twice.
     val perDoc = sh.groupBy($"doc_id").agg(
       count(lit(1)).as("n_sh"),
       slice(sort_array(collect_list($"sh")), 1, BottomK).as("bks"))
+      .localCheckpoint()
     val sizes = perDoc.select($"doc_id", $"n_sh")
     val bk0 = perDoc
       .select($"doc_id".as("bk_id"), explode($"bks").as("sh"))
@@ -577,19 +592,33 @@ object DedupQueries extends QueryRegistry {
         .filter($"df" > ceil).select($"sh")
       bk0.join(hot, Seq("sh"), "left_anti")
     }
+    // Candidate pairs are small by construction (sketch-selected) but
+    // their derivation is not: r17's semi prefilter referenced the
+    // unpersisted `cand`, DUPLICATING the whole sketch-join subtree
+    // into the plan (qd26 went 24 -> 36 exchanges, +0.41 s at sf0.1,
+    // and a second full candidate derivation at scale). r18:
+    // localCheckpoint the pair set — the derivation executes once,
+    // every consumer (both semi prefilters, the shared-count join)
+    // reads the materialized rows, and the distinct-id frames built
+    // from it are size-known, so AQE broadcasts them.
     val cand = bk.join(sh.as("o"), Seq("sh"))
       .filter($"bk_id" =!= col("o.doc_id"))
       .select(least($"bk_id", col("o.doc_id")).as("a_id"),
         greatest($"bk_id", col("o.doc_id")).as("b_id"))
       .distinct()
-    // r17 (guide §3.2): semi-filter the b-side of the shared-count
-    // join to candidate b_ids before the exchange — candidates are
-    // sketch-selected and sparse, the full corpus explode is not
-    // (result-identical; see verifyCands)
+      .localCheckpoint()
+    // guide §3.2: semi-filter BOTH sides of the shared-count join to
+    // candidate ids before the exchange — candidates are sketch-
+    // selected and sparse, the full corpus explode is not. r17 only
+    // prefiltered the b-side; the a-side join moved every corpus row
+    // into its exchange although only candidate a_ids can match.
+    // Result-identical: a semi join only removes rows with no partner.
+    val shA = sh.join(cand.select($"a_id").distinct(),
+      sh("doc_id") === col("a_id"), "left_semi")
     val shB = sh.join(cand.select($"b_id").distinct(),
       sh("doc_id") === col("b_id"), "left_semi")
     val shared = cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shA.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(shB.as("sb"), col("b_id") === col("sb.doc_id") &&
         col("sa.sh") === col("sb.sh"))
       .groupBy($"a_id", $"b_id")

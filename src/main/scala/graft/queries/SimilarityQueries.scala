@@ -320,19 +320,15 @@ object SimilarityQueries extends QueryRegistry {
       val mx = agg.getDouble(2 * d + 1)
       if (mx > mn) (mx - mn) / 255.0 else 0.0
     }
-    val minsL = array(mins.map(lit): _*)
-    val scalesL = array(scales.map(lit): _*)
-    // quantize -> dequantize in one transform: codes are the
-    // round-trip floor((v-mn)/sc + 0.5) clamped to 0..255; the code
-    // array itself never materializes (storage is the scale story,
-    // the QUERY only needs the reconstruction)
-    val dqv = transform($"emb", (v, i) => {
-      val mn = element_at(minsL, i + 1)
-      val sc = element_at(scalesL, i + 1)
-      when(sc === 0.0, mn).otherwise(mn +
-        least(greatest(floor((v - mn) / sc + lit(0.5)).cast("double"),
-          lit(0.0)), lit(255.0)) * sc)
-    })
+    // quantize -> dequantize in one codegen'd expression: codes are
+    // the round-trip floor((v-mn)/sc + 0.5) clamped to 0..255; the
+    // code array itself never materializes (storage is the scale
+    // story, the QUERY only needs the reconstruction). r18: the
+    // declarative 64-element transform ran interpreted per corpus row
+    // — [[graft.functions.Sq8Dequant]] keeps the identical IEEE chain
+    // inside whole-stage codegen (bit-parity spec-pinned).
+    val dqv = graft.functions.Sq8Dequant.dequant($"emb",
+      mins.toArray, scales.toArray)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"emb".as("qv"))
     val wA = Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"c_id")
@@ -537,21 +533,26 @@ object SimilarityQueries extends QueryRegistry {
       emb: DataFrame): (DataFrame, IndexedSeq[Array[Long]]) = {
     val s = emb.sparkSession
     import s.implicits._
-    val e = emb
-      .select($"vec_id", transform($"embedding", x =>
-        floor((x.cast("double") + lit(KmShift)) * lit(1e6)).cast("long"))
-        .as("v"))
-    var cents: IndexedSeq[Array[Long]] = e.orderBy($"vec_id").limit(KmK)
-      .collect().map(_.getSeq[Long](1).toArray).toIndexedSeq
-    def distTo(c: Array[Long]): Column =
-      aggregate(zip_with($"v", typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    def assigned(): DataFrame =
-      e.withColumn("dists", array(cents.map(distTo): _*))
-        .withColumn("cluster",
-          (array_position($"dists", array_min($"dists")) - 1).cast("int"))
-        .withColumn("dist", array_min($"dists"))
-        .drop("dists")
+    // Seeds: the KmK smallest vec_ids, quantized ON THE DRIVER with
+    // the identical IEEE chain the kernel runs per row. (The old
+    // spelling took the 8 seed rows from a corpus-wide interpreted
+    // quantization projection — a whole extra HOF pass for 8 rows.)
+    def quant(x: Double): Long = math.floor((x + KmShift) * 1e6).toLong
+    var cents: IndexedSeq[Array[Long]] = emb
+      .select($"vec_id", $"embedding").orderBy($"vec_id").limit(KmK)
+      .collect().map(_.getSeq[Any](1).map {
+        case f: Float => quant(f.toDouble)
+        case d: Double => quant(d)
+        case x => throw new IllegalArgumentException(
+          s"embedding element is not float/double: $x")
+      }.toArray).toIndexedSeq
+    // assignment = the typed [[graft.functions.KMeansAssign]] kernel
+    // (r18: the declarative spelling ran k interpreted
+    // aggregate(zip_with) folds per row, twice per Lloyd iteration —
+    // the qs-family's dominant CPU; the kernel is bit-identical
+    // integer math, spec-pinned)
+    def assigned(): DataFrame = graft.functions.KMeansAssign(
+      emb.select($"vec_id", $"embedding"), cents, KmShift)
     for (_ <- 1 until KmIters) {
       val sums = assigned().groupBy($"cluster")
         .agg(count(lit(1)).as("n"),
